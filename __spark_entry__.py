@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -> flagship query (Q04 5-way join) on sf0.001.
+queries()     -> every declared operator from SURVEY.md §2 (Q/G/T/S/L
+                 suites), one callable per name.
+oracle_sql()  -> matching DuckDB SQL with identical column aliases;
+                 approximate operators (LSH ANN) are intentionally
+                 omitted -> rows-only check.
 """
 
 from __future__ import annotations
@@ -13,26 +14,33 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from graph_spark.queries.registry import all_queries
+from graph_spark.session import configure
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from graph_spark.queries.qsuite import QUERIES as Q
+
+    configure(spark)
+    q04 = next(q for q in Q if q.name == "q04_5way_join")
+    return q04.build(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for q in all_queries():
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        def make(qq):
+            def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+                configure(spark)
+                return qq.build(spark, sf_dir)
+
+            return run
+
+        out[q.name] = make(q)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {q.name: q.oracle for q in all_queries() if q.oracle is not None}

@@ -1,0 +1,70 @@
+"""User-facing facade: the API surface a reference-system user switches to.
+
+    from graph_spark import Engine
+    eng = Engine(spark, "/root/testdata/sf0.1")
+    eng.table("lineitem").filter(...)          # DataFrame passthrough
+    eng.sql("SELECT ...")                      # same Catalyst pipeline
+    g = eng.graph()                            # PropertyGraph over sales graph
+    eng.pagerank(iterations=10)                # analytics
+    eng.temporal_value_at("1998-01-01")        # temporal property point-read
+    eng.asof_join(l, r, ...)                   # operator library
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import DEFAULT_SF_DIR, TABLES, Catalog
+from .graph import algorithms
+from .graph.property_graph import PropertyGraph
+from .operators import relational
+from .temporal import tprop
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self.spark = spark
+        self.catalog = Catalog(spark, sf_dir)
+        self._views_registered = False
+
+    # -- relational ------------------------------------------------------
+    def table(self, name: str) -> DataFrame:
+        return self.catalog.table(name)
+
+    def sql(self, query: str) -> DataFrame:
+        if not self._views_registered:
+            for t in TABLES:
+                self.catalog.table(t).createOrReplaceTempView(t)
+            self.catalog.graph_edges().createOrReplaceTempView("graph_edges")
+            self.catalog.graph_nodes().createOrReplaceTempView("graph_nodes")
+            self.catalog.graph_edges_sym().createOrReplaceTempView("graph_edges_sym")
+            self._views_registered = True
+        return self.spark.sql(query)
+
+    asof_join = staticmethod(relational.asof_join)
+    topk_per_group = staticmethod(relational.topk_per_group)
+    sessionize = staticmethod(relational.sessionize)
+    interval_overlap_join = staticmethod(relational.interval_overlap_join)
+
+    # -- graph -----------------------------------------------------------
+    def graph(self, symmetric: bool = True) -> PropertyGraph:
+        from pyspark.sql import functions as F
+
+        edges = self.catalog.graph_edges_sym() if symmetric else self.catalog.graph_edges()
+        verts = self.catalog.graph_nodes().select(F.col("node").alias("id"))
+        return PropertyGraph(verts, edges)
+
+    def pagerank(self, iterations: int = 10, damping: float = 0.85) -> DataFrame:
+        return algorithms.pagerank(self.graph(), iterations, damping)
+
+    def bfs(self, source: str, max_hops: int) -> DataFrame:
+        return algorithms.bfs_distances(self.graph(), source, max_hops)
+
+    def connected_components(self) -> DataFrame:
+        return algorithms.connected_components(self.graph())
+
+    # -- temporal --------------------------------------------------------
+    def temporal_value_at(self, at_ts, cumulative: bool = True) -> DataFrame:
+        return tprop.value_at(
+            self.catalog.tprop_spend(), at_ts, value_col="delta", cumulative=cumulative
+        )

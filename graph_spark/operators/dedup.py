@@ -1,0 +1,158 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.F).
+
+Exact (hash groupBy), MinHash (+LSH banding), SimHash, n-gram Jaccard.
+All deterministic: hash functions are md5 of explicit strings so a SQL
+oracle can reproduce every signature bit.
+
+Scale shape: every operator is explode -> groupBy (map-side combined) or
+a banding equi-join.  Nothing crossJoins the corpus; candidate pairs
+always come from a bucket/band/shingle join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens, empties dropped: (id, term)."""
+    return (
+        df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """md5(text) -> group counts.  Returns (hash, cnt) for all groups."""
+    return df.groupBy(F.md5(F.col(text_col)).alias("hash")).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def minhash_signatures(df: DataFrame, k: int = 16, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """k-permutation MinHash over whitespace tokens.
+
+    sig_i(doc) = min over tokens of md5(i || ':' || token) — string-min of
+    hex digests, a valid uniform hash family, exactly reproducible in any
+    engine with md5.  Returns (id, i, sig).
+    """
+    tok = tokens(df, text_col, id_col).distinct()
+    ks = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")
+    return (
+        tok.select(id_col, ks, "term")
+        .withColumn("h", F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("term"))))
+        .groupBy(id_col, "i")
+        .agg(F.min("h").alias("sig"))
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame, k: int = 16, bands: int = 4, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """LSH banding: group the k signature values into `bands` bands,
+    hash each band, equi-join on (band, band_hash) to emit candidate
+    near-duplicate pairs (a < b).  This is the scale path: candidate
+    generation is a shuffle on band hashes, never a crossJoin."""
+    rows_per_band = k // bands
+    sigs = minhash_signatures(df, k, text_col, id_col).withColumn(
+        "band", (F.col("i") / rows_per_band).cast("int")
+    )
+    band_hash = (
+        sigs.groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.array_sort(F.collect_list(F.concat_ws(":", F.lpad(F.col("i").cast("string"), 2, "0"), "sig"))),
+                )
+            ).alias("bh")
+        )
+    )
+    a = band_hash.select(F.col(id_col).alias("a"), "band", "bh")
+    b = band_hash.select(F.col(id_col).alias("b"), "band", "bh")
+    return (
+        a.join(b, ["band", "bh"], "inner")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over distinct whitespace tokens, emitted as a
+    16-hex-char lowercase string.
+
+    Bit source: the 16 hex digits of md5(token), 4 bits per digit.  For
+    each of the 64 bit positions, sum +1/-1 over the doc's tokens;
+    positive sum -> bit 1 (ties -> 0).  The signature is assembled as two
+    32-bit halves to stay clear of signed-long edge cases.  Exactly
+    reproducible in SQL.  Returns (id, simhash).
+    """
+    tok = tokens(df, text_col, id_col).distinct().withColumn("h", F.md5(F.col("term")))
+    digits = (
+        tok.select(id_col, F.explode(F.sequence(F.lit(0), F.lit(15))).alias("di"), "h")
+        .withColumn("dv", F.conv(F.expr("substring(h, di + 1, 1)"), 16, 10).cast("int"))
+    )
+    bits = (
+        digits.select(id_col, "di", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("bi"), "dv")
+        .withColumn("bit", (F.floor(F.col("dv") / F.pow(F.lit(2.0), F.col("bi"))) % 2).cast("int"))
+        .withColumn("sgn", F.col("bit") * 2 - 1)
+    )
+    maj = (
+        bits.groupBy(id_col, "di", "bi")
+        .agg(F.sum("sgn").alias("s"))
+        .withColumn("mbit", (F.col("s") > 0).cast("int"))
+    )
+    digit_vals = (
+        maj.groupBy(id_col, "di")
+        .agg(F.sum(F.col("mbit") * F.pow(F.lit(2.0), F.col("bi")).cast("int")).alias("dval"))
+    )
+    # two 32-bit halves: di 0..7 -> high, 8..15 -> low; weight 16^(7 - di%8)
+    halves = digit_vals.withColumn("half", (F.col("di") < 8).cast("int")).withColumn(
+        "contrib",
+        (F.col("dval") * F.pow(F.lit(2.0), (F.lit(4) * (F.lit(7) - F.col("di") % 8)).cast("double"))).cast("long"),
+    )
+    half_vals = halves.groupBy(id_col, "half").agg(F.sum("contrib").alias("hv"))
+    hexstr = F.lower(F.lpad(F.hex(F.col("hv")), 8, "0"))
+    return (
+        half_vals.withColumn("hx", hexstr)
+        .groupBy(id_col)
+        .agg(
+            F.concat(
+                F.max(F.when(F.col("half") == 1, F.col("hx"))),
+                F.max(F.when(F.col("half") == 0, F.col("hx"))),
+            ).alias("simhash")
+        )
+    )
+
+
+def word_shingles(df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle).  Docs with
+    fewer than n tokens produce no shingles."""
+    arr = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    idxs = F.when(F.size(arr) >= n, F.sequence(F.lit(0), F.size(arr) - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(idxs, lambda i: F.concat_ws(" ", *[F.element_at(arr, (i + j + 1)) for j in range(n)]))
+    return df.select(id_col, F.explode(sh).alias("shingle")).distinct()
+
+
+def ngram_jaccard_pairs(df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Pairwise Jaccard over distinct word n-gram shingles for all pairs
+    (a < b) sharing at least one shingle.  Candidate pairs come from the
+    shingle equi-join (inverted-index pattern), so cost is bounded by
+    shingle co-occurrence, not |docs|^2."""
+    sh = word_shingles(df, n, text_col, id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle").filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(F.broadcast(sa), "a").join(F.broadcast(sb), "b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
+        .select("a", "b", "jaccard")
+    )

@@ -1,0 +1,88 @@
+"""Multimodal column support (SURVEY.md §2.F).
+
+Images/audio/video ride through the engine as opaque BinaryType columns
+with a typed metadata struct.  Decode / feature-extraction run as
+Arrow-batched pandas functions over mapInPandas — the Spark-side
+plumbing (schema, batching, partitioning) is real and tested; the codec
+step itself is stubbed because no image/audio libraries exist in this
+container (clearly marked below).
+
+At 100 TB: binary payloads dominate row size, so these operators always
+select only (id, payload) before the UDF (column pruning keeps the
+shuffle out of the scan), and batch size is bounded by
+`spark.sql.execution.arrow.maxRecordsPerBatch`.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("checksum", StringType()),
+    ]
+)
+
+
+def to_media_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Build a multimodal table from the documents fixture: utf-8 bytes
+    of the text standing in for an opaque media payload."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+        F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
+    )
+
+
+def decode_image(payload: bytes) -> object:
+    """STUB: real image decode requires PIL/libvips, absent here."""
+    raise NotImplementedError("image codec libraries not available in this container")
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the payload column.
+
+    The per-batch body is where a real decoder would run; here it
+    computes a deterministic md5 checksum so the mapInPandas plumbing
+    (schema in/out, batch iteration, column pruning) is fully exercised.
+    """
+    pruned = media.select("doc_id", "media_type", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "checksum": pdf["payload"].map(lambda b: hashlib.md5(b).hexdigest()),
+                }
+            )
+
+    return pruned.mapInPandas(batches, FEATURE_SCHEMA)

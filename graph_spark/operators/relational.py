@@ -1,0 +1,123 @@
+"""Relational operators that Spark lacks as single primitives.
+
+Each is a composition of DataFrame ops chosen for shuffle economy at
+scale — no crossJoin, no collect, no row-at-a-time Python.
+
+Capability parity target: the temporal/as-of query surface of the
+reference system (see SURVEY.md §2.B Q09/Q10, §2.D) — re-expressed as
+idiomatic Spark plans rather than index lookups.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str] | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right.ts <= left.ts`` within the same `on` keys (LEFT semantics:
+    left rows with no match keep NULLs).
+
+    Implementation: tag-and-union + window `last(ignorenulls)` — a single
+    shuffle on (keys, ts) instead of a non-equi join.  This is the plan
+    that survives 100 TB: both sides shuffle once on the equi keys; no
+    broadcast of a fact table, no range crossJoin.  Ties (right.ts ==
+    left.ts) count as matches: right rows sort before left rows at equal
+    timestamps via the side tag.
+    """
+    if direction != "backward":
+        raise NotImplementedError("only backward as-of implemented")
+    value_cols = list(value_cols or [c for c in right.columns if c not in (*on, right_ts)])
+
+    lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    rt = right.withColumn("__side", F.lit(0)).withColumn("__ts", F.col(right_ts))
+    for c in value_cols:
+        rt = rt.withColumn(f"__v_{c}", F.col(c))
+        lt = lt.withColumn(f"__v_{c}", F.lit(None).cast(rt.schema[f"__v_{c}"].dataType))
+    rt = rt.withColumn("__r_ts", F.col(right_ts))
+    lt = lt.withColumn("__r_ts", F.lit(None).cast(rt.schema["__r_ts"].dataType))
+
+    keep = list(on) + ["__side", "__ts", "__r_ts"] + [f"__v_{c}" for c in value_cols]
+    unioned = lt.select(*keep, *[c for c in left.columns if c not in keep]).unionByName(
+        rt.select(*keep), allowMissingColumns=True
+    )
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = unioned.withColumn("__m_ts", F.last("__r_ts", ignorenulls=True).over(w))
+    for c in value_cols:
+        out = out.withColumn(f"__m_{c}", F.last(f"__v_{c}", ignorenulls=True).over(w))
+
+    out = out.filter(F.col("__side") == 1)
+    result = out.select(
+        *[c for c in left.columns],
+        F.col("__m_ts").alias(f"asof_{right_ts}"),
+        *[F.col(f"__m_{c}").alias(f"asof_{c}") for c in value_cols],
+    )
+    return result
+
+
+def topk_per_group(
+    df: DataFrame, keys: Sequence[str], order: Sequence[Column], k: int, rn_col: str = "rn"
+) -> DataFrame:
+    """Top-k rows per group via row_number (one shuffle on the keys)."""
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return df.withColumn(rn_col, F.row_number().over(w)).filter(F.col(rn_col) <= k)
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: float,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Assign 1-based session ids per user: a new session starts when the
+    gap since the previous event is strictly greater than `gap_seconds`.
+
+    Single shuffle on the user key; gap math in microseconds so
+    sub-second timestamps compare exactly.
+    """
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    us = F.unix_micros(F.col(ts_col))
+    prev = F.lag(us).over(w)
+    flag = F.when(prev.isNull() | ((us - prev) > int(gap_seconds * 1_000_000)), 1).otherwise(0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("session_id", F.sum(flag).over(wrun))
+
+
+def interval_overlap_join(
+    df: DataFrame,
+    keys: Sequence[str],
+    start_col: str,
+    end_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Self-join pairs within `keys` whose [start, end) intervals overlap,
+    keeping each unordered pair once (a.id < b.id).
+
+    Equi-join on the keys first (one shuffle), residual range predicate
+    evaluated post-join.  At 100 TB the keys partition the pairs space;
+    per-key cardinality is the blow-up risk — callers bound it (e.g. the
+    declared T02 restricts to low-degree customers).  For unkeyed range
+    joins, bucketize the time axis first.
+    """
+    a = df.select(*keys, F.col(id_col).alias("a_id"), F.col(start_col).alias("a_s"), F.col(end_col).alias("a_e"))
+    b = df.select(*keys, F.col(id_col).alias("b_id"), F.col(start_col).alias("b_s"), F.col(end_col).alias("b_e"))
+    cond = (F.col("a_id") < F.col("b_id")) & (F.col("a_s") < F.col("b_e")) & (F.col("b_s") < F.col("a_e"))
+    return a.join(b, on=list(keys), how="inner").filter(cond)

@@ -1,0 +1,141 @@
+"""Embedding similarity search (SURVEY.md §2.F L03 + ANN scale path).
+
+Brute-force cosine top-k is the exact baseline (all math in float64 via
+higher-order functions — JVM-side, no Python in the loop).  The scale
+path is random-hyperplane LSH: bucket vectors by sign-pattern, probe
+only same-bucket candidates (recall-tested against brute force, not
+hash-declared).
+
+At 100 TB: norms are precomputed once (column write), probes are the
+small side and get broadcast; brute force over the full corpus is the
+fallback only when the probe set is tiny.  An IVF-style variant is the
+same join with kmeans-assigned buckets instead of hyperplane signs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("__norm", _norm(F.col(vec_col)))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each probe against the corpus.
+    Probes broadcast to the stationary corpus; per-pair work is a fused
+    zip_with/aggregate (whole-stage codegen, float64).  Self-pairs
+    (same id) excluded.  Returns (vec_id, nb, sim) with rank ties broken
+    by neighbor id."""
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("nb"), F.col(vec_col).alias("__cv"), F.col("__norm").alias("__cn")
+    )
+    p = with_norm(probes, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__pv"), F.col("__norm").alias("__pn")
+    )
+    pairs = c.join(F.broadcast(p), F.col("nb") != F.col("vec_id"))
+    sims = pairs.select(
+        "vec_id",
+        "nb",
+        (_dot(F.col("__pv"), F.col("__cv")) / (F.col("__pn") * F.col("__cn"))).alias("sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("nb").asc())
+    return sims.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")
+
+
+def neardup_pairs_cosine(
+    df: DataFrame, threshold: float, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """All pairs (a < b) with cosine >= threshold.  Quadratic form for
+    declared correctness; the LSH variant below is the scale path."""
+    a = with_norm(df, vec_col).select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("__av"), F.col("__norm").alias("__an")
+    )
+    b = with_norm(df, vec_col).select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("__bv"), F.col("__norm").alias("__bn")
+    )
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    return (
+        pairs.select(
+            "a", "b", (_dot(F.col("__av"), F.col("__bv")) / (F.col("__an") * F.col("__bn"))).alias("sim")
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (LCG-seeded; no
+    numpy RNG so the bucketing is reproducible everywhere)."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        vals = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            # map to (-1, 1)
+            vals.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        n = math.sqrt(sum(v * v for v in vals)) or 1.0
+        planes.append([v / n for v in vals])
+    return planes
+
+
+def lsh_bucket(df: DataFrame, dim: int, n_planes: int = 8, vec_col: str = "embedding", seed: int = 7) -> DataFrame:
+    """Random-hyperplane signature: bucket = concat of sign bits of
+    dot(vec, plane_i).  Adds a `bucket` string column."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bits = []
+    for pl in planes:
+        arr = F.array(*[F.lit(v) for v in pl])
+        bits.append(F.when(_dot(F.col(vec_col), arr) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.withColumn("bucket", F.concat(*bits))
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    dim: int,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+) -> DataFrame:
+    """ANN top-k: probe only corpus vectors in the same hyperplane
+    bucket.  Candidate generation is an equi-join on `bucket` — the plan
+    that survives a billion-vector corpus.  Recall < 1.0 by construction;
+    tested >= 0.9-ish vs brute force at small n_planes."""
+    c = lsh_bucket(with_norm(corpus, vec_col), dim, n_planes, vec_col, seed).select(
+        F.col(id_col).alias("nb"), F.col(vec_col).alias("__cv"), F.col("__norm").alias("__cn"), "bucket"
+    )
+    p = lsh_bucket(with_norm(probes, vec_col), dim, n_planes, vec_col, seed).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__pv"), F.col("__norm").alias("__pn"), "bucket"
+    )
+    pairs = c.join(F.broadcast(p), on="bucket").filter(F.col("nb") != F.col("vec_id"))
+    sims = pairs.select(
+        "vec_id", "nb", (_dot(F.col("__pv"), F.col("__cv")) / (F.col("__pn") * F.col("__cn"))).alias("sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("nb").asc())
+    return sims.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")

@@ -1,0 +1,107 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.F).
+
+Language-ID heuristic, quality scoring, token counting, tf-idf,
+document fingerprinting.  Everything is built from JVM-side column
+functions (split / regexp / aggregate) — no Python UDF in any hot path —
+so each operator is one or two shuffles regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import tokens, word_shingles
+
+# Tiny English stopword list used by the language-ID heuristic.  Kept
+# deliberately small + frozen: it is part of declared query semantics.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_tokens (non-empty whitespace tokens) and est_bpe_tokens
+    (chars/4 ceiling — the standard BPE budget heuristic)."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    return df.withColumn("n_tokens", F.size(toks)).withColumn(
+        "est_bpe_tokens", F.ceil(F.length(F.col(text_col)) / 4).cast("long")
+    )
+
+
+def stopword_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Fraction of tokens that are English stopwords (language-ID
+    heuristic basis)."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    stop = F.filter(toks, lambda x: x.isin(*EN_STOPWORDS))
+    return df.withColumn(
+        "stopword_ratio",
+        F.when(F.size(toks) > 0, F.size(stop) / F.size(toks)).otherwise(F.lit(0.0)),
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality features: token count, mean token length,
+    non-alphanumeric character ratio, and a composite score.  The score
+    formula is frozen (declared semantics), not a tuned model."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    n_toks = F.size(toks)
+    tok_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    non_alnum = F.length(F.regexp_replace(F.col(text_col), "[a-zA-Z0-9 ]", ""))
+    out = (
+        df.withColumn("n_tokens", n_toks)
+        .withColumn(
+            "avg_token_len",
+            F.when(n_toks > 0, tok_chars.cast("double") / n_toks).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "non_alnum_ratio",
+            F.when(
+                F.length(F.col(text_col)) > 0,
+                non_alnum.cast("double") / F.length(F.col(text_col)),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    score = (
+        F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.least(F.col("avg_token_len") / F.lit(8.0), F.lit(1.0)) * 0.3
+        + (1 - F.least(F.col("non_alnum_ratio") * 5, F.lit(1.0))) * 0.2
+    )
+    return out.withColumn("quality_score", score)
+
+
+def tf_idf_top_terms(
+    df: DataFrame,
+    group_col: str = "lang",
+    top_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per group: top-n terms by tf * ln(N / df) where N = corpus docs
+    with >= 1 token, df = docs containing the term, tf = term count
+    within the group.  Ties broken by term.  Returns (group, term, w, rn).
+    """
+    tok = df.select(id_col, group_col, F.explode(F.split(F.col(text_col), " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = tok.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = tok.select(id_col).distinct().count()
+    idf = tok.groupBy("term").agg(
+        F.log(F.lit(float(n_docs)) / F.countDistinct(id_col)).alias("idf")
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("w").desc(), F.col("term").asc())
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .withColumn("w", F.col("tf") * F.col("idf"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+    )
+
+
+def doc_fingerprint(df: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Winnowing-style fingerprint: min md5 over word n-gram shingles
+    (one representative hash per doc) + distinct shingle count.
+    Returns (id, fingerprint, n_shingles)."""
+    sh = word_shingles(df, n, text_col, id_col)
+    return sh.groupBy(id_col).agg(
+        F.min(F.md5(F.col("shingle"))).alias("fingerprint"),
+        F.count(F.lit(1)).alias("n_shingles"),
+    )

@@ -1,0 +1,268 @@
+"""Graph declared queries G01-G10 (SURVEY.md §2.C).
+
+Spark side: PropertyGraph + join-based supersteps (stationary edges,
+broadcast vertex state).  Oracle side: recursive CTEs / unrolled
+iteration over the FIXTURES.md graph views, inlined as CTEs because the
+driver pre-registers only base tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..graph.algorithms import bfs_distances, connected_components, pagerank, triangle_count
+from ..graph.property_graph import PropertyGraph
+from .common import GRAPH_CTES, Query
+
+_G: list[Query] = []
+
+
+def _g(name: str, oracle: str | None, note: str = ""):
+    def deco(fn):
+        _G.append(Query(name, fn, oracle, note))
+        return fn
+
+    return deco
+
+
+def _sym_graph(c: Catalog) -> PropertyGraph:
+    e = c.graph_edges_sym()
+    v = c.graph_nodes().select(F.col("node").alias("id"))
+    return PropertyGraph(v, e)
+
+
+@_g(
+    "g01_degree",
+    f"""WITH {GRAPH_CTES}
+       SELECT src, count(*) AS deg, sum(n_items)::BIGINT AS items
+       FROM graph_edges GROUP BY 1 ORDER BY 1""",
+)
+def g01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).graph_edges()
+    return (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"), F.sum("n_items").alias("items"))
+        .orderBy("src")
+    )
+
+
+@_g(
+    "g02_khop",
+    f"""WITH RECURSIVE {GRAPH_CTES},
+       r(node, h) AS (
+         SELECT 'c1', 0
+         UNION
+         SELECT e.dst, r.h+1 FROM r JOIN graph_edges_sym e ON r.node=e.src WHERE r.h<2)
+       SELECT count(DISTINCT node) AS n FROM r""",
+)
+def g02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _sym_graph(Catalog(spark, sf_dir))
+    return bfs_distances(g, "c1", 2).agg(F.count(F.lit(1)).alias("n"))
+
+
+@_g(
+    "g03_bfs",
+    f"""WITH RECURSIVE {GRAPH_CTES},
+       bfs(node, hops) AS (
+         SELECT 'c1', 0
+         UNION
+         SELECT e.dst, b.hops+1 FROM bfs b JOIN graph_edges_sym e ON b.node=e.src WHERE b.hops<4)
+       SELECT node, min(hops)::INT AS d FROM bfs GROUP BY 1 ORDER BY 1""",
+)
+def g03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _sym_graph(Catalog(spark, sf_dir))
+    return bfs_distances(g, "c1", 4).select("node", F.col("d").cast("int")).orderBy("node")
+
+
+@_g(
+    "g04_connected_components",
+    f"""WITH RECURSIVE {GRAPH_CTES},
+       ge AS (SELECT src, dst FROM graph_edges WHERE n_items >= 3),
+       ges AS (SELECT src, dst FROM ge UNION SELECT dst, src FROM ge),
+       nodes AS (SELECT DISTINCT src AS node FROM ges),
+       reach(node, r) AS (
+         SELECT node, node FROM nodes
+         UNION
+         SELECT e.dst, reach.r FROM reach JOIN ges e ON reach.node=e.src)
+       SELECT node, min(r) AS component FROM reach GROUP BY 1 ORDER BY 1""",
+)
+def g04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    ge = c.graph_edges().filter(F.col("n_items") >= 3).select("src", "dst")
+    ges = ge.union(ge.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    nodes = ges.select(F.col("src").alias("id")).distinct()
+    g = PropertyGraph(nodes, ges)
+    return connected_components(g).orderBy("node")
+
+
+@_g(
+    "g05_triangles",
+    f"""WITH {GRAPH_CTES},
+       ge AS (SELECT src, dst FROM graph_edges WHERE n_items >= 2),
+       cos AS (SELECT DISTINCT a.dst AS s1, b.dst AS s2
+               FROM ge a JOIN ge b ON a.src=b.src AND a.dst<b.dst)
+       SELECT count(*) AS n_triangles
+       FROM cos e1 JOIN cos e2 ON e2.s1=e1.s2 JOIN cos e3 ON e3.s1=e1.s1 AND e3.s2=e2.s2""",
+)
+def g05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    ge = c.graph_edges().filter(F.col("n_items") >= 2).select("src", "dst")
+    a = ge.select(F.col("src").alias("k"), F.col("dst").alias("s1"))
+    b = ge.select(F.col("src").alias("k"), F.col("dst").alias("s2"))
+    cos = a.join(b, "k").filter(F.col("s1") < F.col("s2")).select("s1", "s2").distinct()
+    return triangle_count(cos)
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled 10-iteration PageRank as chained CTEs (DuckDB has no
+    aggregation in recursive CTEs; a fixed iteration count unrolls)."""
+    iters = []
+    prev = "pr0"
+    for i in range(1, 11):
+        cur = f"pr{i}"
+        iters.append(
+            f"""{cur} AS (
+  SELECT n.node, 0.15::DOUBLE/(SELECT c FROM nv) + 0.85::DOUBLE*coalesce(sum(p.r/od.d),0) AS r
+  FROM graph_nodes n
+  LEFT JOIN graph_edges_sym e ON e.dst=n.node
+  LEFT JOIN {prev} p ON p.node=e.src
+  LEFT JOIN outdeg od ON od.src=e.src
+  GROUP BY n.node)"""
+        )
+        prev = cur
+    chain = ",\n".join(iters)
+    return f"""WITH {GRAPH_CTES},
+nv AS (SELECT count(*) AS c FROM graph_nodes),
+outdeg AS (SELECT src, count(*) AS d FROM graph_edges_sym GROUP BY 1),
+pr0 AS (SELECT node, 1.0::DOUBLE/(SELECT c FROM nv) AS r FROM graph_nodes),
+{chain}
+SELECT node, round(r, 8) AS r FROM pr10 ORDER BY r DESC, node LIMIT 20"""
+
+
+@_g("g06_pagerank", _pagerank_oracle())
+def g06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _sym_graph(Catalog(spark, sf_dir))
+    ranks = pagerank(g, iterations=10, damping=0.85)
+    return (
+        ranks.select("node", F.round("rank", 8).alias("r"))
+        .orderBy(F.col("r").desc(), F.col("node").asc())
+        .limit(20)
+    )
+
+
+@_g(
+    "g07_snapshot_degree",
+    """SELECT 'c'||o.o_custkey AS src, count(DISTINCT l.l_suppkey) AS deg
+       FROM lineitem l JOIN orders o ON l.l_orderkey=o.o_orderkey
+       WHERE l.l_shipdate <= TIMESTAMP '1998-01-01' GROUP BY 1 ORDER BY 1""",
+)
+def g07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    li = c.table("lineitem").filter(F.col("l_shipdate") <= F.lit("1998-01-01").cast("timestamp"))
+    o = c.table("orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"))
+        .agg(F.countDistinct("l_suppkey").alias("deg"))
+        .orderBy("src")
+    )
+
+
+@_g(
+    "g08_temporal_point_read",
+    """SELECT o_custkey AS entity_id, round(sum(o_totalprice),2) AS spend
+       FROM orders WHERE o_orderdate <= TIMESTAMP '1998-01-01'
+       GROUP BY 1 ORDER BY 1""",
+)
+def g08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..temporal.tprop import value_at
+
+    c = Catalog(spark, sf_dir)
+    tp = c.tprop_spend()
+    res = value_at(tp, F.lit("1998-01-01").cast("timestamp"), value_col="delta", cumulative=True)
+    return res.select("entity_id", F.round("value", 2).alias("spend")).orderBy("entity_id")
+
+
+@_g(
+    "g09_time_respecting_paths",
+    f"""WITH {GRAPH_CTES},
+       et AS (SELECT src, dst, first_ts FROM graph_edges
+              UNION ALL SELECT dst, src, first_ts FROM graph_edges),
+       h1 AS (SELECT dst AS node, first_ts AS t FROM et WHERE src='c1'),
+       h2 AS (SELECT e.dst AS node, e.first_ts AS t FROM h1 JOIN et e
+              ON e.src=h1.node AND e.first_ts >= h1.t),
+       h3 AS (SELECT e.dst AS node, e.first_ts AS t FROM h2 JOIN et e
+              ON e.src=h2.node AND e.first_ts >= h2.t),
+       allp AS (SELECT node FROM h1 UNION ALL SELECT node FROM h2 UNION ALL SELECT node FROM h3)
+       SELECT node, count(*) AS n_paths FROM allp GROUP BY 1 ORDER BY 1""",
+)
+def g09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    et = c.graph_edges_ts()
+    h1 = et.filter(F.col("src") == "c1").select(F.col("dst").alias("node"), F.col("first_ts").alias("t"))
+    e2 = et.alias("e")
+    h2 = (
+        h1.alias("h")
+        .join(e2, (F.col("e.src") == F.col("h.node")) & (F.col("e.first_ts") >= F.col("h.t")))
+        .select(F.col("e.dst").alias("node"), F.col("e.first_ts").alias("t"))
+    )
+    h3 = (
+        h2.alias("h")
+        .join(e2, (F.col("e.src") == F.col("h.node")) & (F.col("e.first_ts") >= F.col("h.t")))
+        .select(F.col("e.dst").alias("node"), F.col("e.first_ts").alias("t"))
+    )
+    allp = h1.select("node").unionAll(h2.select("node")).unionAll(h3.select("node"))
+    return allp.groupBy("node").agg(F.count(F.lit(1)).alias("n_paths")).orderBy("node")
+
+
+@_g(
+    "g10_temporal_range_agg",
+    f"""WITH grain AS (
+         SELECT 'c'||o.o_custkey AS src, 's'||l.l_suppkey AS dst,
+                l.l_extendedprice*(1-l.l_discount) AS rev
+         FROM lineitem l JOIN orders o ON l.l_orderkey=o.o_orderkey
+         WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1999-01-01')
+       SELECT src, dst, floor(min(rev)*100 + 0.5::DOUBLE)/100 AS mn,
+              floor(max(rev)*100 + 0.5::DOUBLE)/100 AS mx,
+              floor(avg(rev)*100 + 0.5::DOUBLE)/100 AS avg_rev
+       FROM grain GROUP BY 1,2 ORDER BY 1,2""",
+    note="floor-based rounding: 4-decimal revenue values sit exactly on "
+    "2-decimal half boundaries, where Spark (shortest-repr HALF_UP) and "
+    "DuckDB (binary-value) round() disagree; floor(x*100+.5)/100 is "
+    "bit-identical on both engines",
+)
+def g10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..temporal.tprop import range_aggregate
+
+    c = Catalog(spark, sf_dir)
+    li = c.table("lineitem")
+    o = c.table("orders").select("o_orderkey", "o_custkey")
+    grain = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+            F.col("l_shipdate").alias("ts"),
+        )
+    )
+    res = range_aggregate(
+        grain,
+        F.lit("1996-01-01").cast("timestamp"),
+        F.lit("1999-01-01").cast("timestamp"),
+        ["src", "dst"],
+        "rev",
+        aggs={"mn": F.min, "mx": F.max, "avg_rev": F.avg},
+    )
+
+    def r2(c):  # see oracle note: bit-identical half-boundary rounding
+        return F.floor(F.col(c) * 100 + F.lit(0.5)) / 100
+
+    return res.select(
+        "src", "dst", r2("mn").alias("mn"), r2("mx").alias("mx"), r2("avg_rev").alias("avg_rev")
+    ).orderBy("src", "dst")
+
+
+QUERIES = list(_G)

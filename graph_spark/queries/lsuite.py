@@ -1,0 +1,337 @@
+"""LLM-data-pipeline declared queries L01-L13 + M01 (SURVEY.md §2.F).
+
+Dedup (exact / minhash / simhash / n-gram Jaccard / embedding cosine),
+similarity search (brute force + LSH), text analysis (tf-idf, stats,
+lang-ID heuristic, quality, token counts, fingerprints), multimodal
+plumbing.  Oracles reproduce every hash bit in DuckDB SQL; the two
+approximate operators (LSH ANN) are rows-only by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..operators.dedup import (
+    exact_dedup_groups,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from ..operators.multimodal import extract_features, to_media_table
+from ..operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    neardup_pairs_cosine,
+)
+from ..operators.text import (
+    doc_fingerprint,
+    quality_features,
+    stopword_ratio,
+    tf_idf_top_terms,
+    token_stats,
+)
+from .common import Query
+
+_L: list[Query] = []
+
+
+def _l(name: str, oracle: str | None, note: str = ""):
+    def deco(fn):
+        _L.append(Query(name, fn, oracle, note))
+        return fn
+
+    return deco
+
+
+# Distinct non-empty whitespace tokens, reused by several oracles.
+_TOK_CTE = """tok AS (
+  SELECT DISTINCT doc_id, t.term FROM documents,
+  unnest(string_split(text, ' ')) AS t(term) WHERE t.term <> '')"""
+
+
+@_l(
+    "l01_exact_dedup",
+    """WITH g AS (SELECT md5(text) AS hash, count(*) AS cnt FROM documents GROUP BY 1)
+       SELECT hash, cnt FROM g WHERE cnt > 1
+       UNION ALL SELECT '__total__', count(*) FROM g
+       ORDER BY 1""",
+)
+def l01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    g = exact_dedup_groups(docs)
+    dupes = g.filter(F.col("cnt") > 1).select("hash", "cnt")
+    total = g.agg(F.count(F.lit(1)).alias("cnt")).select(F.lit("__total__").alias("hash"), "cnt")
+    return dupes.unionAll(total).orderBy("hash")
+
+
+@_l(
+    "l02_minhash",
+    """WITH tok AS (
+         SELECT DISTINCT doc_id, t.term FROM documents,
+         unnest(string_split(text, ' ')) AS t(term)
+         WHERE doc_id < 20 AND t.term <> ''),
+       h AS (SELECT doc_id, r.i, md5(r.i::VARCHAR || ':' || term) AS hv
+             FROM tok CROSS JOIN range(16) r(i))
+       SELECT doc_id, i, min(hv) AS sig FROM h GROUP BY 1,2 ORDER BY 1,2""",
+)
+def l02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents").filter(F.col("doc_id") < 20)
+    return minhash_signatures(docs, k=16).orderBy("doc_id", "i")
+
+
+@_l(
+    "l03_cosine_topk",
+    """WITH norms AS (
+         SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM
+         (SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM embeddings) u GROUP BY 1),
+       up AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+              unnest(a.embedding)::DOUBLE AS xa, unnest(b.embedding)::DOUBLE AS xb
+              FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+              WHERE a.vec_id < 10),
+       dots AS (SELECT va, vb, sum(xa*xb) AS dot FROM up GROUP BY 1,2),
+       sims AS (SELECT va AS vec_id, vb AS nb,
+                dot/(na.nrm*nb2.nrm) AS sim_raw,
+                round(dot/(na.nrm*nb2.nrm), 6) AS sim
+                FROM dots JOIN norms na ON na.vec_id=va JOIN norms nb2 ON nb2.vec_id=vb)
+       SELECT vec_id, nb, sim FROM sims
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY sim_raw DESC, nb) <= 5
+       ORDER BY vec_id, sim DESC, nb""",
+)
+def l03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = Catalog(spark, sf_dir).table("embeddings")
+    probes = em.filter(F.col("vec_id") < 10)
+    res = cosine_topk_bruteforce(em, probes, k=5)
+    return res.select("vec_id", "nb", F.round("sim", 6).alias("sim")).orderBy(
+        "vec_id", F.col("sim").desc(), "nb"
+    )
+
+
+@_l(
+    "l04_tfidf",
+    """WITH tok AS (
+         SELECT doc_id, lang, t.term FROM documents,
+         unnest(string_split(text, ' ')) AS t(term) WHERE t.term <> ''),
+       tf AS (SELECT lang, term, count(*) AS tf FROM tok GROUP BY 1,2),
+       idf AS (SELECT term,
+               ln((SELECT count(DISTINCT doc_id) FROM tok)::DOUBLE / count(DISTINCT doc_id)) AS idf
+               FROM tok GROUP BY 1)
+       SELECT lang, term, round(tf*idf, 6) AS w FROM tf JOIN idf USING (term)
+       QUALIFY row_number() OVER (PARTITION BY lang ORDER BY tf*idf DESC, term) <= 3
+       ORDER BY lang, w DESC, term""",
+)
+def l04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    res = tf_idf_top_terms(docs, group_col="lang", top_n=3)
+    return res.select("lang", "term", F.round("w", 6).alias("w")).orderBy(
+        "lang", F.col("w").desc(), "term"
+    )
+
+
+@_l(
+    "l05_text_stats",
+    """SELECT lang, source, count(*) AS docs, round(avg(n_chars),2) AS avg_chars,
+       sum(len(list_filter(string_split(text,' '), x -> x <> '')))::BIGINT AS n_tokens
+       FROM documents GROUP BY 1,2 ORDER BY 1,2""",
+)
+def l05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = token_stats(Catalog(spark, sf_dir).table("documents"))
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@_l(
+    "l06_simhash",
+    """WITH tok AS (
+         SELECT DISTINCT doc_id, t.term FROM documents,
+         unnest(string_split(text, ' ')) AS t(term)
+         WHERE doc_id < 50 AND t.term <> ''),
+       th AS (SELECT doc_id, md5(term) AS h FROM tok),
+       digits AS (SELECT doc_id, i.i AS di,
+                  strpos('0123456789abcdef', substring(h, (i.i+1)::INT, 1)) - 1 AS dv
+                  FROM th CROSS JOIN range(16) i(i)),
+       bits AS (SELECT doc_id, di, b.bi,
+                CAST(floor(dv / power(2, b.bi)) AS BIGINT) % 2 AS bit
+                FROM digits CROSS JOIN range(4) b(bi)),
+       maj AS (SELECT doc_id, di, bi,
+               CASE WHEN sum(bit*2 - 1) > 0 THEN 1 ELSE 0 END AS mbit
+               FROM bits GROUP BY 1,2,3),
+       dvals AS (SELECT doc_id, di, sum(mbit * CAST(power(2, bi) AS BIGINT))::BIGINT AS dval
+                 FROM maj GROUP BY 1,2),
+       halves AS (SELECT doc_id, CASE WHEN di < 8 THEN 1 ELSE 0 END AS half,
+                  sum(dval * CAST(power(2, 4*(7 - di % 8)) AS BIGINT))::BIGINT AS hv
+                  FROM dvals GROUP BY 1,2),
+       hx AS (SELECT doc_id, half, lpad(lower(to_hex(hv)), 8, '0') AS hs FROM halves)
+       SELECT doc_id, max(CASE WHEN half=1 THEN hs END) || max(CASE WHEN half=0 THEN hs END) AS simhash
+       FROM hx GROUP BY 1 ORDER BY 1""",
+)
+def l06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents").filter(F.col("doc_id") < 50)
+    return simhash_signatures(docs).orderBy("doc_id")
+
+
+@_l(
+    "l07_ngram_jaccard",
+    """WITH docs AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS l
+                    FROM documents WHERE doc_id < 30),
+       sh AS (SELECT DISTINCT doc_id, s[1] || ' ' || s[2] AS shingle
+              FROM (SELECT doc_id, unnest(list_zip(l, l[2:])) AS s FROM docs) z
+              WHERE s[2] IS NOT NULL),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+                 FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id<b.doc_id
+                 GROUP BY 1,2)
+       SELECT a, b, round(i::DOUBLE/(sa.sz + sb.sz - i), 6) AS j
+       FROM inter JOIN sizes sa ON sa.doc_id=a JOIN sizes sb ON sb.doc_id=b
+       ORDER BY 1,2""",
+)
+def l07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents").filter(F.col("doc_id") < 30)
+    res = ngram_jaccard_pairs(docs, n=2)
+    return res.select("a", "b", F.round("jaccard", 6).alias("j")).orderBy("a", "b")
+
+
+@_l(
+    "l08_lang_stats",
+    """WITH t AS (SELECT lang, list_filter(string_split(text,' '), x -> x <> '') AS toks
+                 FROM documents),
+       r AS (SELECT lang, CASE WHEN len(toks) > 0 THEN
+               len(list_filter(toks, x -> list_contains(
+                 ['the','a','of','and','to','in','is','on','for','with'], x)))::DOUBLE / len(toks)
+             ELSE 0.0 END AS sr FROM t)
+       SELECT lang, count(*) AS docs, round(avg(sr),4) AS avg_stop
+       FROM r GROUP BY 1 ORDER BY 1""",
+)
+def l08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = stopword_ratio(Catalog(spark, sf_dir).table("documents"))
+    return (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("docs"), F.round(F.avg("stopword_ratio"), 4).alias("avg_stop"))
+        .orderBy("lang")
+    )
+
+
+@_l(
+    "l09_quality",
+    """WITH q AS (SELECT doc_id,
+         len(list_filter(string_split(text,' '), x -> x <> '')) AS nt,
+         length(replace(text, ' ', '')) AS tc,
+         length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS na,
+         length(text) AS lc
+       FROM documents WHERE doc_id < 50),
+       f AS (SELECT doc_id, nt,
+         CASE WHEN nt > 0 THEN tc::DOUBLE / nt ELSE 0.0 END AS atl,
+         CASE WHEN lc > 0 THEN na::DOUBLE / lc ELSE 0.0 END AS nar
+       FROM q)
+       SELECT doc_id, nt AS n_tokens, round(atl, 4) AS avg_token_len,
+         round(nar, 6) AS non_alnum_ratio,
+         round(least(nt::DOUBLE/100, 1.0::DOUBLE)*0.5::DOUBLE
+               + least(atl/8, 1.0::DOUBLE)*0.3::DOUBLE
+               + (1 - least(nar*5, 1.0::DOUBLE))*0.2::DOUBLE, 6) AS quality_score
+       FROM f ORDER BY doc_id""",
+)
+def l09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = quality_features(Catalog(spark, sf_dir).table("documents").filter(F.col("doc_id") < 50))
+    return docs.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.round("avg_token_len", 4).alias("avg_token_len"),
+        F.round("non_alnum_ratio", 6).alias("non_alnum_ratio"),
+        F.round("quality_score", 6).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+@_l(
+    "l10_token_counts",
+    """SELECT source,
+       sum(len(list_filter(string_split(text,' '), x -> x <> '')))::BIGINT AS n_tokens,
+       sum(ceil(length(text)/4)::BIGINT)::BIGINT AS est_bpe_tokens
+       FROM documents GROUP BY 1 ORDER BY 1""",
+)
+def l10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = token_stats(Catalog(spark, sf_dir).table("documents"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("est_bpe_tokens").cast("long").alias("est_bpe_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@_l(
+    "l11_fingerprint",
+    """WITH docs AS (SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS l
+                    FROM documents WHERE doc_id < 100),
+       sh AS (SELECT DISTINCT doc_id, s[1] || ' ' || s[2] AS shingle
+              FROM (SELECT doc_id, unnest(list_zip(l, l[2:])) AS s FROM docs) z
+              WHERE s[2] IS NOT NULL)
+       SELECT doc_id, min(md5(shingle)) AS fingerprint, count(*) AS n_shingles
+       FROM sh GROUP BY 1 ORDER BY 1""",
+)
+def l11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents").filter(F.col("doc_id") < 100)
+    return doc_fingerprint(docs, n=2).orderBy("doc_id")
+
+
+@_l(
+    "l12_ann_lsh",
+    None,
+    note="approximate by construction (LSH prefilter); recall vs brute force tested in pytest",
+)
+def l12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = Catalog(spark, sf_dir).table("embeddings")
+    probes = em.filter(F.col("vec_id") < 10)
+    res = cosine_topk_lsh(em, probes, k=5, dim=64, n_planes=6)
+    return res.select("vec_id", "nb", F.round("sim", 6).alias("sim")).orderBy(
+        "vec_id", F.col("sim").desc(), "nb"
+    )
+
+
+@_l(
+    "l13_embed_neardup",
+    """WITH norms AS (
+         SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM
+         (SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM embeddings WHERE vec_id < 100) u
+         GROUP BY 1),
+       up AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+              unnest(a.embedding)::DOUBLE AS xa, unnest(b.embedding)::DOUBLE AS xb
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE a.vec_id < 100 AND b.vec_id < 100),
+       dots AS (SELECT va, vb, sum(xa*xb) AS dot FROM up GROUP BY 1,2)
+       SELECT va AS a, vb AS b, round(dot/(na.nrm*nb2.nrm), 6) AS sim
+       FROM dots JOIN norms na ON na.vec_id=va JOIN norms nb2 ON nb2.vec_id=vb
+       WHERE dot/(na.nrm*nb2.nrm) >= 0.25
+       ORDER BY 1,2""",
+)
+def l13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = Catalog(spark, sf_dir).table("embeddings").filter(F.col("vec_id") < 100)
+    res = neardup_pairs_cosine(em, threshold=0.25)
+    return res.select("a", "b", F.round("sim", 6).alias("sim")).orderBy("a", "b")
+
+
+@_l(
+    "m01_multimodal_features",
+    """SELECT doc_id, 'text/plain' AS media_type,
+       octet_length(encode(text))::BIGINT AS n_bytes, md5(text) AS checksum
+       FROM documents ORDER BY doc_id""",
+    note="payload plumbing via mapInPandas; codec step stubbed (no image libs in container)",
+)
+def m01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    media = to_media_table(docs)
+    return extract_features(media).select("doc_id", "media_type", "n_bytes", "checksum").orderBy(
+        "doc_id"
+    )
+
+
+QUERIES = list(_L)

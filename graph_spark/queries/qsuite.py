@@ -1,0 +1,538 @@
+"""Relational declared queries Q01-Q27 + temporal T02-T03 (SURVEY.md §2.B/§2.D).
+
+Each builder is the thin-facade lowering to DataFrame ops — Catalyst owns
+the physical strategy (broadcast vs SMJ, pushdown, reorder).  Oracles are
+DuckDB SQL with identical column aliases and in-query rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..operators.relational import asof_join, interval_overlap_join, sessionize, topk_per_group
+from .common import Query, ts_str
+
+_Q: list[Query] = []
+
+
+def _q(name: str, oracle: str | None, note: str = ""):
+    def deco(fn):
+        _Q.append(Query(name, fn, oracle, note))
+        return fn
+
+    return deco
+
+
+@_q(
+    "q01_scan_agg",
+    """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+       round(sum(l_extendedprice),2) AS sum_base,
+       round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc,
+       round(avg(l_quantity),4) AS avg_qty, count(*) AS n
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+       GROUP BY 1,2 ORDER BY 1,2""",
+)
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@_q(
+    "q02_filter_project",
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+       WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 10
+       ORDER BY 1,2""",
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return (
+        li.filter((F.col("l_discount").between(0.05, 0.07)) & (F.col("l_quantity") < 10))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@_q(
+    "q03_join_agg",
+    """SELECT n_name, round(sum(o_totalprice),2) AS rev, count(*) AS n FROM orders
+       JOIN customer ON o_custkey=c_custkey JOIN nation ON c_nationkey=n_nationkey
+       GROUP BY 1 ORDER BY 1""",
+)
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    return (
+        c.table("orders")
+        .join(c.table("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c.table("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"), F.count(F.lit(1)).alias("n"))
+        .orderBy("n_name")
+    )
+
+
+@_q(
+    "q04_5way_join",
+    """SELECT r_name, round(sum(l_extendedprice*(1-l_discount)),2) AS rev FROM lineitem
+       JOIN orders ON l_orderkey=o_orderkey JOIN customer ON o_custkey=c_custkey
+       JOIN nation ON c_nationkey=n_nationkey JOIN region ON n_regionkey=r_regionkey
+       GROUP BY 1 ORDER BY 1""",
+)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    return (
+        c.table("lineitem")
+        .join(c.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c.table("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c.table("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(c.table("region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("rev"))
+        .orderBy("r_name")
+    )
+
+
+@_q(
+    "q05_left_join",
+    """SELECT c_custkey, count(o_orderkey) AS n_orders FROM customer
+       LEFT JOIN orders ON o_custkey=c_custkey GROUP BY 1 ORDER BY 1""",
+)
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    return (
+        c.table("customer")
+        .join(c.table("orders"), F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+    )
+
+
+@_q(
+    "q06_semi_join",
+    """SELECT count(*) AS n FROM customer WHERE EXISTS
+       (SELECT 1 FROM orders WHERE o_custkey=c_custkey AND o_orderstatus='F')""",
+)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    return (
+        c.table("customer")
+        .join(
+            c.table("orders").filter(F.col("o_orderstatus") == "F"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q(
+    "q07_anti_join",
+    """SELECT count(*) AS n FROM customer WHERE NOT EXISTS
+       (SELECT 1 FROM orders WHERE o_custkey=c_custkey)""",
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    return (
+        c.table("customer")
+        .join(c.table("orders"), F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_q(
+    "q08_broadcast_join",
+    """SELECT p_brand, round(sum(l_quantity),2) AS sum_qty FROM part
+       JOIN lineitem ON p_partkey=l_partkey GROUP BY 1 ORDER BY 1""",
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    return (
+        c.table("lineitem")
+        .join(F.broadcast(c.table("part")), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy("p_brand")
+    )
+
+
+@_q(
+    "q09_nonequi_join",
+    """SELECT count(*) AS n, round(avg(date_diff('day', o_orderdate, l_shipdate)),2) AS avg_lag
+       FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+       AND l_shipdate > o_orderdate + INTERVAL 30 DAY""",
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    li, o = c.table("lineitem"), c.table("orders")
+    joined = li.join(
+        o,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))), 2).alias("avg_lag"),
+    )
+
+
+@_q(
+    "q10_asof_join",
+    """SELECT p.event_id, strftime(max(c.ts), '%Y-%m-%d %H:%M:%S.%f') AS last_click
+       FROM events p LEFT JOIN events c
+       ON c.user_id=p.user_id AND c.event_type='click' AND c.ts<=p.ts
+       WHERE p.event_type='purchase' GROUP BY 1 ORDER BY 1""",
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    res = asof_join(purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts", value_cols=[])
+    return res.select("event_id", ts_str(F.col("asof_ts")).alias("last_click")).orderBy("event_id")
+
+
+@_q(
+    "q11_distinct_agg",
+    """SELECT l_returnflag, count(DISTINCT l_suppkey) AS ds, count(DISTINCT l_partkey) AS dp
+       FROM lineitem GROUP BY 1 ORDER BY 1""",
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_suppkey").alias("ds"), F.countDistinct("l_partkey").alias("dp"))
+        .orderBy("l_returnflag")
+    )
+
+
+@_q(
+    "q12_rollup",
+    """SELECT l_returnflag, l_linestatus, grouping(l_returnflag)::INT AS g1,
+       grouping(l_linestatus)::INT AS g2, round(sum(l_quantity),2) AS q
+       FROM lineitem GROUP BY ROLLUP(l_returnflag,l_linestatus)
+       ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g1"),
+            F.grouping("l_linestatus").cast("int").alias("g2"),
+            F.round(F.sum("l_quantity"), 2).alias("q"),
+        )
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@_q(
+    "q13_cube",
+    """SELECT l_returnflag, l_linestatus, grouping(l_returnflag)::INT AS g1,
+       grouping(l_linestatus)::INT AS g2, round(sum(l_quantity),2) AS q
+       FROM lineitem GROUP BY CUBE(l_returnflag,l_linestatus)
+       ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g1"),
+            F.grouping("l_linestatus").cast("int").alias("g2"),
+            F.round(F.sum("l_quantity"), 2).alias("q"),
+        )
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+@_q(
+    "q14_topk_per_group",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM
+       (SELECT o_custkey, o_orderkey, o_totalprice,
+        row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) t WHERE rn<=3 ORDER BY o_custkey, rn""",
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    return (
+        topk_per_group(o, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@_q(
+    "q15_window_running",
+    """SELECT event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id),2) AS run,
+       round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id),2) AS delta
+       FROM events ORDER BY event_id""",
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("run"),
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+    ).orderBy("event_id")
+
+
+@_q(
+    "q16_window_frame",
+    """SELECT event_id, round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),4) AS mavg
+       FROM events ORDER BY event_id""",
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    return ev.select("event_id", F.round(F.avg("value").over(w), 4).alias("mavg")).orderBy("event_id")
+
+
+@_q(
+    "q17_global_topk",
+    """SELECT o_orderkey, o_totalprice FROM orders
+       ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@_q(
+    "q18_set_ops",
+    """SELECT 'except' AS op, nk FROM
+       (SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey FROM supplier) t1
+       UNION ALL
+       SELECT 'intersect' AS op, nk FROM
+       (SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier) t2
+       UNION ALL
+       SELECT 'union' AS op, nk FROM
+       (SELECT DISTINCT c_nationkey AS nk FROM customer UNION SELECT DISTINCT s_nationkey FROM supplier) t3
+       ORDER BY 1, 2""",
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    cu = c.table("customer").select(F.col("c_nationkey").alias("nk"))
+    su = c.table("supplier").select(F.col("s_nationkey").alias("nk"))
+    ex = cu.distinct().subtract(su.distinct()).select(F.lit("except").alias("op"), "nk")
+    it = cu.intersect(su).select(F.lit("intersect").alias("op"), "nk")
+    un = cu.union(su).distinct().select(F.lit("union").alias("op"), "nk")
+    return ex.unionAll(it).unionAll(un).orderBy("op", "nk")
+
+
+@_q(
+    "q19_distinct",
+    """SELECT DISTINCT user_id, event_type FROM events ORDER BY 1,2""",
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    return ev.select("user_id", "event_type").distinct().orderBy("user_id", "event_type")
+
+
+@_q(
+    "q20_pivot",
+    """SELECT l_returnflag, round(sum(CASE WHEN l_linestatus='O' THEN l_quantity END),2) AS qty_o,
+       round(sum(CASE WHEN l_linestatus='F' THEN l_quantity END),2) AS qty_f
+       FROM lineitem GROUP BY 1 ORDER BY 1""",
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnRenamed("O", "qty_o")
+        .withColumnRenamed("F", "qty_f")
+        .orderBy("l_returnflag")
+    )
+
+
+@_q(
+    "q21_string_fns",
+    """SELECT p_partkey, upper(p_brand) AS up_brand, substr(p_name,1,5) AS name5,
+       length(p_name)::INT AS name_len, p_brand || '-' || p_type AS bt,
+       CASE WHEN p_brand LIKE 'Brand#1%' THEN 1 ELSE 0 END AS is_b1,
+       regexp_extract(p_type, '[A-Z]+') AS ty
+       FROM part ORDER BY p_partkey""",
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = Catalog(spark, sf_dir).table("part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("up_brand"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.length("p_name").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("-"), F.col("p_type")).alias("bt"),
+        F.when(F.col("p_brand").like("Brand#1%"), 1).otherwise(0).alias("is_b1"),
+        F.regexp_extract("p_type", "[A-Z]+", 0).alias("ty"),
+    ).orderBy("p_partkey")
+
+
+@_q(
+    "q22_date_fns",
+    """SELECT o_orderkey, year(o_orderdate)::INT AS y, month(o_orderdate)::INT AS m,
+       day(o_orderdate)::INT AS d,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS mstart,
+       date_diff('day', o_orderdate, TIMESTAMP '1998-01-01')::INT AS days_to_98
+       FROM orders ORDER BY o_orderkey LIMIT 1000""",
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+            F.dayofmonth("o_orderdate").alias("d"),
+            F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM-dd").alias("mstart"),
+            F.datediff(F.lit("1998-01-01").cast("date"), F.col("o_orderdate")).alias("days_to_98"),
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+@_q(
+    "q23_math_fns",
+    """SELECT round(sum(sqrt(l_extendedprice)),2) AS s_sqrt,
+       round(sum(ln(l_extendedprice)),2) AS s_ln,
+       round(sum(abs(l_discount-0.05)),4) AS s_abs,
+       round(sum(pow(l_tax,2)),4) AS s_pow FROM lineitem""",
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return li.agg(
+        F.round(F.sum(F.sqrt("l_extendedprice")), 2).alias("s_sqrt"),
+        F.round(F.sum(F.log("l_extendedprice")), 2).alias("s_ln"),
+        F.round(F.sum(F.abs(F.col("l_discount") - 0.05)), 4).alias("s_abs"),
+        F.round(F.sum(F.pow("l_tax", 2)), 4).alias("s_pow"),
+    )
+
+
+@_q(
+    "q24_json",
+    """SELECT event_type, sum(CAST(json_extract_string(props,'$.k') AS INT))::BIGINT AS sk
+       FROM events GROUP BY 1 ORDER BY 1""",
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.sum(F.get_json_object("props", "$.k").cast("int")).alias("sk"))
+        .orderBy("event_type")
+    )
+
+
+@_q(
+    "q25_array_fns",
+    """SELECT vec_id, len(embedding)::INT AS sz, round(embedding[1]::DOUBLE,6) AS e1,
+       round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'),4) AS s
+       FROM embeddings WHERE vec_id<20 ORDER BY vec_id""",
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = Catalog(spark, sf_dir).table("embeddings")
+    return (
+        em.filter(F.col("vec_id") < 20)
+        .select(
+            "vec_id",
+            F.size("embedding").alias("sz"),
+            F.round(F.element_at("embedding", 1).cast("double"), 6).alias("e1"),
+            F.round(
+                F.aggregate(
+                    "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+                ),
+                4,
+            ).alias("s"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@_q(
+    "q26_corr_subquery",
+    """SELECT o_orderkey FROM orders o WHERE o_totalprice >
+       2*(SELECT avg(o_totalprice) FROM orders i WHERE i.o_custkey=o.o_custkey)
+       ORDER BY 1""",
+    note="facade lowers the correlated scalar subquery to a window form",
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("cavg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > 2 * F.col("cavg"))
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    )
+
+
+@_q(
+    "q27_percentile",
+    """SELECT o_orderpriority, round(quantile_cont(o_totalprice, 0.5),4) AS med
+       FROM orders GROUP BY 1 ORDER BY 1""",
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("med"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
+    "t02_interval_overlap",
+    """SELECT a.o_custkey, count(*) AS n_pairs FROM orders a JOIN orders b
+       ON a.o_custkey=b.o_custkey AND a.o_orderkey<b.o_orderkey
+       AND a.o_orderdate < b.o_orderdate + INTERVAL 30 DAY
+       AND b.o_orderdate < a.o_orderdate + INTERVAL 30 DAY
+       WHERE a.o_custkey<200 GROUP BY 1 ORDER BY 1""",
+)
+def t02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders").filter(F.col("o_custkey") < 200)
+    iv = o.withColumn("iv_end", F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+    pairs = interval_overlap_join(iv, ["o_custkey"], "o_orderdate", "iv_end", "o_orderkey")
+    return pairs.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_pairs")).orderBy("o_custkey")
+
+
+@_q(
+    "t03_sessionize",
+    """WITH g AS (SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS flag
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       s AS (SELECT user_id, value,
+         sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+         FROM g)
+       SELECT user_id, session_id, count(*) AS n, round(sum(value),2) AS v
+       FROM s GROUP BY 1,2 ORDER BY 1,2""",
+)
+def t03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    sess = sessionize(ev, "user_id", "ts", 1800, tiebreak=["event_id"])
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .orderBy("user_id", "session_id")
+    )
+
+
+QUERIES = list(_Q)

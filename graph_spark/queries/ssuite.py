@@ -1,0 +1,126 @@
+"""Streaming declared queries S01-S05 (SURVEY.md §2.E), batch-parity form.
+
+The builders use the exact operators Structured Streaming executes
+(F.window tumbling/sliding, session logic, dropDuplicates) on the batch
+DataFrame; tests/test_streaming.py replays the same transforms through
+readStream file-replay and asserts parity, which is the declared
+verification protocol (FIXTURES.md §3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import Catalog
+from ..operators.relational import sessionize
+from .common import Query, ts_str
+
+_S: list[Query] = []
+
+
+def _s(name: str, oracle: str | None, note: str = ""):
+    def deco(fn):
+        _S.append(Query(name, fn, oracle, note))
+        return fn
+
+    return deco
+
+
+def tumbling_hourly(ev: DataFrame) -> DataFrame:
+    """The transform shared by batch and streaming forms of S01/S04."""
+    return ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v")
+    )
+
+
+@_s(
+    "s01_tumbling_window",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S.%f') AS h,
+       event_type, count(*) AS n, round(sum(value),2) AS v
+       FROM events GROUP BY 1,2 ORDER BY 1,2""",
+)
+def s01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    return (
+        tumbling_hourly(ev)
+        .select(ts_str(F.col("w.start")).alias("h"), "event_type", "n", "v")
+        .orderBy("h", "event_type")
+    )
+
+
+@_s(
+    "s02_sliding_window",
+    """SELECT strftime(date_trunc('hour', ts)
+         + (minute(ts)//15)*INTERVAL '15 minutes' - t.i*INTERVAL '15 minutes',
+         '%Y-%m-%d %H:%M:%S.%f') AS ws,
+       event_type, count(*) AS n
+       FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) t(i)
+       GROUP BY 1,2 ORDER BY 1,2""",
+)
+def s02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(ts_str(F.col("w.start")).alias("ws"), "event_type", "n")
+        .orderBy("ws", "event_type")
+    )
+
+
+@_s(
+    "s03_session_window",
+    """WITH g AS (SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS flag
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       s AS (SELECT user_id, value,
+         sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+         FROM g)
+       SELECT user_id, session_id, count(*) AS n, round(sum(value),2) AS v
+       FROM s GROUP BY 1,2 ORDER BY 1,2""",
+    note="streaming form uses F.session_window; parity-tested in tests/test_streaming.py",
+)
+def s03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    sess = sessionize(ev, "user_id", "ts", 1800, tiebreak=["event_id"])
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .orderBy("user_id", "session_id")
+    )
+
+
+@_s(
+    "s04_watermark",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S.%f') AS h,
+       event_type, count(*) AS n, round(sum(value),2) AS v
+       FROM events GROUP BY 1,2 ORDER BY 1,2""",
+    note="withWatermark(10 min) + in-order replay drops nothing => equals S01",
+)
+def s04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events").withWatermark("ts", "10 minutes")
+    return (
+        tumbling_hourly(ev)
+        .select(ts_str(F.col("w.start")).alias("h"), "event_type", "n", "v")
+        .orderBy("h", "event_type")
+    )
+
+
+@_s(
+    "s05_stream_dedup",
+    """SELECT event_type, count(*) AS n FROM events GROUP BY 1 ORDER BY 1""",
+    note="duplicated input stream + dropDuplicates(event_id) == batch distinct",
+)
+def s05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    doubled = ev.unionAll(ev)
+    return (
+        doubled.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+QUERIES = list(_S)

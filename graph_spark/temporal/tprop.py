@@ -1,0 +1,64 @@
+"""Temporal property operators (SURVEY.md §2.D / G07-G10).
+
+Model: a temporal property is a long-format DataFrame
+(entity_id, prop, ts, value-or-delta) — one row per change-point,
+piecewise semantics recovered with window functions or filtered
+aggregates.  This replaces the reference system's temporal index with
+storage-layout pruning: at 100 TB the long table is written partitioned
+by time bucket (e.g. month), so `value_at` / `range_aggregate` prune
+partitions via the ts predicate before any shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def value_at(
+    tprop: DataFrame,
+    at_ts,
+    entity_col: str = "entity_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    cumulative: bool = False,
+) -> DataFrame:
+    """Point-read: property value per entity as of `at_ts`.
+
+    cumulative=False  -> piecewise-constant: latest change-point <= t.
+    cumulative=True   -> delta semantics: sum of deltas <= t.
+    The ts filter is pushed to the scan (partition pruning at scale).
+    """
+    filtered = tprop.filter(F.col(ts_col) <= at_ts)
+    if cumulative:
+        return filtered.groupBy(entity_col).agg(F.sum(value_col).alias("value"))
+    w = Window.partitionBy(entity_col).orderBy(F.col(ts_col).desc())
+    return (
+        filtered.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(entity_col, F.col(value_col).alias("value"))
+    )
+
+
+def range_aggregate(
+    tprop: DataFrame,
+    start_ts,
+    end_ts,
+    group_cols,
+    value_col: str,
+    aggs: dict | None = None,
+) -> DataFrame:
+    """Temporal range aggregate: min/max/avg/... of values with
+    start <= ts < end, grouped by `group_cols` (the reference system's
+    aggregate-over-interval analog; its aggregation index becomes
+    parquet min/max pruning + partial aggregation here)."""
+    aggs = aggs or {"mn": F.min, "mx": F.max, "avg": F.avg}
+    filtered = tprop.filter((F.col("ts") >= start_ts) & (F.col("ts") < end_ts))
+    return filtered.groupBy(*group_cols).agg(
+        *[fn(value_col).alias(name) for name, fn in aggs.items()]
+    )
+
+
+def snapshot(temporal_edges: DataFrame, at_ts, ts_col: str = "ts") -> DataFrame:
+    """Graph snapshot: keep only edge events visible at `at_ts`."""
+    return temporal_edges.filter(F.col(ts_col) <= at_ts)

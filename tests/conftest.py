@@ -1,0 +1,86 @@
+"""Shared fixtures: one SparkSession per test session, DuckDB oracle
+runner, and the driver-style comparator (row count + order-insensitive
+value compare with columns sorted by name)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from graph_spark.catalog import TABLES
+from graph_spark.session import get_spark
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("graph-spark-tests")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    def connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+        con = duckdb.connect()
+        con.execute("SET TimeZone='UTC'")
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return con
+
+    return connect
+
+
+def _norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return repr(float(v))
+        return repr(v)
+    return str(v)
+
+
+def normalize(columns, rows):
+    """Driver-style canonical form: columns sorted by name, rows as
+    tuples of normalized strings, sorted."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [columns[i] for i in order], out
+
+
+def compare_query(spark, duck_connect, query, sf_dir: str):
+    """Run the Spark builder and the DuckDB oracle, return (ok, detail)."""
+    sdf = query.build(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+    if query.oracle is None:
+        return True, f"rows-only: {len(srows)} rows"
+    con = duck_connect(sf_dir)
+    try:
+        cur = con.execute(query.oracle)
+        ocols = [d[0] for d in cur.description]
+        orows = [tuple(r) for r in cur.fetchall()]
+    finally:
+        con.close()
+    sc, sn = normalize(scols, srows)
+    oc, on = normalize(ocols, orows)
+    if sc != oc:
+        return False, f"column mismatch: spark={sc} oracle={oc}"
+    if len(sn) != len(on):
+        return False, f"row count mismatch: spark={len(sn)} oracle={len(on)}"
+    if sn != on:
+        diffs = [(a, b) for a, b in zip(sn, on) if a != b][:5]
+        return False, f"value mismatch, first diffs: {diffs}"
+    return True, f"{len(sn)} rows match"
