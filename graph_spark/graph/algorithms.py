@@ -12,13 +12,133 @@ from pyspark.sql import functions as F
 
 from .property_graph import PropertyGraph
 
+# Below this many edges the driver-side superstep loop costs more than
+# the work: route to a single-group applyInPandas (numpy) kernel — the
+# SURVEY §4.3 "small-graph fallback".  Above it, the distributed
+# broadcast-Pregel path runs (the one that scales to 100 TB).  The
+# fallback moves ONE already-aggregated edge list to one task, never a
+# fact table.
+LOCAL_EDGE_THRESHOLD = 5_000_000
 
-def bfs_distances(graph: PropertyGraph, source: str, max_hops: int) -> DataFrame:
+
+def _edge_count(graph: PropertyGraph) -> int:
+    return graph.edges.count()
+
+
+def _factorize_edges(pdf):
+    """Hash-based node-id assignment (pd.factorize beats np.unique on
+    object arrays by ~10x).  Returns (nodes, src_codes, dst_codes)."""
+    import pandas as pd
+
+    codes, nodes = pd.factorize(
+        pd.concat([pdf["src"], pdf["dst"]], ignore_index=True), sort=False
+    )
+    return nodes.to_numpy(), codes[: len(pdf)], codes[len(pdf):]
+
+
+def _local_pagerank_pdf(pdf, iterations: float, damping: float):
+    """numpy PageRank kernel over one pandas edge list (src, dst)."""
+    import numpy as np
+    import pandas as pd
+
+    nodes, src, dst = _factorize_edges(pdf)
+    n = len(nodes)
+    deg = np.bincount(src, minlength=n).astype("float64")
+    rank = np.full(n, 1.0 / n)
+    for _ in range(int(iterations)):
+        contrib = np.where(deg > 0, rank / np.maximum(deg, 1), 0.0)
+        acc = np.bincount(dst, weights=contrib[src], minlength=n)
+        rank = (1.0 - damping) / n + damping * acc
+    return pd.DataFrame({"node": nodes, "rank": rank})
+
+
+def _local_bfs_pdf(pdf, source: str, max_hops: int):
+    import numpy as np
+    import pandas as pd
+
+    nodes, src, dst = _factorize_edges(pdf)
+    n = len(nodes)
+    hits_src = np.nonzero(nodes == source)[0]
+    if len(hits_src) == 0:
+        return pd.DataFrame({"node": [source], "d": [0]})
+    sid = int(hits_src[0])
+    dist = np.full(n, -1, dtype="int64")
+    dist[sid] = 0
+    frontier = np.zeros(n, dtype=bool)
+    frontier[sid] = True
+    for hop in range(1, max_hops + 1):
+        hits = frontier[src]
+        nxt = np.zeros(n, dtype=bool)
+        nxt[dst[hits]] = True
+        nxt &= dist < 0
+        if not nxt.any():
+            break
+        dist[nxt] = hop
+        frontier = nxt
+    mask = dist >= 0
+    return pd.DataFrame({"node": nodes[mask], "d": dist[mask]})
+
+
+def _local_cc_pdf(pdf):
+    """Min-label propagation; integer codes ordered lexicographically so
+    int-min == string-min."""
+    import numpy as np
+    import pandas as pd
+
+    nodes, src, dst = _factorize_edges(pdf)
+    n = len(nodes)
+    # relabel so that smaller int == lexicographically smaller node id
+    order = np.argsort(nodes)
+    rank_of = np.empty(n, dtype="int64")
+    rank_of[order] = np.arange(n)
+    src = rank_of[src]
+    dst = rank_of[dst]
+    nodes = nodes[order]
+    label = np.arange(n)
+    while True:
+        new = label.copy()
+        np.minimum.at(new, dst, label[src])
+        if (new == label).all():
+            break
+        label = new
+    return pd.DataFrame({"node": nodes, "component": nodes[label]})
+
+
+def _run_local(graph: PropertyGraph, kernel, schema: str) -> DataFrame:
+    """Ship the (small) edge list to one task and run a numpy kernel.
+
+    coalesce(1) + mapInPandas (accumulate the partition's Arrow batches,
+    run once): a narrow read of the cached edge view with NO shuffle,
+    unlike groupBy(lit).applyInPandas which writes the whole edge list
+    through a single-key shuffle first.
+    """
+    import pandas as pd
+
+    def run(batches):
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if len(pdf):
+            yield kernel(pdf)
+
+    return graph.edges.select("src", "dst").coalesce(1).mapInPandas(run, schema=schema)
+
+
+def bfs_distances(
+    graph: PropertyGraph, source: str, max_hops: int, local: bool | None = None
+) -> DataFrame:
     """Min hop-distance (<= max_hops) from `source` to every reachable
     node, source included at distance 0.  Frontier-style: per superstep,
     broadcast the frontier onto the edges, subtract already-visited.
     Returns DataFrame(node, d).
+
+    local=None auto-routes small graphs to the numpy kernel (identical
+    semantics, one task); the distributed loop is the 100 TB path.
     """
+    if local is None:
+        local = _edge_count(graph) < LOCAL_EDGE_THRESHOLD
+    if local:
+        return _run_local(
+            graph, lambda pdf: _local_bfs_pdf(pdf, source, max_hops), "node string, d long"
+        )
     spark = graph.edges.sparkSession
     visited = spark.createDataFrame([(source, 0)], ["node", "d"]).localCheckpoint(eager=True)
     frontier = visited
@@ -47,10 +167,16 @@ def k_hop_count(graph: PropertyGraph, source: str, k: int) -> int:
     return bfs_distances(graph, source, k).count()
 
 
-def connected_components(graph: PropertyGraph, max_iter: int = 50) -> DataFrame:
+def connected_components(
+    graph: PropertyGraph, max_iter: int = 50, local: bool | None = None
+) -> DataFrame:
     """Min-id label propagation to fixpoint over (assumed symmetric)
     edges.  Returns DataFrame(node, component) where component is the
     lexicographically smallest reachable node id."""
+    if local is None:
+        local = _edge_count(graph) < LOCAL_EDGE_THRESHOLD
+    if local:
+        return _run_local(graph, _local_cc_pdf, "node string, component string")
     nodes = (
         graph.edges.select(F.col("src").alias("node"))
         .union(graph.edges.select(F.col("dst").alias("node")))
@@ -92,14 +218,24 @@ def pagerank(
     graph: PropertyGraph,
     iterations: int = 10,
     damping: float = 0.85,
+    local: bool | None = None,
 ) -> DataFrame:
     """Classic PageRank, uniform init 1/|V|, damping default 0.85,
     contributions along `edges` split by out-degree.  Nodes with no
     in-edges get the teleport term only.  Returns DataFrame(node, rank).
 
-    Superstep cost: ONE shuffle (message combine by dst).  Rank and
-    out-degree frames are broadcast to the stationary edges.
+    Distributed superstep cost: ONE shuffle (message combine by dst);
+    rank and out-degree frames broadcast to the stationary edges.
+    Small graphs auto-route to the numpy kernel (local=None).
     """
+    if local is None:
+        local = _edge_count(graph) < LOCAL_EDGE_THRESHOLD
+    if local:
+        return _run_local(
+            graph,
+            lambda pdf: _local_pagerank_pdf(pdf, iterations, damping),
+            "node string, rank double",
+        )
     nodes = (
         graph.edges.select(F.col("src").alias("node"))
         .union(graph.edges.select(F.col("dst").alias("node")))

@@ -160,12 +160,19 @@ def g06(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def g07(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = Catalog(spark, sf_dir)
-    li = c.table("lineitem").filter(F.col("l_shipdate") <= F.lit("1998-01-01").cast("timestamp"))
+    li = (
+        c.table("lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_suppkey")
+    )
     o = c.table("orders").select("o_orderkey", "o_custkey")
+    # broadcast the order->customer map (small vs lineitem); group on the
+    # int key and stringify after the aggregate, not before the shuffle
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy(F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"))
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
         .agg(F.countDistinct("l_suppkey").alias("deg"))
+        .select(F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"), "deg")
         .orderBy("src")
     )
 

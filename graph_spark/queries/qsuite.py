@@ -95,7 +95,7 @@ def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.table("lineitem")
         .join(c.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c.table("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c.table("customer")), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(c.table("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(c.table("region")), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name")
