@@ -102,15 +102,31 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket(df: DataFrame, dim: int, n_planes: int = 8, vec_col: str = "embedding", seed: int = 7) -> DataFrame:
-    """Random-hyperplane signature: bucket = concat of sign bits of
-    dot(vec, plane_i).  Adds a `bucket` string column."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    bits = []
-    for pl in planes:
-        arr = F.array(*[F.lit(v) for v in pl])
-        bits.append(F.when(_dot(F.col(vec_col), arr) >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return df.withColumn("bucket", F.concat(*bits))
+def lsh_buckets(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """Multi-table random-hyperplane LSH: `n_tables` independent
+    signatures of `n_planes` sign bits each (OR-amplification — one
+    table of many planes has vanishing recall on mid-similarity
+    neighbors; the union of several short-signature tables recovers it).
+    Output: one row per (input row, table) with columns `t`, `bucket`.
+    """
+    all_planes = _hyperplanes(dim, n_planes * n_tables, seed)
+    table_cols = []
+    for t in range(n_tables):
+        bits = []
+        for pl in all_planes[t * n_planes : (t + 1) * n_planes]:
+            arr = F.array(*[F.lit(v) for v in pl])
+            bits.append(F.when(_dot(F.col(vec_col), arr) >= 0, F.lit("1")).otherwise(F.lit("0")))
+        table_cols.append(F.struct(F.lit(t).alias("t"), F.concat(*bits).alias("bucket")))
+    return df.withColumn("__tb", F.explode(F.array(*table_cols))).select(
+        *df.columns, F.col("__tb.t").alias("t"), F.col("__tb.bucket").alias("bucket")
+    )
 
 
 def cosine_topk_lsh(
@@ -118,24 +134,43 @@ def cosine_topk_lsh(
     probes: DataFrame,
     k: int,
     dim: int,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 7,
 ) -> DataFrame:
-    """ANN top-k: probe only corpus vectors in the same hyperplane
-    bucket.  Candidate generation is an equi-join on `bucket` — the plan
-    that survives a billion-vector corpus.  Recall < 1.0 by construction;
-    tested >= 0.9-ish vs brute force at small n_planes."""
-    c = lsh_bucket(with_norm(corpus, vec_col), dim, n_planes, vec_col, seed).select(
-        F.col(id_col).alias("nb"), F.col(vec_col).alias("__cv"), F.col("__norm").alias("__cn"), "bucket"
+    """ANN top-k: candidates = corpus vectors sharing any table's bucket
+    with the probe, scored exactly, top-k per probe.  Candidate
+    generation is an equi-join on (t, bucket) + pair distinct — the plan
+    that survives a billion-vector corpus (no crossJoin anywhere).
+    Recall < 1.0 by construction; recall-tested vs brute force."""
+    c = lsh_buckets(corpus, dim, n_planes, n_tables, vec_col, seed).select(
+        F.col(id_col).alias("nb"), "t", "bucket"
     )
-    p = lsh_bucket(with_norm(probes, vec_col), dim, n_planes, vec_col, seed).select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__pv"), F.col("__norm").alias("__pn"), "bucket"
+    p = lsh_buckets(probes, dim, n_planes, n_tables, vec_col, seed).select(
+        F.col(id_col).alias("vec_id"), "t", "bucket"
     )
-    pairs = c.join(F.broadcast(p), on="bucket").filter(F.col("nb") != F.col("vec_id"))
-    sims = pairs.select(
-        "vec_id", "nb", (_dot(F.col("__pv"), F.col("__cv")) / (F.col("__pn") * F.col("__cn"))).alias("sim")
+    cand = (
+        c.join(F.broadcast(p), on=["t", "bucket"])
+        .filter(F.col("nb") != F.col("vec_id"))
+        .select("vec_id", "nb")
+        .distinct()
+    )
+    cv = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("nb"), F.col(vec_col).alias("__cv"), F.col("__norm").alias("__cn")
+    )
+    pv = with_norm(probes, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__pv"), F.col("__norm").alias("__pn")
+    )
+    sims = (
+        cand.join(cv, "nb")
+        .join(F.broadcast(pv), "vec_id")
+        .select(
+            "vec_id",
+            "nb",
+            (_dot(F.col("__pv"), F.col("__cv")) / (F.col("__pn") * F.col("__cn"))).alias("sim"),
+        )
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("nb").asc())
     return sims.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")

@@ -1,0 +1,86 @@
+"""Plan assertions (SURVEY §5.5): guard the idiomatic-Spark physical
+plans — predicate pushdown reaching the parquet scan, column pruning,
+broadcast joins where declared.  Regressions here are scale bugs even
+when results stay correct."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graph_spark.catalog import Catalog
+
+from .conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_to_parquet(spark):
+    li = Catalog(spark, SF_SMOKE).table("lineitem")
+    df = li.filter(F.col("l_quantity") < 10).select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "LessThan(l_quantity" in plan, plan
+
+
+def test_column_pruning_read_schema(spark):
+    li = Catalog(spark, SF_SMOKE).table("lineitem")
+    df = li.select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    # the parquet scan must read only the projected columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan, plan
+
+
+def test_q08_broadcast_join(spark):
+    from graph_spark.queries.qsuite import QUERIES
+
+    q08 = next(q for q in QUERIES if q.name == "q08_broadcast_join")
+    plan = _plan(q08.build(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q06_semi_q07_anti_join_strategy(spark):
+    from graph_spark.queries.qsuite import QUERIES
+
+    reg = {q.name: q for q in QUERIES}
+    assert "LeftSemi" in _optimized(reg["q06_semi_join"].build(spark, SF_SMOKE))
+    assert "LeftAnti" in _optimized(reg["q07_anti_join"].build(spark, SF_SMOKE))
+
+
+def test_q17_take_ordered(spark):
+    from graph_spark.queries.qsuite import QUERIES
+
+    q17 = next(q for q in QUERIES if q.name == "q17_global_topk")
+    plan = _plan(q17.build(spark, SF_SMOKE))
+    # global sort+limit must lower to TakeOrderedAndProject, not a full sort
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_events_ts_partition_filter_prunes(spark):
+    """Temporal point-read pattern: the ts predicate must reach the scan
+    (at 100 TB this is what prunes time-bucket partitions)."""
+    o = Catalog(spark, SF_SMOKE).table("orders")
+    df = o.filter(F.col("o_orderdate") <= F.lit("1998-01-01").cast("timestamp"))
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan and "LessThanOrEqual(o_orderdate" in plan, plan
+
+
+def test_whole_stage_codegen_in_agg(spark):
+    from graph_spark.queries.qsuite import QUERIES
+
+    import contextlib
+    import io
+
+    q01 = next(q for q in QUERIES if q.name == "q01_scan_agg")
+    df = q01.build(spark, SF_SMOKE)
+    df.collect()  # AQE finalizes the physical plan only on execution
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # '*' prefix in formatted explain marks whole-stage-codegen nodes
+    assert "== Final Plan ==" in plan and "* HashAggregate" in plan, plan

@@ -1,0 +1,126 @@
+"""Property-based invariants (SURVEY §5.4) on seeded-random micro data:
+algebraic laws the engine must preserve regardless of data, and
+Pregel-vs-reference-implementation equivalence on random sparse graphs."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_spark.graph.algorithms import bfs_distances, connected_components
+from graph_spark.graph.property_graph import PropertyGraph
+
+SEEDS = [7, 42, 1337]
+
+
+def _random_graph(seed: int, n_nodes: int = 60, n_edges: int = 120):
+    rng = random.Random(seed)
+    edges = set()
+    while len(edges) < n_edges:
+        a, b = rng.randrange(n_nodes), rng.randrange(n_nodes)
+        if a != b:
+            edges.add((f"n{a}", f"n{b}"))
+    sym = edges | {(b, a) for a, b in edges}
+    return sorted(sym)
+
+
+def _py_bfs(edges, source, max_hops):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    dist = {source: 0}
+    frontier = [source]
+    for h in range(1, max_hops + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, []):
+                if v not in dist:
+                    dist[v] = h
+                    nxt.append(v)
+        frontier = nxt
+    return dist
+
+
+def _py_cc(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    labels = {}
+    for a, b in edges:
+        for x in (a, b):
+            labels[x] = find(x)
+    # path-compress to final minimum
+    return {x: find(x) for x in labels}
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_bfs_matches_python_reference(spark, seed):
+    edges = _random_graph(seed)
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    g = PropertyGraph(edf.select(F.col("src").alias("id")).distinct(), edf)
+    # exercise BOTH code paths: distributed Pregel and local numpy kernel
+    for local in (True, False):
+        got = {r["node"]: r["d"] for r in bfs_distances(g, "n0", 3, local=local).collect()}
+        want = _py_bfs(edges, "n0", 3)
+        assert got == want, f"local={local} seed={seed}"
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_cc_matches_union_find(spark, seed):
+    edges = _random_graph(seed)
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    g = PropertyGraph(edf.select(F.col("src").alias("id")).distinct(), edf)
+    want = _py_cc(edges)
+    for local in (True, False):
+        got = {r["node"]: r["component"] for r in connected_components(g, local=local).collect()}
+        assert got == want, f"local={local} seed={seed}"
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_filter_composition(spark, seed):
+    rng = random.Random(seed)
+    rows = [(i, rng.randrange(100), rng.random()) for i in range(500)]
+    df = spark.createDataFrame(rows, ["id", "k", "v"])
+    a = df.filter(F.col("k") > 20).filter(F.col("v") < 0.5)
+    b = df.filter((F.col("k") > 20) & (F.col("v") < 0.5))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_union_distinct_set_semantics(spark, seed):
+    rng = random.Random(seed)
+    xs = [(rng.randrange(30),) for _ in range(100)]
+    ys = [(rng.randrange(30),) for _ in range(100)]
+    a = spark.createDataFrame(xs, ["v"])
+    b = spark.createDataFrame(ys, ["v"])
+    got = sorted(r["v"] for r in a.union(b).distinct().collect())
+    want = sorted({x[0] for x in xs} | {y[0] for y in ys})
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_window_running_sum_telescopes(spark, seed):
+    """sum over(unbounded..current) minus lag of itself == value."""
+    from pyspark.sql import Window
+
+    rng = random.Random(seed)
+    rows = [(i % 5, i, round(rng.random() * 100, 2)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["g", "seq", "v"])
+    w = Window.partitionBy("g").orderBy("seq")
+    run = df.withColumn("run", F.sum("v").over(w)).withColumn(
+        "delta", F.col("run") - F.coalesce(F.lag("run").over(w), F.lit(0.0))
+    )
+    bad = run.filter(F.abs(F.col("delta") - F.col("v")) > 1e-9).count()
+    assert bad == 0

@@ -1,0 +1,148 @@
+"""S-suite streaming parity (FIXTURES.md §3): file-replay Structured
+Streaming results must equal the batch forms of the same transforms.
+Runs at sf0.001 to keep replay fast; semantics are scale-free.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_spark.catalog import Catalog
+from graph_spark.queries.ssuite import tumbling_hourly
+from graph_spark.streaming.replay import run_stream, stage_replay_dir
+
+from .conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def replay_dir(spark):
+    return stage_replay_dir(spark, SF_SMOKE, by="day")
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_s01_tumbling_stream_equals_batch(spark, replay_dir):
+    batch = tumbling_hourly(Catalog(spark, SF_SMOKE).table("events")).select(
+        F.col("w.start").alias("h"), "event_type", "n", "v"
+    )
+    stream = run_stream(spark, replay_dir, tumbling_hourly, output_mode="complete").select(
+        F.col("w.start").alias("h"), "event_type", "n", "v"
+    )
+    assert _rows(stream, ["h", "event_type", "n", "v"]) == _rows(batch, ["h", "event_type", "n", "v"])
+
+
+def test_s02_sliding_stream_equals_batch(spark, replay_dir):
+    def sliding(df):
+        return df.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    batch = sliding(Catalog(spark, SF_SMOKE).table("events"))
+    stream = run_stream(spark, replay_dir, sliding, output_mode="complete")
+    cols = [F.col("w.start").alias("ws"), "event_type", "n"]
+    assert _rows(stream.select(*cols), ["ws", "event_type", "n"]) == _rows(
+        batch.select(*cols), ["ws", "event_type", "n"]
+    )
+
+
+def test_s04_watermark_in_order_replay_equals_batch(spark, replay_dir):
+    def with_wm(df):
+        return tumbling_hourly(df.withWatermark("ts", "10 minutes"))
+
+    batch = tumbling_hourly(Catalog(spark, SF_SMOKE).table("events"))
+    stream = run_stream(spark, replay_dir, with_wm, output_mode="complete")
+    cols = [F.col("w.start").alias("h"), "event_type", "n", "v"]
+    assert _rows(stream.select(*cols), ["h", "event_type", "n", "v"]) == _rows(
+        batch.select(*cols), ["h", "event_type", "n", "v"]
+    )
+
+
+def test_s05_stream_dedup_equals_batch_distinct(spark, replay_dir):
+    def dedup_counts(df):
+        return df.dropDuplicates(["event_id"]).groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    batch = (
+        Catalog(spark, SF_SMOKE).table("events")
+        .select("event_id", "event_type").distinct()
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    )
+    stream = run_stream(spark, replay_dir, dedup_counts, output_mode="complete")
+    assert _rows(stream, ["event_type", "n"]) == _rows(batch, ["event_type", "n"])
+
+
+def test_s03_session_window_batch_semantics(spark):
+    """F.session_window (the streaming operator) against the lag/cumsum
+    sessionizer on batch data: same session count per user (semantic
+    cross-check; exact-30min-gap ties would differ but data has µs
+    jitter)."""
+    ev = Catalog(spark, SF_SMOKE).table("events")
+    sw = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("sessions"), F.sum("n").alias("events"))
+    )
+    from graph_spark.operators.relational import sessionize
+
+    lg = (
+        sessionize(ev, "user_id", "ts", 1800, tiebreak=["event_id"])
+        .groupBy("user_id")
+        .agg(F.countDistinct("session_id").alias("sessions"), F.count(F.lit(1)).alias("events"))
+    )
+    assert _rows(sw, ["user_id", "sessions", "events"]) == _rows(
+        lg, ["user_id", "sessions", "events"]
+    )
+
+
+def test_stream_static_join(spark, replay_dir):
+    """Stream-static join parity: enrich the event stream with a static
+    dim (customer) and compare row count with the batch join."""
+    cust = Catalog(spark, SF_SMOKE).table("customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+
+    def enrich(df):
+        return df.join(cust, "user_id", "inner").select("event_id", "c_mktsegment")
+
+    batch = enrich(Catalog(spark, SF_SMOKE).table("events"))
+    stream = run_stream(spark, replay_dir, enrich, output_mode="append")
+    assert _rows(stream, ["event_id", "c_mktsegment"]) == _rows(batch, ["event_id", "c_mktsegment"])
+
+
+def test_stateful_running_max(spark, replay_dir):
+    """applyInPandasWithState smoke: per-user running max(value).  The
+    last emitted value per user must equal the batch max."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField("user_id", LongType()), StructField("mx", DoubleType())]
+    )
+    state_schema = StructType([StructField("mx", DoubleType())])
+
+    def update(key, pdfs, state):
+        mx = state.get[0] if state.exists else float("-inf")
+        for pdf in pdfs:
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((mx,))
+        yield pd.DataFrame({"user_id": [key[0]], "mx": [mx]})
+
+    def transform(df):
+        return df.groupBy("user_id").applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+
+    sink = run_stream(spark, replay_dir, transform, output_mode="update")
+    # last emitted per user == overall max
+    final = sink.groupBy("user_id").agg(F.max("mx").alias("mx"))
+    batch = (
+        Catalog(spark, SF_SMOKE).table("events").groupBy("user_id").agg(F.max("value").alias("mx"))
+    )
+    assert _rows(final, ["user_id", "mx"]) == _rows(batch, ["user_id", "mx"])
