@@ -46,6 +46,11 @@ class Engine:
     sessionize = staticmethod(relational.sessionize)
     interval_overlap_join = staticmethod(relational.interval_overlap_join)
 
+    def register_udfs(self) -> None:
+        from .functions.udf_surface import register_all
+
+        register_all(self.spark)
+
     # -- graph -----------------------------------------------------------
     def graph(self, symmetric: bool = True) -> PropertyGraph:
         from pyspark.sql import functions as F
