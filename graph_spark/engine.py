@@ -68,8 +68,35 @@ class Engine:
     def connected_components(self) -> DataFrame:
         return algorithms.connected_components(self.graph())
 
+    def motif(self, patterns: list[str], **kw) -> DataFrame:
+        from .graph.motif import find
+
+        return find(self.graph(), patterns, **kw)
+
+    def shortest_paths(self, source: str, weight_col: str = "n_items") -> DataFrame:
+        from .graph import algorithms
+
+        return algorithms.shortest_paths_weighted(
+            self.graph(symmetric=False), source, weight_col
+        )
+
     # -- temporal --------------------------------------------------------
     def temporal_value_at(self, at_ts, cumulative: bool = True) -> DataFrame:
         return tprop.value_at(
             self.catalog.tprop_spend(), at_ts, value_col="delta", cumulative=cumulative
         )
+
+    # -- approximate aggregates (exposed, not hash-declared: §2.B) -------
+    @staticmethod
+    def approx_count_distinct(df: DataFrame, col: str, rsd: float = 0.05) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        return df.agg(F.approx_count_distinct(col, rsd).alias(f"approx_distinct_{col}"))
+
+    @staticmethod
+    def approx_quantiles(df: DataFrame, col: str, probs: list[float], rel_err: float = 0.01):
+        return df.approxQuantile(col, probs, rel_err)
+
+    @staticmethod
+    def sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
+        return df.sample(fraction=fraction, seed=seed)

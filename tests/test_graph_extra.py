@@ -1,0 +1,86 @@
+"""Non-declared graph surface: weighted shortest paths (python oracle),
+label propagation, motif matching, k-hop — SURVEY §2.C 'exposed' rows."""
+
+from __future__ import annotations
+
+import heapq
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_spark.graph.algorithms import label_propagation, shortest_paths_weighted
+from graph_spark.graph.motif import find
+from graph_spark.graph.property_graph import PropertyGraph
+
+
+def _wgraph(seed: int, n: int = 40, m: int = 100):
+    rng = random.Random(seed)
+    edges = {}
+    while len(edges) < m:
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges[(f"n{a}", f"n{b}")] = round(rng.uniform(1, 10), 2)
+    return [(a, b, w) for (a, b), w in sorted(edges.items())]
+
+
+def _dijkstra(edges, source):
+    adj = {}
+    for a, b, w in edges:
+        adj.setdefault(a, []).append((b, w))
+    dist = {source: 0.0}
+    pq = [(0.0, source)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            nd = d + w
+            if nd < dist.get(v, float("inf")) - 1e-12:
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist
+
+
+@pytest.mark.parametrize("seed", [3, 99])
+def test_weighted_shortest_paths_vs_dijkstra(spark, seed):
+    edges = _wgraph(seed)
+    edf = spark.createDataFrame(edges, ["src", "dst", "w"])
+    g = PropertyGraph(edf.select(F.col("src").alias("id")).distinct(), edf)
+    got = {r["node"]: r["dist"] for r in shortest_paths_weighted(g, "n0", "w", max_iter=60).collect()}
+    want = _dijkstra(edges, "n0")
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
+
+
+def test_label_propagation_two_cliques(spark):
+    # two 4-cliques joined by nothing: LPA must give each clique one label
+    def clique(names):
+        return [(a, b) for a in names for b in names if a != b]
+
+    e = clique(["a1", "a2", "a3", "a4"]) + clique(["b1", "b2", "b3", "b4"])
+    edf = spark.createDataFrame(e, ["src", "dst"])
+    g = PropertyGraph(edf.select(F.col("src").alias("id")).distinct(), edf)
+    labels = {r["node"]: r["label"] for r in label_propagation(g, max_iter=6).collect()}
+    assert len({labels[n] for n in ("a1", "a2", "a3", "a4")}) == 1
+    assert len({labels[n] for n in ("b1", "b2", "b3", "b4")}) == 1
+    assert labels["a1"] != labels["b1"]
+
+
+def test_motif_triangle_and_chain(spark):
+    e = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    edf = spark.createDataFrame(e, ["src", "dst"])
+    g = PropertyGraph(edf.select(F.col("src").alias("id")).distinct(), edf)
+    tri = find(g, ["x->y", "y->z", "z->x"], distinct_vertices=True).collect()
+    # the single directed triangle a->b->c->a in 3 rotations
+    assert {tuple(r) for r in tri} == {("a", "b", "c"), ("b", "c", "a"), ("c", "a", "b")}
+    chains = find(g, ["x->y", "y->z"], distinct_vertices=True).collect()
+    assert ("b", "c", "d") in {tuple(r) for r in chains}
+
+
+def test_motif_rejects_disconnected(spark):
+    edf = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    g = PropertyGraph(edf.select(F.col("src").alias("id")).distinct(), edf)
+    with pytest.raises(ValueError, match="disconnected"):
+        find(g, ["x->y", "p->q"])

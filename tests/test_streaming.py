@@ -114,6 +114,39 @@ def test_stream_static_join(spark, replay_dir):
     assert _rows(stream, ["event_id", "c_mktsegment"]) == _rows(batch, ["event_id", "c_mktsegment"])
 
 
+def test_foreach_batch_exactly_once_sink(spark, replay_dir, tmp_path):
+    """foreachBatch exactly-once pattern: idempotent per-batch parquet
+    writes keyed by batchId; the union of batch outputs equals the batch
+    aggregation of the full input."""
+    out_dir = str(tmp_path / "sink")
+
+    def sink(batch_df, batch_id: int):
+        # idempotent: a retry of the same batch overwrites the same path
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    src = (
+        spark.readStream.format("parquet")
+        .schema(Catalog(spark, SF_SMOKE).table("events").schema)
+        .option("maxFilesPerTrigger", 10)
+        .load(replay_dir)
+    )
+    q = (
+        src.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    written = spark.read.parquet(out_dir)
+    batch = Catalog(spark, SF_SMOKE).table("events")
+    assert written.count() == batch.count()
+    assert sorted(r["event_id"] for r in written.select("event_id").collect()) == sorted(
+        r["event_id"] for r in batch.select("event_id").collect()
+    )
+
+
 def test_stateful_running_max(spark, replay_dir):
     """applyInPandasWithState smoke: per-user running max(value).  The
     last emitted value per user must equal the batch max."""
