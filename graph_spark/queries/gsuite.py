@@ -272,4 +272,38 @@ def g10(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("src", "dst")
 
 
+@_g(
+    "g11_temporal_last_value",
+    """WITH ranked AS (
+         SELECT o_custkey, o_totalprice, o_orderdate,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+         FROM orders WHERE o_orderdate <= TIMESTAMP '1998-01-01')
+       SELECT o_custkey AS entity_id, o_totalprice AS last_value
+       FROM ranked WHERE rn=1 ORDER BY 1""",
+    note="piecewise-constant temporal point-read: latest change-point <= t "
+    "(the reference's getTemporalProperty(key, t) semantics; G08 covers the "
+    "cumulative variant)",
+)
+def g11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..temporal.tprop import value_at
+
+    o = Catalog(spark, sf_dir).table("orders")
+    # temporal long table with a deterministic intra-timestamp tiebreak:
+    # (ts, orderkey) ordering mirrors the oracle's DESC,DESC row_number
+    tp = o.select(
+        F.col("o_custkey").alias("entity_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+        F.col("o_totalprice").alias("value"),
+    )
+    res = value_at(
+        tp,
+        F.lit("1998-01-01").cast("timestamp"),
+        cumulative=False,
+        tiebreak="seq",
+    )
+    return res.select("entity_id", F.col("value").alias("last_value")).orderBy("entity_id")
+
+
 QUERIES = list(_G)

@@ -320,6 +320,74 @@ def l13(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_l(
+    "l14_label_centroids",
+    """WITH u AS (SELECT label, u.i AS i, u.x::DOUBLE AS x FROM embeddings,
+         (SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i) u),
+       m AS (SELECT label, i, avg(x) AS mx FROM u GROUP BY 1,2)
+       SELECT label, (SELECT count(*) FROM embeddings e WHERE e.label=m.label) AS n,
+              round(sqrt(sum(mx*mx)), 6) AS centroid_norm
+       FROM m GROUP BY label ORDER BY label""",
+    note="per-label mean-embedding norm: the aggregation step of IVF/kmeans bucketing",
+)
+def l14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = Catalog(spark, sf_dir).table("embeddings")
+    # posexplode -> per-(label, dim) mean -> norm of the mean vector.
+    # At scale this is the centroid computation of an IVF index build:
+    # one shuffle on (label, dim), map-side combined.
+    ex = em.select("label", F.posexplode("embedding").alias("i", "x")).withColumn(
+        "x", F.col("x").cast("double")
+    )
+    m = ex.groupBy("label", "i").agg(F.avg("x").alias("mx"))
+    counts = em.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        m.groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(F.col("mx") * F.col("mx"))), 6).alias("centroid_norm"))
+        .join(F.broadcast(counts), "label")
+        .select("label", "n", "centroid_norm")
+        .orderBy("label")
+    )
+
+
+@_l(
+    "l15_canonical_dedup",
+    """WITH c AS (SELECT md5(lower(regexp_replace(trim(text), ' +', ' ', 'g'))) AS h
+                 FROM documents)
+       SELECT count(*) AS docs, count(DISTINCT h) AS distinct_canonical FROM c""",
+    note="canonicalization (trim/lower/space-collapse) before exact dedup",
+)
+def l15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    canon = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), " +", " ")))
+    return docs.select(canon.alias("h")).agg(
+        F.count(F.lit(1)).alias("docs"), F.countDistinct("h").alias("distinct_canonical")
+    )
+
+
+@_l(
+    "l16_regex_tokens",
+    """SELECT lang,
+       sum(len(regexp_extract_all(text, '[a-zA-Z0-9]+')))::BIGINT AS word_tokens,
+       sum(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')))::BIGINT AS punct_tokens
+       FROM documents GROUP BY 1 ORDER BY 1""",
+    note="BPE-ish regex tokenization: word pieces + punctuation marks",
+)
+def l16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.sum(F.size(F.regexp_extract_all("text", F.lit("[a-zA-Z0-9]+"), 0)))
+            .cast("long")
+            .alias("word_tokens"),
+            F.sum(F.size(F.regexp_extract_all("text", F.lit("[^a-zA-Z0-9 ]"), 0)))
+            .cast("long")
+            .alias("punct_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_l(
     "m01_multimodal_features",
     """SELECT doc_id, 'text/plain' AS media_type,
        octet_length(encode(text))::BIGINT AS n_bytes, md5(text) AS checksum

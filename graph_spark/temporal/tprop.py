@@ -22,17 +22,22 @@ def value_at(
     ts_col: str = "ts",
     value_col: str = "value",
     cumulative: bool = False,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Point-read: property value per entity as of `at_ts`.
 
-    cumulative=False  -> piecewise-constant: latest change-point <= t.
+    cumulative=False  -> piecewise-constant: latest change-point <= t
+                         (`tiebreak` column disambiguates same-ts writes).
     cumulative=True   -> delta semantics: sum of deltas <= t.
     The ts filter is pushed to the scan (partition pruning at scale).
     """
     filtered = tprop.filter(F.col(ts_col) <= at_ts)
     if cumulative:
         return filtered.groupBy(entity_col).agg(F.sum(value_col).alias("value"))
-    w = Window.partitionBy(entity_col).orderBy(F.col(ts_col).desc())
+    order = [F.col(ts_col).desc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).desc())
+    w = Window.partitionBy(entity_col).orderBy(*order)
     return (
         filtered.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
