@@ -129,6 +129,130 @@ def lsh_buckets(
     )
 
 
+def ivf_centroids(
+    df: DataFrame,
+    n_clusters: int,
+    dim: int,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd's kmeans, DataFrame-native, for IVF index build.
+
+    Init: deterministic — the `n_clusters` vectors with the smallest
+    ids (reproducible without RNG).  Each iteration: broadcast the
+    centroid table, assign every vector to its nearest centroid (exact
+    cosine), recompute means via posexplode + (cluster, dim) combine —
+    the same one-shuffle aggregation shape as the declared l14 query.
+    Returns DataFrame(cluster, centroid array<double>).
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col(id_col).asc())
+    seeds = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_clusters)
+        .select(
+            (F.col("__rn") - 1).alias("cluster"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"),
+        )
+    )
+    cents = seeds
+    for _ in range(iterations):
+        assigned = _assign_clusters(df, cents, vec_col, id_col)
+        ex = assigned.select("cluster", F.posexplode(vec_col).alias("i", "x")).withColumn(
+            "x", F.col("x").cast("double")
+        )
+        means = ex.groupBy("cluster", "i").agg(F.avg("x").alias("mx"))
+        cents = (
+            means.groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "mx"))).alias("pairs"))
+            .select(
+                "cluster",
+                F.transform(F.col("pairs"), lambda s: s.getField("mx")).alias("centroid"),
+            )
+        )
+    return cents
+
+
+def _assign_clusters(df: DataFrame, centroids: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    """Nearest-centroid assignment by cosine; centroids broadcast."""
+    from pyspark.sql import Window
+
+    c = F.broadcast(centroids)
+    v = with_norm(df, vec_col)
+    joined = v.crossJoin(c)
+    cn = F.sqrt(F.aggregate(F.col("centroid"), F.lit(0.0), lambda a, x: a + x * x))
+    sim = _dot(F.col(vec_col), F.col("centroid")) / (F.col("__norm") * cn)
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cluster"))
+    return (
+        joined.withColumn("__sim", sim)
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .drop("__sim", "__r", "centroid", "__norm")
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    dim: int,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN: corpus vectors assigned to kmeans cells once (index
+    build); each probe scores only the `nprobe` nearest cells' members.
+
+    Same scale shape as LSH: candidate generation is an equi-join on
+    the cell id; the centroid table (n_clusters rows) is the only thing
+    broadcast.  Recall grows with nprobe (nprobe == n_clusters ==
+    brute force)."""
+    from pyspark.sql import Window
+
+    cents = ivf_centroids(corpus, n_clusters, dim, vec_col=vec_col, id_col=id_col)
+    corpus_cells = _assign_clusters(corpus, cents, vec_col, id_col).select(
+        F.col(id_col).alias("nb"), F.col("cluster").alias("cell")
+    )
+    # top-nprobe cells per probe
+    c = F.broadcast(cents)
+    pv = with_norm(probes, vec_col)
+    cn = F.sqrt(F.aggregate(F.col("centroid"), F.lit(0.0), lambda a, x: a + x * x))
+    sim = _dot(F.col(vec_col), F.col("centroid")) / (F.col("__norm") * cn)
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cluster"))
+    probe_cells = (
+        pv.crossJoin(c)
+        .withColumn("__sim", sim)
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= nprobe)
+        .select(F.col(id_col).alias("vec_id"), F.col("cluster").alias("cell"))
+    )
+    cand = (
+        corpus_cells.join(F.broadcast(probe_cells), "cell")
+        .filter(F.col("nb") != F.col("vec_id"))
+        .select("vec_id", "nb")
+        .distinct()
+    )
+    cv = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("nb"), F.col(vec_col).alias("__cv"), F.col("__norm").alias("__cn")
+    )
+    pvv = with_norm(probes, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__pv"), F.col("__norm").alias("__pn")
+    )
+    sims = (
+        cand.join(cv, "nb")
+        .join(F.broadcast(pvv), "vec_id")
+        .select(
+            "vec_id", "nb",
+            (_dot(F.col("__pv"), F.col("__cv")) / (F.col("__pn") * F.col("__cn"))).alias("sim"),
+        )
+    )
+    w2 = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("nb").asc())
+    return sims.withColumn("__rn", F.row_number().over(w2)).filter(F.col("__rn") <= k).drop("__rn")
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     probes: DataFrame,

@@ -298,6 +298,22 @@ def l12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_l(
+    "l17_ann_ivf",
+    None,
+    note="IVF ANN (kmeans cells + nprobe search); approximate by construction, recall-tested in pytest",
+)
+def l17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk_ivf
+
+    em = Catalog(spark, sf_dir).table("embeddings")
+    probes = em.filter(F.col("vec_id") < 10)
+    res = cosine_topk_ivf(em, probes, k=5, dim=64, n_clusters=16, nprobe=6)
+    return res.select("vec_id", "nb", F.round("sim", 6).alias("sim")).orderBy(
+        "vec_id", F.col("sim").desc(), "nb"
+    )
+
+
+@_l(
     "l13_embed_neardup",
     """WITH norms AS (
          SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM

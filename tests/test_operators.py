@@ -118,6 +118,39 @@ def test_lsh_recall_vs_bruteforce(spark):
     assert hits / total >= 0.6, f"recall {hits}/{total}"
 
 
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF ANN recall at nprobe=6/16 cells must beat 60% of exact top-5."""
+    from graph_spark.operators.similarity import cosine_topk_ivf
+
+    em = Catalog(spark, SF_SMOKE).table("embeddings")
+    probes = em.filter(F.col("vec_id") < 20)
+    exact = {}
+    for r in cosine_topk_bruteforce(em, probes, 5).collect():
+        exact.setdefault(r["vec_id"], set()).add(r["nb"])
+    approx = {}
+    for r in cosine_topk_ivf(em, probes, 5, dim=64, n_clusters=16, nprobe=6).collect():
+        approx.setdefault(r["vec_id"], set()).add(r["nb"])
+    hits = sum(len(exact[v] & approx.get(v, set())) for v in exact)
+    total = sum(len(exact[v]) for v in exact)
+    assert hits / total >= 0.6, f"recall {hits}/{total}"
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    """nprobe == n_clusters degenerates to exact search."""
+    from graph_spark.operators.similarity import cosine_topk_ivf
+
+    em = Catalog(spark, SF_SMOKE).table("embeddings").filter(F.col("vec_id") < 120)
+    probes = em.filter(F.col("vec_id") < 5)
+    exact = sorted(
+        (r["vec_id"], r["nb"]) for r in cosine_topk_bruteforce(em, probes, 5).collect()
+    )
+    full = sorted(
+        (r["vec_id"], r["nb"])
+        for r in cosine_topk_ivf(em, probes, 5, dim=64, n_clusters=8, nprobe=8).collect()
+    )
+    assert exact == full
+
+
 def test_multimodal_feature_plumbing(spark):
     from graph_spark.operators.multimodal import extract_features, to_media_table
 
