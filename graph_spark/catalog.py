@@ -50,6 +50,13 @@ class Catalog:
     def table(self, name: str) -> DataFrame:
         if name not in TABLES:
             raise KeyError(f"unknown table {name!r}; have {TABLES}")
+        views = _VIEW_CACHE.get(self._cache_key(), {})
+        cached = views.get(f"table:{name}")
+        if cached is not None:
+            return cached
+        return self._load_table(name)
+
+    def _load_table(self, name: str) -> DataFrame:
         df = self.spark.read.parquet(os.path.join(self.sf_dir, f"{name}.parquet"))
         if name == "events" and dict(df.dtypes).get("ts") == "bigint":
             # parquet TIMESTAMP(NANOS) surfaced as int64 via
@@ -59,6 +66,19 @@ class Catalog:
             # precision on 19-digit nanosecond values (off-by-1µs bugs)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
+
+    def cache_tables(self, names: tuple = TABLES) -> None:
+        """Pin base tables in Spark's in-memory columnar cache (the
+        engine's buffer pool): repeated queries skip parquet decode.
+        At cluster scale this is `CACHE TABLE` / Alluxio territory —
+        here it is a per-session opt-in (bench + interactive use)."""
+        views = _VIEW_CACHE.setdefault(self._cache_key(), {})
+        for name in names:
+            key = f"table:{name}"
+            if key not in views:
+                df = self._load_table(name).persist()
+                df.count()  # materialize eagerly
+                views[key] = df
 
     def __getattr__(self, name: str) -> DataFrame:
         if name in TABLES:
