@@ -1,0 +1,100 @@
+"""Hypothesis property tests (SURVEY §5.4): operator laws checked over
+generated micro-data.  Kept to a handful of examples per property so the
+Spark round-trips stay fast; the seeded-random tests in
+test_properties.py cover the graph-algorithm equivalences."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from graph_spark.operators.relational import asof_join, sessionize
+
+SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),                       # user
+        st.integers(min_value=0, max_value=10_000),                  # seconds offset
+        st.floats(min_value=0, max_value=100, allow_nan=False),     # value
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _mk_events(spark, rows):
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (u, base + dt.timedelta(seconds=s), float(v), i)
+        for i, (u, s, v) in enumerate(rows)
+    ]
+    return spark.createDataFrame(data, ["user_id", "ts", "value", "event_id"])
+
+
+@given(rows=events_strategy)
+@SET
+def test_sessionize_reference(spark, rows):
+    """session ids must match a straightforward python sessionizer."""
+    df = _mk_events(spark, rows)
+    got = {
+        r["event_id"]: r["session_id"]
+        for r in sessionize(df, "user_id", "ts", gap_seconds=600, tiebreak=["event_id"]).collect()
+    }
+    by_user: dict[int, list] = {}
+    base = dt.datetime(2024, 1, 1)
+    for i, (u, s, v) in enumerate(rows):
+        by_user.setdefault(u, []).append((base + dt.timedelta(seconds=s), i))
+    want = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        sid = 0
+        prev = None
+        for ts, i in evs:
+            if prev is None or (ts - prev).total_seconds() > 600:
+                sid += 1
+            want[i] = sid
+            prev = ts
+    assert got == want
+
+
+@given(
+    left=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 1000)), min_size=1, max_size=20),
+    right=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 1000)), min_size=0, max_size=20),
+)
+@SET
+def test_asof_join_reference(spark, left, right):
+    """as-of result must equal the quadratic python definition:
+    max(right.ts) with same key and right.ts <= left.ts."""
+    base = dt.datetime(2024, 1, 1)
+    ldf = spark.createDataFrame(
+        [(k, base + dt.timedelta(seconds=s), i) for i, (k, s) in enumerate(left)],
+        ["k", "ts", "lid"],
+    )
+    rdf = spark.createDataFrame(
+        [(k, base + dt.timedelta(seconds=s)) for k, s in right], ["k", "ts"]
+    ) if right else spark.createDataFrame([], "k int, ts timestamp")
+    got = {
+        r["lid"]: r["asof_ts"]
+        for r in asof_join(ldf, rdf, ["k"], "ts", "ts", value_cols=[]).collect()
+    }
+    for i, (k, s) in enumerate(left):
+        lts = base + dt.timedelta(seconds=s)
+        cands = [base + dt.timedelta(seconds=rs) for rk, rs in right if rk == k and rs <= s]
+        want = max(cands) if cands else None
+        assert got[i] == want, f"lid={i}"
+
+
+@given(vals=st.lists(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=30))
+@SET
+def test_groupby_sum_matches_python(spark, vals):
+    df = spark.createDataFrame([(float(v),) for v in vals], ["v"])
+    got = df.agg(F.sum("v").alias("s")).collect()[0]["s"]
+    assert abs(got - sum(vals)) <= 1e-6 * max(1.0, abs(sum(vals)))
