@@ -72,7 +72,7 @@ def l01(spark: SparkSession, sf_dir: str) -> DataFrame:
          SELECT DISTINCT doc_id, t.term FROM documents,
          unnest(string_split(text, ' ')) AS t(term)
          WHERE doc_id < 20 AND t.term <> ''),
-       h AS (SELECT doc_id, r.i, md5(r.i::VARCHAR || ':' || term) AS hv
+       h AS (SELECT doc_id, r.i::INT AS i, md5(r.i::VARCHAR || ':' || term) AS hv
              FROM tok CROSS JOIN range(16) r(i))
        SELECT doc_id, i, min(hv) AS sig FROM h GROUP BY 1,2 ORDER BY 1,2""",
 )
@@ -231,7 +231,7 @@ def l08(spark: SparkSession, sf_dir: str) -> DataFrame:
          CASE WHEN nt > 0 THEN tc::DOUBLE / nt ELSE 0.0 END AS atl,
          CASE WHEN lc > 0 THEN na::DOUBLE / lc ELSE 0.0 END AS nar
        FROM q)
-       SELECT doc_id, nt AS n_tokens, round(atl, 4) AS avg_token_len,
+       SELECT doc_id, nt::INT AS n_tokens, round(atl, 4) AS avg_token_len,
          round(nar, 6) AS non_alnum_ratio,
          round(least(nt::DOUBLE/100, 1.0::DOUBLE)*0.5::DOUBLE
                + least(atl/8, 1.0::DOUBLE)*0.3::DOUBLE

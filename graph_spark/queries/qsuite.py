@@ -259,7 +259,7 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "q14_topk_per_group",
-    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn::INT AS rn FROM
        (SELECT o_custkey, o_orderkey, o_totalprice,
         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
         FROM orders) t WHERE rn<=3 ORDER BY o_custkey, rn""",
