@@ -101,6 +101,32 @@ def sessionize(
     return df.withColumn("session_id", F.sum(flag).over(wrun))
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-buster equi-join for known-hot keys: append a random salt
+    (0..n_salts) to the LEFT side's key and replicate the RIGHT side
+    once per salt value, so a hot key's rows spread over `n_salts`
+    shuffle partitions instead of one straggler task.
+
+    AQE's skew-join split handles moderate skew automatically; this is
+    the explicit tool for extreme, known-in-advance hubs (power-law
+    graph vertices, null-ish sentinel keys).  Cost: right side is
+    replicated n_salts times — use with a small-ish right side or a
+    pre-filtered hot-key subset (split-join pattern).
+    """
+    on = list(on)
+    lsalt = left.withColumn("__salt", (F.rand(seed=7) * n_salts).cast("int"))
+    salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
+    rsalt = right.select("*", salts)
+    out = lsalt.join(rsalt, on + ["__salt"], how)
+    return out.drop("__salt")
+
+
 def interval_overlap_join(
     df: DataFrame,
     keys: Sequence[str],

@@ -67,3 +67,24 @@ def range_aggregate(
 def snapshot(temporal_edges: DataFrame, at_ts, ts_col: str = "ts") -> DataFrame:
     """Graph snapshot: keep only edge events visible at `at_ts`."""
     return temporal_edges.filter(F.col(ts_col) <= at_ts)
+
+
+def segments(
+    tprop: DataFrame,
+    entity_col: str = "entity_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Expand change-points into validity segments
+    (entity, value, valid_from, valid_to) — valid_to NULL for the open
+    segment.  This is the interval-read form of the piecewise-constant
+    model (the reference's interval write/read surface): a point-read at
+    t is `valid_from <= t AND (valid_to IS NULL OR t < valid_to)`.
+    One window shuffle on the entity key."""
+    w = Window.partitionBy(entity_col).orderBy(F.col(ts_col).asc())
+    return tprop.select(
+        entity_col,
+        F.col(value_col).alias("value"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+    )
