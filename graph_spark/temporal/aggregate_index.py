@@ -1,0 +1,130 @@
+"""Temporal aggregate index analog (SURVEY §4.1/§4.3).
+
+The reference system answers "aggregate of a temporal property over
+[a, b)" from a tree of pre-aggregated time buckets instead of scanning
+every change-point.  The Spark-native translation: materialize a
+per-(entity, bucket) rollup table once; a range query then unions
+
+    - the rollup rows for buckets FULLY covered by [a, b)   (tiny)
+    - the grain rows for the partial buckets at both edges  (pruned scan)
+
+and re-aggregates.  With the grain table written time-bucket-partitioned
+(`sources/writers.write_time_bucketed`), the partial-bucket scan prunes
+to at most two partitions — so query cost is O(entities) + O(two
+buckets of grain), independent of the total history length.
+
+Supported decomposable aggregates: sum / count / min / max (avg = sum
+over count, recomposed at query time).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BUCKET_FMT = {"month": "yyyy-MM", "day": "yyyy-MM-dd", "hour": "yyyy-MM-dd HH"}
+
+
+def build_rollup(
+    grain: DataFrame,
+    entity_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    bucket: str = "month",
+) -> DataFrame:
+    """One-off materialization: per-(entity, bucket) partial aggregates.
+    At scale this is written as a table alongside the grain data and
+    maintained incrementally per ingested bucket."""
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("__bucket")
+    return grain.groupBy(*entity_cols, b).agg(
+        F.sum(value_col).alias("s"),
+        F.count(F.lit(1)).alias("c"),
+        F.min(value_col).alias("mn"),
+        F.max(value_col).alias("mx"),
+    )
+
+
+def range_aggregate_indexed(
+    grain: DataFrame,
+    rollup: DataFrame,
+    entity_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    start_ts,
+    end_ts,
+    bucket: str = "month",
+) -> DataFrame:
+    """Aggregate `value_col` over [start_ts, end_ts) per entity using the
+    rollup for interior buckets and the grain only at the ragged edges.
+
+    Returns (entities..., s, c, mn, mx, avg)."""
+    start = F.lit(start_ts).cast("timestamp")
+    end = F.lit(end_ts).cast("timestamp")
+    # interior bucket window: [ceil_bucket(start), floor_bucket(end))
+    b_lo = F.date_trunc(bucket, start)
+    lo_is_aligned = b_lo == start
+    interior_lo = F.when(lo_is_aligned, start).otherwise(
+        F.date_trunc(bucket, start + F.expr(f"INTERVAL 1 {bucket}"))
+    )
+    interior_hi = F.date_trunc(bucket, end)
+
+    full = rollup.filter(
+        (F.col("__bucket") >= interior_lo) & (F.col("__bucket") < interior_hi)
+    ).select(*entity_cols, "s", "c", "mn", "mx")
+
+    # ragged edges: [start, interior_lo) and [interior_hi, end) — at most
+    # two buckets of grain; the ts predicates prune partitions/row groups.
+    # When the range spans no full bucket (interior window inverted or
+    # empty), the WHOLE range is one edge — without this guard the two
+    # edge predicates would overcount across the inversion.
+    has_interior = interior_lo < interior_hi
+    edge_pred = F.when(
+        has_interior,
+        ((F.col(ts_col) >= start) & (F.col(ts_col) < interior_lo))
+        | ((F.col(ts_col) >= interior_hi) & (F.col(ts_col) < end)),
+    ).otherwise((F.col(ts_col) >= start) & (F.col(ts_col) < end))
+    edges = grain.filter(edge_pred)
+    edge_partials = edges.groupBy(*entity_cols).agg(
+        F.sum(value_col).alias("s"),
+        F.count(F.lit(1)).alias("c"),
+        F.min(value_col).alias("mn"),
+        F.max(value_col).alias("mx"),
+    )
+
+    return (
+        full.unionByName(edge_partials)
+        .groupBy(*entity_cols)
+        .agg(
+            F.sum("s").alias("s"),
+            F.sum("c").alias("c"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+        )
+        .withColumn("avg", F.col("s") / F.col("c"))
+    )
+
+
+def interval_to_changepoints(
+    writes: DataFrame,
+    entity_col: str = "entity_id",
+    start_col: str = "t1",
+    end_col: str = "t2",
+    value_col: str = "value",
+) -> DataFrame:
+    """Interval write (value over [t1, t2)) -> change-point rows of the
+    piecewise model: +value at t1, and at t2 the value reverts to the
+    previous change-point's value (NULL sentinel here; a full revert
+    requires as-of lookup against the existing history, i.e. one
+    asof_join).  This is how the reference's setTemporalProperty(t1, t2,
+    v) surface maps onto the immutable long table."""
+    starts = writes.select(
+        F.col(entity_col).alias("entity_id"),
+        F.col(start_col).alias("ts"),
+        F.col(value_col).alias("value"),
+    )
+    ends = writes.select(
+        F.col(entity_col).alias("entity_id"),
+        F.col(end_col).alias("ts"),
+        F.lit(None).cast(starts.schema["value"].dataType).alias("value"),
+    )
+    return starts.unionByName(ends)
