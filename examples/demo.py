@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Guided tour of the graph_spark engine surface.
+
+Run: python examples/demo.py [sf_dir]        (default /root/testdata/sf0.001)
+
+Walks the capability areas of SURVEY.md §2 end-to-end on the test data:
+relational, graph, temporal, streaming-shape, and LLM-data operators.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from graph_spark import Engine, get_spark
+
+    spark = get_spark("graph-spark-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+    eng = Engine(spark, sf_dir)
+
+    print("== relational: SQL over registered tables + graph views ==")
+    eng.sql(
+        "SELECT l_returnflag, round(sum(l_quantity),2) qty FROM lineitem GROUP BY 1 ORDER BY 1"
+    ).show()
+
+    print("== relational: as-of join (latest click before each purchase) ==")
+    ev = eng.table("events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    eng.asof_join(purchases, clicks, ["user_id"], "ts", "ts", value_cols=[]).select(
+        "event_id", "ts", "asof_ts"
+    ).show(5)
+
+    print("== graph: PageRank top-5 on the customer-supplier graph ==")
+    eng.pagerank(iterations=10).orderBy(F.desc("rank")).show(5)
+
+    print("== graph: motif — supplier shared by two customers ==")
+    eng.motif(["a->s", "b->s"], distinct_vertices=True).show(5)
+
+    print("== temporal: cumulative spend as of 1998-01-01 ==")
+    eng.temporal_value_at("1998-01-01").orderBy(F.desc("value")).show(5)
+
+    print("== LLM ops: near-duplicate candidates via MinHash LSH ==")
+    docs = eng.table("documents")
+    eng.dedup_candidates(docs).show(5)
+
+    print("== LLM ops: ANN similar vectors (IVF) ==")
+    em = eng.table("embeddings")
+    eng.similar_topk(em, em.filter(F.col("vec_id") < 3), k=3, ann="ivf", dim=64).show()
+
+    print("== UDF surface: SQL-registered python functions ==")
+    eng.register_udfs()
+    eng.sql("SELECT doc_id, round(char_entropy(text),3) AS entropy FROM documents LIMIT 5").show()
+
+    print("demo complete")
+
+
+if __name__ == "__main__":
+    main()

@@ -86,6 +86,42 @@ class Engine:
             self.catalog.tprop_spend(), at_ts, value_col="delta", cumulative=cumulative
         )
 
+    def temporal_range_rollup(self, bucket: str = "month"):
+        """Materialize the temporal aggregate index over customer spend."""
+        from pyspark.sql import functions as F
+
+        from .temporal.aggregate_index import build_rollup
+
+        grain = self.catalog.tprop_spend().select(
+            "entity_id", "ts", F.col("delta").alias("value")
+        )
+        return build_rollup(grain, ["entity_id"], "ts", "value", bucket)
+
+    # -- LLM-data pipeline ----------------------------------------------
+    def dedup_exact(self, df: DataFrame, text_col: str = "text") -> DataFrame:
+        from .operators.dedup import exact_dedup_groups
+
+        return exact_dedup_groups(df, text_col)
+
+    def dedup_candidates(self, df: DataFrame, **kw) -> DataFrame:
+        from .operators.dedup import minhash_lsh_candidates
+
+        return minhash_lsh_candidates(df, **kw)
+
+    def similar_topk(self, corpus: DataFrame, probes: DataFrame, k: int, ann: str | None = None, **kw) -> DataFrame:
+        from .operators import similarity
+
+        if ann == "lsh":
+            return similarity.cosine_topk_lsh(corpus, probes, k, **kw)
+        if ann == "ivf":
+            return similarity.cosine_topk_ivf(corpus, probes, k, **kw)
+        return similarity.cosine_topk_bruteforce(corpus, probes, k)
+
+    def text_quality(self, df: DataFrame, text_col: str = "text") -> DataFrame:
+        from .operators.text import quality_features
+
+        return quality_features(df, text_col)
+
     # -- approximate aggregates (exposed, not hash-declared: §2.B) -------
     @staticmethod
     def approx_count_distinct(df: DataFrame, col: str, rsd: float = 0.05) -> DataFrame:

@@ -16,8 +16,45 @@ Scale notes (100 TB design):
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+# session ids that already received the package zip via addPyFile
+_SHIPPED: set = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Distribute graph_spark to executor python workers.
+
+    mapInPandas/pandas_udf closures reference module-level functions,
+    which cloudpickle serializes BY REFERENCE — workers must be able to
+    `import graph_spark`.  That holds when the driver's cwd is the repo
+    root but breaks from any other cwd (and on a real cluster), so ship
+    the package as a zip once per session."""
+    key = id(spark)
+    if key in _SHIPPED:
+        return
+    try:
+        import graph_spark
+
+        pkg_dir = os.path.dirname(os.path.abspath(graph_spark.__file__))
+        zip_path = os.path.join(
+            tempfile.gettempdir(), f"graph_spark_pkg_{os.getpid()}_{key}.zip"
+        )
+        if not os.path.exists(zip_path):
+            with zipfile.ZipFile(zip_path, "w") as z:
+                for root, _, files in os.walk(pkg_dir):
+                    for f in files:
+                        if f.endswith(".py"):
+                            full = os.path.join(root, f)
+                            rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                            z.write(full, rel)
+        spark.sparkContext.addPyFile(zip_path)
+        _SHIPPED.add(key)
+    except Exception:
+        pass  # driver-side import still works; only worker closures affected
 
 
 def default_parallelism() -> int:
@@ -33,6 +70,7 @@ def configure(spark: SparkSession) -> SparkSession:
     Used when the driver hands us a session we didn't build (the
     `__spark_entry__` contract): only runtime-mutable confs here.
     """
+    _ship_package(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # events.parquet stores TIMESTAMP(NANOS); Spark has no ns timestamp —
     # read the raw int64 and truncate to µs in the catalog (matches
