@@ -69,6 +69,28 @@ def test_events_ts_partition_filter_prunes(spark):
     assert "PushedFilters: [" in plan and "LessThanOrEqual(o_orderdate" in plan, plan
 
 
+def test_asof_join_no_cartesian(spark):
+    """The as-of join must stay a union+window plan — a regression to a
+    range crossJoin would be quadratic at scale."""
+    from graph_spark.queries.qsuite import QUERIES
+
+    q10 = next(q for q in QUERIES if q.name == "q10_asof_join")
+    plan = _plan(q10.build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_lsh_candidates_no_cartesian(spark):
+    """LSH candidate generation must be an equi-join on (t, bucket)."""
+    from graph_spark.catalog import Catalog
+    from graph_spark.operators.similarity import cosine_topk_lsh
+
+    em = Catalog(spark, SF_SMOKE).table("embeddings")
+    df = cosine_topk_lsh(em, em.filter(F.col("vec_id") < 3), 5, dim=64)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_whole_stage_codegen_in_agg(spark):
     from graph_spark.queries.qsuite import QUERIES
 
