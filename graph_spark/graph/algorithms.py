@@ -21,8 +21,20 @@ from .property_graph import PropertyGraph
 LOCAL_EDGE_THRESHOLD = 5_000_000
 
 
+# edge-count memo keyed by the underlying DataFrame object: the catalog
+# hands out the same cached edge frame across queries, so the routing
+# count() job runs once per session instead of once per algorithm call
+_COUNT_MEMO: dict = {}
+
+
 def _edge_count(graph: PropertyGraph) -> int:
-    return graph.edges.count()
+    key = id(graph.edges)
+    hit = _COUNT_MEMO.get(key)
+    if hit is None:
+        # hold a strong ref to the frame so its id can't be recycled
+        hit = (graph.edges, graph.edges.count())
+        _COUNT_MEMO[key] = hit
+    return hit[1]
 
 
 def _factorize_edges(pdf):

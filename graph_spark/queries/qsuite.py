@@ -499,6 +499,31 @@ def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q28_grouping_sets",
+    """SELECT l_returnflag, l_linestatus, grouping(l_returnflag)::INT AS g1,
+       grouping(l_linestatus)::INT AS g2, round(sum(l_quantity),2) AS q,
+       count(*) AS n
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+       ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    note="exercises the SQL entry point (spark.sql over a registered view) — "
+    "explicit grouping sets beyond rollup/cube",
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    li.createOrReplaceTempView("q28_lineitem")
+    return spark.sql(
+        """SELECT l_returnflag, l_linestatus,
+                  CAST(grouping(l_returnflag) AS INT) AS g1,
+                  CAST(grouping(l_linestatus) AS INT) AS g2,
+                  round(sum(l_quantity), 2) AS q, count(*) AS n
+           FROM q28_lineitem
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+           ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+    )
+
+
+@_q(
     "t02_interval_overlap",
     """SELECT a.o_custkey, count(*) AS n_pairs FROM orders a JOIN orders b
        ON a.o_custkey=b.o_custkey AND a.o_orderkey<b.o_orderkey
