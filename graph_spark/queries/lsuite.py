@@ -404,6 +404,35 @@ def l16(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_l(
+    "l18_hash_split",
+    """WITH s AS (SELECT CASE
+         WHEN strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR), 1, 1)) - 1 < 13 THEN 'train'
+         WHEN strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR), 1, 1)) - 1 < 15 THEN 'valid'
+         ELSE 'test' END AS split, n_chars
+       FROM documents)
+       SELECT split, count(*) AS docs, sum(n_chars)::BIGINT AS chars
+       FROM s GROUP BY 1 ORDER BY 1""",
+    note="deterministic train/valid/test assignment by id hash — the "
+    "reproducible split every training pipeline needs; no RNG, stable "
+    "under re-runs and engine changes",
+)
+def l18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10).cast("int")
+    )
+    split = (
+        F.when(bucket < 13, "train").when(bucket < 15, "valid").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("docs"), F.sum("n_chars").cast("long").alias("chars"))
+        .orderBy("split")
+    )
+
+
+@_l(
     "m01_multimodal_features",
     """SELECT doc_id, 'text/plain' AS media_type,
        octet_length(encode(text))::BIGINT AS n_bytes, md5(text) AS checksum

@@ -524,6 +524,67 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q29_window_ranks",
+    """SELECT o_orderkey,
+       rank() OVER w::INT AS rnk,
+       dense_rank() OVER w::INT AS drnk,
+       ntile(4) OVER w::INT AS quartile,
+       round(percent_rank() OVER w, 6) AS prank,
+       round(cume_dist() OVER w, 6) AS cdist,
+       first_value(o_orderkey) OVER w AS first_in_priority
+       FROM orders
+       WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+       ORDER BY o_orderkey LIMIT 2000""",
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("prank"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+            F.first("o_orderkey").over(w).alias("first_in_priority"),
+        )
+        .orderBy("o_orderkey")
+        .limit(2000)
+    )
+
+
+@_q(
+    "q30_scalar_fns",
+    """SELECT p_partkey,
+       reverse(p_name) AS rname,
+       split_part(p_type, ' ', 1) AS type_head,
+       lpad(p_size::VARCHAR, 4, '0') AS size4,
+       translate(p_brand, '#', '-') AS brand_t,
+       coalesce(nullif(p_type, 'STANDARD'), '<std>') AS type_or_std,
+       CASE WHEN position('PROMO' IN p_type) > 0 THEN 1 ELSE 0 END AS has_promo,
+       round(greatest(p_retailprice, 1500.0::DOUBLE), 2) AS price_floor,
+       round(least(p_retailprice, 1500.0::DOUBLE), 2) AS price_cap
+       FROM part ORDER BY p_partkey""",
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = Catalog(spark, sf_dir).table("part")
+    return p.select(
+        "p_partkey",
+        F.reverse(F.col("p_name")).alias("rname"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
+        F.translate("p_brand", "#", "-").alias("brand_t"),
+        F.coalesce(F.nullif("p_type", F.lit("STANDARD")), F.lit("<std>")).alias("type_or_std"),
+        F.when(F.instr("p_type", "PROMO") > 0, 1).otherwise(0).alias("has_promo"),
+        F.round(F.greatest("p_retailprice", F.lit(1500.0)), 2).alias("price_floor"),
+        F.round(F.least("p_retailprice", F.lit(1500.0)), 2).alias("price_cap"),
+    ).orderBy("p_partkey")
+
+
+@_q(
     "t02_interval_overlap",
     """SELECT a.o_custkey, count(*) AS n_pairs FROM orders a JOIN orders b
        ON a.o_custkey=b.o_custkey AND a.o_orderkey<b.o_orderkey
