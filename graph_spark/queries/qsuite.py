@@ -621,4 +621,54 @@ def t03(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "t05_resample_ffill",
+    """WITH bounds AS (SELECT date_trunc('hour', min(ts)) AS mn,
+                             date_trunc('hour', max(ts)) AS mx FROM events),
+       spine AS (SELECT u.user_id, g.ts AS h
+                 FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 5) u
+                 CROSS JOIN (SELECT unnest(generate_series(
+                     (SELECT mn FROM bounds), (SELECT mx FROM bounds),
+                     INTERVAL 1 HOUR)) AS ts) g),
+       hourly AS (SELECT user_id, date_trunc('hour', ts) AS h,
+                         round(sum(value), 2) AS v
+                  FROM events WHERE user_id < 5 GROUP BY 1, 2)
+       SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S.%f') AS h,
+              coalesce(v, last_value(v IGNORE NULLS) OVER
+                (PARTITION BY user_id ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS v_filled
+       FROM spine LEFT JOIN hourly USING (user_id, h)
+       ORDER BY user_id, h""",
+    note="resample to an hourly grid + forward-fill gaps (piecewise-"
+    "constant read over a regular spine) — the time-series form of the "
+    "temporal point-read",
+)
+def t05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"), F.date_trunc("hour", F.max("ts")).alias("mx")
+    )
+    users = ev.filter(F.col("user_id") < 5).select("user_id").distinct()
+    spine = users.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.explode(F.sequence(F.col("mn"), F.col("mx"), F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    hourly = (
+        ev.filter(F.col("user_id") < 5)
+        .groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "h"], "left")
+        .withColumn("v_filled", F.coalesce(F.col("v"), F.last("v", ignorenulls=True).over(w)))
+        .select("user_id", ts_str(F.col("h")).alias("h"), "v_filled")
+        .orderBy("user_id", "h")
+    )
+
+
 QUERIES = list(_Q)
