@@ -68,6 +68,20 @@ class Engine:
     def connected_components(self) -> DataFrame:
         return algorithms.connected_components(self.graph())
 
+    def k_core(self, k: int) -> DataFrame:
+        return algorithms.k_core(self.graph(), k)
+
+    def strongly_connected_components(self) -> DataFrame:
+        return algorithms.strongly_connected_components(self.graph(symmetric=False))
+
+    def earliest_arrival(self, source: str, max_hops: int = 3) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from .queries.gsuite import QUERIES as _GQ
+
+        g12 = next(q for q in _GQ if q.name == "g12_earliest_arrival")
+        return g12.build(self.spark, self.catalog.sf_dir)
+
     def motif(self, patterns: list[str], **kw) -> DataFrame:
         from .graph.motif import find
 

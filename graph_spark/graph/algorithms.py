@@ -352,6 +352,91 @@ def shortest_paths_weighted(
     return dist
 
 
+def k_core(graph: PropertyGraph, k: int, max_iter: int = 100) -> DataFrame:
+    """k-core decomposition membership: iteratively peel nodes with
+    degree < k over (assumed symmetric) edges until stable.  Returns
+    DataFrame(node, degree) for the surviving core.
+
+    Each round: degree count (one shuffle) + semi-join edge filter;
+    rounds <= peel depth.  At 100 TB the edge table shrinks
+    monotonically, so persist-and-replace per round keeps lineage and
+    scan size bounded."""
+    edges = graph.edges.select("src", "dst").localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).select("node").localCheckpoint(eager=True)
+        n_before = edges.count()
+        kb = F.broadcast(keep)
+        edges = (
+            edges.join(kb, edges.src == kb.node, "left_semi")
+            .join(kb, edges.dst == kb.node, "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        if edges.count() == n_before:
+            break
+    return edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
+
+
+def strongly_connected_components(graph: PropertyGraph) -> DataFrame:
+    """SCC over DIRECTED edges — single-task Kosaraju kernel (the graph
+    views this engine builds are aggregated and small; a distributed
+    FW-BW decomposition is the >5M-edge path, not yet needed).
+    Returns DataFrame(node, component) with component = lexicographic
+    min member id."""
+
+    def kernel(pdf):
+        import pandas as pd
+
+        nodes, src, dst = _factorize_edges(pdf)
+        n = len(nodes)
+        fwd: list[list[int]] = [[] for _ in range(n)]
+        rev: list[list[int]] = [[] for _ in range(n)]
+        for a, b in zip(src, dst):
+            fwd[a].append(b)
+            rev[b].append(a)
+        # iterative Kosaraju: order pass on fwd, assign pass on rev
+        visited = [False] * n
+        order: list[int] = []
+        for s in range(n):
+            if visited[s]:
+                continue
+            stack = [(s, 0)]
+            visited[s] = True
+            while stack:
+                u, i = stack.pop()
+                if i < len(fwd[u]):
+                    stack.append((u, i + 1))
+                    v = fwd[u][i]
+                    if not visited[v]:
+                        visited[v] = True
+                        stack.append((v, 0))
+                else:
+                    order.append(u)
+        comp = [-1] * n
+        for s in reversed(order):
+            if comp[s] != -1:
+                continue
+            comp[s] = s
+            stack2 = [s]
+            while stack2:
+                u = stack2.pop()
+                for v in rev[u]:
+                    if comp[v] == -1:
+                        comp[v] = s
+                        stack2.append(v)
+        groups: dict[int, list[int]] = {}
+        for i, c in enumerate(comp):
+            groups.setdefault(c, []).append(i)
+        label = {}
+        for members in groups.values():
+            rep = min(nodes[m] for m in members)
+            for m in members:
+                label[m] = rep
+        return pd.DataFrame({"node": list(nodes), "component": [label[i] for i in range(n)]})
+
+    return _run_local(graph, kernel, "node string, component string")
+
+
 def label_propagation(graph: PropertyGraph, max_iter: int = 10) -> DataFrame:
     """Community detection: each node adopts the most frequent label of
     its in-neighbors each round (ties -> smallest label).  Deterministic

@@ -306,4 +306,58 @@ def g11(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("entity_id", F.col("value").alias("last_value")).orderBy("entity_id")
 
 
+@_g(
+    "g12_earliest_arrival",
+    f"""WITH {GRAPH_CTES},
+       et AS (SELECT src, dst, first_ts FROM graph_edges
+              UNION ALL SELECT dst, src, first_ts FROM graph_edges),
+       a1 AS (SELECT dst AS node, first_ts AS t FROM et WHERE src='c1'),
+       a2 AS (SELECT e.dst AS node, e.first_ts AS t FROM a1 JOIN et e
+              ON e.src=a1.node AND e.first_ts >= a1.t),
+       a3 AS (SELECT e.dst AS node, e.first_ts AS t FROM a2 JOIN et e
+              ON e.src=a2.node AND e.first_ts >= a2.t),
+       allp AS (SELECT node, t FROM a1 UNION ALL SELECT node, t FROM a2
+                UNION ALL SELECT node, t FROM a3)
+       SELECT node, strftime(min(t), '%Y-%m-%d %H:%M:%S.%f') AS arrival
+       FROM allp GROUP BY 1 ORDER BY 1""",
+    note="time-respecting earliest-arrival (<=3 hops) from c1 — the "
+    "temporal-traversal core of the reference system. Spark side runs a "
+    "min-frontier label-correcting loop, which is lossless vs the "
+    "oracle's path enumeration: a smaller arrival admits a superset of "
+    "onward edges, so expanding only the per-(node,hop) minimum "
+    "preserves every reachable (node, min arrival)",
+)
+def g12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .common import ts_str
+
+    c = Catalog(spark, sf_dir)
+    et = c.graph_edges_ts()
+    frontier = (
+        et.filter(F.col("src") == "c1")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.min("first_ts").alias("t"))
+        .localCheckpoint(eager=True)
+    )
+    found = [frontier]
+    e = et.alias("e")
+    for _ in range(2):  # hops 2 and 3
+        fr = F.broadcast(frontier.alias("f"))
+        frontier = (
+            e.join(fr, (F.col("e.src") == F.col("f.node")) & (F.col("e.first_ts") >= F.col("f.t")))
+            .groupBy(F.col("e.dst").alias("node"))
+            .agg(F.min("e.first_ts").alias("t"))
+            .localCheckpoint(eager=True)
+        )
+        found.append(frontier)
+    allf = found[0]
+    for f in found[1:]:
+        allf = allf.unionByName(f)
+    return (
+        allf.groupBy("node")
+        .agg(F.min("t").alias("mt"))
+        .select("node", ts_str(F.col("mt")).alias("arrival"))
+        .orderBy("node")
+    )
+
+
 QUERIES = list(_G)

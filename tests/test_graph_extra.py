@@ -79,6 +79,98 @@ def test_motif_triangle_and_chain(spark):
     assert ("b", "c", "d") in {tuple(r) for r in chains}
 
 
+def test_kcore_two_cliques_with_tail(spark):
+    """4-clique has a 3-core; pendant tail nodes peel away."""
+    from graph_spark.graph.algorithms import k_core
+
+    def clique(names):
+        return [(a, b) for a in names for b in names if a != b]
+
+    e = clique(["a", "b", "c", "d"]) + [("d", "t1"), ("t1", "d"), ("t1", "t2"), ("t2", "t1")]
+    edf = spark.createDataFrame(e, ["src", "dst"])
+    g = PropertyGraph(edf.select(F.col("src").alias("id")).distinct(), edf)
+    core3 = {r["node"]: r["degree"] for r in k_core(g, 3).collect()}
+    assert set(core3) == {"a", "b", "c", "d"} and all(d == 3 for d in core3.values())
+    core1 = {r["node"] for r in k_core(g, 1).collect()}
+    assert core1 == {"a", "b", "c", "d", "t1", "t2"}
+    assert k_core(g, 4).count() == 0
+
+
+def _tarjan(edges):
+    """Reference SCC (Tarjan, iterative) — different algorithm from the
+    operator's Kosaraju kernel, so the test is a real cross-check."""
+    adj = {}
+    nodes = set()
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        nodes.update((a, b))
+    index = {}
+    low = {}
+    onstack = set()
+    stack = []
+    comps = []
+    counter = [0]
+
+    def strongconnect(v0):
+        work = [(v0, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                onstack.add(v)
+            recurse = False
+            for i in range(pi, len(adj.get(v, []))):
+                w = adj.get(v, [])[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in onstack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    onstack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                comps.append(comp)
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+
+    for v in sorted(nodes):
+        if v not in index:
+            strongconnect(v)
+    out = {}
+    for comp in comps:
+        rep = min(comp)
+        for m in comp:
+            out[m] = rep
+    return out
+
+
+@pytest.mark.parametrize("seed", [11, 77])
+def test_scc_matches_tarjan(spark, seed):
+    from graph_spark.graph.algorithms import strongly_connected_components
+
+    rng = random.Random(seed)
+    edges = sorted({(f"n{rng.randrange(30)}", f"n{rng.randrange(30)}") for _ in range(70)})
+    edges = [(a, b) for a, b in edges if a != b]
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    g = PropertyGraph(edf.select(F.col("src").alias("id")).distinct(), edf)
+    got = {r["node"]: r["component"] for r in strongly_connected_components(g).collect()}
+    want = _tarjan(edges)
+    assert got == want
+
+
 def test_motif_rejects_disconnected(spark):
     edf = spark.createDataFrame([("a", "b")], ["src", "dst"])
     g = PropertyGraph(edf.select(F.col("src").alias("id")).distinct(), edf)
