@@ -360,4 +360,41 @@ def g12(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g13_snapshot_diff",
+    """WITH grain AS (
+         SELECT 'c'||o.o_custkey AS src, 's'||l.l_suppkey AS dst, l.l_shipdate AS ts
+         FROM lineitem l JOIN orders o ON l.l_orderkey=o.o_orderkey),
+       agg AS (
+         SELECT src, dst,
+                sum(CASE WHEN ts <= TIMESTAMP '1997-01-01' THEN 1 ELSE 0 END)::BIGINT AS items_t1,
+                sum(CASE WHEN ts <= TIMESTAMP '1999-01-01' THEN 1 ELSE 0 END)::BIGINT AS items_t2
+         FROM grain GROUP BY 1,2)
+       SELECT src, dst, items_t1, items_t2 FROM agg
+       WHERE items_t2 > items_t1 ORDER BY 1,2""",
+    note="temporal snapshot diff: edges whose activity changed between "
+    "two graph snapshots (t1=1997-01-01, t2=1999-01-01)",
+)
+def g13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    li = c.table("lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = c.table("orders").select("o_orderkey", "o_custkey")
+    t1 = F.lit("1997-01-01").cast("timestamp")
+    t2 = F.lit("1999-01-01").cast("timestamp")
+    grain = li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        F.col("l_shipdate").alias("ts"),
+    )
+    return (
+        grain.groupBy("src", "dst")
+        .agg(
+            F.sum(F.when(F.col("ts") <= t1, 1).otherwise(0)).alias("items_t1"),
+            F.sum(F.when(F.col("ts") <= t2, 1).otherwise(0)).alias("items_t2"),
+        )
+        .filter(F.col("items_t2") > F.col("items_t1"))
+        .orderBy("src", "dst")
+    )
+
+
 QUERIES = list(_G)

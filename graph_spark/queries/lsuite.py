@@ -433,6 +433,58 @@ def l18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_l(
+    "l19_dedup_clusters",
+    """WITH RECURSIVE docs AS (
+         SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS l
+         FROM documents WHERE doc_id < 100),
+       sh AS (SELECT DISTINCT doc_id, s[1] || ' ' || s[2] AS shingle
+              FROM (SELECT doc_id, unnest(list_zip(l, l[2:])) AS s FROM docs) z
+              WHERE s[2] IS NOT NULL),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+                 FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id<b.doc_id
+                 GROUP BY 1,2),
+       pairs AS (SELECT a, b FROM inter
+                 JOIN sizes sa ON sa.doc_id=a JOIN sizes sb ON sb.doc_id=b
+                 WHERE i::DOUBLE/(sa.sz + sb.sz - i) >= 0.12),
+       sym AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+       nodes AS (SELECT DISTINCT x AS node FROM sym),
+       reach(node, r) AS (
+         SELECT node, node FROM nodes
+         UNION
+         SELECT e.y, reach.r FROM reach JOIN sym e ON reach.node=e.x)
+       SELECT node AS doc_id, min(r)::BIGINT AS cluster FROM reach
+       GROUP BY 1 ORDER BY 1""",
+    note="end-to-end near-dup clustering: shingle-Jaccard candidate "
+    "pairs (>= 0.12) closed into clusters via connected components — "
+    "the dedup and graph layers composed",
+)
+def l19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import connected_components
+    from ..graph.property_graph import PropertyGraph
+
+    docs = Catalog(spark, sf_dir).table("documents").filter(F.col("doc_id") < 100)
+    pairs = ngram_jaccard_pairs(docs, n=2).filter(F.col("jaccard") >= 0.12).select("a", "b")
+    sym = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    edges = sym.select(
+        F.col("a").cast("string").alias("src"), F.col("b").cast("string").alias("dst")
+    )
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    cc = connected_components(PropertyGraph(nodes, edges))
+    # numeric doc ids: string-min != numeric-min, so relabel clusters by
+    # the numeric minimum member
+    num = cc.select(
+        F.col("node").cast("long").alias("doc_id"), F.col("component").alias("comp_str")
+    )
+    relabel = num.groupBy("comp_str").agg(F.min("doc_id").alias("cluster"))
+    return (
+        num.join(F.broadcast(relabel), "comp_str")
+        .select("doc_id", "cluster")
+        .orderBy("doc_id")
+    )
+
+
+@_l(
     "m01_multimodal_features",
     """SELECT doc_id, 'text/plain' AS media_type,
        octet_length(encode(text))::BIGINT AS n_bytes, md5(text) AS checksum
