@@ -127,7 +127,10 @@ def _run_local(graph: PropertyGraph, kernel, schema: str) -> DataFrame:
     import pandas as pd
 
     def run(batches):
-        pdf = pd.concat(list(batches), ignore_index=True)
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
         if len(pdf):
             yield kernel(pdf)
 

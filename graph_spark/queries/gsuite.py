@@ -397,4 +397,171 @@ def g13(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sssp_oracle(rounds: int = 8) -> str:
+    """Unrolled Bellman-Ford relaxation over the thresholded weighted
+    symmetric graph (integer weights = n_items, so path sums are exact
+    and hash-stable cross-engine)."""
+    iters = []
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        cur = f"d{i}"
+        iters.append(
+            f"""{cur} AS MATERIALIZED (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.n_items AS dist
+    FROM {prev} d JOIN gesw e ON d.node=e.src) u
+  GROUP BY 1)"""
+        )
+        prev = cur
+    chain = ",\n".join(iters)
+    return f"""WITH {GRAPH_CTES},
+ge AS (SELECT src, dst, n_items FROM graph_edges WHERE n_items >= 3),
+gesw AS (SELECT src, dst, n_items FROM ge UNION SELECT dst, src, n_items FROM ge),
+d0 AS (SELECT 'c1' AS node, 0::BIGINT AS dist),
+{chain}
+SELECT node, dist::BIGINT AS dist FROM {prev} ORDER BY node"""
+
+
+@_g(
+    "g14_weighted_sssp",
+    _sssp_oracle(),
+    note="weighted shortest path from 'c1' (8 relaxation rounds, integer "
+    "n_items weights) on the n_items>=3 symmetric subgraph — the Dijkstra "
+    "analog the reference's algo layer exposes, as distributed relaxation",
+)
+def g14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import shortest_paths_weighted
+
+    c = Catalog(spark, sf_dir)
+    ge = c.graph_edges().filter(F.col("n_items") >= 3).select("src", "dst", "n_items")
+    sym = ge.union(
+        ge.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "n_items")
+    ).distinct()
+    nodes = sym.select(F.col("src").alias("id")).distinct()
+    dist = shortest_paths_weighted(PropertyGraph(nodes, sym), "c1", "n_items", max_iter=8)
+    return dist.select("node", F.col("dist").cast("long").alias("dist")).orderBy("node")
+
+
+def _lp_oracle(rounds: int = 5) -> str:
+    """Unrolled synchronous label propagation: each round every node
+    adopts its in-neighbors' most frequent label (ties -> smallest),
+    keeping its own when it has no in-neighbors."""
+    iters = []
+    prev = "s0"
+    for i in range(1, rounds + 1):
+        cur = f"s{i}"
+        iters.append(
+            f"""{cur} AS MATERIALIZED (
+  SELECT s.node, coalesce(b.best, s.label) AS label
+  FROM {prev} s LEFT JOIN (
+    SELECT node, best FROM (
+      SELECT node, best, row_number() OVER (PARTITION BY node ORDER BY c DESC, best ASC) AS rn
+      FROM (SELECT e.dst AS node, p.label AS best, count(*) AS c
+            FROM graph_edges_sym e JOIN {prev} p ON p.node=e.src GROUP BY 1,2) cnt) rk
+    WHERE rn=1) b ON b.node=s.node)"""
+        )
+        prev = cur
+    chain = ",\n".join(iters)
+    return f"""WITH {GRAPH_CTES},
+s0 AS (SELECT node, node AS label FROM graph_nodes),
+{chain}
+SELECT node, label FROM {prev} ORDER BY node"""
+
+
+@_g(
+    "g15_label_propagation",
+    _lp_oracle(),
+    note="community detection: 5 synchronous label-propagation rounds, "
+    "deterministic (count DESC, label ASC) tie-break",
+)
+def g15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import label_propagation
+
+    g = _sym_graph(Catalog(spark, sf_dir))
+    return label_propagation(g, max_iter=5).orderBy("node")
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 8) -> str:
+    """Unrolled k-core peeling: each round drop nodes with degree < k
+    and the edges touching them."""
+    iters = []
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        cur = f"e{i}"
+        iters.append(
+            f"""{cur} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM {prev} e
+  JOIN (SELECT src FROM {prev} GROUP BY 1 HAVING count(*) >= {k}) ka ON e.src=ka.src
+  JOIN (SELECT src FROM {prev} GROUP BY 1 HAVING count(*) >= {k}) kb ON e.dst=kb.src)"""
+        )
+        prev = cur
+    chain = ",\n".join(iters)
+    return f"""WITH {GRAPH_CTES},
+e0 AS MATERIALIZED (SELECT src, dst FROM graph_edges_sym),
+{chain}
+SELECT src AS node, count(*)::BIGINT AS degree FROM {prev} GROUP BY 1 ORDER BY 1"""
+
+
+@_g(
+    "g16_kcore",
+    _kcore_oracle(),
+    note="3-core membership after 8 peel rounds on the symmetric graph",
+)
+def g16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import k_core
+
+    g = _sym_graph(Catalog(spark, sf_dir))
+    return k_core(g, k=3, max_iter=8).orderBy("node")
+
+
+@_g(
+    "g17_scc",
+    """WITH RECURSIVE ne AS (
+         SELECT 'n'||c.c_nationkey AS src, 'n'||s.s_nationkey AS dst
+         FROM lineitem l JOIN orders o ON l.l_orderkey=o.o_orderkey
+         JOIN customer c ON o.o_custkey=c.c_custkey
+         JOIN supplier s ON l.l_suppkey=s.s_suppkey
+         GROUP BY 1,2 HAVING count(*) >= 25),
+       nodes AS (SELECT src AS node FROM ne UNION SELECT dst FROM ne),
+       reach(a, b) AS (
+         SELECT src, dst FROM ne
+         UNION
+         SELECT r.a, e.dst FROM reach r JOIN ne e ON r.b=e.src),
+       mutual AS (SELECT r1.a, r1.b FROM reach r1
+                  JOIN reach r2 ON r1.a=r2.b AND r1.b=r2.a)
+       SELECT n.node, least(n.node, coalesce(min(m.b), n.node)) AS component
+       FROM nodes n LEFT JOIN mutual m ON m.a=n.node
+       GROUP BY 1 ORDER BY 1""",
+    note="strongly connected components of the directed nation trade "
+    "graph (customer-nation -> supplier-nation, >=25 shipments); "
+    "component = lexicographic min member, oracle via mutual reachability",
+)
+def g17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import strongly_connected_components
+
+    c = Catalog(spark, sf_dir)
+    li = c.table("lineitem").select("l_orderkey", "l_suppkey")
+    o = c.table("orders").select("o_orderkey", "o_custkey")
+    cu = c.table("customer").select("c_custkey", "c_nationkey")
+    su = c.table("supplier").select("s_suppkey", "s_nationkey")
+    ne = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cu), F.col("o_custkey") == cu.c_custkey)
+        .join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .groupBy(
+            F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("src"),
+            F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 25)
+        .select("src", "dst")
+    )
+    nodes = ne.select(F.col("src").alias("id")).union(
+        ne.select(F.col("dst").alias("id"))
+    ).distinct()
+    return strongly_connected_components(PropertyGraph(nodes, ne)).orderBy("node")
+
+
 QUERIES = list(_G)
