@@ -116,7 +116,82 @@ def _local_cc_pdf(pdf):
     return pd.DataFrame({"node": nodes, "component": nodes[label]})
 
 
-def _run_local(graph: PropertyGraph, kernel, schema: str) -> DataFrame:
+def _local_kcore_pdf(pdf, k: int, max_iter: int):
+    """numpy k-core peel: same round semantics as the distributed loop
+    (degree over current edges by src, keep deg>=k, filter both ends)."""
+    import numpy as np
+    import pandas as pd
+
+    nodes, src, dst = _factorize_edges(pdf)
+    n = len(nodes)
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    alive = np.ones(len(src), dtype=bool)
+    for _ in range(max_iter):
+        deg = np.bincount(src[alive], minlength=n)
+        keep = deg >= k
+        new_alive = alive & keep[src] & keep[dst]
+        if int(new_alive.sum()) == int(alive.sum()):
+            break
+        alive = new_alive
+    deg = np.bincount(src[alive], minlength=n)
+    mask = deg > 0
+    return pd.DataFrame({"node": nodes[mask], "degree": deg[mask].astype("int64")})
+
+
+def _local_lp_pdf(pdf, max_iter: int):
+    """Synchronous label propagation, ties -> lexicographically smallest
+    label (matches the distributed row_number tie-break)."""
+    import numpy as np
+    import pandas as pd
+
+    nodes, src, dst = _factorize_edges(pdf)
+    n = len(nodes)
+    order = np.argsort(nodes)
+    rank_of = np.empty(n, dtype="int64")
+    rank_of[order] = np.arange(n)
+    label = np.arange(n)
+    for _ in range(max_iter):
+        t = pd.DataFrame({"d": dst, "lab": label[src]})
+        cnt = t.groupby(["d", "lab"], sort=False).size().reset_index(name="c")
+        cnt["r"] = rank_of[cnt["lab"].to_numpy()]
+        cnt = cnt.sort_values(["d", "c", "r"], ascending=[True, False, True])
+        best = cnt.drop_duplicates("d", keep="first")
+        new_label = label.copy()
+        new_label[best["d"].to_numpy()] = best["lab"].to_numpy()
+        if (new_label == label).all():
+            break
+        label = new_label
+    return pd.DataFrame({"node": nodes, "label": nodes[label]})
+
+
+def _local_sssp_pdf(pdf, source: str, weight_col: str, max_iter: int):
+    """numpy Bellman-Ford: one simultaneous relaxation sweep per round,
+    identical to the distributed union+min round."""
+    import numpy as np
+    import pandas as pd
+
+    nodes, src, dst = _factorize_edges(pdf)
+    w = pdf[weight_col].to_numpy(dtype="float64")
+    n = len(nodes)
+    hits = np.nonzero(nodes == source)[0]
+    if len(hits) == 0:
+        return pd.DataFrame({"node": [source], "dist": [0.0]})
+    dist = np.full(n, np.inf)
+    dist[int(hits[0])] = 0.0
+    for _ in range(max_iter):
+        new = dist.copy()
+        np.minimum.at(new, dst, dist[src] + w)
+        if np.array_equal(new, dist):
+            break
+        dist = new
+    mask = np.isfinite(dist)
+    return pd.DataFrame({"node": nodes[mask], "dist": dist[mask]})
+
+
+def _run_local(
+    graph: PropertyGraph, kernel, schema: str, cols: tuple = ("src", "dst")
+) -> DataFrame:
     """Ship the (small) edge list to one task and run a numpy kernel.
 
     coalesce(1) + mapInPandas (accumulate the partition's Arrow batches,
@@ -134,7 +209,7 @@ def _run_local(graph: PropertyGraph, kernel, schema: str) -> DataFrame:
         if len(pdf):
             yield kernel(pdf)
 
-    return graph.edges.select("src", "dst").coalesce(1).mapInPandas(run, schema=schema)
+    return graph.edges.select(*cols).coalesce(1).mapInPandas(run, schema=schema)
 
 
 def bfs_distances(
@@ -322,12 +397,26 @@ def triangle_count(edges_undirected_pairs: DataFrame) -> DataFrame:
 
 
 def shortest_paths_weighted(
-    graph: PropertyGraph, source: str, weight_col: str, max_iter: int = 20
+    graph: PropertyGraph,
+    source: str,
+    weight_col: str,
+    max_iter: int = 20,
+    local: bool | None = None,
 ) -> DataFrame:
     """Bellman-Ford style relaxation (Dijkstra analog on Spark: no
     priority queue across partitions, so iterate relaxations to
-    fixpoint).  Returns DataFrame(node, dist).  Not hash-declared
-    (float path sums); python-oracle tested."""
+    fixpoint).  Returns DataFrame(node, dist).  Hash-declared with
+    integer weights (g14); small graphs auto-route to the numpy kernel
+    with identical per-round semantics."""
+    if local is None:
+        local = _edge_count(graph) < LOCAL_EDGE_THRESHOLD
+    if local:
+        return _run_local(
+            graph,
+            lambda pdf: _local_sssp_pdf(pdf, source, weight_col, max_iter),
+            "node string, dist double",
+            cols=("src", "dst", weight_col),
+        )
     spark = graph.edges.sparkSession
     dist = spark.createDataFrame([(source, 0.0)], ["node", "dist"]).localCheckpoint(eager=True)
     for _ in range(max_iter):
@@ -355,7 +444,9 @@ def shortest_paths_weighted(
     return dist
 
 
-def k_core(graph: PropertyGraph, k: int, max_iter: int = 100) -> DataFrame:
+def k_core(
+    graph: PropertyGraph, k: int, max_iter: int = 100, local: bool | None = None
+) -> DataFrame:
     """k-core decomposition membership: iteratively peel nodes with
     degree < k over (assumed symmetric) edges until stable.  Returns
     DataFrame(node, degree) for the surviving core.
@@ -363,7 +454,15 @@ def k_core(graph: PropertyGraph, k: int, max_iter: int = 100) -> DataFrame:
     Each round: degree count (one shuffle) + semi-join edge filter;
     rounds <= peel depth.  At 100 TB the edge table shrinks
     monotonically, so persist-and-replace per round keeps lineage and
-    scan size bounded."""
+    scan size bounded.  Small graphs auto-route to the numpy kernel."""
+    if local is None:
+        local = _edge_count(graph) < LOCAL_EDGE_THRESHOLD
+    if local:
+        return _run_local(
+            graph,
+            lambda pdf: _local_kcore_pdf(pdf, k, max_iter),
+            "node string, degree long",
+        )
     edges = graph.edges.select("src", "dst").localCheckpoint(eager=True)
     for _ in range(max_iter):
         deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
@@ -440,10 +539,19 @@ def strongly_connected_components(graph: PropertyGraph) -> DataFrame:
     return _run_local(graph, kernel, "node string, component string")
 
 
-def label_propagation(graph: PropertyGraph, max_iter: int = 10) -> DataFrame:
+def label_propagation(
+    graph: PropertyGraph, max_iter: int = 10, local: bool | None = None
+) -> DataFrame:
     """Community detection: each node adopts the most frequent label of
     its in-neighbors each round (ties -> smallest label).  Deterministic
-    variant; python-oracle tested only (not hash-declared)."""
+    synchronous variant, hash-declared (g15); small graphs auto-route to
+    the numpy kernel."""
+    if local is None:
+        local = _edge_count(graph) < LOCAL_EDGE_THRESHOLD
+    if local:
+        return _run_local(
+            graph, lambda pdf: _local_lp_pdf(pdf, max_iter), "node string, label string"
+        )
     nodes = (
         graph.edges.select(F.col("src").alias("node"))
         .union(graph.edges.select(F.col("dst").alias("node")))

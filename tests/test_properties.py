@@ -124,3 +124,81 @@ def test_window_running_sum_telescopes(spark, seed):
     )
     bad = run.filter(F.abs(F.col("delta") - F.col("v")) > 1e-9).count()
     assert bad == 0
+
+
+def _py_sssp(wedges, source, max_iter):
+    """Synchronous Bellman-Ford reference (same round semantics)."""
+    dist = {source: 0}
+    for _ in range(max_iter):
+        new = dict(dist)
+        for a, b, w in wedges:
+            if a in dist and dist[a] + w < new.get(b, float("inf")):
+                new[b] = dist[a] + w
+        if new == dist:
+            break
+        dist = new
+    return dist
+
+
+def _py_kcore(edges, k):
+    """Peel-to-fixpoint reference on a directed (symmetric) edge list."""
+    cur = list(edges)
+    while True:
+        deg = {}
+        for a, _ in cur:
+            deg[a] = deg.get(a, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        nxt = [(a, b) for a, b in cur if a in keep and b in keep]
+        if len(nxt) == len(cur):
+            break
+        cur = nxt
+    out = {}
+    for a, _ in cur:
+        out[a] = out.get(a, 0) + 1
+    return out
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_weighted_sssp_local_distributed_reference_parity(spark, seed):
+    from graph_spark.graph.algorithms import shortest_paths_weighted
+
+    rng = random.Random(seed * 31)
+    edges = _random_graph(seed)
+    wedges = [(a, b, 1 + rng.randrange(9)) for a, b in edges]
+    want = _py_sssp(wedges, "n0", 12)
+    e = spark.createDataFrame(wedges, ["src", "dst", "w"])
+    v = e.select(F.col("src").alias("id")).distinct()
+    g = PropertyGraph(v, e)
+    for local in (True, False):
+        got = {
+            r["node"]: r["dist"]
+            for r in shortest_paths_weighted(g, "n0", "w", max_iter=12, local=local).collect()
+        }
+        assert got == want, f"local={local} seed={seed}"
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_kcore_local_distributed_reference_parity(spark, seed):
+    from graph_spark.graph.algorithms import k_core
+
+    edges = _random_graph(seed)
+    want = _py_kcore(edges, 3)
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    v = e.select(F.col("src").alias("id")).distinct()
+    g = PropertyGraph(v, e)
+    for local in (True, False):
+        got = {r["node"]: r["degree"] for r in k_core(g, 3, local=local).collect()}
+        assert got == want, f"local={local} seed={seed}"
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_label_propagation_local_distributed_parity(spark, seed):
+    from graph_spark.graph.algorithms import label_propagation
+
+    edges = _random_graph(seed)
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    v = e.select(F.col("src").alias("id")).distinct()
+    g = PropertyGraph(v, e)
+    a = {r["node"]: r["label"] for r in label_propagation(g, 4, local=True).collect()}
+    b = {r["node"]: r["label"] for r in label_propagation(g, 4, local=False).collect()}
+    assert a == b, f"seed={seed}"
