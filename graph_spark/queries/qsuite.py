@@ -671,4 +671,30 @@ def t05(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "t06_range_frame",
+    """SELECT event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 2) AS v_1h,
+       (count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))::BIGINT AS n_1h
+       FROM events ORDER BY event_id""",
+    note="event-time RANGE frame (trailing 1 hour per user), ordered on "
+    "integer microsecond epoch so both engines use the exact same frame "
+    "boundaries",
+)
+def t06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("v_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+    ).orderBy("event_id")
+
+
 QUERIES = list(_Q)

@@ -123,4 +123,25 @@ def s05(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_s(
+    "s06_stream_static_join",
+    """SELECT c.c_mktsegment AS seg, count(*) AS n, round(sum(e.value),2) AS v
+       FROM events e JOIN customer c ON e.user_id=c.c_custkey
+       GROUP BY 1 ORDER BY 1""",
+    note="stream-static dim join (events enriched with the customer dim, "
+    "broadcast), batch-declared; streaming replay parity in "
+    "tests/test_streaming.py",
+)
+def s06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    ev = c.table("events").select("user_id", "value")
+    cust = c.table("customer").select("c_custkey", "c_mktsegment")
+    return (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .orderBy("seg")
+    )
+
+
 QUERIES = list(_S)

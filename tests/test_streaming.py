@@ -179,3 +179,22 @@ def test_stateful_running_max(spark, replay_dir):
         Catalog(spark, SF_SMOKE).table("events").groupBy("user_id").agg(F.max("value").alias("mx"))
     )
     assert _rows(final, ["user_id", "mx"]) == _rows(batch, ["user_id", "mx"])
+
+
+def test_s06_stream_static_agg_equals_batch(spark, replay_dir):
+    """Declared s06 form through the replay harness: stream-static join
+    + aggregation in complete mode equals the batch result."""
+    cust = Catalog(spark, SF_SMOKE).table("customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+
+    def enrich_agg(df):
+        return (
+            df.join(F.broadcast(cust), "user_id", "inner")
+            .groupBy(F.col("c_mktsegment").alias("seg"))
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        )
+
+    batch = enrich_agg(Catalog(spark, SF_SMOKE).table("events"))
+    stream = run_stream(spark, replay_dir, enrich_agg, output_mode="complete")
+    assert _rows(stream, ["seg", "n", "v"]) == _rows(batch, ["seg", "n", "v"])
