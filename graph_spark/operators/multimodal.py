@@ -63,6 +63,58 @@ def decode_image(payload: bytes) -> object:
     raise NotImplementedError("image codec libraries not available in this container")
 
 
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """STUB: real resize requires an image library, absent here.  The
+    Spark-side call shape is `df.withColumn("resized", resize_udf(...))`
+    over the pruned (id, payload) projection, identical to
+    `extract_features`."""
+    raise NotImplementedError("image codec libraries not available in this container")
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("checksum", StringType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 64, every: int = 2) -> DataFrame:
+    """Frame sampling over an opaque payload: split each payload into
+    fixed-size frames, keep every `every`-th, emit one row per kept
+    frame (the 1-row -> N-rows mapInPandas shape a video frame-sampler
+    uses).  The frame decode itself is the stubbed codec step; the
+    deterministic chunk checksum keeps the plumbing oracle-checkable."""
+    pruned = media.select("doc_id", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            ids, idxs, sizes, sums = [], [], [], []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, every):
+                    fr = b[i * frame_bytes:(i + 1) * frame_bytes]
+                    ids.append(did)
+                    idxs.append(i)
+                    sizes.append(len(fr))
+                    sums.append(hashlib.md5(fr).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                    "checksum": pd.Series(sums, dtype="object"),
+                }
+            )
+
+    return pruned.mapInPandas(batches, FRAME_SCHEMA)
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the payload column.
 

@@ -499,4 +499,30 @@ def m01(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "m02_frame_sample",
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+       fr AS (SELECT doc_id,
+                     unnest(generate_series(0, (length(text)-1)//64)) AS frame_idx,
+                     text
+              FROM d),
+       cut AS (SELECT doc_id, frame_idx,
+                      substring(text, frame_idx*64 + 1, 64) AS frame
+               FROM fr WHERE frame_idx % 2 = 0)
+       SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+              length(frame)::BIGINT AS n_bytes, md5(frame) AS checksum
+       FROM cut ORDER BY doc_id, frame_idx""",
+    note="video-style frame sampling plumbing: payload split into 64-byte "
+    "frames, every 2nd kept, one output row per frame via mapInPandas "
+    "(codec step stubbed; ASCII fixture makes byte==char chunks "
+    "SQL-reproducible)",
+)
+def m02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import sample_frames
+
+    docs = Catalog(spark, sf_dir).table("documents").filter(F.col("doc_id") < 50)
+    media = to_media_table(docs)
+    return sample_frames(media, frame_bytes=64, every=2).orderBy("doc_id", "frame_idx")
+
+
 QUERIES = list(_L)

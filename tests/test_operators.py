@@ -182,3 +182,28 @@ def test_minhash_signature_count(spark):
     sigs = minhash_signatures(df, k=8).collect()
     assert len(sigs) == 16  # 2 docs x 8 perms
     assert all(len(r["sig"]) == 32 for r in sigs)
+
+
+def test_frame_sampling_shapes(spark):
+    """sample_frames: 1 row -> ceil(n/64/every) rows; empty payload -> 0
+    rows; every=1 keeps all frames and re-concatenation of the frames
+    covers the payload."""
+    import hashlib
+
+    from graph_spark.operators.multimodal import sample_frames
+
+    rows = [(1, b"a" * 130), (2, b""), (3, b"xyz")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = sample_frames(df, frame_bytes=64, every=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: frames 0,1,2 (64+64+2 bytes) -> sampled idx 0,2
+    assert [r["frame_idx"] for r in sorted(by_doc[1], key=lambda r: r["frame_idx"])] == [0, 2]
+    assert sorted(r["n_bytes"] for r in by_doc[1]) == [2, 64]
+    assert 2 not in by_doc  # empty payload contributes no frames
+    assert [(r["frame_idx"], r["n_bytes"]) for r in by_doc[3]] == [(0, 3)]
+    assert by_doc[3][0]["checksum"] == hashlib.md5(b"xyz").hexdigest()
+    # every=1: full coverage
+    full = sample_frames(df, frame_bytes=64, every=1).collect()
+    assert sum(r["n_bytes"] for r in full if r["doc_id"] == 1) == 130
