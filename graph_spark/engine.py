@@ -82,6 +82,9 @@ class Engine:
         g12 = next(q for q in _GQ if q.name == "g12_earliest_arrival")
         return g12.build(self.spark, self.catalog.sf_dir)
 
+    def label_propagation(self, max_iter: int = 10) -> DataFrame:
+        return algorithms.label_propagation(self.graph(), max_iter)
+
     def motif(self, patterns: list[str], **kw) -> DataFrame:
         from .graph.motif import find
 
@@ -135,6 +138,22 @@ class Engine:
         from .operators.text import quality_features
 
         return quality_features(df, text_col)
+
+    # -- multimodal ------------------------------------------------------
+    def to_media(self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+        from .operators.multimodal import to_media_table
+
+        return to_media_table(df, text_col, id_col)
+
+    def media_features(self, media: DataFrame) -> DataFrame:
+        from .operators.multimodal import extract_features
+
+        return extract_features(media)
+
+    def frame_sample(self, media: DataFrame, frame_bytes: int = 64, every: int = 2) -> DataFrame:
+        from .operators.multimodal import sample_frames
+
+        return sample_frames(media, frame_bytes, every)
 
     # -- approximate aggregates (exposed, not hash-declared: §2.B) -------
     @staticmethod

@@ -1,0 +1,52 @@
+"""Facade smoke (SURVEY §3.2): every Engine entry point wires to a real
+operator and returns sane shapes at sf0.001.  Correctness depth lives in
+the oracle suite; this guards the user-facing API surface."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graph_spark.engine import Engine
+
+from .conftest import SF_SMOKE
+
+
+def test_engine_surface(spark):
+    eng = Engine(spark, SF_SMOKE)
+
+    assert eng.table("lineitem").count() > 0
+    assert eng.sql("SELECT count(*) AS n FROM orders").collect()[0]["n"] > 0
+    assert eng.sql("SELECT count(*) AS n FROM graph_edges").collect()[0]["n"] > 0
+
+    g = eng.graph()
+    assert {"src", "dst"} <= set(g.edges.columns)
+
+    pr = eng.pagerank(iterations=3).collect()
+    assert len(pr) > 0 and abs(sum(r["rank"] for r in pr) - 1.0) < 0.2
+
+    assert eng.bfs("c1", 2).count() > 0
+    assert eng.connected_components().count() > 0
+    assert eng.k_core(2).count() >= 0
+    assert eng.label_propagation(max_iter=2).count() > 0
+    assert eng.strongly_connected_components().count() > 0
+    assert eng.shortest_paths("c1").count() > 0
+
+    tv = eng.temporal_value_at(F.lit("1998-01-01").cast("timestamp"))
+    assert tv.count() > 0
+
+    docs = eng.table("documents")
+    assert eng.dedup_exact(docs).count() >= 0
+    assert eng.text_quality(docs.limit(50)).count() == 50
+
+    emb = eng.table("embeddings")
+    probes = emb.filter(F.col("vec_id") < 3)
+    topk = eng.similar_topk(emb, probes, k=2)
+    assert topk.count() == 3 * 2
+
+    media = eng.to_media(docs.limit(10))
+    assert eng.media_features(media).count() == 10
+    frames = eng.frame_sample(media, frame_bytes=64, every=1)
+    assert frames.count() >= 10
+
+    acd = eng.approx_count_distinct(eng.table("orders"), "o_custkey").collect()[0][0]
+    assert acd > 0

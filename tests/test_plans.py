@@ -106,3 +106,14 @@ def test_whole_stage_codegen_in_agg(spark):
     plan = buf.getvalue()
     # '*' prefix in formatted explain marks whole-stage-codegen nodes
     assert "== Final Plan ==" in plan and "* HashAggregate" in plan, plan
+
+
+def test_m02_filter_pushes_below_mapinpandas(spark):
+    """The doc_id<50 filter must reach the parquet scan, not run after
+    the python stage — at 100 TB the payload decode must see only the
+    selected rows."""
+    from graph_spark.queries.lsuite import QUERIES
+
+    m02 = next(q for q in QUERIES if q.name == "m02_frame_sample")
+    plan = _plan(m02.build(spark, SF_SMOKE))
+    assert "PushedFilters: [" in plan and "LessThan(doc_id,50)" in plan, plan
