@@ -564,4 +564,46 @@ def g17(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(PropertyGraph(nodes, ne)).orderBy("node")
 
 
+@_g(
+    "g18_temporal_agg_indexed",
+    """SELECT o_custkey AS entity_id, round(sum(o_totalprice),2) AS s,
+       count(*)::BIGINT AS c, round(min(o_totalprice),2) AS mn,
+       round(max(o_totalprice),2) AS mx,
+       floor(round(sum(o_totalprice),2)*10000/count(*) + 0.5)/10000 AS avg
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-03-15'
+         AND o_orderdate <  TIMESTAMP '1998-07-10'
+       GROUP BY 1 ORDER BY 1""",
+    note="temporal aggregate over a ragged range [1996-03-15, 1998-07-10) "
+    "answered from the materialized monthly rollup for interior buckets + "
+    "grain rows for the two edge buckets (the reference's temporal "
+    "aggregate index, as storage-layout pruning); oracle scans the grain "
+    "directly — identical result proves index-path equivalence. avg is "
+    "derived from the ROUNDED sum in both engines so partial-sum "
+    "regrouping drift cannot shift the 4-dp half boundary",
+)
+def g18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..temporal.aggregate_index import build_rollup, range_aggregate_indexed
+
+    c = Catalog(spark, sf_dir)
+    grain = c.table("orders").select(
+        F.col("o_custkey").alias("entity_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_totalprice").alias("value"),
+    )
+    rollup = build_rollup(grain, ["entity_id"], "ts", "value", "month")
+    res = range_aggregate_indexed(
+        grain, rollup, ["entity_id"], "ts", "value", "1996-03-15", "1998-07-10", "month"
+    )
+    s2 = F.round(F.col("s"), 2)
+    return res.select(
+        "entity_id",
+        s2.alias("s"),
+        F.col("c"),
+        F.round("mn", 2).alias("mn"),
+        F.round("mx", 2).alias("mx"),
+        (F.floor(s2 * 10000 / F.col("c") + F.lit(0.5)) / 10000).alias("avg"),
+    ).orderBy("entity_id")
+
+
 QUERIES = list(_G)

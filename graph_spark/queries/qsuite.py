@@ -697,4 +697,32 @@ def t06(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+@_q(
+    "q31_udtf_lateral",
+    """SELECT doc_id, count(*) AS n_terms, count(DISTINCT term) AS n_distinct,
+       max(pos)::INT AS max_pos FROM (
+         SELECT doc_id, l[i] AS term, (i-1)::INT AS pos
+         FROM (SELECT doc_id, string_split(text,' ') AS l
+               FROM documents WHERE doc_id < 30) d,
+         LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) g
+         WHERE l[i] <> '')
+       GROUP BY 1 ORDER BY 1""",
+    note="Python UDTF (tokenize) registered into SQL and applied via "
+    "LATERAL join — the table-valued-function surface, oracle = "
+    "positional string_split",
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udf_surface import register_all
+
+    register_all(spark)
+    docs = Catalog(spark, sf_dir).table("documents").filter(F.col("doc_id") < 30)
+    docs.createOrReplaceTempView("q31_docs")
+    return spark.sql(
+        """SELECT d.doc_id, count(*) AS n_terms,
+           count(DISTINCT t.term) AS n_distinct, max(t.pos) AS max_pos
+           FROM q31_docs d, LATERAL tokenize(d.text) t
+           GROUP BY d.doc_id ORDER BY d.doc_id"""
+    )
+
+
 QUERIES = list(_Q)
