@@ -198,3 +198,64 @@ def test_s06_stream_static_agg_equals_batch(spark, replay_dir):
     batch = enrich_agg(Catalog(spark, SF_SMOKE).table("events"))
     stream = run_stream(spark, replay_dir, enrich_agg, output_mode="complete")
     assert _rows(stream, ["seg", "n", "v"]) == _rows(batch, ["seg", "n", "v"])
+
+
+def test_s04_watermark_drops_late_data(spark, tmp_path):
+    """Real late-data semantics (s04's in-order parity can't show drops):
+    phase 1 advances the watermark past an old window; phase 2 delivers a
+    late row into that window — it must NOT update the aggregate, while
+    the on-time row in the same batch must."""
+    import datetime as dt
+    import os
+    import uuid
+
+    from graph_spark.streaming.replay import EVENTS_SCHEMA
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(
+            [(i, ts, 1, "click", 1.0, "{}") for i, ts in enumerate(rows)], EVENTS_SCHEMA
+        )
+        staging = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+        os.rename(os.path.join(staging, part), os.path.join(src_dir, f"{name}.parquet"))
+
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)
+    src = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+    )
+    agg = (
+        src.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        # phase 1: watermark advances to 12:59 - 10min = 12:49 > end of
+        # the 10:00 window, so its state is evicted
+        write_file("b0", [t(10, 5), t(12, 30), t(12, 59)])
+        q.processAllAvailable()
+        # phase 2: one late row into the evicted 10:00 window (dropped),
+        # one on-time row at 13:05 (aggregated)
+        write_file("b1", [t(10, 10), t(13, 5)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = [
+        (r["w"].start.hour, r["n"]) for r in spark.table(name).collect()
+    ]
+    assert (10, 1) in emitted and (12, 2) in emitted and (13, 1) in emitted, emitted
+    assert (10, 2) not in emitted, f"late row leaked into evicted window: {emitted}"
