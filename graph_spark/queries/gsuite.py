@@ -606,4 +606,62 @@ def g18(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("entity_id")
 
 
+@_g(
+    "g19_motif_wedges",
+    f"""WITH {GRAPH_CTES},
+       ge AS (SELECT src, dst FROM graph_edges WHERE n_items >= 3)
+       SELECT e1.dst AS b, count(*)::BIGINT AS n_wedges
+       FROM ge e1 JOIN ge e2 ON e1.dst=e2.dst AND e1.src<e2.src
+       GROUP BY 1 ORDER BY 1""",
+    note="motif matching through find(['a->b','c->b']): ordered "
+    "co-purchase wedges per supplier on the n_items>=3 subgraph",
+)
+def g19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.motif import find
+
+    c = Catalog(spark, sf_dir)
+    ge = c.graph_edges().filter(F.col("n_items") >= 3).select("src", "dst")
+    nodes = (
+        ge.select(F.col("src").alias("id")).union(ge.select(F.col("dst").alias("id"))).distinct()
+    )
+    wedges = find(PropertyGraph(nodes, ge), ["a->b", "c->b"]).filter(F.col("a") < F.col("c"))
+    return wedges.groupBy("b").agg(F.count(F.lit(1)).alias("n_wedges")).orderBy("b")
+
+
+@_g(
+    "g20_interval_writes",
+    """SELECT o_custkey AS entity_id, count(*)::BIGINT AS active
+       FROM orders WHERE o_orderdate <= TIMESTAMP '1997-06-15'
+         AND o_orderdate + INTERVAL 30 DAY > TIMESTAMP '1997-06-15'
+       GROUP BY 1 ORDER BY 1""",
+    note="interval temporal writes (the reference's "
+    "setTemporalProperty(t1,t2,v) surface): each order is an interval "
+    "write valid [o_orderdate, +30d); engine converts intervals to "
+    "+1/-1 change-point deltas and answers 'active intervals at t' as a "
+    "cumulative point-read; oracle checks interval containment directly",
+)
+def g20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..temporal.tprop import value_at
+
+    o = Catalog(spark, sf_dir).table("orders")
+    starts = o.select(
+        F.col("o_custkey").alias("entity_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(1).cast("long").alias("delta"),
+    )
+    ends = o.select(
+        F.col("o_custkey").alias("entity_id"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+        F.lit(-1).cast("long").alias("delta"),
+    )
+    deltas = starts.unionByName(ends)
+    t = F.lit("1997-06-15").cast("timestamp")
+    res = value_at(deltas, t, value_col="delta", cumulative=True)
+    return (
+        res.filter(F.col("value") > 0)
+        .select("entity_id", F.col("value").alias("active"))
+        .orderBy("entity_id")
+    )
+
+
 QUERIES = list(_G)
