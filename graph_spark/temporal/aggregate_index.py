@@ -44,6 +44,38 @@ def build_rollup(
     )
 
 
+def _parse_ts(ts) -> "datetime":
+    from datetime import datetime
+
+    if isinstance(ts, datetime):
+        return ts
+    if isinstance(ts, str):
+        for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+            try:
+                return datetime.strptime(ts, fmt)
+            except ValueError:
+                continue
+    raise ValueError(f"unsupported timestamp literal: {ts!r}")
+
+
+def _bucket_floor(dt, bucket: str):
+    if bucket == "month":
+        return dt.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+    if bucket == "day":
+        return dt.replace(hour=0, minute=0, second=0, microsecond=0)
+    if bucket == "hour":
+        return dt.replace(minute=0, second=0, microsecond=0)
+    raise ValueError(f"unsupported bucket: {bucket}")
+
+
+def _bucket_next(dt, bucket: str):
+    from datetime import timedelta
+
+    if bucket == "month":
+        return dt.replace(year=dt.year + (dt.month // 12), month=dt.month % 12 + 1)
+    return dt + (timedelta(days=1) if bucket == "day" else timedelta(hours=1))
+
+
 def range_aggregate_indexed(
     grain: DataFrame,
     rollup: DataFrame,
@@ -57,16 +89,24 @@ def range_aggregate_indexed(
     """Aggregate `value_col` over [start_ts, end_ts) per entity using the
     rollup for interior buckets and the grain only at the ragged edges.
 
+    The bucket boundaries are computed DRIVER-SIDE from the range
+    literals so every filter below is a plain literal comparison —
+    Catalyst pushes them into the parquet scans (a `F.when` over column
+    expressions here would silently disable pushdown and re-scan the
+    full grain at 100 TB; plan-guarded in tests/test_plans.py).
+
     Returns (entities..., s, c, mn, mx, avg)."""
-    start = F.lit(start_ts).cast("timestamp")
-    end = F.lit(end_ts).cast("timestamp")
+    start_dt = _parse_ts(start_ts)
+    end_dt = _parse_ts(end_ts)
+    b_lo = _bucket_floor(start_dt, bucket)
     # interior bucket window: [ceil_bucket(start), floor_bucket(end))
-    b_lo = F.date_trunc(bucket, start)
-    lo_is_aligned = b_lo == start
-    interior_lo = F.when(lo_is_aligned, start).otherwise(
-        F.date_trunc(bucket, start + F.expr(f"INTERVAL 1 {bucket}"))
-    )
-    interior_hi = F.date_trunc(bucket, end)
+    interior_lo_dt = start_dt if b_lo == start_dt else _bucket_next(b_lo, bucket)
+    interior_hi_dt = _bucket_floor(end_dt, bucket)
+
+    start = F.lit(start_dt)
+    end = F.lit(end_dt)
+    interior_lo = F.lit(interior_lo_dt)
+    interior_hi = F.lit(interior_hi_dt)
 
     full = rollup.filter(
         (F.col("__bucket") >= interior_lo) & (F.col("__bucket") < interior_hi)
@@ -77,12 +117,12 @@ def range_aggregate_indexed(
     # When the range spans no full bucket (interior window inverted or
     # empty), the WHOLE range is one edge — without this guard the two
     # edge predicates would overcount across the inversion.
-    has_interior = interior_lo < interior_hi
-    edge_pred = F.when(
-        has_interior,
-        ((F.col(ts_col) >= start) & (F.col(ts_col) < interior_lo))
-        | ((F.col(ts_col) >= interior_hi) & (F.col(ts_col) < end)),
-    ).otherwise((F.col(ts_col) >= start) & (F.col(ts_col) < end))
+    if interior_lo_dt < interior_hi_dt:
+        edge_pred = ((F.col(ts_col) >= start) & (F.col(ts_col) < interior_lo)) | (
+            (F.col(ts_col) >= interior_hi) & (F.col(ts_col) < end)
+        )
+    else:
+        edge_pred = (F.col(ts_col) >= start) & (F.col(ts_col) < end)
     edges = grain.filter(edge_pred)
     edge_partials = edges.groupBy(*entity_cols).agg(
         F.sum(value_col).alias("s"),

@@ -117,3 +117,13 @@ def test_m02_filter_pushes_below_mapinpandas(spark):
     m02 = next(q for q in QUERIES if q.name == "m02_frame_sample")
     plan = _plan(m02.build(spark, SF_SMOKE))
     assert "PushedFilters: [" in plan and "LessThan(doc_id,50)" in plan, plan
+
+
+def test_g18_indexed_range_filters_push_to_scan(spark):
+    """The temporal-index edge-bucket predicate must reach the parquet
+    scan (driver-side bucket math keeps it a literal comparison)."""
+    from graph_spark.queries.gsuite import QUERIES
+
+    g18 = next(q for q in QUERIES if q.name == "g18_temporal_agg_indexed")
+    plan = _plan(g18.build(spark, SF_SMOKE))
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
