@@ -725,4 +725,36 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q32_scd2_history",
+    """WITH u AS (SELECT o_custkey, o_orderdate,
+                  round(max(o_totalprice),2) AS value
+                  FROM orders WHERE o_custkey < 100 GROUP BY 1,2)
+       SELECT o_custkey, strftime(o_orderdate,'%Y-%m-%d %H:%M:%S.%f') AS ts,
+              value,
+              strftime(lead(o_orderdate) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate),
+                '%Y-%m-%d %H:%M:%S.%f') AS valid_to
+       FROM u ORDER BY 1, 2""",
+    note="SCD-2 history-preserving upsert (MERGE without Delta): every "
+    "state update gets valid_to = next update's ts, open row NULL — the "
+    "reference's mutable-property writes re-expressed on immutable "
+    "storage; per-day max pre-agg keys the history uniquely",
+)
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.writers import upsert_scd2
+
+    o = Catalog(spark, sf_dir).table("orders").filter(F.col("o_custkey") < 100)
+    updates = o.groupBy("o_custkey", "o_orderdate").agg(
+        F.round(F.max("o_totalprice"), 2).alias("value")
+    )
+    hist = upsert_scd2(updates.limit(0), updates, ["o_custkey"], "o_orderdate")
+    return hist.select(
+        "o_custkey",
+        ts_str(F.col("o_orderdate")).alias("ts"),
+        "value",
+        ts_str(F.col("valid_to")).alias("valid_to"),
+    ).orderBy("o_custkey", "ts")
+
+
 QUERIES = list(_Q)
