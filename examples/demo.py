@@ -44,8 +44,16 @@ def main() -> None:
     print("== graph: motif — supplier shared by two customers ==")
     eng.motif(["a->s", "b->s"], distinct_vertices=True).show(5)
 
+    print("== graph: 3-core and community labels ==")
+    eng.k_core(3).show(5)
+    eng.label_propagation(max_iter=5).show(5)
+
     print("== temporal: cumulative spend as of 1998-01-01 ==")
     eng.temporal_value_at("1998-01-01").orderBy(F.desc("value")).show(5)
+
+    print("== multimodal: payload frames via mapInPandas (codec stubbed) ==")
+    media = eng.to_media(eng.table("documents").limit(5))
+    eng.frame_sample(media, frame_bytes=64, every=2).show(5)
 
     print("== LLM ops: near-duplicate candidates via MinHash LSH ==")
     docs = eng.table("documents")
