@@ -176,3 +176,34 @@ def test_motif_rejects_disconnected(spark):
     g = PropertyGraph(edf.select(F.col("src").alias("id")).distinct(), edf)
     with pytest.raises(ValueError, match="disconnected"):
         find(g, ["x->y", "p->q"])
+
+
+def test_graph_algorithm_edge_cases(spark):
+    """Degenerate inputs behave identically on local and distributed
+    paths: k above max degree empties the core; BFS from an absent
+    source returns just the source; SSSP omits unreachable nodes."""
+    from pyspark.sql import functions as F
+
+    from graph_spark.graph.algorithms import (
+        bfs_distances,
+        k_core,
+        shortest_paths_weighted,
+    )
+    from graph_spark.graph.property_graph import PropertyGraph
+
+    e = spark.createDataFrame(
+        [("a", "b", 2), ("b", "a", 2), ("x", "y", 1), ("y", "x", 1)],
+        ["src", "dst", "w"],
+    )
+    v = e.select(F.col("src").alias("id")).distinct()
+    g = PropertyGraph(v, e)
+
+    for local in (True, False):
+        assert k_core(g, 5, local=local).count() == 0, f"local={local}"
+        bfs = {r["node"]: r["d"] for r in bfs_distances(g, "zz", 2, local=local).collect()}
+        assert bfs == {"zz": 0}, f"local={local}"
+        dist = {
+            r["node"]: r["dist"]
+            for r in shortest_paths_weighted(g, "a", "w", max_iter=4, local=local).collect()
+        }
+        assert dist == {"a": 0.0, "b": 2.0}, f"local={local}"
