@@ -380,6 +380,94 @@ def pagerank(
     return rank
 
 
+def _local_ppr_pdf(pdf, sources, iterations: int, damping: float):
+    """numpy personalized-PageRank kernel over one pandas edge list."""
+    import numpy as np
+    import pandas as pd
+
+    nodes, src, dst = _factorize_edges(pdf)
+    n = len(nodes)
+    deg = np.bincount(src, minlength=n).astype("float64")
+    is_src = np.isin(nodes, np.asarray(list(sources), dtype=object))
+    ns = int(is_src.sum())
+    if ns == 0:
+        return pd.DataFrame({"node": nodes, "rank": np.zeros(n)})
+    tele = np.where(is_src, 1.0 / ns, 0.0)
+    rank = tele.copy()
+    for _ in range(int(iterations)):
+        contrib = np.where(deg > 0, rank / np.maximum(deg, 1), 0.0)
+        acc = np.bincount(dst, weights=contrib[src], minlength=n)
+        rank = (1.0 - damping) * tele + damping * acc
+    return pd.DataFrame({"node": nodes, "rank": rank})
+
+
+def personalized_pagerank(
+    graph: PropertyGraph,
+    sources: list,
+    iterations: int = 10,
+    damping: float = 0.85,
+    local: bool | None = None,
+) -> DataFrame:
+    """Personalized PageRank: teleport mass restricted to `sources`
+    (uniform 1/|S| init and reset).  Same superstep shape as `pagerank`
+    — ONE shuffle per iteration (message combine on dst over edges
+    pre-partitioned by dst), rank/out-degree broadcast — so the 100 TB
+    cost model is identical; only the teleport vector changes.
+    Returns DataFrame(node, rank).
+    """
+    if local is None:
+        local = _edge_count(graph) < LOCAL_EDGE_THRESHOLD
+    if local:
+        return _run_local(
+            graph,
+            lambda pdf: _local_ppr_pdf(pdf, sources, iterations, damping),
+            "node string, rank double",
+        )
+    nodes = (
+        graph.edges.select(F.col("src").alias("node"))
+        .union(graph.edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    src_set = [str(s) for s in sources]
+    ns = nodes.filter(F.col("node").isin(src_set)).count()
+    tele = F.when(F.col("node").isin(src_set), F.lit(1.0 / ns)).otherwise(F.lit(0.0))
+    outdeg = graph.edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    ).persist()
+    rank = nodes.withColumn("rank", tele).localCheckpoint(eager=True)
+    spark = graph.edges.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    edges = graph.edges.select("src", "dst").repartition(n_part, "dst").persist()
+    edges.count()
+    for _ in range(iterations):
+        contrib_src = F.broadcast(
+            rank.join(outdeg, "node").select(
+                F.col("node").alias("csrc"), (F.col("rank") / F.col("deg")).alias("w")
+            )
+        )
+        msgs = (
+            edges.join(contrib_src, edges.src == F.col("csrc"), "inner")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("w").alias("acc"))
+        )
+        rank = (
+            nodes.join(msgs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * tele
+                    + F.lit(damping) * F.coalesce(F.col("acc"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    nodes.unpersist()
+    outdeg.unpersist()
+    edges.unpersist()
+    return rank
+
+
 def triangle_count(edges_undirected_pairs: DataFrame) -> DataFrame:
     """Count triangles in an undirected simple graph given as canonical
     pairs (s1 < s2, one row per edge).  Standard a<b<c three-way

@@ -664,4 +664,56 @@ def g20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ppr_oracle(iters: int = 8) -> str:
+    """Unrolled personalized PageRank (teleport restricted to a source
+    set); MATERIALIZED per iteration so DuckDB doesn't inline-explode
+    the chained LEFT-JOIN aggregates."""
+    srcs = "('c1','c5','c9')"
+    steps = []
+    prev = "pr0"
+    for i in range(1, iters + 1):
+        cur = f"pr{i}"
+        steps.append(
+            f"""{cur} AS MATERIALIZED (
+  SELECT n.node,
+         (CASE WHEN n.node IN {srcs} THEN 0.15::DOUBLE/(SELECT c FROM ns) ELSE 0.0::DOUBLE END)
+         + 0.85::DOUBLE*coalesce(sum(p.r/od.d),0) AS r
+  FROM graph_nodes n
+  LEFT JOIN graph_edges_sym e ON e.dst=n.node
+  LEFT JOIN {prev} p ON p.node=e.src
+  LEFT JOIN outdeg od ON od.src=e.src
+  GROUP BY n.node)"""
+        )
+        prev = cur
+    chain = ",\n".join(steps)
+    return f"""WITH {GRAPH_CTES},
+ns AS (SELECT count(*) AS c FROM graph_nodes WHERE node IN {srcs}),
+outdeg AS (SELECT src, count(*) AS d FROM graph_edges_sym GROUP BY 1),
+pr0 AS (SELECT node,
+  CASE WHEN node IN {srcs} THEN 1.0::DOUBLE/(SELECT c FROM ns) ELSE 0.0::DOUBLE END AS r
+  FROM graph_nodes),
+{chain}
+SELECT node, round(r, 8) AS r FROM pr{iters} ORDER BY r DESC, node LIMIT 20"""
+
+
+@_g(
+    "g21_personalized_pagerank",
+    _ppr_oracle(),
+    note="random-walk-with-restart relevance from a 3-node seed set "
+    "(teleport mass restricted to the seeds) — the reference's "
+    "neighborhood-relevance traversal as a Pregel loop; identical "
+    "superstep cost to g06, only the teleport vector differs",
+)
+def g21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import personalized_pagerank
+
+    g = _sym_graph(Catalog(spark, sf_dir))
+    ranks = personalized_pagerank(g, ["c1", "c5", "c9"], iterations=8, damping=0.85)
+    return (
+        ranks.select("node", F.round("rank", 8).alias("r"))
+        .orderBy(F.col("r").desc(), F.col("node").asc())
+        .limit(20)
+    )
+
+
 QUERIES = list(_G)

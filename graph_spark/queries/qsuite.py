@@ -757,4 +757,42 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_custkey", "ts")
 
 
+@_q(
+    "t07_time_weighted_avg",
+    """WITH cp AS (
+         SELECT o_custkey AS entity_id, o_orderdate AS ts, max(o_totalprice) AS v
+         FROM orders GROUP BY 1,2),
+       seg AS (
+         SELECT entity_id, v, ts AS vf,
+                lead(ts) OVER (PARTITION BY entity_id ORDER BY ts) AS vt
+         FROM cp),
+       clip AS (
+         SELECT entity_id, v,
+           date_diff('day',
+             greatest(vf, TIMESTAMP '1996-01-01')::DATE,
+             least(coalesce(vt, TIMESTAMP '1998-01-01'), TIMESTAMP '1998-01-01')::DATE) AS days
+         FROM seg)
+       SELECT entity_id, round(round(sum(v*days),2)/sum(days), 6) AS twa
+       FROM clip WHERE days > 0 GROUP BY 1 ORDER BY 1""",
+    note="duration-weighted mean of a piecewise-constant temporal property "
+    "over ['1996-01-01','1998-01-01') — the reference's aggregate-over-"
+    "interval semantic; a change-point before the range still contributes "
+    "its in-range prefix; weighted sum rounded before the division so "
+    "summation-order ulp drift cannot flip the final rounding",
+)
+def t07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..temporal.tprop import time_weighted_avg
+
+    o = Catalog(spark, sf_dir).table("orders")
+    cp = o.groupBy(
+        F.col("o_custkey").alias("entity_id"), F.col("o_orderdate").alias("ts")
+    ).agg(F.max("o_totalprice").alias("value"))
+    res = time_weighted_avg(
+        cp,
+        F.lit("1996-01-01").cast("timestamp"),
+        F.lit("1998-01-01").cast("timestamp"),
+    )
+    return res.orderBy("entity_id")
+
+
 QUERIES = list(_Q)

@@ -64,6 +64,59 @@ def range_aggregate(
     )
 
 
+def time_weighted_avg(
+    tprop: DataFrame,
+    start_ts,
+    end_ts,
+    entity_col: str = "entity_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Duration-weighted mean of a piecewise-constant property over
+    [start_ts, end_ts) — the temporal-aggregate semantic the reference
+    system serves from its aggregation index (TGraph aggregate-over-
+    interval, duration-weighted).
+
+    Change-points expand to validity segments with one window shuffle on
+    the entity key; each segment is clipped to the query range and
+    weighted by its clipped duration in days.  Segments entirely outside
+    the range drop out (clipped duration <= 0).  A change-point BEFORE
+    start_ts still contributes the in-range prefix of its segment, which
+    is what makes this a true piecewise read rather than a filtered agg.
+
+    At 100 TB the long table is time-bucket partitioned; only buckets
+    overlapping [start, end) plus the one carrying the last prior
+    change-point are read (callers bound the lookback the same way the
+    reference bounds its index scan).
+
+    Returns (entity, twa) with twa = round(round(sum(v*days),2)/sum(days), 6):
+    the weighted sum is rounded before the division so cross-engine
+    summation-order ulp drift cannot flip the final rounding.
+    """
+    w = Window.partitionBy(entity_col).orderBy(F.col(ts_col).asc())
+    seg = tprop.select(
+        entity_col,
+        F.col(value_col).alias("v"),
+        F.col(ts_col).alias("vf"),
+        F.lead(ts_col).over(w).alias("vt"),
+    )
+    s = F.greatest(F.col("vf"), start_ts)
+    e = F.least(F.coalesce(F.col("vt"), end_ts), end_ts)
+    days = F.datediff(e.cast("date"), s.cast("date"))
+    clipped = seg.withColumn("days", days).filter(F.col("days") > 0)
+    return (
+        clipped.groupBy(entity_col)
+        .agg(
+            F.round(F.sum(F.col("v") * F.col("days")), 2).alias("ws"),
+            F.sum("days").alias("wd"),
+        )
+        .select(
+            entity_col,
+            F.round(F.col("ws") / F.col("wd"), 6).alias("twa"),
+        )
+    )
+
+
 def snapshot(temporal_edges: DataFrame, at_ts, ts_col: str = "ts") -> DataFrame:
     """Graph snapshot: keep only edge events visible at `at_ts`."""
     return temporal_edges.filter(F.col(ts_col) <= at_ts)

@@ -202,3 +202,43 @@ def test_label_propagation_local_distributed_parity(spark, seed):
     a = {r["node"]: r["label"] for r in label_propagation(g, 4, local=True).collect()}
     b = {r["node"]: r["label"] for r in label_propagation(g, 4, local=False).collect()}
     assert a == b, f"seed={seed}"
+
+
+def _py_ppr(edges, sources, iters, damping):
+    adj, deg = {}, {}
+    nodes = set()
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        deg[a] = deg.get(a, 0) + 1
+        nodes.update((a, b))
+    tele = {n: (1.0 / len(sources) if n in sources else 0.0) for n in nodes}
+    rank = dict(tele)
+    for _ in range(iters):
+        acc = {n: 0.0 for n in nodes}
+        for u, r in rank.items():
+            if deg.get(u):
+                share = r / deg[u]
+                for v in adj[u]:
+                    acc[v] += share
+        rank = {n: (1 - damping) * tele[n] + damping * acc[n] for n in nodes}
+    return rank
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_personalized_pagerank_local_distributed_reference_parity(spark, seed):
+    from graph_spark.graph.algorithms import personalized_pagerank
+
+    edges = _random_graph(seed)
+    sources = ["n0", "n1"]
+    want = _py_ppr(edges, sources, 5, 0.85)
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    v = e.select(F.col("src").alias("id")).distinct()
+    g = PropertyGraph(v, e)
+    for local in (True, False):
+        got = {
+            r["node"]: r["rank"]
+            for r in personalized_pagerank(g, sources, 5, local=local).collect()
+        }
+        assert got.keys() == want.keys(), f"local={local} seed={seed}"
+        for n in want:
+            assert abs(got[n] - want[n]) < 1e-9, f"local={local} seed={seed} node={n}"
