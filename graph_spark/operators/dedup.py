@@ -156,3 +156,57 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 2, text_col: str = "text", id_co
         .withColumn("jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
         .select("a", "b", "jaccard")
     )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    max_distance: int = 2,
+    n_bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup candidate pairs within `max_distance` hamming bits.
+
+    LSH banding over the 64-bit signature: the 16-hex-char signature is
+    split into `n_bands` equal substrings; docs sharing ANY band become
+    candidates via an equi-join on (band, band_key) — never a cross
+    join, so at 100 TB the cost is bounded by bucket collision sizes
+    (band width tunes recall vs bucket size; 4x16-bit bands guarantee
+    recall 1.0 for distance <= 3 by pigeonhole).  Exact hamming is then
+    computed digit-wise (bit_count of 4-bit xor, summed over the 16 hex
+    digits) on candidates only.  Returns (i, j, hd), i < j.
+    """
+    band_w = 16 // n_bands
+    sig = simhash_signatures(df, text_col, id_col)
+    bands = (
+        sig.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+        )
+        .withColumn("bk", F.expr(f"substring(simhash, band*{band_w} + 1, {band_w})"))
+    )
+    a = bands.select(F.col(id_col).alias("i"), "band", "bk", F.col("simhash").alias("sa"))
+    b = bands.select(F.col(id_col).alias("j"), "band", "bk", F.col("simhash").alias("sb"))
+    cand = (
+        a.join(b, ["band", "bk"])
+        .filter(F.col("i") < F.col("j"))
+        .select("i", "j", "sa", "sb")
+        .distinct()
+    )
+    dig = cand.select(
+        "i", "j", F.explode(F.sequence(F.lit(1), F.lit(16))).alias("di"), "sa", "sb"
+    )
+    ham = dig.select(
+        "i",
+        "j",
+        F.expr(
+            "bit_count((instr('0123456789abcdef', substring(sa, di, 1)) - 1)"
+            " ^ (instr('0123456789abcdef', substring(sb, di, 1)) - 1))"
+        ).alias("hb"),
+    )
+    return (
+        ham.groupBy("i", "j")
+        .agg(F.sum("hb").alias("hd"))
+        .filter(F.col("hd") <= max_distance)
+    )

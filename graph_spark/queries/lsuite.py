@@ -525,4 +525,50 @@ def m02(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media, frame_bytes=64, every=2).orderBy("doc_id", "frame_idx")
 
 
+@_l(
+    "l20_simhash_hamming",
+    """WITH tok AS (
+         SELECT DISTINCT doc_id, t.term FROM documents,
+         unnest(string_split(text, ' ')) AS t(term) WHERE t.term <> ''),
+       th AS (SELECT doc_id, md5(term) AS h FROM tok),
+       digits AS (SELECT doc_id, i.i AS di,
+                  strpos('0123456789abcdef', substring(h, (i.i+1)::INT, 1)) - 1 AS dv
+                  FROM th CROSS JOIN range(16) i(i)),
+       bits AS (SELECT doc_id, di, b.bi,
+                CAST(floor(dv / power(2, b.bi)) AS BIGINT) % 2 AS bit
+                FROM digits CROSS JOIN range(4) b(bi)),
+       maj AS (SELECT doc_id, di, bi,
+               CASE WHEN sum(bit*2 - 1) > 0 THEN 1 ELSE 0 END AS mbit
+               FROM bits GROUP BY 1,2,3),
+       dvals AS (SELECT doc_id, di, sum(mbit * CAST(power(2, bi) AS BIGINT))::BIGINT AS dval
+                 FROM maj GROUP BY 1,2),
+       halves AS (SELECT doc_id, CASE WHEN di < 8 THEN 1 ELSE 0 END AS half,
+                  sum(dval * CAST(power(2, 4*(7 - di % 8)) AS BIGINT))::BIGINT AS hv
+                  FROM dvals GROUP BY 1,2),
+       hx AS (SELECT doc_id, half, lpad(lower(to_hex(hv)), 8, '0') AS hs FROM halves),
+       sigs AS MATERIALIZED (
+         SELECT doc_id, max(CASE WHEN half=1 THEN hs END) || max(CASE WHEN half=0 THEN hs END) AS sim
+         FROM hx GROUP BY 1),
+       bands AS (SELECT doc_id, b.b AS band, substring(sim, (b.b*4+1)::INT, 4) AS bk
+                 FROM sigs CROSS JOIN range(4) b(b)),
+       cand AS (SELECT DISTINCT a.doc_id i, b.doc_id j FROM bands a JOIN bands b
+                ON a.band=b.band AND a.bk=b.bk AND a.doc_id<b.doc_id),
+       dig AS (SELECT doc_id, i.i AS di,
+               strpos('0123456789abcdef', substring(sim, (i.i+1)::INT, 1)) - 1 AS dv
+               FROM sigs CROSS JOIN range(16) i(i)),
+       ham AS (SELECT c.i, c.j, sum(bit_count(xor(a.dv, b.dv)))::BIGINT AS hd
+               FROM cand c JOIN dig a ON a.doc_id=c.i JOIN dig b ON b.doc_id=c.j AND b.di=a.di
+               GROUP BY 1,2)
+       SELECT i, j, hd FROM ham WHERE hd <= 2 ORDER BY 1, 2""",
+    note="SimHash LSH banding (4x16-bit bands, equi-join on band key — "
+    "never a cross join) + exact hamming filter on candidates; "
+    "pigeonhole guarantees full recall at distance <= 3",
+)
+def l20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_hamming_pairs
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    return simhash_hamming_pairs(docs, max_distance=2).orderBy("i", "j")
+
+
 QUERIES = list(_L)

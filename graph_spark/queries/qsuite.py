@@ -758,6 +758,38 @@ def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q33_higher_order_fns",
+    """SELECT vec_id,
+       len(list_filter(embedding, x -> x > 0))::INT AS n_pos,
+       round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)*x), 'sum'), 4) AS sumsq,
+       (len(list_filter(embedding, x -> abs(x) > 2)) > 0) AS has_big,
+       round(list_aggregate(list_transform(embedding,
+         x -> CASE WHEN x > 0 THEN CAST(x AS DOUBLE) ELSE 0.0 END), 'sum'), 4) AS pos_sum
+       FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""",
+    note="higher-order lambda functions over array columns "
+    "(filter/transform/exists/aggregate) — stays whole-stage-codegen "
+    "JVM-side, no UDF; the scale path for elementwise embedding math",
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("embeddings").filter(F.col("vec_id") < 100)
+    return e.select(
+        "vec_id",
+        F.expr("size(filter(embedding, x -> x > 0))").alias("n_pos"),
+        F.round(
+            F.expr("aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE)*x)"), 4
+        ).alias("sumsq"),
+        F.expr("exists(embedding, x -> abs(x) > 2)").alias("has_big"),
+        F.round(
+            F.expr(
+                "aggregate(embedding, 0D,"
+                " (a, x) -> a + CASE WHEN x > 0 THEN CAST(x AS DOUBLE) ELSE 0D END)"
+            ),
+            4,
+        ).alias("pos_sum"),
+    ).orderBy("vec_id")
+
+
+@_q(
     "t07_time_weighted_avg",
     """WITH cp AS (
          SELECT o_custkey AS entity_id, o_orderdate AS ts, max(o_totalprice) AS v

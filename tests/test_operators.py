@@ -207,3 +207,51 @@ def test_frame_sampling_shapes(spark):
     # every=1: full coverage
     full = sample_frames(df, frame_bytes=64, every=1).collect()
     assert sum(r["n_bytes"] for r in full if r["doc_id"] == 1) == 130
+
+
+def test_simhash_hamming_pairs_identical_and_disjoint(spark):
+    """Identical token sets -> hamming 0 pair; disjoint-vocabulary doc
+    stays out at a tight threshold; i<j canonical orientation."""
+    from graph_spark.operators.dedup import simhash_hamming_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),  # same tokens -> same signature
+        (3, "zq xw vv uu tt ss rr qq pp oo nn mm"),  # disjoint vocab
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["i"], r["j"]): r["hd"] for r in simhash_hamming_pairs(df, max_distance=0).collect()}
+    assert out == {(1, 2): 0}
+    # distance-3 recall guarantee: with 4 bands one band must be clean
+    near = simhash_hamming_pairs(df, max_distance=64).collect()
+    assert all(r["i"] < r["j"] for r in near)
+
+
+def test_time_weighted_avg_prefix_segment(spark):
+    """A change-point BEFORE the range start still contributes its
+    in-range prefix; constant series -> twa equals the constant."""
+    from pyspark.sql import functions as F
+
+    from graph_spark.temporal.tprop import time_weighted_avg
+
+    rows = [
+        # entity 1: value 10.0 from 1995, jumps to 20.0 mid-range
+        (1, "1995-06-01", 10.0),
+        (1, "1996-07-01", 20.0),
+        # entity 2: single pre-range change-point, constant inside
+        (2, "1995-01-01", 7.5),
+    ]
+    df = spark.createDataFrame(rows, "entity_id long, ts string, value double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    res = {
+        r["entity_id"]: r["twa"]
+        for r in time_weighted_avg(
+            df,
+            F.lit("1996-01-01").cast("timestamp"),
+            F.lit("1997-01-01").cast("timestamp"),
+        ).collect()
+    }
+    # entity 1: 182 days at 10.0 (Jan 1..Jul 1) + 184 days at 20.0
+    assert abs(res[1] - (182 * 10.0 + 184 * 20.0) / 366) < 1e-6
+    assert abs(res[2] - 7.5) < 1e-9
