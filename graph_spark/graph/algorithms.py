@@ -251,6 +251,88 @@ def bfs_distances(
     return visited
 
 
+def _local_multi_bfs_pdf(pdf, sources, max_hops: int):
+    """numpy multi-source BFS kernel: one adjacency build, one BFS per
+    landmark over it."""
+    import numpy as np
+    import pandas as pd
+
+    nodes, src, dst = _factorize_edges(pdf)
+    n = len(nodes)
+    idx = {v: i for i, v in enumerate(nodes)}
+    order = np.argsort(src, kind="stable")
+    s_sorted, d_sorted = src[order], dst[order]
+    starts = np.searchsorted(s_sorted, np.arange(n + 1))
+    out_lm, out_node, out_d = [], [], []
+    for lm in sources:
+        if lm not in idx:
+            continue
+        dist = np.full(n, -1, dtype="int64")
+        dist[idx[lm]] = 0
+        frontier = [idx[lm]]
+        for hop in range(1, max_hops + 1):
+            nxt = []
+            for u in frontier:
+                for v in d_sorted[starts[u]:starts[u + 1]]:
+                    if dist[v] < 0:
+                        dist[v] = hop
+                        nxt.append(v)
+            if not nxt:
+                break
+            frontier = nxt
+        reached = np.flatnonzero(dist >= 0)
+        out_lm.extend([lm] * len(reached))
+        out_node.extend(nodes[reached])
+        out_d.extend(dist[reached])
+    return pd.DataFrame({"lm": out_lm, "node": out_node, "d": out_d})
+
+
+def multi_source_bfs(
+    graph: PropertyGraph, sources: list, max_hops: int, local: bool | None = None
+) -> DataFrame:
+    """Hop distances from EVERY landmark in `sources` in one frontier
+    loop: state is keyed (lm, node), so k landmarks cost the same
+    superstep count as one BFS — the landmark-sampling basis for
+    closeness/eccentricity at scale, where per-node exact centrality
+    (O(V) BFS runs) is infeasible.  Returns DataFrame(lm, node, d).
+    """
+    if local is None:
+        local = _edge_count(graph) < LOCAL_EDGE_THRESHOLD
+    if local:
+        return _run_local(
+            graph,
+            lambda pdf: _local_multi_bfs_pdf(pdf, sources, max_hops),
+            "lm string, node string, d long",
+        )
+    spark = graph.edges.sparkSession
+    visited = spark.createDataFrame(
+        [(s, s, 0) for s in sources], ["lm", "node", "d"]
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        fr = F.broadcast(frontier.select("lm", "node"))
+        nxt = (
+            graph.edges.join(fr, graph.edges.src == fr.node, "inner")
+            .select("lm", F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontier = (
+            nxt.join(
+                F.broadcast(
+                    visited.select(F.col("lm").alias("vlm"), F.col("node").alias("vn"))
+                ),
+                (nxt.lm == F.col("vlm")) & (nxt.node == F.col("vn")),
+                "left_anti",
+            )
+            .withColumn("d", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        if not frontier.take(1):
+            break
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+    return visited
+
+
 def k_hop_count(graph: PropertyGraph, source: str, k: int) -> int:
     """Count of distinct nodes reachable within k hops (excluding none —
     source counts if reachable per BFS semantics including distance 0)."""

@@ -664,6 +664,45 @@ def g20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g22_landmark_closeness",
+    f"""WITH RECURSIVE {GRAPH_CTES},
+       lms AS (SELECT node FROM graph_nodes WHERE node IN ('c1','c5','c9')),
+       bfs(lm, node, hops) AS (
+         SELECT node, node, 0 FROM lms
+         UNION
+         SELECT b.lm, e.dst, b.hops+1 FROM bfs b
+         JOIN graph_edges_sym e ON b.node=e.src WHERE b.hops<6),
+       dist AS (SELECT lm, node, min(hops) AS d FROM bfs GROUP BY 1,2),
+       agg AS (SELECT node, count(*) AS nl, sum(d)::BIGINT AS sumd FROM dist GROUP BY 1)
+       SELECT node, sumd,
+              round((SELECT count(*) FROM lms)*1.0/sumd, 6) AS closeness
+       FROM agg
+       WHERE nl = (SELECT count(*) FROM lms) AND sumd > 0 ORDER BY node""",
+    note="landmark-approximated closeness centrality: ONE multi-source "
+    "frontier loop covers all landmarks (state keyed (landmark, node)), "
+    "the scale substitute for per-node exact closeness which needs O(V) "
+    "BFS runs; nodes must be reached by every landmark",
+)
+def g22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import multi_source_bfs
+
+    g = _sym_graph(Catalog(spark, sf_dir))
+    dist = multi_source_bfs(g, ["c1", "c5", "c9"], max_hops=6)
+    n_lms = dist.select("lm").distinct().count()
+    return (
+        dist.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("nl"), F.sum("d").alias("sumd"))
+        .filter((F.col("nl") == n_lms) & (F.col("sumd") > 0))
+        .select(
+            "node",
+            "sumd",
+            F.round(F.lit(float(n_lms)) / F.col("sumd"), 6).alias("closeness"),
+        )
+        .orderBy("node")
+    )
+
+
 def _ppr_oracle(iters: int = 8) -> str:
     """Unrolled personalized PageRank (teleport restricted to a source
     set); MATERIALIZED per iteration so DuckDB doesn't inline-explode

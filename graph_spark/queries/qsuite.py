@@ -827,4 +827,33 @@ def t07(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.orderBy("entity_id")
 
 
+@_q(
+    "t09_changepoint_compaction",
+    """WITH cp AS (
+         SELECT o_custkey AS entity_id, o_orderdate AS ts, max(o_orderstatus) AS value
+         FROM orders GROUP BY 1,2),
+       lagged AS (
+         SELECT entity_id, ts, value,
+                lag(value) OVER (PARTITION BY entity_id ORDER BY ts) AS prev
+         FROM cp)
+       SELECT entity_id, strftime(ts,'%Y-%m-%d %H:%M:%S.%f') AS ts, value
+       FROM lagged WHERE prev IS NULL OR value <> prev ORDER BY 1, 2""",
+    note="temporal-store compaction: drop change-points equal to their "
+    "predecessor (redundant writes) — point/range reads over the "
+    "compacted series are identical; the LSM-compaction analog for the "
+    "piecewise-constant model, one window shuffle on the entity key",
+)
+def t09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..temporal.tprop import compact_changepoints
+
+    o = Catalog(spark, sf_dir).table("orders")
+    cp = o.groupBy(
+        F.col("o_custkey").alias("entity_id"), F.col("o_orderdate").alias("ts")
+    ).agg(F.max("o_orderstatus").alias("value"))
+    out = compact_changepoints(cp)
+    return out.select("entity_id", ts_str(F.col("ts")).alias("ts"), "value").orderBy(
+        "entity_id", "ts"
+    )
+
+
 QUERIES = list(_Q)

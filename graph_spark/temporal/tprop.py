@@ -141,3 +141,24 @@ def segments(
         F.col(ts_col).alias("valid_from"),
         F.lead(ts_col).over(w).alias("valid_to"),
     )
+
+
+def compact_changepoints(
+    tprop: DataFrame,
+    entity_col: str = "entity_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Drop change-points whose value equals the previous change-point's
+    value — the LSM-compaction analog for piecewise-constant series:
+    redundant writes carry no information, so point/range reads over the
+    compacted table return identical results with less data.  ONE window
+    shuffle on the entity key; at 100 TB run per time-bucket partition
+    and stitch bucket edges (last row of bucket b vs first of b+1)."""
+    w = Window.partitionBy(entity_col).orderBy(F.col(ts_col).asc())
+    prev = F.lag(value_col).over(w)
+    return (
+        tprop.withColumn("__prev", prev)
+        .filter(F.col("__prev").isNull() | (F.col(value_col) != F.col("__prev")))
+        .drop("__prev")
+    )

@@ -242,3 +242,48 @@ def test_personalized_pagerank_local_distributed_reference_parity(spark, seed):
         assert got.keys() == want.keys(), f"local={local} seed={seed}"
         for n in want:
             assert abs(got[n] - want[n]) < 1e-9, f"local={local} seed={seed} node={n}"
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_multi_source_bfs_matches_single_source(spark, seed):
+    """multi_source_bfs == one bfs_distances run per landmark, on both
+    execution paths."""
+    from graph_spark.graph.algorithms import multi_source_bfs
+
+    edges = _random_graph(seed)
+    sources = ["n0", "n3", "n7"]
+    want = {}
+    for s in sources:
+        for node, d in _py_bfs(edges, s, 4).items():
+            want[(s, node)] = d
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    v = e.select(F.col("src").alias("id")).distinct()
+    g = PropertyGraph(v, e)
+    for local in (True, False):
+        got = {
+            (r["lm"], r["node"]): r["d"]
+            for r in multi_source_bfs(g, sources, 4, local=local).collect()
+        }
+        assert got == want, f"local={local} seed={seed}"
+
+
+def test_compaction_preserves_point_reads(spark):
+    """value_at over a compacted series == value_at over the raw series
+    at every probe instant (compaction drops only redundant writes)."""
+    from graph_spark.temporal.tprop import compact_changepoints, value_at
+
+    rows = [
+        (1, "2020-01-01", "a"), (1, "2020-02-01", "a"), (1, "2020-03-01", "b"),
+        (1, "2020-04-01", "b"), (1, "2020-05-01", "a"),
+        (2, "2020-01-15", "x"), (2, "2020-06-15", "x"),
+    ]
+    df = spark.createDataFrame(rows, "entity_id long, ts string, value string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    compacted = compact_changepoints(df)
+    assert compacted.count() == 4  # (1,a) (1,b) (1,a) (2,x)
+    for probe in ("2020-01-20", "2020-03-15", "2020-05-02", "2020-07-01"):
+        t = F.lit(probe).cast("timestamp")
+        raw = {r["entity_id"]: r["value"] for r in value_at(df, t).collect()}
+        cmp = {r["entity_id"]: r["value"] for r in value_at(compacted, t).collect()}
+        assert raw == cmp, probe
