@@ -747,3 +747,48 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return state
+
+
+def node_similarity_jaccard(
+    bipartite_edges: DataFrame,
+    left_col: str = "src",
+    right_col: str = "dst",
+    min_common: int = 1,
+) -> DataFrame:
+    """Jaccard similarity between right-side nodes of a bipartite edge
+    set, by shared left-side neighbors (Neo4j GDS nodeSimilarity shape).
+
+    Candidate pairs come from the self-equi-join on the shared neighbor
+    key — an inverted-index join, never a cross join — so at 100 TB the
+    cost is sum over neighbors of (fan-out choose 2); skewed hub
+    neighbors are the hazard and should be capped/salted upstream.
+    Degrees join back via broadcast (|right nodes| << |edges|).
+    Returns (a, b, common, jaccard), a < b.
+    """
+    e = bipartite_edges.select(
+        F.col(left_col).alias("nb"), F.col(right_col).alias("node")
+    ).distinct()
+    deg = e.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    a = e.select(F.col("nb"), F.col("node").alias("a"))
+    b = e.select(F.col("nb"), F.col("node").alias("b"))
+    inter = (
+        a.join(b, "nb")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    return (
+        inter.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            F.round(
+                F.col("common") / (F.col("da") + F.col("db") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+    )

@@ -703,6 +703,30 @@ def g22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g23_node_similarity",
+    f"""WITH {GRAPH_CTES},
+       e AS (SELECT DISTINCT src AS cust, dst AS supp FROM graph_edges WHERE n_items >= 2),
+       deg AS (SELECT supp, count(*) AS d FROM e GROUP BY 1),
+       inter AS (SELECT a.supp AS a, b.supp AS b, count(*) AS common
+                 FROM e a JOIN e b ON a.cust=b.cust AND a.supp < b.supp
+                 GROUP BY 1,2 HAVING count(*) >= 2)
+       SELECT i.a, i.b, i.common::BIGINT AS common,
+              round(i.common*1.0/(da.d + db.d - i.common), 6) AS jaccard
+       FROM inter i JOIN deg da ON da.supp=i.a JOIN deg db ON db.supp=i.b
+       ORDER BY jaccard DESC, i.a, i.b LIMIT 50""",
+    note="Jaccard node similarity between suppliers by shared customers "
+    "(GDS nodeSimilarity shape): inverted-index self-join on the shared "
+    "neighbor key — never a cross join; degree frames broadcast",
+)
+def g23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import node_similarity_jaccard
+
+    e = Catalog(spark, sf_dir).graph_edges().filter(F.col("n_items") >= 2)
+    sim = node_similarity_jaccard(e, left_col="src", right_col="dst", min_common=2)
+    return sim.orderBy(F.col("jaccard").desc(), "a", "b").limit(50)
+
+
 def _ppr_oracle(iters: int = 8) -> str:
     """Unrolled personalized PageRank (teleport restricted to a source
     set); MATERIALIZED per iteration so DuckDB doesn't inline-explode

@@ -790,6 +790,34 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q34_filtered_aggs",
+    """SELECT l_returnflag,
+       (count(*) FILTER (WHERE l_quantity > 25))::BIGINT AS n_big,
+       bool_or(l_discount > 0.06) AS any_disc,
+       bool_and(l_extendedprice > 1000.0) AS all_big_px,
+       round(sum(l_extendedprice) FILTER (WHERE l_linestatus = 'O'), 2) AS open_rev
+       FROM lineitem GROUP BY 1 ORDER BY 1""",
+    note="conditional aggregation breadth: FILTER-clause aggregates and "
+    "boolean reducers (count_if / bool_or / bool_and) — all map-side "
+    "combinable partial aggregates, one shuffle",
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("count_if(l_quantity > 25)").alias("n_big"),
+            F.expr("bool_or(l_discount > 0.06)").alias("any_disc"),
+            F.expr("bool_and(l_extendedprice > 1000.0)").alias("all_big_px"),
+            F.round(
+                F.expr("sum(l_extendedprice) FILTER (WHERE l_linestatus = 'O')"), 2
+            ).alias("open_rev"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_q(
     "t07_time_weighted_avg",
     """WITH cp AS (
          SELECT o_custkey AS entity_id, o_orderdate AS ts, max(o_totalprice) AS v

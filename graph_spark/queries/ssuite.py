@@ -144,4 +144,40 @@ def s06(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_s(
+    "s07_stream_stream_join",
+    """SELECT p.event_id, count(*)::BIGINT AS n_clicks
+       FROM events p JOIN events c
+       ON c.user_id=p.user_id AND c.event_type='click'
+       AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+       WHERE p.event_type='purchase'
+       GROUP BY 1 ORDER BY 1""",
+    note="stream-stream interval join (purchases x clicks within the "
+    "trailing hour per user), batch-declared; the watermarked two-stream "
+    "replay parity — state eviction bounded by watermark + join window — "
+    "is tests/test_streaming.py::test_s07",
+)
+def s07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    joined = p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    return (
+        joined.groupBy(F.col("p_event_id").alias("event_id"))
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+        .orderBy("event_id")
+    )
+
+
 QUERIES = list(_S)

@@ -259,3 +259,81 @@ def test_s04_watermark_drops_late_data(spark, tmp_path):
     ]
     assert (10, 1) in emitted and (12, 2) in emitted and (13, 1) in emitted, emitted
     assert (10, 2) not in emitted, f"late row leaked into evicted window: {emitted}"
+
+
+def test_s07_stream_stream_join_equals_batch(spark, replay_dir):
+    """Watermarked stream-stream interval join: purchases x clicks
+    within the trailing hour, joined across TWO file streams; pair set
+    must equal the batch join.  Watermarks (2 h) bound both state
+    stores; the in-order day-bucket replay never drops a valid pair
+    because eviction lags the join window."""
+    import os
+    import tempfile
+    import uuid
+
+    from graph_spark.streaming.replay import EVENTS_SCHEMA
+
+    def stream(filters):
+        return (
+            spark.readStream.format("parquet")
+            .schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 5)
+            .load(replay_dir)
+            .filter(filters)
+        )
+
+    p = (
+        stream(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    c = (
+        stream(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("p_event_id", "c_event_id")
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt_{name}"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = _rows(spark.table(name), ["p_event_id", "c_event_id"])
+
+    ev = Catalog(spark, SF_SMOKE).table("events")
+    bp = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    bc = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    want = _rows(
+        bp.join(
+            bc,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+        ).select("p_event_id", "c_event_id"),
+        ["p_event_id", "c_event_id"],
+    )
+    assert got == want and len(want) > 0
