@@ -63,6 +63,23 @@ def main() -> None:
     em = eng.table("embeddings")
     eng.similar_topk(em, em.filter(F.col("vec_id") < 3), k=3, ann="ivf", dim=64).show()
 
+    print("== graph: personalized PageRank from a seed set ==")
+    eng.personalized_pagerank(["c1", "c5"], iterations=8).orderBy(F.desc("rank")).show(5)
+
+    print("== graph: landmark closeness (one multi-source BFS) ==")
+    eng.landmark_distances(["c1", "c5"], max_hops=4).groupBy("node").count().show(5)
+
+    print("== graph: supplier Jaccard similarity by shared customers ==")
+    eng.node_similarity(min_common=1, min_items=1).orderBy(F.desc("jaccard")).show(5)
+
+    print("== temporal: duration-weighted average over a range ==")
+    eng.temporal_time_weighted_avg(
+        F.lit("1996-01-01").cast("timestamp"), F.lit("1998-01-01").cast("timestamp")
+    ).show(5)
+
+    print("== LLM ops: SimHash near-dup pairs (band LSH + hamming) ==")
+    eng.dedup_simhash(docs, max_distance=8).show(5)
+
     print("== UDF surface: SQL-registered python functions ==")
     eng.register_udfs()
     eng.sql("SELECT doc_id, round(char_entropy(text),3) AS entropy FROM documents LIMIT 5").show()

@@ -97,11 +97,46 @@ class Engine:
             self.graph(symmetric=False), source, weight_col
         )
 
+    def personalized_pagerank(
+        self, sources: list, iterations: int = 10, damping: float = 0.85
+    ) -> DataFrame:
+        return algorithms.personalized_pagerank(self.graph(), sources, iterations, damping)
+
+    def landmark_distances(self, landmarks: list, max_hops: int = 6) -> DataFrame:
+        """Hop distances from every landmark in one frontier loop
+        (DataFrame(lm, node, d)) — basis for closeness/eccentricity."""
+        return algorithms.multi_source_bfs(self.graph(), landmarks, max_hops)
+
+    def node_similarity(self, min_common: int = 2, min_items: int = 2) -> DataFrame:
+        """Jaccard similarity between suppliers by shared customers."""
+        from pyspark.sql import functions as F
+
+        e = self.catalog.graph_edges().filter(F.col("n_items") >= min_items)
+        return algorithms.node_similarity_jaccard(e, min_common=min_common)
+
     # -- temporal --------------------------------------------------------
     def temporal_value_at(self, at_ts, cumulative: bool = True) -> DataFrame:
         return tprop.value_at(
             self.catalog.tprop_spend(), at_ts, value_col="delta", cumulative=cumulative
         )
+
+    def temporal_time_weighted_avg(self, start_ts, end_ts) -> DataFrame:
+        """Duration-weighted mean of the per-customer order-value series
+        over [start, end) — the aggregate-over-interval read."""
+        from pyspark.sql import functions as F
+
+        o = self.catalog.table("orders")
+        cp = o.groupBy(
+            F.col("o_custkey").alias("entity_id"), F.col("o_orderdate").alias("ts")
+        ).agg(F.max("o_totalprice").alias("value"))
+        return tprop.time_weighted_avg(cp, start_ts, end_ts)
+
+    def temporal_compact(
+        self, tp: DataFrame, entity_col: str = "entity_id",
+        ts_col: str = "ts", value_col: str = "value",
+    ) -> DataFrame:
+        """Drop redundant change-points (value == predecessor)."""
+        return tprop.compact_changepoints(tp, entity_col, ts_col, value_col)
 
     def temporal_range_rollup(self, bucket: str = "month"):
         """Materialize the temporal aggregate index over customer spend."""
@@ -138,6 +173,12 @@ class Engine:
         from .operators.text import quality_features
 
         return quality_features(df, text_col)
+
+    def dedup_simhash(self, df: DataFrame, max_distance: int = 2, **kw) -> DataFrame:
+        """SimHash near-dup pairs via LSH banding + exact hamming."""
+        from .operators.dedup import simhash_hamming_pairs
+
+        return simhash_hamming_pairs(df, max_distance=max_distance, **kw)
 
     # -- multimodal ------------------------------------------------------
     def to_media(self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

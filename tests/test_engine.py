@@ -50,3 +50,34 @@ def test_engine_surface(spark):
 
     acd = eng.approx_count_distinct(eng.table("orders"), "o_custkey").collect()[0][0]
     assert acd > 0
+
+
+def test_engine_round1_additions(spark):
+    from pyspark.sql import functions as F
+
+    from graph_spark.engine import Engine
+
+    from .conftest import SF_SMOKE
+
+    eng = Engine(spark, SF_SMOKE)
+
+    ppr = eng.personalized_pagerank(["c1"], iterations=3).collect()
+    assert len(ppr) > 0 and abs(sum(r["rank"] for r in ppr) - 1.0) < 0.2
+
+    lmd = eng.landmark_distances(["c1", "c5"], max_hops=3)
+    assert lmd.select("lm").distinct().count() <= 2 and lmd.count() > 0
+
+    assert eng.node_similarity(min_common=1, min_items=1).count() > 0
+
+    twa = eng.temporal_time_weighted_avg(
+        F.lit("1996-01-01").cast("timestamp"), F.lit("1998-01-01").cast("timestamp")
+    )
+    assert twa.count() > 0
+
+    series = eng.table("orders").groupBy(
+        F.col("o_custkey").alias("entity_id"), F.col("o_orderdate").alias("ts")
+    ).agg(F.max("o_orderstatus").alias("value"))
+    assert eng.temporal_compact(series).count() <= series.count()
+
+    docs = eng.table("documents")
+    assert eng.dedup_simhash(docs, max_distance=64).count() >= 0

@@ -127,3 +127,49 @@ def test_g18_indexed_range_filters_push_to_scan(spark):
     g18 = next(q for q in QUERIES if q.name == "g18_temporal_agg_indexed")
     plan = _plan(g18.build(spark, SF_SMOKE))
     assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+
+
+def test_l21_vec_filter_pushes_to_scan(spark):
+    """Embedding quantization reads only filtered vectors: the vec_id
+    predicate must reach the parquet scan."""
+    from graph_spark.queries.lsuite import QUERIES
+
+    q = next(q for q in QUERIES if q.name == "l21_embed_quantize")
+    plan = _plan(q.build(spark, SF_SMOKE))
+    assert "PushedFilters: [" in plan and "LessThan(vec_id,100)" in plan, plan
+
+
+def test_g23_degree_joins_broadcast(spark):
+    """Node-similarity joins the two (small) degree frames by broadcast;
+    only the inverted-index self-join may shuffle."""
+    from graph_spark.queries.gsuite import QUERIES
+
+    q = next(q for q in QUERIES if q.name == "g23_node_similarity")
+    plan = _plan(q.build(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_t07_single_window_exchange(spark):
+    """Time-weighted average: segment expansion and the final aggregate
+    share the entity-key partitioning — exactly one exchange over the
+    change-point table (plus the scan)."""
+    from graph_spark.queries.qsuite import QUERIES
+
+    q = next(q for q in QUERIES if q.name == "t07_time_weighted_avg")
+    plan = _plan(q.build(spark, SF_SMOKE))
+    # orderBy adds a range exchange at the output edge; the data path
+    # itself must not re-shuffle between window and aggregate
+    body = plan.split("Sort", 1)[0]
+    assert "CartesianProduct" not in plan
+    assert body.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_l20_banding_no_cartesian(spark):
+    """SimHash hamming pairs must come from the band equi-join — a
+    cartesian/broadcast-nested-loop over documents is a scale bug."""
+    from graph_spark.queries.lsuite import QUERIES
+
+    q = next(q for q in QUERIES if q.name == "l20_simhash_hamming")
+    plan = _plan(q.build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
