@@ -610,4 +610,35 @@ def l21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l22_quality_quartiles",
+    """WITH ranked AS (SELECT lang, doc_id, length(text) AS n,
+         ntile(4) OVER (PARTITION BY lang ORDER BY length(text), doc_id) AS q
+         FROM documents)
+       SELECT lang, q::INT AS quartile, count(*)::BIGINT AS docs,
+              floor(avg(n)*100 + 0.5)/100 AS avg_len
+       FROM ranked GROUP BY 1,2 ORDER BY 1,2""",
+    note="per-language length-quartile bucketing (ntile with a doc_id "
+    "tie-break for determinism) — the data-mixing / sampling-weight "
+    "shape for corpus curation; floor-form rounding on the int-ratio "
+    "average",
+)
+def l22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    w = Window.partitionBy("lang").orderBy(F.length("text"), F.col("doc_id"))
+    ranked = docs.select(
+        "lang", "doc_id", F.length("text").alias("n"), F.ntile(4).over(w).alias("quartile")
+    )
+    return (
+        ranked.groupBy("lang", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            (F.floor(F.avg("n") * 100 + F.lit(0.5)) / 100).alias("avg_len"),
+        )
+        .orderBy("lang", "quartile")
+    )
+
+
 QUERIES = list(_L)

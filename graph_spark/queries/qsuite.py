@@ -884,4 +884,115 @@ def t09(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q35_unpivot",
+    """WITH agg AS (SELECT l_returnflag, round(sum(l_quantity),2) AS sum_qty,
+                    round(sum(l_extendedprice),2) AS sum_price
+             FROM lineitem GROUP BY 1)
+       SELECT l_returnflag, metric, val
+       FROM (UNPIVOT agg ON sum_qty, sum_price INTO NAME metric VALUE val)
+       ORDER BY 1, 2""",
+    note="wide-to-long unpivot (the inverse of q20's pivot) via the "
+    "native DataFrame unpivot / UNPIVOT — a metadata-only row "
+    "expansion, no shuffle beyond the feeding aggregate",
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price"], "metric", "val"
+    ).orderBy("l_returnflag", "metric")
+
+
+@_q(
+    "t10_linear_interpolation",
+    """WITH bounds AS (SELECT date_trunc('hour', min(ts)) AS mn,
+                             date_trunc('hour', max(ts)) AS mx FROM events),
+       spine AS (SELECT u.user_id, g.ts AS h
+                 FROM (SELECT DISTINCT user_id FROM events WHERE user_id < 5) u
+                 CROSS JOIN (SELECT unnest(generate_series(
+                     (SELECT mn FROM bounds), (SELECT mx FROM bounds),
+                     INTERVAL 1 HOUR)) AS ts) g),
+       hourly AS (SELECT user_id, date_trunc('hour', ts) AS h,
+                         round(sum(value), 2) AS v
+                  FROM events WHERE user_id < 5 GROUP BY 1, 2),
+       j AS (SELECT user_id, h, v,
+               last_value(v IGNORE NULLS) OVER wp AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wp AS pt,
+               first_value(v IGNORE NULLS) OVER wn AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wn AS nt
+             FROM spine LEFT JOIN hourly USING (user_id, h)
+             WINDOW wp AS (PARTITION BY user_id ORDER BY h
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                    wn AS (PARTITION BY user_id ORDER BY h
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S.%f') AS h,
+              CASE WHEN v IS NOT NULL THEN round(v, 4)
+                   WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                     floor((pv + (nv - pv) * date_diff('hour', pt, h)
+                            / date_diff('hour', pt, nt)) * 10000 + 0.5) / 10000
+                   ELSE NULL END AS vi
+       FROM j ORDER BY user_id, h""",
+    note="linear-interpolation gap fill on the hourly grid: interior "
+    "gaps get pv + (nv-pv)*dt/dn from the bracketing known points "
+    "(integer hour arithmetic, one deterministic expression — no "
+    "summation-order drift); leading/trailing gaps stay NULL (no "
+    "extrapolation); two window passes over one entity-key shuffle",
+)
+def t10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("mn"),
+        F.date_trunc("hour", F.max("ts")).alias("mx"),
+    )
+    users = ev.filter(F.col("user_id") < 5).select("user_id").distinct()
+    spine = users.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.explode(F.sequence(F.col("mn"), F.col("mx"), F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    hourly = (
+        ev.filter(F.col("user_id") < 5)
+        .groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_ts = F.when(F.col("v").isNotNull(), F.col("h"))
+    j = (
+        spine.join(hourly, ["user_id", "h"], "left")
+        .withColumn("pv", F.last("v", ignorenulls=True).over(wp))
+        .withColumn("pt", F.last(known_ts, ignorenulls=True).over(wp))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(wn))
+        .withColumn("nt", F.first(known_ts, ignorenulls=True).over(wn))
+    )
+    dh = (F.unix_timestamp("h") - F.unix_timestamp("pt")) / F.lit(3600)
+    dn = (F.unix_timestamp("nt") - F.unix_timestamp("pt")) / F.lit(3600)
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * dh / dn
+    vi = (
+        F.when(F.col("v").isNotNull(), F.round(F.col("v"), 4))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            # floor-form HALF_UP: Spark round() and DuckDB binary round
+            # disagree on 4-dp halves of 2-dp inputs
+            F.floor(interp * 10000 + F.lit(0.5)) / 10000,
+        )
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return (
+        j.select("user_id", ts_str(F.col("h")).alias("h"), vi.alias("vi"))
+        .orderBy("user_id", "h")
+    )
+
+
 QUERIES = list(_Q)
