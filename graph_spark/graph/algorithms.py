@@ -566,6 +566,30 @@ def triangle_count(edges_undirected_pairs: DataFrame) -> DataFrame:
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+def edge_triangle_support(edges_undirected_pairs: DataFrame) -> DataFrame:
+    """Per-edge triangle support (the k-truss counting kernel): for each
+    canonical edge (s1 < s2), how many triangles contain it.  Same
+    a<b<c three-way self-join as triangle_count, then each triangle
+    credits its three edges via UNION ALL + groupBy — all equi-joins on
+    edge endpoints, map-side combinable.  Edges in no triangle are
+    absent (support 0).  Returns (s1, s2, support).
+    """
+    e1 = edges_undirected_pairs.select(F.col("s1").alias("a"), F.col("s2").alias("b"))
+    e2 = edges_undirected_pairs.select(F.col("s1").alias("b2"), F.col("s2").alias("c2"))
+    e3 = edges_undirected_pairs.select(F.col("s1").alias("a3"), F.col("s2").alias("c3"))
+    tri = (
+        e1.join(e2, e1.b == e2.b2, "inner")
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c2") == F.col("c3")), "inner")
+        .select("a", "b", F.col("c2").alias("c"))
+    )
+    sup = (
+        tri.select(F.col("a").alias("s1"), F.col("b").alias("s2"))
+        .unionAll(tri.select(F.col("b").alias("s1"), F.col("c").alias("s2")))
+        .unionAll(tri.select(F.col("a").alias("s1"), F.col("c").alias("s2")))
+    )
+    return sup.groupBy("s1", "s2").agg(F.count(F.lit(1)).alias("support"))
+
+
 def shortest_paths_weighted(
     graph: PropertyGraph,
     source: str,

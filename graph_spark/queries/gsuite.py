@@ -727,6 +727,36 @@ def g23(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.orderBy(F.col("jaccard").desc(), "a", "b").limit(50)
 
 
+@_g(
+    "g24_edge_triangle_support",
+    f"""WITH {GRAPH_CTES},
+       ge AS (SELECT src, dst FROM graph_edges WHERE n_items >= 2),
+       cos AS (SELECT DISTINCT a.dst AS s1, b.dst AS s2
+               FROM ge a JOIN ge b ON a.src=b.src AND a.dst<b.dst),
+       tri AS (SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+               FROM cos e1 JOIN cos e2 ON e2.s1=e1.s2
+               JOIN cos e3 ON e3.s1=e1.s1 AND e3.s2=e2.s2),
+       sup AS (SELECT a AS s1, b AS s2 FROM tri
+               UNION ALL SELECT b, c FROM tri
+               UNION ALL SELECT a, c FROM tri)
+       SELECT s1, s2, count(*)::BIGINT AS support
+       FROM sup GROUP BY 1,2 ORDER BY 1,2""",
+    note="per-edge triangle support on the co-supplier graph — the "
+    "k-truss counting kernel (an edge is in a k-truss iff support >= "
+    "k-2); same canonical a<b<c self-join as g05, plus a 3-way edge "
+    "credit and one combinable groupBy",
+)
+def g24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import edge_triangle_support
+
+    c = Catalog(spark, sf_dir)
+    ge = c.graph_edges().filter(F.col("n_items") >= 2).select("src", "dst")
+    a = ge.select(F.col("src").alias("k"), F.col("dst").alias("s1"))
+    b = ge.select(F.col("src").alias("k"), F.col("dst").alias("s2"))
+    cos = a.join(b, "k").filter(F.col("s1") < F.col("s2")).select("s1", "s2").distinct()
+    return edge_triangle_support(cos).orderBy("s1", "s2")
+
+
 def _ppr_oracle(iters: int = 8) -> str:
     """Unrolled personalized PageRank (teleport restricted to a source
     set); MATERIALIZED per iteration so DuckDB doesn't inline-explode

@@ -641,4 +641,37 @@ def l22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l23_repetition_ratio",
+    """WITH tok AS (SELECT doc_id, t.term FROM documents,
+         unnest(string_split(text, ' ')) AS t(term)
+         WHERE doc_id < 200 AND t.term <> ''),
+       cnt AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY 1,2),
+       agg AS (SELECT doc_id, sum(c)::BIGINT AS n_terms, max(c)::BIGINT AS top_c
+               FROM cnt GROUP BY 1)
+       SELECT doc_id, n_terms, top_c,
+              floor(top_c*10000.0/n_terms + 0.5)/10000 AS rep_ratio
+       FROM agg ORDER BY doc_id""",
+    note="Gopher-style repetition quality signal: share of the most "
+    "frequent token per document (ratio of ints, floor-form rounding) — "
+    "high values flag boilerplate/spam for corpus filtering",
+)
+def l23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import tokens
+
+    docs = Catalog(spark, sf_dir).table("documents").filter(F.col("doc_id") < 200)
+    cnt = tokens(docs).groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_terms"), F.max("c").alias("top_c")
+    )
+    return agg.select(
+        "doc_id",
+        "n_terms",
+        "top_c",
+        (F.floor(F.col("top_c") * 10000.0 / F.col("n_terms") + F.lit(0.5)) / 10000).alias(
+            "rep_ratio"
+        ),
+    ).orderBy("doc_id")
+
+
 QUERIES = list(_L)

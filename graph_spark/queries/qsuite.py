@@ -908,6 +908,30 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q36_array_agg",
+    """SELECT l_returnflag,
+       array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+       array_to_string(list_sort(list(DISTINCT CAST(l_linenumber AS VARCHAR))), ',') AS linenos
+       FROM lineitem GROUP BY 1 ORDER BY 1""",
+    note="collection aggregation (collect_set -> sort_array -> join): "
+    "sorted rendering makes the set deterministic; map-side combinable "
+    "since the distinct sets are tiny per group",
+)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("l_linestatus"))).alias("statuses"),
+            F.concat_ws(
+                ",", F.sort_array(F.collect_set(F.col("l_linenumber").cast("string")))
+            ).alias("linenos"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_q(
     "t10_linear_interpolation",
     """WITH bounds AS (SELECT date_trunc('hour', min(ts)) AS mn,
                              date_trunc('hour', max(ts)) AS mx FROM events),
