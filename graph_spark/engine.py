@@ -120,6 +120,17 @@ class Engine:
             self.catalog.tprop_spend(), at_ts, value_col="delta", cumulative=cumulative
         )
 
+    def range_join(
+        self, points: DataFrame, intervals: DataFrame,
+        point_ts: str, start_col: str, end_col: str, bucket_seconds: int = 7200,
+    ) -> DataFrame:
+        """Unkeyed point-in-interval join via time-bucket equi-join."""
+        from .operators.relational import bucketed_range_join
+
+        return bucketed_range_join(
+            points, intervals, point_ts, start_col, end_col, bucket_seconds
+        )
+
     def temporal_time_weighted_avg(self, start_ts, end_ts) -> DataFrame:
         """Duration-weighted mean of the per-customer order-value series
         over [start, end) — the aggregate-over-interval read."""

@@ -147,3 +147,46 @@ def interval_overlap_join(
     b = df.select(*keys, F.col(id_col).alias("b_id"), F.col(start_col).alias("b_s"), F.col(end_col).alias("b_e"))
     cond = (F.col("a_id") < F.col("b_id")) & (F.col("a_s") < F.col("b_e")) & (F.col("b_s") < F.col("a_e"))
     return a.join(b, on=list(keys), how="inner").filter(cond)
+
+
+def bucketed_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 7200,
+) -> DataFrame:
+    """Point-in-interval join WITHOUT an equi-key: the scale strategy
+    for unkeyed range joins, where a plain theta-join degenerates to a
+    broadcast-nested-loop / cartesian scan.
+
+    Each interval explodes to the time buckets it covers (end
+    exclusive); each point maps to exactly one bucket; the join becomes
+    an equi-join on the bucket id with the range predicate as residual.
+    No dedup is needed: a point matches an interval in exactly one
+    bucket.  Cost scales with bucket co-occupancy, tuned by
+    `bucket_seconds` ~ typical interval length (each interval then
+    covers <= 2 buckets).  Column names must be pre-disambiguated by
+    the caller.
+    """
+    p = points.withColumn(
+        "__b", F.floor(F.col(point_ts).cast("long") / bucket_seconds)
+    )
+    iv = (
+        intervals.withColumn(
+            "__bs", F.floor(F.col(start_col).cast("long") / bucket_seconds)
+        )
+        .withColumn(
+            "__be", F.floor((F.col(end_col).cast("long") - 1) / bucket_seconds)
+        )
+        .withColumn("__b", F.explode(F.sequence(F.col("__bs"), F.col("__be"))))
+        .drop("__bs", "__be")
+    )
+    return (
+        p.join(iv, "__b")
+        .filter(
+            (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) < F.col(end_col))
+        )
+        .drop("__b")
+    )

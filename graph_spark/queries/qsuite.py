@@ -908,6 +908,40 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "t11_bucketed_range_join",
+    """SELECT c.event_id, count(*)::BIGINT AS n_purchases
+       FROM events c JOIN events p
+       ON p.event_type='purchase' AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 2 HOUR
+       WHERE c.event_type='click' GROUP BY 1 ORDER BY 1""",
+    note="UNKEYED point-in-interval join (purchases within 2 h after any "
+    "click, across all users): executed as a time-bucket equi-join with "
+    "residual range filter — never a nested-loop/cartesian scan; each "
+    "2 h interval covers <= 2 buckets",
+)
+def t11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import bucketed_range_join
+
+    ev = Catalog(spark, sf_dir).table("events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOUR")).alias("w_end"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"), F.col("ts").alias("p_ts")
+    )
+    joined = bucketed_range_join(
+        purchases, clicks, point_ts="p_ts", start_col="w_start", end_col="w_end",
+        bucket_seconds=7200,
+    )
+    return (
+        joined.groupBy(F.col("c_event_id").alias("event_id"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .orderBy("event_id")
+    )
+
+
+@_q(
     "q36_array_agg",
     """SELECT l_returnflag,
        array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,

@@ -173,3 +173,15 @@ def test_l20_banding_no_cartesian(spark):
     q = next(q for q in QUERIES if q.name == "l20_simhash_hamming")
     plan = _plan(q.build(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_t11_range_join_no_nested_loop(spark):
+    """The unkeyed range join must execute as a bucket equi-join —
+    nested-loop/cartesian over the two event sets is the scale bug the
+    operator exists to avoid."""
+    from graph_spark.queries.qsuite import QUERIES
+
+    q = next(q for q in QUERIES if q.name == "t11_bucketed_range_join")
+    plan = _plan(q.build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -287,3 +287,38 @@ def test_compaction_preserves_point_reads(spark):
         raw = {r["entity_id"]: r["value"] for r in value_at(df, t).collect()}
         cmp = {r["entity_id"]: r["value"] for r in value_at(compacted, t).collect()}
         assert raw == cmp, probe
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+@pytest.mark.parametrize("bucket_seconds", [600, 3600, 7200])
+def test_bucketed_range_join_equals_theta_join(spark, seed, bucket_seconds):
+    """Bucketed unkeyed range join == naive theta join, for bucket sizes
+    smaller than, equal to, and larger than the interval length."""
+    from graph_spark.operators.relational import bucketed_range_join
+
+    rng = random.Random(seed)
+    base = 1_700_000_000
+    pts = [(i, base + rng.randrange(0, 200_000)) for i in range(150)]
+    ivs = []
+    for j in range(60):
+        s = base + rng.randrange(0, 200_000)
+        ivs.append((j, s, s + rng.randrange(1, 7200)))
+    p = spark.createDataFrame(pts, "pid long, p_ts long").withColumn(
+        "p_ts", F.timestamp_seconds("p_ts")
+    )
+    iv = (
+        spark.createDataFrame(ivs, "iid long, s long, e long")
+        .withColumn("s", F.timestamp_seconds("s"))
+        .withColumn("e", F.timestamp_seconds("e"))
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in bucketed_range_join(
+            p, iv, "p_ts", "s", "e", bucket_seconds=bucket_seconds
+        ).collect()
+    )
+    want = sorted(
+        (r["pid"], r["iid"])
+        for r in p.join(iv, (F.col("p_ts") >= F.col("s")) & (F.col("p_ts") < F.col("e"))).collect()
+    )
+    assert got == want, f"seed={seed} bucket={bucket_seconds}"
