@@ -61,7 +61,14 @@ def stage_replay_dir(spark: SparkSession, sf_dir: str, by: str = "day") -> str:
         sdir = os.path.join(out, f"staging_{i:04d}")
         for f in sorted(os.listdir(sdir)):
             if f.endswith(".parquet"):
-                shutil.copy(os.path.join(sdir, f), os.path.join(final, f"batch_{i:04d}.parquet"))
+                dst = os.path.join(final, f"batch_{i:04d}.parquet")
+                shutil.copy(os.path.join(sdir, f), dst)
+                # Spark's file source orders pending files by modification
+                # time; fast sequential copies share an mtime, which
+                # scrambles delivery and silently breaks the "ordered
+                # micro-batches" contract for order-SENSITIVE consumers
+                # (stateful operators).  Stamp strictly increasing mtimes.
+                os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
     shutil.rmtree(out)
     return final
 

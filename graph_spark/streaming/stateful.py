@@ -1,0 +1,75 @@
+"""Custom stateful streaming operators (SURVEY.md §2.E "arbitrary
+stateful op"): applyInPandasWithState kernels whose semantics are
+parity-tested against their batch window-function forms.
+
+State-store scale model: one state row per active group key; the state
+store is RocksDB-backed on executors at scale and bounded by the
+watermark horizon, not total history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def stateful_sessionize(
+    stream: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user session assignment over an unbounded stream: a new
+    session starts when the gap since the user's previous event is
+    strictly greater than `gap_seconds` — the streaming twin of
+    `operators.relational.sessionize` (same gap semantics, same
+    (ts, id) ordering), carried across micro-batches by a 2-long state
+    row (last event time µs, current session id) per user.
+
+    Requires per-user event-time order across micro-batches (true for
+    the ordered file replay; with out-of-order sources buffer by
+    watermark first, e.g. a session_window pre-pass).  Emits
+    (user, id, session_id) rows in update mode.
+    """
+    import pandas as pd
+
+    gap_us = int(gap_seconds) * 1_000_000
+    out_schema = StructType(
+        [
+            StructField(user_col, LongType()),
+            StructField(id_col, LongType()),
+            StructField("session_id", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("last_us", LongType()), StructField("sid", LongType())]
+    )
+
+    def update(key, pdfs, state):
+        last_us, sid = state.get if state.exists else (None, 0)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if not len(rows):
+            return
+        rows = rows.sort_values([ts_col, id_col])
+        us = rows[ts_col].astype("int64") // 1000  # ns -> µs
+        sids = []
+        for u in us:
+            if last_us is None or u - last_us > gap_us:
+                sid += 1
+            last_us = int(u)
+            sids.append(sid)
+        state.update((int(last_us), int(sid)))
+        yield pd.DataFrame(
+            {
+                user_col: key[0],
+                id_col: rows[id_col].to_numpy(),
+                "session_id": sids,
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

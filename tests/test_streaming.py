@@ -337,3 +337,26 @@ def test_s07_stream_stream_join_equals_batch(spark, replay_dir):
         ["p_event_id", "c_event_id"],
     )
     assert got == want and len(want) > 0
+
+
+def test_stateful_sessionize_equals_batch(spark, replay_dir):
+    """Custom stateful operator parity: applyInPandasWithState session
+    assignment across micro-batches == the batch window-function
+    sessionize, event by event."""
+    from graph_spark.operators.relational import sessionize
+    from graph_spark.streaming.stateful import stateful_sessionize
+
+    sink = run_stream(
+        spark,
+        replay_dir,
+        lambda df: stateful_sessionize(df, gap_seconds=1800),
+        output_mode="update",
+    )
+    got = _rows(sink, ["user_id", "event_id", "session_id"])
+
+    batch = sessionize(
+        Catalog(spark, SF_SMOKE).table("events"),
+        "user_id", "ts", 1800, tiebreak=["event_id"],
+    )
+    want = _rows(batch, ["user_id", "event_id", "session_id"])
+    assert got == want and len(want) > 0
