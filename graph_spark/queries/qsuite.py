@@ -966,6 +966,56 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q37_set_ops_all",
+    """WITH ia AS (SELECT c_nationkey AS v FROM customer
+                  INTERSECT ALL SELECT s_nationkey FROM supplier),
+       ea AS (SELECT c_nationkey AS v FROM customer
+              EXCEPT ALL SELECT s_nationkey FROM supplier)
+       SELECT 'intersect_all' AS op, v, count(*)::BIGINT AS n FROM ia GROUP BY 1,2
+       UNION ALL
+       SELECT 'except_all' AS op, v, count(*)::BIGINT AS n FROM ea GROUP BY 1,2
+       ORDER BY 1, 2""",
+    note="bag-semantics set operations (INTERSECT ALL / EXCEPT ALL keep "
+    "multiplicities, unlike q18's DISTINCT forms); rendered as "
+    "per-value counts for a bounded deterministic output",
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    cn = c.table("customer").select(F.col("c_nationkey").alias("v"))
+    sn = c.table("supplier").select(F.col("s_nationkey").alias("v"))
+    ia = cn.intersectAll(sn).groupBy("v").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("intersect_all").alias("op"), "v", "n"
+    )
+    ea = cn.exceptAll(sn).groupBy("v").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("except_all").alias("op"), "v", "n"
+    )
+    return ia.unionAll(ea).orderBy("op", "v")
+
+
+@_q(
+    "q38_posexplode",
+    """SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+       round(CAST(unnest(embedding) AS DOUBLE), 6) AS x
+       FROM embeddings WHERE vec_id < 5
+       ORDER BY vec_id, pos""",
+    note="array explosion WITH ordinality (posexplode / "
+    "generate_subscripts): the 1->N lateral expansion that underlies "
+    "tokenization and frame-sampling operators, position preserved",
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).table("embeddings").filter(F.col("vec_id") < 5)
+    return (
+        e.select("vec_id", F.posexplode("embedding").alias("pos", "xf"))
+        .select(
+            "vec_id",
+            "pos",
+            F.round(F.col("xf").cast("double"), 6).alias("x"),
+        )
+        .orderBy("vec_id", "pos")
+    )
+
+
+@_q(
     "t10_linear_interpolation",
     """WITH bounds AS (SELECT date_trunc('hour', min(ts)) AS mn,
                              date_trunc('hour', max(ts)) AS mx FROM events),

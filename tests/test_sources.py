@@ -126,3 +126,27 @@ def test_jdbc_reader_surface(spark):
     with pytest.raises(Exception) as ei:
         readers.read_jdbc(spark, "jdbc:postgresql://localhost:1/none", "t").collect()
     assert "jdbc" in str(ei.value).lower() or "driver" in str(ei.value).lower() or "connection" in str(ei.value).lower()
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    """The 100 TB layout claim, proven from the plan: two tables
+    bucketed the same way on the join key sort-merge-join with ZERO
+    Exchange — the shuffle happened once at write time."""
+    from graph_spark.sources import writers
+
+    c = Catalog(spark, SF_SMOKE)
+    orders = c.table("orders").select(F.col("o_custkey").alias("k"), "o_totalprice")
+    cust = c.table("customer").select(F.col("c_custkey").alias("k"), "c_name")
+    writers.write_bucketed_table(orders, "t_orders_bkt", "k", 8)
+    writers.write_bucketed_table(cust, "t_cust_bkt", "k", 8)
+    try:
+        a = spark.table("t_orders_bkt")
+        b = spark.table("t_cust_bkt")
+        joined = a.hint("merge").join(b, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_cust_bkt")
