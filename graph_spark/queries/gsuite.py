@@ -757,6 +757,36 @@ def g24(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edge_triangle_support(cos).orderBy("s1", "s2")
 
 
+@_g(
+    "g25_degree_histogram",
+    f"""WITH {GRAPH_CTES},
+       deg AS (SELECT src AS node, count(*) AS d FROM graph_edges_sym GROUP BY 1)
+       SELECT CAST(floor(ln(d)/ln(2)) AS INT) AS bucket,
+              count(*)::BIGINT AS nodes,
+              min(d)::BIGINT AS min_deg, max(d)::BIGINT AS max_deg
+       FROM deg GROUP BY 1 ORDER BY 1""",
+    note="log2-bucketed degree distribution — the power-law summary "
+    "that drives skew decisions (salting thresholds, hub capping) at "
+    "scale; two combinable aggregations, no joins",
+)
+def g25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).graph_edges_sym()
+    deg = e.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    return (
+        deg.groupBy(
+            F.floor(F.log(F.col("d").cast("double")) / F.log(F.lit(2.0)))
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("nodes"),
+            F.min("d").alias("min_deg"),
+            F.max("d").alias("max_deg"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def _ppr_oracle(iters: int = 8) -> str:
     """Unrolled personalized PageRank (teleport restricted to a source
     set); MATERIALIZED per iteration so DuckDB doesn't inline-explode

@@ -1016,6 +1016,70 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q39_window_value_fns",
+    """SELECT o_orderkey,
+       round(first_value(o_totalprice) OVER w, 2) AS first_px,
+       round(last_value(o_totalprice) OVER
+         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS final_px,
+       round(nth_value(o_totalprice, 2) OVER w, 2) AS second_px
+       FROM orders WHERE o_custkey < 200
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+       ORDER BY o_orderkey""",
+    note="window value functions (first_value / last_value over the "
+    "full frame / nth_value) with a fully deterministic (date, key) "
+    "ordering",
+)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_px"),
+        F.round(F.last("o_totalprice").over(wfull), 2).alias("final_px"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_px"),
+    ).orderBy("o_orderkey")
+
+
+@_q(
+    "t12_asof_tolerance",
+    """SELECT p.event_id,
+       strftime(max(c.ts), '%Y-%m-%d %H:%M:%S.%f') AS last_click
+       FROM events p LEFT JOIN events c
+       ON c.user_id=p.user_id AND c.event_type='click'
+       AND c.ts<=p.ts AND c.ts > p.ts - INTERVAL 1 DAY
+       WHERE p.event_type='purchase' GROUP BY 1 ORDER BY 1""",
+    note="as-of join with a staleness tolerance (merge_asof tolerance "
+    "semantics): matches older than 1 day are rejected rather than "
+    "carried forward — the bounded-lookback form that enables time-"
+    "bucket partition pruning at scale",
+)
+def t12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    joined = p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 DAY")),
+        "left",
+    )
+    return (
+        joined.groupBy(F.col("p_event_id").alias("event_id"))
+        .agg(ts_str(F.max("c_ts")).alias("last_click"))
+        .orderBy("event_id")
+    )
+
+
+@_q(
     "t10_linear_interpolation",
     """WITH bounds AS (SELECT date_trunc('hour', min(ts)) AS mn,
                              date_trunc('hour', max(ts)) AS mx FROM events),
