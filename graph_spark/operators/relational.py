@@ -174,7 +174,11 @@ def bucketed_range_join(
         "__b", F.floor(F.col(point_ts).cast("long") / bucket_seconds)
     )
     iv = (
-        intervals.withColumn(
+        # empty intervals (end <= start) match nothing; drop them BEFORE
+        # the bucket expansion — F.sequence(a, b) with b < a would emit a
+        # DESCENDING bucket list and explode garbage rows
+        intervals.filter(F.col(end_col) > F.col(start_col))
+        .withColumn(
             "__bs", F.floor(F.col(start_col).cast("long") / bucket_seconds)
         )
         .withColumn(

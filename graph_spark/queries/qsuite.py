@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import Catalog
 from ..operators.relational import asof_join, interval_overlap_join, sessionize, topk_per_group
-from .common import Query, ts_str
+from .common import Query, date_str, ts_str
 
 _Q: list[Query] = []
 
@@ -1077,6 +1077,32 @@ def t12(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(ts_str(F.max("c_ts")).alias("last_click"))
         .orderBy("event_id")
     )
+
+
+@_q(
+    "q40_calendar_fns",
+    """SELECT o_orderkey,
+       strftime(last_day(o_orderdate::DATE), '%Y-%m-%d') AS month_end,
+       strftime((o_orderdate::DATE + INTERVAL 3 MONTH)::DATE, '%Y-%m-%d') AS plus3mo,
+       weekofyear(o_orderdate)::INT AS iso_week,
+       (dayofweek(o_orderdate) + 1)::INT AS dow,
+       (quarter(o_orderdate))::INT AS qtr
+       FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""",
+    note="calendar-function breadth: last_day / add_months (calendar-"
+    "clamped, Jan 31 + 1 mo = Feb 28 in both engines) / ISO week / "
+    "day-of-week (normalized to Spark's 1=Sunday) / quarter",
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders").filter(F.col("o_orderkey") < 2000)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        date_str(F.last_day(d)).alias("month_end"),
+        date_str(F.add_months(d, 3)).alias("plus3mo"),
+        F.weekofyear(d).alias("iso_week"),
+        F.dayofweek(d).alias("dow"),
+        F.quarter(d).alias("qtr"),
+    ).orderBy("o_orderkey")
 
 
 @_q(

@@ -255,3 +255,79 @@ def test_time_weighted_avg_prefix_segment(spark):
     # entity 1: 182 days at 10.0 (Jan 1..Jul 1) + 184 days at 20.0
     assert abs(res[1] - (182 * 10.0 + 184 * 20.0) / 366) < 1e-6
     assert abs(res[2] - 7.5) < 1e-9
+
+
+def test_bucketed_range_join_degenerate_intervals(spark):
+    """Zero- and negative-length intervals match nothing (and must not
+    trip the descending-sequence hazard in the bucket expansion)."""
+    from pyspark.sql import functions as F
+
+    from graph_spark.operators.relational import bucketed_range_join
+
+    p = spark.createDataFrame([(1, 1000)], "pid long, p_ts long").withColumn(
+        "p_ts", F.timestamp_seconds("p_ts")
+    )
+    iv = (
+        spark.createDataFrame(
+            [(1, 1000, 1000), (2, 2000, 500), (3, 900, 1100)], "iid long, s long, e long"
+        )
+        .withColumn("s", F.timestamp_seconds("s"))
+        .withColumn("e", F.timestamp_seconds("e"))
+    )
+    got = sorted(r["iid"] for r in bucketed_range_join(p, iv, "p_ts", "s", "e", 600).collect())
+    assert got == [3]
+
+
+def test_time_weighted_avg_matches_daily_expansion(spark):
+    """twa == plain mean over the per-day expansion of the piecewise
+    series clipped to the range (the O(range-span) brute force the
+    operator avoids), on seeded random change-point tables."""
+    import datetime
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from graph_spark.temporal.tprop import time_weighted_avg
+
+    rng = _random.Random(99)
+    base = datetime.date(1995, 1, 1)
+    rows = []
+    for ent in range(8):
+        day = 0
+        for _ in range(rng.randrange(1, 12)):
+            rows.append((ent, str(base + datetime.timedelta(days=day)), round(rng.uniform(1, 100), 2)))
+            day += rng.randrange(1, 400)
+    df = spark.createDataFrame(rows, "entity_id long, ts string, value double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    start, end = datetime.date(1995, 6, 1), datetime.date(1997, 6, 1)
+    # brute force: value in effect for every day in [start, end)
+    by_ent = {}
+    for ent, ts, v in rows:
+        by_ent.setdefault(ent, []).append((datetime.date.fromisoformat(ts), v))
+    want = {}
+    for ent, cps in by_ent.items():
+        cps.sort()
+        vals = []
+        d = start
+        while d < end:
+            cur = None
+            for cd, cv in cps:
+                if cd <= d:
+                    cur = cv
+            if cur is not None:
+                vals.append(cur)
+            d += datetime.timedelta(days=1)
+        if vals:
+            want[ent] = sum(vals) / len(vals)
+    got = {
+        r["entity_id"]: r["twa"]
+        for r in time_weighted_avg(
+            df,
+            F.lit(str(start)).cast("timestamp"),
+            F.lit(str(end)).cast("timestamp"),
+        ).collect()
+    }
+    assert got.keys() == want.keys()
+    for ent in want:
+        assert abs(got[ent] - want[ent]) < 1e-4, ent

@@ -6,6 +6,7 @@ Runs at sf0.001 to keep replay fast; semantics are scale-free.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from graph_spark.catalog import Catalog
@@ -360,3 +361,70 @@ def test_stateful_sessionize_equals_batch(spark, replay_dir):
     )
     want = _rows(batch, ["user_id", "event_id", "session_id"])
     assert got == want and len(want) > 0
+
+
+def test_checkpoint_restart_recovers_state(spark, replay_dir, tmp_path):
+    """Kill-and-restart recovery: a windowed aggregation processes half
+    the input, stops, and a NEW query resumes from the same checkpoint
+    over the rest.  The final per-key state must equal the batch result
+    — if state were lost on restart, second-phase counts would reset."""
+    import os
+    import shutil
+
+    from graph_spark.streaming.replay import EVENTS_SCHEMA
+
+    files = sorted(f for f in os.listdir(replay_dir) if f.endswith(".parquet"))
+    assert len(files) >= 4
+    live = tmp_path / "live"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    live.mkdir()
+
+    def deliver(names, t0):
+        for i, f in enumerate(names):
+            dst = live / f
+            shutil.copy(os.path.join(replay_dir, f), dst)
+            os.utime(dst, (t0 + i, t0 + i))
+
+    def run_phase():
+        src = (
+            spark.readStream.format("parquet")
+            .schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 3)
+            .load(str(live))
+        )
+        agg = tumbling_hourly(src)
+
+        def sink(df, bid):
+            df.withColumn("bid", F.lit(bid)).write.mode("append").parquet(str(out))
+
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(ckpt))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    half = len(files) // 2
+    deliver(files[:half], 1_800_000_000)
+    run_phase()
+    deliver(files[half:], 1_800_100_000)
+    run_phase()
+
+    hist = spark.read.parquet(str(out)).select(
+        F.col("w.start").alias("h"), "event_type", "n", "v", "bid"
+    )
+    wlast = Window.partitionBy("h", "event_type").orderBy(F.col("bid").desc())
+    final = (
+        hist.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select("h", "event_type", "n", "v")
+    )
+    batch = tumbling_hourly(Catalog(spark, SF_SMOKE).table("events")).select(
+        F.col("w.start").alias("h"), "event_type", "n", "v"
+    )
+    assert _rows(final, ["h", "event_type", "n", "v"]) == _rows(
+        batch, ["h", "event_type", "n", "v"]
+    )
