@@ -787,6 +787,35 @@ def g25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g26_recursive_sql_traversal",
+    f"""WITH RECURSIVE {GRAPH_CTES},
+       r(node, hops) AS (
+         SELECT 'c1', 0
+         UNION ALL
+         SELECT e.dst, r.hops+1 FROM r
+         JOIN graph_edges_sym e ON r.node=e.src WHERE r.hops < 3)
+       SELECT node, min(hops) AS d, count(*)::BIGINT AS n_paths
+       FROM r GROUP BY 1 ORDER BY 1""",
+    note="the reference's traversal surface in PURE SQL on BOTH engines: "
+    "Spark 4 recursive CTE (UNION ALL path enumeration, hop-bounded) "
+    "runs the same statement DuckDB does — no Pregel loop involved; "
+    "complements g03's frontier-dedup BFS with exact path counting",
+)
+def g26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    c.graph_edges_sym().createOrReplaceTempView("g26_edges_sym")
+    return spark.sql(
+        """WITH RECURSIVE r(node, hops) AS (
+             SELECT 'c1', 0
+             UNION ALL
+             SELECT e.dst, r.hops + 1 FROM r
+             JOIN g26_edges_sym e ON r.node = e.src WHERE r.hops < 3)
+           SELECT node, min(hops) AS d, count(*) AS n_paths
+           FROM r GROUP BY node ORDER BY node"""
+    )
+
+
 def _ppr_oracle(iters: int = 8) -> str:
     """Unrolled personalized PageRank (teleport restricted to a source
     set); MATERIALIZED per iteration so DuckDB doesn't inline-explode

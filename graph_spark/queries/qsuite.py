@@ -1106,6 +1106,32 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q41_variant_json",
+    """SELECT event_type,
+       sum(CAST(json_extract_string(props, '$.k') AS INT))::BIGINT AS sk,
+       (count(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50))::BIGINT AS n_big
+       FROM events GROUP BY 1 ORDER BY 1""",
+    note="semi-structured access through Spark 4's VARIANT type "
+    "(parse_json once -> binary-encoded variant -> typed variant_get), "
+    "the parse-once/access-many scale path vs q24's per-access string "
+    "parsing; oracle reads the same values via DuckDB JSON",
+)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    v = ev.select("event_type", F.parse_json("props").alias("vj"))
+    k = F.expr("variant_get(vj, '$.k', 'int')")
+    return (
+        v.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sk"),
+            F.expr("count_if(k > 50)").alias("n_big"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_q(
     "t10_linear_interpolation",
     """WITH bounds AS (SELECT date_trunc('hour', min(ts)) AS mn,
                              date_trunc('hour', max(ts)) AS mx FROM events),
