@@ -816,3 +816,116 @@ def node_similarity_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+def adamic_adar(
+    bipartite_edges: DataFrame,
+    left_col: str = "src",
+    right_col: str = "dst",
+    min_common: int = 1,
+) -> DataFrame:
+    """Adamic-Adar link prediction between right-side nodes of a
+    bipartite edge set: sum over shared left-side neighbors z of
+    1/ln(deg(z)) (Neo4j GDS linkPrediction.adamicAdar shape).
+
+    Same inverted-index self-join as :func:`node_similarity_jaccard` —
+    candidate pairs enumerate per shared neighbor, never a cross join.
+    The difference is WHERE the degree applies: AA weights each shared
+    NEIGHBOR by its own rarity (1/ln of the neighbor's fan-out), so the
+    neighbor-degree frame joins on the shared key BEFORE the pair
+    aggregate.  Degree-1 neighbors are dropped (ln 1 = 0).  At scale the
+    degree frame is tiny (one row per left node after distinct) and
+    broadcastable; hub neighbors dominate pair fan-out and should be
+    capped upstream, which also improves score quality (a hub's AA
+    weight ~ 1/ln(huge) ≈ 0 anyway).
+    Returns (a, b, common, aa_score), a < b, aa_score rounded 6dp.
+    """
+    e = bipartite_edges.select(
+        F.col(left_col).alias("nb"), F.col(right_col).alias("node")
+    ).distinct()
+    deg = (
+        e.groupBy("nb")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") > 1)
+        .withColumn("w", F.lit(1.0) / F.log(F.col("d")))
+    )
+    a = e.select(F.col("nb"), F.col("node").alias("a"))
+    b = e.select(F.col("nb"), F.col("node").alias("b"))
+    return (
+        a.join(b, "nb")
+        .filter(F.col("a") < F.col("b"))
+        .join(F.broadcast(deg.select("nb", "w")), "nb")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.round(F.sum("w"), 6).alias("aa_score"),
+        )
+        .filter(F.col("common") >= min_common)
+    )
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities on a directed edge set, L1-normalized
+    each half-step (Kleinberg 1999; Neo4j GDS alpha.hits shape).
+
+    auth(n) = sum of hub over in-neighbors; hub(n) = sum of auth over
+    out-neighbors; each vector rescaled to sum 1 so scores are
+    comparable ratios.  Each half-step is one equi-join + one combinable
+    groupBy — the same stationary-edges superstep cost as PageRank, but
+    with NO teleport, so mass concentrates on the dominant bipartite
+    core.  The normalization constant is a single scalar agg collected
+    per half-step (driver sees one double, never data).  Returns
+    (role 'hub'|'auth', node, score) un-truncated; callers rank/limit.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    hub = e.select("src").distinct().select(
+        F.col("src").alias("node"), F.lit(1.0).alias("v")
+    )
+    auth = None
+    for _ in range(iterations):
+        raw_a = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("v").alias("v"))
+            .select(F.col("dst").alias("node"), "v")
+        )
+        za = raw_a.agg(F.sum("v")).collect()[0][0]
+        auth = raw_a.select("node", (F.col("v") / F.lit(za)).alias("v")).localCheckpoint()
+        raw_h = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("v").alias("v"))
+            .select(F.col("src").alias("node"), "v")
+        )
+        zh = raw_h.agg(F.sum("v")).collect()[0][0]
+        hub = raw_h.select("node", (F.col("v") / F.lit(zh)).alias("v")).localCheckpoint()
+    return hub.select(F.lit("hub").alias("role"), "node", F.col("v").alias("score")).unionAll(
+        auth.select(F.lit("auth").alias("role"), "node", F.col("v").alias("score"))
+    )
+
+
+def ktruss_peel(
+    edges_undirected_pairs: DataFrame, k: int = 4, rounds: int = 3
+) -> DataFrame:
+    """Bounded k-truss peel: `rounds` synchronous rounds of "drop every
+    edge whose triangle support < k-2" over canonical undirected edges
+    (s1 < s2).  Each round is one :func:`edge_triangle_support` pass
+    (three equi-joins + a combinable groupBy) followed by a semi-join
+    filter; localCheckpoint truncates the per-round lineage so the plan
+    doesn't nest.  The round count is part of the declared semantics
+    (both engines run exactly `rounds` sweeps whether or not a fixpoint
+    is reached) — at scale the loop converges in O(max coreness) rounds
+    and the support pass dominates, same cost shape as g24.
+    Returns the surviving (s1, s2, support) after the final round.
+    """
+    e = edges_undirected_pairs.select("s1", "s2").distinct()
+    sup = None
+    for _ in range(rounds):
+        sup = edge_triangle_support(e).filter(F.col("support") >= k - 2)
+        e = sup.select("s1", "s2").localCheckpoint()
+    return sup

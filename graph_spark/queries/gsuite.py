@@ -868,4 +868,139 @@ def g21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hits_oracle(iters: int = 4) -> str:
+    steps = ["e AS MATERIALIZED (SELECT DISTINCT src, dst FROM graph_edges)",
+             "h0 AS MATERIALIZED (SELECT DISTINCT src AS node, 1.0::DOUBLE AS v FROM e)"]
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""a{i}r AS MATERIALIZED (SELECT e.dst AS node, sum(h.v) AS v
+  FROM e JOIN {prev_h} h ON h.node=e.src GROUP BY 1)"""
+        )
+        steps.append(
+            f"a{i} AS MATERIALIZED (SELECT node, v/(SELECT sum(v) FROM a{i}r) AS v FROM a{i}r)"
+        )
+        steps.append(
+            f"""h{i}r AS MATERIALIZED (SELECT e.src AS node, sum(a.v) AS v
+  FROM e JOIN a{i} a ON a.node=e.dst GROUP BY 1)"""
+        )
+        steps.append(
+            f"h{i} AS MATERIALIZED (SELECT node, v/(SELECT sum(v) FROM h{i}r) AS v FROM h{i}r)"
+        )
+        prev_h = f"h{i}"
+    chain = ",\n".join(steps)
+    return f"""WITH {GRAPH_CTES},
+{chain},
+hb AS (SELECT 'auth' AS role, node, round(v, 6) AS score FROM a{iters}
+       UNION ALL
+       SELECT 'hub', node, round(v, 6) FROM h{iters})
+SELECT role, node, score FROM hb
+QUALIFY row_number() OVER (PARTITION BY role ORDER BY score DESC, node) <= 20
+ORDER BY role, score DESC, node"""
+
+
+@_g(
+    "g28_hits",
+    _hits_oracle(),
+    note="HITS hubs & authorities, 4 L1-normalized power iterations — "
+    "the mutually-recursive centrality pair (hubs point at good "
+    "authorities, authorities are pointed at by good hubs); each "
+    "half-step is one join + combinable groupBy over stationary edges, "
+    "normalization collects a single scalar; top-20 per role",
+)
+def g28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import hits
+    from pyspark.sql import Window as W
+
+    e = Catalog(spark, sf_dir).graph_edges()
+    scored = hits(e, iterations=4).select(
+        "role", "node", F.round("score", 6).alias("score")
+    )
+    w = W.partitionBy("role").orderBy(F.col("score").desc(), F.col("node"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+        .orderBy("role", F.col("score").desc(), "node")
+    )
+
+
+@_g(
+    "g27_adamic_adar",
+    f"""WITH {GRAPH_CTES},
+       e AS (SELECT DISTINCT src AS cust, dst AS supp FROM graph_edges
+             WHERE n_items >= 2),
+       deg AS (SELECT cust, count(*) AS d FROM e GROUP BY 1),
+       pairs AS (SELECT a.supp AS a, b.supp AS b, a.cust AS z
+                 FROM e a JOIN e b ON a.cust=b.cust AND a.supp < b.supp)
+       SELECT p.a, p.b, count(*)::BIGINT AS common,
+              round(sum(1.0/ln(d.d)), 6) AS aa_score
+       FROM pairs p JOIN deg d ON d.cust=p.z AND d.d > 1
+       GROUP BY 1, 2 HAVING count(*) >= 2
+       ORDER BY aa_score DESC, p.a, p.b LIMIT 50""",
+    note="Adamic-Adar link prediction between suppliers: common-customer "
+    "neighbors weighted by 1/ln(degree) — rare shared neighbors count "
+    "more (GDS linkPrediction.adamicAdar shape); same inverted-index "
+    "self-join as g23 (never a cross join), degree frame broadcast, "
+    "min_common=2 prunes the pair tail before the aggregate",
+)
+def g27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import adamic_adar
+
+    e = Catalog(spark, sf_dir).graph_edges().filter(F.col("n_items") >= 2)
+    scores = adamic_adar(e, left_col="src", right_col="dst", min_common=2)
+    return scores.orderBy(F.col("aa_score").desc(), "a", "b").limit(50)
+
+
+def _ktruss_oracle(k: int = 4, rounds: int = 3) -> str:
+    steps = [
+        """ge AS (SELECT src, dst FROM graph_edges WHERE n_items >= 2),
+e0 AS MATERIALIZED (SELECT DISTINCT a.dst AS s1, b.dst AS s2
+  FROM ge a JOIN ge b ON a.src=b.src AND a.dst<b.dst)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = f"e{r-1}"
+        steps.append(
+            f"""tri{r} AS MATERIALIZED (SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+  FROM {p} e1 JOIN {p} e2 ON e2.s1=e1.s2
+  JOIN {p} e3 ON e3.s1=e1.s1 AND e3.s2=e2.s2)"""
+        )
+        steps.append(
+            f"""sup{r} AS MATERIALIZED (SELECT s1, s2, count(*) AS support FROM (
+  SELECT a AS s1, b AS s2 FROM tri{r}
+  UNION ALL SELECT b, c FROM tri{r}
+  UNION ALL SELECT a, c FROM tri{r}) u
+  GROUP BY 1, 2 HAVING count(*) >= {k - 2})"""
+        )
+        steps.append(f"e{r} AS MATERIALIZED (SELECT s1, s2 FROM sup{r})")
+    chain = ",\n".join(steps)
+    return f"""WITH {GRAPH_CTES},
+{chain}
+SELECT s1, s2, support::BIGINT AS support FROM sup{rounds} ORDER BY 1, 2"""
+
+
+@_g(
+    "g29_ktruss",
+    _ktruss_oracle(),
+    note="4-truss peel on the co-supplier graph: 3 synchronous rounds "
+    "of drop-edges-with-support<2 (the dense-cohesion refinement of "
+    "g24's counting kernel); round count is part of the declared "
+    "semantics so both engines run identical sweeps; per-round "
+    "localCheckpoint keeps the iterated plan flat",
+)
+def g29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import ktruss_peel
+
+    ge = Catalog(spark, sf_dir).graph_edges().filter(F.col("n_items") >= 2)
+    a = ge.select(F.col("src").alias("cu"), F.col("dst").alias("s1"))
+    b = ge.select(F.col("src").alias("cu"), F.col("dst").alias("s2"))
+    cos = (
+        a.join(b, "cu")
+        .filter(F.col("s1") < F.col("s2"))
+        .select("s1", "s2")
+        .distinct()
+    )
+    return ktruss_peel(cos, k=4, rounds=3).orderBy("s1", "s2")
+
+
 QUERIES = list(_G)

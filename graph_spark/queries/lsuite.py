@@ -674,4 +674,146 @@ def l23(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@_l(
+    "l24_regex_scrub",
+    """SELECT event_type,
+       sum(len(regexp_extract_all(props, '[0-9]+')))::BIGINT AS n_runs,
+       sum(length(props)
+           - length(regexp_replace(props, '[0-9]+', '#', 'g')))::BIGINT
+         AS delta_chars,
+       count(DISTINCT regexp_replace(props, '[0-9]+', '#', 'g'))::BIGINT
+         AS n_shapes
+       FROM events GROUP BY 1 ORDER BY 1""",
+    note="regex PII-scrub shape over the JSON payload: detect numeric "
+    "runs (regexp_extract_all), redact them (global regexp_replace), "
+    "and count the distinct redacted 'shapes' — all JVM-side codegen "
+    "regex, no UDF; the masked-cardinality column is the standard "
+    "pre-anonymization structure check in training-data pipelines",
+)
+def l24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    masked = F.regexp_replace(F.col("props"), "[0-9]+", "#")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(F.size(F.expr("regexp_extract_all(props, '[0-9]+', 0)"))).alias(
+                "n_runs"
+            ),
+            F.sum(F.length("props") - F.length(masked)).alias("delta_chars"),
+            F.countDistinct(masked).alias("n_shapes"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_l(
+    "l25_stratified_sample",
+    """WITH s AS (SELECT lang, n_chars,
+         (strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR), 1, 1)) - 1) * 16
+         + strpos('0123456789abcdef', substring(md5(doc_id::VARCHAR), 2, 1)) - 1 AS b
+       FROM documents),
+       r AS (SELECT lang, n_chars,
+               b < CASE lang WHEN 'en' THEN 128 WHEN 'zh' THEN 192 ELSE 256 END AS keep
+             FROM s)
+       SELECT lang, count(*)::BIGINT AS total,
+              (count(*) FILTER (WHERE keep))::BIGINT AS kept,
+              coalesce(sum(n_chars) FILTER (WHERE keep), 0)::BIGINT AS kept_chars
+       FROM r GROUP BY 1 ORDER BY 1""",
+    note="deterministic stratified down-sampling for data mixing: "
+    "per-language keep rates (en 50%, zh 75%, rest 100%) applied via an "
+    "id-hash uniform in [0,256) — no RNG, identical sample under "
+    "re-runs, engine changes, and partitioning changes; the language-"
+    "rebalancing primitive of every multilingual pretraining mix",
+)
+def l25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    thr = (
+        F.when(F.col("lang") == "en", 128)
+        .when(F.col("lang") == "zh", 192)
+        .otherwise(256)
+    )
+    r = docs.select("lang", "n_chars", (bucket < thr).alias("keep"))
+    return (
+        r.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.count_if(F.col("keep")).alias("kept"),
+            F.coalesce(F.sum(F.when(F.col("keep"), F.col("n_chars"))), F.lit(0)).alias(
+                "kept_chars"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@_l(
+    "l26_contamination",
+    """WITH d AS (SELECT doc_id, lang,
+         CASE WHEN strpos('0123456789abcdef',
+                substring(md5(doc_id::VARCHAR), 1, 1)) - 1 < 13 THEN 'train'
+              WHEN strpos('0123456789abcdef',
+                substring(md5(doc_id::VARCHAR), 1, 1)) - 1 < 15 THEN 'valid'
+              ELSE 'test' END AS split,
+         list_filter(string_split(text, ' '), x -> x <> '') AS l
+       FROM documents),
+       g AS (SELECT doc_id, lang, split, array_to_string(l[t.i:t.i+4], ' ') AS gram
+             FROM d, UNNEST(generate_series(1, greatest(len(l) - 4, 0))) AS t(i)),
+       train_g AS (SELECT DISTINCT gram FROM g WHERE split = 'train'),
+       test_doc AS (SELECT DISTINCT doc_id, lang FROM g WHERE split = 'test'),
+       contam AS (SELECT DISTINCT t.doc_id FROM g t
+                  JOIN train_g USING (gram) WHERE t.split = 'test')
+       SELECT lang, count(*)::BIGINT AS n_test,
+              (count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM contam)))::BIGINT
+                AS n_contaminated
+       FROM test_doc GROUP BY 1 ORDER BY 1""",
+    note="train/test contamination check: a test doc is contaminated if "
+    "it shares any 5-gram word shingle with the train split (splits = "
+    "l18's deterministic id-hash rule) — distinct-shingle semi-join, "
+    "the eval-integrity gate every pretraining pipeline needs; shingle "
+    "tables stay (gram, doc) pairs, never materialized per-doc lists",
+)
+def l26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    split = F.when(bucket < 13, "train").when(bucket < 15, "valid").otherwise("test")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        split.alias("split"),
+        F.expr("filter(split(text, ' '), x -> x <> '')").alias("l"),
+    )
+    g = d.select(
+        "doc_id",
+        "lang",
+        "split",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(l) >= 5 THEN transform(sequence(1, size(l)-4),"
+                " i -> array_join(slice(l, i, 5), ' ')) ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    train_g = g.filter(F.col("split") == "train").select("gram").distinct()
+    test_g = g.filter(F.col("split") == "test")
+    contam = (
+        test_g.join(train_g, "gram", "left_semi").select("doc_id").distinct()
+        .withColumn("c", F.lit(1))
+    )
+    test_doc = test_g.select("doc_id", "lang").distinct()
+    return (
+        test_doc.join(contam, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.count_if(F.col("c").isNotNull()).alias("n_contaminated"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = list(_L)

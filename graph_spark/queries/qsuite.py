@@ -1219,4 +1219,378 @@ def t10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q42_stat_aggs",
+    """SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 4) AS sd_qty,
+       round(var_samp(l_quantity), 4) AS var_qty,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 2) AS icept
+       FROM lineitem GROUP BY 1 ORDER BY 1""",
+    note="statistical aggregate family (stddev/variance/correlation/"
+    "covariance/linear regression) — single-pass moment aggregates, "
+    "map-side partial merge, one shuffle on the group key; both engines "
+    "use sample (n-1) semantics for stddev/var/covar",
+)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp(q), 4).alias("sd_qty"),
+            F.round(F.var_samp(q), 4).alias("var_qty"),
+            F.round(F.corr(q, p), 6).alias("corr_qp"),
+            F.round(F.covar_samp(q, p), 2).alias("cov_qp"),
+            F.round(F.regr_slope(p, q), 4).alias("slope"),
+            F.round(F.regr_intercept(p, q), 2).alias("icept"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_q(
+    "t13_ohlc",
+    """SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+       arg_max(value, ts) AS close, count(*)::BIGINT AS n,
+       round(avg(value), 4) AS avg_v
+       FROM events WHERE user_id < 50 GROUP BY 1, 2 ORDER BY 1, 2""",
+    note="OHLC downsampling: min_by/max_by (DuckDB arg_min/arg_max) pick "
+    "the first/last value per (entity, day) bucket in ONE aggregation "
+    "pass — no self-join, no window sort; deterministic because "
+    "(user_id, ts) is unique in events (verified at sf0.01)",
+)
+def t13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events").filter(F.col("user_id") < 50)
+    return (
+        ev.groupBy("user_id", date_str(F.date_trunc("day", F.col("ts"))).alias("day"))
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_v"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+@_q(
+    "t14_gaps_islands",
+    """WITH days AS (SELECT DISTINCT user_id, date_trunc('day', ts)::DATE AS d
+                    FROM events),
+       grp AS (SELECT user_id, d,
+                 d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                          AS INT) AS g
+               FROM days),
+       streaks AS (SELECT user_id, g, count(*)::BIGINT AS len
+                   FROM grp GROUP BY 1, 2)
+       SELECT user_id, sum(len)::BIGINT AS n_days, count(*)::BIGINT AS n_streaks,
+              max(len)::BIGINT AS max_streak
+       FROM streaks GROUP BY 1 ORDER BY 1""",
+    note="gaps-and-islands: consecutive-day activity streaks via the "
+    "classic day - row_number() group key — one window sort per entity "
+    "partition, no self-join; the canonical retention/streak primitive",
+)
+def t14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn("g", F.date_sub(F.col("d"), F.row_number().over(w)))
+    streaks = grp.groupBy("user_id", "g").agg(F.count(F.lit(1)).alias("len"))
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.sum("len").alias("n_days"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("len").alias("max_streak"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_q(
+    "q43_bitwise",
+    """SELECT o_orderpriority,
+       bit_and(o_custkey)::BIGINT AS band, bit_or(o_custkey)::BIGINT AS bor,
+       bit_xor(o_custkey)::BIGINT AS bxor,
+       sum(o_orderkey & 255)::BIGINT AS masked,
+       sum(CASE WHEN (o_orderkey >> 3) & 1 = 1 THEN 1 ELSE 0 END)::BIGINT AS bit3
+       FROM orders GROUP BY 1 ORDER BY 1""",
+    note="bitwise aggregate family (bit_and/bit_or/bit_xor) plus "
+    "shift/mask scalars — the flag-set / bloom-ish summary primitives; "
+    "all integer codegen, map-side combinable",
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.expr("bit_and(o_custkey)").alias("band"),
+            F.expr("bit_or(o_custkey)").alias("bor"),
+            F.expr("bit_xor(o_custkey)").alias("bxor"),
+            F.sum(F.expr("o_orderkey & 255")).alias("masked"),
+            F.sum(F.expr("CASE WHEN (o_orderkey >> 3) & 1 = 1 THEN 1 ELSE 0 END")).alias(
+                "bit3"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
+    "q44_lateral_topk",
+    """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+       FROM customer, LATERAL (
+         SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+       WHERE c_custkey < 500 ORDER BY 1""",
+    note="correlated LATERAL subquery join (top-1 order per customer) — "
+    "the SQL-standard form of per-key top-k; Catalyst decorrelates "
+    "LATERAL ... LIMIT into a ranked window under the hood, so the "
+    "physical plan is one shuffle, not |customer| subquery executions",
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    c.table("customer").createOrReplaceTempView("customer")
+    c.table("orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """SELECT c_custkey, t.o_orderkey, t.o_totalprice
+           FROM customer, LATERAL (
+             SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+           WHERE c_custkey < 500 ORDER BY c_custkey"""
+    )
+
+
+@_q(
+    "t15_ema",
+    """WITH o AS (SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       FROM events WHERE user_id < 20),
+       p AS (SELECT a.user_id, a.event_id, a.rn,
+               sum(b.value * power(0.8, a.rn - b.rn)) AS num
+             FROM o a JOIN o b
+               ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 20 AND a.rn
+             GROUP BY 1, 2, 3)
+       SELECT user_id, event_id,
+              round(num / ((1 - power(0.8, LEAST(rn, 21))) / 0.2), 4) AS ema
+       FROM p ORDER BY 1, 2""",
+    note="truncated exponential moving average (alpha=0.2, 21-row "
+    "horizon): Spark computes it in ONE window pass — collect_list over "
+    "a ROWS frame, then an indexed transform + aggregate fold (no "
+    "self-join); the closed-form geometric denominator avoids a second "
+    "weight sum; oracle uses the equivalent bounded self-join form",
+)
+def t15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events").filter(F.col("user_id") < 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, Window.currentRow)
+    )
+    lst = F.collect_list("value").over(w)
+    d = ev.select("user_id", "event_id", lst.alias("lst"))
+    n = F.size("lst")
+    # weight x_i by 0.8^(n-1-i): most recent row gets weight 1
+    num = F.aggregate(
+        F.transform(
+            F.col("lst"), lambda x, i: x * F.pow(F.lit(0.8), n - 1 - i)
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    den = (F.lit(1.0) - F.pow(F.lit(0.8), n)) / F.lit(0.2)
+    return d.select(
+        "user_id", "event_id", F.round(num / den, 4).alias("ema")
+    ).orderBy("user_id", "event_id")
+
+
+@_q(
+    "t16_interval_coalesce",
+    """WITH iv AS (SELECT o_custkey AS c, o_orderdate::DATE AS s,
+                          o_orderdate::DATE + 30 AS e
+                   FROM orders WHERE o_custkey < 500),
+       m AS (SELECT c, s, e, max(e) OVER (PARTITION BY c ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+             FROM iv),
+       f AS (SELECT c, s, e,
+               CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS newisl
+             FROM m),
+       g AS (SELECT c, e, sum(newisl) OVER (PARTITION BY c ORDER BY s, e
+               ROWS UNBOUNDED PRECEDING) AS isl, s
+             FROM f),
+       isl AS (SELECT c, isl, min(s) AS st, max(e) AS en FROM g GROUP BY 1, 2)
+       SELECT c, count(*)::BIGINT AS n_islands,
+              sum(date_diff('day', st, en))::BIGINT AS covered_days,
+              max(date_diff('day', st, en))::BIGINT AS max_island
+       FROM isl GROUP BY 1 ORDER BY 1""",
+    note="interval coalescing (gaps-and-islands over ranges): merge each "
+    "customer's overlapping 30-day order windows via the running-max-end "
+    "/ new-island-flag / cumulative-sum pattern — one window sort per "
+    "entity, no self-join (the naive overlap self-join is quadratic); "
+    "the primitive behind SLA coverage, downtime merge, visit stitching",
+)
+def t16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders").filter(F.col("o_custkey") < 500)
+    iv = o.select(
+        F.col("o_custkey").alias("c"),
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("e"),
+    )
+    wp = (
+        Window.partitionBy("c")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wc = (
+        Window.partitionBy("c")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = iv.withColumn("pmax", F.max("e").over(wp))
+    f = m.withColumn(
+        "newisl",
+        F.when(F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1).otherwise(0),
+    )
+    g = f.withColumn("isl", F.sum("newisl").over(wc))
+    isl = g.groupBy("c", "isl").agg(F.min("s").alias("st"), F.max("e").alias("en"))
+    return (
+        isl.groupBy("c")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(F.datediff("en", "st")).alias("covered_days"),
+            F.max(F.datediff("en", "st")).alias("max_island"),
+        )
+        .orderBy("c")
+    )
+
+
+@_q(
+    "t17_cohort_retention",
+    """WITH firsts AS (SELECT user_id,
+         date_trunc('week', min(ts))::DATE AS cohort FROM events GROUP BY 1),
+       act AS (SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS wk
+               FROM events)
+       SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+              (date_diff('day', f.cohort, a.wk) / 7)::BIGINT AS week_offset,
+              count(DISTINCT a.user_id)::BIGINT AS active_users
+       FROM act a JOIN firsts f USING (user_id)
+       GROUP BY 1, 2 ORDER BY 1, 2""",
+    note="cohort retention matrix: users bucketed by first-activity ISO "
+    "week, counted per week offset — week offsets computed as exact "
+    "day-difference/7 between week-truncated dates (both engines "
+    "truncate to ISO Monday, so the division is always integral); two "
+    "aggregations + one broadcastable first-touch join",
+)
+def t17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct()
+    return (
+        act.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            date_str(F.col("cohort")).alias("cohort_week"),
+            (F.datediff("wk", "cohort") / 7).cast("long").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@_q(
+    "q45_date_spine",
+    """WITH spine AS (SELECT unnest(generate_series(DATE '1996-01-01',
+                        DATE '1996-12-31', INTERVAL 1 DAY))::DATE AS d),
+       daily AS (SELECT o_orderdate::DATE AS d, count(*) AS n,
+                        round(sum(o_totalprice), 2) AS rev
+                 FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                   AND o_orderdate < TIMESTAMP '1997-01-01'
+                 GROUP BY 1)
+       SELECT strftime(spine.d, '%Y-%m-%d') AS d,
+              coalesce(n, 0)::BIGINT AS n_orders,
+              coalesce(rev, 0.0) AS revenue
+       FROM spine LEFT JOIN daily ON daily.d = spine.d
+       ORDER BY 1""",
+    note="calendar-spine zero-fill: generate the complete 1996 daily "
+    "series (F.sequence -> explode, generated distributed — never "
+    "collected or ranged on the driver) and left-join daily order "
+    "aggregates so silent days surface as explicit zeros — the "
+    "time-series completeness primitive; spine side broadcastable",
+)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1996-01-01").cast("date"),
+                F.lit("1996-12-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("d")
+    )
+    daily = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        )
+    )
+    return (
+        spine.join(daily, "d", "left")
+        .select(
+            date_str(F.col("d")).alias("d"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("rev"), F.lit(0.0)).alias("revenue"),
+        )
+        .orderBy("d")
+    )
+
+
+@_q(
+    "q46_safe_arith",
+    """SELECT o_orderkey,
+       round(o_totalprice / nullif(o_custkey % 3, 0), 4) AS per_bucket,
+       TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_num,
+       TRY_CAST(o_orderpriority AS INT) AS bad_cast,
+       round(100.0 / nullif(o_orderkey % 2, 0), 4) AS odd_inv
+       FROM orders WHERE o_orderkey < 3000 ORDER BY 1""",
+    note="error-safe arithmetic/cast family (ANSI mode without the "
+    "blast radius): try_divide yields NULL on zero denominators, "
+    "try_cast yields NULL on malformed input instead of failing the "
+    "job — at 100 TB one poison row must not kill a 6-hour pipeline; "
+    "oracle spells the same semantics with nullif + TRY_CAST",
+)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders").filter(F.col("o_orderkey") < 3000)
+    return o.select(
+        "o_orderkey",
+        F.round(F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 3), 4).alias(
+            "per_bucket"
+        ),
+        F.expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").alias("prio_num"),
+        F.expr("try_cast(o_orderpriority AS INT)").alias("bad_cast"),
+        F.round(F.try_divide(F.lit(100.0), F.col("o_orderkey") % 2), 4).alias(
+            "odd_inv"
+        ),
+    ).orderBy("o_orderkey")
+
+
 QUERIES = list(_Q)
