@@ -65,6 +65,13 @@ class Catalog:
             # integer division: `/` would go through double and lose
             # precision on 19-digit nanosecond values (off-by-1µs bugs)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Parquet files written without isAdjustedToUTC surface as
+        # TIMESTAMP_NTZ; the engine contract is TimestampType (session
+        # pinned UTC, so the cast is value-identity) — ltz-only functions
+        # (unix_micros, window, watermark) reject NTZ inputs otherwise.
+        for col, dtype in df.dtypes:
+            if dtype == "timestamp_ntz":
+                df = df.withColumn(col, F.col(col).cast("timestamp"))
         return df
 
     def cache_tables(self, names: tuple = TABLES) -> None:

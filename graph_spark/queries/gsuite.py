@@ -8,7 +8,7 @@ driver pre-registers only base tables.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
@@ -1001,6 +1001,121 @@ def g29(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return ktruss_peel(cos, k=4, rounds=3).orderBy("s1", "s2")
+
+
+@_g(
+    "g30_clustering_coeff",
+    f"""WITH {GRAPH_CTES},
+       ge AS (SELECT src, dst FROM graph_edges WHERE n_items >= 3),
+       cos AS (SELECT DISTINCT a.dst AS s1, b.dst AS s2
+               FROM ge a JOIN ge b ON a.src=b.src AND a.dst<b.dst),
+       sym AS (SELECT s1, s2 FROM cos UNION SELECT s2, s1 FROM cos),
+       deg AS (SELECT s1 AS node, count(*) AS d FROM sym GROUP BY 1),
+       wedge AS (SELECT a.s1 AS node, count(*) AS paths
+                 FROM sym a JOIN sym b ON a.s2=b.s1 AND b.s2<>a.s1
+                 JOIN sym c ON c.s1=a.s1 AND c.s2=b.s2
+                 GROUP BY 1)
+       SELECT d.node, CAST(d.d AS BIGINT) AS degree,
+       CAST(coalesce(w.paths,0)/2 AS BIGINT) AS n_tri,
+       round(CASE WHEN d.d < 2 THEN 0.0
+             ELSE coalesce(w.paths,0)*1.0/(d.d*(d.d-1)) END, 6) AS cc
+       FROM deg d LEFT JOIN wedge w ON d.node=w.node ORDER BY d.node""",
+    note="local clustering coefficient per node: closed wedges / "
+    "possible wedges on the thresholded co-supplier graph.  The wedge "
+    "join is the same a<b<c kernel as g05/g24 with a per-apex groupBy; "
+    "at scale the sym edge list is bucketed on s1 so the two hops "
+    "co-locate and the count is one shuffle",
+)
+def g30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ge = Catalog(spark, sf_dir).graph_edges().filter(F.col("n_items") >= 3)
+    a = ge.select(F.col("src").alias("cu"), F.col("dst").alias("s1"))
+    b = ge.select(F.col("src").alias("cu"), F.col("dst").alias("s2"))
+    cos = a.join(b, "cu").filter(F.col("s1") < F.col("s2")).select("s1", "s2").distinct()
+    sym = cos.union(cos.select(F.col("s2").alias("s1"), F.col("s1").alias("s2")))
+    deg = sym.groupBy(F.col("s1").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    e1 = sym.select(F.col("s1").alias("apex"), F.col("s2").alias("mid"))
+    e2 = sym.select(F.col("s1").alias("mid"), F.col("s2").alias("far"))
+    closing = sym.select(F.col("s1").alias("apex"), F.col("s2").alias("far"))
+    wedge = (
+        e1.join(e2, "mid")
+        .filter(F.col("far") != F.col("apex"))
+        .join(closing, ["apex", "far"])
+        .groupBy(F.col("apex").alias("node"))
+        .agg(F.count(F.lit(1)).alias("paths"))
+    )
+    paths = F.coalesce(F.col("paths"), F.lit(0))
+    return (
+        deg.join(wedge, "node", "left")
+        .select(
+            "node",
+            F.col("d").cast("long").alias("degree"),
+            (paths / 2).cast("long").alias("n_tri"),
+            F.round(
+                F.when(F.col("d") < 2, F.lit(0.0)).otherwise(
+                    paths * 1.0 / (F.col("d") * (F.col("d") - 1))
+                ),
+                6,
+            ).alias("cc"),
+        )
+        .orderBy("node")
+    )
+
+
+@_g(
+    "g31_assortativity",
+    f"""WITH {GRAPH_CTES},
+       deg AS (SELECT src AS node, count(*) AS d FROM graph_edges_sym GROUP BY 1)
+       SELECT round(corr(ds.d, dd.d), 4) AS assort, count(*) AS n_edges
+       FROM graph_edges_sym e JOIN deg ds ON e.src=ds.node
+       JOIN deg dd ON e.dst=dd.node""",
+    note="degree assortativity (Pearson corr of endpoint degrees over "
+    "directed sym edges — Newman's r).  The degree table is tiny "
+    "relative to edges, so both joins broadcast; corr is a single-pass "
+    "moment aggregate (no sort), identical sample formula both engines",
+)
+def g31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sym = Catalog(spark, sf_dir).graph_edges_sym()
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    ds = deg.select(F.col("node").alias("src"), F.col("d").alias("d_src"))
+    dd = deg.select(F.col("node").alias("dst"), F.col("d").alias("d_dst"))
+    return (
+        sym.join(F.broadcast(ds), "src")
+        .join(F.broadcast(dd), "dst")
+        .agg(
+            F.round(F.corr("d_src", "d_dst"), 4).alias("assort"),
+            F.count(F.lit(1)).alias("n_edges"),
+        )
+    )
+
+
+@_g(
+    "g32_snapshot_series",
+    f"""WITH {GRAPH_CTES},
+       q AS (SELECT date_trunc('quarter', first_ts) AS qt, count(*) AS born
+             FROM graph_edges GROUP BY 1)
+       SELECT strftime(qt, '%Y-%m-%d') AS quarter, CAST(born AS BIGINT) AS new_edges,
+       CAST(sum(born) OVER (ORDER BY qt) AS BIGINT) AS cum_edges
+       FROM q ORDER BY qt""",
+    note="graph-evolution time-series: edges born per quarter + the "
+    "running graph size — the snapshot-at-every-t generalization of "
+    "g07's single snapshot (TGraph's temporal graph view over time).  "
+    "Aggregates to ~tens of rows BEFORE the single-partition cumsum "
+    "window, so the unpartitioned window is safe at any scale",
+)
+def g32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ge = Catalog(spark, sf_dir).graph_edges()
+    q = ge.groupBy(F.date_trunc("quarter", "first_ts").alias("qt")).agg(
+        F.count(F.lit(1)).alias("born")
+    )
+    w = Window.orderBy("qt")
+    return (
+        q.select(
+            F.date_format("qt", "yyyy-MM-dd").alias("quarter"),
+            F.col("born").cast("long").alias("new_edges"),
+            F.sum("born").over(w).cast("long").alias("cum_edges"),
+        )
+        .orderBy("quarter")
+    )
 
 
 QUERIES = list(_G)

@@ -9,7 +9,7 @@ approximate operators (LSH ANN) are rows-only by design.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import Catalog
@@ -813,6 +813,82 @@ def l26(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("c").isNotNull()).alias("n_contaminated"),
         )
         .orderBy("lang")
+    )
+
+
+@_l(
+    "l27_char_trigrams",
+    """WITH grams AS (
+       SELECT d.lang, substring(d.text, CAST(t.i AS INT), 3) AS g
+       FROM documents d JOIN generate_series(1, 4096) t(i)
+         ON t.i <= length(d.text) - 2),
+       cnt AS (SELECT lang, g, count(*) AS n FROM grams GROUP BY 1,2)
+       SELECT lang, g, CAST(n AS BIGINT) AS n FROM cnt
+       QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, g) <= 5
+       ORDER BY lang, n DESC, g""",
+    note="character-trigram profile per language (the n-gram language-ID "
+    "/ boilerplate-detection basis).  Spark side expands per row with a "
+    "sequence+transform lambda (no UDF, no crossJoin); oracle cannot "
+    "lateral-correlate generate_series so it bounds the series at 4096 "
+    "(> max n_chars at every sf, re-check in FIXTURES.md) and filters",
+)
+def l27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    grams = d.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN length(text) >= 3 THEN transform(sequence(1, length(text)-2),"
+                " i -> substring(text, i, 3)) ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    cnt = grams.groupBy("lang", "g").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("g"))
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "g", "n")
+        .orderBy("lang", F.col("n").desc(), "g")
+    )
+
+
+@_l(
+    "l28_sequence_pack",
+    """WITH toks AS (
+       SELECT doc_id, lang,
+         length(text) - length(replace(text, ' ', '')) + 1 AS n_tok
+       FROM documents),
+       packed AS (
+       SELECT doc_id, lang, n_tok,
+         CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) - 1)
+              / 512) AS BIGINT) AS pack_id
+       FROM toks)
+       SELECT lang, pack_id, count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+       FROM packed GROUP BY 1,2 ORDER BY 1,2""",
+    note="token-budget sequence packing: docs are assigned to 512-token "
+    "packs by running token count per language (deterministic doc_id "
+    "order) — the context-window packing step of a pretraining mix.  "
+    "One window pass + one groupBy; at 100 TB partition by lang and "
+    "date-bucket so the cumsum window never sees a monster partition",
+)
+def l28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    packed = toks.withColumn(
+        "pack_id", F.floor((F.sum("n_tok").over(w) - 1) / 512).cast("long")
+    )
+    return (
+        packed.groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("pack_tokens"),
+        )
+        .orderBy("lang", "pack_id")
     )
 
 

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import Catalog
 from ..operators.relational import asof_join, interval_overlap_join, sessionize, topk_per_group
-from .common import Query, date_str, ts_str
+from .common import TS_FMT_DUCK, Query, date_str, ts_str
 
 _Q: list[Query] = []
 
@@ -1591,6 +1591,201 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
             "odd_inv"
         ),
     ).orderBy("o_orderkey")
+
+
+@_q(
+    "q47_conditional_fns",
+    """SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid'
+            ELSE 'high' END AS band,
+       round(coalesce(nullif(c_acctbal, 0.0), -1.0), 2) AS bal_or_flag,
+       round(least(c_acctbal, 1000.0), 2) AS capped,
+       round(greatest(c_acctbal, 0.0), 2) AS floored,
+       CAST(c_custkey % 7 AS BIGINT) AS bucket
+       FROM customer ORDER BY 1""",
+    note="conditional/null-handling scalar family (CASE, coalesce, "
+    "nullif, least, greatest) — pure codegen expressions, no shuffle; "
+    "the branch-heavy row transform shape of cleaning pipelines",
+)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cst = Catalog(spark, sf_dir).table("customer")
+    bal = F.col("c_acctbal")
+    return cst.select(
+        "c_custkey",
+        F.when(bal < 0, "neg").when(bal < 5000, "mid").otherwise("high").alias("band"),
+        F.round(F.coalesce(F.nullif(bal, F.lit(0.0)), F.lit(-1.0)), 2).alias("bal_or_flag"),
+        F.round(F.least(bal, F.lit(1000.0)), 2).alias("capped"),
+        F.round(F.greatest(bal, F.lit(0.0)), 2).alias("floored"),
+        (F.col("c_custkey") % 7).cast("long").alias("bucket"),
+    ).orderBy("c_custkey")
+
+
+@_q(
+    "q48_grouped_quantiles",
+    """SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+       round(quantile_cont(o_totalprice, 0.90), 4) AS p90
+       FROM orders GROUP BY 1 ORDER BY 1""",
+    note="exact interpolated quantiles at several points in ONE "
+    "aggregation pass (Spark percentile == DuckDB quantile_cont, both "
+    "linear interpolation); the data-profiling shape — at 100 TB swap "
+    "percentile for percentile_approx (t-digest, mergeable sketch)",
+)
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            *[
+                F.round(F.percentile("o_totalprice", F.lit(p)), 4).alias(a)
+                for p, a in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"), (0.90, "p90")]
+            ]
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@_q(
+    "t18_latest_per_key",
+    f"""SELECT user_id, event_type, strftime(ts, '{TS_FMT_DUCK}') AS ts_s,
+       event_id, round(value, 2) AS value
+       FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+             ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+       WHERE rn = 1 ORDER BY user_id, event_type""",
+    note="keep-latest-row-per-key compaction (the CDC/upsert read shape; "
+    "TGraph 'current value' of a temporal property per entity).  One "
+    "shuffle on the key, no join; at scale this is the window form of "
+    "SCD1 and pairs with the time-bucketed layout for pruning",
+)
+def t18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            ts_str("ts").alias("ts_s"),
+            "event_id",
+            F.round("value", 2).alias("value"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+@_q(
+    "t19_time_in_state",
+    """WITH seq AS (
+       SELECT user_id, event_type,
+         date_diff('microsecond', ts,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS dur_us
+       FROM events)
+       SELECT user_id, event_type, CAST(sum(dur_us) AS BIGINT) AS total_us,
+       count(*) AS n
+       FROM seq WHERE dur_us IS NOT NULL GROUP BY 1,2 ORDER BY 1,2""",
+    note="time-in-state durations: each event opens a state that lasts "
+    "until the user's next event (piecewise-constant semantics — the "
+    "duration aggregate TGraph's temporal model exists to answer).  "
+    "lead() gives interval ends in one window pass; µs integers, no "
+    "float time arithmetic",
+)
+def t19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dur = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    return (
+        ev.withColumn("dur_us", dur)
+        .filter(F.col("dur_us").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum("dur_us").cast("long").alias("total_us"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+@_q(
+    "q49_map_fns",
+    """WITH m AS (SELECT event_id,
+       map(['et','uid'], [event_type, CAST(user_id AS VARCHAR)]) AS mm
+       FROM events)
+       SELECT event_id, mm['et'][1] AS et, mm['uid'][1] AS uid,
+       CAST(cardinality(mm) AS BIGINT) AS n_keys
+       FROM m ORDER BY 1""",
+    note="MapType construction + key access + cardinality (the dynamic "
+    "property-bag shape of a schema-free property graph, §1.2).  "
+    "create_map/element_at are codegen expressions; DuckDB map extract "
+    "yields a list, unwrapped with [1] to match Spark's scalar",
+)
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    m = ev.select(
+        "event_id",
+        F.create_map(
+            F.lit("et"), F.col("event_type"),
+            F.lit("uid"), F.col("user_id").cast("string"),
+        ).alias("mm"),
+    )
+    return m.select(
+        "event_id",
+        F.element_at("mm", F.lit("et")).alias("et"),
+        F.element_at("mm", F.lit("uid")).alias("uid"),
+        F.size("mm").cast("long").alias("n_keys"),
+    ).orderBy("event_id")
+
+
+@_q(
+    "t20_overlap_duration",
+    """WITH o AS (SELECT o_orderkey k, o_custkey c, o_orderdate s,
+       o_orderdate + INTERVAL 30 DAY e FROM orders WHERE o_custkey < 200)
+       SELECT a.c AS c_custkey, count(*) AS n_pairs,
+       CAST(sum(date_diff('day', greatest(a.s,b.s), least(a.e,b.e))) AS BIGINT)
+         AS overlap_days
+       FROM o a JOIN o b ON a.c=b.c AND a.k<b.k AND a.s < b.e AND b.s < a.e
+       GROUP BY 1 ORDER BY 1""",
+    note="pairwise interval-intersection DURATION (t02 counts overlaps; "
+    "this measures them — the time-in-conflict aggregate).  Equi-join "
+    "on the entity key carries the pair join; overlap length is "
+    "least(ends)-greatest(starts) in integer days, no float time math",
+)
+def t20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        Catalog(spark, sf_dir)
+        .table("orders")
+        .filter(F.col("o_custkey") < 200)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("c"),
+            F.col("o_orderdate").alias("s"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("e"),
+        )
+    )
+    a, b = o.alias("a"), o.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c") == F.col("b.c"))
+        & (F.col("a.k") < F.col("b.k"))
+        & (F.col("a.s") < F.col("b.e"))
+        & (F.col("b.s") < F.col("a.e")),
+    )
+    overlap = F.datediff(
+        F.least(F.col("a.e"), F.col("b.e")).cast("date"),
+        F.greatest(F.col("a.s"), F.col("b.s")).cast("date"),
+    )
+    return (
+        pairs.groupBy(F.col("a.c").alias("c_custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(overlap).cast("long").alias("overlap_days"),
+        )
+        .orderBy("c_custkey")
+    )
 
 
 QUERIES = list(_Q)
