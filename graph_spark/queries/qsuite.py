@@ -1788,4 +1788,29 @@ def t20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q50_listagg",
+    """SELECT c_nationkey,
+       string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segs,
+       count(*) AS n
+       FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
+       GROUP BY 1 ORDER BY 1""",
+    note="ordered string aggregation (LISTAGG WITHIN GROUP == DuckDB "
+    "string_agg ORDER BY) through the SQL entry point — deterministic "
+    "because the order-by key is total within each group.  Input is "
+    "pre-deduped so group payloads stay bounded; at 100 TB cap "
+    "list sizes (slice after sort_array) before stringifying",
+)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cst = Catalog(spark, sf_dir).table("customer")
+    cst.createOrReplaceTempView("q50_customer")
+    return spark.sql(
+        """SELECT c_nationkey,
+                  listagg(c_mktsegment, ',') WITHIN GROUP (ORDER BY c_mktsegment) AS segs,
+                  count(*) AS n
+           FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM q50_customer)
+           GROUP BY c_nationkey ORDER BY c_nationkey"""
+    )
+
+
 QUERIES = list(_Q)

@@ -180,4 +180,38 @@ def s07(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def windowed_distinct_users(ev: DataFrame) -> DataFrame:
+    """S08 transform, valid in BOTH batch and streaming: project to the
+    (window, event_type, user) grain, dedup, then count — streaming
+    cannot run count(DISTINCT) directly, but dropDuplicates + count is
+    its incremental equivalent (state = one row per distinct key)."""
+    return (
+        ev.select(F.window("ts", "1 hour").alias("w"), "event_type", "user_id")
+        .dropDuplicates(["w", "event_type", "user_id"])
+        .groupBy("w", "event_type")
+        .agg(F.count(F.lit(1)).alias("nu"))
+    )
+
+
+@_s(
+    "s08_windowed_distinct",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S.%f') AS h,
+       event_type, count(DISTINCT user_id) AS nu
+       FROM events GROUP BY 1,2 ORDER BY 1,2""",
+    note="distinct users per hourly window — the streaming-safe spelling "
+    "(dedup-then-count) of count(DISTINCT): dropDuplicates state is "
+    "mergeable/incremental where a true distinct-agg is not; replay "
+    "parity in tests/test_streaming.py.  At scale the exact form is "
+    "bounded by watermark state eviction; approx_count_distinct is the "
+    "sketch alternative when ±2% is acceptable",
+)
+def s08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    return (
+        windowed_distinct_users(ev)
+        .select(ts_str(F.col("w.start")).alias("h"), "event_type", "nu")
+        .orderBy("h", "event_type")
+    )
+
+
 QUERIES = list(_S)

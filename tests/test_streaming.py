@@ -10,7 +10,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from graph_spark.catalog import Catalog
-from graph_spark.queries.ssuite import tumbling_hourly
+from graph_spark.queries.ssuite import tumbling_hourly, windowed_distinct_users
 from graph_spark.streaming.replay import run_stream, stage_replay_dir
 
 from .conftest import SF_SMOKE
@@ -74,6 +74,16 @@ def test_s05_stream_dedup_equals_batch_distinct(spark, replay_dir):
     )
     stream = run_stream(spark, replay_dir, dedup_counts, output_mode="complete")
     assert _rows(stream, ["event_type", "n"]) == _rows(batch, ["event_type", "n"])
+
+
+def test_s08_windowed_distinct_stream_equals_batch(spark, replay_dir):
+    batch = windowed_distinct_users(Catalog(spark, SF_SMOKE).table("events")).select(
+        F.col("w.start").alias("h"), "event_type", "nu"
+    )
+    stream = run_stream(
+        spark, replay_dir, windowed_distinct_users, output_mode="complete"
+    ).select(F.col("w.start").alias("h"), "event_type", "nu")
+    assert _rows(stream, ["h", "event_type", "nu"]) == _rows(batch, ["h", "event_type", "nu"])
 
 
 def test_s03_session_window_batch_semantics(spark):
