@@ -185,3 +185,34 @@ def test_t11_range_join_no_nested_loop(spark):
     plan = _plan(q.build(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_g31_broadcasts_degree_table(spark):
+    from graph_spark.queries.gsuite import QUERIES
+
+    g31 = next(q for q in QUERIES if q.name == "g31_assortativity")
+    plan = _plan(g31.build(spark, SF_SMOKE))
+    # the |V|-sized degree table must broadcast onto the edge list;
+    # a shuffle join here would move |E| twice at cluster scale
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_t18_single_window_shuffle(spark):
+    from graph_spark.queries.qsuite import QUERIES
+
+    t18 = next(q for q in QUERIES if q.name == "t18_latest_per_key")
+    plan = _plan(t18.build(spark, SF_SMOKE))
+    # keep-latest is ONE hash shuffle on the key (the final orderBy adds
+    # a range exchange); more hash exchanges would mean a join crept in
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_l27_trigrams_no_join(spark):
+    from graph_spark.queries.lsuite import QUERIES
+
+    l27 = next(q for q in QUERIES if q.name == "l27_char_trigrams")
+    plan = _plan(l27.build(spark, SF_SMOKE))
+    # per-row expansion must be Generate (explode), never a join against
+    # an index relation (the oracle's bounded-series join is oracle-only)
+    assert "Generate explode" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan

@@ -322,3 +322,62 @@ def test_bucketed_range_join_equals_theta_join(spark, seed, bucket_seconds):
         for r in p.join(iv, (F.col("p_ts") >= F.col("s")) & (F.col("p_ts") < F.col("e"))).collect()
     )
     assert got == want, f"seed={seed} bucket={bucket_seconds}"
+
+
+def test_l28_packing_invariants(spark):
+    """Sequence packing must conserve tokens, number packs contiguously
+    from 0 per language, and never overflow budget by more than one
+    straddling document."""
+    from graph_spark.catalog import Catalog
+    from graph_spark.queries.lsuite import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    l28 = next(q for q in QUERIES if q.name == "l28_sequence_pack")
+    packs = l28.build(spark, SF_SMOKE).collect()
+    docs = (
+        Catalog(spark, SF_SMOKE)
+        .table("documents")
+        .select("lang", F.size(F.split("text", " ")).alias("n_tok"))
+        .groupBy("lang")
+        .agg(F.sum("n_tok").alias("total"), F.max("n_tok").alias("max_tok"))
+        .collect()
+    )
+    totals = {r["lang"]: r["total"] for r in docs}
+    max_tok = {r["lang"]: r["max_tok"] for r in docs}
+    by_lang = {}
+    for r in packs:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) == set(totals)
+    for lang, rows in by_lang.items():
+        ids = sorted(r["pack_id"] for r in rows)
+        assert ids == list(range(len(ids))), f"{lang}: non-contiguous packs {ids[:5]}"
+        assert sum(r["pack_tokens"] for r in rows) == totals[lang]
+        for r in rows:
+            assert r["pack_tokens"] <= 512 + max_tok[lang], (lang, r)
+
+
+def test_t19_durations_telescope(spark):
+    """Per user, summed state durations must equal last(ts) - first(ts):
+    the piecewise segments tile the user's observed span exactly."""
+    from graph_spark.catalog import Catalog
+    from graph_spark.queries.qsuite import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    t19 = next(q for q in QUERIES if q.name == "t19_time_in_state")
+    got = t19.build(spark, SF_SMOKE).collect()
+    per_user = {}
+    for r in got:
+        per_user[r["user_id"]] = per_user.get(r["user_id"], 0) + r["total_us"]
+    spans = (
+        Catalog(spark, SF_SMOKE)
+        .table("events")
+        .groupBy("user_id")
+        .agg(
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("span")
+        )
+        .collect()
+    )
+    for r in spans:
+        assert per_user.get(r["user_id"], 0) == r["span"], r
