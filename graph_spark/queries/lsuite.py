@@ -892,4 +892,41 @@ def l28(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l29_unigram_surprisal",
+    """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS term
+       FROM documents),
+       tf AS (SELECT term, count(*) AS c FROM tok WHERE term<>'' GROUP BY 1),
+       n AS (SELECT count(*) AS total FROM tok WHERE term<>''),
+       s AS (SELECT t.doc_id, t.lang,
+             round(avg(-ln(tf.c*1.0/(SELECT total FROM n))),4) AS surprisal
+             FROM tok t JOIN tf ON t.term=tf.term WHERE t.term<>'' GROUP BY 1,2)
+       SELECT doc_id, lang, surprisal FROM s WHERE doc_id < 50 ORDER BY doc_id""",
+    note="corpus-unigram surprisal per document (mean -ln p(term)) — the "
+    "cheap perplexity proxy for quality filtering: low = repetitive "
+    "boilerplate, high = rare-token noise.  One explode + one term-freq "
+    "aggregate + one equi-join back; the corpus total is a driver-side "
+    "scalar (aggregate, not data).  At 100 TB the tf table is the "
+    "shared artifact: compute once, broadcast-join per shard",
+)
+def l29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.count()
+    return (
+        tok.join(tf, "term")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(F.avg(-F.log(F.col("c") * 1.0 / F.lit(total))), 4).alias(
+                "surprisal"
+            )
+        )
+        .filter(F.col("doc_id") < 50)
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = list(_L)

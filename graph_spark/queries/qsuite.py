@@ -1813,4 +1813,67 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q51_group_by_all",
+    """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS q,
+       count(*) AS n
+       FROM lineitem GROUP BY ALL ORDER BY 1,2""",
+    note="GROUP BY ALL surface (group on every non-aggregate select "
+    "item) — identical sugar in Spark 4 and DuckDB, lowered to the "
+    "same hash aggregate as an explicit key list",
+)
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    li.createOrReplaceTempView("q51_lineitem")
+    return spark.sql(
+        """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS q,
+                  count(*) AS n
+           FROM q51_lineitem GROUP BY ALL ORDER BY 1,2"""
+    )
+
+
+@_q(
+    "t21_event_funnel",
+    """WITH f AS (SELECT user_id, event_type, min(ts) AS first_ts FROM events
+       WHERE event_type IN ('signup','click','purchase') GROUP BY 1,2),
+       p AS (SELECT user_id,
+         max(CASE WHEN event_type='signup' THEN first_ts END) AS s_ts,
+         max(CASE WHEN event_type='click' THEN first_ts END) AS c_ts,
+         max(CASE WHEN event_type='purchase' THEN first_ts END) AS p_ts
+         FROM f GROUP BY 1)
+       SELECT count(*) AS n_users,
+       CAST(count_if(s_ts IS NOT NULL) AS BIGINT) AS has_signup,
+       CAST(count_if(s_ts IS NOT NULL AND c_ts > s_ts) AS BIGINT)
+         AS signup_then_click,
+       CAST(count_if(s_ts IS NOT NULL AND c_ts > s_ts AND p_ts > c_ts) AS BIGINT)
+         AS full_funnel
+       FROM p""",
+    note="ordered-event funnel (signup -> first click after it -> first "
+    "purchase after that, per user): two hash aggregations on user_id, "
+    "no self-join — the event-sequence analytics shape.  first-touch "
+    "times pivot wide via conditional min/max so the ordering "
+    "comparison is one row per user",
+)
+def t21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    f = (
+        ev.filter(F.col("event_type").isin("signup", "click", "purchase"))
+        .groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("first_ts"))
+    )
+    et = F.col("event_type")
+    p = f.groupBy("user_id").agg(
+        F.max(F.when(et == "signup", F.col("first_ts"))).alias("s_ts"),
+        F.max(F.when(et == "click", F.col("first_ts"))).alias("c_ts"),
+        F.max(F.when(et == "purchase", F.col("first_ts"))).alias("p_ts"),
+    )
+    s, c, pp = F.col("s_ts"), F.col("c_ts"), F.col("p_ts")
+    return p.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count_if(s.isNotNull()).cast("long").alias("has_signup"),
+        F.count_if(s.isNotNull() & (c > s)).cast("long").alias("signup_then_click"),
+        F.count_if(s.isNotNull() & (c > s) & (pp > c)).cast("long").alias("full_funnel"),
+    )
+
+
 QUERIES = list(_Q)
