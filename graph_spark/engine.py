@@ -114,6 +114,27 @@ class Engine:
         e = self.catalog.graph_edges().filter(F.col("n_items") >= min_items)
         return algorithms.node_similarity_jaccard(e, min_common=min_common)
 
+    def clustering_coefficient(self, min_items: int = 3) -> DataFrame:
+        """Local clustering coefficient on the co-supplier graph (g30)."""
+        from .queries.gsuite import QUERIES
+
+        q = next(q for q in QUERIES if q.name == "g30_clustering_coeff")
+        return q.build(self.spark, self.catalog.sf_dir)
+
+    def assortativity(self) -> DataFrame:
+        """Degree assortativity (Newman's r) over the sym graph (g31)."""
+        from .queries.gsuite import QUERIES
+
+        q = next(q for q in QUERIES if q.name == "g31_assortativity")
+        return q.build(self.spark, self.catalog.sf_dir)
+
+    def snapshot_series(self) -> DataFrame:
+        """Edges born per quarter + running graph size (g32)."""
+        from .queries.gsuite import QUERIES
+
+        q = next(q for q in QUERIES if q.name == "g32_snapshot_series")
+        return q.build(self.spark, self.catalog.sf_dir)
+
     # -- temporal --------------------------------------------------------
     def temporal_value_at(self, at_ts, cumulative: bool = True) -> DataFrame:
         return tprop.value_at(
@@ -190,6 +211,18 @@ class Engine:
         from .operators.dedup import simhash_hamming_pairs
 
         return simhash_hamming_pairs(df, max_distance=max_distance, **kw)
+
+    def pack_sequences(self, df: DataFrame, budget: int = 512, **kw) -> DataFrame:
+        """Token-budget sequence packing (context-window fill)."""
+        from .operators.text import pack_sequences
+
+        return pack_sequences(df, budget=budget, **kw)
+
+    def surprisal(self, df: DataFrame, **kw) -> DataFrame:
+        """Per-doc mean corpus-unigram surprisal (perplexity proxy)."""
+        from .operators.text import unigram_surprisal
+
+        return unigram_surprisal(df, **kw)
 
     # -- multimodal ------------------------------------------------------
     def to_media(self, df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -105,3 +105,50 @@ def doc_fingerprint(df: DataFrame, n: int = 2, text_col: str = "text", id_col: s
         F.min(F.md5(F.col("shingle"))).alias("fingerprint"),
         F.count(F.lit(1)).alias("n_shingles"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    text_col: str = "text",
+    part_col: str = "lang",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget sequence packing: assign each document to a pack of
+    ~`budget` tokens by running token count within `part_col`, ordered
+    deterministically by `order_col` (the context-window packing step of
+    a pretraining data mix).  Adds (n_tok, pack_id).
+
+    One window shuffle on the partition column.  At 100 TB sub-partition
+    by (part, time bucket) so no single cumsum partition is unbounded —
+    pack ids then only need to be unique within a bucket.
+    """
+    toks = df.withColumn("n_tok", F.size(F.split(F.col(text_col), " ")))
+    w = Window.partitionBy(part_col).orderBy(order_col)
+    return toks.withColumn(
+        "pack_id", F.floor((F.sum("n_tok").over(w) - 1) / budget).cast("long")
+    )
+
+
+def unigram_surprisal(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mean corpus-unigram surprisal (-ln p(term)) per document — the
+    cheap perplexity proxy for quality filtering: low = repetitive
+    boilerplate, high = rare-token noise.
+
+    One explode + one term-frequency aggregate + one equi-join back.
+    The corpus grand total is collected as a scalar (an aggregate, not
+    data).  At scale the tf table is the reusable artifact: compute it
+    once over the corpus, broadcast-join it per shard.
+    """
+    tok = df.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.count()
+    return (
+        tok.join(tf, "term")
+        .groupBy(id_col)
+        .agg(F.avg(-F.log(F.col("c") * 1.0 / F.lit(total))).alias("surprisal"))
+    )

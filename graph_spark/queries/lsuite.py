@@ -874,14 +874,10 @@ def l27(spark: SparkSession, sf_dir: str) -> DataFrame:
     "date-bucket so the cumsum window never sees a monster partition",
 )
 def l28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import pack_sequences
+
     d = Catalog(spark, sf_dir).table("documents")
-    toks = d.select(
-        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok")
-    )
-    w = Window.partitionBy("lang").orderBy("doc_id")
-    packed = toks.withColumn(
-        "pack_id", F.floor((F.sum("n_tok").over(w) - 1) / 512).cast("long")
-    )
+    packed = pack_sequences(d, budget=512)
     return (
         packed.groupBy("lang", "pack_id")
         .agg(
@@ -910,20 +906,13 @@ def l28(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shared artifact: compute once, broadcast-join per shard",
 )
 def l29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import unigram_surprisal
+
     d = Catalog(spark, sf_dir).table("documents")
-    tok = d.select(
-        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
-    ).filter(F.col("term") != "")
-    tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    total = tok.count()
+    s = unigram_surprisal(d)
     return (
-        tok.join(tf, "term")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.round(F.avg(-F.log(F.col("c") * 1.0 / F.lit(total))), 4).alias(
-                "surprisal"
-            )
-        )
+        s.join(d.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", F.round("surprisal", 4).alias("surprisal"))
         .filter(F.col("doc_id") < 50)
         .orderBy("doc_id")
     )

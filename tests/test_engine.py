@@ -81,3 +81,29 @@ def test_engine_round1_additions(spark):
 
     docs = eng.table("documents")
     assert eng.dedup_simhash(docs, max_distance=64).count() >= 0
+
+
+def test_engine_new_surfaces(spark):
+    from graph_spark.engine import Engine
+
+    from .conftest import SF_SMOKE
+
+    eng = Engine(spark, SF_SMOKE)
+
+    cc = eng.clustering_coefficient().collect()
+    assert cc and all(0.0 <= r["cc"] <= 1.0 for r in cc)
+
+    a = eng.assortativity().collect()
+    assert len(a) == 1 and -1.0 <= a[0]["assort"] <= 1.0
+
+    series = eng.snapshot_series().collect()
+    cums = [r["cum_edges"] for r in series]
+    assert cums == sorted(cums) and cums[-1] == sum(r["new_edges"] for r in series)
+
+    docs = eng.table("documents")
+    packed = eng.pack_sequences(docs, budget=256)
+    assert packed.filter(packed.pack_id < 0).count() == 0 and packed.count() == docs.count()
+
+    s = eng.surprisal(docs)
+    assert s.count() == docs.count()
+    assert s.filter(s.surprisal <= 0).count() == 0
