@@ -62,6 +62,23 @@ class Engine:
     def pagerank(self, iterations: int = 10, damping: float = 0.85) -> DataFrame:
         return algorithms.pagerank(self.graph(), iterations, damping)
 
+    def pagerank_weighted(
+        self, iterations: int = 10, damping: float = 0.85, weight_col: str = "n_items"
+    ) -> DataFrame:
+        """Edge-weighted PageRank over the symmetrized sales graph."""
+        from pyspark.sql import functions as F
+
+        e = self.catalog.graph_edges().select(
+            "src", "dst", F.col(weight_col).cast("double").alias("weight")
+        )
+        wsym = e.unionAll(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("weight"))
+        )
+        v = self.catalog.graph_nodes().select(F.col("node").alias("id"))
+        return algorithms.pagerank_weighted(
+            PropertyGraph(v, wsym), iterations, damping
+        )
+
     def bfs(self, source: str, max_hops: int) -> DataFrame:
         return algorithms.bfs_distances(self.graph(), source, max_hops)
 

@@ -1118,4 +1118,61 @@ def g32(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _wpagerank_oracle(iterations: int = 10) -> str:
+    """Unrolled weighted PageRank (same chained-CTE shape as g06's
+    oracle, with contributions split by edge weight / out-weight)."""
+    iters = []
+    prev = "pr0"
+    for i in range(1, iterations + 1):
+        cur = f"pr{i}"
+        iters.append(
+            f"""{cur} AS (
+  SELECT n.node, 0.15::DOUBLE/(SELECT c FROM nv)
+         + 0.85::DOUBLE*coalesce(sum(p.r*e.w/ow.ws),0) AS r
+  FROM graph_nodes n
+  LEFT JOIN wsym e ON e.dst=n.node
+  LEFT JOIN {prev} p ON p.node=e.src
+  LEFT JOIN outw ow ON ow.src=e.src
+  GROUP BY n.node)"""
+        )
+        prev = cur
+    chain = ",\n".join(iters)
+    return f"""WITH {GRAPH_CTES},
+wsym AS (SELECT src, dst, n_items::DOUBLE AS w FROM graph_edges
+         UNION ALL SELECT dst, src, n_items::DOUBLE FROM graph_edges),
+nv AS (SELECT count(*) AS c FROM graph_nodes),
+outw AS (SELECT src, sum(w) AS ws FROM wsym GROUP BY 1),
+pr0 AS (SELECT node, 1.0::DOUBLE/(SELECT c FROM nv) AS r FROM graph_nodes),
+{chain}
+SELECT node, round(r, 6) AS r FROM pr{iterations} ORDER BY r DESC, node LIMIT 20"""
+
+
+@_g(
+    "g33_weighted_pagerank",
+    _wpagerank_oracle(),
+    note="edge-weighted PageRank (mass split by n_items / out-weight — "
+    "the GDS relationshipWeightProperty variant; on the sales graph, "
+    "high-volume trading relationships pull rank).  Weights ride the "
+    "stationary edge rows, so the superstep cost model is identical to "
+    "g06: one dst-combine shuffle per iteration.  Rounded to 6dp — one "
+    "fewer digit than g06 because weight-ratio doubles accumulate "
+    "cross-engine summation drift over 10 iterations",
+)
+def g33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import pagerank_weighted
+
+    c = Catalog(spark, sf_dir)
+    e = c.graph_edges().select("src", "dst", F.col("n_items").cast("double").alias("weight"))
+    wsym = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("weight"))
+    )
+    v = c.graph_nodes().select(F.col("node").alias("id"))
+    ranks = pagerank_weighted(PropertyGraph(v, wsym), iterations=10, damping=0.85)
+    return (
+        ranks.select("node", F.round("rank", 6).alias("r"))
+        .orderBy(F.col("r").desc(), "node")
+        .limit(20)
+    )
+
+
 QUERIES = list(_G)

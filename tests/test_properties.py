@@ -381,3 +381,37 @@ def test_t19_durations_telescope(spark):
     )
     for r in spans:
         assert per_user.get(r["user_id"], 0) == r["span"], r
+
+
+def _py_weighted_pr(edges_w, iterations, damping):
+    nodes = sorted({a for a, b, w in edges_w} | {b for a, b, w in edges_w})
+    wout = {}
+    for a, b, w in edges_w:
+        wout[a] = wout.get(a, 0.0) + w
+    rank = {n: 1.0 / len(nodes) for n in nodes}
+    for _ in range(iterations):
+        acc = {n: 0.0 for n in nodes}
+        for a, b, w in edges_w:
+            acc[b] += rank[a] * w / wout[a]
+        rank = {n: (1.0 - damping) / len(nodes) + damping * acc[n] for n in nodes}
+    return rank
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_weighted_pagerank_local_distributed_reference_parity(spark, seed):
+    from graph_spark.graph.algorithms import pagerank_weighted
+
+    rng = random.Random(seed)
+    edges_w = [(a, b, float(rng.randint(1, 9))) for a, b in _random_graph(seed)]
+    want = _py_weighted_pr(edges_w, 5, 0.85)
+    e = spark.createDataFrame(edges_w, ["src", "dst", "weight"])
+    v = e.select(F.col("src").alias("id")).distinct()
+    g = PropertyGraph(v, e)
+    for local in (True, False):
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank_weighted(g, 5, local=local).collect()
+        }
+        assert got.keys() == want.keys(), f"local={local} seed={seed}"
+        for n in want:
+            assert abs(got[n] - want[n]) < 1e-9, f"local={local} seed={seed} node={n}"
