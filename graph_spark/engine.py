@@ -229,6 +229,12 @@ class Engine:
 
         return simhash_hamming_pairs(df, max_distance=max_distance, **kw)
 
+    def window_chunks(self, media: DataFrame, window_bytes: int = 64, hop: int = 32) -> DataFrame:
+        """Overlapping byte-window chunking (audio STFT-hop shape)."""
+        from .operators.multimodal import window_chunks
+
+        return window_chunks(media, window_bytes=window_bytes, hop=hop)
+
     def pack_sequences(self, df: DataFrame, budget: int = 512, **kw) -> DataFrame:
         """Token-budget sequence packing (context-window fill)."""
         from .operators.text import pack_sequences

@@ -138,3 +138,46 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return pruned.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def window_chunks(media: DataFrame, window_bytes: int = 64, hop: int = 32) -> DataFrame:
+    """Overlapping windowed chunking over an opaque payload (the
+    audio-style STFT/hop shape: windows of `window_bytes` starting every
+    `hop` bytes, final window possibly short).  One output row per
+    window via the same 1->N mapInPandas pattern as `sample_frames`;
+    the codec/FFT step is the stubbed part, the deterministic chunk
+    checksum keeps the plumbing oracle-checkable."""
+    pruned = media.select("doc_id", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            ids, idxs, sizes, sums = [], [], [], []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n_wins = (max(len(b) - 1, 0)) // hop + 1 if len(b) else 0
+                for i in range(n_wins):
+                    fr = b[i * hop:i * hop + window_bytes]
+                    ids.append(did)
+                    idxs.append(i)
+                    sizes.append(len(fr))
+                    sums.append(hashlib.md5(fr).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "win_idx": pd.Series(idxs, dtype="int64"),
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                    "checksum": pd.Series(sums, dtype="object"),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("win_idx", LongType()),
+            StructField("n_bytes", LongType()),
+            StructField("checksum", StringType()),
+        ]
+    )
+    return pruned.mapInPandas(batches, schema)

@@ -918,4 +918,29 @@ def l29(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "m03_window_chunks",
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+       wi AS (SELECT doc_id,
+                     unnest(generate_series(0, (length(text)-1)//32)) AS win_idx,
+                     text FROM d),
+       cut AS (SELECT doc_id, win_idx,
+                      substring(text, win_idx*32 + 1, 64) AS win FROM wi)
+       SELECT doc_id, win_idx::BIGINT AS win_idx,
+              length(win)::BIGINT AS n_bytes, md5(win) AS checksum
+       FROM cut ORDER BY doc_id, win_idx""",
+    note="audio-style overlapping window chunking (64-byte windows, "
+    "32-byte hop — the STFT frame shape): 1->N mapInPandas over the "
+    "pruned (id, payload) projection, codec/FFT step stubbed, chunk "
+    "checksums keep the plumbing oracle-checkable (ASCII fixture makes "
+    "byte==char reproducible in SQL)",
+)
+def m03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import window_chunks
+
+    docs = Catalog(spark, sf_dir).table("documents").filter(F.col("doc_id") < 50)
+    media = to_media_table(docs)
+    return window_chunks(media, window_bytes=64, hop=32).orderBy("doc_id", "win_idx")
+
+
 QUERIES = list(_L)

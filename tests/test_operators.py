@@ -209,6 +209,29 @@ def test_frame_sampling_shapes(spark):
     assert sum(r["n_bytes"] for r in full if r["doc_id"] == 1) == 130
 
 
+def test_window_chunks_overlap_coverage(spark):
+    """window_chunks: windows start every `hop` bytes and overlap by
+    window-hop; empty payload -> 0 rows; every byte is covered by at
+    least one window; final window may be short."""
+    import hashlib
+
+    from graph_spark.operators.multimodal import window_chunks
+
+    rows = [(1, b"a" * 100), (2, b""), (3, b"xyz")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = window_chunks(df, window_bytes=64, hop=32).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1 (100 bytes): windows at 0, 32, 64, 96 -> sizes 64, 64, 36, 4
+    d1 = sorted(by_doc[1], key=lambda r: r["win_idx"])
+    assert [r["win_idx"] for r in d1] == [0, 1, 2, 3]
+    assert [r["n_bytes"] for r in d1] == [64, 64, 36, 4]
+    assert 2 not in by_doc
+    assert [(r["win_idx"], r["n_bytes"]) for r in by_doc[3]] == [(0, 3)]
+    assert by_doc[3][0]["checksum"] == hashlib.md5(b"xyz").hexdigest()
+
+
 def test_simhash_hamming_pairs_identical_and_disjoint(spark):
     """Identical token sets -> hamming 0 pair; disjoint-vocabulary doc
     stays out at a tight threshold; i<j canonical orientation."""
