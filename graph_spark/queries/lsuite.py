@@ -943,4 +943,81 @@ def m03(spark: SparkSession, sf_dir: str) -> DataFrame:
     return window_chunks(media, window_bytes=64, hop=32).orderBy("doc_id", "win_idx")
 
 
+@_l(
+    "l30_minhash_calibration",
+    """WITH tok AS (SELECT DISTINCT d.doc_id, t.term FROM documents d,
+         unnest(string_split(d.text,' ')) AS t(term)
+         WHERE t.term<>'' AND d.doc_id < 12),
+       sigs AS (SELECT doc_id, i.i AS i, min(md5(i.i || ':' || term)) AS sig
+                FROM tok CROSS JOIN range(16) i(i) GROUP BY 1,2),
+       est AS (SELECT a.doc_id AS i, b.doc_id AS j,
+               round(sum(CASE WHEN a.sig=b.sig THEN 1 ELSE 0 END)/16.0, 4) AS est_j
+               FROM sigs a JOIN sigs b ON a.i=b.i AND a.doc_id<b.doc_id
+               GROUP BY 1,2),
+       nt AS (SELECT doc_id, count(*) AS c FROM tok GROUP BY 1),
+       tj AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+              FROM tok a JOIN tok b ON a.term=b.term AND a.doc_id<b.doc_id
+              GROUP BY 1,2)
+       SELECT e.i, e.j, e.est_j,
+       round(coalesce(t.inter*1.0/(na.c + nb.c - t.inter), 0.0), 4) AS true_j
+       FROM est e
+       JOIN nt na ON na.doc_id=e.i JOIN nt nb ON nb.doc_id=e.j
+       LEFT JOIN tj t ON t.i=e.i AND t.j=e.j
+       ORDER BY 1,2""",
+    note="MinHash estimator calibration: k=16 signature-collision rate "
+    "(l02's exact md5 scheme) side-by-side with true token-set Jaccard "
+    "for every pair in a 12-doc probe — the query a pipeline owner runs "
+    "to pick k and the LSH banding threshold.  True Jaccard comes from "
+    "an inverted-index pair join (|intersection| via term equi-join, "
+    "union by inclusion-exclusion), never a quadratic set comparison",
+)
+def l30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_signatures, tokens
+
+    d = Catalog(spark, sf_dir).table("documents").filter(F.col("doc_id") < 12)
+    tok = tokens(d).distinct()
+    sigs = minhash_signatures(d, k=16)
+    a = sigs.select(F.col("doc_id").alias("i"), F.col("i").alias("idx"), F.col("sig").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("j"), F.col("i").alias("idx"), F.col("sig").alias("sb"))
+    est = (
+        a.join(b, "idx")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("sa") == F.col("sb"), 1).otherwise(0)) / 16.0, 4
+            ).alias("est_j")
+        )
+    )
+    nt = tok.groupBy(F.col("doc_id").alias("d")).agg(F.count(F.lit(1)).alias("c"))
+    ta = tok.select(F.col("doc_id").alias("i"), "term")
+    tb = tok.select(F.col("doc_id").alias("j"), "term")
+    tj = (
+        ta.join(tb, "term")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = nt.select(F.col("d").alias("i"), F.col("c").alias("ca"))
+    nb = nt.select(F.col("d").alias("j"), F.col("c").alias("cb"))
+    return (
+        est.join(na, "i")
+        .join(nb, "j")
+        .join(tj, ["i", "j"], "left")
+        .select(
+            "i",
+            "j",
+            "est_j",
+            F.round(
+                F.coalesce(
+                    F.col("inter") * 1.0 / (F.col("ca") + F.col("cb") - F.col("inter")),
+                    F.lit(0.0),
+                ),
+                4,
+            ).alias("true_j"),
+        )
+        .orderBy("i", "j")
+    )
+
+
 QUERIES = list(_L)

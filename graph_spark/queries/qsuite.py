@@ -1876,4 +1876,27 @@ def t21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "t22_dow_hour_heatmap",
+    """SELECT dayofweek(ts)::INT AS dow, hour(ts)::INT AS hr,
+       count(*) AS n, round(sum(value),2) AS v
+       FROM events GROUP BY 1,2 ORDER BY 1,2""",
+    note="day-of-week x hour activity matrix (the seasonality heatmap "
+    "read).  Calendar-part extraction is codegen; one hash aggregate to "
+    "at most 168 cells, so the shuffle payload is constant regardless "
+    "of input size.  DuckDB dayofweek is 0=Sunday while Spark's is "
+    "1=Sunday — Spark side subtracts 1 to align the declared encoding",
+)
+def t22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    return (
+        ev.groupBy(
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hr"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .orderBy("dow", "hr")
+    )
+
+
 QUERIES = list(_Q)
