@@ -80,6 +80,21 @@ def main() -> None:
     print("== LLM ops: SimHash near-dup pairs (band LSH + hamming) ==")
     eng.dedup_simhash(docs, max_distance=8).show(5)
 
+    print("== graph: edge-weighted PageRank (mass follows trade volume) ==")
+    eng.pagerank_weighted(iterations=5).orderBy(F.desc("rank")).show(5)
+
+    print("== graph: clustering coefficient + assortativity + growth series ==")
+    eng.clustering_coefficient().show(3)
+    eng.assortativity().show()
+    eng.snapshot_series().show(4)
+
+    print("== LLM ops: token-budget sequence packing + surprisal quality ==")
+    eng.pack_sequences(docs, budget=256).groupBy("lang", "pack_id").count().show(5)
+    eng.surprisal(docs).orderBy("doc_id").show(5)
+
+    print("== multimodal: overlapping byte-window chunking (STFT shape) ==")
+    eng.window_chunks(eng.to_media(docs), window_bytes=64, hop=32).show(5)
+
     print("== UDF surface: SQL-registered python functions ==")
     eng.register_udfs()
     eng.sql("SELECT doc_id, round(char_entropy(text),3) AS entropy FROM documents LIMIT 5").show()
