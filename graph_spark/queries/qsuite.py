@@ -1899,4 +1899,69 @@ def t22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q52_numeric_range_frame",
+    """SELECT p_partkey, p_brand, p_size,
+       count(*) OVER (PARTITION BY p_brand ORDER BY p_size
+                      RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS n_near,
+       CAST(sum(p_size) OVER (PARTITION BY p_brand ORDER BY p_size
+                      RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT)
+         AS sum_near
+       FROM part ORDER BY p_partkey""",
+    note="numeric RANGE window frame (peers by VALUE distance, not row "
+    "count — t06 is the event-time sibling): parts within +/-2 size of "
+    "each part in its brand.  One window shuffle; the frame bound scan "
+    "is linear two-pointer within each sorted partition",
+)
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = Catalog(spark, sf_dir).table("part")
+    w = Window.partitionBy("p_brand").orderBy("p_size").rangeBetween(-2, 2)
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.count(F.lit(1)).over(w).alias("n_near"),
+        F.sum("p_size").over(w).cast("long").alias("sum_near"),
+    ).orderBy("p_partkey")
+
+
+@_q(
+    "q53_winsorize",
+    """WITH b AS (SELECT o_orderpriority,
+            quantile_cont(o_totalprice, 0.05) AS lo,
+            quantile_cont(o_totalprice, 0.95) AS hi
+           FROM orders GROUP BY 1)
+       SELECT o_orderkey, o.o_orderpriority,
+       round(least(greatest(o_totalprice, b.lo), b.hi), 2) AS clipped,
+       CAST(o_totalprice < b.lo OR o_totalprice > b.hi AS INT) AS was_outlier
+       FROM orders o JOIN b ON o.o_orderpriority=b.o_orderpriority
+       ORDER BY 1""",
+    note="per-group winsorization (clip to p05/p95) — the outlier "
+    "treatment step of feature cleaning.  Group bounds come from one "
+    "exact-percentile aggregate and broadcast-join back onto the fact "
+    "rows; spelled as agg+join (not a percentile WINDOW) because that "
+    "is the portable AND scalable form — the bounds table is tiny while "
+    "a windowed percentile would re-sort the facts per group",
+)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    b = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.05)).alias("lo"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("hi"),
+    )
+    tp = F.col("o_totalprice")
+    return (
+        o.join(F.broadcast(b), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.least(F.greatest(tp, F.col("lo")), F.col("hi")), 2).alias(
+                "clipped"
+            ),
+            ((tp < F.col("lo")) | (tp > F.col("hi"))).cast("int").alias("was_outlier"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
 QUERIES = list(_Q)
