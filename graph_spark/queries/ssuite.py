@@ -214,4 +214,46 @@ def s08(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hourly_ohlc(ev: DataFrame) -> DataFrame:
+    """S09 transform, valid in batch and streaming: OHLC candles per
+    (hourly window, event_type) in one aggregation pass — min_by/max_by
+    are incrementally mergeable, so the candle updates in place as
+    micro-batches arrive (deterministic: (event_type, ts) is unique)."""
+    return ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.min_by("value", "ts").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ts").alias("close"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_s(
+    "s09_stream_ohlc",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S.%f') AS h,
+       event_type, arg_min(value, ts) AS open, max(value) AS high,
+       min(value) AS low, arg_max(value, ts) AS close, count(*) AS n
+       FROM events GROUP BY 1,2 ORDER BY 1,2""",
+    note="streaming OHLC downsampling: min_by/max_by candles per hourly "
+    "window — first/last/extremes are all mergeable aggregates, so the "
+    "stream form needs no sort and no per-window state beyond one "
+    "candle; replay parity in tests/test_streaming.py",
+)
+def s09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    return (
+        hourly_ohlc(ev)
+        .select(
+            ts_str(F.col("w.start")).alias("h"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
+        .orderBy("h", "event_type")
+    )
+
+
 QUERIES = list(_S)

@@ -10,7 +10,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from graph_spark.catalog import Catalog
-from graph_spark.queries.ssuite import tumbling_hourly, windowed_distinct_users
+from graph_spark.queries.ssuite import hourly_ohlc, tumbling_hourly, windowed_distinct_users
 from graph_spark.streaming.replay import run_stream, stage_replay_dir
 
 from .conftest import SF_SMOKE
@@ -84,6 +84,17 @@ def test_s08_windowed_distinct_stream_equals_batch(spark, replay_dir):
         spark, replay_dir, windowed_distinct_users, output_mode="complete"
     ).select(F.col("w.start").alias("h"), "event_type", "nu")
     assert _rows(stream, ["h", "event_type", "nu"]) == _rows(batch, ["h", "event_type", "nu"])
+
+
+def test_s09_ohlc_stream_equals_batch(spark, replay_dir):
+    cols = ["h", "event_type", "open", "high", "low", "close", "n"]
+    batch = hourly_ohlc(Catalog(spark, SF_SMOKE).table("events")).select(
+        F.col("w.start").alias("h"), "event_type", "open", "high", "low", "close", "n"
+    )
+    stream = run_stream(spark, replay_dir, hourly_ohlc, output_mode="complete").select(
+        F.col("w.start").alias("h"), "event_type", "open", "high", "low", "close", "n"
+    )
+    assert _rows(stream, cols) == _rows(batch, cols)
 
 
 def test_s03_session_window_batch_semantics(spark):
