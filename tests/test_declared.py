@@ -19,3 +19,28 @@ QUERIES = all_queries()
 def test_declared_query_matches_oracle(spark, duck, query):
     ok, detail = compare_query(spark, duck, query, SF_ORACLE)
     assert ok, f"{query.name}: {detail}"
+
+
+def test_oracle_preconditions(spark):
+    """Data-shape assumptions baked into declared oracles, re-checked so
+    a driver data regeneration that breaks them fails loudly here
+    instead of as a silent hash mismatch:
+    - l27's DuckDB series bound (4096) must exceed every text length;
+    - t13/s09 min_by/max_by determinism needs unique (user_id, ts) and
+      (event_type, ts);
+    - l28 pack assignment needs doc_id unique within each language."""
+    from pyspark.sql import functions as F
+
+    from graph_spark.catalog import Catalog
+
+    c = Catalog(spark, SF_ORACLE)
+    docs = c.table("documents")
+    assert docs.agg(F.max(F.length("text"))).first()[0] < 4096
+
+    ev = c.table("events")
+    for keys in (["user_id", "ts"], ["event_type", "ts"]):
+        dups = ev.groupBy(*keys).count().filter(F.col("count") > 1).count()
+        assert dups == 0, f"duplicate {keys} break arg_min/arg_max determinism"
+
+    dup_docs = docs.groupBy("lang", "doc_id").count().filter(F.col("count") > 1).count()
+    assert dup_docs == 0
