@@ -1175,4 +1175,38 @@ def g33(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g34_snapshot_bfs",
+    f"""WITH RECURSIVE {GRAPH_CTES},
+       snap AS (SELECT src, dst FROM graph_edges
+                WHERE first_ts <= TIMESTAMP '1996-06-01'),
+       snap_sym AS (SELECT src, dst FROM snap UNION SELECT dst, src FROM snap),
+       bfs(node, hops) AS (
+         SELECT 'c1', 0
+         UNION
+         SELECT e.dst, b.hops+1 FROM bfs b JOIN snap_sym e ON b.node=e.src
+         WHERE b.hops<3)
+       SELECT node, min(hops)::INT AS d FROM bfs GROUP BY 1 ORDER BY 1""",
+    note="snapshot traversal: BFS over the graph AS OF t (edges whose "
+    "first_ts <= t) — TGraph's snapshot query composed with its "
+    "traversal framework.  The time predicate lands on the edge view "
+    "BEFORE symmetrization, so the frontier loop runs on the pruned "
+    "snapshot; at 100 TB the edge table's time-bucket partitioning "
+    "makes the snapshot filter a partition prune, not a scan",
+)
+def g34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    snap = (
+        c.graph_edges()
+        .filter(F.col("first_ts") <= F.lit("1996-06-01").cast("timestamp"))
+        .select("src", "dst")
+    )
+    sym = snap.union(
+        snap.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    v = sym.select(F.col("src").alias("id")).distinct()
+    g = PropertyGraph(v, sym)
+    return bfs_distances(g, "c1", 3).select("node", F.col("d").cast("int")).orderBy("node")
+
+
 QUERIES = list(_G)
