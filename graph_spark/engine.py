@@ -180,6 +180,13 @@ class Engine:
         ).agg(F.max("o_totalprice").alias("value"))
         return tprop.time_weighted_avg(cp, start_ts, end_ts)
 
+    def temporal_store(self, value_type: str = "double"):
+        """Empty TemporalPropertyStore — the get/setTemporalProperty
+        surface: append point/interval writes, read at t / over ranges."""
+        from .temporal.store import TemporalPropertyStore
+
+        return TemporalPropertyStore.empty(self.spark, value_type)
+
     def temporal_compact(
         self, tp: DataFrame, entity_col: str = "entity_id",
         ts_col: str = "ts", value_col: str = "value",

@@ -1,0 +1,151 @@
+"""TemporalPropertyStore — the engine's analog of the reference
+system's get/setTemporalProperty API (a temporal property database's
+write/read surface), over an append-only change-point log.
+
+Model (SURVEY.md §1.2): a property value is a piecewise-constant
+function of time.  Writes append change-points; nothing is updated in
+place.  A point write (t, v) means "v from t until the next
+change-point"; an interval write ([s, e), v) is exactly two
+change-points: (s, v) and (e, NULL) — NULL meaning unset-after, so a
+later covering write wins naturally.  Reads are the tprop operators:
+latest-change-point-<=-t point reads, range aggregates, duration-
+weighted averages, segment expansion, compaction.
+
+Same-timestamp conflicts resolve by write sequence (last write wins),
+mirroring a transactional store's commit order.  At 100 TB the log is
+a time-bucket partitioned table (`sources/writers.write_time_bucketed`)
+and each `write_*` call is an append of one bucket-partitioned file
+set; reads prune buckets via the ts predicate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import tprop
+
+
+class TemporalPropertyStore:
+    """Append-only change-point log with TGraph-shaped accessors.
+
+    The log schema is (entity_id, prop, ts, value, seq): `seq` is the
+    write-sequence number assigned per write call (commit order).
+    """
+
+    def __init__(self, log: DataFrame, next_seq: int = 0):
+        self.log = log
+        self._next_seq = next_seq
+
+    # ---- construction -------------------------------------------------
+
+    @classmethod
+    def empty(cls, spark, value_type: str = "double") -> "TemporalPropertyStore":
+        schema = (
+            "entity_id long, prop string, ts timestamp, "
+            f"value {value_type}, seq long"
+        )
+        return cls(spark.createDataFrame([], schema))
+
+    @classmethod
+    def from_changepoints(
+        cls, df: DataFrame, entity_col="entity_id", prop=None,
+        ts_col="ts", value_col="value",
+    ) -> "TemporalPropertyStore":
+        """Bootstrap from an existing long table (one row per change)."""
+        log = df.select(
+            F.col(entity_col).cast("long").alias("entity_id"),
+            (F.lit(prop) if prop is not None else F.col("prop")).alias("prop"),
+            F.col(ts_col).alias("ts"),
+            F.col(value_col).alias("value"),
+            F.lit(0).cast("long").alias("seq"),
+        )
+        return cls(log, next_seq=1)
+
+    # ---- writes (append-only) -----------------------------------------
+
+    def write_points(
+        self, df: DataFrame, entity_col="entity_id", prop=None,
+        ts_col="ts", value_col="value",
+    ) -> "TemporalPropertyStore":
+        """Point writes: value valid from ts until the next change-point
+        (the reference's setTemporalProperty(key, t, v))."""
+        seq = self._next_seq
+        rows = df.select(
+            F.col(entity_col).cast("long").alias("entity_id"),
+            (F.lit(prop) if prop is not None else F.col("prop")).alias("prop"),
+            F.col(ts_col).alias("ts"),
+            F.col(value_col).alias("value"),
+            F.lit(seq).cast("long").alias("seq"),
+        )
+        return TemporalPropertyStore(self.log.unionByName(rows), seq + 1)
+
+    def write_intervals(
+        self, df: DataFrame, entity_col="entity_id", prop=None,
+        start_col="start_ts", end_col="end_ts", value_col="value",
+    ) -> "TemporalPropertyStore":
+        """Interval writes: value valid on [start, end) — lowered to a
+        (start, v) change-point plus an (end, NULL) unset marker, so the
+        read path stays the plain piecewise-constant scan."""
+        seq = self._next_seq
+        ent = F.col(entity_col).cast("long").alias("entity_id")
+        pr = (F.lit(prop) if prop is not None else F.col("prop")).alias("prop")
+        starts = df.select(
+            ent, pr, F.col(start_col).alias("ts"),
+            F.col(value_col).alias("value"), F.lit(seq).cast("long").alias("seq"),
+        )
+        ends = df.select(
+            ent, pr, F.col(end_col).alias("ts"),
+            F.lit(None).cast(dict(self.log.dtypes)["value"]).alias("value"),
+            F.lit(seq).cast("long").alias("seq"),
+        )
+        return TemporalPropertyStore(
+            self.log.unionByName(starts).unionByName(ends), seq + 1
+        )
+
+    # ---- reads --------------------------------------------------------
+
+    def _prop(self, prop: str | None) -> DataFrame:
+        return self.log.filter(F.col("prop") == prop) if prop else self.log
+
+    def value_at(self, at_ts, prop: str | None = None) -> DataFrame:
+        """getTemporalProperty(key, t): latest change-point <= t per
+        entity; same-ts conflicts resolve by write sequence."""
+        return tprop.value_at(
+            self._prop(prop), at_ts, tiebreak="seq"
+        )
+
+    def range_aggregate(self, start_ts, end_ts, prop: str | None = None,
+                        aggs: dict | None = None) -> DataFrame:
+        return tprop.range_aggregate(
+            self._prop(prop).filter(F.col("value").isNotNull()),
+            start_ts, end_ts, ["entity_id"], "value", aggs,
+        )
+
+    def time_weighted_avg(self, start_ts, end_ts, prop: str | None = None) -> DataFrame:
+        pc = self._latest_per_ts(prop)
+        return tprop.time_weighted_avg(
+            pc.filter(F.col("value").isNotNull()), start_ts, end_ts
+        )
+
+    def segments(self, prop: str | None = None) -> DataFrame:
+        """Validity intervals (entity, value, valid_from, valid_to)."""
+        return tprop.segments(self._latest_per_ts(prop))
+
+    def compacted(self, prop: str | None = None) -> DataFrame:
+        """Change-point log with redundant writes dropped (LSM-compaction
+        analog); point reads over it are identical."""
+        return tprop.compact_changepoints(self._latest_per_ts(prop))
+
+    def _latest_per_ts(self, prop: str | None) -> DataFrame:
+        """Collapse same-(entity, ts) writes to the latest sequence —
+        the merge step an LSM store does on read/compaction."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("entity_id", "ts").orderBy(F.col("seq").desc())
+        return (
+            self._prop(prop)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )

@@ -154,11 +154,18 @@ def compact_changepoints(
     redundant writes carry no information, so point/range reads over the
     compacted table return identical results with less data.  ONE window
     shuffle on the entity key; at 100 TB run per time-bucket partition
-    and stitch bucket edges (last row of bucket b vs first of b+1)."""
+    and stitch bucket edges (last row of bucket b vs first of b+1).
+
+    Comparison is null-safe: NULL is a legal change-point value (the
+    unset marker an interval write leaves at its end), so `value !=
+    prev` alone would silently drop every unset marker — row_number
+    distinguishes "first change-point" from "previous value was NULL".
+    """
     w = Window.partitionBy(entity_col).orderBy(F.col(ts_col).asc())
     prev = F.lag(value_col).over(w)
+    first = F.row_number().over(w) == 1
     return (
-        tprop.withColumn("__prev", prev)
-        .filter(F.col("__prev").isNull() | (F.col(value_col) != F.col("__prev")))
-        .drop("__prev")
+        tprop.withColumn("__keep", first | ~F.col(value_col).eqNullSafe(prev))
+        .filter(F.col("__keep"))
+        .drop("__keep")
     )

@@ -72,3 +72,68 @@ def test_interval_writes_to_changepoints(spark):
         key=lambda x: x[1],
     )
     assert cps == [(1, t(2024, 1, 1), 5.0), (1, t(2024, 2, 1), None)]
+
+
+class TestTemporalPropertyStore:
+    def _store(self, spark):
+        from graph_spark.temporal.store import TemporalPropertyStore
+
+        st = TemporalPropertyStore.empty(spark)
+        pts = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00", 10.0), (1, "2024-01-10 00:00:00", 20.0),
+             (2, "2024-01-05 00:00:00", 5.0)],
+            "entity_id long, ts_s string, value double",
+        ).select("entity_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+        st = st.write_points(pts, prop="speed")
+        iv = spark.createDataFrame(
+            [(1, "2024-01-03 00:00:00", "2024-01-06 00:00:00", 99.0)],
+            "entity_id long, s string, e string, value double",
+        ).select(
+            "entity_id",
+            F.col("s").cast("timestamp").alias("start_ts"),
+            F.col("e").cast("timestamp").alias("end_ts"),
+            "value",
+        )
+        return st.write_intervals(iv, prop="speed")
+
+    def test_point_reads_respect_interval_and_sequence(self, spark):
+        st = self._store(spark)
+
+        def val(ts, eid):
+            rows = {r["entity_id"]: r["value"]
+                    for r in st.value_at(F.lit(ts).cast("timestamp"), "speed").collect()}
+            return rows.get(eid)
+
+        assert val("2024-01-02 00:00:00", 1) == 10.0   # before interval
+        assert val("2024-01-04 00:00:00", 1) == 99.0   # inside interval
+        assert val("2024-01-07 00:00:00", 1) is None   # unset marker after end
+        assert val("2024-01-11 00:00:00", 1) == 20.0   # later point write wins
+        assert val("2024-01-06 00:00:00", 2) == 5.0
+
+    def test_same_ts_last_write_wins(self, spark):
+        from graph_spark.temporal.store import TemporalPropertyStore
+
+        st = TemporalPropertyStore.empty(spark)
+        t = "2024-01-01 00:00:00"
+        mk = lambda v: spark.createDataFrame(
+            [(1, t, v)], "entity_id long, ts_s string, value double"
+        ).select("entity_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+        st = st.write_points(mk(1.0), prop="p").write_points(mk(2.0), prop="p")
+        got = st.value_at(F.lit("2024-06-01").cast("timestamp"), "p").collect()
+        assert got[0]["value"] == 2.0
+
+    def test_segments_and_compaction_preserve_reads(self, spark):
+        st = self._store(spark)
+        segs = {(r["entity_id"], str(r["valid_from"])): (r["value"], r["valid_to"])
+                for r in st.segments("speed").collect()}
+        assert segs[(1, "2024-01-03 00:00:00")][0] == 99.0
+        # compacted log must give identical point reads
+        from graph_spark.temporal import tprop
+
+        compact = st.compacted("speed")
+        for ts in ["2024-01-02", "2024-01-04", "2024-01-07", "2024-01-11"]:
+            a = {r["entity_id"]: r["value"] for r in st.value_at(
+                F.lit(ts).cast("timestamp"), "speed").collect()}
+            b = {r["entity_id"]: r["value"] for r in tprop.value_at(
+                compact, F.lit(ts).cast("timestamp"), tiebreak="seq").collect()}
+            assert a == b, ts
