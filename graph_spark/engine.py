@@ -59,6 +59,13 @@ class Engine:
         verts = self.catalog.graph_nodes().select(F.col("node").alias("id"))
         return PropertyGraph(verts, edges)
 
+    def traverse(self, source: str):
+        """Fluent traversal description (TraversalDescription analog):
+        .max_hops(n).at_time(t).min_items(k).time_respecting().run()"""
+        from .graph.traversal import TraversalDescription
+
+        return TraversalDescription(self.catalog, source)
+
     def pagerank(self, iterations: int = 10, damping: float = 0.85) -> DataFrame:
         return algorithms.pagerank(self.graph(), iterations, damping)
 

@@ -1018,3 +1018,44 @@ def ktruss_peel(
         sup = edge_triangle_support(e).filter(F.col("support") >= k - 2)
         e = sup.select("s1", "s2").localCheckpoint()
     return sup
+
+
+def earliest_arrival(
+    edges_ts: DataFrame, source: str, max_hops: int = 3,
+    ts_col: str = "first_ts",
+) -> DataFrame:
+    """Time-respecting earliest-arrival over a timestamped edge list
+    (src, dst, ts): successive edges must not go back in time.  Runs a
+    min-frontier label-correcting loop — lossless vs full path
+    enumeration because a smaller arrival admits a superset of onward
+    edges, so expanding only the per-node minimum preserves every
+    reachable (node, min arrival).  Returns (node, arrival_ts).
+
+    One broadcast join + one combine per hop; the frontier is |V|-sized
+    while the timestamped edges stay stationary (the Pregel cost model).
+    """
+    frontier = (
+        edges_ts.filter(F.col("src") == source)
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.min(ts_col).alias("t"))
+        .localCheckpoint(eager=True)
+    )
+    found = [frontier]
+    e = edges_ts.alias("e")
+    for _ in range(max_hops - 1):
+        fr = F.broadcast(frontier.alias("f"))
+        frontier = (
+            e.join(
+                fr,
+                (F.col("e.src") == F.col("f.node"))
+                & (F.col(f"e.{ts_col}") >= F.col("f.t")),
+            )
+            .groupBy(F.col("e.dst").alias("node"))
+            .agg(F.min(f"e.{ts_col}").alias("t"))
+            .localCheckpoint(eager=True)
+        )
+        found.append(frontier)
+    allf = found[0]
+    for f in found[1:]:
+        allf = allf.unionByName(f)
+    return allf.groupBy("node").agg(F.min("t").alias("arrival_ts"))

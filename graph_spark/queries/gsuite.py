@@ -328,36 +328,12 @@ def g11(spark: SparkSession, sf_dir: str) -> DataFrame:
     "preserves every reachable (node, min arrival)",
 )
 def g12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import earliest_arrival
     from .common import ts_str
 
-    c = Catalog(spark, sf_dir)
-    et = c.graph_edges_ts()
-    frontier = (
-        et.filter(F.col("src") == "c1")
-        .groupBy(F.col("dst").alias("node"))
-        .agg(F.min("first_ts").alias("t"))
-        .localCheckpoint(eager=True)
-    )
-    found = [frontier]
-    e = et.alias("e")
-    for _ in range(2):  # hops 2 and 3
-        fr = F.broadcast(frontier.alias("f"))
-        frontier = (
-            e.join(fr, (F.col("e.src") == F.col("f.node")) & (F.col("e.first_ts") >= F.col("f.t")))
-            .groupBy(F.col("e.dst").alias("node"))
-            .agg(F.min("e.first_ts").alias("t"))
-            .localCheckpoint(eager=True)
-        )
-        found.append(frontier)
-    allf = found[0]
-    for f in found[1:]:
-        allf = allf.unionByName(f)
-    return (
-        allf.groupBy("node")
-        .agg(F.min("t").alias("mt"))
-        .select("node", ts_str(F.col("mt")).alias("arrival"))
-        .orderBy("node")
-    )
+    et = Catalog(spark, sf_dir).graph_edges_ts()
+    arr = earliest_arrival(et, "c1", max_hops=3)
+    return arr.select("node", ts_str(F.col("arrival_ts")).alias("arrival")).orderBy("node")
 
 
 @_g(

@@ -207,3 +207,63 @@ def test_graph_algorithm_edge_cases(spark):
             for r in shortest_paths_weighted(g, "a", "w", max_iter=4, local=local).collect()
         }
         assert dist == {"a": 0.0, "b": 2.0}, f"local={local}"
+
+
+class TestTraversalDescription:
+    """The fluent traversal API must reproduce the declared queries it
+    generalizes: plain BFS (g03 shape), snapshot BFS (g34), and
+    time-respecting earliest arrival (g12)."""
+
+    def test_plain_bfs_matches_g03(self, spark):
+        from graph_spark.engine import Engine
+        from graph_spark.queries.gsuite import QUERIES
+
+        from .conftest import SF_SMOKE
+
+        eng = Engine(spark, SF_SMOKE)
+        got = {
+            r["node"]: r["d"]
+            for r in eng.traverse("c1").max_hops(4).run().collect()
+        }
+        g03 = next(q for q in QUERIES if q.name == "g03_bfs")
+        want = {r["node"]: r["d"] for r in g03.build(spark, SF_SMOKE).collect()}
+        assert got == want
+
+    def test_snapshot_matches_g34(self, spark):
+        from pyspark.sql import functions as F
+
+        from graph_spark.engine import Engine
+        from graph_spark.queries.gsuite import QUERIES
+
+        from .conftest import SF_SMOKE
+
+        eng = Engine(spark, SF_SMOKE)
+        t = F.lit("1996-06-01").cast("timestamp")
+        got = {
+            r["node"]: r["d"]
+            for r in eng.traverse("c1").max_hops(3).at_time(t).run().collect()
+        }
+        g34 = next(q for q in QUERIES if q.name == "g34_snapshot_bfs")
+        want = {r["node"]: r["d"] for r in g34.build(spark, SF_SMOKE).collect()}
+        assert got == want
+
+    def test_time_respecting_matches_g12(self, spark):
+        from graph_spark.engine import Engine
+        from graph_spark.queries.common import ts_str
+        from graph_spark.queries.gsuite import QUERIES
+
+        from .conftest import SF_SMOKE
+
+        eng = Engine(spark, SF_SMOKE)
+        arr = eng.traverse("c1").max_hops(3).time_respecting().run()
+        from pyspark.sql import functions as F
+
+        got = {
+            r["node"]: r["arrival"]
+            for r in arr.select(
+                "node", ts_str(F.col("arrival_ts")).alias("arrival")
+            ).collect()
+        }
+        g12 = next(q for q in QUERIES if q.name == "g12_earliest_arrival")
+        want = {r["node"]: r["arrival"] for r in g12.build(spark, SF_SMOKE).collect()}
+        assert got == want
