@@ -85,6 +85,24 @@ class PropertyGraph:
             state = new_state
         return state
 
+    # ---- views ----------------------------------------------------------
+
+    def subgraph(self, vertex_pred=None, edge_pred=None) -> "PropertyGraph":
+        """Induced subgraph (the filterVertices/filterEdges analog):
+        optional predicates on vertices and/or edges; edges are then
+        restricted to surviving endpoints via two left-semi joins
+        (broadcastable — the filtered vertex id set is small relative to
+        edges, and no edge columns are duplicated or shuffled)."""
+        v = self.vertices.filter(vertex_pred) if vertex_pred is not None else self.vertices
+        e = self.edges.filter(edge_pred) if edge_pred is not None else self.edges
+        if vertex_pred is not None:
+            ids = F.broadcast(v.select("id"))
+            e = e.join(
+                ids.withColumnRenamed("id", "src"), "src", "left_semi"
+            ).join(ids.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            e = e.select(*self.edges.columns)
+        return PropertyGraph(v, e)
+
     # ---- degree helpers -------------------------------------------------
 
     def out_degrees(self) -> DataFrame:

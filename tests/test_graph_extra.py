@@ -267,3 +267,29 @@ class TestTraversalDescription:
         g12 = next(q for q in QUERIES if q.name == "g12_earliest_arrival")
         want = {r["node"]: r["arrival"] for r in g12.build(spark, SF_SMOKE).collect()}
         assert got == want
+
+
+def test_subgraph_induced_edges(spark):
+    """subgraph: edge predicate filters edges; vertex predicate induces
+    (both endpoints must survive); column order preserved."""
+    from pyspark.sql import functions as F
+
+    from graph_spark.graph.property_graph import PropertyGraph
+
+    v = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], ["id"])
+    e = spark.createDataFrame(
+        [("a", "b", 3), ("b", "c", 1), ("c", "d", 5), ("d", "a", 2)],
+        ["src", "dst", "w"],
+    )
+    g = PropertyGraph(v, e)
+
+    ge = g.subgraph(edge_pred=F.col("w") >= 3)
+    assert sorted((r["src"], r["dst"]) for r in ge.edges.collect()) == [("a", "b"), ("c", "d")]
+
+    gv = g.subgraph(vertex_pred=F.col("id") != "d")
+    assert sorted(r["id"] for r in gv.vertices.collect()) == ["a", "b", "c"]
+    assert sorted((r["src"], r["dst"]) for r in gv.edges.collect()) == [("a", "b"), ("b", "c")]
+    assert gv.edges.columns == ["src", "dst", "w"]
+
+    gb = g.subgraph(vertex_pred=F.col("id").isin("a", "b", "c"), edge_pred=F.col("w") < 2)
+    assert [(r["src"], r["dst"]) for r in gb.edges.collect()] == [("b", "c")]
