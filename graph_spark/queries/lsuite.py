@@ -1020,4 +1020,29 @@ def l30(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l31_dedup_keep_rate",
+    """SELECT lang, source, count(*) AS total,
+       count(DISTINCT md5(text)) AS kept,
+       round(count(DISTINCT md5(text))*1.0/count(*), 4) AS keep_rate
+       FROM documents GROUP BY 1,2 ORDER BY 1,2""",
+    note="exact-dedup keep rate per (lang, source) — the dashboard read "
+    "that decides which sources are worth crawling.  One distinct-agg "
+    "pass; at 100 TB the md5 goes through a first-stage partial "
+    "distinct before the (lang, source) combine",
+)
+def l31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    kept = F.countDistinct(F.md5("text"))
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            kept.alias("kept"),
+            F.round(kept * 1.0 / F.count(F.lit(1)), 4).alias("keep_rate"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
 QUERIES = list(_L)

@@ -1964,4 +1964,72 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q54_values_lookup_join",
+    """WITH wts(event_type, w) AS (VALUES ('click', 1.0), ('view', 0.5),
+       ('purchase', 5.0), ('signup', 3.0), ('error', 0.0))
+       SELECT user_id, floor(sum(value * w)*100 + 0.5)/100 AS score, count(*) AS n
+       FROM events JOIN wts USING (event_type)
+       GROUP BY 1 ORDER BY 1""",
+    note="inline literal relation (VALUES) as a broadcast lookup dim — "
+    "the config-table join every scoring pipeline has.  The five-row "
+    "weight table broadcasts; the fact side never shuffles for the join.  "
+    "floor-form rounding: the 0.5 weight makes score sums land on exact "
+    ".005 boundaries where Spark HALF_UP and DuckDB binary-round differ",
+)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    wts = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 5.0), ("signup", 3.0), ("error", 0.0)],
+        "event_type string, w double",
+    )
+    return (
+        ev.join(F.broadcast(wts), "event_type")
+        .groupBy("user_id")
+        .agg(
+            (F.floor(F.sum(F.col("value") * F.col("w")) * 100 + 0.5) / 100).alias(
+                "score"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@_q(
+    "t23_rolling_wau",
+    """WITH du AS (SELECT DISTINCT date_trunc('day', ts)::DATE AS d, user_id
+       FROM events),
+       days AS (SELECT DISTINCT d FROM du)
+       SELECT strftime(days.d, '%Y-%m-%d') AS day,
+       count(DISTINCT du.user_id) AS wau, count(*) AS n_user_days
+       FROM days JOIN du ON du.d > days.d - 7 AND du.d <= days.d
+       GROUP BY days.d ORDER BY days.d""",
+    note="rolling 7-day active users per day (the WAU series).  COUNT "
+    "DISTINCT cannot ride a window frame, so the scalable spelling is "
+    "day-spine x user-day range join then distinct-count — the spine is "
+    "tiny (one row per day) and broadcasts; user-days are pre-deduped "
+    "so the join fan-out is bounded by 7 x daily-actives",
+)
+def t23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    du = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct().select(F.col("d").alias("day_d"))
+    joined = du.join(
+        F.broadcast(days),
+        (F.col("d") > F.date_sub(F.col("day_d"), 7)) & (F.col("d") <= F.col("day_d")),
+    )
+    return (
+        joined.groupBy("day_d")
+        .agg(
+            F.countDistinct("user_id").alias("wau"),
+            F.count(F.lit(1)).alias("n_user_days"),
+        )
+        .select(date_str("day_d").alias("day"), "wau", "n_user_days")
+        .orderBy("day")
+    )
+
+
 QUERIES = list(_Q)
