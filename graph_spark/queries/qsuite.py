@@ -2032,4 +2032,54 @@ def t23(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q55_decimal_exact",
+    """SELECT l_returnflag,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS exact_sum,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS exact_prod_sum
+       FROM lineitem GROUP BY 1 ORDER BY 1""",
+    note="DecimalType exact money arithmetic: fixed-point sums and "
+    "products have ONE right answer (no float summation-order drift), "
+    "so results are rendered as strings with no rounding protocol at "
+    "all — the financial-aggregation capability.  Spark widens "
+    "(18,2)+sum to (28,2) and the product to (38,4) exactly like "
+    "DuckDB's (38,x) path; both print scale-faithful strings",
+)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    ep = F.col("l_extendedprice").cast("decimal(18,2)")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(ep).cast("string").alias("exact_sum"),
+            F.sum(ep * qty).cast("string").alias("exact_prod_sum"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_q(
+    "q56_edit_distance",
+    """WITH b(x) AS (SELECT DISTINCT p_brand FROM part)
+       SELECT a.x AS b1, c.x AS b2, levenshtein(a.x, c.x)::INT AS dist
+       FROM b a JOIN b c ON a.x < c.x ORDER BY 1,2""",
+    note="Levenshtein edit distance over the deduped brand vocabulary "
+    "(fuzzy entity matching / typo clustering).  The pair join runs on "
+    "the DISTINCT value set, never the fact rows — at 100 TB the "
+    "vocabulary is orders of magnitude smaller than the corpus, and "
+    "blocking (first-char, length band) bounds the quadratic term",
+)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = Catalog(spark, sf_dir).table("part")
+    b = p.select(F.col("p_brand").alias("x")).distinct()
+    a, c = b.select(F.col("x").alias("b1")), b.select(F.col("x").alias("b2"))
+    return (
+        a.join(c, F.col("b1") < F.col("b2"))
+        .select("b1", "b2", F.levenshtein("b1", "b2").cast("int").alias("dist"))
+        .orderBy("b1", "b2")
+    )
+
+
 QUERIES = list(_Q)
