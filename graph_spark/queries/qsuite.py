@@ -2082,4 +2082,46 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q57_full_outer_join",
+    """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+                 FROM customer GROUP BY 1),
+       s AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+             FROM supplier GROUP BY 1)
+       SELECT coalesce(c.nk, s.nk)::INT AS nationkey,
+       coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp,
+       CAST(c.nk IS NULL AS INT) AS supp_only, CAST(s.nk IS NULL AS INT) AS cust_only
+       FROM c FULL OUTER JOIN s ON c.nk = s.nk
+       ORDER BY 1""",
+    note="FULL OUTER join (the reconciliation read: rows on either side "
+    "survive with NULL-padded partners) — completes the join-type "
+    "surface with inner/left/semi/anti/non-equi/asof/range.  Both "
+    "inputs pre-aggregate to key grain before the join, so the full "
+    "outer runs on two tiny keyed frames, not facts",
+)
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    c = (
+        cat.table("customer")
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        cat.table("supplier")
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, c.c_nk == s.s_nk, "full_outer")
+        .select(
+            F.coalesce("c_nk", "s_nk").cast("int").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+            F.col("c_nk").isNull().cast("int").alias("supp_only"),
+            F.col("s_nk").isNull().cast("int").alias("cust_only"),
+        )
+        .orderBy("nationkey")
+    )
+
+
 QUERIES = list(_Q)
