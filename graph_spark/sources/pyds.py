@@ -80,3 +80,87 @@ class SyntheticEventsDataSource(DataSource):
 
 def register(spark) -> None:
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+# ---- writer side: transactional JSON-lines sink -----------------------
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    staged: str
+
+
+class _JsonlDirWriter(DataSourceWriter):
+    """Each task writes its partition to a uniquely-named staging file;
+    the driver's commit() publishes exactly the files named in the
+    commit messages (rename into place + manifest) and abort() discards
+    staging.  This is the two-phase commit protocol every exactly-once
+    Spark sink uses: task retries stage duplicate files, but only the
+    attempt whose message reaches commit() is published."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_dir sink requires .option('path', ...) or save(path)")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        name = os.path.join(staging, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(name, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _StagedFile(staged=name)
+
+    def commit(self, messages):
+        import os
+        import shutil
+
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith(".jsonl"):
+                    os.remove(os.path.join(self.path, f))
+        published = []
+        for m in messages:
+            dst = os.path.join(self.path, os.path.basename(m.staged))
+            shutil.move(m.staged, dst)
+            published.append(os.path.basename(dst))
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write("\n".join(published))
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+
+class JsonlDirDataSource(DataSource):
+    """df.write.format("jsonl_dir").mode(...).save(path) after
+    registration — the write-side pattern for wiring any
+    Python-reachable sink in with exactly-once publish semantics."""
+
+    @classmethod
+    def name(cls):
+        return "jsonl_dir"
+
+    def schema(self):
+        return _SCHEMA
+
+    def writer(self, schema, overwrite):
+        return _JsonlDirWriter(self.options, overwrite)
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(JsonlDirDataSource)

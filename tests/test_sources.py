@@ -182,3 +182,44 @@ def test_python_datasource_deterministic_and_partitioned(spark):
     # the source composes with ordinary engine ops
     agg = df.groupBy("event_type").count()
     assert agg.count() >= 2
+
+
+def test_python_datasource_sink_roundtrip(spark, tmp_path):
+    """jsonl_dir writer: staged files publish on commit with a manifest;
+    row content round-trips through spark.read.json; overwrite replaces."""
+    import json
+    import os
+
+    from graph_spark.catalog import Catalog
+    from graph_spark.sources.pyds import register_sink
+
+    from .conftest import SF_SMOKE
+
+    register_sink(spark)
+    out = str(tmp_path / "sink_out")
+    ev = Catalog(spark, SF_SMOKE).table("events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    ev.write.format("jsonl_dir").mode("append").option("path", out).save()
+
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(out, "_staging"))
+    files = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    manifest = open(os.path.join(out, "_SUCCESS")).read().splitlines()
+    assert sorted(files) == sorted(manifest)
+
+    rows = []
+    for f in files:
+        with open(os.path.join(out, f)) as fh:
+            rows += [json.loads(line) for line in fh]
+    assert len(rows) == ev.count()
+    want = {r["event_id"]: r["value"] for r in ev.collect()}
+    got = {r["event_id"]: r["value"] for r in rows}
+    assert got == want
+
+    # overwrite mode replaces prior jsonl files
+    small = ev.limit(10).coalesce(1)
+    small.write.format("jsonl_dir").mode("overwrite").option("path", out).save()
+    files2 = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    n2 = sum(1 for f in files2 for _ in open(os.path.join(out, f)))
+    assert n2 == 10
