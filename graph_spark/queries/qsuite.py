@@ -2124,4 +2124,66 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q58_grouped_ols",
+    """SELECT o_custkey,
+       round(regr_slope(o_totalprice,
+             date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)), 4) AS slope,
+       round(regr_intercept(o_totalprice,
+             date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)), 2) AS icept,
+       count(*) AS n
+       FROM orders WHERE o_custkey < 100
+       GROUP BY 1 HAVING count(*) >= 3 ORDER BY 1""",
+    note="grouped-map pandas UDF (applyInPandas) fitting a per-customer "
+    "spend trend — the custom-UDAF surface of §2.G pushed through the "
+    "oracle gate: the numpy closed-form least squares must equal "
+    "DuckDB's regr_slope/regr_intercept.  Arrow-batched per group, one "
+    "shuffle on the grouping key; the slow path is justified here "
+    "because the per-group logic (arbitrary model fit) is the point",
+)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    o = (
+        Catalog(spark, sf_dir)
+        .table("orders")
+        .filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+            ).alias("x"),
+            F.col("o_totalprice").alias("y"),
+        )
+    )
+
+    def fit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 3:
+            return pd.DataFrame(
+                {"o_custkey": [], "slope": [], "icept": [], "n": []}
+            ).astype({"o_custkey": "int64", "slope": "f8", "icept": "f8", "n": "int64"})
+        x = pdf["x"].to_numpy("float64")
+        y = pdf["y"].to_numpy("float64")
+        mx, my = x.mean(), y.mean()
+        var = ((x - mx) ** 2).sum()
+        slope = ((x - mx) * (y - my)).sum() / var
+        icept = my - slope * mx
+        return pd.DataFrame(
+            {
+                "o_custkey": [key[0]],
+                "slope": [float(np.round(slope, 4))],
+                "icept": [float(np.round(icept, 2))],
+                "n": [len(pdf)],
+            }
+        )
+
+    return (
+        o.groupBy("o_custkey")
+        .applyInPandas(fit, "o_custkey long, slope double, icept double, n long")
+        .orderBy("o_custkey")
+    )
+
+
 QUERIES = list(_Q)
