@@ -1045,4 +1045,42 @@ def l31(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l32_pack_efficiency",
+    """WITH toks AS (SELECT doc_id, lang,
+       length(text) - length(replace(text,' ','')) + 1 AS n_tok FROM documents),
+       packed AS (SELECT lang, n_tok,
+       CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) - 1)
+            / 512) AS BIGINT) AS pack_id FROM toks),
+       packs AS (SELECT lang, pack_id, sum(n_tok) AS tok FROM packed GROUP BY 1,2)
+       SELECT lang, count(*) AS n_packs,
+       round(avg(tok/512.0), 4) AS avg_fill,
+       CAST(min(tok) AS BIGINT) AS min_tok, CAST(max(tok) AS BIGINT) AS max_tok
+       FROM packs GROUP BY 1 ORDER BY 1""",
+    note="packing-efficiency audit over l28's packs: average fill rate "
+    "against the 512-token budget plus min/max pack sizes per language "
+    "— the waste metric that decides whether to re-order or split "
+    "documents before packing",
+)
+def l32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import pack_sequences
+
+    d = Catalog(spark, sf_dir).table("documents")
+    packs = (
+        pack_sequences(d, budget=512)
+        .groupBy("lang", "pack_id")
+        .agg(F.sum("n_tok").alias("tok"))
+    )
+    return (
+        packs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_packs"),
+            F.round(F.avg(F.col("tok") / 512.0), 4).alias("avg_fill"),
+            F.min("tok").cast("long").alias("min_tok"),
+            F.max("tok").cast("long").alias("max_tok"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = list(_L)

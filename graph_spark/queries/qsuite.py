@@ -2186,4 +2186,36 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "t24_interarrival_quantiles",
+    """WITH seq AS (SELECT event_type,
+       date_diff('microsecond',
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_us
+       FROM events)
+       SELECT event_type,
+       CAST(round(quantile_cont(gap_us, 0.5), 0) AS BIGINT) AS p50_us,
+       CAST(round(quantile_cont(gap_us, 0.9), 0) AS BIGINT) AS p90_us,
+       count(*) AS n
+       FROM seq WHERE gap_us IS NOT NULL GROUP BY 1 ORDER BY 1""",
+    note="inter-arrival-time quantiles per event type (the latency/"
+    "cadence distribution read): lag() gives per-user gaps in one "
+    "window pass, then one exact-quantile aggregate; µs integers until "
+    "the final interpolated quantile",
+)
+def t24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    seq = ev.withColumn("gap_us", gap).filter(F.col("gap_us").isNotNull())
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("gap_us", F.lit(0.5)), 0).cast("long").alias("p50_us"),
+            F.round(F.percentile("gap_us", F.lit(0.9)), 0).cast("long").alias("p90_us"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = list(_Q)
