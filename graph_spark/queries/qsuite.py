@@ -2218,4 +2218,51 @@ def t24(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q59_union_by_name",
+    """WITH u AS (
+       SELECT c_custkey AS id, c_name AS name, c_nationkey::INT AS nationkey,
+              round(c_acctbal, 2) AS acctbal, c_mktsegment AS segment
+       FROM customer WHERE c_custkey < 20
+       UNION ALL BY NAME
+       SELECT s_suppkey AS id, round(s_acctbal, 2) AS acctbal,
+              s_nationkey::INT AS nationkey, s_name AS name
+       FROM supplier WHERE s_suppkey < 20)
+       SELECT id, name, nationkey, acctbal, coalesce(segment, '<none>') AS segment
+       FROM u ORDER BY name""",
+    note="schema-evolution-friendly union: columns align by NAME (not "
+    "position) and missing columns NULL-fill — Spark "
+    "unionByName(allowMissingColumns=True) == DuckDB UNION ALL BY NAME; "
+    "the shape every multi-source ingest hits when feeds drift",
+)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    c = (
+        cat.table("customer")
+        .filter(F.col("c_custkey") < 20)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_name").alias("name"),
+            F.col("c_nationkey").cast("int").alias("nationkey"),
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    s = (
+        cat.table("supplier")
+        .filter(F.col("s_suppkey") < 20)
+        .select(
+            F.col("s_suppkey").alias("id"),
+            F.round("s_acctbal", 2).alias("acctbal"),
+            F.col("s_nationkey").cast("int").alias("nationkey"),
+            F.col("s_name").alias("name"),
+        )
+    )
+    u = c.unionByName(s, allowMissingColumns=True)
+    return u.select(
+        "id", "name", "nationkey", "acctbal",
+        F.coalesce("segment", F.lit("<none>")).alias("segment"),
+    ).orderBy("name")
+
+
 QUERIES = list(_Q)
