@@ -1185,4 +1185,33 @@ def g34(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(g, "c1", 3).select("node", F.col("d").cast("int")).orderBy("node")
 
 
+@_g(
+    "g35_graph_summary",
+    f"""WITH {GRAPH_CTES},
+       deg AS (SELECT src, count(*) AS d FROM graph_edges GROUP BY 1)
+       SELECT (SELECT count(*) FROM graph_nodes) AS nv,
+       (SELECT count(*) FROM graph_edges) AS ne,
+       round((SELECT count(*) FROM graph_edges)*1.0 /
+         ((SELECT count(*) FROM graph_nodes)
+          *((SELECT count(*) FROM graph_nodes)-1)), 6) AS density,
+       round((SELECT avg(d) FROM deg), 4) AS avg_out_deg,
+       (SELECT max(d) FROM deg)::BIGINT AS max_out_deg""",
+    note="one-row graph profile (|V|, |E|, density, degree stats) — the "
+    "graph.info() read that drives every planning decision (broadcast "
+    "vs shuffle, local-kernel routing, skew salting).  Three tiny "
+    "aggregates over the cached edge view; no join touches fact rows",
+)
+def g35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    nv = c.graph_nodes().count()
+    deg = c.graph_edges().groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    return deg.agg(
+        F.lit(nv).cast("long").alias("nv"),
+        F.sum("d").cast("long").alias("ne"),
+        F.round(F.sum("d") * 1.0 / (nv * (nv - 1)), 6).alias("density"),
+        F.round(F.avg("d"), 4).alias("avg_out_deg"),
+        F.max("d").cast("long").alias("max_out_deg"),
+    )
+
+
 QUERIES = list(_G)

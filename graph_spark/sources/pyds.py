@@ -164,3 +164,76 @@ class JsonlDirDataSource(DataSource):
 
 def register_sink(spark) -> None:
     spark.dataSource.register(JsonlDirDataSource)
+
+
+# ---- streaming side: micro-batched synthetic stream -------------------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+
+class _SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked streaming source in pure Python: each micro-batch
+    advances the event_id watermark by `rows_per_batch`; rows are the
+    same pure function of (seed, event_id) as the batch reader, so
+    `readBetweenOffsets` (replay after restart) regenerates identical
+    data — the determinism the streaming commit log requires."""
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.max_rows = int(options.get("max_rows", 1000))
+        self.seed = int(options.get("seed", 7))
+        self.n_users = int(options.get("n_users", 50))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def _rows(self, lo: int, hi: int):
+        import datetime
+
+        for eid in range(lo, hi):
+            h = _mix(self.seed * 0x5851F42D4C957F2D + eid)
+            ts = datetime.datetime.fromtimestamp(
+                _BASE_EPOCH + (h & 0x3FFFFF), tz=datetime.timezone.utc
+            ).replace(tzinfo=None)
+            yield (
+                eid,
+                ts,
+                (h >> 22) % self.n_users,
+                _TYPES[(h >> 40) % len(_TYPES)],
+                round(((h >> 8) % 10_000) / 100.0, 2),
+                '{"k": %d}' % ((h >> 16) % 100),
+            )
+
+    def read(self, start: dict):
+        lo = start["next"]
+        hi = min(lo + self.rows_per_batch, self.max_rows)
+        # iter(list), not a generator: the prefetch cache both pickles
+        # this object (generators can't) and calls next() on it when the
+        # offset stops advancing (plain lists can't)
+        return iter(list(self._rows(lo, hi))), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(list(self._rows(start["next"], end["next"])))
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: data is a pure function of offsets
+
+
+class SyntheticEventsStreamDataSource(DataSource):
+    """spark.readStream.format("synthetic_events_stream") — the pure-
+    Python streaming-source pattern (offset log + deterministic replay)
+    for wiring any Python-reachable feed in as a Structured Stream."""
+
+    @classmethod
+    def name(cls):
+        return "synthetic_events_stream"
+
+    def schema(self):
+        return _SCHEMA
+
+    def simpleStreamReader(self, schema):
+        return _SyntheticEventsStreamReader(self.options)
+
+
+def register_stream(spark) -> None:
+    spark.dataSource.register(SyntheticEventsStreamDataSource)

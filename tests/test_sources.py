@@ -223,3 +223,43 @@ def test_python_datasource_sink_roundtrip(spark, tmp_path):
     files2 = [f for f in os.listdir(out) if f.endswith(".jsonl")]
     n2 = sum(1 for f in files2 for _ in open(os.path.join(out, f)))
     assert n2 == 10
+
+
+def test_python_datasource_stream_reader(spark, tmp_path):
+    """Streaming Python DataSource: micro-batches advance the offset,
+    total rows hit max_rows, and the streamed rows equal the batch
+    reader's rows for the same seed (deterministic replay contract)."""
+    from graph_spark.sources.pyds import register, register_stream
+
+    register(spark)
+    register_stream(spark)
+    src = (
+        spark.readStream.format("synthetic_events_stream")
+        .option("rows_per_batch", 100)
+        .option("max_rows", 500)
+        .option("seed", 11)
+        .load()
+    )
+    name = "pyds_stream_sink"
+    q = (
+        src.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = spark.table(name)
+    assert streamed.count() == 500
+    batch = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 500)
+        .option("seed", 11)
+        .load()
+    )
+    s_rows = sorted(tuple(r) for r in streamed.collect())
+    b_rows = sorted(tuple(r) for r in batch.collect())
+    assert s_rows == b_rows
