@@ -2265,4 +2265,71 @@ def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("name")
 
 
+@_q(
+    "q60_array_set_ops",
+    """WITH segs AS (SELECT c_nationkey::INT AS nk,
+       list_sort(list(DISTINCT c_mktsegment)) AS s FROM customer GROUP BY 1)
+       SELECT nk, array_to_string(s, ',') AS have,
+       coalesce(array_to_string(list_filter(
+         ['AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY'],
+         x -> NOT list_contains(s, x)), ','), '') AS missing,
+       CAST(length(list_intersect(s, ['BUILDING','MACHINERY'])) AS INT) AS n_common
+       FROM segs ORDER BY nk""",
+    note="array set algebra (intersect / except / contains) over "
+    "collected per-group sets — the coverage-gap read ('which segments "
+    "does each nation lack').  Arrays render via concat_ws because raw "
+    "array formatting differs across engines; the except keeps the "
+    "sorted literal's order on both sides",
+)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cst = Catalog(spark, sf_dir).table("customer")
+    all5 = F.array(*[F.lit(x) for x in
+                     ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]])
+    segs = cst.groupBy(F.col("c_nationkey").cast("int").alias("nk")).agg(
+        F.sort_array(F.collect_set("c_mktsegment")).alias("s")
+    )
+    return segs.select(
+        "nk",
+        F.concat_ws(",", F.col("s")).alias("have"),
+        F.concat_ws(",", F.array_except(all5, F.col("s"))).alias("missing"),
+        F.size(F.array_intersect(F.col("s"), F.array(F.lit("BUILDING"), F.lit("MACHINERY"))))
+        .cast("int")
+        .alias("n_common"),
+    ).orderBy("nk")
+
+
+@_q(
+    "t25_robust_stats",
+    """WITH med AS (SELECT o_orderpriority, median(o_totalprice) AS m
+                   FROM orders GROUP BY 1)
+       SELECT o.o_orderpriority, round(m.m, 4) AS med,
+       round(median(abs(o.o_totalprice - m.m)), 4) AS mad, count(*) AS n
+       FROM orders o JOIN med m ON o.o_orderpriority=m.o_orderpriority
+       GROUP BY 1, m.m ORDER BY 1""",
+    note="robust location/scale stats: median + median-absolute-"
+    "deviation per group (outlier-resistant where mean/stddev are not) "
+    "— two aggregate passes with a broadcast join of the tiny median "
+    "table between them; the nested-median structure cannot fuse into "
+    "one pass by construction",
+)
+def t25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    med = o.groupBy("o_orderpriority").agg(F.median("o_totalprice").alias("m"))
+    return (
+        o.join(F.broadcast(med), "o_orderpriority")
+        .groupBy("o_orderpriority", "m")
+        .agg(
+            F.round(F.median(F.abs(F.col("o_totalprice") - F.col("m"))), 4).alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "o_orderpriority",
+            F.round("m", 4).alias("med"),
+            "mad",
+            "n",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 QUERIES = list(_Q)
