@@ -2332,4 +2332,29 @@ def t25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q61_json_roundtrip",
+    """SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k,
+       to_json(struct_pack(k := CAST(json_extract_string(props, '$.k') AS INT),
+                           et := event_type))::VARCHAR AS rebuilt
+       FROM events ORDER BY 1""",
+    note="JSON parse -> typed struct -> re-serialize roundtrip "
+    "(get_json_object + to_json(struct) == json_extract_string + "
+    "to_json(struct_pack)): both engines emit identical compact JSON, "
+    "so enrichment pipelines that rewrite payloads are hash-checkable; "
+    "all codegen expressions, no UDF",
+)
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        F.to_json(F.struct(k.alias("k"), F.col("event_type").alias("et"))).alias(
+            "rebuilt"
+        ),
+    ).orderBy("event_id")
+
+
 QUERIES = list(_Q)
