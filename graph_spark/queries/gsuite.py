@@ -1214,4 +1214,51 @@ def g35(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g36_cosine_node_similarity",
+    f"""WITH {GRAPH_CTES},
+       norms AS (SELECT dst, sqrt(sum(weight*weight)) AS nrm
+                 FROM graph_edges GROUP BY 1),
+       pairs AS (SELECT a.dst AS s1, b.dst AS s2,
+                 sum(a.weight*b.weight) AS dot, count(*) AS n_shared
+                 FROM graph_edges a JOIN graph_edges b
+                 ON a.src=b.src AND a.dst<b.dst GROUP BY 1,2)
+       SELECT p.s1, p.s2, p.n_shared, round(p.dot/(na.nrm*nb.nrm), 4) AS cos_sim
+       FROM pairs p JOIN norms na ON na.dst=p.s1 JOIN norms nb ON nb.dst=p.s2
+       WHERE p.n_shared >= 3 ORDER BY 1,2""",
+    note="weighted cosine node similarity (g23's Jaccard with revenue "
+    "weights — GDS nodeSimilarity's cosine mode): suppliers as sparse "
+    "customer-weight vectors, dot products via the inverted-index "
+    "self-join on the shared-customer key, norms broadcast back; 4dp rounding because 150-term money dot products drift past 6dp.  "
+    "Never a dense pairwise matrix; cost bounded by per-customer "
+    "supplier fan-out",
+)
+def g36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ge = Catalog(spark, sf_dir).graph_edges().select("src", "dst", "weight")
+    norms = ge.groupBy("dst").agg(F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("nrm"))
+    a = ge.select(F.col("src").alias("cu"), F.col("dst").alias("s1"), F.col("weight").alias("wa"))
+    b = ge.select(F.col("src").alias("cu"), F.col("dst").alias("s2"), F.col("weight").alias("wb"))
+    pairs = (
+        a.join(b, "cu")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(
+            F.sum(F.col("wa") * F.col("wb")).alias("dot"),
+            F.count(F.lit(1)).alias("n_shared"),
+        )
+        .filter(F.col("n_shared") >= 3)
+    )
+    na = norms.select(F.col("dst").alias("s1"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("dst").alias("s2"), F.col("nrm").alias("nb"))
+    return (
+        pairs.join(F.broadcast(na), "s1")
+        .join(F.broadcast(nb), "s2")
+        .select(
+            "s1", "s2", "n_shared",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4).alias("cos_sim"),
+        )
+        .orderBy("s1", "s2")
+    )
+
+
 QUERIES = list(_G)

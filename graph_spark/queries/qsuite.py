@@ -2357,4 +2357,40 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+@_q(
+    "q62_cross_join_matrix",
+    """WITH combos AS (SELECT r_name, seg FROM region
+       CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer) s),
+       cnt AS (SELECT r_name, c_mktsegment AS seg, count(*) AS n
+               FROM customer JOIN nation ON c_nationkey=n_nationkey
+               JOIN region ON n_regionkey=r_regionkey GROUP BY 1,2)
+       SELECT combos.r_name, combos.seg, coalesce(cnt.n, 0) AS n_cust
+       FROM combos LEFT JOIN cnt ON combos.r_name=cnt.r_name
+         AND combos.seg=cnt.seg
+       ORDER BY 1,2""",
+    note="explicit CROSS JOIN building the dense (region x segment) "
+    "coverage matrix, zero-filled via left join — the report-spine "
+    "shape.  Cartesian products are legal ONLY between tiny dimension "
+    "sets like this; the facts pre-aggregate before touching the spine",
+)
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    segs = cat.table("customer").select(
+        F.col("c_mktsegment").alias("seg")
+    ).distinct()
+    combos = cat.table("region").select("r_name").crossJoin(segs)
+    cnt = (
+        cat.table("customer")
+        .join(F.broadcast(cat.table("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(cat.table("region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", F.col("c_mktsegment").alias("seg"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        combos.join(cnt, ["r_name", "seg"], "left")
+        .select("r_name", "seg", F.coalesce("n", F.lit(0)).alias("n_cust"))
+        .orderBy("r_name", "seg")
+    )
+
+
 QUERIES = list(_Q)
