@@ -35,9 +35,16 @@ def asof_join(
     broadcast of a fact table, no range crossJoin.  Ties (right.ts ==
     left.ts) count as matches: right rows sort before left rows at equal
     timestamps via the side tag.
+
+    direction="forward" flips the read: the EARLIEST right row with
+    ``right.ts > left.ts`` (strictly after — the next-event semantics).
+    Same single shuffle; only the window frame and the null-skipping
+    edge (first vs last) change.  At equal timestamps the right row
+    sorts before the left row, so the forward frame starting at the
+    left row correctly excludes equal-ts matches.
     """
-    if direction != "backward":
-        raise NotImplementedError("only backward as-of implemented")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward or forward, got {direction!r}")
     value_cols = list(value_cols or [c for c in right.columns if c not in (*on, right_ts)])
 
     lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
@@ -53,14 +60,16 @@ def asof_join(
         rt.select(*keep), allowMissingColumns=True
     )
 
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    out = unioned.withColumn("__m_ts", F.last("__r_ts", ignorenulls=True).over(w))
+    base = Window.partitionBy(*on).orderBy(F.col("__ts").asc(), F.col("__side").asc())
+    if direction == "backward":
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+    out = unioned.withColumn("__m_ts", pick("__r_ts"))
     for c in value_cols:
-        out = out.withColumn(f"__m_{c}", F.last(f"__v_{c}", ignorenulls=True).over(w))
+        out = out.withColumn(f"__m_{c}", pick(f"__v_{c}"))
 
     out = out.filter(F.col("__side") == 1)
     result = out.select(

@@ -2393,4 +2393,26 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "t26_asof_forward",
+    f"""SELECT p.event_id,
+       strftime(min(c.ts), '{TS_FMT_DUCK}') AS next_click
+       FROM events p LEFT JOIN events c
+       ON c.user_id=p.user_id AND c.event_type='click' AND c.ts > p.ts
+       WHERE p.event_type='purchase' GROUP BY 1 ORDER BY 1""",
+    note="forward as-of join: per purchase, the user's NEXT click "
+    "strictly after it (time-to-next-action) — q10's mirror through "
+    "the same single-shuffle tag-and-union operator, with the window "
+    "frame flipped to currentRow..following and first(ignorenulls)",
+)
+def t26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    c = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(p, c, ["user_id"], "ts", "ts", value_cols=[], direction="forward")
+    return joined.select(
+        "event_id", ts_str(F.col("asof_ts")).alias("next_click")
+    ).orderBy("event_id")
+
+
 QUERIES = list(_Q)
