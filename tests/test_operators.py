@@ -49,6 +49,68 @@ def test_asof_join_tie_and_miss(spark):
     assert res["p2"] == (None, None)
 
 
+def test_asof_forward_strict_and_miss(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "p1"), (1, _ts("2024-01-01T12:00:00"), "p2"),
+         (2, _ts("2024-01-01T10:00:00"), "p3")],
+        ["uid", "ts", "pid"],
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), 100.0), (1, _ts("2024-01-01T11:00:00"), 50.0)],
+        ["uid", "ts", "val"],
+    )
+    res = {
+        r["pid"]: (r["asof_ts"], r["asof_val"])
+        for r in asof_join(
+            left, right, ["uid"], "ts", "ts", ["val"], direction="forward"
+        ).collect()
+    }
+    # strict: the right row at exactly left.ts does NOT match; next one does
+    assert res["p1"] == (_ts("2024-01-01T11:00:00"), 50.0)
+    # nothing after the last left row -> NULLs, row preserved
+    assert res["p2"] == (None, None)
+    assert res["p3"] == (None, None)
+
+
+def test_asof_forward_backward_random_reference(spark):
+    """Both directions against a brute-force python reference on random
+    integer-timestamp data (seeded)."""
+    import datetime as _dt
+    import random
+
+    rng = random.Random(17)
+    base = _ts("2024-01-01T00:00:00")
+    mk = lambda s: base + _dt.timedelta(seconds=s)
+    lrows = [(rng.randrange(4), mk(rng.randrange(1000)), i) for i in range(60)]
+    rrows = [(rng.randrange(4), mk(rng.randrange(1000)), float(i)) for i in range(60)]
+    left = spark.createDataFrame(lrows, ["uid", "ts", "pid"])
+    right = spark.createDataFrame(rrows, ["uid", "ts", "val"])
+
+    def ref(direction):
+        out = {}
+        for uid, lts, pid in lrows:
+            cands = [(rts, v) for (ruid, rts, v) in rrows if ruid == uid and (
+                rts <= lts if direction == "backward" else rts > lts)]
+            if not cands:
+                out[pid] = (None, None)
+            elif direction == "backward":
+                out[pid] = max(cands, key=lambda c: (c[0], c[1]))
+            else:
+                out[pid] = min(cands, key=lambda c: (c[0], -c[1]))
+        return out
+
+    for direction in ("backward", "forward"):
+        got = {
+            r["pid"]: (r["asof_ts"], r["asof_val"])
+            for r in asof_join(
+                left, right, ["uid"], "ts", "ts", ["val"], direction=direction
+            ).collect()
+        }
+        want = ref(direction)
+        for pid, (wts, _) in want.items():
+            assert got[pid][0] == wts, (direction, pid, got[pid], want[pid])
+
+
 def test_sessionize_boundary_exact_gap(spark):
     base = _ts("2024-01-01T00:00:00")
     rows = [
