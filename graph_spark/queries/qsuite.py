@@ -2415,4 +2415,60 @@ def t26(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+@_q(
+    "t27_yoy_growth",
+    """WITH yr AS (SELECT r_name, year(o_orderdate)::INT AS y,
+       round(sum(o_totalprice), 2) AS rev
+       FROM orders JOIN customer ON o_custkey=c_custkey
+       JOIN nation ON c_nationkey=n_nationkey
+       JOIN region ON n_regionkey=r_regionkey GROUP BY 1,2)
+       SELECT r_name, y, rev,
+       round(100.0 * (rev - lag(rev) OVER (PARTITION BY r_name ORDER BY y))
+             / lag(rev) OVER (PARTITION BY r_name ORDER BY y), 2) AS yoy_pct
+       FROM yr ORDER BY 1,2""",
+    note="year-over-year growth per region: aggregate to the (region, "
+    "year) series first, then one lag window over the tiny series — "
+    "the period-comparison read.  yoy is computed from the ROUNDED "
+    "series so the window input is already cross-engine-stable",
+)
+def t27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    yr = (
+        c.table("orders")
+        .join(F.broadcast(c.table("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c.table("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(c.table("region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", F.year("o_orderdate").cast("int").alias("y"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    w = Window.partitionBy("r_name").orderBy("y")
+    prev = F.lag("rev").over(w)
+    return yr.select(
+        "r_name", "y", "rev",
+        F.round(100.0 * (F.col("rev") - prev) / prev, 2).alias("yoy_pct"),
+    ).orderBy("r_name", "y")
+
+
+@_q(
+    "q63_scalar_subquery",
+    """SELECT o_orderpriority, round(avg(o_totalprice), 2) AS grp_avg,
+       round(avg(o_totalprice) / (SELECT avg(o_totalprice) FROM orders), 4)
+         AS ratio
+       FROM orders GROUP BY 1 ORDER BY 1""",
+    note="UNcorrelated scalar subquery (q26 covers the correlated kind): "
+    "the ratio-to-overall read.  Catalyst executes the subquery once "
+    "and broadcasts the scalar into the aggregate projection — no "
+    "re-evaluation per row, no join",
+)
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    o.createOrReplaceTempView("q63_orders")
+    return spark.sql(
+        """SELECT o_orderpriority, round(avg(o_totalprice), 2) AS grp_avg,
+                  round(avg(o_totalprice) / (SELECT avg(o_totalprice) FROM q63_orders), 4)
+                    AS ratio
+           FROM q63_orders GROUP BY 1 ORDER BY 1"""
+    )
+
+
 QUERIES = list(_Q)
