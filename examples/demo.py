@@ -95,6 +95,21 @@ def main() -> None:
     print("== multimodal: overlapping byte-window chunking (STFT shape) ==")
     eng.window_chunks(eng.to_media(docs), window_bytes=64, hop=32).show(5)
 
+    print("== temporal store: point/interval writes, reads at t ==")
+    pts = eng.table("orders").select(
+        F.col("o_custkey").alias("entity_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_totalprice").alias("value"),
+    )
+    store = eng.temporal_store().write_points(pts, prop="order_value")
+    store.value_at(F.lit("1997-01-01").cast("timestamp"), "order_value").show(5)
+
+    print("== traversal API: snapshot + time-respecting ==")
+    eng.traverse("c1").max_hops(2).at_time(
+        F.lit("1996-06-01").cast("timestamp")
+    ).run().show(5)
+    eng.traverse("c1").max_hops(2).time_respecting().run().show(5)
+
     print("== UDF surface: SQL-registered python functions ==")
     eng.register_udfs()
     eng.sql("SELECT doc_id, round(char_entropy(text),3) AS entropy FROM documents LIMIT 5").show()
