@@ -216,3 +216,31 @@ def test_l27_trigrams_no_join(spark):
     # an index relation (the oracle's bounded-series join is oracle-only)
     assert "Generate explode" in plan, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q53_broadcasts_percentile_bounds(spark):
+    from graph_spark.queries.qsuite import QUERIES
+
+    q53 = next(q for q in QUERIES if q.name == "q53_winsorize")
+    plan = _plan(q53.build(spark, SF_SMOKE))
+    # the per-group p05/p95 bounds table is tiny and must broadcast —
+    # a shuffle join here would re-shuffle the fact table
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_t23_broadcasts_day_spine(spark):
+    from graph_spark.queries.qsuite import QUERIES
+
+    t23 = next(q for q in QUERIES if q.name == "t23_rolling_wau")
+    plan = _plan(t23.build(spark, SF_SMOKE))
+    # the one-row-per-day spine joins the user-day set via broadcast
+    # nested loop (range condition); a shuffled NL join would be wrong
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_g36_broadcasts_norms(spark):
+    from graph_spark.queries.gsuite import QUERIES
+
+    g36 = next(q for q in QUERIES if q.name == "g36_cosine_node_similarity")
+    plan = _plan(g36.build(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
