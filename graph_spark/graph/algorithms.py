@@ -1022,7 +1022,7 @@ def ktruss_peel(
 
 def earliest_arrival(
     edges_ts: DataFrame, source: str, max_hops: int = 3,
-    ts_col: str = "first_ts",
+    ts_col: str = "first_ts", duration_days_col: str | None = None,
 ) -> DataFrame:
     """Time-respecting earliest-arrival over a timestamped edge list
     (src, dst, ts): successive edges must not go back in time.  Runs a
@@ -1031,13 +1031,27 @@ def earliest_arrival(
     edges, so expanding only the per-node minimum preserves every
     reachable (node, min arrival).  Returns (node, arrival_ts).
 
+    duration_days_col (optional) makes the traversal TIME-DEPENDENT:
+    crossing an edge departing at `ts` lands at `ts + duration` days —
+    the road-network routing model (travel time per edge) the reference
+    system was built for.  Feasibility still compares the DEPARTURE
+    time against the current arrival, and arrival at the far end does
+    not depend on how early the walker reached the near end, so the
+    per-node-min expansion stays lossless.
+
     One broadcast join + one combine per hop; the frontier is |V|-sized
     while the timestamped edges stay stationary (the Pregel cost model).
     """
+    if duration_days_col is None:
+        arrive = F.col(ts_col)
+        e_arrive = F.col(f"e.{ts_col}")
+    else:
+        arrive = F.expr(f"timestampadd(DAY, {duration_days_col}, {ts_col})")
+        e_arrive = F.expr(f"timestampadd(DAY, e.{duration_days_col}, e.{ts_col})")
     frontier = (
         edges_ts.filter(F.col("src") == source)
         .groupBy(F.col("dst").alias("node"))
-        .agg(F.min(ts_col).alias("t"))
+        .agg(F.min(arrive).alias("t"))
         .localCheckpoint(eager=True)
     )
     found = [frontier]
@@ -1051,7 +1065,7 @@ def earliest_arrival(
                 & (F.col(f"e.{ts_col}") >= F.col("f.t")),
             )
             .groupBy(F.col("e.dst").alias("node"))
-            .agg(F.min(f"e.{ts_col}").alias("t"))
+            .agg(F.min(e_arrive).alias("t"))
             .localCheckpoint(eager=True)
         )
         found.append(frontier)

@@ -1261,4 +1261,41 @@ def g36(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g37_time_dependent_arrival",
+    f"""WITH {GRAPH_CTES},
+       et AS (SELECT src, dst, first_ts, n_items FROM graph_edges
+              UNION ALL SELECT dst, src, first_ts, n_items FROM graph_edges),
+       a1 AS (SELECT dst AS node, first_ts + n_items*INTERVAL 1 DAY AS t
+              FROM et WHERE src='c1'),
+       a2 AS (SELECT e.dst AS node, e.first_ts + e.n_items*INTERVAL 1 DAY AS t
+              FROM a1 JOIN et e ON e.src=a1.node AND e.first_ts >= a1.t),
+       a3 AS (SELECT e.dst AS node, e.first_ts + e.n_items*INTERVAL 1 DAY AS t
+              FROM a2 JOIN et e ON e.src=a2.node AND e.first_ts >= a2.t),
+       allp AS (SELECT node, t FROM a1 UNION ALL SELECT node, t FROM a2
+                UNION ALL SELECT node, t FROM a3)
+       SELECT node, strftime(min(t), '%Y-%m-%d %H:%M:%S.%f') AS arrival
+       FROM allp GROUP BY 1 ORDER BY 1""",
+    note="TIME-DEPENDENT earliest arrival (<=3 hops from c1): crossing "
+    "an edge departing at first_ts takes n_items days — the "
+    "travel-time-per-edge routing model of the reference's road-network "
+    "workload (g12 is the zero-duration special case).  Same lossless "
+    "min-frontier loop: feasibility compares departures, and far-end "
+    "arrival is independent of near-end arrival",
+)
+def g37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import earliest_arrival
+    from .common import ts_str
+
+    ge = Catalog(spark, sf_dir).graph_edges().select("src", "dst", "first_ts", "n_items")
+    et = ge.unionAll(
+        ge.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"),
+            F.col("first_ts"), F.col("n_items"),
+        )
+    )
+    arr = earliest_arrival(et, "c1", max_hops=3, duration_days_col="n_items")
+    return arr.select("node", ts_str(F.col("arrival_ts")).alias("arrival")).orderBy("node")
+
+
 QUERIES = list(_G)
