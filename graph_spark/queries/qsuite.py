@@ -2471,4 +2471,39 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q64_map_aggregation",
+    """WITH cnt AS (SELECT c_nationkey::INT AS nk, c_mktsegment AS seg,
+       count(*) AS n FROM customer GROUP BY 1,2),
+       m AS (SELECT nk, map_from_entries(list_sort(list(row(seg, n)))) AS mm
+             FROM cnt GROUP BY 1)
+       SELECT nk,
+       coalesce(mm['BUILDING'][1], 0) AS n_building,
+       coalesce(mm['MACHINERY'][1], 0) AS n_machinery,
+       CAST(cardinality(mm) AS BIGINT) AS n_segs
+       FROM m ORDER BY nk""",
+    note="aggregate INTO a map (map_from_entries over collected sorted "
+    "entries) then key lookups with absent-key defaulting — the "
+    "pivot-to-property-bag shape a schema-free store serves; entries "
+    "sorted before map build so construction order is deterministic",
+)
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cst = Catalog(spark, sf_dir).table("customer")
+    cnt = cst.groupBy(
+        F.col("c_nationkey").cast("int").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = cnt.groupBy("nk").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("seg", "n")))
+        ).alias("mm")
+    )
+    return m.select(
+        "nk",
+        F.coalesce(F.element_at("mm", F.lit("BUILDING")), F.lit(0)).alias("n_building"),
+        F.coalesce(F.element_at("mm", F.lit("MACHINERY")), F.lit(0)).alias("n_machinery"),
+        F.size("mm").cast("long").alias("n_segs"),
+    ).orderBy("nk")
+
+
 QUERIES = list(_Q)
