@@ -237,6 +237,13 @@ class Engine:
 
         return quality_features(df, text_col)
 
+    def fuzzy_match(self, df: DataFrame, col: str, max_distance: int = 2) -> DataFrame:
+        """Edit-distance near-match pairs over the column's DISTINCT
+        values via length-band blocking (recall exactly 1.0)."""
+        from .operators.dedup import fuzzy_match_pairs
+
+        return fuzzy_match_pairs(df, col, max_distance)
+
     def dedup_simhash(self, df: DataFrame, max_distance: int = 2, **kw) -> DataFrame:
         """SimHash near-dup pairs via LSH banding + exact hamming."""
         from .operators.dedup import simhash_hamming_pairs

@@ -210,3 +210,37 @@ def simhash_hamming_pairs(
         .agg(F.sum("hb").alias("hd"))
         .filter(F.col("hd") <= max_distance)
     )
+
+
+def fuzzy_match_pairs(
+    df: DataFrame, col: str, max_distance: int = 2, id_col: str | None = None
+) -> DataFrame:
+    """Edit-distance near-match pairs with length-band blocking: each
+    value emits candidate length buckets len-d..len+d, equi-joined
+    against the other side's actual length, then exact levenshtein
+    filters.  |len(a)-len(b)| <= d is NECESSARY for edit distance <= d,
+    so the blocking loses nothing — recall is exactly 1.0 while the
+    quadratic term shrinks to per-length-bucket cross products (the
+    entity-resolution candidate generator at vocabulary scale).
+
+    Returns (a, b, dist) with a < b canonical orientation over the
+    DISTINCT value set of `col`.
+    """
+    vals = df.select(F.col(col).alias("v")).distinct()
+    left = vals.select(
+        "v",
+        F.explode(
+            F.sequence(
+                F.length("v") - max_distance, F.length("v") + max_distance
+            )
+        ).alias("lb"),
+    )
+    right = vals.select(F.col("v").alias("w"), F.length("v").alias("lb"))
+    return (
+        left.join(right, "lb")
+        .filter(F.col("v") < F.col("w"))
+        .withColumn("dist", F.levenshtein("v", "w"))
+        .filter(F.col("dist") <= max_distance)
+        .select(F.col("v").alias("a"), F.col("w").alias("b"), F.col("dist").cast("int").alias("dist"))
+        .distinct()
+    )

@@ -416,3 +416,31 @@ def test_time_weighted_avg_matches_daily_expansion(spark):
     assert got.keys() == want.keys()
     for ent in want:
         assert abs(got[ent] - want[ent]) < 1e-4, ent
+
+
+def test_fuzzy_match_pairs_full_recall(spark):
+    """Length-band blocked fuzzy matcher must find EXACTLY the pairs a
+    brute-force pairwise levenshtein finds (recall == precision == 1)."""
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    from graph_spark.operators.dedup import fuzzy_match_pairs
+
+    words = ["spark", "spork", "sparkle", "shark", "park", "graph",
+             "graphs", "graf", "table", "cable", "stable", "sable", "x", "xy"]
+    df = spark.createDataFrame([(w,) for w in words], ["name"])
+    got = {(r["a"], r["b"]): r["dist"]
+           for r in fuzzy_match_pairs(df, "name", max_distance=2).collect()}
+    want = {}
+    for a, b in itertools.combinations(sorted(words), 2):
+        d = lev(a, b)
+        if d <= 2:
+            want[(a, b)] = d
+    assert got == want
