@@ -1298,4 +1298,38 @@ def g37(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arr.select("node", ts_str(F.col("arrival_ts")).alias("arrival")).orderBy("node")
 
 
+@_g(
+    "g38_copurchase_projection",
+    """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         FROM lineitem),
+       pp AS (SELECT a.pk AS p1, b.pk AS p2 FROM op a
+              JOIN op b ON a.ok = b.ok AND a.pk < b.pk)
+       SELECT p1, p2, count(*) AS n_orders FROM pp GROUP BY 1, 2
+       HAVING count(*) >= 2 ORDER BY 3 DESC, 1, 2 LIMIT 100""",
+    note="bipartite projection (order–part onto part–part): the "
+    "market-basket co-occurrence graph.  The self-join is quadratic in "
+    "basket size — safe here because TPC-H baskets are <=7 items; at "
+    "100 TB the guard is a per-basket size cap (filter baskets above "
+    "k items before the join) plus salting for viral baskets, and the "
+    "join shuffles once on the basket key which a bucketed-by-orderkey "
+    "layout makes shuffle-free.  Top-100 by support with a total "
+    "(n DESC, p1, p2) tie-break",
+)
+def g38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    op = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")).distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk"))).select(
+        F.col("a.pk").alias("p1"), F.col("b.pk").alias("p2")
+    )
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .orderBy(F.desc("n_orders"), "p1", "p2")
+        .limit(100)
+    )
+
+
 QUERIES = list(_G)

@@ -1083,4 +1083,58 @@ def l32(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+
+
+@_l(
+    "l33_char_entropy",
+    f"""WITH letters AS (SELECT unnest([{", ".join("'" + ch + "'" for ch in _LETTERS)}]) AS ch),
+       cnt AS (SELECT doc_id, lang, ch,
+         length(text) - length(replace(text, ch, '')) AS c
+         FROM documents CROSS JOIN letters),
+       tot AS (SELECT doc_id, sum(c) AS t FROM cnt GROUP BY 1),
+       ent AS (SELECT cnt.doc_id, cnt.lang,
+         round(-sum(CASE WHEN c > 0 THEN (c / t) * log2(c / t) ELSE 0 END), 4) AS h
+         FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id GROUP BY 1, 2)
+       SELECT lang, round(avg(h), 4) AS avg_entropy, count(*) AS n_docs
+       FROM ent GROUP BY 1 ORDER BY 1""",
+    note="per-document Shannon entropy over the letter distribution, "
+    "averaged per language — the gibberish / low-diversity filter a "
+    "pretraining pipeline runs.  Letter counts come from the "
+    "length-minus-replace trick so the whole thing stays in "
+    "whole-stage codegen (no explode of the text into characters, no "
+    "UDF); the 26-term entropy fold is a fixed-order F.aggregate over "
+    "a literal array, so summation order is deterministic.  Per-doc "
+    "work is embarrassingly parallel — no shuffle until the final "
+    "per-lang avg over one row per doc",
+)
+def l33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    letters = F.array(*[F.lit(ch) for ch in _LETTERS])
+    cnts = F.transform(
+        letters,
+        lambda ch: F.length("text") - F.length(F.replace(F.col("text"), ch, F.lit(""))),
+    )
+    d = d.withColumn("cnts", cnts).withColumn(
+        "t", F.aggregate("cnts", F.lit(0), lambda a, c: a + c).cast("double")
+    )
+    ent = F.round(
+        -F.aggregate(
+            F.filter("cnts", lambda c: c > 0),
+            F.lit(0.0),
+            lambda acc, c: acc + (c / F.col("t")) * F.log2(c / F.col("t")),
+        ),
+        4,
+    )
+    return (
+        d.select("lang", ent.alias("h"))
+        .groupBy("lang")
+        .agg(
+            F.round(F.avg("h"), 4).alias("avg_entropy"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = list(_L)

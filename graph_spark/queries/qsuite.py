@@ -2506,4 +2506,131 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("nk")
 
 
+@_q(
+    "q65_cumulative_distinct",
+    """WITH fs AS (SELECT event_type, user_id,
+         min(CAST(date_trunc('day', ts) AS DATE)) AS first_d
+         FROM events GROUP BY 1,2),
+       per AS (SELECT event_type, first_d AS d, count(*) AS new_users
+               FROM fs GROUP BY 1,2)
+       SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+         CAST(new_users AS BIGINT) AS new_users,
+         CAST(sum(new_users) OVER (PARTITION BY event_type ORDER BY d)
+              AS BIGINT) AS cum_users
+       FROM per ORDER BY 1, 2""",
+    note="cumulative COUNT(DISTINCT) over time without a distinct-over-"
+    "window (which neither engine runs distributed): reduce each user "
+    "to its FIRST-seen day, then a plain running sum over the tiny "
+    "(type, day) series.  At 100 TB the first-seen reduce is one "
+    "shuffle on (type, user) with map-side combine; the window runs "
+    "on ~type*days rows",
+)
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    fs = ev.groupBy("event_type", "user_id").agg(
+        F.min(F.to_date("ts")).alias("d")
+    )
+    per = fs.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    return per.select(
+        "event_type",
+        date_str(F.col("d")).alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    ).orderBy("event_type", "day")
+
+
+@_q(
+    "q66_leadtime_histogram",
+    """WITH lt AS (SELECT date_diff('day', CAST(o_orderdate AS DATE),
+         CAST(l_shipdate AS DATE)) AS dd
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+       SELECT CAST(floor(dd / 7.0) AS INT) AS wk_bucket,
+         count(*) AS n, CAST(min(dd) AS INT) AS min_dd,
+         CAST(max(dd) AS INT) AS max_dd
+       FROM lt GROUP BY 1 ORDER BY 1""",
+    note="order-to-ship lead-time histogram: day-delta bucketed into "
+    "weeks.  The fact-fact join shuffles once on orderkey (both sides "
+    "clustered on it in a bucketed layout); the histogram itself is a "
+    "map-side-combinable agg on a handful of buckets",
+)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    dd = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    return (
+        c.table("lineitem")
+        .join(c.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(dd.alias("dd"))
+        .groupBy(F.floor(F.col("dd") / 7.0).cast("int").alias("wk_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("dd").cast("int").alias("min_dd"),
+            F.max("dd").cast("int").alias("max_dd"),
+        )
+        .orderBy("wk_bucket")
+    )
+
+
+@_q(
+    "q67_mode_per_group",
+    """WITH cnt AS (SELECT p_brand, p_type, count(*) AS n
+         FROM part GROUP BY 1, 2),
+       r AS (SELECT *, row_number() OVER (PARTITION BY p_brand
+               ORDER BY n DESC, p_type) AS rk FROM cnt)
+       SELECT p_brand, p_type AS mode_type, n AS n_mode
+       FROM r WHERE rk = 1 ORDER BY 1""",
+    note="deterministic MODE(): neither engine's builtin mode() defines "
+    "tie order, so both sides spell it as count + row_number with an "
+    "explicit (n DESC, value ASC) tie-break.  Two shuffles, both on "
+    "low-cardinality brand keys; the window partition is tiny",
+)
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = Catalog(spark, sf_dir).table("part")
+    cnt = p.groupBy("p_brand", "p_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("p_brand").orderBy(F.desc("n"), F.asc("p_type"))
+    return (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("p_brand", F.col("p_type").alias("mode_type"), F.col("n").alias("n_mode"))
+        .orderBy("p_brand")
+    )
+
+
+@_q(
+    "t28_rolling_median",
+    """WITH d AS (SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+         floor(sum(o_totalprice) * 100 + 0.5) / 100 AS rev
+       FROM orders GROUP BY 1),
+       w AS (SELECT d, rev, list_sort(list(rev) OVER
+               (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+             FROM d)
+       SELECT strftime(d, '%Y-%m-%d') AS day, rev,
+         arr[CAST((len(arr) + 1) // 2 AS INT)] AS med7
+       FROM w ORDER BY 1""",
+    note="7-row rolling MEDIAN of daily revenue.  Exact medians over "
+    "sliding frames aren't a distributed builtin in either engine, so "
+    "both sides collect the (bounded, 7-element) frame and pick the "
+    "LOWER median element — no interpolation, so no float-half rounding "
+    "hazard.  The window input is the pre-aggregated daily series "
+    "(~days rows), never the raw fact table; rev uses the "
+    "floor(x*100+0.5)/100 money-rounding convention",
+)
+def t28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        (F.floor(F.sum("o_totalprice") * 100 + 0.5) / 100).alias("rev")
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    arr = F.array_sort(F.collect_list("rev").over(w))
+    return (
+        daily.withColumn("arr", arr)
+        .select(
+            date_str(F.col("d")).alias("day"),
+            "rev",
+            F.element_at("arr", ((F.size("arr") + 1) / 2).cast("int")).alias("med7"),
+        )
+        .orderBy("day")
+    )
+
+
 QUERIES = list(_Q)
