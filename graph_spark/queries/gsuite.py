@@ -1332,4 +1332,39 @@ def g38(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g39_betweenness",
+    None,
+    note="sampled-source betweenness centrality (Brandes-Pich): "
+    "dependency sums from the supplier-side nodes only — the "
+    "broker/bottleneck read.  Rows-only by design (Brandes is not "
+    "SQL-expressible); exactness is covered by "
+    "tests/test_properties.py betweenness parity tests against an "
+    "independent pair-summation reference, on both the local numpy "
+    "kernel and the source-parallel distributed path.  Scale shape: "
+    "parallel across sources with the (small, rolled-up) edge list "
+    "replicated per task — see algorithms.betweenness_centrality "
+    "docstring for why a graph too big to replicate means sampling "
+    "landmarks (g22), not exact betweenness",
+)
+def g39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import betweenness_centrality
+
+    c = Catalog(spark, sf_dir)
+    g = _sym_graph(c)
+    sources = [
+        r[0]
+        for r in g.vertices.filter(F.col("id").startswith("s"))
+        .select("id")
+        .orderBy("id")
+        .collect()
+    ]
+    bc = betweenness_centrality(g, sources=sources)
+    return (
+        bc.select("node", F.round("bc", 4).alias("bc"))
+        .orderBy(F.desc("bc"), "node")
+        .limit(50)
+    )
+
+
 QUERIES = list(_G)

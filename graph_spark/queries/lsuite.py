@@ -1137,4 +1137,41 @@ def l33(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l34_zipf_slope",
+    """WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+         FROM documents),
+       cnt AS (SELECT lang, term, count(*) AS n FROM w
+               WHERE term <> '' GROUP BY 1, 2),
+       rk AS (SELECT lang, n, row_number() OVER
+                (PARTITION BY lang ORDER BY n DESC, term) AS r FROM cnt)
+       SELECT lang, round(regr_slope(ln(n), ln(r)), 4) AS zipf_slope,
+         count(*) AS n_terms
+       FROM rk WHERE r <= 100 GROUP BY 1 ORDER BY 1""",
+    note="Zipf rank-frequency slope per language: OLS of ln(freq) on "
+    "ln(rank) over the top-100 terms — the corpus-health diagnostic "
+    "(natural text sits near -1; word-soup or boilerplate-heavy "
+    "corpora flatten).  Term counting is the standard two-level "
+    "map-side-combined agg; ranking windows over the tiny per-lang "
+    "vocabulary; regr_slope is a builtin single-pass aggregate in "
+    "both engines",
+)
+def l34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    terms = d.select("lang", F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    cnt = terms.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("term"))
+    rk = cnt.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 100)
+    return (
+        rk.groupBy("lang")
+        .agg(
+            F.round(F.expr("regr_slope(ln(n), ln(r))"), 4).alias("zipf_slope"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = list(_L)

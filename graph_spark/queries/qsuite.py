@@ -2633,4 +2633,48 @@ def t28(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "t29_temporal_align",
+    """WITH base AS (SELECT user_id, ts,
+         CASE WHEN event_type = 'click' THEN value END AS cv,
+         CASE WHEN event_type = 'view' THEN value END AS vv
+       FROM events WHERE event_type IN ('click', 'view')),
+       al AS (SELECT user_id, ts,
+         last_value(cv IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS c,
+         last_value(vv IGNORE NULLS) OVER
+           (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS v
+       FROM base)
+       SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS t,
+         round(c, 2) AS click_v, round(v, 2) AS view_v
+       FROM al ORDER BY 1, 2""",
+    note="temporal align-join (the temporal-DB 'temporal join'): two "
+    "piecewise-constant properties of one entity widened onto the "
+    "UNION of their change-points with per-column forward fill — the "
+    "way the reference combines two temporal properties without "
+    "resampling.  NULL before a prop's first change-point is "
+    "semantics, not a bug.  Relies on the (user_id, ts) uniqueness "
+    "precondition (tests/test_declared.py::test_oracle_preconditions); "
+    "one combine-shuffle + one window shuffle, both on the entity key",
+)
+def t29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..temporal.tprop import align
+
+    ev = Catalog(spark, sf_dir).table("events")
+    al = align(
+        ev,
+        ["click", "view"],
+        entity_col="user_id",
+        prop_col="event_type",
+        ts_col="ts",
+        value_col="value",
+    )
+    return al.select(
+        "user_id",
+        ts_str(F.col("ts")).alias("t"),
+        F.round("click", 2).alias("click_v"),
+        F.round("view", 2).alias("view_v"),
+    ).orderBy("user_id", "t")
+
+
 QUERIES = list(_Q)

@@ -143,6 +143,50 @@ def segments(
     )
 
 
+def align(
+    tprop: DataFrame,
+    props: list,
+    entity_col: str = "entity_id",
+    prop_col: str = "prop",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Temporal align-join (the temporal-DB "temporal join"): widen
+    several piecewise-constant properties of one entity onto the UNION
+    of their change-points, forward-filling each column — at any output
+    row, column `p` holds p's latest value <= that row's ts (NULL before
+    p's first change-point).
+
+    This is how two temporal properties are combined (ratio, product,
+    comparison) without resampling to a fixed grid: the result is still
+    a change-point series, exact at every instant.
+
+    Same-ts writes to different props merge into one output row (the
+    pre-pivot groupBy); same-ts writes to the SAME prop must be
+    disambiguated upstream.  Cost: one partial-aggregated shuffle on
+    (entity, ts) + one window shuffle on entity — at 100 TB both run
+    within time-bucket partitions with the standard bucket-edge stitch
+    (carry each prop's last value across the bucket boundary).
+    """
+    sel = tprop.filter(F.col(prop_col).isin(list(props)))
+    merged = sel.groupBy(entity_col, ts_col).agg(
+        *[
+            F.max(F.when(F.col(prop_col) == p, F.col(value_col))).alias(f"__d_{p}")
+            for p in props
+        ]
+    )
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(F.col(ts_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return merged.select(
+        entity_col,
+        ts_col,
+        *[F.last(f"__d_{p}", ignorenulls=True).over(w).alias(p) for p in props],
+    )
+
+
 def compact_changepoints(
     tprop: DataFrame,
     entity_col: str = "entity_id",

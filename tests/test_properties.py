@@ -415,3 +415,85 @@ def test_weighted_pagerank_local_distributed_reference_parity(spark, seed):
         assert got.keys() == want.keys(), f"local={local} seed={seed}"
         for n in want:
             assert abs(got[n] - want[n]) < 1e-9, f"local={local} seed={seed} node={n}"
+
+
+def _py_betweenness(edges):
+    """Independent exact betweenness via the pair-summation identity
+    (NOT Brandes): bc(v) = sum over s!=t, v not in {s,t}, of
+    sigma_s(v)*sigma_v(t)/sigma_s(t) where dist_s(t) == dist_s(v) +
+    dist_v(t); halved for undirected double-counting."""
+    adj = {}
+    nodes = set()
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        nodes.update((a, b))
+
+    def bfs_sigma(src):
+        dist = {src: 0}
+        sigma = {src: 1}
+        frontier = [src]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, []):
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        sigma[v] = 0
+                        nxt.append(v)
+                    if dist[v] == dist[u] + 1:
+                        sigma[v] += sigma[u]
+            frontier = nxt
+        return dist, sigma
+
+    ds = {n: bfs_sigma(n) for n in nodes}
+    bc = {n: 0.0 for n in nodes}
+    for s in nodes:
+        dist_s, sig_s = ds[s]
+        for t in nodes:
+            if t == s or t not in dist_s:
+                continue
+            for v in nodes:
+                if v in (s, t) or v not in dist_s:
+                    continue
+                dist_v, sig_v = ds[v]
+                if t in dist_v and dist_s[t] == dist_s[v] + dist_v[t]:
+                    bc[v] += sig_s[v] * sig_v[t] / sig_s[t]
+    return {n: b / 2.0 for n, b in bc.items()}
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_betweenness_local_distributed_reference_parity(spark, seed):
+    from graph_spark.graph.algorithms import betweenness_centrality
+
+    edges = _random_graph(seed, n_nodes=24, n_edges=40)
+    want = _py_betweenness(edges)
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    v = e.select(F.col("src").alias("id")).distinct()
+    g = PropertyGraph(v, e)
+    for local in (True, False):
+        got = {
+            r["node"]: r["bc"]
+            for r in betweenness_centrality(g, local=local).collect()
+        }
+        assert set(got) == set(want), f"local={local} seed={seed}"
+        for n in want:
+            assert abs(got[n] - want[n]) < 1e-9, f"{n} local={local} seed={seed}"
+
+
+def test_betweenness_sampled_sources_sum(spark):
+    """Dependencies are additive over sources: a sampled-source run must
+    equal the exact run restricted to those sources' dependency sums."""
+    from graph_spark.graph.algorithms import betweenness_centrality
+
+    edges = _random_graph(11, n_nodes=20, n_edges=30)
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    v = e.select(F.col("src").alias("id")).distinct()
+    g = PropertyGraph(v, e)
+    all_nodes = sorted({a for a, _ in edges})
+    half_a = all_nodes[::2]
+    half_b = [n for n in all_nodes if n not in half_a]
+    full = {r["node"]: r["bc"] for r in betweenness_centrality(g, local=True).collect()}
+    pa = {r["node"]: r["bc"] for r in betweenness_centrality(g, sources=half_a, local=True).collect()}
+    pb = {r["node"]: r["bc"] for r in betweenness_centrality(g, sources=half_b, local=True).collect()}
+    for n in full:
+        assert abs(pa.get(n, 0.0) + pb.get(n, 0.0) - full[n]) < 1e-9, n
