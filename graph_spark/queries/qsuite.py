@@ -2677,4 +2677,73 @@ def t29(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "t")
 
 
+@_q(
+    "q68_ntile_bands",
+    """WITH t AS (SELECT c_mktsegment, c_custkey, c_acctbal,
+         ntile(4) OVER (PARTITION BY c_mktsegment
+                        ORDER BY c_acctbal, c_custkey) AS q
+       FROM customer)
+       SELECT c_mktsegment, q, count(*) AS n,
+         round(min(c_acctbal), 2) AS lo, round(max(c_acctbal), 2) AS hi
+       FROM t GROUP BY 1, 2 ORDER BY 1, 2""",
+    note="ntile quartile banding per segment with explicit total "
+    "ordering (acctbal, custkey) — ntile over a tied order is "
+    "nondeterministic in both engines, the tie-break is the contract.  "
+    "One window shuffle on the segment key, then a tiny band agg",
+)
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cst = Catalog(spark, sf_dir).table("customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        cst.withColumn("q", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", "q")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+        )
+        .orderBy("c_mktsegment", "q")
+    )
+
+
+@_q(
+    "t30_event_regex",
+    """WITH seq AS (SELECT user_id,
+         string_agg(left(event_type, 1), '' ORDER BY ts) AS s
+       FROM events GROUP BY 1)
+       SELECT user_id, length(s) AS seq_len,
+         CAST(len(regexp_extract_all(s, 's[^p]*p')) AS BIGINT) AS n_conv
+       FROM seq ORDER BY 1""",
+    note="sequence-pattern matching over per-entity event timelines: "
+    "compress each user's time-ordered event types to a one-char-per-"
+    "event string (initials are distinct across the 5 types), then "
+    "count signup-then-purchase conversions with a non-overlapping "
+    "regex — the MATCH_RECOGNIZE-lite read.  Ordering inside the "
+    "aggregate is made deterministic by sorting (ts, initial) structs "
+    "before joining; relies on (user_id, ts) uniqueness.  One shuffle "
+    "on the user key; the regex runs per user over a short string, "
+    "embarrassingly parallel",
+)
+def t30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    seq = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("ts"), F.substring("event_type", 1, 1).alias("i"))
+                    )
+                ),
+                lambda s: s["i"],
+            ),
+            "",
+        ).alias("s")
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").cast("long").alias("seq_len"),
+        F.size(F.regexp_extract_all("s", F.lit("s[^p]*p"), F.lit(0))).cast("long").alias("n_conv"),
+    ).orderBy("user_id")
+
+
 QUERIES = list(_Q)

@@ -244,3 +244,47 @@ def test_g36_broadcasts_norms(spark):
     g36 = next(q for q in QUERIES if q.name == "g36_cosine_node_similarity")
     plan = _plan(g36.build(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_g38_copurchase_no_cartesian(spark):
+    from graph_spark.queries.gsuite import QUERIES
+
+    g38 = next(q for q in QUERIES if q.name == "g38_copurchase_projection")
+    plan = _plan(g38.build(spark, SF_SMOKE))
+    # the basket self-join must key on orderkey with pk< as a residual —
+    # never a nested-loop/cartesian expansion
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_l33_entropy_stays_in_codegen(spark):
+    from graph_spark.queries.lsuite import QUERIES
+
+    l33 = next(q for q in QUERIES if q.name == "l33_char_entropy")
+    plan = _plan(l33.build(spark, SF_SMOKE))
+    # letter counts + entropy fold are pure builtin expressions: no
+    # Python evaluation and no explode of the text into characters
+    assert "EvalPython" not in plan and "Generate" not in plan, plan
+
+
+def test_t29_align_single_window_shuffle(spark):
+    from graph_spark.queries.qsuite import QUERIES
+
+    t29 = next(q for q in QUERIES if q.name == "t29_temporal_align")
+    plan = _plan(t29.build(spark, SF_SMOKE))
+    # forward-fill window must partition by the entity key (no
+    # single-partition window over the raw change-point stream)
+    assert "Window" in plan, plan
+    assert "SinglePartition" not in plan.split("Sort")[0] or "hashpartitioning(user_id" in plan, plan
+    assert "hashpartitioning(user_id" in plan, plan
+
+
+def test_t28_median_window_over_aggregated_series(spark):
+    from graph_spark.queries.qsuite import QUERIES
+
+    t28 = next(q for q in QUERIES if q.name == "t28_rolling_median")
+    plan = _plan(t28.build(spark, SF_SMOKE))
+    # the unpartitioned rolling window is legal ONLY because its input
+    # is the pre-aggregated daily series: the partial/final HashAggregate
+    # pair must sit below the Window in the plan
+    win = plan.index("Window")
+    assert "HashAggregate" in plan[win:], plan
