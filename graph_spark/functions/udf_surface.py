@@ -40,6 +40,30 @@ def pudf_char_entropy(texts: pd.Series) -> pd.Series:
     return texts.map(ent)
 
 
+# -- grouped-agg pandas UDAF: Arrow-batched custom aggregate ------------
+@F.pandas_udf(DoubleType())
+def pudf_trimmed_mean(v: pd.Series) -> float:
+    """10% symmetric trimmed mean — the UDAF extension point: a
+    Series-to-scalar pandas_udf usable directly inside groupBy().agg().
+    Spark feeds each group's column as one Arrow batch; partial
+    aggregation is NOT available for custom UDAFs (the whole group
+    ships to one task), so at 100 TB this is for moderate-cardinality
+    group-bys — value-skewed keys belong in the builtin-expression
+    path (q53 winsorize) instead.
+
+    Value-sorted trimming is deterministic without a tie-break: ties
+    at the cut boundary contribute identical sums either way."""
+    s = v.sort_values().to_numpy()
+    k = int(len(s) * 0.1)
+    kept = s[k : len(s) - k] if len(s) > 2 * k else s
+    if not len(kept):
+        return float("nan")
+    # round the sum to cents before dividing: the inputs are 2-decimal
+    # money, so this collapses cross-engine summation-order ulp drift
+    # before it can flip the final rounding (same guard as t07)
+    return round(float(kept.sum()), 2) / len(kept)
+
+
 # -- example row-at-a-time UDF (slow path, registered for parity) -------
 @F.udf(StringType())
 def udf_reverse_words(text: str) -> str:
@@ -49,6 +73,7 @@ def udf_reverse_words(text: str) -> str:
 def register_all(spark: SparkSession) -> None:
     """SQL registration: expose the Python surface to engine.sql()."""
     spark.udf.register("char_entropy", pudf_char_entropy)
+    spark.udf.register("trimmed_mean", pudf_trimmed_mean)
     spark.udf.register("reverse_words", udf_reverse_words)
     try:
         from pyspark.sql.functions import udtf  # PySpark 4

@@ -2746,4 +2746,46 @@ def t30(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+@_q(
+    "q69_trimmed_mean_udaf",
+    """WITH r AS (SELECT o_orderpriority, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+       FROM orders)
+       SELECT o_orderpriority,
+         round(round(sum(o_totalprice), 2) / count(*), 4) AS trimmed_avg,
+         count(*) AS n_kept
+       FROM r
+       WHERE rn > CAST(floor(n * 0.1) AS BIGINT)
+         AND rn <= n - CAST(floor(n * 0.1) AS BIGINT)
+       GROUP BY 1 ORDER BY 1""",
+    note="custom aggregate through the pandas UDAF extension point: a "
+    "Series-to-scalar pandas_udf (10% symmetric trimmed mean) running "
+    "inside groupBy().agg() — Arrow ships each group's column as one "
+    "batch.  The oracle spells the same trim as rank-bounded "
+    "window+filter.  Value-sorted trimming needs no tie-break (ties at "
+    "the cut contribute equal sums); the cents-round-before-divide "
+    "guard makes the mean cross-engine stable.  No partial agg exists "
+    "for custom UDAFs — whole groups ship to one task, so this path "
+    "is for moderate group cardinality (see q53 for the builtin "
+    "alternative)",
+)
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udf_surface import pudf_trimmed_mean
+
+    o = Catalog(spark, sf_dir).table("orders")
+    # a grouped-agg pandas UDF cannot share an agg() with builtin
+    # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — run the builtin count
+    # separately and broadcast-join the two tiny per-priority results
+    trimmed = o.groupBy("o_orderpriority").agg(
+        F.round(pudf_trimmed_mean("o_totalprice"), 4).alias("trimmed_avg")
+    )
+    n = F.count(F.lit(1))
+    kept = o.groupBy("o_orderpriority").agg(
+        (n - 2 * F.floor(n * 0.1)).cast("long").alias("n_kept")
+    )
+    return trimmed.join(F.broadcast(kept), "o_orderpriority").orderBy("o_orderpriority")
+
+
 QUERIES = list(_Q)
