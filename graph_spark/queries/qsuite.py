@@ -2788,4 +2788,51 @@ def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trimmed.join(F.broadcast(kept), "o_orderpriority").orderBy("o_orderpriority")
 
 
+@_q(
+    "t31_allen_relations",
+    """WITH iv AS (SELECT user_id, ts AS s,
+         ts + to_seconds(CAST(floor(value * 60) AS BIGINT)) AS e
+       FROM events),
+       pr AS (SELECT user_id, s, e,
+         lead(s) OVER (PARTITION BY user_id ORDER BY s) AS ns,
+         lead(e) OVER (PARTITION BY user_id ORDER BY s) AS ne
+       FROM iv)
+       SELECT CASE WHEN ns > e THEN 'precedes' WHEN ns = e THEN 'meets'
+                   WHEN ne <= e THEN 'during' ELSE 'overlaps' END AS rel,
+         count(*) AS n
+       FROM pr WHERE ns IS NOT NULL GROUP BY 1 ORDER BY 1""",
+    note="Allen interval-algebra classification of consecutive per-user "
+    "intervals (event start + value-derived duration): precedes / "
+    "meets / overlaps / during — the interval-reasoning read over a "
+    "temporal store.  Distinct starts collapse Allen's 13 relations "
+    "to these 4.  Durations use floor(value*60) whole seconds because "
+    "double->int CAST truncates in Spark but rounds in DuckDB.  One "
+    "window shuffle on the entity key, then a 4-row combinable agg",
+)
+def t31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        F.expr("timestampadd(SECOND, CAST(floor(value * 60) AS BIGINT), ts)").alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s")
+    pr = iv.select(
+        "s", "e",
+        F.lead("s").over(w).alias("ns"),
+        F.lead("e").over(w).alias("ne"),
+    ).filter(F.col("ns").isNotNull())
+    rel = (
+        F.when(F.col("ns") > F.col("e"), "precedes")
+        .when(F.col("ns") == F.col("e"), "meets")
+        .when(F.col("ne") <= F.col("e"), "during")
+        .otherwise("overlaps")
+    )
+    return (
+        pr.groupBy(rel.alias("rel"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("rel")
+    )
+
+
 QUERIES = list(_Q)
