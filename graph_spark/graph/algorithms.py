@@ -7,7 +7,7 @@ Dijkstra) round only at the output edge, as declared.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .property_graph import PropertyGraph
@@ -1202,3 +1202,53 @@ def betweenness_centrality(
             "node", (F.col("bc") / ((n_total - 1) * (n_total - 2) / 2.0)).alias("bc")
         )
     return out
+
+
+def maximal_weight_matching(
+    edges: DataFrame,
+    rounds: int = 3,
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Greedy maximal weighted matching via synchronous propose-accept
+    rounds (the Pregel matching pattern): each round, every unmatched
+    src proposes to its best available neighbor (weight DESC, dst ASC
+    tie-break) and every dst accepts its best proposal (weight DESC,
+    src ASC) — accepted pairs leave the graph.  Deterministic given the
+    tie-breaks; a maximal (not maximum) matching, the standard
+    distributed relaxation.
+
+    Per round: two window shuffles (argmax per src, argmax per dst) and
+    two broadcast anti-joins against the (small, <=|V|/2 per round)
+    matched-node set; edges never move otherwise.  localCheckpoint per
+    round truncates the iterative lineage.  Returns
+    DataFrame(src, dst, <weight_col>, rnd).
+    """
+    remaining = edges.select("src", "dst", weight_col)
+    matched = None
+    for i in range(1, rounds + 1):
+        ws = Window.partitionBy("src").orderBy(F.desc(weight_col), F.asc("dst"))
+        wd = Window.partitionBy("dst").orderBy(F.desc(weight_col), F.asc("src"))
+        prop = remaining.withColumn("__rs", F.row_number().over(ws)).filter(
+            F.col("__rs") == 1
+        )
+        acc = (
+            prop.withColumn("__rd", F.row_number().over(wd))
+            .filter(F.col("__rd") == 1)
+            .select("src", "dst", weight_col)
+            .withColumn("rnd", F.lit(i))
+            .localCheckpoint(eager=True)
+        )
+        matched = acc if matched is None else matched.unionByName(acc)
+        used = F.broadcast(
+            acc.select(F.col("src").alias("n"))
+            .unionByName(acc.select(F.col("dst").alias("n")))
+            .distinct()
+        )
+        remaining = (
+            remaining.join(used, remaining.src == used.n, "left_anti")
+            .join(used, remaining.dst == used.n, "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if not remaining.take(1):
+            break
+    return matched

@@ -1367,4 +1367,52 @@ def g39(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _matching_oracle() -> str:
+    """Unrolled 3-round propose-accept matching as chained CTEs (one
+    argmax-per-src window, one argmax-per-dst window, and a cumulative
+    matched-node exclusion per round)."""
+    rounds = []
+    for i in (1, 2, 3):
+        prev = f"e{i-1}"
+        extra = f" UNION SELECT n FROM u{i-1}" if i > 1 else ""
+        rounds.append(
+            f"""p{i} AS (SELECT src,dst,weight,
+    row_number() OVER (PARTITION BY src ORDER BY weight DESC, dst) AS rs FROM {prev}),
+a{i} AS (SELECT src,dst,weight,
+    row_number() OVER (PARTITION BY dst ORDER BY weight DESC, src) AS rd FROM p{i} WHERE rs=1),
+m{i} AS (SELECT src,dst,weight,{i} AS rnd FROM a{i} WHERE rd=1),
+u{i} AS (SELECT src AS n FROM m{i} UNION SELECT dst FROM m{i}{extra}),
+e{i} AS (SELECT e.* FROM {prev} e WHERE e.src NOT IN (SELECT n FROM u{i})
+         AND e.dst NOT IN (SELECT n FROM u{i}))"""
+        )
+    chain = ",\n".join(rounds)
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        "e0 AS (SELECT src,dst,weight FROM graph_edges),\n" + chain + """
+SELECT src, dst, weight, CAST(rnd AS INT) AS rnd
+FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3)
+ORDER BY src, dst"""
+    )
+
+
+@_g(
+    "g40_maximal_matching",
+    _matching_oracle(),
+    note="greedy maximal weighted matching by synchronous propose-"
+    "accept rounds (the Pregel matching pattern; deterministic via "
+    "weight DESC + node-id tie-breaks) on the customer-supplier sales "
+    "graph — the assignment read.  The oracle unrolls the same 3 "
+    "rounds as chained CTEs.  Maximal, not maximum: the standard "
+    "distributed relaxation (no augmenting paths)",
+)
+def g40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import maximal_weight_matching
+
+    ge = Catalog(spark, sf_dir).graph_edges().select("src", "dst", "weight")
+    m = maximal_weight_matching(ge, rounds=3)
+    return m.select("src", "dst", "weight", F.col("rnd").cast("int").alias("rnd")).orderBy(
+        "src", "dst"
+    )
+
+
 QUERIES = list(_G)

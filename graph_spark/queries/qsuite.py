@@ -2835,4 +2835,31 @@ def t31(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q70_approx_sketches",
+    None,
+    note="the 100 TB cardinality/quantile toolkit: "
+    "approx_count_distinct (HyperLogLog++, ~1.6 KB of mergeable "
+    "registers per group regardless of cardinality) and "
+    "approx_percentile (mergeable quantile summaries) — the operators "
+    "that replace exact DISTINCT/percentile when the exact forms' "
+    "per-group state would not fit.  Rows-only by design: sketch "
+    "estimates are engine-specific; the accuracy contract (<5% "
+    "relative error vs exact at sf0.01) is enforced by "
+    "tests/test_scale_ops.py::test_approx_sketch_accuracy",
+)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.02).alias("approx_custs"),
+            F.round(F.expr("approx_percentile(o_totalprice, 0.5, 10000)"), 2).alias(
+                "approx_med"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 QUERIES = list(_Q)

@@ -497,3 +497,53 @@ def test_betweenness_sampled_sources_sum(spark):
     pb = {r["node"]: r["bc"] for r in betweenness_centrality(g, sources=half_b, local=True).collect()}
     for n in full:
         assert abs(pa.get(n, 0.0) + pb.get(n, 0.0) - full[n]) < 1e-9, n
+
+
+def _py_propose_accept(edges, rounds=3):
+    """Python reference for the propose-accept matching rounds."""
+    remaining = list(edges)
+    matched = []
+    for rnd in range(1, rounds + 1):
+        best_prop = {}
+        for s, d, w in remaining:
+            cur = best_prop.get(s)
+            if cur is None or (-w, d) < (-cur[1], cur[0]):
+                best_prop[s] = (d, w)
+        best_acc = {}
+        for s, (d, w) in best_prop.items():
+            cur = best_acc.get(d)
+            if cur is None or (-w, s) < (-cur[1], cur[0]):
+                best_acc[d] = (s, w)
+        acc = [(s, d, w, rnd) for d, (s, w) in best_acc.items()]
+        if not acc:
+            break
+        matched.extend(acc)
+        used = {s for s, d, w, _ in acc} | {d for s, d, w, _ in acc}
+        remaining = [(s, d, w) for s, d, w in remaining if s not in used and d not in used]
+        if not remaining:
+            break
+    return matched
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_matching_reference_parity_and_disjointness(spark, seed):
+    from graph_spark.graph.algorithms import maximal_weight_matching
+
+    rng = random.Random(seed * 17)
+    edges = []
+    seen = set()
+    while len(edges) < 80:
+        a, b = rng.randrange(25), rng.randrange(25)
+        if (a, b) in seen:
+            continue
+        seen.add((a, b))
+        edges.append((f"l{a}", f"r{b}", float(rng.randrange(1, 500))))
+    want = {(s, d): (w, r) for s, d, w, r in _py_propose_accept(edges)}
+    e = spark.createDataFrame(edges, ["src", "dst", "weight"])
+    got = {
+        (r["src"], r["dst"]): (r["weight"], r["rnd"])
+        for r in maximal_weight_matching(e, rounds=3).collect()
+    }
+    assert got == want, f"seed={seed}"
+    nodes = [n for s, d in got for n in (s, d)]
+    assert len(nodes) == len(set(nodes)), f"matching not disjoint seed={seed}"

@@ -87,3 +87,32 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # the 10:00 window was finalized by the watermark after batch1's max
     # (12:00) -> event at 10:20 (value 100) must NOT be counted
     assert out.get(dt.datetime(2024, 1, 1, 10)) == 1.0
+
+
+def test_approx_sketch_accuracy(spark):
+    """q70's accuracy contract: HLL++ cardinality and quantile-summary
+    median within 5% relative error of the exact values at sf0.01."""
+    from graph_spark.queries.qsuite import QUERIES
+
+    from .conftest import SF_ORACLE
+
+    q70 = next(q for q in QUERIES if q.name == "q70_approx_sketches")
+    approx = {r["o_orderpriority"]: r for r in q70.build(spark, SF_ORACLE).collect()}
+
+    from graph_spark.catalog import Catalog
+
+    o = Catalog(spark, SF_ORACLE).table("orders")
+    exact = {
+        r["o_orderpriority"]: r
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("med"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, e in exact.items():
+        a = approx[k]
+        assert abs(a["approx_custs"] - e["n"]) / e["n"] < 0.05, (k, a, e)
+        assert abs(a["approx_med"] - e["med"]) / e["med"] < 0.05, (k, a, e)
