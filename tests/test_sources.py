@@ -263,3 +263,61 @@ def test_python_datasource_stream_reader(spark, tmp_path):
     s_rows = sorted(tuple(r) for r in streamed.collect())
     b_rows = sorted(tuple(r) for r in batch.collect())
     assert s_rows == b_rows
+
+
+def test_zorder_layout_prunes_both_columns(spark, tmp_path):
+    """Z-order clustering must make per-file min-max stats selective on
+    BOTH interleaved columns; single-column sorting is the baseline
+    that fails on the second column."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from graph_spark.catalog import Catalog
+    from graph_spark.sources.writers import write_zordered
+
+    li = Catalog(spark, "/root/testdata/sf0.01").table("lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    zdir, sdir = str(tmp_path / "zord"), str(tmp_path / "sing")
+    write_zordered(li, zdir, "l_orderkey", "l_partkey", n_files=16)
+    (
+        li.repartitionByRange(16, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(sdir)
+    )
+
+    def admitting_files(d, col, lo, hi):
+        n = 0
+        for f in glob.glob(f"{d}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            fmin = min(
+                md.row_group(i).column(
+                    [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+                ).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            fmax = max(
+                md.row_group(i).column(
+                    [md.schema.column(j).name for j in range(md.num_columns)].index(col)
+                ).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            if fmin <= hi and fmax >= lo:
+                n += 1
+        return n
+
+    # a narrow l_partkey range: single-column layout admits every file,
+    # the z-ordered layout must prune more than half
+    z_hits = admitting_files(zdir, "l_partkey", 100, 150)
+    s_hits = admitting_files(sdir, "l_partkey", 100, 150)
+    assert s_hits >= 15, s_hits
+    assert z_hits <= 8, (z_hits, s_hits)
+    # and it must stay selective on the first column too
+    z_a = admitting_files(zdir, "l_orderkey", 1000, 2000)
+    assert z_a <= 8, z_a
+    # correctness: same rows either way
+    assert (
+        spark.read.parquet(zdir).count() == spark.read.parquet(sdir).count() == li.count()
+    )
