@@ -298,3 +298,64 @@ def cosine_topk_lsh(
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("nb").asc())
     return sims.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column: assignment
+    is a broadcast cross-join against the k centroids with a
+    fold-expression squared distance (stays in codegen, no UDF);
+    centroid update is posexplode -> (cid, dim) avg.  Centroids are
+    driver-side state between iterations (k x dim doubles — the MLlib
+    pattern; only the k-row table ever moves, the vectors never
+    shuffle except the dim-partial agg).
+
+    Deterministic: seeds are the k lowest-id vectors, assignment
+    tie-breaks on (dist, cid) via a struct-min.  Runs `iters`
+    assignments with `iters - 1` updates in between (the final
+    assignment is what's summarized).  Returns
+    DataFrame(vec_id, v, cid, dist) for the last assignment.
+    """
+    spark = emb.sparkSession
+    e = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
+    )
+    seeds = e.orderBy("vec_id").limit(k).collect()
+    centroids = [(i, r["v"]) for i, r in enumerate(seeds)]
+    assigned = None
+    for it in range(iters):
+        cdf = F.broadcast(
+            spark.createDataFrame(centroids, "cid INT, c ARRAY<DOUBLE>")
+        )
+        sqdist = F.aggregate(
+            F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        d = e.crossJoin(cdf).withColumn("dist", sqdist)
+        assigned = (
+            d.groupBy("vec_id", "v")
+            .agg(F.min(F.struct("dist", "cid")).alias("m"))
+            .select("vec_id", "v", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist"))
+        )
+        if it < iters - 1:
+            new = (
+                assigned.select("cid", F.posexplode("v").alias("dim", "x"))
+                .groupBy("cid", "dim")
+                .agg(F.avg("x").alias("av"))
+                .groupBy("cid")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim", "av"))),
+                        lambda s: s["av"],
+                    ).alias("c")
+                )
+            )
+            centroids = [(r["cid"], r["c"]) for r in new.collect()]
+    return assigned

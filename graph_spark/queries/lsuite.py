@@ -1174,4 +1174,69 @@ def l34(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Unrolled Lloyd iterations: per iteration one cross-join argmin
+    (row_number tie-broken on (dist, cid)) and one unnest-by-dimension
+    centroid mean, mirroring the operator's update schedule exactly
+    (`iters` assignments, `iters - 1` updates)."""
+    diff = f"list_transform(range(1, {dim + 1}), j -> e.v[j] - i.c[j])"
+    parts = [
+        f"""init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+       embedding::DOUBLE[] AS c FROM embeddings ORDER BY vec_id LIMIT {k}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"""
+    ]
+    prev_c = "init"
+    for it in range(1, iters + 1):
+        parts.append(
+            f"""d{it} AS (SELECT e.vec_id, i.cid,
+       list_inner_product({diff}, {diff}) AS dist
+       FROM e CROSS JOIN {prev_c} i),
+s{it} AS (SELECT vec_id, cid, dist FROM (SELECT *, row_number() OVER
+       (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM d{it}) WHERE rk = 1)"""
+        )
+        if it < iters:
+            parts.append(
+                f"""c{it} AS (SELECT cid, list(av ORDER BY dim) AS c FROM (
+       SELECT s.cid, j.j AS dim, avg(e.v[j.j]) AS av
+       FROM s{it} s JOIN e ON e.vec_id = s.vec_id
+       CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS j) j
+       GROUP BY 1, 2) GROUP BY 1)"""
+            )
+            prev_c = f"c{it}"
+    chain = ",\n".join(parts)
+    return (
+        f"WITH {chain}\n"
+        f"SELECT CAST(cid AS INT) AS cluster_id, count(*) AS n, round(sum(dist), 2) AS inertia\n"
+        f"FROM s{iters} GROUP BY 1 ORDER BY 1"
+    )
+
+
+@_l(
+    "l35_kmeans",
+    _kmeans_oracle(),
+    note="distributed Lloyd's k-means over the embedding column "
+    "(k=8, 3 assignment rounds, deterministic lowest-id seeds and "
+    "(dist, cid) tie-break): broadcast cross-join + codegen fold for "
+    "squared distance, posexplode dimension-mean for the update — "
+    "the IVF training step as a first-class op.  The oracle unrolls "
+    "the same schedule in SQL (argmin via row_number, unnest-mean).  "
+    "Cross-engine float drift is ~1e-13 on squared distances (both "
+    "engines fold in double) — far from any assignment tie, and "
+    "inertia is rounded at 2dp, so the hash match is stable",
+)
+def l35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import kmeans_lloyd
+
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    assigned = kmeans_lloyd(emb, k=8, iters=3)
+    return (
+        assigned.groupBy(F.col("cid").cast("int").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("dist"), 2).alias("inertia"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 QUERIES = list(_L)

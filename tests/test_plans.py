@@ -288,3 +288,14 @@ def test_t28_median_window_over_aggregated_series(spark):
     # pair must sit below the Window in the plan
     win = plan.index("Window")
     assert "HashAggregate" in plan[win:], plan
+
+
+def test_l35_kmeans_broadcasts_centroids_no_udf(spark):
+    from graph_spark.queries.lsuite import QUERIES
+
+    l35 = next(q for q in QUERIES if q.name == "l35_kmeans")
+    plan = _plan(l35.build(spark, SF_SMOKE))
+    # the k-row centroid table must broadcast; distance math stays in
+    # codegen expressions, never Python
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "EvalPython" not in plan, plan
