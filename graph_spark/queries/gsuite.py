@@ -1415,4 +1415,82 @@ def g40(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _walks_oracle(steps: int = 4) -> str:
+    """Unrolled hash-driven walk: per step one equi-join against the
+    ranked adjacency with the LCG pick as a join predicate."""
+    chain = []
+    prev = "w0"
+    for i in range(1, steps + 1):
+        chain.append(
+            f"""w{i} AS (SELECT w.start, w.snid, a.dst AS cur,
+       w.path || '>' || a.dst AS path
+       FROM {prev} w JOIN num a ON a.src = w.cur
+       AND a.rk = (1103515245 * a.nid + 12345 * {i} + 5 * w.snid) % a.deg)"""
+        )
+        prev = f"w{i}"
+    joined = ",\n".join(chain)
+    return (
+        f"""WITH {GRAPH_CTES},
+adj AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rk,
+        count(*) OVER (PARTITION BY src) AS deg FROM graph_edges_sym),
+num AS (SELECT src, dst, rk, deg,
+        2 * CAST(substr(src, 2) AS BIGINT)
+          + CASE WHEN substr(src, 1, 1) = 's' THEN 1 ELSE 0 END AS nid
+        FROM adj),
+w0 AS (SELECT node AS start,
+        2 * CAST(substr(node, 2) AS BIGINT)
+          + CASE WHEN substr(node, 1, 1) = 's' THEN 1 ELSE 0 END AS snid,
+        node AS cur, node AS path FROM graph_nodes),
+{joined}
+SELECT start, path FROM w{steps} ORDER BY start"""
+    )
+
+
+@_g(
+    "g41_deterministic_walks",
+    _walks_oracle(),
+    note="graph walk sampling for embedding training (the DeepWalk / "
+    "node2vec corpus generator), made reproducible: the next-neighbor "
+    "pick is an LCG hash of (current node, step, start node) modulo "
+    "degree over a rank-numbered adjacency — so walks are exactly "
+    "re-derivable by any engine, task retries can't fork a walk, and "
+    "the oracle is 4 unrolled joins.  Per step ONE equi-join of the "
+    "|V|-row walker frontier against the stationary ranked adjacency "
+    "(the Pregel cost shape); at 100 TB the adjacency is bucketed on "
+    "src so every step's join is co-located, and k walks per node "
+    "just widens the frontier, not the superstep count",
+)
+def g41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    sym = c.graph_edges_sym()
+    wr = Window.partitionBy("src").orderBy("dst")
+    nid = lambda col: 2 * F.substring(col, 2, 10).cast("long") + F.when(
+        F.substring(col, 1, 1) == "s", 1
+    ).otherwise(0)
+    adj = sym.select(
+        "src",
+        "dst",
+        (F.row_number().over(wr) - 1).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("src")).alias("deg"),
+    ).withColumn("nid", nid(F.col("src")))
+    w = c.graph_nodes().select(
+        F.col("node").alias("start"),
+        nid(F.col("node")).alias("snid"),
+        F.col("node").alias("cur"),
+        F.col("node").alias("path"),
+    )
+    for i in range(1, 5):
+        pick = (1103515245 * F.col("nid") + 12345 * i + 5 * F.col("snid")) % F.col("deg")
+        w = (
+            w.join(adj, (F.col("src") == F.col("cur")) & (F.col("rk") == pick))
+            .select(
+                "start",
+                "snid",
+                F.col("dst").alias("cur"),
+                F.concat_ws(">", "path", "dst").alias("path"),
+            )
+        )
+    return w.select("start", "path").orderBy("start")
+
+
 QUERIES = list(_G)
