@@ -1239,4 +1239,68 @@ def l35(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l36_bigram_perplexity",
+    """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS l
+         FROM documents),
+       bg AS (SELECT doc_id, lang, l[i] AS w1, l[i+1] AS w2
+              FROM d, unnest(range(1, len(l))) t(i)),
+       c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+       c1 AS (SELECT w1, count(*) AS c FROM bg GROUP BY 1),
+       v AS (SELECT count(DISTINCT w1) AS v FROM
+             (SELECT w1 FROM bg UNION ALL SELECT w2 FROM bg)),
+       sc AS (SELECT b.doc_id, b.lang,
+               -log2((c12.c + 1.0) / (c1.c + v.v)) AS bits
+              FROM bg b JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+              JOIN c1 ON b.w1 = c1.w1 CROSS JOIN v),
+       pd AS (SELECT doc_id, lang, round(avg(bits), 4) AS h
+              FROM sc GROUP BY 1, 2)
+       SELECT lang, round(avg(h), 4) AS avg_bits, count(*) AS n_docs
+       FROM pd GROUP BY 1 ORDER BY 1""",
+    note="bigram language-model perplexity (Laplace-smoothed, bits per "
+    "bigram) per language — the classic model-based pretraining "
+    "quality filter, self-trained on the corpus being scored.  "
+    "Bigrams come from a transform-over-slice expression (no "
+    "self-join on position); the model 'training' is two combinable "
+    "counts.  At 100 TB the unigram table broadcasts, the bigram "
+    "count join shuffles on w1 — bucket the token stream by w1 to "
+    "co-locate it; Laplace smoothing keeps unseen pairs finite so "
+    "scoring a HELD-OUT doc against this model is the same join",
+)
+def l36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    d = docs.select("doc_id", "lang", F.split("text", " ").alias("l"))
+    bg = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(slice(l, 1, size(l) - 1),"
+                " (w, i) -> struct(w AS w1, element_at(l, i + 2) AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = bg.select(F.col("w1").alias("w")).unionAll(
+        bg.select(F.col("w2").alias("w"))
+    ).agg(F.countDistinct("w").alias("v"))
+    sc = (
+        bg.join(c12, ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "lang",
+            (-F.log2((F.col("c12") + 1.0) / (F.col("c1") + F.col("v")))).alias("bits"),
+        )
+    )
+    pd_ = sc.groupBy("doc_id", "lang").agg(F.round(F.avg("bits"), 4).alias("h"))
+    return (
+        pd_.groupBy("lang")
+        .agg(F.round(F.avg("h"), 4).alias("avg_bits"), F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
 QUERIES = list(_L)
