@@ -2862,4 +2862,95 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q71_chi2_independence",
+    """WITH ct AS (SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+         count(*) AS n
+       FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+       tot AS (SELECT sum(n) AS t FROM ct),
+       rt AS (SELECT seg, sum(n) AS r FROM ct GROUP BY 1),
+       cl AS (SELECT pri, sum(n) AS c FROM ct GROUP BY 1)
+       SELECT round(sum(pow(ct.n - rt.r*cl.c/tot.t, 2)
+                        / (rt.r*cl.c/tot.t)), 4) AS chi2,
+         CAST((SELECT count(*) FROM rt) - 1 AS INT)
+           * CAST((SELECT count(*) FROM cl) - 1 AS INT) AS dof,
+         CAST(tot.t AS BIGINT) AS n
+       FROM ct JOIN rt USING (seg) JOIN cl USING (pri) CROSS JOIN tot
+       GROUP BY tot.t""",
+    note="chi-squared independence test between two categorical "
+    "dimensions (segment x priority), entirely as aggregates: the "
+    "contingency table is one combinable groupBy over the fact join, "
+    "margins and the total are tiny re-aggregations of it that "
+    "broadcast back — the raw table is read ONCE.  The data-drift / "
+    "association screen a feature pipeline runs",
+)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    ct = (
+        c.table("orders")
+        .join(F.broadcast(c.table("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("pri"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rt = ct.groupBy("seg").agg(F.sum("n").alias("r"))
+    cl = ct.groupBy("pri").agg(F.sum("n").alias("c"))
+    tot = ct.agg(F.sum("n").alias("t"))
+    dims = ct.agg(
+        ((F.countDistinct("seg") - 1) * (F.countDistinct("pri") - 1))
+        .cast("int")
+        .alias("dof")
+    )
+    e = F.col("r") * F.col("c") / F.col("t")
+    chi = (
+        ct.join(F.broadcast(rt), "seg")
+        .join(F.broadcast(cl), "pri")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.sum(F.pow(F.col("n") - e, 2) / e), 4).alias("chi2"),
+            F.sum("n").alias("n_total"),
+        )
+    )
+    return chi.crossJoin(F.broadcast(dims)).select(
+        "chi2", "dof", F.col("n_total").alias("n")
+    )
+
+
+@_q(
+    "q72_benford_digits",
+    """WITH d AS (SELECT CAST(floor(o_totalprice
+           / pow(10, floor(log10(o_totalprice)))) AS INT) AS dig
+         FROM orders WHERE o_totalprice > 0),
+       c AS (SELECT dig, count(*) AS n FROM d GROUP BY 1),
+       t AS (SELECT sum(n) AS t FROM c)
+       SELECT dig, n, round(n / t.t, 4) AS share,
+         round(log10(1.0 + 1.0/dig), 4) AS benford,
+         round(abs(n / t.t - log10(1.0 + 1.0/dig)), 4) AS dev
+       FROM c CROSS JOIN t ORDER BY dig""",
+    note="Benford first-significant-digit audit — the anomaly/fraud "
+    "screen over a monetary fact column.  The digit is extracted "
+    "arithmetically (floor(x / 10^floor(log10 x))), never via double-"
+    "to-string formatting, which differs between engines.  One "
+    "9-bucket combinable agg; the grand total broadcasts back",
+)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders").filter(F.col("o_totalprice") > 0)
+    dig = F.floor(
+        F.col("o_totalprice") / F.pow(10.0, F.floor(F.log10("o_totalprice")))
+    ).cast("int")
+    cnt = o.groupBy(dig.alias("dig")).agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.agg(F.sum("n").alias("t"))
+    benford = F.log10(1.0 + 1.0 / F.col("dig"))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "dig",
+            "n",
+            F.round(F.col("n") / F.col("t"), 4).alias("share"),
+            F.round(benford, 4).alias("benford"),
+            F.round(F.abs(F.col("n") / F.col("t") - benford), 4).alias("dev"),
+        )
+        .orderBy("dig")
+    )
+
+
 QUERIES = list(_Q)
