@@ -131,6 +131,35 @@ class Engine:
         (DataFrame(lm, node, d)) — basis for closeness/eccentricity."""
         return algorithms.multi_source_bfs(self.graph(), landmarks, max_hops)
 
+    def betweenness(self, sources: list | None = None, normalized: bool = False) -> DataFrame:
+        """Brandes betweenness centrality; `sources` samples the sweeps
+        (Brandes-Pich) — None is exact and only sane on small graphs."""
+        return algorithms.betweenness_centrality(
+            self.graph(), sources=sources, normalized=normalized
+        )
+
+    def maximal_matching(self, rounds: int = 3) -> DataFrame:
+        """Greedy maximal weighted matching (propose-accept rounds) on
+        the sales graph."""
+        return algorithms.maximal_weight_matching(
+            self.catalog.graph_edges().select("src", "dst", "weight"), rounds=rounds
+        )
+
+    def walks(self) -> DataFrame:
+        """Deterministic 4-step hash-driven walks from every node (the
+        DeepWalk corpus generator, g41)."""
+        from .queries.gsuite import QUERIES
+
+        q = next(q for q in QUERIES if q.name == "g41_deterministic_walks")
+        return q.build(self.spark, self.catalog.sf_dir)
+
+    def copurchase_graph(self) -> DataFrame:
+        """Market-basket part-part co-occurrence projection (g38)."""
+        from .queries.gsuite import QUERIES
+
+        q = next(q for q in QUERIES if q.name == "g38_copurchase_projection")
+        return q.build(self.spark, self.catalog.sf_dir)
+
     def node_similarity(self, min_common: int = 2, min_items: int = 2) -> DataFrame:
         """Jaccard similarity between suppliers by shared customers."""
         from pyspark.sql import functions as F
@@ -212,7 +241,26 @@ class Engine:
         )
         return build_rollup(grain, ["entity_id"], "ts", "value", bucket)
 
+    def temporal_align(self, tp: DataFrame, props: list, **kw) -> DataFrame:
+        """Widen several piecewise-constant properties onto the union of
+        their change-points with per-column forward fill (the temporal
+        join)."""
+        return tprop.align(tp, props, **kw)
+
     # -- LLM-data pipeline ----------------------------------------------
+    def kmeans(self, emb: DataFrame, k: int = 8, iters: int = 3, **kw) -> DataFrame:
+        """Distributed Lloyd's k-means over an embedding column; returns
+        the final assignment (vec_id, v, cid, dist)."""
+        from .operators.similarity import kmeans_lloyd
+
+        return kmeans_lloyd(emb, k=k, iters=iters, **kw)
+
+    def write_zordered(self, df: DataFrame, path: str, col_a: str, col_b: str, n_files: int, **kw) -> None:
+        """Z-order-clustered parquet write (two-key min-max pruning)."""
+        from .sources.writers import write_zordered
+
+        write_zordered(df, path, col_a, col_b, n_files, **kw)
+
     def dedup_exact(self, df: DataFrame, text_col: str = "text") -> DataFrame:
         from .operators.dedup import exact_dedup_groups
 

@@ -107,3 +107,38 @@ def test_engine_new_surfaces(spark):
     s = eng.surprisal(docs)
     assert s.count() == docs.count()
     assert s.filter(s.surprisal <= 0).count() == 0
+
+
+def test_engine_round_continuation_surfaces(spark):
+    """Facade coverage for the newest operators: betweenness, matching,
+    walks, temporal align, k-means, co-purchase projection."""
+    from pyspark.sql import functions as F
+
+    from graph_spark.engine import Engine
+
+    from .conftest import SF_SMOKE
+
+    eng = Engine(spark, SF_SMOKE)
+
+    bc = eng.betweenness(sources=["c1"]).collect()
+    assert bc and all(r["bc"] >= 0.0 for r in bc)
+
+    m = eng.maximal_matching().collect()
+    nodes = [n for r in m for n in (r["src"], r["dst"])]
+    assert m and len(nodes) == len(set(nodes))
+
+    w = eng.walks().collect()
+    assert w and all(r["path"].startswith(r["start"]) for r in w)
+
+    tp = eng.table("events").selectExpr(
+        "user_id AS entity_id", "event_type AS prop", "ts", "value"
+    )
+    al = eng.temporal_align(tp, ["click", "view"])
+    assert {"click", "view"} <= set(al.columns)
+
+    km = eng.kmeans(eng.table("embeddings"), k=4, iters=2)
+    assert km.select("cid").distinct().count() <= 4
+    assert km.count() == eng.table("embeddings").count()
+
+    cp = eng.copurchase_graph().collect()
+    assert all(r["p1"] < r["p2"] for r in cp)
