@@ -2953,4 +2953,85 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "t32_burst_detection",
+    """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS h,
+         count(*) AS n FROM events GROUP BY 1, 2),
+       z AS (SELECT event_type, h, n,
+         avg(n) OVER w AS mu, stddev_samp(n) OVER w AS sd
+         FROM b WINDOW w AS (PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+       SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S.%f') AS hh, n,
+         round((n - mu) / sd, 2) AS zscore
+       FROM z WHERE sd > 0 AND (n - mu) / sd > 2.5 ORDER BY 1, 2""",
+    note="rate-burst detection: hourly event counts scored against a "
+    "trailing 24-hour mean/std frame that EXCLUDES the current row "
+    "(so a burst can't suppress its own baseline) — the ops-anomaly "
+    "read.  The window runs on the pre-aggregated hourly series, "
+    "never raw events; the 2.5-sigma threshold is applied to the "
+    "unrounded score (a boundary flip would need both engines' "
+    "sequential cumulative sums to diverge across the threshold, "
+    "~1e-13 relative)",
+)
+def t32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    b = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-24, -1)
+    z = b.select(
+        "event_type", "h", "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sd"),
+    )
+    score = (F.col("n") - F.col("mu")) / F.col("sd")
+    return (
+        z.filter((F.col("sd") > 0) & (score > 2.5))
+        .select(
+            "event_type",
+            ts_str(F.col("h")).alias("hh"),
+            "n",
+            F.round(score, 2).alias("zscore"),
+        )
+        .orderBy("event_type", "hh")
+    )
+
+
+@_q(
+    "q73_weighted_median",
+    """WITH s AS (SELECT l_returnflag AS rf, l_quantity AS q,
+         sum(l_extendedprice) OVER (PARTITION BY l_returnflag
+           ORDER BY l_quantity, l_orderkey, l_linenumber) AS cw,
+         sum(l_extendedprice) OVER (PARTITION BY l_returnflag) AS tw
+       FROM lineitem)
+       SELECT rf, min(q) AS wmedian FROM s WHERE cw >= tw / 2
+       GROUP BY 1 ORDER BY 1""",
+    note="weighted median (value where cumulative weight crosses half "
+    "the total) — the robust center when rows carry unequal mass, "
+    "which plain median ignores.  Cumulative ordering carries a full "
+    "(value, orderkey, linenumber) tie-break so the crossing row is "
+    "unique; one window shuffle on the group key",
+)
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    s = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_quantity").alias("q"),
+        F.sum("l_extendedprice").over(wc).alias("cw"),
+        F.sum("l_extendedprice").over(wt).alias("tw"),
+    )
+    return (
+        s.filter(F.col("cw") >= F.col("tw") / 2)
+        .groupBy("rf")
+        .agg(F.min("q").alias("wmedian"))
+        .orderBy("rf")
+    )
+
+
 QUERIES = list(_Q)
