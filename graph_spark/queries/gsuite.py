@@ -1493,4 +1493,36 @@ def g41(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.select("start", "path").orderBy("start")
 
 
+@_g(
+    "g42_temporal_wedges",
+    f"""WITH {GRAPH_CTES}
+       SELECT a.dst AS supplier, count(*) AS n_wedges
+       FROM graph_edges a JOIN graph_edges b
+         ON a.dst = b.dst AND b.first_ts >= a.first_ts AND b.src <> a.src
+       GROUP BY 1 ORDER BY 1""",
+    note="time-respecting wedge motifs c -> s -> c' (the temporal "
+    "2-path count per middle node): the second leg must not precede "
+    "the first — the temporal-motif read that separates plausible "
+    "influence paths from coincidental co-edges.  An inverted-index "
+    "self-join on the shared supplier with the time order as a "
+    "residual predicate; hub suppliers dominate (fan-out choose 2) — "
+    "the g25/q74 skew audits decide capping",
+)
+def g42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ge = Catalog(spark, sf_dir).graph_edges().select("src", "dst", "first_ts")
+    a = ge.alias("a")
+    b = ge.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.dst") == F.col("b.dst"))
+            & (F.col("b.first_ts") >= F.col("a.first_ts"))
+            & (F.col("b.src") != F.col("a.src")),
+        )
+        .groupBy(F.col("a.dst").alias("supplier"))
+        .agg(F.count(F.lit(1)).alias("n_wedges"))
+        .orderBy("supplier")
+    )
+
+
 QUERIES = list(_G)

@@ -3034,4 +3034,29 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q74_join_explosion_audit",
+    """WITH k AS (SELECT l_partkey AS pk, count(*) AS n
+         FROM lineitem GROUP BY 1)
+       SELECT count(*) AS n_keys, CAST(max(n) AS BIGINT) AS max_mult,
+         CAST(sum(n*n) AS BIGINT) AS predicted_pairs,
+         round(max(n) / avg(n), 2) AS skew_ratio
+       FROM k""",
+    note="the audit run BEFORE a self-join or fact-fact join at scale: "
+    "per-key multiplicities, the exact predicted output size "
+    "(sum n^2), and the hot-key skew ratio that decides whether to "
+    "salt (SCALE.md) — one combinable count plus a 4-scalar "
+    "re-aggregation, costing one scan instead of one blown-up join",
+)
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    k = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    return k.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_mult"),
+        F.sum(F.col("n") * F.col("n")).alias("predicted_pairs"),
+        F.round(F.max("n") / F.avg("n"), 2).alias("skew_ratio"),
+    )
+
+
 QUERIES = list(_Q)
