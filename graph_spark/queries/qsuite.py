@@ -3059,4 +3059,41 @@ def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q75_share_of_parent",
+    """WITH n AS (SELECT r_name, n_name,
+         floor(sum(o_totalprice) * 100 + 0.5) / 100 AS rev
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2)
+       SELECT r_name, n_name, rev,
+         round(100.0 * rev / sum(rev) OVER (PARTITION BY r_name), 2)
+           AS pct_of_region,
+         round(100.0 * rev / sum(rev) OVER (), 2) AS pct_of_total
+       FROM n ORDER BY 1, 2""",
+    note="ratio-to-parent at two hierarchy levels (nation within "
+    "region, region within grand total) — the BI share read.  Both "
+    "window totals run over the tiny pre-aggregated (region, nation) "
+    "series, and the shares divide ALREADY-ROUNDED revenue so the "
+    "ratio is cross-engine stable; dims broadcast, one shuffle total",
+)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    n = (
+        c.table("orders")
+        .join(F.broadcast(c.table("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c.table("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(c.table("region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg((F.floor(F.sum("o_totalprice") * 100 + 0.5) / 100).alias("rev"))
+    )
+    wr = Window.partitionBy("r_name")
+    wt = Window.partitionBy()
+    return n.select(
+        "r_name", "n_name", "rev",
+        F.round(100.0 * F.col("rev") / F.sum("rev").over(wr), 2).alias("pct_of_region"),
+        F.round(100.0 * F.col("rev") / F.sum("rev").over(wt), 2).alias("pct_of_total"),
+    ).orderBy("r_name", "n_name")
+
+
 QUERIES = list(_Q)
