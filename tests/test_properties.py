@@ -547,3 +547,65 @@ def test_matching_reference_parity_and_disjointness(spark, seed):
     assert got == want, f"seed={seed}"
     nodes = [n for s, d in got for n in (s, d)]
     assert len(nodes) == len(set(nodes)), f"matching not disjoint seed={seed}"
+
+
+def test_kmeans_inertia_monotone(spark):
+    """Lloyd's objective never increases: total inertia after i
+    assignment rounds is non-increasing in i."""
+    from pyspark.sql import functions as F
+
+    from graph_spark.catalog import Catalog
+    from graph_spark.operators.similarity import kmeans_lloyd
+
+    emb = Catalog(spark, "/root/testdata/sf0.001").table("embeddings")
+    inertias = []
+    for iters in (1, 2, 3):
+        a = kmeans_lloyd(emb, k=6, iters=iters)
+        inertias.append(a.agg(F.sum("dist")).first()[0])
+    assert inertias[0] >= inertias[1] >= inertias[2], inertias
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_temporal_align_matches_point_reads(spark, seed):
+    """align(): at every output row, each widened column must equal the
+    prop's latest value <= that row's ts (piecewise-constant point
+    read), NULL before the first change-point."""
+    import datetime as dt
+
+    from graph_spark.temporal.tprop import align
+
+    rng = random.Random(seed * 13)
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for ent in range(5):
+        for prop in ("a", "b"):
+            for _ in range(rng.randrange(1, 8)):
+                ts = t0 + dt.timedelta(minutes=rng.randrange(10_000))
+                rows.append((f"e{ent}", prop, ts, float(rng.randrange(100))))
+    # dedupe same (entity, prop, ts) writes — align requires upstream
+    # disambiguation of same-ts same-prop rows
+    seen = {}
+    for e, p, ts, v in rows:
+        seen[(e, p, ts)] = v
+    data = [(e, p, ts, v) for (e, p, ts), v in seen.items()]
+    tp = spark.createDataFrame(data, ["entity_id", "prop", "ts", "value"])
+    got = align(tp, ["a", "b"]).collect()
+
+    series = {}
+    for e, p, ts, v in data:
+        series.setdefault((e, p), []).append((ts, v))
+    for s in series.values():
+        s.sort()
+
+    def point_read(e, p, ts):
+        best = None
+        for t, v in series.get((e, p), []):
+            if t <= ts:
+                best = v
+        return best
+
+    union_pts = {(e, ts) for e, p, ts, v in data}
+    assert {(r["entity_id"], r["ts"]) for r in got} == union_pts
+    for r in got:
+        for p in ("a", "b"):
+            assert r[p] == point_read(r["entity_id"], p, r["ts"]), r
