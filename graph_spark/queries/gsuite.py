@@ -1525,4 +1525,67 @@ def g42(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g43_neighborhood_agg",
+    f"""WITH {GRAPH_CTES},
+       feat AS (SELECT 'c'||c_custkey AS node,
+                CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS f FROM customer
+                UNION ALL SELECT 's'||s_suppkey,
+                CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) FROM supplier),
+       h1 AS (SELECT e.src AS node, sum(f.f) AS h1
+              FROM graph_edges_sym e JOIN feat f ON f.node = e.dst GROUP BY 1),
+       h2 AS (SELECT e.src AS node, sum(h.h1) AS h2
+              FROM graph_edges_sym e JOIN h1 h ON h.node = e.dst GROUP BY 1)
+       SELECT f.node, f.f AS f_cents, CAST(h1.h1 AS BIGINT) AS h1_cents,
+         CAST(h2.h2 AS BIGINT) AS h2_cents
+       FROM feat f JOIN h1 ON h1.node = f.node JOIN h2 ON h2.node = f.node
+       ORDER BY 1""",
+    note="two-round SUM-pooling neighborhood aggregation of a node "
+    "feature (account balance) — the GraphSAGE/GNN message-passing "
+    "primitive as a declared query: layer h1 = sum of neighbor "
+    "features, layer h2 = sum of neighbor h1.  The feature is "
+    "converted once to EXACT integer cents (floor(x*100+0.5), works "
+    "for negatives) so every layer is integer arithmetic — the "
+    "mean-pooling variant stacks float roundings whose half-boundary "
+    "cases diverge across engines (observed: avg-of-rounded hit an "
+    "exact .005).  Per layer one join + one combinable groupBy on "
+    "the stationary edge list — the Pregel superstep cost",
+)
+def g43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    cents = lambda col: F.floor(col * 100 + 0.5).cast("long")
+    feat = (
+        c.table("customer")
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey")).alias("node"),
+            cents(F.col("c_acctbal")).alias("f"),
+        )
+        .unionAll(
+            c.table("supplier").select(
+                F.concat(F.lit("s"), F.col("s_suppkey")).alias("node"),
+                cents(F.col("s_acctbal")).alias("f"),
+            )
+        )
+    )
+    sym = c.graph_edges_sym()
+
+    def layer(prev: DataFrame, col: str, out: str) -> DataFrame:
+        p = prev.select(F.col("node").alias("pn"), F.col(col).alias("pv"))
+        return (
+            sym.join(F.broadcast(p), F.col("dst") == F.col("pn"))
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("pv").alias(out))
+        )
+
+    h1 = layer(feat, "f", "h1")
+    h2 = layer(h1, "h1", "h2")
+    return (
+        feat.select("node", F.col("f").alias("f_cents"))
+        .join(h1, "node")
+        .join(h2, "node")
+        .select("node", "f_cents", F.col("h1").alias("h1_cents"), F.col("h2").alias("h2_cents"))
+        .orderBy("node")
+    )
+
+
 QUERIES = list(_G)

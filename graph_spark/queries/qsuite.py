@@ -3096,4 +3096,47 @@ def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("r_name", "n_name")
 
 
+@_q(
+    "t33_cusum_change_detection",
+    """WITH d AS (SELECT r_name, CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+         floor(sum(o_totalprice) * 100 + 0.5) / 100 AS rev
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2),
+       m AS (SELECT *, avg(rev) OVER (PARTITION BY r_name) AS mu FROM d),
+       c AS (SELECT r_name, d, sum(rev - mu) OVER
+               (PARTITION BY r_name ORDER BY d) AS cs FROM m),
+       f AS (SELECT r_name, d, round(cs - min(cs) OVER
+               (PARTITION BY r_name ORDER BY d), 2) AS cusum FROM c)
+       SELECT r_name, strftime(d, '%Y-%m-%d') AS day, cusum FROM f
+       ORDER BY cusum DESC, r_name, day LIMIT 20""",
+    note="one-sided CUSUM control chart per region, via the prefix-sum "
+    "identity max(0, S_prev + x) == cs - running_min(cs) — which turns "
+    "the inherently recursive CUSUM into two plain windows, the only "
+    "way it distributes.  Windows run over the pre-aggregated daily "
+    "series; top-20 upward drifts with a rounded-value sort key and "
+    "full tie-break",
+)
+def t33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    d = (
+        c.table("orders")
+        .join(F.broadcast(c.table("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c.table("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(c.table("region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", F.to_date("o_orderdate").alias("d"))
+        .agg((F.floor(F.sum("o_totalprice") * 100 + 0.5) / 100).alias("rev"))
+    )
+    wp = Window.partitionBy("r_name")
+    wo = Window.partitionBy("r_name").orderBy("d")
+    m = d.withColumn("mu", F.avg("rev").over(wp))
+    cs = m.withColumn("cs", F.sum(F.col("rev") - F.col("mu")).over(wo))
+    f = cs.select(
+        "r_name",
+        date_str(F.col("d")).alias("day"),
+        F.round(F.col("cs") - F.min("cs").over(wo), 2).alias("cusum"),
+    )
+    return f.orderBy(F.desc("cusum"), "r_name", "day").limit(20)
+
+
 QUERIES = list(_Q)
