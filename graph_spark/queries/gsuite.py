@@ -1588,4 +1588,52 @@ def g43(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g44_rich_club",
+    f"""WITH {GRAPH_CTES},
+       deg AS (SELECT src AS node, count(*) AS d FROM graph_edges_sym GROUP BY 1),
+       k AS (SELECT CAST(floor(count(*) * 0.1) AS BIGINT) AS k FROM deg),
+       top AS (SELECT node FROM (SELECT node, row_number() OVER
+               (ORDER BY d DESC, node) AS r FROM deg) t, k WHERE r <= k.k),
+       inedges AS (SELECT count(*) AS m FROM graph_edges_sym s
+                   JOIN top a ON s.src = a.node JOIN top b ON s.dst = b.node),
+       nk AS (SELECT count(*) AS n FROM top)
+       SELECT CAST(nk.n AS BIGINT) AS n_club, CAST(inedges.m / 2 AS BIGINT) AS club_edges,
+         round(inedges.m / (nk.n * (nk.n - 1.0)), 4) AS density
+       FROM inedges CROSS JOIN nk""",
+    note="rich-club coefficient: edge density among the top-decile-"
+    "degree nodes — do hubs preferentially wire to each other "
+    "(infrastructure/influence core) or not.  Degree count + ranked "
+    "cut + two broadcast semi-joins of the edge list against the "
+    "small club set; the doubled symmetric count halves exactly "
+    "(always even), so the output is integer-stable",
+)
+def g44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    sym = c.graph_edges_sym()
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    kcut = deg.agg(F.floor(F.count(F.lit(1)) * 0.1).cast("long").alias("k"))
+    ranked = deg.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("d"), F.asc("node")))
+    )
+    top = (
+        ranked.crossJoin(F.broadcast(kcut))
+        .filter(F.col("r") <= F.col("k"))
+        .select("node")
+    )
+    a = F.broadcast(top.select(F.col("node").alias("an")))
+    b = F.broadcast(top.select(F.col("node").alias("bn")))
+    m = (
+        sym.join(a, sym.src == F.col("an"))
+        .join(b, sym.dst == F.col("bn"))
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    n = top.agg(F.count(F.lit(1)).alias("n"))
+    return m.crossJoin(F.broadcast(n)).select(
+        F.col("n").cast("long").alias("n_club"),
+        (F.col("m") / 2).cast("long").alias("club_edges"),
+        F.round(F.col("m") / (F.col("n") * (F.col("n") - 1.0)), 4).alias("density"),
+    )
+
+
 QUERIES = list(_G)

@@ -1303,4 +1303,50 @@ def l36(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l37_mixing_rates",
+    """WITH tok AS (SELECT lang, sum(len(string_split(text, ' '))) AS tokens
+         FROM documents GROUP BY 1),
+       tot AS (SELECT sum(tokens) AS t FROM tok),
+       tgt AS (SELECT lang, CAST(target AS DOUBLE) AS target FROM (VALUES
+         ('en', 0.4), ('de', 0.15), ('es', 0.15), ('fr', 0.15), ('zh', 0.15))
+         v(lang, target)),
+       j AS (SELECT tok.lang, tokens, tokens / tot.t AS share, tgt.target
+             FROM tok CROSS JOIN tot JOIN tgt USING (lang))
+       SELECT lang, CAST(tokens AS BIGINT) AS tokens, round(share, 4) AS share,
+         target, round(least(1.0, target / share), 4) AS sample_rate
+       FROM j ORDER BY 1""",
+    note="training-data mixture planning: per-language token counts vs "
+    "a target mix, yielding per-language downsampling rates "
+    "(min(1, target/actual) — over-represented sources get sampled "
+    "down, under-represented keep everything; upsampling is a "
+    "separate epoch-weighting decision).  One combinable token count, "
+    "scalar total broadcast back, 5-row literal target join — the "
+    "whole mixture plan costs one corpus scan",
+)
+def l37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    tok = d.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).alias("tokens")
+    )
+    tot = tok.agg(F.sum("tokens").alias("t"))
+    tgt = d.sparkSession.createDataFrame(
+        [("en", 0.4), ("de", 0.15), ("es", 0.15), ("fr", 0.15), ("zh", 0.15)],
+        ["lang", "target"],
+    )
+    share = F.col("tokens") / F.col("t")
+    return (
+        tok.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(tgt), "lang")
+        .select(
+            "lang",
+            F.col("tokens").cast("long").alias("tokens"),
+            F.round(share, 4).alias("share"),
+            "target",
+            F.round(F.least(F.lit(1.0), F.col("target") / share), 4).alias("sample_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = list(_L)
