@@ -113,6 +113,26 @@ def main() -> None:
     print("== UDF surface: SQL-registered python functions ==")
     eng.register_udfs()
     eng.sql("SELECT doc_id, round(char_entropy(text),3) AS entropy FROM documents LIMIT 5").show()
+    eng.sql(
+        "SELECT o_orderpriority, round(trimmed_mean(o_totalprice),2) AS tmean"
+        " FROM orders GROUP BY 1 ORDER BY 1"
+    ).show()
+
+    print("== graph: betweenness (sampled), matching, walks, rich club ==")
+    eng.betweenness(sources=["c1", "c2", "c3"]).orderBy(F.desc("bc")).show(5)
+    eng.maximal_matching().orderBy(F.desc("weight")).show(5)
+    eng.walks().show(3, truncate=False)
+    eng.copurchase_graph().show(5)
+
+    print("== temporal: align two properties onto one change-point series ==")
+    tp = eng.table("events").selectExpr(
+        "user_id AS entity_id", "event_type AS prop", "ts", "value"
+    )
+    eng.temporal_align(tp, ["click", "view"]).orderBy("entity_id", "ts").show(5)
+
+    print("== embeddings: distributed Lloyd's k-means ==")
+    km = eng.kmeans(eng.table("embeddings"), k=4, iters=2)
+    km.groupBy("cid").count().orderBy("cid").show()
 
     print("demo complete")
 
