@@ -3139,4 +3139,31 @@ def t33(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.orderBy(F.desc("cusum"), "r_name", "day").limit(20)
 
 
+@_q(
+    "q76_audience_overlap",
+    """WITH m AS (SELECT DISTINCT o_orderpriority AS pri, o_custkey AS c
+         FROM orders)
+       SELECT a.pri AS p1, b.pri AS p2, count(*) AS n_shared
+       FROM m a JOIN m b ON a.c = b.c AND a.pri <= b.pri
+       GROUP BY 1, 2 ORDER BY 1, 2""",
+    note="audience-overlap matrix: distinct members per group, then a "
+    "member-keyed self-join counting shared members for every group "
+    "pair (diagonal = audience size).  The join key is the MEMBER, so "
+    "cost is sum over members of (groups-per-member choose 2) — "
+    "bounded by the group count squared per member, never by group "
+    "sizes; the segmentation read behind reach/dedup planning",
+)
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    m = o.select(F.col("o_orderpriority").alias("pri"), F.col("o_custkey").alias("c")).distinct()
+    a = m.select(F.col("pri").alias("p1"), "c")
+    b = m.select(F.col("pri").alias("p2"), F.col("c").alias("c2"))
+    return (
+        a.join(b, (F.col("c") == F.col("c2")) & (F.col("p1") <= F.col("p2")))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .orderBy("p1", "p2")
+    )
+
+
 QUERIES = list(_Q)

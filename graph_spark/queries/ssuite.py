@@ -256,4 +256,34 @@ def s09(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hourly_value_histogram(ev: DataFrame) -> DataFrame:
+    """Shared transform for S10: per-window equi-width value histogram.
+    Bucket counts are plain mergeable aggregates, so the streaming form
+    carries one counter per (window, bucket) — the monitoring-
+    distribution read without quantile state."""
+    return ev.groupBy(
+        F.window("ts", "1 hour").alias("w"),
+        F.floor(F.col("value") / 100.0).cast("int").alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@_s(
+    "s10_stream_histogram",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S.%f') AS h,
+       CAST(floor(value / 100.0) AS INT) AS bucket, count(*) AS n
+       FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    note="streaming histogram: equi-width value buckets per tumbling "
+    "window — counts are mergeable, so state is one integer per "
+    "(window, bucket) and late data folds in exactly; replay parity "
+    "in tests/test_streaming.py",
+)
+def s10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    return (
+        hourly_value_histogram(ev)
+        .select(ts_str(F.col("w.start")).alias("h"), "bucket", "n")
+        .orderBy("h", "bucket")
+    )
+
+
 QUERIES = list(_S)

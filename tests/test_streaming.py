@@ -489,3 +489,16 @@ def test_transform_with_state_running_totals(spark, replay_dir):
         for r in batch.collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_s10_histogram_stream_equals_batch(spark, replay_dir):
+    from graph_spark.queries.ssuite import hourly_value_histogram
+
+    cols = ["h", "bucket", "n"]
+    batch = hourly_value_histogram(Catalog(spark, SF_SMOKE).table("events")).select(
+        F.col("w.start").alias("h"), "bucket", "n"
+    )
+    stream = run_stream(
+        spark, replay_dir, hourly_value_histogram, output_mode="complete"
+    ).select(F.col("w.start").alias("h"), "bucket", "n")
+    assert _rows(stream, cols) == _rows(batch, cols)
