@@ -1636,4 +1636,73 @@ def g44(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _modularity_oracle(rounds: int = 5) -> str:
+    """g15's unrolled LPA labels, then Newman modularity of that
+    partition: Q = sum_c [L_c/m - (D_c/2m)^2]."""
+    lp = _lp_oracle(rounds)
+    # strip g15's final SELECT, keep the WITH chain
+    with_chain = lp[: lp.rindex("SELECT node, label FROM")].rstrip()
+    prev = f"s{rounds}"
+    return (
+        with_chain
+        + f""",
+lab AS (SELECT node, label FROM {prev}),
+mm AS (SELECT count(*) / 2.0 AS m FROM graph_edges_sym),
+deg AS (SELECT src AS node, count(*) AS d FROM graph_edges_sym GROUP BY 1),
+dc AS (SELECT l.label, sum(d.d) AS dc FROM lab l JOIN deg d USING (node) GROUP BY 1),
+lc AS (SELECT a.label, count(*) / 2.0 AS lc FROM graph_edges_sym e
+       JOIN lab a ON a.node = e.src JOIN lab b ON b.node = e.dst
+       AND a.label = b.label GROUP BY 1)
+SELECT round(sum(coalesce(lc.lc, 0) / mm.m - pow(dc.dc / (2 * mm.m), 2)), 6)
+  AS modularity, CAST(count(*) AS BIGINT) AS n_communities
+FROM dc LEFT JOIN lc USING (label) CROSS JOIN mm GROUP BY mm.m"""
+    )
+
+
+@_g(
+    "g45_modularity",
+    _modularity_oracle(),
+    note="Newman modularity of the label-propagation partition (g15's "
+    "5 rounds): Q = sum_c [within-edges/m - (degree-mass/2m)^2] — the "
+    "partition-quality score that tells you whether LPA found real "
+    "community structure or noise.  Reuses g15's unrolled-LPA oracle "
+    "chain verbatim and appends three aggregates; Spark side scores "
+    "the engine's own LPA output with one edge join + two combinable "
+    "groupBys",
+)
+def g45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import label_propagation
+
+    c = Catalog(spark, sf_dir)
+    g = _sym_graph(c)
+    lab = label_propagation(g, max_iter=5).select("node", "label")
+    sym = c.graph_edges_sym()
+    m_df = sym.agg((F.count(F.lit(1)) / 2.0).alias("m"))
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    dc = (
+        lab.join(deg, "node")
+        .groupBy("label")
+        .agg(F.sum("d").alias("dc"))
+    )
+    la = F.broadcast(lab.select(F.col("node").alias("an"), F.col("label").alias("al")))
+    lb = F.broadcast(lab.select(F.col("node").alias("bn"), F.col("label").alias("bl")))
+    lc = (
+        sym.join(la, sym.src == F.col("an"))
+        .join(lb, (sym.dst == F.col("bn")) & (F.col("al") == F.col("bl")))
+        .groupBy(F.col("al").alias("label"))
+        .agg((F.count(F.lit(1)) / 2.0).alias("lc"))
+    )
+    per = dc.join(lc, "label", "left").crossJoin(F.broadcast(m_df))
+    return per.groupBy("m").agg(
+        F.round(
+            F.sum(
+                F.coalesce(F.col("lc"), F.lit(0.0)) / F.col("m")
+                - F.pow(F.col("dc") / (2 * F.col("m")), 2)
+            ),
+            6,
+        ).alias("modularity"),
+        F.count(F.lit(1)).alias("n_communities"),
+    ).select("modularity", "n_communities")
+
+
 QUERIES = list(_G)

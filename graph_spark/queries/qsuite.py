@@ -3166,4 +3166,52 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "t34_forecast_backtest",
+    """WITH d AS (SELECT r_name, CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+         floor(sum(o_totalprice) * 100 + 0.5) / 100 AS rev
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2),
+       f AS (SELECT r_name, rev, lag(rev, 7) OVER
+               (PARTITION BY r_name ORDER BY d) AS fc FROM d)
+       SELECT r_name, count(*) AS n_eval,
+         round(avg(abs(rev - fc)), 2) AS mae,
+         round(avg(abs(rev - fc) / rev) * 100, 2) AS mape_pct
+       FROM f WHERE fc IS NOT NULL GROUP BY 1 ORDER BY 1""",
+    note="forecast backtesting with the seasonal-naive baseline "
+    "(predict this day = 7 observations ago), scoring MAE and MAPE "
+    "per region — the evaluation harness any forecasting pipeline "
+    "needs BEFORE a model earns its keep, and the benchmark a model "
+    "must beat.  'Seven observations back' (not calendar days) is "
+    "the declared semantic, identical in both engines across date "
+    "gaps.  One window + one combinable agg over the pre-aggregated "
+    "daily series",
+)
+def t34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    d = (
+        c.table("orders")
+        .join(F.broadcast(c.table("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c.table("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(c.table("region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", F.to_date("o_orderdate").alias("d"))
+        .agg((F.floor(F.sum("o_totalprice") * 100 + 0.5) / 100).alias("rev"))
+    )
+    w = Window.partitionBy("r_name").orderBy("d")
+    f = d.select("r_name", "rev", F.lag("rev", 7).over(w).alias("fc")).filter(
+        F.col("fc").isNotNull()
+    )
+    err = F.abs(F.col("rev") - F.col("fc"))
+    return (
+        f.groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.round(F.avg(err), 2).alias("mae"),
+            F.round(F.avg(err / F.col("rev")) * 100, 2).alias("mape_pct"),
+        )
+        .orderBy("r_name")
+    )
+
+
 QUERIES = list(_Q)
