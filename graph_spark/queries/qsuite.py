@@ -3214,4 +3214,87 @@ def t34(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "t35_scd2_point_in_time",
+    """WITH u AS (SELECT o_custkey, o_orderdate,
+         round(max(o_totalprice), 2) AS value
+       FROM orders WHERE o_custkey < 100 GROUP BY 1, 2),
+       h AS (SELECT o_custkey, o_orderdate AS vf, value,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate) AS vt FROM u)
+       SELECT o_custkey, value FROM h
+       WHERE vf <= TIMESTAMP '1998-06-01'
+         AND (vt IS NULL OR TIMESTAMP '1998-06-01' < vt)
+       ORDER BY 1""",
+    note="point-in-time dimension read over q32's SCD-2 history: the "
+    "row whose [valid_from, valid_to) interval contains t — the AS OF "
+    "join side of history-preserving upserts, and the reference's "
+    "temporal point-read re-expressed over immutable rows.  At scale "
+    "the validity filter prunes on the history table's time-bucket "
+    "partitioning; entities absent at t (first change after t) "
+    "correctly drop out",
+)
+def t35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.writers import upsert_scd2
+
+    o = Catalog(spark, sf_dir).table("orders").filter(F.col("o_custkey") < 100)
+    updates = o.groupBy("o_custkey", "o_orderdate").agg(
+        F.round(F.max("o_totalprice"), 2).alias("value")
+    )
+    hist = upsert_scd2(updates.limit(0), updates, ["o_custkey"], "o_orderdate")
+    t = F.lit("1998-06-01").cast("timestamp")
+    return (
+        hist.filter(
+            (F.col("o_orderdate") <= t)
+            & (F.col("valid_to").isNull() | (t < F.col("valid_to")))
+        )
+        .select("o_custkey", "value")
+        .orderBy("o_custkey")
+    )
+
+
+@_q(
+    "q77_profile_audit",
+    """SELECT 'event_type' AS col, count(*) AS n,
+         count(event_type) AS n_nonnull,
+         count(DISTINCT event_type) AS n_distinct FROM events
+       UNION ALL SELECT 'props', count(*), count(props),
+         count(DISTINCT props) FROM events
+       UNION ALL SELECT 'user_id', count(*), count(user_id),
+         count(DISTINCT user_id) FROM events
+       UNION ALL SELECT 'value', count(*), count(value),
+         count(DISTINCT value) FROM events
+       ORDER BY 1""",
+    note="table profiling audit (per-column row/non-null/distinct "
+    "counts) — the dbt-test / data-contract read that gates a "
+    "pipeline run.  Each column's stats are one combinable agg; at "
+    "100 TB the four scans collapse to ONE via a multi-aggregate "
+    "projection (Catalyst shares the scan across the UNION branches "
+    "when expressed as a single agg — the Spark side does exactly "
+    "that and unpivots)",
+)
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    cols = ["event_type", "props", "user_id", "value"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+        ]
+    wide = ev.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__nn, {c}__nd" for c in cols
+    )
+    return (
+        wide.select(
+            F.expr(
+                f"stack({len(cols)}, {stack}) AS (col, n, n_nonnull, n_distinct)"
+            )
+        )
+        .orderBy("col")
+    )
+
+
 QUERIES = list(_Q)
