@@ -3297,4 +3297,85 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q79_table_checksum",
+    """WITH h AS (SELECT md5(o_orderkey || '|' || o_orderstatus || '|'
+           || CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)) AS m
+         FROM orders),
+       v AS (SELECT
+         (strpos('0123456789abcdef', substring(m, 1, 1)) - 1) * 1099511627776
+         + (strpos('0123456789abcdef', substring(m, 2, 1)) - 1) * 68719476736
+         + (strpos('0123456789abcdef', substring(m, 3, 1)) - 1) * 4294967296
+         + (strpos('0123456789abcdef', substring(m, 4, 1)) - 1) * 268435456
+         + (strpos('0123456789abcdef', substring(m, 5, 1)) - 1) * 16777216
+         + (strpos('0123456789abcdef', substring(m, 6, 1)) - 1) * 1048576
+         + (strpos('0123456789abcdef', substring(m, 7, 1)) - 1) * 65536
+         + (strpos('0123456789abcdef', substring(m, 8, 1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substring(m, 9, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substring(m, 10, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substring(m, 11, 1)) - 1) AS val
+       FROM h)
+       SELECT count(*) AS n_rows, CAST(sum(val) AS BIGINT) AS checksum
+       FROM v""",
+    note="order-independent table checksum: per-row md5 over the "
+    "business key + normalized values, folded to an 11-hex-digit int "
+    "and SUMMED — commutative, so it's a combinable aggregate needing "
+    "no sort, and two replicas compare with one number (the "
+    "pt-checksum / replica-consistency read).  Money normalizes to "
+    "integer cents before hashing so the hash input is exact text in "
+    "both engines.  At trillion-row scale the fold runs modular "
+    "per-partition to stay in 64 bits; hierarchical mod-sums compose",
+)
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    m = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey"),
+            F.col("o_orderstatus"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"),
+        )
+    )
+    val = None
+    for i in range(11):
+        d = (
+            F.instr(F.lit("0123456789abcdef"), F.substring(m, i + 1, 1)) - 1
+        ).cast("long") * F.lit(16 ** (10 - i)).cast("long")
+        val = d if val is None else val + d
+    return o.select(val.alias("val")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("val").cast("long").alias("checksum"),
+    )
+
+
+@_q(
+    "q78_inverted_index",
+    """WITH tok AS (SELECT DISTINCT t.term, doc_id FROM documents,
+         unnest(string_split(text, ' ')) AS t(term) WHERE t.term <> ''),
+       post AS (SELECT term, count(*) AS df,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+       FROM tok GROUP BY 1)
+       SELECT term, df, postings FROM post WHERE df <= 10
+       ORDER BY term""",
+    note="inverted-index build (term -> sorted posting list) for the "
+    "rare-term tail (df <= 10) — the retrieval-index read.  Postings "
+    "are rendered as a canonical comma string so both engines hash "
+    "identically; at scale posting lists stay arrays bucketed by "
+    "term, and hot head terms (stopwords) are exactly the ones a df "
+    "cap excludes here",
+)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    post = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias("postings"),
+    )
+    return post.filter(F.col("df") <= 10).select("term", "df", "postings").orderBy("term")
+
+
 QUERIES = list(_Q)
