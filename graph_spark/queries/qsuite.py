@@ -3378,4 +3378,60 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
     return post.filter(F.col("df") <= 10).select("term", "df", "postings").orderBy("term")
 
 
+@_q(
+    "t36_alert_episodes",
+    """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS h,
+         count(*) AS n FROM events GROUP BY 1, 2),
+       z AS (SELECT event_type, h, n, avg(n) OVER w AS mu,
+         stddev_samp(n) OVER w AS sd
+         FROM b WINDOW w AS (PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+       fl AS (SELECT event_type, h, round((n - mu) / sd, 2) AS zs
+              FROM z WHERE sd > 0 AND (n - mu) / sd > 2.0),
+       isl AS (SELECT *, epoch(h) / 3600 - row_number() OVER
+               (PARTITION BY event_type ORDER BY h) AS grp FROM fl)
+       SELECT event_type,
+         strftime(min(h), '%Y-%m-%d %H:%M:%S.%f') AS ep_start,
+         strftime(max(h), '%Y-%m-%d %H:%M:%S.%f') AS ep_end,
+         count(*) AS n_hours, max(zs) AS peak_z
+       FROM isl GROUP BY event_type, grp ORDER BY 1, 2""",
+    note="alert-episode condensation: t32's burst flags merged into "
+    "contiguous episodes via gaps-and-islands (hour-index minus "
+    "row_number is constant within a run), reporting span + peak "
+    "z-score — what a pager actually wants instead of per-hour spam.  "
+    "The island key stays exact as a double (hours-since-epoch << "
+    "2^52); everything runs on the tiny flagged set",
+)
+def t36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    b = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-24, -1)
+    z = b.select(
+        "event_type", "h", "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sd"),
+    )
+    score = (F.col("n") - F.col("mu")) / F.col("sd")
+    fl = z.filter((F.col("sd") > 0) & (score > 2.0)).select(
+        "event_type", "h", F.round(score, 2).alias("zs")
+    )
+    wr = Window.partitionBy("event_type").orderBy("h")
+    isl = fl.withColumn(
+        "grp", F.unix_timestamp("h") / 3600 - F.row_number().over(wr)
+    )
+    return (
+        isl.groupBy("event_type", "grp")
+        .agg(
+            ts_str(F.min("h")).alias("ep_start"),
+            ts_str(F.max("h")).alias("ep_end"),
+            F.count(F.lit(1)).alias("n_hours"),
+            F.max("zs").alias("peak_z"),
+        )
+        .select("event_type", "ep_start", "ep_end", "n_hours", "peak_z")
+        .orderBy("event_type", "ep_start")
+    )
+
+
 QUERIES = list(_Q)

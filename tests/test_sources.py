@@ -321,3 +321,22 @@ def test_zorder_layout_prunes_both_columns(spark, tmp_path):
     assert (
         spark.read.parquet(zdir).count() == spark.read.parquet(sdir).count() == li.count()
     )
+
+
+def test_zorder_degenerate_constant_column(spark, tmp_path):
+    """A constant (or null-range) interleave column must not break the
+    write: its scaled bits collapse to zero and the layout degrades to
+    single-key clustering on the other column."""
+    from pyspark.sql import functions as F
+
+    from graph_spark.catalog import Catalog
+    from graph_spark.sources.writers import write_zordered
+
+    li = (
+        Catalog(spark, "/root/testdata/sf0.001")
+        .table("lineitem")
+        .select("l_orderkey", F.lit(7).alias("const"))
+    )
+    out = str(tmp_path / "zc")
+    write_zordered(li, out, "l_orderkey", "const", n_files=4)
+    assert spark.read.parquet(out).count() == li.count()
