@@ -149,3 +149,69 @@ class TemporalPropertyStore:
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+
+    def write_unsets(
+        self, df: DataFrame, entity_col="entity_id", prop=None, ts_col="ts"
+    ) -> "TemporalPropertyStore":
+        """Explicit unset (delete-from-t-onward): a NULL change-point —
+        the property has no value from ts until a later write covers
+        it.  The removeTemporalProperty analog, kept append-only."""
+        seq = self._next_seq
+        rows = df.select(
+            F.col(entity_col).cast("long").alias("entity_id"),
+            (F.lit(prop) if prop is not None else F.col("prop")).alias("prop"),
+            F.col(ts_col).alias("ts"),
+            F.lit(None).cast(dict(self.log.dtypes)["value"]).alias("value"),
+            F.lit(seq).cast("long").alias("seq"),
+        )
+        return TemporalPropertyStore(self.log.unionByName(rows), seq + 1)
+
+    def timeline(self, start_ts, end_ts, prop: str | None = None) -> DataFrame:
+        """Range read of the piecewise function itself: validity
+        segments CLIPPED to [start, end), including the prefix of the
+        segment straddling start — the getTemporalProperty(key, range)
+        timeline form, not an aggregate.  Returns (entity_id, value,
+        valid_from, valid_to) with NULL-valued (unset) spans dropped."""
+        seg = tprop.segments(self._latest_per_ts(prop))
+        clipped_from = F.greatest(F.col("valid_from"), F.lit(start_ts).cast("timestamp"))
+        clipped_to = F.least(
+            F.coalesce(F.col("valid_to"), F.lit(end_ts).cast("timestamp")),
+            F.lit(end_ts).cast("timestamp"),
+        )
+        return (
+            seg.filter(F.col("value").isNotNull())
+            .withColumn("valid_from", clipped_from)
+            .withColumn("valid_to", clipped_to)
+            .filter(F.col("valid_from") < F.col("valid_to"))
+        )
+
+    def values_at_many(self, probes: DataFrame, prop: str | None = None,
+                       entity_col="entity_id", ts_col="ts") -> DataFrame:
+        """Batch point-read at PER-ROW timestamps: for each probe
+        (entity, t), the latest change-point <= t — the as-of join over
+        the store, serving a workload of mixed-time lookups in ONE pass
+        instead of one value_at() job per timestamp."""
+        from ..operators.relational import asof_join
+
+        left = probes.select(
+            F.col(entity_col).cast("long").alias("entity_id"),
+            F.col(ts_col).alias("__t"),
+        )
+        # wrap the value in a struct: the as-of fill skips NULLs, and a
+        # bare NULL unset marker would wrongly resurrect the previous
+        # value — the non-null struct carries the unset through
+        right = self._latest_per_ts(prop).select(
+            "entity_id", F.col("ts").alias("__rt"), F.struct("value").alias("__v")
+        )
+        return asof_join(
+            left, right, ["entity_id"], "__t", "__rt"
+        ).select(
+            "entity_id",
+            F.col("__t").alias("ts"),
+            F.col("asof___v.value").alias("value"),
+        )
+
+    def align(self, props: list) -> DataFrame:
+        """Widen several properties onto the union of their
+        change-points with per-column forward fill (temporal join)."""
+        return tprop.align(self._latest_per_ts(None), props)

@@ -137,3 +137,52 @@ class TestTemporalPropertyStore:
             b = {r["entity_id"]: r["value"] for r in tprop.value_at(
                 compact, F.lit(ts).cast("timestamp"), tiebreak="seq").collect()}
             assert a == b, ts
+
+
+def test_store_timeline_values_at_many_and_unsets(spark):
+    """New store surfaces: timeline clipping (straddling segment keeps
+    its in-range prefix), per-row-timestamp batch reads (including the
+    NULL-unset case the naive as-of fill would resurrect), and align."""
+    import datetime as dt
+
+    from graph_spark.temporal.store import TemporalPropertyStore
+
+    T = lambda s: dt.datetime.fromisoformat(s)
+    pts = spark.createDataFrame(
+        [(1, T("2024-01-01"), 10.0), (1, T("2024-01-10"), 20.0),
+         (2, T("2024-01-05"), 5.0)],
+        ["entity_id", "ts", "value"],
+    )
+    st = TemporalPropertyStore.empty(spark).write_points(pts, prop="p")
+    st = st.write_unsets(
+        spark.createDataFrame([(2, T("2024-01-20"))], ["entity_id", "ts"]), prop="p"
+    )
+
+    # timeline over [01-05, 01-15): e1's first segment straddles the start
+    tl = {
+        (r["entity_id"], r["valid_from"], r["valid_to"]): r["value"]
+        for r in st.timeline(T("2024-01-05"), T("2024-01-15"), prop="p").collect()
+    }
+    assert tl[(1, T("2024-01-05"), T("2024-01-10"))] == 10.0
+    assert tl[(1, T("2024-01-10"), T("2024-01-15"))] == 20.0
+    assert tl[(2, T("2024-01-05"), T("2024-01-15"))] == 5.0
+
+    probes = spark.createDataFrame(
+        [(1, T("2024-01-02")), (1, T("2024-01-12")), (2, T("2024-01-25")),
+         (2, T("2024-01-01"))],
+        ["entity_id", "ts"],
+    )
+    got = {(r["entity_id"], r["ts"]): r["value"]
+           for r in st.values_at_many(probes, prop="p").collect()}
+    assert got[(1, T("2024-01-02"))] == 10.0
+    assert got[(1, T("2024-01-12"))] == 20.0
+    assert got[(2, T("2024-01-25"))] is None  # unset must NOT resurrect 5.0
+    assert got[(2, T("2024-01-01"))] is None  # before first write
+
+    st2 = st.write_points(
+        spark.createDataFrame([(1, T("2024-01-03"), 7.0)], ["entity_id", "ts", "value"]),
+        prop="q",
+    )
+    al = {(r["entity_id"], r["ts"]): (r["p"], r["q"]) for r in st2.align(["p", "q"]).collect()}
+    assert al[(1, T("2024-01-03"))] == (10.0, 7.0)
+    assert al[(1, T("2024-01-10"))] == (20.0, 7.0)
