@@ -160,6 +160,17 @@ class Engine:
         q = next(q for q in QUERIES if q.name == "g38_copurchase_projection")
         return q.build(self.spark, self.catalog.sf_dir)
 
+    def spanning_forest(self, max_rounds: int = 8) -> DataFrame:
+        """Borůvka minimum spanning forest of the (symmetrized) sales
+        graph weighted by trade volume."""
+        from pyspark.sql import functions as F
+
+        ge = self.catalog.graph_edges().select("src", "dst", "weight")
+        sym = ge.unionAll(
+            ge.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+        )
+        return algorithms.minimum_spanning_forest(sym, max_rounds=max_rounds)
+
     def node_similarity(self, min_common: int = 2, min_items: int = 2) -> DataFrame:
         """Jaccard similarity between suppliers by shared customers."""
         from pyspark.sql import functions as F

@@ -1252,3 +1252,70 @@ def maximal_weight_matching(
         if not remaining.take(1):
             break
     return matched
+
+
+def minimum_spanning_forest(
+    edges: DataFrame,
+    weight_col: str = "weight",
+    max_rounds: int = 8,
+) -> DataFrame:
+    """Borůvka minimum spanning forest over an undirected graph given
+    as SYMMETRIC weighted pairs (src, dst, w).  Per round every
+    component selects its minimum outgoing edge (ties broken on
+    (w, min_end, max_end) so the choice is deterministic even with
+    duplicate weights), selected edges join the forest, and components
+    merge.  O(log V) rounds — the distributed MST algorithm, vs
+    Kruskal's inherently sequential global edge sort.
+
+    Per round: one broadcast join to label endpoints with their
+    component, one argmin groupBy per component, and a component
+    relabel via connected_components over the (tiny) forest — edges
+    stay stationary throughout.  Returns the forest as canonical
+    (src < dst) edges: DataFrame(src, dst, <weight_col>).
+    """
+    e = edges.select("src", "dst", F.col(weight_col).alias("w"))
+    spark = e.sparkSession
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    comp = nodes.select("node", F.col("node").alias("comp")).localCheckpoint(eager=True)
+    forest = None
+    lo = F.least("src", "dst")
+    hi = F.greatest("src", "dst")
+    for _ in range(max_rounds):
+        ca = F.broadcast(comp.select(F.col("node").alias("an"), F.col("comp").alias("ac")))
+        cb = F.broadcast(comp.select(F.col("node").alias("bn"), F.col("comp").alias("bc")))
+        crossing = (
+            e.join(ca, e.src == F.col("an"))
+            .join(cb, e.dst == F.col("bn"))
+            .filter(F.col("ac") != F.col("bc"))
+        )
+        if not crossing.take(1):
+            break
+        pick = (
+            crossing.groupBy("ac")
+            .agg(F.min(F.struct(F.col("w"), lo.alias("lo"), hi.alias("hi"))).alias("m"))
+            .select(
+                F.col("m.lo").alias("src"), F.col("m.hi").alias("dst"), F.col("m.w").alias("w")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        forest = pick if forest is None else forest.unionByName(pick).distinct()
+        forest = forest.localCheckpoint(eager=True)
+        sym_forest = forest.select("src", "dst").unionByName(
+            forest.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        cc = connected_components(
+            PropertyGraph(nodes.select(F.col("node").alias("id")), sym_forest)
+        )
+        comp = (
+            nodes.join(
+                cc.withColumnRenamed("node", "n"), nodes.node == F.col("n"), "left"
+            )
+            .select("node", F.coalesce("component", "node").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+    if forest is None:
+        return spark.createDataFrame([], "src string, dst string, w double").withColumnRenamed(
+            "w", weight_col
+        )
+    return forest.select("src", "dst", F.col("w").alias(weight_col))

@@ -1705,4 +1705,63 @@ def g45(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("modularity", "n_communities")
 
 
+@_g(
+    "g46_boruvka_step",
+    """WITH ge AS (
+         SELECT 'c'||o.o_custkey AS src, 's'||l.l_suppkey AS dst,
+           CAST(floor(sum(l.l_extendedprice*(1-l.l_discount)) * 100 + 0.5)
+                AS BIGINT) AS wc
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         GROUP BY 1, 2),
+       we AS (SELECT src, dst, wc FROM ge
+              UNION ALL SELECT dst, src, wc FROM ge),
+       p AS (SELECT src, dst, wc, row_number() OVER (PARTITION BY src
+               ORDER BY wc, least(src, dst), greatest(src, dst)) AS rk
+             FROM we),
+       sel AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b,
+               wc FROM p WHERE rk = 1)
+       SELECT a, b, wc AS weight_cents FROM sel ORDER BY a, b""",
+    note="one Borůvka round on the sales graph: every node selects its "
+    "minimum-weight incident edge ((weight, endpoints) tie-break), "
+    "selections dedup to canonical pairs — the declared kernel of the "
+    "distributed MST.  The full O(log V) loop with component "
+    "contraction is `algorithms.minimum_spanning_forest`, property-"
+    "tested edge-for-edge against a Kruskal reference on random "
+    "distinct-weight graphs (unique-MSF argument).  Per round one "
+    "argmin groupBy — never a global edge sort, which is what makes "
+    "Borůvka the scale MST and Kruskal the sequential one",
+)
+def g46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    ge = (
+        c.table("lineitem")
+        .join(c.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(
+            F.floor(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100 + 0.5
+            )
+            .cast("long")
+            .alias("wc")
+        )
+    )
+    we = ge.unionAll(
+        ge.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "wc")
+    )
+    lo = F.least("src", "dst")
+    hi = F.greatest("src", "dst")
+    w = Window.partitionBy("src").orderBy("wc", lo, hi)
+    return (
+        we.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(lo.alias("a"), hi.alias("b"), "wc")
+        .distinct()
+        .select("a", "b", F.col("wc").alias("weight_cents"))
+        .orderBy("a", "b")
+    )
+
+
 QUERIES = list(_G)

@@ -609,3 +609,53 @@ def test_temporal_align_matches_point_reads(spark, seed):
     for r in got:
         for p in ("a", "b"):
             assert r[p] == point_read(r["entity_id"], p, r["ts"]), r
+
+
+def _py_kruskal(edges_undirected):
+    """Kruskal reference: with DISTINCT weights the MSF is unique, so
+    any correct algorithm must produce the same edge set."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    forest = []
+    for w, a, b in sorted((w, a, b) for a, b, w in edges_undirected):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            forest.append((min(a, b), max(a, b), w))
+    return sorted(forest)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_boruvka_msf_matches_kruskal(spark, seed):
+    from graph_spark.graph.algorithms import minimum_spanning_forest
+
+    rng = random.Random(seed * 23)
+    undirected = []
+    seen = set()
+    while len(undirected) < 60:
+        a, b = rng.randrange(30), rng.randrange(30)
+        if a == b:
+            continue
+        key = (min(a, b), max(a, b))
+        if key in seen:
+            continue
+        seen.add(key)
+        undirected.append((f"n{key[0]}", f"n{key[1]}", None))
+    # distinct weights -> unique MSF
+    weights = rng.sample(range(1, 10_000), len(undirected))
+    undirected = [(a, b, float(w)) for (a, b, _), w in zip(undirected, weights)]
+    want = _py_kruskal(undirected)
+    sym = undirected + [(b, a, w) for a, b, w in undirected]
+    e = spark.createDataFrame(sym, ["src", "dst", "weight"])
+    got = sorted(
+        (r["src"], r["dst"], r["weight"])
+        for r in minimum_spanning_forest(e).collect()
+    )
+    assert got == want, f"seed={seed}"
