@@ -3434,4 +3434,104 @@ def t36(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "t37_business_days",
+    """WITH lt AS (SELECT o_orderpriority AS pri,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d0,
+         CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d1
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       bd AS (SELECT pri,
+         (d1 // 7 - d0 // 7) * 5
+         + least((d1 % 7 + 3) % 7, 4) - least((d0 % 7 + 3) % 7, 4) AS bdays
+       FROM lt)
+       SELECT pri, count(*) AS n,
+         floor(avg(bdays) * 100 + 0.5) / 100 AS avg_bd,
+         CAST(min(bdays) AS INT) AS min_bd, CAST(max(bdays) AS INT) AS max_bd
+       FROM bd GROUP BY 1 ORDER BY 1""",
+    note="business-day (Mon-Fri) lead time per priority, via pure "
+    "epoch-day arithmetic: full-weeks*5 plus a clamped weekday "
+    "offset — engine day-of-week builtins DISAGREE on week start "
+    "(Spark 1=Sunday, DuckDB 0=Sunday), so the weekday comes from "
+    "(epoch_day + 3) mod 7 which no dialect can misread.  Spot-"
+    "checked Mon->next-Mon == 5.  Stays entirely in codegen integer "
+    "math on the joined fact scan",
+)
+def t37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    epoch = F.lit("1970-01-01").cast("date")
+    lt = (
+        c.table("lineitem")
+        .join(c.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("o_orderpriority").alias("pri"),
+            F.datediff(F.to_date("o_orderdate"), epoch).cast("long").alias("d0"),
+            F.datediff(F.to_date("l_shipdate"), epoch).cast("long").alias("d1"),
+        )
+    )
+    bdays = (
+        (F.expr("d1 div 7") - F.expr("d0 div 7")) * 5
+        + F.least((F.col("d1") % 7 + 3) % 7, F.lit(4).cast("long"))
+        - F.least((F.col("d0") % 7 + 3) % 7, F.lit(4).cast("long"))
+    )
+    return (
+        lt.select("pri", bdays.alias("bdays"))
+        .groupBy("pri")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.floor(F.avg("bdays") * 100 + 0.5) / 100).alias("avg_bd"),
+            F.min("bdays").cast("int").alias("min_bd"),
+            F.max("bdays").cast("int").alias("max_bd"),
+        )
+        .orderBy("pri")
+    )
+
+
+@_q(
+    "q80_lift_curve",
+    """WITH rev AS (SELECT c_custkey, c_acctbal,
+         coalesce(sum(o_totalprice), 0) AS rv
+       FROM customer LEFT JOIN orders ON o_custkey = c_custkey GROUP BY 1, 2),
+       r AS (SELECT ntile(10) OVER (ORDER BY c_acctbal DESC, c_custkey)
+               AS decile, rv FROM rev),
+       d AS (SELECT decile, count(*) AS n,
+             floor(sum(rv) * 100 + 0.5) / 100 AS drev FROM r GROUP BY 1),
+       t AS (SELECT sum(drev) AS tot FROM d)
+       SELECT decile, n, drev,
+         round(100.0 * sum(drev) OVER (ORDER BY decile) / t.tot, 2)
+           AS cum_rev_pct
+       FROM d CROSS JOIN t ORDER BY 1""",
+    note="cumulative-gains / lift table: customers ranked by a score "
+    "(acctbal, explicit tie-break), deciled, with cumulative revenue "
+    "share per decile — the model-evaluation read that says whether "
+    "the score concentrates value.  A flat ~10%/decile curve (as "
+    "here) is itself the finding: balance is a valid test outcome.  "
+    "Windows over 10 pre-aggregated rows; revenue floor-guarded "
+    "before any division",
+)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    rev = (
+        c.table("customer")
+        .join(c.table("orders"), F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("rv"))
+    )
+    wd = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    r = rev.select(F.ntile(10).over(wd).alias("decile"), "rv")
+    d = r.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.floor(F.sum("rv") * 100 + 0.5) / 100).alias("drev"),
+    )
+    t = d.agg(F.sum("drev").alias("tot"))
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        d.crossJoin(F.broadcast(t))
+        .select(
+            "decile", "n", "drev",
+            F.round(100.0 * F.sum("drev").over(wc) / F.col("tot"), 2).alias("cum_rev_pct"),
+        )
+        .orderBy("decile")
+    )
+
+
 QUERIES = list(_Q)
