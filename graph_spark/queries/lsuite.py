@@ -1349,4 +1349,86 @@ def l37(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _coverage_oracle(k: int = 5) -> str:
+    """Unrolled greedy max-coverage: per step, the doc adding the most
+    uncovered trigrams (ties -> lowest doc_id) joins the set."""
+    steps = []
+    for i in range(1, k + 1):
+        cov = f"(SELECT g3 FROM cov{i-1})" if i > 1 else "(SELECT NULL AS g3 WHERE false)"
+        carry = f"UNION SELECT g3 FROM cov{i-1}" if i > 1 else ""
+        steps.append(
+            f"""gain{i} AS (SELECT doc_id, count(*) AS g FROM tok
+  WHERE g3 NOT IN {cov} GROUP BY 1),
+pick{i} AS (SELECT doc_id, g FROM gain{i} ORDER BY g DESC, doc_id LIMIT 1),
+cov{i} AS (SELECT DISTINCT g3 FROM tok
+  WHERE doc_id IN (SELECT doc_id FROM pick{i}) {carry})"""
+        )
+        # noqa: trailing space intentional in carry-less branch
+    unions = "".join(
+        f" UNION ALL SELECT {i}, doc_id, g FROM pick{i}" for i in range(2, k + 1)
+    )
+    return (
+        """WITH tok AS (SELECT DISTINCT doc_id, substring(text, i.i, 3) AS g3
+  FROM documents, unnest(range(1, length(text) - 1)) i(i)
+  WHERE length(text) >= 3),\n"""
+        + ",\n".join(steps)
+        + "\nSELECT CAST(1 AS INT) AS step, doc_id, g AS new_grams FROM pick1"
+        + unions
+        + " ORDER BY 1"
+    )
+
+
+@_l(
+    "l38_greedy_coverage",
+    _coverage_oracle(),
+    note="greedy max-coverage exemplar selection (facility-location "
+    "submodular curation): pick 5 docs maximizing NEW character-"
+    "trigram coverage at each step — the diverse-subset read a data-"
+    "curation pipeline runs to seed eval sets.  Greedy selection is "
+    "inherently sequential in k, but each step's marginal-gain "
+    "computation is fully distributed (anti-join vs the covered set "
+    "+ combinable count); k is small by design (1-1/e guarantee).  "
+    "Marginal gains decrease monotonically — the submodularity "
+    "signature (203/49/35/24/18 at sf0.01)",
+)
+def l38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents").filter(F.length("text") >= 3)
+    tok = (
+        d.select(
+            "doc_id",
+            F.expr("explode(sequence(1, length(text) - 2))").alias("i"),
+            "text",
+        )
+        .select("doc_id", F.expr("substring(text, i, 3)").alias("g3"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    covered = None
+    out = []
+    for step in range(1, 6):
+        remaining = (
+            tok
+            if covered is None
+            else tok.join(F.broadcast(covered), "g3", "left_anti")
+        )
+        best = (
+            remaining.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("g"))
+            .orderBy(F.desc("g"), F.asc("doc_id"))
+            .limit(1)
+            .collect()
+        )[0]
+        out.append((step, best["doc_id"], best["g"]))
+        new_cov = tok.filter(F.col("doc_id") == best["doc_id"]).select("g3")
+        covered = (
+            new_cov
+            if covered is None
+            else covered.unionByName(new_cov).distinct()
+        ).localCheckpoint(eager=True)
+    return (
+        d.sparkSession.createDataFrame(out, "step int, doc_id long, new_grams long")
+        .orderBy("step")
+    )
+
+
 QUERIES = list(_L)
