@@ -1431,4 +1431,50 @@ def l38(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "m04_av_align",
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+       vf AS (SELECT doc_id, fi AS frame_idx, fi * 64 AS v_off FROM
+         (SELECT doc_id, unnest(generate_series(0, (length(text)-1)//64)) AS fi,
+                 text FROM d) x WHERE fi % 2 = 0),
+       aw AS (SELECT doc_id, wi AS win_idx, wi * 36 AS a_off FROM
+         (SELECT doc_id, unnest(generate_series(0, (length(text)-1)//36)) AS wi
+          FROM d) y)
+       SELECT v.doc_id, CAST(v.frame_idx AS BIGINT) AS frame_idx,
+         CAST(v.v_off AS BIGINT) AS v_off,
+         CAST(max(a.win_idx) AS BIGINT) AS win_idx,
+         CAST(v.v_off - max(a.a_off) AS BIGINT) AS lag_bytes
+       FROM vf v JOIN aw a ON a.doc_id = v.doc_id AND a.a_off <= v.v_off
+       GROUP BY v.doc_id, v.frame_idx, v.v_off ORDER BY 1, 2""",
+    note="cross-modal stream alignment: every sampled video frame "
+    "paired with the latest audio window at-or-before its byte offset "
+    "(offsets stand in for media timestamps) — the A/V sync read, "
+    "expressed as the SAME as-of join the temporal layer uses "
+    "(`operators.relational.asof_join`: single shuffle, no range "
+    "cross join).  Mismatched rates (64-byte frames every 2nd vs "
+    "36-byte hop) make the lag nontrivial; the oracle's "
+    "max-per-group form is the correlated spelling of as-of",
+)
+def m04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import sample_frames, window_chunks
+    from ..operators.relational import asof_join
+
+    docs = Catalog(spark, sf_dir).table("documents").filter(F.col("doc_id") < 50)
+    media = to_media_table(docs)
+    vf = sample_frames(media, frame_bytes=64, every=2).select(
+        "doc_id", "frame_idx", (F.col("frame_idx") * 64).alias("v_off")
+    )
+    aw = window_chunks(media, window_bytes=64, hop=36).select(
+        "doc_id", F.col("win_idx").alias("aw_idx"), (F.col("win_idx") * 36).alias("a_off")
+    )
+    al = asof_join(vf, aw, ["doc_id"], "v_off", "a_off")
+    return al.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("v_off").cast("long").alias("v_off"),
+        F.col("asof_aw_idx").cast("long").alias("win_idx"),
+        (F.col("v_off") - F.col("asof_a_off")).cast("long").alias("lag_bytes"),
+    ).orderBy("doc_id", "frame_idx")
+
+
 QUERIES = list(_L)
