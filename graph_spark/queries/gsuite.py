@@ -1764,4 +1764,78 @@ def g46(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pr_chain(p: str, nodes: str, edges: str, iters: int = 10) -> str:
+    """One unrolled PageRank chain with CTE names prefixed `p` so two
+    chains (snapshot + current) can coexist in a single oracle."""
+    parts = [
+        f"{p}nv AS (SELECT count(*) AS c FROM {nodes})",
+        f"{p}outdeg AS (SELECT src, count(*) AS d FROM {edges} GROUP BY 1)",
+        f"{p}pr0 AS (SELECT node, 1.0::DOUBLE/(SELECT c FROM {p}nv) AS r FROM {nodes})",
+    ]
+    prev = f"{p}pr0"
+    for i in range(1, iters + 1):
+        cur = f"{p}pr{i}"
+        parts.append(
+            f"""{cur} AS (
+  SELECT n.node, 0.15::DOUBLE/(SELECT c FROM {p}nv)
+    + 0.85::DOUBLE*coalesce(sum(q.r/od.d),0) AS r
+  FROM {nodes} n
+  LEFT JOIN {edges} e ON e.dst=n.node
+  LEFT JOIN {prev} q ON q.node=e.src
+  LEFT JOIN {p}outdeg od ON od.src=e.src
+  GROUP BY n.node)"""
+        )
+        prev = cur
+    return ",\n".join(parts)
+
+
+def _rank_delta_oracle() -> str:
+    return f"""WITH {GRAPH_CTES},
+snap_e AS (SELECT src, dst FROM graph_edges WHERE first_ts <= TIMESTAMP '1997-01-01'
+           UNION SELECT dst, src FROM graph_edges WHERE first_ts <= TIMESTAMP '1997-01-01'),
+snap_n AS (SELECT DISTINCT src AS node FROM snap_e),
+{_pr_chain("a_", "snap_n", "snap_e")},
+{_pr_chain("b_", "graph_nodes", "graph_edges_sym")}
+SELECT a.node, round(a.r, 8) AS r_then, round(b.r, 8) AS r_now,
+  round(round(b.r, 8) - round(a.r, 8), 8) AS delta
+FROM a_pr10 a JOIN b_pr10 b ON a.node = b.node
+ORDER BY abs(round(round(b.r, 8) - round(a.r, 8), 8)) DESC, a.node LIMIT 20"""
+
+
+@_g(
+    "g47_pagerank_delta",
+    _rank_delta_oracle(),
+    note="temporal rank migration: PageRank on the graph as it stood "
+    "at t (edges born by first_ts) vs PageRank now, top movers by "
+    "|delta| — the influence-shift read a temporal graph store "
+    "exists to answer.  Two independent 10-round Pregel runs over "
+    "snapshot-filtered vs full edges (the snapshot filter prunes at "
+    "the scan on a time-partitioned edge layout); delta computed "
+    "from per-side ROUNDED ranks so the sort key is cross-engine "
+    "stable.  Oracle = two prefixed unrolled chains in one WITH",
+)
+def g47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    t = F.lit("1997-01-01").cast("timestamp")
+    ge = c.graph_edges()
+    snap = ge.filter(F.col("first_ts") <= t).select("src", "dst")
+    snap_sym = snap.unionByName(
+        snap.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    snap_nodes = snap_sym.select(F.col("src").alias("id")).distinct()
+    g_then = PropertyGraph(snap_nodes, snap_sym)
+    g_now = _sym_graph(c)
+    r_then = pagerank(g_then, iterations=10, damping=0.85).select(
+        "node", F.round("rank", 8).alias("r_then")
+    )
+    r_now = pagerank(g_now, iterations=10, damping=0.85).select(
+        F.col("node").alias("n2"), F.round("rank", 8).alias("r_now")
+    )
+    j = r_then.join(r_now, r_then.node == F.col("n2")).select(
+        "node", "r_then", "r_now",
+        F.round(F.col("r_now") - F.col("r_then"), 8).alias("delta"),
+    )
+    return j.orderBy(F.abs(F.col("delta")).desc(), F.asc("node")).limit(20)
+
+
 QUERIES = list(_G)
