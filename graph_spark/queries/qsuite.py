@@ -3534,4 +3534,71 @@ def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "t38_trend_slopes",
+    """WITH d AS (SELECT r_name, CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+         CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS rc
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2),
+       x AS (SELECT r_name, d, rc,
+         CAST(d - DATE '1970-01-01' AS BIGINT) AS xd FROM d),
+       s AS (SELECT r_name, d,
+         CAST(count(*) OVER w AS BIGINT) AS n,
+         CAST(sum(xd) OVER w AS BIGINT) AS sx,
+         CAST(sum(rc) OVER w AS BIGINT) AS sy,
+         CAST(sum(xd * rc) OVER w AS BIGINT) AS sxy,
+         CAST(sum(xd * xd) OVER w AS BIGINT) AS sxx
+         FROM x WINDOW w AS (PARTITION BY r_name ORDER BY d
+           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+       sl AS (SELECT r_name, d,
+         round(CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 4) AS slope
+         FROM s WHERE n = 14)
+       SELECT r_name, strftime(d, '%Y-%m-%d') AS day, slope FROM sl
+       ORDER BY slope DESC, r_name, day LIMIT 10""",
+    note="rolling 14-day OLS trend slope (dollars/day) per region, top "
+    "upward ramps — the trend-detection read.  All five regression "
+    "moments are INTEGER sums (days x revenue-cents), exact in both "
+    "engines, so the slope is one division of identical integers — "
+    "the naive double formulation loses ~10 digits to cancellation "
+    "(n*sxy - sx*sy of near-equal 1e15 terms) and its rounding "
+    "diverges cross-engine.  Windows run over the pre-aggregated "
+    "daily series",
+)
+def t38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    d = (
+        c.table("orders")
+        .join(F.broadcast(c.table("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c.table("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(c.table("region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", F.to_date("o_orderdate").alias("d"))
+        .agg(F.floor(F.sum("o_totalprice") * 100 + 0.5).cast("long").alias("rc"))
+    )
+    x = d.withColumn(
+        "xd", F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).cast("long")
+    )
+    w = Window.partitionBy("r_name").orderBy("d").rowsBetween(-13, 0)
+    s = x.select(
+        "r_name", "d",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("xd").over(w).alias("sx"),
+        F.sum("rc").over(w).alias("sy"),
+        F.sum(F.col("xd") * F.col("rc")).over(w).alias("sxy"),
+        F.sum(F.col("xd") * F.col("xd")).over(w).alias("sxx"),
+    ).filter(F.col("n") == 14)
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return (
+        s.select(
+            "r_name",
+            date_str(F.col("d")).alias("day"),
+            F.round(num / den / 100.0, 4).alias("slope"),
+        )
+        .orderBy(F.desc("slope"), "r_name", "day")
+        .limit(10)
+    )
+
+
 QUERIES = list(_Q)

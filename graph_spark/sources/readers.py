@@ -69,3 +69,29 @@ def read_delta(spark: SparkSession, path: str) -> DataFrame:
             "install delta-spark and use spark.read.format('delta')"
         )
     return spark.read.format("delta").load(path)
+
+
+def schema_drift(old: "DataFrame", new: "DataFrame") -> list[dict]:
+    """Schema contract check between two table versions: reports added,
+    removed, and type-changed columns (by name; nested struct types
+    compare by their full simpleString).  Run this BEFORE a union-by-
+    name ingest (q59) or an upsert — silent type widening is how a
+    100 TB table ends up with a corrupt column nobody can re-read.
+
+    Returns a list of {"column", "change", "old_type", "new_type"}
+    dicts, empty when the schemas agree.
+    """
+    o = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    n = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    out: list[dict] = []
+    for col in sorted(set(o) | set(n)):
+        if col not in n:
+            out.append({"column": col, "change": "removed",
+                        "old_type": o[col], "new_type": None})
+        elif col not in o:
+            out.append({"column": col, "change": "added",
+                        "old_type": None, "new_type": n[col]})
+        elif o[col] != n[col]:
+            out.append({"column": col, "change": "type_changed",
+                        "old_type": o[col], "new_type": n[col]})
+    return out

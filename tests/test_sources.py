@@ -340,3 +340,21 @@ def test_zorder_degenerate_constant_column(spark, tmp_path):
     out = str(tmp_path / "zc")
     write_zordered(li, out, "l_orderkey", "const", n_files=4)
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_schema_drift_report(spark):
+    from pyspark.sql import functions as F
+
+    from graph_spark.sources.readers import schema_drift
+
+    old = spark.createDataFrame([(1, "a", 1.0)], ["id", "name", "score"])
+    new = old.withColumn("score", F.col("score").cast("float")).withColumn(
+        "extra", F.lit(1)
+    ).drop("name")
+    drift = schema_drift(old, new)
+    by_col = {d["column"]: d for d in drift}
+    assert by_col["name"]["change"] == "removed"
+    assert by_col["extra"]["change"] == "added"
+    assert by_col["score"]["change"] == "type_changed"
+    assert by_col["score"]["old_type"] == "double" and by_col["score"]["new_type"] == "float"
+    assert schema_drift(old, old) == []
