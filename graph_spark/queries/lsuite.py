@@ -1477,4 +1477,44 @@ def m04(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "frame_idx")
 
 
+@_l(
+    "l39_feature_hashing",
+    """WITH tok AS (SELECT doc_id, t.term FROM documents,
+         unnest(string_split(text, ' ')) t(term)
+       WHERE doc_id < 30 AND t.term <> ''),
+       h AS (SELECT doc_id,
+         (strpos('0123456789abcdef', substring(md5(term), 1, 1)) - 1) % 8 AS dim,
+         CASE WHEN (strpos('0123456789abcdef', substring(md5(term), 2, 1)) - 1)
+                % 2 = 0 THEN 1 ELSE -1 END AS sgn
+       FROM tok)
+       SELECT doc_id, CAST(dim AS INT) AS dim, CAST(sum(sgn) AS BIGINT) AS val
+       FROM h GROUP BY 1, 2 ORDER BY 1, 2""",
+    note="the hashing-trick vectorizer (signed feature hashing, "
+    "Weinberger et al.): term -> md5-derived bucket in a fixed 8-dim "
+    "space with a +-1 sign hash, summed per (doc, dim) — the "
+    "vocabulary-free text vectorizer that needs NO fitted dictionary, "
+    "which is what makes it the streaming/100 TB path (any executor "
+    "can hash independently; no vocab broadcast, no OOV).  Signed "
+    "sums are exact integers; md5-digit arithmetic keeps the hash "
+    "SQL-reproducible",
+)
+def l39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents").filter(F.col("doc_id") < 30)
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    m = F.md5("term")
+    digit = lambda i: F.instr(F.lit("0123456789abcdef"), F.substring(m, i, 1)) - 1
+    h = tok.select(
+        "doc_id",
+        (digit(1) % 8).cast("int").alias("dim"),
+        F.when(digit(2) % 2 == 0, 1).otherwise(-1).alias("sgn"),
+    )
+    return (
+        h.groupBy("doc_id", "dim")
+        .agg(F.sum("sgn").cast("long").alias("val"))
+        .orderBy("doc_id", "dim")
+    )
+
+
 QUERIES = list(_L)

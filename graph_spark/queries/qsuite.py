@@ -3601,4 +3601,110 @@ def t38(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "t39_peak_detection",
+    """WITH d AS (SELECT r_name, CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+         CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS rc
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey GROUP BY 1, 2),
+       w AS (SELECT r_name, d, rc,
+         lag(rc) OVER pw AS prev, lead(rc) OVER pw AS nxt,
+         list_sort(list(rc) OVER (PARTITION BY r_name ORDER BY d
+           ROWS BETWEEN 7 PRECEDING AND 7 FOLLOWING)) AS arr
+         FROM d WINDOW pw AS (PARTITION BY r_name ORDER BY d)),
+       p AS (SELECT r_name, d, rc, arr[CAST((len(arr) + 1) // 2 AS INT)] AS med
+         FROM w WHERE prev IS NOT NULL AND nxt IS NOT NULL
+           AND rc > prev AND rc > nxt)
+       SELECT r_name, strftime(d, '%Y-%m-%d') AS day, rc AS rev_cents,
+         med AS med_cents
+       FROM p WHERE rc > 2 * med ORDER BY 1, 2""",
+    note="prominence-gated peak detection: strict local maxima that "
+    "also clear 2x the CENTERED 15-row lower-median baseline — the "
+    "spike-mining read that ignores noise peaks.  Every comparison is "
+    "exact integer cents, so there is no float rounding anywhere; the "
+    "centered frame (7 preceding / 7 following) shows the frame "
+    "vocabulary beyond trailing windows.  Runs on the pre-aggregated "
+    "daily series",
+)
+def t39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    d = (
+        c.table("orders")
+        .join(F.broadcast(c.table("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c.table("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(c.table("region")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", F.to_date("o_orderdate").alias("d"))
+        .agg(F.floor(F.sum("o_totalprice") * 100 + 0.5).cast("long").alias("rc"))
+    )
+    pw = Window.partitionBy("r_name").orderBy("d")
+    cw = pw.rowsBetween(-7, 7)
+    w = d.select(
+        "r_name", "d", "rc",
+        F.lag("rc").over(pw).alias("prev"),
+        F.lead("rc").over(pw).alias("nxt"),
+        F.array_sort(F.collect_list("rc").over(cw)).alias("arr"),
+    )
+    med = F.element_at("arr", ((F.size("arr") + 1) / 2).cast("int"))
+    return (
+        w.filter(
+            F.col("prev").isNotNull()
+            & F.col("nxt").isNotNull()
+            & (F.col("rc") > F.col("prev"))
+            & (F.col("rc") > F.col("nxt"))
+        )
+        .withColumn("med", med)
+        .filter(F.col("rc") > 2 * F.col("med"))
+        .select(
+            "r_name",
+            date_str(F.col("d")).alias("day"),
+            F.col("rc").alias("rev_cents"),
+            F.col("med").alias("med_cents"),
+        )
+        .orderBy("r_name", "day")
+    )
+
+
+@_q(
+    "q81_integrity_audit",
+    """SELECT 'lineitem->orders' AS fk, count(*) AS n_rows,
+         count(*) FILTER (WHERE o.o_orderkey IS NULL) AS n_orphans
+       FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+       UNION ALL
+       SELECT 'lineitem->part', count(*),
+         count(*) FILTER (WHERE p.p_partkey IS NULL)
+       FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+       UNION ALL
+       SELECT 'orders->customer', count(*),
+         count(*) FILTER (WHERE c.c_custkey IS NULL)
+       FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+       ORDER BY 1""",
+    note="referential-integrity audit across three FK edges (orphan "
+    "counts via LEFT JOIN + FILTER aggregates) — the constraint check "
+    "a lakehouse must run itself since parquet enforces nothing.  "
+    "Zero orphans is the expected PASS outcome; the dim sides "
+    "broadcast, so each edge costs one scan of its fact side",
+)
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+
+    def audit(fact, dim, fk, pk, name):
+        j = fact.join(F.broadcast(dim), F.col(fk) == F.col(pk), "left")
+        return j.agg(
+            F.lit(name).alias("fk"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col(pk).isNull(), 1)).alias("n_orphans"),
+        ).select("fk", "n_rows", "n_orphans")
+
+    li, o, p, cst = (
+        c.table("lineitem"), c.table("orders"), c.table("part"), c.table("customer")
+    )
+    return (
+        audit(li, o, "l_orderkey", "o_orderkey", "lineitem->orders")
+        .unionByName(audit(li, p, "l_partkey", "p_partkey", "lineitem->part"))
+        .unionByName(audit(o, cst, "o_custkey", "c_custkey", "orders->customer"))
+        .orderBy("fk")
+    )
+
+
 QUERIES = list(_Q)
