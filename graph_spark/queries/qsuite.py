@@ -3707,4 +3707,38 @@ def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q82_markov_transitions",
+    """WITH s AS (SELECT user_id, event_type, lag(event_type) OVER
+         (PARTITION BY user_id ORDER BY ts) AS prev FROM events),
+       c AS (SELECT prev, event_type AS curr, count(*) AS n FROM s
+             WHERE prev IS NOT NULL GROUP BY 1, 2),
+       t AS (SELECT prev, sum(n) AS tot FROM c GROUP BY 1)
+       SELECT c.prev, c.curr, c.n, round(c.n / t.tot, 4) AS p
+       FROM c JOIN t USING (prev) ORDER BY 1, 2""",
+    note="first-order Markov transition matrix over per-user event "
+    "sequences (MLE: row-normalized bigram counts) — the behavioral-"
+    "model estimation read behind next-event prediction and funnel "
+    "simulation.  One window shuffle on the entity key, one "
+    "combinable pair count, row totals broadcast back; probabilities "
+    "are exact-integer ratios so rounding is engine-stable.  Relies "
+    "on (user_id, ts) uniqueness for sequence order",
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    s = ev.select("event_type", F.lag("event_type").over(w).alias("prev")).filter(
+        F.col("prev").isNotNull()
+    )
+    c = s.groupBy("prev", F.col("event_type").alias("curr")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = c.groupBy("prev").agg(F.sum("n").alias("tot"))
+    return (
+        c.join(F.broadcast(t), "prev")
+        .select("prev", "curr", "n", F.round(F.col("n") / F.col("tot"), 4).alias("p"))
+        .orderBy("prev", "curr")
+    )
+
+
 QUERIES = list(_Q)

@@ -286,4 +286,68 @@ def s10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hourly_checksums(ev: DataFrame) -> DataFrame:
+    """Shared transform for S11: per-window row count + commutative
+    checksum sum (q79's md5-fold) — the streaming consistency check a
+    replayed/exactly-once pipeline reconciles against its batch
+    backfill.  Count and sum are mergeable, so state is two integers
+    per window."""
+    m = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("event_id"),
+            F.col("event_type"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long"),
+        )
+    )
+    val = None
+    for i in range(11):
+        d = (F.instr(F.lit("0123456789abcdef"), F.substring(m, i + 1, 1)) - 1).cast(
+            "long"
+        ) * F.lit(16 ** (10 - i)).cast("long")
+        val = d if val is None else val + d
+    return (
+        ev.withColumn("__v", val)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__v").alias("checksum"))
+    )
+
+
+@_s(
+    "s11_stream_checksum",
+    """WITH h AS (SELECT date_trunc('hour', ts) AS h,
+         md5(event_id || '|' || event_type || '|'
+             || CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS VARCHAR)) AS m
+       FROM events),
+       v AS (SELECT h,
+         (strpos('0123456789abcdef', substring(m, 1, 1)) - 1) * 1099511627776
+         + (strpos('0123456789abcdef', substring(m, 2, 1)) - 1) * 68719476736
+         + (strpos('0123456789abcdef', substring(m, 3, 1)) - 1) * 4294967296
+         + (strpos('0123456789abcdef', substring(m, 4, 1)) - 1) * 268435456
+         + (strpos('0123456789abcdef', substring(m, 5, 1)) - 1) * 16777216
+         + (strpos('0123456789abcdef', substring(m, 6, 1)) - 1) * 1048576
+         + (strpos('0123456789abcdef', substring(m, 7, 1)) - 1) * 65536
+         + (strpos('0123456789abcdef', substring(m, 8, 1)) - 1) * 4096
+         + (strpos('0123456789abcdef', substring(m, 9, 1)) - 1) * 256
+         + (strpos('0123456789abcdef', substring(m, 10, 1)) - 1) * 16
+         + (strpos('0123456789abcdef', substring(m, 11, 1)) - 1) AS val
+       FROM h)
+       SELECT strftime(h, '%Y-%m-%d %H:%M:%S.%f') AS hh, count(*) AS n,
+         CAST(sum(val) AS BIGINT) AS checksum
+       FROM v GROUP BY 1 ORDER BY 1""",
+    note="streaming per-window consistency checksum: q79's commutative "
+    "md5-fold as a windowed streaming aggregate — a replayed pipeline "
+    "reconciles each window against the batch backfill with two "
+    "integers, catching drops/duplicates/corruption that row counts "
+    "alone miss; replay parity in tests/test_streaming.py",
+)
+def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    return (
+        hourly_checksums(ev)
+        .select(ts_str(F.col("w.start")).alias("hh"), "n", "checksum")
+        .orderBy("hh")
+    )
+
+
 QUERIES = list(_S)

@@ -502,3 +502,16 @@ def test_s10_histogram_stream_equals_batch(spark, replay_dir):
         spark, replay_dir, hourly_value_histogram, output_mode="complete"
     ).select(F.col("w.start").alias("h"), "bucket", "n")
     assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_s11_checksum_stream_equals_batch(spark, replay_dir):
+    from graph_spark.queries.ssuite import hourly_checksums
+
+    cols = ["h", "n", "checksum"]
+    batch = hourly_checksums(Catalog(spark, SF_SMOKE).table("events")).select(
+        F.col("w.start").alias("h"), "n", "checksum"
+    )
+    stream = run_stream(
+        spark, replay_dir, hourly_checksums, output_mode="complete"
+    ).select(F.col("w.start").alias("h"), "n", "checksum")
+    assert _rows(stream, cols) == _rows(batch, cols)
