@@ -3741,4 +3741,70 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _funnel_oracle(k: int = 3) -> str:
+    steps = []
+    for i in range(1, k + 1):
+        steps.append(
+            f"""h{i} AS (
+  SELECT p.prev AS state,
+    sum(CASE WHEN p.curr = 'purchase' THEN p.pr
+             ELSE p.pr * coalesce(h.h, 0) END) AS h
+  FROM pm p LEFT JOIN h{i-1} h ON h.state = p.curr AND p.curr <> 'purchase'
+  GROUP BY 1)"""
+        )
+    return (
+        """WITH s AS (SELECT user_id, event_type, lag(event_type) OVER
+    (PARTITION BY user_id ORDER BY ts) AS prev FROM events),
+c AS (SELECT prev, event_type AS curr, count(*) AS n FROM s
+      WHERE prev IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT prev, sum(n) AS tot FROM c GROUP BY 1),
+pm AS (SELECT c.prev, c.curr, c.n / t.tot AS pr FROM c JOIN t USING (prev)),
+h0 AS (SELECT prev AS state, 0.0 AS h FROM t),\n"""
+        + ",\n".join(steps)
+        + f"\nSELECT state, round(h, 6) AS p_hit3 FROM h{k} ORDER BY 1"
+    )
+
+
+@_q(
+    "q83_absorbing_funnel",
+    _funnel_oracle(),
+    note="absorbing-state hitting probability: P(reach 'purchase' "
+    "within 3 steps | current state), by iterating h <- P*h with the "
+    "target absorbing mid-path — q82's estimated Markov chain put to "
+    "work as a funnel simulator.  The 5x5 transition matrix "
+    "broadcasts; each iteration is one join + one 5-row sum, so k "
+    "steps cost k broadcast joins regardless of data size.  "
+    "Probabilities stay UNROUNDED exact-ratio doubles through the "
+    "iterations, rounded once at the edge",
+)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    s = ev.select("event_type", F.lag("event_type").over(w).alias("prev")).filter(
+        F.col("prev").isNotNull()
+    )
+    c = s.groupBy("prev", F.col("event_type").alias("curr")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = c.groupBy("prev").agg(F.sum("n").alias("tot"))
+    pm = c.join(t, "prev").select(
+        "prev", "curr", (F.col("n") / F.col("tot")).alias("pr")
+    ).localCheckpoint(eager=True)
+    h = t.select(F.col("prev").alias("state"), F.lit(0.0).alias("h"))
+    for _ in range(3):
+        hj = F.broadcast(h.select(F.col("state").alias("hs"), F.col("h").alias("hv")))
+        h = (
+            pm.join(hj, (F.col("curr") == F.col("hs")) & (F.col("curr") != "purchase"), "left")
+            .groupBy(F.col("prev").alias("state"))
+            .agg(
+                F.sum(
+                    F.when(F.col("curr") == "purchase", F.col("pr")).otherwise(
+                        F.col("pr") * F.coalesce(F.col("hv"), F.lit(0.0))
+                    )
+                ).alias("h")
+            )
+        )
+    return h.select("state", F.round("h", 6).alias("p_hit3")).orderBy("state")
+
+
 QUERIES = list(_Q)
