@@ -1517,4 +1517,63 @@ def l39(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l40_containment",
+    """WITH docs AS (SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS l
+       FROM documents WHERE doc_id < 40),
+       sh AS (SELECT DISTINCT doc_id, s[1] || ' ' || s[2] AS shingle
+         FROM (SELECT doc_id, unnest(list_zip(l, l[2:])) AS s FROM docs) z
+         WHERE s[2] IS NOT NULL),
+       sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+         FROM sh a JOIN sh b ON a.shingle = b.shingle
+           AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+       SELECT i.a, i.b, i.i AS n_shared,
+         round(i.i / sa.sz, 4) AS containment
+       FROM inter i JOIN sz sa ON sa.doc_id = i.a
+       ORDER BY containment DESC, i.a, i.b LIMIT 50""",
+    note="asymmetric CONTAINMENT similarity |A∩B|/|A| over bigram "
+    "shingles — the sub-document duplication signal Jaccard (l07) "
+    "washes out: a short doc fully copied into a long one scores "
+    "containment 1.0 but tiny Jaccard.  Same inverted-index "
+    "candidate join as every dedup op (never all-pairs); exact "
+    "integer ratio so ordering and rounding are engine-stable",
+)
+def l40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents").filter(F.col("doc_id") < 40)
+    toks = d.select("doc_id", F.split("text", " ").alias("l")).select(
+        "doc_id", F.expr("filter(l, x -> x <> '')").alias("l")
+    )
+    sh = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(l, 1, size(l) - 1),"
+                    " (w, i) -> concat(w, ' ', element_at(l, i + 2)))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), F.col("shingle").alias("sh2"))
+    inter = (
+        a.join(b, (F.col("shingle") == F.col("sh2")) & (F.col("a") != F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        inter.join(F.broadcast(sz.select(F.col("doc_id").alias("a"), "sz")), "a")
+        .select(
+            "a", "b", "n_shared",
+            F.round(F.col("n_shared") / F.col("sz"), 4).alias("containment"),
+        )
+        .orderBy(F.desc("containment"), "a", "b")
+        .limit(50)
+    )
+
+
 QUERIES = list(_L)

@@ -3807,4 +3807,82 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.select("state", F.round("h", 6).alias("p_hit3")).orderBy("state")
 
 
+@_q(
+    "q84_sequence_flows",
+    """WITH s AS (SELECT user_id, event_type AS curr,
+         lag(event_type) OVER w AS p1, lag(event_type, 2) OVER w AS p2
+       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+       SELECT p2, p1, curr, count(*) AS n FROM s WHERE p2 IS NOT NULL
+       GROUP BY 1, 2, 3 ORDER BY 4 DESC, 1, 2, 3 LIMIT 25""",
+    note="three-step behavioral flows (the Sankey-diagram feed): "
+    "per-user event trigrams via two stacked lags in ONE window pass "
+    "— no self-joins on position — then a combinable count.  "
+    "Extends q82's first-order transitions to second-order context; "
+    "top flows with a full tie-break",
+)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    s = ev.select(
+        F.col("event_type").alias("curr"),
+        F.lag("event_type").over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).filter(F.col("p2").isNotNull())
+    return (
+        s.groupBy("p2", "p1", "curr")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "p2", "p1", "curr")
+        .limit(25)
+    )
+
+
+@_q(
+    "t40_seasonal_index",
+    """WITH d AS (SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+         CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS rc
+       FROM orders GROUP BY 1),
+       x AS (SELECT (CAST(d - DATE '1970-01-01' AS BIGINT) + 3) % 7 AS dow,
+             rc FROM d),
+       t AS (SELECT CAST(sum(rc) AS BIGINT) AS tot, count(*) AS nd FROM x),
+       g AS (SELECT dow, CAST(sum(rc) AS BIGINT) AS s, count(*) AS n
+             FROM x GROUP BY 1)
+       SELECT CAST(dow AS INT) AS dow, n,
+         round((CAST(s AS DOUBLE) / n) / (CAST(t.tot AS DOUBLE) / t.nd), 4)
+           AS idx
+       FROM g CROSS JOIN t ORDER BY 1""",
+    note="day-of-week seasonal index (mean daily revenue per weekday / "
+    "overall mean; 0=Monday via the t37 epoch-day formula, immune to "
+    "engine week-start disagreement) — the multiplicative "
+    "decomposition factor a deseasonalizer divides by.  All moments "
+    "are exact integer sums; one double division per output row",
+)
+def t40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    d = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.floor(F.sum("o_totalprice") * 100 + 0.5).cast("long").alias("rc")
+    )
+    x = d.select(
+        (
+            (F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).cast("long") + 3)
+            % 7
+        ).alias("dow"),
+        "rc",
+    )
+    t = x.agg(F.sum("rc").alias("tot"), F.count(F.lit(1)).alias("nd"))
+    g = x.groupBy("dow").agg(F.sum("rc").alias("s"), F.count(F.lit(1)).alias("n"))
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            F.col("dow").cast("int").alias("dow"),
+            "n",
+            F.round(
+                (F.col("s").cast("double") / F.col("n"))
+                / (F.col("tot").cast("double") / F.col("nd")),
+                4,
+            ).alias("idx"),
+        )
+        .orderBy("dow")
+    )
+
+
 QUERIES = list(_Q)
