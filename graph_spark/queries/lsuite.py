@@ -1576,4 +1576,54 @@ def l40(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l41_bm25",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         FROM documents),
+       tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+         WHERE term <> '' GROUP BY 1, 2),
+       dl AS (SELECT doc_id, count(*) AS dl FROM tok
+         WHERE term <> '' GROUP BY 1),
+       df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl)
+       SELECT t.doc_id, t.term,
+         round(ln(1 + (st.n - df.df + 0.5) / (df.df + 0.5))
+           * t.tf * 2.2
+           / (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)), 4) AS bm25
+       FROM tf t JOIN dl ON dl.doc_id = t.doc_id
+         JOIN df ON df.term = t.term CROSS JOIN st
+       ORDER BY 3 DESC, 1, 2 LIMIT 25""",
+    note="BM25 (k1=1.2, b=0.75) term salience — tf-idf (l04) with "
+    "saturating tf and document-length normalization, the ranking "
+    "function behind retrieval-based data curation.  One tokenize "
+    "pass feeds tf/dl; the (n, avgdl) scalars broadcast while the "
+    "df join stays a shuffle join keyed on term (vocabulary is NOT "
+    "broadcastable at corpus scale — AQE may still elect broadcast "
+    "when it measures small).  Ordering "
+    "is on the ROUNDED score with a full tie-break, so an ulp of "
+    "cross-engine ln() disagreement cannot reorder the top-k",
+)
+def l41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    st = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+    idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    score = idf * F.col("tf") * 2.2 / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(st))
+        .select("doc_id", "term", F.round(score, 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id", "term")
+        .limit(25)
+    )
+
+
 QUERIES = list(_L)

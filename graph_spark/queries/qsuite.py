@@ -3885,4 +3885,98 @@ def t40(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q85_attribution",
+    """WITH a AS (SELECT event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+       FROM events)
+       SELECT channel, count(*) AS n_purchases,
+         round(sum(value), 2) AS attributed_value
+       FROM a WHERE event_type = 'purchase' AND channel IS NOT NULL
+       GROUP BY 1 ORDER BY 1""",
+    note="last-touch marketing attribution: each purchase credits the "
+    "most recent PRIOR non-purchase event of the same user, via one "
+    "ignore-nulls last() over a rows-preceding frame — no self-join "
+    "on inequality, no per-user collect.  Single shuffle on user_id "
+    "(the window partition) then a combinable groupBy; ties at equal "
+    "ts are broken by event_id so both engines pick the same touch",
+)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.select("event_type", "value", ch.alias("channel"))
+        .filter((F.col("event_type") == "purchase") & F.col("channel").isNotNull())
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+@_q(
+    "t41_sax",
+    """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS rc
+       FROM events GROUP BY 1),
+       m AS (SELECT count(*) AS n, CAST(sum(rc) AS BIGINT) AS s,
+             CAST(sum(rc * rc) AS BIGINT) AS ss FROM d),
+       z AS (SELECT d, rc,
+         (rc - CAST(s AS DOUBLE) / n)
+           / sqrt((ss - CAST(s AS DOUBLE) * s / n) / n) AS z
+       FROM d CROSS JOIN m)
+       SELECT strftime(d, '%Y-%m-%d') AS d, rc, round(z, 4) AS z,
+         CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0 THEN 'b'
+              WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS sym
+       FROM z ORDER BY 1""",
+    note="SAX symbolization of the daily revenue series: z-normalize "
+    "against global mean/std, then map to a 4-letter alphabet at the "
+    "N(0,1) quartile breakpoints (±0.6745, 0) — the discretization "
+    "behind symbolic motif/anomaly mining.  Moments come from exact "
+    "integer cent sums (sum, sum-of-squares), so both engines feed "
+    "bit-identical inputs into one double expression per row; the "
+    "two-scalar moment row broadcasts",
+)
+def t41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    d = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.floor(F.sum("value") * 100 + 0.5).cast("long").alias("rc")
+    )
+    m = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rc").alias("s"),
+        F.sum(F.col("rc") * F.col("rc")).alias("ss"),
+    )
+    z = F.col("rc") - F.col("s").cast("double") / F.col("n")
+    var = (F.col("ss") - F.col("s").cast("double") * F.col("s") / F.col("n")) / F.col("n")
+    zc = z / F.sqrt(var)
+    return (
+        d.crossJoin(F.broadcast(m))
+        .select(
+            date_str(F.col("d")).alias("d"),
+            "rc",
+            F.round(zc, 4).alias("z"),
+            F.when(zc < -0.6745, "a")
+            .when(zc < 0, "b")
+            .when(zc < 0.6745, "c")
+            .otherwise("d")
+            .alias("sym"),
+        )
+        .orderBy("d")
+    )
+
+
 QUERIES = list(_Q)
