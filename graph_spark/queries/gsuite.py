@@ -1838,4 +1838,67 @@ def g47(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.orderBy(F.abs(F.col("delta")).desc(), F.asc("node")).limit(20)
 
 
+@_g(
+    "g48_katz",
+    f"""WITH {GRAPH_CTES},
+       p1 AS (SELECT dst AS node, count(*) AS c FROM graph_edges_sym GROUP BY 1),
+       p2 AS (SELECT e.dst AS node, CAST(sum(p.c) AS BIGINT) AS c
+              FROM graph_edges_sym e JOIN p1 p ON p.node = e.src GROUP BY 1),
+       p3 AS (SELECT e.dst AS node, CAST(sum(p.c) AS BIGINT) AS c
+              FROM graph_edges_sym e JOIN p2 p ON p.node = e.src GROUP BY 1)
+       SELECT p1.node, p1.c AS w1, coalesce(p2.c, 0) AS w2,
+         coalesce(p3.c, 0) AS w3,
+         round(CAST(100 * p1.c + 10 * coalesce(p2.c, 0)
+           + coalesce(p3.c, 0) AS DOUBLE) / 1000, 4) AS katz
+       FROM p1 LEFT JOIN p2 ON p2.node = p1.node
+         LEFT JOIN p3 ON p3.node = p1.node
+       ORDER BY katz DESC, p1.node LIMIT 30""",
+    note="truncated Katz centrality (alpha=0.1, walks up to length 3): "
+    "three message-passing rounds counting weighted walk arrivals — "
+    "each round is ONE shuffle join of the stationary symmetric edge "
+    "list against the previous round's per-node walk counts, the same "
+    "superstep shape as PageRank but with exact BIGINT walk counts, "
+    "so cross-engine determinism is free; the combination "
+    "(100*w1+10*w2+w3)/1000 stays integer until one double division "
+    "per node at the edge (decimal-literal-free: DuckDB types 0.1 as "
+    "DECIMAL and would change the output scale)",
+)
+def g48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).graph_edges_sym()
+    p1 = e.groupBy(F.col("dst").alias("node")).agg(F.count(F.lit(1)).alias("c"))
+    p = p1
+    walks = [p1]
+    for _ in range(2):
+        p = (
+            e.join(p.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("c"))
+        )
+        walks.append(p)
+    w1, w2, w3 = walks
+    out = (
+        w1.select("node", F.col("c").alias("w1"))
+        .join(w2.select("node", F.col("c").alias("w2")), "node", "left")
+        .join(w3.select("node", F.col("c").alias("w3")), "node", "left")
+        .select(
+            "node",
+            "w1",
+            F.coalesce("w2", F.lit(0)).alias("w2"),
+            F.coalesce("w3", F.lit(0)).alias("w3"),
+        )
+    )
+    return (
+        out.select(
+            "node", "w1", "w2", "w3",
+            F.round(
+                (100 * F.col("w1") + 10 * F.col("w2") + F.col("w3")).cast("double")
+                / 1000,
+                4,
+            ).alias("katz"),
+        )
+        .orderBy(F.desc("katz"), "node")
+        .limit(30)
+    )
+
+
 QUERIES = list(_G)

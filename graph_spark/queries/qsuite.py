@@ -3979,4 +3979,58 @@ def t41(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "t42_rolling_mad",
+    """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS rc
+       FROM events GROUP BY 1),
+       w AS (SELECT d, rc, list_sort(list(rc) OVER
+               (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+             FROM d),
+       m AS (SELECT d, rc, arr,
+               arr[CAST((len(arr) + 1) // 2 AS INT)] AS med FROM w),
+       s AS (SELECT d, rc, med,
+               list_sort(list_transform(arr, a -> abs(a - med))) AS dev
+             FROM m)
+       SELECT strftime(d, '%Y-%m-%d') AS day, rc, med,
+         dev[CAST((len(dev) + 1) // 2 AS INT)] AS mad,
+         CAST(abs(rc - med) > 3 * dev[CAST((len(dev) + 1) // 2 AS INT)]
+              AND dev[CAST((len(dev) + 1) // 2 AS INT)] > 0 AS BOOLEAN)
+           AS is_anomaly
+       FROM s ORDER BY 1""",
+    note="rolling median-absolute-deviation anomaly flags on daily "
+    "revenue cents: 7-row frame, LOWER median and LOWER-median MAD "
+    "(both exact BIGINT picks, zero float hazard), flag when "
+    "|x - med| > 3*MAD — the robust outlier detector that a mean/ "
+    "stddev z-score (t32) gets wrong under the very outliers it "
+    "hunts.  Frame is over the pre-aggregated daily series (~days "
+    "rows after a single groupBy shuffle), never the raw facts",
+)
+def t42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.floor(F.sum("value") * 100 + 0.5).cast("long").alias("rc")
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    m = daily.withColumn("arr", F.array_sort(F.collect_list("rc").over(w))).withColumn(
+        "med", F.element_at("arr", ((F.size("arr") + 1) / 2).cast("int"))
+    )
+    s = m.withColumn(
+        "dev", F.array_sort(F.expr("transform(arr, a -> abs(a - med))"))
+    ).withColumn("mad", F.element_at("dev", ((F.size("dev") + 1) / 2).cast("int")))
+    return (
+        s.select(
+            date_str(F.col("d")).alias("day"),
+            "rc",
+            "med",
+            "mad",
+            (
+                (F.abs(F.col("rc") - F.col("med")) > 3 * F.col("mad"))
+                & (F.col("mad") > 0)
+            ).alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
+
+
 QUERIES = list(_Q)

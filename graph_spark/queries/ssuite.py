@@ -350,4 +350,56 @@ def s11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hourly_user_counts(ev: DataFrame) -> DataFrame:
+    """Shared transform for S12: per-(window, user) count + exact cent
+    sum.  Both aggregates are mergeable, so the streaming form keeps
+    two integers per (window, user) — the heavy-hitter CANDIDATE
+    state; the top-k rank itself is applied at the sink (foreachBatch
+    / the complete-mode output), never inside the stream, because
+    rank is not an incremental aggregate."""
+    return ev.groupBy(F.window("ts", "1 hour").alias("w"), "user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.sum("value") * 100 + 0.5).cast("long").alias("vc"),
+    )
+
+
+@_s(
+    "s12_stream_topk",
+    """WITH c AS (SELECT date_trunc('hour', ts) AS h, user_id,
+         count(*) AS n, CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS vc
+       FROM events GROUP BY 1, 2),
+       r AS (SELECT h, user_id, n, vc, CAST(row_number() OVER
+               (PARTITION BY h ORDER BY n DESC, vc DESC, user_id) AS INT)
+               AS rk FROM c)
+       SELECT strftime(h, '%Y-%m-%d %H:%M:%S.%f') AS hh, rk, user_id, n, vc
+       FROM r WHERE rk <= 3 ORDER BY 1, 2""",
+    note="streaming top-k heavy hitters: per-(window,user) mergeable "
+    "counters in the stream, row_number rank applied at the SINK on "
+    "each complete-mode emission — the split every streaming top-k "
+    "needs because rank is not incremental.  Full tie-break "
+    "(n, cents, user_id) keeps both engines' podium identical; "
+    "replay parity in tests/test_streaming.py",
+)
+def s12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    agg = hourly_user_counts(ev)
+    w = Window.partitionBy("w").orderBy(
+        F.desc("n"), F.desc("vc"), F.col("user_id")
+    )
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            ts_str(F.col("w.start")).alias("hh"),
+            F.col("rk").cast("int").alias("rk"),
+            "user_id",
+            "n",
+            "vc",
+        )
+        .orderBy("hh", "rk")
+    )
+
+
 QUERIES = list(_S)

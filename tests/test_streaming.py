@@ -515,3 +515,24 @@ def test_s11_checksum_stream_equals_batch(spark, replay_dir):
         spark, replay_dir, hourly_checksums, output_mode="complete"
     ).select(F.col("w.start").alias("h"), "n", "checksum")
     assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_s12_topk_stream_equals_batch(spark, replay_dir):
+    from graph_spark.queries.ssuite import hourly_user_counts
+
+    def rank_sink(df):
+        w = Window.partitionBy("w").orderBy(
+            F.desc("n"), F.desc("vc"), F.col("user_id")
+        )
+        return (
+            df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select(F.col("w.start").alias("h"), "rk", "user_id", "n", "vc")
+        )
+
+    cols = ["h", "rk", "user_id", "n", "vc"]
+    batch = rank_sink(hourly_user_counts(Catalog(spark, SF_SMOKE).table("events")))
+    stream = rank_sink(
+        run_stream(spark, replay_dir, hourly_user_counts, output_mode="complete")
+    )
+    assert _rows(stream, cols) == _rows(batch, cols)
