@@ -1626,4 +1626,88 @@ def l41(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l42_knn_classify",
+    """WITH q AS (SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))
+           AS qv FROM embeddings),
+       up AS (SELECT a.vec_id AS va, a.label AS la, b.vec_id AS vb,
+         b.label AS lb, unnest(a.qv) AS xa, unnest(b.qv) AS xb
+         FROM q a JOIN q b ON b.vec_id <> a.vec_id),
+       d AS (SELECT va, la, vb, lb,
+         CAST(sum((xa - xb) * (xa - xb)) AS BIGINT) AS d2
+         FROM up GROUP BY 1, 2, 3, 4),
+       nn AS (SELECT va, la, lb FROM d
+         QUALIFY row_number() OVER (PARTITION BY va ORDER BY d2, vb) <= 5),
+       votes AS (SELECT va, la, lb, count(*) AS c FROM nn GROUP BY 1, 2, 3),
+       pred AS (SELECT va, la, lb AS pred FROM votes
+         QUALIFY row_number() OVER (PARTITION BY va ORDER BY c DESC, lb) = 1)
+       SELECT CAST(la AS INT) AS label, count(*) AS n,
+         CAST(sum(CASE WHEN pred = la THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct,
+         round(CAST(sum(CASE WHEN pred = la THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*), 4) AS acc
+       FROM pred GROUP BY 1 ORDER BY 1""",
+    note="5-NN label-vote classification with leave-one-out accuracy "
+    "per class — the embedding-quality probe a curation pipeline runs "
+    "before trusting clusters.  Distances are EXACT integer squared-L2 "
+    "over 3-decimal-quantized vectors (l21's quantization put to "
+    "work), so neighbor ranking and vote outcomes are bit-stable "
+    "across engines — no cosine ulp hazard.  This is the brute-force "
+    "O(n^2) evaluation harness: at corpus scale the candidate pairs "
+    "come from l12/l17's LSH/IVF buckets instead, same vote stage",
+)
+def l42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = Catalog(spark, sf_dir).table("embeddings")
+    q = em.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))"
+        ).alias("qv"),
+    )
+    a = q.select(
+        F.col("vec_id").alias("va"), F.col("label").alias("la"), F.col("qv").alias("qa")
+    )
+    b = q.select(
+        F.col("vec_id").alias("vb"), F.col("label").alias("lb"), F.col("qv").alias("qb")
+    )
+    d = a.join(b, F.col("va") != F.col("vb")).select(
+        "va",
+        "la",
+        "vb",
+        "lb",
+        F.expr(
+            "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("d2"),
+    )
+    nn = (
+        d.withColumn(
+            "rk", F.row_number().over(Window.partitionBy("va").orderBy("d2", "vb"))
+        )
+        .filter(F.col("rk") <= 5)
+        .select("va", "la", "lb")
+    )
+    votes = nn.groupBy("va", "la", "lb").agg(F.count(F.lit(1)).alias("c"))
+    pred = (
+        votes.withColumn(
+            "r",
+            F.row_number().over(Window.partitionBy("va").orderBy(F.desc("c"), "lb")),
+        )
+        .filter(F.col("r") == 1)
+        .select("va", "la", F.col("lb").alias("pred"))
+    )
+    correct = F.sum(F.when(F.col("pred") == F.col("la"), 1).otherwise(0))
+    return (
+        pred.groupBy(F.col("la").cast("int").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            correct.cast("long").alias("n_correct"),
+            F.round(correct.cast("double") / F.count(F.lit(1)), 4).alias("acc"),
+        )
+        .orderBy("label")
+    )
+
+
 QUERIES = list(_L)

@@ -4033,4 +4033,77 @@ def t42(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "t43_acf",
+    """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS x
+       FROM events GROUP BY 1),
+       s AS (SELECT row_number() OVER (ORDER BY d) AS i, x FROM d),
+       g AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS s1,
+             CAST(sum(x * x) AS BIGINT) AS q FROM s),
+       k AS (SELECT i AS lag FROM generate_series(1, 7) t(i)),
+       p AS (SELECT k.lag AS lag, CAST(sum(a.x * b.x) AS BIGINT) AS ak,
+             CAST(sum(a.x) AS BIGINT) AS bk, CAST(sum(b.x) AS BIGINT) AS ck,
+             count(*) AS m
+         FROM k JOIN s a ON a.i > k.lag JOIN s b ON b.i = a.i - k.lag
+         GROUP BY 1)
+       SELECT CAST(lag AS INT) AS lag, m,
+         round((ak - CAST(s1 AS DOUBLE) * (bk + ck) / n
+             + CAST(m AS DOUBLE) * s1 * s1 / (CAST(n AS DOUBLE) * n))
+           / (q - CAST(s1 AS DOUBLE) * s1 / n), 4) AS acf
+       FROM p CROSS JOIN g ORDER BY 1""",
+    note="autocorrelation function of daily revenue at lags 1..7 — the "
+    "seasonality diagnostic that tells a forecaster (t34/t40) which "
+    "period to model.  Every moment (lag products, marginal sums, "
+    "sum-of-squares) is an exact BIGINT over integer cents; the mean-"
+    "centering algebra runs ONCE per lag in doubles with a textually "
+    "identical expression in both engines, so no accumulation-order "
+    "noise.  The lagged join is index-aligned on the tiny pre-"
+    "aggregated daily series, never the raw facts",
+)
+def t43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.floor(F.sum("value") * 100 + 0.5).cast("long").alias("x")
+    )
+    s = daily.select(F.row_number().over(Window.orderBy("d")).alias("i"), "x")
+    g = s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    ks = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a = s.select(F.col("i").alias("ai"), F.col("x").alias("ax"))
+    b = s.select(F.col("i").alias("bi"), F.col("x").alias("bx"))
+    p = (
+        ks.join(a, F.col("ai") > F.col("lag"))
+        .join(b, F.col("bi") == F.col("ai") - F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("ax") * F.col("bx")).alias("ak"),
+            F.sum("ax").alias("bk"),
+            F.sum("bx").alias("ck"),
+            F.count(F.lit(1)).alias("m"),
+        )
+    )
+    num = (
+        F.col("ak")
+        - F.col("s1").cast("double") * (F.col("bk") + F.col("ck")) / F.col("n")
+        + F.col("m").cast("double")
+        * F.col("s1")
+        * F.col("s1")
+        / (F.col("n").cast("double") * F.col("n"))
+    )
+    den = F.col("q") - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+    return (
+        p.crossJoin(F.broadcast(g))
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            "m",
+            F.round(num / den, 4).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
 QUERIES = list(_Q)
