@@ -4106,4 +4106,77 @@ def t43(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "t44_downsample_ltob",
+    """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS x
+       FROM events GROUP BY 1),
+       s AS (SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+             d, x FROM d),
+       nn AS (SELECT count(*) AS n FROM s),
+       ar AS (SELECT i, d, x,
+         abs((i - lag(i) OVER w) * (lead(x) OVER w - lag(x) OVER w)
+           - (lead(i) OVER w - lag(i) OVER w) * (x - lag(x) OVER w)) AS area
+         FROM s WINDOW w AS (ORDER BY i)),
+       sel AS (SELECT i, d, x, area, row_number() OVER
+           (PARTITION BY (i - 1) // 5 ORDER BY area DESC, i) AS rn
+         FROM ar WHERE area IS NOT NULL)
+       SELECT i, strftime(d, '%Y-%m-%d') AS day, x, area
+       FROM sel WHERE rn = 1
+       UNION ALL
+       SELECT i, strftime(d, '%Y-%m-%d') AS day, x, CAST(NULL AS BIGINT)
+       FROM ar CROSS JOIN nn WHERE i = 1 OR i = nn.n
+       ORDER BY 1""",
+    note="largest-triangle-one-bucket downsampling of the daily series "
+    "(5-day buckets): keep the point with max effective triangle area "
+    "against its immediate neighbors, plus both endpoints — the "
+    "shape-preserving decimation a 100TB dashboard renders instead of "
+    "raw points.  Areas are exact BIGINT cross products of (day-index, "
+    "cent) integer coordinates, so the per-bucket argmax is bit-stable; "
+    "one window pass + one bounded per-bucket rank, all on the pre-"
+    "aggregated daily table",
+)
+def t44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.floor(F.sum("value") * 100 + 0.5).cast("long").alias("x")
+    )
+    s = daily.select(
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("i"), "d", "x"
+    )
+    w = Window.orderBy("i")
+    area = F.abs(
+        (F.col("i") - F.lag("i").over(w))
+        * (F.lead("x").over(w) - F.lag("x").over(w))
+        - (F.lead("i").over(w) - F.lag("i").over(w))
+        * (F.col("x") - F.lag("x").over(w))
+    )
+    ar = s.withColumn("area", area)
+    sel = (
+        ar.filter(F.col("area").isNotNull())
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(F.expr("(i - 1) DIV 5")).orderBy(
+                    F.desc("area"), "i"
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("i", date_str(F.col("d")).alias("day"), "x", "area")
+    )
+    nn = ar.agg(F.count(F.lit(1)).alias("n"))
+    ends = (
+        ar.crossJoin(F.broadcast(nn))
+        .filter((F.col("i") == 1) | (F.col("i") == F.col("n")))
+        .select(
+            "i",
+            date_str(F.col("d")).alias("day"),
+            "x",
+            F.lit(None).cast("long").alias("area"),
+        )
+    )
+    return sel.unionAll(ends).orderBy("i")
+
+
 QUERIES = list(_Q)

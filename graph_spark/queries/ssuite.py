@@ -402,4 +402,49 @@ def s12(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def latest_user_state(ev: DataFrame) -> DataFrame:
+    """Shared transform for S13: per-user latest-state materialized
+    view — max_by/arg_max picks the newest (event_type, value) while
+    count/max stay mergeable, so the streaming form maintains one
+    small struct per user (the CDC-upsert pattern: a keyed view that
+    each micro-batch upserts instead of appends).  Unique (user_id,
+    ts) in the fixture makes arg_max deterministic; guarded by
+    test_oracle_preconditions."""
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", "ts").alias("last_type"),
+        F.floor(F.max_by("value", "ts") * 100 + 0.5).cast("long").alias("last_vc"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@_s(
+    "s13_stream_latest_state",
+    """SELECT user_id, arg_max(event_type, ts) AS last_type,
+       CAST(floor(arg_max(value, ts) * 100 + 0.5) AS BIGINT) AS last_vc,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+       count(*) AS n_events
+       FROM events GROUP BY 1 ORDER BY 1""",
+    note="streaming latest-state view: the keyed CDC-upsert surface "
+    "(one current row per user, newest event wins) maintained with "
+    "nothing but mergeable arg_max/max/count state — no sort, no "
+    "per-key history.  This is how a 100TB pipeline keeps a serving "
+    "table current without reprocessing; replay parity in "
+    "tests/test_streaming.py",
+)
+def s13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    return (
+        latest_user_state(ev)
+        .select(
+            "user_id",
+            "last_type",
+            "last_vc",
+            ts_str(F.col("last_ts")).alias("last_ts"),
+            "n_events",
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = list(_S)

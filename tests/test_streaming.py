@@ -536,3 +536,14 @@ def test_s12_topk_stream_equals_batch(spark, replay_dir):
         run_stream(spark, replay_dir, hourly_user_counts, output_mode="complete")
     )
     assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_s13_latest_state_stream_equals_batch(spark, replay_dir):
+    from graph_spark.queries.ssuite import latest_user_state
+
+    cols = ["user_id", "last_type", "last_vc", "last_ts", "n_events"]
+    batch = latest_user_state(Catalog(spark, SF_SMOKE).table("events"))
+    stream = run_stream(
+        spark, replay_dir, latest_user_state, output_mode="complete"
+    )
+    assert _rows(stream, cols) == _rows(batch, cols)
