@@ -1901,4 +1901,42 @@ def g48(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g49_double_sweep",
+    f"""WITH RECURSIVE {GRAPH_CTES},
+       b1(node, d) AS (SELECT 'c1', 0 UNION
+         SELECT e.dst, b1.d + 1 FROM b1
+         JOIN graph_edges_sym e ON b1.node = e.src WHERE b1.d < 12),
+       d1 AS (SELECT node, CAST(min(d) AS BIGINT) AS d FROM b1 GROUP BY 1),
+       f1 AS (SELECT node, d FROM d1 ORDER BY d DESC, node LIMIT 1),
+       b2(node, d) AS (SELECT node, 0 FROM f1 UNION
+         SELECT e.dst, b2.d + 1 FROM b2
+         JOIN graph_edges_sym e ON b2.node = e.src WHERE b2.d < 12),
+       d2 AS (SELECT node, CAST(min(d) AS BIGINT) AS d FROM b2 GROUP BY 1),
+       f2 AS (SELECT node, d FROM d2 ORDER BY d DESC, node LIMIT 1)
+       SELECT f1.node AS sweep1_node, f1.d AS sweep1_ecc,
+         f2.node AS sweep2_node, f2.d AS diameter_lb
+       FROM f1 CROSS JOIN f2""",
+    note="double-sweep diameter estimation: BFS from an arbitrary seed, "
+    "re-BFS from the farthest node found — the eccentricity of that "
+    "second sweep is the standard tight diameter LOWER bound at two "
+    "BFS costs instead of all-pairs.  Reuses the g03 frontier BFS "
+    "(auto-routed local/distributed); ties at max distance break to "
+    "the smallest node id so both engines pick the same pivot.  The "
+    "only driver-side transfer is ONE (node, ecc) row between sweeps",
+)
+def g49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _sym_graph(Catalog(spark, sf_dir))
+    d1 = bfs_distances(g, "c1", max_hops=12)
+    far1 = d1.orderBy(F.desc("d"), "node").limit(1).collect()[0]
+    d2 = bfs_distances(g, far1["node"], max_hops=12)
+    far2 = d2.orderBy(F.desc("d"), "node").limit(1)
+    return far2.select(
+        F.lit(far1["node"]).alias("sweep1_node"),
+        F.lit(int(far1["d"])).cast("long").alias("sweep1_ecc"),
+        F.col("node").alias("sweep2_node"),
+        F.col("d").alias("diameter_lb"),
+    )
+
+
 QUERIES = list(_G)

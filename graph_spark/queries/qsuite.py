@@ -4179,4 +4179,142 @@ def t44(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.unionAll(ends).orderBy("i")
 
 
+_SKEW_ORACLE_TMPL = """k_{tag} AS (SELECT {key} AS k, count(*) AS c
+    FROM {table} GROUP BY 1),
+  r_{tag} AS (SELECT c, row_number() OVER (ORDER BY c, k) AS r FROM k_{tag}),
+  s_{tag} AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS t,
+    CAST(max(c) AS BIGINT) AS mx, CAST(sum(r * c) AS BIGINT) AS rc,
+    CAST(sum(c * c) AS BIGINT) AS cc FROM r_{tag}),
+  o_{tag} AS (SELECT '{table}.{key}' AS key_name, n AS n_keys,
+    t AS total_rows, mx AS max_rows,
+    round(CAST(mx AS DOUBLE) / t, 4) AS top1_share,
+    round((2 * CAST(rc AS DOUBLE) - (n + 1) * t) / (CAST(n AS DOUBLE) * t), 4)
+      AS gini,
+    round(sqrt(CAST(n AS DOUBLE) * cc - CAST(t AS DOUBLE) * t) / t, 4) AS cv
+    FROM s_{tag})"""
+
+
+@_q(
+    "q87_skew_audit",
+    "WITH "
+    + ",\n  ".join(
+        _SKEW_ORACLE_TMPL.format(tag=tag, table=table, key=key)
+        for tag, table, key in (
+            ("a", "lineitem", "l_suppkey"),
+            ("b", "lineitem", "l_orderkey"),
+            ("c", "orders", "o_custkey"),
+        )
+    )
+    + """
+  SELECT * FROM o_a UNION ALL SELECT * FROM o_b UNION ALL
+  SELECT * FROM o_c ORDER BY 1""",
+    note="pre-shuffle skew audit of the three hottest join/groupBy keys: "
+    "per-key cardinality, heaviest-key share, Gini coefficient and "
+    "coefficient of variation — the numbers that decide between a "
+    "plain shuffle, AQE skew-join, or salting BEFORE a 100TB job "
+    "launches.  All moments (rank-weighted sums, sums of squares) are "
+    "exact BIGINTs from one groupBy + one sort-rank per key; doubles "
+    "appear once per audit row.  Cheap relative to the joins it "
+    "de-risks: each audit is a single aggregation of the fact table",
+)
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+
+    def audit(df: DataFrame, key: str, name: str) -> DataFrame:
+        k = df.groupBy(F.col(key).alias("k")).agg(F.count(F.lit(1)).alias("c"))
+        r = k.select("c", F.row_number().over(Window.orderBy("c", "k")).alias("r"))
+        s = r.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("t"),
+            F.max("c").alias("mx"),
+            F.sum(F.col("r") * F.col("c")).alias("rc"),
+            F.sum(F.col("c") * F.col("c")).alias("cc"),
+        )
+        return s.select(
+            F.lit(name).alias("key_name"),
+            F.col("n").alias("n_keys"),
+            F.col("t").alias("total_rows"),
+            F.col("mx").alias("max_rows"),
+            F.round(F.col("mx").cast("double") / F.col("t"), 4).alias("top1_share"),
+            F.round(
+                (2 * F.col("rc").cast("double") - (F.col("n") + 1) * F.col("t"))
+                / (F.col("n").cast("double") * F.col("t")),
+                4,
+            ).alias("gini"),
+            F.round(
+                F.sqrt(
+                    F.col("n").cast("double") * F.col("cc")
+                    - F.col("t").cast("double") * F.col("t")
+                )
+                / F.col("t"),
+                4,
+            ).alias("cv"),
+        )
+
+    li = c.table("lineitem")
+    return (
+        audit(li, "l_suppkey", "lineitem.l_suppkey")
+        .unionAll(audit(li, "l_orderkey", "lineitem.l_orderkey"))
+        .unionAll(audit(c.table("orders"), "o_custkey", "orders.o_custkey"))
+        .orderBy("key_name")
+    )
+
+
+@_q(
+    "t45_concurrency",
+    """WITH g AS (SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS flag
+       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       s AS (SELECT user_id, ts,
+         sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sid
+       FROM g),
+       iv AS (SELECT user_id, sid, epoch_us(min(ts)) AS st,
+              epoch_us(max(ts)) AS en FROM s GROUP BY 1, 2),
+       pts AS (SELECT st AS t, 1 AS delta FROM iv
+         UNION ALL SELECT en, -1 FROM iv),
+       runs AS (SELECT t, delta, CAST(sum(delta) OVER
+           (ORDER BY t, delta DESC ROWS UNBOUNDED PRECEDING) AS INT) AS conc,
+         lead(t) OVER (ORDER BY t, delta DESC) AS nxt FROM pts)
+       SELECT conc AS concurrency, count(*) AS n_points,
+         CAST(sum(coalesce(nxt - t, 0)) AS BIGINT) AS total_us
+       FROM runs GROUP BY 1 ORDER BY 1""",
+    note="interval sweep-line: max/histogram of CONCURRENT user "
+    "sessions over time — sessions (t03 gap rule) become +1/-1 "
+    "boundary events, one global running sum gives the concurrency "
+    "level, lead() gives each level's dwell time.  Starts sort before "
+    "ends at the same instant (delta descending) so point sessions "
+    "never dip the count negative, and everything after the session "
+    "groupBy is integer microseconds — no float, no timezone.  The "
+    "global ORDER BY t is the one single-partition stage; at scale "
+    "it runs on boundary points (2 per session), ~1e-4 of raw rows",
+)
+def t45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    sess = sessionize(ev, "user_id", "ts", 1800, tiebreak=["event_id"])
+    iv = sess.groupBy("user_id", "session_id").agg(
+        F.unix_micros(F.min("ts")).alias("st"),
+        F.unix_micros(F.max("ts")).alias("en"),
+    )
+    pts = iv.select(F.col("st").alias("t"), F.lit(1).alias("delta")).unionAll(
+        iv.select(F.col("en").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = Window.orderBy("t", F.desc("delta"))
+    runs = pts.select(
+        "t",
+        F.sum("delta").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int").alias("conc"),
+        F.lead("t").over(w).alias("nxt"),
+    )
+    return (
+        runs.groupBy(F.col("conc").alias("concurrency"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(F.coalesce(F.col("nxt") - F.col("t"), F.lit(0))).alias("total_us"),
+        )
+        .orderBy("concurrency")
+    )
+
+
 QUERIES = list(_Q)
