@@ -1386,13 +1386,28 @@ e{i} AS (SELECT e.* FROM {prev} e WHERE e.src NOT IN (SELECT n FROM u{i})
          AND e.dst NOT IN (SELECT n FROM u{i}))"""
         )
     chain = ",\n".join(rounds)
-    return (
-        f"WITH {GRAPH_CTES},\n"
-        "e0 AS (SELECT src,dst,weight FROM graph_edges),\n" + chain + """
+    final = """
 SELECT src, dst, weight, CAST(rnd AS INT) AS rnd
 FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3)
 ORDER BY src, dst"""
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        "e0 AS (SELECT src,dst,weight FROM graph_edges),\n" + chain + final
     )
+
+
+def _vertex_cover_oracle() -> str:
+    """The g40 matching CTE chain with a cover-summary final select."""
+    base = _matching_oracle()
+    final_at = base.rindex("\nSELECT src, dst, weight,")
+    return base[:final_at] + """
+SELECT (SELECT count(*) FROM (SELECT * FROM m1 UNION ALL
+          SELECT * FROM m2 UNION ALL SELECT * FROM m3) mm) AS n_matched,
+  (SELECT count(*) FROM u3) AS n_cover,
+  (SELECT count(*) FROM graph_edges) AS n_edges,
+  (SELECT count(*) FROM e3) AS n_uncovered,
+  round(1 - CAST((SELECT count(*) FROM e3) AS DOUBLE)
+    / (SELECT count(*) FROM graph_edges), 4) AS coverage"""
 
 
 @_g(
@@ -1936,6 +1951,59 @@ def g49(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(int(far1["d"])).cast("long").alias("sweep1_ecc"),
         F.col("node").alias("sweep2_node"),
         F.col("d").alias("diameter_lb"),
+    )
+
+
+@_g(
+    "g50_vertex_cover",
+    _vertex_cover_oracle(),
+    note="2-approximation vertex cover from g40's propose-accept "
+    "matching: both endpoints of every matched edge enter the cover — "
+    "the classical distributed approximation, plus an honest residual "
+    "audit (after 3 synchronous rounds some edges may remain "
+    "uncovered; coverage reports exactly how many).  Costs nothing "
+    "beyond the matching supersteps: the cover and the residual are "
+    "one distinct and two anti-joins on the already-computed match "
+    "set, and each anti-join side is the (tiny) cover node list, "
+    "broadcast",
+)
+def g50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import maximal_weight_matching
+
+    ge = Catalog(spark, sf_dir).graph_edges().select("src", "dst", "weight")
+    m = maximal_weight_matching(ge, rounds=3).localCheckpoint(eager=True)
+    cover = (
+        m.select(F.col("src").alias("n"))
+        .union(m.select(F.col("dst").alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    uncov = ge.join(
+        F.broadcast(cover.withColumnRenamed("n", "cs")),
+        F.col("src") == F.col("cs"),
+        "left_anti",
+    ).join(
+        F.broadcast(cover.withColumnRenamed("n", "cd")),
+        F.col("dst") == F.col("cd"),
+        "left_anti",
+    )
+    nm = m.agg(F.count(F.lit(1)).alias("n_matched"))
+    nc = cover.agg(F.count(F.lit(1)).alias("n_cover"))
+    ne = ge.agg(F.count(F.lit(1)).alias("n_edges"))
+    nu = uncov.agg(F.count(F.lit(1)).alias("n_uncovered"))
+    return (
+        nm.crossJoin(nc)
+        .crossJoin(ne)
+        .crossJoin(nu)
+        .select(
+            "n_matched",
+            "n_cover",
+            "n_edges",
+            "n_uncovered",
+            F.round(
+                1 - F.col("n_uncovered").cast("double") / F.col("n_edges"), 4
+            ).alias("coverage"),
+        )
     )
 
 

@@ -1710,4 +1710,141 @@ def l42(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l43_vocab_coverage",
+    """WITH tok AS (SELECT doc_id, lang,
+         unnest(string_split(text, ' ')) AS term FROM documents),
+       tf AS (SELECT term, count(*) AS c FROM tok WHERE term <> ''
+         GROUP BY 1),
+       vocab AS (SELECT term FROM tf
+         QUALIFY row_number() OVER (ORDER BY c DESC, term) <= 1000),
+       j AS (SELECT t.lang, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END
+           AS oov FROM tok t LEFT JOIN vocab v ON v.term = t.term
+         WHERE t.term <> '')
+       SELECT lang, count(*) AS total_tokens,
+         CAST(sum(oov) AS BIGINT) AS oov_tokens,
+         round(CAST(sum(oov) AS DOUBLE) / count(*), 4) AS oov_rate
+       FROM j GROUP BY 1 ORDER BY 1""",
+    note="tokenizer vocabulary coverage: build the top-1000 corpus "
+    "vocabulary (frequency-ranked, term tie-break) and report the "
+    "out-of-vocabulary token rate per language — the go/no-go check "
+    "before committing a fixed vocab to a training run.  The vocab "
+    "is top-K-bounded, so the coverage join broadcasts it against "
+    "the token stream: one tokenize pass, one term groupBy, one "
+    "broadcast join, no all-corpus shuffle on the probe side",
+)
+def l43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    tok = d.select(
+        "lang", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        tf.withColumn("rk", F.row_number().over(Window.orderBy(F.desc("c"), "term")))
+        .filter(F.col("rk") <= 1000)
+        .select(F.col("term").alias("vterm"))
+    )
+    j = tok.join(
+        F.broadcast(vocab), F.col("term") == F.col("vterm"), "left"
+    ).select("lang", F.when(F.col("vterm").isNull(), 1).otherwise(0).alias("oov"))
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.sum("oov").alias("oov_tokens"),
+            F.round(F.sum("oov").cast("double") / F.count(F.lit(1)), 4).alias(
+                "oov_rate"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+@_l(
+    "l44_survivorship",
+    """WITH RECURSIVE docs AS (
+         SELECT doc_id, list_filter(string_split(text,' '), x -> x <> '') AS l
+         FROM documents WHERE doc_id < 100),
+       sh AS (SELECT DISTINCT doc_id, s[1] || ' ' || s[2] AS shingle
+              FROM (SELECT doc_id, unnest(list_zip(l, l[2:])) AS s FROM docs) z
+              WHERE s[2] IS NOT NULL),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+                 FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id<b.doc_id
+                 GROUP BY 1,2),
+       pairs AS (SELECT a, b FROM inter
+                 JOIN sizes sa ON sa.doc_id=a JOIN sizes sb ON sb.doc_id=b
+                 WHERE i::DOUBLE/(sa.sz + sb.sz - i) >= 0.12),
+       sym AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+       nodes AS (SELECT DISTINCT x AS node FROM sym),
+       reach(node, r) AS (
+         SELECT node, node FROM nodes
+         UNION
+         SELECT e.y, reach.r FROM reach JOIN sym e ON reach.node=e.x),
+       cl AS (SELECT node AS doc_id, min(r)::BIGINT AS cluster FROM reach
+              GROUP BY 1),
+       j AS (SELECT c.cluster, c.doc_id, d.n_chars FROM cl c
+             JOIN documents d ON d.doc_id = c.doc_id),
+       srt AS (SELECT cluster, doc_id, n_chars, row_number() OVER
+                 (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rn
+               FROM j),
+       agg AS (SELECT cluster, count(*) AS n_members,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars FROM j GROUP BY 1)
+       SELECT a.cluster, s.doc_id AS survivor, a.n_members, a.total_chars,
+         CAST(a.total_chars - s.n_chars AS BIGINT) AS dropped_chars
+       FROM agg a JOIN srt s ON s.cluster = a.cluster AND s.rn = 1
+       ORDER BY 1""",
+    note="dedup survivorship: l19's near-dup clusters resolved to ONE "
+    "canonical document each (longest text wins, doc_id tie-break) "
+    "with exact kept/dropped char accounting — the final pipeline "
+    "step that turns 'these are duplicates' into 'keep this, drop "
+    "that'.  Cluster ids come from the same CC relabeling as l19; "
+    "the survivor pick is one bounded per-cluster rank over the "
+    "(small) cluster-member table",
+)
+def l44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import connected_components
+    from ..graph.property_graph import PropertyGraph
+
+    docs = Catalog(spark, sf_dir).table("documents").filter(F.col("doc_id") < 100)
+    pairs = ngram_jaccard_pairs(docs, n=2).filter(F.col("jaccard") >= 0.12).select("a", "b")
+    sym = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    edges = sym.select(
+        F.col("a").cast("string").alias("src"), F.col("b").cast("string").alias("dst")
+    )
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    cc = connected_components(PropertyGraph(nodes, edges))
+    num = cc.select(
+        F.col("node").cast("long").alias("doc_id"), F.col("component").alias("comp_str")
+    )
+    relabel = num.groupBy("comp_str").agg(F.min("doc_id").alias("cluster"))
+    cl = num.join(F.broadcast(relabel), "comp_str").select("doc_id", "cluster")
+    j = cl.join(docs.select("doc_id", "n_chars"), "doc_id")
+    srt = j.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("cluster").orderBy(F.desc("n_chars"), "doc_id")
+        ),
+    )
+    agg = j.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"), F.sum("n_chars").alias("total_chars")
+    )
+    return (
+        agg.join(
+            srt.filter(F.col("rn") == 1).select(
+                "cluster", F.col("doc_id").alias("survivor"), F.col("n_chars").alias("sc")
+            ),
+            "cluster",
+        )
+        .select(
+            "cluster",
+            "survivor",
+            "n_members",
+            "total_chars",
+            (F.col("total_chars") - F.col("sc")).alias("dropped_chars"),
+        )
+        .orderBy("cluster")
+    )
+
+
 QUERIES = list(_L)

@@ -4317,4 +4317,114 @@ def t45(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q88_write_layout_plan",
+    """WITH s AS (SELECT lang, count(*) AS n_docs,
+         CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+       FROM documents GROUP BY 1)
+       SELECT lang, n_docs, total_bytes,
+         CAST((total_bytes + 1048575) // 1048576 AS BIGINT) AS n_files,
+         CAST((n_docs + ((total_bytes + 1048575) // 1048576) - 1)
+           // ((total_bytes + 1048575) // 1048576) AS BIGINT)
+           AS rows_per_file
+       FROM s ORDER BY 1""",
+    note="partitioned-write layout planner: per output partition "
+    "(lang), exact byte budget -> target file count at a 1 MiB unit "
+    "(stand-in for the 128 MiB production target) and rows-per-file — "
+    "the repartitionByRange/maxRecordsPerFile inputs that keep a "
+    "100TB write from emitting either 10M tiny files or 10 "
+    "unsplittable ones.  Pure integer ceil-division on one "
+    "aggregation pass; pairs with sources/writers.py which consumes "
+    "exactly these numbers",
+)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    s = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.octet_length(F.encode(F.col("text"), "utf-8")).cast("long")).alias(
+            "total_bytes"
+        ),
+    )
+    n_files = F.floor((F.col("total_bytes") + 1048575) / 1048576).cast("long")
+    return s.select(
+        "lang",
+        "n_docs",
+        "total_bytes",
+        n_files.alias("n_files"),
+        F.floor((F.col("n_docs") + n_files - 1) / n_files).cast("long").alias(
+            "rows_per_file"
+        ),
+    ).orderBy("lang")
+
+
+@_q(
+    "t46_funnel_latency",
+    """WITH su AS (SELECT user_id, min(ts) AS sts FROM events
+         WHERE event_type = 'signup' GROUP BY 1),
+       pu AS (SELECT s.user_id,
+              epoch_us(min(e.ts)) - epoch_us(s.sts) AS lat
+         FROM su s JOIN events e ON e.user_id = s.user_id
+           AND e.event_type = 'purchase' AND e.ts >= s.sts
+         GROUP BY s.user_id, s.sts),
+       r AS (SELECT lat, row_number() OVER (ORDER BY lat) AS rn,
+             count(*) OVER () AS n FROM pu)
+       SELECT (SELECT count(*) FROM su) AS n_signed,
+         max(n) AS n_converted,
+         round(CAST(max(n) AS DOUBLE) / (SELECT count(*) FROM su), 4)
+           AS conv_rate,
+         CAST(max(CASE WHEN rn = (n + 3) // 4 THEN lat END) AS BIGINT)
+           AS p25_us,
+         CAST(max(CASE WHEN rn = (n + 1) // 2 THEN lat END) AS BIGINT)
+           AS p50_us,
+         CAST(max(CASE WHEN rn = (3 * n + 3) // 4 THEN lat END) AS BIGINT)
+           AS p75_us
+       FROM r""",
+    note="signup->purchase funnel latency: per user, first signup to "
+    "first subsequent purchase, with conversion rate and EXACT "
+    "element quartiles of the latency distribution (lower-element "
+    "picks at ceil(q*n) — integer microseconds, no interpolation, no "
+    "approx-percentile nondeterminism).  One semi-join-shaped "
+    "aggregation per funnel stage on the user key; the quartile rank "
+    "runs over the (converted-users-sized) latency table only",
+)
+def t46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    su = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("sts")
+    )
+    pu = (
+        su.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("pu_id"), F.col("ts").alias("pts")
+            ),
+            (F.col("user_id") == F.col("pu_id")) & (F.col("pts") >= F.col("sts")),
+        )
+        .groupBy("user_id", "sts")
+        .agg((F.unix_micros(F.min("pts")) - F.unix_micros(F.col("sts"))).alias("lat"))
+    )
+    r = pu.select(
+        "lat",
+        F.row_number().over(Window.orderBy("lat")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    ns = su.agg(F.count(F.lit(1)).alias("n_signed"))
+    pick = lambda expr: F.max(F.when(F.col("rn") == expr, F.col("lat"))).cast("long")
+    stats = r.agg(
+        F.max("n").alias("n_converted"),
+        pick(F.floor((F.col("n") + 3) / 4)).alias("p25_us"),
+        pick(F.floor((F.col("n") + 1) / 2)).alias("p50_us"),
+        pick(F.floor((3 * F.col("n") + 3) / 4)).alias("p75_us"),
+    )
+    return stats.crossJoin(F.broadcast(ns)).select(
+        "n_signed",
+        "n_converted",
+        F.round(F.col("n_converted").cast("double") / F.col("n_signed"), 4).alias(
+            "conv_rate"
+        ),
+        "p25_us",
+        "p50_us",
+        "p75_us",
+    )
+
+
 QUERIES = list(_Q)
