@@ -299,3 +299,45 @@ def test_l35_kmeans_broadcasts_centroids_no_udf(spark):
     # codegen expressions, never Python
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_l43_vocab_join_broadcasts(spark):
+    # the top-K vocab must broadcast onto the token stream; a shuffle
+    # join on term would move the whole corpus at 100 TB
+    from graph_spark.queries.lsuite import QUERIES
+
+    q = next(q for q in QUERIES if q.name == "l43_vocab_coverage")
+    plan = _plan(q.build(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q87_skew_audit_single_scan_per_key(spark):
+    # each audit is groupBy + rank + one-row agg; no joins back to the
+    # fact table, so the plan must contain zero SortMergeJoins
+    from graph_spark.queries.qsuite import QUERIES
+
+    q = next(q for q in QUERIES if q.name == "q87_skew_audit")
+    plan = _plan(q.build(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_t45_sweep_sorts_boundaries_not_events(spark):
+    # the global sweep-line window must run over session boundary
+    # points (post-aggregation), i.e. below it sits the session
+    # groupBy, not the raw events scan
+    from graph_spark.queries.qsuite import QUERIES
+
+    q = next(q for q in QUERIES if q.name == "t45_concurrency")
+    opt = _optimized(q.build(spark, SF_SMOKE))
+    # the global sweep Window sits above a Union whose branches are the
+    # per-session interval Aggregates — boundary points, not raw rows
+    assert opt.index("Window") < opt.index("Union"), opt
+    assert ":- Aggregate" in opt and "+- Aggregate" in opt, opt
+
+
+def test_g48_katz_no_cartesian(spark):
+    from graph_spark.queries.gsuite import QUERIES
+
+    q = next(q for q in QUERIES if q.name == "g48_katz")
+    plan = _plan(q.build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
