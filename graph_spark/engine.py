@@ -357,3 +357,38 @@ class Engine:
     @staticmethod
     def sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
         return df.sample(fraction=fraction, seed=seed)
+
+    # -- scale tooling & curation ops (this session's additions) --------
+    @staticmethod
+    def skew_audit(df: DataFrame, key: str, name: str | None = None) -> DataFrame:
+        """Pre-shuffle skew audit for a join/groupBy key (q87 shape)."""
+        from .operators.relational import skew_audit
+
+        return skew_audit(df, key, name)
+
+    @staticmethod
+    def sweep_concurrency(intervals: DataFrame, start_col: str = "st", end_col: str = "en") -> DataFrame:
+        """Sweep-line concurrency over integer-time intervals (t45 shape)."""
+        from .operators.relational import sweep_concurrency
+
+        return sweep_concurrency(intervals, start_col, end_col)
+
+    @staticmethod
+    def bm25(df: DataFrame, k1: float = 1.2, b: float = 0.75, **kw) -> DataFrame:
+        """BM25 term-salience scores per (doc, term) (l41 shape)."""
+        from .operators.text import bm25_scores
+
+        return bm25_scores(df, k1=k1, b=b, **kw)
+
+    @staticmethod
+    def knn_classify(emb: DataFrame, k: int = 5, **kw) -> DataFrame:
+        """Leave-one-out k-NN label vote over quantized embeddings (l42)."""
+        from .operators.similarity import knn_label_vote
+
+        return knn_label_vote(emb, k=k, **kw)
+
+    def katz(self, rounds: int = 3) -> DataFrame:
+        """Truncated Katz walk counts on the symmetric sales graph (g48)."""
+        from .graph.algorithms import katz_walk_counts
+
+        return katz_walk_counts(self.catalog.graph_edges_sym(), rounds=rounds)

@@ -1319,3 +1319,29 @@ def minimum_spanning_forest(
             "w", weight_col
         )
     return forest.select("src", "dst", F.col("w").alias(weight_col))
+
+
+def katz_walk_counts(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Per-node counts of incoming walks of length 1..`rounds` over a
+    directed edge list (src, dst): returns (node, w1..w{rounds}).
+
+    Each round is ONE shuffle join of the stationary edge list against
+    the previous round's per-node counts — the PageRank superstep
+    shape, but with exact BIGINT walk counts so truncated Katz
+    centrality (sum alpha^l * w_l) is cross-engine deterministic.
+    """
+    p = edges.groupBy(F.col("dst").alias("node")).agg(F.count(F.lit(1)).alias("c"))
+    walks = [p]
+    for _ in range(rounds - 1):
+        p = (
+            edges.join(p.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("c"))
+        )
+        walks.append(p)
+    out = walks[0].select("node", F.col("c").alias("w1"))
+    for i, w in enumerate(walks[1:], start=2):
+        out = out.join(
+            w.select("node", F.col("c").alias(f"w{i}")), "node", "left"
+        ).withColumn(f"w{i}", F.coalesce(F.col(f"w{i}"), F.lit(0)))
+    return out

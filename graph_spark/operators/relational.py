@@ -203,3 +203,73 @@ def bucketed_range_join(
         )
         .drop("__b")
     )
+
+
+def skew_audit(df: DataFrame, key: str, name: str | None = None) -> DataFrame:
+    """One-row shuffle-skew audit for a join/groupBy key: per-key
+    cardinality, heaviest-key share, Gini coefficient and coefficient
+    of variation — the decision inputs for plain-shuffle vs AQE
+    skew-join vs explicit salting (`salted_join`) BEFORE a large job
+    runs.
+
+    All moments are exact integer sums (rank-weighted sum, sum of
+    squares) from one groupBy plus one sort-rank over the (small)
+    per-key count table; doubles appear once in the output row.
+    """
+    label = name if name is not None else key
+    k = df.groupBy(F.col(key).alias("k")).agg(F.count(F.lit(1)).alias("c"))
+    r = k.select("c", F.row_number().over(Window.orderBy("c", "k")).alias("r"))
+    s = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("t"),
+        F.max("c").alias("mx"),
+        F.sum(F.col("r") * F.col("c")).alias("rc"),
+        F.sum(F.col("c") * F.col("c")).alias("cc"),
+    )
+    return s.select(
+        F.lit(label).alias("key_name"),
+        F.col("n").alias("n_keys"),
+        F.col("t").alias("total_rows"),
+        F.col("mx").alias("max_rows"),
+        F.round(F.col("mx").cast("double") / F.col("t"), 4).alias("top1_share"),
+        F.round(
+            (2 * F.col("rc").cast("double") - (F.col("n") + 1) * F.col("t"))
+            / (F.col("n").cast("double") * F.col("t")),
+            4,
+        ).alias("gini"),
+        F.round(
+            F.sqrt(
+                F.col("n").cast("double") * F.col("cc")
+                - F.col("t").cast("double") * F.col("t")
+            )
+            / F.col("t"),
+            4,
+        ).alias("cv"),
+    )
+
+
+def sweep_concurrency(
+    intervals: DataFrame, start_col: str = "st", end_col: str = "en"
+) -> DataFrame:
+    """Sweep-line concurrency over integer-time intervals: returns one
+    row per boundary point with the running concurrency level and the
+    dwell time to the next boundary (`t`, `conc`, `nxt`).
+
+    Starts sort before ends at the same instant so point intervals
+    never dip the count negative.  The single global sort runs over
+    boundary points (2 per interval), not source rows — at scale that
+    is orders of magnitude smaller than the fact table that produced
+    the intervals.
+    """
+    pts = intervals.select(
+        F.col(start_col).alias("t"), F.lit(1).alias("delta")
+    ).unionAll(intervals.select(F.col(end_col).alias("t"), F.lit(-1).alias("delta")))
+    w = Window.orderBy("t", F.desc("delta"))
+    return pts.select(
+        "t",
+        F.sum("delta")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int")
+        .alias("conc"),
+        F.lead("t").over(w).alias("nxt"),
+    )

@@ -359,3 +359,67 @@ def kmeans_lloyd(
             )
             centroids = [(r["cid"], r["c"]) for r in new.collect()]
     return assigned
+
+
+def knn_label_vote(
+    df: DataFrame,
+    k: int = 5,
+    scale: int = 1000,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Leave-one-out k-NN label vote per vector: (id, label, pred).
+
+    Distances are EXACT integer squared-L2 over `scale`-quantized
+    vectors, so neighbor ranking and vote outcomes are bit-stable
+    under any reduction order — the float-cosine nondeterminism that
+    plagues distributed brute-force kNN is gone by construction.
+
+    This is the O(n^2) evaluation harness (all-pairs); at corpus scale
+    feed the same vote stage from LSH/IVF candidate buckets
+    (`cosine_topk_lsh` / `cosine_topk_ivf`) instead of the full join.
+    """
+    q = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).alias("__lbl"),
+        F.expr(
+            f"transform({vec_col}, x -> CAST(floor(x * {scale} + 0.5) AS BIGINT))"
+        ).alias("__qv"),
+    )
+    a = q.select(
+        F.col("__id").alias("va"), F.col("__lbl").alias("la"), F.col("__qv").alias("qa")
+    )
+    b = q.select(
+        F.col("__id").alias("vb"), F.col("__lbl").alias("lb"), F.col("__qv").alias("qb")
+    )
+    d = a.join(b, F.col("va") != F.col("vb")).select(
+        "va",
+        "la",
+        "vb",
+        "lb",
+        F.expr(
+            "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("d2"),
+    )
+    nn = (
+        d.withColumn(
+            "rk", F.row_number().over(Window.partitionBy("va").orderBy("d2", "vb"))
+        )
+        .filter(F.col("rk") <= k)
+        .select("va", "la", "lb")
+    )
+    votes = nn.groupBy("va", "la", "lb").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        votes.withColumn(
+            "r",
+            F.row_number().over(Window.partitionBy("va").orderBy(F.desc("c"), "lb")),
+        )
+        .filter(F.col("r") == 1)
+        .select(
+            F.col("va").alias(id_col),
+            F.col("la").alias(label_col),
+            F.col("lb").alias("pred"),
+        )
+    )

@@ -152,3 +152,40 @@ def unigram_surprisal(
         .groupBy(id_col)
         .agg(F.avg(-F.log(F.col("c") * 1.0 / F.lit(total))).alias("surprisal"))
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 term-salience scores per (doc, term): tf-idf with saturating
+    term frequency and document-length normalization — the retrieval
+    ranking function.  Returns (doc_id, term, tf, bm25) with bm25
+    unrounded.
+
+    One tokenize pass feeds tf and doc-length; the corpus scalars
+    (N, avgdl) broadcast; the df join is a shuffle join keyed on term
+    (the vocabulary is NOT broadcastable at corpus scale — AQE may
+    still elect broadcast when it measures small).
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    st = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+    idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    score = idf * F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(st))
+        .select("doc_id", "term", "tf", score.alias("bm25"))
+    )

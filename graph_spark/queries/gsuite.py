@@ -1879,29 +1879,10 @@ def g47(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DECIMAL and would change the output scale)",
 )
 def g48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import katz_walk_counts
+
     e = Catalog(spark, sf_dir).graph_edges_sym()
-    p1 = e.groupBy(F.col("dst").alias("node")).agg(F.count(F.lit(1)).alias("c"))
-    p = p1
-    walks = [p1]
-    for _ in range(2):
-        p = (
-            e.join(p.withColumnRenamed("node", "src"), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("c").alias("c"))
-        )
-        walks.append(p)
-    w1, w2, w3 = walks
-    out = (
-        w1.select("node", F.col("c").alias("w1"))
-        .join(w2.select("node", F.col("c").alias("w2")), "node", "left")
-        .join(w3.select("node", F.col("c").alias("w3")), "node", "left")
-        .select(
-            "node",
-            "w1",
-            F.coalesce("w2", F.lit(0)).alias("w2"),
-            F.coalesce("w3", F.lit(0)).alias("w3"),
-        )
-    )
+    out = katz_walk_counts(e, rounds=3)
     return (
         out.select(
             "node", "w1", "w2", "w3",

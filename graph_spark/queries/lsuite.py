@@ -1604,23 +1604,12 @@ def l40(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cross-engine ln() disagreement cannot reorder the top-k",
 )
 def l41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bm25_scores
+
     d = Catalog(spark, sf_dir).table("documents")
-    tok = d.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("term")
-    ).filter(F.col("term") != "")
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    st = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
-    idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    score = idf * F.col("tf") * 2.2 / (
-        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
-    )
     return (
-        tf.join(dl, "doc_id")
-        .join(dfreq, "term")
-        .crossJoin(F.broadcast(st))
-        .select("doc_id", "term", F.round(score, 4).alias("bm25"))
+        bm25_scores(d, k1=1.2, b=0.75)
+        .select("doc_id", "term", F.round("bm25", 4).alias("bm25"))
         .orderBy(F.desc("bm25"), "doc_id", "term")
         .limit(25)
     )
@@ -1658,49 +1647,13 @@ def l41(spark: SparkSession, sf_dir: str) -> DataFrame:
     "come from l12/l17's LSH/IVF buckets instead, same vote stage",
 )
 def l42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import knn_label_vote
+
     em = Catalog(spark, sf_dir).table("embeddings")
-    q = em.select(
-        "vec_id",
-        "label",
-        F.expr(
-            "transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))"
-        ).alias("qv"),
-    )
-    a = q.select(
-        F.col("vec_id").alias("va"), F.col("label").alias("la"), F.col("qv").alias("qa")
-    )
-    b = q.select(
-        F.col("vec_id").alias("vb"), F.col("label").alias("lb"), F.col("qv").alias("qb")
-    )
-    d = a.join(b, F.col("va") != F.col("vb")).select(
-        "va",
-        "la",
-        "vb",
-        "lb",
-        F.expr(
-            "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)),"
-            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-        ).alias("d2"),
-    )
-    nn = (
-        d.withColumn(
-            "rk", F.row_number().over(Window.partitionBy("va").orderBy("d2", "vb"))
-        )
-        .filter(F.col("rk") <= 5)
-        .select("va", "la", "lb")
-    )
-    votes = nn.groupBy("va", "la", "lb").agg(F.count(F.lit(1)).alias("c"))
-    pred = (
-        votes.withColumn(
-            "r",
-            F.row_number().over(Window.partitionBy("va").orderBy(F.desc("c"), "lb")),
-        )
-        .filter(F.col("r") == 1)
-        .select("va", "la", F.col("lb").alias("pred"))
-    )
-    correct = F.sum(F.when(F.col("pred") == F.col("la"), 1).otherwise(0))
+    pred = knn_label_vote(em, k=5, scale=1000)
+    correct = F.sum(F.when(F.col("pred") == F.col("label"), 1).otherwise(0))
     return (
-        pred.groupBy(F.col("la").cast("int").alias("label"))
+        pred.groupBy(F.col("label").cast("int").alias("label"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             correct.cast("long").alias("n_correct"),

@@ -4218,44 +4218,14 @@ _SKEW_ORACLE_TMPL = """k_{tag} AS (SELECT {key} AS k, count(*) AS c
     "de-risks: each audit is a single aggregation of the fact table",
 )
 def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import skew_audit
+
     c = Catalog(spark, sf_dir)
-
-    def audit(df: DataFrame, key: str, name: str) -> DataFrame:
-        k = df.groupBy(F.col(key).alias("k")).agg(F.count(F.lit(1)).alias("c"))
-        r = k.select("c", F.row_number().over(Window.orderBy("c", "k")).alias("r"))
-        s = r.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("c").alias("t"),
-            F.max("c").alias("mx"),
-            F.sum(F.col("r") * F.col("c")).alias("rc"),
-            F.sum(F.col("c") * F.col("c")).alias("cc"),
-        )
-        return s.select(
-            F.lit(name).alias("key_name"),
-            F.col("n").alias("n_keys"),
-            F.col("t").alias("total_rows"),
-            F.col("mx").alias("max_rows"),
-            F.round(F.col("mx").cast("double") / F.col("t"), 4).alias("top1_share"),
-            F.round(
-                (2 * F.col("rc").cast("double") - (F.col("n") + 1) * F.col("t"))
-                / (F.col("n").cast("double") * F.col("t")),
-                4,
-            ).alias("gini"),
-            F.round(
-                F.sqrt(
-                    F.col("n").cast("double") * F.col("cc")
-                    - F.col("t").cast("double") * F.col("t")
-                )
-                / F.col("t"),
-                4,
-            ).alias("cv"),
-        )
-
     li = c.table("lineitem")
     return (
-        audit(li, "l_suppkey", "lineitem.l_suppkey")
-        .unionAll(audit(li, "l_orderkey", "lineitem.l_orderkey"))
-        .unionAll(audit(c.table("orders"), "o_custkey", "orders.o_custkey"))
+        skew_audit(li, "l_suppkey", "lineitem.l_suppkey")
+        .unionAll(skew_audit(li, "l_orderkey", "lineitem.l_orderkey"))
+        .unionAll(skew_audit(c.table("orders"), "o_custkey", "orders.o_custkey"))
         .orderBy("key_name")
     )
 
@@ -4293,20 +4263,14 @@ def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t45(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Catalog(spark, sf_dir).table("events")
+    from ..operators.relational import sweep_concurrency
+
     sess = sessionize(ev, "user_id", "ts", 1800, tiebreak=["event_id"])
     iv = sess.groupBy("user_id", "session_id").agg(
         F.unix_micros(F.min("ts")).alias("st"),
         F.unix_micros(F.max("ts")).alias("en"),
     )
-    pts = iv.select(F.col("st").alias("t"), F.lit(1).alias("delta")).unionAll(
-        iv.select(F.col("en").alias("t"), F.lit(-1).alias("delta"))
-    )
-    w = Window.orderBy("t", F.desc("delta"))
-    runs = pts.select(
-        "t",
-        F.sum("delta").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int").alias("conc"),
-        F.lead("t").over(w).alias("nxt"),
-    )
+    runs = sweep_concurrency(iv, "st", "en")
     return (
         runs.groupBy(F.col("conc").alias("concurrency"))
         .agg(

@@ -142,3 +142,30 @@ def test_engine_round_continuation_surfaces(spark):
 
     cp = eng.copurchase_graph().collect()
     assert all(r["p1"] < r["p2"] for r in cp)
+
+
+def test_engine_scale_tooling_surfaces(spark):
+    from pyspark.sql import functions as F
+
+    eng = Engine(spark, SF_SMOKE)
+
+    sa = eng.skew_audit(eng.table("lineitem"), "l_suppkey").collect()
+    assert len(sa) == 1 and sa[0]["key_name"] == "l_suppkey"
+    assert 0.0 <= sa[0]["gini"] <= 1.0 and sa[0]["top1_share"] > 0
+
+    iv = spark.createDataFrame(
+        [(0, 10), (5, 15), (20, 20)], ["st", "en"]
+    )
+    runs = eng.sweep_concurrency(iv).collect()
+    assert max(r["conc"] for r in runs) == 2  # [0,10] overlaps [5,15]
+    assert min(r["conc"] for r in runs) >= 0  # point interval never dips
+
+    bm = eng.bm25(eng.table("documents"))
+    assert {"doc_id", "term", "tf", "bm25"} <= set(bm.columns)
+    assert bm.filter(F.col("bm25") < 0).count() == 0
+
+    kc = eng.knn_classify(eng.table("embeddings").limit(30), k=3)
+    assert kc.count() == 30 and {"vec_id", "label", "pred"} <= set(kc.columns)
+
+    kz = eng.katz().collect()
+    assert kz and all(r["w1"] > 0 and r["w2"] >= 0 for r in kz)
