@@ -4391,4 +4391,120 @@ def t46(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q89_state_diff",
+    """WITH s1 AS (SELECT user_id, arg_max(event_type, ts) AS et,
+         CAST(floor(arg_max(value, ts) * 100 + 0.5) AS BIGINT) AS vc
+       FROM events WHERE ts < TIMESTAMP '2024-01-15' GROUP BY 1),
+       s2 AS (SELECT user_id, arg_max(event_type, ts) AS et,
+         CAST(floor(arg_max(value, ts) * 100 + 0.5) AS BIGINT) AS vc
+       FROM events WHERE ts < TIMESTAMP '2024-01-30' GROUP BY 1),
+       d AS (SELECT s2.user_id,
+         CASE WHEN s1.user_id IS NULL THEN 'added'
+              WHEN s1.et <> s2.et OR s1.vc <> s2.vc THEN 'changed'
+              ELSE 'unchanged' END AS change_type
+       FROM s2 LEFT JOIN s1 ON s1.user_id = s2.user_id)
+       SELECT change_type, count(*) AS n FROM d GROUP BY 1 ORDER BY 1""",
+    note="snapshot reconciliation diff: the s13 latest-state view "
+    "materialized at two points in time, outer-joined on the key and "
+    "classified added/changed/unchanged — the audit a CDC pipeline "
+    "runs to prove an incremental view equals a fresh backfill.  Both "
+    "snapshots come from ONE pass shape (arg_max aggregates with a "
+    "pushed-down ts filter); the diff join is keyed on user_id, so at "
+    "scale it co-partitions with the state views it compares",
+)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+
+    def state(cutoff: str) -> DataFrame:
+        return (
+            ev.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+            .groupBy("user_id")
+            .agg(
+                F.max_by("event_type", "ts").alias("et"),
+                F.floor(F.max_by("value", "ts") * 100 + 0.5).cast("long").alias("vc"),
+            )
+        )
+
+    s1 = state("2024-01-15").select(
+        F.col("user_id").alias("u1"), F.col("et").alias("et1"), F.col("vc").alias("vc1")
+    )
+    s2 = state("2024-01-30")
+    d = s2.join(s1, s2.user_id == s1.u1, "left").select(
+        F.when(F.col("u1").isNull(), "added")
+        .when(
+            (F.col("et1") != F.col("et")) | (F.col("vc1") != F.col("vc")), "changed"
+        )
+        .otherwise("unchanged")
+        .alias("change_type")
+    )
+    return (
+        d.groupBy("change_type").agg(F.count(F.lit(1)).alias("n")).orderBy("change_type")
+    )
+
+
+@_q(
+    "t47_seasonal_decompose",
+    """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS rc
+       FROM events GROUP BY 1),
+       s AS (SELECT d, rc,
+         CAST(sum(rc) OVER w AS BIGINT) AS t7, count(*) OVER w AS c7,
+         (CAST(d - DATE '1970-01-01' AS BIGINT) + 3) % 7 AS dow
+       FROM d WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       det AS (SELECT d, rc, t7, dow, 7 * rc - t7 AS ds FROM s WHERE c7 = 7),
+       se AS (SELECT dow, CAST(sum(ds) AS BIGINT) AS sds, count(*) AS n
+              FROM det GROUP BY 1)
+       SELECT strftime(det.d, '%Y-%m-%d') AS day, rc,
+         round(CAST(t7 AS DOUBLE) / 7, 2) AS trend,
+         round(CAST(sds AS DOUBLE) / (7 * n), 2) AS seasonal,
+         round(CAST(ds AS DOUBLE) / 7 - CAST(sds AS DOUBLE) / (7 * n), 2)
+           AS residual
+       FROM det JOIN se ON se.dow = det.dow ORDER BY 1""",
+    note="additive seasonal decomposition (trend + day-of-week "
+    "seasonal + residual) of daily revenue: centered 7-day moving "
+    "trend, per-weekday seasonal component, residual — the classical "
+    "decomposition with a determinism twist: the detrended series is "
+    "kept as the EXACT integer 7*x - sum7 (no double accumulates "
+    "across rows), so the per-dow averages and residuals are single "
+    "double expressions over exact moments in both engines.  Edge "
+    "days without a full window are excluded (c7 = 7), matching the "
+    "textbook centered-MA definition",
+)
+def t47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    d = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.floor(F.sum("value") * 100 + 0.5).cast("long").alias("rc")
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    s = d.select(
+        "d",
+        "rc",
+        F.sum("rc").over(w).alias("t7"),
+        F.count(F.lit(1)).over(w).alias("c7"),
+        (
+            (F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).cast("long") + 3)
+            % 7
+        ).alias("dow"),
+    )
+    det = s.filter(F.col("c7") == 7).select(
+        "d", "rc", "t7", "dow", (7 * F.col("rc") - F.col("t7")).alias("ds")
+    )
+    se = det.groupBy("dow").agg(
+        F.sum("ds").alias("sds"), F.count(F.lit(1)).alias("n")
+    )
+    seas = F.col("sds").cast("double") / (7 * F.col("n"))
+    return (
+        det.join(F.broadcast(se), "dow")
+        .select(
+            date_str(F.col("d")).alias("day"),
+            "rc",
+            F.round(F.col("t7").cast("double") / 7, 2).alias("trend"),
+            F.round(seas, 2).alias("seasonal"),
+            F.round(F.col("ds").cast("double") / 7 - seas, 2).alias("residual"),
+        )
+        .orderBy("day")
+    )
+
+
 QUERIES = list(_Q)

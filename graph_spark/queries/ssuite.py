@@ -447,4 +447,52 @@ def s13(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hourly_error_rates(ev: DataFrame) -> DataFrame:
+    """Shared transform for S14: per-window total and error counters —
+    both mergeable, so the stream keeps two integers per window; the
+    rate and alert flag are derived at projection time and stay
+    correct under late-data merges (a property a pre-computed rate
+    would lose)."""
+    return ev.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "n_errors"
+        ),
+    )
+
+
+@_s(
+    "s14_stream_error_alert",
+    """WITH c AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n_total,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_errors
+       FROM events GROUP BY 1)
+       SELECT strftime(h, '%Y-%m-%d %H:%M:%S.%f') AS hh, n_total, n_errors,
+         round(CAST(n_errors AS DOUBLE) / n_total, 4) AS err_rate,
+         CAST(n_errors * 4 > n_total AS BOOLEAN) AS alert
+       FROM c ORDER BY 1""",
+    note="streaming SLO alerting: per-window error rate with a "
+    "threshold flag (rate > 25%), maintained as two mergeable "
+    "counters — the alert predicate is evaluated on INTEGERS "
+    "(4*errors > total) so late-arriving data can only flip the flag "
+    "consistently in both engines, never through a float boundary; "
+    "replay parity in tests/test_streaming.py",
+)
+def s14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    return (
+        hourly_error_rates(ev)
+        .select(
+            ts_str(F.col("w.start")).alias("hh"),
+            "n_total",
+            "n_errors",
+            F.round(F.col("n_errors").cast("double") / F.col("n_total"), 4).alias(
+                "err_rate"
+            ),
+            (F.col("n_errors") * 4 > F.col("n_total")).alias("alert"),
+        )
+        .orderBy("hh")
+    )
+
+
 QUERIES = list(_S)

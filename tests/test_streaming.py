@@ -547,3 +547,16 @@ def test_s13_latest_state_stream_equals_batch(spark, replay_dir):
         spark, replay_dir, latest_user_state, output_mode="complete"
     )
     assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_s14_error_alert_stream_equals_batch(spark, replay_dir):
+    from graph_spark.queries.ssuite import hourly_error_rates
+
+    cols = ["h", "n_total", "n_errors"]
+    batch = hourly_error_rates(Catalog(spark, SF_SMOKE).table("events")).select(
+        F.col("w.start").alias("h"), "n_total", "n_errors"
+    )
+    stream = run_stream(
+        spark, replay_dir, hourly_error_rates, output_mode="complete"
+    ).select(F.col("w.start").alias("h"), "n_total", "n_errors")
+    assert _rows(stream, cols) == _rows(batch, cols)
