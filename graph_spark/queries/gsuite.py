@@ -1988,4 +1988,66 @@ def g50(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g51_sparsify_audit",
+    f"""WITH {GRAPH_CTES},
+       k AS (SELECT src, dst,
+         CASE WHEN strpos('0123456789abcdef',
+           substring(md5(src || '|' || dst), 1, 1)) - 1 < 5
+         THEN 1 ELSE 0 END AS keep
+       FROM graph_edges_sym),
+       deg AS (SELECT src AS node, count(*) AS d,
+         CAST(sum(keep) AS BIGINT) AS kd FROM k GROUP BY 1),
+       t AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         CAST(sum(keep) AS BIGINT) AS n_kept FROM k),
+       e AS (SELECT CAST(sum(abs(16 * kd - 5 * d)) AS BIGINT) AS err,
+         CAST(sum(d) AS BIGINT) AS sd FROM deg)
+       SELECT n_edges, n_kept,
+         round(CAST(n_kept AS DOUBLE) / n_edges, 4) AS keep_rate,
+         round(CAST(err AS DOUBLE) / (5 * sd), 4) AS degree_err
+       FROM t CROSS JOIN e""",
+    note="deterministic hash sparsification audit: keep each edge iff "
+    "its first md5 hex digit < 5 (p = 5/16, coin fixed by content, "
+    "reproducible on any cluster and any partitioning — no rand()), "
+    "then measure how well inverse-probability-scaled kept-degrees "
+    "reconstruct true degrees (aggregate L1 error on exact integers, "
+    "one double division at the edge).  This is the estimator a "
+    "100TB graph job runs on the 30% sample BEFORE paying for the "
+    "full pass; the audit quantifies what the sample costs in "
+    "degree fidelity",
+)
+def g51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).graph_edges_sym()
+    keep = F.when(
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.concat_ws("|", F.col("src"), F.col("dst"))), 1, 1),
+        )
+        - 1
+        < 5,
+        1,
+    ).otherwise(0)
+    k = e.select("src", "dst", keep.alias("keep"))
+    deg = k.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d"), F.sum("keep").alias("kd")
+    )
+    t = k.agg(
+        F.count(F.lit(1)).alias("n_edges"), F.sum("keep").alias("n_kept")
+    )
+    err = deg.agg(
+        F.sum(F.abs(16 * F.col("kd") - 5 * F.col("d"))).alias("err"),
+        F.sum("d").alias("sd"),
+    )
+    return t.crossJoin(err).select(
+        "n_edges",
+        "n_kept",
+        F.round(F.col("n_kept").cast("double") / F.col("n_edges"), 4).alias(
+            "keep_rate"
+        ),
+        F.round(F.col("err").cast("double") / (5 * F.col("sd")), 4).alias(
+            "degree_err"
+        ),
+    )
+
+
 QUERIES = list(_G)

@@ -4507,4 +4507,117 @@ def t47(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "t48_lateness_profile",
+    """WITH a AS (SELECT event_id, epoch_us(ts) AS us,
+         max(epoch_us(ts)) OVER (ORDER BY event_id
+           ROWS UNBOUNDED PRECEDING) AS mx
+       FROM events),
+       l AS (SELECT CASE
+           WHEN mx - us = 0 THEN 'a_on_time'
+           WHEN mx - us <= 60000000 THEN 'b_le_1m'
+           WHEN mx - us <= 600000000 THEN 'c_le_10m'
+           WHEN mx - us <= 3600000000 THEN 'd_le_1h'
+           ELSE 'e_gt_1h' END AS bucket,
+         mx - us AS late_us FROM a)
+       SELECT bucket, count(*) AS n,
+         CAST(max(late_us) AS BIGINT) AS max_late_us
+       FROM l GROUP BY 1 ORDER BY 1""",
+    note="event-lateness profile: per event, how far behind the "
+    "maximum event-time seen so far it arrived (event_id = arrival "
+    "order), bucketed into the out-of-orderness histogram that "
+    "PICKS THE WATERMARK for s04 — set the delay at the bucket "
+    "covering your loss tolerance instead of guessing.  Integer "
+    "microsecond arithmetic end-to-end.  Locally one running-max "
+    "window; at scale arrival order exists per source partition, so "
+    "the same profile runs per Kafka-partition and the histograms "
+    "merge by addition",
+)
+def t48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    a = ev.select(us.alias("us"), F.max(us).over(w).alias("mx"))
+    late = (F.col("mx") - F.col("us")).alias("late_us")
+    l = a.select(
+        F.when(F.col("mx") - F.col("us") == 0, "a_on_time")
+        .when(F.col("mx") - F.col("us") <= 60_000_000, "b_le_1m")
+        .when(F.col("mx") - F.col("us") <= 600_000_000, "c_le_10m")
+        .when(F.col("mx") - F.col("us") <= 3_600_000_000, "d_le_1h")
+        .otherwise("e_gt_1h")
+        .alias("bucket"),
+        late,
+    )
+    return (
+        l.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("late_us").alias("max_late_us"))
+        .orderBy("bucket")
+    )
+
+
+@_q(
+    "q90_rank_changers",
+    """WITH r1 AS (SELECT o_custkey,
+         CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS rev
+       FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1),
+       r2 AS (SELECT o_custkey,
+         CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS rev
+       FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1),
+       k1 AS (SELECT o_custkey, rev,
+         CAST(row_number() OVER (ORDER BY rev DESC, o_custkey) AS BIGINT)
+           AS rk FROM r1),
+       k2 AS (SELECT o_custkey, rev,
+         CAST(row_number() OVER (ORDER BY rev DESC, o_custkey) AS BIGINT)
+           AS rk FROM r2)
+       SELECT k1.o_custkey AS custkey, k1.rk AS rank_early,
+         k2.rk AS rank_late, k1.rk - k2.rk AS rank_delta
+       FROM k1 JOIN k2 ON k2.o_custkey = k1.o_custkey
+       ORDER BY abs(k1.rk - k2.rk) DESC, 1 LIMIT 20""",
+    note="leaderboard movement: customer revenue ranks in two periods, "
+    "top movers by absolute rank change — the trend-detection read "
+    "behind 'rising accounts'.  Revenue is exact integer cents so "
+    "ranks are bit-stable; the two period aggregates share one scan "
+    "shape with the date predicate pushed to parquet, and the rank "
+    "join is keyed on the customer.  The global ranks are the one "
+    "sort each — at scale rank within coarse revenue bands first "
+    "(band by magnitude, rank within band) to avoid a single-"
+    "partition sort",
+)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+
+    def ranked(pred) -> DataFrame:
+        return (
+            o.filter(pred)
+            .groupBy("o_custkey")
+            .agg(F.floor(F.sum("o_totalprice") * 100 + 0.5).cast("long").alias("rev"))
+            .select(
+                "o_custkey",
+                F.row_number()
+                .over(Window.orderBy(F.desc("rev"), "o_custkey"))
+                .cast("long")
+                .alias("rk"),
+            )
+        )
+
+    cut = F.lit("1998-01-01").cast("timestamp")
+    k1 = ranked(F.col("o_orderdate") < cut).withColumnsRenamed(
+        {"o_custkey": "custkey", "rk": "rank_early"}
+    )
+    k2 = ranked(F.col("o_orderdate") >= cut).withColumnsRenamed(
+        {"o_custkey": "ck2", "rk": "rank_late"}
+    )
+    return (
+        k1.join(k2, F.col("custkey") == F.col("ck2"))
+        .select(
+            "custkey",
+            "rank_early",
+            "rank_late",
+            (F.col("rank_early") - F.col("rank_late")).alias("rank_delta"),
+        )
+        .orderBy(F.abs(F.col("rank_delta")).desc(), "custkey")
+        .limit(20)
+    )
+
+
 QUERIES = list(_Q)
