@@ -659,3 +659,68 @@ def test_boruvka_msf_matches_kruskal(spark, seed):
         for r in minimum_spanning_forest(e).collect()
     )
     assert got == want, f"seed={seed}"
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_sweep_concurrency_integral_identity(spark, seed):
+    """Σ(conc × dwell) over the sweep == Σ(interval lengths): the
+    sweep-line's defining integral identity, plus non-negativity
+    (starts-before-ends at equal instants)."""
+    from graph_spark.operators.relational import sweep_concurrency
+
+    rng = random.Random(seed)
+    iv = [
+        (s, s + rng.randint(0, 50))
+        for s in (rng.randint(0, 200) for _ in range(60))
+    ]
+    df = spark.createDataFrame(iv, ["st", "en"])
+    runs = sweep_concurrency(df).collect()
+    assert all(r["conc"] >= 0 for r in runs)
+    integral = sum(
+        r["conc"] * (r["nxt"] - r["t"]) for r in runs if r["nxt"] is not None
+    )
+    assert integral == sum(e - s for s, e in iv)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_skew_audit_bounds_and_uniform_gini(spark, seed):
+    from graph_spark.operators.relational import skew_audit
+
+    rng = random.Random(seed)
+    rows = [(rng.randint(0, 20),) for _ in range(500)]
+    a = skew_audit(spark.createDataFrame(rows, ["k"]), "k").collect()[0]
+    assert 0.0 <= a["gini"] <= 1.0
+    assert a["top1_share"] >= 1.0 / a["n_keys"]
+    assert a["total_rows"] == 500
+
+    # perfectly uniform keys -> gini == 0
+    uni = [(i % 10,) for i in range(500)]
+    u = skew_audit(spark.createDataFrame(uni, ["k"]), "k").collect()[0]
+    assert u["gini"] == 0.0 and u["cv"] == 0.0
+
+
+def test_katz_walk_counts_path_graph(spark):
+    """On the directed path a->b->c->d the walk counts are known in
+    closed form: w_l(v) = 1 iff a path of length l ends at v."""
+    from graph_spark.graph.algorithms import katz_walk_counts
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], ["src", "dst"]
+    )
+    out = {r["node"]: (r["w1"], r["w2"], r["w3"]) for r in katz_walk_counts(e, 3).collect()}
+    assert out == {"b": (1, 0, 0), "c": (1, 1, 0), "d": (1, 1, 1)}
+
+
+def test_knn_label_vote_separated_clusters(spark):
+    """Two well-separated integer clusters -> leave-one-out 1.0
+    accuracy with any k smaller than the cluster size."""
+    from graph_spark.operators.similarity import knn_label_vote
+
+    rows = []
+    for i in range(8):
+        rows.append((i, 0, [0.001 * i, 0.0]))
+        rows.append((100 + i, 1, [10.0 + 0.001 * i, 0.0]))
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    pred = knn_label_vote(df, k=3).collect()
+    assert len(pred) == 16
+    assert all(r["pred"] == r["label"] for r in pred)
