@@ -1800,4 +1800,103 @@ def l44(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l45_lsh_eval",
+    """WITH tok AS (SELECT DISTINCT d.doc_id, t.term FROM documents d,
+         unnest(string_split(d.text,' ')) AS t(term)
+         WHERE t.term<>'' AND d.doc_id < 60),
+       sigs AS (SELECT doc_id, i.i AS i, min(md5(i.i || ':' || term)) AS sig
+                FROM tok CROSS JOIN range(16) i(i) GROUP BY 1,2),
+       bands AS (SELECT doc_id, i // 4 AS band,
+                 string_agg(sig, ',' ORDER BY i) AS bkey
+                 FROM sigs GROUP BY 1,2),
+       cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+                FROM bands a JOIN bands b ON a.band=b.band AND a.bkey=b.bkey
+                  AND a.doc_id < b.doc_id),
+       nt AS (SELECT doc_id, count(*) AS c FROM tok GROUP BY 1),
+       tj AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+              FROM tok a JOIN tok b ON a.term=b.term AND a.doc_id<b.doc_id
+              GROUP BY 1,2),
+       truth AS (SELECT t.i, t.j FROM tj t
+                 JOIN nt na ON na.doc_id=t.i JOIN nt nb ON nb.doc_id=t.j
+                 WHERE 10 * t.inter >= 3 * (na.c + nb.c - t.inter)),
+       m AS (SELECT CASE WHEN c.i IS NOT NULL AND tr.i IS NOT NULL THEN 'tp'
+                  WHEN c.i IS NOT NULL THEN 'fp' ELSE 'fn' END AS cls
+             FROM cand c FULL JOIN truth tr ON tr.i=c.i AND tr.j=c.j)
+       SELECT CAST(count(*) FILTER (WHERE cls = 'tp') AS BIGINT) AS tp,
+         CAST(count(*) FILTER (WHERE cls = 'fp') AS BIGINT) AS fp,
+         CAST(count(*) FILTER (WHERE cls = 'fn') AS BIGINT) AS fn,
+         round(CAST(count(*) FILTER (WHERE cls = 'tp') AS DOUBLE)
+           / nullif(count(*) FILTER (WHERE cls IN ('tp','fp')), 0), 4) AS prec,
+         round(CAST(count(*) FILTER (WHERE cls = 'tp') AS DOUBLE)
+           / nullif(count(*) FILTER (WHERE cls IN ('tp','fn')), 0), 4) AS recall
+       FROM m""",
+    note="LSH banding precision/recall evaluation: 16 minhash "
+    "signatures in 4 bands of 4 (candidates = any full-band "
+    "collision) scored against EXACT Jaccard >= 0.3 ground truth — "
+    "the measurement that justifies every 'recall-tested' ANN claim "
+    "in this repo with an oracle-checked number.  The threshold test "
+    "is pure integers (10*inter >= 3*union), candidates come from "
+    "the band-bucket join and truth from the inverted-index join: "
+    "both are equi-joins, no quadratic scan anywhere",
+)
+def l45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_signatures, tokens
+
+    d = Catalog(spark, sf_dir).table("documents").filter(F.col("doc_id") < 60)
+    tok = tokens(d).distinct()
+    sigs = minhash_signatures(d, k=16)
+    bands = (
+        sigs.groupBy("doc_id", F.floor(F.col("i") / 4).alias("band"))
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(i, sig))), x -> x.sig)"),
+                ",",
+            ).alias("bkey")
+        )
+    )
+    ba = bands.select(F.col("doc_id").alias("i"), "band", "bkey")
+    bb = bands.select(F.col("doc_id").alias("j"), F.col("band").alias("b2"), F.col("bkey").alias("k2"))
+    cand = (
+        ba.join(bb, (F.col("band") == F.col("b2")) & (F.col("bkey") == F.col("k2")) & (F.col("i") < F.col("j")))
+        .select("i", "j")
+        .distinct()
+    )
+    nt = tok.groupBy(F.col("doc_id").alias("d")).agg(F.count(F.lit(1)).alias("c"))
+    ta = tok.select(F.col("doc_id").alias("i"), "term")
+    tb = tok.select(F.col("doc_id").alias("j"), "term")
+    tj = (
+        ta.join(tb, "term")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    truth = (
+        tj.join(nt.select(F.col("d").alias("i"), F.col("c").alias("ca")), "i")
+        .join(nt.select(F.col("d").alias("j"), F.col("c").alias("cb")), "j")
+        .filter(10 * F.col("inter") >= 3 * (F.col("ca") + F.col("cb") - F.col("inter")))
+        .select("i", "j")
+    )
+    m = cand.withColumn("c", F.lit(1)).join(
+        truth.withColumn("t", F.lit(1)), ["i", "j"], "full"
+    ).select(
+        F.when(F.col("c").isNotNull() & F.col("t").isNotNull(), "tp")
+        .when(F.col("c").isNotNull(), "fp")
+        .otherwise("fn")
+        .alias("cls")
+    )
+    cnt = lambda *cl: F.sum(F.when(F.col("cls").isin(*cl), 1).otherwise(0))
+    return m.agg(
+        cnt("tp").alias("tp"),
+        cnt("fp").alias("fp"),
+        cnt("fn").alias("fn"),
+        F.round(
+            cnt("tp").cast("double") / F.nullif(cnt("tp", "fp"), F.lit(0)), 4
+        ).alias("prec"),
+        F.round(
+            cnt("tp").cast("double") / F.nullif(cnt("tp", "fn"), F.lit(0)), 4
+        ).alias("recall"),
+    )
+
+
 QUERIES = list(_L)

@@ -495,4 +495,55 @@ def s14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def native_session_windows(ev: DataFrame) -> DataFrame:
+    """Shared transform for S15: Spark's NATIVE session_window operator
+    (30-minute gap, per-user) — the engine-managed merging-window
+    state path, versus the window-function sessionize (s03) that
+    computes the same sessions relationally.  Events exactly at
+    prev + gap start a NEW session (windows are half-open)."""
+    return ev.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.sum("value") * 100 + 0.5).cast("long").alias("vc"),
+    )
+
+
+@_s(
+    "s15_native_session_window",
+    """WITH g AS (SELECT user_id, ts, value, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS flag
+       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       s AS (SELECT user_id, ts, value,
+         sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sid
+       FROM g)
+       SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f')
+           AS session_start, count(*) AS n,
+         CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS vc
+       FROM s GROUP BY user_id, sid ORDER BY 1, 2""",
+    note="native session_window parity surface: Spark's merging-"
+    "session-window operator declared against the relational gap-"
+    "and-cumsum oracle — nailing down the half-open boundary (gap "
+    "reached EXACTLY => new session, hence >= in the oracle where "
+    "s03's strictly-greater rule uses >).  In streaming this is the "
+    "state-store path whose per-key state is one mergeable candle "
+    "per open session; replay parity in tests/test_streaming.py",
+)
+def s15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    return (
+        native_session_windows(ev)
+        .select(
+            "user_id",
+            ts_str(F.col("w.start")).alias("session_start"),
+            "n",
+            "vc",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 QUERIES = list(_S)

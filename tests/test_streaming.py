@@ -560,3 +560,45 @@ def test_s14_error_alert_stream_equals_batch(spark, replay_dir):
         spark, replay_dir, hourly_error_rates, output_mode="complete"
     ).select(F.col("w.start").alias("h"), "n_total", "n_errors")
     assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_s15_session_window_stream_equals_batch(spark, replay_dir, tmp_path):
+    """Append-mode session windows only emit once the watermark passes a
+    session's close, so the tail sessions of a finite replay would stay
+    unemitted.  A far-future sentinel event (user_id -1) — fed to BOTH
+    the stream and the batch form, excluded from the comparison —
+    advances the watermark past every real session."""
+    import os
+    import shutil
+
+    from graph_spark.queries.ssuite import native_session_windows
+
+    cols = ["user_id", "start", "n", "vc"]
+
+    def pick(df):
+        return df.filter(F.col("user_id") >= 0).select(
+            "user_id", F.col("w.start").alias("start"), "n", "vc"
+        )
+
+    sentinel = spark.createDataFrame(
+        [(10**9, "2030-01-01 00:00:00", -1, "view", 0.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    flush_dir = str(tmp_path / "replay_flush")
+    shutil.copytree(replay_dir, flush_dir)
+    sdir = str(tmp_path / "sentinel")
+    sentinel.coalesce(1).write.parquet(sdir)
+    part = next(f for f in sorted(os.listdir(sdir)) if f.endswith(".parquet"))
+    dst = os.path.join(flush_dir, "zzz_sentinel.parquet")
+    shutil.copy(os.path.join(sdir, part), dst)
+    os.utime(dst, (1_800_000_000, 1_800_000_000))
+
+    batch_input = Catalog(spark, SF_SMOKE).table("events").unionByName(sentinel)
+    batch = pick(native_session_windows(batch_input))
+
+    def stream_form(src):
+        return native_session_windows(src.withWatermark("ts", "1 minute"))
+
+    stream = pick(run_stream(spark, flush_dir, stream_form, output_mode="append"))
+    assert _rows(stream, cols) == _rows(batch, cols)
