@@ -2050,4 +2050,68 @@ def g51(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g52_wl_refinement",
+    f"""WITH {GRAPH_CTES},
+       deg AS (SELECT src AS node, CAST(count(*) AS VARCHAR) AS col
+               FROM graph_edges_sym GROUP BY 1),
+       n1 AS (SELECT e.dst AS node, string_agg(d.col, ',' ORDER BY d.col)
+                AS ns
+              FROM graph_edges_sym e JOIN deg d ON d.node = e.src GROUP BY 1),
+       c1 AS (SELECT n1.node, md5(d.col || '|' || n1.ns) AS col
+              FROM n1 JOIN deg d ON d.node = n1.node),
+       n2 AS (SELECT e.dst AS node, string_agg(d.col, ',' ORDER BY d.col)
+                AS ns
+              FROM graph_edges_sym e JOIN c1 d ON d.node = e.src GROUP BY 1),
+       c2 AS (SELECT n2.node, md5(d.col || '|' || n2.ns) AS col
+              FROM n2 JOIN c1 d ON d.node = n2.node)
+       SELECT 0 AS wl_round, count(DISTINCT col) AS n_colors FROM deg
+       UNION ALL SELECT 1, count(DISTINCT col) FROM c1
+       UNION ALL SELECT 2, count(DISTINCT col) FROM c2
+       ORDER BY 1""",
+    note="Weisfeiler-Leman color refinement (2 rounds from degree "
+    "colors): each node's new color is the md5 of its own color plus "
+    "the SORTED multiset of neighbor colors — the isomorphism-"
+    "invariant graph fingerprint behind graph-kernel features and "
+    "structural-role detection; the distinct-color growth curve "
+    "measures structural diversity.  Each round is one message "
+    "shuffle (edges join colors) plus a per-node sorted-list "
+    "aggregate; colors are content hashes so the refinement is "
+    "partitioning-independent and engine-stable",
+)
+def g52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).graph_edges_sym()
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("string").alias("col")
+    )
+
+    def refine(colors: DataFrame) -> DataFrame:
+        ns = (
+            e.join(colors.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.array_join(F.array_sort(F.collect_list("col")), ",").alias("ns")
+            )
+        )
+        own = colors.select("node", F.col("col").alias("own"))
+        return ns.join(own, "node").select(
+            "node", F.md5(F.concat_ws("|", F.col("own"), F.col("ns"))).alias("col")
+        )
+
+    c1 = refine(deg)
+    c2 = refine(c1)
+
+    def count_colors(df: DataFrame, rnd: int) -> DataFrame:
+        return df.agg(F.countDistinct("col").alias("n_colors")).select(
+            F.lit(rnd).alias("wl_round"), "n_colors"
+        )
+
+    return (
+        count_colors(deg, 0)
+        .unionAll(count_colors(c1, 1))
+        .unionAll(count_colors(c2, 2))
+        .orderBy("wl_round")
+    )
+
+
 QUERIES = list(_G)

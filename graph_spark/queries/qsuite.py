@@ -4620,4 +4620,118 @@ def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q91_psi_drift",
+    """WITH p1 AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+         o_orderkey FROM orders
+       WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+       t1 AS (SELECT c, CAST(ntile(10) OVER (ORDER BY c, o_orderkey) AS INT)
+              AS bin FROM p1),
+       edges AS (SELECT bin, CAST(max(c) AS BIGINT) AS edge FROM t1
+                 WHERE bin < 10 GROUP BY 1),
+       n1 AS (SELECT bin, count(*) AS n1 FROM t1 GROUP BY 1),
+       p2 AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+         o_orderkey FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+       b2 AS (SELECT p2.o_orderkey,
+         CAST(1 + sum(CASE WHEN e.edge < p2.c THEN 1 ELSE 0 END) AS INT)
+           AS bin FROM p2 CROSS JOIN edges e GROUP BY 1),
+       n2 AS (SELECT bin, count(*) AS n2 FROM b2 GROUP BY 1),
+       tot AS (SELECT (SELECT count(*) FROM p1) AS t1c,
+               (SELECT count(*) FROM p2) AS t2c)
+       SELECT n1.bin, n1.n1, coalesce(n2.n2, 0) AS n2,
+         round((CAST(2 * coalesce(n2.n2, 0) + 1 AS DOUBLE) / (2 * (t2c + 5))
+              - CAST(2 * n1.n1 + 1 AS DOUBLE) / (2 * (t1c + 5)))
+           * ln((CAST(2 * coalesce(n2.n2, 0) + 1 AS DOUBLE) / (2 * (t2c + 5)))
+              / (CAST(2 * n1.n1 + 1 AS DOUBLE) / (2 * (t1c + 5)))), 6)
+           AS psi_term
+       FROM n1 LEFT JOIN n2 ON n2.bin = n1.bin CROSS JOIN tot
+       ORDER BY 1""",
+    note="population stability index per decile: order-value "
+    "distribution drift between two periods, binned by the FIRST "
+    "period's exact decile edges (ntile over integer cents with a "
+    "full tie-break) — the ML-monitoring drift metric.  Emitted "
+    "per-bin rather than pre-summed so no cross-row double "
+    "accumulation exists anywhere; each psi term is one double "
+    "expression over exact integer counts with Laplace smoothing "
+    "kept integral ((2n+1)/(2(T+5))).  The 9 bin edges broadcast "
+    "onto the second period's scan",
+)
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    p1 = o.filter(F.col("o_orderdate") < cut).select(
+        cents.alias("c"), "o_orderkey"
+    )
+    t1 = p1.select(
+        "c",
+        F.ntile(10).over(Window.orderBy("c", "o_orderkey")).cast("int").alias("bin"),
+    )
+    edges = (
+        t1.filter(F.col("bin") < 10).groupBy("bin").agg(F.max("c").alias("edge"))
+    )
+    n1 = t1.groupBy("bin").agg(F.count(F.lit(1)).alias("n1"))
+    p2 = o.filter(F.col("o_orderdate") >= cut).select(cents.alias("c"), "o_orderkey")
+    b2 = (
+        p2.crossJoin(F.broadcast(edges.select("edge")))
+        .groupBy("o_orderkey")
+        .agg(
+            (1 + F.sum(F.when(F.col("edge") < F.col("c"), 1).otherwise(0)))
+            .cast("int")
+            .alias("bin")
+        )
+    )
+    n2 = b2.groupBy("bin").agg(F.count(F.lit(1)).alias("n2"))
+    tot = (
+        p1.agg(F.count(F.lit(1)).alias("t1c"))
+        .crossJoin(p2.agg(F.count(F.lit(1)).alias("t2c")))
+    )
+    r1 = (2 * F.col("n1") + 1).cast("double") / (2 * (F.col("t1c") + 5))
+    r2 = (2 * F.coalesce(F.col("n2"), F.lit(0)) + 1).cast("double") / (
+        2 * (F.col("t2c") + 5)
+    )
+    return (
+        n1.join(n2, "bin", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n1",
+            F.coalesce(F.col("n2"), F.lit(0)).alias("n2"),
+            F.round((r2 - r1) * F.log(r2 / r1), 6).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+@_q(
+    "t49_order_inversions",
+    """WITH a AS (SELECT user_id,
+         CASE WHEN ts < lag(ts) OVER (PARTITION BY user_id ORDER BY event_id)
+              THEN 1 ELSE 0 END AS inv
+       FROM events),
+       u AS (SELECT user_id, CAST(sum(inv) AS BIGINT) AS n_inv
+             FROM a GROUP BY 1)
+       SELECT n_inv, count(*) AS n_users FROM u GROUP BY 1 ORDER BY 1""",
+    note="ingestion-order health: per user, count adjacent arrival "
+    "pairs (event_id order) whose event-times run backwards, then "
+    "histogram users by inversion count — zero inversions everywhere "
+    "means arrival order == event order and the t48 lateness profile "
+    "is trivially clean; a heavy tail says the watermark must absorb "
+    "real disorder.  One windowed pass partitioned by user, integer "
+    "flags all the way",
+)
+def t49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    a = ev.select(
+        "user_id",
+        F.when(F.col("ts") < F.lag("ts").over(w), 1).otherwise(0).alias("inv"),
+    )
+    u = a.groupBy("user_id").agg(F.sum("inv").alias("n_inv"))
+    return (
+        u.groupBy("n_inv").agg(F.count(F.lit(1)).alias("n_users")).orderBy("n_inv")
+    )
+
+
 QUERIES = list(_Q)
