@@ -2114,4 +2114,82 @@ def g52(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g53_percolation",
+    f"""WITH RECURSIVE {GRAPH_CTES},
+       ge AS (SELECT src, dst FROM graph_edges WHERE n_items >= 3),
+       kept AS (SELECT src, dst FROM ge
+         WHERE strpos('0123456789abcdef',
+           substring(md5(src || '|' || dst), 1, 1)) - 1 < 8),
+       full_s AS (SELECT src, dst FROM ge UNION SELECT dst, src FROM ge),
+       keep_s AS (SELECT src, dst FROM kept UNION SELECT dst, src FROM kept),
+       fn AS (SELECT DISTINCT src AS node FROM full_s),
+       kn AS (SELECT DISTINCT src AS node FROM keep_s),
+       fr(node, r) AS (SELECT node, node FROM fn
+         UNION SELECT e.dst, fr.r FROM fr JOIN full_s e ON fr.node = e.src),
+       fc AS (SELECT node, min(r) AS comp FROM fr GROUP BY 1),
+       kr(node, r) AS (SELECT node, node FROM kn
+         UNION SELECT e.dst, kr.r FROM kr JOIN keep_s e ON kr.node = e.src),
+       kc AS (SELECT node, min(r) AS comp FROM kr GROUP BY 1),
+       s AS (
+         SELECT 'full' AS graph, count(*) AS n_nodes,
+           count(DISTINCT comp) AS n_components,
+           (SELECT CAST(max(cnt) AS BIGINT) FROM
+             (SELECT count(*) AS cnt FROM fc GROUP BY comp) x) AS giant_nodes
+         FROM fc
+         UNION ALL
+         SELECT 'sparse', count(*), count(DISTINCT comp),
+           (SELECT CAST(max(cnt) AS BIGINT) FROM
+             (SELECT count(*) AS cnt FROM kc GROUP BY comp) y)
+         FROM kc)
+       SELECT graph, n_nodes, n_components, giant_nodes,
+         round(CAST(giant_nodes AS DOUBLE) / n_nodes, 4) AS giant_frac
+       FROM s ORDER BY 1""",
+    note="bond-percolation robustness audit: connectivity of the "
+    "thresholded sales graph before and after deterministic ~50% "
+    "edge removal (first md5 hex digit < 8 — content-keyed, so the "
+    "'random' removal reproduces on any cluster) — does a giant "
+    "component survive half the edges?  The answer calibrates how "
+    "aggressively g51-style sparsification can feed the iterative "
+    "algorithms.  Both CC runs reuse the g04 kernel (auto local/"
+    "distributed); summaries are exact integers with one double "
+    "fraction each",
+)
+def g53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    ge = c.graph_edges().filter(F.col("n_items") >= 3).select("src", "dst")
+    kept = ge.filter(
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.concat_ws("|", F.col("src"), F.col("dst"))), 1, 1),
+        )
+        - 1
+        < 8
+    )
+
+    def cc_summary(edges: DataFrame, label: str) -> DataFrame:
+        sym = edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        nodes = sym.select(F.col("src").alias("id")).distinct()
+        comp = connected_components(PropertyGraph(nodes, sym))
+        sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cnt"))
+        return (
+            comp.agg(F.count(F.lit(1)).alias("n_nodes"))
+            .crossJoin(sizes.agg(F.count(F.lit(1)).alias("n_components")))
+            .crossJoin(sizes.agg(F.max("cnt").alias("giant_nodes")))
+            .select(
+                F.lit(label).alias("graph"),
+                "n_nodes",
+                "n_components",
+                "giant_nodes",
+                F.round(
+                    F.col("giant_nodes").cast("double") / F.col("n_nodes"), 4
+                ).alias("giant_frac"),
+            )
+        )
+
+    return cc_summary(ge, "full").unionAll(cc_summary(kept, "sparse")).orderBy("graph")
+
+
 QUERIES = list(_G)

@@ -1899,4 +1899,44 @@ def l45(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "m05_batch_plan",
+    """WITH m AS (SELECT source, octet_length(encode(text)) AS nb
+         FROM documents)
+       SELECT source, count(*) AS n_rows,
+         CAST(sum(nb) AS BIGINT) AS total_bytes,
+         CAST(max(nb) AS BIGINT) AS max_bytes,
+         CAST(greatest(1, (65536 * count(*)) // sum(nb)) AS BIGINT)
+           AS rec_batch_rows
+       FROM m GROUP BY 1 ORDER BY 1""",
+    note="Arrow batch-size planner for multimodal UDF stages: per "
+    "media source, payload-size stats and the recommended "
+    "maxRecordsPerBatch so one Arrow batch lands near 64 KiB (the "
+    "m01/m02 mapInPandas operators inherit this instead of a global "
+    "guess — oversized batches OOM the Python worker on image-heavy "
+    "sources, undersized ones drown in per-batch overhead).  The "
+    "recommendation is pure integer arithmetic (65536*n // bytes), "
+    "one aggregation pass over (source, length) — payloads "
+    "themselves never move",
+)
+def m05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    m = d.select(
+        "source", F.octet_length(F.encode(F.col("text"), "utf-8")).cast("long").alias("nb")
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("nb").alias("total_bytes"),
+            F.max("nb").alias("max_bytes"),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.floor(65536 * F.count(F.lit(1)) / F.sum("nb")).cast("long"),
+            ).alias("rec_batch_rows"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = list(_L)
