@@ -1939,4 +1939,82 @@ def m05(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l47_langid_confusion",
+    """WITH tri AS (SELECT doc_id, lang, substring(text, i, 3) AS g
+       FROM (SELECT doc_id, lang, text,
+               unnest(generate_series(1, length(text) - 2)) AS i
+             FROM documents WHERE length(text) >= 3) u),
+       prof AS (SELECT lang, g, count(*) AS c FROM tri
+         WHERE doc_id % 2 = 0 GROUP BY 1, 2
+         QUALIFY row_number() OVER (PARTITION BY lang ORDER BY c DESC, g)
+           <= 20),
+       test AS (SELECT DISTINCT doc_id, lang, g FROM tri WHERE doc_id % 2 = 1),
+       hits AS (SELECT t.doc_id, t.lang AS actual, p.lang AS cand,
+         count(*) AS h
+         FROM test t JOIN prof p ON p.g = t.g GROUP BY 1, 2, 3),
+       pred AS (SELECT doc_id, actual, cand AS predicted FROM hits
+         QUALIFY row_number() OVER (PARTITION BY doc_id
+           ORDER BY h DESC, cand) = 1)
+       SELECT actual, predicted, count(*) AS n FROM pred
+       GROUP BY 1, 2 ORDER BY 1, 2""",
+    note="character-trigram language identification (Cavnar-Trenkle "
+    "shape): train top-20 trigram profiles per language on even "
+    "doc_ids, classify odd doc_ids by distinct-trigram profile hits "
+    "(argmax with a full tie-break), report the confusion matrix — "
+    "the held-out EVALUATION of the langid heuristic, not just its "
+    "features.  Everything is integer counts; the profile table is "
+    "5 langs x 20 trigrams so the classification join broadcasts it "
+    "against the test trigram stream",
+)
+def l47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents").filter(F.length("text") >= 3)
+    tri = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 2),"
+                " i -> substring(text, i, 3))"
+            )
+        ).alias("g"),
+    )
+    prof = (
+        tri.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(F.desc("c"), "g")
+            ),
+        )
+        .filter(F.col("rk") <= 20)
+        .select(F.col("lang").alias("cand"), F.col("g").alias("pg"))
+    )
+    test = tri.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.col("lang").alias("actual"), "g"
+    ).distinct()
+    hits = (
+        test.join(F.broadcast(prof), F.col("g") == F.col("pg"))
+        .groupBy("doc_id", "actual", "cand")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    pred = (
+        hits.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.desc("h"), "cand")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("actual", F.col("cand").alias("predicted"))
+    )
+    return (
+        pred.groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("actual", "predicted")
+    )
+
+
 QUERIES = list(_L)

@@ -4734,4 +4734,65 @@ def t49(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "t50_xmr_control",
+    """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS rc
+       FROM events GROUP BY 1),
+       mr AS (SELECT d, rc,
+         abs(rc - lag(rc) OVER (ORDER BY d)) AS mrange FROM d),
+       g AS (SELECT count(*) AS n, CAST(sum(rc) AS BIGINT) AS s,
+             CAST(sum(mrange) AS BIGINT) AS sm,
+             count(mrange) AS nm FROM mr)
+       SELECT strftime(d, '%Y-%m-%d') AS day, rc,
+         round(CAST(s AS DOUBLE) / n, 2) AS center,
+         round(CAST(s AS DOUBLE) / n
+           + 2.66 * (CAST(sm AS DOUBLE) / nm), 2) AS ucl,
+         round(CAST(s AS DOUBLE) / n
+           - 2.66 * (CAST(sm AS DOUBLE) / nm), 2) AS lcl,
+         CAST(rc > CAST(s AS DOUBLE) / n + 2.66 * (CAST(sm AS DOUBLE) / nm)
+           OR rc < CAST(s AS DOUBLE) / n - 2.66 * (CAST(sm AS DOUBLE) / nm)
+           AS BOOLEAN) AS out_of_control
+       FROM mr CROSS JOIN g ORDER BY 1""",
+    note="XmR (individuals + moving range) control chart on daily "
+    "revenue: center line, UCL/LCL at +-2.66 x mean moving range — "
+    "the SPC method that detects special-cause variation where "
+    "z-scores (t32) assume a distribution and MAD (t42) assumes a "
+    "window.  Mean and mean-MR come from exact integer sums; limits "
+    "are single double expressions per row against exact rc, so the "
+    "flag never wobbles across engines.  The two scalars broadcast "
+    "over the daily series",
+)
+def t50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    d = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.floor(F.sum("value") * 100 + 0.5).cast("long").alias("rc")
+    )
+    mr = d.select(
+        "d", "rc", F.abs(F.col("rc") - F.lag("rc").over(Window.orderBy("d"))).alias("mrange")
+    )
+    g = mr.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rc").alias("s"),
+        F.sum("mrange").alias("sm"),
+        F.count("mrange").alias("nm"),
+    )
+    center = F.col("s").cast("double") / F.col("n")
+    span = 2.66 * (F.col("sm").cast("double") / F.col("nm"))
+    return (
+        mr.crossJoin(F.broadcast(g))
+        .select(
+            date_str(F.col("d")).alias("day"),
+            "rc",
+            F.round(center, 2).alias("center"),
+            F.round(center + span, 2).alias("ucl"),
+            F.round(center - span, 2).alias("lcl"),
+            ((F.col("rc") > center + span) | (F.col("rc") < center - span)).alias(
+                "out_of_control"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
 QUERIES = list(_Q)
