@@ -2017,4 +2017,65 @@ def l47(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l48_corpus_card",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         FROM documents),
+       tk AS (SELECT count(*) AS total_tokens,
+              count(DISTINCT term) AS distinct_tokens
+              FROM tok WHERE term <> ''),
+       dup AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS dup_docs
+               FROM (SELECT count(*) AS c FROM documents
+                     GROUP BY text) g WHERE c > 1),
+       base AS (SELECT count(*) AS n_docs,
+                count(DISTINCT lang) AS n_langs,
+                count(DISTINCT source) AS n_sources FROM documents)
+       SELECT n_docs, n_langs, n_sources, total_tokens, distinct_tokens,
+         dup_docs, round(CAST(dup_docs AS DOUBLE) / n_docs, 4) AS dup_rate
+       FROM base CROSS JOIN tk CROSS JOIN dup""",
+    note="one-row dataset card: corpus size, language/source "
+    "diversity, token volume and vocabulary, and the exact-duplicate "
+    "footprint — the summary block every curated-dataset release "
+    "ships.  Three independent aggregation passes (docs, tokens, "
+    "dup groups) joined as scalars; at 100 TB each pass is a single "
+    "map-side-combinable aggregate and the duplicate pass groups on "
+    "a text hash rather than raw text",
+)
+def l48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tk = tok.agg(
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("term").alias("distinct_tokens"),
+    )
+    dup = (
+        d.groupBy("text")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("dup_docs"))
+    )
+    base = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    return (
+        base.crossJoin(F.broadcast(tk))
+        .crossJoin(F.broadcast(dup))
+        .select(
+            "n_docs",
+            "n_langs",
+            "n_sources",
+            "total_tokens",
+            "distinct_tokens",
+            "dup_docs",
+            F.round(F.col("dup_docs").cast("double") / F.col("n_docs"), 4).alias(
+                "dup_rate"
+            ),
+        )
+    )
+
+
 QUERIES = list(_L)

@@ -546,4 +546,78 @@ def s15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_decile_edges(ev: DataFrame) -> DataFrame:
+    """Baseline value-decile edges (9 exact integer cent cut points)
+    as a single-row DataFrame holding an array column — the static
+    side a drift-monitoring stream broadcasts against."""
+    from pyspark.sql import Window as W
+
+    cents = ev.select(
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("c"), "event_id"
+    )
+    t = cents.select(
+        "c",
+        F.ntile(10).over(W.orderBy("c", "event_id")).cast("int").alias("bin"),
+    )
+    return (
+        t.filter(F.col("bin") < 10)
+        .groupBy("bin")
+        .agg(F.max("c").alias("edge"))
+        .agg(F.sort_array(F.collect_list("edge")).alias("earr"))
+    )
+
+
+def hourly_drift_bins(ev: DataFrame, edges: DataFrame) -> DataFrame:
+    """Shared transform for S16: per-window histogram over BASELINE
+    decile bins — the live side of a PSI drift monitor (q91).  The
+    9-edge baseline broadcasts as one array row; binning is a
+    stateless projection and the per-(window, bin) counts are
+    mergeable, so the stream carries 10 integers per window."""
+    c = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    return (
+        ev.crossJoin(F.broadcast(edges))
+        .withColumn("__c", c)
+        .select(
+            "ts",
+            (1 + F.size(F.expr("filter(earr, x -> x < __c)")))
+            .cast("int")
+            .alias("bin"),
+        )
+        .groupBy(F.window("ts", "1 hour").alias("w"), "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_s(
+    "s16_stream_drift_bins",
+    """WITH cents AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+         event_id, ts FROM events),
+       t1 AS (SELECT c, CAST(ntile(10) OVER (ORDER BY c, event_id) AS INT)
+              AS bin FROM cents),
+       edges AS (SELECT CAST(max(c) AS BIGINT) AS edge FROM t1
+                 WHERE bin < 10 GROUP BY bin),
+       b AS (SELECT date_trunc('hour', e.ts) AS h, e.event_id,
+         CAST(1 + sum(CASE WHEN ed.edge < CAST(floor(e.value * 100 + 0.5)
+           AS BIGINT) THEN 1 ELSE 0 END) AS INT) AS bin
+         FROM events e CROSS JOIN edges ed GROUP BY 1, 2)
+       SELECT strftime(h, '%Y-%m-%d %H:%M:%S.%f') AS hh, bin, count(*) AS n
+       FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
+    note="streaming distribution-drift monitor: per-window counts over "
+    "the BASELINE's exact decile bins (q91's PSI denominator kept "
+    "fresh in real time) — the 9 integer cent edges broadcast as one "
+    "array row, binning is stateless, and the per-(window, bin) "
+    "counters merge under late data.  A sink-side join against the "
+    "baseline shares then yields live PSI per window; replay parity "
+    "in tests/test_streaming.py",
+)
+def s16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    edges = value_decile_edges(ev)
+    return (
+        hourly_drift_bins(ev, edges)
+        .select(ts_str(F.col("w.start")).alias("hh"), "bin", "n")
+        .orderBy("hh", "bin")
+    )
+
+
 QUERIES = list(_S)

@@ -602,3 +602,20 @@ def test_s15_session_window_stream_equals_batch(spark, replay_dir, tmp_path):
 
     stream = pick(run_stream(spark, flush_dir, stream_form, output_mode="append"))
     assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_s16_drift_bins_stream_equals_batch(spark, replay_dir):
+    from graph_spark.queries.ssuite import hourly_drift_bins, value_decile_edges
+
+    ev = Catalog(spark, SF_SMOKE).table("events")
+    edges = value_decile_edges(ev).localCheckpoint(eager=True)
+
+    cols = ["h", "bin", "n"]
+    batch = hourly_drift_bins(ev, edges).select(
+        F.col("w.start").alias("h"), "bin", "n"
+    )
+    stream = run_stream(
+        spark, replay_dir, lambda src: hourly_drift_bins(src, edges),
+        output_mode="complete",
+    ).select(F.col("w.start").alias("h"), "bin", "n")
+    assert _rows(stream, cols) == _rows(batch, cols)
