@@ -4795,4 +4795,93 @@ def t50(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q93_skyline",
+    """WITH c AS (SELECT o_custkey,
+         CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS rev,
+         count(*) AS cnt FROM orders GROUP BY 1),
+       pr AS (SELECT rev, CAST(max(cnt) AS BIGINT) AS emax FROM c GROUP BY 1),
+       mr AS (SELECT rev, emax, max(emax) OVER (ORDER BY rev DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m FROM pr)
+       SELECT c.o_custkey AS custkey, c.rev, c.cnt AS n_orders
+       FROM c JOIN mr ON mr.rev = c.rev
+       WHERE NOT (coalesce(mr.m, -1) >= c.cnt OR mr.emax > c.cnt)
+       ORDER BY c.rev DESC, c.o_custkey""",
+    note="skyline (Pareto frontier) operator: customers not dominated "
+    "on (revenue, order count) — the multi-criteria 'best' query "
+    "relational engines lack as a primitive.  NOT the O(n^2) "
+    "dominance anti-join: a point (r,c) is dominated iff the running "
+    "max count over strictly-higher revenues reaches c, or its own "
+    "revenue tier's max count exceeds c — two window passes over the "
+    "aggregated per-customer table (integer cents, exact), linear "
+    "after the one groupBy shuffle.  Tie-safe: equal (rev, cnt) "
+    "points are mutually non-dominating and all survive",
+)
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    c = o.groupBy("o_custkey").agg(
+        F.floor(F.sum("o_totalprice") * 100 + 0.5).cast("long").alias("rev"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    pr = c.groupBy("rev").agg(F.max("cnt").alias("emax"))
+    mr = pr.select(
+        "rev",
+        "emax",
+        F.max("emax")
+        .over(
+            Window.orderBy(F.desc("rev")).rowsBetween(Window.unboundedPreceding, -1)
+        )
+        .alias("m"),
+    )
+    return (
+        c.join(mr, "rev")
+        .filter(
+            ~(
+                (F.coalesce(F.col("m"), F.lit(-1)) >= F.col("cnt"))
+                | (F.col("emax") > F.col("cnt"))
+            )
+        )
+        .select(F.col("o_custkey").alias("custkey"), "rev", F.col("cnt").alias("n_orders"))
+        .orderBy(F.desc("rev"), "custkey")
+    )
+
+
+@_q(
+    "t51_drawdown",
+    """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS rc
+       FROM events GROUP BY 1),
+       c AS (SELECT d, rc,
+         CAST(sum(rc) OVER w AS BIGINT) AS cum FROM d
+         WINDOW w AS (ORDER BY d ROWS UNBOUNDED PRECEDING)),
+       p AS (SELECT d, rc, cum,
+         CAST(max(cum) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS peak FROM c)
+       SELECT strftime(d, '%Y-%m-%d') AS day, cum, peak,
+         peak - cum AS drawdown
+       FROM p ORDER BY 1""",
+    note="drawdown series of cumulative daily revenue: running peak "
+    "minus running total, the risk metric whose maximum is 'worst "
+    "decline from a high'.  Two stacked prefix windows over the "
+    "daily aggregate, exact integer cents end to end — the raw fact "
+    "shuffle happens once in the shared daily groupBy, and the "
+    "ordered windows run on ~days rows",
+)
+def t51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    d = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.floor(F.sum("value") * 100 + 0.5).cast("long").alias("rc")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    p = d.select(
+        "d", F.sum("rc").over(w).alias("cum")
+    ).withColumn("peak", F.max("cum").over(w))
+    return p.select(
+        date_str(F.col("d")).alias("day"),
+        "cum",
+        "peak",
+        (F.col("peak") - F.col("cum")).alias("drawdown"),
+    ).orderBy("day")
+
+
 QUERIES = list(_Q)
