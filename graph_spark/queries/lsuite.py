@@ -2078,4 +2078,66 @@ def l48(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l49_split_leakage",
+    """WITH docs AS (SELECT doc_id,
+         list_filter(string_split(text,' '), x -> x <> '') AS l
+       FROM documents WHERE doc_id < 100),
+       sh AS (SELECT DISTINCT doc_id, s[1] || ' ' || s[2] AS shingle
+              FROM (SELECT doc_id, unnest(list_zip(l, l[2:])) AS s FROM docs) z
+              WHERE s[2] IS NOT NULL),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+                 FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id<b.doc_id
+                 GROUP BY 1,2),
+       pairs AS (SELECT a, b FROM inter
+                 JOIN sizes sa ON sa.doc_id=a JOIN sizes sb ON sb.doc_id=b
+                 WHERE i::DOUBLE/(sa.sz + sb.sz - i) >= 0.12),
+       sp AS (SELECT doc_id, CASE
+         WHEN strpos('0123456789abcdef',
+           substring(md5(doc_id::VARCHAR), 1, 1)) - 1 < 13 THEN 'train'
+         WHEN strpos('0123456789abcdef',
+           substring(md5(doc_id::VARCHAR), 1, 1)) - 1 < 15 THEN 'valid'
+         ELSE 'test' END AS split FROM documents WHERE doc_id < 100),
+       cls AS (SELECT least(pa.split, pb.split) AS sa,
+               greatest(pa.split, pb.split) AS sb
+               FROM pairs JOIN sp pa ON pa.doc_id = pairs.a
+                 JOIN sp pb ON pb.doc_id = pairs.b)
+       SELECT sa, sb, count(*) AS n_pairs FROM cls
+       GROUP BY 1, 2 ORDER BY 1, 2""",
+    note="train/test leakage audit: l19's near-duplicate pairs "
+    "classified by which l18 hash-split sides they straddle — any "
+    "row with sa <> sb is a near-duplicate leaking across the split, "
+    "the contamination that silently inflates eval scores.  The "
+    "pair set comes from the inverted-index candidate join (never "
+    "all-pairs); split labels are the deterministic md5 rule, so the "
+    "audit reproduces bit-for-bit on any cluster",
+)
+def l49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents").filter(F.col("doc_id") < 100)
+    pairs = (
+        ngram_jaccard_pairs(docs, n=2).filter(F.col("jaccard") >= 0.12).select("a", "b")
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    sp = docs.select(
+        "doc_id",
+        F.when(bucket < 13, "train").when(bucket < 15, "valid").otherwise("test").alias("split"),
+    )
+    pa = sp.select(F.col("doc_id").alias("a"), F.col("split").alias("spl_a"))
+    pb = sp.select(F.col("doc_id").alias("b"), F.col("split").alias("spl_b"))
+    cls = (
+        pairs.join(F.broadcast(pa), "a")
+        .join(F.broadcast(pb), "b")
+        .select(
+            F.least("spl_a", "spl_b").alias("sa"),
+            F.greatest("spl_a", "spl_b").alias("sb"),
+        )
+    )
+    return (
+        cls.groupBy("sa", "sb").agg(F.count(F.lit(1)).alias("n_pairs")).orderBy("sa", "sb")
+    )
+
+
 QUERIES = list(_L)

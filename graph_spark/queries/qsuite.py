@@ -4884,4 +4884,34 @@ def t51(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+@_q(
+    "q94_pseudonym_audit",
+    """WITH p AS (SELECT substring(md5(user_id::VARCHAR), 1, 2) AS pseudo,
+         user_id FROM events),
+       b AS (SELECT pseudo, count(DISTINCT user_id) AS users
+             FROM p GROUP BY 1)
+       SELECT users AS users_per_pseudo, count(*) AS n_pseudos
+       FROM b GROUP BY 1 ORDER BY 1""",
+    note="pseudonymization collision audit: deterministic md5-prefix "
+    "tokenization of user ids (2 hex chars here to force collisions "
+    "at fixture scale; production uses the full digest + salt) and "
+    "the histogram of distinct real users per pseudonym — the "
+    "k-anonymity / join-integrity trade-off read: buckets with "
+    "users_per_pseudo > 1 break joins, buckets == 1 re-identify.  "
+    "One groupBy on the token, one distinct-count, all integers",
+)
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    p = ev.select(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 2).alias("pseudo"),
+        "user_id",
+    )
+    b = p.groupBy("pseudo").agg(F.countDistinct("user_id").alias("users"))
+    return (
+        b.groupBy(F.col("users").alias("users_per_pseudo"))
+        .agg(F.count(F.lit(1)).alias("n_pseudos"))
+        .orderBy("users_per_pseudo")
+    )
+
+
 QUERIES = list(_Q)
