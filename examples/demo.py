@@ -134,6 +134,16 @@ def main() -> None:
     km = eng.kmeans(eng.table("embeddings"), k=4, iters=2)
     km.groupBy("cid").count().orderBy("cid").show()
 
+    print("== scale tooling: skew audit before you shuffle ==")
+    eng.skew_audit(eng.table("lineitem"), "l_suppkey").show(truncate=False)
+
+    print("== text: BM25 term salience, kNN label vote ==")
+    eng.bm25(eng.table("documents")).orderBy(F.desc("bm25")).show(5)
+    eng.knn_classify(eng.table("embeddings").limit(50), k=3).show(5)
+
+    print("== graph: truncated Katz walk counts ==")
+    eng.katz().orderBy(F.desc("w3")).show(5)
+
     print("demo complete")
 
 
