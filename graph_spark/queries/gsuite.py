@@ -2192,4 +2192,81 @@ def g53(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc_summary(ge, "full").unionAll(cc_summary(kept, "sparse")).orderBy("graph")
 
 
+@_g(
+    "g54_dyad_census",
+    """WITH ne AS (
+         SELECT 'n'||c.c_nationkey AS src, 'n'||s.s_nationkey AS dst
+         FROM lineitem l JOIN orders o ON l.l_orderkey=o.o_orderkey
+         JOIN customer c ON o.o_custkey=c.c_custkey
+         JOIN supplier s ON l.l_suppkey=s.s_suppkey
+         GROUP BY 1,2 HAVING count(*) >= 25),
+       e AS (SELECT src, dst FROM ne WHERE src <> dst),
+       nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       m AS (SELECT a.src, a.dst FROM e a JOIN e b
+             ON b.src = a.dst AND b.dst = a.src),
+       s AS (SELECT (SELECT count(*) FROM e) AS n_edges,
+             (SELECT count(*) FROM m) AS n_mutual_edges,
+             (SELECT count(*) FROM nodes) AS n_nodes)
+       SELECT n_nodes, n_edges, n_mutual_edges,
+         CAST(n_mutual_edges // 2 AS BIGINT) AS mutual_dyads,
+         CAST(n_edges - n_mutual_edges AS BIGINT) AS asym_dyads,
+         CAST(n_nodes * (n_nodes - 1) // 2
+           - n_mutual_edges // 2 - (n_edges - n_mutual_edges) AS BIGINT)
+           AS null_dyads,
+         round(CAST(n_mutual_edges AS DOUBLE) / n_edges, 4) AS reciprocity
+       FROM s""",
+    note="dyad census + reciprocity of the directed nation trade graph "
+    "(g17's view, self-loops excluded): mutual / asymmetric / null "
+    "dyad counts and the fraction of edges that are reciprocated — "
+    "the first-order structural signature separating a hierarchy "
+    "from a marketplace.  One self-equi-join on the (tiny, "
+    "pre-aggregated) edge list for mutuality; everything else is "
+    "exact integer identities (null dyads by complement, never "
+    "materializing non-edges)",
+)
+def g54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    ne = (
+        c.table("lineitem")
+        .join(c.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c.table("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c.table("supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.concat(F.lit("n"), F.col("c_nationkey")).alias("src"),
+            F.concat(F.lit("n"), F.col("s_nationkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 25)
+        .select("src", "dst")
+    )
+    e = ne.filter(F.col("src") != F.col("dst")).localCheckpoint(eager=True)
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    m = e.alias("a").join(
+        e.select(F.col("src").alias("bs"), F.col("dst").alias("bd")),
+        (F.col("bs") == F.col("dst")) & (F.col("bd") == F.col("src")),
+    )
+    s = (
+        e.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(m.agg(F.count(F.lit(1)).alias("n_mutual_edges")))
+        .crossJoin(nodes.agg(F.count(F.lit(1)).alias("n_nodes")))
+    )
+    return s.select(
+        "n_nodes",
+        "n_edges",
+        "n_mutual_edges",
+        F.floor(F.col("n_mutual_edges") / 2).cast("long").alias("mutual_dyads"),
+        (F.col("n_edges") - F.col("n_mutual_edges")).alias("asym_dyads"),
+        (
+            F.floor(F.col("n_nodes") * (F.col("n_nodes") - 1) / 2)
+            - F.floor(F.col("n_mutual_edges") / 2)
+            - (F.col("n_edges") - F.col("n_mutual_edges"))
+        ).cast("long").alias("null_dyads"),
+        F.round(
+            F.col("n_mutual_edges").cast("double") / F.col("n_edges"), 4
+        ).alias("reciprocity"),
+    )
+
+
 QUERIES = list(_G)

@@ -2140,4 +2140,66 @@ def l49(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l50_novelty_curve",
+    """WITH docs AS (SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS l
+       FROM documents),
+       sh AS (SELECT DISTINCT doc_id, s[1] || ' ' || s[2] AS shingle
+              FROM (SELECT doc_id, unnest(list_zip(l, l[2:])) AS s FROM docs) z
+              WHERE s[2] IS NOT NULL),
+       fo AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+       per AS (SELECT sh.doc_id, count(*) AS n_shingles,
+         CAST(sum(CASE WHEN fo.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_new
+         FROM sh JOIN fo ON fo.shingle = sh.shingle GROUP BY 1)
+       SELECT doc_id, n_shingles, n_new,
+         round(CAST(n_new AS DOUBLE) / n_shingles, 4) AS novelty
+       FROM per ORDER BY 1""",
+    note="corpus novelty curve: per document (in ingestion order), the "
+    "fraction of its bigram shingles never seen in any earlier "
+    "document — the redundancy-growth diagnostic that tells a "
+    "curation pipeline when additional data stops adding "
+    "information (novelty tending to 0 = the corpus is saturating). "
+    " First-occurrence is one groupBy min over the inverted index; "
+    "no per-document history state, no quadratic comparisons",
+)
+def l50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("l")).select(
+        "doc_id", F.expr("filter(l, x -> x <> '')").alias("l")
+    )
+    sh = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(l, 1, size(l) - 1),"
+                    " (w, i) -> concat(w, ' ', element_at(l, i + 2)))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    fo = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        sh.join(fo, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_new"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_new",
+        F.round(F.col("n_new").cast("double") / F.col("n_shingles"), 4).alias(
+            "novelty"
+        ),
+    ).orderBy("doc_id")
+
+
 QUERIES = list(_L)
