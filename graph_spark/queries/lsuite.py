@@ -2202,4 +2202,50 @@ def l50(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@_l(
+    "m06_scene_cuts",
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+       wi AS (SELECT doc_id,
+                unnest(generate_series(0, (length(text) - 1) // 64)) AS fi,
+                text FROM d),
+       fr AS (SELECT doc_id, fi,
+              md5(substring(text, fi * 64 + 1, 64)) AS cs FROM wi),
+       c AS (SELECT doc_id, fi,
+         CASE WHEN lag(cs) OVER w IS NOT NULL AND cs <> lag(cs) OVER w
+              THEN 1 ELSE 0 END AS cut
+         FROM fr WINDOW w AS (PARTITION BY doc_id ORDER BY fi))
+       SELECT doc_id, count(*) AS n_frames, CAST(sum(cut) AS BIGINT) AS n_cuts
+       FROM c GROUP BY 1 ORDER BY 1""",
+    note="scene-cut detection over the m02 frame stream: a cut is a "
+    "frame whose (stubbed-codec) content signature differs from its "
+    "predecessor — the shot-boundary pass a video curation pipeline "
+    "runs right after frame sampling, here over every frame "
+    "(every=1) so the lag compares adjacent frames.  The cut test "
+    "is one lag window partitioned by doc over the mapInPandas "
+    "output; frame signatures are deterministic chunk checksums so "
+    "the oracle reproduces them in SQL (ASCII fixture: byte==char)",
+)
+def m06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import sample_frames
+
+    docs = Catalog(spark, sf_dir).table("documents").filter(F.col("doc_id") < 50)
+    fr = sample_frames(to_media_table(docs), frame_bytes=64, every=1)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    c = fr.select(
+        "doc_id",
+        F.when(
+            F.lag("checksum").over(w).isNotNull()
+            & (F.col("checksum") != F.lag("checksum").over(w)),
+            1,
+        )
+        .otherwise(0)
+        .alias("cut"),
+    )
+    return (
+        c.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"), F.sum("cut").alias("n_cuts"))
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = list(_L)

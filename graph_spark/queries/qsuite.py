@@ -4914,4 +4914,69 @@ def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q95_zorder_locality",
+    """WITH mx AS (SELECT max(l_orderkey) AS mo, max(l_suppkey) AS ms
+         FROM lineitem),
+       q AS (SELECT
+         CAST(least(3, (l_orderkey * 4) // (mo + 1)) AS BIGINT) AS qx,
+         CAST(least(3, (l_suppkey * 4) // (ms + 1)) AS BIGINT) AS qy,
+         l_orderkey, l_suppkey
+         FROM lineitem CROSS JOIN mx),
+       z AS (SELECT (qx % 2) + 2 * (qy % 2) + 4 * ((qx // 2) % 2)
+           + 8 * ((qy // 2) % 2) AS zb, l_orderkey, l_suppkey FROM q)
+       SELECT CAST(zb AS INT) AS z_bucket, count(*) AS n_rows,
+         CAST(min(l_orderkey) AS BIGINT) AS min_ok,
+         CAST(max(l_orderkey) AS BIGINT) AS max_ok,
+         CAST(min(l_suppkey) AS BIGINT) AS min_sk,
+         CAST(max(l_suppkey) AS BIGINT) AS max_sk
+       FROM z GROUP BY 1 ORDER BY 1""",
+    note="z-order locality audit: interleave 2 quantization bits of "
+    "each of two keys into a 16-cell Morton code (pure integer "
+    "arithmetic — (q%2) + 2*(q%2)... — no engine-specific bit ops) "
+    "and report each cell's min-max envelope on BOTH dimensions: "
+    "tight envelopes on both axes are exactly what makes file-level "
+    "min-max pruning work for 2-key point/range queries, which a "
+    "single-key sort gives on one axis only.  This is the audit for "
+    "sources/writers.write_zordered's layout; one pass + two scalar "
+    "maxima broadcast",
+)
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    mx = li.agg(
+        F.max("l_orderkey").alias("mo"), F.max("l_suppkey").alias("ms")
+    )
+    q = li.crossJoin(F.broadcast(mx)).select(
+        F.least(F.lit(3), F.floor(F.col("l_orderkey") * 4 / (F.col("mo") + 1)))
+        .cast("long")
+        .alias("qx"),
+        F.least(F.lit(3), F.floor(F.col("l_suppkey") * 4 / (F.col("ms") + 1)))
+        .cast("long")
+        .alias("qy"),
+        "l_orderkey",
+        "l_suppkey",
+    )
+    z = q.select(
+        (
+            (F.col("qx") % 2)
+            + 2 * (F.col("qy") % 2)
+            + 4 * (F.floor(F.col("qx") / 2) % 2)
+            + 8 * (F.floor(F.col("qy") / 2) % 2)
+        ).alias("zb"),
+        "l_orderkey",
+        "l_suppkey",
+    )
+    return (
+        z.groupBy(F.col("zb").cast("int").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_orderkey").alias("min_ok"),
+            F.max("l_orderkey").alias("max_ok"),
+            F.min("l_suppkey").alias("min_sk"),
+            F.max("l_suppkey").alias("max_sk"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
 QUERIES = list(_Q)
