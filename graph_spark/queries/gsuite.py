@@ -2269,4 +2269,94 @@ def g54(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g55_region_homophily",
+    """WITH ne AS (
+         SELECT 'n'||c.c_nationkey AS src, 'n'||s.s_nationkey AS dst,
+           any_value(cn.n_regionkey) AS rs, any_value(sn.n_regionkey) AS rd
+         FROM lineitem l JOIN orders o ON l.l_orderkey=o.o_orderkey
+         JOIN customer c ON o.o_custkey=c.c_custkey
+         JOIN supplier s ON l.l_suppkey=s.s_suppkey
+         JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+         JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+         GROUP BY 1, 2 HAVING count(*) >= 25),
+       e AS (SELECT * FROM ne WHERE src <> dst),
+       tot AS (SELECT count(*) AS m,
+               CAST(sum(CASE WHEN rs = rd THEN 1 ELSE 0 END) AS BIGINT)
+                 AS same FROM e),
+       degs AS (SELECT r, CAST(sum(c) AS BIGINT) AS outd,
+                CAST(sum(c2) AS BIGINT) AS ind FROM (
+           SELECT rs AS r, count(*) AS c, 0 AS c2 FROM e GROUP BY 1
+           UNION ALL
+           SELECT rd, 0, count(*) FROM e GROUP BY 1) u GROUP BY 1),
+       exp AS (SELECT CAST(sum(outd * ind) AS BIGINT) AS ei FROM degs)
+       SELECT m AS n_edges, same AS same_region,
+         round(CAST(same AS DOUBLE) / m, 4) AS observed,
+         round(CAST(ei AS DOUBLE) / (CAST(m AS DOUBLE) * m), 4) AS expected,
+         round(CAST(same AS DOUBLE) / m
+           - CAST(ei AS DOUBLE) / (CAST(m AS DOUBLE) * m), 4) AS homophily
+       FROM tot CROSS JOIN exp""",
+    note="attribute homophily of the directed nation trade graph: "
+    "observed same-REGION edge fraction versus the degree-preserving "
+    "null expectation sum(out_r * in_r)/m^2 — the assortative-mixing "
+    "read for a categorical attribute (g31 does it for degree, g45 "
+    "for discovered communities; this is the given-attribute form).  "
+    "Region marginals are exact integer out/in volumes per region "
+    "(5 rows); three doubles total at the edge.  The heavy join tree "
+    "is the shared g17/g54 trade-view shape with nation/region dims "
+    "broadcast",
+)
+def g55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    nat = c.table("nation").select("n_nationkey", "n_regionkey")
+    ne = (
+        c.table("lineitem")
+        .join(c.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c.table("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c.table("supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nat.select(F.col("n_nationkey").alias("ck"), F.col("n_regionkey").alias("rs"))),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+        .join(
+            F.broadcast(nat.select(F.col("n_nationkey").alias("sk"), F.col("n_regionkey").alias("rd"))),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .groupBy(
+            F.concat(F.lit("n"), F.col("c_nationkey")).alias("src"),
+            F.concat(F.lit("n"), F.col("s_nationkey")).alias("dst"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.any_value(F.col("rs")).alias("rs"),
+            F.any_value(F.col("rd")).alias("rd"),
+        )
+        .filter(F.col("n") >= 25)
+    )
+    e = ne.filter(F.col("src") != F.col("dst")).localCheckpoint(eager=True)
+    tot = e.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.when(F.col("rs") == F.col("rd"), 1).otherwise(0)).alias("same"),
+    )
+    outd = e.groupBy(F.col("rs").alias("r")).agg(F.count(F.lit(1)).alias("outd"))
+    ind = e.groupBy(F.col("rd").alias("r")).agg(F.count(F.lit(1)).alias("ind"))
+    degs = (
+        outd.join(ind, "r", "full")
+        .select(
+            F.coalesce("outd", F.lit(0)).alias("outd"),
+            F.coalesce("ind", F.lit(0)).alias("ind"),
+        )
+    )
+    exp = degs.agg(F.sum(F.col("outd") * F.col("ind")).alias("ei"))
+    obs = F.col("same").cast("double") / F.col("m")
+    expv = F.col("ei").cast("double") / (F.col("m").cast("double") * F.col("m"))
+    return tot.crossJoin(F.broadcast(exp)).select(
+        F.col("m").alias("n_edges"),
+        F.col("same").alias("same_region"),
+        F.round(obs, 4).alias("observed"),
+        F.round(expv, 4).alias("expected"),
+        F.round(obs - expv, 4).alias("homophily"),
+    )
+
+
 QUERIES = list(_G)

@@ -2248,4 +2248,68 @@ def m06(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l51_jaccard_histogram",
+    """WITH docs AS (SELECT doc_id,
+         list_filter(string_split(text,' '), x -> x <> '') AS l
+       FROM documents WHERE doc_id < 100),
+       sh AS (SELECT DISTINCT doc_id, s[1] || ' ' || s[2] AS shingle
+              FROM (SELECT doc_id, unnest(list_zip(l, l[2:])) AS s FROM docs) z
+              WHERE s[2] IS NOT NULL),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+                 FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id<b.doc_id
+                 GROUP BY 1,2),
+       j AS (SELECT CAST(least(9,
+           (10 * i) // (sa.sz + sb.sz - i)) AS INT) AS decile
+         FROM inter JOIN sizes sa ON sa.doc_id=a JOIN sizes sb ON sb.doc_id=b)
+       SELECT decile, count(*) AS n_pairs FROM j GROUP BY 1 ORDER BY 1""",
+    note="candidate-pair Jaccard histogram: every inverted-index "
+    "candidate pair bucketed by similarity decile (integer "
+    "arithmetic: 10*inter // union, capped at 9) — the threshold-"
+    "sweep that picks the dedup cut-off (l19's 0.12, l45's 0.3) "
+    "from the actual similarity mass instead of folklore.  Pairs "
+    "with zero shared shingles never appear (by construction of the "
+    "candidate join), which is exactly the population a threshold "
+    "decision concerns",
+)
+def l51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import word_shingles
+
+    docs = Catalog(spark, sf_dir).table("documents").filter(F.col("doc_id") < 100)
+    sh = word_shingles(docs, 2)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    # decile via INTEGER floor-division (10*i) div union so a ratio that
+    # lands exactly on a decile boundary can't straddle a double ulp
+    j = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))),
+            "a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))),
+            "b",
+        )
+        .select(
+            F.least(
+                F.lit(9).cast("long"),
+                F.expr("(10 * i) DIV (sza + szb - i)"),
+            )
+            .cast("int")
+            .alias("decile")
+        )
+    )
+    return (
+        j.groupBy("decile").agg(F.count(F.lit(1)).alias("n_pairs")).orderBy("decile")
+    )
+
+
 QUERIES = list(_L)
