@@ -2359,4 +2359,31 @@ def g55(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g56_bfs_profile",
+    f"""WITH RECURSIVE {GRAPH_CTES},
+       b(node, d) AS (SELECT 'c1', 0 UNION
+         SELECT e.dst, b.d + 1 FROM b
+         JOIN graph_edges_sym e ON b.node = e.src WHERE b.d < 12),
+       dist AS (SELECT node, CAST(min(d) AS BIGINT) AS d FROM b GROUP BY 1)
+       SELECT d AS hop, count(*) AS frontier_width FROM dist
+       GROUP BY 1 ORDER BY 1""",
+    note="BFS frontier-width profile from the g03 seed: nodes first "
+    "reached at each hop — the per-superstep cost curve of every "
+    "frontier algorithm in this repo (a width spike at hop k means "
+    "superstep k dominates the job; small-world graphs spike at 2-3 "
+    "then collapse, which is exactly why the broadcast-frontier "
+    "plan in bfs_distances works).  Costs one BFS; the profile is a "
+    "groupBy over its output",
+)
+def g56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _sym_graph(Catalog(spark, sf_dir))
+    return (
+        bfs_distances(g, "c1", max_hops=12)
+        .groupBy(F.col("d").alias("hop"))
+        .agg(F.count(F.lit(1)).alias("frontier_width"))
+        .orderBy("hop")
+    )
+
+
 QUERIES = list(_G)

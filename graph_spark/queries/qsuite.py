@@ -4979,4 +4979,62 @@ def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "t53_monotone_runs",
+    """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS rc
+       FROM events GROUP BY 1),
+       f AS (SELECT d, rc, CASE WHEN lag(rc) OVER (ORDER BY d) IS NULL
+           OR rc <= lag(rc) OVER (ORDER BY d) THEN 1 ELSE 0 END AS brk
+         FROM d),
+       g AS (SELECT d, rc, CAST(sum(brk) OVER (ORDER BY d
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id FROM f),
+       r AS (SELECT run_id, strftime(min(d), '%Y-%m-%d') AS start_day,
+             strftime(max(d), '%Y-%m-%d') AS end_day,
+             count(*) AS len,
+             CAST(max(rc) - min(rc) AS BIGINT) AS gain
+             FROM g GROUP BY 1)
+       SELECT start_day, end_day, len, gain FROM r
+       ORDER BY len DESC, start_day LIMIT 5""",
+    note="longest strictly-increasing revenue ramps: gaps-and-islands "
+    "on the monotonicity flag (break at any non-increase), islands "
+    "aggregated to (start, end, length, gain) and top-5 by length — "
+    "the 'momentum streak' read that rolling means smear out.  On "
+    "the pre-aggregated daily series min(rc)/max(rc) coincide with "
+    "the run's endpoints because each run is increasing by "
+    "construction; exact cents end to end",
+)
+def t53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    d = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.floor(F.sum("value") * 100 + 0.5).cast("long").alias("rc")
+    )
+    w = Window.orderBy("d")
+    f = d.select(
+        "d",
+        "rc",
+        F.when(
+            F.lag("rc").over(w).isNull() | (F.col("rc") <= F.lag("rc").over(w)), 1
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    g = f.withColumn(
+        "run_id",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        g.groupBy("run_id")
+        .agg(
+            date_str(F.min("d")).alias("start_day"),
+            date_str(F.max("d")).alias("end_day"),
+            F.count(F.lit(1)).alias("len"),
+            (F.max("rc") - F.min("rc")).alias("gain"),
+        )
+        .select("start_day", "end_day", "len", "gain")
+        .orderBy(F.desc("len"), "start_day")
+        .limit(5)
+    )
+
+
 QUERIES = list(_Q)
