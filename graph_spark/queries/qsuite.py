@@ -5037,4 +5037,115 @@ def t53(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q96_largest_remainder",
+    """WITH r AS (SELECT n_name,
+         CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS rev
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey GROUP BY 1),
+       t AS (SELECT CAST(sum(rev) AS BIGINT) AS tot FROM r),
+       a AS (SELECT n_name, rev, (1000000 * rev) // tot AS base,
+             (1000000 * rev) % tot AS frac FROM r CROSS JOIN t),
+       k AS (SELECT CAST(1000000 - sum(base) AS BIGINT) AS k FROM a),
+       rk AS (SELECT n_name, rev, base,
+              row_number() OVER (ORDER BY frac DESC, n_name) AS rn FROM a)
+       SELECT n_name, rev,
+         CAST(base + CASE WHEN rn <= k.k THEN 1 ELSE 0 END AS BIGINT) AS alloc
+       FROM rk CROSS JOIN k ORDER BY 1""",
+    note="largest-remainder (Hamilton) apportionment: split a fixed "
+    "1M-unit budget across nations proportionally to exact revenue "
+    "cents so the allocations are integers AND sum to the budget "
+    "exactly — the prorating primitive naive round(share) gets "
+    "wrong by +-n/2 units.  Pure integer arithmetic: floor shares "
+    "via BIGINT division, the leftover k units to the k largest "
+    "exact remainders (modulo, not float fractions), full "
+    "tie-break.  One small sort over 25 nation rows",
+)
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    r = (
+        c.table("orders")
+        .join(c.table("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c.table("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.floor(F.sum("o_totalprice") * 100 + 0.5).cast("long").alias("rev"))
+    )
+    t = r.agg(F.sum("rev").alias("tot"))
+    a = r.crossJoin(F.broadcast(t)).select(
+        "n_name",
+        "rev",
+        F.expr("(1000000 * rev) DIV tot").alias("base"),
+        ((1000000 * F.col("rev")) % F.col("tot")).alias("frac"),
+    )
+    k = a.agg((F.lit(1000000) - F.sum("base")).cast("long").alias("k"))
+    rk = a.select(
+        "n_name",
+        "rev",
+        "base",
+        F.row_number().over(Window.orderBy(F.desc("frac"), "n_name")).alias("rn"),
+    )
+    return (
+        rk.crossJoin(F.broadcast(k))
+        .select(
+            "n_name",
+            "rev",
+            (
+                F.col("base")
+                + F.when(F.col("rn") <= F.col("k"), 1).otherwise(0)
+            ).cast("long").alias("alloc"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@_q(
+    "t54_hazard_curve",
+    """WITH ia AS (SELECT least(24,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER
+            (PARTITION BY user_id ORDER BY ts, event_id)))
+           // 3600000000) AS w
+       FROM events),
+       h AS (SELECT CAST(w AS INT) AS w, count(*) AS n FROM ia
+             WHERE w IS NOT NULL GROUP BY 1),
+       s AS (SELECT w, n, CAST(sum(n) OVER (ORDER BY w DESC
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS at_risk FROM h)
+       SELECT w AS wait_hours, n, at_risk,
+         round(CAST(n AS DOUBLE) / at_risk, 4) AS hazard
+       FROM s ORDER BY 1""",
+    note="discrete-time hazard curve of inter-event waits: for each "
+    "whole-hour wait bucket (capped at 24h), the conditional "
+    "probability the next event arrives in that hour GIVEN the user "
+    "has waited that long — n(w) / sum_{w'>=w} n(w'), the survival-"
+    "analysis read behind churn and re-engagement timing that raw "
+    "interarrival quantiles (t24) don't answer.  The at-risk "
+    "denominators come from one reverse-ordered prefix sum over the "
+    "25-row histogram; waits are exact integer microseconds",
+)
+def t54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    ia = ev.select(
+        F.least(
+            F.lit(24).cast("long"),
+            F.floor((us - F.lag(us).over(w)) / 3_600_000_000),
+        ).alias("w")
+    ).filter(F.col("w").isNotNull())
+    h = ia.groupBy(F.col("w").cast("int").alias("w")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    s = h.withColumn(
+        "at_risk",
+        F.sum("n").over(
+            Window.orderBy(F.desc("w")).rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return s.select(
+        F.col("w").alias("wait_hours"),
+        "n",
+        "at_risk",
+        F.round(F.col("n").cast("double") / F.col("at_risk"), 4).alias("hazard"),
+    ).orderBy("wait_hours")
+
+
 QUERIES = list(_Q)
