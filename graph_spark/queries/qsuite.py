@@ -5148,4 +5148,61 @@ def t54(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("wait_hours")
 
 
+@_q(
+    "q97_pandas_streaks",
+    """WITH o AS (SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS brk
+       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       g AS (SELECT user_id, event_type,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS rid FROM o),
+       runs AS (SELECT user_id, event_type, count(*) AS len FROM g
+                GROUP BY user_id, rid, event_type),
+       best AS (SELECT user_id, len AS max_streak, event_type AS streak_type,
+         row_number() OVER (PARTITION BY user_id
+           ORDER BY len DESC, event_type) AS rn FROM runs)
+       SELECT user_id, max_streak, streak_type FROM best WHERE rn = 1
+       ORDER BY 1""",
+    note="longest same-type event streak per user, computed through "
+    "the Arrow GROUPED-MAP path (applyInPandas: one pandas frame per "
+    "user, imperative run-length scan) and oracled by the relational "
+    "gaps-and-islands form — the declared proof that the Python "
+    "grouped-map surface produces bit-identical results to pure SQL "
+    "when its tie rules (max length, then lexicographic type) are "
+    "pinned.  One shuffle on the grouping key either way; the "
+    "pandas path is the template for per-entity logic SQL can't "
+    "express (the m-suite codecs), used here where it CAN be "
+    "cross-checked",
+)
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = Catalog(spark, sf_dir).table("events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+
+    def streaks(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        best_len, best_type, cur_len, prev = 0, None, 0, object()
+        for t in pdf["event_type"]:
+            cur_len = cur_len + 1 if t == prev else 1
+            prev = t
+            if cur_len > best_len or (cur_len == best_len and t < best_type):
+                best_len, best_type = cur_len, t
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "max_streak": [best_len],
+                "streak_type": [best_type],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(streaks, "user_id long, max_streak long, streak_type string")
+        .orderBy("user_id")
+    )
+
+
 QUERIES = list(_Q)
