@@ -2312,4 +2312,43 @@ def l51(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l52_bpe_pairs",
+    """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+         FROM documents),
+       p AS (SELECT substring(word, i, 2) AS pair
+         FROM (SELECT word, unnest(generate_series(1, length(word) - 1))
+                 AS i FROM w WHERE length(word) >= 2) u)
+       SELECT pair, count(*) AS n FROM p GROUP BY 1
+       ORDER BY 2 DESC, 1 LIMIT 20""",
+    note="the first BPE training step: corpus-wide adjacent character-"
+    "pair frequencies within words, top-20 merge candidates with a "
+    "full tie-break — run iteratively (merge the winner, re-count) "
+    "this IS byte-pair-encoding vocabulary learning; one step is "
+    "declared here because each merge is the same single "
+    "explode+groupBy shape.  Pair extraction is a per-word "
+    "character slide (bounded by word length), counts combine "
+    "map-side; no joins at all",
+)
+def l52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    w = d.select(F.explode(F.split("text", " ")).alias("word")).filter(
+        F.length("word") >= 2
+    )
+    p = w.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair")
+    )
+    return (
+        p.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(20)
+    )
+
+
 QUERIES = list(_L)

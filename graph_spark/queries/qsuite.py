@@ -5205,4 +5205,86 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q98_capped_balance",
+    """WITH RECURSIVE r AS (SELECT l_suppkey AS k,
+         CASE WHEN l_linestatus = 'O'
+              THEN CAST(floor(l_quantity + 0.5) AS BIGINT)
+              ELSE -CAST(floor(l_quantity + 0.5) AS BIGINT) END AS delta,
+         row_number() OVER (PARTITION BY l_suppkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+       FROM lineitem WHERE l_suppkey < 10),
+       n AS (SELECT k, CAST(max(rn) AS BIGINT) AS n_rows FROM r GROUP BY 1),
+       w(k, rn, bal, clamps) AS (
+         SELECT k, rn, greatest(0, delta),
+           CASE WHEN delta < 0 THEN 1 ELSE 0 END
+         FROM r WHERE rn = 1
+         UNION ALL
+         SELECT r.k, r.rn, greatest(0, w.bal + r.delta),
+           w.clamps + CASE WHEN w.bal + r.delta < 0 THEN 1 ELSE 0 END
+         FROM w JOIN r ON r.k = w.k AND r.rn = w.rn + 1)
+       SELECT w.k AS suppkey, n.n_rows,
+         CAST(w.bal AS BIGINT) AS final_balance,
+         CAST(w.clamps AS BIGINT) AS n_clamps
+       FROM w JOIN n ON n.k = w.k AND w.rn = n.n_rows
+       ORDER BY 1""",
+    note="zero-clamped running inventory balance (receipts minus "
+    "issues, floored at 0): the per-row recursion max(0, prev + "
+    "delta) that NO window function expresses — the documented "
+    "boundary where this engine switches to the Arrow grouped-map "
+    "path (applyInPandas: one ordered numpy scan per supplier), "
+    "while the oracle unrolls the same recurrence as a recursive "
+    "CTE.  Deterministic total order (shipdate, orderkey, "
+    "linenumber); integer units throughout; one shuffle on the "
+    "entity key, per-key state is two integers",
+)
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    li = (
+        Catalog(spark, sf_dir)
+        .table("lineitem")
+        .filter(F.col("l_suppkey") < 10)
+        .select(
+            F.col("l_suppkey").alias("k"),
+            F.when(
+                F.col("l_linestatus") == "O",
+                F.floor(F.col("l_quantity") + 0.5).cast("long"),
+            )
+            .otherwise(-F.floor(F.col("l_quantity") + 0.5).cast("long"))
+            .alias("delta"),
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+        )
+    )
+
+    def clamped(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["l_shipdate", "l_orderkey", "l_linenumber"])
+        bal, clamps = 0, 0
+        for d in pdf["delta"]:
+            nxt = bal + int(d)
+            if nxt < 0:
+                clamps += 1
+                nxt = 0
+            bal = nxt
+        return pd.DataFrame(
+            {
+                "suppkey": [int(pdf["k"].iloc[0])],
+                "n_rows": [len(pdf)],
+                "final_balance": [bal],
+                "n_clamps": [clamps],
+            }
+        )
+
+    return (
+        li.groupBy("k")
+        .applyInPandas(
+            clamped,
+            "suppkey long, n_rows long, final_balance long, n_clamps long",
+        )
+        .orderBy("suppkey")
+    )
+
+
 QUERIES = list(_Q)
