@@ -2386,4 +2386,78 @@ def g56(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g57_core_periphery",
+    f"""WITH {GRAPH_CTES},
+       deg AS (SELECT src AS node, count(*) AS d
+               FROM graph_edges_sym GROUP BY 1),
+       nn AS (SELECT count(*) AS n FROM deg),
+       core AS (SELECT node FROM deg CROSS JOIN nn
+         QUALIFY row_number() OVER (ORDER BY d DESC, node) <= (n + 9) // 10),
+       cls AS (SELECT CASE WHEN cs.node IS NOT NULL
+                 THEN 1 ELSE 0 END + CASE WHEN cd.node IS NOT NULL
+                 THEN 1 ELSE 0 END AS n_core
+         FROM graph_edges e
+         LEFT JOIN core cs ON cs.node = e.src
+         LEFT JOIN core cd ON cd.node = e.dst)
+       SELECT CAST(sum(CASE WHEN n_core = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS core_core,
+         CAST(sum(CASE WHEN n_core = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS core_periphery,
+         CAST(sum(CASE WHEN n_core = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS periphery_periphery,
+         round(CAST(sum(CASE WHEN n_core = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*), 4) AS pp_share
+       FROM cls""",
+    note="core-periphery edge census: the top-10%-by-degree core "
+    "(exact rank, ceil sizing, full tie-break) versus everyone "
+    "else, and how the DIRECTED sales edges distribute across "
+    "core-core / core-periphery / periphery-periphery — an ideal "
+    "hub-and-spoke has pp_share ~ 0 (peripheral actors only "
+    "transact through the core).  The core list is |V|/10 nodes "
+    "and broadcasts onto the edge scan; counts are exact",
+)
+def g57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    deg = c.graph_edges_sym().groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n"))
+    core = (
+        deg.crossJoin(F.broadcast(nn))
+        .withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.desc("d"), "node"))
+        )
+        .filter(F.col("rk") <= F.floor((F.col("n") + 9) / 10))
+        .select("node")
+        .localCheckpoint(eager=True)
+    )
+    e = c.graph_edges().select("src", "dst")
+    cls = (
+        e.join(
+            F.broadcast(core.withColumnRenamed("node", "cs")),
+            F.col("src") == F.col("cs"),
+            "left",
+        )
+        .join(
+            F.broadcast(core.withColumnRenamed("node", "cd")),
+            F.col("dst") == F.col("cd"),
+            "left",
+        )
+        .select(
+            (
+                F.when(F.col("cs").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("cd").isNotNull(), 1).otherwise(0)
+            ).alias("n_core")
+        )
+    )
+    cnt = lambda v: F.sum(F.when(F.col("n_core") == v, 1).otherwise(0))
+    return cls.agg(
+        cnt(2).alias("core_core"),
+        cnt(1).alias("core_periphery"),
+        cnt(0).alias("periphery_periphery"),
+        F.round(cnt(0).cast("double") / F.count(F.lit(1)), 4).alias("pp_share"),
+    )
+
+
 QUERIES = list(_G)

@@ -5287,4 +5287,50 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "t55_bounce_rate",
+    """WITH g AS (SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS flag
+       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       s AS (SELECT user_id, ts,
+         sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+       iv AS (SELECT user_id, sid,
+              CAST(date_trunc('day', min(ts)) AS DATE) AS d,
+              count(*) AS n FROM s GROUP BY 1, 2)
+       SELECT strftime(d, '%Y-%m-%d') AS day, count(*) AS n_sessions,
+         CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounces,
+         round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*), 4) AS bounce_rate
+       FROM iv GROUP BY 1 ORDER BY 1""",
+    note="daily bounce rate: sessions (t03 gap rule, attributed to "
+    "their start day) that contain exactly one event, over total "
+    "sessions — the engagement-health staple.  Reuses the shared "
+    "sessionize shape (one shuffle on the user key); the daily "
+    "rollup is a combinable aggregate over the (small) session "
+    "table; integers except one ratio per day",
+)
+def t55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    sess = sessionize(ev, "user_id", "ts", 1800, tiebreak=["event_id"])
+    iv = sess.groupBy("user_id", "session_id").agg(
+        F.to_date(F.min("ts")).alias("d"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        iv.groupBy(date_str(F.col("d")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("bounces"),
+            F.round(
+                F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("bounce_rate"),
+        )
+        .orderBy("day")
+    )
+
+
 QUERIES = list(_Q)
