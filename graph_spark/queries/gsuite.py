@@ -2460,4 +2460,41 @@ def g57(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g58_weight_zipf",
+    f"""WITH {GRAPH_CTES},
+       w AS (SELECT CAST(floor(weight * 100 + 0.5) AS BIGINT) AS wc
+             FROM graph_edges),
+       r AS (SELECT wc, row_number() OVER (ORDER BY wc DESC) AS rk FROM w
+             QUALIFY row_number() OVER (ORDER BY wc DESC) <= 100)
+       SELECT count(*) AS n_top,
+         round(regr_slope(ln(CAST(wc AS DOUBLE)), ln(CAST(rk AS DOUBLE))), 4)
+           AS tail_slope,
+         CAST(max(wc) AS BIGINT) AS max_wc, CAST(min(wc) AS BIGINT) AS min_wc
+       FROM r""",
+    note="heavy-tail exponent of the edge-weight distribution: OLS "
+    "slope of ln(weight) on ln(rank) over the top-100 edges (l34's "
+    "Zipf regression pointed at the graph) — slope near -1 says the "
+    "sales graph's weight mass is hub-dominated, the quantitative "
+    "trigger for salting those hub keys (q87) before a weighted "
+    "join.  Weights rank by exact integer cents so the rank order "
+    "is engine-stable; regr_slope runs over 100 rows",
+)
+def g58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).graph_edges()
+    w = e.select(F.floor(F.col("weight") * 100 + 0.5).cast("long").alias("wc"))
+    r = (
+        w.withColumn("rk", F.row_number().over(Window.orderBy(F.desc("wc"))))
+        .filter(F.col("rk") <= 100)
+    )
+    return r.agg(
+        F.count(F.lit(1)).alias("n_top"),
+        F.round(
+            F.expr("regr_slope(ln(CAST(wc AS DOUBLE)), ln(CAST(rk AS DOUBLE)))"), 4
+        ).alias("tail_slope"),
+        F.max("wc").alias("max_wc"),
+        F.min("wc").alias("min_wc"),
+    )
+
+
 QUERIES = list(_G)

@@ -620,4 +620,53 @@ def s16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hourly_totals(ev: DataFrame) -> DataFrame:
+    """Shared transform for S17: plain mergeable per-window totals;
+    the window-over-window delta is applied at the SINK (lag is not
+    an incremental aggregate — same split as s12's rank)."""
+    return ev.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.sum("value") * 100 + 0.5).cast("long").alias("vc"),
+    )
+
+
+@_s(
+    "s17_window_deltas",
+    """WITH c AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n,
+         CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS vc
+       FROM events GROUP BY 1)
+       SELECT strftime(h, '%Y-%m-%d %H:%M:%S.%f') AS hh, n, vc,
+         CASE WHEN epoch_us(h) - epoch_us(lag(h) OVER (ORDER BY h))
+              = 3600000000 THEN n - lag(n) OVER (ORDER BY h) END AS dn,
+         CASE WHEN epoch_us(h) - epoch_us(lag(h) OVER (ORDER BY h))
+              = 3600000000 THEN vc - lag(vc) OVER (ORDER BY h) END AS dvc
+       FROM c ORDER BY 1""",
+    note="window-over-window deltas: per-hour totals kept as mergeable "
+    "stream state, the lag against the previous window applied at "
+    "the sink on the (tiny) per-window output — the rate-of-change "
+    "feed behind 'traffic dropped 40% vs last hour' alerts.  Exact "
+    "integer counts and cents; adjacent-window gaps (missing hours) "
+    "surface as NULL deltas rather than silently comparing across "
+    "the gap; replay parity in tests/test_streaming.py",
+)
+def s17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = Catalog(spark, sf_dir).table("events")
+    t = hourly_totals(ev)
+    w = W.orderBy(F.col("w.start"))
+    us = F.unix_micros(F.col("w.start"))
+    adjacent = (us - F.lag(us).over(w)) == 3_600_000_000
+    return (
+        t.select(
+            ts_str(F.col("w.start")).alias("hh"),
+            "n",
+            "vc",
+            F.when(adjacent, F.col("n") - F.lag("n").over(w)).alias("dn"),
+            F.when(adjacent, F.col("vc") - F.lag("vc").over(w)).alias("dvc"),
+        )
+        .orderBy("hh")
+    )
+
+
 QUERIES = list(_S)

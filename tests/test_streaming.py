@@ -619,3 +619,16 @@ def test_s16_drift_bins_stream_equals_batch(spark, replay_dir):
         output_mode="complete",
     ).select(F.col("w.start").alias("h"), "bin", "n")
     assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_s17_window_deltas_stream_equals_batch(spark, replay_dir):
+    from graph_spark.queries.ssuite import hourly_totals
+
+    cols = ["h", "n", "vc"]
+    batch = hourly_totals(Catalog(spark, SF_SMOKE).table("events")).select(
+        F.col("w.start").alias("h"), "n", "vc"
+    )
+    stream = run_stream(
+        spark, replay_dir, hourly_totals, output_mode="complete"
+    ).select(F.col("w.start").alias("h"), "n", "vc")
+    assert _rows(stream, cols) == _rows(batch, cols)
