@@ -2351,4 +2351,42 @@ def l52(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l53_boilerplate_prefixes",
+    """WITH p AS (SELECT doc_id, lang,
+         array_to_string(list_filter(string_split(text, ' '),
+           x -> x <> '')[1:5], ' ') AS prefix
+       FROM documents),
+       g AS (SELECT prefix, count(*) AS n_docs,
+             count(DISTINCT lang) AS n_langs FROM p GROUP BY 1)
+       SELECT prefix, n_docs, n_langs FROM g WHERE n_docs >= 2
+       ORDER BY n_docs DESC, prefix LIMIT 25""",
+    note="boilerplate template detection: documents sharing an "
+    "identical 5-word prefix (the header/license/scaffold signature "
+    "that exact dedup misses because the bodies differ) — the "
+    "prefix-group histogram a curation pipeline feeds into "
+    "template stripping.  One groupBy on the short prefix key; no "
+    "pairwise comparisons, and the prefix doubles as the shard key "
+    "if template removal runs as a follow-up join",
+)
+def l53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    p = d.select(
+        "lang",
+        F.array_join(
+            F.expr("slice(filter(split(text, ' '), x -> x <> ''), 1, 5)"), " "
+        ).alias("prefix"),
+    )
+    return (
+        p.groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), "prefix")
+        .limit(25)
+    )
+
+
 QUERIES = list(_L)

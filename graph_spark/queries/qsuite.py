@@ -5333,4 +5333,74 @@ def t55(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q99_pattern_vshape",
+    """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS rc
+       FROM events GROUP BY 1),
+       s AS (SELECT d, CASE
+           WHEN lag(rc) OVER w IS NULL THEN 'F'
+           WHEN rc > lag(rc) OVER w THEN 'U'
+           WHEN rc < lag(rc) OVER w THEN 'D' ELSE 'F' END AS sym
+         FROM d WINDOW w AS (ORDER BY d)),
+       seq AS (SELECT string_agg(sym, '' ORDER BY d) AS sq FROM s)
+       SELECT CAST(length(sq) AS BIGINT) AS n_days,
+         CAST((length(sq) - length(regexp_replace(sq, 'DU', '', 'g'))) // 2
+           AS BIGINT) AS v_bottoms,
+         CAST(len(regexp_extract_all(sq, 'D+U+')) AS BIGINT) AS v_shapes,
+         CAST(coalesce(list_max(list_transform(
+           regexp_extract_all(sq, 'D+U+'), x -> length(x))), 0) AS BIGINT)
+           AS longest_v
+       FROM seq""",
+    note="row-pattern matching (the MATCH_RECOGNIZE read) without the "
+    "clause: encode each day as U/D/F against the previous day, fold "
+    "the days into ONE ordered symbol string, and count V-shapes "
+    "(D+U+ runs), exact bottoms (DU transitions), and the longest V "
+    "by regex over that string — dip-and-recovery detection.  The "
+    "symbol fold is an ordered string_agg over the ~30-row daily "
+    "series (the raw facts never leave their one groupBy); at scale "
+    "the same trick runs per entity key with the fold partitioned",
+)
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    d = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.floor(F.sum("value") * 100 + 0.5).cast("long").alias("rc")
+    )
+    w = Window.orderBy("d")
+    s = d.select(
+        "d",
+        F.when(F.lag("rc").over(w).isNull(), "F")
+        .when(F.col("rc") > F.lag("rc").over(w), "U")
+        .when(F.col("rc") < F.lag("rc").over(w), "D")
+        .otherwise("F")
+        .alias("sym"),
+    )
+    seq = s.agg(
+        F.concat_ws(
+            "",
+            F.expr("transform(array_sort(collect_list(struct(d, sym))), x -> x.sym)"),
+        ).alias("sq")
+    )
+    return seq.select(
+        F.length("sq").cast("long").alias("n_days"),
+        F.floor(
+            (
+                F.length("sq")
+                - F.length(F.regexp_replace("sq", "DU", ""))
+            )
+            / 2
+        ).cast("long").alias("v_bottoms"),
+        F.size(F.expr("regexp_extract_all(sq, 'D+U+', 0)"))
+        .cast("long")
+        .alias("v_shapes"),
+        F.coalesce(
+            F.expr(
+                "array_max(transform(regexp_extract_all(sq, 'D+U+', 0),"
+                " x -> length(x)))"
+            ),
+            F.lit(0),
+        ).cast("long").alias("longest_v"),
+    )
+
+
 QUERIES = list(_Q)
