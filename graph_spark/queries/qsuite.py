@@ -5403,4 +5403,77 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "t56_hour_coverage",
+    """WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+         date_trunc('hour', max(ts)) AS hi FROM events),
+       spine AS (SELECT lo + i * INTERVAL '1 hour' AS h
+         FROM b, unnest(generate_series(0,
+           CAST((epoch_us(hi) - epoch_us(lo)) // 3600000000 AS BIGINT))) t(i)),
+       pres AS (SELECT DISTINCT date_trunc('hour', ts) AS h FROM events),
+       mi AS (SELECT s.h FROM spine s LEFT JOIN pres p ON p.h = s.h
+              WHERE p.h IS NULL)
+       SELECT (SELECT count(*) FROM spine) AS total_hours,
+         (SELECT count(*) FROM pres) AS present_hours,
+         (SELECT count(*) FROM mi) AS missing_hours,
+         round(CAST((SELECT count(*) FROM pres) AS DOUBLE)
+           / (SELECT count(*) FROM spine), 4) AS coverage,
+         (SELECT strftime(min(h), '%Y-%m-%d %H:%M:%S.%f') FROM mi)
+           AS first_missing""",
+    note="hour-coverage gap report: a generated hour spine over the "
+    "observed range anti-joined against the hours that actually "
+    "have events — total/present/missing counts, coverage ratio, "
+    "and the first hole.  The ingestion-completeness check that "
+    "runs BEFORE anyone trusts a windowed aggregate (an absent "
+    "window in s01 is indistinguishable from zero traffic without "
+    "it).  Spine size is range/hour (~720 rows/month) regardless "
+    "of fact volume; the presence set is one distinct over the "
+    "truncated hour",
+)
+def t56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    b = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = b.select(
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.floor(
+                    (F.unix_micros("hi") - F.unix_micros("lo")) / 3_600_000_000
+                ).cast("long"),
+            )
+        ).alias("i"),
+        "lo",
+    ).select(
+        F.timestamp_micros(
+            F.unix_micros("lo") + F.col("i") * 3_600_000_000
+        ).alias("h")
+    )
+    pres = ev.select(F.date_trunc("hour", "ts").alias("h")).distinct()
+    mi = spine.join(pres.withColumnRenamed("h", "ph"), spine.h == F.col("ph"), "left").filter(
+        F.col("ph").isNull()
+    )
+    ns = spine.agg(F.count(F.lit(1)).alias("total_hours"))
+    np_ = pres.agg(F.count(F.lit(1)).alias("present_hours"))
+    nm = mi.agg(
+        F.count(F.lit(1)).alias("missing_hours"),
+        ts_str(F.min("h")).alias("first_missing"),
+    )
+    return (
+        ns.crossJoin(np_)
+        .crossJoin(nm)
+        .select(
+            "total_hours",
+            "present_hours",
+            "missing_hours",
+            F.round(
+                F.col("present_hours").cast("double") / F.col("total_hours"), 4
+            ).alias("coverage"),
+            "first_missing",
+        )
+    )
+
+
 QUERIES = list(_Q)
