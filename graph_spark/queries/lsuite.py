@@ -2389,4 +2389,53 @@ def l53(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l54_lsh_cost_plan",
+    """WITH tok AS (SELECT DISTINCT d.doc_id, t.term FROM documents d,
+         unnest(string_split(d.text,' ')) AS t(term)
+         WHERE t.term<>'' AND d.doc_id < 60),
+       sigs AS (SELECT doc_id, i.i AS i, min(md5(i.i || ':' || term)) AS sig
+                FROM tok CROSS JOIN range(16) i(i) GROUP BY 1,2),
+       bands AS (SELECT doc_id, i // 4 AS band,
+                 string_agg(sig, ',' ORDER BY i) AS bkey
+                 FROM sigs GROUP BY 1,2),
+       occ AS (SELECT band, bkey, count(*) AS sz FROM bands GROUP BY 1, 2)
+       SELECT CAST(band AS INT) AS band, count(*) AS n_buckets,
+         CAST(max(sz) AS BIGINT) AS max_bucket,
+         CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS est_pairs
+       FROM occ GROUP BY 1 ORDER BY 1""",
+    note="LSH join-cost planner: per band, the bucket-occupancy "
+    "profile and the EXACT candidate-pair count sum C(sz,2) the "
+    "band-bucket join will emit — computed from one aggregation "
+    "over the signatures, BEFORE paying for the pair join.  This "
+    "is how a 100TB dedup decides its band/row configuration (and "
+    "whether a hot bucket needs salting) from a number, not an "
+    "OOM; the same arithmetic powers l45's candidate set",
+)
+def l54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_signatures
+
+    d = Catalog(spark, sf_dir).table("documents").filter(F.col("doc_id") < 60)
+    sigs = minhash_signatures(d, k=16)
+    bands = (
+        sigs.groupBy("doc_id", F.floor(F.col("i") / 4).alias("band"))
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(i, sig))), x -> x.sig)"),
+                ",",
+            ).alias("bkey")
+        )
+    )
+    occ = bands.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        occ.groupBy(F.col("band").cast("int").alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("sz").alias("max_bucket"),
+            F.sum(F.expr("sz * (sz - 1) DIV 2")).alias("est_pairs"),
+        )
+        .orderBy("band")
+    )
+
+
 QUERIES = list(_L)

@@ -5476,4 +5476,59 @@ def t56(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "t57_watermark_whatif",
+    """WITH a AS (SELECT epoch_us(ts) AS us,
+         max(epoch_us(ts)) OVER (ORDER BY event_id
+           ROWS UNBOUNDED PRECEDING) AS mx
+       FROM events),
+       l AS (SELECT mx - us AS late FROM a),
+       n AS (SELECT count(*) AS total FROM l),
+       c AS (SELECT d.delay_s, CAST(count(*) FILTER
+           (WHERE late > CAST(d.delay_s AS BIGINT) * 1000000) AS BIGINT)
+           AS n_dropped
+         FROM l CROSS JOIN (VALUES (60), (600), (3600), (14400))
+           d(delay_s) GROUP BY 1)
+       SELECT CAST(delay_s AS INT) AS delay_s, n_dropped,
+         round(CAST(n_dropped AS DOUBLE) / total, 6) AS drop_rate
+       FROM c CROSS JOIN n ORDER BY 1""",
+    note="watermark what-if: for candidate delays (1m/10m/1h/4h), "
+    "exactly how many events would arrive behind the watermark and "
+    "be dropped — t48's lateness distribution turned into the "
+    "decision table: pick the smallest delay whose drop_rate is "
+    "inside the loss budget.  One running-max pass (per source "
+    "partition at scale) then a 4-way threshold count; integer "
+    "microseconds throughout",
+)
+def t57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    us = F.unix_micros(F.col("ts"))
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    l = ev.select((F.max(us).over(w) - us).alias("late"))
+    delays = l.sparkSession.createDataFrame(
+        [(60,), (600,), (3600,), (14400,)], ["delay_s"]
+    )
+    n = l.agg(F.count(F.lit(1)).alias("total"))
+    c = (
+        l.crossJoin(F.broadcast(delays))
+        .groupBy("delay_s")
+        .agg(
+            F.sum(
+                F.when(F.col("late") > F.col("delay_s") * 1_000_000, 1).otherwise(0)
+            ).alias("n_dropped")
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(n))
+        .select(
+            F.col("delay_s").cast("int").alias("delay_s"),
+            "n_dropped",
+            F.round(F.col("n_dropped").cast("double") / F.col("total"), 6).alias(
+                "drop_rate"
+            ),
+        )
+        .orderBy("delay_s")
+    )
+
+
 QUERIES = list(_Q)
