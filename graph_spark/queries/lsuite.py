@@ -2438,4 +2438,45 @@ def l54(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "m07_magic_router",
+    """WITH m AS (SELECT source, substring(text, 1, 1) AS b0,
+         octet_length(encode(text)) AS nb FROM documents),
+       r AS (SELECT source, CASE
+           WHEN b0 BETWEEN '0' AND '9' THEN 'numeric'
+           WHEN lower(b0) BETWEEN 'a' AND 'z' THEN 'alpha'
+           ELSE 'other' END AS route, nb FROM m)
+       SELECT source, route, count(*) AS n_payloads,
+         CAST(sum(nb) AS BIGINT) AS total_bytes
+       FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
+    note="magic-byte routing: dispatch each opaque payload to a codec "
+    "pipeline by inspecting its LEADING byte only (the real "
+    "decoder's magic-number sniff, here a deterministic char-class "
+    "stand-in) and report the per-(source, route) volume matrix "
+    "that sizes each downstream mapInPandas stage.  The router "
+    "reads one byte per payload — no decode, no full-payload "
+    "materialization — which is the property that makes routing "
+    "100TB of media cheap",
+)
+def m07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    b0 = F.substring(F.col("text"), 1, 1)
+    r = d.select(
+        "source",
+        F.when(b0.between("0", "9"), "numeric")
+        .when(F.lower(b0).between("a", "z"), "alpha")
+        .otherwise("other")
+        .alias("route"),
+        F.octet_length(F.encode(F.col("text"), "utf-8")).cast("long").alias("nb"),
+    )
+    return (
+        r.groupBy("source", "route")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.sum("nb").alias("total_bytes"),
+        )
+        .orderBy("source", "route")
+    )
+
+
 QUERIES = list(_L)

@@ -5531,4 +5531,88 @@ def t57(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q100_table_stats",
+    """SELECT col, ndv, n_nulls, lo, hi FROM (
+         SELECT 'o_custkey' AS col, count(DISTINCT o_custkey) AS ndv,
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           CAST(min(o_custkey) AS VARCHAR) AS lo,
+           CAST(max(o_custkey) AS VARCHAR) AS hi FROM orders
+         UNION ALL
+         SELECT 'o_orderstatus', count(DISTINCT o_orderstatus),
+           CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT),
+           min(o_orderstatus), max(o_orderstatus) FROM orders
+         UNION ALL
+         SELECT 'o_totalprice', count(DISTINCT
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)),
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT),
+           CAST(CAST(min(floor(o_totalprice * 100 + 0.5)) AS BIGINT)
+             AS VARCHAR),
+           CAST(CAST(max(floor(o_totalprice * 100 + 0.5)) AS BIGINT)
+             AS VARCHAR) FROM orders
+         UNION ALL
+         SELECT 'o_orderpriority', count(DISTINCT o_orderpriority),
+           CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+             AS BIGINT),
+           min(o_orderpriority), max(o_orderpriority) FROM orders) u
+       ORDER BY 1""",
+    note="cost-based-optimizer statistics collection (the ANALYZE "
+    "TABLE read): exact NDV, null count, and min/max per column of "
+    "orders — the numbers Catalyst's CBO and every broadcast/skew "
+    "decision in this repo consume.  Money NDV/extrema are taken on "
+    "exact integer cents and all extrema render as strings so one "
+    "schema carries mixed column types; a single scan computes all "
+    "four column blocks (Spark executes the union's aggregates "
+    "over one shuffle each, map-side combined)",
+)
+def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+
+    def block(col: str, expr, lo_expr, hi_expr) -> DataFrame:
+        return o.agg(
+            F.countDistinct(expr).alias("ndv"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias("n_nulls"),
+            lo_expr.alias("lo"),
+            hi_expr.alias("hi"),
+        ).select(F.lit(col).alias("col"), "ndv", "n_nulls", "lo", "hi")
+
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    stats = (
+        block(
+            "o_custkey",
+            F.col("o_custkey"),
+            F.min("o_custkey").cast("string"),
+            F.max("o_custkey").cast("string"),
+        )
+        .unionAll(
+            block(
+                "o_orderstatus",
+                F.col("o_orderstatus"),
+                F.min("o_orderstatus"),
+                F.max("o_orderstatus"),
+            )
+        )
+        .unionAll(
+            block(
+                "o_totalprice",
+                cents,
+                F.min(cents).cast("string"),
+                F.max(cents).cast("string"),
+            )
+        )
+        .unionAll(
+            block(
+                "o_orderpriority",
+                F.col("o_orderpriority"),
+                F.min("o_orderpriority"),
+                F.max("o_orderpriority"),
+            )
+        )
+    )
+    return stats.select("col", "ndv", "n_nulls", "lo", "hi").orderBy("col")
+
+
 QUERIES = list(_Q)
