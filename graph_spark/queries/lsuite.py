@@ -2479,4 +2479,55 @@ def m07(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HEXFOLD_DUCK = " + ".join(
+    f"(strpos('0123456789abcdef', substring(h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+
+@_l(
+    "l55_weighted_sample",
+    f"""WITH h AS (SELECT doc_id, n_chars,
+         md5('ws:' || doc_id::VARCHAR) AS h FROM documents),
+       u AS (SELECT doc_id, n_chars,
+         ({_HEXFOLD_DUCK} + 1) / 4294967296.0 AS u FROM h),
+       s AS (SELECT doc_id, n_chars, ln(u) / n_chars AS score FROM u),
+       r AS (SELECT doc_id, n_chars, round(score * 1000000, 4) AS skey
+             FROM s)
+       SELECT doc_id, n_chars, skey FROM r
+       ORDER BY skey DESC, doc_id LIMIT 50""",
+    note="deterministic weighted sampling without replacement "
+    "(Efraimidis-Spirakis with a CONTENT HASH as the uniform draw "
+    "instead of rand()): key = ln(u)/weight, keep the top-k keys — "
+    "longer documents proportionally likelier, yet the sample "
+    "reproduces bit-for-bit on any cluster, any partitioning, any "
+    "rerun, which rand()-based reservoir sampling cannot promise.  "
+    "u comes from an exact integer fold of 8 md5 hex digits, so "
+    "both engines feed identical doubles into one ln(); ranking is "
+    "on the (scaled, rounded) key with a doc_id tie-break.  "
+    "Distributed cost: one map pass + a global top-k "
+    "(TakeOrderedAndProject, no full sort)",
+)
+def l55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    md5 = F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string")))
+    fold = None
+    for i in range(8):
+        digit = (
+            F.instr(F.lit("0123456789abcdef"), F.substring(md5, i + 1, 1)) - 1
+        ).cast("long") * F.lit(16 ** (7 - i)).cast("long")
+        fold = digit if fold is None else fold + digit
+    u = (fold + 1) / F.lit(4294967296.0)
+    score = F.log(u) / F.col("n_chars")
+    return (
+        d.select(
+            "doc_id",
+            "n_chars",
+            F.round(score * 1000000, 4).alias("skey"),
+        )
+        .orderBy(F.desc("skey"), "doc_id")
+        .limit(50)
+    )
+
+
 QUERIES = list(_L)
