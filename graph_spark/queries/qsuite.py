@@ -5615,4 +5615,89 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select("col", "ndv", "n_nulls", "lo", "hi").orderBy("col")
 
 
+@_q(
+    "q101_fk_discovery",
+    """WITH pairs AS (
+         SELECT 'lineitem.l_suppkey->supplier.s_suppkey' AS cand,
+           (SELECT count(DISTINCT l_suppkey) FROM lineitem) AS child_ndv,
+           (SELECT count(*) FROM (SELECT DISTINCT l_suppkey FROM lineitem) c
+             JOIN (SELECT DISTINCT s_suppkey FROM supplier) p
+             ON p.s_suppkey = c.l_suppkey) AS contained
+         UNION ALL
+         SELECT 'orders.o_custkey->customer.c_custkey',
+           (SELECT count(DISTINCT o_custkey) FROM orders),
+           (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM orders) c
+             JOIN (SELECT DISTINCT c_custkey FROM customer) p
+             ON p.c_custkey = c.o_custkey)
+         UNION ALL
+         SELECT 'customer.c_nationkey->nation.n_nationkey',
+           (SELECT count(DISTINCT c_nationkey) FROM customer),
+           (SELECT count(*) FROM (SELECT DISTINCT c_nationkey FROM customer) c
+             JOIN (SELECT DISTINCT n_nationkey FROM nation) p
+             ON p.n_nationkey = c.c_nationkey)
+         UNION ALL
+         SELECT 'lineitem.l_suppkey->customer.c_custkey',
+           (SELECT count(DISTINCT l_suppkey) FROM lineitem),
+           (SELECT count(*) FROM (SELECT DISTINCT l_suppkey FROM lineitem) c
+             JOIN (SELECT DISTINCT c_custkey FROM customer) p
+             ON p.c_custkey = c.l_suppkey))
+       SELECT cand, child_ndv, CAST(contained AS BIGINT) AS contained,
+         round(CAST(contained AS DOUBLE) / child_ndv, 4) AS containment,
+         CAST(contained = child_ndv AS BOOLEAN) AS is_fk
+       FROM pairs ORDER BY 1""",
+    note="foreign-key DISCOVERY by inclusion-dependency mining: for "
+    "each candidate (child, parent) column pair, the fraction of the "
+    "child's distinct values contained in the parent — containment "
+    "1.0 proposes an FK, and the deliberate negative control "
+    "(l_suppkey vs c_custkey) shows partial containment that a "
+    "naive 'values overlap' heuristic would mis-promote.  Each "
+    "check is two distinct-projections and one equi-join on the "
+    "deduped keys (cost ~ NDV, not row count) — the schema-"
+    "inference pass that makes q81's known-FK audit possible on an "
+    "undocumented lake",
+)
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+
+    def check(name: str, child: DataFrame, ckey: str, parent: DataFrame, pkey: str) -> DataFrame:
+        cd = child.select(F.col(ckey).alias("k")).distinct()
+        pd_ = parent.select(F.col(pkey).alias("pk")).distinct()
+        ndv = cd.agg(F.count(F.lit(1)).alias("child_ndv"))
+        cont = cd.join(pd_, cd.k == pd_.pk).agg(
+            F.count(F.lit(1)).alias("contained")
+        )
+        return ndv.crossJoin(cont).select(
+            F.lit(name).alias("cand"), "child_ndv", "contained"
+        )
+
+    li, su, o, cu, na = (
+        c.table("lineitem"),
+        c.table("supplier"),
+        c.table("orders"),
+        c.table("customer"),
+        c.table("nation"),
+    )
+    pairs = (
+        check("lineitem.l_suppkey->supplier.s_suppkey", li, "l_suppkey", su, "s_suppkey")
+        .unionAll(check("orders.o_custkey->customer.c_custkey", o, "o_custkey", cu, "c_custkey"))
+        .unionAll(
+            check(
+                "customer.c_nationkey->nation.n_nationkey", cu, "c_nationkey", na, "n_nationkey"
+            )
+        )
+        .unionAll(
+            check("lineitem.l_suppkey->customer.c_custkey", li, "l_suppkey", cu, "c_custkey")
+        )
+    )
+    return pairs.select(
+        "cand",
+        "child_ndv",
+        "contained",
+        F.round(F.col("contained").cast("double") / F.col("child_ndv"), 4).alias(
+            "containment"
+        ),
+        (F.col("contained") == F.col("child_ndv")).alias("is_fk"),
+    ).orderBy("cand")
+
+
 QUERIES = list(_Q)
