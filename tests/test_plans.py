@@ -341,3 +341,32 @@ def test_g48_katz_no_cartesian(spark):
     q = next(q for q in QUERIES if q.name == "g48_katz")
     plan = _plan(q.build(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan, plan
+
+
+def test_l55_weighted_sample_take_ordered(spark):
+    # global top-k must lower to TakeOrderedAndProject, not a full sort
+    from graph_spark.queries.lsuite import QUERIES
+
+    q = next(q for q in QUERIES if q.name == "l55_weighted_sample")
+    plan = _plan(q.build(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q93_skyline_no_quadratic_join(spark):
+    # the skyline is two window passes, NOT an O(n^2) dominance join
+    from graph_spark.queries.qsuite import QUERIES
+
+    q = next(q for q in QUERIES if q.name == "q93_skyline")
+    plan = _plan(q.build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_l54_cost_plan_no_pair_join(spark):
+    # the planner must NOT execute the candidate-pair join it estimates:
+    # only the signature aggregations appear — no self-join of bands
+    from graph_spark.queries.lsuite import QUERIES
+
+    q = next(q for q in QUERIES if q.name == "l54_lsh_cost_plan")
+    opt = _optimized(q.build(spark, SF_SMOKE))
+    assert "Join" not in opt, opt
