@@ -5700,4 +5700,83 @@ def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cand")
 
 
+@_q(
+    "t59_imputation_backtest",
+    """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS rc
+       FROM events GROUP BY 1),
+       k AS (SELECT d, rc, CAST(d - DATE '1970-01-01' AS BIGINT) AS ed
+             FROM d),
+       h AS (SELECT k.rc AS truth, p1.rc AS prev, n1.rc AS nxt, p7.rc AS wk
+         FROM k JOIN k p1 ON p1.ed = k.ed - 1
+         JOIN k n1 ON n1.ed = k.ed + 1
+         JOIN k p7 ON p7.ed = k.ed - 7
+         WHERE k.ed % 5 = 0),
+       m AS (SELECT 'a_ffill' AS method,
+           CAST(sum(abs(2 * truth - 2 * prev)) AS BIGINT) AS s2,
+           count(*) AS n FROM h
+         UNION ALL SELECT 'b_linear',
+           CAST(sum(abs(2 * truth - prev - nxt)) AS BIGINT), count(*) FROM h
+         UNION ALL SELECT 'c_seasonal_naive',
+           CAST(sum(abs(2 * truth - 2 * wk)) AS BIGINT), count(*) FROM h)
+       SELECT method, n, round(CAST(s2 AS DOUBLE) / (2 * n), 2) AS mae_cents
+       FROM m ORDER BY 1""",
+    note="imputation-strategy backtest: pretend every 5th epoch-day of "
+    "the daily series is missing (with its neighbors and day-7 "
+    "present) and score forward-fill (t05), midpoint linear "
+    "interpolation (t10), and seasonal-naive (t34) against the held-"
+    "out truth — the measurement that chooses a gap-fill policy "
+    "instead of defaulting to ffill.  All absolute errors are kept "
+    "as 2x-scaled exact integers (the midpoint's only denominator), "
+    "one double division per method row; the lag/lead/weekly "
+    "neighbors come from index-aligned self-joins on the tiny daily "
+    "table",
+)
+def t59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    d = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.floor(F.sum("value") * 100 + 0.5).cast("long").alias("rc")
+    )
+    k = d.select(
+        "rc",
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).cast("long").alias("ed"),
+    ).localCheckpoint(eager=True)
+
+    def shifted(name: str, off: int) -> DataFrame:
+        return k.select(
+            (F.col("ed") + off).alias("ed_j"), F.col("rc").alias(name)
+        )
+
+    h = (
+        k.filter(F.col("ed") % 5 == 0)
+        .join(shifted("prev", 1), F.col("ed") == F.col("ed_j"))
+        .drop("ed_j")
+        .join(shifted("nxt", -1), F.col("ed") == F.col("ed_j"))
+        .drop("ed_j")
+        .join(shifted("wk", 7), F.col("ed") == F.col("ed_j"))
+        .drop("ed_j")
+        .select(F.col("rc").alias("truth"), "prev", "nxt", "wk")
+    )
+
+    def method(name: str, err2) -> DataFrame:
+        return h.agg(
+            F.sum(err2).alias("s2"), F.count(F.lit(1)).alias("n")
+        ).select(F.lit(name).alias("method"), "s2", "n")
+
+    m = (
+        method("a_ffill", F.abs(2 * F.col("truth") - 2 * F.col("prev")))
+        .unionAll(
+            method("b_linear", F.abs(2 * F.col("truth") - F.col("prev") - F.col("nxt")))
+        )
+        .unionAll(
+            method("c_seasonal_naive", F.abs(2 * F.col("truth") - 2 * F.col("wk")))
+        )
+    )
+    return m.select(
+        "method",
+        "n",
+        F.round(F.col("s2").cast("double") / (2 * F.col("n")), 2).alias("mae_cents"),
+    ).orderBy("method")
+
+
 QUERIES = list(_Q)
