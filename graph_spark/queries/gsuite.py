@@ -2644,4 +2644,86 @@ def g60(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _degree_discount_oracle(k: int = 5) -> str:
+    """Unrolled greedy degree-discount seed selection: per round, one
+    discount join against the picked set and one argmax."""
+    parts = [
+        "pk0 AS (SELECT '' AS node WHERE 1 = 0)",
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""a{i} AS (SELECT g.node, g.d - coalesce(c.cnt, 0) AS adj
+  FROM deg g LEFT JOIN (SELECT e.src AS node, count(*) AS cnt
+    FROM graph_edges_sym e
+    WHERE e.dst IN (SELECT node FROM pk{i - 1}) GROUP BY 1) c
+    ON c.node = g.node
+  WHERE g.node NOT IN (SELECT node FROM pk{i - 1})),
+p{i} AS (SELECT node, CAST(adj AS BIGINT) AS adj FROM a{i}
+  ORDER BY adj DESC, node LIMIT 1),
+pk{i} AS (SELECT node FROM pk{i - 1} UNION ALL SELECT node FROM p{i})"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT {i} AS seed_rank, node, adj FROM p{i}" for i in range(1, k + 1)
+    )
+    return (
+        f"WITH {GRAPH_CTES},\n"
+        "deg AS (SELECT src AS node, count(*) AS d FROM graph_edges_sym GROUP BY 1),\n"
+        + ",\n".join(parts)
+        + f"\nSELECT CAST(seed_rank AS INT) AS seed_rank, node, adj FROM ({finals}) u ORDER BY 1"
+    )
+
+
+@_g(
+    "g61_degree_discount",
+    _degree_discount_oracle(5),
+    note="influence-maximization seed selection by greedy degree "
+    "discount: pick the highest-degree node, discount every "
+    "neighbor's degree by its picked-neighbor count, repeat (5 "
+    "seeds, node-id tie-break) — the classic cheap approximation "
+    "to greedy influence coverage that avoids picking five hubs "
+    "from the same neighborhood.  Inherently sequential in k: each "
+    "round is one broadcast of the (tiny) picked set onto the edge "
+    "list plus one argmax; the oracle unrolls the same 5 rounds as "
+    "chained CTEs",
+)
+def g61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    es = c.graph_edges_sym()
+    deg = (
+        es.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    picked: list[str] = []
+    rows = []
+    for rank in range(1, 6):
+        if picked:
+            pk = deg.sparkSession.createDataFrame(
+                [(p,) for p in picked], ["pnode"]
+            )
+            disc = (
+                es.join(F.broadcast(pk), es.dst == F.col("pnode"))
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            adj = (
+                deg.join(disc, "node", "left")
+                .filter(~F.col("node").isin(picked))
+                .select(
+                    "node",
+                    (F.col("d") - F.coalesce(F.col("cnt"), F.lit(0))).alias("adj"),
+                )
+            )
+        else:
+            adj = deg.select("node", F.col("d").alias("adj"))
+        top = adj.orderBy(F.desc("adj"), "node").limit(1).collect()[0]
+        picked.append(top["node"])
+        rows.append((rank, top["node"], int(top["adj"])))
+    return (
+        deg.sparkSession.createDataFrame(
+            rows, "seed_rank int, node string, adj long"
+        ).orderBy("seed_rank")
+    )
+
+
 QUERIES = list(_G)

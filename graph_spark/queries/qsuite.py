@@ -5779,4 +5779,57 @@ def t59(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("method")
 
 
+@_q(
+    "q102_lorenz_curve",
+    """WITH c AS (SELECT o_custkey,
+         CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS rev
+       FROM orders GROUP BY 1),
+       t AS (SELECT c.o_custkey, c.rev,
+         CAST(ntile(10) OVER (ORDER BY c.rev, c.o_custkey) AS INT) AS dec
+         FROM c),
+       g AS (SELECT dec, count(*) AS n_cust,
+             CAST(sum(rev) AS BIGINT) AS dec_rev FROM t GROUP BY 1),
+       s AS (SELECT dec, n_cust, dec_rev,
+             CAST(sum(dec_rev) OVER (ORDER BY dec
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev,
+             CAST(sum(dec_rev) OVER () AS BIGINT) AS tot FROM g)
+       SELECT dec AS decile, n_cust, dec_rev,
+         round(CAST(cum_rev AS DOUBLE) / tot, 4) AS cum_share
+       FROM s ORDER BY 1""",
+    note="Lorenz concentration curve: customers in exact revenue "
+    "deciles (ntile over integer cents, full tie-break), cumulative "
+    "revenue share per decile — the 'top 10% of accounts carry X% "
+    "of revenue' curve whose area complement is q87's Gini, here "
+    "as the inspectable 10-point profile rather than one scalar.  "
+    "Everything after the per-customer groupBy runs on 10 rows",
+)
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    c = o.groupBy("o_custkey").agg(
+        F.floor(F.sum("o_totalprice") * 100 + 0.5).cast("long").alias("rev")
+    )
+    t = c.select(
+        "rev",
+        F.ntile(10).over(Window.orderBy("rev", "o_custkey")).cast("int").alias("dec"),
+    )
+    g = t.groupBy("dec").agg(
+        F.count(F.lit(1)).alias("n_cust"), F.sum("rev").alias("dec_rev")
+    )
+    wcum = Window.orderBy("dec").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    s = g.select(
+        "dec",
+        "n_cust",
+        "dec_rev",
+        F.sum("dec_rev").over(wcum).alias("cum_rev"),
+        F.sum("dec_rev").over(wall).alias("tot"),
+    )
+    return s.select(
+        F.col("dec").alias("decile"),
+        "n_cust",
+        "dec_rev",
+        F.round(F.col("cum_rev").cast("double") / F.col("tot"), 4).alias("cum_share"),
+    ).orderBy("decile")
+
+
 QUERIES = list(_Q)
