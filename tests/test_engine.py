@@ -169,3 +169,50 @@ def test_engine_scale_tooling_surfaces(spark):
 
     kz = eng.katz().collect()
     assert kz and all(r["w1"] > 0 and r["w2"] >= 0 for r in kz)
+
+
+def test_engine_sql_text_matches_dataframe_builders(spark):
+    """Dual API surface: the same declared queries, written as SQL text
+    against Engine.sql's registered views, must return exactly the
+    DataFrame builders' rows."""
+    from pyspark.sql import functions as F
+
+    from graph_spark.queries.registry import by_name
+
+    eng = Engine(spark, SF_SMOKE)
+    reg = by_name()
+
+    sql_q01 = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+               round(avg(l_quantity), 4) AS avg_qty, count(*) AS n
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        GROUP BY 1, 2 ORDER BY 1, 2"""
+    a = eng.sql(sql_q01).collect()
+    b = reg["q01_scan_agg"].build(spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    sql_g01 = """
+        SELECT src, count(*) AS deg, sum(n_items) AS items
+        FROM graph_edges GROUP BY 1 ORDER BY 1"""
+    ga = eng.sql(sql_g01).collect()
+    gb = reg["g01_degree"].build(spark, SF_SMOKE).collect()
+    assert [tuple(r) for r in ga] == [tuple(r) for r in gb]
+
+
+def test_operator_edge_cases(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from graph_spark.operators.relational import skew_audit, sweep_concurrency
+
+    empty = spark.createDataFrame(
+        [], StructType([StructField("st", LongType()), StructField("en", LongType())])
+    )
+    assert sweep_concurrency(empty).count() == 0
+
+    one = spark.createDataFrame([(5,)], ["k"])
+    a = skew_audit(one, "k").collect()[0]
+    assert a["n_keys"] == 1 and a["gini"] == 0.0 and a["top1_share"] == 1.0
