@@ -5832,4 +5832,142 @@ def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("decile")
 
 
+@_q(
+    "q103_ab_test",
+    """WITH u AS (SELECT user_id,
+         CASE WHEN strpos('0123456789abcdef',
+           substring(md5(user_id::VARCHAR), 1, 1)) - 1 < 8
+           THEN 'A' ELSE 'B' END AS arm,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+       FROM events GROUP BY 1, 2),
+       g AS (SELECT
+         CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         CAST(sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT) AS cb
+       FROM u)
+       SELECT na, nb, ca, cb,
+         round(CAST(ca AS DOUBLE) / na, 4) AS rate_a,
+         round(CAST(cb AS DOUBLE) / nb, 4) AS rate_b,
+         round((CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+           / nullif(sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+             * (1 - CAST(ca + cb AS DOUBLE) / (na + nb))
+             * (CAST(1 AS DOUBLE) / na + CAST(1 AS DOUBLE) / nb)), 0), 4)
+           AS z_stat
+       FROM g""",
+    note="two-proportion A/B analysis with DETERMINISTIC assignment: "
+    "arms by user-id hash parity (the reproducible randomization "
+    "unit every experimentation platform uses — re-runs and "
+    "engines agree on who saw what), purchase conversion per arm, "
+    "and the pooled two-proportion z statistic.  All counts are "
+    "exact; the z expression is one fixed-order double formula, so "
+    "the statistic is bit-stable, and its denominator is nullif-"
+    "guarded for the degenerate all-convert / none-convert pool "
+    "(small fixtures hit it; z is NULL, not a crash).  One groupBy "
+    "on the user key feeds everything",
+)
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    arm = F.when(
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1),
+        )
+        - 1
+        < 8,
+        "A",
+    ).otherwise("B")
+    u = ev.groupBy("user_id", arm.alias("arm")).agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv")
+    )
+    g = u.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(F.col("arm") == "A", F.col("conv")).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("arm") == "B", F.col("conv")).otherwise(0)).alias("cb"),
+    )
+    ra = F.col("ca").cast("double") / F.col("na")
+    rb = F.col("cb").cast("double") / F.col("nb")
+    pp = (F.col("ca") + F.col("cb")).cast("double") / (F.col("na") + F.col("nb"))
+    z = (ra - rb) / F.nullif(
+        F.sqrt(
+            pp
+            * (1 - pp)
+            * (
+                F.lit(1).cast("double") / F.col("na")
+                + F.lit(1).cast("double") / F.col("nb")
+            )
+        ),
+        F.lit(0.0),
+    )
+    return g.select(
+        "na",
+        "nb",
+        "ca",
+        "cb",
+        F.round(ra, 4).alias("rate_a"),
+        F.round(rb, 4).alias("rate_b"),
+        F.round(z, 4).alias("z_stat"),
+    )
+
+
+@_q(
+    "t60_mix_entropy",
+    """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         count(*) AS n,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+           AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           AS BIGINT) AS c2,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS BIGINT) AS c3,
+         CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+           AS BIGINT) AS c4,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+           AS BIGINT) AS c5
+       FROM events GROUP BY 1)
+       SELECT strftime(d, '%Y-%m-%d') AS day, n,
+         round(-(
+           CASE WHEN c1 = 0 THEN 0 ELSE (CAST(c1 AS DOUBLE) / n)
+             * log2(CAST(c1 AS DOUBLE) / n) END
+           + CASE WHEN c2 = 0 THEN 0 ELSE (CAST(c2 AS DOUBLE) / n)
+             * log2(CAST(c2 AS DOUBLE) / n) END
+           + CASE WHEN c3 = 0 THEN 0 ELSE (CAST(c3 AS DOUBLE) / n)
+             * log2(CAST(c3 AS DOUBLE) / n) END
+           + CASE WHEN c4 = 0 THEN 0 ELSE (CAST(c4 AS DOUBLE) / n)
+             * log2(CAST(c4 AS DOUBLE) / n) END
+           + CASE WHEN c5 = 0 THEN 0 ELSE (CAST(c5 AS DOUBLE) / n)
+             * log2(CAST(c5 AS DOUBLE) / n) END), 4) AS entropy
+       FROM d ORDER BY 1""",
+    note="daily Shannon entropy of the event-type mix: the diversity-"
+    "collapse detector (entropy diving means one event type is "
+    "swallowing traffic — an outage or a bot — before any single "
+    "count alarm fires).  The domain is the five declared event "
+    "types, so entropy is an EXPLICIT five-term expression in fixed "
+    "order over exact per-type counts — no cross-row double "
+    "accumulation, no collect_list; one groupBy produces all five "
+    "counters map-side",
+)
+def t60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    cnt = lambda t: F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+    d = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n"),
+        cnt("click").alias("c1"),
+        cnt("error").alias("c2"),
+        cnt("purchase").alias("c3"),
+        cnt("signup").alias("c4"),
+        cnt("view").alias("c5"),
+    )
+
+    def term(c):
+        p = F.col(c).cast("double") / F.col("n")
+        return F.when(F.col(c) == 0, 0.0).otherwise(p * F.log2(p))
+
+    ent = -(term("c1") + term("c2") + term("c3") + term("c4") + term("c5"))
+    return d.select(
+        date_str(F.col("d")).alias("day"), "n", F.round(ent, 4).alias("entropy")
+    ).orderBy("day")
+
+
 QUERIES = list(_Q)
