@@ -2530,4 +2530,84 @@ def l55(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l56_centroid_drift",
+    """WITH q AS (SELECT vec_id, label, vec_id % 2 AS half,
+         list_transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))
+           AS qv FROM embeddings),
+       e AS (SELECT label, half, i.i AS dim,
+         CAST(sum(list_extract(qv, i.i + 1)) AS BIGINT) AS s
+         FROM q CROSS JOIN range(64) i(i) GROUP BY 1, 2, 3),
+       n AS (SELECT label, half, count(*) AS c FROM q GROUP BY 1, 2),
+       p AS (SELECT e1.label, e1.dim, e1.s AS s1, e2.s AS s2,
+         n1.c AS n1, n2.c AS n2
+         FROM e e1 JOIN e e2 ON e2.label = e1.label AND e2.dim = e1.dim
+           AND e1.half = 0 AND e2.half = 1
+         JOIN n n1 ON n1.label = e1.label AND n1.half = 0
+         JOIN n n2 ON n2.label = e1.label AND n2.half = 1),
+       agg AS (SELECT label, CAST(max(n1) AS BIGINT) AS n1,
+         CAST(max(n2) AS BIGINT) AS n2,
+         CAST(sum((s1 * n2 - s2 * n1) * (s1 * n2 - s2 * n1)) AS BIGINT)
+           AS num FROM p GROUP BY 1)
+       SELECT CAST(label AS INT) AS label, n1, n2,
+         round(sqrt(CAST(num AS DOUBLE)) / (n1 * n2 * 1000), 6) AS drift
+       FROM agg ORDER BY 1""",
+    note="embedding centroid drift per label between two corpus halves "
+    "(even/odd vec_id standing in for two pipeline snapshots): L2 "
+    "distance between the half-centroids, the embedding-space "
+    "companion to q91's PSI that catches encoder or preprocessing "
+    "regressions before a model consumes the vectors.  The whole "
+    "computation stays EXACT integers — quantized per-dim sums, "
+    "cross-multiplied difference (s1*n2 - s2*n1) to clear both "
+    "denominators — with one sqrt+division per label at the edge; "
+    "per-dim sums shuffle once on (label, half, dim)",
+)
+def l56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = Catalog(spark, sf_dir).table("embeddings")
+    q = em.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.expr(
+            "transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))"
+        ).alias("qv"),
+    )
+    e = (
+        q.select("label", "half", F.posexplode("qv").alias("dim", "v"))
+        .groupBy("label", "half", "dim")
+        .agg(F.sum("v").alias("s"))
+    )
+    n = q.groupBy("label", "half").agg(F.count(F.lit(1)).alias("c"))
+    e1 = e.filter(F.col("half") == 0).select("label", "dim", F.col("s").alias("s1"))
+    e2 = e.filter(F.col("half") == 1).select(
+        F.col("label").alias("l2"), F.col("dim").alias("d2"), F.col("s").alias("s2")
+    )
+    n1 = n.filter(F.col("half") == 0).select(
+        F.col("label").alias("ln1"), F.col("c").alias("n1")
+    )
+    n2 = n.filter(F.col("half") == 1).select(
+        F.col("label").alias("ln2"), F.col("c").alias("n2")
+    )
+    p = (
+        e1.join(e2, (F.col("l2") == F.col("label")) & (F.col("d2") == F.col("dim")))
+        .join(F.broadcast(n1), F.col("ln1") == F.col("label"))
+        .join(F.broadcast(n2), F.col("ln2") == F.col("label"))
+    )
+    diff = F.col("s1") * F.col("n2") - F.col("s2") * F.col("n1")
+    agg = p.groupBy("label").agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.sum(diff * diff).alias("num"),
+    )
+    return agg.select(
+        F.col("label").cast("int").alias("label"),
+        "n1",
+        "n2",
+        F.round(
+            F.sqrt(F.col("num").cast("double"))
+            / (F.col("n1") * F.col("n2") * 1000),
+            6,
+        ).alias("drift"),
+    ).orderBy("label")
+
+
 QUERIES = list(_L)

@@ -5970,4 +5970,92 @@ def t60(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+@_q(
+    "t61_binary_segmentation",
+    """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS rc
+       FROM events GROUP BY 1),
+       s AS (SELECT d, rc,
+         CAST(sum(rc) OVER w AS BIGINT) AS s1,
+         CAST(sum(rc * rc) OVER w AS BIGINT) AS q1,
+         CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS n1
+         FROM d WINDOW w AS (ORDER BY d ROWS UNBOUNDED PRECEDING)),
+       t AS (SELECT count(*) AS n, CAST(sum(rc) AS BIGINT) AS st,
+             CAST(sum(rc * rc) AS BIGINT) AS qt FROM d),
+       c AS (SELECT d, n1, n - n1 AS n2,
+         (q1 - CAST(s1 AS DOUBLE) * s1 / n1)
+           + ((qt - q1) - CAST(st - s1 AS DOUBLE) * (st - s1) / (n - n1))
+           AS sse,
+         CAST(s1 AS DOUBLE) / n1 AS mean1,
+         CAST(st - s1 AS DOUBLE) / (n - n1) AS mean2
+         FROM s CROSS JOIN t WHERE n1 < n)
+       SELECT strftime(d, '%Y-%m-%d') AS split_day,
+         CAST(n1 AS BIGINT) AS n_before, CAST(n2 AS BIGINT) AS n_after,
+         round(mean1 / 100, 2) AS mean_before,
+         round(mean2 / 100, 2) AS mean_after, round(sse, 2) AS sse
+       FROM c ORDER BY sse, split_day LIMIT 1""",
+    note="single-changepoint localization by binary segmentation: "
+    "the split of the daily series minimizing two-segment SSE, via "
+    "prefix sums — every candidate's SSE comes from exact BIGINT "
+    "(sum, sum-of-squares, count) prefixes in ONE window pass, so "
+    "the argmin scan is O(days) not O(days^2), and both engines "
+    "compute identical doubles from identical integers (argmin "
+    "tie-broken by day).  Recursing on each side gives full "
+    "top-down changepoint trees; t33's CUSUM detects, this "
+    "LOCALIZES",
+)
+def t61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    d = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.floor(F.sum("value") * 100 + 0.5).cast("long").alias("rc")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    s = d.select(
+        "d",
+        F.sum("rc").over(w).alias("s1"),
+        F.sum(F.col("rc") * F.col("rc")).over(w).alias("q1"),
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("n1"),
+    )
+    t = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rc").alias("st"),
+        F.sum(F.col("rc") * F.col("rc")).alias("qt"),
+    )
+    c = (
+        s.crossJoin(F.broadcast(t))
+        .filter(F.col("n1") < F.col("n"))
+        .select(
+            "d",
+            "n1",
+            (F.col("n") - F.col("n1")).alias("n2"),
+            (
+                (F.col("q1") - F.col("s1").cast("double") * F.col("s1") / F.col("n1"))
+                + (
+                    (F.col("qt") - F.col("q1"))
+                    - (F.col("st") - F.col("s1")).cast("double")
+                    * (F.col("st") - F.col("s1"))
+                    / (F.col("n") - F.col("n1"))
+                )
+            ).alias("sse"),
+            (F.col("s1").cast("double") / F.col("n1")).alias("mean1"),
+            (
+                (F.col("st") - F.col("s1")).cast("double")
+                / (F.col("n") - F.col("n1"))
+            ).alias("mean2"),
+        )
+    )
+    return (
+        c.select(
+            date_str(F.col("d")).alias("split_day"),
+            F.col("n1").alias("n_before"),
+            F.col("n2").alias("n_after"),
+            F.round(F.col("mean1") / 100, 2).alias("mean_before"),
+            F.round(F.col("mean2") / 100, 2).alias("mean_after"),
+            F.round("sse", 2).alias("sse"),
+        )
+        .orderBy("sse", "split_day")
+        .limit(1)
+    )
+
+
 QUERIES = list(_Q)
