@@ -2726,4 +2726,97 @@ def g61(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g62_wl_graph_similarity",
+    f"""WITH {GRAPH_CTES},
+       se AS (SELECT src, dst FROM graph_edges
+              WHERE first_ts <= TIMESTAMP '1997-01-01'),
+       ss AS (SELECT src, dst FROM se UNION SELECT dst, src FROM se),
+       dega AS (SELECT src AS node, CAST(count(*) AS VARCHAR) AS col
+                FROM graph_edges_sym GROUP BY 1),
+       na AS (SELECT e.dst AS node, string_agg(d.col, ',' ORDER BY d.col)
+                AS ns FROM graph_edges_sym e
+              JOIN dega d ON d.node = e.src GROUP BY 1),
+       ca AS (SELECT na.node, md5(d.col || '|' || na.ns) AS col
+              FROM na JOIN dega d ON d.node = na.node),
+       degb AS (SELECT src AS node, CAST(count(*) AS VARCHAR) AS col
+                FROM ss GROUP BY 1),
+       nb AS (SELECT e.dst AS node, string_agg(d.col, ',' ORDER BY d.col)
+                AS ns FROM ss e JOIN degb d ON d.node = e.src GROUP BY 1),
+       cb AS (SELECT nb.node, md5(d.col || '|' || nb.ns) AS col
+              FROM nb JOIN degb d ON d.node = nb.node),
+       ha AS (SELECT col, count(*) AS c FROM ca GROUP BY 1),
+       hb AS (SELECT col, count(*) AS c FROM cb GROUP BY 1),
+       j AS (SELECT coalesce(ha.c, 0) AS c1, coalesce(hb.c, 0) AS c2
+             FROM ha FULL JOIN hb ON hb.col = ha.col)
+       SELECT (SELECT count(*) FROM ha) AS colors_now,
+         (SELECT count(*) FROM hb) AS colors_snapshot,
+         CAST(sum(CASE WHEN c1 > 0 AND c2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS common_colors,
+         CAST(sum(least(c1, c2)) AS BIGINT) AS hist_intersection,
+         round(CAST(sum(least(c1, c2)) AS DOUBLE)
+           / (SELECT count(*) FROM ca), 4) AS overlap_share
+       FROM j""",
+    note="Weisfeiler-Leman kernel similarity between the CURRENT sales "
+    "graph and its 1997 temporal snapshot: one WL refinement round on "
+    "each, then the color-histogram intersection — the structural "
+    "'how much has the graph's local shape changed' read that edge "
+    "diff counts (g13) miss, because WL colors capture neighborhoods, "
+    "not single edges.  Colors are content hashes (partition-"
+    "independent); histograms are exact; one full-join on the "
+    "(small) color domains computes every metric",
+)
+def g62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    full = c.graph_edges_sym()
+    se = (
+        c.graph_edges()
+        .filter(F.col("first_ts") <= F.lit("1997-01-01").cast("timestamp"))
+        .select("src", "dst")
+    )
+    snap = se.union(
+        se.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+    def wl1(edges: DataFrame) -> DataFrame:
+        deg = edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).cast("string").alias("col")
+        )
+        ns = (
+            edges.join(deg.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.array_join(F.array_sort(F.collect_list("col")), ",").alias("ns"))
+        )
+        return (
+            ns.join(deg.select("node", F.col("col").alias("own")), "node")
+            .select(F.md5(F.concat_ws("|", F.col("own"), F.col("ns"))).alias("col"))
+        )
+
+    ha = wl1(full).groupBy("col").agg(F.count(F.lit(1)).alias("c1"))
+    hb = wl1(snap).groupBy("col").agg(F.count(F.lit(1)).alias("c2"))
+    j = ha.join(hb, "col", "full").select(
+        F.coalesce("c1", F.lit(0)).alias("c1"), F.coalesce("c2", F.lit(0)).alias("c2")
+    )
+    totals = (
+        ha.agg(F.count(F.lit(1)).alias("colors_now"))
+        .crossJoin(hb.agg(F.count(F.lit(1)).alias("colors_snapshot")))
+        .crossJoin(ha.agg(F.sum("c1").alias("n_now")))
+    )
+    m = j.agg(
+        F.sum(F.when((F.col("c1") > 0) & (F.col("c2") > 0), 1).otherwise(0)).alias(
+            "common_colors"
+        ),
+        F.sum(F.least("c1", "c2")).alias("hist_intersection"),
+    )
+    return m.crossJoin(F.broadcast(totals)).select(
+        "colors_now",
+        "colors_snapshot",
+        "common_colors",
+        "hist_intersection",
+        F.round(
+            F.col("hist_intersection").cast("double") / F.col("n_now"), 4
+        ).alias("overlap_share"),
+    )
+
+
 QUERIES = list(_G)
