@@ -2610,4 +2610,54 @@ def l56(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("label")
 
 
+@_l(
+    "l57_token_budget",
+    """WITH t AS (SELECT doc_id,
+         CAST((length(text) + 3) // 4 AS BIGINT) AS toks FROM documents),
+       c AS (SELECT doc_id, toks, CAST(sum(toks) OVER
+           (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         FROM t),
+       fit AS (SELECT count(*) AS n_fit, CAST(max(cum) AS BIGINT) AS used
+               FROM c WHERE cum <= 100000),
+       nxt AS (SELECT min(doc_id) AS first_excluded FROM c
+               WHERE cum > 100000)
+       SELECT n_fit, used, CAST(100000 - used AS BIGINT) AS budget_left,
+         first_excluded
+       FROM fit CROSS JOIN nxt""",
+    note="token-budget capacity forecast: walk the corpus in ingestion "
+    "order under the l10 BPE-budget estimate (ceil(chars/4)) and "
+    "report exactly how many documents fit a 100k-token budget, the "
+    "tokens consumed, the remainder, and the first document that "
+    "does not fit — the pre-flight answer to 'will this slice fill "
+    "the context/training budget'.  One prefix-sum window over the "
+    "(doc, tokens) projection; all integers.  At scale the cumsum "
+    "partitions by (shard key) and budgets apply per shard (l28's "
+    "packing consumes the same arithmetic)",
+)
+def l57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    t = d.select(
+        "doc_id", F.floor((F.length("text") + 3) / 4).cast("long").alias("toks")
+    )
+    c = t.select(
+        "doc_id",
+        "toks",
+        F.sum("toks")
+        .over(Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    fit = c.filter(F.col("cum") <= 100000).agg(
+        F.count(F.lit(1)).alias("n_fit"), F.max("cum").alias("used")
+    )
+    nxt = c.filter(F.col("cum") > 100000).agg(
+        F.min("doc_id").alias("first_excluded")
+    )
+    return fit.crossJoin(F.broadcast(nxt)).select(
+        "n_fit",
+        "used",
+        (F.lit(100000) - F.col("used")).cast("long").alias("budget_left"),
+        "first_excluded",
+    )
+
+
 QUERIES = list(_L)

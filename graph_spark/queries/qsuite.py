@@ -6058,4 +6058,85 @@ def t61(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q104_mix_shift",
+    """WITH a AS (SELECT o_orderpriority AS seg, count(*) AS n1,
+         CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS rev1
+       FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate < TIMESTAMP '1997-01-01' GROUP BY 1),
+       b AS (SELECT o_orderpriority AS seg, count(*) AS n2,
+         CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS rev2
+       FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+         AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1)
+       SELECT a.seg, n1, n2, rev1, rev2,
+         floor(CAST(2 * (rev2 * n1 - n2 * rev1) + n1 AS DOUBLE)
+           / (2 * n1)) / 100 AS rate_effect,
+         floor(CAST(2 * ((n2 - n1) * rev1) + n1 AS DOUBLE)
+           / (2 * n1)) / 100 AS mix_effect,
+         CAST(rev2 - rev1 AS DOUBLE) / 100 AS total_change
+       FROM a JOIN b ON b.seg = a.seg ORDER BY 1""",
+    note="rate/mix-shift decomposition of year-over-year revenue by "
+    "priority segment: per segment, total change splits EXACTLY into "
+    "a rate effect (same volume, new average price) and a mix effect "
+    "(volume change at old average price) — rate + mix == total by "
+    "algebraic identity (rev2 - n2*rev1/n1) + ((n2-n1)*rev1/n1) = "
+    "rev2 - rev1 (pre-rounding; each effect then rounds to cents "
+    "via the exact-integer floor((2N+D)/(2D)) half-up, immune to "
+    "the float half-boundary AND to dialect disagreement on "
+    "negative halves).  Two filtered aggregates with pushed-down "
+    "date predicates, one keyed join on the 5-row segment table",
+)
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+
+    def year(y: int, n: str, r: str) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            )
+            .groupBy(F.col("o_orderpriority").alias("seg"))
+            .agg(
+                F.count(F.lit(1)).alias(n),
+                F.floor(F.sum("o_totalprice") * 100 + 0.5).cast("long").alias(r),
+            )
+        )
+
+    a = year(1996, "n1", "rev1")
+    b = year(1997, "n2", "rev2").withColumnRenamed("seg", "seg2")
+    j = a.join(b, F.col("seg2") == F.col("seg"))
+    # exact integer round-half-up of the rational N/D cents:
+    # floor((2N + D) / (2D)) — no float half-boundary, no dialect
+    # disagreement on negative rounding
+    rate = (
+        F.floor(
+            (
+                2 * (F.col("rev2") * F.col("n1") - F.col("n2") * F.col("rev1"))
+                + F.col("n1")
+            ).cast("double")
+            / (2 * F.col("n1"))
+        )
+        / 100
+    )
+    mix = (
+        F.floor(
+            (2 * ((F.col("n2") - F.col("n1")) * F.col("rev1")) + F.col("n1")).cast(
+                "double"
+            )
+            / (2 * F.col("n1"))
+        )
+        / 100
+    )
+    return j.select(
+        "seg",
+        "n1",
+        "n2",
+        "rev1",
+        "rev2",
+        rate.alias("rate_effect"),
+        mix.alias("mix_effect"),
+        ((F.col("rev2") - F.col("rev1")).cast("double") / 100).alias("total_change"),
+    ).orderBy("seg")
+
+
 QUERIES = list(_Q)
