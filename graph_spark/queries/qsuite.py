@@ -6139,4 +6139,102 @@ def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("seg")
 
 
+@_q(
+    "t62_horizon_wape",
+    """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS x
+       FROM events GROUP BY 1),
+       s AS (SELECT CAST(d - DATE '1970-01-01' AS BIGINT) AS ed, x FROM d),
+       k AS (SELECT i AS h FROM generate_series(1, 7) t(i)),
+       p AS (SELECT k.h AS h, CAST(sum(abs(a.x - b.x)) AS BIGINT) AS sae,
+             CAST(sum(abs(a.x)) AS BIGINT) AS sax, count(*) AS n
+         FROM k JOIN s a ON true JOIN s b ON b.ed = a.ed - k.h
+         GROUP BY 1)
+       SELECT CAST(h AS INT) AS horizon, n,
+         round(CAST(sae AS DOUBLE) / sax, 4) AS wape
+       FROM p ORDER BY 1""",
+    note="forecast-horizon error curve: WAPE of the naive 'value h "
+    "days ago' forecast for horizons 1..7 — the curve that tells an "
+    "operator how far ahead the naive baseline stays usable and "
+    "which horizon needs a real model (its elbow typically lands on "
+    "the t43 ACF's dominant period).  Numerator and denominator are "
+    "exact integer cent sums per horizon (WAPE, unlike MAPE, never "
+    "divides by a single day's value); the lagged pairs come from "
+    "index-aligned self-joins on the tiny daily series",
+)
+def t62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    d = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.floor(F.sum("value") * 100 + 0.5).cast("long").alias("x")
+    )
+    s = d.select(
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).cast("long").alias("ed"),
+        "x",
+    ).localCheckpoint(eager=True)
+    ks = spark.range(1, 8).select(F.col("id").alias("h"))
+    a = s.select(F.col("ed").alias("ae"), F.col("x").alias("ax"))
+    b = s.select(F.col("ed").alias("be"), F.col("x").alias("bx"))
+    p = (
+        ks.crossJoin(a)
+        .join(b, F.col("be") == F.col("ae") - F.col("h"))
+        .groupBy("h")
+        .agg(
+            F.sum(F.abs(F.col("ax") - F.col("bx"))).alias("sae"),
+            F.sum(F.abs(F.col("ax"))).alias("sax"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return p.select(
+        F.col("h").cast("int").alias("horizon"),
+        "n",
+        F.round(F.col("sae").cast("double") / F.col("sax"), 4).alias("wape"),
+    ).orderBy("horizon")
+
+
+@_q(
+    "q105_aging_buckets",
+    """WITH o AS (SELECT CAST(DATE '1998-08-01'
+           - CAST(o_orderdate AS DATE) AS BIGINT) AS age,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS vc
+       FROM orders WHERE o_orderstatus = 'O'
+         AND o_orderdate < TIMESTAMP '1998-08-01'),
+       b AS (SELECT CASE WHEN age <= 180 THEN 'a_0_180'
+           WHEN age <= 365 THEN 'b_181_365'
+           WHEN age <= 730 THEN 'c_366_730'
+           ELSE 'd_over_730' END AS bucket, vc FROM o)
+       SELECT bucket, count(*) AS n_orders,
+         CAST(sum(vc) AS BIGINT) AS total_cents
+       FROM b GROUP BY 1 ORDER BY 1""",
+    note="open-order aging report (the receivables-aging staple): "
+    "orders still in status 'O' at the reference date, bucketed by "
+    "exact integer day age with order counts and cent totals per "
+    "band — the working-capital read.  The status+date predicates "
+    "push to the parquet scan; ages are date arithmetic on integers "
+    "(no timezone, no DST), and the whole report is one combinable "
+    "aggregation",
+)
+def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    base = o.filter(
+        (F.col("o_orderstatus") == "O")
+        & (F.col("o_orderdate") < F.lit("1998-08-01").cast("timestamp"))
+    ).select(
+        F.datediff(
+            F.lit("1998-08-01").cast("date"), F.to_date("o_orderdate")
+        ).cast("long").alias("age"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("vc"),
+    )
+    bucket = (
+        F.when(F.col("age") <= 180, "a_0_180")
+        .when(F.col("age") <= 365, "b_181_365")
+        .when(F.col("age") <= 730, "c_366_730")
+        .otherwise("d_over_730")
+    )
+    return (
+        base.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("vc").alias("total_cents"))
+        .orderBy("bucket")
+    )
+
+
 QUERIES = list(_Q)
