@@ -2819,4 +2819,65 @@ def g62(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g63_triadic_closure",
+    f"""WITH {GRAPH_CTES},
+       old_e AS (SELECT src, dst FROM graph_edges
+                 WHERE first_ts <= TIMESTAMP '1997-01-01'),
+       old_s AS (SELECT src, dst FROM old_e
+                 UNION SELECT dst, src FROM old_e),
+       new_e AS (SELECT src, dst FROM graph_edges
+                 WHERE first_ts > TIMESTAMP '1997-01-01'),
+       closing AS (SELECT DISTINCT n.src, n.dst
+         FROM new_e n JOIN old_s a ON a.src = n.src
+         JOIN old_s b ON b.src = a.dst AND b.dst = n.dst),
+       s AS (SELECT (SELECT count(*) FROM new_e) AS n_new,
+             (SELECT count(*) FROM closing) AS n_closing)
+       SELECT n_new, n_closing,
+         round(CAST(n_closing AS DOUBLE) / nullif(n_new, 0), 4)
+           AS closure_rate
+       FROM s""",
+    note="triadic closure rate of NEW relationships: among customer-"
+    "supplier edges first formed after the 1997 snapshot, the "
+    "fraction whose endpoints were already connected by a 2-path in "
+    "the old graph — the link-formation mechanism test (high rate "
+    "means new trade follows existing neighborhoods, the empirical "
+    "basis for l27/g27-style link prediction; low means exploration "
+    "dominates).  The 2-path check is two equi-joins of the new "
+    "edges against the old symmetric adjacency with a distinct on "
+    "the (new-edge) pair — never materializing all 2-paths",
+)
+def g63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    cut = F.lit("1997-01-01").cast("timestamp")
+    ge = c.graph_edges()
+    old_e = ge.filter(F.col("first_ts") <= cut).select("src", "dst")
+    old_s = old_e.union(
+        old_e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    new_e = ge.filter(F.col("first_ts") > cut).select("src", "dst").localCheckpoint(
+        eager=True
+    )
+    a = old_s.select(F.col("src").alias("as_"), F.col("dst").alias("ad"))
+    b = old_s.select(F.col("src").alias("bs"), F.col("dst").alias("bd"))
+    closing = (
+        new_e.join(a, F.col("as_") == F.col("src"))
+        .join(b, (F.col("bs") == F.col("ad")) & (F.col("bd") == F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+    )
+    s = new_e.agg(F.count(F.lit(1)).alias("n_new")).crossJoin(
+        closing.agg(F.count(F.lit(1)).alias("n_closing"))
+    )
+    return s.select(
+        "n_new",
+        "n_closing",
+        F.round(
+            F.col("n_closing").cast("double")
+            / F.nullif(F.col("n_new"), F.lit(0)),
+            4,
+        ).alias("closure_rate"),
+    )
+
+
 QUERIES = list(_G)

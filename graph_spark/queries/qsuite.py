@@ -6237,4 +6237,54 @@ def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q106_new_vs_returning",
+    """WITH f AS (SELECT o_custkey, min(o_orderdate) AS first_d
+         FROM orders GROUP BY 1),
+       m AS (SELECT date_trunc('month', o.o_orderdate) AS mon,
+         CASE WHEN date_trunc('month', f.first_d)
+              = date_trunc('month', o.o_orderdate)
+              THEN 'new' ELSE 'returning' END AS kind,
+         CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS vc
+         FROM orders o JOIN f ON f.o_custkey = o.o_custkey
+         WHERE o.o_orderdate < TIMESTAMP '1997-01-01')
+       SELECT strftime(mon, '%Y-%m') AS month, kind, count(*) AS n_orders,
+         CAST(sum(vc) AS BIGINT) AS rev_cents
+       FROM m GROUP BY 1, 2 ORDER BY 1, 2""",
+    note="new-vs-returning revenue split per month (bounded to the "
+    "pre-1997 window to keep output stable): an order is 'new' iff "
+    "it falls in its customer's first-ever month — the acquisition-"
+    "vs-retention revenue mix every growth dashboard leads with, "
+    "and the aggregate complement to t17's cohort matrix.  First-"
+    "order month is one groupBy min joined back on the customer "
+    "key (co-partitioned with the orders it classifies); exact "
+    "cents throughout",
+)
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    f = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.min("o_orderdate").alias("first_d")
+    )
+    m = (
+        o.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        .join(f, F.col("ck") == F.col("o_custkey"))
+        .select(
+            F.date_trunc("month", "o_orderdate").alias("mon"),
+            F.when(
+                F.date_trunc("month", F.col("first_d"))
+                == F.date_trunc("month", F.col("o_orderdate")),
+                "new",
+            )
+            .otherwise("returning")
+            .alias("kind"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("vc"),
+        )
+    )
+    return (
+        m.groupBy(F.date_format("mon", "yyyy-MM").alias("month"), "kind")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("vc").alias("rev_cents"))
+        .orderBy("month", "kind")
+    )
+
+
 QUERIES = list(_Q)
