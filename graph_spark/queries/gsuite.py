@@ -2880,4 +2880,118 @@ def g63(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g64_small_world",
+    """WITH RECURSIVE ne AS (
+         SELECT 'n'||c.c_nationkey AS src, 'n'||s.s_nationkey AS dst
+         FROM lineitem l JOIN orders o ON l.l_orderkey=o.o_orderkey
+         JOIN customer c ON o.o_custkey=c.c_custkey
+         JOIN supplier s ON l.l_suppkey=s.s_suppkey
+         GROUP BY 1,2 HAVING count(*) >= 25),
+       sym AS (SELECT DISTINCT src, dst FROM (
+           SELECT src, dst FROM ne WHERE src <> dst
+           UNION ALL SELECT dst, src FROM ne WHERE src <> dst) u),
+       nodes AS (SELECT DISTINCT src AS node FROM sym),
+       deg AS (SELECT src AS node, count(*) AS d FROM sym GROUP BY 1),
+       tri AS (SELECT count(*) AS t FROM sym x
+         JOIN sym y ON y.src = x.dst AND x.src < x.dst AND y.src < y.dst
+         JOIN sym z ON z.src = x.src AND z.dst = y.dst),
+       wed AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS w FROM deg),
+       b(node, dd) AS (SELECT (SELECT min(node) FROM nodes), 0
+         UNION SELECT e.dst, b.dd + 1 FROM b
+         JOIN sym e ON e.src = b.node WHERE b.dd < 10),
+       dist AS (SELECT node, CAST(min(dd) AS BIGINT) AS dd FROM b GROUP BY 1),
+       l AS (SELECT CAST(sum(dd) AS BIGINT) AS sd, count(*) AS nr
+             FROM dist WHERE dd > 0),
+       m AS (SELECT (SELECT count(*) FROM nodes) AS v,
+             (SELECT count(*) FROM sym) AS m2,
+             (SELECT t FROM tri) AS t, (SELECT w FROM wed) AS w,
+             (SELECT sd FROM l) AS sd, (SELECT nr FROM l) AS nr)
+       SELECT v AS n_nodes, CAST(m2 // 2 AS BIGINT) AS n_edges, t AS triangles,
+         round(CAST(3 * t AS DOUBLE) / w, 4) AS clustering,
+         round(CAST(sd AS DOUBLE) / nr, 4) AS avg_dist,
+         round((CAST(3 * t AS DOUBLE) / w
+             / (CAST(m2 AS DOUBLE) / (CAST(v AS DOUBLE) * (v - 1))))
+           / ((CAST(sd AS DOUBLE) / nr)
+             / (ln(CAST(v AS DOUBLE)) / ln(CAST(m2 AS DOUBLE) / v))), 4)
+           AS sigma
+       FROM m""",
+    note="small-world sigma of the nation trade graph: clustering "
+    "ratio (observed transitivity over the random-graph density) "
+    "divided by path-length ratio (single-source mean distance over "
+    "ln V / ln <k>) — sigma >> 1 is the Watts-Strogatz signature "
+    "that justifies frontier BFS designs (g56's width spike-and-"
+    "collapse IS this property).  Dialect landmine documented here: "
+    "under WITH RECURSIVE, DuckDB 1.0 stops deduplicating UNION in "
+    "EVERY CTE of the query, so this symmetric view (whose mutual "
+    "nation edges actually collide, unlike the collision-free "
+    "bipartite views) dedups via explicit SELECT DISTINCT over "
+    "UNION ALL.  Triangles and wedges are exact "
+    "integer counts on the symmetric view; the mean distance reuses "
+    "the g03 BFS from the lexicographic-min node; every double "
+    "appears once in the final row",
+)
+def g64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    ne = (
+        c.table("lineitem")
+        .join(c.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c.table("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c.table("supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.concat(F.lit("n"), F.col("c_nationkey")).alias("src"),
+            F.concat(F.lit("n"), F.col("s_nationkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 25) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+    )
+    sym = ne.union(
+        ne.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    nodes = sym.select(F.col("src").alias("id")).distinct()
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    x = sym.select(F.col("src").alias("xa"), F.col("dst").alias("xb")).filter(
+        F.col("xa") < F.col("xb")
+    )
+    y = sym.select(F.col("src").alias("ya"), F.col("dst").alias("yb")).filter(
+        F.col("ya") < F.col("yb")
+    )
+    z = sym.select(F.col("src").alias("za"), F.col("dst").alias("zb"))
+    tri = (
+        x.join(y, F.col("ya") == F.col("xb"))
+        .join(z, (F.col("za") == F.col("xa")) & (F.col("zb") == F.col("yb")))
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    wed = deg.agg(
+        F.sum(F.expr("d * (d - 1) DIV 2")).alias("w")
+    )
+    src0 = nodes.agg(F.min("id")).collect()[0][0]
+    dist = bfs_distances(PropertyGraph(nodes, sym), src0, max_hops=10)
+    l = dist.filter(F.col("d") > 0).agg(
+        F.sum("d").alias("sd"), F.count(F.lit(1)).alias("nr")
+    )
+    m = (
+        nodes.agg(F.count(F.lit(1)).alias("v"))
+        .crossJoin(sym.agg(F.count(F.lit(1)).alias("m2")))
+        .crossJoin(tri)
+        .crossJoin(wed)
+        .crossJoin(l)
+    )
+    cl = (3 * F.col("t")).cast("double") / F.col("w")
+    dens = F.col("m2").cast("double") / (F.col("v").cast("double") * (F.col("v") - 1))
+    lavg = F.col("sd").cast("double") / F.col("nr")
+    lrand = F.log(F.col("v").cast("double")) / F.log(
+        F.col("m2").cast("double") / F.col("v")
+    )
+    return m.select(
+        F.col("v").alias("n_nodes"),
+        F.floor(F.col("m2") / 2).cast("long").alias("n_edges"),
+        F.col("t").alias("triangles"),
+        F.round(cl, 4).alias("clustering"),
+        F.round(lavg, 4).alias("avg_dist"),
+        F.round((cl / dens) / (lavg / lrand), 4).alias("sigma"),
+    )
+
+
 QUERIES = list(_G)

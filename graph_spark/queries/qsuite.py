@@ -6287,4 +6287,77 @@ def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "t63_spike_attribution",
+    """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         event_type, CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS vc
+       FROM events GROUP BY 1, 2),
+       t AS (SELECT d, CAST(sum(vc) AS BIGINT) AS tot FROM d GROUP BY 1),
+       dd AS (SELECT d, tot, tot - lag(tot) OVER (ORDER BY d) AS delta
+              FROM t),
+       td AS (SELECT d.d, d.event_type,
+              d.vc - lag(d.vc) OVER (PARTITION BY d.event_type ORDER BY d.d)
+                AS tdelta FROM d),
+       top AS (SELECT d, event_type, tdelta, row_number() OVER
+           (PARTITION BY d ORDER BY abs(tdelta) DESC, event_type) AS rn
+         FROM td WHERE tdelta IS NOT NULL)
+       SELECT strftime(dd.d, '%Y-%m-%d') AS day,
+         CAST(dd.delta AS BIGINT) AS delta_cents,
+         top.event_type AS top_type,
+         CAST(top.tdelta AS BIGINT) AS top_delta,
+         round(CAST(top.tdelta AS DOUBLE) / nullif(dd.delta, 0), 4)
+           AS share
+       FROM dd JOIN top ON top.d = dd.d AND top.rn = 1
+       WHERE dd.delta IS NOT NULL ORDER BY 1""",
+    note="spike attribution: for each day-over-day revenue swing, the "
+    "event type whose own swing contributed most (argmax |type "
+    "delta|, full tie-break) and its share — the automatic first "
+    "answer to 'what moved the number yesterday', turning a t32/t50 "
+    "alarm into a lead.  Per-type deltas share one window pass "
+    "partitioned by type; exact cents; note share can exceed 1 or "
+    "be negative when types move against each other — that's the "
+    "honest decomposition, not a bug",
+)
+def t63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    d = ev.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(F.floor(F.sum("value") * 100 + 0.5).cast("long").alias("vc"))
+    t = d.groupBy("d").agg(F.sum("vc").alias("tot"))
+    dd = t.select(
+        "d", (F.col("tot") - F.lag("tot").over(Window.orderBy("d"))).alias("delta")
+    ).filter(F.col("delta").isNotNull())
+    td = d.select(
+        "d",
+        "event_type",
+        (
+            F.col("vc")
+            - F.lag("vc").over(Window.partitionBy("event_type").orderBy("d"))
+        ).alias("tdelta"),
+    ).filter(F.col("tdelta").isNotNull())
+    top = (
+        td.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("d").orderBy(F.abs(F.col("tdelta")).desc(), "event_type")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .withColumnRenamed("d", "td_d")
+    )
+    return (
+        dd.join(top, F.col("td_d") == F.col("d"))
+        .select(
+            date_str(F.col("d")).alias("day"),
+            F.col("delta").alias("delta_cents"),
+            F.col("event_type").alias("top_type"),
+            F.col("tdelta").alias("top_delta"),
+            F.round(
+                F.col("tdelta").cast("double") / F.nullif(F.col("delta"), F.lit(0)), 4
+            ).alias("share"),
+        )
+        .orderBy("day")
+    )
+
+
 QUERIES = list(_Q)
