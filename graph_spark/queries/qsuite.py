@@ -6360,4 +6360,48 @@ def t63(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q107_fiscal_ytd",
+    """WITH m AS (SELECT date_trunc('month', o_orderdate) AS mon,
+         CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS rev
+       FROM orders GROUP BY 1),
+       f AS (SELECT mon, rev,
+         CAST(CASE WHEN month(mon) >= 7 THEN year(mon)
+              ELSE year(mon) - 1 END AS INT) AS fy FROM m)
+       SELECT strftime(mon, '%Y-%m') AS month, fy, rev,
+         CAST(sum(rev) OVER (PARTITION BY fy ORDER BY mon
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fytd_cents
+       FROM f ORDER BY 1""",
+    note="fiscal year-to-date running revenue with a July 1 reset: the "
+    "window partitions on the derived fiscal year (month >= 7 maps "
+    "into the NEXT label year's books) so the cumulative sum "
+    "restarts exactly at each fiscal boundary — the finance "
+    "calendar read a calendar-year YTD silently gets wrong for "
+    "half the year.  One month-level aggregate then a partitioned "
+    "prefix sum over ~tens of rows; exact cents",
+)
+def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("mon")).agg(
+        F.floor(F.sum("o_totalprice") * 100 + 0.5).cast("long").alias("rev")
+    )
+    f = m.select(
+        "mon",
+        "rev",
+        F.when(F.month("mon") >= 7, F.year("mon"))
+        .otherwise(F.year("mon") - 1)
+        .cast("int")
+        .alias("fy"),
+    )
+    w = Window.partitionBy("fy").orderBy("mon").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return f.select(
+        F.date_format("mon", "yyyy-MM").alias("month"),
+        "fy",
+        "rev",
+        F.sum("rev").over(w).alias("fytd_cents"),
+    ).orderBy("month")
+
+
 QUERIES = list(_Q)

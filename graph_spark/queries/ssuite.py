@@ -669,4 +669,56 @@ def s17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_s(
+    "s18_burn_rate",
+    """WITH c AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           AS BIGINT) AS e FROM events GROUP BY 1),
+       w AS (SELECT h, n, e,
+         CAST(sum(n) OVER (ORDER BY h ROWS BETWEEN 5 PRECEDING
+           AND CURRENT ROW) AS BIGINT) AS n6,
+         CAST(sum(e) OVER (ORDER BY h ROWS BETWEEN 5 PRECEDING
+           AND CURRENT ROW) AS BIGINT) AS e6 FROM c)
+       SELECT strftime(h, '%Y-%m-%d %H:%M:%S.%f') AS hh, n, e, n6, e6,
+         CAST(5 * e > n AND 5 * e6 > n6 AS BOOLEAN) AS page
+       FROM w ORDER BY 1""",
+    note="SRE multi-window burn-rate alert: page only when BOTH the "
+    "1-hour and the 6-hour error rates exceed the 20% budget — the "
+    "standard fast+slow window pairing that filters blips (short "
+    "window alone) and stale pages (long alone).  Stream state is "
+    "the two mergeable counters per hour; the 6-hour lookback and "
+    "the paging predicate run at the sink over per-window outputs "
+    "(like s17's lag), and the predicate is pure integers (5e > n) "
+    "so late data can never flip it through a float boundary; "
+    "replay parity via the shared hourly counters",
+)
+def s18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = Catalog(spark, sf_dir).table("events")
+    c = hourly_error_rates(ev).select(
+        F.col("w.start").alias("h"),
+        F.col("n_total").alias("n"),
+        F.col("n_errors").alias("e"),
+    )
+    win = W.orderBy("h").rowsBetween(-5, 0)
+    w = c.select(
+        "h",
+        "n",
+        "e",
+        F.sum("n").over(win).alias("n6"),
+        F.sum("e").over(win).alias("e6"),
+    )
+    return w.select(
+        ts_str(F.col("h")).alias("hh"),
+        "n",
+        "e",
+        "n6",
+        "e6",
+        ((5 * F.col("e") > F.col("n")) & (5 * F.col("e6") > F.col("n6"))).alias(
+            "page"
+        ),
+    ).orderBy("hh")
+
+
 QUERIES = list(_S)
