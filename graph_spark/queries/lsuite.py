@@ -2660,4 +2660,43 @@ def l57(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "m08_merkle_manifest",
+    """WITH leaf AS (SELECT source, doc_id, md5(text) AS h
+         FROM documents),
+       root AS (SELECT source, count(*) AS n_docs,
+         md5(string_agg(substring(h, 1, 16), '' ORDER BY doc_id))
+           AS root_hash FROM leaf GROUP BY 1)
+       SELECT source, n_docs, root_hash FROM root ORDER BY 1""",
+    note="tamper-evident dataset manifest: per source, a two-level "
+    "Merkle-style digest (leaf = content md5, root = md5 of the "
+    "doc_id-ordered leaf-prefix concatenation) — the release "
+    "artifact that lets any consumer verify a 100TB shard without "
+    "re-reading it: one changed byte in one document flips the "
+    "source's root.  Leaves are one map pass; the ordered fold is "
+    "per-source (bounded) and the manifest is |sources| rows.  "
+    "q79's commutative checksum trades order-sensitivity for "
+    "mergeability; this trades the other way for cryptographic "
+    "structure",
+)
+def m08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    leaf = d.select("source", "doc_id", F.md5(F.col("text")).alias("h"))
+    return (
+        leaf.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(doc_id, substring(h, 1, 16) AS hp))), x -> x.hp)"
+                    ),
+                ).cast("binary")
+            ).alias("root_hash"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = list(_L)

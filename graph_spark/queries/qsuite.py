@@ -6404,4 +6404,56 @@ def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("month")
 
 
+@_q(
+    "q108_decile_transitions",
+    """WITH r1 AS (SELECT o_custkey,
+         CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS rev
+       FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1),
+       r2 AS (SELECT o_custkey,
+         CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS rev
+       FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1),
+       d1 AS (SELECT o_custkey, CAST(ntile(10) OVER
+           (ORDER BY rev, o_custkey) AS INT) AS dec1 FROM r1),
+       d2 AS (SELECT o_custkey, CAST(ntile(10) OVER
+           (ORDER BY rev, o_custkey) AS INT) AS dec2 FROM r2)
+       SELECT dec1 AS from_decile, dec2 AS to_decile, count(*) AS n
+       FROM d1 JOIN d2 ON d2.o_custkey = d1.o_custkey
+       GROUP BY 1, 2 ORDER BY 1, 2""",
+    note="customer revenue-decile transition matrix between two "
+    "periods: who moved where, as the full migration matrix — q90's "
+    "top movers are its extreme off-diagonal cells, and a heavy "
+    "diagonal certifies rank stability (feature-store freshness "
+    "arguments live on this).  Deciles use exact integer cents with "
+    "full tie-breaks in BOTH periods; customers active in only one "
+    "period drop out of the inner join (their row/column margins "
+    "are q106's new/churned populations)",
+)
+def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+
+    def dec(pred, name: str, key: str) -> DataFrame:
+        return (
+            o.filter(pred)
+            .groupBy("o_custkey")
+            .agg(F.floor(F.sum("o_totalprice") * 100 + 0.5).cast("long").alias("rev"))
+            .select(
+                F.col("o_custkey").alias(key),
+                F.ntile(10)
+                .over(Window.orderBy("rev", "o_custkey"))
+                .cast("int")
+                .alias(name),
+            )
+        )
+
+    d1 = dec(F.col("o_orderdate") < cut, "from_decile", "k1")
+    d2 = dec(F.col("o_orderdate") >= cut, "to_decile", "k2")
+    return (
+        d1.join(d2, F.col("k2") == F.col("k1"))
+        .groupBy("from_decile", "to_decile")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("from_decile", "to_decile")
+    )
+
+
 QUERIES = list(_Q)
