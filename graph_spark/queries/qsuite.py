@@ -6456,4 +6456,65 @@ def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "t64_interrupted_series",
+    """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS y
+       FROM events GROUP BY 1),
+       s AS (SELECT CAST(d - DATE '1970-01-01' AS BIGINT) AS x, y,
+         CASE WHEN d < DATE '2024-01-15' THEN 'a_pre' ELSE 'b_post' END
+           AS seg FROM d),
+       g AS (SELECT seg, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx FROM s GROUP BY 1)
+       SELECT seg, n, round(CAST(sy AS DOUBLE) / n / 100, 2) AS mean_rev,
+         round(CAST(n * sxy - sx * sy AS DOUBLE)
+           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / 100, 4)
+           AS slope_per_day
+       FROM g ORDER BY 1""",
+    note="interrupted time-series analysis around the 2024-01-15 "
+    "intervention: per segment (pre/post), mean daily revenue and "
+    "the OLS trend slope — the level-shift + slope-change decomposition "
+    "that turns t61's 'where did it change' into 'by how much, and "
+    "is it a step or a new trajectory'.  The OLS moments (n, Σx, "
+    "Σy, Σxy, Σx²) are exact BIGINTs over epoch-day x and cent y "
+    "(t38's integer-exact OLS shape), combined once per segment in "
+    "doubles; two output rows total",
+)
+def t64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    d = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.floor(F.sum("value") * 100 + 0.5).cast("long").alias("y")
+    )
+    s = d.select(
+        F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).cast("long").alias("x"),
+        "y",
+        F.when(F.col("d") < F.lit("2024-01-15").cast("date"), "a_pre")
+        .otherwise("b_post")
+        .alias("seg"),
+    )
+    g = s.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (
+            F.col("n").cast("double") * F.col("sxx")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        / 100
+    )
+    return g.select(
+        "seg",
+        "n",
+        F.round(F.col("sy").cast("double") / F.col("n") / 100, 2).alias("mean_rev"),
+        F.round(slope, 4).alias("slope_per_day"),
+    ).orderBy("seg")
+
+
 QUERIES = list(_Q)
