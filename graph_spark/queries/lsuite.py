@@ -2699,4 +2699,78 @@ def m08(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l58_curation_funnel",
+    """WITH t AS (SELECT doc_id, lang, n_chars,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS toks,
+         len(list_distinct(list_filter(string_split(text, ' '),
+           x -> x <> ''))) AS utoks
+       FROM documents),
+       f AS (SELECT doc_id,
+         CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END AS s1,
+         CASE WHEN n_chars >= 100 AND toks >= 20 THEN 1 ELSE 0 END AS s2,
+         CASE WHEN n_chars >= 100 AND toks >= 20
+              AND 10 * utoks >= 3 * toks THEN 1 ELSE 0 END AS s3,
+         CASE WHEN n_chars >= 100 AND toks >= 20
+              AND 10 * utoks >= 3 * toks
+              AND lang IN ('en', 'de', 'fr') THEN 1 ELSE 0 END AS s4
+       FROM t),
+       m AS (SELECT count(*) AS n0, CAST(sum(s1) AS BIGINT) AS n1,
+             CAST(sum(s2) AS BIGINT) AS n2, CAST(sum(s3) AS BIGINT) AS n3,
+             CAST(sum(s4) AS BIGINT) AS n4 FROM f)
+       SELECT stage, n_remaining, lag_n - n_remaining AS n_dropped FROM (
+         SELECT 'a_all' AS stage, n0 AS n_remaining, n0 AS lag_n FROM m
+         UNION ALL SELECT 'b_min_length', n1, n0 FROM m
+         UNION ALL SELECT 'c_min_tokens', n2, n1 FROM m
+         UNION ALL SELECT 'd_diversity', n3, n2 FROM m
+         UNION ALL SELECT 'e_lang_allowlist', n4, n3 FROM m) u
+       ORDER BY 1""",
+    note="curation eligibility funnel: documents surviving each "
+    "successive quality gate (min length -> min tokens -> distinct-"
+    "token diversity >= 0.3, integer-compared -> language "
+    "allowlist) with per-stage drop counts — the one-look answer to "
+    "'which filter is eating my corpus', composing the L-suite's "
+    "individual signals into the pipeline they actually form.  One "
+    "tokenize pass computes every gate flag; the funnel itself is "
+    "five scalars",
+)
+def l58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = F.expr("filter(split(text, ' '), x -> x <> '')")
+    t = d.select(
+        "lang",
+        "n_chars",
+        F.size(toks).alias("toks"),
+        F.size(F.array_distinct(toks)).alias("utoks"),
+    )
+    s1 = F.col("n_chars") >= 100
+    s2 = s1 & (F.col("toks") >= 20)
+    s3 = s2 & (10 * F.col("utoks") >= 3 * F.col("toks"))
+    s4 = s3 & F.col("lang").isin("en", "de", "fr")
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0))
+    m = t.agg(
+        F.count(F.lit(1)).alias("n0"),
+        flag(s1).alias("n1"),
+        flag(s2).alias("n2"),
+        flag(s3).alias("n3"),
+        flag(s4).alias("n4"),
+    )
+    rows = [
+        ("a_all", "n0", "n0"),
+        ("b_min_length", "n1", "n0"),
+        ("c_min_tokens", "n2", "n1"),
+        ("d_diversity", "n3", "n2"),
+        ("e_lang_allowlist", "n4", "n3"),
+    ]
+    out = None
+    for stage, cur, prev in rows:
+        r = m.select(
+            F.lit(stage).alias("stage"),
+            F.col(cur).alias("n_remaining"),
+            (F.col(prev) - F.col(cur)).alias("n_dropped"),
+        )
+        out = r if out is None else out.unionAll(r)
+    return out.orderBy("stage")
+
+
 QUERIES = list(_L)

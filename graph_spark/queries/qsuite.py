@@ -6517,4 +6517,45 @@ def t64(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("seg")
 
 
+@_q(
+    "q109_relational_division",
+    """WITH sr AS (SELECT DISTINCT l.l_suppkey, n.n_regionkey
+         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+         JOIN customer c ON c.c_custkey = o.o_custkey
+         JOIN nation n ON n.n_nationkey = c.c_nationkey),
+       nr AS (SELECT count(*) AS n_regions FROM region),
+       d AS (SELECT l_suppkey, count(*) AS regions_served FROM sr GROUP BY 1)
+       SELECT d.l_suppkey AS suppkey,
+         CAST(d.regions_served AS BIGINT) AS regions_served
+       FROM d CROSS JOIN nr WHERE d.regions_served = nr.n_regions
+       ORDER BY 1""",
+    note="relational DIVISION (the 'for all' query SQL lacks as a "
+    "keyword): suppliers whose customer base spans EVERY region — "
+    "divide the supplier-region relationship by the full region "
+    "set via the count-equality reduction (distinct pairs, count "
+    "per supplier, compare to |divisor|), which is the scalable "
+    "plan: one distinct + one groupBy instead of a nested NOT "
+    "EXISTS double negation.  The divisor cardinality broadcasts "
+    "as one scalar",
+)
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    sr = (
+        c.table("lineitem")
+        .join(c.table("orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c.table("customer"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(c.table("nation")), F.col("n_nationkey") == F.col("c_nationkey"))
+        .select("l_suppkey", "n_regionkey")
+        .distinct()
+    )
+    nr = c.table("region").agg(F.count(F.lit(1)).alias("n_regions"))
+    d = sr.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("regions_served"))
+    return (
+        d.crossJoin(F.broadcast(nr))
+        .filter(F.col("regions_served") == F.col("n_regions"))
+        .select(F.col("l_suppkey").alias("suppkey"), "regions_served")
+        .orderBy("suppkey")
+    )
+
+
 QUERIES = list(_Q)
