@@ -6558,4 +6558,70 @@ def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "t65_sampling_error",
+    """WITH e AS (SELECT date_trunc('hour', ts) AS h,
+         strpos('0123456789abcdef',
+           substring(md5(event_id::VARCHAR), 1, 1)) - 1 AS dig
+       FROM events),
+       c AS (SELECT h, count(*) AS full_n,
+         CAST(sum(CASE WHEN dig < 1 THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+         CAST(sum(CASE WHEN dig < 4 THEN 1 ELSE 0 END) AS BIGINT) AS k4,
+         CAST(sum(CASE WHEN dig < 8 THEN 1 ELSE 0 END) AS BIGINT) AS k8
+       FROM e GROUP BY 1),
+       m AS (SELECT 'a_p_1_16' AS rate,
+           CAST(sum(abs(16 * k1 - 1 * full_n)) AS BIGINT) AS err_s,
+           CAST(sum(1 * full_n) AS BIGINT) AS tot_s FROM c
+         UNION ALL SELECT 'b_p_4_16',
+           CAST(sum(abs(16 * k4 - 4 * full_n)) AS BIGINT),
+           CAST(sum(4 * full_n) AS BIGINT) FROM c
+         UNION ALL SELECT 'c_p_8_16',
+           CAST(sum(abs(16 * k8 - 8 * full_n)) AS BIGINT),
+           CAST(sum(8 * full_n) AS BIGINT) FROM c)
+       SELECT rate, round(CAST(err_s AS DOUBLE) / tot_s, 4) AS wape
+       FROM m ORDER BY 1""",
+    note="load-shedding what-if: replay hourly event counts under "
+    "deterministic hash sampling at 1/16, 4/16 and 8/16 and report "
+    "the weighted absolute error of the inverse-probability-scaled "
+    "estimates against truth — the measurement that says which "
+    "monitoring dashboards survive which shedding rate.  The md5 "
+    "coin is content-keyed (g51's trick on the time axis), errors "
+    "stay exact integers via the 16x cross-multiplication, and the "
+    "three what-ifs share ONE scan and one groupBy",
+)
+def t65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    dig = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 1),
+        )
+        - 1
+    )
+    c = ev.select(F.date_trunc("hour", "ts").alias("h"), dig.alias("dig")).groupBy(
+        "h"
+    ).agg(
+        F.count(F.lit(1)).alias("full_n"),
+        F.sum(F.when(F.col("dig") < 1, 1).otherwise(0)).alias("k1"),
+        F.sum(F.when(F.col("dig") < 4, 1).otherwise(0)).alias("k4"),
+        F.sum(F.when(F.col("dig") < 8, 1).otherwise(0)).alias("k8"),
+    )
+
+    def m(rate: str, k: str, p: int) -> DataFrame:
+        return c.agg(
+            F.sum(F.abs(16 * F.col(k) - p * F.col("full_n"))).alias("err_s"),
+            F.sum(p * F.col("full_n")).alias("tot_s"),
+        ).select(
+            F.lit(rate).alias("rate"),
+            F.round(F.col("err_s").cast("double") / F.col("tot_s"), 4).alias("wape"),
+        )
+
+    return (
+        m("a_p_1_16", "k1", 1)
+        .unionAll(m("b_p_4_16", "k4", 4))
+        .unionAll(m("c_p_8_16", "k8", 8))
+        .orderBy("rate")
+    )
+
+
 QUERIES = list(_Q)
