@@ -6624,4 +6624,122 @@ def t65(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q110_hhi",
+    """WITH c AS (SELECT n_name, o_custkey,
+         CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) // 100 AS d
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2),
+       g AS (SELECT n_name, count(*) AS n_cust,
+             CAST(sum(d) AS BIGINT) AS tot,
+             CAST(sum(d * d) AS BIGINT) AS sq,
+             CAST(max(d) AS BIGINT) AS mx FROM c GROUP BY 1)
+       SELECT n_name, n_cust,
+         round(CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE) * tot), 6) AS hhi,
+         round(CAST(mx AS DOUBLE) / tot, 4) AS top_share
+       FROM g ORDER BY 1""",
+    note="Herfindahl-Hirschman concentration index per nation: sum of "
+    "squared customer revenue shares, computed as exact integer "
+    "whole-dollar moments (sum, sum-of-squares, max — cents would "
+    "overflow BIGINT in the squares at sf0.1, dollars leave 3 "
+    "orders of headroom) with the share algebra collapsed to "
+    "sq/tot^2 so no per-customer division ever happens — the "
+    "monopoly-vs-fragmented read on each market, companion to "
+    "q102's economy-wide Lorenz curve.  One groupBy per level",
+)
+def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    base = (
+        c.table("orders")
+        .join(c.table("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c.table("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "o_custkey")
+        .agg(
+            F.expr(
+                "CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) DIV 100"
+            ).alias("d")
+        )
+    )
+    g = base.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum("d").alias("tot"),
+        F.sum(F.col("d") * F.col("d")).alias("sq"),
+        F.max("d").alias("mx"),
+    )
+    return g.select(
+        "n_name",
+        "n_cust",
+        F.round(
+            F.col("sq").cast("double") / (F.col("tot").cast("double") * F.col("tot")),
+            6,
+        ).alias("hhi"),
+        F.round(F.col("mx").cast("double") / F.col("tot"), 4).alias("top_share"),
+    ).orderBy("n_name")
+
+
+_CIRC_PI = "3.141592653589793"
+
+
+def _circ_sql_terms(fn: str) -> str:
+    return " + ".join(
+        f"c{h} * {fn}({_CIRC_PI} * {h} / 12)" for h in range(24)
+    )
+
+
+@_q(
+    "t66_circular_concentration",
+    "WITH h AS (SELECT hour(ts) AS hh, count(*) AS n FROM events GROUP BY 1),\n"
+    + "       p AS (SELECT "
+    + ", ".join(
+        f"CAST(coalesce(sum(CASE WHEN hh = {h} THEN n END), 0) AS BIGINT) AS c{h}"
+        for h in range(24)
+    )
+    + ", CAST(sum(n) AS BIGINT) AS tot FROM h)\n"
+    + f"""       SELECT tot AS n_events,
+         round(sqrt(({_circ_sql_terms('cos')})
+             * ({_circ_sql_terms('cos')})
+           + ({_circ_sql_terms('sin')})
+             * ({_circ_sql_terms('sin')})) / tot, 4) AS mean_resultant,
+         round(atan2(({_circ_sql_terms('sin')}),
+           ({_circ_sql_terms('cos')})) * 12 / {_CIRC_PI}, 4) AS peak_hour
+       FROM p""",
+    note="circular statistics on the hour-of-day cycle: mean resultant "
+    "length R (0 = uniform around the clock, 1 = all traffic at one "
+    "instant) and the circular-mean peak hour via atan2 — the "
+    "correct concentration/phase read for a quantity that wraps at "
+    "midnight, where linear mean/stddev (t22's heatmap margins) are "
+    "meaningless.  The 24 hour-bin counts come from one groupBy; "
+    "the trig combination is a FIXED-ORDER generated expression "
+    "over those exact integers (no cross-row float accumulation), "
+    "identical text in both engines",
+)
+def t66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    h = ev.groupBy(F.hour("ts").alias("hh")).agg(F.count(F.lit(1)).alias("n"))
+    p = h.agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("hh") == i, F.col("n"))), F.lit(0)
+            ).cast("long").alias(f"c{i}")
+            for i in range(24)
+        ],
+        F.sum("n").alias("tot"),
+    )
+    import math
+
+    def comb(fn) -> F.Column:
+        expr = None
+        for i in range(24):
+            term = F.col(f"c{i}") * F.lit(fn(math.pi * i / 12))
+            expr = term if expr is None else expr + term
+        return expr
+
+    cc, ss = comb(math.cos), comb(math.sin)
+    return p.select(
+        F.col("tot").alias("n_events"),
+        F.round(F.sqrt(cc * cc + ss * ss) / F.col("tot"), 4).alias("mean_resultant"),
+        F.round(F.atan2(ss, cc) * 12 / math.pi, 4).alias("peak_hour"),
+    )
+
+
 QUERIES = list(_Q)
