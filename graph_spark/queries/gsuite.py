@@ -2994,4 +2994,119 @@ def g64(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g65_bowtie",
+    """WITH RECURSIVE ne AS (
+         SELECT 'n'||c.c_nationkey AS src, 'n'||s.s_nationkey AS dst
+         FROM lineitem l JOIN orders o ON l.l_orderkey=o.o_orderkey
+         JOIN customer c ON o.o_custkey=c.c_custkey
+         JOIN supplier s ON l.l_suppkey=s.s_suppkey
+         GROUP BY 1,2 HAVING count(*) >= 25),
+       e AS (SELECT src, dst FROM ne WHERE src <> dst),
+       nodes AS (SELECT DISTINCT node FROM (
+         SELECT src AS node FROM e UNION ALL SELECT dst FROM e) u),
+       reach(a, b) AS (SELECT src, dst FROM e
+         UNION SELECT r.a, x.dst FROM reach r JOIN e x ON x.src = r.b),
+       scc AS (SELECT n.node,
+         least(n.node, coalesce(min(m.b), n.node)) AS comp
+         FROM nodes n LEFT JOIN
+           (SELECT r1.a, r1.b FROM reach r1
+            JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a) m
+           ON m.a = n.node GROUP BY 1),
+       core AS (SELECT comp FROM scc GROUP BY comp
+         ORDER BY count(*) DESC, comp LIMIT 1),
+       cn AS (SELECT node FROM scc WHERE comp = (SELECT comp FROM core)),
+       fromc AS (SELECT DISTINCT r.b AS node FROM reach r
+         JOIN cn ON cn.node = r.a),
+       toc AS (SELECT DISTINCT r.a AS node FROM reach r
+         JOIN cn ON cn.node = r.b),
+       cls AS (SELECT n.node, CASE
+           WHEN cn.node IS NOT NULL THEN 'a_core'
+           WHEN tc.node IS NOT NULL AND fc.node IS NULL THEN 'b_in'
+           WHEN fc.node IS NOT NULL AND tc.node IS NULL THEN 'c_out'
+           WHEN fc.node IS NOT NULL AND tc.node IS NOT NULL THEN 'a_core'
+           ELSE 'd_other' END AS cls
+         FROM nodes n LEFT JOIN cn ON cn.node = n.node
+         LEFT JOIN fromc fc ON fc.node = n.node
+         LEFT JOIN toc tc ON tc.node = n.node)
+       SELECT cls AS component, count(*) AS n_nodes FROM cls
+       GROUP BY 1 ORDER BY 1""",
+    note="bow-tie decomposition of the directed nation trade graph: "
+    "the giant SCC core, the IN set (reaches the core, unreachable "
+    "from it), the OUT set (fed by the core), and the rest — the "
+    "macro-structure read (famous from web-graph analysis) that "
+    "says which markets originate, intermediate, or terminate "
+    "trade flow.  Reachability reuses g17's transitive-closure "
+    "machinery on the tiny aggregated graph (nodes reaching AND "
+    "reached by the core are mutually connected to it and fold "
+    "into the core class); at scale the same classes come from two "
+    "multi-source BFS frontiers seeded at the core instead of a "
+    "closure",
+)
+def g65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import multi_source_bfs, strongly_connected_components
+
+    c = Catalog(spark, sf_dir)
+    ne = (
+        c.table("lineitem")
+        .join(c.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c.table("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c.table("supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.concat(F.lit("n"), F.col("c_nationkey")).alias("src"),
+            F.concat(F.lit("n"), F.col("s_nationkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 25) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        ne.select(F.col("src").alias("id"))
+        .union(ne.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    scc = strongly_connected_components(PropertyGraph(nodes, ne))
+    core_comp = (
+        scc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "component")
+        .limit(1)
+        .collect()[0]["component"]
+    )
+    cn = scc.filter(F.col("component") == core_comp).select("node").localCheckpoint(
+        eager=True
+    )
+    seeds = [r["node"] for r in cn.collect()]
+    fromc = (
+        multi_source_bfs(PropertyGraph(nodes, ne), seeds, max_hops=10)
+        .select(F.col("node").alias("fn"))
+        .distinct()
+    )
+    rev = ne.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    toc = (
+        multi_source_bfs(PropertyGraph(nodes, rev), seeds, max_hops=10)
+        .select(F.col("node").alias("tn"))
+        .distinct()
+    )
+    cls = (
+        nodes.join(cn.withColumnRenamed("node", "cnode"), nodes.id == F.col("cnode"), "left")
+        .join(F.broadcast(fromc), nodes.id == F.col("fn"), "left")
+        .join(F.broadcast(toc), nodes.id == F.col("tn"), "left")
+        .select(
+            F.when(F.col("cnode").isNotNull(), "a_core")
+            .when(F.col("tn").isNotNull() & F.col("fn").isNull(), "b_in")
+            .when(F.col("fn").isNotNull() & F.col("tn").isNull(), "c_out")
+            .when(F.col("fn").isNotNull() & F.col("tn").isNotNull(), "a_core")
+            .otherwise("d_other")
+            .alias("cls")
+        )
+    )
+    return (
+        cls.groupBy(F.col("cls").alias("component"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("component")
+    )
+
+
 QUERIES = list(_G)
