@@ -6742,4 +6742,90 @@ def t66(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q111_temporal_integrity",
+    """WITH j AS (SELECT l_shipdate, o_orderdate FROM lineitem
+         JOIN orders ON o_orderkey = l_orderkey)
+       SELECT count(*) AS n_lines,
+         CAST(sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+           AS BIGINT) AS shipped_before_order,
+         CAST(sum(CASE WHEN l_shipdate >= o_orderdate
+             AND epoch_us(l_shipdate) - epoch_us(o_orderdate)
+               > 365 * 86400000000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS shipped_after_1y,
+         round(CAST(sum(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END)
+           AS DOUBLE) / count(*), 6) AS violation_rate
+       FROM j""",
+    note="cross-table TEMPORAL integrity: line items shipped before "
+    "their order existed (hard causality violation) or more than a "
+    "year after (staleness smell) — the time-axis complement to "
+    "q81's key-existence FK audit; event-sourced lakes break this "
+    "way silently when backfills mix clocks.  One co-partitioned "
+    "join on the order key, integer microsecond comparisons, three "
+    "scalars out",
+)
+def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    j = c.table("lineitem").join(
+        c.table("orders"), F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    before = F.sum(
+        F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0)
+    )
+    late = F.sum(
+        F.when(
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (
+                F.unix_micros(F.col("l_shipdate"))
+                - F.unix_micros(F.col("o_orderdate"))
+                > 365 * 86_400_000_000
+            ),
+            1,
+        ).otherwise(0)
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        before.alias("shipped_before_order"),
+        late.alias("shipped_after_1y"),
+        F.round(before.cast("double") / F.count(F.lit(1)), 6).alias(
+            "violation_rate"
+        ),
+    )
+
+
+@_q(
+    "t67_cron_minutes",
+    """WITH m AS (SELECT minute(ts) AS mi, count(*) AS n
+         FROM events GROUP BY 1),
+       t AS (SELECT CAST(sum(n) AS BIGINT) AS tot, count(*) AS nm FROM m)
+       SELECT CAST(mi AS INT) AS minute_of_hour, n,
+         round(CAST(60 * n AS DOUBLE) / tot, 4) AS uniformity_ratio
+       FROM m CROSS JOIN t
+       ORDER BY n DESC, mi LIMIT 10""",
+    note="cron-spike detection: the 10 heaviest minutes-of-hour with "
+    "their load relative to a uniform clock (ratio 1.0 = organic "
+    "traffic; minute 0 at 5x = a scheduled job is hammering the "
+    "pipeline) — the operational read that explains periodic "
+    "latency cliffs before anyone blames the engine.  The 60-bin "
+    "histogram is one groupBy; the uniformity ratio is exact "
+    "integers times 60 over the total, one division per row",
+)
+def t67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    m = ev.groupBy(F.minute("ts").alias("mi")).agg(F.count(F.lit(1)).alias("n"))
+    t = m.agg(F.sum("n").alias("tot"), F.count(F.lit(1)).alias("nm"))
+    return (
+        m.crossJoin(F.broadcast(t))
+        .select(
+            F.col("mi").cast("int").alias("minute_of_hour"),
+            "n",
+            F.round((60 * F.col("n")).cast("double") / F.col("tot"), 4).alias(
+                "uniformity_ratio"
+            ),
+        )
+        .orderBy(F.desc("n"), "minute_of_hour")
+        .limit(10)
+    )
+
+
 QUERIES = list(_Q)
