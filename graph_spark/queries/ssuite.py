@@ -721,4 +721,62 @@ def s18(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("hh")
 
 
+def scd_versions(orders: DataFrame) -> DataFrame:
+    """Customer SCD2 version table derived from orders: each order
+    opens a new version carrying its priority; valid until the next
+    order (open-ended for the latest)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        F.col("o_custkey").alias("vkey"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderdate").alias("vfrom"),
+        F.lead("o_orderdate").over(w).alias("vto"),
+    )
+
+
+def scd_enriched_counts(ev: DataFrame, ver: DataFrame) -> DataFrame:
+    """Shared transform for S19: stream-static AS-OF enrichment — each
+    event joins the SCD2 version valid at its event time (range
+    predicate on the static side), then a mergeable count per
+    attribute.  The static version table broadcasts; the range
+    predicate rides the hash join on the key as a residual."""
+    return (
+        ev.join(
+            F.broadcast(ver),
+            (F.col("user_id") == F.col("vkey"))
+            & (F.col("ts") >= F.col("vfrom"))
+            & (F.col("vto").isNull() | (F.col("ts") < F.col("vto"))),
+        )
+        .groupBy("prio")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_s(
+    "s19_stream_scd_join",
+    """WITH ver AS (SELECT o_custkey, o_orderpriority,
+         o_orderdate AS vfrom,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS vto FROM orders),
+       j AS (SELECT v.o_orderpriority AS prio FROM events e
+         JOIN ver v ON v.o_custkey = e.user_id AND e.ts >= v.vfrom
+           AND (v.vto IS NULL OR e.ts < v.vto))
+       SELECT prio, count(*) AS n FROM j GROUP BY 1 ORDER BY 1""",
+    note="streaming SCD2 as-of enrichment: each event picks the "
+    "dimension VERSION valid at its event time (not the current "
+    "row — the difference between correct and subtly-wrong stream "
+    "enrichment when dimensions change), via a stream-static join "
+    "whose static side is the order-derived version table.  "
+    "Version intervals partition time per key so each event "
+    "matches at most once; the count per attribute stays "
+    "mergeable; replay parity in tests/test_streaming.py",
+)
+def s19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    ver = scd_versions(c.table("orders"))
+    return scd_enriched_counts(c.table("events"), ver).orderBy("prio")
+
+
 QUERIES = list(_S)

@@ -632,3 +632,18 @@ def test_s17_window_deltas_stream_equals_batch(spark, replay_dir):
         spark, replay_dir, hourly_totals, output_mode="complete"
     ).select(F.col("w.start").alias("h"), "n", "vc")
     assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_s19_scd_join_stream_equals_batch(spark, replay_dir):
+    from graph_spark.queries.ssuite import scd_enriched_counts, scd_versions
+
+    c = Catalog(spark, SF_SMOKE)
+    ver = scd_versions(c.table("orders")).localCheckpoint(eager=True)
+
+    cols = ["prio", "n"]
+    batch = scd_enriched_counts(c.table("events"), ver)
+    stream = run_stream(
+        spark, replay_dir, lambda src: scd_enriched_counts(src, ver),
+        output_mode="complete",
+    )
+    assert _rows(stream, cols) == _rows(batch, cols)
