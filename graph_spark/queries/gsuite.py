@@ -3109,4 +3109,88 @@ def g65(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g66_config_model_check",
+    """WITH ne AS (
+         SELECT 'n'||c.c_nationkey AS src, 'n'||s.s_nationkey AS dst
+         FROM lineitem l JOIN orders o ON l.l_orderkey=o.o_orderkey
+         JOIN customer c ON o.o_custkey=c.c_custkey
+         JOIN supplier s ON l.l_suppkey=s.s_suppkey
+         GROUP BY 1,2 HAVING count(*) >= 25),
+       sym AS (SELECT DISTINCT src, dst FROM (
+           SELECT src, dst FROM ne WHERE src <> dst
+           UNION ALL SELECT dst, src FROM ne WHERE src <> dst) u),
+       deg AS (SELECT src AS node, count(*) AS d FROM sym GROUP BY 1),
+       tri AS (SELECT count(*) AS t FROM sym x
+         JOIN sym y ON y.src = x.dst AND x.src < x.dst AND y.src < y.dst
+         JOIN sym z ON z.src = x.src AND z.dst = y.dst),
+       m AS (SELECT count(*) AS v, CAST(sum(d) AS BIGINT) AS s1,
+             CAST(sum(d * (d - 1)) AS BIGINT) AS s2 FROM deg)
+       SELECT (SELECT t FROM tri) AS triangles,
+         round(CAST(s2 AS DOUBLE) * s2 * s2
+           / (6 * CAST(s1 AS DOUBLE) * s1 * s1), 4) AS expected_tri,
+         round(CAST((SELECT t FROM tri) AS DOUBLE)
+           / nullif(CAST(s2 AS DOUBLE) * s2 * s2
+             / (6 * CAST(s1 AS DOUBLE) * s1 * s1), 0), 4) AS excess_ratio
+       FROM m""",
+    note="configuration-model null check: observed triangles versus "
+    "the degree-preserving random expectation (sum d(d-1))^3 / "
+    "(6 (sum d)^3) — excess_ratio >> 1 means the clustering g64 "
+    "measured is genuine structure, not an artifact of the degree "
+    "sequence (the null every network claim must beat before it "
+    "means anything).  Both moments are exact integer sums over "
+    "the degree table; the triangle count reuses the ordered "
+    "wedge-join; one row out, doubles only at the edge",
+)
+def g66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    ne = (
+        c.table("lineitem")
+        .join(c.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c.table("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c.table("supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.concat(F.lit("n"), F.col("c_nationkey")).alias("src"),
+            F.concat(F.lit("n"), F.col("s_nationkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 25) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+    )
+    sym = ne.union(
+        ne.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    x = sym.select(F.col("src").alias("xa"), F.col("dst").alias("xb")).filter(
+        F.col("xa") < F.col("xb")
+    )
+    y = sym.select(F.col("src").alias("ya"), F.col("dst").alias("yb")).filter(
+        F.col("ya") < F.col("yb")
+    )
+    z = sym.select(F.col("src").alias("za"), F.col("dst").alias("zb"))
+    tri = (
+        x.join(y, F.col("ya") == F.col("xb"))
+        .join(z, (F.col("za") == F.col("xa")) & (F.col("zb") == F.col("yb")))
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    m = deg.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("d").alias("s1"),
+        F.sum(F.col("d") * (F.col("d") - 1)).alias("s2"),
+    )
+    exp = (
+        F.col("s2").cast("double")
+        * F.col("s2")
+        * F.col("s2")
+        / (6 * F.col("s1").cast("double") * F.col("s1") * F.col("s1"))
+    )
+    return tri.crossJoin(F.broadcast(m)).select(
+        F.col("t").alias("triangles"),
+        F.round(exp, 4).alias("expected_tri"),
+        F.round(F.col("t").cast("double") / F.nullif(exp, F.lit(0.0)), 4).alias(
+            "excess_ratio"
+        ),
+    )
+
+
 QUERIES = list(_G)
