@@ -2773,4 +2773,80 @@ def l58(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("stage")
 
 
+@_l(
+    "l59_signed_projection",
+    """WITH q AS (SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))
+           AS qv FROM embeddings),
+       e AS (SELECT vec_id, i.i AS d, list_extract(qv, i.i + 1) AS val
+             FROM q CROSS JOIN range(64) i(i)),
+       c AS (SELECT p.i AS p, d.i AS d,
+         CASE WHEN strpos('0123456789abcdef',
+             substring(md5(p.i || ':' || d.i), 1, 1)) - 1 < 8
+           THEN 1 ELSE -1 END AS coef
+         FROM range(16) p(i) CROSS JOIN range(64) d(i)),
+       dots AS (SELECT e.vec_id, c.p,
+         CAST(sum(c.coef * e.val) AS BIGINT) AS dot
+         FROM e JOIN c ON c.d = e.d GROUP BY 1, 2),
+       sigs AS (SELECT vec_id, CAST(sum(
+           (CASE WHEN dot > 0 THEN 1 ELSE 0 END) * (1 << p)) AS BIGINT)
+           AS sig FROM dots GROUP BY 1)
+       SELECT sig, count(*) AS n FROM sigs GROUP BY 1
+       ORDER BY n DESC, sig LIMIT 20""",
+    note="sign-random-projection signatures made ORACLE-CHECKABLE: 16 "
+    "pseudo-random +-1 hyperplanes derived from content hashes "
+    "(md5(plane:dim) digit), dotted against 3-decimal-quantized "
+    "vectors in EXACT integer arithmetic, sign bits packed into a "
+    "16-bit bucket id — the same hyperplane-LSH family as the "
+    "rows-only l12 ANN, but with every bit reproducible in SQL, so "
+    "the bucket histogram (the ANN index's load profile) is hash-"
+    "verified.  The 1024-row coefficient table broadcasts; one "
+    "shuffle on (vec, plane)",
+)
+def l59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = Catalog(spark, sf_dir).table("embeddings")
+    q = em.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))"
+        ).alias("qv"),
+    )
+    e = q.select("vec_id", F.posexplode("qv").alias("d", "val"))
+    planes = spark.range(16).select(F.col("id").alias("p"))
+    dims = spark.range(64).select(F.col("id").alias("cd"))
+    coef = planes.crossJoin(dims).select(
+        "p",
+        "cd",
+        F.when(
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("p"), F.col("cd"))), 1, 1
+                ),
+            )
+            - 1
+            < 8,
+            1,
+        )
+        .otherwise(-1)
+        .alias("coef"),
+    )
+    dots = (
+        e.join(F.broadcast(coef), F.col("cd") == F.col("d"))
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("coef") * F.col("val")).alias("dot"))
+    )
+    sigs = dots.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("dot") > 0, 1).otherwise(0) * F.expr("shiftleft(1, p)")
+        ).cast("long").alias("sig")
+    )
+    return (
+        sigs.groupBy("sig")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "sig")
+        .limit(20)
+    )
+
+
 QUERIES = list(_L)
