@@ -6828,4 +6828,118 @@ def t67(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "t68_we_rules",
+    """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS rc
+       FROM events GROUP BY 1),
+       mr AS (SELECT d, rc, abs(rc - lag(rc) OVER (ORDER BY d)) AS m
+              FROM d),
+       g AS (SELECT count(*) AS n, CAST(sum(rc) AS BIGINT) AS s,
+             CAST(sum(m) AS BIGINT) AS sm, count(m) AS nm FROM mr),
+       b AS (SELECT d, rc,
+         CAST(s AS DOUBLE) / n AS ce,
+         2.66 * (CAST(sm AS DOUBLE) / nm) AS s3 FROM mr CROSS JOIN g),
+       f AS (SELECT d, rc,
+         CASE WHEN rc > ce THEN 1 ELSE -1 END AS side,
+         CASE WHEN rc > ce + s3 OR rc < ce - s3 THEN 1 ELSE 0 END AS r3,
+         CASE WHEN rc > ce + s3 * 2 / 3 THEN 1 ELSE 0 END AS hi2,
+         CASE WHEN rc < ce - s3 * 2 / 3 THEN 1 ELSE 0 END AS lo2
+         FROM b),
+       runs AS (SELECT d, rc, side, r3, hi2, lo2,
+         CASE WHEN lag(side) OVER w IS NULL OR side <> lag(side) OVER w
+              THEN 1 ELSE 0 END AS brk
+         FROM f WINDOW w AS (ORDER BY d)),
+       rr AS (SELECT d, rc, side, r3, hi2, lo2,
+         sum(brk) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS rid
+         FROM runs),
+       rl AS (SELECT d, rc, side, r3, hi2, lo2,
+         row_number() OVER (PARTITION BY rid ORDER BY d) AS runlen FROM rr),
+       z AS (SELECT d, rc, side, r3, runlen,
+         sum(hi2) OVER (ORDER BY d ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+           AS h3,
+         sum(lo2) OVER (ORDER BY d ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+           AS l3 FROM rl)
+       SELECT strftime(d, '%Y-%m-%d') AS day, rc, CAST(side AS INT) AS side,
+         CAST(r3 = 1 AS BOOLEAN) AS rule_3sigma,
+         CAST(h3 >= 2 OR l3 >= 2 AS BOOLEAN) AS rule_2of3,
+         CAST(runlen >= 8 AS BOOLEAN) AS rule_8run
+       FROM z ORDER BY 1""",
+    note="Western Electric run rules over the t50 XmR chart: beyond-"
+    "3-sigma points, 2-of-3 consecutive beyond the 2-sigma zone on "
+    "the same side, and 8-in-a-row on one side of center — the "
+    "rules that catch drifts and shifts long before a single point "
+    "escapes the limits.  Center and sigma come from exact integer "
+    "moments (one double each); the side runs are gaps-and-islands "
+    "on an exact comparison; every rolling flag window runs over "
+    "the ~30-row daily series",
+)
+def t68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    d = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.floor(F.sum("value") * 100 + 0.5).cast("long").alias("rc")
+    )
+    wd = Window.orderBy("d")
+    mr = d.select("d", "rc", F.abs(F.col("rc") - F.lag("rc").over(wd)).alias("m"))
+    g = mr.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rc").alias("s"),
+        F.sum("m").alias("sm"),
+        F.count("m").alias("nm"),
+    )
+    b = mr.crossJoin(F.broadcast(g)).select(
+        "d",
+        "rc",
+        (F.col("s").cast("double") / F.col("n")).alias("ce"),
+        (2.66 * (F.col("sm").cast("double") / F.col("nm"))).alias("s3"),
+    )
+    f = b.select(
+        "d",
+        "rc",
+        F.when(F.col("rc") > F.col("ce"), 1).otherwise(-1).alias("side"),
+        F.when(
+            (F.col("rc") > F.col("ce") + F.col("s3"))
+            | (F.col("rc") < F.col("ce") - F.col("s3")),
+            1,
+        ).otherwise(0).alias("r3"),
+        F.when(F.col("rc") > F.col("ce") + F.col("s3") * 2 / 3, 1)
+        .otherwise(0)
+        .alias("hi2"),
+        F.when(F.col("rc") < F.col("ce") - F.col("s3") * 2 / 3, 1)
+        .otherwise(0)
+        .alias("lo2"),
+    )
+    runs = f.withColumn(
+        "brk",
+        F.when(
+            F.lag("side").over(wd).isNull()
+            | (F.col("side") != F.lag("side").over(wd)),
+            1,
+        ).otherwise(0),
+    )
+    rr = runs.withColumn(
+        "rid", F.sum("brk").over(wd.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    rl = rr.withColumn(
+        "runlen", F.row_number().over(Window.partitionBy("rid").orderBy("d"))
+    )
+    z = rl.select(
+        "d",
+        "rc",
+        "side",
+        "r3",
+        "runlen",
+        F.sum("hi2").over(wd.rowsBetween(-2, 0)).alias("h3"),
+        F.sum("lo2").over(wd.rowsBetween(-2, 0)).alias("l3"),
+    )
+    return z.select(
+        date_str(F.col("d")).alias("day"),
+        "rc",
+        F.col("side").cast("int").alias("side"),
+        (F.col("r3") == 1).alias("rule_3sigma"),
+        ((F.col("h3") >= 2) | (F.col("l3") >= 2)).alias("rule_2of3"),
+        (F.col("runlen") >= 8).alias("rule_8run"),
+    ).orderBy("day")
+
+
 QUERIES = list(_Q)
