@@ -6942,4 +6942,59 @@ def t68(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+@_q(
+    "q112_balance_audit",
+    """WITH t AS (SELECT doc_id, octet_length(encode(text)) AS nb
+         FROM documents),
+       r AS (SELECT nb, CAST((row_number() OVER (ORDER BY nb DESC, doc_id)
+           - 1) % 8 AS INT) AS worker FROM t),
+       w AS (SELECT worker, count(*) AS n_docs,
+             CAST(sum(nb) AS BIGINT) AS bytes FROM r GROUP BY 1),
+       m AS (SELECT CAST(max(bytes) AS BIGINT) AS mx,
+             CAST(sum(bytes) AS BIGINT) AS tot FROM w)
+       SELECT worker, n_docs, bytes,
+         round(CAST(8 * bytes AS DOUBLE) / tot, 4) AS load_ratio,
+         round(CAST(8 * mx AS DOUBLE) / tot, 4) AS straggler_ratio
+       FROM w CROSS JOIN m ORDER BY 1""",
+    note="static load-balance audit for size-skewed work: documents "
+    "dealt to 8 workers in descending-size round-robin (the sorted "
+    "deal that approximates LPT scheduling without its sequential "
+    "state), then per-worker byte loads against the uniform ideal "
+    "and the straggler ratio every worker row shares — "
+    "straggler_ratio IS the wall-clock multiplier a naive unsorted "
+    "split would hand the slowest task.  One sort-rank over (size, "
+    "id), one groupBy; exact bytes",
+)
+def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    t = d.select(
+        "doc_id", F.octet_length(F.encode(F.col("text"), "utf-8")).cast("long").alias("nb")
+    )
+    r = t.select(
+        "nb",
+        (
+            (F.row_number().over(Window.orderBy(F.desc("nb"), "doc_id")) - 1) % 8
+        ).cast("int").alias("worker"),
+    )
+    w = r.groupBy("worker").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("nb").alias("bytes")
+    )
+    m = w.agg(F.max("bytes").alias("mx"), F.sum("bytes").alias("tot"))
+    return (
+        w.crossJoin(F.broadcast(m))
+        .select(
+            "worker",
+            "n_docs",
+            "bytes",
+            F.round((8 * F.col("bytes")).cast("double") / F.col("tot"), 4).alias(
+                "load_ratio"
+            ),
+            F.round((8 * F.col("mx")).cast("double") / F.col("tot"), 4).alias(
+                "straggler_ratio"
+            ),
+        )
+        .orderBy("worker")
+    )
+
+
 QUERIES = list(_Q)
