@@ -2849,4 +2849,61 @@ def l59(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l60_corpus_diff",
+    """WITH tok AS (SELECT doc_id % 2 AS half,
+         unnest(string_split(text, ' ')) AS term FROM documents),
+       f AS (SELECT term,
+         CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+         FROM tok WHERE term <> '' GROUP BY 1),
+       t AS (SELECT CAST(sum(a) AS BIGINT) AS ta,
+             CAST(sum(b) AS BIGINT) AS tb FROM f),
+       lo AS (SELECT term, a, b,
+         round(ln((CAST(2 * a + 1 AS DOUBLE) / (2 * (ta + 1)))
+           / (CAST(2 * b + 1 AS DOUBLE) / (2 * (tb + 1)))), 4) AS log_odds
+         FROM f CROSS JOIN t)
+       SELECT term, a AS n_half0, b AS n_half1, log_odds FROM lo
+       ORDER BY abs(log_odds) DESC, term LIMIT 20""",
+    note="corpus-diff by smoothed log-odds: the 20 terms whose "
+    "frequency shifts most between the two corpus halves (even/odd "
+    "doc_id standing in for 'before/after a pipeline change') — the "
+    "token-level diagnosis behind l56's centroid drift and q91's "
+    "PSI: WHICH vocabulary moved, not just how much.  Laplace "
+    "smoothing is kept integral ((2k+1)/(2(T+1))) so both engines "
+    "feed identical doubles into one ln per term; ranking is on "
+    "the ROUNDED score with a term tie-break",
+)
+def l60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    tok = d.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.split("text", " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    f = tok.groupBy("term").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("b"),
+    )
+    t = f.agg(F.sum("a").alias("ta"), F.sum("b").alias("tb"))
+    lo = f.crossJoin(F.broadcast(t)).select(
+        "term",
+        "a",
+        "b",
+        F.round(
+            F.log(
+                ((2 * F.col("a") + 1).cast("double") / (2 * (F.col("ta") + 1)))
+                / ((2 * F.col("b") + 1).cast("double") / (2 * (F.col("tb") + 1)))
+            ),
+            4,
+        ).alias("log_odds"),
+    )
+    return (
+        lo.select(
+            "term", F.col("a").alias("n_half0"), F.col("b").alias("n_half1"), "log_odds"
+        )
+        .orderBy(F.abs(F.col("log_odds")).desc(), "term")
+        .limit(20)
+    )
+
+
 QUERIES = list(_L)

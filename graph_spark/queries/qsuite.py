@@ -6997,4 +6997,54 @@ def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "t69_peak_window",
+    """WITH c AS (SELECT CAST(epoch_us(date_trunc('hour', ts))
+           // 3600000000 AS BIGINT) AS eh, count(*) AS n
+         FROM events GROUP BY 1),
+       w AS (SELECT a.eh, CAST(sum(b.n) AS BIGINT) AS n4,
+             count(*) AS hours_present
+         FROM c a JOIN c b ON b.eh BETWEEN a.eh AND a.eh + 3
+         GROUP BY 1)
+       SELECT strftime(to_timestamp(eh * 3600), '%Y-%m-%d %H:%M:%S.%f')
+           AS window_start, CAST(hours_present AS BIGINT) AS hours_present,
+         n4 AS n_events
+       FROM w ORDER BY n4 DESC, eh LIMIT 1""",
+    note="peak sustained load: the busiest 4-consecutive-hour window "
+    "(argmax of a rolling epoch-hour-indexed sum, deterministic "
+    "tie-break) — the capacity number autoscaling and rate-limit "
+    "budgets are provisioned against, where the hourly max alone "
+    "underestimates sustained pressure.  Epoch-hour integer "
+    "indexing makes 'consecutive' exact across gaps (absent hours "
+    "contribute zero by absence, hours_present reports how many "
+    "were non-empty); the windowed sum is a bounded-offset "
+    "self-join on the tiny hourly table",
+)
+def t69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    c = ev.groupBy(
+        F.floor(F.unix_micros(F.date_trunc("hour", "ts")) / 3_600_000_000)
+        .cast("long")
+        .alias("eh")
+    ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+    a = c.select(F.col("eh").alias("ae"))
+    b = c.select(F.col("eh").alias("be"), "n")
+    w = (
+        a.join(b, (F.col("be") >= F.col("ae")) & (F.col("be") <= F.col("ae") + 3))
+        .groupBy("ae")
+        .agg(F.sum("n").alias("n4"), F.count(F.lit(1)).alias("hours_present"))
+    )
+    return (
+        w.select(
+            ts_str(F.timestamp_seconds(F.col("ae") * 3600)).alias("window_start"),
+            F.col("hours_present").cast("long").alias("hours_present"),
+            F.col("n4").alias("n_events"),
+            F.col("ae").alias("__ae"),
+        )
+        .orderBy(F.desc("n_events"), "__ae")
+        .limit(1)
+        .drop("__ae")
+    )
+
+
 QUERIES = list(_Q)
