@@ -2906,4 +2906,68 @@ def l60(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "m09_pyramid_plan",
+    """WITH m AS (SELECT source, doc_id, octet_length(encode(text)) AS nb
+         FROM documents),
+       lv AS (SELECT source, doc_id, nb, unnest(generate_series(0, 20)) AS k
+              FROM m),
+       keep AS (SELECT source, doc_id, k,
+         CAST((nb + (1 << k) - 1) // (1 << k) AS BIGINT) AS lb
+         FROM lv WHERE k = 0
+           OR (nb + (1 << k) - 1) // (1 << k) >= 64),
+       per AS (SELECT source, doc_id,
+         CAST(sum(lb) AS BIGINT) AS pyr,
+         CAST(max(CASE WHEN k = 0 THEN lb END) AS BIGINT) AS base,
+         count(*) AS n_levels FROM keep GROUP BY 1, 2)
+       SELECT source, count(*) AS n_docs,
+         CAST(sum(base) AS BIGINT) AS base_bytes,
+         CAST(sum(pyr) AS BIGINT) AS pyramid_bytes,
+         CAST(max(n_levels) AS BIGINT) AS max_levels,
+         round(CAST(sum(pyr) AS DOUBLE) / sum(base), 4) AS overhead
+       FROM per GROUP BY 1 ORDER BY 1""",
+    note="thumbnail/mip pyramid storage planner: per payload, the "
+    "halving-resolution level chain down to a 64-byte floor (level "
+    "bytes = ceil(n / 2^k), exact integer shift arithmetic), rolled "
+    "up per source into base vs pyramid bytes and the storage "
+    "overhead ratio — the capacity answer (geometric series says "
+    "~2x; the exact plan says precisely, including the floor "
+    "cutoff) a media lake needs BEFORE materializing derived "
+    "assets.  Level expansion is a bounded 21-way explode pruned "
+    "immediately; codec stubs never run",
+)
+def m09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    m = d.select(
+        "source",
+        "doc_id",
+        F.octet_length(F.encode(F.col("text"), "utf-8")).cast("long").alias("nb"),
+    )
+    lv = m.select(
+        "source", "doc_id", "nb", F.explode(F.sequence(F.lit(0), F.lit(20))).alias("k")
+    )
+    lb = F.expr("(nb + shiftleft(1, k) - 1) DIV shiftleft(1, k)")
+    keep = lv.select("source", "doc_id", "k", lb.alias("lb")).filter(
+        (F.col("k") == 0) | (F.col("lb") >= 64)
+    )
+    per = keep.groupBy("source", "doc_id").agg(
+        F.sum("lb").alias("pyr"),
+        F.max(F.when(F.col("k") == 0, F.col("lb"))).alias("base"),
+        F.count(F.lit(1)).alias("n_levels"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("base").alias("base_bytes"),
+            F.sum("pyr").alias("pyramid_bytes"),
+            F.max("n_levels").alias("max_levels"),
+            F.round(
+                F.sum("pyr").cast("double") / F.sum("base"), 4
+            ).alias("overhead"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = list(_L)
