@@ -7047,4 +7047,71 @@ def t69(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q113_topn_other",
+    """WITH n AS (SELECT n_name,
+         CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS rev,
+         count(*) AS n_orders
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey GROUP BY 1),
+       r AS (SELECT n_name, rev, n_orders, row_number() OVER
+           (ORDER BY rev DESC, n_name) AS rk FROM n),
+       g AS (SELECT CASE WHEN rk <= 5 THEN n_name ELSE 'zz_other' END
+           AS label, CAST(sum(rev) AS BIGINT) AS rev,
+           CAST(sum(n_orders) AS BIGINT) AS n_orders,
+           count(*) AS n_members FROM r GROUP BY 1),
+       t AS (SELECT CAST(sum(rev) AS BIGINT) AS tot FROM g)
+       SELECT label, n_members, n_orders, rev,
+         round(CAST(rev AS DOUBLE) / tot, 4) AS share
+       FROM g CROSS JOIN t ORDER BY rev DESC, label""",
+    note="top-N-plus-Other rollup: the 5 largest nations by exact "
+    "revenue keep their identity, the tail folds into one 'other' "
+    "bucket with its member count — the presentation-layer "
+    "aggregation every dashboard needs and every ad-hoc query gets "
+    "subtly wrong by dropping the tail instead of folding it "
+    "(shares then stop summing to 1).  Rank with full tie-break on "
+    "exact cents; the fold is one conditional re-group over the "
+    "25-row nation aggregate",
+)
+def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    n = (
+        c.table("orders")
+        .join(c.table("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c.table("nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.floor(F.sum("o_totalprice") * 100 + 0.5).cast("long").alias("rev"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    r = n.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("rev"), "n_name"))
+    )
+    g = (
+        r.groupBy(
+            F.when(F.col("rk") <= 5, F.col("n_name"))
+            .otherwise("zz_other")
+            .alias("label")
+        )
+        .agg(
+            F.sum("rev").alias("rev"),
+            F.sum("n_orders").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+    t = g.agg(F.sum("rev").alias("tot"))
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "label",
+            "n_members",
+            "n_orders",
+            "rev",
+            F.round(F.col("rev").cast("double") / F.col("tot"), 4).alias("share"),
+        )
+        .orderBy(F.desc("rev"), "label")
+    )
+
+
 QUERIES = list(_Q)
