@@ -724,3 +724,83 @@ def test_knn_label_vote_separated_clusters(spark):
     pred = knn_label_vote(df, k=3).collect()
     assert len(pred) == 16
     assert all(r["pred"] == r["label"] for r in pred)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_skyline_matches_bruteforce(spark, seed):
+    """q93's two-window-pass skyline == the O(n^2) dominance
+    definition on random integer points (ties included)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(seed)
+    pts = [(i, rng.randint(0, 20), rng.randint(0, 20)) for i in range(120)]
+    df = spark.createDataFrame(pts, ["pid", "rev", "cnt"])
+
+    pr = df.groupBy("rev").agg(F.max("cnt").alias("emax"))
+    mr = pr.select(
+        "rev",
+        "emax",
+        F.max("emax")
+        .over(Window.orderBy(F.desc("rev")).rowsBetween(Window.unboundedPreceding, -1))
+        .alias("m"),
+    )
+    sky = (
+        df.join(mr, "rev")
+        .filter(
+            ~(
+                (F.coalesce(F.col("m"), F.lit(-1)) >= F.col("cnt"))
+                | (F.col("emax") > F.col("cnt"))
+            )
+        )
+        .select("pid")
+    )
+    got = {r["pid"] for r in sky.collect()}
+
+    def dominated(p):
+        return any(
+            q[1] >= p[1] and q[2] >= p[2] and (q[1] > p[1] or q[2] > p[2])
+            for q in pts
+            if q is not p
+        )
+
+    want = {p[0] for p in pts if not dominated(p)}
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_largest_remainder_sums_to_budget(spark, seed):
+    """Hamilton apportionment invariant (q96 shape): integer
+    allocations sum EXACTLY to the budget and differ from exact
+    proportional shares by < 1 unit each."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(seed)
+    budget = 10007
+    rows = [(f"s{i}", rng.randint(1, 10**6)) for i in range(17)]
+    r = spark.createDataFrame(rows, ["seg", "rev"])
+    t = r.agg(F.sum("rev").alias("tot"))
+    a = r.crossJoin(F.broadcast(t)).select(
+        "seg",
+        "rev",
+        "tot",
+        F.expr(f"({budget} * rev) DIV tot").alias("base"),
+        ((budget * F.col("rev")) % F.col("tot")).alias("frac"),
+    )
+    k = a.agg((F.lit(budget) - F.sum("base")).cast("long").alias("k"))
+    rk = a.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.desc("frac"), "seg"))
+    )
+    out = rk.crossJoin(F.broadcast(k)).select(
+        "seg",
+        "rev",
+        "tot",
+        (F.col("base") + F.when(F.col("rn") <= F.col("k"), 1).otherwise(0)).alias(
+            "alloc"
+        ),
+    ).collect()
+    assert sum(r["alloc"] for r in out) == budget
+    for row in out:
+        exact = budget * row["rev"] / row["tot"]
+        assert abs(row["alloc"] - exact) < 1.0
