@@ -7114,4 +7114,89 @@ def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "t70_business_hours_share",
+    """WITH e AS (SELECT event_type,
+         (CAST(CAST(date_trunc('day', ts) AS DATE)
+             - DATE '1970-01-01' AS BIGINT) + 3) % 7 AS dow,
+         hour(ts) AS hh FROM events),
+       f AS (SELECT event_type,
+         CASE WHEN dow < 5 AND hh >= 9 AND hh < 17 THEN 1 ELSE 0 END
+           AS biz FROM e)
+       SELECT event_type, count(*) AS n,
+         CAST(sum(biz) AS BIGINT) AS n_business,
+         round(CAST(sum(biz) AS DOUBLE) / count(*), 4) AS business_share
+       FROM f GROUP BY 1 ORDER BY 1""",
+    note="business-hours traffic share per event type (Mon-Fri 9-17 "
+    "UTC, weekday via the t37 epoch-day formula that no engine "
+    "week-start setting can bend): the organic-vs-automated "
+    "signature — human-driven types concentrate in office hours "
+    "while bot/batch types flatline across the clock, complementing "
+    "t67's minute-level cron spikes at the day scale.  One pass, "
+    "integer flags, one ratio per type",
+)
+def t70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    dow = (
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast("long") + 3
+    ) % 7
+    biz = F.when(
+        (dow < 5) & (F.hour("ts") >= 9) & (F.hour("ts") < 17), 1
+    ).otherwise(0)
+    return (
+        ev.select("event_type", biz.alias("biz"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("biz").alias("n_business"),
+            F.round(F.sum("biz").cast("double") / F.count(F.lit(1)), 4).alias(
+                "business_share"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_q(
+    "q114_calendar_dim",
+    """WITH d AS (SELECT DATE '1996-01-01' + CAST(i AS INT) AS d
+         FROM unnest(generate_series(0, 365)) t(i))
+       SELECT strftime(d, '%Y-%m-%d') AS day,
+         CAST(year(d) AS INT) AS yr, CAST(month(d) AS INT) AS mo,
+         CAST((month(d) + 2) // 3 AS INT) AS qtr,
+         CAST((CAST(d - DATE '1970-01-01' AS BIGINT) + 3) % 7 AS INT)
+           AS dow,
+         CAST((CAST(d - DATE '1970-01-01' AS BIGINT) + 3) % 7 >= 5
+           AS BOOLEAN) AS is_weekend,
+         CAST(CAST(d - DATE '1996-01-01' AS BIGINT) + 1 AS INT)
+           AS day_of_year
+       FROM d ORDER BY 1""",
+    note="generated calendar dimension for leap-year 1996: the "
+    "conformed date table every warehouse join-spines against, "
+    "built from a pure sequence (no source scan at all) with "
+    "engine-proof attributes — weekday from the epoch-day formula "
+    "(0=Monday regardless of locale/week-start settings), quarter "
+    "by integer arithmetic, day-of-year by date subtraction.  366 "
+    "rows; at scale the same generator emits decades and joins "
+    "broadcast",
+)
+def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spine = spark.range(0, 366).select(
+        F.date_add(F.lit("1996-01-01").cast("date"), F.col("id").cast("int")).alias("d")
+    )
+    ed = F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).cast("long")
+    dow = (ed + 3) % 7
+    return spine.select(
+        date_str(F.col("d")).alias("day"),
+        F.year("d").cast("int").alias("yr"),
+        F.month("d").cast("int").alias("mo"),
+        F.floor((F.month("d") + 2) / 3).cast("int").alias("qtr"),
+        dow.cast("int").alias("dow"),
+        (dow >= 5).alias("is_weekend"),
+        (
+            F.datediff(F.col("d"), F.lit("1996-01-01").cast("date")).cast("long") + 1
+        ).cast("int").alias("day_of_year"),
+    ).orderBy("day")
+
+
 QUERIES = list(_Q)
