@@ -3193,4 +3193,70 @@ def g66(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g67_adoption_timing",
+    f"""WITH {GRAPH_CTES},
+       med AS (SELECT first_ts AS m FROM graph_edges
+         QUALIFY row_number() OVER (ORDER BY first_ts, src, dst)
+           = (count(*) OVER () + 1) // 2),
+       pn AS (SELECT src AS node,
+         count(*) AS deg,
+         CAST(sum(CASE WHEN first_ts <= (SELECT m FROM med)
+           THEN 1 ELSE 0 END) AS BIGINT) AS early
+         FROM graph_edges GROUP BY 1),
+       cls AS (SELECT node, deg, early, CASE
+           WHEN 2 * early >= 2 * deg THEN 'a_early'
+           WHEN 4 * early >= 3 * deg THEN 'b_mostly_early'
+           WHEN 4 * early >= deg THEN 'c_mixed'
+           ELSE 'd_late' END AS timing FROM pn)
+       SELECT timing, count(*) AS n_nodes,
+         CAST(sum(deg) AS BIGINT) AS total_edges
+       FROM cls GROUP BY 1 ORDER BY 1""",
+    note="relationship-formation timing classes: each customer "
+    "classified by what fraction of its supplier edges existed by "
+    "the corpus-median first_ts — early adopters (all edges early), "
+    "mostly-early, mixed, late entrants — the customer-lifecycle "
+    "segmentation that snapshot-diff counts (g13) aggregate away.  "
+    "The median edge timestamp is one rank pick (exact, tie-broken); "
+    "class cuts are integer cross-multiplications (2e >= 2d, 4e >= "
+    "3d, 4e >= d), so no float thresholds anywhere",
+)
+def g67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    ge = c.graph_edges().select("src", "dst", "first_ts").localCheckpoint(eager=True)
+    n_edges = ge.count()
+    med = (
+        ge.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy("first_ts", "src", "dst")),
+        )
+        .filter(F.col("rn") == (n_edges + 1) // 2)
+        .select(F.col("first_ts").alias("m"))
+    )
+    pn = (
+        ge.crossJoin(F.broadcast(med))
+        .groupBy(F.col("src").alias("node"))
+        .agg(
+            F.count(F.lit(1)).alias("deg"),
+            F.sum(
+                F.when(F.col("first_ts") <= F.col("m"), 1).otherwise(0)
+            ).alias("early"),
+        )
+    )
+    timing = (
+        F.when(2 * F.col("early") >= 2 * F.col("deg"), "a_early")
+        .when(4 * F.col("early") >= 3 * F.col("deg"), "b_mostly_early")
+        .when(4 * F.col("early") >= F.col("deg"), "c_mixed")
+        .otherwise("d_late")
+    )
+    return (
+        pn.groupBy(timing.alias("timing"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("deg").alias("total_edges"),
+        )
+        .orderBy("timing")
+    )
+
+
 QUERIES = list(_G)

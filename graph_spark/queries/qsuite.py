@@ -7199,4 +7199,72 @@ def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("day")
 
 
+@_q(
+    "t71_taylor_law",
+    """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS rc
+       FROM events GROUP BY 1),
+       g AS (SELECT (CAST(d - DATE '1970-01-01' AS BIGINT) + 3) % 7 AS dow,
+         count(*) AS n, CAST(sum(rc) AS BIGINT) AS s,
+         CAST(sum(rc * rc) AS BIGINT) AS ss FROM d GROUP BY 1),
+       mv AS (SELECT dow, CAST(s AS DOUBLE) / n AS mean,
+         (ss - CAST(s AS DOUBLE) * s / n) / n AS var
+         FROM g WHERE n >= 2),
+       r AS (SELECT round(regr_slope(ln(var), ln(mean)), 4) AS b,
+             count(*) AS n_groups FROM mv WHERE var > 0)
+       SELECT b, n_groups,
+         CASE WHEN b < 0.5 THEN 'none'
+              WHEN b < 1.5 THEN 'sqrt'
+              WHEN b < 2.5 THEN 'log'
+              ELSE 'inverse' END AS recommended_transform
+       FROM r""",
+    note="Taylor's power law fit: regress ln(variance) on ln(mean) "
+    "across day-of-week groups of daily revenue — the mean-variance "
+    "exponent b that picks the variance-stabilizing transform "
+    "(b~1 -> sqrt, b~2 -> log) BEFORE anyone runs z-scores or "
+    "control charts on heteroscedastic data (t32/t50 implicitly "
+    "assume b=0).  Group moments are exact integer sums; ln/regr "
+    "run over <= 7 points; the recommendation bands are explicit "
+    "CASE cuts on the rounded exponent",
+)
+def t71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    d = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.floor(F.sum("value") * 100 + 0.5).cast("long").alias("rc")
+    )
+    g = d.groupBy(
+        (
+            (
+                F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).cast("long")
+                + 3
+            )
+            % 7
+        ).alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rc").alias("s"),
+        F.sum(F.col("rc") * F.col("rc")).alias("ss"),
+    )
+    mv = g.filter(F.col("n") >= 2).select(
+        (F.col("s").cast("double") / F.col("n")).alias("mean"),
+        (
+            (F.col("ss") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+            / F.col("n")
+        ).alias("var"),
+    )
+    r = mv.filter(F.col("var") > 0).agg(
+        F.round(F.expr("regr_slope(ln(var), ln(mean))"), 4).alias("b"),
+        F.count(F.lit(1)).alias("n_groups"),
+    )
+    return r.select(
+        "b",
+        "n_groups",
+        F.when(F.col("b") < 0.5, "none")
+        .when(F.col("b") < 1.5, "sqrt")
+        .when(F.col("b") < 2.5, "log")
+        .otherwise("inverse")
+        .alias("recommended_transform"),
+    )
+
+
 QUERIES = list(_Q)
