@@ -2970,4 +2970,79 @@ def m09(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l61_window_dedup_recall",
+    """WITH docs AS (SELECT doc_id,
+         list_filter(string_split(text,' '), x -> x <> '') AS l
+       FROM documents),
+       sh AS (SELECT DISTINCT doc_id, s[1] || ' ' || s[2] AS shingle
+              FROM (SELECT doc_id, unnest(list_zip(l, l[2:])) AS s FROM docs) z
+              WHERE s[2] IS NOT NULL),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+                 FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id<b.doc_id
+                 GROUP BY 1,2),
+       pairs AS (SELECT a, b FROM inter
+                 JOIN sizes sa ON sa.doc_id=a JOIN sizes sb ON sb.doc_id=b
+                 WHERE 100 * i >= 12 * (sa.sz + sb.sz - i)),
+       m AS (SELECT count(*) AS total,
+             CAST(sum(CASE WHEN b - a <= 50 THEN 1 ELSE 0 END) AS BIGINT)
+               AS in_window FROM pairs)
+       SELECT total AS n_dup_pairs, in_window AS n_within_50,
+         round(CAST(in_window AS DOUBLE) / nullif(total, 0), 4)
+           AS window_recall
+       FROM m""",
+    note="bounded-memory dedup recall: of all near-duplicate pairs "
+    "(shingle Jaccard >= 0.12, integer-compared), how many fall "
+    "within 50 documents of each other in ingestion order — the "
+    "recall a STREAMING dedup filter with a 50-doc trailing buffer "
+    "would achieve, measured before anyone commits to bounded "
+    "state.  High recall means duplicates cluster temporally "
+    "(typical of crawl bursts) and the cheap filter suffices; low "
+    "means only the full l19-style join catches them.  Same "
+    "inverted-index candidates as every dedup op",
+)
+def l61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import word_shingles
+
+    d = Catalog(spark, sf_dir).table("documents")
+    sh = word_shingles(d, 2)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    pairs = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))),
+            "a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))),
+            "b",
+        )
+        .filter(
+            100 * F.col("i") >= 12 * (F.col("sza") + F.col("szb") - F.col("i"))
+        )
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(F.col("b") - F.col("a") <= 50, 1).otherwise(0)).alias(
+            "in_window"
+        ),
+    )
+    return m.select(
+        F.col("total").alias("n_dup_pairs"),
+        F.col("in_window").alias("n_within_50"),
+        F.round(
+            F.col("in_window").cast("double") / F.nullif(F.col("total"), F.lit(0)),
+            4,
+        ).alias("window_recall"),
+    )
+
+
 QUERIES = list(_L)
