@@ -7267,4 +7267,70 @@ def t71(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q115_scd_chain_audit",
+    """WITH v AS (SELECT o_custkey AS k, o_orderdate AS vfrom,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS vto FROM orders),
+       c AS (SELECT k, vfrom, vto,
+         lead(vfrom) OVER (PARTITION BY k ORDER BY vfrom, vto) AS nxt
+         FROM v)
+       SELECT count(DISTINCT k) AS n_keys, count(*) AS n_versions,
+         CAST(sum(CASE WHEN nxt IS NOT NULL AND vto IS NOT NULL
+             AND nxt > vto THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+         CAST(sum(CASE WHEN nxt IS NOT NULL AND vto IS NOT NULL
+             AND nxt < vto THEN 1 ELSE 0 END) AS BIGINT) AS n_overlaps,
+         CAST(sum(CASE WHEN vto IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_open,
+         CAST(count(DISTINCT k)
+           = sum(CASE WHEN vto IS NULL THEN 1 ELSE 0 END) AS BOOLEAN)
+           AS one_open_per_key
+       FROM c""",
+    note="SCD2 validity-chain integrity audit: per key, successive "
+    "versions must tile time with no gaps (next.valid_from > "
+    "prev.valid_to), no overlaps (<), and EXACTLY one open row — "
+    "the invariants every as-of read (t35, s19) silently assumes "
+    "and every hand-rolled MERGE eventually breaks.  On the "
+    "lead-derived version table the clean result is a "
+    "construction-time proof; pointed at a persisted SCD store it "
+    "is the corruption detector.  One window pass per check, "
+    "co-partitioned on the key",
+)
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    wv = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    v = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("vfrom"),
+        F.lead("o_orderdate").over(wv).alias("vto"),
+    )
+    wc = Window.partitionBy("k").orderBy("vfrom", "vto")
+    c = v.withColumn("nxt", F.lead("vfrom").over(wc))
+    gaps = F.sum(
+        F.when(
+            F.col("nxt").isNotNull()
+            & F.col("vto").isNotNull()
+            & (F.col("nxt") > F.col("vto")),
+            1,
+        ).otherwise(0)
+    )
+    overlaps = F.sum(
+        F.when(
+            F.col("nxt").isNotNull()
+            & F.col("vto").isNotNull()
+            & (F.col("nxt") < F.col("vto")),
+            1,
+        ).otherwise(0)
+    )
+    opens = F.sum(F.when(F.col("vto").isNull(), 1).otherwise(0))
+    return c.agg(
+        F.countDistinct("k").alias("n_keys"),
+        F.count(F.lit(1)).alias("n_versions"),
+        gaps.alias("n_gaps"),
+        overlaps.alias("n_overlaps"),
+        opens.alias("n_open"),
+        (F.countDistinct("k") == opens).alias("one_open_per_key"),
+    )
+
+
 QUERIES = list(_Q)
