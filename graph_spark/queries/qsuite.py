@@ -7333,4 +7333,52 @@ def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q116_rfm_segments",
+    """WITH u AS (SELECT user_id,
+         CAST((epoch_us(TIMESTAMP '2024-02-01')
+           - epoch_us(max(ts))) // 86400000000 AS BIGINT) AS recency_d,
+         count(*) AS freq,
+         CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS monetary
+       FROM events GROUP BY 1),
+       s AS (SELECT user_id,
+         CAST(ntile(5) OVER (ORDER BY recency_d DESC, user_id) AS INT) AS r,
+         CAST(ntile(5) OVER (ORDER BY freq, user_id) AS INT) AS f,
+         CAST(ntile(5) OVER (ORDER BY monetary, user_id) AS INT) AS m
+         FROM u)
+       SELECT r, f, m, count(*) AS n_users FROM s
+       GROUP BY 1, 2, 3 ORDER BY 4 DESC, 1, 2, 3 LIMIT 15""",
+    note="RFM segmentation: recency / frequency / monetary quintile "
+    "scores per user (5 = most recent, most frequent, highest "
+    "spend; recency ranked DESCENDING so larger score = fresher), "
+    "top-15 occupied cells — the lifecycle-marketing workhorse "
+    "(555 = champions, 1xx = churned).  Integer day recency from "
+    "a fixed reference instant, exact cent monetary, ntile with "
+    "full tie-breaks in all three dimensions so cell assignment is "
+    "engine-stable; one groupBy then three rank passes over the "
+    "user table",
+)
+def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    ref = F.unix_micros(F.lit("2024-02-01").cast("timestamp"))
+    u = ev.groupBy("user_id").agg(
+        F.floor((ref - F.unix_micros(F.max("ts"))) / 86_400_000_000)
+        .cast("long")
+        .alias("recency_d"),
+        F.count(F.lit(1)).alias("freq"),
+        F.floor(F.sum("value") * 100 + 0.5).cast("long").alias("monetary"),
+    )
+    s = u.select(
+        F.ntile(5).over(Window.orderBy(F.desc("recency_d"), "user_id")).cast("int").alias("r"),
+        F.ntile(5).over(Window.orderBy("freq", "user_id")).cast("int").alias("f"),
+        F.ntile(5).over(Window.orderBy("monetary", "user_id")).cast("int").alias("m"),
+    )
+    return (
+        s.groupBy("r", "f", "m")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "r", "f", "m")
+        .limit(15)
+    )
+
+
 QUERIES = list(_Q)
