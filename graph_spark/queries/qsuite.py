@@ -7381,4 +7381,79 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "t73_weekend_ttest",
+    """WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS rc
+       FROM events GROUP BY 1),
+       s AS (SELECT rc, CASE WHEN
+           (CAST(d - DATE '1970-01-01' AS BIGINT) + 3) % 7 >= 5
+           THEN 1 ELSE 0 END AS we FROM d),
+       g AS (SELECT
+         CAST(sum(CASE WHEN we = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN we = 0 THEN rc ELSE 0 END) AS BIGINT) AS s1,
+         CAST(sum(CASE WHEN we = 0 THEN rc * rc ELSE 0 END) AS BIGINT)
+           AS q1,
+         CAST(sum(CASE WHEN we = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN we = 1 THEN rc ELSE 0 END) AS BIGINT) AS s2,
+         CAST(sum(CASE WHEN we = 1 THEN rc * rc ELSE 0 END) AS BIGINT)
+           AS q2 FROM s)
+       SELECT n1 AS n_weekday, n2 AS n_weekend,
+         round(CAST(s1 AS DOUBLE) / n1 / 100, 2) AS mean_weekday,
+         round(CAST(s2 AS DOUBLE) / n2 / 100, 2) AS mean_weekend,
+         round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+           / sqrt((q1 - CAST(s1 AS DOUBLE) * s1 / n1)
+               / (CAST(n1 AS DOUBLE) * (n1 - 1))
+             + (q2 - CAST(s2 AS DOUBLE) * s2 / n2)
+               / (CAST(n2 AS DOUBLE) * (n2 - 1))), 4) AS welch_t
+       FROM g""",
+    note="weekend-effect two-sample test: weekday vs weekend daily "
+    "revenue means with the Welch t statistic (unequal variances — "
+    "the correct default) — whether t40's seasonal index reflects "
+    "signal or noise.  All six moments (counts, sums, sums of "
+    "squares per group) are exact BIGINTs from ONE aggregation "
+    "with conditional sums; the t formula is a single fixed-order "
+    "double expression, the same determinism discipline as q103's "
+    "z.  Epoch-day weekday math, engine-proof",
+)
+def t73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    d = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.floor(F.sum("value") * 100 + 0.5).cast("long").alias("rc")
+    )
+    we = (
+        (
+            F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).cast("long")
+            + 3
+        )
+        % 7
+        >= 5
+    )
+    s = d.select("rc", F.when(we, 1).otherwise(0).alias("we"))
+    cs = lambda cond, expr: F.sum(F.when(cond, expr).otherwise(0))
+    g = s.agg(
+        cs(F.col("we") == 0, F.lit(1)).alias("n1"),
+        cs(F.col("we") == 0, F.col("rc")).alias("s1"),
+        cs(F.col("we") == 0, F.col("rc") * F.col("rc")).alias("q1"),
+        cs(F.col("we") == 1, F.lit(1)).alias("n2"),
+        cs(F.col("we") == 1, F.col("rc")).alias("s2"),
+        cs(F.col("we") == 1, F.col("rc") * F.col("rc")).alias("q2"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    m2 = F.col("s2").cast("double") / F.col("n2")
+    v1 = (F.col("q1") - F.col("s1").cast("double") * F.col("s1") / F.col("n1")) / (
+        F.col("n1").cast("double") * (F.col("n1") - 1)
+    )
+    v2 = (F.col("q2") - F.col("s2").cast("double") * F.col("s2") / F.col("n2")) / (
+        F.col("n2").cast("double") * (F.col("n2") - 1)
+    )
+    return g.select(
+        F.col("n1").alias("n_weekday"),
+        F.col("n2").alias("n_weekend"),
+        F.round(m1 / 100, 2).alias("mean_weekday"),
+        F.round(m2 / 100, 2).alias("mean_weekend"),
+        F.round((m1 - m2) / F.sqrt(v1 + v2), 4).alias("welch_t"),
+    )
+
+
 QUERIES = list(_Q)
