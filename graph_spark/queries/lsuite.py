@@ -3045,4 +3045,59 @@ def l61(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l62_truncation_loss",
+    """WITH t AS (SELECT CAST((length(text) + 3) // 4 AS BIGINT) AS toks
+         FROM documents),
+       c AS (SELECT l.lim, count(*) AS n_docs,
+         CAST(sum(CASE WHEN toks > l.lim THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_truncated,
+         CAST(sum(toks) AS BIGINT) AS total_toks,
+         CAST(sum(CASE WHEN toks > l.lim THEN toks - l.lim ELSE 0 END)
+           AS BIGINT) AS lost_toks
+         FROM t CROSS JOIN (VALUES (128), (512), (2048)) l(lim)
+         GROUP BY 1)
+       SELECT CAST(lim AS INT) AS context_limit, n_truncated,
+         lost_toks,
+         round(CAST(lost_toks AS DOUBLE) / total_toks, 4) AS loss_share
+       FROM c ORDER BY 1""",
+    note="context-window truncation loss: for candidate limits "
+    "(128/512/2048 tokens under the l10 budget estimate), how many "
+    "documents get cut and what fraction of corpus tokens falls off "
+    "the end — the picks-the-max-seq-len table that balances "
+    "padding waste (limit too high, see l32 pack efficiency) "
+    "against information loss (too low).  One scan, three what-ifs "
+    "via a 3-row broadcast, exact integer token arithmetic",
+)
+def l62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    t = d.select(
+        F.floor((F.length("text") + 3) / 4).cast("long").alias("toks")
+    )
+    lims = spark.createDataFrame([(128,), (512,), (2048,)], ["lim"])
+    c = (
+        t.crossJoin(F.broadcast(lims))
+        .groupBy("lim")
+        .agg(
+            F.sum(F.when(F.col("toks") > F.col("lim"), 1).otherwise(0)).alias(
+                "n_truncated"
+            ),
+            F.sum("toks").alias("total_toks"),
+            F.sum(
+                F.when(
+                    F.col("toks") > F.col("lim"), F.col("toks") - F.col("lim")
+                ).otherwise(0)
+            ).alias("lost_toks"),
+        )
+    )
+    return c.select(
+        F.col("lim").cast("int").alias("context_limit"),
+        "n_truncated",
+        "lost_toks",
+        F.round(F.col("lost_toks").cast("double") / F.col("total_toks"), 4).alias(
+            "loss_share"
+        ),
+    ).orderBy("context_limit")
+
+
 QUERIES = list(_L)
