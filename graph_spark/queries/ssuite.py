@@ -779,4 +779,39 @@ def s19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd_enriched_counts(c.table("events"), ver).orderBy("prio")
 
 
+def first_touch_state(ev: DataFrame) -> DataFrame:
+    """Shared transform for S20: per-user FIRST event (min_by on the
+    unique (ts, event_id) order) — one mergeable struct per user, the
+    acquisition-channel complement of s13's latest-state view."""
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_type", F.struct("ts", "event_id")).alias("first_type"),
+        F.min("ts").alias("first_ts"),
+    )
+
+
+@_s(
+    "s20_stream_first_touch",
+    """WITH f AS (SELECT user_id,
+         arg_min(event_type, ts) AS first_type FROM events GROUP BY 1)
+       SELECT first_type, count(*) AS n_users FROM f
+       GROUP BY 1 ORDER BY 1""",
+    note="streaming first-touch acquisition channels: each user's "
+    "FIRST event type held as mergeable arg_min state (new events "
+    "can only lose to an earlier-timestamped arrival, so late data "
+    "folds in correctly), rolled up to users-per-channel at the "
+    "sink — q85 answers which touch converts, this answers which "
+    "channel acquires.  Unique (user_id, ts) in the fixture keeps "
+    "arg_min deterministic (guarded by test_oracle_preconditions); "
+    "replay parity in tests/test_streaming.py",
+)
+def s20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    return (
+        first_touch_state(ev)
+        .groupBy("first_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("first_type")
+    )
+
+
 QUERIES = list(_S)

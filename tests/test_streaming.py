@@ -647,3 +647,14 @@ def test_s19_scd_join_stream_equals_batch(spark, replay_dir):
         output_mode="complete",
     )
     assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_s20_first_touch_stream_equals_batch(spark, replay_dir):
+    from graph_spark.queries.ssuite import first_touch_state
+
+    cols = ["user_id", "first_type", "first_ts"]
+    batch = first_touch_state(Catalog(spark, SF_SMOKE).table("events"))
+    stream = run_stream(
+        spark, replay_dir, first_touch_state, output_mode="complete"
+    )
+    assert _rows(stream, cols) == _rows(batch, cols)
