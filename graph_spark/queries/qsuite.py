@@ -7456,4 +7456,61 @@ def t73(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q117_moment_profile",
+    """WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+           // 10000 AS d FROM orders),
+       g AS (SELECT count(*) AS n, CAST(sum(d) AS BIGINT) AS s1,
+             CAST(sum(d * d) AS BIGINT) AS s2,
+             CAST(sum(d * d * d) AS BIGINT) AS s3 FROM c),
+       m AS (SELECT n, CAST(s1 AS DOUBLE) / n AS m1,
+             CAST(s2 AS DOUBLE) / n AS m2,
+             CAST(s3 AS DOUBLE) / n AS m3 FROM g)
+       SELECT n, round(m1, 2) AS mean_h,
+         round(sqrt(m2 - m1 * m1), 2) AS stddev_h,
+         round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+           / nullif(sqrt(m2 - m1 * m1) * (m2 - m1 * m1), 0), 4) AS skewness,
+         round(sqrt(m2 - m1 * m1) / m1, 4) AS cv
+       FROM m""",
+    note="distribution moment profile of order values (in 100-dollar "
+    "units so the CUBE power sum stays inside BIGINT at sf1+ — "
+    "dollars overflow by sf0.01): mean, stddev, "
+    "skewness and coefficient of variation from the first three raw "
+    "moments — the shape diagnostics that decide whether downstream "
+    "stats assume normality or reach for t71's transform (skewness "
+    "near 0 and small cv say the mean is trustworthy; strong right "
+    "skew says medians and q102's curve).  Whole-dollar BIGINT "
+    "power sums keep the cube exact (cents^3 would overflow); the "
+    "moment algebra runs once in fixed-order doubles on one row",
+)
+def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    c = o.select(
+        F.expr(
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) DIV 10000"
+        ).alias("d")
+    )
+    g = c.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").alias("s1"),
+        F.sum(F.col("d") * F.col("d")).alias("s2"),
+        F.sum(F.col("d") * F.col("d") * F.col("d")).alias("s3"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n")
+    m2 = F.col("s2").cast("double") / F.col("n")
+    m3 = F.col("s3").cast("double") / F.col("n")
+    var = m2 - m1 * m1
+    return g.select(
+        "n",
+        F.round(m1, 2).alias("mean_h"),
+        F.round(F.sqrt(var), 2).alias("stddev_h"),
+        F.round(
+            (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+            / F.nullif(F.sqrt(var) * var, F.lit(0.0)),
+            4,
+        ).alias("skewness"),
+        F.round(F.sqrt(var) / m1, 4).alias("cv"),
+    )
+
+
 QUERIES = list(_Q)
