@@ -69,6 +69,12 @@ def main() -> None:
     cat.graph_edges_sym().count()
     cat.graph_edges_ts().count()
 
+    # One untimed execution of the first query's full plan shape: the
+    # very first collect() in a session pays codegen + scheduler warmup
+    # that no later query pays (q01 measured ~2x its steady-state cost
+    # in round 1), so burn it outside the timed region.
+    reg[BENCH_QUERIES[0]].build(spark, sf_dir).collect()
+
     # Median of 3 runs per query (BASELINE.md protocol).
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}

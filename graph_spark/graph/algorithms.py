@@ -7,6 +7,8 @@ Dijkstra) round only at the output edge, as declared.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -23,18 +25,24 @@ LOCAL_EDGE_THRESHOLD = 5_000_000
 
 # edge-count memo keyed by the underlying DataFrame object: the catalog
 # hands out the same cached edge frame across queries, so the routing
-# count() job runs once per session instead of once per algorithm call
-_COUNT_MEMO: dict = {}
+# count() job runs once per session instead of once per algorithm call.
+# Values hold a WEAK ref to the frame — a live weakref proves the id has
+# not been recycled; once the frame is garbage-collected its entry is
+# dead and gets purged on the next lookup, so a long-lived session never
+# accumulates routed edge frames.
+_COUNT_MEMO: dict[int, tuple] = {}
 
 
 def _edge_count(graph: PropertyGraph) -> int:
     key = id(graph.edges)
     hit = _COUNT_MEMO.get(key)
-    if hit is None:
-        # hold a strong ref to the frame so its id can't be recycled
-        hit = (graph.edges, graph.edges.count())
-        _COUNT_MEMO[key] = hit
-    return hit[1]
+    if hit is not None and hit[0]() is not None:
+        return hit[1]
+    for k in [k for k, (ref, _) in _COUNT_MEMO.items() if ref() is None]:
+        del _COUNT_MEMO[k]
+    cnt = graph.edges.count()
+    _COUNT_MEMO[key] = (weakref.ref(graph.edges), cnt)
+    return cnt
 
 
 def _factorize_edges(pdf):

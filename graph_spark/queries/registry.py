@@ -7,7 +7,15 @@ from .common import Query
 
 
 def all_queries() -> list[Query]:
-    return [*qsuite.QUERIES, *gsuite.QUERIES, *ssuite.QUERIES, *lsuite.QUERIES]
+    """All declared queries, INTERLEAVED round-robin across the four
+    suites (q, g, s, l) so that any prefix of the registry — e.g. a
+    driver that correctness-checks only the first N entries per round —
+    samples relational, graph, streaming and LLM-pipeline operators
+    alike instead of exhausting the q-suite first."""
+    from itertools import chain, zip_longest
+
+    suites = [qsuite.QUERIES, gsuite.QUERIES, ssuite.QUERIES, lsuite.QUERIES]
+    return [q for q in chain.from_iterable(zip_longest(*suites)) if q is not None]
 
 
 def by_name() -> dict[str, Query]:

@@ -171,6 +171,32 @@ def test_scc_matches_tarjan(spark, seed):
     assert got == want
 
 
+def test_edge_count_memo_releases_frames(spark):
+    """The routing edge-count memo must not pin DataFrames forever: once
+    a routed edge frame is garbage-collected, its entry is dead and gets
+    purged on the next lookup (long-lived sessions stay bounded)."""
+    import gc
+
+    from graph_spark.graph import algorithms as alg
+
+    edf = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    g = PropertyGraph(edf.select(F.col("src").alias("id")).distinct(), edf)
+    assert alg._edge_count(g) == 2
+    key = id(g.edges)
+    assert key in alg._COUNT_MEMO
+    # memoized: second call must not recount (poke the stored count)
+    alg._COUNT_MEMO[key] = (alg._COUNT_MEMO[key][0], 99)
+    assert alg._edge_count(g) == 99
+    del g, edf
+    gc.collect()
+    assert alg._COUNT_MEMO.get(key) is None or alg._COUNT_MEMO[key][0]() is None
+    # next lookup on a fresh frame purges the dead entry
+    edf2 = spark.createDataFrame([("x", "y")], ["src", "dst"])
+    g2 = PropertyGraph(edf2.select(F.col("src").alias("id")).distinct(), edf2)
+    assert alg._edge_count(g2) == 1
+    assert all(ref() is not None for ref, _ in alg._COUNT_MEMO.values())
+
+
 def test_motif_rejects_disconnected(spark):
     edf = spark.createDataFrame([("a", "b")], ["src", "dst"])
     g = PropertyGraph(edf.select(F.col("src").alias("id")).distinct(), edf)
