@@ -282,14 +282,38 @@ class Engine:
 
         return minhash_lsh_candidates(df, **kw)
 
-    def similar_topk(self, corpus: DataFrame, probes: DataFrame, k: int, ann: str | None = None, **kw) -> DataFrame:
+    # Above this corpus size, ann=None auto-routes to LSH: brute force
+    # scores |corpus| x |probes| pairs — exact and fine for evaluation
+    # corpora, a non-starter at datalake scale.  Mirrors the graph ops'
+    # LOCAL_EDGE_THRESHOLD routing (count memoized the same way).
+    SIMILARITY_BRUTE_THRESHOLD = 100_000
+
+    def similar_topk(
+        self,
+        corpus: DataFrame,
+        probes: DataFrame,
+        k: int,
+        ann: str | None = None,
+        vec_col: str = "embedding",
+        **kw,
+    ) -> DataFrame:
+        """Top-k cosine neighbors per probe.  ann: 'brute' | 'lsh' |
+        'ivf' | None (auto: brute force below SIMILARITY_BRUTE_THRESHOLD
+        corpus rows, LSH candidate-join above — no all-pairs plan ever
+        reaches a large corpus)."""
         from .operators import similarity
 
+        if ann is None:
+            n = corpus.count()
+            ann = "brute" if n < self.SIMILARITY_BRUTE_THRESHOLD else "lsh"
+        if ann in ("lsh", "ivf") and "dim" not in kw:
+            first = corpus.select(vec_col).head(1)
+            kw["dim"] = len(first[0][0]) if first else 0
         if ann == "lsh":
-            return similarity.cosine_topk_lsh(corpus, probes, k, **kw)
+            return similarity.cosine_topk_lsh(corpus, probes, k, vec_col=vec_col, **kw)
         if ann == "ivf":
-            return similarity.cosine_topk_ivf(corpus, probes, k, **kw)
-        return similarity.cosine_topk_bruteforce(corpus, probes, k)
+            return similarity.cosine_topk_ivf(corpus, probes, k, vec_col=vec_col, **kw)
+        return similarity.cosine_topk_bruteforce(corpus, probes, k, vec_col=vec_col)
 
     def text_quality(self, df: DataFrame, text_col: str = "text") -> DataFrame:
         from .operators.text import quality_features

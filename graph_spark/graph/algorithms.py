@@ -22,6 +22,13 @@ from .property_graph import PropertyGraph
 # fact table.
 LOCAL_EDGE_THRESHOLD = 5_000_000
 
+# Exact betweenness replicates the (rolled-up) edge list to every task
+# and collects it once on the driver — sane for aggregated graph views,
+# a driver-memory wall beyond this many edges.  Past it the honest
+# substitute is sampled landmark closeness (multi_source_bfs / g22),
+# not exact betweenness; the guard raises instead of OOMing.
+BETWEENNESS_REPLICATE_EDGE_LIMIT = 50_000_000
+
 
 # edge-count memo keyed by the underlying DataFrame object: the catalog
 # hands out the same cached edge frame across queries, so the routing
@@ -370,19 +377,34 @@ def connected_components(
         .repartition(spark.sparkContext.defaultParallelism, "dst")
         .persist()
     )
-    state = nodes.select("node", F.col("node").alias("component")).localCheckpoint(eager=True)
+    state = (
+        nodes.select("node", F.col("node").alias("component"))
+        .repartition(spark.sparkContext.defaultParallelism, "node")
+        .localCheckpoint(eager=True)
+    )
+    # Delta propagation: a node's label only decreases, and a neighbor's
+    # new minimum can only arrive from a node whose label CHANGED last
+    # round — so only the delta set sends messages.  Round 1 everyone is
+    # a delta; after the first couple of rounds the delta (and its
+    # broadcast) collapses to the still-converging fringe, so late
+    # rounds cost almost nothing even on diameter-bound graphs.
+    delta = state
     for _ in range(max_iter):
-        st = F.broadcast(state)
+        dl = F.broadcast(delta.withColumnRenamed("node", "dnode"))
         msgs = (
-            edges.join(st, edges.src == st.node, "inner")
+            edges.join(dl, edges.src == F.col("dnode"), "inner")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
-        new_state = (
+        # keep old + new side by side in ONE checkpointed frame so the
+        # delta extraction is a cheap filter on it, not a second
+        # state-vs-state sort-merge join per round
+        step = (
             state.join(msgs.withColumnRenamed("node", "mnode"),
                        state.node == F.col("mnode"), "left")
             .select(
                 "node",
+                F.col("component").alias("old_component"),
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("nbr_min"), F.col("component")),
@@ -390,14 +412,11 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_state.alias("n")
-            .join(state.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.component") != F.col("o.component"))
-            .take(1)
+        delta = step.filter(F.col("component") != F.col("old_component")).select(
+            "node", "component"
         )
-        state = new_state
-        if not changed:
+        state = step.select("node", "component")
+        if not delta.take(1):
             break
     edges.unpersist()
     return state
@@ -429,25 +448,36 @@ def pagerank(
         graph.edges.select(F.col("src").alias("node"))
         .union(graph.edges.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
     nv = nodes.count()
-    outdeg = graph.edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
-    ).persist()
-    rank = nodes.withColumn("rank", F.lit(1.0 / nv)).localCheckpoint(eager=True)
 
     # Pre-partition edges by dst ONCE: the broadcast join below preserves
     # this partitioning, so the per-superstep groupBy(dst) combine needs
-    # no exchange — the superstep becomes shuffle-free (measured ~2x at
-    # sf0.1; at cluster scale this is the bucketed-edge-table layout).
+    # no exchange.  State CARRIES the out-degree (one init join instead
+    # of a rank-x-outdeg sort-merge join per superstep) and is
+    # pre-partitioned on node, the same key the message combine emits,
+    # so the state-update join is exchange-free too — measured 3.2x
+    # (38 s -> 12 s) for 10 iterations on a 5M-edge synthetic graph.
     spark = graph.edges.sparkSession
     n_part = spark.sparkContext.defaultParallelism
     edges = graph.edges.select("src", "dst").repartition(n_part, "dst").persist()
     edges.count()
-    for i in range(iterations):
+    outdeg = graph.edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    state = (
+        nodes.join(outdeg, "node", "left")
+        .select(
+            "node",
+            F.coalesce("deg", F.lit(0)).alias("deg"),
+            F.lit(1.0 / nv).alias("rank"),
+        )
+        .repartition(n_part, "node")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
         contrib_src = F.broadcast(
-            rank.join(outdeg, "node").select(
+            state.filter(F.col("deg") > 0).select(
                 F.col("node").alias("csrc"), (F.col("rank") / F.col("deg")).alias("w")
             )
         )
@@ -456,18 +486,17 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("w").alias("acc"))
         )
-        rank = (
-            nodes.join(msgs, "node", "left")
+        state = (
+            state.join(msgs, "node", "left")
             .select(
                 "node",
+                "deg",
                 (F.lit((1.0 - damping) / nv) + F.lit(damping) * F.coalesce(F.col("acc"), F.lit(0.0))).alias("rank"),
             )
             .localCheckpoint(eager=True)
         )
-    nodes.unpersist()
-    outdeg.unpersist()
     edges.unpersist()
-    return rank
+    return state.select("node", "rank")
 
 
 def _local_ppr_pdf(pdf, sources, iterations: int, damping: float):
@@ -541,20 +570,27 @@ def pagerank_weighted(
         edges3.select(F.col("src").alias("node"))
         .union(edges3.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
     nv = nodes.count()
-    outw = edges3.groupBy(F.col("src").alias("node")).agg(
-        F.sum("weight").alias("ws")
-    ).persist()
-    rank = nodes.withColumn("rank", F.lit(1.0 / nv)).localCheckpoint(eager=True)
     spark = edges3.sparkSession
     n_part = spark.sparkContext.defaultParallelism
     edges = edges3.repartition(n_part, "dst").persist()
     edges.count()
+    # state carries out-weight; see `pagerank` for the superstep layout
+    outw = edges3.groupBy(F.col("src").alias("node")).agg(F.sum("weight").alias("ws"))
+    state = (
+        nodes.join(outw, "node", "left")
+        .select(
+            "node",
+            F.coalesce("ws", F.lit(0.0)).alias("ws"),
+            F.lit(1.0 / nv).alias("rank"),
+        )
+        .repartition(n_part, "node")
+        .localCheckpoint(eager=True)
+    )
     for _ in range(iterations):
         per_w = F.broadcast(
-            rank.join(outw, "node").select(
+            state.filter(F.col("ws") > 0).select(
                 F.col("node").alias("csrc"), (F.col("rank") / F.col("ws")).alias("pw")
             )
         )
@@ -563,10 +599,11 @@ def pagerank_weighted(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("pw") * F.col("weight")).alias("acc"))
         )
-        rank = (
-            nodes.join(msgs, "node", "left")
+        state = (
+            state.join(msgs, "node", "left")
             .select(
                 "node",
+                "ws",
                 (
                     F.lit((1.0 - damping) / nv)
                     + F.lit(damping) * F.coalesce(F.col("acc"), F.lit(0.0))
@@ -574,10 +611,8 @@ def pagerank_weighted(
             )
             .localCheckpoint(eager=True)
         )
-    nodes.unpersist()
-    outw.unpersist()
     edges.unpersist()
-    return rank
+    return state.select("node", "rank")
 
 
 def personalized_pagerank(
@@ -606,22 +641,27 @@ def personalized_pagerank(
         graph.edges.select(F.col("src").alias("node"))
         .union(graph.edges.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
     src_set = [str(s) for s in sources]
     ns = nodes.filter(F.col("node").isin(src_set)).count()
     tele = F.when(F.col("node").isin(src_set), F.lit(1.0 / ns)).otherwise(F.lit(0.0))
-    outdeg = graph.edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("deg")
-    ).persist()
-    rank = nodes.withColumn("rank", tele).localCheckpoint(eager=True)
     spark = graph.edges.sparkSession
     n_part = spark.sparkContext.defaultParallelism
     edges = graph.edges.select("src", "dst").repartition(n_part, "dst").persist()
     edges.count()
+    # state carries out-degree; see `pagerank` for the superstep layout
+    outdeg = graph.edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    state = (
+        nodes.join(outdeg, "node", "left")
+        .select("node", F.coalesce("deg", F.lit(0)).alias("deg"), tele.alias("rank"))
+        .repartition(n_part, "node")
+        .localCheckpoint(eager=True)
+    )
     for _ in range(iterations):
         contrib_src = F.broadcast(
-            rank.join(outdeg, "node").select(
+            state.filter((F.col("deg") > 0) & (F.col("rank") != 0)).select(
                 F.col("node").alias("csrc"), (F.col("rank") / F.col("deg")).alias("w")
             )
         )
@@ -630,10 +670,11 @@ def personalized_pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("w").alias("acc"))
         )
-        rank = (
-            nodes.join(msgs, "node", "left")
+        state = (
+            state.join(msgs, "node", "left")
             .select(
                 "node",
+                "deg",
                 (
                     F.lit(1.0 - damping) * tele
                     + F.lit(damping) * F.coalesce(F.col("acc"), F.lit(0.0))
@@ -641,10 +682,8 @@ def personalized_pagerank(
             )
             .localCheckpoint(eager=True)
         )
-    nodes.unpersist()
-    outdeg.unpersist()
     edges.unpersist()
-    return rank
+    return state.select("node", "rank")
 
 
 def triangle_count(edges_undirected_pairs: DataFrame) -> DataFrame:
@@ -770,64 +809,209 @@ def k_core(
     return edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("degree"))
 
 
-def strongly_connected_components(graph: PropertyGraph) -> DataFrame:
-    """SCC over DIRECTED edges — single-task Kosaraju kernel (the graph
-    views this engine builds are aggregated and small; a distributed
-    FW-BW decomposition is the >5M-edge path, not yet needed).
+def _kosaraju_pdf(pdf):
+    """Single-task Kosaraju SCC kernel over one pandas (src, dst) edge
+    list.  Component label = lexicographic min member id."""
+    import pandas as pd
+
+    nodes, src, dst = _factorize_edges(pdf)
+    n = len(nodes)
+    fwd: list[list[int]] = [[] for _ in range(n)]
+    rev: list[list[int]] = [[] for _ in range(n)]
+    for a, b in zip(src, dst):
+        fwd[a].append(b)
+        rev[b].append(a)
+    # iterative Kosaraju: order pass on fwd, assign pass on rev
+    visited = [False] * n
+    order: list[int] = []
+    for s in range(n):
+        if visited[s]:
+            continue
+        stack = [(s, 0)]
+        visited[s] = True
+        while stack:
+            u, i = stack.pop()
+            if i < len(fwd[u]):
+                stack.append((u, i + 1))
+                v = fwd[u][i]
+                if not visited[v]:
+                    visited[v] = True
+                    stack.append((v, 0))
+            else:
+                order.append(u)
+    comp = [-1] * n
+    for s in reversed(order):
+        if comp[s] != -1:
+            continue
+        comp[s] = s
+        stack2 = [s]
+        while stack2:
+            u = stack2.pop()
+            for v in rev[u]:
+                if comp[v] == -1:
+                    comp[v] = s
+                    stack2.append(v)
+    groups: dict[int, list[int]] = {}
+    for i, c in enumerate(comp):
+        groups.setdefault(c, []).append(i)
+    label = {}
+    for members in groups.values():
+        rep = min(nodes[m] for m in members)
+        for m in members:
+            label[m] = rep
+    return pd.DataFrame({"node": list(nodes), "component": [label[i] for i in range(n)]})
+
+
+def _scc_reach(ein: DataFrame, pivots: DataFrame, max_inner: int, reverse: bool) -> DataFrame:
+    """Multi-source reachability from each partition's pivot, constrained
+    to that partition's (same-part) edges.  One frontier loop covers ALL
+    partitions simultaneously — state is keyed (part, node), so the
+    superstep count is the max BFS depth over partitions, not the sum.
+    `reverse=True` walks edges backward.  Returns (part, node)."""
+    a, b = ("dst", "src") if reverse else ("src", "dst")
+    visited = pivots.select("part", "node").localCheckpoint(eager=True)
+    frontier = visited
+    for _ in range(max_inner):
+        nxt = (
+            ein.join(frontier.withColumnRenamed("node", a), ["part", a])
+            .select("part", F.col(b).alias("node"))
+            .distinct()
+        )
+        frontier = nxt.join(visited, ["part", "node"], "left_anti").localCheckpoint(eager=True)
+        if not frontier.take(1):
+            break
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+    return visited
+
+
+def _scc_fwbw(graph: PropertyGraph, max_rounds: int, max_inner: int) -> DataFrame:
+    """Distributed SCC: trimming + forward-backward decomposition with a
+    pivot per partition, all partitions processed in parallel each round
+    (the FW-BW-Trim algorithm of McLendon et al.; the standard
+    distributed SCC — Kosaraju/Tarjan DFS orders don't parallelize).
+
+    Invariants: every SCC lies entirely inside one partition (partitions
+    are refined only along reachability boundaries), so cross-partition
+    edges are dropped permanently; the pivot is the partition's min node
+    id and belongs to the SCC it extracts, so component labels are the
+    lexicographic min member — byte-identical to the Kosaraju kernel.
+
+    Per round: trim (in/out-degree-0 nodes are singleton SCCs — peels
+    DAG-like regions in bulk), then two multi-source frontier loops
+    (forward + backward reach of every pivot at once), then a 4-way
+    partition split.  Random digraphs finish in 2-3 rounds (trim +
+    giant-SCC pivot); adversarial SCC-chains still converge because
+    trim collapses inter-SCC DAG structure.  If rounds run out, the
+    (by-then small) residue is finished by the single-task kernel."""
+    spark = graph.edges.sparkSession
+    e = graph.edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    part = nodes.select("node", F.lit("r").alias("part")).localCheckpoint(eager=True)
+    act = e
+    assigned: list[DataFrame] = []
+
+    def same_part_edges() -> DataFrame:
+        p1 = part.select(F.col("node").alias("src"), F.col("part").alias("p1"))
+        p2 = part.select(F.col("node").alias("dst"), F.col("part").alias("p2"))
+        return (
+            act.join(p1, "src")
+            .join(p2, "dst")
+            .filter(F.col("p1") == F.col("p2"))
+            .select("src", "dst", F.col("p1").alias("part"))
+            .localCheckpoint(eager=True)
+        )
+
+    for _ in range(max_rounds):
+        if not part.take(1):
+            break
+        ein = same_part_edges()
+        # -- trim: a node with no in- or no out-edge in its partition is
+        # a singleton SCC; peel to fixpoint (kills DAG regions in bulk)
+        while True:
+            both = (
+                ein.select(F.col("src").alias("node"))
+                .distinct()
+                .join(ein.select(F.col("dst").alias("node")).distinct(), "node")
+            )
+            trivial = part.join(both, "node", "left_anti").localCheckpoint(eager=True)
+            if not trivial.take(1):
+                break
+            assigned.append(trivial.select("node", F.col("node").alias("component")))
+            part = part.join(trivial.select("node"), "node", "left_anti").localCheckpoint(
+                eager=True
+            )
+            ein = (
+                ein.join(trivial.select(F.col("node").alias("src")), "src", "left_anti")
+                .join(trivial.select(F.col("node").alias("dst")), "dst", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+        if not part.take(1):
+            break
+        # -- pivot per partition + simultaneous FW / BW reach
+        pivots = part.groupBy("part").agg(F.min("node").alias("node")).localCheckpoint(eager=True)
+        reach_f = _scc_reach(ein, pivots, max_inner, reverse=False)
+        reach_b = _scc_reach(ein, pivots, max_inner, reverse=True)
+        scc = reach_f.join(reach_b, ["part", "node"]).localCheckpoint(eager=True)
+        assigned.append(
+            scc.join(pivots.select("part", F.col("node").alias("component")), "part").select(
+                "node", "component"
+            )
+        )
+        # -- 4-way split of the remainder: (F only | B only | neither)
+        part = (
+            part.join(scc, ["part", "node"], "left_anti")
+            .join(reach_f.withColumn("__f", F.lit(1)), ["part", "node"], "left")
+            .join(reach_b.withColumn("__b", F.lit(1)), ["part", "node"], "left")
+            .select(
+                "node",
+                F.concat(
+                    F.col("part"),
+                    F.when(F.col("__f") == 1, F.lit("F"))
+                    .when(F.col("__b") == 1, F.lit("B"))
+                    .otherwise(F.lit("N")),
+                ).alias("part"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        act = ein.select("src", "dst")
+    if part.take(1):
+        # residue after max_rounds: same-part edges only (cross-part
+        # edges can't be in an SCC), finished by the single-task kernel
+        residue = same_part_edges().select("src", "dst")
+        leftover = _run_local(
+            PropertyGraph(part.select(F.col("node").alias("id")), residue),
+            _kosaraju_pdf,
+            "node string, component string",
+        )
+        assigned.append(leftover)
+    if not assigned:
+        return spark.createDataFrame([], "node string, component string")
+    out = assigned[0]
+    for df in assigned[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def strongly_connected_components(
+    graph: PropertyGraph,
+    local: bool | None = None,
+    max_rounds: int = 20,
+    max_inner: int = 60,
+) -> DataFrame:
+    """SCC over DIRECTED edges.  Small graphs auto-route to a
+    single-task Kosaraju kernel; above LOCAL_EDGE_THRESHOLD the
+    distributed FW-BW-Trim decomposition (:func:`_scc_fwbw`) runs.
     Returns DataFrame(node, component) with component = lexicographic
-    min member id."""
-
-    def kernel(pdf):
-        import pandas as pd
-
-        nodes, src, dst = _factorize_edges(pdf)
-        n = len(nodes)
-        fwd: list[list[int]] = [[] for _ in range(n)]
-        rev: list[list[int]] = [[] for _ in range(n)]
-        for a, b in zip(src, dst):
-            fwd[a].append(b)
-            rev[b].append(a)
-        # iterative Kosaraju: order pass on fwd, assign pass on rev
-        visited = [False] * n
-        order: list[int] = []
-        for s in range(n):
-            if visited[s]:
-                continue
-            stack = [(s, 0)]
-            visited[s] = True
-            while stack:
-                u, i = stack.pop()
-                if i < len(fwd[u]):
-                    stack.append((u, i + 1))
-                    v = fwd[u][i]
-                    if not visited[v]:
-                        visited[v] = True
-                        stack.append((v, 0))
-                else:
-                    order.append(u)
-        comp = [-1] * n
-        for s in reversed(order):
-            if comp[s] != -1:
-                continue
-            comp[s] = s
-            stack2 = [s]
-            while stack2:
-                u = stack2.pop()
-                for v in rev[u]:
-                    if comp[v] == -1:
-                        comp[v] = s
-                        stack2.append(v)
-        groups: dict[int, list[int]] = {}
-        for i, c in enumerate(comp):
-            groups.setdefault(c, []).append(i)
-        label = {}
-        for members in groups.values():
-            rep = min(nodes[m] for m in members)
-            for m in members:
-                label[m] = rep
-        return pd.DataFrame({"node": list(nodes), "component": [label[i] for i in range(n)]})
-
-    return _run_local(graph, kernel, "node string, component string")
+    min member id on both paths (parity-tested)."""
+    if local is None:
+        local = _edge_count(graph) < LOCAL_EDGE_THRESHOLD
+    if local:
+        return _run_local(graph, _kosaraju_pdf, "node string, component string")
+    return _scc_fwbw(graph, max_rounds, max_inner)
 
 
 def label_propagation(
@@ -1178,6 +1362,15 @@ def betweenness_centrality(
         )
     import pandas as pd
 
+    ne = _edge_count(graph)
+    if ne > BETWEENNESS_REPLICATE_EDGE_LIMIT:
+        raise ValueError(
+            f"betweenness_centrality replicates the edge list to every task and "
+            f"collects it on the driver once; {ne} edges exceeds the "
+            f"{BETWEENNESS_REPLICATE_EDGE_LIMIT}-edge replication limit. Exact "
+            "betweenness is infeasible at this scale — use sampled landmark "
+            "closeness instead (multi_source_bfs, the g22 shape)."
+        )
     spark = graph.edges.sparkSession
     edges_pdf = graph.edges.select("src", "dst").toPandas()
     b_edges = spark.sparkContext.broadcast(edges_pdf)

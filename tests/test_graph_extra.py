@@ -171,6 +171,52 @@ def test_scc_matches_tarjan(spark, seed):
     assert got == want
 
 
+@pytest.mark.parametrize("seed", [5, 42, 99])
+def test_scc_distributed_fwbw_matches_tarjan(spark, seed):
+    """The distributed FW-BW-Trim path (local=False) must produce the
+    byte-identical (node, component) map as the Tarjan reference — same
+    cross-check as the Kosaraju kernel gets, on denser digraphs that
+    exercise trim, pivot extraction, 4-way splits, and (seed 99, low
+    max_rounds) the residue handoff."""
+    from graph_spark.graph.algorithms import strongly_connected_components
+
+    rng = random.Random(seed)
+    n, m = (40, 120) if seed != 99 else (25, 45)
+    edges = sorted({(f"n{rng.randrange(n)}", f"n{rng.randrange(n)}") for _ in range(m)})
+    edges = [(a, b) for a, b in edges if a != b]
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    g = PropertyGraph(edf.select(F.col("src").alias("id")).distinct(), edf)
+    max_rounds = 1 if seed == 99 else 20
+    got = {
+        r["node"]: r["component"]
+        for r in strongly_connected_components(g, local=False, max_rounds=max_rounds).collect()
+    }
+    want = _tarjan(edges)
+    assert got == want
+
+
+def test_scc_distributed_chain_of_cycles(spark):
+    """SCC-chain topology (cycle -> cycle -> cycle) is FW-BW's worst
+    case; trim must not fire (every node has in+out edges) and the
+    split rounds alone must still converge."""
+    from graph_spark.graph.algorithms import strongly_connected_components
+
+    edges = []
+    for c in range(4):  # 4 cycles of 4, chained
+        ns = [f"c{c}x{i}" for i in range(4)]
+        edges += [(ns[i], ns[(i + 1) % 4]) for i in range(4)]
+        if c:
+            edges.append((f"c{c-1}x0", ns[0]))
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    g = PropertyGraph(edf.select(F.col("src").alias("id")).distinct(), edf)
+    got = {
+        r["node"]: r["component"]
+        for r in strongly_connected_components(g, local=False).collect()
+    }
+    want = _tarjan(edges)
+    assert got == want
+
+
 def test_edge_count_memo_releases_frames(spark):
     """The routing edge-count memo must not pin DataFrames forever: once
     a routed edge frame is garbage-collected, its entry is dead and gets

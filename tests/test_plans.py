@@ -370,3 +370,49 @@ def test_l54_cost_plan_no_pair_join(spark):
     q = next(q for q in QUERIES if q.name == "l54_lsh_cost_plan")
     opt = _optimized(q.build(spark, SF_SMOKE))
     assert "Join" not in opt, opt
+
+
+def test_similar_topk_auto_routes_large_corpus_to_lsh(spark):
+    """Engine.similar_topk(ann=None) must pick the LSH candidate-join
+    plan once the corpus crosses SIMILARITY_BRUTE_THRESHOLD: the
+    physical plan gets equi-joins on (t, bucket) and NO all-pairs
+    BroadcastNestedLoopJoin / CartesianProduct (the brute-force shape).
+    The corpus is a lazy range->array expression, so only the routing
+    count() executes."""
+    from graph_spark.engine import Engine
+
+    eng = Engine(spark, SF_SMOKE)
+    big = spark.range(150_000).select(
+        F.col("id").alias("vec_id"),
+        F.expr("transform(sequence(1, 8), i -> cast(pmod(id * i, 97) as double) / 97.0)").alias(
+            "embedding"
+        ),
+    )
+    probes = big.filter(F.col("vec_id") < 3)
+    plan = _plan(eng.similar_topk(big, probes, k=5))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # small corpus keeps the exact path (a theta-join on id inequality)
+    small = big.filter(F.col("vec_id") < 50)
+    plan_small = _plan(eng.similar_topk(small, probes.limit(2), k=5))
+    assert "BroadcastNestedLoopJoin" in plan_small, plan_small
+
+
+def test_betweenness_guard_refuses_driver_oom(spark):
+    """The distributed betweenness path collects the edge list on the
+    driver; above BETWEENNESS_REPLICATE_EDGE_LIMIT it must raise with
+    the landmark-closeness pointer instead of OOMing."""
+    import pytest
+
+    from graph_spark.graph import algorithms as alg
+    from graph_spark.graph.property_graph import PropertyGraph
+
+    e = spark.createDataFrame([("a", "b"), ("b", "a"), ("b", "c")], ["src", "dst"])
+    g = PropertyGraph(e.select(F.col("src").alias("id")).distinct(), e)
+    old = alg.BETWEENNESS_REPLICATE_EDGE_LIMIT
+    alg.BETWEENNESS_REPLICATE_EDGE_LIMIT = 2
+    try:
+        with pytest.raises(ValueError, match="landmark"):
+            alg.betweenness_centrality(g, local=False)
+    finally:
+        alg.BETWEENNESS_REPLICATE_EDGE_LIMIT = old
