@@ -291,7 +291,7 @@ def l11(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l12(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = Catalog(spark, sf_dir).table("embeddings")
     probes = em.filter(F.col("vec_id") < 10)
-    res = cosine_topk_lsh(em, probes, k=5, dim=64, n_planes=4, n_tables=8)
+    res = cosine_topk_lsh(em, probes, k=5, dim=64, n_planes=4, n_tables=24)
     return res.select("vec_id", "nb", F.round("sim", 6).alias("sim")).orderBy(
         "vec_id", F.col("sim").desc(), "nb"
     )
@@ -307,7 +307,7 @@ def l17(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     em = Catalog(spark, sf_dir).table("embeddings")
     probes = em.filter(F.col("vec_id") < 10)
-    res = cosine_topk_ivf(em, probes, k=5, dim=64, n_clusters=16, nprobe=6)
+    res = cosine_topk_ivf(em, probes, k=5, dim=64, n_clusters=16, nprobe=10)
     return res.select("vec_id", "nb", F.round("sim", 6).alias("sim")).orderBy(
         "vec_id", F.col("sim").desc(), "nb"
     )

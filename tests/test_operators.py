@@ -165,23 +165,26 @@ def test_word_shingles_short_docs(spark):
 
 
 def test_lsh_recall_vs_bruteforce(spark):
-    """ANN recall: multi-table LSH top-5 must recover >=60% of exact
-    top-5 (4 planes x 8 tables, 64-dim fixture embeddings)."""
+    """ANN recall at the SURVEY §2.F level: multi-table LSH top-5 must
+    recover >=90% of exact top-5 (4 planes x 24 tables — the parameter
+    sweep recorded in SCALE.md measured 1.00 on this fixture; 0.9
+    leaves margin for fixture regeneration)."""
     em = Catalog(spark, SF_SMOKE).table("embeddings")
     probes = em.filter(F.col("vec_id") < 20)
     exact = {}
     for r in cosine_topk_bruteforce(em, probes, 5).collect():
         exact.setdefault(r["vec_id"], set()).add(r["nb"])
     approx = {}
-    for r in cosine_topk_lsh(em, probes, 5, dim=64, n_planes=4, n_tables=8).collect():
+    for r in cosine_topk_lsh(em, probes, 5, dim=64, n_planes=4, n_tables=24).collect():
         approx.setdefault(r["vec_id"], set()).add(r["nb"])
     hits = sum(len(exact[v] & approx.get(v, set())) for v in exact)
     total = sum(len(exact[v]) for v in exact)
-    assert hits / total >= 0.6, f"recall {hits}/{total}"
+    assert hits / total >= 0.9, f"recall {hits}/{total}"
 
 
 def test_ivf_recall_vs_bruteforce(spark):
-    """IVF ANN recall at nprobe=6/16 cells must beat 60% of exact top-5."""
+    """IVF ANN recall at nprobe=10/16 cells must beat 90% of exact
+    top-5 (sweep measured 0.96 on this fixture)."""
     from graph_spark.operators.similarity import cosine_topk_ivf
 
     em = Catalog(spark, SF_SMOKE).table("embeddings")
@@ -190,11 +193,11 @@ def test_ivf_recall_vs_bruteforce(spark):
     for r in cosine_topk_bruteforce(em, probes, 5).collect():
         exact.setdefault(r["vec_id"], set()).add(r["nb"])
     approx = {}
-    for r in cosine_topk_ivf(em, probes, 5, dim=64, n_clusters=16, nprobe=6).collect():
+    for r in cosine_topk_ivf(em, probes, 5, dim=64, n_clusters=16, nprobe=10).collect():
         approx.setdefault(r["vec_id"], set()).add(r["nb"])
     hits = sum(len(exact[v] & approx.get(v, set())) for v in exact)
     total = sum(len(exact[v]) for v in exact)
-    assert hits / total >= 0.6, f"recall {hits}/{total}"
+    assert hits / total >= 0.9, f"recall {hits}/{total}"
 
 
 def test_ivf_full_probe_equals_bruteforce(spark):
