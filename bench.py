@@ -92,6 +92,8 @@ def bench_distributed_graph(spark) -> dict:
     timed("bfs_local", lambda: alg.bfs_distances(g, "n0", hops, local=True))
     timed("cc_dist", lambda: alg.connected_components(g_sym, local=False))
     timed("cc_local", lambda: alg.connected_components(g_sym, local=True))
+    timed("scc_dist", lambda: alg.strongly_connected_components(g, local=False))
+    timed("scc_local", lambda: alg.strongly_connected_components(g, local=True))
 
     # DuckDB single-node baseline on the identical edge list: PageRank
     # as `iters` unrolled join+aggregate CTE levels (same math, exact

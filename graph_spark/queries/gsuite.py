@@ -3341,4 +3341,46 @@ def g68(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g69_effective_diameter",
+    f"""WITH RECURSIVE {GRAPH_CTES},
+       lms AS (SELECT node FROM graph_nodes WHERE node IN ('c1','c5','c9')),
+       bfs(lm, node, hops) AS (
+         SELECT node, node, 0 FROM lms
+         UNION
+         SELECT b.lm, e.dst, b.hops+1 FROM bfs b
+         JOIN graph_edges_sym e ON b.node=e.src WHERE b.hops<6),
+       dist AS (SELECT lm, node, min(hops) AS d FROM bfs GROUP BY 1,2),
+       hist AS (SELECT d, count(*) AS n_pairs FROM dist GROUP BY 1),
+       tot AS (SELECT count(*) AS t FROM dist)
+       SELECT CAST(h.d AS BIGINT) AS d, CAST(h.n_pairs AS BIGINT) AS n_pairs,
+              round(sum(h.n_pairs) OVER (ORDER BY h.d) * 1.0 / tot.t, 4) AS cum_share
+       FROM hist h CROSS JOIN tot ORDER BY d""",
+    note="hop-distance distribution from fixed landmarks + cumulative "
+    "share — the effective-diameter estimator (smallest d whose "
+    "cum_share >= 0.9, read off the curve; ANF/HyperANF's sampled "
+    "form).  Same ONE multi-source frontier loop as g22 (state keyed "
+    "(landmark, node)), so k landmarks cost one BFS; exact pairwise "
+    "diameter needs O(V) sweeps and is off the table at scale — "
+    "landmark sampling is the honest estimator, refined by adding "
+    "landmarks (cost linear, parallel)",
+)
+def g69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..graph.algorithms import multi_source_bfs
+
+    g = _sym_graph(Catalog(spark, sf_dir))
+    dist = multi_source_bfs(g, ["c1", "c5", "c9"], max_hops=6)
+    hist = dist.groupBy("d").agg(F.count(F.lit(1)).alias("n_pairs"))
+    tot = dist.agg(F.count(F.lit(1)).alias("t"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .withColumn("cum_share", F.round(F.sum("n_pairs").over(w) / F.col("t"), 4))
+        .select(F.col("d").cast("bigint").alias("d"), "n_pairs", "cum_share")
+        .orderBy("d")
+    )
+
+
 QUERIES = list(_G)

@@ -3100,4 +3100,183 @@ def l62(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("context_limit")
 
 
+@_l(
+    "l63_lsh_recall_curve",
+    """WITH tok AS (SELECT DISTINCT d.doc_id, t.term FROM documents d,
+         unnest(string_split(d.text,' ')) AS t(term)
+         WHERE t.term<>'' AND d.doc_id < 60),
+       sigs AS (SELECT doc_id, i.i AS i, min(md5(i.i || ':' || term)) AS sig
+                FROM tok CROSS JOIN range(16) i(i) GROUP BY 1,2),
+       cfg AS (SELECT unnest([2,4,8]) AS r),
+       bands AS (SELECT s.doc_id, c.r, s.i // c.r AS band,
+                 string_agg(s.sig, ',' ORDER BY s.i) AS bkey
+                 FROM sigs s CROSS JOIN cfg c GROUP BY 1,2,3),
+       cand AS (SELECT DISTINCT a.r, a.doc_id AS i, b.doc_id AS j
+                FROM bands a JOIN bands b ON a.r=b.r AND a.band=b.band
+                  AND a.bkey=b.bkey AND a.doc_id < b.doc_id),
+       nt AS (SELECT doc_id, count(*) AS c FROM tok GROUP BY 1),
+       tj AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+              FROM tok a JOIN tok b ON a.term=b.term AND a.doc_id<b.doc_id
+              GROUP BY 1,2),
+       truth AS (SELECT t.i, t.j FROM tj t
+                 JOIN nt na ON na.doc_id=t.i JOIN nt nb ON nb.doc_id=t.j
+                 WHERE 10 * t.inter >= 3 * (na.c + nb.c - t.inter)),
+       ntr AS (SELECT count(*) AS ntv FROM truth),
+       per AS (SELECT c.r, count(*) AS n_cand,
+                 count(*) FILTER (WHERE tr.i IS NOT NULL) AS tp
+               FROM cand c LEFT JOIN truth tr ON tr.i=c.i AND tr.j=c.j
+               GROUP BY 1)
+       SELECT CAST(16 // p.r AS BIGINT) AS n_bands,
+              CAST(p.r AS BIGINT) AS rows_per_band,
+              CAST(p.n_cand AS BIGINT) AS n_cand,
+              CAST(p.tp AS BIGINT) AS tp,
+              round(CAST(p.tp AS DOUBLE) / nullif(ntr.ntv, 0), 4) AS recall
+       FROM per p CROSS JOIN ntr
+       ORDER BY rows_per_band""",
+    note="recall-vs-COST curve for MinHash-LSH banding: ONE query "
+    "sweeps three band configurations (8x2 / 4x4 / 2x8 over the same "
+    "16 signatures) and reports candidate volume (the cost driver — "
+    "every candidate is an exact-verify pair) against recall of the "
+    "exact Jaccard>=0.3 truth set.  The sweep is a tiny cross join "
+    "against a 3-row config table, so the signature pass runs ONCE "
+    "for all curve points — this is how banding parameters get "
+    "chosen BEFORE a corpus-scale dedup run (l45 evaluates one "
+    "point; l54 estimates cost without running; this measures both "
+    "axes).  More rows/band -> fewer, higher-precision candidates",
+)
+def l63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_signatures, tokens
+
+    d = Catalog(spark, sf_dir).table("documents").filter(F.col("doc_id") < 60)
+    tok = tokens(d).distinct()
+    sigs = minhash_signatures(d, k=16)
+    cfg = spark.range(1).select(
+        F.explode(F.array(F.lit(2), F.lit(4), F.lit(8))).alias("r")
+    )
+    bands = (
+        sigs.crossJoin(F.broadcast(cfg))
+        .groupBy("doc_id", "r", F.floor(F.col("i") / F.col("r")).alias("band"))
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(i, sig))), x -> x.sig)"),
+                ",",
+            ).alias("bkey")
+        )
+    )
+    ba = bands.select("r", F.col("doc_id").alias("i"), "band", "bkey")
+    bb = bands.select(
+        F.col("r").alias("r2"),
+        F.col("doc_id").alias("j"),
+        F.col("band").alias("b2"),
+        F.col("bkey").alias("k2"),
+    )
+    cand = (
+        ba.join(
+            bb,
+            (F.col("r") == F.col("r2"))
+            & (F.col("band") == F.col("b2"))
+            & (F.col("bkey") == F.col("k2"))
+            & (F.col("i") < F.col("j")),
+        )
+        .select("r", "i", "j")
+        .distinct()
+    )
+    nt = tok.groupBy(F.col("doc_id").alias("d")).agg(F.count(F.lit(1)).alias("c"))
+    ta = tok.select(F.col("doc_id").alias("i"), "term")
+    tb = tok.select(F.col("doc_id").alias("j"), "term")
+    tj = (
+        ta.join(tb, "term")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    truth = (
+        tj.join(nt.select(F.col("d").alias("i"), F.col("c").alias("ca")), "i")
+        .join(nt.select(F.col("d").alias("j"), F.col("c").alias("cb")), "j")
+        .filter(10 * F.col("inter") >= 3 * (F.col("ca") + F.col("cb") - F.col("inter")))
+        .select("i", "j")
+    )
+    per = (
+        cand.join(truth.withColumn("t", F.lit(1)), ["i", "j"], "left")
+        .groupBy("r")
+        .agg(
+            F.count(F.lit(1)).alias("n_cand"),
+            F.sum(F.when(F.col("t").isNotNull(), 1).otherwise(0)).alias("tp"),
+        )
+    )
+    ntr = truth.agg(F.count(F.lit(1)).alias("ntv"))
+    return (
+        per.crossJoin(F.broadcast(ntr))
+        .select(
+            (F.lit(16) / F.col("r")).cast("bigint").alias("n_bands"),
+            F.col("r").cast("bigint").alias("rows_per_band"),
+            F.col("n_cand"),
+            F.col("tp"),
+            F.round(
+                F.col("tp").cast("double") / F.nullif(F.col("ntv"), F.lit(0)), 4
+            ).alias("recall"),
+        )
+        .orderBy("rows_per_band")
+    )
+
+
+@_l(
+    "l64_dup_ngram_share",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l
+                     FROM documents WHERE doc_id < 200),
+       g AS (SELECT DISTINCT doc_id,
+               array_to_string(l[i : i+4], ' ') AS gram
+             FROM (SELECT doc_id, l,
+                     unnest(generate_series(1, len(l) - 4)) AS i
+                   FROM toks) u),
+       dc AS (SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1),
+       per AS (SELECT g.doc_id, count(*) AS n_grams,
+               count(*) FILTER (WHERE dc.nd >= 2) AS dup_grams
+               FROM g JOIN dc USING (gram) GROUP BY 1)
+       SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+              CAST(dup_grams AS BIGINT) AS dup_grams,
+              round(CAST(dup_grams AS DOUBLE) / n_grams, 4) AS dup_share
+       FROM per ORDER BY doc_id""",
+    note="per-document duplicated-5-gram share — the memorization-risk "
+    "metric: which documents are mostly made of n-grams that occur in "
+    "OTHER documents (boilerplate, templated spam, near-dups that "
+    "survived doc-level dedup).  Shape is explode-to-grams -> gram "
+    "frequency groupBy (map-side combined) -> join back — the "
+    "inverted-index pattern; at corpus scale the gram table is the "
+    "big intermediate, so hash grams to 64-bit (xxhash) and bucket "
+    "the join key; no all-pairs anywhere",
+)
+def l64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents").filter(F.col("doc_id") < 200)
+    toks = d.select("doc_id", F.split("text", " ").alias("l"))
+    g = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(l) >= 5 THEN "
+                    "transform(sequence(0, size(l) - 5), i -> concat_ws(' ', slice(l, i + 1, 5))) "
+                    "ELSE array() END"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    dc = g.groupBy("gram").agg(F.countDistinct("doc_id").alias("nd"))
+    per = (
+        g.join(dc, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("dup_grams"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "dup_grams",
+        F.round(F.col("dup_grams").cast("double") / F.col("n_grams"), 4).alias("dup_share"),
+    ).orderBy("doc_id")
+
+
 QUERIES = list(_L)

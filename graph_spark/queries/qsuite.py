@@ -7513,4 +7513,86 @@ def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q118_record_linkage",
+    """WITH c AS (SELECT c_custkey AS k, c_nationkey AS nk, c_mktsegment AS seg,
+            floor(c_acctbal/1000) AS bb, right(c_name, 2) AS ph FROM customer),
+       p AS (SELECT CASE WHEN a.bb = b.bb THEN 3 ELSE 0 END
+                  + CASE WHEN a.ph = b.ph THEN 2 ELSE 0 END AS score
+             FROM c a JOIN c b ON a.nk = b.nk AND a.seg = b.seg AND a.k < b.k)
+       SELECT CAST(score AS BIGINT) AS score, CAST(count(*) AS BIGINT) AS n_pairs
+       FROM p GROUP BY 1 ORDER BY 1""",
+    note="record-linkage scoring with BLOCKING (the Fellegi-Sunter "
+    "shape): candidate pairs come from an equi-join on the blocking "
+    "key (nation, segment) — never an all-pairs scan — then each pair "
+    "scores field agreements (acctbal thousand-bucket +3, name "
+    "stem +2) and the score histogram summarizes match quality.  At "
+    "100 TB the blocking join IS the feasibility argument: cost is "
+    "sum over blocks of k^2, so block keys must be chosen/salted to "
+    "bound k (same hub hazard as g23's inverted-index join)",
+)
+def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).table("customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).alias("bb"),
+        F.expr("right(c_name, 2)").alias("ph"),
+    )
+    a = c.select(*[F.col(x).alias(f"a_{x}") for x in c.columns])
+    b = c.select(*[F.col(x).alias(f"b_{x}") for x in c.columns])
+    pairs = a.join(
+        b,
+        (F.col("a_nk") == F.col("b_nk"))
+        & (F.col("a_seg") == F.col("b_seg"))
+        & (F.col("a_k") < F.col("b_k")),
+    )
+    score = (
+        F.when(F.col("a_bb") == F.col("b_bb"), 3).otherwise(0)
+        + F.when(F.col("a_ph") == F.col("b_ph"), 2).otherwise(0)
+    ).cast("bigint")
+    return (
+        pairs.select(score.alias("score"))
+        .groupBy("score")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("score")
+    )
+
+
+@_q(
+    "t74_peak_over_threshold",
+    """WITH th AS (SELECT event_type, quantile_cont(value, 0.95) AS u
+                   FROM events GROUP BY 1),
+       ex AS (SELECT e.event_type, th.u, e.value
+              FROM events e JOIN th ON e.event_type = th.event_type
+              WHERE e.value > th.u)
+       SELECT event_type, round(max(u), 4) AS threshold,
+              CAST(count(*) AS BIGINT) AS n_exceed,
+              round(avg(value - u), 4) AS mean_excess,
+              round(max(value - u), 4) AS max_excess
+       FROM ex GROUP BY 1 ORDER BY 1""",
+    note="peak-over-threshold tail profile (the EVT/GPD preprocessing "
+    "step): per-series p95 threshold, then exceedance count, mean "
+    "excess (the GPD scale estimator) and max excess.  The threshold "
+    "table is one row per event_type — broadcast back onto the fact "
+    "scan, so the pass is scan + tiny-dim join + combinable agg; "
+    "percentile/quantile_cont interpolation matches cross-engine "
+    "(the q27 determinism pattern)",
+)
+def t74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    th = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.95)").alias("u"))
+    ex = ev.join(F.broadcast(th), "event_type").filter(F.col("value") > F.col("u"))
+    return (
+        ex.groupBy("event_type")
+        .agg(
+            F.round(F.max("u"), 4).alias("threshold"),
+            F.count(F.lit(1)).alias("n_exceed"),
+            F.round(F.avg(F.col("value") - F.col("u")), 4).alias("mean_excess"),
+            F.round(F.max(F.col("value") - F.col("u")), 4).alias("max_excess"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = list(_Q)
