@@ -1094,9 +1094,11 @@ def g32(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _wpagerank_oracle(iterations: int = 10) -> str:
+def _wpagerank_oracle(iterations: int = 10, weight_sql: str = "n_items::DOUBLE") -> str:
     """Unrolled weighted PageRank (same chained-CTE shape as g06's
-    oracle, with contributions split by edge weight / out-weight)."""
+    oracle, with contributions split by edge weight / out-weight).
+    `weight_sql` is the per-edge weight expression over graph_edges
+    columns — n_items for g33, a recency decay for g70."""
     iters = []
     prev = "pr0"
     for i in range(1, iterations + 1):
@@ -1114,8 +1116,8 @@ def _wpagerank_oracle(iterations: int = 10) -> str:
         prev = cur
     chain = ",\n".join(iters)
     return f"""WITH {GRAPH_CTES},
-wsym AS (SELECT src, dst, n_items::DOUBLE AS w FROM graph_edges
-         UNION ALL SELECT dst, src, n_items::DOUBLE FROM graph_edges),
+wsym AS (SELECT src, dst, {weight_sql} AS w FROM graph_edges
+         UNION ALL SELECT dst, src, {weight_sql} FROM graph_edges),
 nv AS (SELECT count(*) AS c FROM graph_nodes),
 outw AS (SELECT src, sum(w) AS ws FROM wsym GROUP BY 1),
 pr0 AS (SELECT node, 1.0::DOUBLE/(SELECT c FROM nv) AS r FROM graph_nodes),
@@ -3380,6 +3382,51 @@ def g69(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cum_share", F.round(F.sum("n_pairs").over(w) / F.col("t"), 4))
         .select(F.col("d").cast("bigint").alias("d"), "n_pairs", "cum_share")
         .orderBy("d")
+    )
+
+
+@_g(
+    "g70_temporal_pagerank",
+    _wpagerank_oracle(
+        weight_sql="1.0/(1.0 + greatest(date_diff('day', first_ts, TIMESTAMP '1998-12-01'), 0)/365.0)"
+    ),
+    note="TEMPORAL PageRank: edge weight = recency decay "
+    "1/(1 + age_years) of the relationship's first trade, so rank "
+    "mass flows preferentially along RECENT relationships — the "
+    "time-decayed centrality a temporal property graph owes its "
+    "users (stale hubs fade without deleting history).  The decay is "
+    "computed from the stationary edge's first_ts column at plan "
+    "time, so the superstep cost model is byte-identical to g33/g06: "
+    "one dst-combine shuffle per iteration; changing the reference "
+    "date or half-life re-plans a projection, never re-shuffles",
+)
+def g70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import pagerank_weighted
+
+    c = Catalog(spark, sf_dir)
+    e = c.graph_edges().select(
+        "src",
+        "dst",
+        (
+            F.lit(1.0)
+            / (
+                F.lit(1.0)
+                + F.greatest(
+                    F.datediff(F.lit("1998-12-01"), F.col("first_ts")), F.lit(0)
+                )
+                / F.lit(365.0)
+            )
+        ).alias("weight"),
+    )
+    wsym = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("weight"))
+    )
+    v = c.graph_nodes().select(F.col("node").alias("id"))
+    ranks = pagerank_weighted(PropertyGraph(v, wsym), iterations=10, damping=0.85)
+    return (
+        ranks.select("node", F.round("rank", 6).alias("r"))
+        .orderBy(F.col("r").desc(), "node")
+        .limit(20)
     )
 
 

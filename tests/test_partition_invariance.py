@@ -1,0 +1,57 @@
+"""Partition-count invariance: declared queries must produce identical
+results when the shuffle layout changes.
+
+This is the 1000-executor test in miniature: on a real cluster the
+partition count is a deployment knob, not a semantic one, so any query
+whose output depends on `spark.sql.shuffle.partitions` (float summation
+order, window ties, limit-without-order, first/last nondeterminism) is
+broken at scale even if it hash-matches the oracle at 32 partitions.
+The declared canonicalization protocol (in-query rounding + total
+ORDER BY, SURVEY §2) is exactly what should make this pass.
+
+The sample deliberately spans the nondeterminism hazards: float aggs
+(q01), windows (q15), percentiles (q27), iterative float loops
+(g06/g70), kmeans (l35), grouped medians (t28), top-k ties (q14).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from graph_spark.queries.registry import by_name
+
+from .conftest import SF_SMOKE
+
+SAMPLE = [
+    "q01_scan_agg",
+    "q14_topk_per_group",
+    "q15_window_running",
+    "q27_percentile",
+    "q73_weighted_median",
+    "g04_connected_components",
+    "g06_pagerank",
+    "g70_temporal_pagerank",
+    "l02_minhash",
+    "l35_kmeans",
+    "l63_lsh_recall_curve",
+    "t28_rolling_median",
+    "s01_tumbling_window",
+]
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(repr(r[c]) for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_result_invariant_under_shuffle_partitions(spark, name):
+    q = by_name()[name]
+    base = _rows(q.build(spark, SF_SMOKE))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        alt = _rows(q.build(spark, SF_SMOKE))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base == alt, f"{name} output depends on shuffle partition count"
