@@ -142,6 +142,51 @@ def bench_distributed_graph(spark) -> dict:
     return out
 
 
+def bench_distributed_text(spark) -> dict:
+    """Time the L-suite dedup scale path on 200k synthetic documents
+    (columnar generation, zero driver memory): every even/odd id pair
+    shares 24 of 26 tokens (Jaccard ~0.92 planted near-dups), so the
+    run doubles as a RECALL measurement — `lsh_pairs` vs the 100k
+    planted pairs.  Exact dedup is the hash-groupBy floor; MinHash-LSH
+    (16 sigs, 4 bands) is the candidate-join path that carries the
+    100 TB dedup story (cost: 16 md5s per token, linear scan,
+    embarrassingly parallel; the only shuffles are the signature
+    combine and the band-bucket join)."""
+    from pyspark.sql import functions as F
+
+    from graph_spark.operators.dedup import exact_dedup_groups, minhash_lsh_candidates
+
+    n_docs = 200_000
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(sequence(0, 23), p -> concat('w', pmod(xxhash64(id - id % 2, p), 50000)))"
+            ),
+            F.expr("array(concat('u', pmod(xxhash64(id, 99), 1000000)))"),
+        ).alias("text"),
+    ).persist()
+    out: dict = {"docs": docs.count(), "planted_pairs": n_docs // 2}
+
+    t0 = time.perf_counter()
+    exact_dedup_groups(docs).filter(F.col("cnt") > 1).count()
+    out["exact_dedup"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    cand = minhash_lsh_candidates(docs, k=16, bands=4).persist()
+    n_pairs = cand.count()
+    out["lsh_candidates"] = round(time.perf_counter() - t0, 3)
+    out["lsh_pairs"] = n_pairs
+    # planted pairs are exactly (2k, 2k+1): measure true recall
+    hits = cand.filter((F.col("a") % 2 == 0) & (F.col("b") == F.col("a") + 1)).count()
+    out["planted_recall"] = round(hits / (n_docs // 2), 4)
+    cand.unpersist()
+    print(f"# dist-text: {out}", file=sys.stderr)
+    docs.unpersist()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -201,6 +246,7 @@ def main() -> None:
     # part of the gated suite total; recorded under its own key.
     if os.environ.get("SPARK_GRAFT_BENCH_GRAPH", "1") != "0":
         payload["distributed_graph"] = bench_distributed_graph(spark)
+        payload["distributed_text"] = bench_distributed_text(spark)
 
     print(json.dumps(payload))
 
