@@ -416,3 +416,35 @@ def test_betweenness_guard_refuses_driver_oom(spark):
             alg.betweenness_centrality(g, local=False)
     finally:
         alg.BETWEENNESS_REPLICATE_EDGE_LIMIT = old
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    """Two tables bucketed on the join key with equal bucket counts must
+    sort-merge join with ZERO Exchange in the plan — the persisted
+    co-located-join layout SCALE.md promises for the 100 TB edge/fact
+    tables.  Broadcast is disabled so the assert can't pass vanity-style
+    via a small-table broadcast."""
+    from graph_spark.sources.writers import write_bucketed_table
+
+    o = Catalog(spark, SF_SMOKE).table("orders").select("o_custkey", "o_totalprice")
+    c = (
+        Catalog(spark, SF_SMOKE)
+        .table("customer")
+        .select(F.col("c_custkey").alias("o_custkey"), "c_acctbal")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        write_bucketed_table(o, "bkt_orders", "o_custkey", 8)
+        write_bucketed_table(c, "bkt_cust", "o_custkey", 8)
+        j = spark.table("bkt_orders").join(spark.table("bkt_cust"), "o_custkey")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        # sanity: same join on the unbucketed frames DOES shuffle
+        plan_raw = _plan(o.join(c, "o_custkey"))
+        assert "Exchange" in plan_raw, plan_raw
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_cust")
