@@ -444,12 +444,15 @@ def pagerank(
             lambda pdf: _local_pagerank_pdf(pdf, iterations, damping),
             "node string, rank double",
         )
+    spark0 = graph.edges.sparkSession
     nodes = (
         graph.edges.select(F.col("src").alias("node"))
         .union(graph.edges.select(F.col("dst").alias("node")))
         .distinct()
     )
     nv = nodes.count()
+    if nv == 0:
+        return spark0.createDataFrame([], "node string, rank double")
 
     # Pre-partition edges by dst ONCE: the broadcast join below preserves
     # this partitioning, so the per-superstep groupBy(dst) combine needs
@@ -573,6 +576,8 @@ def pagerank_weighted(
     )
     nv = nodes.count()
     spark = edges3.sparkSession
+    if nv == 0:
+        return spark.createDataFrame([], "node string, rank double")
     n_part = spark.sparkContext.defaultParallelism
     edges = edges3.repartition(n_part, "dst").persist()
     edges.count()
@@ -644,8 +649,11 @@ def personalized_pagerank(
     )
     src_set = [str(s) for s in sources]
     ns = nodes.filter(F.col("node").isin(src_set)).count()
-    tele = F.when(F.col("node").isin(src_set), F.lit(1.0 / ns)).otherwise(F.lit(0.0))
     spark = graph.edges.sparkSession
+    if ns == 0:
+        # no seed present in the graph: zero teleport mass everywhere
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    tele = F.when(F.col("node").isin(src_set), F.lit(1.0 / ns)).otherwise(F.lit(0.0))
     n_part = spark.sparkContext.defaultParallelism
     edges = graph.edges.select("src", "dst").repartition(n_part, "dst").persist()
     edges.count()

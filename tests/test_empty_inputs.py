@@ -1,0 +1,79 @@
+"""Empty-input robustness: every operator family must accept a 0-row
+input and return a 0-row DataFrame with its declared schema — no
+exceptions, no driver-side crashes on `head(1)`-style probes.
+
+At pipeline scale empty slices are routine (a partition-pruned day with
+no data, a filter that matches nothing, a cold-start stream), and an
+operator that throws on them takes down a whole DAG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graph_spark.graph.property_graph import PropertyGraph
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame([], "doc_id bigint, text string, lang string")
+
+
+def _empty_graph(spark):
+    e = spark.createDataFrame([], "src string, dst string")
+    return PropertyGraph(e.select(F.col("src").alias("id")).distinct(), e)
+
+
+def test_dedup_ops_on_empty(spark):
+    from graph_spark.operators.dedup import (
+        exact_dedup_groups,
+        minhash_lsh_candidates,
+        simhash_hamming_pairs,
+    )
+
+    d = _empty_docs(spark)
+    assert exact_dedup_groups(d).count() == 0
+    assert minhash_lsh_candidates(d).count() == 0
+    assert simhash_hamming_pairs(d).count() == 0
+
+
+def test_text_ops_on_empty(spark):
+    from graph_spark.operators.text import pack_sequences, quality_features
+
+    d = _empty_docs(spark)
+    q = quality_features(d)
+    assert q.count() == 0 and "doc_id" in q.columns
+    p = pack_sequences(d)
+    assert p.count() == 0 and "pack_id" in p.columns
+
+
+def test_similarity_ops_on_empty(spark):
+    from graph_spark.operators.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+
+    em = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    assert cosine_topk_bruteforce(em, em, 3).count() == 0
+    assert cosine_topk_lsh(em, em, 3, dim=4).count() == 0
+
+
+def test_graph_algorithms_on_empty(spark):
+    from graph_spark.graph import algorithms as alg
+
+    g = _empty_graph(spark)
+    for local in (True, False):
+        assert alg.pagerank(g, iterations=2, local=local).count() == 0
+        assert alg.connected_components(g, local=local).count() == 0
+    out = alg.strongly_connected_components(g, local=False)
+    assert out.count() == 0 and out.columns == ["node", "component"]
+    # a fully empty graph yields an empty frontier — no rows at all
+    # (contrast: an absent source on a NON-empty graph reports itself
+    # at distance 0, covered in test_graph_extra)
+    assert alg.bfs_distances(g, "x", 2, local=True).count() == 0
+
+
+def test_relational_ops_on_empty(spark):
+    from graph_spark.operators.relational import asof_join, sessionize
+
+    left = spark.createDataFrame([], "user_id bigint, ts timestamp, v double")
+    right = spark.createDataFrame([], "user_id bigint, ts timestamp, px double")
+    assert asof_join(left, right, ["user_id"], "ts", "ts").count() == 0
+    s = sessionize(left, "user_id", "ts", 600.0)
+    assert s.count() == 0 and "session_id" in s.columns
