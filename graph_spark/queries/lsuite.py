@@ -3279,4 +3279,38 @@ def l64(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@_l(
+    "l65_tokenizer_fertility",
+    """WITH t AS (SELECT lang,
+         len(regexp_extract_all(text, '[a-zA-Z]{1,4}|[0-9]|[^a-zA-Z0-9 ]')) AS pieces,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS words
+       FROM documents)
+       SELECT lang, sum(pieces)::BIGINT AS pieces, sum(words)::BIGINT AS words,
+              round(sum(pieces)::DOUBLE / sum(words), 4) AS fertility
+       FROM t GROUP BY 1 ORDER BY 1""",
+    note="tokenizer FERTILITY per language: subword pieces (BPE-ish "
+    "greedy <=4-letter chunks + digits + punctuation) per whitespace "
+    "word — the metric that prices a tokenizer against a corpus "
+    "(fertility ~1 = efficient; >2 = the language pays double context "
+    "budget).  Drives mixing/packing decisions together with l37/l28; "
+    "pure codegen regex over the scan, no UDF, one combinable groupBy",
+)
+def l65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    pieces = F.size(
+        F.regexp_extract_all("text", F.lit("[a-zA-Z]{1,4}|[0-9]|[^a-zA-Z0-9 ]"), 0)
+    )
+    words = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    return (
+        docs.select("lang", pieces.alias("p"), words.alias("w"))
+        .groupBy("lang")
+        .agg(
+            F.sum("p").cast("bigint").alias("pieces"),
+            F.sum("w").cast("bigint").alias("words"),
+            F.round(F.sum("p").cast("double") / F.sum("w"), 4).alias("fertility"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = list(_L)
