@@ -95,6 +95,15 @@ def bench_distributed_graph(spark) -> dict:
     timed("scc_dist", lambda: alg.strongly_connected_components(g, local=False))
     timed("scc_local", lambda: alg.strongly_connected_components(g, local=True))
 
+    canon = (
+        e.select(F.least("src", "dst").alias("s1"), F.greatest("src", "dst").alias("s2"))
+        .distinct()
+        .persist()
+    )
+    canon.count()
+    timed("triangles_dist", lambda: alg.triangle_count(canon))
+    canon.unpersist()
+
     # DuckDB single-node baseline on the identical edge list: PageRank
     # as `iters` unrolled join+aggregate CTE levels (same math, exact
     # same damping/teleport), timed on the query only (parquet load and

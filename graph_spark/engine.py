@@ -95,6 +95,10 @@ class Engine:
     def k_core(self, k: int) -> DataFrame:
         return algorithms.k_core(self.graph(), k)
 
+    def core_decomposition(self) -> DataFrame:
+        """Coreness per node (every k-core level in one call)."""
+        return algorithms.core_decomposition(self.graph())
+
     def strongly_connected_components(self) -> DataFrame:
         return algorithms.strongly_connected_components(self.graph(symmetric=False))
 

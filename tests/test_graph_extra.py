@@ -217,6 +217,49 @@ def test_scc_distributed_chain_of_cycles(spark):
     assert got == want
 
 
+def _bz_coreness(edges_sym):
+    """Independent reference: Batagelj-Zaversnik sequential min-degree
+    peel (different algorithm from the operator's increasing-k rounds)."""
+    import heapq
+
+    adj: dict[str, set] = {}
+    for a, b in edges_sym:
+        adj.setdefault(a, set()).add(b)
+    deg = {v: len(ns) for v, ns in adj.items()}
+    heap = [(d, v) for v, d in deg.items()]
+    heapq.heapify(heap)
+    core = {}
+    k = 0
+    while heap:
+        d, v = heapq.heappop(heap)
+        if v in core or d != deg[v]:
+            continue  # stale entry
+        k = max(k, d)
+        core[v] = k
+        for u in adj[v]:
+            if u not in core:
+                deg[u] -= 1
+                heapq.heappush(heap, (deg[u], u))
+    return core
+
+
+@pytest.mark.parametrize("seed", [3, 21])
+@pytest.mark.parametrize("local", [True, False])
+def test_core_decomposition_matches_bz(spark, seed, local):
+    from graph_spark.graph.algorithms import core_decomposition
+
+    rng = random.Random(seed)
+    base = sorted({(f"n{rng.randrange(25)}", f"n{rng.randrange(25)}") for _ in range(80)})
+    base = [(a, b) for a, b in base if a != b]
+    sym = sorted({*base, *[(b, a) for a, b in base]})
+    edf = spark.createDataFrame(sym, ["src", "dst"])
+    g = PropertyGraph(edf.select(F.col("src").alias("id")).distinct(), edf)
+    got = {
+        r["node"]: r["coreness"] for r in core_decomposition(g, local=local).collect()
+    }
+    assert got == _bz_coreness(sym), f"local={local}"
+
+
 def test_edge_count_memo_releases_frames(spark):
     """The routing edge-count memo must not pin DataFrames forever: once
     a routed edge frame is garbage-collected, its entry is dead and gets
