@@ -99,6 +99,22 @@ class Engine:
         """Coreness per node (every k-core level in one call)."""
         return algorithms.core_decomposition(self.graph())
 
+    def shortest_paths_delta_stepping(
+        self, source: str, weight_col: str = "n_items", delta: float = 4.0
+    ) -> DataFrame:
+        """Bucketed SSSP for large-diameter weighted graphs (weights
+        from the directed edge view, symmetrized with the weight kept)."""
+        from pyspark.sql import functions as F
+
+        e = self.catalog.graph_edges().select("src", "dst", weight_col)
+        wsym = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), F.col(weight_col))
+        )
+        verts = self.catalog.graph_nodes().select(F.col("node").alias("id"))
+        return algorithms.shortest_paths_delta_stepping(
+            PropertyGraph(verts, wsym), source, weight_col, delta
+        )
+
     def strongly_connected_components(self) -> DataFrame:
         return algorithms.strongly_connected_components(self.graph(symmetric=False))
 

@@ -54,6 +54,24 @@ def test_weighted_shortest_paths_vs_dijkstra(spark, seed):
         assert abs(got[k] - want[k]) < 1e-9, k
 
 
+@pytest.mark.parametrize("seed,delta", [(13, 3.0), (51, 1.0), (51, 25.0)])
+def test_delta_stepping_matches_dijkstra(spark, seed, delta):
+    """Delta-stepping must equal the Dijkstra reference exactly for any
+    bucket width: delta=1 degenerates toward Dijkstra (every edge
+    heavy), delta=25 toward Bellman-Ford (every edge light)."""
+    from graph_spark.graph.algorithms import shortest_paths_delta_stepping
+
+    edges = _wgraph(seed)
+    edf = spark.createDataFrame(edges, ["src", "dst", "w"])
+    g = PropertyGraph(edf.select(F.col("src").alias("id")).distinct(), edf)
+    got = {
+        r["node"]: r["dist"]
+        for r in shortest_paths_delta_stepping(g, "n0", "w", delta=delta).collect()
+    }
+    want = _dijkstra(edges, "n0")
+    assert got == want
+
+
 def test_label_propagation_two_cliques(spark):
     # two 4-cliques joined by nothing: LPA must give each clique one label
     def clique(names):
