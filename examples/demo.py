@@ -88,6 +88,20 @@ def main() -> None:
     eng.assortativity().show()
     eng.snapshot_series().show(4)
 
+    print("== graph: full core decomposition (coreness per node) ==")
+    eng.core_decomposition().orderBy(F.desc("coreness"), "node").show(5)
+
+    print("== graph: delta-stepping SSSP (bucketed weighted distances) ==")
+    eng.shortest_paths_delta_stepping("c1", delta=4.0).orderBy("dist", "node").show(5)
+
+    print("== graph: strongly connected components (FW-BW above 5M edges) ==")
+    eng.strongly_connected_components().groupBy("component").count().orderBy(
+        F.desc("count")
+    ).show(3)
+
+    print("== LLM ops: ANN auto-routing (brute below 100k corpus rows, LSH above) ==")
+    eng.similar_topk(em, em.filter(F.col("vec_id") < 3), k=3).show(5)
+
     print("== LLM ops: token-budget sequence packing + surprisal quality ==")
     eng.pack_sequences(docs, budget=256).groupBy("lang", "pack_id").count().show(5)
     eng.surprisal(docs).orderBy("doc_id").show(5)
