@@ -3430,4 +3430,129 @@ def g70(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g71_harmonic_centrality",
+    f"""WITH RECURSIVE {GRAPH_CTES},
+       lms AS (SELECT node FROM graph_nodes WHERE node IN ('c2','c7','s3')),
+       bfs(lm, node, hops) AS (
+         SELECT node, node, 0 FROM lms
+         UNION
+         SELECT b.lm, e.dst, b.hops+1 FROM bfs b
+         JOIN graph_edges_sym e ON b.node=e.src WHERE b.hops<5),
+       dist AS (SELECT lm, node, min(hops) AS d FROM bfs GROUP BY 1,2),
+       agg AS (SELECT node, count(*) AS n_lm, sum(60 // d) AS hx60
+               FROM dist WHERE d >= 1 GROUP BY 1)
+       SELECT node, CAST(n_lm AS BIGINT) AS n_lm,
+              round(CAST(hx60 AS DOUBLE) / 60.0, 6) AS harmonic
+       FROM agg ORDER BY harmonic DESC, node""",
+    note="landmark harmonic centrality: sum of 1/d over landmark "
+    "distances (Boldi-Vigna's recommended centrality for disconnected "
+    "graphs — unreached landmarks contribute 0 instead of poisoning "
+    "the sum like closeness does).  Same ONE multi-source frontier "
+    "loop as g22 (state keyed (landmark, node), k landmarks = one "
+    "BFS's superstep count).  Reciprocal distances are summed as "
+    "exact integers x60 (lcm of 1..5) so the two engines cannot "
+    "diverge on float summation order, then divided once at the end",
+)
+def g71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import multi_source_bfs
+
+    g = _sym_graph(Catalog(spark, sf_dir))
+    dist = multi_source_bfs(g, ["c2", "c7", "s3"], max_hops=5)
+    return (
+        dist.filter(F.col("d") >= 1)
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).alias("n_lm"),
+            F.sum(F.expr("60 div d")).alias("hx60"),
+        )
+        .select(
+            "node",
+            "n_lm",
+            F.round(F.col("hx60").cast("double") / 60.0, 6).alias("harmonic"),
+        )
+        .orderBy(F.col("harmonic").desc(), "node")
+    )
+
+
+_TRADE_SYM_CTES = """ne AS (
+         SELECT 'n'||c.c_nationkey AS src, 'n'||s.s_nationkey AS dst
+         FROM lineitem l JOIN orders o ON l.l_orderkey=o.o_orderkey
+         JOIN customer c ON o.o_custkey=c.c_custkey
+         JOIN supplier s ON l.l_suppkey=s.s_suppkey
+         GROUP BY 1,2 HAVING count(*) >= 150),
+       es AS (SELECT DISTINCT src, dst FROM (
+         SELECT src, dst FROM ne WHERE src<>dst
+         UNION ALL SELECT dst, src FROM ne WHERE src<>dst))"""
+
+
+@_g(
+    "g72_local_bridges",
+    f"""WITH {_TRADE_SYM_CTES},
+       pairs AS (SELECT src AS u, dst AS v FROM es WHERE src < dst),
+       cn AS (SELECT p.u, p.v, count(*) AS c
+              FROM pairs p
+              JOIN es a ON a.src = p.u
+              JOIN es b ON b.src = p.v AND b.dst = a.dst
+              WHERE a.dst <> p.u AND a.dst <> p.v
+              GROUP BY 1, 2)
+       SELECT p.u, p.v, CAST(coalesce(cn.c, 0) AS BIGINT) AS common_nbrs,
+              CASE WHEN cn.c IS NULL THEN 1 ELSE 0 END AS is_local_bridge
+       FROM pairs p LEFT JOIN cn ON cn.u = p.u AND cn.v = p.v
+       ORDER BY 1, 2""",
+    note="local bridges (Easley-Kleinberg): an edge whose endpoints "
+    "share NO common neighbor — its removal pushes the endpoints to "
+    "distance > 2, the classic weak-tie / information-brokerage "
+    "signal.  Computed on the symmetrized nation trade graph "
+    "(>=150 shipments, sparse enough to have bridges).  Shape is the "
+    "triangle-counting inverted-index join: adjacency self-joined on "
+    "the shared-neighbor key, NEVER per-pair neighborhood "
+    "intersection lists; at 100 TB the adjacency is bucketed on src "
+    "so both probes are co-located, and the per-pair count is a "
+    "map-side-combined groupBy",
+)
+def g72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    ne = (
+        c.table("lineitem")
+        .join(c.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.table("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c.table("supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.concat(F.lit("n"), F.col("c_nationkey")).alias("src"),
+            F.concat(F.lit("n"), F.col("s_nationkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 150) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+    )
+    es = (
+        ne.unionAll(ne.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    pairs = es.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    a = es.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    b = es.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    cn = (
+        pairs.join(a, "u")
+        .join(b, ["v", "w"])
+        .filter((F.col("w") != F.col("u")) & (F.col("w") != F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        pairs.join(cn, ["u", "v"], "left")
+        .select(
+            "u",
+            "v",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("common_nbrs"),
+            F.when(F.col("c").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_local_bridge"),
+        )
+        .orderBy("u", "v")
+    )
+
+
 QUERIES = list(_G)
