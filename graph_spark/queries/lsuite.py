@@ -1174,11 +1174,13 @@ def l34(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
-    """Unrolled Lloyd iterations: per iteration one cross-join argmin
-    (row_number tie-broken on (dist, cid)) and one unnest-by-dimension
-    centroid mean, mirroring the operator's update schedule exactly
-    (`iters` assignments, `iters - 1` updates)."""
+def _kmeans_chain(k: int = 8, iters: int = 3, dim: int = 64) -> tuple[str, str]:
+    """Unrolled Lloyd iterations as a CTE chain: per iteration one
+    cross-join argmin (row_number tie-broken on (dist, cid)) and one
+    unnest-by-dimension centroid mean, mirroring the operator's update
+    schedule exactly (`iters` assignments, `iters - 1` updates).
+    Returns (cte_block, final_assignment_cte_name); the chain also
+    exposes `e(vec_id, v)` for downstream vector math."""
     diff = f"list_transform(range(1, {dim + 1}), j -> e.v[j] - i.c[j])"
     parts = [
         f"""init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
@@ -1203,11 +1205,15 @@ s{it} AS (SELECT vec_id, cid, dist FROM (SELECT *, row_number() OVER
        GROUP BY 1, 2) GROUP BY 1)"""
             )
             prev_c = f"c{it}"
-    chain = ",\n".join(parts)
+    return ",\n".join(parts), f"s{iters}"
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    chain, final = _kmeans_chain(k, iters, dim)
     return (
         f"WITH {chain}\n"
         f"SELECT CAST(cid AS INT) AS cluster_id, count(*) AS n, round(sum(dist), 2) AS inertia\n"
-        f"FROM s{iters} GROUP BY 1 ORDER BY 1"
+        f"FROM {final} GROUP BY 1 ORDER BY 1"
     )
 
 
@@ -3310,6 +3316,158 @@ def l65(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("p").cast("double") / F.sum("w"), 4).alias("fertility"),
         )
         .orderBy("lang")
+    )
+
+
+def _semdedup_oracle(k: int = 8, iters: int = 2, dim: int = 64, tau: float = 0.3) -> str:
+    chain, final = _kmeans_chain(k, iters, dim)
+    return f"""WITH {chain},
+nrm AS (SELECT vec_id, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+p AS (SELECT a.cid, a.vec_id AS va, b.vec_id AS vb,
+        list_inner_product(ea.v, eb.v) / (na.nrm * nb.nrm) AS sim
+      FROM {final} a JOIN {final} b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+      JOIN nrm na ON na.vec_id = a.vec_id JOIN nrm nb ON nb.vec_id = b.vec_id),
+dups AS (SELECT cid, va, vb FROM p WHERE sim >= {tau}),
+rem AS (SELECT cid, count(DISTINCT vb) AS n_removed, count(*) AS n_dup_pairs
+        FROM dups GROUP BY 1),
+tot AS (SELECT cid, count(*) AS n FROM {final} GROUP BY 1)
+SELECT CAST(t.cid AS INT) AS cluster_id, t.n,
+       CAST(coalesce(r.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+       CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed,
+       round((t.n - coalesce(r.n_removed, 0)) * 1.0 / t.n, 4) AS keep_ratio
+FROM tot t LEFT JOIN rem r ON r.cid = t.cid ORDER BY 1"""
+
+
+@_l(
+    "l66_semdedup",
+    _semdedup_oracle(),
+    note="SemDeDup (Abbas et al. 2023): embedding-space semantic "
+    "deduplication — k-means cells first, then cosine pairs ONLY "
+    "within a cell, remove every vector that duplicates (sim >= 0.3, "
+    "calibrated to the synthetic corpus) a lower-id vector in its "
+    "cell.  The cell partition turns the O(n^2) corpus pair scan "
+    "into k independent within-cell scans — the same candidate-"
+    "pruning role the LSH band plays for MinHash; at 100 TB the "
+    "cells come from the IVF index (kmeans_lloyd), the corpus is "
+    "hash-partitioned by cid so the self-join is co-located, and "
+    "per-cell cost is bounded by balancing k with corpus size "
+    "(cells >> sqrt(n)).  Oracle unrolls the identical kmeans "
+    "schedule then replays the within-cell pair math in SQL",
+)
+def l66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import kmeans_lloyd
+
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    assigned = kmeans_lloyd(emb, k=8, iters=2)
+    dot = lambda u, w: F.aggregate(  # noqa: E731
+        F.zip_with(u, w, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nrmed = assigned.select(
+        "cid", "vec_id", "v", F.sqrt(dot("v", "v")).alias("nrm")
+    ).localCheckpoint(eager=True)
+    a = nrmed.select(
+        "cid",
+        F.col("vec_id").alias("va"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("na"),
+    )
+    b = nrmed.select(
+        "cid",
+        F.col("vec_id").alias("vb"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("nb"),
+    )
+    p = (
+        a.join(b, "cid")
+        .filter(F.col("va") < F.col("vb"))
+        .withColumn("sim", dot("av", "bv") / (F.col("na") * F.col("nb")))
+    )
+    dups = p.filter(F.col("sim") >= 0.3)
+    rem = dups.groupBy("cid").agg(
+        F.countDistinct("vb").alias("n_removed"),
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+    )
+    tot = nrmed.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tot.join(rem, "cid", "left")
+        .select(
+            F.col("cid").cast("int").alias("cluster_id"),
+            "n",
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            F.round(
+                (F.col("n") - F.coalesce("n_removed", F.lit(0))) * 1.0 / F.col("n"), 4
+            ).alias("keep_ratio"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+@_l(
+    "l67_substring_spans",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       g AS (SELECT doc_id, i, array_to_string(l[i : i+7], ' ') AS gram
+             FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 7)) AS i
+                   FROM toks) u),
+       m AS (SELECT a.doc_id AS da, b.doc_id AS db, a.i AS ia, b.i AS ib
+             FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       runs AS (SELECT da, db, ia - ib AS diag,
+                ia - row_number() OVER (PARTITION BY da, db, ia - ib ORDER BY ia) AS isl
+                FROM m),
+       spans AS (SELECT da, db, count(*) + 7 AS span_tokens
+                 FROM runs GROUP BY da, db, diag, isl)
+       SELECT da, db, CAST(count(*) AS BIGINT) AS n_spans,
+              CAST(max(span_tokens) AS BIGINT) AS max_span,
+              CAST(sum(span_tokens - 7) AS BIGINT) AS n_grams
+       FROM spans GROUP BY 1, 2 ORDER BY 1, 2""",
+    note="exact-substring duplicate spans (the Lee et al. 2022 "
+    "'Deduplicating Training Data Makes Language Models Better' "
+    "suffix-array semantic, re-expressed relationally): 8-token "
+    "grams with positions, equi-joined across documents on the gram "
+    "key, then consecutive matched positions merged into maximal "
+    "shared spans with the gaps-and-islands trick on the (pos_a - "
+    "pos_b) diagonal — two window functions, no suffix array, no "
+    "all-pairs.  At 100 TB the gram key is xxhash64'd (8B instead "
+    "of the string), the join is the inverted-index shape bucketed "
+    "on the gram hash, and hot boilerplate grams are capped by a "
+    "posting-length filter exactly like the MinHash band join",
+)
+def l67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("l"))
+    g = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(l) >= 8 THEN "
+                "transform(sequence(1, size(l) - 7), "
+                "i -> struct(i AS i, concat_ws(' ', slice(l, i, 8)) AS gram)) "
+                "ELSE array() END"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.i").alias("i"), F.col("s.gram").alias("gram"))
+    a = g.select(F.col("doc_id").alias("da"), F.col("i").alias("ia"), "gram")
+    b = g.select(F.col("doc_id").alias("db"), F.col("i").alias("ib"), "gram")
+    m = a.join(b, "gram").filter(F.col("da") < F.col("db")).select("da", "db", "ia", "ib")
+    w = Window.partitionBy("da", "db", F.col("ia") - F.col("ib")).orderBy("ia")
+    runs = m.select(
+        "da",
+        "db",
+        (F.col("ia") - F.col("ib")).alias("diag"),
+        (F.col("ia") - F.row_number().over(w)).alias("isl"),
+    )
+    spans = runs.groupBy("da", "db", "diag", "isl").agg(
+        (F.count(F.lit(1)) + 7).alias("span_tokens")
+    )
+    return (
+        spans.groupBy("da", "db")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.max("span_tokens").alias("max_span"),
+            F.sum(F.col("span_tokens") - 7).alias("n_grams"),
+        )
+        .orderBy("da", "db")
     )
 
 
