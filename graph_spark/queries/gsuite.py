@@ -3555,4 +3555,110 @@ def g72(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _katz_oracle(iters: int = 6, alpha: float = 0.005, topn: int = 25) -> str:
+    parts = ["k0 AS (SELECT node, 1.0::DOUBLE AS x FROM graph_nodes)"]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""k{i} AS (SELECT n.node,
+       1.0::DOUBLE + {alpha}::DOUBLE * coalesce(sum(p.x), 0) AS x
+       FROM graph_nodes n LEFT JOIN graph_edges_sym e ON e.dst = n.node
+       LEFT JOIN k{i - 1} p ON p.node = e.src GROUP BY 1)"""
+        )
+    chain = ",\n".join(parts)
+    return (
+        f"WITH {GRAPH_CTES},\n{chain}\n"
+        f"SELECT node, round(x, 6) AS katz FROM k{iters} "
+        f"ORDER BY katz DESC, node LIMIT {topn}"
+    )
+
+
+@_g(
+    "g73_katz",
+    _katz_oracle(),
+    note="truncated Katz centrality (6 rounds, alpha=0.005, beta=1): "
+    "x <- 1 + alpha*A^T x counts alpha-discounted walks of every "
+    "length ending at the node — the influence semantic PageRank's "
+    "degree normalization deliberately discards.  Distributed "
+    "superstep is pagerank's minus the out-degree join: ONE dst-"
+    "combine shuffle per round over stationary pre-partitioned "
+    "edges, x broadcast; small graphs auto-route to the numpy "
+    "kernel (parity-shared routing with g06).  Oracle unrolls the "
+    "same 6 rounds; both engines order by the ROUNDED score so "
+    "last-bit float drift cannot reorder the top-k cut",
+)
+def g73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import katz_centrality
+
+    g = _sym_graph(Catalog(spark, sf_dir))
+    return (
+        katz_centrality(g, iterations=6, alpha=0.005)
+        .select("node", F.round("katz", 6).alias("katz"))
+        .orderBy(F.col("katz").desc(), "node")
+        .limit(25)
+    )
+
+
+@_g(
+    "g74_temporal_motifs",
+    """WITH ne AS (
+         SELECT 'n'||c.c_nationkey AS src, 'n'||s.s_nationkey AS dst,
+                min(l.l_shipdate) AS t
+         FROM lineitem l JOIN orders o ON l.l_orderkey=o.o_orderkey
+         JOIN customer c ON o.o_custkey=c.c_custkey
+         JOIN supplier s ON l.l_suppkey=s.s_suppkey
+         GROUP BY 1,2 HAVING count(*) >= 25),
+       e AS (SELECT src, dst, t FROM ne WHERE src <> dst)
+       SELECT count(*) AS n_motifs,
+              round(avg(date_diff('day', e1.t, e3.t)), 2) AS avg_span_days
+       FROM e e1 JOIN e e2 ON e2.src = e1.dst
+       JOIN e e3 ON e3.src = e2.dst AND e3.dst = e1.src
+       WHERE e1.t < e2.t AND e2.t < e3.t
+         AND date_diff('day', e1.t, e3.t) <= 90
+         AND e1.src < e2.src AND e1.src < e2.dst""",
+    note="temporal motif counting (Paranjape-Benson-Leskovec): "
+    "time-ordered cyclic trade triangles a->b->c->a whose first-trade "
+    "timestamps strictly increase within a 90-day window, "
+    "canonicalized to the rotation starting at the smallest node so "
+    "each cycle counts once.  The delta-window + ordering constraints "
+    "ride the same two equi-joins static triangle counting uses — "
+    "time is a filter on the joined rows, not a new join; at 100 TB "
+    "the edge list is bucketed on src and the window predicate "
+    "prunes before the second join fans out",
+)
+def g74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    ne = (
+        c.table("lineitem")
+        .join(c.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.table("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c.table("supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.concat(F.lit("n"), F.col("c_nationkey")).alias("src"),
+            F.concat(F.lit("n"), F.col("s_nationkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.min("l_shipdate").alias("t"))
+        .filter((F.col("n") >= 25) & (F.col("src") != F.col("dst")))
+        .select("src", "dst", "t")
+        .localCheckpoint(eager=True)
+    )
+    e1 = ne.select(F.col("src").alias("a"), F.col("dst").alias("b"), F.col("t").alias("t1"))
+    e2 = ne.select(F.col("src").alias("b"), F.col("dst").alias("cn"), F.col("t").alias("t2"))
+    e3 = ne.select(F.col("src").alias("cn"), F.col("dst").alias("a"), F.col("t").alias("t3"))
+    m = (
+        e1.join(e2, "b")
+        .join(e3, ["cn", "a"])
+        .filter(
+            (F.col("t1") < F.col("t2"))
+            & (F.col("t2") < F.col("t3"))
+            & (F.datediff("t3", "t1") <= 90)
+            & (F.col("a") < F.col("b"))
+            & (F.col("a") < F.col("cn"))
+        )
+    )
+    return m.agg(
+        F.count(F.lit(1)).alias("n_motifs"),
+        F.round(F.avg(F.datediff("t3", "t1")), 2).alias("avg_span_days"),
+    )
+
+
 QUERIES = list(_G)

@@ -804,3 +804,31 @@ def test_largest_remainder_sums_to_budget(spark, seed):
     for row in out:
         exact = budget * row["rev"] / row["tot"]
         assert abs(row["alloc"] - exact) < 1.0
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_katz_local_distributed_reference_parity(spark, seed):
+    """katz_centrality == plain-python truncated Katz on random sparse
+    graphs, on both execution paths."""
+    from graph_spark.graph.algorithms import katz_centrality
+
+    edges = _random_graph(seed)
+    alpha, iters = 0.01, 5
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    x = {n: 1.0 for n in nodes}
+    for _ in range(iters):
+        acc = {n: 0.0 for n in nodes}
+        for a, b in edges:
+            acc[b] += x[a]
+        x = {n: 1.0 + alpha * acc[n] for n in nodes}
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    v = e.select(F.col("src").alias("id")).distinct()
+    g = PropertyGraph(v, e)
+    for local in (True, False):
+        got = {
+            r["node"]: r["katz"]
+            for r in katz_centrality(g, iterations=iters, alpha=alpha, local=local).collect()
+        }
+        assert got.keys() == x.keys(), f"local={local} seed={seed}"
+        for n in x:
+            assert abs(got[n] - x[n]) < 1e-9, f"local={local} seed={seed} node={n}"
