@@ -3471,4 +3471,50 @@ def l67(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l68_zipf_slope",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+       tf AS (SELECT term, count(*) AS c FROM tok WHERE term <> '' GROUP BY 1),
+       rk AS (SELECT term, c,
+              row_number() OVER (ORDER BY c DESC, term) AS r FROM tf),
+       top AS (SELECT ln(r::DOUBLE) AS lx, ln(c::DOUBLE) AS ly
+               FROM rk WHERE r <= 100)
+       SELECT CAST((SELECT count(*) FROM tf) AS BIGINT) AS n_terms,
+              round(regr_slope(ly, lx), 4) AS slope,
+              round(regr_intercept(ly, lx), 4) AS intercept,
+              round(regr_r2(ly, lx), 4) AS r2
+       FROM top""",
+    note="Zipf-law fit of the corpus unigram distribution: OLS of "
+    "ln(freq) on ln(rank) over the top-100 ranks (slope ~ -1 for "
+    "natural text; a flat slope flags synthetic/templated corpora, a "
+    "cliff flags boilerplate floods — a standard corpus-health gate "
+    "before pretraining).  One explode -> groupBy for term counts "
+    "(map-side combined), one 100-row window for ranks, and the "
+    "regression is a built-in distributive aggregate in BOTH engines "
+    "(regr_slope/intercept/r2) — sufficient statistics only, nothing "
+    "driver-side; at 100 TB the term table is the only shuffle and "
+    "it's the inverted-index build every other text op already pays",
+)
+def l68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    tok = d.select(F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    rk = tf.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("c").desc(), "term"))
+    )
+    top = rk.filter(F.col("r") <= 100).select(
+        F.log(F.col("r").cast("double")).alias("lx"),
+        F.log(F.col("c").cast("double")).alias("ly"),
+    )
+    n_terms = tf.agg(F.count(F.lit(1)).alias("n_terms"))
+    fit = top.agg(
+        F.round(F.expr("regr_slope(ly, lx)"), 4).alias("slope"),
+        F.round(F.expr("regr_intercept(ly, lx)"), 4).alias("intercept"),
+        F.round(F.expr("regr_r2(ly, lx)"), 4).alias("r2"),
+    )
+    return n_terms.crossJoin(fit).select("n_terms", "slope", "intercept", "r2")
+
+
 QUERIES = list(_L)
