@@ -3661,4 +3661,108 @@ def g74(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g75_bipartite_check",
+    f"""WITH RECURSIVE {_TRADE_SYM_CTES},
+       nodes AS (SELECT DISTINCT src AS node FROM es),
+       reach(a, b) AS (
+         SELECT node, node FROM nodes
+         UNION
+         SELECT r.a, e.dst FROM reach r JOIN es e ON r.b = e.src),
+       comp AS (SELECT a AS node, min(b) AS root FROM reach GROUP BY 1),
+       bfs(root, node, hops) AS (
+         SELECT root, root, 0 FROM (SELECT DISTINCT root FROM comp) r
+         UNION
+         SELECT b.root, e.dst, b.hops+1 FROM bfs b
+         JOIN es e ON b.node = e.src WHERE b.hops < 10),
+       lvl AS (SELECT root, node, min(hops) % 2 AS par FROM bfs GROUP BY 1, 2),
+       oe AS (SELECT c.root, count(*) AS n_odd
+              FROM es e JOIN comp c ON c.node = e.src
+              JOIN lvl la ON la.root = c.root AND la.node = e.src
+              JOIN lvl lb ON lb.root = c.root AND lb.node = e.dst
+              WHERE e.src < e.dst AND la.par = lb.par
+              GROUP BY 1),
+       sz AS (SELECT root, count(*) AS n_nodes FROM comp GROUP BY 1),
+       ec AS (SELECT c.root, count(*) AS n_edges
+              FROM es e JOIN comp c ON c.node = e.src WHERE e.src < e.dst
+              GROUP BY 1)
+       SELECT s.root AS component, s.n_nodes, ec.n_edges,
+              CAST(coalesce(oe.n_odd, 0) AS BIGINT) AS n_odd_edges,
+              CASE WHEN oe.n_odd IS NULL THEN 1 ELSE 0 END AS is_bipartite
+       FROM sz s JOIN ec ON ec.root = s.root
+       LEFT JOIN oe ON oe.root = s.root ORDER BY 1""",
+    note="per-component bipartiteness (BFS 2-coloring): a component "
+    "is bipartite iff no edge joins two nodes of equal BFS-level "
+    "parity from the component root — the odd-cycle certificate.  "
+    "Runs on the symmetrized >=150-shipment nation trade graph "
+    "(dense trade triangles make this genuinely non-bipartite, "
+    "unlike the c->s view which is bipartite by construction).  "
+    "Engine path REUSES connected_components for roots then ONE "
+    "multi-source BFS keyed (root, node) — same superstep budget as "
+    "g22; the parity join is two broadcast lookups on the (tiny) "
+    "level table.  n_nodes/n_edges counted per component to make "
+    "the certificate auditable",
+)
+def g75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import connected_components, multi_source_bfs
+
+    c = Catalog(spark, sf_dir)
+    ne = (
+        c.table("lineitem")
+        .join(c.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.table("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c.table("supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.concat(F.lit("n"), F.col("c_nationkey")).alias("src"),
+            F.concat(F.lit("n"), F.col("s_nationkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 150) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+    )
+    es = (
+        ne.unionAll(ne.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = es.select(F.col("src").alias("id")).distinct()
+    g = PropertyGraph(nodes, es)
+    comp = connected_components(g).select("node", F.col("component").alias("root"))
+    roots = [r["root"] for r in comp.select("root").distinct().collect()]
+    lvl = (
+        multi_source_bfs(g, roots, max_hops=10)
+        .select(F.col("lm").alias("root"), "node", (F.col("d") % 2).alias("par"))
+        .localCheckpoint(eager=True)
+    )
+    e_half = es.filter(F.col("src") < F.col("dst"))
+    ec = (
+        e_half.join(comp.withColumnRenamed("node", "src"), "src")
+        .groupBy("root")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    la = lvl.select("root", F.col("node").alias("src"), F.col("par").alias("pa"))
+    lb = lvl.select("root", F.col("node").alias("dst"), F.col("par").alias("pb"))
+    oe = (
+        e_half.join(comp.withColumnRenamed("node", "src"), "src")
+        .join(F.broadcast(la), ["root", "src"])
+        .join(F.broadcast(lb), ["root", "dst"])
+        .filter(F.col("pa") == F.col("pb"))
+        .groupBy("root")
+        .agg(F.count(F.lit(1)).alias("n_odd"))
+    )
+    sz = comp.groupBy("root").agg(F.count(F.lit(1)).alias("n_nodes"))
+    return (
+        sz.join(ec, "root")
+        .join(oe, "root", "left")
+        .select(
+            F.col("root").alias("component"),
+            "n_nodes",
+            "n_edges",
+            F.coalesce("n_odd", F.lit(0)).cast("long").alias("n_odd_edges"),
+            F.when(F.col("n_odd").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_bipartite"),
+        )
+        .orderBy("component")
+    )
+
+
 QUERIES = list(_G)
