@@ -3578,7 +3578,10 @@ def _katz_oracle(iters: int = 6, alpha: float = 0.005, topn: int = 25) -> str:
     note="truncated Katz centrality (6 rounds, alpha=0.005, beta=1): "
     "x <- 1 + alpha*A^T x counts alpha-discounted walks of every "
     "length ending at the node — the influence semantic PageRank's "
-    "degree normalization deliberately discards.  Distributed "
+    "degree normalization deliberately discards.  Complements "
+    "g48_katz (exact-integer walk counts, horizon 3) with the "
+    "iterated-recurrence operator form: deeper horizon, auto-routed "
+    "local/distributed paths, reference-parity-tested.  Distributed "
     "superstep is pagerank's minus the out-degree join: ONE dst-"
     "combine shuffle per round over stationary pre-partitioned "
     "edges, x broadcast; small graphs auto-route to the numpy "

@@ -486,3 +486,31 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_g72_local_bridges_no_cartesian(spark):
+    from graph_spark.queries.gsuite import QUERIES
+
+    q = next(q for q in QUERIES if q.name == "g72_local_bridges")
+    plan = _plan(q.build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_g74_temporal_motifs_equi_joins_only(spark):
+    from graph_spark.queries.gsuite import QUERIES
+
+    q = next(q for q in QUERIES if q.name == "g74_temporal_motifs")
+    plan = _plan(q.build(spark, SF_SMOKE))
+    # time ordering + delta window must ride the equi-joins as filters,
+    # never degrade to a cartesian/nested-loop pair enumeration
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_l67_substring_spans_gram_equi_join(spark):
+    from graph_spark.queries.lsuite import QUERIES
+
+    q = next(q for q in QUERIES if q.name == "l67_substring_spans")
+    plan = _plan(q.build(spark, SF_SMOKE))
+    # cross-document candidate pairs come ONLY from the gram equi-join
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
