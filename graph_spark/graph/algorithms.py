@@ -695,6 +695,136 @@ def katz_centrality(
     return state.select("node", "katz")
 
 
+def _local_louvain_pdf(pdf, rounds: int):
+    """numpy synchronous local-moving kernel; integer scores, community
+    ids relabelled so int-min == lexicographic string-min (the CC-kernel
+    trick), so tie-breaks match the SQL oracle exactly."""
+    import numpy as np
+    import pandas as pd
+
+    nodes, src0, dst0 = _factorize_edges(pdf)
+    n = len(nodes)
+    order = np.argsort(nodes)
+    rank_of = np.empty(n, dtype="int64")
+    rank_of[order] = np.arange(n)
+    snodes = nodes[order]  # snodes[rank] = node string
+    src = rank_of[src0]
+    dst = rank_of[dst0]
+    m2 = len(src)
+    k = np.bincount(src, minlength=n).astype("int64")
+    comm = np.arange(n, dtype="int64")
+    for _ in range(int(rounds)):
+        sigma = np.bincount(comm, weights=k, minlength=n).astype("int64")
+        # per-(v, neighbor community) edge counts
+        key = src * n + comm[dst]
+        uk, evc = np.unique(key, return_counts=True)
+        v = uk // n
+        c = uk % n
+        # ensure own community is always a candidate (evc contribution 0)
+        own_key = np.arange(n, dtype="int64") * n + comm
+        extra = np.setdiff1d(own_key, uk, assume_unique=False)
+        v = np.concatenate([v, extra // n])
+        c = np.concatenate([c, extra % n])
+        evc = np.concatenate([evc.astype("int64"), np.zeros(len(extra), dtype="int64")])
+        sig_ex = sigma[c] - np.where(comm[v] == c, k[v], 0)
+        score = m2 * evc - k[v] * sig_ex
+        # argmax per v, tie-break smallest community id
+        sel = np.lexsort((c, -score, v))  # sort by v, then -score, then c
+        v_s, c_s = v[sel], c[sel]
+        first = np.ones(len(v_s), dtype=bool)
+        first[1:] = v_s[1:] != v_s[:-1]
+        comm = comm.copy()
+        comm[v_s[first]] = c_s[first]
+    return pd.DataFrame({"node": snodes[np.arange(n)], "comm": snodes[comm]})
+
+
+def louvain_local_rounds(
+    graph: PropertyGraph, rounds: int = 3, local: bool | None = None
+) -> DataFrame:
+    """Synchronous Louvain local-moving phase, made exactly reproducible:
+    every node simultaneously moves to the neighboring community with
+    the highest modularity gain, where the gain comparison is the EXACT
+    INTEGER m2*e_vc - k_v*(sigma_c - k_v*[v in c]) (all constant terms
+    of deltaQ dropped, m2 = |directed sym edges|), tie-broken on the
+    lexicographically smallest community id.  No floats anywhere, so
+    any engine — including the unrolled SQL oracle — lands on
+    bit-identical partitions.  Community ids are node ids (init: own).
+
+    The synchronous schedule is the distributed-friendly variant
+    (classic Louvain is inherently sequential); a fixed round count
+    keeps it deterministic — label oscillation is possible and
+    harmless for the declared semantics.  Per round, distributed:
+    ONE shuffle for the (v, neighbor-community) message combine over
+    stationary edges, community sizes broadcast.  Small graphs
+    auto-route to the numpy kernel.  Returns DataFrame(node, comm).
+    """
+    if local is None:
+        local = _edge_count(graph) < LOCAL_EDGE_THRESHOLD
+    if local:
+        return _run_local(
+            graph,
+            lambda pdf: _local_louvain_pdf(pdf, rounds),
+            "node string, comm string",
+        )
+    spark = graph.edges.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    edges = graph.edges.select("src", "dst").repartition(n_part, "src").persist()
+    m2 = edges.count()
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("k"))
+    comm = deg.select("node", F.col("node").alias("comm")).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        cm = F.broadcast(comm)
+        sig = F.broadcast(
+            comm.join(deg, "node").groupBy("comm").agg(F.sum("k").alias("s"))
+        )
+        evc = (
+            edges.join(
+                cm.select(F.col("node").alias("dst"), F.col("comm").alias("ncomm")),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("v"), F.col("ncomm").alias("comm"))
+            .agg(F.count(F.lit(1)).cast("long").alias("evc"))
+        )
+        own = comm.select(
+            F.col("node").alias("v"), "comm", F.lit(0).cast("long").alias("evc")
+        )
+        cand = (
+            evc.unionByName(own)
+            .groupBy("v", "comm")
+            .agg(F.max("evc").alias("evc"))
+        )
+        cur = cm.select(F.col("node").alias("v"), F.col("comm").alias("cur_comm"))
+        dv = F.broadcast(deg.select(F.col("node").alias("v"), F.col("k").alias("kv")))
+        sc = (
+            cand.join(dv, "v")
+            .join(cur, "v")
+            .join(sig.withColumnRenamed("s", "sigma"), "comm")
+            .select(
+                "v",
+                "comm",
+                (
+                    F.lit(m2) * F.col("evc")
+                    - F.col("kv")
+                    * (
+                        F.col("sigma")
+                        - F.when(F.col("cur_comm") == F.col("comm"), F.col("kv")).otherwise(
+                            F.lit(0)
+                        )
+                    )
+                ).alias("s"),
+            )
+        )
+        w = Window.partitionBy("v").orderBy(F.col("s").desc(), F.col("comm"))
+        comm = (
+            sc.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(F.col("v").alias("node"), "comm")
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    return comm
+
+
 def personalized_pagerank(
     graph: PropertyGraph,
     sources: list,

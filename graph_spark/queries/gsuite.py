@@ -3768,4 +3768,92 @@ def g75(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _louvain_oracle(rounds: int = 3) -> str:
+    parts = [
+        """deg AS (SELECT src AS node, count(*) AS k FROM graph_edges_sym GROUP BY 1),
+mm AS (SELECT count(*) AS m2 FROM graph_edges_sym),
+c0 AS (SELECT node, node AS comm FROM graph_nodes)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f"""sig{r} AS (SELECT c.comm, sum(d.k) AS sigma
+       FROM c{p} c JOIN deg d ON d.node = c.node GROUP BY 1),
+evc{r} AS (SELECT e.src AS v, c.comm, count(*) AS evc
+       FROM graph_edges_sym e JOIN c{p} c ON c.node = e.dst GROUP BY 1, 2),
+cand{r} AS (SELECT v, comm, max(evc) AS evc FROM (
+       SELECT v, comm, evc FROM evc{r}
+       UNION ALL SELECT node, comm, 0 FROM c{p}) GROUP BY 1, 2),
+sc{r} AS (SELECT a.v, a.comm,
+       mm.m2 * a.evc - d.k * (sig{r}.sigma -
+         CASE WHEN cur.comm = a.comm THEN d.k ELSE 0 END) AS s
+       FROM cand{r} a
+       JOIN deg d ON d.node = a.v
+       JOIN sig{r} ON sig{r}.comm = a.comm
+       JOIN c{p} cur ON cur.node = a.v
+       CROSS JOIN mm),
+c{r} AS (SELECT v AS node, comm FROM (
+       SELECT v, comm, row_number() OVER (PARTITION BY v ORDER BY s DESC, comm) AS rk
+       FROM sc{r}) WHERE rk = 1)"""
+        )
+    chain = ",\n".join(parts)
+    return f"""WITH {GRAPH_CTES},
+{chain},
+ein AS (SELECT a.comm, count(*) AS ih
+       FROM graph_edges_sym e
+       JOIN c{rounds} a ON a.node = e.src
+       JOIN c{rounds} b ON b.node = e.dst AND b.comm = a.comm
+       GROUP BY 1)
+SELECT c.comm AS community, count(*) AS n_nodes,
+       CAST(coalesce(max(ein.ih), 0) AS BIGINT) AS internal_halfedges
+FROM c{rounds} c LEFT JOIN ein ON ein.comm = c.comm
+GROUP BY 1 ORDER BY 1"""
+
+
+@_g(
+    "g76_louvain_rounds",
+    _louvain_oracle(),
+    note="community detection beyond label propagation: 3 synchronous "
+    "Louvain local-moving rounds where every node simultaneously "
+    "moves to the neighbor community with the best modularity gain.  "
+    "The gain comparison is the EXACT INTEGER "
+    "m2*e_vc - k_v*(sigma_c - k_v*[v in c]) (deltaQ with constant "
+    "terms dropped), tie-broken on the smallest community id — no "
+    "floats anywhere, so engine, numpy kernel, python reference "
+    "(parity test) and this unrolled SQL oracle land on bit-"
+    "identical partitions.  Synchronous scheduling is what makes "
+    "the phase distributable (classic Louvain is sequential); per "
+    "round the engine pays ONE (v, neighbor-community) combine "
+    "shuffle over stationary src-partitioned edges, with community "
+    "sizes broadcast — the LPA cost model with a weighted argmax",
+)
+def g76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import louvain_local_rounds
+
+    c = Catalog(spark, sf_dir)
+    g = _sym_graph(c)
+    comm = louvain_local_rounds(g, rounds=3).localCheckpoint(eager=True)
+    e = c.graph_edges_sym()
+    a = comm.select(F.col("node").alias("src"), F.col("comm").alias("ca"))
+    b = comm.select(F.col("node").alias("dst"), F.col("comm").alias("cb"))
+    ein = (
+        e.join(a, "src")
+        .join(b, "dst")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("comm"))
+        .agg(F.count(F.lit(1)).alias("ih"))
+    )
+    return (
+        comm.groupBy("comm")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .join(ein, "comm", "left")
+        .select(
+            F.col("comm").alias("community"),
+            "n_nodes",
+            F.coalesce("ih", F.lit(0)).cast("long").alias("internal_halfedges"),
+        )
+        .orderBy("community")
+    )
+
+
 QUERIES = list(_G)

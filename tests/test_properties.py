@@ -832,3 +832,48 @@ def test_katz_local_distributed_reference_parity(spark, seed):
         assert got.keys() == x.keys(), f"local={local} seed={seed}"
         for n in x:
             assert abs(got[n] - x[n]) < 1e-9, f"local={local} seed={seed} node={n}"
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_louvain_local_distributed_reference_parity(spark, seed):
+    """Synchronous integer local-moving rounds == plain-python reference
+    on random sparse graphs, on both execution paths (tie-breaks and all
+    — the scores are exact integers, so equality is exact)."""
+    from graph_spark.graph.algorithms import louvain_local_rounds
+
+    edges = _random_graph(seed)
+    m2 = len(edges)
+    nodes = sorted({a for a, _ in edges})
+    k = {n: 0 for n in nodes}
+    for a, _ in edges:
+        k[a] += 1
+    comm = {n: n for n in nodes}
+    for _ in range(3):
+        sigma = {}
+        for nd in nodes:
+            sigma[comm[nd]] = sigma.get(comm[nd], 0) + k[nd]
+        evc = {}
+        for a, b in edges:
+            key = (a, comm[b])
+            evc[key] = evc.get(key, 0) + 1
+        nxt = {}
+        for nd in nodes:
+            cands = sorted({c for (v, c) in evc if v == nd} | {comm[nd]})
+            bs = bc = None
+            for c in cands:
+                e = evc.get((nd, c), 0)
+                sig_ex = sigma.get(c, 0) - (k[nd] if comm[nd] == c else 0)
+                s = m2 * e - k[nd] * sig_ex
+                if bs is None or s > bs:
+                    bs, bc = s, c
+            nxt[nd] = bc
+        comm = nxt
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    v = e.select(F.col("src").alias("id")).distinct()
+    g = PropertyGraph(v, e)
+    for local in (True, False):
+        got = {
+            r["node"]: r["comm"]
+            for r in louvain_local_rounds(g, rounds=3, local=local).collect()
+        }
+        assert got == comm, f"local={local} seed={seed}"
