@@ -3856,4 +3856,83 @@ def g76(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g77_eccentricity",
+    f"""WITH RECURSIVE {_TRADE_SYM_CTES},
+       nodes AS (SELECT DISTINCT src AS node FROM es),
+       bfs(lm, node, hops) AS (
+         SELECT node, node, 0 FROM nodes
+         UNION
+         SELECT b.lm, e.dst, b.hops+1 FROM bfs b
+         JOIN es e ON b.node = e.src WHERE b.hops < 12),
+       dist AS (SELECT lm, node, min(hops) AS d FROM bfs GROUP BY 1, 2),
+       reach AS (SELECT lm, count(*) AS nr, max(d) AS ecc FROM dist GROUP BY 1),
+       nn AS (SELECT count(*) AS n FROM nodes),
+       full_ecc AS (SELECT lm, ecc FROM reach CROSS JOIN nn WHERE nr = nn.n),
+       lims AS (SELECT min(ecc) AS radius, max(ecc) AS diameter FROM full_ecc)
+       SELECT f.lm AS node, CAST(f.ecc AS BIGINT) AS ecc,
+              CAST(l.radius AS BIGINT) AS radius,
+              CAST(l.diameter AS BIGINT) AS diameter,
+              CASE WHEN f.ecc = l.radius THEN 1 ELSE 0 END AS is_center
+       FROM full_ecc f CROSS JOIN lims l ORDER BY 1""",
+    note="exact eccentricity / radius / diameter / center of the "
+    "symmetrized nation trade graph: ONE multi-source BFS from EVERY "
+    "node — exact all-pairs eccentricity is only sane on a rolled-up "
+    "view (V supersteps of V-sourced state = V^2 frontier rows), "
+    "which is precisely what the nation-level aggregation provides "
+    "from 100 TB of shipments; at larger V the engine's g49 double-"
+    "sweep bound or g22 landmark sampling is the honest substitute.  "
+    "Nodes not reaching the whole component are excluded (same rule "
+    "as g22's closeness) so ecc is well-defined",
+)
+def g77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import multi_source_bfs
+
+    c = Catalog(spark, sf_dir)
+    ne = (
+        c.table("lineitem")
+        .join(c.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.table("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c.table("supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.concat(F.lit("n"), F.col("c_nationkey")).alias("src"),
+            F.concat(F.lit("n"), F.col("s_nationkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 150) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+    )
+    es = (
+        ne.unionAll(ne.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = [r["src"] for r in es.select("src").distinct().collect()]
+    g = PropertyGraph(es.select(F.col("src").alias("id")).distinct(), es)
+    dist = multi_source_bfs(g, nodes, max_hops=12)
+    reach = dist.groupBy("lm").agg(
+        F.count(F.lit(1)).alias("nr"), F.max("d").alias("ecc")
+    )
+    nn = len(nodes)
+    full_ecc = reach.filter(F.col("nr") == nn).select("lm", "ecc").localCheckpoint(
+        eager=True
+    )
+    lims = full_ecc.agg(
+        F.min("ecc").alias("radius"), F.max("ecc").alias("diameter")
+    )
+    return (
+        full_ecc.crossJoin(F.broadcast(lims))
+        .select(
+            F.col("lm").alias("node"),
+            F.col("ecc").cast("long").alias("ecc"),
+            F.col("radius").cast("long").alias("radius"),
+            F.col("diameter").cast("long").alias("diameter"),
+            F.when(F.col("ecc") == F.col("radius"), F.lit(1)).otherwise(F.lit(0)).alias(
+                "is_center"
+            ),
+        )
+        .orderBy("node")
+    )
+
+
 QUERIES = list(_G)

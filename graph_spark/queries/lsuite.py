@@ -3517,4 +3517,91 @@ def l68(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_terms.crossJoin(fit).select("n_terms", "slope", "intercept", "r2")
 
 
+def _pq_oracle(
+    n_sub: int = 4, sub_dim: int = 16, k: int = 8, iters: int = 2
+) -> str:
+    """Per-subspace unrolled Lloyd chains (the l35 schedule applied to
+    each 16-dim slice) + a UNION ALL of the per-subspace code
+    assignment summaries — product quantization's codebook build."""
+    parts = []
+    finals = []
+    for sp in range(n_sub):
+        lo = sp * sub_dim + 1
+        hi = (sp + 1) * sub_dim
+        diff = f"list_transform(range(1, {sub_dim + 1}), j -> e.v[j] - i.c[j])"
+        parts.append(
+            f"""e{sp} AS (SELECT vec_id,
+       list_transform(range({lo}, {hi + 1}), j -> embedding[j]::DOUBLE) AS v
+       FROM embeddings),
+init{sp} AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
+       FROM e{sp} ORDER BY vec_id LIMIT {k})"""
+        )
+        prev = f"init{sp}"
+        for it in range(1, iters + 1):
+            parts.append(
+                f"""d{sp}_{it} AS (SELECT e.vec_id, i.cid,
+       list_inner_product({diff}, {diff}) AS dist
+       FROM e{sp} e CROSS JOIN {prev} i),
+s{sp}_{it} AS (SELECT vec_id, cid, dist FROM (SELECT *, row_number() OVER
+       (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM d{sp}_{it}) WHERE rk = 1)"""
+            )
+            if it < iters:
+                parts.append(
+                    f"""c{sp}_{it} AS (SELECT cid, list(av ORDER BY dim) AS c FROM (
+       SELECT s.cid, j.j AS dim, avg(e.v[j.j]) AS av
+       FROM s{sp}_{it} s JOIN e{sp} e ON e.vec_id = s.vec_id
+       CROSS JOIN (SELECT unnest(range(1, {sub_dim + 1})) AS j) j
+       GROUP BY 1, 2) GROUP BY 1)"""
+                )
+                prev = f"c{sp}_{it}"
+        finals.append(
+            f"SELECT {sp} AS subspace, CAST(cid AS INT) AS cid, count(*) AS n,\n"
+            f"round(sum(dist), 2) AS inertia FROM s{sp}_{iters} GROUP BY 1, 2"
+        )
+    chain = ",\n".join(parts)
+    union = "\nUNION ALL ".join(finals)
+    return f"WITH {chain}\nSELECT * FROM ({union}) ORDER BY 1, 2"
+
+
+@_l(
+    "l69_product_quantization",
+    _pq_oracle(),
+    note="product quantization codebook build (Jegou et al., the "
+    "billion-scale ANN memory workhorse): the 64-dim embedding is "
+    "split into 4 independent 16-dim subspaces, each gets its own "
+    "k=8 Lloyd codebook (2 rounds, deterministic lowest-id seeds "
+    "and (dist, cid) tie-break — the l35 schedule), and a vector's "
+    "code is the concatenation of its per-subspace cell ids: 4 "
+    "bytes instead of 256, an asymmetric-distance-ready 64x "
+    "compression.  Each subspace trains INDEPENDENTLY — at 100 TB "
+    "that is 4 parallel l35-shaped jobs over sliced columns (slice "
+    "pushes into the scan projection; only k-row codebooks ever "
+    "reach the driver), and code assignment is the same broadcast "
+    "cross-join + codegen fold as IVF.  Oracle unrolls all four "
+    "chains and unions the per-subspace assignment summaries",
+)
+def l69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import kmeans_lloyd
+
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    outs = []
+    for sp in range(4):
+        sub = emb.select(
+            "vec_id", F.slice("embedding", sp * 16 + 1, 16).alias("sub")
+        )
+        assigned = kmeans_lloyd(sub, k=8, iters=2, vec_col="sub")
+        outs.append(
+            assigned.groupBy(F.col("cid").cast("int").alias("cid"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("dist"), 2).alias("inertia"),
+            )
+            .select(F.lit(sp).alias("subspace"), "cid", "n", "inertia")
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("subspace", "cid")
+
+
 QUERIES = list(_L)

@@ -7595,4 +7595,73 @@ def t74(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "t75_allen_relations",
+    """WITH iv AS (SELECT o_custkey AS k, o_orderkey AS id, o_orderdate AS s,
+         o_orderdate + (10 + o_orderkey % 50) * INTERVAL 1 DAY AS e
+       FROM orders),
+       p AS (SELECT a.s AS sa, a.e AS ea, b.s AS sb, b.e AS eb
+             FROM iv a JOIN iv b ON a.k = b.k
+             WHERE a.s < b.s OR (a.s = b.s AND a.e < b.e)
+                OR (a.s = b.s AND a.e = b.e AND a.id < b.id)),
+       cl AS (SELECT CASE
+                WHEN sa = sb AND ea = eb THEN 'equals'
+                WHEN sa = sb THEN 'starts'
+                WHEN ea < sb THEN 'before'
+                WHEN ea = sb THEN 'meets'
+                WHEN eb < ea THEN 'contains'
+                WHEN ea = eb THEN 'finishes'
+                ELSE 'overlaps' END AS relation
+              FROM p)
+       SELECT relation, count(*) AS n FROM cl GROUP BY 1 ORDER BY 1""",
+    note="Allen interval-algebra census: every per-customer pair of "
+    "order validity intervals (duration varied 10-59d by orderkey so "
+    "all seven canonical relations are reachable) classified into "
+    "before / meets / overlaps / starts / contains (during^-1) / "
+    "finishes / equals under the canonical (start, end, id) pair "
+    "ordering that collapses each converse.  The temporal-reasoning "
+    "primitive behind conflict detection, interval joins and "
+    "coalescing — classified here with pure comparisons on an "
+    "EQUI-KEYED pair join (customer key), never an unkeyed interval "
+    "cross join; at 100 TB the key join is the same shape as t20's "
+    "interval intersection and prunes with the same bucketing",
+)
+def t75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    iv = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderdate").alias("s"),
+        F.expr(
+            "o_orderdate + make_dt_interval(10 + o_orderkey % 50, 0, 0, 0)"
+        ).alias("e"),
+    )
+    a = iv.select("k", F.col("id").alias("ida"), F.col("s").alias("sa"), F.col("e").alias("ea"))
+    b = iv.select("k", F.col("id").alias("idb"), F.col("s").alias("sb"), F.col("e").alias("eb"))
+    p = a.join(b, "k").filter(
+        (F.col("sa") < F.col("sb"))
+        | ((F.col("sa") == F.col("sb")) & (F.col("ea") < F.col("eb")))
+        | (
+            (F.col("sa") == F.col("sb"))
+            & (F.col("ea") == F.col("eb"))
+            & (F.col("ida") < F.col("idb"))
+        )
+    )
+    rel = (
+        F.when((F.col("sa") == F.col("sb")) & (F.col("ea") == F.col("eb")), "equals")
+        .when(F.col("sa") == F.col("sb"), "starts")
+        .when(F.col("ea") < F.col("sb"), "before")
+        .when(F.col("ea") == F.col("sb"), "meets")
+        .when(F.col("eb") < F.col("ea"), "contains")
+        .when(F.col("ea") == F.col("eb"), "finishes")
+        .otherwise("overlaps")
+    )
+    return (
+        p.select(rel.alias("relation"))
+        .groupBy("relation")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("relation")
+    )
+
+
 QUERIES = list(_Q)
