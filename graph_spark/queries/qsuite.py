@@ -7664,4 +7664,73 @@ def t75(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "t76_ewma",
+    """WITH RECURSIVE r AS (SELECT user_id AS k, value AS x,
+         row_number() OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS rn
+       FROM events WHERE user_id < 200),
+       n AS (SELECT k, CAST(max(rn) AS BIGINT) AS n_events FROM r GROUP BY 1),
+       w(k, rn, s, mx) AS (
+         SELECT k, rn, x, x FROM r WHERE rn = 1
+         UNION ALL
+         SELECT r.k, r.rn, 0.2 * r.x + 0.8 * w.s,
+                greatest(w.mx, 0.2 * r.x + 0.8 * w.s)
+         FROM w JOIN r ON r.k = w.k AND r.rn = w.rn + 1)
+       SELECT w.k AS user_id, n.n_events,
+         round(w.s, 6) AS final_ewma, round(w.mx, 6) AS max_ewma
+       FROM w JOIN n ON n.k = w.k AND w.rn = n.n_events
+       ORDER BY 1""",
+    note="exponentially weighted moving average per user (alpha=0.2) "
+    "over the event-time-ordered value stream: the s' = a*x + (1-a)*s "
+    "recurrence that no window function expresses without the "
+    "numerically explosive (1-a)^-i rewrite — the same documented "
+    "Arrow grouped-map boundary as q98, one ordered scan per key via "
+    "applyInPandas while the oracle replays the identical recurrence "
+    "as a recursive CTE.  BOTH engines evaluate literally "
+    "0.2*x + 0.8*s in IEEE double, so the trajectories are bit-"
+    "identical, not merely close; state per key is two doubles; one "
+    "shuffle on the entity key.  The streaming twin is an "
+    "applyInPandasWithState op whose per-batch fold carries (s, mx)",
+)
+def t76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = (
+        Catalog(spark, sf_dir)
+        .table("events")
+        .filter(F.col("user_id") < 200)
+        .select("user_id", "ts", "event_id", "value")
+    )
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        s = mx = None
+        for x in pdf["value"]:
+            s = float(x) if s is None else 0.2 * float(x) + 0.8 * s
+            mx = s if mx is None else max(mx, s)
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "final_ewma": [s],
+                "max_ewma": [mx],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(
+            ewma, "user_id long, n_events long, final_ewma double, max_ewma double"
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.round("final_ewma", 6).alias("final_ewma"),
+            F.round("max_ewma", 6).alias("max_ewma"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = list(_Q)

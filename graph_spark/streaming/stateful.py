@@ -73,3 +73,70 @@ def stateful_sessionize(
     return stream.groupBy(user_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stateful_ewma(
+    stream: DataFrame,
+    alpha: float = 0.2,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-user streaming EWMA (s' = alpha*x + (1-alpha)*s) carried
+    across micro-batches by a 3-value state row (running ewma, running
+    max, event count) — the streaming twin of the t76 batch recurrence,
+    folding each micro-batch's (ts, id)-ordered values into the state
+    with literally the same `alpha*x + (1-alpha)*s` double arithmetic,
+    so the trajectory is bit-identical to the batch scan.
+
+    Emits one cumulative (user, n_events, final_ewma, max_ewma) row per
+    user per micro-batch in update mode; the latest row per user is the
+    authoritative state (highest n_events).  Same event-time-order
+    requirement as stateful_sessionize.
+    """
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType
+
+    out_schema = StructType(
+        [
+            StructField(user_col, LongType()),
+            StructField("n_events", LongType()),
+            StructField("final_ewma", DoubleType()),
+            StructField("max_ewma", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("s", DoubleType()),
+            StructField("mx", DoubleType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        s, mx, n = state.get if state.exists else (None, None, 0)
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if not len(rows):
+            return
+        rows = rows.sort_values([ts_col, id_col])
+        for x in rows[value_col]:
+            s = float(x) if s is None else alpha * float(x) + (1.0 - alpha) * s
+            mx = s if mx is None else max(mx, s)
+            n += 1
+        state.update((float(s), float(mx), int(n)))
+        yield pd.DataFrame(
+            {
+                user_col: [key[0]],
+                "n_events": [int(n)],
+                "final_ewma": [s],
+                "max_ewma": [mx],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -658,3 +658,43 @@ def test_s20_first_touch_stream_equals_batch(spark, replay_dir):
         spark, replay_dir, first_touch_state, output_mode="complete"
     )
     assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_stateful_ewma_equals_batch(spark, replay_dir):
+    """Streaming EWMA parity: the applyInPandasWithState fold across
+    micro-batches must land on the BIT-IDENTICAL final (ewma, max, n)
+    per user as one batch scan — same double arithmetic, same
+    (ts, id) order, state carried across batch boundaries."""
+    import pandas as pd
+
+    from graph_spark.streaming.stateful import stateful_ewma
+
+    sink = run_stream(
+        spark,
+        replay_dir,
+        lambda df: stateful_ewma(df, alpha=0.2),
+        output_mode="update",
+    )
+    # update mode emits one cumulative row per user per micro-batch;
+    # the authoritative row is the one with the highest n_events
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    got = _rows(
+        sink.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1),
+        ["user_id", "n_events", "final_ewma", "max_ewma"],
+    )
+
+    ev = (
+        Catalog(spark, SF_SMOKE)
+        .table("events")
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+    )
+    want = []
+    for uid, grp in ev.groupby("user_id"):
+        s = mx = None
+        for x in grp["value"]:
+            s = float(x) if s is None else 0.2 * float(x) + 0.8 * s
+            mx = s if mx is None else max(mx, s)
+        want.append((int(uid), len(grp), s, mx))
+    assert got == sorted(want) and len(want) > 0
