@@ -13,6 +13,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .catalog import DEFAULT_SF_DIR, TABLES, Catalog
 from .graph import algorithms
@@ -436,3 +437,121 @@ class Engine:
         from .graph.algorithms import katz_walk_counts
 
         return katz_walk_counts(self.catalog.graph_edges_sym(), rounds=rounds)
+
+    def katz_centrality(self, iterations: int = 6, alpha: float = 0.005) -> DataFrame:
+        """Iterated truncated Katz x <- 1 + alpha*A^T x on the symmetric
+        sales graph (g73); auto-routed local/distributed."""
+        from .graph.algorithms import katz_centrality
+
+        return katz_centrality(self.graph(), iterations=iterations, alpha=alpha)
+
+    def louvain(self, rounds: int = 3) -> DataFrame:
+        """Synchronous Louvain local-moving rounds with exact-integer
+        modularity gains (g76); returns (node, comm)."""
+        from .graph.algorithms import louvain_local_rounds
+
+        return louvain_local_rounds(self.graph(), rounds=rounds)
+
+    def harmonic_centrality(self, landmarks: list, max_hops: int = 5) -> DataFrame:
+        """Landmark harmonic centrality (g71): sum of 1/d over landmark
+        distances via ONE multi-source BFS; exact x60 integer
+        reciprocals, returns (node, n_lm, harmonic)."""
+        from .graph.algorithms import multi_source_bfs
+
+        dist = multi_source_bfs(self.graph(), landmarks, max_hops=max_hops)
+        return (
+            dist.filter(F.col("d") >= 1)
+            .groupBy("node")
+            .agg(
+                F.count(F.lit(1)).alias("n_lm"),
+                F.sum(F.expr("60 div d")).alias("hx60"),
+            )
+            .select(
+                "node",
+                "n_lm",
+                F.round(F.col("hx60").cast("double") / 60.0, 6).alias("harmonic"),
+            )
+        )
+
+    def semdedup(self, emb: DataFrame, k: int = 8, iters: int = 2, tau: float = 0.3) -> DataFrame:
+        """SemDeDup (l66): kmeans cells then within-cell cosine pairs;
+        returns per-cell (cluster_id, n, n_dup_pairs, n_removed,
+        keep_ratio)."""
+        from .operators.similarity import kmeans_lloyd
+
+        assigned = kmeans_lloyd(emb, k=k, iters=iters)
+        dot = lambda u, w: F.aggregate(  # noqa: E731
+            F.zip_with(u, w, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+        nrmed = assigned.select("cid", "vec_id", "v", F.sqrt(dot("v", "v")).alias("nrm"))
+        a = nrmed.select("cid", F.col("vec_id").alias("va"), F.col("v").alias("av"), F.col("nrm").alias("na"))
+        b = nrmed.select("cid", F.col("vec_id").alias("vb"), F.col("v").alias("bv"), F.col("nrm").alias("nb"))
+        dups = (
+            a.join(b, "cid")
+            .filter(F.col("va") < F.col("vb"))
+            .withColumn("sim", dot("av", "bv") / (F.col("na") * F.col("nb")))
+            .filter(F.col("sim") >= tau)
+        )
+        rem = dups.groupBy("cid").agg(
+            F.countDistinct("vb").alias("n_removed"),
+            F.count(F.lit(1)).alias("n_dup_pairs"),
+        )
+        tot = nrmed.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+        return tot.join(rem, "cid", "left").select(
+            F.col("cid").cast("int").alias("cluster_id"),
+            "n",
+            F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            F.round((F.col("n") - F.coalesce("n_removed", F.lit(0))) * 1.0 / F.col("n"), 4).alias("keep_ratio"),
+        )
+
+    def substring_spans(self, docs: DataFrame, n: int = 8) -> DataFrame:
+        """Exact-substring shared spans across documents (l67): n-token
+        gram equi-join + gaps-and-islands merge; returns
+        (da, db, n_spans, max_span, n_grams)."""
+        from pyspark.sql import Window as W
+
+        toks = docs.select("doc_id", F.split("text", " ").alias("l"))
+        g = toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(l) >= {n} THEN "
+                    f"transform(sequence(1, size(l) - {n - 1}), "
+                    f"i -> struct(i AS i, concat_ws(' ', slice(l, i, {n})) AS gram)) "
+                    "ELSE array() END"
+                )
+            ).alias("s"),
+        ).select("doc_id", F.col("s.i").alias("i"), F.col("s.gram").alias("gram"))
+        a = g.select(F.col("doc_id").alias("da"), F.col("i").alias("ia"), "gram")
+        b = g.select(F.col("doc_id").alias("db"), F.col("i").alias("ib"), "gram")
+        m = a.join(b, "gram").filter(F.col("da") < F.col("db")).select("da", "db", "ia", "ib")
+        w = W.partitionBy("da", "db", F.col("ia") - F.col("ib")).orderBy("ia")
+        runs = m.select(
+            "da", "db",
+            (F.col("ia") - F.col("ib")).alias("diag"),
+            (F.col("ia") - F.row_number().over(w)).alias("isl"),
+        )
+        spans = runs.groupBy("da", "db", "diag", "isl").agg(
+            (F.count(F.lit(1)) + (n - 1)).alias("span_tokens")
+        )
+        return spans.groupBy("da", "db").agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.max("span_tokens").alias("max_span"),
+            F.sum(F.col("span_tokens") - (n - 1)).alias("n_grams"),
+        )
+
+    def product_quantize(self, emb: DataFrame, n_sub: int = 4, sub_dim: int = 16, k: int = 8, iters: int = 2) -> DataFrame:
+        """Product-quantization code assignment (l69): per-subspace
+        Lloyd codebooks; returns (vec_id, subspace, cid, dist)."""
+        from .operators.similarity import kmeans_lloyd
+
+        outs = []
+        for sp in range(n_sub):
+            sub = emb.select("vec_id", F.slice("embedding", sp * sub_dim + 1, sub_dim).alias("sub"))
+            assigned = kmeans_lloyd(sub, k=k, iters=iters, vec_col="sub")
+            outs.append(assigned.select("vec_id", F.lit(sp).alias("subspace"), "cid", "dist"))
+        res = outs[0]
+        for o in outs[1:]:
+            res = res.unionByName(o)
+        return res
