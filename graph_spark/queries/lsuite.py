@@ -3604,4 +3604,72 @@ def l69(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.orderBy("subspace", "cid")
 
 
+@_l(
+    "l70_kneser_ney",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       bg AS (SELECT l[i] AS w1, l[i+1] AS w2
+              FROM d, unnest(range(1, len(l))) t(i)
+              WHERE l[i] <> '' AND l[i+1] <> ''),
+       tb AS (SELECT count(*) AS n_bigram_types FROM
+              (SELECT DISTINCT w1, w2 FROM bg)),
+       cont AS (SELECT w2 AS term, count(DISTINCT w1) AS cont_cnt FROM bg GROUP BY 1),
+       fol AS (SELECT w1 AS term, count(*) AS c1,
+               count(DISTINCT w2) AS n_follow FROM bg GROUP BY 1)
+       SELECT c.term, CAST(f.c1 AS BIGINT) AS c1,
+              CAST(f.n_follow AS BIGINT) AS n_follow,
+              CAST(c.cont_cnt AS BIGINT) AS cont_cnt,
+              round(c.cont_cnt * 1.0 / tb.n_bigram_types, 6) AS p_cont,
+              round(0.75 * f.n_follow / f.c1, 6) AS lambda
+       FROM cont c JOIN fol f ON f.term = c.term CROSS JOIN tb
+       ORDER BY cont_cnt DESC, c.term LIMIT 20""",
+    note="Kneser-Ney smoothing component tables: per-term continuation "
+    "count N1+(.w) (in how many DISTINCT left contexts does w appear "
+    "— the insight that 'Francisco' is frequent but not versatile), "
+    "continuation probability N1+(.w)/|distinct bigrams|, and the "
+    "backoff weight lambda(w) = D*N1+(w.)/c(w) with the standard "
+    "D=0.75 — everything an interpolated-KN bigram LM needs beyond "
+    "raw counts.  Three groupBy passes over the exploded bigram "
+    "stream (distinct-counting is the same shuffle shape as q11), "
+    "exact integers until two final divisions; at 100 TB the bigram "
+    "stream is hashed and the distinct counts become "
+    "approx_count_distinct under a declared error budget",
+)
+def l70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = d.select(F.split("text", " ").alias("l"))
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(l) >= 2 THEN "
+                "transform(sequence(1, size(l) - 1), "
+                "i -> struct(l[i-1] AS w1, l[i] AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2").filter((F.col("w1") != "") & (F.col("w2") != ""))
+    tb = bg.select("w1", "w2").distinct().agg(
+        F.count(F.lit(1)).alias("n_bigram_types")
+    )
+    cont = bg.groupBy(F.col("w2").alias("term")).agg(
+        F.countDistinct("w1").alias("cont_cnt")
+    )
+    fol = bg.groupBy(F.col("w1").alias("term")).agg(
+        F.count(F.lit(1)).alias("c1"), F.countDistinct("w2").alias("n_follow")
+    )
+    return (
+        cont.join(fol, "term")
+        .crossJoin(F.broadcast(tb))
+        .select(
+            "term",
+            "c1",
+            "n_follow",
+            "cont_cnt",
+            F.round(F.col("cont_cnt") * 1.0 / F.col("n_bigram_types"), 6).alias("p_cont"),
+            F.round(0.75 * F.col("n_follow") / F.col("c1"), 6).alias("lambda"),
+        )
+        .orderBy(F.col("cont_cnt").desc(), "term")
+        .limit(20)
+    )
+
+
 QUERIES = list(_L)
