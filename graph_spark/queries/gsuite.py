@@ -3935,4 +3935,92 @@ def g77(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g78_bridges",
+    f"""WITH RECURSIVE {_TRADE_SYM_CTES},
+       eh AS (SELECT src AS u, dst AS v FROM es WHERE src < dst),
+       r(u, v, node) AS (
+         SELECT u, v, u FROM eh
+         UNION
+         SELECT r.u, r.v, e.dst FROM r JOIN es e ON e.src = r.node
+         WHERE NOT ((e.src = r.u AND e.dst = r.v)
+                 OR (e.src = r.v AND e.dst = r.u))),
+       hit AS (SELECT DISTINCT u, v FROM r WHERE node = v)
+       SELECT eh.u, eh.v,
+              CASE WHEN hit.u IS NULL THEN 1 ELSE 0 END AS is_bridge
+       FROM eh LEFT JOIN hit ON hit.u = eh.u AND hit.v = eh.v
+       ORDER BY 1, 2""",
+    note="exact bridges (cut edges): an edge is a bridge iff its "
+    "endpoints are disconnected once it is removed — tested by |E| "
+    "SIMULTANEOUS BFS instances keyed by the excluded edge, all "
+    "riding one frontier loop (state (edge, node), the multi-source "
+    "pattern g22/g71/g75 use with a composite key).  Exact bridge "
+    "testing at this granularity is for rolled-up views (|E| "
+    "concurrent frontiers = |E|x|V| state ceiling — hundreds here); "
+    "at raw-graph scale the honest substitutes are g72's local "
+    "bridges (zero common neighbor, one join) or chain "
+    "decomposition.  Every true bridge is necessarily a g72 local "
+    "bridge — the two queries cross-certify.  Oracle replays the "
+    "same excluded-edge reachability as one recursive CTE",
+)
+def g78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    ne = (
+        c.table("lineitem")
+        .join(c.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.table("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c.table("supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.concat(F.lit("n"), F.col("c_nationkey")).alias("src"),
+            F.concat(F.lit("n"), F.col("s_nationkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 150) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+    )
+    es = (
+        ne.unionAll(ne.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    eh = es.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    )
+    visited = eh.select("u", "v", F.col("u").alias("node")).localCheckpoint(eager=True)
+    frontier = visited
+    for _ in range(15):
+        nxt = (
+            frontier.join(es, frontier.node == es.src)
+            .filter(
+                ~(
+                    ((F.col("src") == F.col("u")) & (F.col("dst") == F.col("v")))
+                    | ((F.col("src") == F.col("v")) & (F.col("dst") == F.col("u")))
+                )
+            )
+            .select("u", "v", F.col("dst").alias("node"))
+            .distinct()
+        )
+        vis = visited.select(
+            F.col("u").alias("vu"), F.col("v").alias("vv"), F.col("node").alias("vn")
+        )
+        frontier = nxt.join(
+            vis,
+            (nxt.u == vis.vu) & (nxt.v == vis.vv) & (nxt.node == vis.vn),
+            "left_anti",
+        ).localCheckpoint(eager=True)
+        if not frontier.take(1):
+            break
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+    hit = visited.filter(F.col("node") == F.col("v")).select("u", "v").distinct()
+    return (
+        eh.join(hit.withColumn("reached", F.lit(1)), ["u", "v"], "left")
+        .select(
+            "u",
+            "v",
+            F.when(F.col("reached").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_bridge"),
+        )
+        .orderBy("u", "v")
+    )
+
+
 QUERIES = list(_G)

@@ -7733,4 +7733,76 @@ def t76(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "t77_bitemporal_asof",
+    """WITH v1 AS (SELECT o_orderkey, o_orderdate AS valid_from,
+         o_orderdate + INTERVAL 30 DAY AS valid_to,
+         o_orderdate AS tx_from, 1 AS version, o_totalprice AS val
+       FROM orders),
+       corr AS (SELECT o.o_orderkey, o.o_orderdate AS valid_from,
+         o.o_orderdate + INTERVAL 30 DAY AS valid_to,
+         min(l.l_shipdate) AS tx_from, 2 AS version,
+         o.o_totalprice + 100.00 AS val
+       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       GROUP BY 1, 2, 3, 6),
+       allv AS (SELECT * FROM v1 UNION ALL SELECT * FROM corr),
+       pick AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+           ORDER BY version DESC) AS rk
+         FROM allv
+         WHERE valid_from <= TIMESTAMP '1997-06-15'
+           AND valid_to > TIMESTAMP '1997-06-15'
+           AND tx_from <= TIMESTAMP '1997-07-01')
+       SELECT o_orderkey, version, round(val, 2) AS val
+       FROM pick WHERE rk = 1 ORDER BY 1""",
+    note="bitemporal AS OF read: rows carry BOTH a valid-time interval "
+    "(when the fact was true: [orderdate, +30d)) and a transaction "
+    "time (when the system learned it: original booking at v1, a "
+    "+100.00 correction transacted at first shipment for v2); the "
+    "query answers 'what did we believe on tx=1997-07-01 about what "
+    "was true on valid=1997-06-15' — the audit/restatement read that "
+    "separates a temporal database from a history table.  Both "
+    "filters are pushdown predicates; version selection is one "
+    "per-key window (same shape as t18 keep-latest) — at 100 TB the "
+    "version table partitions by valid-time bucket so both AS OF "
+    "filters prune partitions before the window runs",
+)
+def t77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    o = c.table("orders")
+    v1 = o.select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("valid_from"),
+        F.expr("o_orderdate + INTERVAL 30 DAYS").alias("valid_to"),
+        F.col("o_orderdate").alias("tx_from"),
+        F.lit(1).alias("version"),
+        F.col("o_totalprice").alias("val"),
+    )
+    corr = (
+        o.join(c.table("lineitem"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.min("l_shipdate").alias("tx_from"))
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").alias("valid_from"),
+            F.expr("o_orderdate + INTERVAL 30 DAYS").alias("valid_to"),
+            "tx_from",
+            F.lit(2).alias("version"),
+            (F.col("o_totalprice") + 100.00).alias("val"),
+        )
+    )
+    allv = v1.unionByName(corr)
+    vt = F.lit("1997-06-15").cast("timestamp")
+    tt = F.lit("1997-07-01").cast("timestamp")
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
+    return (
+        allv.filter(
+            (F.col("valid_from") <= vt) & (F.col("valid_to") > vt) & (F.col("tx_from") <= tt)
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("o_orderkey", "version", F.round("val", 2).alias("val"))
+        .orderBy("o_orderkey")
+    )
+
+
 QUERIES = list(_Q)
