@@ -4023,4 +4023,52 @@ def g78(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g79_incremental_cc",
+    f"""WITH RECURSIVE {GRAPH_CTES},
+       ge AS (SELECT src, dst FROM graph_edges
+              WHERE n_items >= 3 AND first_ts <= TIMESTAMP '1998-01-01'),
+       ges AS (SELECT src, dst FROM ge UNION SELECT dst, src FROM ge),
+       nodes AS (SELECT DISTINCT src AS node FROM ges),
+       reach(node, r) AS (
+         SELECT node, node FROM nodes
+         UNION
+         SELECT e.dst, reach.r FROM reach JOIN ges e ON reach.node=e.src)
+       SELECT node, min(r) AS component FROM reach GROUP BY 1 ORDER BY 1""",
+    note="incremental connected components over the EVOLVING graph: "
+    "the engine labels the graph as of 1996-06-01, then absorbs the "
+    "edges born in (1996-06-01, 1998-01-01] through "
+    "incremental_components — old edges are NEVER re-read; new edges "
+    "contract onto the component graph (one tiny CC on <= one node "
+    "per touched component) and labels re-map by broadcast.  The "
+    "oracle computes the 1998-01-01 snapshot DIRECTLY, so a hash "
+    "match proves incremental == full recompute, the maintenance "
+    "guarantee an evolving temporal graph store owes its users.  "
+    "min-label composition is associative, which is why the "
+    "contraction is lossless; the same machinery is parity-tested "
+    "on random edge splits in test_properties",
+)
+def g79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import connected_components, incremental_components
+
+    c = Catalog(spark, sf_dir)
+    t0 = F.lit("1996-06-01").cast("timestamp")
+    t1 = F.lit("1998-01-01").cast("timestamp")
+    base = c.graph_edges().filter(F.col("n_items") >= 3)
+    ge_old = base.filter(F.col("first_ts") <= t0).select("src", "dst")
+    ges_old = ge_old.union(
+        ge_old.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels0 = connected_components(
+        PropertyGraph(ges_old.select(F.col("src").alias("id")).distinct(), ges_old)
+    )
+    ge_new = base.filter((F.col("first_ts") > t0) & (F.col("first_ts") <= t1)).select(
+        "src", "dst"
+    )
+    ges_new = ge_new.union(
+        ge_new.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return incremental_components(labels0, ges_new).orderBy("node")
+
+
 QUERIES = list(_G)

@@ -877,3 +877,30 @@ def test_louvain_local_distributed_reference_parity(spark, seed):
             for r in louvain_local_rounds(g, rounds=3, local=local).collect()
         }
         assert got == comm, f"local={local} seed={seed}"
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_incremental_cc_equals_full_recompute(spark, seed):
+    """Incremental CC (contract new edges onto old labels) must equal a
+    full recompute on the union graph — including brand-new nodes and
+    multi-component merges."""
+    from graph_spark.graph.algorithms import connected_components, incremental_components
+
+    edges = _random_graph(seed)
+    half = len(edges) // 2
+    old, new = edges[:half], edges[half:]
+    # keep symmetry within each batch
+    old = sorted(set(old) | {(b, a) for a, b in old})
+    new = sorted(set(new) | {(b, a) for a, b in new})
+    e_old = spark.createDataFrame(old, ["src", "dst"])
+    e_new = spark.createDataFrame(new, ["src", "dst"])
+    e_all = spark.createDataFrame(sorted(set(old) | set(new)), ["src", "dst"])
+    g_old = PropertyGraph(e_old.select(F.col("src").alias("id")).distinct(), e_old)
+    g_all = PropertyGraph(e_all.select(F.col("src").alias("id")).distinct(), e_all)
+    labels0 = connected_components(g_old)
+    got = {
+        r["node"]: r["component"]
+        for r in incremental_components(labels0, e_new).collect()
+    }
+    want = {r["node"]: r["component"] for r in connected_components(g_all).collect()}
+    assert got == want, f"seed={seed}"
