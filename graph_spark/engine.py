@@ -555,3 +555,31 @@ class Engine:
         for o in outs[1:]:
             res = res.unionByName(o)
         return res
+
+    def incremental_components(self, labels: DataFrame, new_edges: DataFrame) -> DataFrame:
+        """Absorb a batch of new (symmetric) edges into existing CC
+        labels without re-reading old edges (g79)."""
+        from .graph.algorithms import incremental_components
+
+        return incremental_components(labels, new_edges)
+
+    def ewma(self, df: DataFrame, alpha: float = 0.2, key: str = "user_id",
+             ts_col: str = "ts", id_col: str = "event_id", value_col: str = "value") -> DataFrame:
+        """Per-key EWMA recurrence via the Arrow grouped-map path (t76);
+        returns (key, n_events, final_ewma, max_ewma)."""
+        import pandas as pd
+
+        def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values([ts_col, id_col])
+            s = mx = None
+            for x in pdf[value_col]:
+                s = float(x) if s is None else alpha * float(x) + (1.0 - alpha) * s
+                mx = s if mx is None else max(mx, s)
+            return pd.DataFrame(
+                {key: [pdf[key].iloc[0]], "n_events": [len(pdf)],
+                 "final_ewma": [s], "max_ewma": [mx]}
+            )
+
+        return df.groupBy(key).applyInPandas(
+            fold, f"{key} long, n_events long, final_ewma double, max_ewma double"
+        )
