@@ -4071,4 +4071,161 @@ def g79(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_components(labels0, ges_new).orderBy("node")
 
 
+def _simrank_oracle(iters: int = 3, c: float = 0.8) -> str:
+    parts = [
+        """ne AS (
+         SELECT 'n'||cu.c_nationkey AS src, 'n'||su.s_nationkey AS dst
+         FROM lineitem l JOIN orders o ON l.l_orderkey=o.o_orderkey
+         JOIN customer cu ON o.o_custkey=cu.c_custkey
+         JOIN supplier su ON l.l_suppkey=su.s_suppkey
+         GROUP BY 1,2 HAVING count(*) >= 25),
+e AS (SELECT src, dst FROM ne WHERE src <> dst),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+inn AS (SELECT dst AS v, src AS u FROM e),
+innd AS (SELECT v, count(*) AS d FROM inn GROUP BY 1),
+s0 AS (SELECT node AS a, node AS b, 1.0::DOUBLE AS s FROM nodes)"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"""t{k} AS (SELECT ia.v AS a, ib.v AS b,
+       {c}::DOUBLE / (da.d * db.d) * sum(s.s) AS s
+       FROM inn ia JOIN inn ib ON ia.v <> ib.v
+       JOIN s{k - 1} s ON s.a = ia.u AND s.b = ib.u
+       JOIN innd da ON da.v = ia.v JOIN innd db ON db.v = ib.v
+       GROUP BY ia.v, ib.v, da.d, db.d),
+s{k} AS (SELECT a, b, s FROM t{k}
+       UNION ALL SELECT node, node, 1.0::DOUBLE FROM nodes)"""
+        )
+    chain = ",\n".join(parts)
+    return (
+        f"WITH {chain}\n"
+        f"SELECT a, b, round(s, 6) AS simrank FROM s{iters} WHERE a < b\n"
+        f"ORDER BY 1, 2"
+    )
+
+
+@_g(
+    "g80_simrank",
+    _simrank_oracle(),
+    note="SimRank (Jeh-Widom 2002): two nodes are similar when their "
+    "IN-neighbors are similar — s(a,b) = C/(|I(a)||I(b)|) * sum "
+    "s(i,j), C=0.8, 3 iterations, diagonal pinned at 1.  Exact "
+    "SimRank carries O(V^2) pair state, so it is declared ONLY for "
+    "rolled-up views (the 25-node nation trade graph here; at raw "
+    "scale the honest substitutes are the random-walk-sampled "
+    "estimator or g23's one-hop Jaccard).  The pair-state iteration "
+    "is two in-neighbor joins + one groupBy per round — the same "
+    "join pattern as the triangle family, just keyed on node PAIRS; "
+    "oracle unrolls the identical 3 rounds",
+)
+def g80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    ne = (
+        c.table("lineitem")
+        .join(c.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.table("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c.table("supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.concat(F.lit("n"), F.col("c_nationkey")).alias("src"),
+            F.concat(F.lit("n"), F.col("s_nationkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 25) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    nodes = ne.select(F.col("src").alias("node")).union(
+        ne.select(F.col("dst").alias("node"))
+    ).distinct()
+    inn = ne.select(F.col("dst").alias("v"), F.col("src").alias("u"))
+    innd = inn.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    s = nodes.select(
+        F.col("node").alias("a"), F.col("node").alias("b"), F.lit(1.0).alias("s")
+    ).localCheckpoint(eager=True)
+    diag = nodes.select(
+        F.col("node").alias("a"), F.col("node").alias("b"), F.lit(1.0).alias("s")
+    )
+    ia = inn.select(F.col("v").alias("va"), F.col("u").alias("ua"))
+    ib = inn.select(F.col("v").alias("vb"), F.col("u").alias("ub"))
+    da = innd.select(F.col("v").alias("va"), F.col("d").alias("da"))
+    db = innd.select(F.col("v").alias("vb"), F.col("d").alias("db"))
+    for _ in range(3):
+        sp = s.select(F.col("a").alias("ua"), F.col("b").alias("ub"), "s")
+        t = (
+            ia.join(ib, ia.va != ib.vb)
+            .join(sp, ["ua", "ub"])
+            .join(F.broadcast(da), "va")
+            .join(F.broadcast(db), "vb")
+            .groupBy("va", "vb", "da", "db")
+            .agg(
+                (F.lit(0.8) / (F.col("da") * F.col("db")) * F.sum("s")).alias("s")
+            )
+            .select(F.col("va").alias("a"), F.col("vb").alias("b"), "s")
+        )
+        s = t.unionByName(diag).localCheckpoint(eager=True)
+    return (
+        s.filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.round("s", 6).alias("simrank"))
+        .orderBy("a", "b")
+    )
+
+
+def _eigenvector_oracle(iters: int = 6) -> str:
+    parts = ["x0 AS (SELECT node, 1.0::DOUBLE AS x FROM graph_nodes)"]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""r{i} AS (SELECT n.node, coalesce(sum(p.x), 0)::DOUBLE AS raw
+       FROM graph_nodes n LEFT JOIN graph_edges_sym e ON e.dst = n.node
+       LEFT JOIN x{i - 1} p ON p.node = e.src GROUP BY 1),
+m{i} AS (SELECT max(raw) AS m FROM r{i}),
+x{i} AS (SELECT node, raw / m.m AS x FROM r{i} CROSS JOIN m{i} m)"""
+        )
+    chain = ",\n".join(parts)
+    return (
+        f"WITH {GRAPH_CTES},\n{chain}\n"
+        f"SELECT node, round(x, 6) AS score FROM x{iters} "
+        f"ORDER BY score DESC, node LIMIT 25"
+    )
+
+
+@_g(
+    "g81_eigenvector",
+    _eigenvector_oracle(),
+    note="eigenvector centrality by power iteration (6 rounds, "
+    "max-normalized): x <- A^T x / max(A^T x) — a node matters when "
+    "its neighbors matter, WITHOUT PageRank's out-degree split or "
+    "Katz's additive floor; the max-normalization (instead of the "
+    "L2 norm) keeps the per-round scaling a single exact comparison "
+    "so distributed float reduction order cannot perturb it.  Same "
+    "superstep budget as g73: one dst-combine shuffle per round, "
+    "x broadcast; both engines order by the ROUNDED score",
+)
+def g81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    es = c.graph_edges_sym().select("src", "dst").localCheckpoint(eager=True)
+    nodes = c.graph_nodes().select("node")
+    x = nodes.select("node", F.lit(1.0).alias("x")).localCheckpoint(eager=True)
+    for _ in range(6):
+        xs = F.broadcast(x.select(F.col("node").alias("csrc"), F.col("x").alias("xv")))
+        raw = (
+            es.join(xs, es.src == F.col("csrc"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("xv").alias("acc"))
+        )
+        r = nodes.join(raw, "node", "left").select(
+            "node", F.coalesce("acc", F.lit(0.0)).alias("raw")
+        )
+        m = r.agg(F.max("raw").alias("m"))
+        x = (
+            r.crossJoin(F.broadcast(m))
+            .select("node", (F.col("raw") / F.col("m")).alias("x"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        x.select("node", F.round("x", 6).alias("score"))
+        .orderBy(F.col("score").desc(), "node")
+        .limit(25)
+    )
+
+
 QUERIES = list(_G)

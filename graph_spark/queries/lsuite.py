@@ -3672,4 +3672,66 @@ def l70(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l71_unigram_kl",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         FROM documents),
+       t2 AS (SELECT doc_id % 2 AS half, term FROM tok WHERE term <> ''),
+       cp AS (SELECT term, count(*) AS c FROM t2 WHERE half = 0 GROUP BY 1),
+       cq AS (SELECT term, count(*) AS c FROM t2 WHERE half = 1 GROUP BY 1),
+       vocab AS (SELECT term FROM cp UNION SELECT term FROM cq),
+       tots AS (SELECT (SELECT count(*) FROM t2 WHERE half = 0) AS np,
+                       (SELECT count(*) FROM t2 WHERE half = 1) AS nq,
+                       (SELECT count(*) FROM vocab) AS v),
+       probs AS (SELECT v.term,
+         (coalesce(cp.c, 0) + 1.0) / (t.np + t.v) AS p,
+         (coalesce(cq.c, 0) + 1.0) / (t.nq + t.v) AS q
+       FROM vocab v LEFT JOIN cp ON cp.term = v.term
+       LEFT JOIN cq ON cq.term = v.term CROSS JOIN tots t)
+       SELECT (SELECT v FROM tots)::BIGINT AS vocab,
+              (SELECT np FROM tots)::BIGINT AS n_even,
+              (SELECT nq FROM tots)::BIGINT AS n_odd,
+              round(sum(p * ln(p / q)), 6) AS kl_pq,
+              round(sum(q * ln(q / p)), 6) AS kl_qp
+       FROM probs""",
+    note="corpus drift as unigram KL divergence: the even-doc half is "
+    "the reference distribution P, the odd half the candidate Q, "
+    "add-one smoothing over the union vocabulary so no term "
+    "zero-divides; KL(P||Q) and KL(Q||P) reported together (the "
+    "asymmetry itself is diagnostic — new-batch-invents-words vs "
+    "new-batch-drops-words).  The standard pre-training gate for "
+    "'does this crawl batch look like the corpus we curated'.  Two "
+    "term-count groupBys + a vocab outer join, all map-side "
+    "combined; the KL sums are single distributive aggregates — at "
+    "100 TB this runs per (source, date) cell as one shuffle",
+)
+def l71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    tok = d.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.split("text", " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    cp = tok.filter(F.col("half") == 0).groupBy("term").agg(F.count(F.lit(1)).alias("c_p"))
+    cq = tok.filter(F.col("half") == 1).groupBy("term").agg(F.count(F.lit(1)).alias("c_q"))
+    vocab = cp.select("term").union(cq.select("term")).distinct()
+    np_ = tok.filter(F.col("half") == 0).count()
+    nq_ = tok.filter(F.col("half") == 1).count()
+    v_ = vocab.count()
+    probs = (
+        vocab.join(cp, "term", "left")
+        .join(cq, "term", "left")
+        .select(
+            ((F.coalesce("c_p", F.lit(0)) + 1.0) / F.lit(float(np_ + v_))).alias("p"),
+            ((F.coalesce("c_q", F.lit(0)) + 1.0) / F.lit(float(nq_ + v_))).alias("q"),
+        )
+    )
+    return probs.agg(
+        F.lit(v_).cast("long").alias("vocab"),
+        F.lit(np_).cast("long").alias("n_even"),
+        F.lit(nq_).cast("long").alias("n_odd"),
+        F.round(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 6).alias("kl_pq"),
+        F.round(F.sum(F.col("q") * F.log(F.col("q") / F.col("p"))), 6).alias("kl_qp"),
+    )
+
+
 QUERIES = list(_L)

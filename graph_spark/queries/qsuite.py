@@ -7805,4 +7805,60 @@ def t77(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q119_winsorize",
+    """WITH b AS (SELECT l_returnflag AS flag,
+         quantile_cont(l_extendedprice, 0.05) AS p05,
+         quantile_cont(l_extendedprice, 0.95) AS p95
+       FROM lineitem GROUP BY 1),
+       w AS (SELECT l.l_returnflag AS flag, l.l_extendedprice AS x,
+         least(greatest(l.l_extendedprice, b.p05), b.p95) AS xw,
+         CASE WHEN l.l_extendedprice < b.p05 OR l.l_extendedprice > b.p95
+              THEN 1 ELSE 0 END AS clipped
+       FROM lineitem l JOIN b ON b.flag = l.l_returnflag)
+       SELECT flag, count(*) AS n, CAST(sum(clipped) AS BIGINT) AS n_clipped,
+              round(avg(x), 4) AS mean_raw, round(avg(xw), 4) AS mean_winsor
+       FROM w GROUP BY 1 ORDER BY 1""",
+    note="winsorized mean per group: exact p05/p95 fences (Spark "
+    "percentile == DuckDB quantile_cont, the q48 equivalence), values "
+    "clamped to the fences with least/greatest, raw vs winsorized "
+    "mean and the clip count side by side — the robust-aggregate "
+    "profile that tells you whether a metric is tail-driven before "
+    "you trust its mean.  Two passes over the fact (fence agg, then "
+    "clamp agg) with the 6-row fence table broadcast back; at 100 TB "
+    "the fence pass becomes percentile_approx (mergeable t-digest) "
+    "and the second pass is unchanged",
+)
+def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    b = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("p05"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+    )
+    w = li.join(
+        F.broadcast(b), li.l_returnflag == b.flag
+    ).select(
+        "flag",
+        F.col("l_extendedprice").alias("x"),
+        F.least(F.greatest("l_extendedprice", F.col("p05")), F.col("p95")).alias("xw"),
+        F.when(
+            (F.col("l_extendedprice") < F.col("p05"))
+            | (F.col("l_extendedprice") > F.col("p95")),
+            1,
+        )
+        .otherwise(0)
+        .alias("clipped"),
+    )
+    return (
+        w.groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("clipped").cast("long").alias("n_clipped"),
+            F.round(F.avg("x"), 4).alias("mean_raw"),
+            F.round(F.avg("xw"), 4).alias("mean_winsor"),
+        )
+        .orderBy("flag")
+    )
+
+
 QUERIES = list(_Q)
