@@ -423,3 +423,168 @@ def knn_label_vote(
             F.col("lb").alias("pred"),
         )
     )
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train product-quantization codebooks: one independent Lloyd run
+    (kmeans_lloyd — deterministic lowest-id seeds, (dist, cid)
+    tie-break) per contiguous sub_dim slice.  Returns
+    (codes, codebooks): codes = DataFrame(vec_id, subspace, cid),
+    codebooks = list of (subspace, cid, centroid list) rows — k*n_sub
+    tiny rows, driver-side by design (they ARE the index)."""
+    codes = None
+    books = []
+    for sp in range(n_sub):
+        sub = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(vec_col, sp * sub_dim + 1, sub_dim).alias("sub"),
+        )
+        assigned = kmeans_lloyd(sub, k=k, iters=iters, vec_col="sub").localCheckpoint(
+            eager=True
+        )
+        part = assigned.select("vec_id", F.lit(sp).alias("subspace"), "cid")
+        codes = part if codes is None else codes.unionByName(part)
+        # recover the final centroids: mean of members per cell
+        cents = (
+            assigned.select("cid", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.avg("x").alias("av"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "av"))),
+                    lambda s: s["av"],
+                ).alias("c")
+            )
+        )
+        books.extend((sp, int(r["cid"]), list(r["c"])) for r in cents.collect())
+    return codes, books
+
+
+def pq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    n_cells: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k (Jegou et al. ADC): corpus vectors
+    are stored ONLY as n_sub byte codes; a probe computes one lookup
+    table per subspace (distance from its slice to each of the
+    n_cells codebook entries — k*n_sub doubles, broadcast), and a
+    candidate's estimated squared L2 distance is the SUM of its codes'
+    LUT entries.  The 100 TB shape: codes are ~64x smaller than the
+    vectors, the scan never touches raw embeddings, and scoring is an
+    equi-join of exploded codes against the broadcast LUT + one
+    map-side-combined sum — no distance math per candidate at all.
+
+    Returns (vec_id probe, nb, est_d2) top-k per probe by estimated
+    distance (ties broken on nb).  Estimated distance is biased by
+    quantization error — recall vs brute force is the measured,
+    documented trade (see tests).
+    """
+    spark = corpus.sparkSession
+    codes, books = pq_codebooks(
+        corpus, n_sub=n_sub, sub_dim=sub_dim, k=n_cells, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    bdf = spark.createDataFrame(
+        books, "subspace INT, cid INT, c ARRAY<DOUBLE>"
+    )
+    pv = probes.select(
+        F.col(id_col).alias("probe"), F.col(vec_col).alias("pvec")
+    )
+    lut = (
+        pv.crossJoin(F.broadcast(bdf))
+        .select(
+            "probe",
+            "subspace",
+            "cid",
+            F.aggregate(
+                F.zip_with(
+                    F.slice("pvec", F.col("subspace") * sub_dim + 1, sub_dim),
+                    "c",
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+        )
+    )
+    est = (
+        codes.join(F.broadcast(lut), ["subspace", "cid"])
+        .groupBy("probe", F.col("vec_id").alias("nb"))
+        .agg(F.sum("d").alias("est_d2"))
+        .filter(F.col("probe") != F.col("nb"))
+    )
+    w = Window.partitionBy("probe").orderBy("est_d2", "nb")
+    return (
+        est.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .select(F.col("probe").alias(id_col), "nb", "est_d2")
+    )
+
+
+def pq_topk_rerank(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ ADC with exact re-ranking (the production IVF-PQ read path):
+    the code-only ADC pass shortlists `shortlist` candidates per probe
+    (never touching raw vectors), then ONLY the shortlist rows join
+    back to their raw embeddings for exact L2 — per probe that is
+    `shortlist` exact distances instead of |corpus|.  Recall is set by
+    the shortlist depth (quantization error just has to keep a true
+    neighbor inside the shortlist, not rank it exactly); cost stays
+    sub-linear in corpus size.  Returns (vec_id probe, nb, d2) exact
+    top-k per probe."""
+    short = pq_topk(
+        corpus, probes, k=shortlist, n_sub=n_sub, sub_dim=sub_dim,
+        n_cells=n_cells, id_col=id_col, vec_col=vec_col,
+    ).select(F.col(id_col).alias("probe"), "nb")
+    cv = corpus.select(F.col(id_col).alias("nb"), F.col(vec_col).alias("bv"))
+    pv = probes.select(F.col(id_col).alias("probe"), F.col(vec_col).alias("pv"))
+    exact = (
+        short.join(cv, "nb")
+        .join(F.broadcast(pv), "probe")
+        .select(
+            "probe",
+            "nb",
+            F.aggregate(
+                F.zip_with(
+                    "pv", "bv",
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("probe").orderBy("d2", "nb")
+    return (
+        exact.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .select(F.col("probe").alias(id_col), "nb", "d2")
+    )

