@@ -583,3 +583,11 @@ class Engine:
         return df.groupBy(key).applyInPandas(
             fold, f"{key} long, n_events long, final_ewma double, max_ewma double"
         )
+
+    def pq_search(self, corpus: DataFrame, probes: DataFrame, k: int = 5,
+                  shortlist: int = 150, **kw) -> DataFrame:
+        """IVF-PQ read path (l72): ADC shortlist over byte codes, exact
+        re-rank on the shortlist only; returns (vec_id, nb, d2)."""
+        from .operators.similarity import pq_topk_rerank
+
+        return pq_topk_rerank(corpus, probes, k=k, shortlist=shortlist, **kw)
