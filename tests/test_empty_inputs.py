@@ -77,3 +77,33 @@ def test_relational_ops_on_empty(spark):
     assert asof_join(left, right, ["user_id"], "ts", "ts").count() == 0
     s = sessionize(left, "user_id", "ts", 600.0)
     assert s.count() == 0 and "session_id" in s.columns
+
+
+def test_new_graph_algorithms_on_empty(spark):
+    from graph_spark.graph import algorithms as alg
+
+    g = _empty_graph(spark)
+    for local in (True, False):
+        assert alg.katz_centrality(g, iterations=2, local=local).count() == 0
+        assert alg.louvain_local_rounds(g, rounds=2, local=local).count() == 0
+    # incremental CC: empty delta on non-empty labels is the identity;
+    # empty labels + a delta batch self-labels the new nodes
+    labels = spark.createDataFrame([("a", "a"), ("b", "a")], ["node", "component"])
+    empty_edges = spark.createDataFrame([], "src string, dst string")
+    out = {r["node"]: r["component"] for r in alg.incremental_components(labels, empty_edges).collect()}
+    assert out == {"a": "a", "b": "a"}
+    no_labels = spark.createDataFrame([], "node string, component string")
+    delta = spark.createDataFrame([("x", "y"), ("y", "x")], ["src", "dst"])
+    out2 = {r["node"]: r["component"] for r in alg.incremental_components(no_labels, delta).collect()}
+    assert out2 == {"x": "x", "y": "x"}
+
+
+def test_pq_ops_on_empty_probes(spark):
+    from graph_spark.catalog import Catalog
+    from graph_spark.operators.similarity import pq_topk_rerank
+
+    from .conftest import SF_SMOKE
+
+    em = Catalog(spark, SF_SMOKE).table("embeddings")
+    no_probes = em.filter(F.col("vec_id") < 0)
+    assert pq_topk_rerank(em, no_probes, k=3, shortlist=10).count() == 0
