@@ -158,6 +158,28 @@ def main() -> None:
     print("== graph: truncated Katz walk counts ==")
     eng.katz().orderBy(F.desc("w3")).show(5)
 
+    print("== graph: iterated Katz, Louvain communities, harmonic centrality ==")
+    eng.katz_centrality(iterations=4).orderBy(F.desc("katz"), "node").show(5)
+    eng.louvain(rounds=3).groupBy("comm").count().orderBy(F.desc("count")).show(5)
+    eng.harmonic_centrality(["c1", "c5"], max_hops=4).orderBy(
+        F.desc("harmonic"), "node"
+    ).show(5)
+
+    print("== graph: incremental CC — absorb a delta batch without old edges ==")
+    labels0 = eng.connected_components()
+    delta = spark.createDataFrame([("c1", "zz_new"), ("zz_new", "c1")], ["src", "dst"])
+    eng.incremental_components(labels0, delta).filter(
+        F.col("node").isin("c1", "zz_new")
+    ).show()
+
+    print("== LLM ops: SemDeDup cells, substring spans, PQ search ==")
+    eng.semdedup(em).orderBy("cluster_id").show(4)
+    eng.substring_spans(docs).orderBy(F.desc("max_span")).show(4)
+    eng.pq_search(em, em.filter(F.col("vec_id") < 2), k=3, shortlist=50).show()
+
+    print("== temporal: per-key EWMA (the window-algebra boundary) ==")
+    eng.ewma(eng.table("events")).orderBy("user_id").show(5)
+
     print("demo complete")
 
 
