@@ -7861,4 +7861,53 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q120_table_diff",
+    """WITH a AS (SELECT o_orderkey AS k, o_totalprice AS v FROM orders),
+       b AS (SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.00
+                    ELSE o_totalprice END AS v
+             FROM orders WHERE o_orderkey % 97 <> 0),
+       j AS (SELECT coalesce(a.k, b.k) AS k, a.v AS va, b.v AS vb
+             FROM a FULL OUTER JOIN b ON a.k = b.k)
+       SELECT count(*) FILTER (WHERE vb IS NULL) AS n_removed,
+              count(*) FILTER (WHERE va IS NULL) AS n_added,
+              count(*) FILTER (WHERE va IS NOT NULL AND vb IS NOT NULL
+                               AND va <> vb) AS n_changed,
+              count(*) FILTER (WHERE va = vb) AS n_unchanged
+       FROM j""",
+    note="table reconciliation diff: FULL OUTER JOIN on the key, then "
+    "one conditional-count pass classifies every key as added / "
+    "removed / changed / unchanged — the migration-cutover audit "
+    "every engine swap (including adopting THIS engine) runs before "
+    "flipping traffic.  The candidate 'after' table is derived "
+    "deterministically (drop keys %97, +1.00 on keys %89) so the "
+    "oracle sees identical inputs.  One co-partitioned join + "
+    "map-side-combined counts; at 100 TB both sides bucket by key "
+    "and the join is exchange-free, with per-partition sub-counts "
+    "rolling up exactly",
+)
+def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    a = o.select(F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("va"))
+    b = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.when(F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1.00)
+            .otherwise(F.col("o_totalprice"))
+            .alias("vb"),
+        )
+    )
+    j = a.join(b, "k", "full_outer")
+    return j.agg(
+        F.count_if(F.col("vb").isNull()).alias("n_removed"),
+        F.count_if(F.col("va").isNull()).alias("n_added"),
+        F.count_if(
+            F.col("va").isNotNull() & F.col("vb").isNotNull() & (F.col("va") != F.col("vb"))
+        ).alias("n_changed"),
+        F.count_if(F.col("va") == F.col("vb")).alias("n_unchanged"),
+    )
+
+
 QUERIES = list(_Q)
