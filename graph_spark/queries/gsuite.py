@@ -4309,4 +4309,147 @@ def g82(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g83_sliding_window_degree",
+    """WITH ev AS (SELECT 'c'||o.o_custkey AS src, 's'||l.l_suppkey AS dst,
+         l.l_shipdate AS ts
+       FROM lineitem l JOIN orders o ON l.l_orderkey=o.o_orderkey),
+       snaps AS (SELECT unnest([TIMESTAMP '1996-07-01', TIMESTAMP '1997-01-01',
+                TIMESTAMP '1997-07-01', TIMESTAMP '1998-01-01']) AS t),
+       act AS (SELECT s.t, e.src, e.dst FROM ev e JOIN snaps s
+               ON e.ts > s.t - INTERVAL 90 DAY AND e.ts <= s.t
+               GROUP BY 1, 2, 3),
+       d AS (SELECT t, src, count(*) AS deg FROM act GROUP BY 1, 2)
+       SELECT strftime(t, '%Y-%m-%d') AS snap, count(*) AS n_active,
+              CAST(sum(deg) AS BIGINT) AS total_deg,
+              CAST(max(deg) AS BIGINT) AS max_deg,
+              round(avg(deg), 4) AS avg_deg
+       FROM d GROUP BY 1 ORDER BY 1""",
+    note="trailing-window temporal degree: the graph 'as of t' defined "
+    "by a sliding 90-day activity window (not all history) at four "
+    "snapshot times — the windowed-snapshot materialization a "
+    "temporal graph serves for 'who is CURRENTLY connected' "
+    "queries, where relationships expire by inactivity instead of "
+    "deletion.  The window predicate rides the snapshot equi-join "
+    "as a range filter (4 snapshot rows broadcast onto the fact "
+    "scan); distinct-pair degree then per-snapshot profile, both "
+    "map-side combined; at 100 TB the fact is partition-pruned to "
+    "the union of windows before anything shuffles",
+)
+def g83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    ev = (
+        c.table("lineitem")
+        .join(c.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            F.col("l_shipdate").alias("ts"),
+        )
+    )
+    snaps = c.spark.createDataFrame(
+        [("1996-07-01",), ("1997-01-01",), ("1997-07-01",), ("1998-01-01",)], ["ds"]
+    ).select(F.col("ds").cast("timestamp").alias("t"))
+    act = (
+        ev.join(
+            F.broadcast(snaps),
+            (ev.ts > F.col("t") - F.expr("INTERVAL 90 DAYS")) & (ev.ts <= F.col("t")),
+        )
+        .select("t", "src", "dst")
+        .distinct()
+    )
+    d = act.groupBy("t", "src").agg(F.count(F.lit(1)).alias("deg"))
+    return (
+        d.groupBy(F.date_format("t", "yyyy-MM-dd").alias("snap"))
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum("deg").cast("long").alias("total_deg"),
+            F.max("deg").cast("long").alias("max_deg"),
+            F.round(F.avg("deg"), 4).alias("avg_deg"),
+        )
+        .orderBy("snap")
+    )
+
+
+@_g(
+    "g84_edge_burstiness",
+    """WITH ev AS (SELECT 'c'||o.o_custkey AS src, 's'||l.l_suppkey AS dst,
+         date_diff('day', DATE '1970-01-01', l.l_shipdate::DATE) AS d
+       FROM lineitem l JOIN orders o ON l.l_orderkey=o.o_orderkey),
+       de AS (SELECT DISTINCT src, dst, d FROM ev),
+       gaps AS (SELECT src, dst,
+                d - lag(d) OVER (PARTITION BY src, dst ORDER BY d) AS gap
+                FROM de),
+       st AS (SELECT src, dst, count(*) AS n_gaps,
+              CAST(sum(gap) AS BIGINT) AS sg,
+              CAST(sum(gap * gap) AS BIGINT) AS sg2
+              FROM gaps WHERE gap IS NOT NULL
+              GROUP BY 1, 2 HAVING count(*) >= 5),
+       mb AS (SELECT src, dst, n_gaps,
+              sg * 1.0 / n_gaps AS mu,
+              sqrt(greatest(sg2 * 1.0 / n_gaps - (sg * 1.0 / n_gaps)
+                   * (sg * 1.0 / n_gaps), 0)) AS sigma
+              FROM st)
+       SELECT src, dst, n_gaps, round(mu, 4) AS mean_gap_days,
+              round(sigma, 4) AS std_gap_days,
+              round((sigma - mu) / (sigma + mu), 4) AS burstiness
+       FROM mb WHERE sigma + mu > 0
+       ORDER BY burstiness DESC, src, dst LIMIT 50""",
+    note="relationship burstiness (Goh-Barabasi): per edge with >= 5 "
+    "distinct shipment days, inter-event gap mean/std and "
+    "B = (sigma - mu)/(sigma + mu) in [-1, 1] — bursty trading "
+    "(B -> 1) vs metronome replenishment (B -> -1), the temporal "
+    "texture of an edge that a static weight erases.  Gaps come "
+    "from one lag() window per edge partition; moments are kept as "
+    "EXACT INTEGER day sums (sum, sum of squares) until the final "
+    "two divisions, so distributed reduction order cannot flip a "
+    "value — the same discipline as the daily-series family.  "
+    "Population sigma, computed from the integer moments in both "
+    "engines identically",
+)
+def g84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    ev = (
+        c.table("lineitem")
+        .join(c.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01")).alias("d"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("src", "dst").orderBy("d")
+    gaps = ev.select(
+        "src", "dst", (F.col("d") - F.lag("d").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    st = (
+        gaps.groupBy("src", "dst")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap").cast("long").alias("sg"),
+            F.sum(F.col("gap") * F.col("gap")).cast("long").alias("sg2"),
+        )
+        .filter(F.col("n_gaps") >= 5)
+    )
+    mu = F.col("sg") * 1.0 / F.col("n_gaps")
+    sigma = F.sqrt(F.greatest(F.col("sg2") * 1.0 / F.col("n_gaps") - mu * mu, F.lit(0.0)))
+    mb = st.select("src", "dst", "n_gaps", mu.alias("mu"), sigma.alias("sigma"))
+    return (
+        mb.filter((F.col("sigma") + F.col("mu")) > 0)
+        .select(
+            "src",
+            "dst",
+            "n_gaps",
+            F.round("mu", 4).alias("mean_gap_days"),
+            F.round("sigma", 4).alias("std_gap_days"),
+            F.round(
+                (F.col("sigma") - F.col("mu")) / (F.col("sigma") + F.col("mu")), 4
+            ).alias("burstiness"),
+        )
+        .orderBy(F.col("burstiness").desc(), "src", "dst")
+        .limit(50)
+    )
+
+
 QUERIES = list(_G)
