@@ -36,6 +36,17 @@ SAMPLE = [
     "l63_lsh_recall_curve",
     "t28_rolling_median",
     "s01_tumbling_window",
+    # round-2 continuation hazards: pair-state float iteration (g80),
+    # power iteration + max-normalization (g81), Louvain integer argmax
+    # tie-breaks (g76), KL float sum (l71), EWMA grouped-map fold
+    # (t76), burstiness moments (g84), PQ shortlist cut (l72)
+    "g76_louvain_rounds",
+    "g80_simrank",
+    "g81_eigenvector",
+    "l71_unigram_kl",
+    "t76_ewma",
+    "g84_edge_burstiness",
+    "l72_ann_pq_rerank",
 ]
 
 
