@@ -94,6 +94,9 @@ def bench_distributed_graph(spark) -> dict:
     timed("cc_local", lambda: alg.connected_components(g_sym, local=True))
     timed("scc_dist", lambda: alg.strongly_connected_components(g, local=False))
     timed("scc_local", lambda: alg.strongly_connected_components(g, local=True))
+    timed("louvain_dist", lambda: alg.louvain_local_rounds(g_sym, rounds=3, local=False))
+    timed("louvain_local", lambda: alg.louvain_local_rounds(g_sym, rounds=3, local=True))
+    timed("katz_dist", lambda: alg.katz_centrality(g_sym, iterations=6, local=False))
 
     canon = (
         e.select(F.least("src", "dst").alias("s1"), F.greatest("src", "dst").alias("s2"))
