@@ -4452,4 +4452,107 @@ def g84(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g85_wedge_sampling",
+    f"""WITH {GRAPH_CTES},
+       ge AS (SELECT src, dst FROM graph_edges WHERE n_items >= 2),
+       cos AS (SELECT DISTINCT a.dst AS s1, b.dst AS s2
+               FROM ge a JOIN ge b ON a.src=b.src AND a.dst<b.dst),
+       adj AS (SELECT s1 AS u, s2 AS v FROM cos
+               UNION ALL SELECT s2, s1 FROM cos),
+       wed AS (SELECT l.u AS apex, l.v AS a, r.v AS c
+               FROM adj l JOIN adj r ON l.u = r.u AND l.v < r.v),
+       samp AS (SELECT apex, a, c,
+                (strpos('0123456789abcdef', substring(md5(apex||'|'||a||'|'||c), 1, 1)) - 1)
+                  AS coin
+                FROM wed),
+       sw AS (SELECT apex, a, c FROM samp WHERE coin = 0),
+       closed AS (SELECT count(*) AS n_closed FROM sw
+                  JOIN cos ON cos.s1 = least(sw.a, sw.c)
+                         AND cos.s2 = greatest(sw.a, sw.c)),
+       tw AS (SELECT count(*) AS n_wedges FROM wed),
+       ts2 AS (SELECT count(*) AS n_sampled FROM sw),
+       ex AS (SELECT count(*) AS n_triangles
+              FROM cos e1 JOIN cos e2 ON e2.s1=e1.s2
+              JOIN cos e3 ON e3.s1=e1.s1 AND e3.s2=e2.s2)
+       SELECT tw.n_wedges, ts2.n_sampled, closed.n_closed,
+              CAST(round(tw.n_wedges * (closed.n_closed * 1.0 / ts2.n_sampled) / 3, 0)
+                   AS BIGINT) AS est_triangles,
+              ex.n_triangles AS exact_triangles
+       FROM tw, ts2, closed, ex""",
+    note="wedge-sampling triangle estimation (Seshadhri et al.) — THE "
+    "at-scale triangle algorithm: enumerate wedges (2-paths), keep a "
+    "deterministic 1/16 md5-coin sample, test only sampled wedges "
+    "for closure, estimate triangles = wedges * closed_fraction / 3; "
+    "the exact 3-way-join count rides along so the estimate is "
+    "auditable in the same row.  The coin is a hash of the wedge "
+    "key, not rand(), so the 'sample' reproduces bit-identically on "
+    "any engine and any partitioning; at 100 TB the closure probe "
+    "shrinks from |wedges| joins (the g05 cost) to |wedges|/16 — "
+    "and the sampling rate dials accuracy against cost with a "
+    "known variance bound",
+)
+def g85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    ge = c.graph_edges().filter(F.col("n_items") >= 2).select("src", "dst")
+    a = ge.select(F.col("src").alias("k"), F.col("dst").alias("s1"))
+    b = ge.select(F.col("src").alias("k"), F.col("dst").alias("s2"))
+    cos = (
+        a.join(b, "k")
+        .filter(F.col("s1") < F.col("s2"))
+        .select("s1", "s2")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = cos.select(F.col("s1").alias("u"), F.col("s2").alias("v")).unionAll(
+        cos.select(F.col("s2").alias("u"), F.col("s1").alias("v"))
+    )
+    led = adj.select(F.col("u").alias("apex"), F.col("v").alias("a"))
+    red = adj.select(F.col("u").alias("apex"), F.col("v").alias("cc"))
+    wed = led.join(red, "apex").filter(F.col("a") < F.col("cc"))
+    coin = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(
+                F.md5(F.concat_ws("|", "apex", "a", "cc")), 1, 1
+            ),
+        )
+        - 1
+    )
+    sw = wed.withColumn("coin", coin).filter(F.col("coin") == 0).localCheckpoint(
+        eager=True
+    )
+    closed = sw.join(
+        cos,
+        (cos.s1 == F.least("a", "cc")) & (cos.s2 == F.greatest("a", "cc")),
+    ).agg(F.count(F.lit(1)).alias("n_closed"))
+    tw = wed.agg(F.count(F.lit(1)).alias("n_wedges"))
+    ns = sw.agg(F.count(F.lit(1)).alias("n_sampled"))
+    e1 = cos.select(F.col("s1").alias("x"), F.col("s2").alias("y"))
+    e2 = cos.select(F.col("s1").alias("y"), F.col("s2").alias("z"))
+    e3 = cos.select(F.col("s1").alias("x"), F.col("s2").alias("z"))
+    ex = e1.join(e2, "y").join(e3, ["x", "z"]).agg(
+        F.count(F.lit(1)).alias("exact_triangles")
+    )
+    return (
+        tw.crossJoin(ns)
+        .crossJoin(closed)
+        .crossJoin(ex)
+        .select(
+            "n_wedges",
+            "n_sampled",
+            "n_closed",
+            F.round(
+                F.col("n_wedges")
+                * (F.col("n_closed") * 1.0 / F.col("n_sampled"))
+                / 3,
+                0,
+            )
+            .cast("long")
+            .alias("est_triangles"),
+            "exact_triangles",
+        )
+    )
+
+
 QUERIES = list(_G)

@@ -7910,4 +7910,87 @@ def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q121_attribution",
+    """WITH p AS (SELECT user_id, ts AS pts, event_id AS pid FROM events
+         WHERE event_type = 'purchase'),
+       c AS (SELECT user_id, ts AS cts, event_id AS cid FROM events
+         WHERE event_type = 'click'),
+       path AS (SELECT p.pid, c.cid,
+         row_number() OVER (PARTITION BY p.pid ORDER BY c.cts, c.cid) AS rn,
+         count(*) OVER (PARTITION BY p.pid) AS k
+         FROM p JOIN c ON c.user_id = p.user_id
+           AND c.cts <= p.pts AND c.cts > p.pts - INTERVAL 30 DAY),
+       cr AS (SELECT pid, cid, k,
+         CASE WHEN k = 1 THEN 1.0
+              WHEN k = 2 THEN 0.5
+              WHEN rn = 1 OR rn = k THEN 0.4
+              ELSE 0.2 / (k - 2) END AS credit,
+         CASE WHEN rn = 1 THEN 'first'
+              WHEN rn = k THEN 'last' ELSE 'middle' END AS role
+         FROM path)
+       SELECT role, count(*) AS n_touches,
+              CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases,
+              round(sum(credit), 4) AS credit
+       FROM cr GROUP BY 1 ORDER BY 1""",
+    note="position-based (U-shaped) marketing attribution: each "
+    "purchase distributes one unit of credit over its 30-day click "
+    "path — 40% to the first touch, 40% to the last, 20% split "
+    "across the middle (collapsing to 1.0 / 0.5+0.5 for paths of "
+    "1-2 clicks), so total credit == purchases with a path, an "
+    "internal conservation check the query exposes.  The path join "
+    "is keyed on user + a bounded time range (partition-prunable), "
+    "positions come from one window per purchase; credits are exact "
+    "rationals until the final rounding.  Complements s20's "
+    "first-touch and t21's conversion funnel",
+)
+def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+    )
+    path = (
+        p.join(
+            c,
+            (F.col("cu") == F.col("user_id"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") > F.col("pts") - F.expr("INTERVAL 30 DAYS")),
+        )
+        .select("pid", "cid", "cts")
+    )
+    w = Window.partitionBy("pid").orderBy("cts", "cid")
+    wk = Window.partitionBy("pid")
+    cr = path.select(
+        "pid",
+        "cid",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wk).alias("k"),
+    ).select(
+        "pid",
+        "cid",
+        "k",
+        F.when(F.col("k") == 1, 1.0)
+        .when(F.col("k") == 2, 0.5)
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("k")), 0.4)
+        .otherwise(F.lit(0.2) / (F.col("k") - 2))
+        .alias("credit"),
+        F.when(F.col("rn") == 1, "first")
+        .when(F.col("rn") == F.col("k"), "last")
+        .otherwise("middle")
+        .alias("role"),
+    )
+    return (
+        cr.groupBy("role")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.countDistinct("pid").alias("n_purchases"),
+            F.round(F.sum("credit"), 4).alias("credit"),
+        )
+        .orderBy("role")
+    )
+
+
 QUERIES = list(_Q)
