@@ -181,3 +181,53 @@ def window_chunks(media: DataFrame, window_bytes: int = 64, hop: int = 32) -> Da
         ]
     )
     return pruned.mapInPandas(batches, schema)
+
+
+def compress_ratio(media: DataFrame, level: int = 6) -> DataFrame:
+    """Per-payload zlib compressibility: (doc_id, n_bytes, z_bytes,
+    ratio) — the CCNet/RefinedWeb-style quality signal (templated/
+    repetitive payloads compress far below natural text, random or
+    already-compressed payloads approach 1.0).  zlib is deterministic
+    at a fixed level, so the ratio is reproducible anywhere; the op is
+    declared rows-only (no SQL engine ships zlib) with property tests
+    pinning the planted-payload ordering.
+
+    Same scale discipline as the other media ops: column-prune to
+    (id, payload) BEFORE mapInPandas so payloads never ride a shuffle;
+    Arrow batch size bounds executor memory; output is 4 scalars per
+    payload, so the expensive bytes die inside the task."""
+    import pandas as pd
+    import zlib
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    pruned = media.select("doc_id", "payload")
+
+    def batches(it):
+        for pdf in it:
+            ids, ns, zs, rs = [], [], [], []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(b) if b is not None else b""
+                z = len(zlib.compress(b, level))
+                ids.append(did)
+                ns.append(len(b))
+                zs.append(z)
+                rs.append(round(z / len(b), 6) if len(b) else 1.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_bytes": pd.Series(ns, dtype="int64"),
+                    "z_bytes": pd.Series(zs, dtype="int64"),
+                    "ratio": pd.Series(rs, dtype="float64"),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_bytes", LongType()),
+            StructField("z_bytes", LongType()),
+            StructField("ratio", DoubleType()),
+        ]
+    )
+    return pruned.mapInPandas(batches, schema)

@@ -3854,4 +3854,27 @@ def l72(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id", "d2", "nb")
 
 
+@_l(
+    "m10_compress_ratio",
+    None,
+    note="zlib compressibility per payload (rows-only: no SQL engine "
+    "ships zlib; determinism and planted-payload ordering are "
+    "pinned by unit tests instead): the CCNet/RefinedWeb quality "
+    "signal — templated/repetitive payloads compress hard, natural "
+    "text sits mid-range, random/encrypted payloads approach 1.0.  "
+    "Arrow-batched mapInPandas over the column-pruned (id, payload) "
+    "projection; 4 scalars out per payload so the bytes never leave "
+    "the task",
+)
+def m10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import compress_ratio
+
+    media = to_media_table(Catalog(spark, sf_dir).table("documents"))
+    return (
+        compress_ratio(media)
+        .orderBy("ratio", "doc_id")
+        .limit(20)
+    )
+
+
 QUERIES = list(_L)

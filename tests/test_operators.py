@@ -488,3 +488,26 @@ def test_pq_rerank_recall_vs_bruteforce(spark):
     hits = sum(len(exact[v] & approx.get(v, set())) for v in exact)
     total = sum(len(exact[v]) for v in exact)
     assert hits / total >= 0.9, f"recall {hits}/{total}"
+
+
+def test_compress_ratio_orders_planted_payloads(spark):
+    """zlib compressibility must rank planted payloads correctly:
+    repetitive << natural-ish << random bytes; and be deterministic
+    across invocations (fixed level, no timestamps in the stream)."""
+    import os
+    import random as _random
+
+    from graph_spark.operators.multimodal import compress_ratio
+
+    rng = _random.Random(7)
+    rows = [
+        (1, bytearray(b"ab" * 500)),                       # repetitive
+        (2, bytearray(" ".join(f"w{rng.randrange(50)}" for _ in range(200)).encode())),
+        (3, bytearray(bytes(rng.randrange(256) for _ in range(1000)))),  # random
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r["doc_id"]: r["ratio"] for r in compress_ratio(df).collect()}
+    assert out[1] < out[2] < out[3], out
+    assert out[3] > 0.9 and out[1] < 0.1, out
+    again = {r["doc_id"]: r["ratio"] for r in compress_ratio(df).collect()}
+    assert out == again

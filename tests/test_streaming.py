@@ -698,3 +698,24 @@ def test_stateful_ewma_equals_batch(spark, replay_dir):
             mx = s if mx is None else max(mx, s)
         want.append((int(uid), len(grp), s, mx))
     assert got == sorted(want) and len(want) > 0
+
+
+def test_drop_duplicates_within_watermark(spark, replay_dir):
+    """dropDuplicatesWithinWatermark: the bounded-state streaming dedup
+    (state expires with the watermark instead of growing forever like
+    plain dropDuplicates).  In-order replay with a generous watermark
+    must equal batch distinct-by-key."""
+    from graph_spark.streaming.replay import run_stream
+
+    def dedup(df):
+        return df.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+
+    sink = run_stream(spark, replay_dir, dedup, output_mode="append")
+    got = sorted(r["event_id"] for r in sink.select("event_id").collect())
+    want = sorted(
+        r["event_id"]
+        for r in Catalog(spark, SF_SMOKE).table("events").select("event_id").distinct().collect()
+    )
+    assert got == want and len(want) > 0
