@@ -591,3 +591,25 @@ class Engine:
         from .operators.similarity import pq_topk_rerank
 
         return pq_topk_rerank(corpus, probes, k=k, shortlist=shortlist, **kw)
+
+    @staticmethod
+    def plan_audit(df: DataFrame) -> dict:
+        """Structured physical-plan audit — the pre-flight check that a
+        query is scale-shaped BEFORE it runs on the big cluster.
+        Returns counts of the plan facts the test-suite's plan guards
+        assert one by one: shuffles (Exchange), broadcast vs sort-merge
+        joins, cartesian products / broadcast nested loops (the
+        red flags), whole-stage-codegen spans, and whether any parquet
+        scan carries pushed filters.
+        """
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return {
+            "n_exchanges": plan.count("Exchange"),
+            "n_broadcast_joins": plan.count("BroadcastHashJoin"),
+            "n_sortmerge_joins": plan.count("SortMergeJoin"),
+            "n_cartesian": plan.count("CartesianProduct"),
+            "n_bcast_nested_loop": plan.count("BroadcastNestedLoopJoin"),
+            "n_codegen_spans": plan.count("WholeStageCodegen"),
+            "has_pushed_filters": "PushedFilters: [" in plan
+            and "PushedFilters: []" not in plan,
+        }

@@ -7993,4 +7993,34 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q122_cumulative_distinct",
+    """WITH fs AS (SELECT user_id, min(date_trunc('day', ts)) AS first_day
+         FROM events GROUP BY 1),
+       nd AS (SELECT first_day, count(*) AS new_users FROM fs GROUP BY 1)
+       SELECT strftime(first_day, '%Y-%m-%d') AS day,
+              CAST(new_users AS BIGINT) AS new_users,
+              CAST(sum(new_users) OVER (ORDER BY first_day) AS BIGINT) AS cum_users
+       FROM nd ORDER BY 1""",
+    note="cumulative distinct users over time (audience growth curve) "
+    "via the first-seen trick: cumulative COUNT(DISTINCT) is not "
+    "incrementally mergeable, but 'users whose FIRST event is <= d' "
+    "is — one min-per-user groupBy, one tiny per-day rollup, one "
+    "cumsum window over ~days rows.  The same rewrite is what makes "
+    "the metric maintainable incrementally (new data can only add "
+    "first-seen rows) and streaming-safe; at 100 TB the only "
+    "fact-sized shuffle is the per-user min, map-side combined",
+)
+def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    fs = ev.groupBy("user_id").agg(F.min(F.date_trunc("day", "ts")).alias("first_day"))
+    nd = fs.groupBy("first_day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("first_day")
+    return nd.select(
+        F.date_format("first_day", "yyyy-MM-dd").alias("day"),
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    ).orderBy("day")
+
+
 QUERIES = list(_Q)

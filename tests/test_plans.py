@@ -514,3 +514,19 @@ def test_l67_substring_spans_gram_equi_join(spark):
     # cross-document candidate pairs come ONLY from the gram equi-join
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_plan_audit_reports_shapes(spark):
+    """Engine.plan_audit must see the red flags and the good shapes."""
+    from graph_spark.engine import Engine
+
+    eng = Engine(spark, SF_SMOKE)
+    li = eng.table("lineitem")
+    good = li.filter(F.col("l_quantity") < 5).join(
+        F.broadcast(eng.table("orders")), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    a = Engine.plan_audit(good)
+    assert a["n_broadcast_joins"] >= 1 and a["n_cartesian"] == 0
+    assert a["has_pushed_filters"]
+    bad = li.crossJoin(eng.table("orders"))
+    assert Engine.plan_audit(bad)["n_cartesian"] + Engine.plan_audit(bad)["n_bcast_nested_loop"] >= 1
