@@ -4555,4 +4555,48 @@ def g85(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g86_degree_gini",
+    f"""WITH {GRAPH_CTES},
+       deg AS (SELECT src AS node, count(*) AS k FROM graph_edges_sym GROUP BY 1),
+       rk AS (SELECT k, row_number() OVER (ORDER BY k, node) AS i FROM deg),
+       s AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS sk,
+                    CAST(sum(i * k) AS BIGINT) AS sik FROM rk)
+       SELECT CAST(n AS BIGINT) AS n_nodes, sk AS total_degree,
+              round(2.0 * sik / (n * sk) - (n + 1.0) / n, 6) AS gini
+       FROM s""",
+    note="Gini coefficient of the degree distribution — the "
+    "inequality summary behind every 'is this graph scale-free "
+    "enough to need salting' decision (g25's log-bins show the "
+    "shape; this is the single-number version feeding the skew "
+    "playbook).  Computed by the rank formula "
+    "G = 2*sum(i*k_i)/(n*sum(k)) - (n+1)/n over degrees sorted "
+    "(k, node) — rank sums stay EXACT INTEGERS until one final "
+    "division, so the value is partition-invariant by construction; "
+    "one degree groupBy + one global sort of the (small) degree "
+    "table",
+)
+def g86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    deg = c.graph_edges_sym().groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    w = Window.orderBy("k", "node")
+    rk = deg.select("k", F.row_number().over(w).alias("i"))
+    s = rk.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").cast("long").alias("sk"),
+        F.sum(F.col("i") * F.col("k")).cast("long").alias("sik"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_nodes"),
+        F.col("sk").alias("total_degree"),
+        F.round(
+            2.0 * F.col("sik") / (F.col("n") * F.col("sk"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )
+
+
 QUERIES = list(_G)

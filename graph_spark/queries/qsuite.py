@@ -8142,4 +8142,36 @@ def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "t79_vwap",
+    """SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS mon,
+       CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS vol,
+       round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS vwap,
+       round(avg(l_extendedprice), 4) AS avg_price
+       FROM lineitem GROUP BY 1 ORDER BY 1""",
+    note="volume-weighted average price per month beside the naive "
+    "mean — the execution-quality benchmark of every trading/pricing "
+    "pipeline, and a standing example of a RATIO-OF-SUMS aggregate: "
+    "both numerator and denominator are distributive partial sums "
+    "(map-side combined, mergeable across partitions), where a "
+    "naive avg-of-ratios would be neither mergeable nor correct.  "
+    "One scan, one shuffle on the month key",
+)
+def t79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    return (
+        li.groupBy(F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("mon"))
+        .agg(
+            F.sum(F.floor(F.col("l_quantity") + 0.5).cast("long")).cast("long").alias("vol"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+                / F.sum("l_quantity"),
+                4,
+            ).alias("vwap"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        )
+        .orderBy("mon")
+    )
+
+
 QUERIES = list(_Q)
