@@ -3877,4 +3877,69 @@ def m10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l73_ngram_novelty",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       g AS (SELECT doc_id % 2 AS half, doc_id,
+               array_to_string(l[i : i+7], ' ') AS gram
+             FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 7)) AS i
+                   FROM toks) u),
+       ref AS (SELECT DISTINCT gram FROM g WHERE half = 0),
+       cand AS (SELECT doc_id, gram FROM g WHERE half = 1),
+       per AS (SELECT c.doc_id, count(*) AS n_grams,
+               count(*) FILTER (WHERE r.gram IS NULL) AS novel
+               FROM cand c LEFT JOIN ref r ON r.gram = c.gram
+               GROUP BY 1)
+       SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_grams) AS BIGINT) AS n_grams,
+              CAST(sum(novel) AS BIGINT) AS n_novel,
+              round(sum(novel) * 1.0 / sum(n_grams), 6) AS novelty_rate,
+              round(avg(novel * 1.0 / n_grams), 6) AS mean_doc_novelty
+       FROM per""",
+    note="8-gram novelty rate of a candidate batch (odd docs) against "
+    "the reference corpus (even docs): the complement of l25's "
+    "contamination and l64's duplicated-gram share — a LOW novelty "
+    "rate flags a crawl batch that is mostly re-crawl (no training "
+    "value), a suspiciously HIGH one flags drift or spam.  One "
+    "anti-join-shaped LEFT JOIN on the gram key (at 100 TB: "
+    "xxhash64 the gram, bucket both sides, and the reference side "
+    "is the same posting table the dedup family already builds)",
+)
+def l73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("l"))
+    g = toks.select(
+        (F.col("doc_id") % 2).alias("half"),
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(l) >= 8 THEN "
+                "transform(sequence(1, size(l) - 7), i -> concat_ws(' ', slice(l, i, 8))) "
+                "ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    ref = g.filter(F.col("half") == 0).select("gram").distinct().withColumn(
+        "seen", F.lit(1)
+    )
+    cand = g.filter(F.col("half") == 1).select("doc_id", "gram")
+    per = (
+        cand.join(ref, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_if(F.col("seen").isNull()).alias("novel"),
+        )
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_grams").cast("long").alias("n_grams"),
+        F.sum("novel").cast("long").alias("n_novel"),
+        F.round(F.sum("novel") * 1.0 / F.sum("n_grams"), 6).alias("novelty_rate"),
+        F.round(F.avg(F.col("novel") * 1.0 / F.col("n_grams")), 6).alias(
+            "mean_doc_novelty"
+        ),
+    )
+
+
 QUERIES = list(_L)

@@ -814,4 +814,31 @@ def s20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_s(
+    "s21_rate_limit",
+    """SELECT user_id, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S.%f') AS h,
+       count(*) AS n
+       FROM events GROUP BY 1, 2 HAVING count(*) >= 3
+       ORDER BY 1, 2""",
+    note="windowed rate limiting (batch form of the streaming abuse "
+    "gate): per (user, hour) event counts with only over-threshold "
+    "rows emitted — in the stream this is s01's tumbling aggregate "
+    "in update mode with the threshold filter AFTER the stateful "
+    "agg, so the state stays a mergeable count and the sink sees "
+    "only violations.  Per-key hourly state expires with the "
+    "watermark; the flag itself is stateless",
+)
+def s21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .common import ts_str
+
+    ev = Catalog(spark, sf_dir).table("events")
+    return (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hh"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+        .select("user_id", ts_str(F.col("hh")).alias("h"), "n")
+        .orderBy("user_id", "h")
+    )
+
+
 QUERIES = list(_S)
