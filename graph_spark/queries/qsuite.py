@@ -8174,4 +8174,75 @@ def t79(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "t81_kaplan_meier",
+    """WITH u AS (SELECT user_id, min(ts) AS t0,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+         max(ts) AS tl
+       FROM events GROUP BY 1),
+       dur AS (SELECT user_id,
+         CASE WHEN tp IS NOT NULL THEN date_diff('day', t0, tp)
+              ELSE date_diff('day', t0, tl) END AS t,
+         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+         FROM u WHERE tl > t0),
+       et AS (SELECT t, count(*) AS d FROM dur WHERE ev = 1 GROUP BY 1),
+       risk AS (SELECT et.t, et.d,
+         (SELECT count(*) FROM dur WHERE dur.t >= et.t) AS n
+         FROM et),
+       km AS (SELECT t, n, d,
+         exp(sum(ln(1.0 - d * 1.0 / n)) OVER (ORDER BY t)) AS s
+         FROM risk WHERE d < n)
+       SELECT CAST(t AS BIGINT) AS t_days, CAST(n AS BIGINT) AS n_risk,
+              CAST(d AS BIGINT) AS d_events, round(s, 6) AS survival
+       FROM km ORDER BY 1""",
+    note="Kaplan-Meier survival estimate for time-to-first-purchase: "
+    "users who never purchase are right-censored at their last "
+    "observed event (their time at risk still counts in n_t — the "
+    "thing a naive 'average days to purchase among purchasers' "
+    "silently throws away); S(t) = prod(1 - d_t/n_t) computed as "
+    "exp of an ORDERED cumulative sum of logs, so the product "
+    "order is fixed by the window and both engines fold "
+    "identically.  Risk counts and event counts are exact integers "
+    "from one per-user min/max pass; the risk-set join is a tiny "
+    "per-distinct-time aggregate.  The churn/conversion primitive "
+    "of every subscription analytics stack",
+)
+def t81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    u = ev.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
+        F.max("ts").alias("tl"),
+    )
+    dur = u.filter(F.col("tl") > F.col("t0")).select(
+        "user_id",
+        F.when(
+            F.col("tp").isNotNull(), F.datediff(F.col("tp"), F.col("t0"))
+        )
+        .otherwise(F.datediff(F.col("tl"), F.col("t0")))
+        .alias("t"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    et = dur.filter(F.col("ev") == 1).groupBy("t").agg(F.count(F.lit(1)).alias("d"))
+    d_only = dur.select(F.col("t").alias("td"))
+    risk = (
+        et.join(d_only, F.col("td") >= F.col("t"))
+        .groupBy("t", "d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("t")
+    km = (
+        risk.filter(F.col("d") < F.col("n"))
+        .withColumn(
+            "s", F.exp(F.sum(F.log(1.0 - F.col("d") * 1.0 / F.col("n"))).over(w))
+        )
+    )
+    return km.select(
+        F.col("t").cast("long").alias("t_days"),
+        F.col("n").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("d_events"),
+        F.round("s", 6).alias("survival"),
+    ).orderBy("t_days")
+
+
 QUERIES = list(_Q)
