@@ -4599,4 +4599,53 @@ def g86(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g87_knn_degree_curve",
+    f"""WITH {GRAPH_CTES},
+       deg AS (SELECT src AS node, count(*) AS k FROM graph_edges_sym GROUP BY 1),
+       nb AS (SELECT e.src AS node, CAST(sum(dd.k) AS BIGINT) AS snk
+              FROM graph_edges_sym e JOIN deg dd ON dd.node = e.dst
+              GROUP BY 1),
+       pern AS (SELECT d.node, d.k, nb.snk * 1.0 / d.k AS knn
+                FROM deg d JOIN nb ON nb.node = d.node),
+       byk AS (SELECT k, count(*) AS n_nodes, round(avg(knn), 4) AS knn_k
+               FROM pern GROUP BY 1)
+       SELECT CAST(k AS BIGINT) AS degree, CAST(n_nodes AS BIGINT) AS n_nodes,
+              knn_k FROM byk WHERE n_nodes >= 5 ORDER BY 1""",
+    note="average-nearest-neighbor-degree curve knn(k) (Pastor-"
+    "Satorras et al.): for each degree class, the mean degree of "
+    "members' neighbors — the CURVE form of g31's single-number "
+    "assortativity (rising = assortative core, falling = "
+    "disassortative hub-and-spoke, the shape that decides whether "
+    "hub-salting or degree-bucketing is the right skew defence).  "
+    "Neighbor-degree sums stay exact integers (one broadcast degree "
+    "join over stationary edges, one groupBy); classes under 5 "
+    "nodes suppressed for a stable curve",
+)
+def g87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    es = c.graph_edges_sym()
+    deg = es.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("k"))
+    dd = deg.select(F.col("node").alias("dst"), F.col("k").alias("kd"))
+    nb = (
+        es.join(F.broadcast(dd), "dst")
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.sum("kd").cast("long").alias("snk"))
+    )
+    pern = deg.join(nb, "node").select(
+        "k", (F.col("snk") * 1.0 / F.col("k")).alias("knn")
+    )
+    return (
+        pern.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_nodes"), F.round(F.avg("knn"), 4).alias("knn_k"))
+        .filter(F.col("n_nodes") >= 5)
+        .select(
+            F.col("k").cast("long").alias("degree"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            "knn_k",
+        )
+        .orderBy("degree")
+    )
+
+
 QUERIES = list(_G)
