@@ -3942,4 +3942,76 @@ def l73(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l74_containment",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l
+                     FROM documents WHERE doc_id < 300),
+       sh AS (SELECT DISTINCT doc_id,
+               array_to_string(l[i : i+2], ' ') AS s
+             FROM (SELECT doc_id, l, unnest(generate_series(1, len(l) - 2)) AS i
+                   FROM toks) u),
+       sz AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
+       inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+                 FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+                 GROUP BY 1, 2),
+       cont AS (SELECT i.da, i.db, i.c,
+                round(i.c * 1.0 / za.ns, 6) AS containment,
+                round(i.c * 1.0 / (za.ns + zb.ns - i.c), 6) AS jaccard
+                FROM inter i JOIN sz za ON za.doc_id = i.da
+                JOIN sz zb ON zb.doc_id = i.db)
+       SELECT da, db, CAST(c AS BIGINT) AS n_common, containment, jaccard
+       FROM cont WHERE containment >= 0.5
+       ORDER BY containment DESC, da, db LIMIT 50""",
+    note="shingle CONTAINMENT (Broder's asymmetric resemblance): "
+    "|S(A) n S(B)| / |S(A)| — the quote/subset detector that "
+    "symmetric Jaccard structurally misses (a 50-token excerpt "
+    "inside a 5000-token page has Jaccard ~0.01 but containment "
+    "~1.0), reported beside Jaccard so the asymmetry is visible.  "
+    "Candidates come ONLY from the shared-shingle inverted-index "
+    "join (l07's shape); at 100 TB the estimator form replaces "
+    "exact intersection with MinHash-bottom-k sketches and the "
+    "same containment algebra, posting-capped on hot shingles",
+)
+def l74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents").filter(F.col("doc_id") < 300)
+    toks = d.select("doc_id", F.split("text", " ").alias("l"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(l) >= 3 THEN "
+                "transform(sequence(1, size(l) - 2), i -> concat_ws(' ', slice(l, i, 3))) "
+                "ELSE array() END"
+            )
+        ).alias("s"),
+    ).distinct()
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
+    a = sh.select(F.col("doc_id").alias("da"), "s")
+    b = sh.select(F.col("doc_id").alias("db"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("da") != F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    za = sz.select(F.col("doc_id").alias("da"), F.col("ns").alias("nsa"))
+    zb = sz.select(F.col("doc_id").alias("db"), F.col("ns").alias("nsb"))
+    return (
+        inter.join(F.broadcast(za), "da")
+        .join(F.broadcast(zb), "db")
+        .select(
+            "da",
+            "db",
+            F.col("c").cast("long").alias("n_common"),
+            F.round(F.col("c") * 1.0 / F.col("nsa"), 6).alias("containment"),
+            F.round(
+                F.col("c") * 1.0 / (F.col("nsa") + F.col("nsb") - F.col("c")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("containment") >= 0.5)
+        .orderBy(F.col("containment").desc(), "da", "db")
+        .limit(50)
+    )
+
+
 QUERIES = list(_L)
