@@ -4648,4 +4648,63 @@ def g87(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g88_relationship_entropy",
+    f"""WITH {GRAPH_CTES},
+       tot AS (SELECT src, CAST(sum(n_items) AS BIGINT) AS ti, count(*) AS deg
+               FROM graph_edges GROUP BY 1),
+       ent AS (SELECT e.src,
+               -sum((e.n_items * 1.0 / t.ti) * ln(e.n_items * 1.0 / t.ti)) AS h
+               FROM graph_edges e JOIN tot t ON t.src = e.src
+               GROUP BY 1),
+       res AS (SELECT t.src, t.deg, t.ti, round(ent.h, 4) AS entropy,
+               CASE WHEN t.deg > 1
+                    THEN round(ent.h / ln(t.deg * 1.0), 4) ELSE 0.0 END AS evenness
+               FROM tot t JOIN ent ON ent.src = t.src)
+       SELECT src, CAST(deg AS BIGINT) AS deg, ti AS total_items,
+              entropy, evenness
+       FROM res WHERE deg >= 5
+       ORDER BY evenness, src LIMIT 50""",
+    note="relationship diversification per customer: Shannon entropy "
+    "of item-share across suppliers and its normalized evenness "
+    "H/ln(deg) — evenness near 0 = single-supplier dependency "
+    "(concentration risk, the per-node form of q110's HHI), near 1 "
+    "= evenly spread.  Item counts are exact integers; shares and "
+    "the entropy fold are per-node sums over <= deg terms (map-side "
+    "combined groupBy over the stationary edge view), so the "
+    "reduction is tiny and the 4dp rounding sits far above float "
+    "drift.  The lowest-evenness list IS the procurement-risk "
+    "report",
+)
+def g88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    ge = c.graph_edges().select("src", "n_items")
+    tot = ge.groupBy("src").agg(
+        F.sum("n_items").cast("long").alias("ti"), F.count(F.lit(1)).alias("deg")
+    )
+    share = F.col("n_items") * 1.0 / F.col("ti")
+    ent = (
+        ge.join(tot, "src")
+        .groupBy("src")
+        .agg((-F.sum(share * F.log(share))).alias("h"))
+    )
+    return (
+        tot.join(ent, "src")
+        .filter(F.col("deg") >= 5)
+        .select(
+            "src",
+            F.col("deg").cast("long").alias("deg"),
+            F.col("ti").alias("total_items"),
+            F.round("h", 4).alias("entropy"),
+            F.when(
+                F.col("deg") > 1, F.round(F.col("h") / F.log(F.col("deg") * 1.0), 4)
+            )
+            .otherwise(0.0)
+            .alias("evenness"),
+        )
+        .orderBy("evenness", "src")
+        .limit(50)
+    )
+
+
 QUERIES = list(_G)
