@@ -4014,4 +4014,68 @@ def l74(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l75_heaps_law",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         FROM documents),
+       t2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+       firstd AS (SELECT term, min(doc_id) AS fd FROM t2 GROUP BY 1),
+       ntok AS (SELECT doc_id, count(*) AS nt FROM t2 GROUP BY 1),
+       cps AS (SELECT unnest([50, 100, 150, 200, 250, 300, 350, 400, 450, 500]) AS cp),
+       pts AS (SELECT cp,
+         (SELECT CAST(sum(nt) AS BIGINT) FROM ntok WHERE doc_id < cp) AS tokens,
+         (SELECT count(*) FROM firstd WHERE fd < cp) AS vocab
+         FROM cps),
+       valid AS (SELECT cp, tokens, CAST(vocab AS BIGINT) AS vocab,
+                 ln(tokens * 1.0) AS lx, ln(vocab * 1.0) AS ly
+                 FROM pts WHERE tokens > 0 AND vocab > 0)
+       SELECT CAST(count(*) AS BIGINT) AS n_points,
+              round(regr_slope(ly, lx), 4) AS heaps_beta,
+              round(exp(regr_intercept(ly, lx)), 4) AS heaps_k,
+              round(regr_r2(ly, lx), 4) AS r2
+       FROM valid""",
+    note="Heaps'-law fit — vocabulary growth V = K * n^beta over "
+    "cumulative token checkpoints (the dual of l68's Zipf fit; "
+    "natural text sits at beta ~ 0.4-0.6, templated corpora "
+    "flatten, OCR noise inflates): checkpoint vocab counts come "
+    "from the same mergeable FIRST-SEEN rewrite as q122 (a term's "
+    "first doc is a min, so vocab-at-checkpoint is a count over "
+    "first-seen, never a re-scan), and the fit is the distributive "
+    "regr_* aggregate.  The growth-curve form answers 'is this "
+    "crawl batch still adding words' before training pays for it",
+)
+def l75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    t2 = d.select("doc_id", F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    firstd = t2.groupBy("term").agg(F.min("doc_id").alias("fd"))
+    ntok = t2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nt"))
+    cps = spark.createDataFrame([(c,) for c in range(50, 501, 50)], ["cp"])
+    tokens = (
+        ntok.join(F.broadcast(cps), ntok.doc_id < cps.cp)
+        .groupBy("cp")
+        .agg(F.sum("nt").cast("long").alias("tokens"))
+    )
+    vocab = (
+        firstd.join(F.broadcast(cps), firstd.fd < cps.cp)
+        .groupBy("cp")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab"))
+    )
+    valid = (
+        tokens.join(vocab, "cp")
+        .filter((F.col("tokens") > 0) & (F.col("vocab") > 0))
+        .select(
+            F.log(F.col("tokens") * 1.0).alias("lx"),
+            F.log(F.col("vocab") * 1.0).alias("ly"),
+        )
+    )
+    return valid.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.round(F.expr("regr_slope(ly, lx)"), 4).alias("heaps_beta"),
+        F.round(F.exp(F.expr("regr_intercept(ly, lx)")), 4).alias("heaps_k"),
+        F.round(F.expr("regr_r2(ly, lx)"), 4).alias("r2"),
+    )
+
+
 QUERIES = list(_L)
