@@ -8245,4 +8245,50 @@ def t81(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("t_days")
 
 
+@_q(
+    "q124_bounce_rate",
+    """WITH g AS (SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS flag
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       s AS (SELECT user_id,
+         sum(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+         FROM g),
+       per AS (SELECT user_id, session_id, count(*) AS n FROM s GROUP BY 1, 2),
+       wk AS (SELECT count(*) AS n_sessions,
+              count(*) FILTER (WHERE n = 1) AS n_bounces,
+              round(avg(n * 1.0), 4) AS avg_events
+              FROM per)
+       SELECT CAST(n_sessions AS BIGINT) AS n_sessions,
+              CAST(n_bounces AS BIGINT) AS n_bounces,
+              round(n_bounces * 1.0 / n_sessions, 6) AS bounce_rate,
+              avg_events
+       FROM wk""",
+    note="session bounce rate: single-event sessions over total "
+    "sessions, on exactly t03's 30-minute-gap sessionization (same "
+    "flag-cumsum windows, so the session universe is shared across "
+    "the two queries by construction) — the first engagement metric "
+    "every web/product analytics stack reports, with mean session "
+    "depth alongside.  Two windows + two tiny aggregates; the "
+    "session assignment is the only fact-sized pass and it is "
+    "one partition-local sort per user key",
+)
+def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.relational import sessionize
+
+    ev = Catalog(spark, sf_dir).table("events")
+    sess = sessionize(ev, "user_id", "ts", 1800, tiebreak=["event_id"])
+    per = sess.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n"))
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.count_if(F.col("n") == 1).cast("long").alias("n_bounces"),
+        F.round(
+            F.count_if(F.col("n") == 1) * 1.0 / F.count(F.lit(1)), 6
+        ).alias("bounce_rate"),
+        F.round(F.avg(F.col("n") * 1.0), 4).alias("avg_events"),
+    )
+
+
 QUERIES = list(_Q)
