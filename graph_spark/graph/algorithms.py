@@ -29,6 +29,45 @@ LOCAL_EDGE_THRESHOLD = 5_000_000
 # not exact betweenness; the guard raises instead of OOMing.
 BETWEENNESS_REPLICATE_EDGE_LIMIT = 50_000_000
 
+# Per-superstep vertex-state broadcast is only sane while the whole
+# state vector fits comfortably in every executor: at ~64 bytes/row
+# (short string id + a double + a long) this limit is ~256 MB of
+# broadcast per superstep.  Above it the Pregel kernels switch to the
+# dual-layout SHUFFLE-STATE path: state stays hash-partitioned on node,
+# joins a second src-partitioned edge copy co-partitioned with it
+# (zero-exchange sort-merge join), and the dst message combine becomes
+# the superstep's one shuffle — nothing |V|-sized ever moves to one
+# place, so a billion-vertex graph costs one |E| shuffle per superstep
+# instead of an impossible tens-of-GB broadcast.
+VERTEX_STATE_BROADCAST_LIMIT = 4_000_000
+
+
+def _use_broadcast_state(nv: int, broadcast_state: bool | None) -> bool:
+    """Route a Pregel kernel's superstep join: explicit override wins,
+    else broadcast only while the vertex state is broadcast-sized."""
+    if broadcast_state is not None:
+        return bool(broadcast_state)
+    return nv <= VERTEX_STATE_BROADCAST_LIMIT
+
+
+def _attach_contributions(edges: DataFrame, contrib: DataFrame, broadcast: bool) -> DataFrame:
+    """The ONE superstep join every Pregel kernel here shares: attach
+    per-source messages (`contrib`, columns src + payload) to the
+    stationary pre-partitioned edge copy.
+
+    broadcast=True (small |V|): contrib is broadcast onto the
+    dst-partitioned edges, so the following dst combine needs no
+    exchange — the whole superstep costs zero shuffles of |E| data.
+    broadcast=False (the >VERTEX_STATE_BROADCAST_LIMIT path): contrib
+    arrives hash-partitioned on node==src (state is pre-partitioned on
+    node and Spark's projections are alias-aware), edges are
+    pre-partitioned on src with the same partition count, so the join
+    is a zero-exchange sort-merge join; the dst combine is then the
+    superstep's single (map-side combined) shuffle.
+    """
+    rhs = F.broadcast(contrib) if broadcast else contrib
+    return edges.join(rhs, "src")
+
 
 # edge-count memo keyed by the underlying DataFrame object: the catalog
 # hands out the same cached edge frame across queries, so the routing
@@ -355,11 +394,21 @@ def k_hop_count(graph: PropertyGraph, source: str, k: int) -> int:
 
 
 def connected_components(
-    graph: PropertyGraph, max_iter: int = 50, local: bool | None = None
+    graph: PropertyGraph,
+    max_iter: int = 50,
+    local: bool | None = None,
+    broadcast_state: bool | None = None,
 ) -> DataFrame:
     """Min-id label propagation to fixpoint over (assumed symmetric)
     edges.  Returns DataFrame(node, component) where component is the
-    lexicographically smallest reachable node id."""
+    lexicographically smallest reachable node id.
+
+    broadcast_state=None auto-picks the superstep join layout (see
+    :func:`pagerank` / :func:`_attach_contributions`): above
+    VERTEX_STATE_BROADCAST_LIMIT vertices the delta set joins an
+    src-partitioned edge copy instead of broadcasting, so the
+    first rounds (delta == |V|) never broadcast the state vector.
+    """
     if local is None:
         local = _edge_count(graph) < LOCAL_EDGE_THRESHOLD
     if local:
@@ -370,11 +419,14 @@ def connected_components(
         .union(graph.edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    # see pagerank: dst pre-partitioning makes the per-round combine
-    # exchange-free under the broadcast join
+    bcast = _use_broadcast_state(nodes.count(), broadcast_state)
+    # see pagerank: the edge layout is keyed by the superstep mode —
+    # dst pre-partitioning makes the per-round combine exchange-free
+    # under the broadcast join; src pre-partitioning co-partitions the
+    # edges with the (node-keyed) delta for the shuffle-state join
     edges = (
         graph.edges.select("src", "dst")
-        .repartition(spark.sparkContext.defaultParallelism, "dst")
+        .repartition(spark.sparkContext.defaultParallelism, "dst" if bcast else "src")
         .persist()
     )
     state = (
@@ -390,9 +442,8 @@ def connected_components(
     # rounds cost almost nothing even on diameter-bound graphs.
     delta = state
     for _ in range(max_iter):
-        dl = F.broadcast(delta.withColumnRenamed("node", "dnode"))
         msgs = (
-            edges.join(dl, edges.src == F.col("dnode"), "inner")
+            _attach_contributions(edges, delta.withColumnRenamed("node", "src"), bcast)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("component").alias("nbr_min"))
         )
@@ -427,14 +478,20 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     local: bool | None = None,
+    broadcast_state: bool | None = None,
 ) -> DataFrame:
     """Classic PageRank, uniform init 1/|V|, damping default 0.85,
     contributions along `edges` split by out-degree.  Nodes with no
     in-edges get the teleport term only.  Returns DataFrame(node, rank).
 
-    Distributed superstep cost: ONE shuffle (message combine by dst);
-    rank and out-degree frames broadcast to the stationary edges.
-    Small graphs auto-route to the numpy kernel (local=None).
+    Distributed superstep cost: ONE shuffle (message combine by dst).
+    broadcast_state=None auto-picks the superstep join layout: rank
+    broadcast onto dst-partitioned edges while |V| <=
+    VERTEX_STATE_BROADCAST_LIMIT, else the shuffle-state layout
+    (state co-partitioned with an src-partitioned edge copy — see
+    :func:`_attach_contributions`) so billion-vertex graphs never
+    broadcast the state vector.  Small graphs auto-route to the numpy
+    kernel (local=None).
     """
     if local is None:
         local = _edge_count(graph) < LOCAL_EDGE_THRESHOLD
@@ -454,16 +511,24 @@ def pagerank(
     if nv == 0:
         return spark0.createDataFrame([], "node string, rank double")
 
-    # Pre-partition edges by dst ONCE: the broadcast join below preserves
-    # this partitioning, so the per-superstep groupBy(dst) combine needs
-    # no exchange.  State CARRIES the out-degree (one init join instead
-    # of a rank-x-outdeg sort-merge join per superstep) and is
-    # pre-partitioned on node, the same key the message combine emits,
-    # so the state-update join is exchange-free too — measured 3.2x
+    # Pre-partition edges ONCE, keyed by the superstep layout: broadcast
+    # mode keys on dst (the broadcast join preserves it, so the
+    # per-superstep groupBy(dst) combine needs no exchange); shuffle
+    # mode keys on src (co-partitioned with state, so the contribution
+    # join needs no exchange and the dst combine is the one shuffle).
+    # State CARRIES the out-degree (one init join instead of a
+    # rank-x-outdeg sort-merge join per superstep) and is pre-partitioned
+    # on node, the same key the message combine emits, so the
+    # state-update join is exchange-free too — measured 3.2x
     # (38 s -> 12 s) for 10 iterations on a 5M-edge synthetic graph.
+    bcast = _use_broadcast_state(nv, broadcast_state)
     spark = graph.edges.sparkSession
     n_part = spark.sparkContext.defaultParallelism
-    edges = graph.edges.select("src", "dst").repartition(n_part, "dst").persist()
+    edges = (
+        graph.edges.select("src", "dst")
+        .repartition(n_part, "dst" if bcast else "src")
+        .persist()
+    )
     edges.count()
     outdeg = graph.edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("deg")
@@ -479,13 +544,11 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     for _ in range(iterations):
-        contrib_src = F.broadcast(
-            state.filter(F.col("deg") > 0).select(
-                F.col("node").alias("csrc"), (F.col("rank") / F.col("deg")).alias("w")
-            )
+        contrib = state.filter(F.col("deg") > 0).select(
+            F.col("node").alias("src"), (F.col("rank") / F.col("deg")).alias("w")
         )
         msgs = (
-            edges.join(contrib_src, edges.src == F.col("csrc"), "inner")
+            _attach_contributions(edges, contrib, bcast)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("w").alias("acc"))
         )
@@ -547,6 +610,7 @@ def pagerank_weighted(
     damping: float = 0.85,
     weight_col: str = "weight",
     local: bool | None = None,
+    broadcast_state: bool | None = None,
 ) -> DataFrame:
     """PageRank with edge-weight-proportional mass distribution (the
     Neo4j GDS `relationshipWeightProperty` variant): a node's rank is
@@ -579,7 +643,8 @@ def pagerank_weighted(
     if nv == 0:
         return spark.createDataFrame([], "node string, rank double")
     n_part = spark.sparkContext.defaultParallelism
-    edges = edges3.repartition(n_part, "dst").persist()
+    bcast = _use_broadcast_state(nv, broadcast_state)
+    edges = edges3.repartition(n_part, "dst" if bcast else "src").persist()
     edges.count()
     # state carries out-weight; see `pagerank` for the superstep layout
     outw = edges3.groupBy(F.col("src").alias("node")).agg(F.sum("weight").alias("ws"))
@@ -594,13 +659,11 @@ def pagerank_weighted(
         .localCheckpoint(eager=True)
     )
     for _ in range(iterations):
-        per_w = F.broadcast(
-            state.filter(F.col("ws") > 0).select(
-                F.col("node").alias("csrc"), (F.col("rank") / F.col("ws")).alias("pw")
-            )
+        per_w = state.filter(F.col("ws") > 0).select(
+            F.col("node").alias("src"), (F.col("rank") / F.col("ws")).alias("pw")
         )
         msgs = (
-            edges.join(per_w, edges.src == F.col("csrc"), "inner")
+            _attach_contributions(edges, per_w, bcast)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("pw") * F.col("weight")).alias("acc"))
         )
@@ -693,8 +756,9 @@ def _local_katz_pdf(pdf, iterations: int, alpha: float):
 def katz_centrality(
     graph: PropertyGraph,
     iterations: int = 6,
-    alpha: float = 0.05,
+    alpha: float = 0.005,
     local: bool | None = None,
+    broadcast_state: bool | None = None,
 ) -> DataFrame:
     """Truncated Katz centrality: x = sum_{k<=T} alpha^k (A^T)^k 1,
     computed as T rounds of x <- 1 + alpha * A^T x (beta = 1).  Unlike
@@ -723,7 +787,12 @@ def katz_centrality(
         .distinct()
     )
     n_part = spark.sparkContext.defaultParallelism
-    edges = graph.edges.select("src", "dst").repartition(n_part, "dst").persist()
+    bcast = _use_broadcast_state(nodes.count(), broadcast_state)
+    edges = (
+        graph.edges.select("src", "dst")
+        .repartition(n_part, "dst" if bcast else "src")
+        .persist()
+    )
     edges.count()
     state = (
         nodes.select("node", F.lit(1.0).alias("katz"))
@@ -731,9 +800,9 @@ def katz_centrality(
         .localCheckpoint(eager=True)
     )
     for _ in range(iterations):
-        xs = F.broadcast(state.select(F.col("node").alias("csrc"), F.col("katz").alias("x")))
+        xs = state.select(F.col("node").alias("src"), F.col("katz").alias("x"))
         msgs = (
-            edges.join(xs, edges.src == F.col("csrc"), "inner")
+            _attach_contributions(edges, xs, bcast)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("x").alias("acc"))
         )
@@ -887,6 +956,7 @@ def personalized_pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     local: bool | None = None,
+    broadcast_state: bool | None = None,
 ) -> DataFrame:
     """Personalized PageRank: teleport mass restricted to `sources`
     (uniform 1/|S| init and reset).  Same superstep shape as `pagerank`
@@ -916,7 +986,12 @@ def personalized_pagerank(
         return nodes.select("node", F.lit(0.0).alias("rank"))
     tele = F.when(F.col("node").isin(src_set), F.lit(1.0 / ns)).otherwise(F.lit(0.0))
     n_part = spark.sparkContext.defaultParallelism
-    edges = graph.edges.select("src", "dst").repartition(n_part, "dst").persist()
+    bcast = _use_broadcast_state(nodes.count(), broadcast_state)
+    edges = (
+        graph.edges.select("src", "dst")
+        .repartition(n_part, "dst" if bcast else "src")
+        .persist()
+    )
     edges.count()
     # state carries out-degree; see `pagerank` for the superstep layout
     outdeg = graph.edges.groupBy(F.col("src").alias("node")).agg(
@@ -929,13 +1004,11 @@ def personalized_pagerank(
         .localCheckpoint(eager=True)
     )
     for _ in range(iterations):
-        contrib_src = F.broadcast(
-            state.filter((F.col("deg") > 0) & (F.col("rank") != 0)).select(
-                F.col("node").alias("csrc"), (F.col("rank") / F.col("deg")).alias("w")
-            )
+        contrib = state.filter((F.col("deg") > 0) & (F.col("rank") != 0)).select(
+            F.col("node").alias("src"), (F.col("rank") / F.col("deg")).alias("w")
         )
         msgs = (
-            edges.join(contrib_src, edges.src == F.col("csrc"), "inner")
+            _attach_contributions(edges, contrib, bcast)
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("w").alias("acc"))
         )
@@ -1451,28 +1524,46 @@ def strongly_connected_components(
 
 
 def label_propagation(
-    graph: PropertyGraph, max_iter: int = 10, local: bool | None = None
+    graph: PropertyGraph,
+    max_iter: int = 10,
+    local: bool | None = None,
+    broadcast_state: bool | None = None,
 ) -> DataFrame:
     """Community detection: each node adopts the most frequent label of
     its in-neighbors each round (ties -> smallest label).  Deterministic
     synchronous variant, hash-declared (g15); small graphs auto-route to
-    the numpy kernel."""
+    the numpy kernel.  broadcast_state follows the shared Pregel layout
+    rule (:func:`_attach_contributions`): above
+    VERTEX_STATE_BROADCAST_LIMIT vertices the label vector joins an
+    src-partitioned edge copy instead of broadcasting."""
     if local is None:
         local = _edge_count(graph) < LOCAL_EDGE_THRESHOLD
     if local:
         return _run_local(
             graph, lambda pdf: _local_lp_pdf(pdf, max_iter), "node string, label string"
         )
+    spark = graph.edges.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
     nodes = (
         graph.edges.select(F.col("src").alias("node"))
         .union(graph.edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    state = nodes.select("node", F.col("node").alias("label")).localCheckpoint(eager=True)
+    bcast = _use_broadcast_state(nodes.count(), broadcast_state)
+    edges = (
+        graph.edges.select("src", "dst")
+        .repartition(n_part, "dst" if bcast else "src")
+        .persist()
+    )
+    edges.count()
+    state = (
+        nodes.select("node", F.col("node").alias("label"))
+        .repartition(n_part, "node")
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
-        st = F.broadcast(state)
         counts = (
-            graph.edges.join(st, graph.edges.src == st.node, "inner")
+            _attach_contributions(edges, state.withColumnRenamed("node", "src"), bcast)
             .groupBy(F.col("dst").alias("node"), F.col("label"))
             .agg(F.count(F.lit(1)).alias("c"))
         )
@@ -1487,6 +1578,7 @@ def label_propagation(
             .select("node", F.coalesce(F.col("best_label"), F.col("label")).alias("label"))
             .localCheckpoint(eager=True)
         )
+    edges.unpersist()
     return state
 
 

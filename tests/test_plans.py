@@ -530,3 +530,59 @@ def test_plan_audit_reports_shapes(spark):
     assert a["has_pushed_filters"]
     bad = li.crossJoin(eng.table("orders"))
     assert Engine.plan_audit(bad)["n_cartesian"] + Engine.plan_audit(bad)["n_bcast_nested_loop"] >= 1
+
+
+def test_pregel_shuffle_state_no_broadcast_exchange(spark):
+    """The >VERTEX_STATE_BROADCAST_LIMIT Pregel layout must not broadcast
+    the vertex state: with the stats-based auto-broadcast disabled
+    (emulating a state vector far above any broadcast threshold), the
+    shared superstep join (_attach_contributions, broadcast=False) must
+    plan a shuffle join — NO BroadcastExchange anywhere — while the
+    broadcast=True layout forces one via its hint.  The edge side is the
+    persisted pre-partitioned copy, so its partitioning survives and the
+    |E| frame is never re-shuffled per superstep."""
+    from graph_spark.graph.algorithms import _attach_contributions
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        n_part = spark.sparkContext.defaultParallelism
+        e = (
+            spark.range(2000)
+            .select(
+                F.concat(F.lit("n"), (F.col("id") % 97).cast("string")).alias("src"),
+                F.concat(F.lit("n"), ((F.col("id") * 7) % 97).cast("string")).alias("dst"),
+            )
+            .repartition(n_part, "src")
+            .persist()
+        )
+        e.count()
+        state = (
+            e.select(F.col("src").alias("node"))
+            .distinct()
+            .select("node", F.lit(1.0).alias("rank"))
+            .repartition(n_part, "node")
+            .localCheckpoint(eager=True)
+        )
+        contrib = state.select(F.col("node").alias("src"), F.col("rank").alias("w"))
+        shuffle_msgs = (
+            _attach_contributions(e, contrib, False)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("w").alias("acc"))
+        )
+        plan = _plan(shuffle_msgs)
+        assert "BroadcastExchange" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        # exactly two runtime exchanges: the contrib-side realign (|V|)
+        # and the dst message combine (map-side partial) — the persisted
+        # |E| edge copy shows no ENSURE_REQUIREMENTS exchange of its own
+        assert plan.count("ENSURE_REQUIREMENTS") == 2, plan
+        bcast_msgs = (
+            _attach_contributions(e, contrib, True)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("w").alias("acc"))
+        )
+        assert "BroadcastExchange" in _plan(bcast_msgs)
+        e.unpersist()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

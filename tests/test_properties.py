@@ -14,6 +14,12 @@ from graph_spark.graph.property_graph import PropertyGraph
 
 SEEDS = [7, 42, 1337]
 
+# (local, broadcast_state) triples exercising every Pregel execution
+# path: single-task numpy kernel, distributed broadcast-state
+# superstep, and the >VERTEX_STATE_BROADCAST_LIMIT shuffle-state
+# superstep (dual edge layout, nothing |V|-sized broadcast).
+PREGEL_MODES = [(True, None), (False, True), (False, False)]
+
 
 def _random_graph(seed: int, n_nodes: int = 60, n_edges: int = 120):
     rng = random.Random(seed)
@@ -83,9 +89,12 @@ def test_cc_matches_union_find(spark, seed):
     edf = spark.createDataFrame(edges, ["src", "dst"])
     g = PropertyGraph(edf.select(F.col("src").alias("id")).distinct(), edf)
     want = _py_cc(edges)
-    for local in (True, False):
-        got = {r["node"]: r["component"] for r in connected_components(g, local=local).collect()}
-        assert got == want, f"local={local} seed={seed}"
+    for local, bstate in PREGEL_MODES:
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(g, local=local, broadcast_state=bstate).collect()
+        }
+        assert got == want, f"local={local} bstate={bstate} seed={seed}"
 
 
 @pytest.mark.parametrize("seed", SEEDS)
@@ -200,8 +209,12 @@ def test_label_propagation_local_distributed_parity(spark, seed):
     v = e.select(F.col("src").alias("id")).distinct()
     g = PropertyGraph(v, e)
     a = {r["node"]: r["label"] for r in label_propagation(g, 4, local=True).collect()}
-    b = {r["node"]: r["label"] for r in label_propagation(g, 4, local=False).collect()}
-    assert a == b, f"seed={seed}"
+    for bstate in (True, False):
+        b = {
+            r["node"]: r["label"]
+            for r in label_propagation(g, 4, local=False, broadcast_state=bstate).collect()
+        }
+        assert a == b, f"seed={seed} bstate={bstate}"
 
 
 def _py_ppr(edges, sources, iters, damping):
@@ -234,14 +247,16 @@ def test_personalized_pagerank_local_distributed_reference_parity(spark, seed):
     e = spark.createDataFrame(edges, ["src", "dst"])
     v = e.select(F.col("src").alias("id")).distinct()
     g = PropertyGraph(v, e)
-    for local in (True, False):
+    for local, bstate in PREGEL_MODES:
         got = {
             r["node"]: r["rank"]
-            for r in personalized_pagerank(g, sources, 5, local=local).collect()
+            for r in personalized_pagerank(
+                g, sources, 5, local=local, broadcast_state=bstate
+            ).collect()
         }
-        assert got.keys() == want.keys(), f"local={local} seed={seed}"
+        assert got.keys() == want.keys(), f"local={local} bstate={bstate} seed={seed}"
         for n in want:
-            assert abs(got[n] - want[n]) < 1e-9, f"local={local} seed={seed} node={n}"
+            assert abs(got[n] - want[n]) < 1e-9, f"local={local} bstate={bstate} node={n}"
 
 
 @pytest.mark.parametrize("seed", SEEDS)
@@ -407,14 +422,14 @@ def test_weighted_pagerank_local_distributed_reference_parity(spark, seed):
     e = spark.createDataFrame(edges_w, ["src", "dst", "weight"])
     v = e.select(F.col("src").alias("id")).distinct()
     g = PropertyGraph(v, e)
-    for local in (True, False):
+    for local, bstate in PREGEL_MODES:
         got = {
             r["node"]: r["rank"]
-            for r in pagerank_weighted(g, 5, local=local).collect()
+            for r in pagerank_weighted(g, 5, local=local, broadcast_state=bstate).collect()
         }
-        assert got.keys() == want.keys(), f"local={local} seed={seed}"
+        assert got.keys() == want.keys(), f"local={local} bstate={bstate} seed={seed}"
         for n in want:
-            assert abs(got[n] - want[n]) < 1e-9, f"local={local} seed={seed} node={n}"
+            assert abs(got[n] - want[n]) < 1e-9, f"local={local} bstate={bstate} node={n}"
 
 
 def _py_betweenness(edges):
@@ -824,14 +839,16 @@ def test_katz_local_distributed_reference_parity(spark, seed):
     e = spark.createDataFrame(edges, ["src", "dst"])
     v = e.select(F.col("src").alias("id")).distinct()
     g = PropertyGraph(v, e)
-    for local in (True, False):
+    for local, bstate in PREGEL_MODES:
         got = {
             r["node"]: r["katz"]
-            for r in katz_centrality(g, iterations=iters, alpha=alpha, local=local).collect()
+            for r in katz_centrality(
+                g, iterations=iters, alpha=alpha, local=local, broadcast_state=bstate
+            ).collect()
         }
-        assert got.keys() == x.keys(), f"local={local} seed={seed}"
+        assert got.keys() == x.keys(), f"local={local} bstate={bstate} seed={seed}"
         for n in x:
-            assert abs(got[n] - x[n]) < 1e-9, f"local={local} seed={seed} node={n}"
+            assert abs(got[n] - x[n]) < 1e-9, f"local={local} bstate={bstate} node={n}"
 
 
 @pytest.mark.parametrize("seed", SEEDS)
@@ -904,3 +921,68 @@ def test_incremental_cc_equals_full_recompute(spark, seed):
     }
     want = {r["node"]: r["component"] for r in connected_components(g_all).collect()}
     assert got == want, f"seed={seed}"
+
+
+def _py_pagerank(edges, iters, damping):
+    adj, deg, nodes = {}, {}, set()
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        deg[a] = deg.get(a, 0) + 1
+        nodes.update((a, b))
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        acc = {v: 0.0 for v in nodes}
+        for u, r in rank.items():
+            if deg.get(u):
+                share = r / deg[u]
+                for v in adj[u]:
+                    acc[v] += share
+        rank = {v: (1.0 - damping) / n + damping * acc[v] for v in nodes}
+    return rank
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_pagerank_all_modes_reference_parity(spark, seed):
+    """pagerank == plain-python reference on all three execution paths,
+    including the shuffle-state superstep (broadcast_state=False)."""
+    from graph_spark.graph.algorithms import pagerank
+
+    edges = _random_graph(seed)
+    want = _py_pagerank(edges, 5, 0.85)
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    g = PropertyGraph(e.select(F.col("src").alias("id")).distinct(), e)
+    for local, bstate in PREGEL_MODES:
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(g, 5, local=local, broadcast_state=bstate).collect()
+        }
+        assert got.keys() == want.keys(), f"local={local} bstate={bstate} seed={seed}"
+        for n in want:
+            assert abs(got[n] - want[n]) < 1e-9, f"local={local} bstate={bstate} node={n}"
+
+
+def test_pregel_auto_routes_to_shuffle_state(spark, monkeypatch):
+    """With VERTEX_STATE_BROADCAST_LIMIT forced to 0, broadcast_state=None
+    must auto-pick the shuffle-state layout and still match the numpy
+    kernel — the guard that the >limit routing is both wired and correct."""
+    from graph_spark.graph import algorithms as alg
+
+    monkeypatch.setattr(alg, "VERTEX_STATE_BROADCAST_LIMIT", 0)
+    edges = _random_graph(11)
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    g = PropertyGraph(e.select(F.col("src").alias("id")).distinct(), e)
+    want = {r["node"]: r["rank"] for r in alg.pagerank(g, 4, local=True).collect()}
+    got = {r["node"]: r["rank"] for r in alg.pagerank(g, 4, local=False).collect()}
+    assert got.keys() == want.keys()
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-9, n
+    wc = {
+        r["node"]: r["component"]
+        for r in alg.connected_components(g, local=True).collect()
+    }
+    gc = {
+        r["node"]: r["component"]
+        for r in alg.connected_components(g, local=False).collect()
+    }
+    assert gc == wc
