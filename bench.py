@@ -154,6 +154,56 @@ def bench_distributed_graph(spark) -> dict:
     return out
 
 
+def bench_distributed_graph_xl(spark) -> dict:
+    """20M-edge block (4x the 5M block): the scale regime where the
+    distributed paths must CROSS OVER the single-task numpy kernels,
+    and where the shuffle-state Pregel layout (broadcast_state=False —
+    the billion-vertex path that never broadcasts the vertex vector)
+    is timed end-to-end.  Louvain's crossover already shows at 5M
+    (dist 21s vs local 44s, see the 5M block); SCC's did not, which is
+    exactly why this block exists."""
+    from pyspark.sql import functions as F
+
+    from graph_spark.graph import algorithms as alg
+    from graph_spark.graph.property_graph import PropertyGraph
+    from graph_spark.graph.synth import synthetic_edges
+
+    n_edges, n_nodes, iters = 20_000_000, 2_000_000, 10
+    out: dict = {"edges": None, "nodes": n_nodes, "pagerank_iters": iters}
+
+    e = synthetic_edges(spark, n_edges, n_nodes).persist()
+    out["edges"] = e.count()
+    v = e.select(F.col("src").alias("id")).distinct()
+    g = PropertyGraph(v, e)
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    sym.count()
+    g_sym = PropertyGraph(v, sym)
+
+    def timed(key, fn):
+        t0 = time.perf_counter()
+        n = fn().count()
+        out[key] = round(time.perf_counter() - t0, 3)
+        print(f"# dist-graph-xl {key}: {out[key]}s ({n} rows)", file=sys.stderr)
+
+    timed(
+        "pagerank_shuffle",
+        lambda: alg.pagerank(g, iterations=iters, local=False, broadcast_state=False),
+    )
+    timed("pagerank_local", lambda: alg.pagerank(g, iterations=iters, local=True))
+    timed(
+        "cc_shuffle",
+        lambda: alg.connected_components(g_sym, local=False, broadcast_state=False),
+    )
+    timed("cc_local", lambda: alg.connected_components(g_sym, local=True))
+    timed("scc_dist", lambda: alg.strongly_connected_components(g, local=False))
+    timed("scc_local", lambda: alg.strongly_connected_components(g, local=True))
+    e.unpersist()
+    sym.unpersist()
+    return out
+
+
 def bench_distributed_text(spark) -> dict:
     """Time the L-suite dedup scale path on 200k synthetic documents
     (columnar generation, zero driver memory): every even/odd id pair
@@ -163,39 +213,51 @@ def bench_distributed_text(spark) -> dict:
     (16 sigs, 4 bands) is the candidate-join path that carries the
     100 TB dedup story (cost: 16 md5s per token, linear scan,
     embarrassingly parallel; the only shuffles are the signature
-    combine and the band-bucket join)."""
+    combine and the band-bucket join).
+
+    Runs at 200k AND 2M docs: the pair shows the candidate join is
+    near-linear in corpus size (scale_ratio = time ratio / size ratio,
+    ~1.0 when linear) and that planted recall holds at the larger
+    scale."""
     from pyspark.sql import functions as F
 
     from graph_spark.operators.dedup import exact_dedup_groups, minhash_lsh_candidates
 
-    n_docs = 200_000
-    docs = spark.range(n_docs).select(
-        F.col("id").alias("doc_id"),
-        F.concat_ws(
-            " ",
-            F.expr(
-                "transform(sequence(0, 23), p -> concat('w', pmod(xxhash64(id - id % 2, p), 50000)))"
-            ),
-            F.expr("array(concat('u', pmod(xxhash64(id, 99), 1000000)))"),
-        ).alias("text"),
-    ).persist()
-    out: dict = {"docs": docs.count(), "planted_pairs": n_docs // 2}
+    out: dict = {}
+    for tag, n_docs in (("", 200_000), ("_2m", 2_000_000)):
+        docs = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(sequence(0, 23), p -> concat('w', pmod(xxhash64(id - id % 2, p), 50000)))"
+                ),
+                F.expr("array(concat('u', pmod(xxhash64(id, 99), 1000000)))"),
+            ).alias("text"),
+        ).persist()
+        out[f"docs{tag}"] = docs.count()
+        out[f"planted_pairs{tag}"] = n_docs // 2
 
-    t0 = time.perf_counter()
-    exact_dedup_groups(docs).filter(F.col("cnt") > 1).count()
-    out["exact_dedup"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        exact_dedup_groups(docs).filter(F.col("cnt") > 1).count()
+        out[f"exact_dedup{tag}"] = round(time.perf_counter() - t0, 3)
 
-    t0 = time.perf_counter()
-    cand = minhash_lsh_candidates(docs, k=16, bands=4).persist()
-    n_pairs = cand.count()
-    out["lsh_candidates"] = round(time.perf_counter() - t0, 3)
-    out["lsh_pairs"] = n_pairs
-    # planted pairs are exactly (2k, 2k+1): measure true recall
-    hits = cand.filter((F.col("a") % 2 == 0) & (F.col("b") == F.col("a") + 1)).count()
-    out["planted_recall"] = round(hits / (n_docs // 2), 4)
-    cand.unpersist()
+        t0 = time.perf_counter()
+        cand = minhash_lsh_candidates(docs, k=16, bands=4).persist()
+        n_pairs = cand.count()
+        out[f"lsh_candidates{tag}"] = round(time.perf_counter() - t0, 3)
+        out[f"lsh_pairs{tag}"] = n_pairs
+        # planted pairs are exactly (2k, 2k+1): measure true recall
+        hits = cand.filter(
+            (F.col("a") % 2 == 0) & (F.col("b") == F.col("a") + 1)
+        ).count()
+        out[f"planted_recall{tag}"] = round(hits / (n_docs // 2), 4)
+        cand.unpersist()
+        docs.unpersist()
+    out["lsh_scale_ratio"] = round(
+        (out["lsh_candidates_2m"] / out["lsh_candidates"]) / (2_000_000 / 200_000), 3
+    )
     print(f"# dist-text: {out}", file=sys.stderr)
-    docs.unpersist()
     return out
 
 
@@ -259,6 +321,8 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_GRAPH", "1") != "0":
         payload["distributed_graph"] = bench_distributed_graph(spark)
         payload["distributed_text"] = bench_distributed_text(spark)
+    if os.environ.get("SPARK_GRAFT_BENCH_XL", "1") != "0":
+        payload["distributed_graph_xl"] = bench_distributed_graph_xl(spark)
 
     print(json.dumps(payload))
 

@@ -20,6 +20,29 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# kmeans/IVF/PQ keep the k x dim centroid table as driver-side state
+# between iterations (it IS the index — the MLlib pattern: only the
+# k-row table moves, the vectors never leave the executors).  That is
+# sane while k*dim doubles stay a few MB; past this product the
+# per-iteration collect()/broadcast becomes a driver-memory and
+# broadcast wall, and the honest scale path is a sharded/hierarchical
+# codebook (coarse quantizer first), not a bigger collect — so the
+# guard raises instead of OOMing, mirroring
+# BETWEENNESS_REPLICATE_EDGE_LIMIT in graph/algorithms.py.
+CENTROID_STATE_LIMIT = 2_097_152  # k * dim doubles (~16 MB)
+
+
+def _guard_centroid_state(k: int, dim: int, where: str) -> None:
+    if k * dim > CENTROID_STATE_LIMIT:
+        raise ValueError(
+            f"{where} holds k x dim = {k} x {dim} = {k * dim} centroid doubles "
+            f"as driver-side state per iteration; the limit is "
+            f"CENTROID_STATE_LIMIT = {CENTROID_STATE_LIMIT}. At this scale use a "
+            "hierarchical codebook (coarse IVF cells, then per-cell PQ) or "
+            "reduce k — a bigger collect is a driver OOM, not an index."
+        )
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -148,6 +171,7 @@ def ivf_centroids(
     """
     from pyspark.sql import Window
 
+    _guard_centroid_state(n_clusters, dim, "ivf_centroids")
     w = Window.orderBy(F.col(id_col).asc())
     seeds = (
         df.withColumn("__rn", F.row_number().over(w))
@@ -322,11 +346,14 @@ def kmeans_lloyd(
     DataFrame(vec_id, v, cid, dist) for the last assignment.
     """
     spark = emb.sparkSession
+    _guard_centroid_state(k, 1, "kmeans_lloyd")  # pre-collect k sanity
     e = emb.select(
         F.col(id_col).alias("vec_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
     )
     seeds = e.orderBy("vec_id").limit(k).collect()
+    if seeds:
+        _guard_centroid_state(k, len(seeds[0]["v"]), "kmeans_lloyd")
     centroids = [(i, r["v"]) for i, r in enumerate(seeds)]
     assigned = None
     for it in range(iters):
@@ -440,6 +467,7 @@ def pq_codebooks(
     (codes, codebooks): codes = DataFrame(vec_id, subspace, cid),
     codebooks = list of (subspace, cid, centroid list) rows — k*n_sub
     tiny rows, driver-side by design (they ARE the index)."""
+    _guard_centroid_state(n_sub * k, sub_dim, "pq_codebooks")
     codes = None
     books = []
     for sp in range(n_sub):
@@ -494,6 +522,13 @@ def pq_topk(
     distance (ties broken on nb).  Estimated distance is biased by
     quantization error — recall vs brute force is the measured,
     documented trade (see tests).
+
+    The ranking key is est_d2 ROUNDED to 9 dp (output values stay
+    exact): codebook centroids are float means whose accumulation
+    order differs between a distributed and a sequential engine by
+    last-bit drift, so near-equal estimates would otherwise reorder
+    across engines right at the cut; quantizing the sort key turns
+    near-ties into exact ties broken deterministically on nb.
     """
     spark = corpus.sparkSession
     codes, books = pq_codebooks(
@@ -529,7 +564,7 @@ def pq_topk(
         .agg(F.sum("d").alias("est_d2"))
         .filter(F.col("probe") != F.col("nb"))
     )
-    w = Window.partitionBy("probe").orderBy("est_d2", "nb")
+    w = Window.partitionBy("probe").orderBy(F.round(F.col("est_d2"), 9), "nb")
     return (
         est.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)

@@ -3803,7 +3803,7 @@ s{sp}_{it} AS (SELECT vec_id, cid, dist FROM (SELECT *, row_number() OVER
        WHERE co.vec_id <> l.probe
        GROUP BY 1, 2),
 short AS (SELECT probe, nb FROM (SELECT *, row_number() OVER
-       (PARTITION BY probe ORDER BY est, nb) AS rk FROM est)
+       (PARTITION BY probe ORDER BY round(est, 9), nb) AS rk FROM est)
        WHERE rk <= {shortlist}),
 ev AS (SELECT vec_id, list_transform(range(1, 65), j -> embedding[j]::DOUBLE) AS v
        FROM embeddings),
@@ -3827,12 +3827,16 @@ ex AS (SELECT s.probe, s.nb,
     "l72_ann_pq_rerank",
     _pq_adc_oracle(),
     note="the full IVF-PQ read path (Jegou et al. ADC + exact re-rank), "
-    "fully ORACLE-MATCHED because every stage is deterministic: 8 "
-    "independent 8-dim Lloyd codebooks (2 rounds, lowest-id seeds), "
-    "codes = final cell assignments, probe LUTs = squared distances "
-    "to the member-mean codebooks, candidate score = SUM of 8 LUT "
-    "lookups (no vector math per candidate), shortlist 150 by "
-    "estimated distance, then exact L2 ONLY on the shortlist.  "
+    "oracle-matched: 8 independent 8-dim Lloyd codebooks (2 rounds, "
+    "lowest-id seeds), codes = final cell assignments, probe LUTs = "
+    "squared distances to the member-mean codebooks, candidate score "
+    "= SUM of 8 LUT lookups (no vector math per candidate), "
+    "shortlist 150 by estimated distance, then exact L2 ONLY on the "
+    "shortlist.  Codebook means are float sums whose accumulation "
+    "order is engine-dependent, so the shortlist cut ranks on "
+    "round(est, 9) in BOTH engines (near-ties become exact ties "
+    "broken on nb); the partition-invariance test monitors the "
+    "residual last-bit risk.  "
     "Measured recall@5 vs brute force on this corpus: ADC-only 0.32, "
     "+rerank = 0.94 at shortlist 150 (synthetic near-random vectors "
     "are PQ's worst case; clustered real embeddings need far "

@@ -586,3 +586,30 @@ def test_pregel_shuffle_state_no_broadcast_exchange(spark):
         e.unpersist()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_centroid_state_guard_refuses_driver_oom(spark):
+    """kmeans/IVF/PQ hold the k x dim centroid table driver-side between
+    iterations; above CENTROID_STATE_LIMIT they must raise with the
+    hierarchical-codebook pointer instead of OOMing the driver."""
+    import pytest
+
+    from graph_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i + 1)]) for i in range(10)], ["vec_id", "embedding"]
+    )
+    old = sim.CENTROID_STATE_LIMIT
+    sim.CENTROID_STATE_LIMIT = 4
+    try:
+        with pytest.raises(ValueError, match="hierarchical"):
+            sim.kmeans_lloyd(emb, k=8, iters=1)
+        with pytest.raises(ValueError, match="hierarchical"):
+            sim.ivf_centroids(emb, n_clusters=8, dim=2)
+        with pytest.raises(ValueError, match="hierarchical"):
+            sim.pq_codebooks(emb, n_sub=2, sub_dim=1, k=8)
+    finally:
+        sim.CENTROID_STATE_LIMIT = old
+    # under the limit the same calls run
+    out = sim.kmeans_lloyd(emb, k=2, iters=1)
+    assert out.count() == 10
