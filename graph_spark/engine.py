@@ -135,6 +135,20 @@ class Engine:
 
         return find(self.graph(), patterns, **kw)
 
+    def cypher(self, query: str) -> DataFrame:
+        """Cypher-subset declarative pattern queries (MATCH .. WHERE ..
+        RETURN .. ORDER BY .. LIMIT) over the sales property graph.
+        Labels: :Customer / :Supplier / :Nation (id-prefix predicates);
+        relationship types: :BUYS (directed customer->supplier rollup,
+        properties n_items / weight / first_ts / last_ts — also the
+        default for untyped edges), :TRADE (directed nation trade graph,
+        >=150 shipments), :TRADE_SYM (its symmetric closure, self-loops
+        dropped).  See graph_spark.graph.cypher for the exact grammar."""
+        from .graph.cypher import cypher as _cypher
+        from .queries.gsuite import cypher_graph
+
+        return _cypher(cypher_graph(self.catalog), query)
+
     def shortest_paths(self, source: str, weight_col: str = "n_items") -> DataFrame:
         from .graph import algorithms
 
@@ -454,22 +468,30 @@ class Engine:
 
     def harmonic_centrality(self, landmarks: list, max_hops: int = 5) -> DataFrame:
         """Landmark harmonic centrality (g71): sum of 1/d over landmark
-        distances via ONE multi-source BFS; exact x60 integer
-        reciprocals, returns (node, n_lm, harmonic)."""
+        distances via ONE multi-source BFS; reciprocals are EXACT for
+        every distance by accumulating `scale div d` integers with
+        scale = lcm(1..max_hops) (60 at the default max_hops=5, so the
+        declared g71 values are unchanged), returns (node, n_lm,
+        harmonic)."""
+        import math
+
         from .graph.algorithms import multi_source_bfs
 
+        # lcm(1..max_hops) makes scale div d exact for EVERY reachable
+        # d; a fixed 60 under-counted d >= 7 (floor(60/7)/60 != 1/7)
+        scale = math.lcm(*range(1, max_hops + 1))
         dist = multi_source_bfs(self.graph(), landmarks, max_hops=max_hops)
         return (
             dist.filter(F.col("d") >= 1)
             .groupBy("node")
             .agg(
                 F.count(F.lit(1)).alias("n_lm"),
-                F.sum(F.expr("60 div d")).alias("hx60"),
+                F.sum(F.expr(f"{scale} div d")).alias("hxs"),
             )
             .select(
                 "node",
                 "n_lm",
-                F.round(F.col("hx60").cast("double") / 60.0, 6).alias("harmonic"),
+                F.round(F.col("hxs").cast("double") / float(scale), 6).alias("harmonic"),
             )
         )
 
@@ -603,8 +625,18 @@ class Engine:
         scan carries pushed filters.
         """
         plan = df._jdf.queryExecution().executedPlan().toString()
+        # count true shuffle exchanges only: a plan line whose operator
+        # token IS "Exchange" (hash/range/single partitioning).  A bare
+        # substring count would also match BroadcastExchange rows (not
+        # a shuffle) and ReusedExchange rows (the whole point is that
+        # the shuffle is NOT re-executed), over-reporting the audit.
+        n_shuffles = 0
+        for line in plan.splitlines():
+            op = line.lstrip(" +-:*(0123456789)")
+            if op.startswith("Exchange "):
+                n_shuffles += 1
         return {
-            "n_exchanges": plan.count("Exchange"),
+            "n_exchanges": n_shuffles,
             "n_broadcast_joins": plan.count("BroadcastHashJoin"),
             "n_sortmerge_joins": plan.count("SortMergeJoin"),
             "n_cartesian": plan.count("CartesianProduct"),

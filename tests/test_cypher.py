@@ -1,0 +1,246 @@
+"""Cypher-subset compiler tests (graph_spark/graph/cypher.py): grammar
+errors raise before any job runs, compiled plans match hand-written
+DataFrame results, and the plan shape carries no cartesian products.
+The fixture-graph end-to-end forms are the declared g89-g93 queries
+(oracle-gated in test_declared.py); these tests pin the compiler
+itself on a tiny in-memory graph."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_spark.graph.cypher import (
+    CypherGraph,
+    _parse_patterns,
+    _rewrite,
+    _split_top_level,
+    cypher,
+)
+from graph_spark.graph.property_graph import PropertyGraph
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    """Directed weighted diamond + tail: a->b, a->c, b->d, c->d, d->e."""
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 1, 10.0),
+            ("a", "c", 2, 20.0),
+            ("b", "d", 3, 30.0),
+            ("c", "d", 4, 40.0),
+            ("d", "e", 5, 50.0),
+        ],
+        ["src", "dst", "n_items", "weight"],
+    )
+    verts = spark.createDataFrame([(x,) for x in "abcde"], ["id"])
+    return CypherGraph(
+        PropertyGraph(verts, edges),
+        labels={"Early": lambda c: c < F.lit("c"), "Any": lambda c: c.isNotNull()},
+        rel_types={"E": edges},
+    )
+
+
+# ------------------------------------------------------------- parsing
+
+
+def test_parse_single_chain():
+    t = _parse_patterns("(a:L)-[e:T]->(b)")
+    assert len(t) == 1
+    left, edge, right = t[0]
+    assert (left.var, left.label) == ("a", "L")
+    assert (edge.var, edge.etype, edge.reverse) == ("e", "T", False)
+    assert right.var == "b" and right.label is None
+
+
+def test_parse_reverse_and_varlen():
+    t = _parse_patterns("(a)<-[e]-(b)-[*2..4]->(c)")
+    assert t[0][1].reverse is True
+    assert (t[1][1].min_len, t[1][1].max_len) == (2, 4)
+
+
+def test_parse_multi_pattern_comma():
+    t = _parse_patterns("(a)-[]->(b), (b)-[]->(c)")
+    assert len(t) == 2
+    assert t[1][0].var == "b"
+
+
+def test_parse_errors():
+    with pytest.raises(ValueError, match="expected"):
+        _parse_patterns("(a)-[e:T")
+    with pytest.raises(ValueError, match="at least one edge"):
+        _parse_patterns("(a)")
+    with pytest.raises(ValueError, match="cannot bind an edge"):
+        _parse_patterns("(a)-[e*1..2]->(b)")
+    with pytest.raises(ValueError, match="capped at 6"):
+        _parse_patterns("(a)-[*1..9]->(b)")
+    with pytest.raises(ValueError, match="1 <= min <= max"):
+        _parse_patterns("(a)-[*3..2]->(b)")
+
+
+def test_rewrite_props():
+    out = _rewrite("e.n_items >= 3 AND a.node < b.node", {"a", "b"}, {"e"})
+    assert out == "e__n_items >= 3 AND a < b"
+    with pytest.raises(ValueError, match="no property"):
+        _rewrite("a.age > 1", {"a"}, set())
+
+
+def test_split_top_level_respects_parens_and_quotes():
+    assert _split_top_level("a, f(x, y), 'p,q'") == ["a", "f(x, y)", "'p,q'"]
+
+
+# ------------------------------------------------------ compiled plans
+
+
+def test_unsupported_clauses_refused(tiny):
+    for q in (
+        "MATCH (a)-[]->(b) WITH a RETURN a",
+        "OPTIONAL MATCH (a)-[]->(b) RETURN a",
+        "MATCH (a)-[]->(b) CREATE (c) RETURN a",
+    ):
+        with pytest.raises(ValueError, match="not supported"):
+            cypher(tiny, q)
+
+
+def test_disconnected_pattern_refused(tiny):
+    with pytest.raises(ValueError, match="disconnected"):
+        cypher(tiny, "MATCH (a)-[]->(b), (c)-[]->(d) RETURN a, c")
+
+
+def test_unknown_label_and_type(tiny):
+    with pytest.raises(ValueError, match="unknown label"):
+        cypher(tiny, "MATCH (a:Nope)-[]->(b) RETURN a")
+    with pytest.raises(ValueError, match="unknown relationship type"):
+        cypher(tiny, "MATCH (a)-[:NOPE]->(b) RETURN a")
+
+
+def test_label_conflict(tiny):
+    with pytest.raises(ValueError, match="two labels"):
+        cypher(tiny, "MATCH (a:Early)-[]->(b), (a:Any)-[]->(c) RETURN a")
+
+
+def test_simple_match_where_return(tiny):
+    rows = cypher(
+        tiny,
+        """MATCH (u)-[e:E]->(v) WHERE e.n_items >= 3
+           RETURN u.node AS u, v.node AS v, e.weight AS w ORDER BY w""",
+    ).collect()
+    assert [(r.u, r.v, r.w) for r in rows] == [
+        ("b", "d", 30.0),
+        ("c", "d", 40.0),
+        ("d", "e", 50.0),
+    ]
+
+
+def test_reverse_edge_and_shared_join(tiny):
+    # fan-in at d: (b)-[..]->(d)<-[..]-(c)
+    rows = cypher(
+        tiny,
+        """MATCH (x)-[e]->(m)<-[f]-(y) WHERE x.node < y.node
+           RETURN x.node AS x, m.node AS m, y.node AS y,
+                  e.weight + f.weight AS tot""",
+    ).collect()
+    assert [(r.x, r.m, r.y, r.tot) for r in rows] == [("b", "d", "c", 70.0)]
+
+
+def test_label_filter_applied(tiny):
+    rows = cypher(
+        tiny, "MATCH (u:Early)-[]->(v) RETURN u.node AS u, v.node AS v ORDER BY u, v"
+    ).collect()
+    assert [(r.u, r.v) for r in rows] == [
+        ("a", "b"),
+        ("a", "c"),
+        ("b", "d"),
+    ]
+
+
+def test_implicit_groupby_and_order(tiny):
+    rows = cypher(
+        tiny,
+        """MATCH (u)-[e]->(v)
+           RETURN u.node AS u, count(*) AS n, sum(e.weight) AS w
+           ORDER BY n DESC, u""",
+    ).collect()
+    assert [(r.u, r.n, r.w) for r in rows] == [
+        ("a", 2, 30.0),
+        ("b", 1, 30.0),
+        ("c", 1, 40.0),
+        ("d", 1, 50.0),
+    ]
+
+
+def test_varlen_union_of_chains(tiny):
+    rows = cypher(
+        tiny,
+        """MATCH (u)-[*1..3]->(v) WHERE u.node = 'a'
+           RETURN u.node AS u, v.node AS v ORDER BY v""",
+    ).collect()
+    # 1 hop: b, c; 2 hops: d (x2 deduped); 3 hops: e
+    assert [(r.u, r.v) for r in rows] == [
+        ("a", "b"),
+        ("a", "c"),
+        ("a", "d"),
+        ("a", "e"),
+    ]
+
+
+def test_distinct_and_limit(tiny):
+    rows = cypher(
+        tiny,
+        "MATCH (u)-[*1..2]->(v) RETURN DISTINCT v.node AS v ORDER BY v LIMIT 3",
+    ).collect()
+    assert [r.v for r in rows] == ["b", "c", "d"]
+
+
+def test_triangle_like_cycle_join(spark):
+    # 3-cycle graph: the closing leg must join on BOTH bound endpoints
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")], ["src", "dst"]
+    )
+    verts = edges.select(F.col("src").alias("id")).distinct()
+    rows = cypher(
+        PropertyGraph(verts, edges),
+        """MATCH (x)-[]->(y)-[]->(z)-[]->(x)
+           RETURN x.node AS x, y.node AS y, z.node AS z ORDER BY x, y, z""",
+    ).collect()
+    assert [(r.x, r.y, r.z) for r in rows] == [
+        ("a", "b", "c"),
+        ("b", "c", "a"),
+        ("c", "a", "b"),
+    ]
+
+
+def test_no_cartesian_in_plan(tiny):
+    df = cypher(
+        tiny,
+        """MATCH (x)-[e]->(m)<-[f]-(y) WHERE x.node < y.node
+           RETURN m.node AS m, count(*) AS n""",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_engine_cypher_matches_handwritten(spark):
+    """Engine.cypher on the fixture graph == the hand-written DataFrame
+    (the g89 co-purchase shape, sf0.001)."""
+    from graph_spark.catalog import Catalog
+    from graph_spark.engine import Engine
+
+    eng = Engine(spark, "/root/testdata/sf0.001")
+    got = eng.cypher(
+        """MATCH (a:Customer)-[e:BUYS]->(s:Supplier)<-[f:BUYS]-(b:Customer)
+           WHERE e.n_items >= 3 AND f.n_items >= 3 AND a.node < b.node
+           RETURN s.node AS supplier, count(*) AS n_pairs
+           ORDER BY n_pairs DESC, supplier"""
+    ).collect()
+    e = Catalog(spark, "/root/testdata/sf0.001").graph_edges().filter(
+        F.col("n_items") >= 3
+    )
+    l, r = e.alias("l"), e.alias("r")
+    want = (
+        l.join(r, (F.col("l.dst") == F.col("r.dst")) & (F.col("l.src") < F.col("r.src")))
+        .groupBy(F.col("l.dst").alias("supplier"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "supplier")
+        .collect()
+    )
+    assert [tuple(x) for x in got] == [tuple(x) for x in want]
