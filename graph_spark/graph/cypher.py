@@ -15,11 +15,18 @@ declarative string surface):
 
 Supported:
   - one MATCH with comma-separated pattern chains; node patterns
-    `(v)` / `(v:Label)` / `()`; edge patterns `-[e]->`, `-[e:TYPE]->`,
-    `<-[e]-` (reverse), `-[]->` (anonymous), and bounded variable
-    length `-[*1..3]->` (expanded to a UNION of fixed-length chains,
-    binding `hops` when aliased via `WITH-less` RETURN of `hops(v)` is
-    NOT supported — var-length matches project endpoints only).
+    `(v)` / `(v:Label)` / `()` / `(v:Label {node: 'c1'})`; edge
+    patterns `-[e]->`, `-[e:TYPE]->`, `<-[e]-` (reverse), `-[]->`
+    (anonymous), `-[e:TYPE {prop: lit}]->` (inline equality map), and
+    bounded variable length `-[*1..3]->` (expanded to a UNION of
+    fixed-length chains, binding `hops` when aliased via `WITH-less`
+    RETURN of `hops(v)` is NOT supported — var-length matches project
+    endpoints only).
+  - OPTIONAL MATCH blocks after the required MATCH (each with its own
+    WHERE): compiled as LEFT OUTER joins on the variables shared with
+    the preceding scope; the block's WHERE becomes part of the join
+    condition (openCypher semantics — rows failing it null-extend
+    instead of dropping), so it may reference outer variables.
   - WHERE / RETURN expressions are Spark SQL syntax with Cypher-style
     `var.property` references (rewritten to the bound columns).  Bare
     node variables are their string node ids; labels filter on them.
@@ -28,10 +35,10 @@ Supported:
     non-aggregate items, exactly like Cypher.
   - DISTINCT, ORDER BY (aliases or expressions), LIMIT.
 
-Not supported (raise ValueError): OPTIONAL MATCH, WITH chaining,
-CREATE/MERGE/DELETE (this is an analytical engine — writes go through
-the sink API), shortestPath (use graph.algorithms), undirected edges
-(query the symmetric PropertyGraph instead).
+Not supported (raise ValueError): WITH chaining, CREATE/MERGE/DELETE
+(this is an analytical engine — writes go through the sink API),
+shortestPath (use graph.algorithms), undirected edges (query the
+symmetric PropertyGraph instead).
 
 Scale shape: each edge pattern is one equi-join of the (distinct-pair
 rollup) edge table; labels and property predicates are pushed to the
@@ -62,10 +69,14 @@ _TOKEN = re.compile(
   | (?P<rpar>\))
   | (?P<lbr>\[)
   | (?P<rbr>\])
+  | (?P<lbrace>\{)
+  | (?P<rbrace>\})
   | (?P<colon>:)
   | (?P<comma>,)
   | (?P<star>\*)
   | (?P<dots>\.\.)
+  | (?P<str>'[^']*'|"[^"]*")
+  | (?P<float>\d+\.\d+)
   | (?P<num>\d+)
   | (?P<name>\w+)
     """,
@@ -73,33 +84,40 @@ _TOKEN = re.compile(
 )
 
 _CLAUSE = re.compile(
-    r"^\s*MATCH\s+(?P<match>.+?)"
-    r"(?:\s+WHERE\s+(?P<where>.+?))?"
+    r"^\s*MATCH\s+(?P<head>.+?)"
     r"\s+RETURN\s+(?P<distinct>DISTINCT\s+)?(?P<ret>.+?)"
     r"(?:\s+ORDER\s+BY\s+(?P<order>.+?))?"
     r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
+# one MATCH/OPTIONAL MATCH block: patterns + its own optional WHERE
+_BLOCK = re.compile(r"^\s*(?P<pat>.+?)(?:\s+WHERE\s+(?P<where>.+))?\s*$", re.IGNORECASE | re.DOTALL)
+
+# splits the clause head into the required MATCH and OPTIONAL MATCH
+# blocks; applied to the text BEFORE RETURN
+_OPT_SPLIT = re.compile(r"\s+OPTIONAL\s+MATCH\s+", re.IGNORECASE)
+
 _UNSUPPORTED = re.compile(
-    r"\b(OPTIONAL|WITH|CREATE|MERGE|DELETE|SET|REMOVE|UNWIND|CALL|shortestPath)\b",
+    r"\b(WITH|CREATE|MERGE|DELETE|SET|REMOVE|UNWIND|CALL|shortestPath)\b",
     re.IGNORECASE,
 )
 
 
 class _Node:
-    __slots__ = ("var", "label")
+    __slots__ = ("var", "label", "props")
 
-    def __init__(self, var: str | None, label: str | None):
-        self.var, self.label = var, label
+    def __init__(self, var: str | None, label: str | None, props=None):
+        self.var, self.label, self.props = var, label, props or {}
 
 
 class _Edge:
-    __slots__ = ("var", "etype", "reverse", "min_len", "max_len")
+    __slots__ = ("var", "etype", "reverse", "min_len", "max_len", "props")
 
-    def __init__(self, var, etype, reverse, min_len, max_len):
+    def __init__(self, var, etype, reverse, min_len, max_len, props=None):
         self.var, self.etype, self.reverse = var, etype, reverse
         self.min_len, self.max_len = min_len, max_len
+        self.props = props or {}
 
 
 def _lex(pattern: str):
@@ -116,14 +134,17 @@ def _lex(pattern: str):
     return toks
 
 
-def _parse_patterns(text: str):
+def _parse_patterns(text: str, anon: list | None = None):
     """Parse comma-separated chains like (a:L)-[e:T]->(b)<-[*1..2]-(c).
     Returns list of (node, edge, node, edge, ...) triple chains flattened
-    to [(left_node, edge, right_node), ...]."""
+    to [(left_node, edge, right_node), ...].  `anon` is the shared
+    anonymous-variable counter (one per query, so anonymous edge columns
+    from different MATCH blocks cannot collide)."""
     toks = _lex(text)
     i = 0
     triples: list[tuple[_Node, _Edge, _Node]] = []
-    anon = [0]
+    if anon is None:
+        anon = [0]
 
     def fresh() -> str:
         anon[0] += 1
@@ -137,17 +158,50 @@ def _parse_patterns(text: str):
         i += 1
         return toks[i - 1][1]
 
+    def parse_props() -> dict:
+        """{key: literal, ...} — literals are quoted strings, ints, or
+        floats; compiled to equality predicates on the pattern leg."""
+        nonlocal i
+        expect("lbrace")
+        props: dict = {}
+        while True:
+            key = expect("name")
+            expect("colon")
+            if i >= len(toks):
+                raise ValueError("cypher: expected literal in property map")
+            kind, text = toks[i]
+            if kind == "str":
+                props[key] = text[1:-1]
+            elif kind == "float":
+                props[key] = float(text)
+            elif kind == "num":
+                props[key] = int(text)
+            else:
+                raise ValueError(
+                    f"cypher: property map values must be literals, got {text!r}"
+                )
+            i += 1
+            if i < len(toks) and toks[i][0] == "comma":
+                i += 1
+                continue
+            break
+        expect("rbrace")
+        return props
+
     def parse_node() -> _Node:
         nonlocal i
         expect("lpar")
         var = label = None
+        props: dict = {}
         if i < len(toks) and toks[i][0] == "name":
             var = expect("name")
         if i < len(toks) and toks[i][0] == "colon":
             i += 1
             label = expect("name")
+        if i < len(toks) and toks[i][0] == "lbrace":
+            props = parse_props()
         expect("rpar")
-        return _Node(var or fresh(), label)
+        return _Node(var or fresh(), label, props)
 
     def parse_edge() -> _Edge:
         nonlocal i
@@ -161,6 +215,7 @@ def _parse_patterns(text: str):
             raise ValueError(f"cypher: expected edge at {toks[i][1]!r}")
         var = etype = None
         min_len = max_len = 1
+        props: dict = {}
         if i < len(toks) and toks[i][0] == "lbr":
             i += 1
             if toks[i][0] == "name":
@@ -186,12 +241,19 @@ def _parse_patterns(text: str):
                         "extra hop is another |E| join; use graph.algorithms."
                         "bfs_distances for deeper traversal)"
                     )
+            if i < len(toks) and toks[i][0] == "lbrace":
+                if max_len > 1:
+                    raise ValueError(
+                        "cypher: property maps on variable-length edges are "
+                        "not supported (each hop is an anonymous edge)"
+                    )
+                props = parse_props()
             expect("rbr")
         if reverse:
             expect("dash")
         else:
             expect("arrow_out")
-        return _Edge(var or fresh(), etype, reverse, min_len, max_len)
+        return _Edge(var or fresh(), etype, reverse, min_len, max_len, props)
 
     while i < len(toks):
         left = parse_node()
@@ -358,58 +420,119 @@ def cypher(
     m = _CLAUSE.match(query)
     if not m:
         raise ValueError("cypher: expected MATCH <patterns> [WHERE ..] RETURN ..")
-    triples = _parse_patterns(m.group("match"))
+    blocks = _OPT_SPLIT.split(m.group("head"))
 
+    anon = [0]
     node_vars: set[str] = set()
     edge_vars: set[str] = set()
     labels: dict[str, str] = {}
-    out: DataFrame | None = None
-    for left, edge, right in triples:
-        for nd in (left, right):
-            if nd.label is not None:
-                prev = labels.setdefault(nd.var, nd.label)
-                if prev != nd.label:
-                    raise ValueError(
-                        f"cypher: variable {nd.var!r} bound to two labels "
-                        f":{prev} and :{nd.label}"
-                    )
-        a, b = left.var, right.var
-        if edge.max_len > 1 or edge.min_len > 1:
-            leg = _varlen_leg(cg, edge, a, b)
-        else:
-            leg = _leg(cg, edge, a, b)
-            edge_vars.add(edge.var)
-        # label pushdown: filter the leg BEFORE the join so the
-        # predicate reaches the edge scan
-        for nd, col in ((left, a), (right, b)):
-            if nd.label is not None:
-                leg = leg.filter(cg.label_pred(nd.label, F.col(col)))
-        if out is None:
-            out = leg
-        else:
-            shared = [v for v in (a, b) if v in node_vars]
-            if not shared:
-                raise ValueError(
-                    f"cypher: pattern ({a})-..->({b}) is disconnected from "
-                    "the earlier patterns (cartesian products are refused; "
-                    "join on a shared variable)"
-                )
-            # rename shared vars on the new leg and join on equality
-            ren = leg
-            for v in shared:
-                ren = ren.withColumnRenamed(v, f"__j_{v}")
-            cond = None
-            for v in shared:
-                c = F.col(v) == F.col(f"__j_{v}")
-                cond = c if cond is None else (cond & c)
-            out = out.join(ren, cond)
-            for v in shared:
-                out = out.drop(f"__j_{v}")
-        node_vars |= {a, b}
-    assert out is not None
 
-    if m.group("where"):
-        out = out.filter(F.expr(_rewrite(m.group("where"), node_vars, edge_vars)))
+    def build_block(triples) -> tuple[DataFrame, set, set]:
+        """Chain-join one MATCH block's triples (labels + property maps
+        pushed onto the legs before the joins)."""
+        frame: DataFrame | None = None
+        bn: set[str] = set()
+        be: set[str] = set()
+        for left, edge, right in triples:
+            for nd in (left, right):
+                if nd.label is not None:
+                    prev = labels.setdefault(nd.var, nd.label)
+                    if prev != nd.label:
+                        raise ValueError(
+                            f"cypher: variable {nd.var!r} bound to two labels "
+                            f":{prev} and :{nd.label}"
+                        )
+            a, b = left.var, right.var
+            if edge.max_len > 1 or edge.min_len > 1:
+                leg = _varlen_leg(cg, edge, a, b)
+            else:
+                if edge.var in be or edge.var in edge_vars:
+                    raise ValueError(
+                        f"cypher: edge variable {edge.var!r} is bound twice "
+                        "(edge variables must be unique per query)"
+                    )
+                leg = _leg(cg, edge, a, b)
+                be.add(edge.var)
+            # label/property pushdown: filter the leg BEFORE the join so
+            # the predicate reaches the edge scan
+            for nd, col in ((left, a), (right, b)):
+                if nd.label is not None:
+                    leg = leg.filter(cg.label_pred(nd.label, F.col(col)))
+                for k, v in nd.props.items():
+                    if k not in ("node", "id"):
+                        raise ValueError(
+                            f"cypher: node variable {nd.var!r} has no property "
+                            f"{k!r} (node ids are the only node scalar)"
+                        )
+                    leg = leg.filter(F.col(col) == F.lit(v))
+            for k, v in edge.props.items():
+                pcol = f"{edge.var}__{k}"
+                if pcol not in leg.columns:
+                    raise ValueError(
+                        f"cypher: edge {edge.var!r} has no property {k!r}"
+                    )
+                leg = leg.filter(F.col(pcol) == F.lit(v))
+            if frame is None:
+                frame = leg
+            else:
+                shared = [v for v in (a, b) if v in bn]
+                if not shared:
+                    raise ValueError(
+                        f"cypher: pattern ({a})-..->({b}) is disconnected from "
+                        "the earlier patterns (cartesian products are refused; "
+                        "join on a shared variable)"
+                    )
+                # rename shared vars on the new leg and join on equality
+                ren = leg
+                for v in shared:
+                    ren = ren.withColumnRenamed(v, f"__j_{v}")
+                cond = None
+                for v in shared:
+                    c = F.col(v) == F.col(f"__j_{v}")
+                    cond = c if cond is None else (cond & c)
+                frame = frame.join(ren, cond)
+                for v in shared:
+                    frame = frame.drop(f"__j_{v}")
+            bn |= {a, b}
+        assert frame is not None
+        return frame, bn, be
+
+    # required MATCH block
+    bm = _BLOCK.match(blocks[0])
+    out, bn, be = build_block(_parse_patterns(bm.group("pat"), anon))
+    node_vars |= bn
+    edge_vars |= be
+    if bm.group("where"):
+        out = out.filter(F.expr(_rewrite(bm.group("where"), node_vars, edge_vars)))
+
+    # OPTIONAL MATCH blocks: LEFT OUTER join on the anchor variables
+    # shared with the preceding scope; the block's WHERE joins the
+    # condition (openCypher: failing rows null-extend, never drop)
+    for btext in blocks[1:]:
+        bm = _BLOCK.match(btext)
+        opt, bn, be = build_block(_parse_patterns(bm.group("pat"), anon))
+        anchors = sorted(bn & node_vars)
+        if not anchors:
+            raise ValueError(
+                "cypher: OPTIONAL MATCH shares no variable with the "
+                "preceding MATCH (cartesian products are refused)"
+            )
+        ren = opt
+        for v in anchors:
+            ren = ren.withColumnRenamed(v, f"__j_{v}")
+        cond = None
+        for v in anchors:
+            c = F.col(v) == F.col(f"__j_{v}")
+            cond = c if cond is None else (cond & c)
+        if bm.group("where"):
+            cond = cond & F.expr(
+                _rewrite(bm.group("where"), node_vars | bn, edge_vars | be)
+            )
+        out = out.join(ren, cond, "left")
+        for v in anchors:
+            out = out.drop(f"__j_{v}")
+        node_vars |= bn
+        edge_vars |= be
 
     ret_items = _split_top_level(m.group("ret"))
     sel_exprs: list[tuple[str, str, bool]] = []  # (sql, alias, is_agg)

@@ -4905,4 +4905,56 @@ def g93(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g94_cypher_optional_match",
+    f"""WITH {GRAPH_CTES},
+       base AS (SELECT src AS customer, dst AS supplier FROM graph_edges
+                WHERE n_items >= 4)
+       SELECT b.customer, b.supplier,
+              count(f.n_items)::BIGINT AS n_heavy_peers
+       FROM base b LEFT JOIN graph_edges f
+         ON f.dst = b.supplier AND f.n_items >= 3 AND f.src <> b.customer
+       GROUP BY 1, 2 ORDER BY 1, 2""",
+    note="Cypher OPTIONAL MATCH compiled to a LEFT OUTER join: for every "
+    ">=4-item purchase edge, count the supplier's OTHER >=3-item "
+    "customers — suppliers with none keep their row (null-extended, "
+    "count skips nulls, exactly openCypher aggregation semantics).  The "
+    "optional block's WHERE references the outer variable c, so it "
+    "rides the join condition (failing rows null-extend rather than "
+    "drop) — the semantic distinction a naive post-join filter gets "
+    "wrong",
+)
+def g94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cy(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[e:BUYS]->(s:Supplier) WHERE e.n_items >= 4
+           OPTIONAL MATCH (s)<-[f:BUYS]-(o:Customer)
+             WHERE f.n_items >= 3 AND o.node <> c.node
+           RETURN c.node AS customer, s.node AS supplier,
+                  count(f.n_items) AS n_heavy_peers
+           ORDER BY customer, supplier""",
+    )
+
+
+@_g(
+    "g95_cypher_property_map",
+    f"""WITH {GRAPH_CTES}
+       SELECT dst AS supplier FROM graph_edges
+       WHERE src = 'c1' AND n_items = 2 ORDER BY 1""",
+    note="Cypher inline property maps: (c {node: 'c1'}) pins the node "
+    "id and [e:BUYS {n_items: 2}] pins an edge property, both compiled "
+    "to equality filters attached to the pattern leg before any join "
+    "(Catalyst sees them at the scan).  The Neo4j-style shorthand for "
+    "the most common point-lookup pattern",
+)
+def g95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cy(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer {node: 'c1'})-[e:BUYS {n_items: 2}]->(s:Supplier)
+           RETURN s.node AS supplier ORDER BY supplier""",
+    )
+
+
 QUERIES = list(_G)

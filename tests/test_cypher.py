@@ -93,11 +93,14 @@ def test_split_top_level_respects_parens_and_quotes():
 def test_unsupported_clauses_refused(tiny):
     for q in (
         "MATCH (a)-[]->(b) WITH a RETURN a",
-        "OPTIONAL MATCH (a)-[]->(b) RETURN a",
         "MATCH (a)-[]->(b) CREATE (c) RETURN a",
+        "MATCH (a)-[]->(b) SET a.x = 1 RETURN a",
     ):
         with pytest.raises(ValueError, match="not supported"):
             cypher(tiny, q)
+    # a query CANNOT start with OPTIONAL MATCH (needs a required scope)
+    with pytest.raises(ValueError, match="expected MATCH"):
+        cypher(tiny, "OPTIONAL MATCH (a)-[]->(b) RETURN a")
 
 
 def test_disconnected_pattern_refused(tiny):
@@ -217,6 +220,80 @@ def test_no_cartesian_in_plan(tiny):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_property_map_node_and_edge(tiny):
+    rows = cypher(
+        tiny,
+        "MATCH (u {node: 'a'})-[e:E {n_items: 2}]->(v) RETURN v.node AS v",
+    ).collect()
+    assert [r.v for r in rows] == ["c"]
+    with pytest.raises(ValueError, match="no property"):
+        cypher(tiny, "MATCH (u {age: 3})-[]->(v) RETURN v")
+    with pytest.raises(ValueError, match="no property"):
+        cypher(tiny, "MATCH (u)-[e {missing: 3}]->(v) RETURN v")
+    with pytest.raises(ValueError, match="variable-length"):
+        cypher(tiny, "MATCH (u)-[*1..2 {n_items: 2}]->(v) RETURN v")
+
+
+def test_optional_match_null_extends(tiny):
+    # every node's outgoing heavy edge (weight >= 40): a/b have none
+    rows = cypher(
+        tiny,
+        """MATCH (u)-[e]->(v)
+           OPTIONAL MATCH (v)-[f]->(w) WHERE f.weight >= 40
+           RETURN u.node AS u, v.node AS v, w.node AS w ORDER BY u, v, w""",
+    ).collect()
+    assert [(r.u, r.v, r.w) for r in rows] == [
+        ("a", "b", None),          # b->d is 30, filtered -> null-extended
+        ("a", "c", "d"),           # c->d 40 passes
+        ("b", "d", "e"),
+        ("c", "d", "e"),
+        ("d", "e", None),          # e has no out-edges
+    ]
+
+
+def test_optional_match_where_outer_reference(tiny):
+    # WHERE in the optional block references the OUTER variable u:
+    # rows failing it null-extend instead of dropping
+    rows = cypher(
+        tiny,
+        """MATCH (u)-[e]->(v)
+           OPTIONAL MATCH (v)-[f]->(w) WHERE u.node = 'a'
+           RETURN u.node AS u, v.node AS v, w.node AS w ORDER BY u, v, w""",
+    ).collect()
+    got = [(r.u, r.v, r.w) for r in rows]
+    assert ("a", "b", "d") in got and ("b", "d", None) in got
+
+
+def test_optional_match_count_semantics(tiny):
+    # count(f.weight) skips nulls, count(*) counts the row
+    rows = cypher(
+        tiny,
+        """MATCH (u)-[e]->(v)
+           OPTIONAL MATCH (v)-[f]->(w) WHERE f.weight >= 40
+           RETURN v.node AS v, count(*) AS n_rows, count(f.weight) AS n_heavy
+           ORDER BY v""",
+    ).collect()
+    assert [(r.v, r.n_rows, r.n_heavy) for r in rows] == [
+        ("b", 1, 0),
+        ("c", 1, 1),  # c->d weight 40 passes the >= 40 cut
+        ("d", 2, 2),
+        ("e", 1, 0),
+    ]
+
+
+def test_optional_match_disconnected_refused(tiny):
+    with pytest.raises(ValueError, match="shares no variable"):
+        cypher(
+            tiny,
+            "MATCH (u)-[]->(v) OPTIONAL MATCH (x)-[]->(y) RETURN u, x",
+        )
+
+
+def test_edge_var_reuse_refused(tiny):
+    with pytest.raises(ValueError, match="bound twice"):
+        cypher(tiny, "MATCH (a)-[e]->(b), (b)-[e]->(c) RETURN a")
 
 
 def test_engine_cypher_matches_handwritten(spark):
