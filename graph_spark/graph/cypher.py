@@ -27,6 +27,11 @@ Supported:
     the preceding scope; the block's WHERE becomes part of the join
     condition (openCypher semantics — rows failing it null-extend
     instead of dropping), so it may reference outer variables.
+  - ONE WITH stage between the pattern and RETURN: `WITH [DISTINCT]
+    items [WHERE post]` projects/aggregates mid-query and its WHERE
+    filters the projected rows (the Cypher HAVING); RETURN then
+    operates on the WITH aliases, including re-aggregation
+    (`WITH s, count(*) AS n RETURN avg(n)`).
   - WHERE / RETURN expressions are Spark SQL syntax with Cypher-style
     `var.property` references (rewritten to the bound columns).  Bare
     node variables are their string node ids; labels filter on them.
@@ -35,10 +40,10 @@ Supported:
     non-aggregate items, exactly like Cypher.
   - DISTINCT, ORDER BY (aliases or expressions), LIMIT.
 
-Not supported (raise ValueError): WITH chaining, CREATE/MERGE/DELETE
-(this is an analytical engine — writes go through the sink API),
-shortestPath (use graph.algorithms), undirected edges (query the
-symmetric PropertyGraph instead).
+Not supported (raise ValueError): more than one WITH stage,
+CREATE/MERGE/DELETE (this is an analytical engine — writes go through
+the sink API), shortestPath (use graph.algorithms), undirected edges
+(query the symmetric PropertyGraph instead).
 
 Scale shape: each edge pattern is one equi-join of the (distinct-pair
 rollup) edge table; labels and property predicates are pushed to the
@@ -85,6 +90,8 @@ _TOKEN = re.compile(
 
 _CLAUSE = re.compile(
     r"^\s*MATCH\s+(?P<head>.+?)"
+    r"(?:\s+WITH\s+(?P<wdistinct>DISTINCT\s+)?(?P<with>.+?)"
+    r"(?:\s+WHERE\s+(?P<having>.+?))?)?"
     r"\s+RETURN\s+(?P<distinct>DISTINCT\s+)?(?P<ret>.+?)"
     r"(?:\s+ORDER\s+BY\s+(?P<order>.+?))?"
     r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*$",
@@ -99,7 +106,7 @@ _BLOCK = re.compile(r"^\s*(?P<pat>.+?)(?:\s+WHERE\s+(?P<where>.+))?\s*$", re.IGN
 _OPT_SPLIT = re.compile(r"\s+OPTIONAL\s+MATCH\s+", re.IGNORECASE)
 
 _UNSUPPORTED = re.compile(
-    r"\b(WITH|CREATE|MERGE|DELETE|SET|REMOVE|UNWIND|CALL|shortestPath)\b",
+    r"\b(CREATE|MERGE|DELETE|SET|REMOVE|UNWIND|CALL|shortestPath)\b",
     re.IGNORECASE,
 )
 
@@ -360,7 +367,12 @@ def _leg(cg: CypherGraph, edge: _Edge, a: str, b: str) -> DataFrame:
 
 def _varlen_leg(cg: CypherGraph, edge: _Edge, a: str, b: str) -> DataFrame:
     """Bounded var-length reach as UNION of fixed-length join chains,
-    deduplicated to distinct (a, b) endpoint pairs."""
+    deduplicated to distinct (a, b) endpoint pairs.  Each hop extends
+    the DISTINCT pair set of the previous length, not raw paths — on a
+    dense graph the number of k-hop PATHS grows like deg^k while the
+    pair set is bounded by |V|², so the per-hop distinct is what keeps
+    the expansion viable at scale (semi-naive evaluation, same shape
+    as the BFS kernels in graph/algorithms.py)."""
     edf = cg.edges_for(edge.etype).select("src", "dst")
     s, d = ("dst", "src") if edge.reverse else ("src", "dst")
     base = edf.select(F.col(s).alias("__u"), F.col(d).alias("__v"))
@@ -372,6 +384,7 @@ def _varlen_leg(cg: CypherGraph, edge: _Edge, a: str, b: str) -> DataFrame:
             cur = (
                 cur.join(step, cur["__v"] == step["__m"])
                 .select("__u", F.col("__w").alias("__v"))
+                .distinct()
             )
         if length >= edge.min_len:
             out = cur if out is None else out.unionByName(cur)
@@ -416,6 +429,11 @@ def cypher(
         raise ValueError(
             f"cypher: {bad.group(0)} is not supported in this subset "
             "(single MATCH .. WHERE .. RETURN .. ORDER BY .. LIMIT)"
+        )
+    if len(re.findall(r"\bWITH\b", query, re.IGNORECASE)) > 1:
+        raise ValueError(
+            "cypher: only one WITH stage is supported in this subset "
+            "(chain Engine.cypher results through DataFrame ops for more)"
         )
     m = _CLAUSE.match(query)
     if not m:
@@ -534,37 +552,55 @@ def cypher(
         node_vars |= bn
         edge_vars |= be
 
-    ret_items = _split_top_level(m.group("ret"))
-    sel_exprs: list[tuple[str, str, bool]] = []  # (sql, alias, is_agg)
-    for item in ret_items:
-        mm = re.match(r"^(.*?)\s+AS\s+(\w+)\s*$", item, re.IGNORECASE | re.DOTALL)
-        if mm:
-            raw, alias = mm.group(1).strip(), mm.group(2)
+    def project(frame: DataFrame, text: str, nvars: set, evars: set):
+        """One projection stage (shared by WITH and RETURN): item split,
+        reference rewriting, implicit Cypher GROUP BY when any item
+        aggregates, original item order restored.  Returns the new
+        frame + its alias list (the variable scope downstream)."""
+        sel: list[tuple[str, str, bool]] = []  # (sql, alias, is_agg)
+        for item in _split_top_level(text):
+            mm = re.match(r"^(.*?)\s+AS\s+(\w+)\s*$", item, re.IGNORECASE | re.DOTALL)
+            if mm:
+                raw, alias = mm.group(1).strip(), mm.group(2)
+            else:
+                raw = item
+                alias = item if re.fullmatch(r"\w+", item) else None
+            sql = _rewrite(raw, nvars, evars)
+            if alias is None:
+                alias = re.sub(r"\W+", "_", raw).strip("_").lower() or "expr"
+            sel.append((sql, alias, bool(_AGG_RE.search(sql))))
+        if any(is_agg for _, _, is_agg in sel):
+            keys = [(sql, alias) for sql, alias, is_agg in sel if not is_agg]
+            aggs = [(sql, alias) for sql, alias, is_agg in sel if is_agg]
+            gb = frame.groupBy(*[F.expr(sql).alias(alias) for sql, alias in keys])
+            frame = gb.agg(*[F.expr(sql).alias(alias) for sql, alias in aggs])
+            # restore the item order
+            frame = frame.select(*[alias for _, alias, _ in sel])
         else:
-            raw = item
-            alias = item if re.fullmatch(r"\w+", item) else None
-        sql = _rewrite(raw, node_vars, edge_vars)
-        if alias is None:
-            alias = re.sub(r"\W+", "_", raw).strip("_").lower() or "expr"
-        sel_exprs.append((sql, alias, bool(_AGG_RE.search(sql))))
+            frame = frame.select(*[F.expr(sql).alias(alias) for sql, alias, _ in sel])
+        return frame, [alias for _, alias, _ in sel]
 
-    has_agg = any(is_agg for _, _, is_agg in sel_exprs)
-    if has_agg:
-        keys = [(sql, alias) for sql, alias, is_agg in sel_exprs if not is_agg]
-        aggs = [(sql, alias) for sql, alias, is_agg in sel_exprs if is_agg]
-        gb = out.groupBy(*[F.expr(sql).alias(alias) for sql, alias in keys])
-        out = gb.agg(*[F.expr(sql).alias(alias) for sql, alias in aggs])
-        # restore the RETURN item order
-        out = out.select(*[alias for _, alias, _ in sel_exprs])
-    else:
-        out = out.select(*[F.expr(sql).alias(alias) for sql, alias, _ in sel_exprs])
+    # WITH stage (one, optional): project/aggregate, then its WHERE
+    # filters the PROJECTED rows — the Cypher HAVING.  Downstream scope
+    # is the WITH aliases (every alias is addressable as a plain name
+    # or as alias.node for carried node variables).
+    if m.group("with"):
+        out, waliases = project(out, m.group("with"), node_vars, edge_vars)
+        if m.group("wdistinct"):
+            out = out.distinct()
+        node_vars = set(waliases)
+        edge_vars = set()
+        if m.group("having"):
+            out = out.filter(F.expr(_rewrite(m.group("having"), node_vars, edge_vars)))
+
+    out, ret_aliases = project(out, m.group("ret"), node_vars, edge_vars)
 
     if m.group("distinct"):
         out = out.distinct()
     if m.group("order"):
         order_items = _split_top_level(m.group("order"))
         cols = []
-        aliases = {alias for _, alias, _ in sel_exprs}
+        aliases = set(ret_aliases)
         for oi in order_items:
             om = re.match(r"^(.*?)(\s+(?:ASC|DESC))?\s*$", oi, re.IGNORECASE | re.DOTALL)
             raw = om.group(1).strip()

@@ -4957,4 +4957,52 @@ def g95(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g96_cypher_with_having",
+    f"""WITH {GRAPH_CTES}
+       SELECT dst AS supplier, count(*)::BIGINT AS n_customers,
+              sum(n_items)::BIGINT AS items
+       FROM graph_edges GROUP BY 1 HAVING count(*) >= 520 ORDER BY 1""",
+    note="Cypher WITH stage + WHERE over the aggregate = HAVING: the "
+    "compiler projects/aggregates mid-query, filters the PROJECTED "
+    "rows, and RETURN operates on the WITH aliases.  Compiles to the "
+    "same agg+filter plan the SQL HAVING produces (the filter sits "
+    "above the partial/final aggregate, after map-side combine)",
+)
+def g96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cy(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[e:BUYS]->(s:Supplier)
+           WITH s.node AS supplier, count(*) AS n_customers,
+                sum(e.n_items) AS items
+           WHERE n_customers >= 520
+           RETURN supplier, n_customers, items ORDER BY supplier""",
+    )
+
+
+@_g(
+    "g97_cypher_with_reagg",
+    f"""WITH {GRAPH_CTES},
+       per_c AS (SELECT src, count(*) AS n_suppliers FROM graph_edges
+                 GROUP BY 1)
+       SELECT n_suppliers::BIGINT AS n_suppliers,
+              count(*)::BIGINT AS n_customers
+       FROM per_c GROUP BY 1 ORDER BY 1""",
+    note="Cypher two-level aggregation through WITH: per-customer "
+    "supplier counts re-aggregated into the degree distribution — the "
+    "canonical 'aggregate of an aggregate' Cypher pipeline, two "
+    "map-side-combined shuffles, no driver round-trip between stages",
+)
+def g97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cy(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[e:BUYS]->(s:Supplier)
+           WITH c.node AS customer, count(*) AS n_suppliers
+           RETURN n_suppliers, count(*) AS n_customers
+           ORDER BY n_suppliers""",
+    )
+
+
 QUERIES = list(_G)

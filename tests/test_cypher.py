@@ -92,15 +92,47 @@ def test_split_top_level_respects_parens_and_quotes():
 
 def test_unsupported_clauses_refused(tiny):
     for q in (
-        "MATCH (a)-[]->(b) WITH a RETURN a",
         "MATCH (a)-[]->(b) CREATE (c) RETURN a",
         "MATCH (a)-[]->(b) SET a.x = 1 RETURN a",
+        "MATCH (a)-[]->(b) RETURN a UNWIND x AS y",
     ):
         with pytest.raises(ValueError, match="not supported"):
             cypher(tiny, q)
     # a query CANNOT start with OPTIONAL MATCH (needs a required scope)
     with pytest.raises(ValueError, match="expected MATCH"):
         cypher(tiny, "OPTIONAL MATCH (a)-[]->(b) RETURN a")
+    with pytest.raises(ValueError, match="one WITH stage"):
+        cypher(tiny, "MATCH (a)-[]->(b) WITH a WITH a RETURN a")
+
+
+def test_with_stage_having(tiny):
+    # WITH + WHERE on the aggregate = Cypher's HAVING
+    rows = cypher(
+        tiny,
+        """MATCH (u)-[e]->(v)
+           WITH v.node AS v, count(*) AS indeg WHERE indeg >= 2
+           RETURN v, indeg ORDER BY v""",
+    ).collect()
+    assert [(r.v, r.indeg) for r in rows] == [("d", 2)]
+
+
+def test_with_stage_reaggregation(tiny):
+    rows = cypher(
+        tiny,
+        """MATCH (u)-[e]->(v)
+           WITH u.node AS u, count(*) AS outdeg
+           RETURN max(outdeg) AS mx, count(*) AS n_nodes""",
+    ).collect()
+    assert [(r.mx, r.n_nodes) for r in rows] == [(2, 4)]
+
+
+def test_with_distinct(tiny):
+    rows = cypher(
+        tiny,
+        """MATCH (u)-[e]->(v) WITH DISTINCT v.node AS t
+           RETURN count(*) AS n""",
+    ).collect()
+    assert rows[0].n == 4
 
 
 def test_disconnected_pattern_refused(tiny):

@@ -98,3 +98,51 @@ def test_groupby_sum_matches_python(spark, vals):
     df = spark.createDataFrame([(float(v),) for v in vals], ["v"])
     got = df.agg(F.sum("v").alias("s")).collect()[0]["s"]
     assert abs(got - sum(vals)) <= 1e-6 * max(1.0, abs(sum(vals)))
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),   # src node
+        st.integers(min_value=0, max_value=7),   # dst node
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(edges=edges_strategy, lo=st.integers(1, 2), span=st.integers(0, 2))
+@SET
+def test_cypher_varlen_matches_python_reach(spark, edges, lo, span):
+    """Cypher -[*lo..hi]-> endpoint pairs must equal plain python
+    bounded reachability on the same random digraph (exercises the
+    per-hop-distinct union-of-chains expansion)."""
+    from graph_spark.graph.cypher import cypher
+    from graph_spark.graph.property_graph import PropertyGraph
+
+    hi = lo + span
+    e = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in set(edges)], ["src", "dst"]
+    )
+    v = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select("dst"))
+        .distinct()
+    )
+    got = {
+        (r.a, r.b)
+        for r in cypher(
+            PropertyGraph(v, e),
+            f"MATCH (a)-[*{lo}..{hi}]->(b) RETURN a.node AS a, b.node AS b",
+        ).collect()
+    }
+    adj: dict[str, set[str]] = {}
+    for a, b in set(edges):
+        adj.setdefault(f"n{a}", set()).add(f"n{b}")
+    # pairs[k] = set of (u, w) reachable in exactly k hops
+    cur = {(u, w) for u, ws in adj.items() for w in ws}
+    want: set = set()
+    for k in range(1, hi + 1):
+        if k >= lo:
+            want |= cur
+        cur = {(u, x) for (u, w) in cur for x in adj.get(w, ())}
+    assert got == want
