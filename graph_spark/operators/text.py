@@ -189,3 +189,54 @@ def bm25_scores(
         .crossJoin(F.broadcast(st))
         .select("doc_id", "term", "tf", score.alias("bm25"))
     )
+
+
+def dsir_scores(
+    df: DataFrame,
+    target_pred,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, Data Selection via
+    Importance Resampling): fit hashed bag-of-words models of a TARGET
+    slice (``target_pred`` over the input rows) and the RAW remainder,
+    then score every raw document by its log importance ratio
+    sum_t [ log p_target(bucket(t)) - log p_raw(bucket(t)) ] with
+    Laplace-smoothed bucket probabilities.  High scores = documents
+    that look like the target distribution; DSIR then resamples the
+    raw pool by these weights to build a target-like corpus.
+
+    Scale shape: terms hash to ``n_buckets`` via md5 (vocabulary-free,
+    one linear scan), the two bucket tables are ``n_buckets`` rows
+    (broadcast), and the per-doc score is one map-side-combined
+    groupBy — nothing materializes per-term state.  Returns
+    DataFrame(doc_id, n_terms, logw) for the raw (non-target) rows.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        target_pred.alias("is_target"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    b = tok.withColumn(
+        "bucket",
+        (F.conv(F.substring(F.md5("term"), 1, 2), 16, 10).cast("int") % n_buckets),
+    )
+    cnt = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("t"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).alias("r"),
+    )
+    tot = cnt.agg(F.sum("t").alias("tt"), F.sum("r").alias("rt"))
+    w = cnt.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("t") + 1) / (F.col("tt") + n_buckets))
+            - F.log((F.col("r") + 1) / (F.col("rt") + n_buckets))
+        ).alias("w"),
+    )
+    return (
+        b.filter(~F.col("is_target"))
+        .join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_terms"), F.sum("w").alias("logw"))
+    )

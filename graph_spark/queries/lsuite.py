@@ -4082,4 +4082,46 @@ def l75(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l76_dsir",
+    """WITH tok AS (SELECT doc_id, lang = 'en' AS is_target, t.term
+         FROM documents, unnest(string_split(text, ' ')) AS t(term)
+         WHERE t.term <> ''),
+       b AS (SELECT doc_id, is_target,
+         ((strpos('0123456789abcdef', substring(md5(term), 1, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substring(md5(term), 2, 1)) - 1)) % 64
+           AS bucket
+         FROM tok),
+       cnt AS (SELECT bucket,
+         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS t,
+         sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS r
+         FROM b GROUP BY 1),
+       tot AS (SELECT sum(t) AS tt, sum(r) AS rt FROM cnt),
+       w AS (SELECT bucket,
+         ln((t + 1)::DOUBLE / (tt + 64)) - ln((r + 1)::DOUBLE / (rt + 64)) AS w
+         FROM cnt, tot)
+       SELECT doc_id, count(*)::BIGINT AS n_terms, round(sum(w), 6) AS logw
+       FROM b JOIN w USING (bucket) WHERE NOT is_target
+       GROUP BY 1 ORDER BY 1""",
+    note="DSIR importance weights (Xie et al. 2023, data selection via "
+    "importance resampling): hashed bag-of-words models (md5 -> 64 "
+    "buckets, vocabulary-free) of the TARGET slice (lang='en') and the "
+    "raw remainder; every raw doc scores sum_t[log p_target(b(t)) - "
+    "log p_raw(b(t))] with Laplace smoothing — the resampling weight "
+    "that makes a raw crawl look like the target corpus.  Scale shape: "
+    "one linear tokenize+hash scan, two 64-row bucket tables "
+    "(broadcast), one map-side-combined per-doc sum — per-term state "
+    "never materializes",
+)
+def l76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import dsir_scores
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    return (
+        dsir_scores(docs, F.col("lang") == "en", n_buckets=64)
+        .select("doc_id", "n_terms", F.round("logw", 6).alias("logw"))
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = list(_L)

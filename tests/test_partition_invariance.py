@@ -47,6 +47,11 @@ SAMPLE = [
     "t76_ewma",
     "g84_edge_burstiness",
     "l72_ann_pq_rerank",
+    # round-3 hazards: cypher agg over float weights (g89), cypher
+    # optional-match null-extension (g94), DSIR log-ratio float sums
+    "g89_cypher_copurchase",
+    "g94_cypher_optional_match",
+    "l76_dsir",
 ]
 
 

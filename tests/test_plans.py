@@ -613,3 +613,28 @@ def test_centroid_state_guard_refuses_driver_oom(spark):
     # under the limit the same calls run
     out = sim.kmeans_lloyd(emb, k=2, iters=1)
     assert out.count() == 10
+
+
+def test_cypher_compiles_to_pushdown_join_plan(spark):
+    """The Cypher compiler must produce the plan a hand-written
+    DataFrame query would: label/property predicates pushed below the
+    pattern joins (visible as filters over the edge-view aggregation,
+    with the lineitem/orders scans intact underneath), hash joins only,
+    and no cartesian products or Python UDFs anywhere."""
+    from graph_spark.queries.gsuite import cypher_graph
+    from graph_spark.graph.cypher import cypher
+    from graph_spark.catalog import Catalog
+
+    df = cypher(
+        cypher_graph(Catalog(spark, SF_SMOKE)),
+        """MATCH (a:Customer)-[e:BUYS]->(s:Supplier)<-[f:BUYS]-(b:Customer)
+           WHERE e.n_items >= 3 AND f.n_items >= 3 AND a.node < b.node
+           RETURN s.node AS supplier, count(*) AS n_pairs""",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the n_items >= 3 predicates must sit below the pair join (one
+    # filter per leg over the aggregated edge view)
+    assert plan.count("n_items#") > 0 and "(n_items" in plan.replace(" ", ""), plan
