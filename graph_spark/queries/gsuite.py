@@ -4906,6 +4906,107 @@ def g93(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_g(
+    "g98_articulation_points",
+    f"""WITH RECURSIVE {_TRADE_SYM_CTES},
+       nodes AS (SELECT DISTINCT src AS v FROM es),
+       r(a, node) AS (
+         SELECT v, v FROM nodes
+         UNION
+         SELECT r.a, e.dst FROM r JOIN es e ON e.src = r.node),
+       comp AS (SELECT a AS v, min(node) AS lbl FROM r GROUP BY 1),
+       csize AS (SELECT lbl, count(*) AS n FROM comp GROUP BY 1),
+       seed AS (SELECT c1.v AS x, min(c2.v) AS s
+                FROM comp c1 JOIN comp c2 ON c1.lbl = c2.lbl AND c2.v <> c1.v
+                GROUP BY 1),
+       rx(x, node) AS (
+         SELECT x, s FROM seed
+         UNION
+         SELECT rx.x, e.dst FROM rx JOIN es e ON e.src = rx.node
+         WHERE e.src <> rx.x AND e.dst <> rx.x),
+       reach AS (SELECT x, count(DISTINCT node) AS k FROM rx GROUP BY 1)
+       SELECT c.v AS node,
+              CASE WHEN cs.n - 1 > coalesce(reach.k, 0) THEN 1 ELSE 0 END
+                AS is_cut
+       FROM comp c JOIN csize cs ON cs.lbl = c.lbl
+       LEFT JOIN reach ON reach.x = c.v
+       ORDER BY 1""",
+    note="exact articulation points (cut vertices), the vertex dual of "
+    "g78's bridges: x is a cut vertex iff the rest of its component is "
+    "no longer mutually reachable once every edge touching x is "
+    "removed — tested by |V| SIMULTANEOUS excluded-vertex BFS "
+    "instances riding one frontier loop to fixpoint (state (x, node), "
+    "seeded at the min remaining node of x's component), then "
+    "reached-count vs component-size-minus-one.  Same state-ceiling "
+    "caveat as g78: exact at rolled-up-view scale; at raw scale the "
+    "honest substitute is biconnected-component decomposition.  "
+    "Endpoints of g78 bridges with degree > 1 are necessarily cut "
+    "vertices — the two queries cross-certify (tested).  Oracle "
+    "replays the same excluded-vertex reachability as recursive CTEs",
+)
+def g98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import connected_components
+
+    c = Catalog(spark, sf_dir)
+    ne = (
+        c.table("lineitem")
+        .join(c.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.table("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c.table("supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.concat(F.lit("n"), F.col("c_nationkey")).alias("src"),
+            F.concat(F.lit("n"), F.col("s_nationkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 150) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+    )
+    es = (
+        ne.unionAll(ne.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    comp = connected_components(
+        PropertyGraph(es.select(F.col("src").alias("id")).distinct(), es)
+    ).localCheckpoint(eager=True)
+    csize = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n"))
+    c2 = comp.select(F.col("node").alias("o"), F.col("component").alias("c2"))
+    seed = (
+        comp.join(c2, (F.col("component") == F.col("c2")) & (F.col("o") != F.col("node")))
+        .groupBy(F.col("node").alias("x"))
+        .agg(F.min("o").alias("s"))
+    )
+    visited = seed.select("x", F.col("s").alias("node")).localCheckpoint(eager=True)
+    frontier = visited
+    # fixpoint loop, one frontier for ALL |V| excluded-vertex instances
+    while True:
+        nxt = (
+            frontier.join(es, frontier.node == es.src)
+            .filter((F.col("src") != F.col("x")) & (F.col("dst") != F.col("x")))
+            .select("x", F.col("dst").alias("node"))
+            .distinct()
+        )
+        vis = visited.select(F.col("x").alias("vx"), F.col("node").alias("vn"))
+        frontier = nxt.join(
+            vis, (nxt.x == vis.vx) & (nxt.node == vis.vn), "left_anti"
+        ).localCheckpoint(eager=True)
+        if not frontier.take(1):
+            break
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+    reach = visited.groupBy("x").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        comp.join(csize, "component")
+        .join(reach, F.col("node") == F.col("x"), "left")
+        .select(
+            "node",
+            F.when(F.col("n") - 1 > F.coalesce(F.col("k"), F.lit(0)), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_cut"),
+        )
+        .orderBy("node")
+    )
+
+
+@_g(
     "g94_cypher_optional_match",
     f"""WITH {GRAPH_CTES},
        base AS (SELECT src AS customer, dst AS supplier FROM graph_edges

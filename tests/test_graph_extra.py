@@ -426,3 +426,25 @@ def test_subgraph_induced_edges(spark):
 
     gb = g.subgraph(vertex_pred=F.col("id").isin("a", "b", "c"), edge_pred=F.col("w") < 2)
     assert [(r["src"], r["dst"]) for r in gb.edges.collect()] == [("b", "c")]
+
+
+def test_bridges_cross_certify_articulation_points(spark):
+    """Graph theory: if (u, v) is a bridge and deg(u) > 1, then u is an
+    articulation point (removing u strands v's side).  g78 (bridges)
+    and g98 (articulation points) run on the same trade graph at
+    sf0.001 — every qualifying bridge endpoint must be flagged cut."""
+    from graph_spark.queries.registry import by_name
+
+    sf = "/root/testdata/sf0.001"
+    reg = by_name()
+    bridges = reg["g78_bridges"].build(spark, sf).collect()
+    cuts = {r["node"]: r["is_cut"] for r in reg["g98_articulation_points"].build(spark, sf).collect()}
+    deg: dict[str, int] = {}
+    for r in bridges:  # eh covers each undirected edge once (u < v)
+        deg[r["u"]] = deg.get(r["u"], 0) + 1
+        deg[r["v"]] = deg.get(r["v"], 0) + 1
+    for r in bridges:
+        if r["is_bridge"] == 1:
+            for end in (r["u"], r["v"]):
+                if deg[end] > 1:
+                    assert cuts[end] == 1, (r, end, cuts)
