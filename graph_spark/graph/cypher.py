@@ -22,11 +22,12 @@ Supported:
     fixed-length chains, binding `hops` when aliased via `WITH-less`
     RETURN of `hops(v)` is NOT supported — var-length matches project
     endpoints only).
-  - OPTIONAL MATCH blocks after the required MATCH (each with its own
-    WHERE): compiled as LEFT OUTER joins on the variables shared with
-    the preceding scope; the block's WHERE becomes part of the join
-    condition (openCypher semantics — rows failing it null-extend
-    instead of dropping), so it may reference outer variables.
+  - further MATCH (inner join) and OPTIONAL MATCH (left outer join)
+    blocks after the first, each with its own WHERE, joined on the
+    variables shared with the preceding scope; an OPTIONAL block's
+    WHERE becomes part of the join condition (openCypher semantics —
+    rows failing it null-extend instead of dropping), so it may
+    reference outer variables.
   - ONE WITH stage between the pattern and RETURN: `WITH [DISTINCT]
     items [WHERE post]` projects/aggregates mid-query and its WHERE
     filters the projected rows (the Cypher HAVING); RETURN then
@@ -101,9 +102,9 @@ _CLAUSE = re.compile(
 # one MATCH/OPTIONAL MATCH block: patterns + its own optional WHERE
 _BLOCK = re.compile(r"^\s*(?P<pat>.+?)(?:\s+WHERE\s+(?P<where>.+))?\s*$", re.IGNORECASE | re.DOTALL)
 
-# splits the clause head into the required MATCH and OPTIONAL MATCH
-# blocks; applied to the text BEFORE RETURN
-_OPT_SPLIT = re.compile(r"\s+OPTIONAL\s+MATCH\s+", re.IGNORECASE)
+# splits the clause head into MATCH / OPTIONAL MATCH blocks (keeping
+# the keyword so each block knows its join type); applied BEFORE RETURN
+_BLOCK_SPLIT = re.compile(r"\s+(OPTIONAL\s+MATCH|MATCH)\s+", re.IGNORECASE)
 
 _UNSUPPORTED = re.compile(
     r"\b(CREATE|MERGE|DELETE|SET|REMOVE|UNWIND|CALL|shortestPath)\b",
@@ -396,7 +397,8 @@ def _rewrite(expr: str, node_vars: set[str], edge_vars: set[str]) -> str:
     """Rewrite Cypher references to bound column names: `e.prop` ->
     e__prop for edge vars, `v.node` -> v (a node's only scalar is its
     id) — everything else (Spark SQL functions, literals) passes
-    through."""
+    through.  Quoted string literals are never rewritten (a literal
+    'a.node' must stay a literal)."""
 
     def sub(m):
         var, prop = m.group(1), m.group(2)
@@ -412,7 +414,12 @@ def _rewrite(expr: str, node_vars: set[str], edge_vars: set[str]) -> str:
             )
         return m.group(0)  # e.g. a qualified SQL function or table ref
 
-    return _PROP_REF.sub(sub, expr)
+    # split out quoted spans (odd indices after re.split with a capture
+    # group) and rewrite only the code between them
+    parts = re.split(r"('[^']*'|\"[^\"]*\")", expr)
+    for i in range(0, len(parts), 2):
+        parts[i] = _PROP_REF.sub(sub, parts[i])
+    return "".join(parts)
 
 
 def cypher(
@@ -438,7 +445,11 @@ def cypher(
     m = _CLAUSE.match(query)
     if not m:
         raise ValueError("cypher: expected MATCH <patterns> [WHERE ..] RETURN ..")
-    blocks = _OPT_SPLIT.split(m.group("head"))
+    parts = _BLOCK_SPLIT.split(m.group("head"))
+    # parts = [block0, kw1, block1, kw2, block2, ...]
+    blocks: list[tuple[bool, str]] = [(False, parts[0])]  # (is_optional, text)
+    for j in range(1, len(parts), 2):
+        blocks.append(("OPTIONAL" in parts[j].upper(), parts[j + 1]))
 
     anon = [0]
     node_vars: set[str] = set()
@@ -515,25 +526,28 @@ def cypher(
         assert frame is not None
         return frame, bn, be
 
-    # required MATCH block
-    bm = _BLOCK.match(blocks[0])
+    # first (required) MATCH block
+    bm = _BLOCK.match(blocks[0][1])
     out, bn, be = build_block(_parse_patterns(bm.group("pat"), anon))
     node_vars |= bn
     edge_vars |= be
     if bm.group("where"):
         out = out.filter(F.expr(_rewrite(bm.group("where"), node_vars, edge_vars)))
 
-    # OPTIONAL MATCH blocks: LEFT OUTER join on the anchor variables
-    # shared with the preceding scope; the block's WHERE joins the
-    # condition (openCypher: failing rows null-extend, never drop)
-    for btext in blocks[1:]:
+    # further MATCH (inner) / OPTIONAL MATCH (left outer) blocks join
+    # on the anchor variables shared with the preceding scope; each
+    # block's WHERE joins the condition (for OPTIONAL that is the
+    # openCypher null-extension semantic; for inner MATCH it is
+    # equivalent to a post-join filter but keeps the predicate at the
+    # join, where Catalyst can use it)
+    for is_optional, btext in blocks[1:]:
         bm = _BLOCK.match(btext)
         opt, bn, be = build_block(_parse_patterns(bm.group("pat"), anon))
         anchors = sorted(bn & node_vars)
         if not anchors:
             raise ValueError(
-                "cypher: OPTIONAL MATCH shares no variable with the "
-                "preceding MATCH (cartesian products are refused)"
+                "cypher: MATCH block shares no variable with the "
+                "preceding scope (cartesian products are refused)"
             )
         ren = opt
         for v in anchors:
@@ -546,7 +560,7 @@ def cypher(
             cond = cond & F.expr(
                 _rewrite(bm.group("where"), node_vars | bn, edge_vars | be)
             )
-        out = out.join(ren, cond, "left")
+        out = out.join(ren, cond, "left" if is_optional else "inner")
         for v in anchors:
             out = out.drop(f"__j_{v}")
         node_vars |= bn

@@ -81,6 +81,11 @@ def test_rewrite_props():
     assert out == "e__n_items >= 3 AND a < b"
     with pytest.raises(ValueError, match="no property"):
         _rewrite("a.age > 1", {"a"}, set())
+    # quoted literals are never rewritten
+    assert (
+        _rewrite("a.node <> 'a.node' AND b.node <> \"e.x\"", {"a", "b"}, {"e"})
+        == "a <> 'a.node' AND b <> \"e.x\""
+    )
 
 
 def test_split_top_level_respects_parens_and_quotes():
@@ -321,6 +326,22 @@ def test_optional_match_disconnected_refused(tiny):
             tiny,
             "MATCH (u)-[]->(v) OPTIONAL MATCH (x)-[]->(y) RETURN u, x",
         )
+
+
+def test_sequential_match_inner_joins(tiny):
+    # second MATCH is an INNER join: rows without a continuation drop
+    # (contrast with test_optional_match_null_extends)
+    rows = cypher(
+        tiny,
+        """MATCH (u)-[e]->(v)
+           MATCH (v)-[f]->(w) WHERE f.weight >= 40
+           RETURN u.node AS u, v.node AS v, w.node AS w ORDER BY u, v, w""",
+    ).collect()
+    assert [(r.u, r.v, r.w) for r in rows] == [
+        ("a", "c", "d"),
+        ("b", "d", "e"),
+        ("c", "d", "e"),
+    ]
 
 
 def test_edge_var_reuse_refused(tiny):
