@@ -418,6 +418,7 @@ def connected_components(
         graph.edges.select(F.col("src").alias("node"))
         .union(graph.edges.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()  # read 2-3x below (layout count + state init)
     )
     bcast = _use_broadcast_state(nodes.count(), broadcast_state)
     # see pagerank: the edge layout is keyed by the superstep mode —
@@ -434,6 +435,7 @@ def connected_components(
         .repartition(spark.sparkContext.defaultParallelism, "node")
         .localCheckpoint(eager=True)
     )
+    nodes.unpersist()
     # Delta propagation: a node's label only decreases, and a neighbor's
     # new minimum can only arrive from a node whose label CHANGED last
     # round — so only the delta set sends messages.  Round 1 everyone is
@@ -506,6 +508,7 @@ def pagerank(
         graph.edges.select(F.col("src").alias("node"))
         .union(graph.edges.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()  # read 2-3x below (layout count + state init)
     )
     nv = nodes.count()
     if nv == 0:
@@ -543,6 +546,7 @@ def pagerank(
         .repartition(n_part, "node")
         .localCheckpoint(eager=True)
     )
+    nodes.unpersist()
     for _ in range(iterations):
         contrib = state.filter(F.col("deg") > 0).select(
             F.col("node").alias("src"), (F.col("rank") / F.col("deg")).alias("w")
@@ -658,6 +662,7 @@ def pagerank_weighted(
         .repartition(n_part, "node")
         .localCheckpoint(eager=True)
     )
+    nodes.unpersist()
     for _ in range(iterations):
         per_w = state.filter(F.col("ws") > 0).select(
             F.col("node").alias("src"), (F.col("rank") / F.col("ws")).alias("pw")
@@ -785,6 +790,7 @@ def katz_centrality(
         graph.edges.select(F.col("src").alias("node"))
         .union(graph.edges.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()  # read 2-3x below (layout count + state init)
     )
     n_part = spark.sparkContext.defaultParallelism
     bcast = _use_broadcast_state(nodes.count(), broadcast_state)
@@ -799,6 +805,7 @@ def katz_centrality(
         .repartition(n_part, "node")
         .localCheckpoint(eager=True)
     )
+    nodes.unpersist()
     for _ in range(iterations):
         xs = state.select(F.col("node").alias("src"), F.col("katz").alias("x"))
         msgs = (
@@ -977,6 +984,7 @@ def personalized_pagerank(
         graph.edges.select(F.col("src").alias("node"))
         .union(graph.edges.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()  # read 2-3x below (layout count + state init)
     )
     src_set = [str(s) for s in sources]
     ns = nodes.filter(F.col("node").isin(src_set)).count()
@@ -1003,6 +1011,7 @@ def personalized_pagerank(
         .repartition(n_part, "node")
         .localCheckpoint(eager=True)
     )
+    nodes.unpersist()
     for _ in range(iterations):
         contrib = state.filter((F.col("deg") > 0) & (F.col("rank") != 0)).select(
             F.col("node").alias("src"), (F.col("rank") / F.col("deg")).alias("w")
@@ -1548,6 +1557,7 @@ def label_propagation(
         graph.edges.select(F.col("src").alias("node"))
         .union(graph.edges.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()  # read 2-3x below (layout count + state init)
     )
     bcast = _use_broadcast_state(nodes.count(), broadcast_state)
     edges = (
@@ -1561,6 +1571,7 @@ def label_propagation(
         .repartition(n_part, "node")
         .localCheckpoint(eager=True)
     )
+    nodes.unpersist()
     for _ in range(max_iter):
         counts = (
             _attach_contributions(edges, state.withColumnRenamed("node", "src"), bcast)

@@ -472,16 +472,21 @@ def cypher(
                             f":{prev} and :{nd.label}"
                         )
             a, b = left.var, right.var
+            # self-loop pattern (a)-[..]->(a): alias the far endpoint,
+            # filter equality, drop — two columns can't share one name
+            b_out = "__self" if a == b else b
             if edge.max_len > 1 or edge.min_len > 1:
-                leg = _varlen_leg(cg, edge, a, b)
+                leg = _varlen_leg(cg, edge, a, b_out)
             else:
                 if edge.var in be or edge.var in edge_vars:
                     raise ValueError(
                         f"cypher: edge variable {edge.var!r} is bound twice "
                         "(edge variables must be unique per query)"
                     )
-                leg = _leg(cg, edge, a, b)
+                leg = _leg(cg, edge, a, b_out)
                 be.add(edge.var)
+            if a == b:
+                leg = leg.filter(F.col(a) == F.col("__self")).drop("__self")
             # label/property pushdown: filter the leg BEFORE the join so
             # the predicate reaches the edge scan
             for nd, col in ((left, a), (right, b)):
@@ -504,7 +509,7 @@ def cypher(
             if frame is None:
                 frame = leg
             else:
-                shared = [v for v in (a, b) if v in bn]
+                shared = list(dict.fromkeys(v for v in (a, b) if v in bn))
                 if not shared:
                     raise ValueError(
                         f"cypher: pattern ({a})-..->({b}) is disconnected from "

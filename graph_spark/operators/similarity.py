@@ -346,14 +346,15 @@ def kmeans_lloyd(
     DataFrame(vec_id, v, cid, dist) for the last assignment.
     """
     spark = emb.sparkSession
-    _guard_centroid_state(k, 1, "kmeans_lloyd")  # pre-collect k sanity
     e = emb.select(
         F.col(id_col).alias("vec_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("v"),
     )
+    # measure dim from ONE row BEFORE the k-row seed collect, so the
+    # guard actually prevents the driver OOM it exists to prevent
+    probe = e.select(F.size("v").alias("d")).first()
+    _guard_centroid_state(k, probe["d"] if probe else 1, "kmeans_lloyd")
     seeds = e.orderBy("vec_id").limit(k).collect()
-    if seeds:
-        _guard_centroid_state(k, len(seeds[0]["v"]), "kmeans_lloyd")
     centroids = [(i, r["v"]) for i, r in enumerate(seeds)]
     assigned = None
     for it in range(iters):
@@ -523,12 +524,15 @@ def pq_topk(
     quantization error — recall vs brute force is the measured,
     documented trade (see tests).
 
-    The ranking key is est_d2 ROUNDED to 9 dp (output values stay
+    The ranking key is floor(est_d2*1e9 + 0.5) (output values stay
     exact): codebook centroids are float means whose accumulation
     order differs between a distributed and a sequential engine by
     last-bit drift, so near-equal estimates would otherwise reorder
     across engines right at the cut; quantizing the sort key turns
-    near-ties into exact ties broken deterministically on nb.
+    near-ties into exact ties broken deterministically on nb.  The
+    floor form (not round) because Spark round is HALF_UP on the
+    decimal repr while DuckDB rounds the binary value - they disagree
+    exactly at the boundaries this key exists to neutralize.
     """
     spark = corpus.sparkSession
     codes, books = pq_codebooks(
@@ -564,7 +568,9 @@ def pq_topk(
         .agg(F.sum("d").alias("est_d2"))
         .filter(F.col("probe") != F.col("nb"))
     )
-    w = Window.partitionBy("probe").orderBy(F.round(F.col("est_d2"), 9), "nb")
+    w = Window.partitionBy("probe").orderBy(
+        F.floor(F.col("est_d2") * 1e9 + 0.5), "nb"
+    )
     return (
         est.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)

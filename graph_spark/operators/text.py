@@ -213,6 +213,15 @@ def dsir_scores(
     groupBy — nothing materializes per-term state.  Returns
     DataFrame(doc_id, n_terms, logw) for the raw (non-target) rows.
     """
+    # the bucket hash reads TWO md5 hex chars (0-255): n_buckets must
+    # divide 256 or buckets past 255 stay permanently empty while the
+    # Laplace denominators still assume them live (biased weights)
+    if not (1 <= n_buckets <= 256 and 256 % n_buckets == 0):
+        raise ValueError(
+            f"dsir_scores: n_buckets={n_buckets} must be a divisor of 256 "
+            "(bucket = first two md5 hex chars mod n_buckets); widen the "
+            "hash prefix before asking for more buckets"
+        )
     tok = df.select(
         F.col(id_col).alias("doc_id"),
         target_pred.alias("is_target"),

@@ -3803,7 +3803,7 @@ s{sp}_{it} AS (SELECT vec_id, cid, dist FROM (SELECT *, row_number() OVER
        WHERE co.vec_id <> l.probe
        GROUP BY 1, 2),
 short AS (SELECT probe, nb FROM (SELECT *, row_number() OVER
-       (PARTITION BY probe ORDER BY round(est, 9), nb) AS rk FROM est)
+       (PARTITION BY probe ORDER BY floor(est*1e9 + 0.5), nb) AS rk FROM est)
        WHERE rk <= {shortlist}),
 ev AS (SELECT vec_id, list_transform(range(1, 65), j -> embedding[j]::DOUBLE) AS v
        FROM embeddings),
@@ -3834,7 +3834,7 @@ ex AS (SELECT s.probe, s.nb,
     "shortlist 150 by estimated distance, then exact L2 ONLY on the "
     "shortlist.  Codebook means are float sums whose accumulation "
     "order is engine-dependent, so the shortlist cut ranks on "
-    "round(est, 9) in BOTH engines (near-ties become exact ties "
+    "floor(est*1e9 + 0.5) in BOTH engines (near-ties become exact ties "
     "broken on nb); the partition-invariance test monitors the "
     "residual last-bit risk.  "
     "Measured recall@5 vs brute force on this corpus: ADC-only 0.32, "

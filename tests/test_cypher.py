@@ -230,6 +230,25 @@ def test_distinct_and_limit(tiny):
     assert [r.v for r in rows] == ["b", "c", "d"]
 
 
+def test_self_loop_pattern(spark):
+    """(x)-[]->(x) must match self-loops, not die on duplicate column
+    names (the :TRADE binding keeps self-loops, so this is reachable)."""
+    edges = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("b", "b"), ("b", "c")], ["src", "dst"]
+    )
+    verts = edges.select(F.col("src").alias("id")).union(edges.select("dst")).distinct()
+    g = PropertyGraph(verts, edges)
+    rows = cypher(g, "MATCH (x)-[]->(x) RETURN x.node AS x ORDER BY x").collect()
+    assert [r.x for r in rows] == ["a", "b"]
+    # self-loop leg chained to a normal leg
+    rows = cypher(
+        g,
+        """MATCH (x)-[]->(x)-[]->(y) WHERE x.node <> y.node
+           RETURN x.node AS x, y.node AS y ORDER BY x, y""",
+    ).collect()
+    assert [(r.x, r.y) for r in rows] == [("a", "b"), ("b", "c")]
+
+
 def test_triangle_like_cycle_join(spark):
     # 3-cycle graph: the closing leg must join on BOTH bound endpoints
     edges = spark.createDataFrame(
