@@ -5007,6 +5007,99 @@ def g98(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_g(
+    "g99_rich_club",
+    f"""WITH {_TRADE_SYM_CTES},
+       deg AS (SELECT src AS v, count(*) AS d FROM es GROUP BY 1),
+       eh AS (SELECT e.src AS u, e.dst AS w FROM es e WHERE e.src < e.dst),
+       emin AS (SELECT least(du.d, dw.d) AS m
+                FROM eh JOIN deg du ON du.v = eh.u
+                JOIN deg dw ON dw.v = eh.w),
+       ks AS (SELECT DISTINCT d AS k FROM deg),
+       nk AS (SELECT ks.k, count(*) AS n FROM ks
+              JOIN deg ON deg.d > ks.k GROUP BY 1),
+       ek AS (SELECT ks.k, count(m) AS e FROM ks
+              LEFT JOIN emin ON emin.m > ks.k GROUP BY 1)
+       SELECT nk.k::BIGINT AS k, nk.n::BIGINT AS n_nodes,
+              coalesce(ek.e, 0)::BIGINT AS n_edges,
+              floor(coalesce(ek.e, 0)*2e4/(nk.n*(nk.n - 1)) + 0.5)/1e4
+                AS phi
+       FROM nk LEFT JOIN ek ON ek.k = nk.k
+       WHERE nk.n >= 2 ORDER BY 1""",
+    note="rich-club coefficient phi(k) = 2*E_k / (N_k*(N_k-1)) on the "
+    "symmetric trade graph, evaluated at every distinct degree value k "
+    "(N_k = nodes with degree > k, E_k = undirected edges between "
+    "them): do high-degree trade hubs preferentially connect to each "
+    "other?  Computed WITHOUT per-k subgraphs: each undirected edge "
+    "carries min(deg(u), deg(w)) once, then E_k is a suffix count via "
+    "a non-equi join against the (tiny, broadcast) k spine, N_k "
+    "likewise from the degree histogram — two small joins instead of "
+    "max-degree subgraph rebuilds.  At raw scale the spine stays tiny "
+    "(distinct degree values), the edge pass stays single; exact "
+    "integer counts, floor-form 4-dp ratio",
+)
+def g99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    ne = (
+        c.table("lineitem")
+        .join(c.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c.table("customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c.table("supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.concat(F.lit("n"), F.col("c_nationkey")).alias("src"),
+            F.concat(F.lit("n"), F.col("s_nationkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 150) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+    )
+    es = (
+        ne.unionAll(ne.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = es.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("d"))
+    eh = es.filter(F.col("src") < F.col("dst"))
+    du = deg.select(F.col("v").alias("u"), F.col("d").alias("du"))
+    dw = deg.select(F.col("v").alias("w"), F.col("d").alias("dw"))
+    emin = (
+        eh.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+        .join(F.broadcast(du), "u")
+        .join(F.broadcast(dw), "w")
+        .select(F.least("du", "dw").alias("m"))
+    )
+    ks = deg.select(F.col("d").alias("k")).distinct()
+    nk = (
+        F.broadcast(ks)
+        .join(deg, deg.d > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ek = (
+        F.broadcast(ks)
+        .join(emin, emin.m > F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.count("m").alias("e"))
+    )
+    return (
+        nk.join(ek, "k", "left")
+        .filter(F.col("n") >= 2)
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.col("n").cast("long").alias("n_nodes"),
+            F.coalesce(F.col("e"), F.lit(0)).cast("long").alias("n_edges"),
+            (
+                F.floor(
+                    F.coalesce(F.col("e"), F.lit(0)) * 2e4 / (F.col("n") * (F.col("n") - 1))
+                    + 0.5
+                )
+                / 1e4
+            ).alias("phi"),
+        )
+        .orderBy("k")
+    )
+
+
+@_g(
     "g94_cypher_optional_match",
     f"""WITH {GRAPH_CTES},
        base AS (SELECT src AS customer, dst AS supplier FROM graph_edges
