@@ -8291,4 +8291,34 @@ def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q125_grouping_sets",
+    """SELECT l_returnflag, l_linestatus, grouping(l_returnflag)::INT AS g1,
+       grouping(l_linestatus)::INT AS g2, round(sum(l_quantity),2) AS q,
+       count(*)::BIGINT AS n
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                               (l_returnflag), (l_linestatus))
+       ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3, 4""",
+    note="explicit GROUPING SETS beside q12 ROLLUP / q13 CUBE: an "
+    "arbitrary set list (here both one-dimension margins plus the "
+    "cross, but NOT the grand total — exactly what neither rollup nor "
+    "cube expresses), grouping() flags distinguishing structural NULLs. "
+    "One Expand+aggregate pass in Spark, not one scan per set",
+)
+def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    Catalog(spark, sf_dir).table("lineitem").createOrReplaceTempView("q125_lineitem")
+    return spark.sql(
+        """SELECT l_returnflag, l_linestatus,
+                  CAST(grouping(l_returnflag) AS INT) AS g1,
+                  CAST(grouping(l_linestatus) AS INT) AS g2,
+                  round(sum(l_quantity), 2) AS q, count(*) AS n
+           FROM q125_lineitem
+           GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                   (l_returnflag), (l_linestatus))
+           ORDER BY l_returnflag ASC NULLS FIRST,
+                    l_linestatus ASC NULLS FIRST, g1, g2"""
+    )
+
+
 QUERIES = list(_Q)
