@@ -146,3 +146,36 @@ def test_cypher_varlen_matches_python_reach(spark, edges, lo, span):
             want |= cur
         cur = {(u, x) for (u, w) in cur for x in adj.get(w, ())}
     assert got == want
+
+
+@given(edges=edges_strategy, cut=st.integers(0, 7))
+@SET
+def test_cypher_optional_match_matches_python_left_join(spark, edges, cut):
+    """OPTIONAL MATCH (u)-[]->(v) OPTIONAL-extended by (v)-[]->(w) with
+    a WHERE on the optional side must equal the python left join with
+    the predicate folded into the join (openCypher null-extension)."""
+    from graph_spark.graph.cypher import cypher
+    from graph_spark.graph.property_graph import PropertyGraph
+
+    es = sorted({(f"n{a}", f"n{b}") for a, b in edges if a != b})
+    if not es:
+        return
+    e = spark.createDataFrame(es, ["src", "dst"])
+    v = e.select(F.col("src").alias("id")).union(e.select("dst")).distinct()
+    got = sorted(
+        (r.u, r.v, r.w)
+        for r in cypher(
+            PropertyGraph(v, e),
+            f"""MATCH (u)-[]->(v)
+                OPTIONAL MATCH (v)-[]->(w) WHERE w.node > 'n{cut}'
+                RETURN u.node AS u, v.node AS v, w.node AS w""",
+        ).collect()
+    )
+    want = []
+    for u, vv in es:
+        ext = [w for (s, w) in es if s == vv and w > f"n{cut}"]
+        if ext:
+            want.extend((u, vv, w) for w in ext)
+        else:
+            want.append((u, vv, None))
+    assert got == sorted(want, key=lambda t: (t[0], t[1], t[2] or ""))
