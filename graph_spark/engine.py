@@ -227,6 +227,29 @@ class Engine:
         q = next(q for q in QUERIES if q.name == "g31_assortativity")
         return q.build(self.spark, self.catalog.sf_dir)
 
+    def articulation_points(self) -> DataFrame:
+        """Exact cut vertices of the symmetric trade graph (g98)."""
+        from .queries.gsuite import QUERIES
+
+        q = next(q for q in QUERIES if q.name == "g98_articulation_points")
+        return q.build(self.spark, self.catalog.sf_dir)
+
+    def rich_club(self) -> DataFrame:
+        """Rich-club coefficient phi(k) at every distinct degree (g99)."""
+        from .queries.gsuite import QUERIES
+
+        q = next(q for q in QUERIES if q.name == "g99_rich_club")
+        return q.build(self.spark, self.catalog.sf_dir)
+
+    def dsir_scores(self, target_pred, n_buckets: int = 64) -> DataFrame:
+        """DSIR importance weights of the raw documents slice against
+        the `target_pred` slice (l76 semantics; operators/text.py)."""
+        from .operators.text import dsir_scores
+
+        return dsir_scores(
+            self.table("documents"), target_pred, n_buckets=n_buckets
+        )
+
     def snapshot_series(self) -> DataFrame:
         """Edges born per quarter + running graph size (g32)."""
         from .queries.gsuite import QUERIES

@@ -393,3 +393,18 @@ def test_engine_cypher_matches_handwritten(spark):
         .collect()
     )
     assert [tuple(x) for x in got] == [tuple(x) for x in want]
+
+
+def test_engine_cypher_trade_self_loop(spark):
+    """The :TRADE binding keeps self-loops by design — the self-loop
+    pattern must compile and match them end-to-end (was
+    AMBIGUOUS_REFERENCE before the aliasing fix)."""
+    from graph_spark.engine import Engine
+
+    eng = Engine(spark, "/root/testdata/sf0.001")
+    rows = eng.cypher(
+        "MATCH (a:Nation)-[:TRADE]->(a) RETURN a.node AS a ORDER BY a"
+    ).collect()
+    # nations trade with themselves in TPC-H-ish data; result is the
+    # (possibly empty) set of self-trading nations, not an exception
+    assert all(r.a.startswith("n") for r in rows)

@@ -432,12 +432,15 @@ def test_bridges_cross_certify_articulation_points(spark):
     """Graph theory: if (u, v) is a bridge and deg(u) > 1, then u is an
     articulation point (removing u strands v's side).  g78 (bridges)
     and g98 (articulation points) run on the same trade graph at
-    sf0.001 — every qualifying bridge endpoint must be flagged cut."""
+    sf0.01 (the >=150-shipment graph is EMPTY at sf0.001, which would
+    make this vacuous) — every qualifying bridge endpoint must be
+    flagged cut."""
     from graph_spark.queries.registry import by_name
 
-    sf = "/root/testdata/sf0.001"
+    sf = "/root/testdata/sf0.01"
     reg = by_name()
     bridges = reg["g78_bridges"].build(spark, sf).collect()
+    assert bridges, "trade graph unexpectedly empty at sf0.01"
     cuts = {r["node"]: r["is_cut"] for r in reg["g98_articulation_points"].build(spark, sf).collect()}
     deg: dict[str, int] = {}
     for r in bridges:  # eh covers each undirected edge once (u < v)
