@@ -249,3 +249,35 @@ def dsir_scores(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_terms"), F.sum("w").alias("logw"))
     )
+
+
+def dsir_resample(
+    df: DataFrame,
+    target_pred,
+    m: int,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The DSIR selection step: Gumbel-top-k importance resampling of
+    the raw pool by the :func:`dsir_scores` log weights.  Sampling
+    without replacement by weight == taking the top-m of
+    ``logw + Gumbel(0,1)`` (the Gumbel-max trick); the Gumbel noise is
+    SEEDED from md5(doc_id) so the draw is deterministic and
+    reproducible across engines and partitionings — u = (first 8 md5
+    hex chars + 0.5) / 2^32, g = -ln(-ln(u)).  Returns
+    DataFrame(rank, doc_id, logw) of the m selected documents.
+    """
+    scored = dsir_scores(df, target_pred, n_buckets, text_col, id_col)
+    v = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    u = (v + F.lit(0.5)) / F.lit(4294967296.0)
+    key = F.col("logw") + (-F.log(-F.log(u)))
+    w = Window.orderBy(key.desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= m)
+        .select("rank", "doc_id", "logw")
+        .orderBy("rank")
+    )

@@ -4124,4 +4124,52 @@ def l76(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l77_dsir_resample",
+    """WITH tok AS (SELECT doc_id, lang = 'en' AS is_target, t.term
+         FROM documents, unnest(string_split(text, ' ')) AS t(term)
+         WHERE t.term <> ''),
+       b AS (SELECT doc_id, is_target,
+         ((strpos('0123456789abcdef', substring(md5(term), 1, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substring(md5(term), 2, 1)) - 1)) % 64
+           AS bucket
+         FROM tok),
+       cnt AS (SELECT bucket,
+         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS t,
+         sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS r
+         FROM b GROUP BY 1),
+       tot AS (SELECT sum(t) AS tt, sum(r) AS rt FROM cnt),
+       w AS (SELECT bucket,
+         ln((t + 1)::DOUBLE / (tt + 64)) - ln((r + 1)::DOUBLE / (rt + 64)) AS w
+         FROM cnt, tot),
+       scored AS (SELECT doc_id, sum(w) AS logw
+         FROM b JOIN w USING (bucket) WHERE NOT is_target GROUP BY 1),
+       keyed AS (SELECT doc_id, logw,
+         logw + (-ln(-ln((('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                          + 0.5) / 4294967296.0))) AS key
+         FROM scored),
+       ranked AS (SELECT row_number() OVER (ORDER BY key DESC, doc_id) AS rank,
+                         doc_id, logw FROM keyed)
+       SELECT rank::BIGINT AS rank, doc_id, round(logw, 6) AS logw
+       FROM ranked WHERE rank <= 50 ORDER BY rank""",
+    note="the DSIR SELECTION step (Gumbel-top-k importance resampling): "
+    "sampling-without-replacement by the l76 importance weights equals "
+    "taking the top-m of logw + Gumbel(0,1) (the Gumbel-max trick); "
+    "the Gumbel draw is SEEDED from md5(doc_id) — u = (first 8 md5 hex "
+    "chars + 0.5)/2^32, g = -ln(-ln(u)) — so the sample is exactly "
+    "reproducible across engines, partitionings and reruns (the "
+    "auditable-sampling property a training-data pipeline needs).  "
+    "Global top-m by key is a TakeOrdered, not a full sort, at scale",
+)
+def l77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import dsir_resample
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    return dsir_resample(docs, F.col("lang") == "en", m=50, n_buckets=64).select(
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("logw", 6).alias("logw"),
+    )
+
+
 QUERIES = list(_L)
