@@ -39,7 +39,7 @@ Supported:
   - RETURN items with AS aliases; aggregates (count/sum/avg/min/max/
     count(DISTINCT ..)) trigger an implicit GROUP BY of the
     non-aggregate items, exactly like Cypher.
-  - DISTINCT, ORDER BY (aliases or expressions), LIMIT.
+  - DISTINCT, ORDER BY (aliases or expressions), SKIP, LIMIT.
 
 Not supported (raise ValueError): more than one WITH stage,
 CREATE/MERGE/DELETE (this is an analytical engine — writes go through
@@ -95,6 +95,7 @@ _CLAUSE = re.compile(
     r"(?:\s+WHERE\s+(?P<having>.+?))?)?"
     r"\s+RETURN\s+(?P<distinct>DISTINCT\s+)?(?P<ret>.+?)"
     r"(?:\s+ORDER\s+BY\s+(?P<order>.+?))?"
+    r"(?:\s+SKIP\s+(?P<skip>\d+))?"
     r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -628,6 +629,8 @@ def cypher(
             col = F.expr(sql)
             cols.append(col.desc() if direction == "DESC" else col.asc())
         out = out.orderBy(*cols)
+    if m.group("skip"):
+        out = out.offset(int(m.group("skip")))
     if m.group("limit"):
         out = out.limit(int(m.group("limit")))
     return out

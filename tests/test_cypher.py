@@ -230,6 +230,15 @@ def test_distinct_and_limit(tiny):
     assert [r.v for r in rows] == ["b", "c", "d"]
 
 
+def test_skip_and_limit(tiny):
+    rows = cypher(
+        tiny,
+        "MATCH (u)-[e]->(v) RETURN v.node AS v ORDER BY e.weight SKIP 2 LIMIT 2",
+    ).collect()
+    # weights 10,20,30,40,50 -> targets b,c,d,d,e; skip 2 -> d,d
+    assert [r.v for r in rows] == ["d", "d"]
+
+
 def test_self_loop_pattern(spark):
     """(x)-[]->(x) must match self-loops, not die on duplicate column
     names (the :TRADE binding keeps self-loops, so this is reachable)."""
