@@ -638,3 +638,20 @@ def test_cypher_compiles_to_pushdown_join_plan(spark):
     # the n_items >= 3 predicates must sit below the pair join (one
     # filter per leg over the aggregated edge view)
     assert plan.count("n_items#") > 0 and "(n_items" in plan.replace(" ", ""), plan
+
+
+def test_plan_audit_counts_true_shuffles_only(spark):
+    """n_exchanges must count shuffle Exchange operators only: a
+    broadcast join plan has a BroadcastExchange but ZERO shuffle
+    exchanges; a groupBy has exactly one."""
+    from graph_spark.engine import Engine
+
+    left = spark.range(100).withColumnRenamed("id", "k")
+    right = spark.range(10).withColumnRenamed("id", "k")
+    bj = left.join(F.broadcast(right), "k")
+    a = Engine.plan_audit(bj)
+    assert a["n_broadcast_joins"] >= 1
+    assert a["n_exchanges"] == 0, a  # BroadcastExchange is NOT a shuffle
+
+    gb = spark.range(100).groupBy((F.col("id") % 7).alias("g")).count()
+    assert Engine.plan_audit(gb)["n_exchanges"] == 1
