@@ -4125,6 +4125,89 @@ def l76(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_l(
+    "l78_ccnet_buckets",
+    """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS l
+         FROM documents),
+       bg AS (SELECT doc_id, lang, l[i] AS w1, l[i+1] AS w2
+              FROM d, unnest(range(1, len(l))) t(i)),
+       c12 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+       c1 AS (SELECT w1, count(*) AS c FROM bg GROUP BY 1),
+       v AS (SELECT count(DISTINCT w1) AS v FROM
+             (SELECT w1 FROM bg UNION ALL SELECT w2 FROM bg)),
+       sc AS (SELECT b.doc_id, b.lang,
+               -log2((c12.c + 1.0) / (c1.c + v.v)) AS bits
+              FROM bg b JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+              JOIN c1 ON b.w1 = c1.w1 CROSS JOIN v),
+       pd AS (SELECT doc_id, lang, round(avg(bits), 4) AS h
+              FROM sc GROUP BY 1, 2),
+       tl AS (SELECT lang, doc_id, h,
+               ntile(3) OVER (PARTITION BY lang ORDER BY h, doc_id) AS tile
+              FROM pd)
+       SELECT lang,
+              CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                   ELSE 'tail' END AS bucket,
+              count(*)::BIGINT AS n_docs, round(avg(h), 4) AS avg_bits,
+              round(min(h), 4) AS min_bits, round(max(h), 4) AS max_bits
+       FROM tl GROUP BY 1, 2 ORDER BY 1, min(h), bucket""",
+    note="CCNet-style perplexity bucketing (Wenzek et al.): per-language "
+    "head/middle/tail terciles of the l36 per-doc bigram-LM bits — the "
+    "published CommonCrawl curation recipe keeps head+middle and drops "
+    "the tail.  Per-doc bits ride the shared bigram-count model; the "
+    "tercile is one ntile window per language (ordered on the 4-dp "
+    "rounded score + doc_id so the cut is engine-stable).  At 100 TB "
+    "the window partitions by language — bounded fan-in, no global "
+    "sort",
+)
+def l78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    d = docs.select("doc_id", "lang", F.split("text", " ").alias("l"))
+    bg = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(slice(l, 1, size(l) - 1),"
+                " (w, i) -> struct(w AS w1, element_at(l, i + 2) AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "lang", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = bg.select(F.col("w1").alias("w")).unionAll(
+        bg.select(F.col("w2").alias("w"))
+    ).agg(F.countDistinct("w").alias("v"))
+    sc = (
+        bg.join(c12, ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "lang",
+            (-F.log2((F.col("c12") + 1.0) / (F.col("c1") + F.col("v")))).alias("bits"),
+        )
+    )
+    pd_ = sc.groupBy("doc_id", "lang").agg(F.round(F.avg("bits"), 4).alias("h"))
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    tl = pd_.withColumn("tile", F.ntile(3).over(w))
+    return (
+        tl.groupBy(
+            "lang",
+            F.when(F.col("tile") == 1, "head")
+            .when(F.col("tile") == 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("h"), 4).alias("avg_bits"),
+            F.round(F.min("h"), 4).alias("min_bits"),
+            F.round(F.max("h"), 4).alias("max_bits"),
+        )
+        .orderBy("lang", F.col("min_bits"), "bucket")
+    )
+
+
+@_l(
     "l77_dsir_resample",
     """WITH tok AS (SELECT doc_id, lang = 'en' AS is_target, t.term
          FROM documents, unnest(string_split(text, ' ')) AS t(term)
