@@ -4208,6 +4208,50 @@ def l78(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_l(
+    "l79_temperature_mixing",
+    """WITH tok AS (SELECT lang, sum(len(string_split(text, ' '))) AS tokens
+         FROM documents GROUP BY 1),
+       tot AS (SELECT sum(tokens) AS t FROM tok),
+       sh AS (SELECT lang, tokens, tokens / tot.t AS share
+              FROM tok CROSS JOIN tot),
+       pw AS (SELECT lang, tokens, share, pow(share, 0.3) AS p FROM sh),
+       z AS (SELECT sum(p) AS z FROM pw)
+       SELECT lang, CAST(tokens AS BIGINT) AS tokens,
+              round(share, 4) AS share, round(p / z.z, 4) AS q,
+              round((p / z.z) / share, 4) AS boost
+       FROM pw CROSS JOIN z ORDER BY 1""",
+    note="temperature-scaled multilingual sampling (the XLM-R / mT5 "
+    "alpha=0.3 recipe): q_l proportional to share_l^alpha renormalized "
+    "— low-resource languages get boosted (boost > 1), high-resource "
+    "damped, smoothly between proportional (alpha=1) and uniform "
+    "(alpha=0).  Complements l37's fixed-target plan; one corpus scan, "
+    "two scalar broadcasts",
+)
+def l79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    tok = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).alias("tokens")
+    )
+    tot = tok.agg(F.sum("tokens").alias("t"))
+    sh = tok.crossJoin(F.broadcast(tot)).select(
+        "lang", "tokens", (F.col("tokens") / F.col("t")).alias("share")
+    )
+    pw = sh.withColumn("p", F.pow("share", F.lit(0.3)))
+    z = pw.agg(F.sum("p").alias("z"))
+    return (
+        pw.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            F.col("tokens").cast("long").alias("tokens"),
+            F.round("share", 4).alias("share"),
+            F.round(F.col("p") / F.col("z"), 4).alias("q"),
+            F.round((F.col("p") / F.col("z")) / F.col("share"), 4).alias("boost"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_l(
     "l77_dsir_resample",
     """WITH tok AS (SELECT doc_id, lang = 'en' AS is_target, t.term
          FROM documents, unnest(string_split(text, ' ')) AS t(term)
