@@ -48,10 +48,13 @@ SAMPLE = [
     "g84_edge_burstiness",
     "l72_ann_pq_rerank",
     # round-3 hazards: cypher agg over float weights (g89), cypher
-    # optional-match null-extension (g94), DSIR log-ratio float sums
+    # optional-match null-extension (g94), DSIR log-ratio float sums,
+    # Gumbel-key global ranking (l77), ntile tercile cut (l78)
     "g89_cypher_copurchase",
     "g94_cypher_optional_match",
     "l76_dsir",
+    "l77_dsir_resample",
+    "l78_ccnet_buckets",
 ]
 
 
