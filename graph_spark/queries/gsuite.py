@@ -5199,4 +5199,231 @@ def g97(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g100_hits",
+    f"""WITH {GRAPH_CTES},
+       a1 AS (SELECT dst AS node, count(*)::BIGINT AS s FROM graph_edges GROUP BY 1),
+       h1 AS (SELECT e.src AS node, sum(a.s)::BIGINT AS s
+              FROM graph_edges e JOIN a1 a ON a.node = e.dst GROUP BY 1),
+       a2 AS (SELECT e.dst AS node, sum(h.s)::BIGINT AS s
+              FROM graph_edges e JOIN h1 h ON h.node = e.src GROUP BY 1),
+       h2 AS (SELECT e.src AS node, sum(a.s)::BIGINT AS s
+              FROM graph_edges e JOIN a2 a ON a.node = e.dst GROUP BY 1),
+       u AS (SELECT 'auth' AS side, a2.node, a1.s AS s1, a2.s AS s2
+             FROM a2 JOIN a1 USING (node)
+             UNION ALL
+             SELECT 'hub', h2.node, h1.s, h2.s FROM h2 JOIN h1 USING (node))
+       SELECT side, node, s1, s2 FROM u
+       QUALIFY row_number() OVER (PARTITION BY side ORDER BY s2 DESC, node) <= 15
+       ORDER BY side, s2 DESC, node""",
+    note="HITS hubs & authorities (Kleinberg) on the directed bipartite "
+    "purchase graph: a <- A^T h, h <- A a, two full alternating rounds "
+    "kept UN-normalized so every score is an exact BIGINT walk count "
+    "(a2(s) = #(c->s' -> c' -> s) 3-step alternating paths into s) — "
+    "float normalization order can never perturb the top-15 cut.  "
+    "Distinct from g81 eigenvector (sym graph, single score) and g73 "
+    "Katz (additive floor): HITS alternates DIRECTION, so hubs are "
+    "customers who buy from well-bought suppliers and authorities are "
+    "suppliers bought by well-connected customers.  Each half-round is "
+    "one broadcast of the |V|-sized score table into the stationary "
+    "edge list + one map-side-combined shuffle — the rolled-up-view "
+    "regime every other G-iteration uses",
+)
+def g100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    e = c.graph_edges().select("src", "dst")
+    a1 = e.groupBy(F.col("dst").alias("node")).agg(F.count(F.lit(1)).alias("s"))
+    h1 = (
+        e.join(F.broadcast(a1.withColumnRenamed("node", "dst")), "dst")
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.sum("s").alias("s"))
+    )
+    a2 = (
+        e.join(F.broadcast(h1.withColumnRenamed("node", "src")), "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum("s").alias("s"))
+    )
+    h2 = (
+        e.join(F.broadcast(a2.withColumnRenamed("node", "dst")), "dst")
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.sum("s").alias("s"))
+    )
+    auth = a2.withColumnRenamed("s", "s2").join(
+        a1.withColumnRenamed("s", "s1"), "node"
+    ).select(F.lit("auth").alias("side"), "node", "s1", "s2")
+    hub = h2.withColumnRenamed("s", "s2").join(
+        h1.withColumnRenamed("s", "s1"), "node"
+    ).select(F.lit("hub").alias("side"), "node", "s1", "s2")
+    w = Window.partitionBy("side").orderBy(F.col("s2").desc(), "node")
+    return (
+        auth.unionByName(hub)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 15)
+        .select(
+            "side",
+            "node",
+            F.col("s1").cast("long").alias("s1"),
+            F.col("s2").cast("long").alias("s2"),
+        )
+        .orderBy("side", F.col("s2").desc(), "node")
+    )
+
+
+def _cascade_oracle(rounds: int = 4) -> str:
+    parts = [
+        """deg AS (SELECT src AS node, count(*) AS d FROM graph_edges_sym GROUP BY 1),
+act0 AS (SELECT node, 0 AS r FROM graph_nodes
+         WHERE substring(md5(node), 1, 1) = '0')"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""new{i} AS (SELECT x.node, {i} AS r FROM (
+    SELECT e.dst AS node, count(*) AS na FROM graph_edges_sym e
+    JOIN act{i - 1} a ON a.node = e.src
+    WHERE e.dst NOT IN (SELECT node FROM act{i - 1}) GROUP BY 1) x
+  JOIN deg ON deg.node = x.node WHERE 2 * x.na >= deg.d),
+act{i} AS (SELECT * FROM act{i - 1} UNION ALL SELECT * FROM new{i})"""
+        )
+    chain = ",\n".join(parts)
+    return (
+        f"WITH {GRAPH_CTES},\n{chain}\n"
+        f"SELECT r, substring(node, 1, 1) AS side, count(*)::BIGINT AS n "
+        f"FROM act{rounds} GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+
+
+@_g(
+    "g101_threshold_cascade",
+    _cascade_oracle(),
+    note="linear-threshold influence cascade (Granovetter/Kempe) on the "
+    "sym graph, 4 synchronous rounds: seeds are the deterministic "
+    "md5-first-hex-digit='0' 1/16 slice of nodes; an inactive node "
+    "activates when at least HALF its neighbors are active, checked as "
+    "the exact integer comparison 2*|N(v) ∩ active| >= deg(v) — no "
+    "float threshold to disagree on.  BOTH engines run exactly 4 "
+    "rounds (declared horizon, not a fixpoint race — the g78 lesson).  "
+    "Per round: one shuffle (active-neighbor count per node) + one "
+    "broadcast anti-join against the active set; the diffusion / "
+    "viral-adoption primitive the G-suite lacked",
+)
+def g101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    es = c.graph_edges_sym()
+    deg = es.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    act = (
+        c.graph_nodes()
+        .filter(F.substring(F.md5("node"), 1, 1) == "0")
+        .select("node", F.lit(0).alias("r"))
+        .localCheckpoint(eager=True)
+    )
+    for i in range(1, 5):
+        na = (
+            es.join(F.broadcast(act.select(F.col("node").alias("src"))), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.count(F.lit(1)).alias("na"))
+        )
+        new = (
+            na.join(act, "node", "left_anti")
+            .join(F.broadcast(deg), "node")
+            .filter(2 * F.col("na") >= F.col("d"))
+            .select("node", F.lit(i).alias("r"))
+        )
+        act = act.unionByName(new).localCheckpoint(eager=True)
+    return (
+        act.groupBy("r", F.substring("node", 1, 1).alias("side"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("r", "side")
+    )
+
+
+def _mis_oracle(rounds: int = 3) -> str:
+    parts = [
+        """und0 AS (SELECT node, md5(node) AS p FROM graph_nodes),
+mis0 AS (SELECT node FROM graph_nodes WHERE false)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""nm{i} AS (SELECT e.src AS node, min(u2.p) AS mn
+  FROM graph_edges_sym e
+  JOIN und{i - 1} u1 ON u1.node = e.src
+  JOIN und{i - 1} u2 ON u2.node = e.dst GROUP BY 1),
+win{i} AS (SELECT u.node FROM und{i - 1} u LEFT JOIN nm{i} n ON n.node = u.node
+  WHERE n.mn IS NULL OR u.p < n.mn),
+out{i} AS (SELECT DISTINCT e.dst AS node FROM graph_edges_sym e
+  JOIN win{i} w ON w.node = e.src
+  JOIN und{i - 1} u ON u.node = e.dst),
+mis{i} AS (SELECT node FROM mis{i - 1} UNION ALL SELECT node FROM win{i}),
+und{i} AS (SELECT node, p FROM und{i - 1}
+  WHERE node NOT IN (SELECT node FROM win{i})
+    AND node NOT IN (SELECT node FROM out{i}))"""
+        )
+    chain = ",\n".join(parts)
+    return (
+        f"WITH {GRAPH_CTES},\n{chain}\n"
+        f"""SELECT n.node,
+       CASE WHEN n.node IN (SELECT node FROM mis{rounds}) THEN 'mis'
+            WHEN n.node IN (SELECT node FROM und{rounds}) THEN 'undecided'
+            ELSE 'out' END AS status
+FROM graph_nodes n ORDER BY 1"""
+    )
+
+
+@_g(
+    "g102_luby_mis",
+    _mis_oracle(),
+    note="Luby-style maximal-independent-set rounds on the sym graph "
+    "with a FIXED deterministic priority p(v) = md5(v): per round, an "
+    "undecided node joins the MIS when its priority beats every "
+    "undecided neighbor's (adjacent winners are impossible — strict "
+    "order), its neighbors drop out, 3 declared rounds in both engines "
+    "(undecided survivors are reported as such, so a fixed horizon "
+    "cannot diverge).  The symmetry-breaking primitive behind parallel "
+    "coloring/matching/scheduling; hex-string priorities compare "
+    "identically in Spark and DuckDB and are tie-free on distinct "
+    "nodes.  Per round: one min-combine shuffle over edges with both "
+    "endpoints undecided + two broadcast anti-joins",
+)
+def g102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    es = c.graph_edges_sym()
+    nodes = c.graph_nodes()
+    und = nodes.select("node", F.md5("node").alias("p")).localCheckpoint(eager=True)
+    mis = None
+    for _ in range(3):
+        usrc = und.select(F.col("node").alias("src"), F.col("p").alias("psrc"))
+        udst = und.select(F.col("node").alias("dst"), F.col("p").alias("pdst"))
+        eu = es.join(F.broadcast(usrc), "src").join(F.broadcast(udst), "dst")
+        nbrmin = eu.groupBy(F.col("src").alias("node")).agg(F.min("pdst").alias("mn"))
+        win = (
+            und.join(nbrmin, "node", "left")
+            .filter(F.col("mn").isNull() | (F.col("p") < F.col("mn")))
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        out = (
+            eu.join(F.broadcast(win.withColumnRenamed("node", "src")), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        mis = win if mis is None else mis.unionByName(win)
+        und = (
+            und.join(win, "node", "left_anti")
+            .join(out, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    mis = mis.localCheckpoint(eager=True)
+    return (
+        nodes.join(mis.withColumn("m", F.lit(1)), "node", "left")
+        .join(und.select("node").withColumn("u", F.lit(1)), "node", "left")
+        .select(
+            "node",
+            F.when(F.col("m") == 1, "mis")
+            .when(F.col("u") == 1, "undecided")
+            .otherwise("out")
+            .alias("status"),
+        )
+        .orderBy("node")
+    )
+
+
 QUERIES = list(_G)

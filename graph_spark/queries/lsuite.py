@@ -4299,4 +4299,120 @@ def l77(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l80_bloom_decontam",
+    """WITH d AS (SELECT doc_id, lang,
+         CASE WHEN strpos('0123456789abcdef',
+                substring(md5(doc_id::VARCHAR), 1, 1)) - 1 < 13 THEN 'train'
+              WHEN strpos('0123456789abcdef',
+                substring(md5(doc_id::VARCHAR), 1, 1)) - 1 < 15 THEN 'valid'
+              ELSE 'test' END AS split,
+         list_filter(string_split(text, ' '), x -> x <> '') AS l
+       FROM documents),
+       g AS (SELECT doc_id, lang, split, array_to_string(l[t.i:t.i+4], ' ') AS gram
+             FROM d, UNNEST(generate_series(1, greatest(len(l) - 4, 0))) AS t(i)),
+       pos AS (SELECT doc_id, lang, split, gram, j.j,
+               ('0x' || substring(md5(j.j::VARCHAR || ':' || gram), 1, 15))::BIGINT
+                 % 65536 AS pos
+               FROM g CROSS JOIN range(3) j(j)),
+       bloom AS (SELECT DISTINCT pos FROM pos WHERE split = 'test'),
+       hits AS (SELECT p.doc_id, p.gram FROM pos p JOIN bloom b USING (pos)
+                WHERE p.split = 'train' GROUP BY 1, 2 HAVING count(DISTINCT p.j) = 3),
+       flagged AS (SELECT DISTINCT doc_id FROM hits),
+       truec AS (SELECT DISTINCT t.doc_id FROM g t
+                 JOIN (SELECT DISTINCT gram FROM g WHERE split = 'test') r
+                 USING (gram) WHERE t.split = 'train'),
+       train_doc AS (SELECT DISTINCT doc_id, lang FROM g WHERE split = 'train')
+       SELECT lang, count(*)::BIGINT AS n_train,
+              (count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM flagged)))::BIGINT
+                AS n_flagged,
+              (count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM truec)))::BIGINT
+                AS n_true
+       FROM train_doc GROUP BY 1 ORDER BY 1""",
+    note="Bloom-filter decontamination — the SKETCH path beside l26's "
+    "exact semi-join: the test split's 5-gram shingles are folded into "
+    "a 65536-position / 3-hash Bloom bit set (positions are md5-derived "
+    "integers, so both engines build the IDENTICAL filter, false "
+    "positives included); a train doc is flagged when any of its "
+    "shingles finds all 3 bits set.  n_flagged >= n_true by "
+    "construction (bloom supersets exact) and the gap IS the measured "
+    "false-positive cost.  The 100 TB story: the bit set is bounded at "
+    "m=65536 rows (one broadcast table) no matter how large the eval "
+    "corpus grows, where l26's distinct-gram table grows linearly — "
+    "this is the constant-state membership gate production "
+    "decontamination uses (e.g. Brown et al. GPT-3 appendix C)",
+)
+def l80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    split = F.when(bucket < 13, "train").when(bucket < 15, "valid").otherwise("test")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        split.alias("split"),
+        F.expr("filter(split(text, ' '), x -> x <> '')").alias("l"),
+    )
+    g = d.select(
+        "doc_id",
+        "lang",
+        "split",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(l) >= 5 THEN transform(sequence(1, size(l)-4),"
+                " i -> array_join(slice(l, i, 5), ' ')) ELSE array() END"
+            )
+        ).alias("gram"),
+    ).filter(F.col("split") != "valid")
+    pos = g.select(
+        "doc_id",
+        "lang",
+        "split",
+        "gram",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j"),
+    ).withColumn(
+        "pos",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("gram"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 65536,
+    )
+    bloom = pos.filter(F.col("split") == "test").select("pos").distinct()
+    hits = (
+        pos.filter(F.col("split") == "train")
+        .join(F.broadcast(bloom), "pos", "left_semi")
+        .groupBy("doc_id", "gram")
+        .agg(F.countDistinct("j").alias("nj"))
+        .filter(F.col("nj") == 3)
+    )
+    flagged = hits.select("doc_id").distinct().withColumn("f", F.lit(1))
+    test_g = g.filter(F.col("split") == "test").select("gram").distinct()
+    truec = (
+        g.filter(F.col("split") == "train")
+        .join(test_g, "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("t", F.lit(1))
+    )
+    train_doc = g.filter(F.col("split") == "train").select("doc_id", "lang").distinct()
+    return (
+        train_doc.join(flagged, "doc_id", "left")
+        .join(truec, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.count_if(F.col("f").isNotNull()).alias("n_flagged"),
+            F.count_if(F.col("t").isNotNull()).alias("n_true"),
+        )
+        .orderBy("lang")
+    )
+
+
 QUERIES = list(_L)
