@@ -4415,4 +4415,232 @@ def l80(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _textrank_oracle(iters: int = 4) -> str:
+    parts = [
+        """tok AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+       FROM documents WHERE lang = 'en'),
+adj AS (SELECT l[t.i] AS u, l[t.i+1] AS v FROM tok,
+        UNNEST(generate_series(1, greatest(len(l) - 1, 0))) AS t(i)
+        WHERE l[t.i] <> l[t.i+1]),
+cw AS (SELECT least(u, v) AS a, greatest(u, v) AS b, count(*) AS w
+       FROM adj GROUP BY 1, 2),
+wedge AS (SELECT a AS u, b AS v, w FROM cw UNION ALL SELECT b, a, w FROM cw),
+wdeg AS (SELECT u, sum(w) AS wd FROM wedge GROUP BY 1),
+r0 AS (SELECT u AS node, 1.0::DOUBLE AS r FROM wdeg)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""r{i} AS (SELECT e.v AS node,
+        0.15 + 0.85 * sum(e.w * p.r / d.wd) AS r
+      FROM wedge e JOIN r{i - 1} p ON p.node = e.u
+      JOIN wdeg d ON d.u = e.u GROUP BY 1)"""
+        )
+    chain = ",\n".join(parts)
+    return (
+        f"WITH {chain}\n"
+        f"SELECT node AS word, round(r, 6) AS score FROM r{iters} "
+        f"ORDER BY score DESC, word LIMIT 20"
+    )
+
+
+@_l(
+    "l81_textrank",
+    _textrank_oracle(),
+    note="TextRank keyword extraction (Mihalcea & Tarau): weighted "
+    "PageRank over the word co-occurrence graph (adjacent-token pairs "
+    "in 'en' docs, undirected, weight = pair frequency, self-pairs "
+    "dropped), 4 declared rounds of r <- 0.15 + 0.85*sum(w/wdeg * r).  "
+    "The graph-over-text synthesis: the L-suite's corpus feeds the "
+    "G-suite's iteration kernel shape — one map-side-combined shuffle "
+    "per round over a stationary weighted edge list, rank broadcast.  "
+    "Edge weights and degrees are exact integers, so the only float is "
+    "the rank itself (g06's proven rounding protocol, 6 dp)",
+)
+def l81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents").filter(F.col("lang") == "en")
+    tok = docs.select(F.expr("filter(split(text, ' '), x -> x <> '')").alias("l"))
+    adj = tok.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(l) >= 2 THEN transform(sequence(1, size(l)-1),"
+                " i -> struct(l[i-1] AS u, l[i] AS v)) ELSE array() END"
+            )
+        ).alias("p")
+    ).select("p.u", "p.v").filter(F.col("u") != F.col("v"))
+    cw = (
+        adj.groupBy(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    wedge = cw.select(F.col("a").alias("u"), F.col("b").alias("v"), "w").unionAll(
+        cw.select(F.col("b").alias("u"), F.col("a").alias("v"), "w")
+    ).localCheckpoint(eager=True)
+    wdeg = wedge.groupBy("u").agg(F.sum("w").alias("wd"))
+    ew = wedge.join(F.broadcast(wdeg), "u").select(
+        "u", "v", (F.col("w") / F.col("wd")).alias("share")
+    ).localCheckpoint(eager=True)
+    r = wdeg.select(F.col("u").alias("node"), F.lit(1.0).alias("r"))
+    for _ in range(4):
+        r = (
+            ew.join(F.broadcast(r.withColumnRenamed("node", "u")), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg((F.lit(0.15) + F.lit(0.85) * F.sum(F.col("share") * F.col("r"))).alias("r"))
+        )
+    return (
+        r.select(F.col("node").alias("word"), F.round("r", 6).alias("score"))
+        .orderBy(F.col("score").desc(), "word")
+        .limit(20)
+    )
+
+
+@_l(
+    "l82_pmi_collocations",
+    """WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+         FROM documents),
+       adj AS (SELECT l[t.i] AS u, l[t.i+1] AS v FROM tok,
+               UNNEST(generate_series(1, greatest(len(l) - 1, 0))) AS t(i)),
+       c2 AS (SELECT u, v, count(*) AS c12 FROM adj GROUP BY 1, 2),
+       cu AS (SELECT u, count(*) AS c1 FROM adj GROUP BY 1),
+       cv AS (SELECT v, count(*) AS c2v FROM adj GROUP BY 1),
+       n AS (SELECT count(*) AS n FROM adj)
+       SELECT p.u AS w1, p.v AS w2, p.c12::BIGINT AS c12,
+              round(ln(p.c12::DOUBLE * n.n / (cu.c1 * cv.c2v)), 6) AS pmi
+       FROM c2 p JOIN cu USING (u) JOIN cv USING (v) CROSS JOIN n
+       WHERE p.c12 >= 50
+       ORDER BY pmi DESC, w1, w2 LIMIT 25""",
+    note="PMI collocation mining (Church & Hanks): pointwise mutual "
+    "information of adjacent-token bigrams, PMI = ln(c12*N / (c1*c2)) "
+    "with DIRECTED position-aware marginals (c1 = left-slot count, c2 "
+    "= right-slot count — the standard bigram contingency), min-count "
+    "50 screens the unstable low-frequency tail.  Every operand inside "
+    "ln() is an exact integer, so both engines evaluate the identical "
+    "double — the collocation/phrase-mining primitive under word2vec's "
+    "SGNS objective (its implicit matrix IS shifted PMI)",
+)
+def l82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    tok = docs.select(F.expr("filter(split(text, ' '), x -> x <> '')").alias("l"))
+    adj = tok.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(l) >= 2 THEN transform(sequence(1, size(l)-1),"
+                " i -> struct(l[i-1] AS u, l[i] AS v)) ELSE array() END"
+            )
+        ).alias("p")
+    ).select("p.u", "p.v").localCheckpoint(eager=True)
+    c2 = adj.groupBy("u", "v").agg(F.count(F.lit(1)).alias("c12"))
+    cu = adj.groupBy("u").agg(F.count(F.lit(1)).alias("c1"))
+    cv = adj.groupBy("v").agg(F.count(F.lit(1)).alias("c2v"))
+    n = adj.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        c2.filter(F.col("c12") >= 50)
+        .join(F.broadcast(cu), "u")
+        .join(F.broadcast(cv), "v")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("u").alias("w1"),
+            F.col("v").alias("w2"),
+            F.col("c12").cast("long").alias("c12"),
+            F.round(
+                F.log(F.col("c12").cast("double") * F.col("n") / (F.col("c1") * F.col("c2v"))),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(25)
+    )
+
+
+def _bpe_oracle(rounds: int = 5) -> str:
+    parts = [
+        """w0 AS (SELECT w, count(*) AS f,
+       ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s
+  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents WHERE lang = 'en') GROUP BY 1)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""l{i} AS (SELECT f, list_filter(string_split(s, ' '), x -> x <> '') AS l
+  FROM w{i - 1}),
+p{i} AS (SELECT l[t.i] AS u, l[t.i+1] AS v, sum(f) AS c FROM l{i},
+  UNNEST(generate_series(1, greatest(len(l) - 1, 0))) AS t(i) GROUP BY 1, 2),
+b{i} AS (SELECT u, v, c FROM p{i} ORDER BY c DESC, u, v LIMIT 1),
+w{i} AS (SELECT w, f,
+  replace(replace(replace(replace(s,
+    ' '||b.u||' '||b.v||' ', ' '||b.u||b.v||' '),
+    ' '||b.u||' '||b.v||' ', ' '||b.u||b.v||' '),
+    ' '||b.u||' '||b.v||' ', ' '||b.u||b.v||' '),
+    ' '||b.u||' '||b.v||' ', ' '||b.u||b.v||' ') AS s
+  FROM w{i - 1} CROSS JOIN b{i} b)"""
+        )
+    chain = ",\n".join(parts)
+    unions = " UNION ALL ".join(
+        f"SELECT {i} AS rank, u, v, u||v AS merged, c::BIGINT AS c FROM b{i}"
+        for i in range(1, rounds + 1)
+    )
+    return f"WITH {chain}\nSELECT * FROM ({unions}) ORDER BY rank"
+
+
+@_l(
+    "l83_bpe_merges",
+    _bpe_oracle(),
+    note="BPE tokenizer training (Sennrich et al.), first 5 merges on "
+    "the 'en' token vocabulary: words become space-delimited symbol "
+    "strings, each round counts adjacent symbol pairs weighted by word "
+    "frequency (exact integers), merges the most frequent pair (ties "
+    "-> lexicographically smallest), and rewrites every word.  The "
+    "rewrite is leftmost-sequential literal replace applied 4 times — "
+    "a fixpoint for any <=16 chained occurrences, reproducing "
+    "canonical greedy BPE segmentation, and replace() semantics are "
+    "identical in Spark and DuckDB.  The merge pair per round is a "
+    "driver-side scalar (one row — the kmeans-centroid class of "
+    "control value); pair counting is one map-side-combined shuffle "
+    "over the VOCABULARY (not the corpus), which is why BPE training "
+    "scales: 100 TB of text still yields a bounded (word, freq) table",
+)
+def l83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents").filter(F.col("lang") == "en")
+    cur = (
+        docs.select(
+            F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .withColumn(
+            "s", F.concat(F.lit(" "), F.regexp_replace("w", "(.)", "$1 "))
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for rank in range(1, 6):
+        syms = cur.select(
+            "f", F.expr("filter(split(s, ' '), x -> x <> '')").alias("l")
+        )
+        pairs = (
+            syms.select(
+                "f",
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(l) >= 2 THEN transform(sequence(1, size(l)-1),"
+                        " i -> struct(l[i-1] AS u, l[i] AS v)) ELSE array() END"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.u", "p.v")
+            .agg(F.sum("f").alias("c"))
+        )
+        best = pairs.orderBy(F.col("c").desc(), "u", "v").limit(1).collect()[0]
+        merges.append((rank, best["u"], best["v"], best["u"] + best["v"], int(best["c"])))
+        pat = F.lit(f" {best['u']} {best['v']} ")
+        rep = F.lit(f" {best['u']}{best['v']} ")
+        col = F.col("s")
+        for _ in range(4):
+            col = F.replace(col, pat, rep)
+        cur = cur.withColumn("s", col).localCheckpoint(eager=True)
+    return docs.sparkSession.createDataFrame(
+        merges, "rank int, u string, v string, merged string, c long"
+    ).orderBy("rank")
+
+
 QUERIES = list(_L)
