@@ -4643,4 +4643,212 @@ def l83(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+@_l(
+    "l84_countmin",
+    """WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+         FROM documents),
+       tc AS (SELECT w, count(*) AS true_c FROM tok GROUP BY 1),
+       pos AS (SELECT w, true_c, j.j,
+               ('0x' || substring(md5(j.j::VARCHAR || ':' || w), 1, 15))::BIGINT
+                 % 1024 AS pos
+               FROM tc CROSS JOIN range(4) j(j)),
+       cms AS (SELECT j, pos, sum(true_c) AS cell FROM pos GROUP BY 1, 2),
+       est AS (SELECT p.w, p.true_c, min(c.cell) AS est_c
+               FROM pos p JOIN cms c ON c.j = p.j AND c.pos = p.pos
+               GROUP BY 1, 2)
+       SELECT w, true_c::BIGINT AS true_c, est_c::BIGINT AS est_c,
+              (est_c - true_c)::BIGINT AS overcount
+       FROM est ORDER BY true_c DESC, w LIMIT 20""",
+    note="count-min sketch (Cormode & Muthukrishnan), depth 4 x width "
+    "1024 with md5-derived row hashes: every token's count folds into "
+    "4 counter cells, a point estimate is the MIN over its 4 cells, "
+    "and est >= true always (one-sided error — the overcount column "
+    "is the collision cost, identical in both engines because the "
+    "hash positions are).  The frequency-estimation dual of l80's "
+    "membership Bloom: 4096 counters of bounded state summarize an "
+    "unbounded token stream, mergeable across partitions by cell-wise "
+    "sum — the sketch that answers heavy-hitter queries at 100 TB "
+    "without a full groupBy of the corpus",
+)
+def l84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    tc = (
+        docs.select(
+            F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("true_c"))
+    )
+    pos = tc.select(
+        "w",
+        "true_c",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"),
+    ).withColumn(
+        "pos",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("w"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1024,
+    ).localCheckpoint(eager=True)
+    cms = pos.groupBy("j", "pos").agg(F.sum("true_c").alias("cell"))
+    return (
+        pos.join(F.broadcast(cms), ["j", "pos"])
+        .groupBy("w", "true_c")
+        .agg(F.min("cell").alias("est_c"))
+        .select(
+            "w",
+            F.col("true_c").cast("long").alias("true_c"),
+            F.col("est_c").cast("long").alias("est_c"),
+            (F.col("est_c") - F.col("true_c")).cast("long").alias("overcount"),
+        )
+        .orderBy(F.col("true_c").desc(), "w")
+        .limit(20)
+    )
+
+
+@_l(
+    "l85_hyperloglog",
+    """WITH tok AS (SELECT DISTINCT lang,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+       FROM documents),
+       h AS (SELECT lang, w,
+             ('0x' || substring(md5(w), 1, 15))::BIGINT AS hv FROM tok),
+       rb AS (SELECT lang, hv % 64 AS b,
+              CASE WHEN hv // 64 = 0 THEN 55
+                   ELSE 55 - length(bin(hv // 64)) END AS rho
+              FROM h),
+       reg AS (SELECT lang, b, max(rho) AS r FROM rb GROUP BY 1, 2),
+       s AS (SELECT lang, sum(CAST(power(2, 55 - r) AS BIGINT)) AS si,
+             count(*) AS m_used FROM reg GROUP BY 1),
+       ex AS (SELECT lang, count(DISTINCT w) AS exact_d FROM tok GROUP BY 1)
+       SELECT e.lang, e.exact_d::BIGINT AS exact_d,
+              round(0.709 * 64 * 64 * power(2.0, 55)
+                    / (s.si + (64 - s.m_used) * CAST(power(2, 55) AS BIGINT)), 4)
+                AS hll_est
+       FROM ex e JOIN s USING (lang) ORDER BY 1""",
+    note="HyperLogLog built BY HAND (Flajolet et al., m=64 registers, "
+    "p=6): md5 token hashes split into bucket = h mod 64 and a 54-bit "
+    "tail whose leading-zero rank rho = 55 - bitlength feeds max-per-"
+    "register; the harmonic mean is computed over the EXACT integer "
+    "sum of 2^(55-rho) (empty registers contribute 2^55), so no float "
+    "accumulation order exists anywhere — both engines produce the "
+    "bit-identical estimate, and the estimate-vs-exact gap on screen "
+    "is the sketch's real error.  Complements q70's built-in "
+    "approx_count_distinct by exposing the register mechanics: 64 "
+    "BIGINTs of mergeable state (max per register) count distincts "
+    "over any corpus size",
+)
+def l85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    tok = (
+        docs.select(
+            "lang",
+            F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("w"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h = tok.withColumn(
+        "hv", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+    )
+    # hv is up to 2^60: the tail split MUST be integer division (a
+    # float floor(hv/64) loses bits above 2^53)
+    rb = h.select(
+        "lang",
+        (F.col("hv") % 64).alias("b"),
+        F.when(F.expr("hv DIV 64") == 0, F.lit(55))
+        .otherwise(55 - F.length(F.bin(F.expr("hv DIV 64"))))
+        .alias("rho"),
+    )
+    reg = rb.groupBy("lang", "b").agg(F.max("rho").alias("r"))
+    s = reg.groupBy("lang").agg(
+        F.sum(F.pow(F.lit(2.0), 55 - F.col("r")).cast("long")).alias("si"),
+        F.count(F.lit(1)).alias("m_used"),
+    )
+    ex = tok.groupBy("lang").agg(F.countDistinct("w").alias("exact_d"))
+    two55 = 2**55
+    return (
+        ex.join(s, "lang")
+        .select(
+            "lang",
+            F.col("exact_d").cast("long").alias("exact_d"),
+            F.round(
+                F.lit(0.709 * 64 * 64 * float(two55))
+                / (F.col("si") + (64 - F.col("m_used")) * F.lit(two55)),
+                4,
+            ).alias("hll_est"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_l(
+    "l86_auc",
+    """WITH d AS (SELECT source, n_chars,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+       r AS (SELECT source, n_chars, y,
+         rank() OVER (PARTITION BY source ORDER BY n_chars) AS mn,
+         count(*) OVER (PARTITION BY source, n_chars) AS tied
+       FROM d),
+       a AS (SELECT source,
+         sum(CASE WHEN y = 1 THEN 2 * (mn - 1) + tied + 1 ELSE 0 END) AS r2,
+         sum(y) AS np, sum(1 - y) AS nn
+       FROM r GROUP BY 1)
+       SELECT source, np::BIGINT AS n_pos, nn::BIGINT AS n_neg,
+              round((r2 - np * (np + 1))::DOUBLE / (2.0 * np * nn), 6) AS auc
+       FROM a WHERE np > 0 AND nn > 0 ORDER BY 1""",
+    note="exact tie-aware ROC AUC per source group: does document "
+    "length separate English from the rest?  Mann-Whitney rank-sum "
+    "form with average ranks, carried in HALF-RANK integer units "
+    "(2r = 2*(min_rank-1) + tied + 1) so the whole statistic is exact "
+    "integer arithmetic until one final division — no float rank "
+    "averaging to diverge between engines.  The model-evaluation "
+    "primitive a data-curation pipeline runs to validate that a "
+    "quality/language signal actually ranks (one window + one "
+    "aggregate, both map-side-combinable after the sort)",
+)
+def l86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents").select(
+        "source",
+        "n_chars",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    wr = Window.partitionBy("source").orderBy("n_chars")
+    wt = Window.partitionBy("source", "n_chars")
+    r = d.select(
+        "source",
+        "y",
+        F.rank().over(wr).alias("mn"),
+        F.count(F.lit(1)).over(wt).alias("tied"),
+    )
+    return (
+        r.groupBy("source")
+        .agg(
+            F.sum(
+                F.when(F.col("y") == 1, 2 * (F.col("mn") - 1) + F.col("tied") + 1).otherwise(0)
+            ).alias("r2"),
+            F.sum("y").alias("np"),
+            F.sum(1 - F.col("y")).alias("nn"),
+        )
+        .filter((F.col("np") > 0) & (F.col("nn") > 0))
+        .select(
+            "source",
+            F.col("np").cast("long").alias("n_pos"),
+            F.col("nn").cast("long").alias("n_neg"),
+            F.round(
+                (F.col("r2") - F.col("np") * (F.col("np") + 1)).cast("double")
+                / (2.0 * F.col("np") * F.col("nn")),
+                6,
+            ).alias("auc"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = list(_L)
