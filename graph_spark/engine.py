@@ -234,6 +234,41 @@ class Engine:
         q = next(q for q in QUERIES if q.name == "g98_articulation_points")
         return q.build(self.spark, self.catalog.sf_dir)
 
+    def hits(self) -> DataFrame:
+        """HITS hubs & authorities, exact integer walk counts (g100)."""
+        from .queries.gsuite import QUERIES
+
+        q = next(q for q in QUERIES if q.name == "g100_hits")
+        return q.build(self.spark, self.catalog.sf_dir)
+
+    def threshold_cascade(self) -> DataFrame:
+        """Linear-threshold influence cascade, 4 rounds (g101)."""
+        from .queries.gsuite import QUERIES
+
+        q = next(q for q in QUERIES if q.name == "g101_threshold_cascade")
+        return q.build(self.spark, self.catalog.sf_dir)
+
+    def luby_mis(self) -> DataFrame:
+        """Maximal-independent-set rounds, fixed md5 priority (g102)."""
+        from .queries.gsuite import QUERIES
+
+        q = next(q for q in QUERIES if q.name == "g102_luby_mis")
+        return q.build(self.spark, self.catalog.sf_dir)
+
+    def textrank(self) -> DataFrame:
+        """TextRank keywords over the word co-occurrence graph (l81)."""
+        from .queries.lsuite import QUERIES
+
+        q = next(q for q in QUERIES if q.name == "l81_textrank")
+        return q.build(self.spark, self.catalog.sf_dir)
+
+    def bpe_merges(self) -> DataFrame:
+        """First 5 BPE tokenizer merges on the corpus vocab (l83)."""
+        from .queries.lsuite import QUERIES
+
+        q = next(q for q in QUERIES if q.name == "l83_bpe_merges")
+        return q.build(self.spark, self.catalog.sf_dir)
+
     def rich_club(self) -> DataFrame:
         """Rich-club coefficient phi(k) at every distinct degree (g99)."""
         from .queries.gsuite import QUERIES

@@ -171,6 +171,39 @@ def test_engine_scale_tooling_surfaces(spark):
     assert kz and all(r["w1"] > 0 and r["w2"] >= 0 for r in kz)
 
 
+def test_engine_round3b_surfaces(spark):
+    """Facade coverage + cross-certification for HITS, the threshold
+    cascade, Luby MIS, TextRank, and BPE merges."""
+    eng = Engine(spark, SF_SMOKE)
+
+    h = eng.hits().collect()
+    assert h and {r["side"] for r in h} == {"hub", "auth"}
+    # authorities are suppliers, hubs are customers (bipartite direction)
+    assert all(r["node"][0] == ("s" if r["side"] == "auth" else "c") for r in h)
+
+    casc = eng.threshold_cascade().collect()
+    assert casc and min(r["r"] for r in casc) == 0  # seeds present
+    assert all(0 <= r["r"] <= 4 for r in casc)
+
+    mis = eng.luby_mis().collect()
+    status = {r["node"]: r["status"] for r in mis}
+    assert set(status.values()) <= {"mis", "out", "undecided"}
+    # independence cross-check: no sym edge joins two MIS members
+    es = eng.catalog.graph_edges_sym().collect()
+    assert not any(
+        status.get(e["src"]) == "mis" and status.get(e["dst"]) == "mis" for e in es
+    )
+
+    tr = eng.textrank().collect()
+    assert tr and all(r["score"] > 0 for r in tr)
+
+    bpe = eng.bpe_merges().collect()
+    assert [r["rank"] for r in bpe] == [1, 2, 3, 4, 5]
+    # merge counts are non-increasing only within a round's choice being
+    # max — but each merged token must concatenate its pair
+    assert all(r["merged"] == r["u"] + r["v"] for r in bpe)
+
+
 def test_engine_sql_text_matches_dataframe_builders(spark):
     """Dual API surface: the same declared queries, written as SQL text
     against Engine.sql's registered views, must return exactly the

@@ -55,6 +55,13 @@ SAMPLE = [
     "l76_dsir",
     "l77_dsir_resample",
     "l78_ccnet_buckets",
+    # round-3b hazards: weighted-PageRank float loop with a top-20 cut
+    # on the rounded score (l81), HLL harmonic mean (integer-exact by
+    # construction — this test is what proves that claim) (l85),
+    # driver-side BPE merge picks fed by distributed pair counts (l83)
+    "l81_textrank",
+    "l83_bpe_merges",
+    "l85_hyperloglog",
 ]
 
 
