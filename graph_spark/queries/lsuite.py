@@ -4851,4 +4851,56 @@ def l86(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l87_rrf_fusion",
+    """WITH dw AS (SELECT doc_id, n_chars,
+         len(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')))
+           AS n_distinct
+       FROM documents),
+       r AS (SELECT doc_id,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS ra,
+         row_number() OVER (ORDER BY n_distinct DESC, doc_id) AS rb
+       FROM dw)
+       SELECT doc_id, ra::BIGINT AS rank_len, rb::BIGINT AS rank_lex,
+              round(1.0 / (60 + ra) + 1.0 / (60 + rb), 6) AS rrf
+       FROM r ORDER BY rrf DESC, doc_id LIMIT 20""",
+    note="reciprocal-rank fusion (Cormack et al., k=60) of two retrieval "
+    "rankings — document length and lexical diversity (distinct-token "
+    "count): rrf = 1/(60+r_a) + 1/(60+r_b).  Ranks are deterministic "
+    "integers (row_number with doc_id tiebreak), so the two-term float "
+    "sum has a FIXED evaluation order and both engines produce the "
+    "identical double before the 6-dp round.  The standard zero-tuning "
+    "way to combine BM25-style and embedding-style rankings in a "
+    "retrieval/curation stack — fusion happens on ranks alone, so at "
+    "scale each ranking is an independent top-k job and the fusion "
+    "join touches only the shortlists",
+)
+def l87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    dw = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.array_distinct(F.expr("filter(split(text, ' '), x -> x <> '')"))).alias(
+            "n_distinct"
+        ),
+    )
+    wa = Window.orderBy(F.col("n_chars").desc(), "doc_id")
+    wb = Window.orderBy(F.col("n_distinct").desc(), "doc_id")
+    r = dw.select(
+        "doc_id",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wb).alias("rb"),
+    )
+    return (
+        r.select(
+            "doc_id",
+            F.col("ra").cast("long").alias("rank_len"),
+            F.col("rb").cast("long").alias("rank_lex"),
+            F.round(1.0 / (60 + F.col("ra")) + 1.0 / (60 + F.col("rb")), 6).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(20)
+    )
+
+
 QUERIES = list(_L)
