@@ -4903,4 +4903,54 @@ def l87(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l88_good_turing",
+    """WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+         FROM documents),
+       wc AS (SELECT w, count(*) AS r FROM tok GROUP BY 1),
+       ff AS (SELECT r, count(*) AS n_r FROM wc GROUP BY 1),
+       nx AS (SELECT f.r, f.n_r, g.n_r AS n_r1
+              FROM ff f LEFT JOIN ff g ON g.r = f.r + 1)
+       SELECT r::BIGINT AS r, n_r::BIGINT AS n_r,
+              round((r + 1) * n_r1 * 1.0 / n_r, 6) AS r_star
+       FROM nx ORDER BY r LIMIT 15""",
+    note="Good-Turing frequency smoothing: the frequency-of-frequencies "
+    "table N_r and the Turing estimate r* = (r+1) N_{r+1} / N_r — how "
+    "much probability mass observed-r-times events actually deserve, "
+    "and (at r=1) the unseen-mass estimate N_1/N that every smoothed "
+    "LM (incl. l70's Kneser-Ney) is calibrated against.  Two exact "
+    "integer aggregations + one self-join on r; r* is a single "
+    "integer-operand division (NULL where N_{r+1}=0, faithfully the "
+    "undefined case).  At 100 TB the wc table is the vocabulary and "
+    "ff collapses it to ~hundreds of rows — the whole estimate rides "
+    "one map-side-combined shuffle chain",
+)
+def l88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    wc = (
+        docs.select(
+            F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    ff = wc.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
+    nx = ff.alias("f").join(
+        ff.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1")).alias("g"),
+        "r",
+        "left",
+    )
+    return (
+        nx.select(
+            F.col("r").cast("long").alias("r"),
+            F.col("n_r").cast("long").alias("n_r"),
+            F.round((F.col("r") + 1) * F.col("n_r1") * 1.0 / F.col("n_r"), 6).alias(
+                "r_star"
+            ),
+        )
+        .orderBy("r")
+        .limit(15)
+    )
+
+
 QUERIES = list(_L)

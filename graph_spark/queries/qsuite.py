@@ -8378,4 +8378,73 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ALLEN_CASE = """CASE
+  WHEN e1 < s2 THEN '01_precedes'
+  WHEN e1 = s2 THEN '02_meets'
+  WHEN s1 < s2 AND s2 < e1 AND e1 < e2 THEN '03_overlaps'
+  WHEN s1 = s2 AND e1 < e2 THEN '04_starts'
+  WHEN s2 < s1 AND e1 < e2 THEN '05_during'
+  WHEN s2 < s1 AND e1 = e2 THEN '06_finishes'
+  WHEN s1 = s2 AND e1 = e2 THEN '07_equals'
+  WHEN e2 < s1 THEN '08_preceded_by'
+  WHEN e2 = s1 THEN '09_met_by'
+  WHEN s2 < s1 AND s1 < e2 AND e2 < e1 THEN '10_overlapped_by'
+  WHEN s1 = s2 AND e2 < e1 THEN '11_started_by'
+  WHEN s1 < s2 AND e2 < e1 THEN '12_contains'
+  ELSE '13_finished_by' END"""
+
+
+@_q(
+    "q127_allen_relations",
+    f"""WITH iv AS (SELECT o_custkey, o_orderkey, o_orderdate AS s,
+         o_orderdate + INTERVAL 1 DAY * ((o_orderkey % 30) + 1) AS e
+       FROM orders),
+       pr AS (SELECT a.s AS s1, a.e AS e1, b.s AS s2, b.e AS e2
+              FROM iv a JOIN iv b
+              ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey)
+       SELECT {_ALLEN_CASE} AS rel, count(*)::BIGINT AS n
+       FROM pr GROUP BY 1 ORDER BY 1""",
+    note="Allen's interval algebra: every same-customer order pair is "
+    "classified into exactly one of the 13 interval relations "
+    "(precedes/meets/overlaps/starts/during/finishes/equals + "
+    "inverses), intervals built from order date + a deterministic "
+    "orderkey-modulo duration so all 13 cases actually occur.  The "
+    "CASE ladder is shared text between engines and every comparison "
+    "is exact timestamp equality/ordering — the temporal-reasoning "
+    "vocabulary (13 mutually exclusive, jointly exhaustive relations) "
+    "that interval joins like t02 only sample one predicate of.  "
+    "Pair generation is a per-customer equi-self-join (key-partitioned, "
+    "never cross-customer), histogram is one map-side-combined shuffle",
+)
+def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    iv = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("s"),
+        F.expr(
+            "o_orderdate + make_interval(0, 0, 0, CAST(o_orderkey % 30 + 1 AS INT), 0, 0, 0)"
+        ).alias("e"),
+    )
+    a = iv.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("ka"),
+        F.col("s").alias("s1"),
+        F.col("e").alias("e1"),
+    )
+    b = iv.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("kb"),
+        F.col("s").alias("s2"),
+        F.col("e").alias("e2"),
+    )
+    pr = a.join(b, "ck").filter(F.col("ka") < F.col("kb"))
+    return (
+        pr.select(F.expr(_ALLEN_CASE).alias("rel"))
+        .groupBy("rel")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("rel")
+    )
+
+
 QUERIES = list(_Q)
