@@ -841,4 +841,47 @@ def s21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_s(
+    "s22_stream_stream_left_join",
+    """SELECT p.event_id, count(c.user_id)::BIGINT AS n_clicks
+       FROM events p LEFT JOIN events c
+       ON c.user_id=p.user_id AND c.event_type='click'
+       AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+       WHERE p.event_type='purchase'
+       GROUP BY 1 ORDER BY 1""",
+    note="stream-stream LEFT OUTER interval join, batch-declared: every "
+    "purchase keeps its row, n_clicks=0 when no click landed in the "
+    "trailing hour — the attribution query where ABSENCE is the signal "
+    "(s07's inner form silently drops exactly the purchases a funnel "
+    "analysis cares about).  Streaming-side semantics are the hard "
+    "part: a null-extended row can only be emitted once the click "
+    "watermark passes the purchase's window upper bound, so emission "
+    "lags by watermark+window; tests/test_streaming.py::test_s22 "
+    "proves the replay emits exactly the batch matches plus every "
+    "null-extension old enough to be closed, and nothing else",
+)
+def s22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    joined = p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left",
+    )
+    return (
+        joined.groupBy(F.col("p_event_id").alias("event_id"))
+        .agg(F.count("c_user").alias("n_clicks"))
+        .orderBy("event_id")
+    )
+
+
 QUERIES = list(_S)

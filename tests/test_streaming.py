@@ -361,6 +361,112 @@ def test_s07_stream_stream_join_equals_batch(spark, replay_dir):
     assert got == want and len(want) > 0
 
 
+def test_s22_left_outer_stream_join_sandwich(spark, replay_dir):
+    """LEFT OUTER stream-stream join parity, watermark-aware: matched
+    pairs must equal the batch inner join EXACTLY; null-extended rows
+    are emitted only once the click watermark closes the purchase's
+    window, so the final micro-batch's stragglers legitimately stay
+    open.  The sound assertion is therefore a sandwich: every emitted
+    null-extension is a true batch non-match, and every non-match old
+    enough that the final watermark (max click ts - 2h) must have
+    closed it WAS emitted."""
+    import os
+    import tempfile
+    import uuid
+
+    from graph_spark.streaming.replay import EVENTS_SCHEMA
+
+    def stream(filters):
+        return (
+            spark.readStream.format("parquet")
+            .schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 5)
+            .load(replay_dir)
+            .filter(filters)
+        )
+
+    p = (
+        stream(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("p_event_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    c = (
+        stream(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("c_event_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "leftOuter",
+    ).select("p_event_id", "c_event_id")
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt_{name}"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = spark.table(name).collect()
+    got_matched = sorted(
+        (r["p_event_id"], r["c_event_id"]) for r in emitted if r["c_event_id"] is not None
+    )
+    got_nulls = sorted(r["p_event_id"] for r in emitted if r["c_event_id"] is None)
+
+    ev = Catalog(spark, SF_SMOKE).table("events")
+    bp = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    bc = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+    )
+    want_matched = sorted(
+        (r["p_event_id"], r["c_event_id"])
+        for r in bp.join(bc, cond).select("p_event_id", "c_event_id").collect()
+    )
+    assert got_matched == want_matched and len(want_matched) > 0
+
+    unmatched = bp.join(bc, cond, "left_anti")
+    max_click = bc.agg(F.max("c_ts").alias("m")).collect()[0]["m"]
+    # final watermark = max click ts - 2h delay; a purchase whose window
+    # upper bound (p_ts, since clicks range up to p_ts) is older than
+    # that MUST have been closed and null-emitted
+    must_emit = sorted(
+        r["p_event_id"]
+        for r in unmatched.filter(
+            F.col("p_ts") < F.lit(max_click) - F.expr("INTERVAL 2 HOURS")
+        ).collect()
+    )
+    all_unmatched = set(r["p_event_id"] for r in unmatched.collect())
+    assert set(got_nulls) <= all_unmatched
+    assert set(must_emit) <= set(got_nulls)
+    assert len(must_emit) > 0
+
+
 def test_stateful_sessionize_equals_batch(spark, replay_dir):
     """Custom stateful operator parity: applyInPandasWithState session
     assignment across micro-batches == the batch window-function
