@@ -4732,17 +4732,16 @@ def l84(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / (s.si + (64 - s.m_used) * CAST(power(2, 55) AS BIGINT)), 4)
                 AS hll_est
        FROM ex e JOIN s USING (lang) ORDER BY 1""",
-    note="HyperLogLog built BY HAND (Flajolet et al., m=64 registers, "
-    "p=6): md5 token hashes split into bucket = h mod 64 and a 54-bit "
-    "tail whose leading-zero rank rho = 55 - bitlength feeds max-per-"
-    "register; the harmonic mean is computed over the EXACT integer "
-    "sum of 2^(55-rho) (empty registers contribute 2^55), so no float "
-    "accumulation order exists anywhere — both engines produce the "
-    "bit-identical estimate, and the estimate-vs-exact gap on screen "
-    "is the sketch's real error.  Complements q70's built-in "
-    "approx_count_distinct by exposing the register mechanics: 64 "
-    "BIGINTs of mergeable state (max per register) count distincts "
-    "over any corpus size",
+    note="GROUPED HyperLogLog, the hardened sibling of q123's global "
+    "256-register build: one m=64 register set PER LANGUAGE (the "
+    "sketch-per-group shape real pipelines ship), and the harmonic "
+    "mean computed over the EXACT integer sum of 2^(55-rho) — q123 "
+    "sums power(2.0,-mj) in floating point, which is reduction-order-"
+    "sensitive in principle; here no float accumulation exists "
+    "anywhere, so the estimate is bit-identical under any "
+    "partitioning (asserted by the shuffle-partition invariance "
+    "test).  rho = 55 - bitlength(54-bit md5 tail), registers are 64 "
+    "mergeable BIGINT maxes per group",
 )
 def l85(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).table("documents")
