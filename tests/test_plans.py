@@ -655,3 +655,41 @@ def test_plan_audit_counts_true_shuffles_only(spark):
 
     gb = spark.range(100).groupBy((F.col("id") % 7).alias("g")).count()
     assert Engine.plan_audit(gb)["n_exchanges"] == 1
+
+
+def test_l80_bloom_membership_broadcasts_bit_set(spark):
+    """The Bloom position set must reach the train side as a broadcast
+    (the whole point of the sketch: <=65536 rows of state), and the
+    candidate check must never degrade to a nested-loop pair scan."""
+    from graph_spark.queries.lsuite import QUERIES
+
+    q = next(q for q in QUERIES if q.name == "l80_bloom_decontam")
+    plan = _plan(q.build(spark, SF_SMOKE))
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q126_skyline_no_dominance_cartesian(spark):
+    """Skyline must be the sort+running-max plan, not an n^2 dominance
+    self-join; the frontier joins back as a broadcast."""
+    from graph_spark.queries.qsuite import QUERIES
+
+    q = next(q for q in QUERIES if q.name == "q126_skyline")
+    plan = _plan(q.build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_g100_hits_broadcasts_score_state(spark):
+    """Each HITS half-round joins the |V|-sized score table into the
+    stationary edge list as a broadcast hash join — never a shuffle of
+    the edges per round, never a nested loop."""
+    from graph_spark.queries.gsuite import QUERIES
+
+    q = next(q for q in QUERIES if q.name == "g100_hits")
+    plan = _plan(q.build(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
