@@ -8447,4 +8447,78 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q128_cusum_changepoint",
+    """WITH e AS (SELECT user_id, ts, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+       FROM events WHERE user_id < 50),
+       t AS (SELECT user_id, sum(cents) AS total, count(*) AS n FROM e GROUP BY 1),
+       p AS (SELECT e.user_id, e.ts, e.event_id, t.n, t.total,
+         sum(e.cents) OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+           ROWS UNBOUNDED PRECEDING) AS pref,
+         row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS i
+       FROM e JOIN t USING (user_id)),
+       c AS (SELECT user_id, ts, event_id, i, n,
+         n * pref - i * total AS cus
+       FROM p)
+       SELECT user_id, i::BIGINT AS cp_index,
+              strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS cp_ts,
+              cus::BIGINT AS cusum_x_n
+       FROM c
+       QUALIFY row_number() OVER (PARTITION BY user_id
+         ORDER BY abs(cus) DESC, i) = 1
+       ORDER BY user_id""",
+    note="CUSUM changepoint detection per user, EXACT INTEGER form: the "
+    "classic statistic is max_i |prefix_i - i*mean|, which drags a "
+    "float mean through a sequential sum; multiplying through by n "
+    "gives C_i = n*prefix_i - i*total with every term a BIGINT (values "
+    "first fixed to half-up cents), so the argmax is exact and "
+    "partition-layout-proof — no distributed float mean can reorder "
+    "the winner.  One window pass per user over (ts, event_id) total "
+    "order + one count/sum aggregate; the level-shift detector a "
+    "monitoring pipeline runs per entity, embarrassingly parallel "
+    "across users.  Magnitudes: |C_i| <= n * total <= 1e5 events x "
+    "1e7 cents — comfortably inside int64 at every sf",
+)
+def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        Catalog(spark, sf_dir)
+        .table("events")
+        .filter(F.col("user_id") < 50)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+    )
+    t = e.groupBy("user_id").agg(
+        F.sum("cents").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wi = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (
+        e.join(t, "user_id")
+        .withColumn("pref", F.sum("cents").over(w))
+        .withColumn("i", F.row_number().over(wi))
+    )
+    c = p.withColumn("cus", F.col("n") * F.col("pref") - F.col("i") * F.col("total"))
+    wpick = Window.partitionBy("user_id").orderBy(F.abs(F.col("cus")).desc(), "i")
+    return (
+        c.withColumn("rn", F.row_number().over(wpick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("i").cast("long").alias("cp_index"),
+            ts_str(F.col("ts")).alias("cp_ts"),
+            F.col("cus").cast("long").alias("cusum_x_n"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = list(_Q)

@@ -50,6 +50,32 @@ def read_jdbc(
     return reader.load()
 
 
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_partition_bytes: str | None = None,
+) -> DataFrame:
+    """Opaque-file ingestion via Spark's built-in `binaryFile` source:
+    one row per file with (path, modificationTime, length, content) —
+    the front door for the multimodal M-suite, turning a directory of
+    images/audio/blobs into a BinaryType column for mapInPandas
+    feature/frame/chunk ops (operators/multimodal.py).
+
+    Scale notes: the source parallelizes across FILES (each row's
+    content is read by the task that owns it — no single-reader
+    funnel), pushes down path-glob filters, and binary content is never
+    split, so set spark.sql.files.maxPartitionBytes generously when
+    files are large, and prefer many medium files over few huge ones.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if max_partition_bytes:
+        reader = reader.option("maxPartitionBytes", max_partition_bytes)
+    return reader.load(path)
+
+
 def delta_available(spark: SparkSession) -> bool:
     """Delta Lake ships as a separate package; gate features on it
     instead of failing at import time."""

@@ -57,6 +57,37 @@ def test_csv_json_orc_roundtrip(spark, tmpdir):
     assert got == want
 
 
+def test_binary_file_source_reads_opaque_blobs(spark, tmpdir):
+    """binaryFile source: one row per file, exact bytes back, glob
+    pushdown filters at the listing — the M-suite's ingestion front
+    door (directory of blobs -> BinaryType column)."""
+    blob_dir = os.path.join(tmpdir, "blobs")
+    os.makedirs(blob_dir)
+    payloads = {f"b{i}.bin": bytes([i]) * (10 + i) for i in range(5)}
+    for name, data in payloads.items():
+        with open(os.path.join(blob_dir, name), "wb") as f:
+            f.write(data)
+    with open(os.path.join(blob_dir, "skip.txt"), "w") as f:
+        f.write("not a blob")
+
+    df = readers.read_binary_files(spark, blob_dir, glob="*.bin")
+    rows = df.select("path", "length", "content").collect()
+    assert len(rows) == 5
+    got = {os.path.basename(r["path"]): bytes(r["content"]) for r in rows}
+    assert got == payloads
+    assert all(r["length"] == len(bytes(r["content"])) for r in rows)
+    # feeds straight into the multimodal feature op
+    from graph_spark.operators.multimodal import extract_features
+
+    media = df.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.lit("blob").alias("media_type"),
+        F.col("content").alias("payload"),
+    )
+    feats = extract_features(media).collect()
+    assert len(feats) == 5
+
+
 def test_partitioned_parquet_sink_prunes(spark, tmpdir):
     orders = Catalog(spark, SF_SMOKE).table("orders").withColumn(
         "o_year", F.year("o_orderdate")
