@@ -8521,4 +8521,47 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q129_unpivot",
+    """WITH m AS (
+         SELECT l_returnflag, 'quantity' AS measure, l_quantity AS v FROM lineitem
+         UNION ALL
+         SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+         UNION ALL
+         SELECT l_returnflag, 'discount', l_discount FROM lineitem
+         UNION ALL
+         SELECT l_returnflag, 'tax', l_tax FROM lineitem)
+       SELECT l_returnflag, measure, count(*)::BIGINT AS n,
+              round(sum(v), 2) AS total
+       FROM m GROUP BY 1, 2 ORDER BY 1, 2""",
+    note="UNPIVOT/melt — the inverse of q20's pivot: four measure "
+    "columns become (measure, value) rows, then a long-form aggregate.  "
+    "Spark side uses the native DataFrame.unpivot (wide->long without "
+    "N self-reads: ONE scan emits all four rows per input via Expand, "
+    "exactly like rollup's plan), oracle spells it as the dialect-safe "
+    "UNION ALL.  The reshape every metrics store / feature-long-table "
+    "pipeline needs; Expand keeps it map-side (no join, no extra "
+    "scans), one combine shuffle for the aggregate",
+)
+def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "v",
+    ).withColumn(
+        "measure",
+        F.when(F.col("measure") == "l_quantity", "quantity")
+        .when(F.col("measure") == "l_extendedprice", "extendedprice")
+        .when(F.col("measure") == "l_discount", "discount")
+        .otherwise("tax"),
+    )
+    return (
+        long.groupBy("l_returnflag", "measure")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("v"), 2).alias("total"))
+        .orderBy("l_returnflag", "measure")
+    )
+
+
 QUERIES = list(_Q)
