@@ -2085,3 +2085,168 @@ def katz_walk_counts(edges: DataFrame, rounds: int = 3) -> DataFrame:
             w.select("node", F.col("c").alias(f"w{i}")), "node", "left"
         ).withColumn(f"w{i}", F.coalesce(F.col(f"w{i}"), F.lit(0)))
     return out
+
+
+def hits_counts(edges: DataFrame, rounds: int = 2) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg) kept UN-normalized so every
+    score is an exact BIGINT alternating-walk count: a <- A^T h,
+    h <- A a from h0 = 1.  Returns (side, node, s1, s2) with s1/s2 the
+    scores after round 1 / round `rounds` — nodes with out-edges get a
+    hub row, nodes with in-edges an auth row.
+
+    Each half-round is one broadcast of the node-sized score table
+    into the stationary edge list + one map-side-combined shuffle
+    (the g06 superstep shape).  Magnitude grows like (d_in d_out)^r;
+    2 rounds stays far inside int64 for any realistic degree profile.
+    """
+    e = edges.select("src", "dst")
+    a_scores, h_scores = [], []
+    a = e.groupBy(F.col("dst").alias("node")).agg(F.count(F.lit(1)).alias("s"))
+    for _ in range(rounds):
+        a_scores.append(a)
+        h = (
+            e.join(F.broadcast(a.withColumnRenamed("node", "dst")), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("s").alias("s"))
+        )
+        h_scores.append(h)
+        a = (
+            e.join(F.broadcast(h.withColumnRenamed("node", "src")), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("s").alias("s"))
+        )
+    # s1 = first-round score, s2 = final-round score, both exact ints
+    # (a_scores[-1]/h_scores[-1] are the round-`rounds` scores; the
+    # trailing `a` assignment is an unused lazy plan)
+    if rounds == 1:
+        auth = a_scores[0].select("node", F.col("s").alias("s1"), F.col("s").alias("s2"))
+        hub = h_scores[0].select("node", F.col("s").alias("s1"), F.col("s").alias("s2"))
+    else:
+        auth = a_scores[-1].withColumnRenamed("s", "s2").join(
+            a_scores[0].withColumnRenamed("s", "s1"), "node"
+        )
+        hub = h_scores[-1].withColumnRenamed("s", "s2").join(
+            h_scores[0].withColumnRenamed("s", "s1"), "node"
+        )
+    return auth.select(F.lit("auth").alias("side"), "node", "s1", "s2").unionByName(
+        hub.select(F.lit("hub").alias("side"), "node", "s1", "s2")
+    )
+
+
+def threshold_cascade(
+    nodes: DataFrame, edges_sym: DataFrame, seeds: DataFrame, rounds: int = 4
+) -> DataFrame:
+    """Linear-threshold cascade (Granovetter/Kempe), theta = 1/2 as the
+    exact integer test 2*|N(v) ∩ active| >= deg(v); `rounds`
+    synchronous rounds (a declared horizon, not a fixpoint race).
+    `seeds` is a (node) DataFrame.  Returns (node, r) = activation
+    round for every node active after the horizon.
+
+    Per round: one shuffle (active-neighbor counts) + broadcast
+    anti-join against the active set; active-set size is bounded by
+    |V| of the (rolled-up) graph.
+    """
+    deg = edges_sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    act = seeds.select("node", F.lit(0).alias("r")).localCheckpoint(eager=True)
+    for i in range(1, rounds + 1):
+        na = (
+            edges_sym.join(
+                F.broadcast(act.select(F.col("node").alias("src"))), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.count(F.lit(1)).alias("na"))
+        )
+        new = (
+            na.join(act, "node", "left_anti")
+            .join(F.broadcast(deg), "node")
+            .filter(2 * F.col("na") >= F.col("d"))
+            .select("node", F.lit(i).alias("r"))
+        )
+        act = act.unionByName(new).localCheckpoint(eager=True)
+    return act
+
+
+def luby_mis(nodes: DataFrame, edges_sym: DataFrame, rounds: int = 3) -> DataFrame:
+    """Luby-style MIS rounds under the FIXED deterministic priority
+    p(v) = md5(v): per round an undecided node joins the MIS when its
+    priority beats every undecided neighbor's (strict order makes
+    adjacent winners impossible), its neighbors drop out.  Returns
+    (node, status) with status in {'mis','out','undecided'} after
+    `rounds` — survivors are reported, so a fixed horizon is honest.
+
+    Per round: one min-combine shuffle over both-endpoints-undecided
+    edges + two broadcast anti-joins.
+    """
+    und = nodes.select("node", F.md5("node").alias("p")).localCheckpoint(eager=True)
+    mis = None
+    for _ in range(rounds):
+        usrc = und.select(F.col("node").alias("src"), F.col("p").alias("psrc"))
+        udst = und.select(F.col("node").alias("dst"), F.col("p").alias("pdst"))
+        eu = edges_sym.join(F.broadcast(usrc), "src").join(F.broadcast(udst), "dst")
+        nbrmin = eu.groupBy(F.col("src").alias("node")).agg(F.min("pdst").alias("mn"))
+        win = (
+            und.join(nbrmin, "node", "left")
+            .filter(F.col("mn").isNull() | (F.col("p") < F.col("mn")))
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        out = (
+            eu.join(F.broadcast(win.withColumnRenamed("node", "src")), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        mis = win if mis is None else mis.unionByName(win)
+        und = (
+            und.join(win, "node", "left_anti")
+            .join(out, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    mis = mis.localCheckpoint(eager=True)
+    return (
+        nodes.join(mis.withColumn("m", F.lit(1)), "node", "left")
+        .join(und.select("node").withColumn("u", F.lit(1)), "node", "left")
+        .select(
+            "node",
+            F.when(F.col("m") == 1, "mis")
+            .when(F.col("u") == 1, "undecided")
+            .otherwise("out")
+            .alias("status"),
+        )
+    )
+
+
+def ktruss_support(half_edges: DataFrame, rounds: int = 3, min_support: int = 2) -> DataFrame:
+    """k-truss peeling over `rounds` declared rounds: each round counts
+    every surviving (u < v) edge's triangle support within the CURRENT
+    edge set and drops edges below `min_support` (k-truss with
+    k = min_support + 2).  Returns surviving (u, v, support) with
+    support recomputed on the final set, so the output certifies
+    itself.  Per round: one triangle join (two hash joins) + filter.
+    """
+    e = half_edges.select("u", "v").localCheckpoint(eager=True)
+
+    def support(half: DataFrame) -> DataFrame:
+        s = half.unionAll(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        a = s.select(F.col("u").alias("pu"), F.col("v").alias("w"))
+        b = s.select(F.col("u").alias("pv"), F.col("v").alias("w"))
+        return (
+            half.join(a, half.u == a.pu)
+            .join(b, (half.v == b.pv) & (a.w == b.w))
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    for _ in range(rounds):
+        sup = support(e)
+        e = (
+            e.join(sup, ["u", "v"])
+            .filter(F.col("c") >= min_support)
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    fin = support(e)
+    return e.join(fin, ["u", "v"], "left").select(
+        "u", "v", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("support")
+    )

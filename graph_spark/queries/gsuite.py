@@ -5230,34 +5230,13 @@ def g97(spark: SparkSession, sf_dir: str) -> DataFrame:
     "regime every other G-iteration uses",
 )
 def g100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import hits_counts
+
     c = Catalog(spark, sf_dir)
-    e = c.graph_edges().select("src", "dst")
-    a1 = e.groupBy(F.col("dst").alias("node")).agg(F.count(F.lit(1)).alias("s"))
-    h1 = (
-        e.join(F.broadcast(a1.withColumnRenamed("node", "dst")), "dst")
-        .groupBy(F.col("src").alias("node"))
-        .agg(F.sum("s").alias("s"))
-    )
-    a2 = (
-        e.join(F.broadcast(h1.withColumnRenamed("node", "src")), "src")
-        .groupBy(F.col("dst").alias("node"))
-        .agg(F.sum("s").alias("s"))
-    )
-    h2 = (
-        e.join(F.broadcast(a2.withColumnRenamed("node", "dst")), "dst")
-        .groupBy(F.col("src").alias("node"))
-        .agg(F.sum("s").alias("s"))
-    )
-    auth = a2.withColumnRenamed("s", "s2").join(
-        a1.withColumnRenamed("s", "s1"), "node"
-    ).select(F.lit("auth").alias("side"), "node", "s1", "s2")
-    hub = h2.withColumnRenamed("s", "s2").join(
-        h1.withColumnRenamed("s", "s1"), "node"
-    ).select(F.lit("hub").alias("side"), "node", "s1", "s2")
+    scores = hits_counts(c.graph_edges().select("src", "dst"), rounds=2)
     w = Window.partitionBy("side").orderBy(F.col("s2").desc(), "node")
     return (
-        auth.unionByName(hub)
-        .withColumn("rn", F.row_number().over(w))
+        scores.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 15)
         .select(
             "side",
@@ -5307,28 +5286,11 @@ act{i} AS (SELECT * FROM act{i - 1} UNION ALL SELECT * FROM new{i})"""
     "viral-adoption primitive the G-suite lacked",
 )
 def g101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import threshold_cascade
+
     c = Catalog(spark, sf_dir)
-    es = c.graph_edges_sym()
-    deg = es.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
-    act = (
-        c.graph_nodes()
-        .filter(F.substring(F.md5("node"), 1, 1) == "0")
-        .select("node", F.lit(0).alias("r"))
-        .localCheckpoint(eager=True)
-    )
-    for i in range(1, 5):
-        na = (
-            es.join(F.broadcast(act.select(F.col("node").alias("src"))), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.count(F.lit(1)).alias("na"))
-        )
-        new = (
-            na.join(act, "node", "left_anti")
-            .join(F.broadcast(deg), "node")
-            .filter(2 * F.col("na") >= F.col("d"))
-            .select("node", F.lit(i).alias("r"))
-        )
-        act = act.unionByName(new).localCheckpoint(eager=True)
+    seeds = c.graph_nodes().filter(F.substring(F.md5("node"), 1, 1) == "0")
+    act = threshold_cascade(c.graph_nodes(), c.graph_edges_sym(), seeds, rounds=4)
     return (
         act.groupBy("r", F.substring("node", 1, 1).alias("side"))
         .agg(F.count(F.lit(1)).alias("n"))
@@ -5384,46 +5346,10 @@ FROM graph_nodes n ORDER BY 1"""
     "endpoints undecided + two broadcast anti-joins",
 )
 def g102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import luby_mis
+
     c = Catalog(spark, sf_dir)
-    es = c.graph_edges_sym()
-    nodes = c.graph_nodes()
-    und = nodes.select("node", F.md5("node").alias("p")).localCheckpoint(eager=True)
-    mis = None
-    for _ in range(3):
-        usrc = und.select(F.col("node").alias("src"), F.col("p").alias("psrc"))
-        udst = und.select(F.col("node").alias("dst"), F.col("p").alias("pdst"))
-        eu = es.join(F.broadcast(usrc), "src").join(F.broadcast(udst), "dst")
-        nbrmin = eu.groupBy(F.col("src").alias("node")).agg(F.min("pdst").alias("mn"))
-        win = (
-            und.join(nbrmin, "node", "left")
-            .filter(F.col("mn").isNull() | (F.col("p") < F.col("mn")))
-            .select("node")
-            .localCheckpoint(eager=True)
-        )
-        out = (
-            eu.join(F.broadcast(win.withColumnRenamed("node", "src")), "src")
-            .select(F.col("dst").alias("node"))
-            .distinct()
-        )
-        mis = win if mis is None else mis.unionByName(win)
-        und = (
-            und.join(win, "node", "left_anti")
-            .join(out, "node", "left_anti")
-            .localCheckpoint(eager=True)
-        )
-    mis = mis.localCheckpoint(eager=True)
-    return (
-        nodes.join(mis.withColumn("m", F.lit(1)), "node", "left")
-        .join(und.select("node").withColumn("u", F.lit(1)), "node", "left")
-        .select(
-            "node",
-            F.when(F.col("m") == 1, "mis")
-            .when(F.col("u") == 1, "undecided")
-            .otherwise("out")
-            .alias("status"),
-        )
-        .orderBy("node")
-    )
+    return luby_mis(c.graph_nodes(), c.graph_edges_sym(), rounds=3).orderBy("node")
 
 
 def _ktruss_oracle(rounds: int = 3, k: int = 4) -> str:
@@ -5493,37 +5419,12 @@ def g103(spark: SparkSession, sf_dir: str) -> DataFrame:
         ne.unionAll(ne.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
     )
-    e = (
-        es.filter(F.col("src") < F.col("dst"))
-        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .localCheckpoint(eager=True)
-    )
+    from ..graph.algorithms import ktruss_support
 
-    def support(half: DataFrame) -> DataFrame:
-        s = half.unionAll(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        a = s.select(F.col("u").alias("pu"), F.col("v").alias("w"))
-        b = s.select(F.col("u").alias("pv"), F.col("v").alias("w"))
-        return (
-            half.join(a, half.u == a.pu)
-            .join(b, (half.v == b.pv) & (a.w == b.w))
-            .groupBy("u", "v")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-
-    for _ in range(3):
-        sup = support(e)
-        e = (
-            e.join(sup, ["u", "v"])
-            .filter(F.col("c") >= 2)
-            .select("u", "v")
-            .localCheckpoint(eager=True)
-        )
-    fin = support(e)
-    return (
-        e.join(fin, ["u", "v"], "left")
-        .select("u", "v", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("support"))
-        .orderBy("u", "v")
+    half = es.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
     )
+    return ktruss_support(half, rounds=3, min_support=2).orderBy("u", "v")
 
 
 QUERIES = list(_G)

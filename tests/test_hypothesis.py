@@ -179,3 +179,156 @@ def test_cypher_optional_match_matches_python_left_join(spark, edges, cut):
         else:
             want.append((u, vv, None))
     assert got == sorted(want, key=lambda t: (t[0], t[1], t[2] or ""))
+
+
+def _sym(edges):
+    es = {(f"n{a}", f"n{b}") for a, b in edges if a != b}
+    return es | {(b, a) for a, b in es}
+
+
+def _mk_graph(spark, es):
+    e = spark.createDataFrame(sorted(es), ["src", "dst"])
+    v = e.select(F.col("src").alias("node")).union(e.select("dst")).distinct()
+    return v, e
+
+
+@given(edges=edges_strategy, rounds=st.integers(1, 3))
+@SET
+def test_hits_counts_match_python(spark, edges, rounds):
+    """hits_counts must equal the python alternating iteration a<-A^T h,
+    h<-A a from h0=1 (exact integers, so equality is literal)."""
+    from graph_spark.graph.algorithms import hits_counts
+
+    es = {(f"n{a}", f"n{b}") for a, b in edges if a != b}
+    if not es:
+        return
+    e = spark.createDataFrame(sorted(es), ["src", "dst"])
+    got = {
+        (r["side"], r["node"]): (r["s1"], r["s2"])
+        for r in hits_counts(e, rounds=rounds).collect()
+    }
+
+    nodes = {u for u, _ in es} | {v for _, v in es}
+    h = {u: 1 for u in nodes}
+    a_hist, h_hist = [], []
+    for _ in range(rounds):
+        a = {}
+        for u, v in es:
+            a[v] = a.get(v, 0) + h[u]
+        hh = {}
+        for u, v in es:
+            hh[u] = hh.get(u, 0) + a.get(v, 0)
+        a_hist.append(a)
+        h_hist.append(hh)
+        h = hh
+    want = {}
+    for v in a_hist[-1]:
+        want[("auth", v)] = (a_hist[0][v], a_hist[-1][v])
+    for u in h_hist[-1]:
+        want[("hub", u)] = (h_hist[0][u], h_hist[-1][u])
+    assert got == want
+
+
+@given(edges=edges_strategy, seedmod=st.integers(2, 4), rounds=st.integers(1, 4))
+@SET
+def test_threshold_cascade_matches_python(spark, edges, seedmod, rounds):
+    """threshold_cascade must equal the python synchronous majority
+    spread (2*active_nbrs >= deg) from hash-free modular seeds."""
+    from graph_spark.graph.algorithms import threshold_cascade
+
+    es = _sym(edges)
+    if not es:
+        return
+    v, e = _mk_graph(spark, es)
+    seeds = v.filter(F.substring("node", 2, 2).cast("int") % seedmod == 0)
+    got = {
+        (r["node"], r["r"])
+        for r in threshold_cascade(v, e, seeds, rounds=rounds).collect()
+    }
+
+    nodes = {u for u, _ in es}
+    adj = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+    active = {u: 0 for u in nodes if int(u[1:]) % seedmod == 0}
+    for i in range(1, rounds + 1):
+        new = {
+            u
+            for u in nodes
+            if u not in active
+            and 2 * sum(1 for w in adj[u] if w in active) >= len(adj[u])
+        }
+        for u in new:
+            active[u] = i
+    assert got == set(active.items())
+
+
+@given(edges=edges_strategy, rounds=st.integers(1, 3))
+@SET
+def test_luby_mis_matches_python(spark, edges, rounds):
+    """luby_mis must equal the python md5-priority rounds, and its MIS
+    must be independent; after enough rounds it is maximal."""
+    import hashlib
+
+    from graph_spark.graph.algorithms import luby_mis
+
+    es = _sym(edges)
+    if not es:
+        return
+    v, e = _mk_graph(spark, es)
+    got = {r["node"]: r["status"] for r in luby_mis(v, e, rounds=rounds).collect()}
+
+    nodes = {u for u, _ in es}
+    adj = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+    pr = {u: hashlib.md5(u.encode()).hexdigest() for u in nodes}
+    und, mis, out = set(nodes), set(), set()
+    for _ in range(rounds):
+        win = {
+            u
+            for u in und
+            if all(pr[u] < pr[w] for w in adj[u] if w in und)
+        }
+        dropped = {w for u in win for w in adj[u] if w in und} - win
+        mis |= win
+        out |= dropped
+        und -= win | dropped
+    want = {
+        u: ("mis" if u in mis else "undecided" if u in und else "out") for u in nodes
+    }
+    assert got == want
+    # independence always holds
+    assert not any(b in mis for a in mis for b in adj[a])
+
+
+@given(edges=edges_strategy, rounds=st.integers(1, 3), thr=st.integers(1, 2))
+@SET
+def test_ktruss_matches_python(spark, edges, rounds, thr):
+    """ktruss_support must equal the python peel: same survivors, same
+    recomputed support."""
+    from graph_spark.graph.algorithms import ktruss_support
+
+    es = _sym(edges)
+    if not es:
+        return
+    half = {(a, b) for a, b in es if a < b}
+    e = spark.createDataFrame(sorted(half), ["u", "v"])
+    got = {
+        (r["u"], r["v"]): r["support"]
+        for r in ktruss_support(e, rounds=rounds, min_support=thr).collect()
+    }
+
+    cur = set(half)
+
+    def sup(s):
+        nbr = {}
+        for a, b in s:
+            nbr.setdefault(a, set()).add(b)
+            nbr.setdefault(b, set()).add(a)
+        return {(a, b): len(nbr[a] & nbr[b]) for a, b in s}
+
+    for _ in range(rounds):
+        sp = sup(cur)
+        cur = {ed for ed in cur if sp[ed] >= thr}
+    assert got == sup(cur)
