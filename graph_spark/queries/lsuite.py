@@ -4582,24 +4582,12 @@ w{i} AS (SELECT w, f,
     return f"WITH {chain}\nSELECT * FROM ({unions}) ORDER BY rank"
 
 
-@_l(
-    "l83_bpe_merges",
-    _bpe_oracle(),
-    note="BPE tokenizer training (Sennrich et al.), first 5 merges on "
-    "the 'en' token vocabulary: words become space-delimited symbol "
-    "strings, each round counts adjacent symbol pairs weighted by word "
-    "frequency (exact integers), merges the most frequent pair (ties "
-    "-> lexicographically smallest), and rewrites every word.  The "
-    "rewrite is leftmost-sequential literal replace applied 4 times — "
-    "a fixpoint for any <=16 chained occurrences, reproducing "
-    "canonical greedy BPE segmentation, and replace() semantics are "
-    "identical in Spark and DuckDB.  The merge pair per round is a "
-    "driver-side scalar (one row — the kmeans-centroid class of "
-    "control value); pair counting is one map-side-combined shuffle "
-    "over the VOCABULARY (not the corpus), which is why BPE training "
-    "scales: 100 TB of text still yields a bounded (word, freq) table",
-)
-def l83(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_train(spark: SparkSession, sf_dir: str, rounds: int = 5):
+    """Shared BPE trainer for l83/l91: returns (merges, states) where
+    merges = [(rank, u, v, merged, count)] and states[i] is the
+    (w, f, s) word table BEFORE merge i+1 (states[rounds] = final).
+    The argmax pair per round is a 1-row driver scalar; everything
+    else is vocabulary-sized distributed work."""
     docs = Catalog(spark, sf_dir).table("documents").filter(F.col("lang") == "en")
     cur = (
         docs.select(
@@ -4612,8 +4600,8 @@ def l83(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    merges = []
-    for rank in range(1, 6):
+    merges, states = [], [cur]
+    for rank in range(1, rounds + 1):
         syms = cur.select(
             "f", F.expr("filter(split(s, ' '), x -> x <> '')").alias("l")
         )
@@ -4638,7 +4626,30 @@ def l83(spark: SparkSession, sf_dir: str) -> DataFrame:
         for _ in range(4):
             col = F.replace(col, pat, rep)
         cur = cur.withColumn("s", col).localCheckpoint(eager=True)
-    return docs.sparkSession.createDataFrame(
+        states.append(cur)
+    return merges, states
+
+
+@_l(
+    "l83_bpe_merges",
+    _bpe_oracle(),
+    note="BPE tokenizer training (Sennrich et al.), first 5 merges on "
+    "the 'en' token vocabulary: words become space-delimited symbol "
+    "strings, each round counts adjacent symbol pairs weighted by word "
+    "frequency (exact integers), merges the most frequent pair (ties "
+    "-> lexicographically smallest), and rewrites every word.  The "
+    "rewrite is leftmost-sequential literal replace applied 4 times — "
+    "a fixpoint for any <=16 chained occurrences, reproducing "
+    "canonical greedy BPE segmentation, and replace() semantics are "
+    "identical in Spark and DuckDB.  The merge pair per round is a "
+    "driver-side scalar (one row — the kmeans-centroid class of "
+    "control value); pair counting is one map-side-combined shuffle "
+    "over the VOCABULARY (not the corpus), which is why BPE training "
+    "scales: 100 TB of text still yields a bounded (word, freq) table",
+)
+def l83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _ = _bpe_train(spark, sf_dir, rounds=5)
+    return spark.createDataFrame(
         merges, "rank int, u string, v string, merged string, c long"
     ).orderBy("rank")
 
@@ -5007,6 +5018,137 @@ def l89(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@_l(
+    "l90_cdc_chunking",
+    """WITH d AS (SELECT doc_id, lang, text, length(text) AS n FROM documents),
+       pos AS (SELECT doc_id, t.i FROM d,
+               UNNEST(generate_series(2, greatest(n - 7, 1))) AS t(i)
+               WHERE ('0x' || substring(md5(substring(text, t.i::INT, 8)), 1, 15))::BIGINT
+                     % 64 = 0),
+       starts AS (SELECT doc_id, 1 AS s FROM d
+                  UNION ALL SELECT doc_id, i FROM pos),
+       seg AS (SELECT doc_id, s,
+               lead(s) OVER (PARTITION BY doc_id ORDER BY s) AS nxt
+               FROM (SELECT DISTINCT doc_id, s FROM starts)),
+       ch AS (SELECT d.doc_id, d.lang,
+              substring(d.text, seg.s::INT,
+                        (coalesce(seg.nxt, d.n + 1) - seg.s)::INT) AS chunk
+              FROM seg JOIN d USING (doc_id)),
+       hashes AS (SELECT lang, md5(chunk) AS h, length(chunk) AS len FROM ch
+                  WHERE chunk <> '')
+       SELECT lang, count(*)::BIGINT AS n_chunks,
+              count(DISTINCT h)::BIGINT AS n_distinct,
+              sum(len)::BIGINT AS total_bytes,
+              round(1.0 - count(DISTINCT h) * 1.0 / count(*), 4) AS dup_ratio
+       FROM hashes GROUP BY 1 ORDER BY 1""",
+    note="content-defined chunking (the LBFS/FastCDC storage-dedup "
+    "primitive): a chunk boundary opens wherever the md5 of the local "
+    "8-byte window lands in a 1/64 hash slice, so boundaries are a "
+    "function of CONTENT — an insertion reshuffles only the chunks it "
+    "touches, which is why CDC dedup survives edits where the M-suite's "
+    "fixed-offset window_chunks cannot.  Chunk identity is md5 of the "
+    "variable-length segment; dup_ratio is the storage the chunk store "
+    "saves.  Position explosion is bounded by the text length (l27's "
+    "generate_series protocol); everything downstream is "
+    "(doc, boundary) rows, one window lead per doc, one global "
+    "hash groupBy — no quadratic anything",
+)
+def l90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    d = docs.select("doc_id", "lang", "text", F.length("text").alias("n"))
+    pos = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "filter(transform(sequence(2, greatest(n - 7, 1)), i -> "
+                "CASE WHEN CAST(conv(substring(md5(substring(text, i, 8)), 1, 15), 16, 10)"
+                " AS BIGINT) % 64 = 0 THEN i END), x -> x IS NOT NULL)"
+            )
+        ).alias("s"),
+    )
+    starts = d.select("doc_id", F.lit(1).alias("s")).unionByName(pos).distinct()
+    wl = Window.partitionBy("doc_id").orderBy("s")
+    seg = starts.withColumn("nxt", F.lead("s").over(wl))
+    ch = seg.join(d, "doc_id").select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "substring(text, s, CAST(coalesce(nxt, n + 1) - s AS INT))"
+        ).alias("chunk"),
+    )
+    hashes = ch.filter(F.col("chunk") != "").select(
+        "lang", F.md5("chunk").alias("h"), F.length("chunk").alias("len")
+    )
+    return (
+        hashes.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("h").alias("n_distinct"),
+            F.sum("len").cast("long").alias("total_bytes"),
+            F.round(
+                1.0 - F.countDistinct("h") * 1.0 / F.count(F.lit(1)), 4
+            ).alias("dup_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _bpe_curve_oracle(rounds: int = 5) -> str:
+    # reuse the exact merge chain of _bpe_oracle, then measure every
+    # state w0..w{rounds}
+    chain = _bpe_oracle(rounds)
+    chain = chain[: chain.index("\nSELECT")]  # keep the WITH ... CTE block
+    stats = []
+    for i in range(0, rounds + 1):
+        stats.append(
+            f"""st{i} AS (SELECT {i} AS rank, count(DISTINCT t.sym) AS vocab,
+  (SELECT sum(f * len(list_filter(string_split(s, ' '), x -> x <> '')))
+   FROM w{i}) AS corpus_tokens
+  FROM (SELECT unnest(list_filter(string_split(s, ' '), x -> x <> '')) AS sym
+        FROM w{i}) t)"""
+        )
+    unions = " UNION ALL ".join(f"SELECT * FROM st{i}" for i in range(0, rounds + 1))
+    return (
+        chain
+        + ",\n"
+        + ",\n".join(stats)
+        + f"\nSELECT rank, vocab::BIGINT AS vocab, corpus_tokens::BIGINT AS corpus_tokens"
+        f" FROM ({unions}) ORDER BY rank"
+    )
+
+
+@_l(
+    "l91_bpe_compression_curve",
+    _bpe_curve_oracle(),
+    note="the BPE effectiveness metric l83's merge list implies: after "
+    "each of the 5 merges, the symbol-vocabulary size and the total "
+    "corpus token count (sum of word_freq x symbols_per_word) — the "
+    "compression curve a tokenizer team actually reads (tokens fall, "
+    "vocab grows, the knee picks the merge budget).  Replays the "
+    "IDENTICAL merge chain as l83 (same argmax pairs, same 4-pass "
+    "rewrite) and measures every intermediate state; all counts are "
+    "exact integers over the vocabulary table",
+)
+def l91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, states = _bpe_train(spark, sf_dir, rounds=5)
+    rows = []
+    for i, st in enumerate(states):
+        agg = st.select(
+            "f", F.expr("filter(split(s, ' '), x -> x <> '')").alias("l")
+        ).agg(
+            F.sum(F.col("f") * F.size("l")).alias("corpus_tokens"),
+        ).collect()[0]
+        vocab = (
+            st.select(F.explode(F.expr("filter(split(s, ' '), x -> x <> '')")).alias("sym"))
+            .agg(F.countDistinct("sym").alias("v"))
+            .collect()[0]["v"]
+        )
+        rows.append((i, int(vocab), int(agg["corpus_tokens"])))
+    return spark.createDataFrame(
+        rows, "rank int, vocab long, corpus_tokens long"
+    ).orderBy("rank")
 
 
 QUERIES = list(_L)
