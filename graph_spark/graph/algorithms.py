@@ -2215,38 +2215,3 @@ def luby_mis(nodes: DataFrame, edges_sym: DataFrame, rounds: int = 3) -> DataFra
             .alias("status"),
         )
     )
-
-
-def ktruss_support(half_edges: DataFrame, rounds: int = 3, min_support: int = 2) -> DataFrame:
-    """k-truss peeling over `rounds` declared rounds: each round counts
-    every surviving (u < v) edge's triangle support within the CURRENT
-    edge set and drops edges below `min_support` (k-truss with
-    k = min_support + 2).  Returns surviving (u, v, support) with
-    support recomputed on the final set, so the output certifies
-    itself.  Per round: one triangle join (two hash joins) + filter.
-    """
-    e = half_edges.select("u", "v").localCheckpoint(eager=True)
-
-    def support(half: DataFrame) -> DataFrame:
-        s = half.unionAll(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        a = s.select(F.col("u").alias("pu"), F.col("v").alias("w"))
-        b = s.select(F.col("u").alias("pv"), F.col("v").alias("w"))
-        return (
-            half.join(a, half.u == a.pu)
-            .join(b, (half.v == b.pv) & (a.w == b.w))
-            .groupBy("u", "v")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-
-    for _ in range(rounds):
-        sup = support(e)
-        e = (
-            e.join(sup, ["u", "v"])
-            .filter(F.col("c") >= min_support)
-            .select("u", "v")
-            .localCheckpoint(eager=True)
-        )
-    fin = support(e)
-    return e.join(fin, ["u", "v"], "left").select(
-        "u", "v", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("support")
-    )

@@ -5352,79 +5352,4 @@ def g102(spark: SparkSession, sf_dir: str) -> DataFrame:
     return luby_mis(c.graph_nodes(), c.graph_edges_sym(), rounds=3).orderBy("node")
 
 
-def _ktruss_oracle(rounds: int = 3, k: int = 4) -> str:
-    # Every e{i} is referenced ~4x by the next round's CTEs; without
-    # MATERIALIZED DuckDB inlines each reference and re-evaluates the
-    # whole chain (incl. the 4-table ne rollup) exponentially often.
-    thr = k - 2
-    parts = [
-        """e0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM es WHERE src < dst)"""
-    ]
-    for i in range(1, rounds + 1):
-        parts.append(
-            f"""s{i - 1} AS MATERIALIZED (SELECT u, v FROM e{i - 1}
-  UNION ALL SELECT v, u FROM e{i - 1}),
-sup{i - 1} AS MATERIALIZED (SELECT p.u, p.v, count(*) AS c FROM e{i - 1} p
-  JOIN s{i - 1} a ON a.u = p.u
-  JOIN s{i - 1} b ON b.u = p.v AND b.v = a.v
-  GROUP BY 1, 2),
-e{i} AS MATERIALIZED (SELECT p.u, p.v FROM e{i - 1} p
-  JOIN sup{i - 1} s ON s.u = p.u AND s.v = p.v WHERE s.c >= {thr})"""
-        )
-    parts.append(
-        f"""sf AS MATERIALIZED (SELECT u, v FROM e{rounds} UNION ALL SELECT v, u FROM e{rounds}),
-supf AS MATERIALIZED (SELECT p.u, p.v, count(*) AS c FROM e{rounds} p
-  JOIN sf a ON a.u = p.u JOIN sf b ON b.u = p.v AND b.v = a.v GROUP BY 1, 2)"""
-    )
-    chain = ",\n".join(parts)
-    return (
-        f"WITH {_TRADE_SYM_CTES},\n{chain}\n"
-        f"""SELECT e.u, e.v, coalesce(s.c, 0)::BIGINT AS support
-FROM e{rounds} e LEFT JOIN supf s ON s.u = e.u AND s.v = e.v
-ORDER BY 1, 2"""
-    )
-
-
-@_g(
-    "g103_ktruss",
-    _ktruss_oracle(),
-    note="4-truss peeling on the nation trade graph, 3 declared rounds: "
-    "each round counts every surviving edge's triangle support (common "
-    "neighbors of its endpoints within the CURRENT edge set) and drops "
-    "edges below support 2 — the edge-density dual of k-core's vertex "
-    "peel, the standard cohesive-subgroup detector.  Support counts "
-    "are exact integers; a fixed 3-round horizon in both engines "
-    "sidesteps the fixpoint-race hazard, and the final support column "
-    "is recomputed on the surviving set so the output certifies "
-    "itself.  Per round: one triangle join (two hash joins over the "
-    "peeled edge list) + one filter — same shape as g05's count but "
-    "edge-attributed",
-)
-def g103(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = Catalog(spark, sf_dir)
-    ne = (
-        c.table("lineitem")
-        .join(c.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c.table("customer")), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(c.table("supplier")), F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy(
-            F.concat(F.lit("n"), F.col("c_nationkey")).alias("src"),
-            F.concat(F.lit("n"), F.col("s_nationkey")).alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter((F.col("n") >= 150) & (F.col("src") != F.col("dst")))
-        .select("src", "dst")
-    )
-    es = (
-        ne.unionAll(ne.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-    )
-    from ..graph.algorithms import ktruss_support
-
-    half = es.filter(F.col("src") < F.col("dst")).select(
-        F.col("src").alias("u"), F.col("dst").alias("v")
-    )
-    return ktruss_support(half, rounds=3, min_support=2).orderBy("u", "v")
-
-
 QUERIES = list(_G)

@@ -4964,63 +4964,6 @@ def l88(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_l(
-    "l89_psi_drift",
-    """WITH d AS (SELECT n_chars,
-         CASE WHEN strpos('0123456789abcdef',
-                substring(md5(doc_id::VARCHAR), 1, 1)) - 1 < 8
-              THEN 'a' ELSE 'b' END AS half,
-         least(CAST(n_chars // 410 AS INT), 9) AS bucket
-       FROM documents),
-       cnt AS (SELECT bucket,
-               count(*) FILTER (WHERE half = 'a') AS ca,
-               count(*) FILTER (WHERE half = 'b') AS cb
-             FROM d GROUP BY 1),
-       tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM cnt)
-       SELECT bucket, ca::BIGINT AS c_a, cb::BIGINT AS c_b,
-              round(((ca + 1.0) / (na + 10) - (cb + 1.0) / (nb + 10))
-                    * ln(((ca + 1.0) / (na + 10)) / ((cb + 1.0) / (nb + 10))), 6)
-                AS psi_i
-       FROM cnt CROSS JOIN tot ORDER BY bucket""",
-    note="population stability index (the industry drift gate): corpus "
-    "split into deterministic md5 halves, n_chars histogrammed into 10 "
-    "fixed-width buckets, per-bucket PSI_i = (p-q) ln(p/q) with "
-    "add-one smoothing so empty buckets stay finite.  Complements "
-    "l71's unigram KL: PSI is symmetric-by-construction, bucketed on a "
-    "NUMERIC feature, and per-bucket attributable (which bucket moved) "
-    "— the monitoring primitive that decides whether a new crawl "
-    "snapshot shifted the length distribution.  Fixed-width bucket "
-    "edges (not learned quantiles) keep the histogram a pure map-side "
-    "combine and the whole metric 2 shuffles at any corpus size",
-)
-def l89(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = Catalog(spark, sf_dir).table("documents")
-    bucket16 = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
-    ).cast("int")
-    d = docs.select(
-        F.when(bucket16 < 8, "a").otherwise("b").alias("half"),
-        F.least(F.expr("CAST(n_chars DIV 410 AS INT)"), F.lit(9)).alias("bucket"),
-    )
-    cnt = d.groupBy("bucket").agg(
-        F.count_if(F.col("half") == "a").alias("ca"),
-        F.count_if(F.col("half") == "b").alias("cb"),
-    )
-    tot = cnt.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
-    p = (F.col("ca") + 1.0) / (F.col("na") + 10)
-    q = (F.col("cb") + 1.0) / (F.col("nb") + 10)
-    return (
-        cnt.crossJoin(F.broadcast(tot))
-        .select(
-            "bucket",
-            F.col("ca").cast("long").alias("c_a"),
-            F.col("cb").cast("long").alias("c_b"),
-            F.round((p - q) * F.log(p / q), 6).alias("psi_i"),
-        )
-        .orderBy("bucket")
-    )
-
-
-@_l(
     "l90_cdc_chunking",
     """WITH d AS (SELECT doc_id, lang, text, length(text) AS n FROM documents),
        pos AS (SELECT doc_id, t.i FROM d,

@@ -8321,63 +8321,6 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "q126_skyline",
-    """WITH p AS (SELECT p_partkey, p_size,
-         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
-       FROM part),
-       w AS (SELECT p_partkey, p_size, cents,
-         max(p_size) OVER (ORDER BY cents
-           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_cheaper,
-         max(p_size) OVER (PARTITION BY cents) AS best_same
-       FROM p)
-       SELECT p_partkey, cents, p_size::INT AS p_size FROM w
-       WHERE (best_cheaper IS NULL OR p_size > best_cheaper)
-         AND p_size = best_same
-       ORDER BY cents, p_partkey""",
-    note="2-D skyline / Pareto frontier: parts not dominated on "
-    "(cheaper price, bigger size) — dominated means some part is <= on "
-    "price and >= on size with one strict.  Computed WITHOUT the "
-    "quadratic dominance self-join: one sort, a running max(size) over "
-    "strictly-cheaper rows (integer-cents RANGE frame, so 'strictly "
-    "cheaper' is an exact frame bound, no float range arithmetic) "
-    "plus a per-price-tie max — O(n log n) and shuffle-once, the plan "
-    "that survives a billion-row dimension where the naive NOT EXISTS "
-    "anti-join is n^2.  Price is compared in half-up cents in both "
-    "engines (the g10 money-boundary protocol)",
-)
-def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = (
-        Catalog(spark, sf_dir)
-        .table("part")
-        .select(
-            "p_partkey",
-            "p_size",
-            F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long").alias("cents"),
-        )
-    )
-    # Distributed shape: the parallel groupBy collapses the fact table
-    # to one row per distinct price BEFORE the (inherently sequential)
-    # running-max window, so the single-task window only ever sees
-    # |distinct prices| rows, and winners broadcast-join back.
-    per_price = p.groupBy("cents").agg(F.max("p_size").alias("best_same"))
-    w_cheaper = Window.orderBy("cents").rangeBetween(Window.unboundedPreceding, -1)
-    frontier = (
-        per_price.withColumn("best_cheaper", F.max("best_same").over(w_cheaper))
-        .filter(
-            F.col("best_cheaper").isNull()
-            | (F.col("best_same") > F.col("best_cheaper"))
-        )
-        .select("cents", "best_same")
-    )
-    return (
-        p.join(F.broadcast(frontier), "cents")
-        .filter(F.col("p_size") == F.col("best_same"))
-        .select("p_partkey", "cents", F.col("p_size").cast("int").alias("p_size"))
-        .orderBy("cents", "p_partkey")
-    )
-
-
 _ALLEN_CASE = """CASE
   WHEN e1 < s2 THEN '01_precedes'
   WHEN e1 = s2 THEN '02_meets'
@@ -8404,17 +8347,17 @@ _ALLEN_CASE = """CASE
               ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey)
        SELECT {_ALLEN_CASE} AS rel, count(*)::BIGINT AS n
        FROM pr GROUP BY 1 ORDER BY 1""",
-    note="Allen's interval algebra: every same-customer order pair is "
-    "classified into exactly one of the 13 interval relations "
-    "(precedes/meets/overlaps/starts/during/finishes/equals + "
-    "inverses), intervals built from order date + a deterministic "
-    "orderkey-modulo duration so all 13 cases actually occur.  The "
-    "CASE ladder is shared text between engines and every comparison "
-    "is exact timestamp equality/ordering — the temporal-reasoning "
-    "vocabulary (13 mutually exclusive, jointly exhaustive relations) "
-    "that interval joins like t02 only sample one predicate of.  "
-    "Pair generation is a per-customer equi-self-join (key-partitioned, "
-    "never cross-customer), histogram is one map-side-combined shuffle",
+    note="Allen's interval algebra, the FULL 13-relation form: t75's "
+    "census canonicalizes pair order and collapses each converse into "
+    "7 relations; here pairs are ordered by orderkey (a label, not a "
+    "temporal canon), so the converses (preceded_by/met_by/"
+    "overlapped_by/started_by/contains/finished_by) appear as "
+    "first-class outcomes — the direction-aware vocabulary a temporal "
+    "REASONER needs (\"a caused b\" is not \"b caused a\"), where "
+    "t75's collapsed form only answers adjacency.  Mutually exclusive "
+    "and jointly exhaustive by the shared CASE ladder; exact "
+    "timestamp comparisons; per-customer equi-self-join, one "
+    "map-side-combined histogram shuffle",
 )
 def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = Catalog(spark, sf_dir).table("orders")

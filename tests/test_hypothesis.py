@@ -302,21 +302,22 @@ def test_luby_mis_matches_python(spark, edges, rounds):
     assert not any(b in mis for a in mis for b in adj[a])
 
 
-@given(edges=edges_strategy, rounds=st.integers(1, 3), thr=st.integers(1, 2))
+@given(edges=edges_strategy, rounds=st.integers(1, 3), k=st.integers(3, 4))
 @SET
-def test_ktruss_matches_python(spark, edges, rounds, thr):
-    """ktruss_support must equal the python peel: same survivors, same
-    recomputed support."""
-    from graph_spark.graph.algorithms import ktruss_support
+def test_ktruss_peel_matches_python(spark, edges, rounds, k):
+    """ktruss_peel (the g29 kernel) must equal the python peel: same
+    survivors, with the support each edge carried in the round that
+    kept it (the kernel returns the final round's pre-drop support)."""
+    from graph_spark.graph.algorithms import ktruss_peel
 
     es = _sym(edges)
     if not es:
         return
     half = {(a, b) for a, b in es if a < b}
-    e = spark.createDataFrame(sorted(half), ["u", "v"])
+    e = spark.createDataFrame(sorted(half), ["s1", "s2"])
     got = {
-        (r["u"], r["v"]): r["support"]
-        for r in ktruss_support(e, rounds=rounds, min_support=thr).collect()
+        (r["s1"], r["s2"]): r["support"]
+        for r in ktruss_peel(e, k=k, rounds=rounds).collect()
     }
 
     cur = set(half)
@@ -328,7 +329,9 @@ def test_ktruss_matches_python(spark, edges, rounds, thr):
             nbr.setdefault(b, set()).add(a)
         return {(a, b): len(nbr[a] & nbr[b]) for a, b in s}
 
+    last = {}
     for _ in range(rounds):
         sp = sup(cur)
-        cur = {ed for ed in cur if sp[ed] >= thr}
-    assert got == sup(cur)
+        last = {ed: c for ed, c in sp.items() if c >= k - 2}
+        cur = set(last)
+    assert got == last

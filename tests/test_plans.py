@@ -670,18 +670,6 @@ def test_l80_bloom_membership_broadcasts_bit_set(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
-def test_q126_skyline_no_dominance_cartesian(spark):
-    """Skyline must be the sort+running-max plan, not an n^2 dominance
-    self-join; the frontier joins back as a broadcast."""
-    from graph_spark.queries.qsuite import QUERIES
-
-    q = next(q for q in QUERIES if q.name == "q126_skyline")
-    plan = _plan(q.build(spark, SF_SMOKE))
-    assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "BroadcastExchange" in plan, plan
-
-
 def test_g100_hits_broadcasts_score_state(spark):
     """Each HITS half-round joins the |V|-sized score table into the
     stationary edge list as a broadcast hash join — never a shuffle of
