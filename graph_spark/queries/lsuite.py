@@ -5094,4 +5094,76 @@ def l91(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def _pca_oracle(iters: int = 5, dim: int = 64) -> str:
+    parts = [
+        f"""px AS (SELECT vec_id, i.i AS j,
+  embedding[(i.i + 1)::INT]::DOUBLE AS xj
+  FROM embeddings CROSS JOIN range({dim}) i(i)),
+g AS MATERIALIZED (SELECT a.j AS j, b.j AS k, round(sum(a.xj * b.xj), 6) AS g
+  FROM px a JOIN px b USING (vec_id) GROUP BY 1, 2),
+v0 AS (SELECT i.i AS j, 1.0::DOUBLE AS v FROM range({dim}) i(i))"""
+    ]
+    for r in range(1, iters + 1):
+        parts.append(
+            f"""gv{r} AS (SELECT g.j, sum(g.g * p.v) AS s
+  FROM g JOIN v{r - 1} p ON p.j = g.k GROUP BY 1),
+m{r} AS (SELECT max(abs(s)) AS m FROM gv{r}),
+v{r} AS (SELECT j, s / m.m AS v FROM gv{r} CROSS JOIN m{r} m)"""
+        )
+    chain = ",\n".join(parts)
+    return (
+        f"WITH {chain}\n"
+        f"SELECT j::BIGINT AS dim, round(v, 5) AS loading FROM v{iters} ORDER BY 1"
+    )
+
+
+@_l(
+    "l92_pca_power_iteration",
+    _pca_oracle(),
+    note="top principal direction of the embedding cloud by power "
+    "iteration on the second-moment (Gram) matrix: G = X^T X built "
+    "ONCE by a posexplode pair aggregate and ROUNDED AT 6dp BEFORE "
+    "iterating — the rounding is the cross-engine determinism "
+    "protocol (both engines then iterate identical 64x64 inputs "
+    "through identically-shaped expressions, so the 1e-15 reduction-"
+    "order drift cannot compound across rounds), 5 rounds of "
+    "v <- Gv / max|Gv| (g81's max-normalization trick: one exact "
+    "comparison, no L2 norm float).  The dimensionality-reduction / "
+    "whitening first step the embedding suite lacked (kmeans/IVF/PQ "
+    "quantize; this DECORRELATES).  At scale: G is a dim^2 aggregate "
+    "(one map-side-combined shuffle over the corpus, 4096 cells "
+    "regardless of row count) and each iteration touches only the "
+    "4096-cell G — corpus size never enters the loop",
+)
+def l92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    px = emb.select("vec_id", F.posexplode("embedding").alias("j", "xj")).withColumn(
+        "xj", F.col("xj").cast("double")
+    )
+    g = (
+        px.alias("a")
+        .join(px.alias("b"), "vec_id")
+        .groupBy(F.col("a.j").alias("j"), F.col("b.j").alias("k"))
+        .agg(F.round(F.sum(F.col("a.xj") * F.col("b.xj")), 6).alias("g"))
+        .localCheckpoint(eager=True)
+    )
+    v = (
+        emb.sparkSession.range(64)
+        .select(F.col("id").cast("long").alias("j"), F.lit(1.0).alias("v"))
+    )
+    for _ in range(5):
+        gv = (
+            g.join(F.broadcast(v.select(F.col("j").alias("k"), "v")), "k")
+            .groupBy("j")
+            .agg(F.sum(F.col("g") * F.col("v")).alias("s"))
+        )
+        m = gv.agg(F.max(F.abs(F.col("s"))).alias("m"))
+        v = gv.crossJoin(F.broadcast(m)).select(
+            "j", (F.col("s") / F.col("m")).alias("v")
+        )
+    return v.select(
+        F.col("j").cast("long").alias("dim"), F.round("v", 5).alias("loading")
+    ).orderBy("dim")
+
+
 QUERIES = list(_L)

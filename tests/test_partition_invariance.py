@@ -62,6 +62,9 @@ SAMPLE = [
     "l81_textrank",
     "l83_bpe_merges",
     "l85_hyperloglog",
+    # PCA power iteration: G rounded pre-iteration is the protocol
+    # under test — drift must not reappear through the loop
+    "l92_pca_power_iteration",
 ]
 
 
