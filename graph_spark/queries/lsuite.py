@@ -5166,4 +5166,86 @@ def l92(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dim")
 
 
+def _logreg_oracle(iters: int = 3) -> str:
+    parts = [
+        """f AS (SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+  1.0::DOUBLE AS x0, (n_chars / 1000.0)::DOUBLE AS x1,
+  (len(list_filter(string_split(text, ' '), x -> x <> '')) / 100.0)::DOUBLE AS x2
+  FROM documents),
+n AS (SELECT count(*) AS n FROM f),
+w0 AS (SELECT 0.0::DOUBLE AS a, 0.0::DOUBLE AS b, 0.0::DOUBLE AS c)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""g{i} AS (SELECT
+  round(sum((1.0 / (1.0 + exp(-(w.a * x0 + w.b * x1 + w.c * x2))) - y) * x0), 6) AS ga,
+  round(sum((1.0 / (1.0 + exp(-(w.a * x0 + w.b * x1 + w.c * x2))) - y) * x1), 6) AS gb,
+  round(sum((1.0 / (1.0 + exp(-(w.a * x0 + w.b * x1 + w.c * x2))) - y) * x2), 6) AS gc
+  FROM f CROSS JOIN w{i - 1} w),
+w{i} AS (SELECT floor((w.a - 0.5 * g.ga / n.n) * 1e6 + 0.5) / 1e6 AS a,
+                floor((w.b - 0.5 * g.gb / n.n) * 1e6 + 0.5) / 1e6 AS b,
+                floor((w.c - 0.5 * g.gc / n.n) * 1e6 + 0.5) / 1e6 AS c
+  FROM w{i - 1} w CROSS JOIN g{i} g CROSS JOIN n)"""
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT {i} AS step, a AS w_bias, b AS w_len, c AS w_tokens FROM w{i}"
+        for i in range(1, iters + 1)
+    )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT * FROM ({unions}) ORDER BY step"
+
+
+@_l(
+    "l93_logreg_gd",
+    _logreg_oracle(),
+    note="in-engine MODEL TRAINING: a quality/language classifier "
+    "(the CCNet / FineWeb pipeline step) fit by 3 full-batch "
+    "gradient-descent rounds of logistic regression on two document "
+    "features (scaled length, scaled token count).  Determinism is "
+    "l92's protocol applied to learning: the gradient is a rounded "
+    "6-dp aggregate and the weights are re-rounded after every "
+    "step, so both engines enter each round with bit-identical "
+    "weights and the per-row sigmoid ulp noise (JVM Math.exp vs "
+    "libm exp) is absorbed before it can compound.  At scale each "
+    "round is ONE map-side-combined aggregate over the corpus "
+    "(3 partial sums), weights are a 3-float driver scalar — "
+    "full-batch GD is embarrassingly data-parallel, which is why "
+    "in-warehouse training of shallow models works at 100 TB",
+)
+def l93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    f = docs.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        F.lit(1.0).alias("x0"),
+        (F.col("n_chars") / 1000.0).cast("double").alias("x1"),
+        (
+            F.size(F.expr("filter(split(text, ' '), x -> x <> '')")) / 100.0
+        ).cast("double").alias("x2"),
+    ).localCheckpoint(eager=True)
+    n = f.count()
+    w = [0.0, 0.0, 0.0]
+    rows = []
+    for step in range(1, 4):
+        z = F.lit(w[0]) * F.col("x0") + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+        p = 1.0 / (1.0 + F.exp(-z))
+        g = f.agg(
+            F.round(F.sum((p - F.col("y")) * F.col("x0")), 6).alias("ga"),
+            F.round(F.sum((p - F.col("y")) * F.col("x1")), 6).alias("gb"),
+            F.round(F.sum((p - F.col("y")) * F.col("x2")), 6).alias("gc"),
+        ).collect()[0]
+        import math
+
+        # floor-form half-up at 6dp — identical to the oracle's
+        # floor((x)*1e6+0.5)/1e6 on the same double (python round()
+        # is banker's and could flip a boundary)
+        w = [
+            math.floor((w[0] - 0.5 * g["ga"] / n) * 1e6 + 0.5) / 1e6,
+            math.floor((w[1] - 0.5 * g["gb"] / n) * 1e6 + 0.5) / 1e6,
+            math.floor((w[2] - 0.5 * g["gc"] / n) * 1e6 + 0.5) / 1e6,
+        ]
+        rows.append((step, w[0], w[1], w[2]))
+    return spark.createDataFrame(
+        rows, "step int, w_bias double, w_len double, w_tokens double"
+    ).orderBy("step")
+
+
 QUERIES = list(_L)
