@@ -5194,6 +5194,50 @@ w{i} AS (SELECT floor((w.a - 0.5 * g.ga / n.n) * 1e6 + 0.5) / 1e6 AS a,
     return "WITH " + ",\n".join(parts) + f"\nSELECT * FROM ({unions}) ORDER BY step"
 
 
+def _logreg_chain(iters: int = 3) -> str:
+    """The WITH-chain of _logreg_oracle without the final SELECT, for
+    oracles that consume the trained w{iters} (l94 calibration)."""
+    full = _logreg_oracle(iters)
+    return full[: full.rindex("\nSELECT")]
+
+
+def _logreg_fit(spark: SparkSession, sf_dir: str, iters: int = 3):
+    """Shared trainer for l93/l94: returns (features_df, per-step rows,
+    final weights).  Weights use the floor-form half-up at 6dp —
+    identical to the oracle's floor((x)*1e6+0.5)/1e6 on the same
+    double (python round() is banker's and could flip a boundary)."""
+    import math
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    f = docs.select(
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        F.lit(1.0).alias("x0"),
+        (F.col("n_chars") / 1000.0).cast("double").alias("x1"),
+        (
+            F.size(F.expr("filter(split(text, ' '), x -> x <> '')")) / 100.0
+        ).cast("double").alias("x2"),
+    ).localCheckpoint(eager=True)
+    n = f.count()
+    w = [0.0, 0.0, 0.0]
+    rows = []
+    for step in range(1, iters + 1):
+        z = F.lit(w[0]) * F.col("x0") + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+        p = 1.0 / (1.0 + F.exp(-z))
+        g = f.agg(
+            F.round(F.sum((p - F.col("y")) * F.col("x0")), 6).alias("ga"),
+            F.round(F.sum((p - F.col("y")) * F.col("x1")), 6).alias("gb"),
+            F.round(F.sum((p - F.col("y")) * F.col("x2")), 6).alias("gc"),
+        ).collect()[0]
+        w = [
+            math.floor((w[0] - 0.5 * g["ga"] / n) * 1e6 + 0.5) / 1e6,
+            math.floor((w[1] - 0.5 * g["gb"] / n) * 1e6 + 0.5) / 1e6,
+            math.floor((w[2] - 0.5 * g["gc"] / n) * 1e6 + 0.5) / 1e6,
+        ]
+        rows.append((step, w[0], w[1], w[2]))
+    return f, rows, w
+
+
+
 @_l(
     "l93_logreg_gd",
     _logreg_oracle(),
@@ -5212,40 +5256,54 @@ w{i} AS (SELECT floor((w.a - 0.5 * g.ga / n.n) * 1e6 + 0.5) / 1e6 AS a,
     "in-warehouse training of shallow models works at 100 TB",
 )
 def l93(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = Catalog(spark, sf_dir).table("documents")
-    f = docs.select(
-        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
-        F.lit(1.0).alias("x0"),
-        (F.col("n_chars") / 1000.0).cast("double").alias("x1"),
-        (
-            F.size(F.expr("filter(split(text, ' '), x -> x <> '')")) / 100.0
-        ).cast("double").alias("x2"),
-    ).localCheckpoint(eager=True)
-    n = f.count()
-    w = [0.0, 0.0, 0.0]
-    rows = []
-    for step in range(1, 4):
-        z = F.lit(w[0]) * F.col("x0") + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
-        p = 1.0 / (1.0 + F.exp(-z))
-        g = f.agg(
-            F.round(F.sum((p - F.col("y")) * F.col("x0")), 6).alias("ga"),
-            F.round(F.sum((p - F.col("y")) * F.col("x1")), 6).alias("gb"),
-            F.round(F.sum((p - F.col("y")) * F.col("x2")), 6).alias("gc"),
-        ).collect()[0]
-        import math
-
-        # floor-form half-up at 6dp — identical to the oracle's
-        # floor((x)*1e6+0.5)/1e6 on the same double (python round()
-        # is banker's and could flip a boundary)
-        w = [
-            math.floor((w[0] - 0.5 * g["ga"] / n) * 1e6 + 0.5) / 1e6,
-            math.floor((w[1] - 0.5 * g["gb"] / n) * 1e6 + 0.5) / 1e6,
-            math.floor((w[2] - 0.5 * g["gc"] / n) * 1e6 + 0.5) / 1e6,
-        ]
-        rows.append((step, w[0], w[1], w[2]))
+    _, rows, _ = _logreg_fit(spark, sf_dir, iters=3)
     return spark.createDataFrame(
         rows, "step int, w_bias double, w_len double, w_tokens double"
     ).orderBy("step")
+
+
+@_l(
+    "l94_calibration",
+    _logreg_chain()
+    + """,
+pred AS (SELECT y, 1.0 / (1.0 + exp(-(w.a * x0 + w.b * x1 + w.c * x2))) AS p
+  FROM f CROSS JOIN w3 w),
+bi AS (SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin, y, p FROM pred)
+SELECT bin, count(*)::BIGINT AS n, round(avg(p), 4) AS mean_pred,
+       round(avg(y), 4) AS obs_rate,
+       round(avg((p - y) * (p - y)), 6) AS brier
+FROM bi GROUP BY 1 ORDER BY 1""",
+    note="classifier calibration — the reliability diagram + per-bin "
+    "Brier score for l93's trained quality classifier: predictions "
+    "from the SAME deterministic 3-step weights are bucketed into 10 "
+    "fixed probability bins; a calibrated model has mean_pred ~ "
+    "obs_rate per bin, and the gap is exactly what temperature "
+    "scaling would fix before the score gates a data pipeline.  "
+    "obs_rate is an exact integer ratio; mean_pred/brier are "
+    "4/6dp-rounded bin aggregates (suite float protocol).  One "
+    "scan + one combine aggregate at any corpus size",
+)
+def l94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f, _, w = _logreg_fit(spark, sf_dir, iters=3)
+    z = F.lit(w[0]) * F.col("x0") + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+    p = 1.0 / (1.0 + F.exp(-z))
+    bi = f.select(
+        "y",
+        p.alias("p"),
+        F.least(F.floor(p * 10).cast("int"), F.lit(9)).alias("bin"),
+    )
+    return (
+        bi.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("p"), 4).alias("mean_pred"),
+            F.round(F.avg("y"), 4).alias("obs_rate"),
+            F.round(F.avg((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))), 6).alias(
+                "brier"
+            ),
+        )
+        .orderBy("bin")
+    )
 
 
 QUERIES = list(_L)
