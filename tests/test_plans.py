@@ -681,3 +681,32 @@ def test_g100_hits_broadcasts_score_state(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_l84_countmin_cells_broadcast(spark):
+    """The 4096-cell CMS table must come back to the token side as a
+    broadcast hash join — the sketch's bounded state IS the point."""
+    from graph_spark.queries.lsuite import QUERIES
+
+    q = next(q for q in QUERIES if q.name == "l84_countmin")
+    plan = _plan(q.build(spark, SF_SMOKE))
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_l92_pca_iteration_stays_on_gram(spark):
+    """PCA power iteration joins the 64-row vector into the 4096-cell
+    Gram matrix as broadcast hash joins; the corpus-sized pair join
+    happens exactly once (building G), never inside the loop."""
+    from graph_spark.queries.lsuite import QUERIES
+
+    q = next(q for q in QUERIES if q.name == "l92_pca_power_iteration")
+    plan = _plan(q.build(spark, SF_SMOKE))
+    # the only nested-loop joins are the per-round 1-row max-normalizer
+    # scalars (crossJoin(broadcast(m))) — never a data-sized cartesian
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 5, plan
+    # localCheckpoint truncates G's build lineage, so the executed
+    # plan contains ONLY the iteration: broadcast joins over G
+    assert "BroadcastExchange" in plan, plan
