@@ -8507,4 +8507,294 @@ def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q130_mann_kendall",
+    """WITH m AS (SELECT o_orderpriority AS prio,
+         date_trunc('month', o_orderdate) AS mon, count(*) AS c
+       FROM orders GROUP BY 1, 2),
+       pairs AS (SELECT a.prio, sign(b.c - a.c) AS sg
+                 FROM m a JOIN m b ON a.prio = b.prio AND a.mon < b.mon),
+       agg AS (SELECT prio, sum(sg)::BIGINT AS s_stat, count(*)::BIGINT AS n_pairs
+               FROM pairs GROUP BY 1),
+       nm AS (SELECT prio, count(*)::BIGINT AS n_months FROM m GROUP BY 1)
+       SELECT nm.prio, nm.n_months, agg.s_stat,
+              round(CAST(agg.s_stat AS DOUBLE) / agg.n_pairs, 4) AS tau
+       FROM nm JOIN agg ON nm.prio = agg.prio
+       ORDER BY nm.prio""",
+    note="Mann-Kendall trend test per order priority over monthly order "
+    "counts: S = sum over month pairs i<j of sign(c_j - c_i), the "
+    "nonparametric is-this-series-trending statistic monitoring "
+    "pipelines run per metric.  EXACT INTEGER S (sum of -1/0/+1) and "
+    "exact pair count; Kendall tau = S / (n(n-1)/2) is one division "
+    "of two exact ints, rounded 4dp.  The pairwise self-join is "
+    "O(months^2) per series but months stays ~84 while rows grow — "
+    "the aggregate-then-pair shape means 100 TB of raw orders first "
+    "collapses to a tiny per-series frame (one map-side-combined "
+    "shuffle), and the quadratic join runs on that; for very long "
+    "series the O(n log n) inversion-count form would replace it",
+)
+def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    m = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("prio"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("mon"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    a = m.alias("a")
+    b = m.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.prio") == F.col("b.prio")) & (F.col("a.mon") < F.col("b.mon")),
+    ).select(
+        F.col("a.prio").alias("prio"),
+        F.signum(F.col("b.c") - F.col("a.c")).cast("long").alias("sg"),
+    )
+    agg = pairs.groupBy("prio").agg(
+        F.sum("sg").alias("s_stat"), F.count(F.lit(1)).alias("n_pairs")
+    )
+    nm = m.groupBy("prio").agg(F.count(F.lit(1)).alias("n_months"))
+    return (
+        nm.join(agg, "prio")
+        .select(
+            "prio",
+            "n_months",
+            "s_stat",
+            F.round(F.col("s_stat").cast("double") / F.col("n_pairs"), 4).alias("tau"),
+        )
+        .orderBy("prio")
+    )
+
+
+@_q(
+    "q131_ks_two_sample",
+    """WITH s AS (SELECT CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         c.c_mktsegment AS seg
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+       cnt AS (SELECT cents,
+         sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS c2
+       FROM s GROUP BY 1),
+       cum AS (SELECT cents,
+         sum(c1) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum1,
+         sum(c2) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum2
+       FROM cnt),
+       tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM cnt)
+       SELECT t.n1::BIGINT AS n1, t.n2::BIGINT AS n2,
+              max(abs(t.n2 * c.cum1 - t.n1 * c.cum2))::BIGINT AS d_num,
+              round(CAST(max(abs(t.n2 * c.cum1 - t.n1 * c.cum2)) AS DOUBLE)
+                    / (t.n1 * t.n2), 6) AS ks_d
+       FROM cum c CROSS JOIN tot t
+       GROUP BY t.n1, t.n2""",
+    note="two-sample Kolmogorov-Smirnov distance between BUILDING and "
+    "MACHINERY customers' order totals, EXACT INTEGER carrier: the "
+    "ECDF difference |F1(v) - F2(v)| is scaled through by n1*n2, so "
+    "the sup is max|n2*cum1(v) - n1*cum2(v)| over the merged support "
+    "— every term BIGINT, the argmax layout-proof; KS D itself is one "
+    "division of exact ints rounded 6dp.  The distribution-shift gate "
+    "a feature pipeline runs between cohorts.  Shape: one groupBy on "
+    "value (map-side combined), one global-window cumsum over the "
+    "DISTINCT value frame (small after collapse), one max — the raw "
+    "join is broadcast (customer dim).  Magnitude: n2*cum1 <= n^2 ~ "
+    "1e10 at sf1 — int64-safe through sf1000",
+)
+def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    o = c.table("orders")
+    cust = c.table("customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    s = o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey).select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    cnt = s.groupBy("cents").agg(
+        F.sum(F.when(F.col("seg") == "BUILDING", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("seg") == "MACHINERY", 1).otherwise(0)).alias("c2"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = cnt.select(
+        "cents",
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+    )
+    tot = cnt.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(F.abs(F.col("n2") * F.col("cum1") - F.col("n1") * F.col("cum2")))
+            .alias("d_num"),
+            F.round(
+                F.max(
+                    F.abs(F.col("n2") * F.col("cum1") - F.col("n1") * F.col("cum2"))
+                ).cast("double")
+                / (F.col("n1") * F.col("n2")),
+                6,
+            ).alias("ks_d"),
+        )
+        .select(
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.col("d_num").cast("long").alias("d_num"),
+            "ks_d",
+        )
+    )
+
+
+@_q(
+    "q132_chi_square",
+    """WITH base AS (SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+         AND o.o_orderdate < TIMESTAMP '1996-01-01'),
+       cell AS (SELECT seg, prio, count(*) AS obs FROM base GROUP BY 1, 2),
+       rt AS (SELECT seg, sum(obs) AS r FROM cell GROUP BY 1),
+       ct AS (SELECT prio, sum(obs) AS c FROM cell GROUP BY 1),
+       n AS (SELECT sum(obs) AS n FROM cell),
+       terms AS (SELECT
+         CAST(floor(1e6 * CAST((n.n * cell.obs - rt.r * ct.c)
+                                * (n.n * cell.obs - rt.r * ct.c) AS DOUBLE)
+                        / (n.n * rt.r * ct.c) + 0.5) AS BIGINT) AS t_x1m
+       FROM cell JOIN rt ON cell.seg = rt.seg
+       JOIN ct ON cell.prio = ct.prio CROSS JOIN n)
+       SELECT (SELECT count(*) FROM rt)::BIGINT AS n_rows,
+              (SELECT count(*) FROM ct)::BIGINT AS n_cols,
+              ((SELECT count(*) FROM rt) - 1)
+                * ((SELECT count(*) FROM ct) - 1) AS dof,
+              sum(t_x1m)::BIGINT AS chi2_x1m
+       FROM terms""",
+    note="chi-square independence test of market segment vs order "
+    "priority on one order-year, EXACT INTEGER protocol: each cell's "
+    "(O-E)^2/E is rewritten as (N*O - r*c)^2 / (N*r*c) — numerator an "
+    "exact BIGINT (then exactly representable as double: the year "
+    "filter bounds N*O < 2e8 so diff^2 < 2^53 through sf1), one "
+    "double division per cell, scaled x1e6 and floored half-up to "
+    "BIGINT, then SUMMED AS INTEGERS so accumulation order cannot "
+    "drift.  The 'is this categorical feature independent of that "
+    "label' screen.  Shape: one broadcast dim join, one cell groupBy "
+    "(25 cells), row/col margins from the cell frame — everything "
+    "after the first combine is tiny",
+)
+def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    o = c.table("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    cust = c.table("customer")
+    base = o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("prio")
+    )
+    cell = base.groupBy("seg", "prio").agg(F.count(F.lit(1)).alias("obs"))
+    rt = cell.groupBy("seg").agg(F.sum("obs").alias("r"))
+    ct = cell.groupBy("prio").agg(F.sum("obs").alias("c"))
+    n = cell.agg(F.sum("obs").alias("n"))
+    diff = F.col("n") * F.col("obs") - F.col("r") * F.col("c")
+    terms = (
+        cell.join(F.broadcast(rt), "seg")
+        .join(F.broadcast(ct), "prio")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.floor(
+                F.lit(1e6)
+                * (diff * diff).cast("double")
+                / (F.col("n") * F.col("r") * F.col("c"))
+                + 0.5
+            )
+            .cast("long")
+            .alias("t_x1m")
+        )
+    )
+    nr = rt.agg(F.count(F.lit(1)).alias("n_rows"))
+    nc = ct.agg(F.count(F.lit(1)).alias("n_cols"))
+    return (
+        terms.agg(F.sum("t_x1m").alias("chi2_x1m"))
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_cols").cast("long").alias("n_cols"),
+            ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).alias("dof"),
+            F.col("chi2_x1m").cast("long").alias("chi2_x1m"),
+        )
+    )
+
+
+@_q(
+    "q133_mann_whitney",
+    """WITH s AS (SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS v,
+         l_linestatus AS grp FROM lineitem WHERE l_linestatus IN ('O', 'F')),
+       cnt AS (SELECT v,
+         sum(CASE WHEN grp = 'O' THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN grp = 'F' THEN 1 ELSE 0 END) AS c2
+       FROM s GROUP BY 1),
+       cum AS (SELECT v, c1, c2, c1 + c2 AS c,
+         sum(c1 + c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+           - (c1 + c2) AS before
+       FROM cnt),
+       tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM cnt)
+       SELECT t.n1::BIGINT AS n1, t.n2::BIGINT AS n2,
+              (sum(c.c1 * (2 * c.before + c.c + 1)) - t.n1 * (t.n1 + 1))::BIGINT
+                AS u1_x2,
+              sum(c.c * c.c * c.c - c.c)::BIGINT AS tie_term
+       FROM cum c CROSS JOIN tot t
+       GROUP BY t.n1, t.n2""",
+    note="Mann-Whitney U rank-sum test ('O' vs 'F' line status over "
+    "quantities), EXACT INTEGER carrier: average ranks under ties are "
+    "half-integers, so everything is carried x2 — for a tie group of "
+    "size c starting after `before` items, 2*avg_rank = 2*before + c "
+    "+ 1, hence 2*R1 = sum c1*(2*before + c + 1) and U1*2 = 2R1 - "
+    "n1(n1+1), all BIGINT; the tie-correction term sum(t^3 - t) for "
+    "the variance is emitted as an exact integer too.  The "
+    "nonparametric are-these-cohorts-different test run per feature.  "
+    "Shape: one value-groupBy collapse (50 distinct quantities), one "
+    "window cumsum on the collapsed frame, one aggregate — raw scan "
+    "is a single map-side-combined shuffle regardless of row count; "
+    "2R1 <= 2n^2 ~ 1e13 at sf1, int64-safe",
+)
+def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem").filter(
+        F.col("l_linestatus").isin("O", "F")
+    )
+    s = li.select(
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("v"),
+        F.col("l_linestatus").alias("grp"),
+    )
+    cnt = s.groupBy("v").agg(
+        F.sum(F.when(F.col("grp") == "O", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("grp") == "F", 1).otherwise(0)).alias("c2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = cnt.select(
+        "v",
+        "c1",
+        "c2",
+        (F.col("c1") + F.col("c2")).alias("c"),
+        (F.sum(F.col("c1") + F.col("c2")).over(w) - (F.col("c1") + F.col("c2"))).alias(
+            "before"
+        ),
+    )
+    tot = cnt.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            (
+                F.sum(F.col("c1") * (2 * F.col("before") + F.col("c") + 1))
+                - F.col("n1") * (F.col("n1") + 1)
+            ).alias("u1_x2"),
+            F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias("tie_term"),
+        )
+        .select(
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.col("u1_x2").cast("long").alias("u1_x2"),
+            F.col("tie_term").cast("long").alias("tie_term"),
+        )
+    )
+
+
 QUERIES = list(_Q)
