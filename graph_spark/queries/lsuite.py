@@ -5306,4 +5306,158 @@ def l94(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l95_js_source_drift",
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term
+         FROM documents),
+       t2 AS (SELECT source, term FROM tok WHERE term <> ''),
+       sc AS (SELECT source, term, count(*) AS c FROM t2 GROUP BY 1, 2),
+       corp AS (SELECT term, count(*) AS ct FROM t2 GROUP BY 1),
+       v AS (SELECT count(*) AS v FROM corp),
+       n AS (SELECT sum(ct) AS n FROM corp),
+       st AS (SELECT source, sum(c) AS ns FROM sc GROUP BY 1),
+       grid AS (SELECT st.source, st.ns, corp.term, corp.ct,
+                       coalesce(sc.c, 0) AS c
+                FROM st CROSS JOIN corp
+                LEFT JOIN sc ON sc.source = st.source AND sc.term = corp.term),
+       probs AS (SELECT source, ns,
+         (c + 1.0) / (ns + v.v) AS p,
+         (ct + 1.0) / (n.n + v.v) AS q
+       FROM grid CROSS JOIN v CROSS JOIN n)
+       SELECT source, ns::BIGINT AS n_tokens,
+              round(sum(0.5 * p * ln(2 * p / (p + q))
+                        + 0.5 * q * ln(2 * q / (p + q))), 6) AS js
+       FROM probs GROUP BY 1, 2
+       ORDER BY js DESC, source""",
+    note="per-source Jensen-Shannon divergence against the whole-corpus "
+    "unigram distribution — the symmetric, bounded ([0, ln2]) "
+    "complement to l71's KL and q91/l89's PSI: rank WHICH crawl "
+    "source drifts furthest from the curated mix (the "
+    "downweight-this-source signal in mixture tuning).  Add-one "
+    "smoothing over the corpus vocabulary; the vocab x sources grid "
+    "is the explicit support union so no term zero-divides.  Shape: "
+    "two token groupBys (map-side combined), a broadcast-sized "
+    "source-totals frame crossed with the vocab frame, one LEFT join "
+    "back to per-source counts, one distributive sum per source — at "
+    "100 TB the corpus collapses to (vocab x sources) rows before "
+    "any float math; float accumulation guarded by 6dp rounding on a "
+    "sum of terms all <= ln2 (l71's proven idiom)",
+)
+def l95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    tok = d.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    sc = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    corp = tok.groupBy("term").agg(F.count(F.lit(1)).alias("ct"))
+    v_ = corp.count()
+    n_ = tok.count()
+    st = sc.groupBy("source").agg(F.sum("c").alias("ns"))
+    grid = (
+        F.broadcast(st)
+        .crossJoin(corp)
+        .join(sc, ["source", "term"], "left")
+        .select(
+            "source",
+            "ns",
+            "ct",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    probs = grid.select(
+        "source",
+        "ns",
+        ((F.col("c") + 1.0) / (F.col("ns") + F.lit(float(v_)))).alias("p"),
+        ((F.col("ct") + 1.0) / F.lit(float(n_ + v_))).alias("q"),
+    )
+    js_term = 0.5 * F.col("p") * F.log(2 * F.col("p") / (F.col("p") + F.col("q"))) + (
+        0.5 * F.col("q") * F.log(2 * F.col("q") / (F.col("p") + F.col("q")))
+    )
+    return (
+        probs.groupBy("source", "ns")
+        .agg(F.round(F.sum(js_term), 6).alias("js"))
+        .select(
+            "source", F.col("ns").cast("long").alias("n_tokens"), "js"
+        )
+        .orderBy(F.col("js").desc(), "source")
+    )
+
+
+@_l(
+    "l96_readability_bands",
+    """WITH f AS (SELECT doc_id,
+         len(regexp_extract_all(text, '[^ ]+')) AS words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')),
+                  (len(regexp_extract_all(text, '[^ ]+')) + 14) // 15,
+                  1) AS sents,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS sylls
+       FROM documents),
+       sc AS (SELECT doc_id, words, sents, sylls,
+         206.835 - 1.015 * (CAST(words AS DOUBLE) / sents)
+                 - 84.6 * (CAST(sylls AS DOUBLE) / words) AS score
+       FROM f WHERE words > 0)
+       SELECT CASE WHEN score >= 70 THEN 'easy'
+                   WHEN score >= 50 THEN 'medium'
+                   WHEN score >= 30 THEN 'difficult'
+                   ELSE 'very_difficult' END AS band,
+              count(*)::BIGINT AS n_docs,
+              sum(words)::BIGINT AS words, sum(sents)::BIGINT AS sents,
+              sum(sylls)::BIGINT AS sylls,
+              round(avg(score), 4) AS avg_score
+       FROM sc GROUP BY 1 ORDER BY 1""",
+    note="Flesch reading-ease banding over the corpus — the classic "
+    "readability quality gate (easy/medium/difficult shares tell a "
+    "curation pipeline whether a source is textbook-like or "
+    "legalese).  Counts are regex-exact integers in BOTH engines "
+    "(words = non-space runs, syllables = vowel-group runs, the "
+    "standard no-dictionary approximation); this synthetic corpus "
+    "has no sentence punctuation, so sentence count falls back to "
+    "15-token pseudo-sentences — greatest(punct_runs, ceil(w/15), 1) "
+    "is declared for real text too, via an exact integer ceiling.  "
+    "The score is the same double expression in identical operation "
+    "order both sides; band edges are far from reachable float "
+    "values, avg guarded at 4dp.  Shape: pure per-row map + one "
+    "combine aggregate — embarrassingly parallel, no shuffle before "
+    "the 4-row band collapse",
+)
+def l96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    words = F.size(F.expr("regexp_extract_all(text, '[^ ]+', 0)"))
+    punct = F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)"))
+    sylls = F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+    f = d.select(
+        "doc_id",
+        words.cast("long").alias("words"),
+        F.greatest(
+            punct.cast("long"),
+            ((words.cast("long") + 14) / 15).cast("long"),
+            F.lit(1),
+        ).alias("sents"),
+        sylls.cast("long").alias("sylls"),
+    ).filter(F.col("words") > 0)
+    score = (
+        F.lit(206.835)
+        - 1.015 * (F.col("words").cast("double") / F.col("sents"))
+        - 84.6 * (F.col("sylls").cast("double") / F.col("words"))
+    )
+    sc = f.withColumn("score", score)
+    band = (
+        F.when(F.col("score") >= 70, "easy")
+        .when(F.col("score") >= 50, "medium")
+        .when(F.col("score") >= 30, "difficult")
+        .otherwise("very_difficult")
+    )
+    return (
+        sc.groupBy(band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("words").alias("words"),
+            F.sum("sents").alias("sents"),
+            F.sum("sylls").alias("sylls"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+        )
+        .orderBy("band")
+    )
+
+
 QUERIES = list(_L)
