@@ -8797,4 +8797,157 @@ def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q134_association_rules",
+    """WITH bask AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS item
+       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+       n AS (SELECT count(DISTINCT ok) AS n FROM bask),
+       ic AS (SELECT item, count(*) AS c FROM bask GROUP BY 1),
+       pr AS (SELECT a.item AS ante, b.item AS cons, count(*) AS cab
+              FROM bask a JOIN bask b ON a.ok = b.ok AND a.item <> b.item
+              GROUP BY 1, 2 HAVING count(*) >= 20)
+       SELECT pr.ante, pr.cons, ca.c::BIGINT AS ca, cb.c::BIGINT AS cb,
+              pr.cab::BIGINT AS cab,
+              CAST(floor(1e6 * CAST(pr.cab AS DOUBLE) / ca.c + 0.5) AS BIGINT)
+                AS conf_x1m,
+              CAST(floor(1e6 * CAST(n.n * pr.cab AS DOUBLE) / (ca.c * cb.c) + 0.5)
+                AS BIGINT) AS lift_x1m
+       FROM pr JOIN ic ca ON ca.item = pr.ante
+       JOIN ic cb ON cb.item = pr.cons CROSS JOIN n
+       ORDER BY lift_x1m DESC, ante, cons LIMIT 50""",
+    note="directed association rules over order baskets of part brands "
+    "(Agrawal/Srikant shape): support count, confidence = "
+    "supp(A,B)/supp(A) and lift = N*supp(A,B)/(supp(A)*supp(B)), both "
+    "carried as floor-half-up x1e6 BIGINTs so ranking and comparison "
+    "are layout-proof — g38's co-purchase projection gives the "
+    "undirected pair graph, this adds the RULE layer (direction, "
+    "min-support pruning, the metrics an item-recommendation / "
+    "feature-co-occurrence screen thresholds on).  N*cab <= 2e10 at "
+    "sf0.1 — double-exact (< 2^53) through sf100.  Shape: basket "
+    "distinct + item counts are map-side combined; the pair join is "
+    "quadratic per basket but TPC-H baskets are <=7 items (per-basket "
+    "size cap is the 100 TB guard, as g38 documents); pair frame "
+    "collapses to |brands|^2 = 600 rows before the metric math",
+)
+def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    li = c.table("lineitem")
+    p = c.table("part")
+    bask = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    n_ = bask.select("ok").distinct().count()
+    ic = bask.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    a = bask.alias("a")
+    b = bask.alias("b")
+    pr = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.item") != F.col("b.item")))
+        .groupBy(F.col("a.item").alias("ante"), F.col("b.item").alias("cons"))
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= 20)
+    )
+    ca = ic.select(F.col("item").alias("ante"), F.col("c").alias("ca"))
+    cb = ic.select(F.col("item").alias("cons"), F.col("c").alias("cb"))
+    return (
+        pr.join(F.broadcast(ca), "ante")
+        .join(F.broadcast(cb), "cons")
+        .select(
+            "ante",
+            "cons",
+            F.col("ca").cast("long").alias("ca"),
+            F.col("cb").cast("long").alias("cb"),
+            F.col("cab").cast("long").alias("cab"),
+            F.floor(F.lit(1e6) * F.col("cab").cast("double") / F.col("ca") + 0.5)
+            .cast("long")
+            .alias("conf_x1m"),
+            F.floor(
+                F.lit(1e6)
+                * (F.lit(n_) * F.col("cab")).cast("double")
+                / (F.col("ca") * F.col("cb"))
+                + 0.5
+            )
+            .cast("long")
+            .alias("lift_x1m"),
+        )
+        .orderBy(F.col("lift_x1m").desc(), "ante", "cons")
+        .limit(50)
+    )
+
+
+@_q(
+    "t82_holt_linear",
+    """WITH RECURSIVE r AS (SELECT user_id AS k, value AS x,
+         row_number() OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS rn
+       FROM events WHERE user_id < 100),
+       n AS (SELECT k, CAST(max(rn) AS BIGINT) AS n_events FROM r GROUP BY 1),
+       w(k, rn, l, b) AS (
+         SELECT k, rn, x, CAST(0.0 AS DOUBLE) FROM r WHERE rn = 1
+         UNION ALL
+         SELECT r.k, r.rn,
+                0.3 * r.x + 0.7 * (w.l + w.b),
+                0.1 * ((0.3 * r.x + 0.7 * (w.l + w.b)) - w.l) + 0.9 * w.b
+         FROM w JOIN r ON r.k = w.k AND r.rn = w.rn + 1)
+       SELECT w.k AS user_id, n.n_events,
+         round(w.l, 6) AS level, round(w.b, 6) AS trend,
+         round(w.l + w.b, 6) AS forecast_1
+       FROM w JOIN n ON n.k = w.k AND w.rn = n.n_events
+       ORDER BY 1""",
+    note="Holt double-exponential smoothing per user (alpha=0.3 level, "
+    "beta=0.1 trend, b1=0): l' = a*x + (1-a)*(l+b); b' = "
+    "beta*(l'-l) + (1-beta)*b — the trend-aware forecaster beside "
+    "t76's flat EWMA, emitting the one-step-ahead forecast l+b a "
+    "capacity-planning pipeline alerts on.  Same determinism "
+    "contract as t76: BOTH engines replay the literal IEEE double "
+    "recurrence in identical operation order (applyInPandas ordered "
+    "fold vs recursive CTE), so trajectories are bit-identical, "
+    "6dp rounding only at the output edge.  State per key is two "
+    "doubles; one shuffle on the entity key; embarrassingly "
+    "parallel across users at any scale",
+)
+def t82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = (
+        Catalog(spark, sf_dir)
+        .table("events")
+        .filter(F.col("user_id") < 100)
+        .select("user_id", "ts", "event_id", "value")
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        lvl = b = None
+        for x in pdf["value"]:
+            if lvl is None:
+                lvl, b = float(x), 0.0
+            else:
+                new_l = 0.3 * float(x) + 0.7 * (lvl + b)
+                b = 0.1 * (new_l - lvl) + 0.9 * b
+                lvl = new_l
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "level": [lvl],
+                "trend": [b],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(holt, "user_id long, n_events long, level double, trend double")
+        .select(
+            "user_id",
+            "n_events",
+            F.round("level", 6).alias("level"),
+            F.round("trend", 6).alias("trend"),
+            F.round(F.col("level") + F.col("trend"), 6).alias("forecast_1"),
+        )
+        .orderBy("user_id")
+    )
+
+
 QUERIES = list(_Q)
