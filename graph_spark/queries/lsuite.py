@@ -5460,4 +5460,89 @@ def l96(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l97_stump_gain_curve",
+    """WITH f AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS v
+       FROM documents),
+       vc AS (SELECT v, count(*) AS c, sum(y) AS pos FROM f GROUP BY 1),
+       cum AS (SELECT v,
+         sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS nl,
+         sum(pos) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS pl
+       FROM vc),
+       tot AS (SELECT sum(c) AS n, sum(pos) AS pos FROM vc),
+       g AS (SELECT cum.v, cum.nl, cum.pl, t.n, t.pos,
+             t.n - cum.nl AS nr, t.pos - cum.pl AS pr
+             FROM cum CROSS JOIN tot t)
+       SELECT v AS threshold, nl::BIGINT AS n_left, pl::BIGINT AS pos_left,
+         round((
+           (CASE WHEN pos <= 0 OR pos >= n THEN 0.0
+                 ELSE -(pos * ln(CAST(pos AS DOUBLE) / n)
+                        + (n - pos) * ln(CAST(n - pos AS DOUBLE) / n)) END)
+           - (CASE WHEN pl <= 0 OR pl >= nl THEN 0.0
+                   ELSE -(pl * ln(CAST(pl AS DOUBLE) / nl)
+                          + (nl - pl) * ln(CAST(nl - pl AS DOUBLE) / nl)) END)
+           - (CASE WHEN pr <= 0 OR pr >= nr THEN 0.0
+                   ELSE -(pr * ln(CAST(pr AS DOUBLE) / nr)
+                          + (nr - pr) * ln(CAST(nr - pr AS DOUBLE) / nr)) END)
+         ) / n, 6) AS gain
+       FROM g ORDER BY threshold""",
+    note="decision-stump TRAINING curve: information gain of the split "
+    "'token_count <= t' against the is-English label, for EVERY "
+    "candidate threshold — the third member of the in-engine "
+    "shallow-model family (l93 logistic GD, l94 calibration); a "
+    "gradient-boosting or feature-binning pipeline evaluates exactly "
+    "this frame per feature.  All counts are exact integers from ONE "
+    "value-collapse + cumulative window (the q133 shape); entropy "
+    "terms are computed per threshold as one fixed double expression "
+    "over those exact ints with 0*ln0 handled by identical CASE "
+    "guards, 6dp-rounded — the l71 float idiom.  Output is ordered "
+    "by THRESHOLD, not by gain, so no float argmax hazard exists; "
+    "the caller takes the max over the (rounded, tie-broken) curve.  "
+    "Shape: one map-side-combined groupBy to ~200 rows, window + "
+    "scalar math on the collapsed frame — corpus-size-independent "
+    "after the first shuffle",
+)
+def l97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    f = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.size(F.expr("filter(split(text, ' '), x -> x <> '')")).cast("long").alias("v"),
+    )
+    vc = f.groupBy("v").agg(F.count(F.lit(1)).alias("c"), F.sum("y").alias("pos"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = vc.select(
+        "v", F.sum("c").over(w).alias("nl"), F.sum("pos").over(w).alias("pl")
+    )
+    tot = vc.agg(F.sum("c").alias("n"), F.sum("pos").alias("pos"))
+    g = cum.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "nl",
+        "pl",
+        "n",
+        "pos",
+        (F.col("n") - F.col("nl")).alias("nr"),
+        (F.col("pos") - F.col("pl")).alias("pr"),
+    )
+
+    def went(m: str, k: str):
+        md = F.col(m).cast("double")
+        kd = F.col(k).cast("double")
+        return F.when((F.col(m) <= 0) | (F.col(m) >= F.col(k)), F.lit(0.0)).otherwise(
+            -(
+                F.col(m) * F.log(md / kd)
+                + (F.col(k) - F.col(m)) * F.log((kd - md) / kd)
+            )
+        )
+
+    return g.select(
+        F.col("v").alias("threshold"),
+        F.col("nl").cast("long").alias("n_left"),
+        F.col("pl").cast("long").alias("pos_left"),
+        F.round(
+            (went("pos", "n") - went("pl", "nl") - went("pr", "nr")) / F.col("n"), 6
+        ).alias("gain"),
+    ).orderBy("threshold")
+
+
 QUERIES = list(_L)

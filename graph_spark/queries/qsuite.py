@@ -8950,4 +8950,257 @@ def t82(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q135_spatial_grid_join",
+    """WITH pts AS (SELECT c_custkey AS id,
+         ('0x' || substring(md5(c_custkey::VARCHAR || ':x'), 1, 15))::BIGINT
+           % 10000 AS x,
+         ('0x' || substring(md5(c_custkey::VARCHAR || ':y'), 1, 15))::BIGINT
+           % 10000 AS y
+       FROM customer),
+       a AS (SELECT id, x, y, x // 250 AS cx, y // 250 AS cy FROM pts),
+       b AS (SELECT id, x, y, x // 250 + d1.dx AS cx, y // 250 + d2.dy AS cy
+             FROM pts
+             CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx) d1
+             CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy) d2),
+       pairs AS (SELECT a.id AS a, b.id AS b,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+         FROM a JOIN b ON a.cx = b.cx AND a.cy = b.cy AND a.id < b.id
+         WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 10000)
+       SELECT a, b, d2::BIGINT AS d2,
+              (SELECT count(*) FROM pairs)::BIGINT AS n_pairs
+       FROM pairs ORDER BY d2, a, b LIMIT 20""",
+    note="distance-radius spatial self-join via grid bucketing — the "
+    "scale-safe shape for 'find all point pairs within r': points "
+    "land in 250-unit cells (cell >= radius so candidates live in "
+    "the 3x3 neighborhood), one side replicates to its 9 neighbor "
+    "cells, candidates come from a cell EQUI-JOIN (never a cross "
+    "join), exact filter on integer squared distance.  Each "
+    "qualifying pair matches in exactly ONE (A-cell, B-replica) "
+    "combination so no post-dedup is needed.  Coordinates are "
+    "md5-derived integers (deterministic synthetic geometry; the "
+    "data has no geo columns), so d2 and the top-20 ordering are "
+    "pure BIGINT.  This is the geohash/S2 bucketing pattern: at "
+    "100 TB the 9x replication is the constant-factor price that "
+    "turns an O(n^2) radius search into a shuffle-bound equi-join, "
+    "with cell size tuned to density and AQE absorbing hot cells",
+)
+def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = Catalog(spark, sf_dir).table("customer")
+
+    def hv(salt: str):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(salt))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        (hv(":x") % 10000).alias("x"),
+        (hv(":y") % 10000).alias("y"),
+    )
+    a = pts.select(
+        "id", "x", "y", (F.col("x") / 250).cast("long").alias("cx"),
+        (F.col("y") / 250).cast("long").alias("cy"),
+    ).alias("a")
+    off = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    b = (
+        pts.withColumn("dx", F.explode(off))
+        .withColumn("dy", F.explode(off))
+        .select(
+            "id",
+            "x",
+            "y",
+            ((F.col("x") / 250).cast("long") + F.col("dx")).alias("cx"),
+            ((F.col("y") / 250).cast("long") + F.col("dy")).alias("cy"),
+        )
+        .alias("b")
+    )
+    d2 = (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x")) + (
+        F.col("a.y") - F.col("b.y")
+    ) * (F.col("a.y") - F.col("b.y"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cx") == F.col("b.cx"))
+            & (F.col("a.cy") == F.col("b.cy"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(d2 <= 10000)
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"), d2.alias("d2"))
+    )
+    np_ = pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+    return (
+        pairs.crossJoin(F.broadcast(np_))
+        .select("a", "b", F.col("d2").cast("long").alias("d2"),
+                F.col("n_pairs").cast("long").alias("n_pairs"))
+        .orderBy("d2", "a", "b")
+        .limit(20)
+    )
+
+
+@_q(
+    "q136_spearman",
+    """WITH s AS (SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+         AND l_shipdate < TIMESTAMP '1996-01-01'),
+       qc AS (SELECT q AS v, count(*) AS c FROM s GROUP BY 1),
+       qr AS (SELECT v, 2 * (sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                - c) + c + 1 AS r2 FROM qc),
+       pc AS (SELECT p AS v, count(*) AS c FROM s GROUP BY 1),
+       pr AS (SELECT v, 2 * (sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                - c) + c + 1 AS r2 FROM pc),
+       rk AS (SELECT qr.r2 AS x, pr.r2 AS y FROM s
+              JOIN qr ON qr.v = s.q JOIN pr ON pr.v = s.p),
+       agg AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+               FROM rk)
+       SELECT n::BIGINT AS n, sx::BIGINT AS sx, sy::BIGINT AS sy,
+         round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+           AS rho
+       FROM agg""",
+    note="Spearman rank correlation between quantity and extended price "
+    "(one ship-year), tie-aware: average ranks are carried x2 as "
+    "EXACT BIGINTs via the q133 identity (2*avg_rank = 2*before + c "
+    "+ 1 per tied value group), all five power sums are exact "
+    "integers, and rho is Pearson-on-ranks evaluated as ONE double "
+    "expression over those exact sums — identical operand doubles "
+    "and operation order both engines, so the 6dp rounding is "
+    "cosmetic.  The monotonic-association screen (vs q40's linear "
+    "corr) a feature-selection pass runs per pair.  Shape: two "
+    "value-collapse groupBys + windows on the collapsed frames, two "
+    "hash joins back (the quantity side broadcasts at 50 rows), one "
+    "combine aggregate.  Sxy <= 4n^3: int64-safe to ~1.3M rows — "
+    "the year filter keeps n inside that through sf1",
+)
+def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    s = li.select(
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("q"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("p"),
+    )
+
+    def rank2(col: str) -> DataFrame:
+        cnt = s.groupBy(F.col(col).alias("v")).agg(F.count(F.lit(1)).alias("c"))
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        return cnt.select(
+            "v",
+            (2 * (F.sum("c").over(w) - F.col("c")) + F.col("c") + 1).alias("r2"),
+        )
+
+    qr = rank2("q").select(F.col("v").alias("q"), F.col("r2").alias("x"))
+    pr = rank2("p").select(F.col("v").alias("p"), F.col("r2").alias("y"))
+    rk = s.join(F.broadcast(qr), "q").join(pr, "p")
+    agg = rk.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("sx").cast("long").alias("sx"),
+        F.col("sy").cast("long").alias("sy"),
+        F.round(
+            (nd * F.col("sxy") - sxd * F.col("sy"))
+            / F.sqrt(
+                (nd * F.col("sxx") - sxd * F.col("sx"))
+                * (nd * F.col("syy") - syd * F.col("sy"))
+            ),
+            6,
+        ).alias("rho"),
+    )
+
+
+@_q(
+    "q137_moments",
+    """WITH s AS (SELECT l_returnflag AS flag,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS q FROM lineitem),
+       agg AS (SELECT flag, count(*) AS n, sum(q) AS s1, sum(q * q) AS s2,
+               sum(q * q * q) AS s3, sum(q * q * q * q) AS s4
+               FROM s GROUP BY 1)
+       SELECT flag, n::BIGINT AS n, s1::BIGINT AS s1, s2::BIGINT AS s2,
+              s3::BIGINT AS s3, s4::BIGINT AS s4,
+         round(((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * s3
+                 - 3.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE) * s2
+                 + 2.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) * s1)
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+               / pow((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 1.5), 6)
+           AS skewness,
+         round(((CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * s4
+                 - 4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                   * CAST(s1 AS DOUBLE) * s3
+                 + 6.0 * CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE)
+                   * CAST(s1 AS DOUBLE) * s2
+                 - 3.0 * CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                   * CAST(s1 AS DOUBLE) * s1)
+                / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                   * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+               / pow((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                     / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 2.0) - 3.0, 6)
+           AS ex_kurtosis
+       FROM agg ORDER BY flag""",
+    note="exact power sums S1..S4 per return flag (BIGINT — quantities "
+    "are <=50 so q^4 sums stay ~1e13/1e15 at sf0.1/sf10) with "
+    "skewness and excess kurtosis derived from them in ONE fixed "
+    "double expression: m3 = (n^2*S3 - 3n*S1*S2 + 2*S1^3)/n^3, m4 "
+    "analogous, both engines consume the SAME exact integers in the "
+    "SAME operation order, so the only float work is a handful of "
+    "scalar ops per group.  This is the streaming/mergeable moments "
+    "pattern (power sums are distributive — partial-aggregate "
+    "friendly, the reason Welford isn't needed in a combine tree); "
+    "the shape-of-distribution profile a feature store keeps per "
+    "column.  One map-side-combined shuffle, 3 output rows",
+)
+def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    s = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_quantity") + 0.5).cast("long").alias("q"),
+    )
+    agg = s.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).alias("s2"),
+        F.sum(F.col("q") * F.col("q") * F.col("q")).alias("s3"),
+        F.sum(F.col("q") * F.col("q") * F.col("q") * F.col("q")).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    s1d = F.col("s1").cast("double")
+    m2 = (nd * F.col("s2") - s1d * F.col("s1")) / (nd * nd)
+    m3 = (nd * nd * F.col("s3") - 3.0 * nd * s1d * F.col("s2") + 2.0 * s1d * s1d * F.col("s1")) / (
+        nd * nd * nd
+    )
+    m4 = (
+        nd * nd * nd * F.col("s4")
+        - 4.0 * nd * nd * s1d * F.col("s3")
+        + 6.0 * nd * s1d * s1d * F.col("s2")
+        - 3.0 * s1d * s1d * s1d * F.col("s1")
+    ) / (nd * nd * nd * nd)
+    return agg.select(
+        "flag",
+        F.col("n").cast("long").alias("n"),
+        F.col("s1").cast("long").alias("s1"),
+        F.col("s2").cast("long").alias("s2"),
+        F.col("s3").cast("long").alias("s3"),
+        F.col("s4").cast("long").alias("s4"),
+        F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
+        F.round(m4 / F.pow(m2, 2.0) - 3.0, 6).alias("ex_kurtosis"),
+    ).orderBy("flag")
+
+
 QUERIES = list(_Q)
