@@ -714,3 +714,31 @@ def test_l92_pca_iteration_stays_on_gram(spark):
     # localCheckpoint truncates G's build lineage, so the executed
     # plan contains ONLY the iteration: broadcast joins over G
     assert "BroadcastExchange" in plan, plan
+
+
+def test_q135_spatial_join_is_equi(spark):
+    """The radius search must come from the grid-cell equi-join (SMJ/
+    SHJ/BHJ on (cx, cy)) — never a cartesian pair enumeration; the one
+    nested-loop join allowed is the single-row n_pairs scalar."""
+    from graph_spark.queries.qsuite import QUERIES
+
+    q = next(q for q in QUERIES if q.name == "q135_spatial_grid_join")
+    plan = _plan(q.build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line, line
+
+
+def test_q134_rule_join_is_equi_and_broadcasts_margins(spark):
+    """Basket pair candidates come from the orderkey equi self-join;
+    the item-count margins join back as broadcasts."""
+    from graph_spark.queries.qsuite import QUERIES
+
+    q = next(q for q in QUERIES if q.name == "q134_association_rules")
+    plan = _plan(q.build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line, line
+    assert "BroadcastExchange" in plan, plan
