@@ -5545,4 +5545,96 @@ def l97(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("threshold")
 
 
+@_l(
+    "l98_sorted_neighborhood",
+    """WITH k AS (SELECT doc_id, substring(text, 1, 16) AS sk, n_chars
+         FROM documents),
+       o AS (SELECT doc_id, sk, n_chars,
+         lead(doc_id, 1) OVER (ORDER BY sk, doc_id) AS d1,
+         lead(sk, 1) OVER (ORDER BY sk, doc_id) AS sk1,
+         lead(n_chars, 1) OVER (ORDER BY sk, doc_id) AS nc1,
+         lead(doc_id, 2) OVER (ORDER BY sk, doc_id) AS d2,
+         lead(sk, 2) OVER (ORDER BY sk, doc_id) AS sk2,
+         lead(n_chars, 2) OVER (ORDER BY sk, doc_id) AS nc2
+       FROM k),
+       cand AS (
+         SELECT doc_id AS a, d1 AS b, sk, sk1 AS skb, n_chars, nc1 AS ncb,
+                1 AS offs FROM o WHERE d1 IS NOT NULL
+         UNION ALL
+         SELECT doc_id, d2, sk, sk2, n_chars, nc2, 2 FROM o
+         WHERE d2 IS NOT NULL)
+       SELECT a, b, offs::INT AS offs,
+              abs(n_chars - ncb)::BIGINT AS len_diff,
+              CASE WHEN substring(sk, 1, 8) = substring(skb, 1, 8)
+                   THEN 1 ELSE 0 END::INT AS key8_match
+       FROM cand
+       WHERE substring(sk, 1, 4) = substring(skb, 1, 4)
+       ORDER BY a, b""",
+    note="sorted-neighborhood blocking (Hernandez & Stolfo) — the "
+    "third dedup candidate generator beside MinHash-LSH (l02) and "
+    "SimHash (l06): sort the corpus on a blocking key (here the "
+    "16-char text prefix), slide a w=3 window down the sorted order, "
+    "and emit only neighbor pairs agreeing on a 4-char prefix, with "
+    "the 8-char agreement flag and length gap as the cheap "
+    "comparison features.  Everything is exact: the sort is totally "
+    "ordered by (key, doc_id), candidates are lead(1..2) window "
+    "pulls, outputs are integers.  At 100 TB this is the "
+    "repartitionByRange + per-partition window shape (Spark's window "
+    "over a global ORDER BY range-partitions then sorts; only the "
+    "w-1 boundary rows per partition need the cross-partition "
+    "carry), and the candidate count is exactly (w-1)*n — linear, "
+    "no quadratic blowup on skewed blocks, the property LSH banding "
+    "cannot promise on hot buckets",
+)
+def l98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    k = d.select(
+        "doc_id", F.substring("text", 1, 16).alias("sk"), "n_chars"
+    )
+    w = Window.orderBy("sk", "doc_id")
+    o = k.select(
+        "doc_id",
+        "sk",
+        "n_chars",
+        F.lead("doc_id", 1).over(w).alias("d1"),
+        F.lead("sk", 1).over(w).alias("sk1"),
+        F.lead("n_chars", 1).over(w).alias("nc1"),
+        F.lead("doc_id", 2).over(w).alias("d2"),
+        F.lead("sk", 2).over(w).alias("sk2"),
+        F.lead("n_chars", 2).over(w).alias("nc2"),
+    )
+    c1 = o.filter(F.col("d1").isNotNull()).select(
+        F.col("doc_id").alias("a"),
+        F.col("d1").alias("b"),
+        "sk",
+        F.col("sk1").alias("skb"),
+        "n_chars",
+        F.col("nc1").alias("ncb"),
+        F.lit(1).alias("offs"),
+    )
+    c2 = o.filter(F.col("d2").isNotNull()).select(
+        F.col("doc_id").alias("a"),
+        F.col("d2").alias("b"),
+        "sk",
+        F.col("sk2").alias("skb"),
+        "n_chars",
+        F.col("nc2").alias("ncb"),
+        F.lit(2).alias("offs"),
+    )
+    cand = c1.unionByName(c2)
+    return (
+        cand.filter(F.substring("sk", 1, 4) == F.substring("skb", 1, 4))
+        .select(
+            "a",
+            "b",
+            F.col("offs").cast("int").alias("offs"),
+            F.abs(F.col("n_chars") - F.col("ncb")).cast("long").alias("len_diff"),
+            (F.substring("sk", 1, 8) == F.substring("skb", 1, 8))
+            .cast("int")
+            .alias("key8_match"),
+        )
+        .orderBy("a", "b")
+    )
+
+
 QUERIES = list(_L)

@@ -9203,4 +9203,97 @@ def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("flag")
 
 
+@_q(
+    "q138_boxplot_fences",
+    """WITH s AS (SELECT l_returnflag AS flag,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c FROM lineitem),
+       vc AS (SELECT flag, c AS v, count(*) AS cnt FROM s GROUP BY 1, 2),
+       cum AS (SELECT flag, v, cnt,
+         sum(cnt) OVER (PARTITION BY flag ORDER BY v
+           ROWS UNBOUNDED PRECEDING) AS cm FROM vc),
+       tot AS (SELECT flag, sum(cnt) AS n FROM vc GROUP BY 1),
+       qs AS (SELECT c.flag, t.n,
+         min(CASE WHEN c.cm >= (t.n + 3) // 4 THEN c.v END) AS q1,
+         min(CASE WHEN c.cm >= (t.n + 1) // 2 THEN c.v END) AS med,
+         min(CASE WHEN c.cm >= (3 * t.n + 3) // 4 THEN c.v END) AS q3
+       FROM cum c JOIN tot t ON t.flag = c.flag GROUP BY 1, 2),
+       fl AS (SELECT flag, n, q1, med, q3,
+              5 * q1 - 3 * q3 AS lo2, 5 * q3 - 3 * q1 AS hi2 FROM qs)
+       SELECT f.flag, f.n::BIGINT AS n, f.q1::BIGINT AS q1_cents,
+              f.med::BIGINT AS med_cents, f.q3::BIGINT AS q3_cents,
+              sum(CASE WHEN 2 * c.v < f.lo2 THEN c.cnt ELSE 0 END)::BIGINT
+                AS n_out_lo,
+              sum(CASE WHEN 2 * c.v > f.hi2 THEN c.cnt ELSE 0 END)::BIGINT
+                AS n_out_hi
+       FROM fl f JOIN vc c ON c.flag = f.flag
+       GROUP BY 1, 2, 3, 4, 5 ORDER BY 1""",
+    note="boxplot profile with Tukey fences per return flag, fully "
+    "EXACT: type-1 quartiles are the k-th order statistics (k = "
+    "ceil(p*n) via integer ceilings) read off the value-collapsed "
+    "cumulative frame — no interpolation convention to disagree on — "
+    "and the 1.5*IQR fences are carried x2 so lo2 = 5*q1 - 3*q3 and "
+    "hi2 = 5*q3 - 3*q1 stay BIGINT; outlier census = one conditional "
+    "sum over the collapsed frame.  The per-column outlier screen a "
+    "data-cleaning pass runs (q27 reports percentiles; this adds the "
+    "fence + census layer).  Shape: one map-side-combined value "
+    "collapse, windows on the collapsed frame, one join back — "
+    "corpus-size-independent after the first shuffle; cents x5 "
+    "stays far inside int64",
+)
+def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    s = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("c"),
+    )
+    vc = s.groupBy("flag", F.col("c").alias("v")).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("flag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vc.select("flag", "v", "cnt", F.sum("cnt").over(w).alias("cm"))
+    tot = vc.groupBy("flag").agg(F.sum("cnt").alias("n"))
+    c2 = cum.join(F.broadcast(tot), "flag")
+
+    def kth(kexpr):
+        return F.min(F.when(F.col("cm") >= kexpr, F.col("v")))
+
+    qs = c2.groupBy("flag", "n").agg(
+        kth(((F.col("n") + 3) / 4).cast("long")).alias("q1"),
+        kth(((F.col("n") + 1) / 2).cast("long")).alias("med"),
+        kth(((3 * F.col("n") + 3) / 4).cast("long")).alias("q3"),
+    )
+    fl = qs.select(
+        "flag",
+        "n",
+        "q1",
+        "med",
+        "q3",
+        (5 * F.col("q1") - 3 * F.col("q3")).alias("lo2"),
+        (5 * F.col("q3") - 3 * F.col("q1")).alias("hi2"),
+    )
+    return (
+        F.broadcast(fl)
+        .join(vc, "flag")
+        .groupBy("flag", "n", "q1", "med", "q3")
+        .agg(
+            F.sum(F.when(2 * F.col("v") < F.col("lo2"), F.col("cnt")).otherwise(0))
+            .alias("n_out_lo"),
+            F.sum(F.when(2 * F.col("v") > F.col("hi2"), F.col("cnt")).otherwise(0))
+            .alias("n_out_hi"),
+        )
+        .select(
+            "flag",
+            F.col("n").cast("long").alias("n"),
+            F.col("q1").cast("long").alias("q1_cents"),
+            F.col("med").cast("long").alias("med_cents"),
+            F.col("q3").cast("long").alias("q3_cents"),
+            F.col("n_out_lo").cast("long").alias("n_out_lo"),
+            F.col("n_out_hi").cast("long").alias("n_out_hi"),
+        )
+        .orderBy("flag")
+    )
+
+
 QUERIES = list(_Q)

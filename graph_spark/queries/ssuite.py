@@ -884,4 +884,50 @@ def s22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_s(
+    "s23_rewindow",
+    """WITH w5 AS (SELECT date_trunc('hour', ts)
+           + (minute(ts) // 5) * INTERVAL '5 minutes' AS w5s,
+         event_type, count(*) AS n
+       FROM events GROUP BY 1, 2)
+       SELECT strftime(date_trunc('hour', w5s), '%Y-%m-%d %H:%M:%S.%f') AS h,
+              event_type, count(*)::BIGINT AS n_windows,
+              max(n)::BIGINT AS max_5min, sum(n)::BIGINT AS total
+       FROM w5 GROUP BY 1, 2 ORDER BY 1, 2""",
+    note="chained windowed aggregation (window-of-windows): 5-minute "
+    "tumbling counts re-aggregated into hourly peak + total per event "
+    "type — the burst-profile rollup a monitoring pipeline keeps "
+    "(max_5min/total is the peak-to-mean burstiness).  Spark side "
+    "nests F.window twice — groupBy(window('ts','5 minutes')) then "
+    "groupBy(window(w.start,'1 hour')) — which is exactly the shape "
+    "Structured Streaming ≥3.5 supports natively on streams (chained "
+    "window aggregation over window_time); the declared batch form "
+    "is the replay-parity contract, all-integer outputs.  Two "
+    "map-side-combined shuffles, the second over the already-"
+    "collapsed 5-min frame — at 100 TB the raw stream is touched "
+    "once",
+)
+def s23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    w5 = ev.groupBy(
+        F.window("ts", "5 minutes").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        w5.groupBy(F.window(F.col("w.start"), "1 hour").alias("h"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.max("n").alias("max_5min"),
+            F.sum("n").alias("total"),
+        )
+        .select(
+            ts_str(F.col("h.start")).alias("h"),
+            "event_type",
+            F.col("n_windows").cast("long").alias("n_windows"),
+            F.col("max_5min").cast("long").alias("max_5min"),
+            F.col("total").cast("long").alias("total"),
+        )
+        .orderBy("h", "event_type")
+    )
+
+
 QUERIES = list(_S)
