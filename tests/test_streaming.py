@@ -831,3 +831,48 @@ def test_drop_duplicates_within_watermark(spark, replay_dir):
         for r in Catalog(spark, SF_SMOKE).table("events").select("event_id").distinct().collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_s23_chained_window_stream_sandwich(spark, replay_dir):
+    """s23's window-of-windows on a REAL stream: two stateful window
+    aggregations chained via window_time() (Spark >=3.5), append mode +
+    watermark.  Append emits an hourly window only after the watermark
+    passes it, so trailing hours stay unemitted — the parity contract
+    is the s22 sound sandwich: emitted rows must exactly match batch,
+    and every batch hour safely below the final watermark must have
+    been emitted."""
+
+    def chained(df):
+        w5 = (
+            df.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return w5.groupBy(
+            F.window(F.window_time("w"), "1 hour").alias("h"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.max("n").alias("max_5min"),
+            F.sum("n").alias("total"),
+        )
+
+    ev = Catalog(spark, SF_SMOKE).table("events")
+    batch = chained(ev)
+    stream = run_stream(spark, replay_dir, chained, output_mode="append")
+    cols = [F.col("h.start").alias("hs"), "event_type", "n_windows", "max_5min", "total"]
+    srows = set(_rows(stream.select(*cols), ["hs", "event_type", "n_windows", "max_5min", "total"]))
+    brows = set(_rows(batch.select(*cols), ["hs", "event_type", "n_windows", "max_5min", "total"]))
+    assert srows <= brows, sorted(srows - brows)[:5]
+    # completeness: hours ending >= 2 watermark delays + 1 hour before
+    # the max event time must have been emitted
+    import datetime
+
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    safe_end = max_ts - datetime.timedelta(hours=1, minutes=20)
+    bsafe = {
+        r
+        for r in brows
+        if r[0] + datetime.timedelta(hours=1) <= safe_end
+    }
+    assert bsafe <= srows, sorted(bsafe - srows)[:5]
+    assert len(bsafe) > 0
