@@ -231,3 +231,70 @@ def compress_ratio(media: DataFrame, level: int = 6) -> DataFrame:
         ]
     )
     return pruned.mapInPandas(batches, schema)
+
+
+def perceptual_ahash(media: DataFrame, cells: int = 64) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint over an opaque
+    payload: the byte stream is split into `cells` equal-share
+    buckets (bucket of byte i = i*cells//len — the 1-D analogue of
+    the 8x8 downsample a real image aHash does after decode), each
+    bucket's mean is compared to the global mean, and the resulting
+    bit-vector is emitted as four 16-bit band integers (b0..b3) —
+    the SimHash-style pigeonhole key layout: any pair within 16 bits
+    of Hamming distance must collide on at least one band, so
+    near-duplicate detection is a band equi-join, never a pairwise
+    scan.  The mean comparison is cross-multiplied
+    (cell_sum * len >= total * cell_count) so every operand is an
+    exact integer — no float means anywhere.
+
+    Scale shape: column-prune to (id, payload) before mapInPandas,
+    Arrow-batched numpy bincount per payload, 5 scalars out — the
+    payload dies inside the task; dedup joins run on the tiny band
+    table."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    pruned = media.select("doc_id", "payload")
+
+    def batches(it):
+        for pdf in it:
+            ids, bs = [], [[], [], [], []]
+            ls = []
+            for did, b in zip(pdf["doc_id"], pdf["payload"]):
+                a = np.frombuffer(bytes(b), dtype=np.uint8)
+                n = len(a)
+                if n < cells:
+                    continue
+                idx = (np.arange(n, dtype=np.int64) * cells) // n
+                sums = np.bincount(idx, weights=a, minlength=cells).astype(np.int64)
+                cnts = np.bincount(idx, minlength=cells).astype(np.int64)
+                total = int(a.sum(dtype=np.int64))
+                bits = (sums * n >= total * cnts).astype(np.int64)
+                ids.append(did)
+                ls.append(n)
+                for band in range(4):
+                    seg = bits[band * 16 : (band + 1) * 16]
+                    bs[band].append(int((seg << np.arange(16)).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_bytes": pd.Series(ls, dtype="int64"),
+                    "b0": pd.Series(bs[0], dtype="int64"),
+                    "b1": pd.Series(bs[1], dtype="int64"),
+                    "b2": pd.Series(bs[2], dtype="int64"),
+                    "b3": pd.Series(bs[3], dtype="int64"),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_bytes", LongType()),
+            StructField("b0", LongType()),
+            StructField("b1", LongType()),
+            StructField("b2", LongType()),
+            StructField("b3", LongType()),
+        ]
+    )
+    return pruned.mapInPandas(batches, schema)

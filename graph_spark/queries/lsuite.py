@@ -5637,4 +5637,54 @@ def l98(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "m11_perceptual_ahash",
+    """WITH d AS (SELECT doc_id, text, n_chars FROM documents
+         WHERE doc_id < 100 AND n_chars >= 64),
+       b AS (SELECT doc_id, n_chars,
+         ord(substring(text, i + 1, 1)) AS byte,
+         (i * 64) // n_chars AS cell
+       FROM d CROSS JOIN (SELECT unnest(range(0, 4096)) AS i) r
+       WHERE i < n_chars),
+       cells AS (SELECT doc_id, n_chars, cell, sum(byte) AS cs,
+                 count(*) AS cc FROM b GROUP BY 1, 2, 3),
+       tot AS (SELECT doc_id, sum(cs) AS total FROM cells GROUP BY 1),
+       bits AS (SELECT c.doc_id, c.n_chars, c.cell,
+         CASE WHEN c.cs * c.n_chars >= t.total * c.cc THEN 1 ELSE 0 END AS bit
+       FROM cells c JOIN tot t USING (doc_id))
+       SELECT doc_id, n_chars::BIGINT AS n_bytes,
+         sum(CASE WHEN cell < 16 THEN bit * (1 << cell) ELSE 0 END)::BIGINT AS b0,
+         sum(CASE WHEN cell >= 16 AND cell < 32
+                  THEN bit * (1 << (cell - 16)) ELSE 0 END)::BIGINT AS b1,
+         sum(CASE WHEN cell >= 32 AND cell < 48
+                  THEN bit * (1 << (cell - 32)) ELSE 0 END)::BIGINT AS b2,
+         sum(CASE WHEN cell >= 48 THEN bit * (1 << (cell - 48)) ELSE 0 END)::BIGINT
+           AS b3
+       FROM bits GROUP BY 1, 2 ORDER BY doc_id""",
+    note="perceptual average-hash over the opaque payload (the 1-D "
+    "analogue of the decode->8x8-downsample->mean-threshold image "
+    "aHash): 64 equal-share byte cells, each cell's mean vs the "
+    "global mean CROSS-MULTIPLIED so every comparison is exact "
+    "integer (cs*len >= total*cc), bits packed into four 16-bit "
+    "bands — the pigeonhole layout where any pair within Hamming 16 "
+    "must agree on >=1 band, making near-dup search a band equi-join "
+    "(l06's SimHash contract, but computed on raw media bytes via "
+    "the mapInPandas multimodal path instead of token features).  "
+    "Spark side is Arrow-batched numpy bincount per payload; oracle "
+    "replays the identical integer arithmetic per character (ASCII "
+    "corpus: byte == codepoint, asserted in test preconditions).  "
+    "Payloads die inside the task; only 6 scalars per doc survive",
+)
+def m11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import perceptual_ahash
+
+    docs = (
+        Catalog(spark, sf_dir)
+        .table("documents")
+        .filter((F.col("doc_id") < 100) & (F.col("n_chars") >= 64))
+    )
+    media = to_media_table(docs)
+    return perceptual_ahash(media).orderBy("doc_id")
+
+
 QUERIES = list(_L)

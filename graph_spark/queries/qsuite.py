@@ -9296,4 +9296,98 @@ def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "t83_seasonal_decompose",
+    """WITH d AS (SELECT date_trunc('day', o_orderdate) AS day, count(*) AS n
+       FROM orders GROUP BY 1),
+       w AS (SELECT day, n,
+         (dayofweek(day) + 1)::INT AS dow,
+         sum(n) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS sum7,
+         count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+           AS w7
+       FROM d),
+       t AS (SELECT day, n, dow,
+         CASE WHEN w7 = 7 THEN sum7 END AS sum7,
+         CASE WHEN w7 = 7 THEN 7 * n - sum7 END AS detrend_x7
+       FROM w),
+       s AS (SELECT dow, count(*) AS c_days,
+             sum(detrend_x7) AS s_dow_x7
+       FROM t WHERE detrend_x7 IS NOT NULL GROUP BY 1)
+       SELECT t.dow, s.c_days::BIGINT AS c_days, s.s_dow_x7::BIGINT AS s_dow_x7,
+              round(CAST(s.s_dow_x7 AS DOUBLE) / (7 * s.c_days), 4) AS seasonal,
+              count(*)::BIGINT AS n_days, sum(t.n)::BIGINT AS n_orders,
+              sum(t.sum7)::BIGINT AS sum_trend_x7
+       FROM t JOIN s ON s.dow = t.dow
+       GROUP BY 1, 2, 3, 4 ORDER BY 1""",
+    note="classical additive seasonal decomposition of the daily order "
+    "series, EXACT INTEGER carriers end-to-end: trend is the centered "
+    "7-day moving SUM (kept as the integer sum7 rather than a float "
+    "mean; edge days with partial windows are NULLed exactly like "
+    "statsmodels' two-sided default), the detrended series is carried "
+    "x7 (7*n - sum7, BIGINT), and the day-of-week seasonal component "
+    "is the exact ratio s_dow_x7 / (7*c_days) — one division at the "
+    "output edge, 4dp.  The weekly-seasonality profile a forecasting "
+    "pipeline subtracts before anomaly detection (t74 POT, q128 "
+    "CUSUM operate on exactly such residuals).  Shape: one "
+    "map-side-combined day collapse (365*years rows at ANY sf), one "
+    "ordered window over the collapsed frame, one dow aggregate — "
+    "corpus-size-independent after the first shuffle",
+)
+def t83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    d = o.groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    win = Window.orderBy("day").rowsBetween(-3, 3)
+    w = d.select(
+        "day",
+        "n",
+        F.dayofweek("day").cast("int").alias("dow"),
+        F.sum("n").over(win).alias("sum7"),
+        F.count(F.lit(1)).over(win).alias("w7"),
+    )
+    t = w.select(
+        "day",
+        "n",
+        "dow",
+        F.when(F.col("w7") == 7, F.col("sum7")).alias("sum7"),
+        F.when(F.col("w7") == 7, 7 * F.col("n") - F.col("sum7")).alias("detrend_x7"),
+    )
+    s = (
+        t.filter(F.col("detrend_x7").isNotNull())
+        .groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).alias("c_days"),
+            F.sum("detrend_x7").alias("s_dow_x7"),
+        )
+    )
+    return (
+        t.join(F.broadcast(s), "dow")
+        .groupBy(
+            "dow",
+            F.col("c_days").cast("long").alias("c_days"),
+            F.col("s_dow_x7").cast("long").alias("s_dow_x7"),
+            F.round(
+                F.col("s_dow_x7").cast("double") / (7 * F.col("c_days")), 4
+            ).alias("seasonal"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("n").alias("n_orders"),
+            F.sum("sum7").alias("sum_trend_x7"),
+        )
+        .select(
+            "dow",
+            "c_days",
+            "s_dow_x7",
+            "seasonal",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("sum_trend_x7").cast("long").alias("sum_trend_x7"),
+        )
+        .orderBy("dow")
+    )
+
+
 QUERIES = list(_Q)

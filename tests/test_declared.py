@@ -44,3 +44,8 @@ def test_oracle_preconditions(spark):
 
     dup_docs = docs.groupBy("lang", "doc_id").count().filter(F.col("count") > 1).count()
     assert dup_docs == 0
+
+    # m11's oracle walks CHARACTERS while the engine walks BYTES —
+    # equal only while the corpus stays ASCII
+    non_ascii = docs.filter(F.length(F.encode("text", "utf-8")) != F.length("text")).count()
+    assert non_ascii == 0, "non-ASCII text breaks m11's byte==codepoint assumption"
