@@ -5687,4 +5687,81 @@ def m11(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perceptual_ahash(media).orderBy("doc_id")
 
 
+@_l(
+    "l99_greedy_generation",
+    """WITH RECURSIVE tok AS (SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS l
+       FROM documents),
+       bg AS (SELECT w1, w2, count(*) AS c FROM (
+         SELECT s[1] AS w1, s[2] AS w2
+         FROM (SELECT unnest(list_zip(l, l[2:])) AS s FROM tok) z
+         WHERE s[2] IS NOT NULL) GROUP BY 1, 2),
+       uni AS (SELECT w1 AS w, sum(c) AS c FROM bg GROUP BY 1),
+       seed AS (SELECT w FROM uni ORDER BY c DESC, w LIMIT 1),
+       gen(step, w, cnt) AS (
+         SELECT 0, (SELECT w FROM seed), CAST(NULL AS BIGINT)
+         UNION ALL
+         SELECT g.step + 1,
+           (SELECT b.w2 FROM bg b WHERE b.w1 = g.w
+            ORDER BY b.c DESC, b.w2 LIMIT 1),
+           (SELECT b.c FROM bg b WHERE b.w1 = g.w
+            ORDER BY b.c DESC, b.w2 LIMIT 1)
+         FROM gen g WHERE g.step < 8 AND g.w IS NOT NULL)
+       SELECT step::INT AS step, w AS word, cnt::BIGINT AS bigram_count
+       FROM gen WHERE w IS NOT NULL ORDER BY step""",
+    note="greedy bigram-LM text generation IN-ENGINE: start from the "
+    "corpus's most frequent token and repeatedly append the "
+    "argmax-count continuation (ties broken lexicographically), 8 "
+    "steps — the deterministic decode loop that proves the l82/l88 "
+    "n-gram statistics compose into an actual language-model read "
+    "path (greedy decode = temperature-0 sampling, fully "
+    "reproducible; the same chain an in-warehouse data-synthesis or "
+    "autocomplete-suggestion job would run).  All decisions are "
+    "integer-count argmaxes with total tie order, so both engines "
+    "walk the identical chain.  Shape: ONE corpus-wide bigram "
+    "groupBy (map-side combined); the 8-step walk touches only the "
+    "per-prefix top row — driver-side control flow over a "
+    "broadcast-sized frontier, the l93 training-loop discipline "
+    "applied to decoding",
+)
+def l99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    tok = d.select(
+        F.expr("filter(split(text, ' '), x -> x <> '')").alias("l")
+    )
+    bg = (
+        tok.select(
+            F.explode(
+                F.expr("zip_with(l, slice(l, 2, size(l)), (a, b) -> named_struct('w1', a, 'w2', b))")
+            ).alias("s")
+        )
+        .filter(F.col("s.w2").isNotNull())
+        .groupBy(F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    seed = (
+        bg.groupBy("w1").agg(F.sum("c").alias("c"))
+        .orderBy(F.col("c").desc(), "w1")
+        .limit(1)
+        .collect()[0]["w1"]
+    )
+    rows = [(0, seed, None)]
+    cur = seed
+    for step in range(1, 9):
+        nxt = (
+            bg.filter(F.col("w1") == cur)
+            .orderBy(F.col("c").desc(), "w2")
+            .limit(1)
+            .collect()
+        )
+        if not nxt:
+            break
+        cur = nxt[0]["w2"]
+        rows.append((step, cur, nxt[0]["c"]))
+    return spark.createDataFrame(
+        rows, "step int, word string, bigram_count bigint"
+    ).orderBy("step")
+
+
 QUERIES = list(_L)

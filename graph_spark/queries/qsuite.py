@@ -8950,6 +8950,26 @@ def t82(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synthetic_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic integer geometry for the spatial family: customers
+    placed on a 10000x10000 grid by md5 of their key (the data has no
+    geo columns)."""
+    cust = Catalog(spark, sf_dir).table("customer")
+
+    def hv(salt: str):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(salt))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+
+    return cust.select(
+        F.col("c_custkey").alias("id"),
+        (hv(":x") % 10000).alias("x"),
+        (hv(":y") % 10000).alias("y"),
+    )
+
+
 @_q(
     "q135_spatial_grid_join",
     """WITH pts AS (SELECT c_custkey AS id,
@@ -8986,50 +9006,10 @@ def t82(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with cell size tuned to density and AQE absorbing hot cells",
 )
 def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = Catalog(spark, sf_dir).table("customer")
+    from ..operators.spatial import grid_radius_pairs
 
-    def hv(salt: str):
-        return F.conv(
-            F.substring(F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(salt))), 1, 15),
-            16,
-            10,
-        ).cast("long")
-
-    pts = cust.select(
-        F.col("c_custkey").alias("id"),
-        (hv(":x") % 10000).alias("x"),
-        (hv(":y") % 10000).alias("y"),
-    )
-    a = pts.select(
-        "id", "x", "y", (F.col("x") / 250).cast("long").alias("cx"),
-        (F.col("y") / 250).cast("long").alias("cy"),
-    ).alias("a")
-    off = F.array(F.lit(-1), F.lit(0), F.lit(1))
-    b = (
-        pts.withColumn("dx", F.explode(off))
-        .withColumn("dy", F.explode(off))
-        .select(
-            "id",
-            "x",
-            "y",
-            ((F.col("x") / 250).cast("long") + F.col("dx")).alias("cx"),
-            ((F.col("y") / 250).cast("long") + F.col("dy")).alias("cy"),
-        )
-        .alias("b")
-    )
-    d2 = (F.col("a.x") - F.col("b.x")) * (F.col("a.x") - F.col("b.x")) + (
-        F.col("a.y") - F.col("b.y")
-    ) * (F.col("a.y") - F.col("b.y"))
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.cx") == F.col("b.cx"))
-            & (F.col("a.cy") == F.col("b.cy"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .filter(d2 <= 10000)
-        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"), d2.alias("d2"))
-    )
+    pts = _synthetic_points(spark, sf_dir)
+    pairs = grid_radius_pairs(pts, cell=250, radius2=10000)
     np_ = pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
     return (
         pairs.crossJoin(F.broadcast(np_))
@@ -9387,6 +9367,161 @@ def t83(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_trend_x7").cast("long").alias("sum_trend_x7"),
         )
         .orderBy("dow")
+    )
+
+
+@_q(
+    "q139_wasserstein",
+    """WITH s AS (SELECT CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         c.c_mktsegment AS seg
+       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')),
+       cnt AS (SELECT cents,
+         sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS c2
+       FROM s GROUP BY 1),
+       cum AS (SELECT cents,
+         sum(c1) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum1,
+         sum(c2) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum2,
+         lead(cents) OVER (ORDER BY cents) AS nxt
+       FROM cnt),
+       tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM cnt)
+       SELECT t.n1::BIGINT AS n1, t.n2::BIGINT AS n2,
+              sum(abs(t.n2 * c.cum1 - t.n1 * c.cum2)
+                  * (c.nxt - c.cents))::BIGINT AS w1_num,
+              round(CAST(sum(abs(t.n2 * c.cum1 - t.n1 * c.cum2)
+                             * (c.nxt - c.cents)) AS DOUBLE)
+                    / (t.n1 * t.n2 * 100.0), 4) AS w1_dollars
+       FROM cum c CROSS JOIN tot t WHERE c.nxt IS NOT NULL
+       GROUP BY t.n1, t.n2""",
+    note="1-D Wasserstein-1 (earth-mover) distance between the two "
+    "segments' order-total distributions: W1 = integral |F1 - F2| = "
+    "sum over support gaps of |ECDF diff| * gap width, carried "
+    "through by n1*n2 so the numerator is a pure BIGINT sum "
+    "(|n2*cum1 - n1*cum2| * gap, every factor exact) — the metric "
+    "that says HOW FAR apart two distributions sit in value units, "
+    "where q131's KS only says how much they maximally disagree; "
+    "the standard embedding/feature drift magnitude in curation.  "
+    "Same collapsed-frame shape as q131: one groupBy on cents, one "
+    "window cumsum + lead on the collapsed support, one aggregate.  "
+    "Magnitude: |diff| <= n^2 ~ 1e10 at sf1 times gaps summing to "
+    "the value range 1e7 — worst case ~1e17, int64-safe with the "
+    "price-cap data bound",
+)
+def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    o = c.table("orders")
+    cust = c.table("customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    s = o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey).select(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    cnt = s.groupBy("cents").agg(
+        F.sum(F.when(F.col("seg") == "BUILDING", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("seg") == "MACHINERY", 1).otherwise(0)).alias("c2"),
+    )
+    wcum = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wlead = Window.orderBy("cents")
+    cum = cnt.select(
+        "cents",
+        F.sum("c1").over(wcum).alias("cum1"),
+        F.sum("c2").over(wcum).alias("cum2"),
+        F.lead("cents").over(wlead).alias("nxt"),
+    )
+    tot = cnt.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    term = F.abs(F.col("n2") * F.col("cum1") - F.col("n1") * F.col("cum2")) * (
+        F.col("nxt") - F.col("cents")
+    )
+    return (
+        cum.filter(F.col("nxt").isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.sum(term).alias("w1_num"),
+            F.round(
+                F.sum(term).cast("double") / (F.col("n1") * F.col("n2") * F.lit(100.0)),
+                4,
+            ).alias("w1_dollars"),
+        )
+        .select(
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            F.col("w1_num").cast("long").alias("w1_num"),
+            "w1_dollars",
+        )
+    )
+
+
+@_q(
+    "q140_dbscan_grid",
+    """WITH RECURSIVE pts AS (SELECT c_custkey AS id,
+         ('0x' || substring(md5(c_custkey::VARCHAR || ':x'), 1, 15))::BIGINT
+           % 10000 AS x,
+         ('0x' || substring(md5(c_custkey::VARCHAR || ':y'), 1, 15))::BIGINT
+           % 10000 AS y
+       FROM customer),
+       a AS (SELECT id, x, y, x // 250 AS cx, y // 250 AS cy FROM pts),
+       b AS (SELECT id, x, y, x // 250 + d1.dx AS cx, y // 250 + d2.dy AS cy
+             FROM pts
+             CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx) d1
+             CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy) d2),
+       pairs AS (SELECT a.id AS pa, b.id AS pb
+         FROM a JOIN b ON a.cx = b.cx AND a.cy = b.cy AND a.id < b.id
+         WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 62500),
+       sym AS (SELECT pa AS xx, pb AS yy FROM pairs
+               UNION ALL SELECT pb, pa FROM pairs),
+       deg AS (SELECT xx, count(*) AS c FROM sym GROUP BY 1),
+       core AS (SELECT xx AS id FROM deg WHERE c >= 3),
+       ce AS (SELECT s.xx AS ea, s.yy AS eb FROM sym s
+              JOIN core c1 ON c1.id = s.xx JOIN core c2 ON c2.id = s.yy),
+       reach(node, r) AS (
+         SELECT id, id FROM core
+         UNION
+         SELECT e.eb, reach.r FROM reach JOIN ce e ON reach.node = e.ea),
+       comp AS (SELECT node AS id, min(r) AS cluster FROM reach GROUP BY 1),
+       border AS (SELECT s.xx AS id, min(c.cluster) AS cluster
+                  FROM sym s JOIN comp c ON c.id = s.yy
+                  WHERE s.xx NOT IN (SELECT id FROM core) GROUP BY 1),
+       allp AS (SELECT id, cluster, 1 AS is_core FROM comp
+                UNION ALL SELECT id, cluster, 0 FROM border)
+       SELECT cluster::BIGINT AS cluster, sum(is_core)::BIGINT AS n_core,
+              sum(1 - is_core)::BIGINT AS n_border, count(*)::BIGINT AS n_total
+       FROM allp GROUP BY 1 ORDER BY 1""",
+    note="DBSCAN over the synthetic point cloud, composed entirely "
+    "from scale-safe primitives: neighbor pairs from the q135 grid "
+    "equi-join (eps=250, cell=radius so the 3x3 neighborhood is "
+    "complete), core points = degree >= 3 on the symmetric pair "
+    "graph, clusters = distributed connected components over "
+    "core-core edges labelled by min core id (the g04 kernel), "
+    "border points attach to their smallest adjacent core cluster, "
+    "noise drops out.  Every step is integer-exact; the oracle "
+    "replays it with a recursive min-label closure.  This is the "
+    "density-based clustering a dedup/embedding pipeline runs where "
+    "k-means (l35) needs a k: grid join keeps candidate generation "
+    "linear, CC is the delta-iterated Pregel kernel — both already "
+    "proven at 20M+ edges in BENCH distributed_graph",
+)
+def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.spatial import dbscan_grid
+
+    pts = _synthetic_points(spark, sf_dir)
+    assign = dbscan_grid(pts, cell=250, radius2=62500, min_neighbors=3)
+    return (
+        assign.groupBy("cluster")
+        .agg(
+            F.sum("is_core").alias("n_core"),
+            F.sum(1 - F.col("is_core")).alias("n_border"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .select(
+            F.col("cluster").cast("long").alias("cluster"),
+            F.col("n_core").cast("long").alias("n_core"),
+            F.col("n_border").cast("long").alias("n_border"),
+            F.col("n_total").cast("long").alias("n_total"),
+        )
+        .orderBy("cluster")
     )
 
 
