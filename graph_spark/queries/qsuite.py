@@ -9525,4 +9525,102 @@ def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q141_quantile_normalization",
+    """WITH s AS (SELECT event_type AS t,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+       FROM events WHERE event_type IN ('click', 'purchase')),
+       vc AS (SELECT t, v, count(*) AS c FROM s GROUP BY 1, 2),
+       cum AS (SELECT t, v, c,
+         sum(c) OVER (PARTITION BY t ORDER BY v ROWS UNBOUNDED PRECEDING) AS cm
+       FROM vc),
+       tot AS (SELECT t, sum(c) AS n FROM vc GROUP BY 1),
+       dec AS (SELECT unnest(range(1, 11)) AS d),
+       typ AS (SELECT c.t, d.d, t.n,
+         min(CASE WHEN c.cm >= (d.d * t.n + 9) // 10 THEN c.v END) AS type_value
+       FROM cum c JOIN tot t ON t.t = c.t CROSS JOIN dec d GROUP BY 1, 2, 3),
+       pc AS (SELECT v, count(*) AS c FROM s GROUP BY 1),
+       pcum AS (SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cm
+                FROM pc),
+       pn AS (SELECT count(*) AS n FROM s),
+       ref AS (SELECT d.d,
+         min(CASE WHEN p.cm >= (d.d * n.n + 9) // 10 THEN p.v END) AS ref_value
+       FROM pcum p CROSS JOIN pn n CROSS JOIN dec d GROUP BY 1)
+       SELECT typ.t AS event_type, typ.d::INT AS decile, typ.n::BIGINT AS n,
+              typ.type_value::BIGINT AS type_value,
+              ref.ref_value::BIGINT AS ref_value
+       FROM typ JOIN ref ON ref.d = typ.d
+       ORDER BY 1, 2""",
+    note="quantile normalization mapping table (the microarray / "
+    "batch-effect-removal op adapted to feature pipelines): for each "
+    "event type and decile, the type's own type-1 decile value next "
+    "to the POOLED reference decile it normalizes to — applying the "
+    "map rank-aligns the two cohorts' distributions exactly.  Every "
+    "quantile is a k-th order statistic (k = ceil(d*n/10) as integer "
+    "ceiling) read off a value-collapsed cumulative frame, so the "
+    "whole table is BIGINT-exact — no interpolation convention "
+    "drift.  Shape: per-type and pooled value collapses (map-side "
+    "combined), windows on collapsed frames, a 10-row decile spine "
+    "cross join — corpus-size-independent after the first shuffle",
+)
+def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    s = ev.select(
+        F.col("event_type").alias("t"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+    )
+    vc = s.groupBy("t", "v").agg(F.count(F.lit(1)).alias("c"))
+    wt = (
+        Window.partitionBy("t")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = vc.select("t", "v", "c", F.sum("c").over(wt).alias("cm"))
+    tot = vc.groupBy("t").agg(F.sum("c").alias("n"))
+    dec = spark.range(1, 11).select(F.col("id").alias("d"))
+    typ = (
+        cum.join(F.broadcast(tot), "t")
+        .crossJoin(F.broadcast(dec))
+        .groupBy("t", "d", "n")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cm") >= ((F.col("d") * F.col("n") + 9) / 10).cast("long"),
+                    F.col("v"),
+                )
+            ).alias("type_value")
+        )
+    )
+    pc = s.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    wp = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pcum = pc.select("v", F.sum("c").over(wp).alias("cm"))
+    pn = s.agg(F.count(F.lit(1)).alias("n"))
+    ref = (
+        pcum.crossJoin(F.broadcast(pn))
+        .crossJoin(F.broadcast(dec))
+        .groupBy("d")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cm") >= ((F.col("d") * F.col("n") + 9) / 10).cast("long"),
+                    F.col("v"),
+                )
+            ).alias("ref_value")
+        )
+    )
+    return (
+        typ.join(F.broadcast(ref), "d")
+        .select(
+            F.col("t").alias("event_type"),
+            F.col("d").cast("int").alias("decile"),
+            F.col("n").cast("long").alias("n"),
+            F.col("type_value").cast("long").alias("type_value"),
+            F.col("ref_value").cast("long").alias("ref_value"),
+        )
+        .orderBy("event_type", "decile")
+    )
+
+
 QUERIES = list(_Q)
