@@ -5764,4 +5764,172 @@ def l99(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("step")
 
 
+@_l(
+    "l100_subsample_ci",
+    """WITH b AS (SELECT unnest(range(0, 16)) AS b),
+       mem AS (SELECT b.b, d.doc_id, d.n_chars
+         FROM documents d CROSS JOIN b
+         WHERE strpos('0123456789abcdef',
+                 substring(md5(d.doc_id::VARCHAR || ':' || b.b::VARCHAR), 1, 1))
+               - 1 < 8),
+       per AS (SELECT b, count(*) AS n, sum(n_chars) AS s,
+               CAST(floor(1e3 * CAST(sum(n_chars) AS DOUBLE) / count(*) + 0.5)
+                    AS BIGINT) AS m_x1k
+             FROM mem GROUP BY 1),
+       rk AS (SELECT m_x1k, row_number() OVER (ORDER BY m_x1k, b) AS r FROM per)
+       SELECT (SELECT count(*) FROM per)::BIGINT AS n_resamples,
+              sum(per.n)::BIGINT AS total_draws,
+              round(CAST(sum(per.m_x1k) AS DOUBLE) / (16 * 1e3), 6) AS mean_of_means,
+              round(sqrt((16.0 * sum(per.m_x1k * per.m_x1k)
+                          - CAST(sum(per.m_x1k) AS DOUBLE) * sum(per.m_x1k))
+                         / (16.0 * 15.0)) / 1e3, 6) AS sd_of_means,
+              (SELECT m_x1k FROM rk WHERE r = 2)::BIGINT AS ci_lo_x1k,
+              (SELECT m_x1k FROM rk WHERE r = 15)::BIGINT AS ci_hi_x1k
+       FROM per""",
+    note="subsampling confidence interval for the mean document length "
+    "— resampling inference IN-ENGINE: 16 deterministic half-samples "
+    "(md5(doc_id, b) bucket test — no RNG, the l18 split idiom), "
+    "each sample's mean carried as an integer milli-char m_x1k = "
+    "floor(1e3*s/n+.5) so the across-sample sum/sumsq/sd and the "
+    "percentile CI (2nd/15th order statistics, exact integer "
+    "selection) are ALL layout-proof — a float mean per sample would "
+    "make the 16-row aggregate order-sensitive; the integer carrier "
+    "kills that.  This is the error-bar machinery for any corpus "
+    "statistic where the analytic variance is unavailable.  Shape: "
+    "16x corpus replication via a broadcast spine (at 100 TB you'd "
+    "push the 16 membership bits into ONE pass — grouping sets / "
+    "Expand — same cost class as q12's rollup), then 16-row scalar "
+    "math",
+)
+def l100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents").select("doc_id", "n_chars")
+    b = spark.range(0, 16).select(F.col("id").alias("b"))
+    mem = (
+        d.crossJoin(F.broadcast(b))
+        .filter(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("doc_id").cast("string"),
+                                F.lit(":"),
+                                F.col("b").cast("string"),
+                            )
+                        ),
+                        1,
+                        1,
+                    ),
+                    16,
+                    10,
+                ).cast("int")
+            )
+            < 8
+        )
+        .select("b", "n_chars")
+    )
+    per = mem.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("s"),
+    ).select(
+        "b",
+        "n",
+        "s",
+        F.floor(F.lit(1e3) * F.col("s").cast("double") / F.col("n") + 0.5)
+        .cast("long")
+        .alias("m_x1k"),
+    )
+    w = Window.orderBy("m_x1k", "b")
+    rk = per.select("m_x1k", F.row_number().over(w).alias("r"))
+    lo = rk.filter(F.col("r") == 2).select(F.col("m_x1k").alias("ci_lo_x1k"))
+    hi = rk.filter(F.col("r") == 15).select(F.col("m_x1k").alias("ci_hi_x1k"))
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_resamples"),
+        F.sum("n").alias("total_draws"),
+        F.sum("m_x1k").alias("sm"),
+        F.sum(F.col("m_x1k") * F.col("m_x1k")).alias("smm"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.col("n_resamples").cast("long").alias("n_resamples"),
+            F.col("total_draws").cast("long").alias("total_draws"),
+            F.round(F.col("sm").cast("double") / (16 * F.lit(1e3)), 6).alias(
+                "mean_of_means"
+            ),
+            F.round(
+                F.sqrt(
+                    (16.0 * F.col("smm") - F.col("sm").cast("double") * F.col("sm"))
+                    / (16.0 * 15.0)
+                )
+                / F.lit(1e3),
+                6,
+            ).alias("sd_of_means"),
+            F.col("ci_lo_x1k").cast("long").alias("ci_lo_x1k"),
+            F.col("ci_hi_x1k").cast("long").alias("ci_hi_x1k"),
+        )
+    )
+
+
+@_l(
+    "l101_feature_hashing",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         FROM documents WHERE doc_id < 50),
+       t2 AS (SELECT doc_id, w,
+         ('0x' || substring(md5(w), 1, 15))::BIGINT AS h
+       FROM tok WHERE w <> ''),
+       sgn AS (SELECT doc_id, w, h % 16 AS bucket,
+               CASE WHEN h % 32 < 16 THEN 1 ELSE -1 END AS sg
+       FROM t2),
+       vec AS (SELECT doc_id, bucket, sum(sg) AS val
+               FROM sgn GROUP BY 1, 2),
+       voc AS (SELECT bucket, count(DISTINCT w) AS bucket_vocab
+               FROM sgn GROUP BY 1)
+       SELECT v.doc_id, v.bucket::INT AS bucket, v.val::BIGINT AS val,
+              voc.bucket_vocab::BIGINT AS bucket_vocab
+       FROM vec v JOIN voc USING (bucket)
+       ORDER BY v.doc_id, v.bucket""",
+    note="the hashing trick (Weinberger et al. / HashingVectorizer): "
+    "tokens land in 16 signed buckets by md5 (sign bit from the next "
+    "hash bit, so collisions cancel in expectation), giving each doc "
+    "a fixed-width feature vector with NO vocabulary state — the "
+    "vectorizer that feeds l93's logistic classifier when the vocab "
+    "is unbounded; bucket_vocab exposes the collision load per "
+    "dimension.  All-integer (hash, bucket, signed sum), "
+    "vocabulary-free by construction.  Shape: one token explode + "
+    "one (doc, bucket) groupBy, map-side combined; the 16-row vocab "
+    "census is a distinct-combine — at 100 TB this is strictly "
+    "cheaper than tf-idf because no global vocabulary join exists",
+)
+def l101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents").filter(F.col("doc_id") < 50)
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    t2 = tok.select(
+        "doc_id",
+        "w",
+        F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    sgn = t2.select(
+        "doc_id",
+        "w",
+        (F.col("h") % 16).alias("bucket"),
+        F.when((F.col("h") % 32) < 16, 1).otherwise(-1).alias("sg"),
+    )
+    vec = sgn.groupBy("doc_id", "bucket").agg(F.sum("sg").alias("val"))
+    voc = sgn.groupBy("bucket").agg(F.countDistinct("w").alias("bucket_vocab"))
+    return (
+        vec.join(F.broadcast(voc), "bucket")
+        .select(
+            "doc_id",
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("val").cast("long").alias("val"),
+            F.col("bucket_vocab").cast("long").alias("bucket_vocab"),
+        )
+        .orderBy("doc_id", "bucket")
+    )
+
+
 QUERIES = list(_L)
