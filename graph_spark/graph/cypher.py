@@ -40,11 +40,16 @@ Supported:
     count(DISTINCT ..)) trigger an implicit GROUP BY of the
     non-aggregate items, exactly like Cypher.
   - DISTINCT, ORDER BY (aliases or expressions), SKIP, LIMIT.
+  - `p = shortestPath((a)-[:TYPE*]->(b))` as a MATCH block of its own
+    (bare `*` = 1..6, or explicit `*min..max`, max <= 6): compiled to
+    a multi-source semi-naive BFS seeded from the (filter-pushed)
+    source set; `length(p)` / `p.len` is the hop count.  Combine with
+    further MATCH/OPTIONAL MATCH blocks through shared endpoints.
 
 Not supported (raise ValueError): more than one WITH stage,
 CREATE/MERGE/DELETE (this is an analytical engine — writes go through
-the sink API), shortestPath (use graph.algorithms), undirected edges
-(query the symmetric PropertyGraph instead).
+the sink API), undirected edges (query the symmetric PropertyGraph /
+:TRADE_SYM instead).
 
 Scale shape: each edge pattern is one equi-join of the (distinct-pair
 rollup) edge table; labels and property predicates are pushed to the
@@ -108,8 +113,14 @@ _BLOCK = re.compile(r"^\s*(?P<pat>.+?)(?:\s+WHERE\s+(?P<where>.+))?\s*$", re.IGN
 _BLOCK_SPLIT = re.compile(r"\s+(OPTIONAL\s+MATCH|MATCH)\s+", re.IGNORECASE)
 
 _UNSUPPORTED = re.compile(
-    r"\b(CREATE|MERGE|DELETE|SET|REMOVE|UNWIND|CALL|shortestPath)\b",
+    r"\b(CREATE|MERGE|DELETE|SET|REMOVE|UNWIND|CALL)\b",
     re.IGNORECASE,
+)
+
+# a MATCH block of the form  p = shortestPath((a ..)-[:TYPE*1..4]->(b ..))
+_SHORTEST = re.compile(
+    r"^\s*(?P<pvar>\w+)\s*=\s*shortestPath\s*\(\s*(?P<inner>.+)\s*\)\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
 
 
@@ -239,9 +250,12 @@ def _parse_patterns(text: str, anon: list | None = None):
                         "cypher: variable-length edges cannot bind an edge "
                         "variable in this subset (project endpoints instead)"
                     )
-                min_len = int(expect("num"))
-                expect("dots")
-                max_len = int(expect("num"))
+                if i < len(toks) and toks[i][0] == "num":
+                    min_len = int(expect("num"))
+                    expect("dots")
+                    max_len = int(expect("num"))
+                else:  # bare `*`: default bound (shortestPath's usual form)
+                    min_len, max_len = 1, 6
                 if not (1 <= min_len <= max_len):
                     raise ValueError("cypher: need 1 <= min <= max in -[*min..max]->")
                 if max_len > 6:
@@ -394,6 +408,73 @@ def _varlen_leg(cg: CypherGraph, edge: _Edge, a: str, b: str) -> DataFrame:
     return out.distinct().select(F.col("__u").alias(a), F.col("__v").alias(b))
 
 
+def _node_filter(cg: CypherGraph, nd: _Node, frame: DataFrame, col: str) -> DataFrame:
+    """Push one node pattern's label / {node: lit} filters onto `col`."""
+    if nd.label is not None:
+        frame = frame.filter(cg.label_pred(nd.label, F.col(col)))
+    for k, v in nd.props.items():
+        if k not in ("node", "id"):
+            raise ValueError(
+                f"cypher: node variable {nd.var!r} has no property {k!r} "
+                "(node ids are the only node scalar)"
+            )
+        frame = frame.filter(F.col(col) == F.lit(v))
+    return frame
+
+
+def _shortest_frame(cg: CypherGraph, pvar: str, triples) -> tuple[DataFrame, set, str]:
+    """shortestPath((a)-[:TYPE*min..max]->(b)) as a multi-source BFS:
+    seeds = vertices passing a's label/{node} filters (pushed BEFORE
+    the walk, so an anchored source explores one frontier, not the
+    whole closure), then semi-naive frontier expansion — each level
+    keeps only (seed, node) pairs never reached before, which IS the
+    shortest-path property; binds columns a, b and pvar__len (reach
+    `length(p)` / `p.len` in expressions).  Per level: one equi-join +
+    distinct + anti-join, the g03 BFS kernel shape; lineage truncated
+    per level so 6 levels stay 6 joins."""
+    if len(triples) != 1:
+        raise ValueError(
+            "cypher: shortestPath takes exactly one (a)-[..]->(b) pattern"
+        )
+    left, edge, right = triples[0]
+    if edge.props:
+        raise ValueError("cypher: shortestPath edges cannot carry property maps")
+    a, b = left.var, right.var
+    if a == b:
+        raise ValueError("cypher: shortestPath endpoints must be distinct variables")
+    edf = cg.edges_for(edge.etype).select("src", "dst")
+    s, d = ("dst", "src") if edge.reverse else ("src", "dst")
+    base = edf.select(F.col(s).alias("__u"), F.col(d).alias("__v"))
+    # seed from the edge table's own sources (covers rel_types whose
+    # nodes aren't in graph.vertices, e.g. the nation trade graphs;
+    # a zero-out-degree source has no >=1-hop path anyway)
+    seeds = base.select(F.col("__u").alias(a)).distinct()
+    seeds = _node_filter(cg, left, seeds, a)
+    plen = f"{pvar}__len"
+    frontier = (
+        seeds.join(base, F.col(a) == F.col("__u"))
+        .select(a, F.col("__v").alias(b))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    acc = frontier.withColumn(plen, F.lit(1))
+    for level in range(2, edge.max_len + 1):
+        frontier = (
+            frontier.join(base, F.col(b) == F.col("__u"))
+            .select(a, F.col("__v").alias(b))
+            .distinct()
+            .join(acc.select(a, b), [a, b], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if not frontier.take(1):
+            break
+        acc = acc.unionByName(frontier.withColumn(plen, F.lit(level)))
+    out = _node_filter(cg, right, acc, b)
+    if edge.min_len > 1:
+        out = out.filter(F.col(plen) >= edge.min_len)
+    return out, {a, b}, pvar
+
+
 def _rewrite(expr: str, node_vars: set[str], edge_vars: set[str]) -> str:
     """Rewrite Cypher references to bound column names: `e.prop` ->
     e__prop for edge vars, `v.node` -> v (a node's only scalar is its
@@ -419,6 +500,12 @@ def _rewrite(expr: str, node_vars: set[str], edge_vars: set[str]) -> str:
     # group) and rewrite only the code between them
     parts = re.split(r"('[^']*'|\"[^\"]*\")", expr)
     for i in range(0, len(parts), 2):
+        # length(p) on a shortestPath binding -> its hop-count column
+        parts[i] = re.sub(
+            r"\blength\s*\(\s*(\w+)\s*\)",
+            lambda mm: f"{mm.group(1)}__len" if mm.group(1) in edge_vars else mm.group(0),
+            parts[i],
+        )
         parts[i] = _PROP_REF.sub(sub, parts[i])
     return "".join(parts)
 
@@ -532,9 +619,20 @@ def cypher(
         assert frame is not None
         return frame, bn, be
 
+    def build_any(pat_text: str) -> tuple[DataFrame, set, set]:
+        """A MATCH block body: either a shortestPath binding or a plain
+        pattern chain."""
+        sp = _SHORTEST.match(pat_text)
+        if sp:
+            frame, bn2, pv = _shortest_frame(
+                cg, sp.group("pvar"), _parse_patterns(sp.group("inner"), anon)
+            )
+            return frame, bn2, {pv}
+        return build_block(_parse_patterns(pat_text, anon))
+
     # first (required) MATCH block
     bm = _BLOCK.match(blocks[0][1])
-    out, bn, be = build_block(_parse_patterns(bm.group("pat"), anon))
+    out, bn, be = build_any(bm.group("pat"))
     node_vars |= bn
     edge_vars |= be
     if bm.group("where"):
@@ -548,7 +646,7 @@ def cypher(
     # join, where Catalyst can use it)
     for is_optional, btext in blocks[1:]:
         bm = _BLOCK.match(btext)
-        opt, bn, be = build_block(_parse_patterns(bm.group("pat"), anon))
+        opt, bn, be = build_any(bm.group("pat"))
         anchors = sorted(bn & node_vars)
         if not anchors:
             raise ValueError(

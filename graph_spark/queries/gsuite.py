@@ -5413,4 +5413,39 @@ def g104(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g105_cypher_shortest_path",
+    f"""WITH RECURSIVE {_TRADE_SYM_CTES},
+       r(a, b, len) AS (
+         SELECT src, dst, 1 FROM es
+         UNION
+         SELECT r.a, e.dst, r.len + 1 FROM r JOIN es e ON e.src = r.b
+         WHERE r.len < 6)
+       SELECT a AS src_nation, b AS dst_nation, min(len)::INT AS hops
+       FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
+    note="Cypher shortestPath() — the one openCypher verb the subset "
+    "previously refused: `MATCH p = shortestPath((a:Nation)-"
+    "[:TRADE_SYM*]->(b:Nation)) RETURN a, b, length(p)` compiles to "
+    "a multi-source semi-naive BFS (seed set = filter-pushed "
+    "sources, per-level distinct + anti-join against reached pairs — "
+    "first reach IS the shortest length, the g03 kernel shape with "
+    "per-level lineage truncation), binding length(p)/p.len to the "
+    "hop count.  Bare * defaults to 1..6; explicit *min..max "
+    "supported; combinable with further MATCH blocks via shared "
+    "endpoints.  Oracle: bounded recursive closure + min(len).  "
+    "All-pairs here because the nation graph is 25 nodes; an "
+    "anchored {node: lit} source prunes the seed frame to one row "
+    "BEFORE the walk — the pushdown that makes this shape usable on "
+    "big graphs",
+)
+def g105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cy(
+        spark,
+        sf_dir,
+        """MATCH p = shortestPath((a:Nation)-[:TRADE_SYM*]->(b:Nation))
+           RETURN a AS src_nation, b AS dst_nation, length(p) AS hops
+           ORDER BY src_nation, dst_nation""",
+    )
+
+
 QUERIES = list(_G)

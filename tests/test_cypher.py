@@ -417,3 +417,66 @@ def test_engine_cypher_trade_self_loop(spark):
     # nations trade with themselves in TPC-H-ish data; result is the
     # (possibly empty) set of self-trading nations, not an exception
     assert all(r.a.startswith("n") for r in rows)
+
+
+def test_shortest_path_basic(tiny):
+    """Diamond: a reaches d in 2 hops (two routes), e in 3; first-reach
+    level is the shortest length."""
+    df = cypher(
+        tiny,
+        "MATCH p = shortestPath((a {node: 'a'})-[*]->(b)) "
+        "RETURN b, length(p) AS hops ORDER BY hops, b",
+    )
+    assert [tuple(r) for r in df.collect()] == [
+        ("b", 1),
+        ("c", 1),
+        ("d", 2),
+        ("e", 3),
+    ]
+
+
+def test_shortest_path_min_bound_and_plen_alias(tiny):
+    """*2..3 drops the 1-hop rows; p.len is the same column as
+    length(p)."""
+    df = cypher(
+        tiny,
+        "MATCH p = shortestPath((a {node: 'a'})-[:E*2..3]->(b)) "
+        "RETURN b, p.len AS hops ORDER BY hops, b",
+    )
+    assert [tuple(r) for r in df.collect()] == [("d", 2), ("e", 3)]
+
+
+def test_shortest_path_joins_with_second_block(tiny):
+    """shortestPath frame participates in later MATCH joins via shared
+    endpoints."""
+    df = cypher(
+        tiny,
+        "MATCH p = shortestPath((a {node: 'a'})-[*]->(b)) "
+        "MATCH (b)-[e]->(c) "
+        "RETURN b, length(p) AS hops, c ORDER BY b, c",
+    )
+    rows = [tuple(r) for r in df.collect()]
+    assert ("b", 1, "d") in rows and ("d", 2, "e") in rows
+
+
+def test_shortest_path_two_patterns_refused(tiny):
+    with pytest.raises(ValueError, match="exactly one"):
+        cypher(
+            tiny,
+            "MATCH p = shortestPath((a)-[]->(b), (b)-[]->(c)) RETURN a",
+        )
+
+
+def test_shortest_path_reverse_direction(tiny):
+    """<-[*]- walks the transposed graph: who reaches d, and in how
+    many hops."""
+    df = cypher(
+        tiny,
+        "MATCH p = shortestPath((a {node: 'd'})<-[*]-(b)) "
+        "RETURN b, length(p) AS hops ORDER BY hops, b",
+    )
+    assert [tuple(r) for r in df.collect()] == [
+        ("b", 1),
+        ("c", 1),
+        ("a", 2),
+    ]
