@@ -5448,4 +5448,120 @@ def g105(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g106_bowtie_structure",
+    """WITH RECURSIVE ne AS (
+         SELECT 'n'||c.c_nationkey AS src, 'n'||s.s_nationkey AS dst
+         FROM lineitem l JOIN orders o ON l.l_orderkey=o.o_orderkey
+         JOIN customer c ON o.o_custkey=c.c_custkey
+         JOIN supplier s ON l.l_suppkey=s.s_suppkey
+         GROUP BY 1,2 HAVING count(*) >= 150),
+       nodes AS (SELECT DISTINCT node FROM (
+         SELECT src AS node FROM ne UNION ALL SELECT dst FROM ne)),
+       reach(a, b) AS (
+         SELECT src, dst FROM ne
+         UNION
+         SELECT r.a, e.dst FROM reach r JOIN ne e ON r.b = e.src),
+       mutual AS (SELECT r1.a, r1.b FROM reach r1
+                  JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+       comp AS (SELECT n.node,
+                least(n.node, coalesce(min(m.b), n.node)) AS lbl
+                FROM nodes n LEFT JOIN mutual m ON m.a = n.node GROUP BY 1),
+       core AS (SELECT lbl FROM (SELECT lbl, count(*) AS c FROM comp
+                GROUP BY 1 ORDER BY c DESC, lbl LIMIT 1)),
+       core_nodes AS (SELECT node FROM comp WHERE lbl = (SELECT lbl FROM core)),
+       to_core AS (SELECT DISTINCT r.a AS node FROM reach r
+                   WHERE r.b IN (SELECT node FROM core_nodes)),
+       from_core AS (SELECT DISTINCT r.b AS node FROM reach r
+                     WHERE r.a IN (SELECT node FROM core_nodes))
+       SELECT n.node,
+         CASE WHEN n.node IN (SELECT node FROM core_nodes) THEN 'core'
+              WHEN n.node IN (SELECT node FROM to_core) THEN 'in'
+              WHEN n.node IN (SELECT node FROM from_core) THEN 'out'
+              ELSE 'other' END AS cls
+       FROM nodes n ORDER BY n.node""",
+    note="Broder bow-tie decomposition of the directed nation trade "
+    "graph (the classic web-graph macrostructure census): CORE = "
+    "largest SCC (ties to min label), IN = reaches the core without "
+    "belonging, OUT = reached from the core, OTHER = tendrils/"
+    "disconnected.  Spark side composes three proven kernels: the "
+    "FW-BW SCC (g17), a component-size argmax (exact integer, tie on "
+    "label), and two membership frontier closures (forward and "
+    "transposed BFS from the core set — fixpoint loops over distinct "
+    "frontiers, the g03 shape).  Oracle = recursive closure + mutual "
+    "reachability.  The structure read that tells you whether a "
+    "supply/link graph is one navigable continent or fractured — at "
+    "scale each piece is the already-benchmarked distributed kernel",
+)
+def g106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import strongly_connected_components
+
+    c = Catalog(spark, sf_dir)
+    li = c.table("lineitem").select("l_orderkey", "l_suppkey")
+    o = c.table("orders").select("o_orderkey", "o_custkey")
+    cu = c.table("customer").select("c_custkey", "c_nationkey")
+    su = c.table("supplier").select("s_suppkey", "s_nationkey")
+    ne = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cu), F.col("o_custkey") == cu.c_custkey)
+        .join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .groupBy(
+            F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("src"),
+            F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 150)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        ne.select(F.col("src").alias("id"))
+        .union(ne.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    if not ne.take(1):  # sf0.001's trade graph has no >=150 pair
+        return spark.createDataFrame([], "node string, cls string")
+    comp = strongly_connected_components(PropertyGraph(nodes, ne))
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("c"))
+    core_lbl = sizes.orderBy(F.col("c").desc(), "component").take(1)[0]["component"]
+    core = comp.filter(F.col("component") == core_lbl).select(
+        F.col("node").alias("id")
+    )
+
+    def closure(edges: DataFrame, seed: DataFrame) -> DataFrame:
+        """Nodes with a >=1-hop path INTO the seed set along `edges`
+        (pass transposed edges for reached-from)."""
+        reached = seed.localCheckpoint(eager=True)
+        frontier = reached
+        while True:
+            nxt = (
+                edges.join(frontier, edges.dst == frontier.id)
+                .select(F.col("src").alias("id"))
+                .distinct()
+                .join(reached, "id", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if not nxt.take(1):
+                return reached
+            reached = reached.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+
+    to_core = closure(ne, core)
+    from_core = closure(ne.select(F.col("dst").alias("src"), F.col("src").alias("dst")), core)
+    cls = (
+        nodes.join(core.withColumn("__c", F.lit(1)), "id", "left")
+        .join(to_core.select("id").withColumn("__i", F.lit(1)), "id", "left")
+        .join(from_core.select("id").withColumn("__o", F.lit(1)), "id", "left")
+        .select(
+            F.col("id").alias("node"),
+            F.when(F.col("__c").isNotNull(), "core")
+            .when(F.col("__i").isNotNull(), "in")
+            .when(F.col("__o").isNotNull(), "out")
+            .otherwise("other")
+            .alias("cls"),
+        )
+    )
+    return cls.orderBy("node")
+
+
 QUERIES = list(_G)

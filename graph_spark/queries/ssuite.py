@@ -930,4 +930,73 @@ def s23(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_s(
+    "s24_window_anomaly",
+    """WITH h AS (SELECT date_trunc('hour', ts) AS hr, event_type,
+         count(*) AS c
+       FROM events GROUP BY 1, 2),
+       w AS (SELECT hr, event_type, c,
+         count(*) OVER tw AS n,
+         sum(c) OVER tw AS s,
+         sum(c * c) OVER tw AS ss
+       FROM h
+       WINDOW tw AS (PARTITION BY event_type ORDER BY hr
+         ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+       SELECT strftime(hr, '%Y-%m-%d %H:%M:%S.%f') AS hr, event_type,
+              c::BIGINT AS c, n::BIGINT AS trail_n, s::BIGINT AS trail_sum,
+              ss::BIGINT AS trail_sumsq,
+              CASE WHEN (n * c - s) * (n * c - s) > 9 * (n * ss - s * s)
+                        AND n * c > s
+                   THEN 1 ELSE 0 END::INT AS spike
+       FROM w WHERE n = 24
+       ORDER BY hr, event_type""",
+    note="windowed anomaly detection, EXACT INTEGER z-test: hourly "
+    "event counts flagged when they sit >3 trailing standard "
+    "deviations above the previous-24h mean — the alerting rule "
+    "every ops pipeline runs — with the z comparison CROSS-MULTIPLIED "
+    "so no float mean/std exists: z > 3 and positive ⇔ "
+    "(n*c - s)^2 > 9*(n*ss - s^2) with n*c > s, every operand "
+    "BIGINT from window sums.  Batch-parity form of the streaming "
+    "twin (5-min micro-batch counts + applyInPandasWithState "
+    "carrying the 24-slot ring buffer); declared on the hourly "
+    "collapse so the frame is corpus-size-independent after one "
+    "map-side-combined shuffle.  Magnitudes: n*ss <= 24*(1e6)^2 ~ "
+    "2.4e13 at 1M events/hour — int64-safe far beyond any sf here",
+)
+def s24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    h = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hr"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tw = Window.partitionBy("event_type").orderBy("hr").rowsBetween(-24, -1)
+    w = h.select(
+        "hr",
+        "event_type",
+        "c",
+        F.count(F.lit(1)).over(tw).alias("n"),
+        F.sum("c").over(tw).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(tw).alias("ss"),
+    )
+    diff = F.col("n") * F.col("c") - F.col("s")
+    var9 = 9 * (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+    return (
+        w.filter(F.col("n") == 24)
+        .select(
+            ts_str(F.col("hr")).alias("hr"),
+            "event_type",
+            F.col("c").cast("long").alias("c"),
+            F.col("n").cast("long").alias("trail_n"),
+            F.col("s").cast("long").alias("trail_sum"),
+            F.col("ss").cast("long").alias("trail_sumsq"),
+            F.when((diff * diff > var9) & (diff > 0), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("spike"),
+        )
+        .orderBy("hr", "event_type")
+    )
+
+
 QUERIES = list(_S)
