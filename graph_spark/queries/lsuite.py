@@ -5932,4 +5932,94 @@ def l101(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l102_log2_quantile_sketch",
+    """WITH s AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+       FROM orders WHERE o_totalprice > 0),
+       bk AS (SELECT length(bin(c)) - 1 AS bucket, count(*) AS cnt
+              FROM s GROUP BY 1),
+       cum AS (SELECT bucket, cnt,
+         sum(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cm
+       FROM bk),
+       n AS (SELECT sum(cnt) AS n FROM bk),
+       est AS (SELECT
+         (SELECT min(bucket) FROM cum CROSS JOIN n
+            WHERE cm >= (50 * n.n + 99) // 100) AS b50,
+         (SELECT min(bucket) FROM cum CROSS JOIN n
+            WHERE cm >= (95 * n.n + 99) // 100) AS b95,
+         (SELECT min(bucket) FROM cum CROSS JOIN n
+            WHERE cm >= (99 * n.n + 99) // 100) AS b99),
+       ex AS (SELECT
+         (SELECT min(c) FROM (SELECT c, row_number() OVER (ORDER BY c) AS r
+            FROM s) q CROSS JOIN n WHERE r >= (50 * n.n + 99) // 100) AS e50,
+         (SELECT min(c) FROM (SELECT c, row_number() OVER (ORDER BY c) AS r
+            FROM s) q CROSS JOIN n WHERE r >= (95 * n.n + 99) // 100) AS e95,
+         (SELECT min(c) FROM (SELECT c, row_number() OVER (ORDER BY c) AS r
+            FROM s) q CROSS JOIN n WHERE r >= (99 * n.n + 99) // 100) AS e99)
+       SELECT (SELECT count(*) FROM bk)::BIGINT AS n_buckets,
+              (SELECT n FROM n)::BIGINT AS n,
+              (1::BIGINT << est.b50)::BIGINT AS p50_lo,
+              (1::BIGINT << est.b95)::BIGINT AS p95_lo,
+              (1::BIGINT << est.b99)::BIGINT AS p99_lo,
+              ex.e50::BIGINT AS p50_exact, ex.e95::BIGINT AS p95_exact,
+              ex.e99::BIGINT AS p99_exact
+       FROM est CROSS JOIN ex""",
+    note="mergeable log2 quantile sketch (DDSketch with gamma=2, the "
+    "coarsest relative-error setting — chosen because the bucket "
+    "index floor(log2(v)) = bit_length-1 is PURE INTEGER arithmetic, "
+    "the l85 length(bin()) idiom, so the sketch is exact-reproducible "
+    "with no transcendental anywhere): ~30 buckets summarize any "
+    "positive-value distribution, buckets merge by addition "
+    "(combine-tree / cross-partition / cross-day friendly — the "
+    "fourth mergeable-state sketch beside l84 CMS, l85 HLL, l80 "
+    "Bloom), and each quantile estimate is the bucket lower bound "
+    "2^b, guaranteed within 2x of the exact order statistic — which "
+    "this query also computes inline for the accuracy audit.  "
+    "Shape: one map-side-combined bucket groupBy vs one exact sort "
+    "— the sketch path never materializes the sorted data",
+)
+def l102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders").filter(F.col("o_totalprice") > 0)
+    s = o.select(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("c"))
+    bk = s.groupBy(
+        (F.length(F.bin("c")) - 1).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = bk.select("bucket", "cnt", F.sum("cnt").over(w).alias("cm")).localCheckpoint(
+        eager=True
+    )
+    n_ = s.count()
+
+    def kq(p: int) -> int:
+        return (p * n_ + 99) // 100
+
+    def best(cm_df, col, k):
+        return cm_df.filter(F.col("cm") >= k).agg(F.min(col)).first()[0]
+
+    b50, b95, b99 = (best(cum, "bucket", kq(p)) for p in (50, 95, 99))
+    wr = Window.orderBy("c")
+    ranked = s.select("c", F.row_number().over(wr).alias("r"))
+    e50, e95, e99 = (
+        ranked.filter(F.col("r") >= kq(p)).agg(F.min("c")).first()[0]
+        for p in (50, 95, 99)
+    )
+    nb = bk.count()
+    return spark.createDataFrame(
+        [
+            (
+                nb,
+                n_,
+                1 << b50,
+                1 << b95,
+                1 << b99,
+                e50,
+                e95,
+                e99,
+            )
+        ],
+        "n_buckets bigint, n bigint, p50_lo bigint, p95_lo bigint, p99_lo bigint,"
+        " p50_exact bigint, p95_exact bigint, p99_exact bigint",
+    )
+
+
 QUERIES = list(_L)

@@ -9623,4 +9623,84 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q142_theil_sen",
+    """WITH m AS (SELECT o_orderpriority AS prio,
+         date_trunc('month', o_orderdate) AS mon, count(*) AS c
+       FROM orders GROUP BY 1, 2),
+       ix AS (SELECT prio, mon, c,
+         row_number() OVER (PARTITION BY prio ORDER BY mon) AS i FROM m),
+       sl AS (SELECT a.prio, a.i AS i, b.i AS j,
+              b.c - a.c AS dc, b.i - a.i AS di,
+              CAST(b.c - a.c AS DOUBLE) / (b.i - a.i) AS slope
+         FROM ix a JOIN ix b ON a.prio = b.prio AND a.i < b.i),
+       rk AS (SELECT prio, i, j, dc, di, slope,
+         row_number() OVER (PARTITION BY prio ORDER BY slope, i, j) AS r,
+         count(*) OVER (PARTITION BY prio) AS np
+       FROM sl)
+       SELECT prio, np::BIGINT AS n_pairs,
+              dc::BIGINT AS med_dc, di::BIGINT AS med_di,
+              round(slope, 6) AS ts_slope
+       FROM rk WHERE r = (np + 1) // 2
+       ORDER BY prio""",
+    note="Theil-Sen slope per priority series — the robust trend "
+    "MAGNITUDE that pairs with q130's Mann-Kendall direction test: "
+    "the median of all pairwise slopes (c_j-c_i)/(j-i) over month "
+    "indices.  Determinism: each slope is ONE double division of two "
+    "small exact ints (identical IEEE both engines), the median is "
+    "row_number-selected under the total order (slope, i, j) — equal "
+    "slopes order by their exact integer pair ids, so the selected "
+    "row is unique and layout-proof; its exact (dc, di) fraction is "
+    "emitted alongside the rounded slope.  Same aggregate-then-pair "
+    "shape as q130: the corpus collapses to ~84 rows per series "
+    "before the O(months^2) join",
+)
+def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    m = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("mon"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wi = Window.partitionBy("prio").orderBy("mon")
+    ix = m.select("prio", "mon", "c", F.row_number().over(wi).alias("i"))
+    a = ix.alias("a")
+    b = ix.alias("b")
+    sl = a.join(
+        b, (F.col("a.prio") == F.col("b.prio")) & (F.col("a.i") < F.col("b.i"))
+    ).select(
+        F.col("a.prio").alias("prio"),
+        F.col("a.i").alias("i"),
+        F.col("b.i").alias("j"),
+        (F.col("b.c") - F.col("a.c")).alias("dc"),
+        (F.col("b.i") - F.col("a.i")).alias("di"),
+        (
+            (F.col("b.c") - F.col("a.c")).cast("double")
+            / (F.col("b.i") - F.col("a.i"))
+        ).alias("slope"),
+    )
+    wr = Window.partitionBy("prio").orderBy("slope", "i", "j")
+    wn = Window.partitionBy("prio")
+    rk = sl.select(
+        "prio",
+        "i",
+        "j",
+        "dc",
+        "di",
+        "slope",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("np"),
+    )
+    return (
+        rk.filter(F.col("r") == ((F.col("np") + 1) / 2).cast("long"))
+        .select(
+            "prio",
+            F.col("np").cast("long").alias("n_pairs"),
+            F.col("dc").cast("long").alias("med_dc"),
+            F.col("di").cast("long").alias("med_di"),
+            F.round("slope", 6).alias("ts_slope"),
+        )
+        .orderBy("prio")
+    )
+
+
 QUERIES = list(_Q)
