@@ -986,3 +986,68 @@ def test_pregel_auto_routes_to_shuffle_state(spark, monkeypatch):
         for r in alg.connected_components(g, local=False).collect()
     }
     assert gc == wc
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_grid_radius_pairs_matches_bruteforce(spark, seed):
+    """operators/spatial.grid_radius_pairs on random integer points ==
+    O(n^2) brute force: same pair set, same squared distances, no pair
+    duplicated by the 9-cell replication."""
+    import random as _random
+
+    from graph_spark.operators.spatial import grid_radius_pairs
+
+    rng = _random.Random(seed)
+    pts = [(i, rng.randrange(2000), rng.randrange(2000)) for i in range(120)]
+    pdf = spark.createDataFrame(pts, ["id", "x", "y"])
+    got = sorted(tuple(r) for r in grid_radius_pairs(pdf, cell=300, radius2=90000).collect())
+    want = sorted(
+        (a, b, (xa - xb) ** 2 + (ya - yb) ** 2)
+        for (a, xa, ya) in pts
+        for (b, xb, yb) in pts
+        if a < b and (xa - xb) ** 2 + (ya - yb) ** 2 <= 90000
+    )
+    assert got == want, f"seed={seed}"
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_cypher_shortest_path_matches_python_bfs(spark, seed):
+    """shortestPath((a {node:..})-[*1..6]->(b)) == python BFS levels on
+    the same random digraph (capped at 6 hops)."""
+    import random as _random
+
+    from graph_spark.graph.cypher import CypherGraph, cypher
+
+    rng = _random.Random(seed)
+    edges = set()
+    while len(edges) < 150:
+        a, b = rng.randrange(40), rng.randrange(40)
+        if a != b:
+            edges.add((f"n{a}", f"n{b}"))
+    edges = sorted(edges)
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    verts = edf.select(F.col("src").alias("id")).distinct()
+    cg = CypherGraph(PropertyGraph(verts, edf))
+    df = cypher(
+        cg,
+        "MATCH p = shortestPath((a {node: 'n0'})-[*1..6]->(b)) "
+        "RETURN b, length(p) AS hops ORDER BY b",
+    )
+    got = {r["b"]: r["hops"] for r in df.collect()}
+    # python BFS from n0, levels 1..6
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    # the source itself is reachable through a cycle (min_len >= 1, so
+    # n0 -> .. -> n0 counts) — matching the engine and the g105 oracle
+    want, frontier, seen = {}, ["n0"], set()
+    for lvl in range(1, 7):
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, []):
+                if v not in seen:
+                    seen.add(v)
+                    want[v] = lvl
+                    nxt.append(v)
+        frontier = nxt
+    assert got == want, f"seed={seed}"
