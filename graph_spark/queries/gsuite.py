@@ -5564,4 +5564,68 @@ def g106(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cls.orderBy("node")
 
 
+@_g(
+    "g107_negative_sampling",
+    f"""WITH {GRAPH_CTES},
+       e AS (SELECT DISTINCT src, dst FROM graph_edges WHERE n_items >= 2),
+       srcs AS (SELECT DISTINCT src FROM e),
+       supp AS (SELECT DISTINCT dst FROM e),
+       cand AS (SELECT s.src, p.dst,
+         ('0x' || substring(md5(s.src || '|' || p.dst), 1, 15))::BIGINT AS hv
+         FROM srcs s CROSS JOIN supp p),
+       filt AS (SELECT c.src, c.dst, c.hv FROM cand c
+         WHERE c.hv % 97 < 13
+           AND NOT EXISTS (SELECT 1 FROM e
+                           WHERE e.src = c.src AND e.dst = c.dst)),
+       rk AS (SELECT src, dst, hv,
+         row_number() OVER (PARTITION BY src ORDER BY hv, dst) AS r
+       FROM filt)
+       SELECT src, dst AS neg, r::INT AS neg_rank, hv
+       FROM rk WHERE r <= 3 ORDER BY src, neg_rank""",
+    note="deterministic negative sampling for link-prediction training "
+    "data: 3 non-edges per customer, drawn by md5 rank from a "
+    "hash-prefiltered candidate pool (hv % 97 < 13 keeps ~13% of "
+    "the cross space BEFORE the anti-join — the knob that makes this "
+    "shape work when |src| x |dst| is astronomical: prefilter first, "
+    "verify non-edge second, top-k by the same hash) — the "
+    "positives+negatives pair file every GNN / matrix-factorization "
+    "trainer consumes, with NO RNG: md5 order is the l18/l77 "
+    "reproducibility idiom.  Supplier side broadcasts (small dim); "
+    "per-src top-3 is one window on the filtered pool.  All "
+    "integers + strings, layout-proof",
+)
+def g107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        Catalog(spark, sf_dir)
+        .graph_edges()
+        .filter(F.col("n_items") >= 2)
+        .select("src", "dst")
+        .distinct()
+    )
+    srcs = e.select("src").distinct()
+    supp = e.select("dst").distinct()
+    cand = srcs.crossJoin(F.broadcast(supp)).select(
+        "src",
+        "dst",
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", "src", "dst")), 1, 15), 16, 10
+        )
+        .cast("long")
+        .alias("hv"),
+    )
+    filt = cand.filter(F.col("hv") % 97 < 13).join(e, ["src", "dst"], "left_anti")
+    w = Window.partitionBy("src").orderBy("hv", "dst")
+    return (
+        filt.select("src", "dst", "hv", F.row_number().over(w).alias("r"))
+        .filter(F.col("r") <= 3)
+        .select(
+            "src",
+            F.col("dst").alias("neg"),
+            F.col("r").cast("int").alias("neg_rank"),
+            "hv",
+        )
+        .orderBy("src", "neg_rank")
+    )
+
+
 QUERIES = list(_G)
