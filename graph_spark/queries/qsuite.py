@@ -9703,4 +9703,102 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q143_varint_estimate",
+    """WITH cols AS (
+         SELECT 'o_orderkey' AS col, o_orderkey AS v,
+                row_number() OVER (ORDER BY o_orderkey) AS r FROM orders
+         UNION ALL
+         SELECT 'o_custkey', o_custkey,
+                row_number() OVER (ORDER BY o_orderkey) AS r FROM orders),
+       d AS (SELECT col, v,
+         v - lag(v) OVER (PARTITION BY col ORDER BY r) AS delta
+       FROM cols),
+       z AS (SELECT col,
+         CASE WHEN delta IS NULL THEN 2 * abs(v)
+              WHEN delta >= 0 THEN 2 * delta ELSE -2 * delta - 1 END AS zz,
+         CASE WHEN v >= 0 THEN 2 * v ELSE -2 * v - 1 END AS zraw
+       FROM d),
+       b AS (SELECT col,
+         CASE WHEN zz = 0 THEN 1 ELSE (length(bin(zz)) + 6) // 7 END AS dbytes,
+         CASE WHEN zraw = 0 THEN 1 ELSE (length(bin(zraw)) + 6) // 7 END AS pbytes
+       FROM z)
+       SELECT col, count(*)::BIGINT AS n, (8 * count(*))::BIGINT AS raw_bytes,
+              sum(pbytes)::BIGINT AS varint_bytes,
+              sum(dbytes)::BIGINT AS delta_varint_bytes,
+              CAST(floor(1e4 * CAST(sum(dbytes) AS DOUBLE) / (8 * count(*)) + 0.5)
+                AS BIGINT) AS ratio_x1e4
+       FROM b GROUP BY 1 ORDER BY 1""",
+    note="columnar storage planning: estimated bytes for each key "
+    "column under plain varint vs delta+zigzag+varint encoding "
+    "(Parquet DELTA_BINARY_PACKED / Protobuf-style), computed EXACTLY "
+    "— zigzag is integer branch arithmetic, varint width is "
+    "ceil(bit_length/7) via the length(bin()) idiom, totals are "
+    "integer sums.  Shows the sorted key (o_orderkey: tiny deltas → "
+    "1-byte varints) vs the unsorted one (o_custkey: full-width "
+    "deltas) — exactly the measurement that decides sort keys and "
+    "encodings in a 100 TB lakehouse layout (SCALE.md storage "
+    "section).  Shape: one window lag per column over the sort "
+    "order, map-side-combined byte sums; at scale runs per row "
+    "group, embarrassingly parallel",
+)
+def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    wr = Window.orderBy("o_orderkey")
+    cols = o.select(
+        F.lit("o_orderkey").alias("col"),
+        F.col("o_orderkey").alias("v"),
+        F.row_number().over(wr).alias("r"),
+    ).unionByName(
+        o.select(
+            F.lit("o_custkey").alias("col"),
+            F.col("o_custkey").alias("v"),
+            F.row_number().over(wr).alias("r"),
+        )
+    )
+    wl = Window.partitionBy("col").orderBy("r")
+    d = cols.select("col", "v", (F.col("v") - F.lag("v").over(wl)).alias("delta"))
+    zz = (
+        F.when(F.col("delta").isNull(), 2 * F.abs(F.col("v")))
+        .when(F.col("delta") >= 0, 2 * F.col("delta"))
+        .otherwise(-2 * F.col("delta") - 1)
+    )
+    zraw = F.when(F.col("v") >= 0, 2 * F.col("v")).otherwise(-2 * F.col("v") - 1)
+    z = d.select("col", zz.alias("zz"), zraw.alias("zraw"))
+    b = z.select(
+        "col",
+        F.when(F.col("zz") == 0, 1)
+        .otherwise(((F.length(F.bin("zz")) + 6) / 7).cast("long"))
+        .alias("dbytes"),
+        F.when(F.col("zraw") == 0, 1)
+        .otherwise(((F.length(F.bin("zraw")) + 6) / 7).cast("long"))
+        .alias("pbytes"),
+    )
+    return (
+        b.groupBy("col")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (8 * F.count(F.lit(1))).alias("raw_bytes"),
+            F.sum("pbytes").alias("varint_bytes"),
+            F.sum("dbytes").alias("delta_varint_bytes"),
+        )
+        .select(
+            "col",
+            F.col("n").cast("long").alias("n"),
+            F.col("raw_bytes").cast("long").alias("raw_bytes"),
+            F.col("varint_bytes").cast("long").alias("varint_bytes"),
+            F.col("delta_varint_bytes").cast("long").alias("delta_varint_bytes"),
+            F.floor(
+                F.lit(1e4)
+                * F.col("delta_varint_bytes").cast("double")
+                / (8 * F.col("n"))
+                + 0.5
+            )
+            .cast("long")
+            .alias("ratio_x1e4"),
+        )
+        .orderBy("col")
+    )
+
+
 QUERIES = list(_Q)
