@@ -6022,4 +6022,117 @@ def l102(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l103_triplet_mining",
+    """WITH cells AS (SELECT vec_id,
+         CASE WHEN embedding[1] > 0 THEN 2 ELSE 0 END
+         + CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END AS cell
+       FROM embeddings),
+       up AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+              unnest(a.embedding)::DOUBLE AS xa,
+              unnest(b.embedding)::DOUBLE AS xb
+              FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+              WHERE a.vec_id < 20),
+       d2 AS (SELECT va, vb, sum((xa - xb) * (xa - xb)) AS d2 FROM up GROUP BY 1, 2),
+       lab AS (SELECT d.va, d.vb, d.d2,
+               CASE WHEN ca.cell = cb.cell THEN 1 ELSE 0 END AS same_cell
+               FROM d2 d JOIN cells ca ON ca.vec_id = d.va
+               JOIN cells cb ON cb.vec_id = d.vb),
+       pick AS (SELECT va, vb, d2, same_cell,
+               row_number() OVER (PARTITION BY va, same_cell
+                 ORDER BY d2, vb) AS r
+               FROM lab)
+       SELECT va AS anchor,
+              min(CASE WHEN same_cell = 1 THEN vb END)::BIGINT AS pos_id,
+              min(CASE WHEN same_cell = 0 THEN vb END)::BIGINT AS neg_id,
+              round(min(CASE WHEN same_cell = 1 THEN d2 END), 6) AS pos_d2,
+              round(min(CASE WHEN same_cell = 0 THEN d2 END), 6) AS neg_d2,
+              round(min(CASE WHEN same_cell = 0 THEN d2 END)
+                    - min(CASE WHEN same_cell = 1 THEN d2 END), 6) AS margin
+       FROM pick WHERE r = 1 GROUP BY 1 ORDER BY 1""",
+    note="contrastive triplet mining for embedding-model training: per "
+    "anchor, the nearest SAME-cell vector (positive) and the nearest "
+    "DIFFERENT-cell vector (hard negative, the semi-hard mining rule "
+    "of FaceNet/SimCSE pipelines) with the margin the loss would see "
+    "— the (anchor, pos, neg) file a contrastive trainer consumes.  "
+    "Cells are a deterministic sign quantization of the first two "
+    "dims (stand-in for l66's kmeans cells, keeping the oracle "
+    "single-stage); distances argmin under (d2, id) total order "
+    "with the l03 raw-value-order + 6dp-output idiom.  Shape: "
+    "anchor-set x corpus is the brute-force BASELINE declared for "
+    "correctness — the scale path swaps in the LSH/IVF candidate "
+    "generators (l12/l17) exactly as Engine.similar_topk routes",
+)
+def l103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = Catalog(spark, sf_dir).table("embeddings")
+    cells = em.select(
+        "vec_id",
+        (
+            F.when(F.col("embedding")[0] > 0, 2).otherwise(0)
+            + F.when(F.col("embedding")[1] > 0, 1).otherwise(0)
+        ).alias("cell"),
+    )
+    a = em.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
+    )
+    b = em.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("vb") != F.col("va"))
+    d2 = pairs.select(
+        "va",
+        "vb",
+        F.aggregate(
+            F.zip_with(
+                "ea",
+                "eb",
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d2"),
+    )
+    ca = cells.select(F.col("vec_id").alias("va"), F.col("cell").alias("cell_a"))
+    cb = cells.select(F.col("vec_id").alias("vb"), F.col("cell").alias("cell_b"))
+    lab = (
+        d2.join(F.broadcast(ca), "va")
+        .join(F.broadcast(cb), "vb")
+        .select(
+            "va",
+            "vb",
+            "d2",
+            (F.col("cell_a") == F.col("cell_b")).cast("int").alias("same_cell"),
+        )
+    )
+    w = Window.partitionBy("va", "same_cell").orderBy("d2", "vb")
+    pick = lab.select("va", "vb", "d2", "same_cell", F.row_number().over(w).alias("r"))
+    return (
+        pick.filter(F.col("r") == 1)
+        .groupBy(F.col("va").alias("anchor"))
+        .agg(
+            F.min(F.when(F.col("same_cell") == 1, F.col("vb"))).alias("pos_id"),
+            F.min(F.when(F.col("same_cell") == 0, F.col("vb"))).alias("neg_id"),
+            F.round(F.min(F.when(F.col("same_cell") == 1, F.col("d2"))), 6).alias(
+                "pos_d2"
+            ),
+            F.round(F.min(F.when(F.col("same_cell") == 0, F.col("d2"))), 6).alias(
+                "neg_d2"
+            ),
+            F.round(
+                F.min(F.when(F.col("same_cell") == 0, F.col("d2")))
+                - F.min(F.when(F.col("same_cell") == 1, F.col("d2"))),
+                6,
+            ).alias("margin"),
+        )
+        .select(
+            "anchor",
+            F.col("pos_id").cast("long").alias("pos_id"),
+            F.col("neg_id").cast("long").alias("neg_id"),
+            "pos_d2",
+            "neg_d2",
+            "margin",
+        )
+        .orderBy("anchor")
+    )
+
+
 QUERIES = list(_L)
