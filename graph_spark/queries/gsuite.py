@@ -5628,4 +5628,128 @@ def g107(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g108_simrank",
+    f"""WITH {GRAPH_CTES},
+       e AS (SELECT DISTINCT src AS c, dst AS s FROM graph_edges
+             WHERE n_items >= 3),
+       dc AS (SELECT c, count(*) AS d FROM e GROUP BY 1),
+       ds AS (SELECT s, count(*) AS d FROM e GROUP BY 1),
+       sp AS (SELECT a.s AS s1, b.s AS s2, count(*) AS i
+              FROM e a JOIN e b ON a.c = b.c AND a.s < b.s GROUP BY 1, 2),
+       s1sym AS (
+         SELECT sp.s1, sp.s2,
+           CAST(floor(1e6 * 0.8 * sp.i / (d1.d * d2.d) + 0.5) AS BIGINT) AS v
+         FROM sp JOIN ds d1 ON d1.s = sp.s1 JOIN ds d2 ON d2.s = sp.s2
+         UNION ALL
+         SELECT sp.s2, sp.s1,
+           CAST(floor(1e6 * 0.8 * sp.i / (d1.d * d2.d) + 0.5) AS BIGINT)
+         FROM sp JOIN ds d1 ON d1.s = sp.s1 JOIN ds d2 ON d2.s = sp.s2
+         UNION ALL
+         SELECT s, s, 1000000 FROM ds),
+       sub AS (SELECT c, s FROM e
+               WHERE CAST(substring(c, 2) AS BIGINT) < 300),
+       pair2 AS (SELECT ea.c AS a, eb.c AS b, sum(m.v) AS num
+         FROM sub ea JOIN s1sym m ON m.s1 = ea.s
+         JOIN sub eb ON eb.s = m.s2 AND ea.c < eb.c
+         GROUP BY 1, 2),
+       res AS (SELECT p.a, p.b, p.num,
+         0.8 * p.num / (1e6 * da.d * db.d) AS s2_raw
+         FROM pair2 p JOIN dc da ON da.c = p.a JOIN dc db ON db.c = p.b)
+       SELECT a, b, num::BIGINT AS num, round(s2_raw, 6) AS simrank2
+       FROM res
+       QUALIFY row_number() OVER (ORDER BY s2_raw DESC, a, b) <= 20
+       ORDER BY s2_raw DESC, a, b""",
+    note="SimRank (Jeh & Widom) after 2 bipartite iterations, C=0.8: "
+    "supplier-pair similarities s1 from shared customers (iteration "
+    "1 collapses to C·|common|/(d·d') because s0 is the identity), "
+    "then customer pairs via the 3-hop a—s—s'—b join against the s1 "
+    "frame + its diagonal — RECURSIVE structural similarity the "
+    "one-hop indices (g27 AA, g104 RA) cannot express ('my suppliers "
+    "are SIMILAR to yours' vs 'the same as yours').  Determinism is "
+    "the l92/l93 protocol: s1 is floored x1e6 to BIGINT, so the "
+    "iteration-2 sum is an INTEGER sum and the final score one fixed "
+    "double expression; top-20 ordered on that single-expression "
+    "value with (a,b) ties.  Scale: candidate pairs only from "
+    "shared-neighbor equi-joins (never cross), output side capped "
+    "to an anchor customer set; per-iteration cost is degree-bounded "
+    "exactly like the benchmarked triangle/k-truss joins",
+)
+def g108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        Catalog(spark, sf_dir)
+        .graph_edges()
+        .filter(F.col("n_items") >= 3)
+        .select(F.col("src").alias("c"), F.col("dst").alias("s"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dc = e.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
+    ds = e.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+    a = e.alias("a")
+    b = e.alias("b")
+    sp = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    d1 = ds.select(F.col("s").alias("s1"), F.col("d").alias("d1"))
+    d2 = ds.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
+    spv = (
+        sp.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            "s1",
+            "s2",
+            F.floor(F.lit(1e6) * 0.8 * F.col("i") / (F.col("d1") * F.col("d2")) + 0.5)
+            .cast("long")
+            .alias("v"),
+        )
+    )
+    s1sym = (
+        spv.unionByName(
+            spv.select(F.col("s2").alias("s1"), F.col("s1").alias("s2"), "v")
+        )
+        .unionByName(
+            ds.select(F.col("s").alias("s1"), F.col("s").alias("s2"), F.lit(1000000).cast("long").alias("v"))
+        )
+    )
+    sub = e.filter(F.substring("c", 2, 20).cast("long") < 300)
+    ea = sub.select(F.col("c").alias("pa"), F.col("s").alias("s1"))
+    eb = sub.select(F.col("c").alias("pb"), F.col("s").alias("s2"))
+    pair2 = (
+        ea.join(s1sym, "s1")
+        .join(eb, "s2")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        .agg(F.sum("v").alias("num"))
+    )
+    da = dc.select(F.col("c").alias("a"), F.col("d").alias("da"))
+    db = dc.select(F.col("c").alias("b"), F.col("d").alias("db"))
+    res = (
+        pair2.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            "a",
+            "b",
+            "num",
+            (0.8 * F.col("num") / (F.lit(1e6) * F.col("da") * F.col("db"))).alias(
+                "s2_raw"
+            ),
+        )
+    )
+    w = Window.orderBy(F.col("s2_raw").desc(), "a", "b")
+    return (
+        res.select("a", "b", "num", "s2_raw", F.row_number().over(w).alias("r"))
+        .filter(F.col("r") <= 20)
+        .orderBy("r")
+        .select(
+            "a",
+            "b",
+            F.col("num").cast("long").alias("num"),
+            F.round("s2_raw", 6).alias("simrank2"),
+        )
+    )
+
+
 QUERIES = list(_G)

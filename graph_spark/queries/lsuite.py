@@ -6135,4 +6135,104 @@ def l103(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l104_naive_bayes",
+    """WITH tok AS (SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS cls,
+         unnest(string_split(text, ' ')) AS term
+       FROM documents),
+       t2 AS (SELECT doc_id, cls, term FROM tok WHERE term <> ''),
+       cw AS (SELECT cls, term, count(*) AS c FROM t2 GROUP BY 1, 2),
+       ct AS (SELECT cls, sum(c) AS n FROM cw GROUP BY 1),
+       v AS (SELECT count(DISTINCT term) AS v FROM t2),
+       pri AS (SELECT cls, count(DISTINCT doc_id) AS docs FROM t2 GROUP BY 1),
+       nd AS (SELECT count(DISTINCT doc_id) AS nd FROM t2),
+       dt AS (SELECT doc_id, term, count(*) AS k FROM t2
+              WHERE doc_id < 30 GROUP BY 1, 2),
+       sc AS (SELECT d.doc_id, c.cls,
+         sum(d.k * ln((coalesce(cw.c, 0) + 1.0) / (c.n + v.v))) AS ll
+       FROM dt d CROSS JOIN ct c CROSS JOIN v
+       LEFT JOIN cw ON cw.cls = c.cls AND cw.term = d.term
+       GROUP BY 1, 2),
+       full_sc AS (SELECT s.doc_id, s.cls,
+         s.ll + ln(CAST(p.docs AS DOUBLE) / nd.nd) AS score
+       FROM sc s JOIN pri p ON p.cls = s.cls CROSS JOIN nd)
+       SELECT doc_id,
+         round(min(CASE WHEN cls = 'en' THEN score END), 6) AS score_en,
+         round(min(CASE WHEN cls = 'other' THEN score END), 6) AS score_other,
+         round(min(CASE WHEN cls = 'en' THEN score END)
+               - min(CASE WHEN cls = 'other' THEN score END), 6) AS margin
+       FROM full_sc GROUP BY 1 ORDER BY 1""",
+    note="multinomial Naive Bayes language scorer — the fourth "
+    "in-engine shallow model (l93 logistic GD, l97 stump, l94 "
+    "calibration): add-one-smoothed per-class token likelihoods + "
+    "log prior, scored over 30 docs against the corpus-trained "
+    "counts (in-corpus scoring declared as such; a holdout split "
+    "is l18 composed in front).  Training IS two groupBys — the "
+    "reason NB is the classic first classifier at warehouse scale: "
+    "no iterations, counts merge map-side, the model is a "
+    "(class, term) frame joined back at score time.  Scores are "
+    "per-class log-likelihood sums rounded 6dp with the l71 float "
+    "idiom, margin emitted instead of an argmax class (threshold "
+    "belongs to the caller, no float argmax hazard)",
+)
+def l104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents")
+    tok = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", "en").otherwise("other").alias("cls"),
+        F.explode(F.split("text", " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    cw = tok.groupBy("cls", "term").agg(F.count(F.lit(1)).alias("c"))
+    ct = cw.groupBy("cls").agg(F.sum("c").alias("n"))
+    v_ = tok.select("term").distinct().count()
+    pri = tok.groupBy("cls").agg(F.countDistinct("doc_id").alias("docs"))
+    nd_ = tok.select("doc_id").distinct().count()
+    dt = (
+        tok.filter(F.col("doc_id") < 30)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    sc = (
+        dt.crossJoin(F.broadcast(ct))
+        .join(cw, ["cls", "term"], "left")
+        .select(
+            "doc_id",
+            "cls",
+            (
+                F.col("k")
+                * F.log(
+                    (F.coalesce("c", F.lit(0)) + 1.0) / (F.col("n") + F.lit(float(v_)))
+                )
+            ).alias("term_ll"),
+        )
+        .groupBy("doc_id", "cls")
+        .agg(F.sum("term_ll").alias("ll"))
+    )
+    full_sc = sc.join(F.broadcast(pri), "cls").select(
+        "doc_id",
+        "cls",
+        (F.col("ll") + F.log(F.col("docs").cast("double") / F.lit(float(nd_)))).alias(
+            "score"
+        ),
+    )
+    return (
+        full_sc.groupBy("doc_id")
+        .agg(
+            F.round(F.min(F.when(F.col("cls") == "en", F.col("score"))), 6).alias(
+                "score_en"
+            ),
+            F.round(F.min(F.when(F.col("cls") == "other", F.col("score"))), 6).alias(
+                "score_other"
+            ),
+            F.round(
+                F.min(F.when(F.col("cls") == "en", F.col("score")))
+                - F.min(F.when(F.col("cls") == "other", F.col("score"))),
+                6,
+            ).alias("margin"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = list(_L)
