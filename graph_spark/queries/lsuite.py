@@ -6235,4 +6235,102 @@ def l104(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l105_winnowing",
+    """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 80),
+       pos AS (SELECT doc_id, i,
+         ('0x' || substring(md5(substring(text, i::INT, 8)), 1, 15))::BIGINT
+           % 1099511627776 AS hv
+       FROM d CROSS JOIN (SELECT unnest(range(1, 4090)) AS i) r
+       WHERE i + 7 <= length(text)),
+       ky AS (SELECT doc_id, i, hv * 4096 + (4095 - i) AS k FROM pos),
+       ng AS (SELECT doc_id, count(*) AS n_grams FROM ky GROUP BY 1),
+       wm AS (SELECT k.doc_id, k.i,
+         min(k.k) OVER (PARTITION BY k.doc_id ORDER BY k.i
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wk
+       FROM ky k),
+       fps AS (SELECT DISTINCT w.doc_id, w.wk FROM wm w
+               JOIN ng ON ng.doc_id = w.doc_id
+               WHERE w.i + 3 <= ng.n_grams),
+       fcount AS (SELECT doc_id, count(*) AS n_fps FROM fps GROUP BY 1),
+       fh AS (SELECT DISTINCT doc_id, wk // 4096 AS h FROM fps),
+       sh AS (SELECT a.doc_id, count(DISTINCT a.h) AS n_shared
+              FROM fh a JOIN fh b ON a.h = b.h AND b.doc_id <> a.doc_id
+              GROUP BY 1)
+       SELECT ng.doc_id, ng.n_grams::BIGINT AS n_grams,
+              fcount.n_fps::BIGINT AS n_fps,
+              coalesce(sh.n_shared, 0)::BIGINT AS n_shared
+       FROM ng JOIN fcount ON fcount.doc_id = ng.doc_id
+       LEFT JOIN sh ON sh.doc_id = ng.doc_id
+       ORDER BY ng.doc_id""",
+    note="winnowing fingerprints (Schleimer/Wilkerson/Aiken — the MOSS "
+    "plagiarism detector): every w=4 window of 8-gram hashes "
+    "contributes its minimum, guaranteeing any match of length >= "
+    "k+w-1 shares a fingerprint — position-robust local dedup that "
+    "neither fixed chunks (m03) nor content-defined boundaries (l90) "
+    "provide.  The rightmost-tie rule is encoded INTO the integer "
+    "key (hv40*4096 + (4095-pos)), so window mins, the fingerprint "
+    "set, and the cross-doc share census are all exact BIGINT "
+    "operations — no arg_min tie ambiguity.  Shape: per-doc "
+    "window-min over the gram frame (one partition window), "
+    "fingerprint density ~2/(w+1) of grams, cross-doc sharing is an "
+    "inverted-index equi-join on the 40-bit hash — at 100 TB the "
+    "fingerprint table IS the dedup index, ~40x smaller than the "
+    "gram table",
+)
+def l105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = Catalog(spark, sf_dir).table("documents").filter(F.col("doc_id") < 80)
+    pos = (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(1), F.length("text") - 7)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            "i",
+            (
+                F.conv(
+                    F.substring(F.md5(F.expr("substring(text, i, 8)")), 1, 15), 16, 10
+                ).cast("long")
+                % F.lit(1099511627776)
+            ).alias("hv"),
+        )
+    )
+    ky = pos.select(
+        "doc_id", "i", (F.col("hv") * 4096 + (4095 - F.col("i"))).alias("k")
+    )
+    ng = ky.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    wwin = (
+        Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, 3)
+    )
+    wm = ky.select("doc_id", "i", F.min("k").over(wwin).alias("wk"))
+    fps = (
+        wm.join(F.broadcast(ng), "doc_id")
+        .filter(F.col("i") + 3 <= F.col("n_grams"))
+        .select("doc_id", "wk")
+        .distinct()
+    )
+    fcount = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fps"))
+    fh = fps.select("doc_id", (F.col("wk") / 4096).cast("long").alias("h")).distinct()
+    a = fh.alias("a")
+    b = fh.alias("b")
+    sh = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("b.doc_id") != F.col("a.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.countDistinct(F.col("a.h")).alias("n_shared"))
+    )
+    return (
+        ng.join(fcount, "doc_id")
+        .join(sh, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_fps").cast("long").alias("n_fps"),
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = list(_L)
