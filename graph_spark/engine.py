@@ -703,3 +703,60 @@ class Engine:
             "has_pushed_filters": "PushedFilters: [" in plan
             and "PushedFilters: []" not in plan,
         }
+
+    # ---- round-3 session additions: spatial / sampling / similarity ----
+
+    def spatial_pairs(self, points: DataFrame, cell: int, radius2: int) -> DataFrame:
+        """Radius self-join via grid bucketing (q135): all (a, b, d2)
+        pairs within sqrt(radius2); requires cell^2 >= radius2."""
+        from .operators.spatial import grid_radius_pairs
+
+        return grid_radius_pairs(points, cell, radius2)
+
+    def dbscan(self, points: DataFrame, cell: int, radius2: int,
+               min_neighbors: int = 3) -> DataFrame:
+        """Grid-composed DBSCAN (q140): (id, cluster, is_core) — noise
+        points are absent from the result."""
+        from .operators.spatial import dbscan_grid
+
+        return dbscan_grid(points, cell, radius2, min_neighbors)
+
+    def negative_samples(self, k: int = 3, min_items: int = 2,
+                         pool_mod: int = 97, pool_keep: int = 13) -> DataFrame:
+        """Deterministic md5-ranked non-edges per customer (g107):
+        hash-prefiltered candidate pool, anti-joined against real
+        edges, top-k by the same hash — RNG-free training negatives."""
+        from pyspark.sql import Window as _W
+
+        e = (
+            self.catalog.graph_edges()
+            .filter(F.col("n_items") >= min_items)
+            .select("src", "dst")
+            .distinct()
+        )
+        cand = e.select("src").distinct().crossJoin(
+            F.broadcast(e.select("dst").distinct())
+        ).select(
+            "src",
+            "dst",
+            F.conv(F.substring(F.md5(F.concat_ws("|", "src", "dst")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("hv"),
+        )
+        filt = cand.filter(F.col("hv") % pool_mod < pool_keep).join(
+            e, ["src", "dst"], "left_anti"
+        )
+        w = _W.partitionBy("src").orderBy("hv", "dst")
+        return (
+            filt.select("src", "dst", "hv", F.row_number().over(w).alias("r"))
+            .filter(F.col("r") <= k)
+            .select("src", F.col("dst").alias("neg"), F.col("r").alias("neg_rank"), "hv")
+        )
+
+    def ahash(self, media: DataFrame, cells: int = 64) -> DataFrame:
+        """Perceptual average-hash bands over opaque payloads (m11):
+        (doc_id, n_bytes, b0..b3) — near-dup search is a band
+        equi-join."""
+        from .operators.multimodal import perceptual_ahash
+
+        return perceptual_ahash(media, cells)

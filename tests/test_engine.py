@@ -249,3 +249,42 @@ def test_operator_edge_cases(spark):
     one = spark.createDataFrame([(5,)], ["k"])
     a = skew_audit(one, "k").collect()[0]
     assert a["n_keys"] == 1 and a["gini"] == 0.0 and a["top1_share"] == 1.0
+
+
+def test_engine_spatial_and_sampling_surfaces(spark):
+    """Round-3 facade additions: spatial_pairs/dbscan/negative_samples/
+    ahash delegate to the declared-query operators and return the
+    documented schemas."""
+    from pyspark.sql import functions as F
+
+    from graph_spark.engine import Engine
+
+    eng = Engine(spark, SF_SMOKE)
+    pts = spark.range(60).select(
+        "id", (F.col("id") * 37 % 400).alias("x"), (F.col("id") * 91 % 400).alias("y")
+    )
+    pairs = eng.spatial_pairs(pts, cell=100, radius2=10000)
+    assert pairs.columns == ["a", "b", "d2"]
+    assert pairs.filter(F.col("d2") > 10000).count() == 0
+
+    assign = eng.dbscan(pts, cell=100, radius2=10000, min_neighbors=2)
+    assert set(assign.columns) == {"id", "cluster", "is_core"}
+    # every member's cluster label is a core point's id
+    cores = {r["id"] for r in assign.filter(F.col("is_core") == 1).collect()}
+    assert {r["cluster"] for r in assign.collect()} <= cores
+
+    neg = eng.negative_samples(k=2)
+    assert neg.columns == ["src", "neg", "neg_rank", "hv"]
+    assert neg.groupBy("src").count().agg(F.max("count")).first()[0] <= 2
+    # negatives are genuinely non-edges
+    e = eng.catalog.graph_edges().filter(F.col("n_items") >= 2).select(
+        F.col("src"), F.col("dst").alias("neg")
+    )
+    assert neg.join(e, ["src", "neg"], "inner").count() == 0
+
+    media = eng.to_media(eng.catalog.table("documents").limit(10))
+    h = eng.ahash(media)
+    assert h.columns == ["doc_id", "n_bytes", "b0", "b1", "b2", "b3"]
+    for c in ("b0", "b1", "b2", "b3"):
+        row = h.agg(F.min(c), F.max(c)).first()
+        assert 0 <= row[0] and row[1] < 65536
