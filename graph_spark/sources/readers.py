@@ -121,3 +121,35 @@ def schema_drift(old: "DataFrame", new: "DataFrame") -> list[dict]:
             out.append({"column": col, "change": "type_changed",
                         "old_type": o[col], "new_type": n[col]})
     return out
+
+
+def read_text(
+    spark: SparkSession,
+    path: str,
+    whole: bool = False,
+    line_sep: str | None = None,
+    **options,
+) -> DataFrame:
+    """Raw text ingestion: one row per line (`value` string), or one row
+    per FILE with `whole=True` (wholetext — the raw-corpus ingestion
+    mode that feeds the L-suite before any tokenization).  Line mode
+    splits on `line_sep` (default \\n) and is splittable/parallel per
+    file chunk; whole mode pins a file to a task — fine for document
+    corpora where files are MBs, wrong for one giant file (the caller
+    shards first).  No schema needed: the schema IS (value string)."""
+    # pass through text()'s own kwargs — the reader method re-sets
+    # these options itself, so a prior .option() call would be clobbered
+    return spark.read.options(**options).text(path, wholetext=whole, lineSep=line_sep)
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 10):
+    """The built-in rate micro-benchmark stream source: (timestamp,
+    value) rows generated at a fixed rate — the always-available stand
+    -in for a Kafka topic when smoke-testing streaming topology and
+    sink wiring (Kafka itself needs the external connector jar; the
+    transforms are identical either way)."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )

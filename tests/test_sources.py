@@ -389,3 +389,41 @@ def test_schema_drift_report(spark):
     assert by_col["score"]["change"] == "type_changed"
     assert by_col["score"]["old_type"] == "double" and by_col["score"]["new_type"] == "float"
     assert schema_drift(old, old) == []
+
+
+def test_read_text_line_and_whole_modes(spark, tmp_path):
+    from graph_spark.sources.readers import read_text
+
+    p = tmp_path / "docs"
+    p.mkdir()
+    (p / "a.txt").write_text("alpha\nbeta\n")
+    (p / "b.txt").write_text("gamma\n")
+    lines = read_text(spark, str(p))
+    assert lines.columns == ["value"]
+    assert sorted(r["value"] for r in lines.collect()) == ["alpha", "beta", "gamma"]
+    whole = read_text(spark, str(p), whole=True)
+    vals = sorted(r["value"] for r in whole.collect())
+    assert vals == ["alpha\nbeta\n", "gamma\n"]
+
+
+def test_rate_stream_produces_rows(spark, tmp_path):
+    import time
+
+    from graph_spark.sources.readers import rate_stream
+
+    src = rate_stream(spark, rows_per_second=50)
+    assert src.isStreaming and set(src.columns) == {"timestamp", "value"}
+    q = (
+        src.writeStream.format("memory")
+        .queryName("rate_smoke")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 20
+        while time.time() < deadline and spark.table("rate_smoke").count() == 0:
+            time.sleep(0.5)
+        assert spark.table("rate_smoke").count() > 0
+    finally:
+        q.stop()
