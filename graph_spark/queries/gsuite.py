@@ -5752,4 +5752,127 @@ def g108(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g109_scc_condensation",
+    """WITH RECURSIVE ne AS (
+         SELECT 'n'||c.c_nationkey AS src, 'n'||s.s_nationkey AS dst
+         FROM lineitem l JOIN orders o ON l.l_orderkey=o.o_orderkey
+         JOIN customer c ON o.o_custkey=c.c_custkey
+         JOIN supplier s ON l.l_suppkey=s.s_suppkey
+         GROUP BY 1,2 HAVING count(*) >= 25),
+       nodes AS (SELECT DISTINCT node FROM (
+         SELECT src AS node FROM ne UNION ALL SELECT dst FROM ne)),
+       reach(a, b) AS (
+         SELECT src, dst FROM ne
+         UNION
+         SELECT r.a, e.dst FROM reach r JOIN ne e ON r.b = e.src),
+       mutual AS (SELECT r1.a, r1.b FROM reach r1
+                  JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+       comp AS (SELECT n.node,
+                least(n.node, coalesce(min(m.b), n.node)) AS lbl
+                FROM nodes n LEFT JOIN mutual m ON m.a = n.node GROUP BY 1),
+       ce AS (SELECT DISTINCT ca.lbl AS cs, cb.lbl AS cd
+              FROM ne JOIN comp ca ON ca.node = ne.src
+              JOIN comp cb ON cb.node = ne.dst
+              WHERE ca.lbl <> cb.lbl),
+       lp(c, len) AS (
+         SELECT lbl, 0 FROM (SELECT DISTINCT lbl FROM comp)
+         UNION
+         SELECT e.cd, lp.len + 1 FROM lp JOIN ce e ON e.cs = lp.c),
+       lvl AS (SELECT c, max(len) AS level FROM lp GROUP BY 1),
+       sz AS (SELECT lbl, count(*) AS n_members FROM comp GROUP BY 1),
+       odeg AS (SELECT cs, count(*) AS d FROM ce GROUP BY 1)
+       SELECT sz.lbl AS component, sz.n_members::BIGINT AS n_members,
+              lvl.level::INT AS level,
+              coalesce(odeg.d, 0)::BIGINT AS out_degree
+       FROM sz JOIN lvl ON lvl.c = sz.lbl
+       LEFT JOIN odeg ON odeg.cs = sz.lbl
+       ORDER BY 1""",
+    note="SCC condensation of the dense nation trade graph: collapse "
+    "each strongly connected component to a supernode, keep distinct "
+    "cross-component edges (the condensation is a DAG by "
+    "construction), and topologically stratify it — level = longest "
+    "path from any source component, the schedule depth a staged "
+    "settlement/dependency pipeline would execute in.  Spark side: "
+    "the FW-BW SCC kernel (g17), one distinct component-edge rollup, "
+    "then a longest-path frontier loop (each round relaxes one DAG "
+    "level; terminates because the condensation is acyclic).  Oracle "
+    "replays it as a recursive path-length closure + max.  The "
+    "coarsen-then-analyze pattern that makes billion-edge cyclic "
+    "graphs tractable: all downstream analysis runs on |components| "
+    "rows",
+)
+def g109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..graph.algorithms import strongly_connected_components
+
+    c = Catalog(spark, sf_dir)
+    li = c.table("lineitem").select("l_orderkey", "l_suppkey")
+    o = c.table("orders").select("o_orderkey", "o_custkey")
+    cu = c.table("customer").select("c_custkey", "c_nationkey")
+    su = c.table("supplier").select("s_suppkey", "s_nationkey")
+    ne = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cu), F.col("o_custkey") == cu.c_custkey)
+        .join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
+        .groupBy(
+            F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("src"),
+            F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 25)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        ne.select(F.col("src").alias("id"))
+        .union(ne.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    comp = strongly_connected_components(PropertyGraph(nodes, ne)).select(
+        F.col("node"), F.col("component").alias("lbl")
+    )
+    ca = comp.select(F.col("node").alias("src"), F.col("lbl").alias("cs"))
+    cb = comp.select(F.col("node").alias("dst"), F.col("lbl").alias("cd"))
+    ce = (
+        ne.join(F.broadcast(ca), "src")
+        .join(F.broadcast(cb), "dst")
+        .filter(F.col("cs") != F.col("cd"))
+        .select("cs", "cd")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # longest-path stratification: frontier relaxation over the DAG
+    lvl = comp.select(F.col("lbl").alias("c")).distinct().select(
+        "c", F.lit(0).alias("level")
+    )
+    frontier = lvl
+    depth = 0
+    while True:
+        depth += 1
+        nxt = (
+            frontier.join(ce, frontier.c == ce.cs)
+            .select(F.col("cd").alias("c"), F.lit(depth).alias("level"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if not nxt.take(1):
+            break
+        lvl = lvl.unionByName(nxt)
+        frontier = nxt
+    level = lvl.groupBy("c").agg(F.max("level").alias("level"))
+    sz = comp.groupBy("lbl").agg(F.count(F.lit(1)).alias("n_members"))
+    odeg = ce.groupBy("cs").agg(F.count(F.lit(1)).alias("d"))
+    return (
+        sz.join(level, sz.lbl == level.c)
+        .join(odeg, sz.lbl == odeg.cs, "left")
+        .select(
+            F.col("lbl").alias("component"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("level").cast("int").alias("level"),
+            F.coalesce("d", F.lit(0)).cast("long").alias("out_degree"),
+        )
+        .orderBy("component")
+    )
+
+
 QUERIES = list(_G)

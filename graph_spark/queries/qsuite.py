@@ -9801,4 +9801,68 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q144_join_cardinality",
+    """WITH a AS (SELECT l_orderkey % 64 AS b, l_orderkey AS k FROM lineitem),
+       bb AS (SELECT o_orderkey % 64 AS b, o_orderkey AS k FROM orders),
+       ha AS (SELECT b, count(*) AS na, count(DISTINCT k) AS da FROM a GROUP BY 1),
+       hb AS (SELECT b, count(*) AS nb, count(DISTINCT k) AS db FROM bb GROUP BY 1),
+       est AS (SELECT sum(ha.na * hb.nb) AS upper_bound,
+               sum(ha.na * hb.nb // greatest(ha.da, hb.db)) AS est
+               FROM ha JOIN hb ON ha.b = hb.b),
+       act AS (SELECT count(*) AS actual FROM lineitem l
+               JOIN orders o ON l.l_orderkey = o.o_orderkey)
+       SELECT 64::BIGINT AS n_buckets, est.upper_bound::BIGINT AS upper_bound,
+              est.est::BIGINT AS est, act.actual::BIGINT AS actual,
+              CAST(floor(1e4 * CAST(est.est AS DOUBLE) / act.actual + 0.5)
+                AS BIGINT) AS ratio_x1e4
+       FROM est CROSS JOIN act""",
+    note="optimizer-statistics join cardinality estimation, audited "
+    "against truth: 64-bucket key histograms on both join sides, "
+    "per-bucket estimate na*nb/max(da,db) (the uniform-within-bucket "
+    "containment rule every cost-based optimizer applies) summed as "
+    "EXACT INTEGERS (floor division per bucket), beside the naive "
+    "na*nb upper bound and the actual join count.  This is the "
+    "estimate-vs-actual measurement that tells you whether a "
+    "100 TB join plan was chosen on good statistics — and the "
+    "histogram frames are exactly what ANALYZE TABLE materializes.  "
+    "Shape: two map-side-combined histogram groupBys (64 rows each), "
+    "one broadcast-sized histogram join; the actual count is the "
+    "audit baseline",
+)
+def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    li = c.table("lineitem")
+    o = c.table("orders")
+    ha = li.groupBy((F.col("l_orderkey") % 64).alias("b")).agg(
+        F.count(F.lit(1)).alias("na"), F.countDistinct("l_orderkey").alias("da")
+    )
+    hb = o.groupBy((F.col("o_orderkey") % 64).alias("b")).agg(
+        F.count(F.lit(1)).alias("nb"), F.countDistinct("o_orderkey").alias("db")
+    )
+    est = ha.join(hb, "b").agg(
+        F.sum(F.col("na") * F.col("nb")).alias("upper_bound"),
+        F.sum(
+            F.expr("na * nb DIV greatest(da, db)")
+        ).alias("est"),
+    )
+    act = li.join(o, li.l_orderkey == o.o_orderkey).agg(
+        F.count(F.lit(1)).alias("actual")
+    )
+    return (
+        est.crossJoin(F.broadcast(act))
+        .select(
+            F.lit(64).cast("long").alias("n_buckets"),
+            F.col("upper_bound").cast("long").alias("upper_bound"),
+            F.col("est").cast("long").alias("est"),
+            F.col("actual").cast("long").alias("actual"),
+            F.floor(
+                F.lit(1e4) * F.col("est").cast("double") / F.col("actual") + 0.5
+            )
+            .cast("long")
+            .alias("ratio_x1e4"),
+        )
+    )
+
+
 QUERIES = list(_Q)
