@@ -261,6 +261,40 @@ def bench_distributed_text(spark) -> dict:
     return out
 
 
+def bench_distributed_spatial(spark) -> dict:
+    """Time the q135 grid radius join at 1M and 4M synthetic points at
+    CONSTANT density (area grows with n, so pair count and work grow
+    ~linearly): scale_ratio = time ratio / size ratio, ~1.0 when the
+    cell equi-join is behaving linearly.  Coordinates are xxhash64-
+    derived (columnar generation, zero driver memory); cell = radius
+    so the 3x3 neighborhood is complete."""
+    from pyspark.sql import functions as F
+
+    from graph_spark.operators.spatial import grid_radius_pairs
+
+    out: dict = {}
+    for tag, n, side in (("", 1_000_000, 100_000), ("_4m", 4_000_000, 200_000)):
+        pts = (
+            spark.range(n)
+            .select(
+                F.col("id"),
+                F.expr(f"pmod(xxhash64(id, 1), {side})").alias("x"),
+                F.expr(f"pmod(xxhash64(id, 2), {side})").alias("y"),
+            )
+            .persist()
+        )
+        out[f"points{tag}"] = pts.count()
+        t0 = time.perf_counter()
+        out[f"pairs{tag}"] = grid_radius_pairs(pts, cell=100, radius2=10000).count()
+        out[f"grid_join{tag}"] = round(time.perf_counter() - t0, 3)
+        pts.unpersist()
+    out["spatial_scale_ratio"] = round(
+        (out["grid_join_4m"] / out["grid_join"]) / 4.0, 3
+    )
+    print(f"# dist-spatial: {out}", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -321,6 +355,7 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_GRAPH", "1") != "0":
         payload["distributed_graph"] = bench_distributed_graph(spark)
         payload["distributed_text"] = bench_distributed_text(spark)
+        payload["distributed_spatial"] = bench_distributed_spatial(spark)
     if os.environ.get("SPARK_GRAFT_BENCH_XL", "1") != "0":
         payload["distributed_graph_xl"] = bench_distributed_graph_xl(spark)
 
