@@ -5660,7 +5660,13 @@ def g107(spark: SparkSession, sf_dir: str) -> DataFrame:
        FROM res
        QUALIFY row_number() OVER (ORDER BY s2_raw DESC, a, b) <= 20
        ORDER BY s2_raw DESC, a, b""",
-    note="SimRank (Jeh & Widom) after 2 bipartite iterations, C=0.8: "
+    note="bipartite SimRank at CUSTOMER scale — g80 is its sibling and "
+    "runs exact 3-round SimRank on the 25-node nation rollup with "
+    "full O(V^2) float pair state; this entry is what replaces that "
+    "shape when V is thousands+: candidates only from shared-"
+    "neighbor equi-joins, output anchored to a source set, and the "
+    "float iteration hazard removed by an integer carrier.  "
+    "SimRank (Jeh & Widom) after 2 bipartite iterations, C=0.8: "
     "supplier-pair similarities s1 from shared customers (iteration "
     "1 collapses to C·|common|/(d·d') because s0 is the identity), "
     "then customer pairs via the 3-hop a—s—s'—b join against the s1 "

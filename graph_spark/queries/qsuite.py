@@ -8743,7 +8743,12 @@ def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
        FROM cum c CROSS JOIN tot t
        GROUP BY t.n1, t.n2""",
     note="Mann-Whitney U rank-sum test ('O' vs 'F' line status over "
-    "quantities), EXACT INTEGER carrier: average ranks under ties are "
+    "quantities) — the HYPOTHESIS-TEST framing of the rank-sum "
+    "identity l86 uses for ROC AUC: l86 emits the ranking metric, "
+    "this emits the test statistic PLUS the tie-correction term "
+    "sum(t^3 - t) the variance/z-score needs, over a value-collapsed "
+    "frame instead of l86's per-row ranks.  EXACT INTEGER carrier: "
+    "average ranks under ties are "
     "half-integers, so everything is carried x2 — for a tie group of "
     "size c starting after `before` items, 2*avg_rank = 2*before + c "
     "+ 1, hence 2*R1 = sum c1*(2*before + c + 1) and U1*2 = 2R1 - "

@@ -65,6 +65,16 @@ SAMPLE = [
     # PCA power iteration: G rounded pre-iteration is the protocol
     # under test — drift must not reappear through the loop
     "l92_pca_power_iteration",
+    # round-3c hazards: JS divergence float sum ordered DESC in the
+    # output (l95), d2 fold + nearest-neighbor cut (l103), SimRank
+    # top-20 cut on a single-expression float (g108), Theil-Sen
+    # median selection under the (slope, i, j) order (q142), NB
+    # log-likelihood sums (l104)
+    "l95_js_source_drift",
+    "l103_triplet_mining",
+    "g108_simrank",
+    "q142_theil_sen",
+    "l104_naive_bayes",
 ]
 
 
