@@ -5881,4 +5881,59 @@ def g109(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g110_h_index",
+    f"""WITH {GRAPH_CTES},
+       r AS (SELECT dst AS supplier, n_items,
+         row_number() OVER (PARTITION BY dst
+           ORDER BY n_items DESC, src) AS rn
+       FROM graph_edges),
+       h AS (SELECT supplier,
+         coalesce(max(CASE WHEN n_items >= rn THEN rn END), 0) AS h_index,
+         count(*) AS n_customers, sum(n_items) AS total_items
+       FROM r GROUP BY 1)
+       SELECT supplier, h_index::BIGINT AS h_index,
+              n_customers::BIGINT AS n_customers,
+              total_items::BIGINT AS total_items
+       FROM h ORDER BY h_index DESC, supplier LIMIT 40""",
+    note="Hirsch h-index per supplier over its customer item counts: "
+    "the largest h such that h customers each account for >= h items "
+    "— the robust breadth-AND-depth centrality bibliometrics uses "
+    "(immune to one whale customer or a long tail of one-item "
+    "relationships, the two failure modes of g01's raw degree and "
+    "q's revenue sums; distinct from the Herfindahl concentration "
+    "index, which measures the opposite — dependence).  EXACT "
+    "INTEGERS throughout: h = max(rn where n_items >= rn) under the "
+    "(n_items DESC, src) total order.  One partitioned window + one "
+    "aggregate over the edge rollup — the same per-entity ranked-"
+    "prefix shape as q14, corpus-size-independent after the rollup",
+)
+def g110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).graph_edges()
+    w = Window.partitionBy("dst").orderBy(F.col("n_items").desc(), "src")
+    r = e.select(
+        F.col("dst").alias("supplier"),
+        "n_items",
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        r.groupBy("supplier")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("n_items") >= F.col("rn"), F.col("rn"))), F.lit(0)
+            ).alias("h_index"),
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("n_items").alias("total_items"),
+        )
+        .select(
+            "supplier",
+            F.col("h_index").cast("long").alias("h_index"),
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.col("total_items").cast("long").alias("total_items"),
+        )
+        .orderBy(F.col("h_index").desc(), "supplier")
+        .limit(40)
+    )
+
+
 QUERIES = list(_G)
