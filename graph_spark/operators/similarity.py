@@ -330,6 +330,7 @@ def kmeans_lloyd(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_all_dists: bool = False,
 ) -> DataFrame:
     """Distributed Lloyd's k-means over an embedding column: assignment
     is a broadcast cross-join against the k centroids with a
@@ -343,7 +344,11 @@ def kmeans_lloyd(
     tie-breaks on (dist, cid) via a struct-min.  Runs `iters`
     assignments with `iters - 1` updates in between (the final
     assignment is what's summarized).  Returns
-    DataFrame(vec_id, v, cid, dist) for the last assignment.
+    DataFrame(vec_id, v, cid, dist) for the last assignment; with
+    `with_all_dists=True` returns (assignment, all_dists) where
+    all_dists is the final iteration's FULL (vec_id, cid, dist)
+    point-to-centroid table (k rows per point — what silhouette /
+    soft-assignment diagnostics consume without refitting).
     """
     spark = emb.sparkSession
     e = emb.select(
@@ -386,6 +391,8 @@ def kmeans_lloyd(
                 )
             )
             centroids = [(r["cid"], r["c"]) for r in new.collect()]
+    if with_all_dists:
+        return assigned, d.select("vec_id", "cid", "dist")
     return assigned
 
 

@@ -6333,4 +6333,60 @@ def l105(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _silhouette_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    chain, final = _kmeans_chain(k, iters, dim)
+    return f"""WITH {chain},
+asn AS MATERIALIZED (SELECT vec_id, cid, sqrt(dist) AS a FROM {final}),
+ad AS MATERIALIZED (SELECT vec_id, cid, dist FROM d{iters}),
+b AS (SELECT d.vec_id, sqrt(min(d.dist)) AS b
+      FROM ad d JOIN asn ON d.vec_id = asn.vec_id AND d.cid <> asn.cid
+      GROUP BY 1),
+s AS (SELECT asn.vec_id, asn.cid, (b.b - asn.a) / greatest(asn.a, b.b) AS s
+      FROM asn JOIN b ON asn.vec_id = b.vec_id)
+SELECT CAST(cid AS INT) AS cluster_id, count(*) AS n,
+       round(avg(s), 4) AS avg_silhouette, round(min(s), 4) AS min_silhouette
+FROM s GROUP BY 1 ORDER BY 1"""
+
+
+@_l(
+    "l106_silhouette",
+    _silhouette_oracle(),
+    note="simplified silhouette score per k-means cluster (the l35 "
+    "fit, k=8/3 rounds): a = Euclidean distance to the OWN final "
+    "centroid, b = min distance to any other centroid, s = "
+    "(b-a)/max(a,b) — the standard clustering-quality diagnostic in "
+    "its medoid-free form, which is the ONLY form that scales: full "
+    "silhouette is all-pairs O(n^2) point-point distances, the "
+    "simplified form is n x k point-centroid distances off the SAME "
+    "broadcast cross-join the assignment already does (kmeans_lloyd "
+    "with_all_dists=True reuses the final iteration's distance table "
+    "— zero extra passes over the vectors).  Oracle extends the l35 "
+    "unrolled-Lloyd chain; sqrt/min/greatest over identical doubles "
+    "are bit-identical, avg(s) rounded 4dp (l35-precedent drift "
+    "~1e-13 on centroid means, far from any half boundary)",
+)
+def l106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import kmeans_lloyd
+
+    emb = Catalog(spark, sf_dir).table("embeddings")
+    assigned, alld = kmeans_lloyd(emb, k=8, iters=3, with_all_dists=True)
+    a = assigned.select("vec_id", "cid", F.sqrt("dist").alias("a"))
+    b = (
+        alld.join(a.select("vec_id", F.col("cid").alias("own"), "a"), "vec_id")
+        .filter(F.col("cid") != F.col("own"))
+        .groupBy("vec_id")
+        .agg(F.sqrt(F.min("dist")).alias("b"), F.first("a").alias("a"), F.first("own").alias("own"))
+    )
+    s = b.withColumn("s", (F.col("b") - F.col("a")) / F.greatest("a", "b"))
+    return (
+        s.groupBy(F.col("own").cast("int").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("s"), 4).alias("avg_silhouette"),
+            F.round(F.min("s"), 4).alias("min_silhouette"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 QUERIES = list(_L)
