@@ -9870,4 +9870,78 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "t84_cross_correlation",
+    """WITH b AS (SELECT date_trunc('hour', ts) AS t, event_type FROM events),
+       bounds AS (SELECT min(t) AS lo, max(t) AS hi FROM b),
+       spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS t
+                 FROM bounds),
+       x AS (SELECT t, count(*) AS c FROM b WHERE event_type = 'click' GROUP BY 1),
+       y AS (SELECT t, count(*) AS c FROM b WHERE event_type = 'purchase' GROUP BY 1),
+       dx AS (SELECT s.t, coalesce(x.c, 0) AS x FROM spine s LEFT JOIN x ON s.t = x.t),
+       dy AS (SELECT s.t, coalesce(y.c, 0) AS y FROM spine s LEFT JOIN y ON s.t = y.t),
+       lags AS (SELECT unnest(range(-6, 7)) AS lag),
+       p AS (SELECT l.lag, dx.x, dy.y
+             FROM lags l CROSS JOIN dx
+             JOIN dy ON dy.t = dx.t + l.lag * INTERVAL 1 HOUR),
+       st AS (SELECT lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                     sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+              FROM p GROUP BY 1)
+       SELECT CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+         round(CAST(n*sxy - sx*sy AS DOUBLE) /
+               sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)),
+               4) AS xcorr
+       FROM st ORDER BY 1""",
+    note="cross-correlation function between two event-type series "
+    "(click vs purchase hourly counts) at lags -6..+6 hours — the "
+    "lead/lag discovery primitive behind attribution and causal-delay "
+    "analysis (autocorrelation t-queries cover ONE series; this is "
+    "the two-series form).  Hourly counts zero-filled over a dense "
+    "generated spine so silent hours count as 0 not missing; Pearson "
+    "r per lag in pure integer carriers (n*sxy - sx*sy over exact "
+    "BIGINT sums, single double division at the end — bit-identical "
+    "cross-engine).  At 100 TB the only heavy step is the map-side "
+    "combined bucket count; the dense series is |hours| x 1 rows, so "
+    "the 13-lag self-join broadcasts",
+)
+def t84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    b = ev.select(F.date_trunc("hour", "ts").alias("t"), "event_type")
+    spine = b.agg(F.min("t").alias("lo"), F.max("t").alias("hi")).select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("t")
+    )
+    x = b.filter(F.col("event_type") == "click").groupBy("t").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    y = b.filter(F.col("event_type") == "purchase").groupBy("t").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    dx = spine.join(x, "t", "left").select("t", F.coalesce("c", F.lit(0)).alias("x"))
+    dy = spine.join(y, "t", "left").select("t", F.coalesce("c", F.lit(0)).alias("y"))
+    lags = spine.sparkSession.range(-6, 7).select(F.col("id").cast("int").alias("lag"))
+    p = (
+        dx.crossJoin(F.broadcast(lags))
+        .withColumn("t2", F.expr("timestampadd(HOUR, lag, t)"))
+        .join(dy.withColumnRenamed("t", "t2"), "t2")
+    )
+    st = p.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx2 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return st.select(
+        F.col("lag"),
+        F.col("n").alias("n_pairs"),
+        F.round(
+            num.cast("double") / F.sqrt(dx2.cast("double") * dy2.cast("double")), 4
+        ).alias("xcorr"),
+    ).orderBy("lag")
+
+
 QUERIES = list(_Q)
