@@ -6333,6 +6333,79 @@ def l105(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l107_text_contrastive",
+    """WITH docs AS (SELECT doc_id,
+         list_filter(string_split(text,' '), x -> x <> '') AS l FROM documents),
+       sh AS (SELECT DISTINCT doc_id, s[1] || ' ' || s[2] AS shingle
+              FROM (SELECT doc_id, unnest(list_zip(l, l[2:])) AS s FROM docs) z
+              WHERE s[2] IS NOT NULL),
+       sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+                 FROM sh a JOIN sh b ON a.shingle = b.shingle
+                   AND a.doc_id <> b.doc_id
+                 GROUP BY 1, 2),
+       j AS MATERIALIZED (SELECT a, b, i::DOUBLE/(sa.sz + sb.sz - i) AS jac
+            FROM inter JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b),
+       pos AS (SELECT a, b, jac, row_number() OVER
+                 (PARTITION BY a ORDER BY jac DESC, b) AS rk
+               FROM j WHERE jac >= 0.5),
+       neg AS (SELECT a, b, jac, row_number() OVER
+                 (PARTITION BY a ORDER BY jac DESC, b) AS rk
+               FROM j WHERE jac < 0.5)
+       SELECT p.a AS anchor, p.b AS pos, n.b AS neg,
+              round(p.jac, 4) AS j_pos, round(n.jac, 4) AS j_neg
+       FROM pos p JOIN neg n ON p.a = n.a
+       WHERE p.rk = 1 AND n.rk = 1 ORDER BY 1""",
+    note="contrastive pair mining on RAW TEXT (l103 is the embedding "
+    "sibling, cited both ways): per anchor the positive is its "
+    "highest-Jaccard bigram-shingle neighbor >= 0.5 (a true near-dup) "
+    "and the hard negative is the highest-Jaccard neighbor BELOW the "
+    "threshold — lexically close but non-duplicate, exactly the pair "
+    "a text-embedding trainer wants.  Candidates come from the "
+    "shingle inverted-index equi-join (never |docs|^2); Jaccard is a "
+    "ratio of exact ints so cross-engine argmax ordering is "
+    "bit-stable, ties broken on partner id.  At 100 TB the same "
+    "shape runs off MinHash-LSH candidates instead of raw shingle "
+    "co-occurrence (swap ngram_jaccard_pairs for the l02 banding)",
+)
+def l107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    p = ngram_jaccard_pairs(docs, n=2)
+    sym = p.unionAll(
+        p.select(F.col("b").alias("a"), F.col("a").alias("b"), "jaccard")
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("jaccard"), F.asc("b"))
+    pos = (
+        sym.filter(F.col("jaccard") >= 0.5)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    neg = (
+        sym.filter(F.col("jaccard") < 0.5)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+    )
+    return (
+        pos.select(
+            F.col("a").alias("anchor"),
+            F.col("b").alias("pos"),
+            F.round("jaccard", 4).alias("j_pos"),
+        )
+        .join(
+            neg.select(
+                F.col("a").alias("anchor"),
+                F.col("b").alias("neg"),
+                F.round("jaccard", 4).alias("j_neg"),
+            ),
+            "anchor",
+        )
+        .select("anchor", "pos", "neg", "j_pos", "j_neg")
+        .orderBy("anchor")
+    )
+
+
 def _silhouette_oracle(k: int = 8, iters: int = 3, dim: int = 64) -> str:
     chain, final = _kmeans_chain(k, iters, dim)
     return f"""WITH {chain},
