@@ -6019,4 +6019,174 @@ def g111(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g112_rewiring_null",
+    f"""WITH {GRAPH_CTES},
+       e AS MATERIALIZED (SELECT src, dst FROM graph_edges),
+       r AS MATERIALIZED (
+         SELECT src, dst,
+                row_number() OVER (ORDER BY md5(src || '|' || dst), src, dst) AS rn
+         FROM e),
+       pairs AS MATERIALIZED (
+         SELECT a.src AS a_s, a.dst AS a_d, c.src AS c_s, c.dst AS c_d,
+                (a.rn + 1) // 2 AS pid
+         FROM r a JOIN r c ON c.rn = a.rn + 1
+         WHERE a.rn % 2 = 1),
+       valid AS MATERIALIZED (
+         SELECT * FROM pairs p
+         WHERE NOT (p.a_s = p.c_s AND p.c_d = p.a_d)
+           AND NOT EXISTS (SELECT 1 FROM e WHERE e.src=p.a_s AND e.dst=p.c_d)
+           AND NOT EXISTS (SELECT 1 FROM e WHERE e.src=p.c_s AND e.dst=p.a_d)),
+       prop AS MATERIALIZED (
+         SELECT pid, a_s AS src, c_d AS dst FROM valid
+         UNION ALL SELECT pid, c_s, a_d FROM valid),
+       dupc AS (SELECT src, dst, count(*) AS c FROM prop GROUP BY 1, 2),
+       comm AS MATERIALIZED (
+         SELECT p.pid FROM prop p JOIN dupc d ON p.src=d.src AND p.dst=d.dst
+         GROUP BY 1 HAVING max(d.c) = 1),
+       fin AS MATERIALIZED (
+         SELECT p.src, p.dst FROM prop p JOIN comm USING (pid)
+         UNION ALL
+         SELECT r.src, r.dst FROM r
+         WHERE NOT EXISTS (SELECT 1 FROM comm WHERE comm.pid = (r.rn + 1) // 2)),
+       b1 AS (SELECT coalesce(sum(w*(w-1)//2), 0)::BIGINT AS bf FROM (
+              SELECT a.src AS c1, b.src AS c2, count(*) AS w
+              FROM e a JOIN e b ON a.dst=b.dst AND a.src < b.src
+              GROUP BY 1, 2) z),
+       b2 AS (SELECT coalesce(sum(w*(w-1)//2), 0)::BIGINT AS bf FROM (
+              SELECT a.src AS c1, b.src AS c2, count(*) AS w
+              FROM fin a JOIN fin b ON a.dst=b.dst AND a.src < b.src
+              GROUP BY 1, 2) z),
+       od AS (SELECT src, count(*) AS c FROM e GROUP BY 1),
+       nd AS (SELECT src, count(*) AS c FROM fin GROUP BY 1),
+       idg AS (SELECT dst, count(*) AS c FROM e GROUP BY 1),
+       ind AS (SELECT dst, count(*) AS c FROM fin GROUP BY 1),
+       ddo AS (SELECT coalesce(sum(abs(coalesce(o.c,0)-coalesce(n.c,0))),0)::BIGINT AS d
+               FROM od o FULL JOIN nd n ON o.src=n.src),
+       ddi AS (SELECT coalesce(sum(abs(coalesce(o.c,0)-coalesce(n.c,0))),0)::BIGINT AS d
+               FROM idg o FULL JOIN ind n ON o.dst=n.dst)
+       SELECT (SELECT count(*) FROM e)::BIGINT AS n_edges,
+              (SELECT count(*) FROM comm)::BIGINT AS n_swapped_pairs,
+              (SELECT bf FROM b1) AS bf_obs,
+              (SELECT bf FROM b2) AS bf_null,
+              (SELECT d FROM ddo) + (SELECT d FROM ddi) AS deg_diff""",
+    note="degree-preserving rewiring null model for motif "
+    "significance: one deterministic parallel round of double-edge "
+    "swaps on the bipartite customer->supplier graph (FIXTURES "
+    "graph_edges view), then the butterfly (2x2 biclique) count of "
+    "the rewired graph beside the observed count — the bipartite "
+    "configuration-model baseline that says whether co-purchasing "
+    "is structural or a pure degree artifact.  RNG-free: edges rank "
+    "by content md5 (the l18/g107 idiom), consecutive ranks pair "
+    "up, pair (c1->s1, c2->s2) proposes (c1->s2, c2->s1); a "
+    "proposal commits only if neither new edge exists in the "
+    "original graph or is proposed by any other pair "
+    "(multiplicity-1 filter) — committed swaps preserve every "
+    "customer out-degree and supplier in-degree EXACTLY, proven "
+    "in-query by the deg_diff=0 column.  Butterflies via the "
+    "supplier wedge join + sum C(w,2), all integer.  At scale the "
+    "global md5 rank becomes a per-hash-bucket rank (pairing "
+    "within md5 buckets is equally valid and shuffle-local); the "
+    "swap round is two anti-joins plus a groupBy on |E|",
+)
+def g112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    e = c.graph_edges().select("src", "dst").localCheckpoint(eager=True)
+    r = e.select(
+        "src",
+        "dst",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.md5(F.concat_ws("|", F.col("src"), F.col("dst"))), F.col("src"), F.col("dst")
+            )
+        )
+        .alias("rn"),
+    )
+    a = r.filter(F.col("rn") % 2 == 1).select(
+        F.col("src").alias("a_s"), F.col("dst").alias("a_d"), "rn"
+    )
+    cpart = r.select(
+        F.col("src").alias("c_s"), F.col("dst").alias("c_d"), F.col("rn").alias("rn2")
+    )
+    pairs = (
+        a.join(cpart, F.col("rn2") == F.col("rn") + 1)
+        .withColumn("pid", F.expr("(rn + 1) DIV 2"))
+        .select("pid", "a_s", "a_d", "c_s", "c_d")
+    )
+    valid = (
+        pairs.filter(~((F.col("a_s") == F.col("c_s")) & (F.col("c_d") == F.col("a_d"))))
+        .join(
+            e.select(F.col("src").alias("a_s"), F.col("dst").alias("c_d")),
+            ["a_s", "c_d"],
+            "left_anti",
+        )
+        .join(
+            e.select(F.col("src").alias("c_s"), F.col("dst").alias("a_d")),
+            ["c_s", "a_d"],
+            "left_anti",
+        )
+    )
+    prop = valid.select("pid", F.col("a_s").alias("src"), F.col("c_d").alias("dst")).unionAll(
+        valid.select("pid", F.col("c_s").alias("src"), F.col("a_d").alias("dst"))
+    )
+    dupc = prop.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cdup"))
+    comm = (
+        prop.join(dupc, ["src", "dst"])
+        .groupBy("pid")
+        .agg(F.max("cdup").alias("mx"))
+        .filter(F.col("mx") == 1)
+        .select("pid")
+    )
+    keep = (
+        r.withColumn("pid", F.expr("(rn + 1) DIV 2"))
+        .join(comm, "pid", "left_anti")
+        .select("src", "dst")
+    )
+    fin = prop.join(comm, "pid").select("src", "dst").unionAll(keep).localCheckpoint(eager=True)
+
+    def _butterflies(edges: DataFrame) -> DataFrame:
+        aa = edges.select(F.col("src").alias("c1"), F.col("dst").alias("s"))
+        bb = edges.select(F.col("src").alias("c2"), F.col("dst").alias("s"))
+        return (
+            aa.join(bb, "s")
+            .filter(F.col("c1") < F.col("c2"))
+            .groupBy("c1", "c2")
+            .agg(F.count(F.lit(1)).alias("w"))
+            .agg(
+                F.coalesce(F.sum(F.expr("w * (w - 1) DIV 2")), F.lit(0)).alias("bf")
+            )
+        )
+
+    def _deg_diff(col: str) -> DataFrame:
+        do = e.groupBy(col).agg(F.count(F.lit(1)).alias("oc"))
+        dn = fin.groupBy(col).agg(F.count(F.lit(1)).alias("nc"))
+        return do.join(dn, col, "full_outer").agg(
+            F.coalesce(
+                F.sum(
+                    F.abs(
+                        F.coalesce(F.col("oc"), F.lit(0)) - F.coalesce(F.col("nc"), F.lit(0))
+                    )
+                ),
+                F.lit(0),
+            ).alias("d")
+        )
+
+    return (
+        e.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(comm.agg(F.count(F.lit(1)).alias("n_swapped_pairs")))
+        .crossJoin(_butterflies(e).select(F.col("bf").alias("bf_obs")))
+        .crossJoin(_butterflies(fin).select(F.col("bf").alias("bf_null")))
+        .crossJoin(_deg_diff("src").select(F.col("d").alias("ddo")))
+        .crossJoin(_deg_diff("dst").select(F.col("d").alias("ddi")))
+        .select(
+            "n_edges",
+            "n_swapped_pairs",
+            "bf_obs",
+            "bf_null",
+            (F.col("ddo") + F.col("ddi")).alias("deg_diff"),
+        )
+    )
+
+
 QUERIES = list(_G)

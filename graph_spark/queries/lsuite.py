@@ -6462,4 +6462,88 @@ def l106(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _huffman_chain(k: int = 16) -> str:
+    """Unrolled k-1-step Huffman merge chain (kmeans-chain precedent).
+
+    State rows (sym, freq, depth, grp): grp identifies the current
+    tree group (id = lexicographic min member symbol), its frequency
+    is the exact integer sum of member leaf frequencies.  Each step
+    merges the two smallest groups under the total order (freq, grp)
+    and increments every member leaf's depth.
+    """
+    parts = [
+        f"""toks AS (
+         SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS sym
+         FROM documents),
+       m0 AS MATERIALIZED (
+         SELECT sym, freq, 0 AS depth, sym AS grp FROM (
+           SELECT sym, count(*)::BIGINT AS freq,
+                  row_number() OVER (ORDER BY count(*) DESC, sym) AS rk
+           FROM toks GROUP BY sym) t
+         WHERE rk <= {k})"""
+    ]
+    for s in range(1, k):
+        parts.append(
+            f"""p{s} AS MATERIALIZED (
+         SELECT grp, row_number() OVER (ORDER BY sum(freq), grp) AS rk
+         FROM m{s - 1} GROUP BY grp),
+       m{s} AS MATERIALIZED (
+         SELECT m.sym, m.freq,
+                m.depth + CASE WHEN p.rk <= 2 THEN 1 ELSE 0 END AS depth,
+                CASE WHEN p.rk <= 2
+                     THEN (SELECT min(grp) FROM p{s} WHERE rk <= 2)
+                     ELSE m.grp END AS grp
+         FROM m{s - 1} m JOIN p{s} p ON m.grp = p.grp)"""
+        )
+    return ",\n       ".join(parts)
+
+
+@_l(
+    "l108_huffman",
+    f"""WITH {_huffman_chain(16)}
+       SELECT sym, freq, depth::INT AS code_len
+       FROM m15 ORDER BY sym""",
+    note="optimal prefix-code lengths (Huffman) for the 16 most "
+    "frequent corpus tokens — the vocabulary-compression / "
+    "tokenizer-design measurement (expected bits/token under the "
+    "optimal code vs the flat 4-bit encoding).  The data-sized pass "
+    "is the distributed token count (map-side combined groupBy, the "
+    "real work at 100 TB); the 15-merge tree on k=16 symbols is "
+    "O(k log k) driver-scale control state exactly like l35's k "
+    "centroids, computed in Python from the collected (sym, freq) "
+    "pairs.  Determinism: merges follow the total order (group "
+    "freq, group id) with group id = lexicographic min member "
+    "symbol, ASCII-ordered identically in Python and DuckDB; all "
+    "frequencies exact BIGINTs.  Oracle unrolls the 15 merges as a "
+    "MATERIALIZED CTE chain (kmeans-chain precedent)",
+)
+def l108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    top = (
+        docs.select(F.explode(F.split("text", " ")).alias("sym"))
+        .filter(F.col("sym") != "")
+        .groupBy("sym")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("sym"))
+        .limit(16)
+        .collect()
+    )
+    leaves = [(r["sym"], int(r["freq"])) for r in top]
+    grp = {s: s for s, _ in leaves}
+    depth = {s: 0 for s, _ in leaves}
+    for _ in range(len(leaves) - 1):
+        gf: dict[str, int] = {}
+        for s, f_ in leaves:
+            gf[grp[s]] = gf.get(grp[s], 0) + f_
+        order = sorted(gf.items(), key=lambda kv: (kv[1], kv[0]))
+        g1, g2 = order[0][0], order[1][0]
+        ng = min(g1, g2)
+        for s, _f in leaves:
+            if grp[s] in (g1, g2):
+                depth[s] += 1
+                grp[s] = ng
+    rows = [(s, f_, depth[s]) for s, f_ in leaves]
+    return spark.createDataFrame(rows, "sym string, freq bigint, code_len int").orderBy("sym")
+
+
 QUERIES = list(_L)

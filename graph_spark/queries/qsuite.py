@@ -9944,4 +9944,103 @@ def t84(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lag")
 
 
+@_q(
+    "q145_isotonic",
+    """WITH b AS (
+         SELECT (floor(c.c_acctbal/500))::INT AS bucket,
+                count(*)::BIGINT AS n,
+                sum(floor(o.o_totalprice*100 + 0.5))::BIGINT AS cents
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY 1),
+       idx AS MATERIALIZED (
+         SELECT bucket, n, cents,
+                row_number() OVER (ORDER BY bucket) AS rn,
+                sum(n) OVER (ORDER BY bucket) AS cn,
+                sum(cents) OVER (ORDER BY bucket) AS cs
+         FROM b),
+       pr AS MATERIALIZED (
+         SELECT i.rn AS i, j.rn AS j,
+                (j.cs - i.cs + i.cents) AS num,
+                (j.cn - i.cn + i.n) AS den
+         FROM idx i JOIN idx j ON i.rn <= j.rn),
+       mins AS (SELECT k.rn AS rn, p.i AS i, min(p.num*1.0/p.den) AS mn
+                FROM idx k JOIN pr p ON p.i <= k.rn AND p.j >= k.rn
+                GROUP BY 1, 2),
+       fit AS (SELECT rn, max(mn) AS fv FROM mins GROUP BY 1)
+       SELECT i.bucket, i.n,
+              floor(i.cents*1.0/i.n + 0.5)/100.0 AS raw_mean,
+              floor(f.fv + 0.5)/100.0 AS iso_mean
+       FROM idx i JOIN fit f ON f.rn = i.rn
+       ORDER BY 1""",
+    note="isotonic regression (PAV) of mean order value against the "
+    "customer account-balance bucket — the monotone calibration "
+    "curve a ranker/score needs before thresholding.  Uses the "
+    "minimax identity fitted[k] = max_{i<=k} min_{j>=k} "
+    "mean(y[i..j]) over the ~22 aggregated buckets, so the "
+    "sequential pool-adjacent-violators loop becomes two grouped "
+    "joins on O(buckets^3) tiny triples.  Every interval mean is "
+    "one division of identical BIGINT prefix-sum diffs (cents "
+    "carrier), so min/max argpools are bit-stable cross-engine; "
+    "outputs use the floor(x+0.5) half-up form.  At 100 TB the "
+    "bucket aggregation is the only data-sized pass (map-side "
+    "combine); the minimax lattice is driver-scale state",
+)
+def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    b = (
+        c.table("orders")
+        .join(c.table("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.floor(F.col("c_acctbal") / 500).cast("int").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))).alias("cents"),
+        )
+    )
+    w = Window.orderBy("bucket")
+    idx = b.select(
+        "bucket",
+        "n",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.sum("n").over(w).alias("cn"),
+        F.sum("cents").over(w).alias("cs"),
+    ).localCheckpoint(eager=True)
+    i = idx.select(
+        F.col("rn").alias("i"),
+        F.col("cs").alias("ics"),
+        F.col("cn").alias("icn"),
+        F.col("cents").alias("ic"),
+        F.col("n").alias("inn"),
+    )
+    j = idx.select(F.col("rn").alias("j"), F.col("cs").alias("jcs"), F.col("cn").alias("jcn"))
+    pr = (
+        i.join(j, F.col("i") <= F.col("j"))
+        .select(
+            "i",
+            "j",
+            (F.col("jcs") - F.col("ics") + F.col("ic")).alias("num"),
+            (F.col("jcn") - F.col("icn") + F.col("inn")).alias("den"),
+        )
+    )
+    k = idx.select(F.col("rn").alias("k"))
+    mins = (
+        k.join(pr, (F.col("i") <= F.col("k")) & (F.col("j") >= F.col("k")))
+        .groupBy("k", "i")
+        .agg(F.min(F.col("num").cast("double") / F.col("den")).alias("mn"))
+    )
+    fit = mins.groupBy("k").agg(F.max("mn").alias("fv"))
+    return (
+        idx.join(fit, F.col("rn") == F.col("k"))
+        .select(
+            "bucket",
+            "n",
+            (F.floor(F.col("cents").cast("double") / F.col("n") + F.lit(0.5)) / 100.0).alias(
+                "raw_mean"
+            ),
+            (F.floor(F.col("fv") + F.lit(0.5)) / 100.0).alias("iso_mean"),
+        )
+        .orderBy("bucket")
+    )
+
+
 QUERIES = list(_Q)
