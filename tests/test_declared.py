@@ -49,3 +49,23 @@ def test_oracle_preconditions(spark):
     # equal only while the corpus stays ASCII
     non_ascii = docs.filter(F.length(F.encode("text", "utf-8")) != F.length("text")).count()
     assert non_ascii == 0, "non-ASCII text breaks m11's byte==codepoint assumption"
+
+
+def test_registry_rotation_prefix_is_fresh():
+    """The driver samples the first 50 registry entries per round; the
+    registry rotates prior-round driver-verified names (CORRECTNESS_r*
+    artifacts at repo root) to the back so each round verifies fresh
+    queries.  Assert the prefix is disjoint from the verified set and
+    the rotation is a pure permutation (no query gained/lost/renamed)."""
+    from graph_spark.queries.registry import _driver_verified_names, all_queries
+
+    qs = all_queries()
+    names = [q.name for q in qs]
+    assert len(names) == len(set(names)), "duplicate names after rotation"
+    verified = _driver_verified_names()
+    if not verified:
+        return  # fresh checkout: nothing to rotate
+    window = min(50, max(0, len(names) - len(verified)))
+    assert not (set(names[:window]) & verified), (
+        "rotated prefix still contains driver-verified names"
+    )
