@@ -722,11 +722,13 @@ class Engine:
         return dbscan_grid(points, cell, radius2, min_neighbors)
 
     def negative_samples(self, k: int = 3, min_items: int = 2,
-                         pool_mod: int = 97, pool_keep: int = 13) -> DataFrame:
+                         m: int = 8, buckets: int = 64) -> DataFrame:
         """Deterministic md5-ranked non-edges per customer (g107):
-        hash-prefiltered candidate pool, anti-joined against real
-        edges, top-k by the same hash — RNG-free training negatives."""
-        from pyspark.sql import Window as _W
+        bounded O(|src|*m) probe pool (md5(src‖i) % n_dst equi-joined
+        against globally md5-ranked dsts), anti-joined against real
+        edges, top-k by md5(src‖dst) — RNG-free training negatives
+        whose candidate volume is independent of |dst|."""
+        from .operators.sampling import bounded_negative_samples
 
         e = (
             self.catalog.graph_edges()
@@ -734,24 +736,7 @@ class Engine:
             .select("src", "dst")
             .distinct()
         )
-        cand = e.select("src").distinct().crossJoin(
-            F.broadcast(e.select("dst").distinct())
-        ).select(
-            "src",
-            "dst",
-            F.conv(F.substring(F.md5(F.concat_ws("|", "src", "dst")), 1, 15), 16, 10)
-            .cast("long")
-            .alias("hv"),
-        )
-        filt = cand.filter(F.col("hv") % pool_mod < pool_keep).join(
-            e, ["src", "dst"], "left_anti"
-        )
-        w = _W.partitionBy("src").orderBy("hv", "dst")
-        return (
-            filt.select("src", "dst", "hv", F.row_number().over(w).alias("r"))
-            .filter(F.col("r") <= k)
-            .select("src", F.col("dst").alias("neg"), F.col("r").alias("neg_rank"), "hv")
-        )
+        return bounded_negative_samples(e, k=k, m=m, buckets=buckets)
 
     def ahash(self, media: DataFrame, cells: int = 64) -> DataFrame:
         """Perceptual average-hash bands over opaque payloads (m11):

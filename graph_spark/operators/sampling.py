@@ -1,0 +1,97 @@
+"""Bounded negative sampling over a positive-edge set.
+
+Replaces the V² shape (distinct-src × distinct-dst crossJoin, then a
+hash prefilter) with an O(|src|·m) candidate pool: every dst gets a
+GLOBAL md5 rank (computed scalably — row_number within a hash bucket
+plus broadcast cumulative bucket offsets, so no single-partition global
+sort over |dst|), every src emits m deterministic probes
+md5(src‖i) % n_dst, and probes equi-join dst ranks.  Candidates that
+turn out to be real edges are anti-joined away; the survivors are
+ranked per src by md5(src‖dst) and the top k kept.
+
+Everything is md5-driven (the l18/l77 reproducibility idiom): no RNG,
+no layout sensitivity, integer carriers only.  Candidate volume is
+exactly |src|·m rows regardless of |dst| — the shape that survives a
+10⁶×10⁶ rolled-up graph where the old crossJoin enumerated 10¹² pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _md5_long(col) -> F.Column:
+    """First 15 hex digits of md5 as a non-negative bigint (fits in 60
+    bits) — the repo's cross-engine deterministic-hash carrier."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def bounded_negative_samples(
+    edges: DataFrame, k: int = 3, m: int = 8, buckets: int = 64
+) -> DataFrame:
+    """Deterministic top-k non-edges per src from an O(|src|·m) probe
+    pool.
+
+    ``edges`` must be a distinct (src, dst) positive set.  Returns
+    (src, neg, neg_rank, hv).  ``m`` probes per src bounds the pool
+    (choose m comfortably above k: probes that collide or hit real
+    edges are dropped, so some srcs may yield fewer than k rows —
+    identically in any engine).  One driver-side scalar (count of
+    distinct dst) parameterizes the probe modulus.
+    """
+    srcs = edges.select("src").distinct()
+    dsts = edges.select("dst").distinct()
+    n_dst = dsts.count()  # scalar aggregate — the only driver-side action
+    if n_dst == 0:
+        return edges.sparkSession.createDataFrame(
+            [], "src long, neg long, neg_rank int, hv long"
+        )
+
+    # Global md5 rank of each dst WITHOUT a global sort: rank within
+    # hash bucket + broadcast cumulative offsets over `buckets` rows.
+    db = dsts.select(
+        "dst", _md5_long(F.col("dst").cast("string")).alias("hd")
+    ).withColumn("b", F.col("hd") % buckets)
+    ranked = db.withColumn(
+        "rb", F.row_number().over(Window.partitionBy("b").orderBy("hd", "dst"))
+    )
+    off = (
+        db.groupBy("b")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("c").over(
+                    Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("b", "off")
+    )
+    grank = ranked.join(F.broadcast(off), "b").select(
+        "dst", (F.col("off") + F.col("rb")).cast("long").alias("grank")
+    )
+
+    # m probes per src: md5(src‖'#'‖i) % n_dst → dst-rank equi-join.
+    hp = _md5_long(F.concat_ws("#", F.col("src"), F.col("i")))
+    probes = srcs.select(
+        "src", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("i")
+    ).select("src", ((hp % F.lit(n_dst)) + 1).alias("grank"))
+    cand = probes.join(grank, "grank").select("src", "dst").distinct()
+
+    neg = cand.join(edges, ["src", "dst"], "left_anti")
+    hv = _md5_long(F.concat_ws("|", "src", "dst"))
+    w = Window.partitionBy("src").orderBy("hv", "dst")
+    return (
+        neg.select("src", "dst", hv.alias("hv"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= k)
+        .select(
+            "src",
+            F.col("dst").alias("neg"),
+            F.col("r").cast("int").alias("neg_rank"),
+            "hv",
+        )
+    )

@@ -5569,32 +5569,56 @@ def g106(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""WITH {GRAPH_CTES},
        e AS (SELECT DISTINCT src, dst FROM graph_edges WHERE n_items >= 2),
        srcs AS (SELECT DISTINCT src FROM e),
-       supp AS (SELECT DISTINCT dst FROM e),
-       cand AS (SELECT s.src, p.dst,
-         ('0x' || substring(md5(s.src || '|' || p.dst), 1, 15))::BIGINT AS hv
-         FROM srcs s CROSS JOIN supp p),
-       filt AS (SELECT c.src, c.dst, c.hv FROM cand c
-         WHERE c.hv % 97 < 13
-           AND NOT EXISTS (SELECT 1 FROM e
+       dsts AS (SELECT DISTINCT dst FROM e),
+       db AS (SELECT dst,
+         ('0x' || substring(md5(dst::VARCHAR), 1, 15))::BIGINT AS hd
+         FROM dsts),
+       db2 AS (SELECT dst, hd, hd % 64 AS b FROM db),
+       rkb AS (SELECT dst, b,
+         row_number() OVER (PARTITION BY b ORDER BY hd, dst) AS rb
+         FROM db2),
+       offs AS (SELECT b, count(*) AS c FROM db2 GROUP BY 1),
+       offs2 AS (SELECT b, coalesce(sum(c) OVER (ORDER BY b
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         FROM offs),
+       grank AS (SELECT r.dst, (o.off + r.rb)::BIGINT AS grank
+         FROM rkb r JOIN offs2 o ON r.b = o.b),
+       nn AS (SELECT count(*) AS n FROM dsts),
+       probes AS (SELECT s.src,
+         ('0x' || substring(md5(s.src || '#' || t.i), 1, 15))::BIGINT AS hp
+         FROM srcs s CROSS JOIN generate_series(0, 7) AS t(i)),
+       cand AS (SELECT DISTINCT p.src, g.dst
+         FROM probes p CROSS JOIN nn
+         JOIN grank g ON g.grank = (p.hp % nn.n) + 1),
+       neg AS (SELECT c.src, c.dst FROM cand c
+         WHERE NOT EXISTS (SELECT 1 FROM e
                            WHERE e.src = c.src AND e.dst = c.dst)),
-       rk AS (SELECT src, dst, hv,
-         row_number() OVER (PARTITION BY src ORDER BY hv, dst) AS r
-       FROM filt)
+       rk AS (SELECT src, dst,
+         ('0x' || substring(md5(src || '|' || dst), 1, 15))::BIGINT AS hv,
+         row_number() OVER (PARTITION BY src ORDER BY
+           ('0x' || substring(md5(src || '|' || dst), 1, 15))::BIGINT,
+           dst) AS r
+         FROM neg)
        SELECT src, dst AS neg, r::INT AS neg_rank, hv
        FROM rk WHERE r <= 3 ORDER BY src, neg_rank""",
     note="deterministic negative sampling for link-prediction training "
-    "data: 3 non-edges per customer, drawn by md5 rank from a "
-    "hash-prefiltered candidate pool (hv % 97 < 13 keeps ~13% of "
-    "the cross space BEFORE the anti-join — the knob that makes this "
-    "shape work when |src| x |dst| is astronomical: prefilter first, "
-    "verify non-edge second, top-k by the same hash) — the "
-    "positives+negatives pair file every GNN / matrix-factorization "
-    "trainer consumes, with NO RNG: md5 order is the l18/l77 "
-    "reproducibility idiom.  Supplier side broadcasts (small dim); "
-    "per-src top-3 is one window on the filtered pool.  All "
-    "integers + strings, layout-proof",
+    "data: up to 3 non-edges per customer from a BOUNDED O(|src|*m) "
+    "probe pool — every dst gets a global md5 rank (row_number within "
+    "a 64-way hash bucket + broadcast cumulative offsets, so NO "
+    "single-partition global sort over |dst|), every src emits m=8 "
+    "probes md5(src||'#'||i) % n_dst that equi-join dst ranks; "
+    "candidates that are real edges anti-join away, survivors rank "
+    "per src by md5(src||dst).  The r3 shape enumerated |src|x|dst| "
+    "then kept 13% — a 10^12-pair scan on a 10^6x10^6 rolled-up "
+    "graph; this one materializes exactly 8 rows per src no matter "
+    "how large the dst side grows.  NO RNG: md5 order is the "
+    "l18/l77 reproducibility idiom; probes that collide or hit a "
+    "real edge simply drop, identically in both engines.  All "
+    "integer carriers, layout-proof",
 )
 def g107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import bounded_negative_samples
+
     e = (
         Catalog(spark, sf_dir)
         .graph_edges()
@@ -5602,29 +5626,8 @@ def g107(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .distinct()
     )
-    srcs = e.select("src").distinct()
-    supp = e.select("dst").distinct()
-    cand = srcs.crossJoin(F.broadcast(supp)).select(
-        "src",
-        "dst",
-        F.conv(
-            F.substring(F.md5(F.concat_ws("|", "src", "dst")), 1, 15), 16, 10
-        )
-        .cast("long")
-        .alias("hv"),
-    )
-    filt = cand.filter(F.col("hv") % 97 < 13).join(e, ["src", "dst"], "left_anti")
-    w = Window.partitionBy("src").orderBy("hv", "dst")
-    return (
-        filt.select("src", "dst", "hv", F.row_number().over(w).alias("r"))
-        .filter(F.col("r") <= 3)
-        .select(
-            "src",
-            F.col("dst").alias("neg"),
-            F.col("r").cast("int").alias("neg_rank"),
-            "hv",
-        )
-        .orderBy("src", "neg_rank")
+    return bounded_negative_samples(e, k=3, m=8, buckets=64).orderBy(
+        "src", "neg_rank"
     )
 
 

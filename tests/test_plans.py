@@ -742,3 +742,18 @@ def test_q134_rule_join_is_equi_and_broadcasts_margins(spark):
         if "BroadcastNestedLoopJoin" in line:
             assert "Cross" in line, line
     assert "BroadcastExchange" in plan, plan
+
+
+def test_negative_sampling_no_cartesian(spark):
+    """g107's candidate pool must stay O(|src|*m): probes explode from a
+    generator and equi-join dst ranks — a regression to the old
+    distinct-src x distinct-dst crossJoin (V^2 enumerated pairs) shows
+    up as CartesianProduct / BroadcastNestedLoopJoin."""
+    from graph_spark.queries.gsuite import QUERIES
+
+    g107 = next(q for q in QUERIES if q.name == "g107_negative_sampling")
+    plan = _plan(g107.build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    # probe generation is a Generate (explode of the m-probe sequence),
+    # not a join against the dst dimension
+    assert "Generate explode" in plan or "Generate" in plan, plan
