@@ -45,6 +45,38 @@ BENCH_QUERIES = [
 ]
 
 
+# Quiet-box reference for the in-run DuckDB contention control (seconds,
+# median of 3 on this container uncontended). A contended machine (other
+# benchmarks / pytest running) inflates BOTH engines together; the
+# control makes that self-flagging in the JSON instead of reading as a
+# Spark regression (round-3 lesson: the box degraded DuckDB 15x in-run).
+DUCKDB_CONTROL_REF = 0.19
+
+
+def duckdb_control(sf_dir: str) -> float:
+    """Median-of-3 wall time of a fixed DuckDB scan+agg on the same
+    parquet — a pure-CPU control with no Spark involvement."""
+    import duckdb
+
+    con = duckdb.connect()
+    sql = f"""SELECT o.o_orderpriority, l.l_returnflag,
+                     sum(l.l_quantity), avg(l.l_extendedprice),
+                     count(DISTINCT l.l_orderkey), count(*)
+              FROM read_parquet('{sf_dir}/lineitem.parquet') l
+              JOIN read_parquet('{sf_dir}/orders.parquet') o
+                ON l.l_orderkey = o.o_orderkey
+              GROUP BY 1, 2 ORDER BY 1, 2"""
+    con.execute(sql).fetchall()  # warm (buffer cache, plan)
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        con.execute(sql).fetchall()
+        samples.append(time.perf_counter() - t0)
+    con.close()
+    samples.sort()
+    return samples[1]
+
+
 def bench_distributed_graph(spark) -> dict:
     """Time the >LOCAL_EDGE_THRESHOLD distributed graph path — the code
     that carries the 100 TB story — on a deterministic 5M-edge synthetic
@@ -342,12 +374,24 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s median of {[round(s,3) for s in samples]} ({len(rows)} rows)", file=sys.stderr)
 
+    # In-run contention control: a fixed DuckDB query, timed AFTER the
+    # suite on the same box. ratio >> 1 means the machine was loaded and
+    # the suite numbers above are inflated — flag, don't trend.
+    ctrl = duckdb_control(sf_dir)
+    ratio = round(ctrl / DUCKDB_CONTROL_REF, 2)
+    print(f"# duckdb_control: {ctrl:.3f}s (ref {DUCKDB_CONTROL_REF}s, ratio {ratio})",
+          file=sys.stderr)
+
     payload = {
         "metric": "suite_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf_dir,
+        "duckdb_control_sec": round(ctrl, 3),
+        "duckdb_control_ref_sec": DUCKDB_CONTROL_REF,
+        "contention_ratio": ratio,
+        "contended": ratio > 3.0,
     }
 
     # Distributed-path graph bench (>LOCAL_EDGE_THRESHOLD regime) — not
