@@ -28,11 +28,14 @@ Supported:
     WHERE becomes part of the join condition (openCypher semantics —
     rows failing it null-extend instead of dropping), so it may
     reference outer variables.
-  - ONE WITH stage between the pattern and RETURN: `WITH [DISTINCT]
-    items [WHERE post]` projects/aggregates mid-query and its WHERE
-    filters the projected rows (the Cypher HAVING); RETURN then
-    operates on the WITH aliases, including re-aggregation
-    (`WITH s, count(*) AS n RETURN avg(n)`).
+  - CHAINED WITH stages between the pattern and RETURN: each
+    `WITH [DISTINCT] items [WHERE post]` projects/aggregates mid-query
+    and its WHERE filters the projected rows (the Cypher HAVING); the
+    stage's aliases are the variable scope of the next WITH / RETURN,
+    so multi-level rollups compile to stacked groupBys
+    (`WITH c, count(*) AS deg WITH deg, count(*) AS n WHERE n >= 2
+    RETURN max(deg)`).  MATCH after WITH is not supported — join
+    further patterns in the MATCH head instead.
   - WHERE / RETURN expressions are Spark SQL syntax with Cypher-style
     `var.property` references (rewritten to the bound columns).  Bare
     node variables are their string node ids; labels filter on them.
@@ -45,8 +48,13 @@ Supported:
     a multi-source semi-naive BFS seeded from the (filter-pushed)
     source set; `length(p)` / `p.len` is the hop count.  Combine with
     further MATCH/OPTIONAL MATCH blocks through shared endpoints.
+  - WEIGHTED `p = shortestPath((a {node: 'x'})-[:TYPE* {cost: 'w'}]->(b))`:
+    the property map names the edge-property to minimize; lowered onto
+    the Bellman-Ford SSSP kernel with the hop bound as the round
+    count, binding `p.cost` (min total weight over <=max-hop paths).
+    Needs an anchored source; `length(p)` is not bound.
 
-Not supported (raise ValueError): more than one WITH stage,
+Not supported (raise ValueError): MATCH after WITH,
 CREATE/MERGE/DELETE (this is an analytical engine — writes go through
 the sink API), undirected edges (query the symmetric PropertyGraph /
 :TRADE_SYM instead).
@@ -96,12 +104,18 @@ _TOKEN = re.compile(
 
 _CLAUSE = re.compile(
     r"^\s*MATCH\s+(?P<head>.+?)"
-    r"(?:\s+WITH\s+(?P<wdistinct>DISTINCT\s+)?(?P<with>.+?)"
-    r"(?:\s+WHERE\s+(?P<having>.+?))?)?"
+    r"(?:\s+WITH\s+(?P<withall>.+?))?"
     r"\s+RETURN\s+(?P<distinct>DISTINCT\s+)?(?P<ret>.+?)"
     r"(?:\s+ORDER\s+BY\s+(?P<order>.+?))?"
     r"(?:\s+SKIP\s+(?P<skip>\d+))?"
     r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+# one WITH stage body: [DISTINCT] items [WHERE having]
+_WITH_STAGE = re.compile(
+    r"^\s*(?P<distinct>DISTINCT\s+)?(?P<items>.+?)"
+    r"(?:\s+WHERE\s+(?P<having>.+))?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -265,11 +279,10 @@ def _parse_patterns(text: str, anon: list | None = None):
                         "bfs_distances for deeper traversal)"
                     )
             if i < len(toks) and toks[i][0] == "lbrace":
-                if max_len > 1:
-                    raise ValueError(
-                        "cypher: property maps on variable-length edges are "
-                        "not supported (each hop is an anonymous edge)"
-                    )
+                # on var-length edges a property map is only meaningful
+                # inside shortestPath ({cost: 'prop'} names the weight
+                # column) — build_block refuses it, _shortest_frame
+                # interprets it
                 props = parse_props()
             expect("rbr")
         if reverse:
@@ -299,6 +312,23 @@ def _parse_patterns(text: str, anon: list | None = None):
 
 _PROP_REF = re.compile(r"\b(\w+)\.(\w+)\b")
 _AGG_RE = re.compile(r"\b(count|sum|avg|min|max|collect_list|collect_set)\s*\(", re.IGNORECASE)
+
+
+def _split_top_keyword(text: str, kw: str) -> list[str]:
+    """Split `text` on the standalone keyword `kw` (whitespace-delimited,
+    case-insensitive), skipping occurrences inside quoted strings."""
+    parts = re.split(r"('[^']*'|\"[^\"]*\")", text)
+    pat = re.compile(rf"\s+{kw}\s+", re.IGNORECASE)
+    pieces: list[list[str]] = [[]]
+    for idx, part in enumerate(parts):
+        if idx % 2 == 1:  # quoted span — never split
+            pieces[-1].append(part)
+            continue
+        segs = pat.split(part)
+        pieces[-1].append(segs[0])
+        for s in segs[1:]:
+            pieces.append([s])
+    return ["".join(p).strip() for p in pieces]
 
 
 def _split_top_level(text: str, sep: str = ",") -> list[str]:
@@ -438,7 +468,7 @@ def _shortest_frame(cg: CypherGraph, pvar: str, triples) -> tuple[DataFrame, set
         )
     left, edge, right = triples[0]
     if edge.props:
-        raise ValueError("cypher: shortestPath edges cannot carry property maps")
+        return _weighted_shortest_frame(cg, pvar, left, edge, right)
     a, b = left.var, right.var
     if a == b:
         raise ValueError("cypher: shortestPath endpoints must be distinct variables")
@@ -472,6 +502,69 @@ def _shortest_frame(cg: CypherGraph, pvar: str, triples) -> tuple[DataFrame, set
     out = _node_filter(cg, right, acc, b)
     if edge.min_len > 1:
         out = out.filter(F.col(plen) >= edge.min_len)
+    return out, {a, b}, pvar
+
+
+def _weighted_shortest_frame(
+    cg: CypherGraph, pvar: str, left: _Node, edge: _Edge, right: _Node
+) -> tuple[DataFrame, set, str]:
+    """shortestPath((a {node: lit})-[:TYPE* {cost: 'w'}]->(b)) — the
+    WEIGHTED form: min total `w` over paths of at most max_len hops
+    from the anchored source, lowered onto the
+    :func:`graph.algorithms.shortest_paths_weighted` Bellman-Ford
+    kernel (max_iter = hop bound: after h simultaneous relaxation
+    rounds the tentative distances are EXACTLY the ≤h-hop minima, and
+    with non-negative weights the ≤h-hop walk minimum equals the
+    ≤h-hop simple-path minimum, so a loopless-path-enumeration oracle
+    agrees).  Binds columns a, b and pvar__cost (reach it as `p.cost`);
+    hop counts are not tracked — `length(p)` is the UNWEIGHTED form.
+    The source row itself (cost 0) is dropped: a shortestPath match is
+    a ≥1-hop path.  Requires a single anchored source — multi-source
+    weighted SSSP would need one kernel run per seed."""
+    if set(edge.props) != {"cost"} or not isinstance(edge.props["cost"], str):
+        raise ValueError(
+            "cypher: shortestPath property map must be {cost: '<edge property>'}"
+        )
+    if edge.min_len != 1:
+        raise ValueError("cypher: weighted shortestPath requires *1..max bounds")
+    a, b = left.var, right.var
+    if a == b:
+        raise ValueError("cypher: shortestPath endpoints must be distinct variables")
+    source = left.props.get("node", left.props.get("id"))
+    if source is None:
+        raise ValueError(
+            "cypher: weighted shortestPath needs an anchored source — "
+            "(a {node: '...'}); run one query per source for multi-source"
+        )
+    wcol = edge.props["cost"]
+    edf = cg.edges_for(edge.etype)
+    if wcol not in edf.columns:
+        raise ValueError(
+            f"cypher: relationship :{edge.etype or 'default'} has no "
+            f"property {wcol!r} to use as cost"
+        )
+    s, d = ("dst", "src") if edge.reverse else ("src", "dst")
+    base = edf.select(F.col(s).alias("src"), F.col(d).alias("dst"), F.col(wcol))
+
+    from .algorithms import shortest_paths_weighted
+    from .property_graph import PropertyGraph as _PG
+
+    verts = (
+        base.select(F.col("src").alias("id"))
+        .unionByName(base.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    dist = shortest_paths_weighted(
+        _PG(verts, base), source, wcol, max_iter=edge.max_len
+    )
+    pcost = f"{pvar}__cost"
+    out = dist.filter(F.col("node") != F.lit(source)).select(
+        F.lit(source).alias(a),
+        F.col("node").alias(b),
+        F.col("dist").alias(pcost),
+    )
+    out = _node_filter(cg, left, out, a)
+    out = _node_filter(cg, right, out, b)
     return out, {a, b}, pvar
 
 
@@ -525,11 +618,6 @@ def cypher(
             f"cypher: {bad.group(0)} is not supported in this subset "
             "(single MATCH .. WHERE .. RETURN .. ORDER BY .. LIMIT)"
         )
-    if len(re.findall(r"\bWITH\b", query, re.IGNORECASE)) > 1:
-        raise ValueError(
-            "cypher: only one WITH stage is supported in this subset "
-            "(chain Engine.cypher results through DataFrame ops for more)"
-        )
     m = _CLAUSE.match(query)
     if not m:
         raise ValueError("cypher: expected MATCH <patterns> [WHERE ..] RETURN ..")
@@ -564,6 +652,11 @@ def cypher(
             # filter equality, drop — two columns can't share one name
             b_out = "__self" if a == b else b
             if edge.max_len > 1 or edge.min_len > 1:
+                if edge.props:
+                    raise ValueError(
+                        "cypher: property maps on variable-length edges are "
+                        "only supported inside shortestPath ({cost: 'prop'})"
+                    )
                 leg = _varlen_leg(cg, edge, a, b_out)
             else:
                 if edge.var in be or edge.var in edge_vars:
@@ -698,18 +791,25 @@ def cypher(
             frame = frame.select(*[F.expr(sql).alias(alias) for sql, alias, _ in sel])
         return frame, [alias for _, alias, _ in sel]
 
-    # WITH stage (one, optional): project/aggregate, then its WHERE
-    # filters the PROJECTED rows — the Cypher HAVING.  Downstream scope
-    # is the WITH aliases (every alias is addressable as a plain name
-    # or as alias.node for carried node variables).
-    if m.group("with"):
-        out, waliases = project(out, m.group("with"), node_vars, edge_vars)
-        if m.group("wdistinct"):
-            out = out.distinct()
-        node_vars = set(waliases)
-        edge_vars = set()
-        if m.group("having"):
-            out = out.filter(F.expr(_rewrite(m.group("having"), node_vars, edge_vars)))
+    # WITH stages (any number, chained): each projects/aggregates, then
+    # its WHERE filters the PROJECTED rows — the Cypher HAVING.  Each
+    # stage's aliases become the variable scope of the next stage
+    # (every alias is addressable as a plain name or as alias.node for
+    # carried node variables); edge variables don't survive a WITH.
+    if m.group("withall"):
+        for stage in _split_top_keyword(m.group("withall"), "WITH"):
+            sm = _WITH_STAGE.match(stage)
+            if not sm:
+                raise ValueError(f"cypher: cannot parse WITH stage {stage!r}")
+            out, waliases = project(out, sm.group("items"), node_vars, edge_vars)
+            if sm.group("distinct"):
+                out = out.distinct()
+            node_vars = set(waliases)
+            edge_vars = set()
+            if sm.group("having"):
+                out = out.filter(
+                    F.expr(_rewrite(sm.group("having"), node_vars, edge_vars))
+                )
 
     out, ret_aliases = project(out, m.group("ret"), node_vars, edge_vars)
 

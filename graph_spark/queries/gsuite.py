@@ -4725,7 +4725,7 @@ def cypher_graph(c: Catalog):
 
     edges = c.graph_edges()
     verts = c.graph_nodes().select(F.col("node").alias("id"))
-    ne = (
+    rollup = (
         c.table("lineitem")
         .join(c.table("orders"), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(c.table("customer")), F.col("o_custkey") == F.col("c_custkey"))
@@ -4736,8 +4736,11 @@ def cypher_graph(c: Catalog):
         )
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 150)
-        .select("src", "dst")
     )
+    ne = rollup.select("src", "dst")
+    # :TRADE_W — same lanes with the g111 integer cost (busy lanes are
+    # cheap); the weighted-shortestPath relationship
+    ne_w = rollup.select("src", "dst", F.expr("1000000 DIV n").alias("w"))
     ne_nl = ne.filter(F.col("src") != F.col("dst"))
     es = ne_nl.unionAll(
         ne_nl.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -4749,7 +4752,7 @@ def cypher_graph(c: Catalog):
             "Supplier": lambda col: col.startswith("s"),
             "Nation": lambda col: col.startswith("n"),
         },
-        rel_types={"BUYS": edges, "TRADE": ne, "TRADE_SYM": es},
+        rel_types={"BUYS": edges, "TRADE": ne, "TRADE_SYM": es, "TRADE_W": ne_w},
     )
 
 
@@ -6189,6 +6192,110 @@ def g112(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bf_null",
             (F.col("ddo") + F.col("ddi")).alias("deg_diff"),
         )
+    )
+
+
+@_g(
+    "g113_cypher_multi_with",
+    f"""WITH {GRAPH_CTES},
+       agg AS (SELECT dst AS s, count(*) AS n_cust,
+                      sum(n_items)::BIGINT AS ti
+               FROM graph_edges GROUP BY 1 HAVING count(*) >= 2),
+       b AS (SELECT s, ti // n_cust AS ipc FROM agg)
+       SELECT ipc, count(*)::BIGINT AS n_suppliers
+       FROM b GROUP BY 1 ORDER BY ipc""",
+    note="chained WITH stages (the r3 verdict's top Cypher gap — real "
+    "Cypher workloads stack WITH...WITH...RETURN): stage 1 aggregates "
+    "per supplier with a HAVING (WITH..WHERE filters the PROJECTED "
+    "rows), stage 2 derives integer items-per-customer from the stage-1 "
+    "aliases, RETURN re-aggregates into the ipc histogram — three "
+    "stacked groupBy/projection stages from one declarative string, "
+    "each WITH's aliases becoming the next stage's variable scope.  "
+    "Compiles to exactly the stacked-agg DataFrame plan a hand-written "
+    "query would produce; integer carriers (DIV) throughout",
+)
+def g113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cy(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[e:BUYS]->(s:Supplier)
+           WITH s, count(*) AS n_cust, sum(e.n_items) AS ti WHERE n_cust >= 2
+           WITH s, ti DIV n_cust AS ipc
+           RETURN ipc, count(*) AS n_suppliers
+           ORDER BY ipc""",
+    )
+
+
+@_g(
+    "g114_cypher_with_chain_agg",
+    f"""WITH {GRAPH_CTES},
+       d1 AS (SELECT src, count(*) AS deg FROM graph_edges
+              WHERE n_items >= 2 GROUP BY 1),
+       d2 AS (SELECT deg, count(*) AS n_cust FROM d1
+              GROUP BY 1 HAVING count(*) >= 2)
+       SELECT count(*)::BIGINT AS n_degree_classes,
+              sum(n_cust)::BIGINT AS covered,
+              max(deg)::BIGINT AS max_deg FROM d2""",
+    note="two aggregate WITH stages then an all-aggregate RETURN: "
+    "per-customer degree (>=2-item edges) -> degree histogram with "
+    "HAVING -> global summary of the surviving classes.  Exercises the "
+    "agg->agg->agg chain (each WITH rebinds the scope to its aliases; "
+    "the final RETURN has no grouping keys so it compiles to a global "
+    "aggregate, 1 row even when empty — both engines agree on "
+    "count=0/sum=NULL/max=NULL semantics).  Sibling g113 covers the "
+    "project-between-aggs shape",
+)
+def g114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cy(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[e:BUYS]->(s:Supplier) WHERE e.n_items >= 2
+           WITH c, count(*) AS deg
+           WITH deg, count(*) AS n_cust WHERE n_cust >= 2
+           RETURN count(*) AS n_degree_classes, sum(n_cust) AS covered,
+                  max(deg) AS max_deg""",
+    )
+
+
+@_g(
+    "g115_cypher_weighted_path",
+    """WITH RECURSIVE
+       ne AS MATERIALIZED (
+         SELECT 'n'||c.c_nationkey AS src, 'n'||s.s_nationkey AS dst,
+                1000000 // count(*) AS w
+         FROM lineitem l JOIN orders o ON l.l_orderkey=o.o_orderkey
+         JOIN customer c ON o.o_custkey=c.c_custkey
+         JOIN supplier s ON l.l_suppkey=s.s_suppkey
+         GROUP BY 1,2 HAVING count(*) >= 150),
+       p(endn, path, cost, hops) AS (
+         SELECT e.dst, ['n11', e.dst], e.w, 1 FROM ne e
+         WHERE e.src = 'n11' AND e.dst <> 'n11'
+         UNION ALL
+         SELECT e.dst, list_append(p.path, e.dst), p.cost + e.w, p.hops + 1
+         FROM p JOIN ne e ON e.src = p.endn
+         WHERE p.hops < 6 AND NOT list_contains(p.path, e.dst))
+       SELECT endn AS dest, CAST(min(cost) AS BIGINT) AS cost
+       FROM p GROUP BY 1 ORDER BY cost, dest""",
+    note="weighted shortestPath in Cypher (r3 verdict item 6): "
+    "{cost: 'w'} on the var-length edge names the weight property; the "
+    "compiler lowers onto the Bellman-Ford SSSP kernel with the hop "
+    "bound (bare * = 6) as the round count — after h simultaneous "
+    "relaxation rounds tentative distances are EXACTLY the <=h-hop "
+    "minima, and with non-negative integer weights the <=h-hop walk "
+    "minimum equals the <=h-hop loopless-path minimum, so the "
+    "enumeration oracle (g111's protocol: hop-capped recursive CTE, "
+    "min cost per destination) agrees hash-exactly.  Edge cost is the "
+    "g111 integer carrier 1000000 DIV n_shipments on the >=150 "
+    "nation-lane graph (:TRADE_W); kernel auto-routes local/"
+    "distributed, parity-tested both ways in test_properties",
+)
+def g115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cy(
+        spark,
+        sf_dir,
+        """MATCH p = shortestPath((a:Nation {node: 'n11'})-[:TRADE_W* {cost: 'w'}]->(b:Nation))
+           RETURN b.node AS dest, CAST(p.cost AS BIGINT) AS cost
+           ORDER BY cost, dest""",
     )
 
 

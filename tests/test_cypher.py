@@ -106,8 +106,32 @@ def test_unsupported_clauses_refused(tiny):
     # a query CANNOT start with OPTIONAL MATCH (needs a required scope)
     with pytest.raises(ValueError, match="expected MATCH"):
         cypher(tiny, "OPTIONAL MATCH (a)-[]->(b) RETURN a")
-    with pytest.raises(ValueError, match="one WITH stage"):
-        cypher(tiny, "MATCH (a)-[]->(b) WITH a WITH a RETURN a")
+
+
+def test_multi_with_chain(tiny):
+    """WITH..WITH..RETURN chains: each stage's aliases are the next
+    stage's scope; agg -> agg -> plain projection."""
+    rows = cypher(
+        tiny,
+        """MATCH (u)-[e]->(v)
+           WITH v.node AS v, count(*) AS indeg WHERE indeg >= 2
+           WITH indeg, count(*) AS n
+           RETURN indeg, n""",
+    ).collect()
+    assert [(r.indeg, r.n) for r in rows] == [(2, 1)]
+
+
+def test_multi_with_project_between_aggs(tiny):
+    """Non-aggregate WITH between two aggregates (the g113 shape)."""
+    rows = cypher(
+        tiny,
+        """MATCH (u)-[e]->(v)
+           WITH u, sum(e.n_items) AS ti
+           WITH u, ti * 2 AS t2
+           RETURN sum(t2) AS total""",
+    ).collect()
+    # n_items total = 1+2+3+4+5 = 15, doubled = 30
+    assert rows[0].total == 30
 
 
 def test_with_stage_having(tiny):
@@ -480,3 +504,86 @@ def test_shortest_path_reverse_direction(tiny):
         ("c", 1),
         ("a", 2),
     ]
+
+
+# ------------------------------------------------- weighted shortestPath
+
+
+def test_weighted_shortest_path_basic(tiny):
+    """{cost: 'weight'} minimizes total edge weight: d via b (10+30=40)
+    beats d via c (20+40=60)."""
+    df = cypher(
+        tiny,
+        "MATCH p = shortestPath((a {node: 'a'})-[:E* {cost: 'weight'}]->(b)) "
+        "RETURN b, CAST(p.cost AS BIGINT) AS cost ORDER BY cost, b",
+    )
+    assert [tuple(r) for r in df.collect()] == [
+        ("b", 10),
+        ("c", 20),
+        ("d", 40),
+        ("e", 90),
+    ]
+
+
+def test_weighted_shortest_path_hop_bound(tiny):
+    """*1..2 bounds the relaxation rounds: e (3 hops) is unreachable."""
+    df = cypher(
+        tiny,
+        "MATCH p = shortestPath((a {node: 'a'})-[:E*1..2 {cost: 'n_items'}]->(b)) "
+        "RETURN b, CAST(p.cost AS BIGINT) AS cost ORDER BY cost, b",
+    )
+    assert [tuple(r) for r in df.collect()] == [("b", 1), ("c", 2), ("d", 4)]
+
+
+def test_weighted_shortest_path_refusals(tiny):
+    with pytest.raises(ValueError, match="anchored source"):
+        cypher(
+            tiny,
+            "MATCH p = shortestPath((a)-[:E* {cost: 'weight'}]->(b)) RETURN b",
+        )
+    with pytest.raises(ValueError, match="cost"):
+        cypher(
+            tiny,
+            "MATCH p = shortestPath((a {node: 'a'})-[:E* {w: 'weight'}]->(b)) RETURN b",
+        )
+    with pytest.raises(ValueError, match="\\*1\\.\\.max"):
+        cypher(
+            tiny,
+            "MATCH p = shortestPath((a {node: 'a'})-[:E*2..3 {cost: 'weight'}]->(b)) RETURN b",
+        )
+    with pytest.raises(ValueError, match="no\\s+property 'nope'"):
+        cypher(
+            tiny,
+            "MATCH p = shortestPath((a {node: 'a'})-[:E* {cost: 'nope'}]->(b)) RETURN b",
+        )
+    # property maps on var-length edges OUTSIDE shortestPath still refuse
+    with pytest.raises(ValueError, match="only supported inside shortestPath"):
+        cypher(tiny, "MATCH (a)-[*1..2 {cost: 'weight'}]->(b) RETURN a, b")
+
+
+def test_weighted_shortest_path_kernel_parity(spark):
+    """The g115 cypher string and a direct shortest_paths_weighted call
+    on the same :TRADE_W edges agree (both kernel routes)."""
+    from graph_spark.catalog import Catalog
+    from graph_spark.graph.algorithms import shortest_paths_weighted
+    from graph_spark.graph.property_graph import PropertyGraph
+    from graph_spark.queries.gsuite import QUERIES, cypher_graph
+
+    from .conftest import SF_SMOKE
+
+    g115 = next(q for q in QUERIES if q.name == "g115_cypher_weighted_path")
+    got = {(r.dest, r.cost) for r in g115.build(spark, SF_SMOKE).collect()}
+
+    ne_w = cypher_graph(Catalog(spark, SF_SMOKE)).rel_types["TRADE_W"]
+    verts = (
+        ne_w.select(F.col("src").alias("id"))
+        .unionByName(ne_w.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    pg = PropertyGraph(verts, ne_w)
+    for local in (True, False):
+        dist = shortest_paths_weighted(pg, "n11", "w", max_iter=6, local=local)
+        want = {
+            (r.node, int(r.dist)) for r in dist.collect() if r.node != "n11"
+        }
+        assert got == want, f"local={local}"
