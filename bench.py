@@ -243,9 +243,9 @@ def bench_distributed_text(spark) -> dict:
     run doubles as a RECALL measurement — `lsh_pairs` vs the 100k
     planted pairs.  Exact dedup is the hash-groupBy floor; MinHash-LSH
     (16 sigs, 4 bands) is the candidate-join path that carries the
-    100 TB dedup story (cost: 16 md5s per token, linear scan,
-    embarrassingly parallel; the only shuffles are the signature
-    combine and the band-bucket join).
+    100 TB dedup story (cost: 16 md5s per token in one per-row codegen
+    scan, embarrassingly parallel; the band-bucket equi-join is the
+    pipeline's ONLY shuffle).
 
     Runs at 200k AND 2M docs: the pair shows the candidate join is
     near-linear in corpus size (scale_ratio = time ratio / size ratio,

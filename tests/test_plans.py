@@ -757,3 +757,17 @@ def test_negative_sampling_no_cartesian(spark):
     # probe generation is a Generate (explode of the m-probe sequence),
     # not a join against the dst dimension
     assert "Generate explode" in plan or "Generate" in plan, plan
+
+
+def test_minhash_signatures_no_exchange(spark):
+    """MinHash signatures are per-row higher-order functions — a
+    regression to the row-exploded form (tokens().distinct() ->
+    explode k -> groupBy min) shows up as Exchange operators; this path
+    must stay a pure scan+project (the 326 s -> 40 s lesson at 2M
+    docs)."""
+    from graph_spark.catalog import Catalog
+    from graph_spark.operators.dedup import minhash_signature_array
+
+    docs = Catalog(spark, SF_SMOKE).table("documents")
+    plan = _plan(minhash_signature_array(docs, k=16))
+    assert "Exchange" not in plan, plan
