@@ -6546,4 +6546,266 @@ def l108(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "sym string, freq bigint, code_len int").orderBy("sym")
 
 
+@_l(
+    "l109_bleu_overlap",
+    """WITH docs AS (SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), x -> x <> '') AS l
+       FROM documents),
+       prs AS (SELECT doc_id AS a,
+         lead(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) AS b
+       FROM docs),
+       pp AS (SELECT a, b FROM prs WHERE b IS NOT NULL),
+       uni AS (SELECT doc_id, t.term, count(*) AS c
+               FROM docs, unnest(l) AS t(term) GROUP BY 1, 2),
+       lens AS (SELECT doc_id, len(l)::BIGINT AS n FROM docs),
+       big AS (SELECT doc_id, s[1] || ' ' || s[2] AS g, count(*) AS c
+               FROM (SELECT doc_id, unnest(list_zip(l, l[2:])) AS s
+                     FROM docs) z
+               WHERE s[2] IS NOT NULL GROUP BY 1, 2),
+       c1 AS (SELECT p.a, p.b, sum(least(x.c, y.c)) AS clip1
+              FROM pp p JOIN uni x ON x.doc_id = p.a
+              JOIN uni y ON y.doc_id = p.b AND y.term = x.term
+              GROUP BY 1, 2),
+       c2 AS (SELECT p.a, p.b, sum(least(x.c, y.c)) AS clip2
+              FROM pp p JOIN big x ON x.doc_id = p.a
+              JOIN big y ON y.doc_id = p.b AND y.g = x.g
+              GROUP BY 1, 2)
+       SELECT p.a, p.b, la.n AS len_c, lb.n AS len_r,
+              coalesce(c1.clip1, 0)::BIGINT AS clip1,
+              coalesce(c2.clip2, 0)::BIGINT AS clip2
+       FROM pp p JOIN lens la ON la.doc_id = p.a
+       JOIN lens lb ON lb.doc_id = p.b
+       LEFT JOIN c1 ON c1.a = p.a AND c1.b = p.b
+       LEFT JOIN c2 ON c2.a = p.a AND c2.b = p.b
+       ORDER BY p.a""",
+    note="BLEU-2 clipped-overlap components between same-lang adjacent "
+    "doc pairs (the self-BLEU corpus-diversity probe: high overlap "
+    "between UNRELATED same-language docs means a templated/duplicated "
+    "corpus — the generation-eval metric run at corpus scale).  "
+    "Modified n-gram precision numerators are MULTISET intersections "
+    "(sum of min(count_cand, count_ref) per gram, n = 1 and 2 — NOT "
+    "the distinct-set containment l40 computes), with candidate/"
+    "reference lengths for the brevity penalty; all columns exact "
+    "integers per the cross-engine float protocol, so BLEU-2 = "
+    "bp * sqrt(clip1/len_c * clip2/(len_c-1)) is one arithmetic step "
+    "away in either engine.  Scale: two explode+groupBy count tables "
+    "+ candidate-bounded equi-joins — pair count is corpus-linear "
+    "(one pair per doc via lead), never quadratic",
+)
+def l109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        Catalog(spark, sf_dir)
+        .table("documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias("l"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    pp = (
+        docs.select(
+            F.col("doc_id").alias("a"), F.lead("doc_id").over(w).alias("b")
+        )
+        .filter(F.col("b").isNotNull())
+    )
+    uni = (
+        docs.select("doc_id", F.explode("l").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lens = docs.select("doc_id", F.size("l").cast("long").alias("n"))
+    bigr = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(l) >= 2 THEN transform(sequence(1, size(l) - 1), "
+                    "i -> concat(element_at(l, i), ' ', element_at(l, i + 1))) "
+                    "ELSE array() END"
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def clip(cnt: DataFrame, key: str, out: str) -> DataFrame:
+        x = cnt.select(F.col("doc_id").alias("a"), key, F.col("c").alias("ca"))
+        y = cnt.select(F.col("doc_id").alias("b"), key, F.col("c").alias("cb"))
+        return (
+            pp.join(x, "a")
+            .join(y, ["b", key])
+            .groupBy("a", "b")
+            .agg(F.sum(F.least("ca", "cb")).alias(out))
+        )
+
+    out = (
+        pp.join(lens.select(F.col("doc_id").alias("a"), F.col("n").alias("len_c")), "a")
+        .join(lens.select(F.col("doc_id").alias("b"), F.col("n").alias("len_r")), "b")
+        .join(clip(uni, "term", "c1"), ["a", "b"], "left")
+        .join(clip(bigr, "g", "c2"), ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            "len_c",
+            "len_r",
+            F.coalesce("c1", F.lit(0)).cast("long").alias("clip1"),
+            F.coalesce("c2", F.lit(0)).cast("long").alias("clip2"),
+        )
+        .orderBy("a")
+    )
+    return out
+
+
+@_l(
+    "l110_prefix_filter_join",
+    """WITH docs AS (SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS l
+       FROM documents),
+       sh AS (SELECT DISTINCT doc_id, s[1] || ' ' || s[2] AS shingle
+              FROM (SELECT doc_id, unnest(list_zip(l, l[2:])) AS s
+                    FROM docs) z
+              WHERE s[2] IS NOT NULL),
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+       rk AS (SELECT s.doc_id, s.shingle,
+                row_number() OVER (PARTITION BY s.doc_id
+                                   ORDER BY d.df, s.shingle) AS rn
+              FROM sh s JOIN dfq d ON s.shingle = d.shingle),
+       pre AS (SELECT r.doc_id, r.shingle
+               FROM rk r JOIN sz ON sz.doc_id = r.doc_id
+               WHERE r.rn <= sz.n - (sz.n + 1) // 2 + 1),
+       cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+                FROM pre a JOIN pre b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+       inter AS (SELECT c.a, c.b, count(*) AS i
+                 FROM cand c JOIN sh x ON x.doc_id = c.a
+                 JOIN sh y ON y.doc_id = c.b AND y.shingle = x.shingle
+                 GROUP BY 1, 2)
+       SELECT a, b, i::BIGINT AS inter_n,
+              (sa.n + sb.n - i)::BIGINT AS union_n
+       FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+       WHERE 2 * i >= (sa.n + sb.n - i)
+       ORDER BY a, b""",
+    note="prefix-filtered set-similarity self-join (the PPJoin family): "
+    "bigram shingles ranked rarest-first by global document frequency; "
+    "each doc indexes ONLY its first n - ceil(tau*n) + 1 shingles "
+    "(tau = 0.5), and candidate pairs come from the prefix equi-join "
+    "alone.  LOSSLESS by the prefix-filter theorem: two sets with "
+    "Jaccard >= tau must share a token within those prefixes under any "
+    "common total order, so the verified output (exact integer "
+    "intersection/union, 2i >= u <=> J >= 0.5) EQUALS the full "
+    "inverted-index join l07 would produce — the declared result pins "
+    "that equality.  This is the canonical index-shrinking lever at "
+    "100 TB: index volume drops by ~tau*|tokens| and, on Zipfian real "
+    "corpora where common shingles dominate, candidate pairs drop "
+    "superlinearly (rare-prefix buckets are small by construction).  "
+    "The rarest-first order also makes the hot buckets the SMALLEST "
+    "ones — the opposite of the skew a naive token join suffers",
+)
+def l110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import word_shingles
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    sh = word_shingles(docs, n=2)
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rk = sh.join(dfq, "shingle").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "shingle")
+        ),
+    )
+    pre = (
+        rk.join(sz, "doc_id")
+        .filter(F.col("rn") <= F.expr("n - (n + 1) DIV 2 + 1"))
+        .select("doc_id", "shingle")
+    )
+    a = pre.select(F.col("doc_id").alias("a"), "shingle")
+    b = pre.select(F.col("doc_id").alias("b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("a"), "shingle")
+    y = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        cand.join(x, "a")
+        .join(y, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(sz.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")
+        .join(sz.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
+        .withColumn("union_n", (F.col("na") + F.col("nb") - F.col("i")).cast("long"))
+        .filter(2 * F.col("i") >= F.col("union_n"))
+        .select("a", "b", F.col("i").cast("long").alias("inter_n"), "union_n")
+        .orderBy("a", "b")
+    )
+
+
+@_l(
+    "l111_skipgram_pairs",
+    """WITH docs AS (SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS l
+       FROM documents),
+       pos AS (SELECT doc_id, unnest(l) AS term,
+                      generate_subscripts(l, 1) AS p
+               FROM docs),
+       sg AS (SELECT term AS w1,
+                lead(term, 1) OVER (PARTITION BY doc_id ORDER BY p) AS n1,
+                lead(term, 2) OVER (PARTITION BY doc_id ORDER BY p) AS n2
+              FROM pos),
+       prs AS (SELECT w1, n1 AS w2, 1 AS d FROM sg WHERE n1 IS NOT NULL
+               UNION ALL
+               SELECT w1, n2, 2 FROM sg WHERE n2 IS NOT NULL)
+       SELECT w1, w2, d::INT AS d, count(*)::BIGINT AS cnt
+       FROM prs GROUP BY 1, 2, 3
+       ORDER BY cnt DESC, w1, w2, d LIMIT 25""",
+    note="skip-gram training-pair extraction (the word2vec/embedding "
+    "data op): directional (center, context, distance) pairs at window "
+    "+1/+2 via positional lead over each doc's token sequence, "
+    "aggregated to (w1, w2, d) counts — the co-occurrence corpus every "
+    "embedding trainer consumes.  Sibling l82 scores ADJACENT-bigram "
+    "collocations with PMI (window 1, statistical score); this emits "
+    "the raw multi-distance pair counts (window 2, training carrier) — "
+    "kept separate because the carrier genuinely differs (positional "
+    "lead-k multiset vs distinct-bigram marginals).  Scale: one "
+    "posexplode + two window leads partitioned by doc (sequences "
+    "never cross docs, so partitions are bounded by doc length) + one "
+    "map-side-combined count shuffle on (w1, w2, d)",
+)
+def l111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("p", "term"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    sg = pos.select(
+        F.col("term").alias("w1"),
+        F.lead("term", 1).over(w).alias("n1"),
+        F.lead("term", 2).over(w).alias("n2"),
+    )
+    prs = sg.filter(F.col("n1").isNotNull()).select(
+        "w1", F.col("n1").alias("w2"), F.lit(1).alias("d")
+    ).unionAll(
+        sg.filter(F.col("n2").isNotNull()).select(
+            "w1", F.col("n2").alias("w2"), F.lit(2).alias("d")
+        )
+    )
+    return (
+        prs.groupBy("w1", "w2", F.col("d").cast("int").alias("d"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "w1", "w2", "d")
+        .limit(25)
+    )
+
+
 QUERIES = list(_L)
