@@ -10043,4 +10043,130 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dtw_oracle() -> str:
+    """Oracle for t85: the DTW lattice unrolled ROW-WISE (the l35/l108
+    unrolled-chain idiom).  Row recurrence closed form — with
+    m(t) = min(c_prev(t), c_prev(t-1)) and D(j) the row's prefix sum of
+    |a_i - b_j|, c(i,j) = D(j) + min_{t<=j}(m(t) - D(t-1)) — turns each
+    DP row into one prefix-sum + one running-min window, so 12 rows =
+    12 CTEs with no recursion and no driver state."""
+    pri_a, pri_b = "1-URGENT", "2-HIGH"
+
+    def series(name: str, pri: str) -> str:
+        return f"""{name} AS (
+         SELECT s.m, coalesce(t.c, 0)::BIGINT AS v
+         FROM (SELECT unnest(range(1, 13)) AS m) s
+         LEFT JOIN (SELECT month(o_orderdate) AS m, count(*) AS c
+                    FROM orders WHERE year(o_orderdate) = 1995
+                      AND o_orderpriority = '{pri}' GROUP BY 1) t
+         ON t.m = s.m)"""
+
+    ctes = [
+        series("sa", pri_a),
+        series("sb", pri_b),
+        """lat AS (SELECT a.m AS i, b.m AS j, abs(a.v - b.v)::BIGINT AS d
+         FROM sa a CROSS JOIN sb b)""",
+        """r1 AS (SELECT j, (sum(d) OVER (ORDER BY j))::BIGINT AS c
+         FROM lat WHERE i = 1)""",
+    ]
+    for i in range(2, 13):
+        ctes.append(
+            f"""r{i} AS (
+         SELECT j, (dsum + mn)::BIGINT AS c FROM (
+           SELECT j, sum(d) OVER (ORDER BY j) AS dsum,
+                  min(m2 - dp) OVER (ORDER BY j) AS mn
+           FROM (
+             SELECT l.j, l.d,
+                    least(p.c, coalesce(lag(p.c) OVER (ORDER BY p.j), p.c)) AS m2,
+                    coalesce(sum(l.d) OVER (ORDER BY l.j
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS dp
+             FROM (SELECT j, d FROM lat WHERE i = {i}) l
+             JOIN r{i - 1} p ON p.j = l.j) q) q2)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT j::INT AS j, c::BIGINT AS cost FROM r12 ORDER BY j"
+    )
+
+
+@_q(
+    "t85_dtw",
+    _dtw_oracle(),
+    note="dynamic time warping between the 1995 monthly order-count "
+    "series of two priorities (URGENT vs HIGH, zero-filled 12-month "
+    "spine) — the elastic-alignment distance for series whose shapes "
+    "match but timing drifts, where lagged Pearson (t84, the rigid-"
+    "shift sibling) underestimates similarity.  The DP is sequential "
+    "by nature; here each lattice ROW collapses to closed form "
+    "c(i,j) = D(j) + min_t<=j (m(t) - D(t-1)) (D = row prefix sum of "
+    "|a_i - b_j|, m = pairwise min of the previous row and its lag), "
+    "so the whole 12x12 lattice is 12 chained prefix-sum + running-"
+    "min windows — no recursion, no driver loop over cells, exact "
+    "BIGINT carriers; the oracle unrolls the identical chain as CTEs. "
+    "Output = the final DP row (DTW distance of the full URGENT "
+    "series vs each HIGH prefix; j=12 is the classic DTW distance).  "
+    "Scale: series collapse first (one map-side-combined count per "
+    "month bucket), so the windows run on |buckets| rows no matter "
+    "the corpus — the collapse-then-compute family; independently "
+    "verified against a brute-force numpy DP in tests",
+)
+def t85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = Catalog(spark, sf_dir).table("orders")
+    base = orders.filter(F.year("o_orderdate") == 1995)
+    spine = spark.range(1, 13).select(F.col("id").cast("int").alias("m"))
+
+    def series(pri: str, out: str) -> DataFrame:
+        cnt = (
+            base.filter(F.col("o_orderpriority") == pri)
+            .groupBy(F.month("o_orderdate").alias("m"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        return spine.join(cnt, "m", "left").select(
+            F.col("m").alias(out), F.coalesce("c", F.lit(0)).cast("long").alias("v")
+        )
+
+    lat = (
+        series("1-URGENT", "i")
+        .withColumnRenamed("v", "va")
+        .crossJoin(series("2-HIGH", "j").withColumnRenamed("v", "vb"))
+        .select("i", "j", F.abs(F.col("va") - F.col("vb")).cast("long").alias("d"))
+    )
+    wj = Window.orderBy("j")
+    prev = lat.filter(F.col("i") == 1).select(
+        "j", F.sum("d").over(wj).cast("long").alias("c")
+    )
+    for i in range(2, 13):
+        m2 = prev.select(
+            "j",
+            F.least(
+                F.col("c"), F.coalesce(F.lag("c").over(wj), F.col("c"))
+            ).alias("m2"),
+        )
+        q = (
+            lat.filter(F.col("i") == i)
+            .select("j", "d")
+            .join(m2, "j")
+            .select(
+                "j",
+                "d",
+                "m2",
+                F.coalesce(
+                    F.sum("d").over(
+                        wj.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ).alias("dp"),
+            )
+        )
+        q2 = q.select(
+            "j",
+            F.sum("d").over(wj).alias("dsum"),
+            F.min(F.col("m2") - F.col("dp")).over(wj).alias("mn"),
+        )
+        prev = q2.select("j", (F.col("dsum") + F.col("mn")).cast("long").alias("c"))
+    return prev.select(
+        F.col("j").cast("int").alias("j"), F.col("c").alias("cost")
+    ).orderBy("j")
+
+
 QUERIES = list(_Q)

@@ -511,3 +511,45 @@ def test_compress_ratio_orders_planted_payloads(spark):
     assert out[3] > 0.9 and out[1] < 0.1, out
     again = {r["doc_id"]: r["ratio"] for r in compress_ratio(df).collect()}
     assert out == again
+
+
+def test_t85_dtw_matches_bruteforce_dp(spark):
+    """t85's row-unrolled closed form (c(i,j) = D(j) + running-min of
+    m(t) - D(t-1)) must equal the textbook O(n^2) cell-by-cell DTW
+    recurrence — an INDEPENDENT implementation, so a shared
+    misconception between the engine and its oracle can't hide."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from graph_spark.catalog import Catalog
+    from graph_spark.queries.qsuite import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    t85 = next(q for q in QUERIES if q.name == "t85_dtw")
+    got = {r.j: r.cost for r in t85.build(spark, SF_SMOKE).collect()}
+
+    orders = Catalog(spark, SF_SMOKE).table("orders").filter(
+        F.year("o_orderdate") == 1995
+    )
+
+    def series(pri):
+        rows = dict(
+            orders.filter(F.col("o_orderpriority") == pri)
+            .groupBy(F.month("o_orderdate").alias("m"))
+            .count()
+            .collect()
+        )
+        return np.array([rows.get(m, 0) for m in range(1, 13)], dtype=np.int64)
+
+    a, b = series("1-URGENT"), series("2-HIGH")
+    n = 12
+    c = np.full((n + 1, n + 1), np.iinfo(np.int64).max // 4, dtype=np.int64)
+    c[0, 0] = 0
+    for i in range(1, n + 1):
+        for j in range(1, n + 1):
+            c[i, j] = abs(a[i - 1] - b[j - 1]) + min(
+                c[i - 1, j], c[i, j - 1], c[i - 1, j - 1]
+            )
+    want = {j: int(c[n, j]) for j in range(1, n + 1)}
+    assert got == want
