@@ -6395,4 +6395,88 @@ def g116(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g117_itemitem_recs",
+    f"""WITH {GRAPH_CTES},
+       e AS (SELECT DISTINCT src, dst FROM graph_edges WHERE n_items >= 2),
+       cp AS (SELECT a.dst AS s1, b.dst AS s2, count(*) AS cooc
+              FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+       sym AS (SELECT s1, s2, cooc FROM cp
+               UNION ALL SELECT s2, s1, cooc FROM cp),
+       sc AS (SELECT e.src AS customer, sym.s2 AS cand,
+                     sum(sym.cooc) AS score
+              FROM e JOIN sym ON sym.s1 = e.dst GROUP BY 1, 2),
+       neg AS (SELECT sc.customer, sc.cand, sc.score FROM sc
+               WHERE NOT EXISTS (SELECT 1 FROM e
+                                 WHERE e.src = sc.customer
+                                   AND e.dst = sc.cand)),
+       rk AS (SELECT customer, cand, score,
+                row_number() OVER (PARTITION BY customer
+                                   ORDER BY score DESC, cand) AS rnk
+              FROM neg)
+       SELECT customer, cand AS rec, score::BIGINT AS score,
+              rnk::INT AS rnk
+       FROM rk WHERE rnk <= 3 ORDER BY customer, rnk""",
+    note="item-item neighborhood recommendations (the classic "
+    "Amazon-style CF pipeline, missing output of the association "
+    "family: g38 builds the co-occurrence projection and q134 scores "
+    "rules, but nothing RECOMMENDED): supplier-supplier co-occurrence "
+    "counts (>=2 shared customers on >=2-item edges), each customer's "
+    "candidate score = sum of co-occurrence weights from their owned "
+    "suppliers, owned items anti-joined away, top-3 per customer "
+    "under the exact-integer (score DESC, cand) total order — no "
+    "cosine floats, so ranking is bit-stable cross-engine.  Scale: "
+    "the item-item projection shuffles on the customer key (per-"
+    "customer degree caps + salting are the viral-basket guard, as "
+    "g38 documents), the scoring pass is one equi-join on the owned "
+    "supplier + one map-side-combined sum, and the similarity matrix "
+    "is |items|^2-bounded, NOT |users|^2 — the reason item-item "
+    "beats user-user at web scale",
+)
+def g117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        Catalog(spark, sf_dir)
+        .graph_edges()
+        .filter(F.col("n_items") >= 2)
+        .select("src", "dst")
+        .distinct()
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cp = (
+        a.join(
+            b,
+            (F.col("a.src") == F.col("b.src")) & (F.col("a.dst") < F.col("b.dst")),
+        )
+        .groupBy(F.col("a.dst").alias("s1"), F.col("b.dst").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("cooc"))
+        .filter(F.col("cooc") >= 2)
+    )
+    sym = cp.unionAll(
+        cp.select(F.col("s2").alias("s1"), F.col("s1").alias("s2"), "cooc")
+    )
+    sc = (
+        e.join(sym, e.dst == sym.s1)
+        .groupBy(F.col("src").alias("customer"), F.col("s2").alias("cand"))
+        .agg(F.sum("cooc").alias("score"))
+    )
+    neg = sc.join(
+        e.select(F.col("src").alias("customer"), F.col("dst").alias("cand")),
+        ["customer", "cand"],
+        "left_anti",
+    )
+    w = Window.partitionBy("customer").orderBy(F.col("score").desc(), "cand")
+    return (
+        neg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "customer",
+            F.col("cand").alias("rec"),
+            F.col("score").cast("long").alias("score"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy("customer", "rnk")
+    )
+
+
 QUERIES = list(_G)
