@@ -6300,102 +6300,6 @@ def g115(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_g(
-    "g116_rich_club",
-    """WITH ne AS (
-         SELECT 'n'||c.c_nationkey AS src, 'n'||s.s_nationkey AS dst
-         FROM lineitem l JOIN orders o ON l.l_orderkey=o.o_orderkey
-         JOIN customer c ON o.o_custkey=c.c_custkey
-         JOIN supplier s ON l.l_suppkey=s.s_suppkey
-         GROUP BY 1,2 HAVING count(*) >= 150),
-       und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-               FROM ne WHERE src <> dst),
-       deg AS (SELECT node, count(*) AS d
-               FROM (SELECT u AS node FROM und
-                     UNION ALL SELECT v FROM und) t GROUP BY 1),
-       ks AS (SELECT DISTINCT d AS k FROM deg),
-       cn AS (SELECT ks.k, count(deg.node) AS n_club
-              FROM ks LEFT JOIN deg ON deg.d > ks.k GROUP BY 1),
-       ce AS (SELECT ks.k, count(*) AS e_club
-              FROM ks JOIN und ON true
-              JOIN deg du ON du.node = und.u
-              JOIN deg dv ON dv.node = und.v
-              WHERE du.d > ks.k AND dv.d > ks.k GROUP BY 1)
-       SELECT cn.k::BIGINT AS k, cn.n_club::BIGINT AS n_club,
-              coalesce(ce.e_club, 0)::BIGINT AS e_club
-       FROM cn LEFT JOIN ce ON ce.k = cn.k ORDER BY k""",
-    note="rich-club profile of the undirected nation trade graph "
-    "(>=150-shipment lanes, self-loops dropped, mutual edges collapsed "
-    "via least/greatest — the CLAUDE.md symmetric-dedup protocol "
-    "without recursion): for every observed degree threshold k, the "
-    "node count and internal edge count of the degree>k subgraph — "
-    "phi(k) = 2*e_club/(n_club*(n_club-1)) is one division away, and "
-    "the g112 rewiring null model is the normalizer rich-club studies "
-    "divide by.  DIFFERENT from k-core (g16): the club is a static "
-    "degree filter, not an iterative pruning fixpoint.  Exact integer "
-    "carriers throughout.  Scale: degree table is one count shuffle; "
-    "the threshold sweep joins a <=|distinct degrees| broadcast dim "
-    "against nodes and edges — bounded non-equi join on a constant-"
-    "size side, the g-suite's standard tiny-dim exception",
-)
-def g116(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = Catalog(spark, sf_dir)
-    li = c.table("lineitem").select("l_orderkey", "l_suppkey")
-    o = c.table("orders").select("o_orderkey", "o_custkey")
-    cu = c.table("customer").select("c_custkey", "c_nationkey")
-    su = c.table("supplier").select("s_suppkey", "s_nationkey")
-    ne = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cu), F.col("o_custkey") == cu.c_custkey)
-        .join(F.broadcast(su), F.col("l_suppkey") == su.s_suppkey)
-        .groupBy(
-            F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("src"),
-            F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 150)
-        .select("src", "dst")
-    )
-    und = (
-        ne.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
-        )
-        .distinct()
-    )
-    deg = (
-        und.select(F.col("u").alias("node"))
-        .unionAll(und.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    ks = deg.select(F.col("d").alias("k")).distinct()
-    cn = (
-        F.broadcast(ks)
-        .join(deg, deg.d > F.col("k"), "left")
-        .groupBy("k")
-        .agg(F.count("node").alias("n_club"))
-    )
-    e_nodes = und.join(
-        deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u"
-    ).join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
-    ce = (
-        F.broadcast(ks)
-        .join(e_nodes, (F.col("du") > F.col("k")) & (F.col("dv") > F.col("k")))
-        .groupBy("k")
-        .agg(F.count(F.lit(1)).alias("e_club"))
-    )
-    return (
-        cn.join(ce, "k", "left")
-        .select(
-            F.col("k").cast("long").alias("k"),
-            F.col("n_club").cast("long").alias("n_club"),
-            F.coalesce("e_club", F.lit(0)).cast("long").alias("e_club"),
-        )
-        .orderBy("k")
-    )
-
-
-@_g(
     "g117_itemitem_recs",
     f"""WITH {GRAPH_CTES},
        e AS (SELECT DISTINCT src, dst FROM graph_edges WHERE n_items >= 2),
