@@ -293,6 +293,36 @@ def bench_distributed_text(spark) -> dict:
     return out
 
 
+def bench_negative_sampling(spark) -> dict:
+    """Scale evidence for the r4 bounded negative-sampling shape
+    (operators/sampling.py): 1M src x 100k dst synthetic bipartite
+    graph (~5 edges per src).  The r3 crossJoin shape would enumerate
+    10^11 prefilter rows here — unrunnable; the bounded pool
+    materializes exactly 8 probe rows per src regardless of |dst|."""
+    from pyspark.sql import functions as F
+
+    from graph_spark.operators.sampling import bounded_negative_samples
+
+    out: dict = {}
+    edges = (
+        spark.range(5_000_000)
+        .select(
+            (F.col("id") % 1_000_000).alias("src"),
+            F.pmod(F.xxhash64("id"), F.lit(100_000)).alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    out["edges"] = edges.count()
+    t0 = time.perf_counter()
+    neg = bounded_negative_samples(edges, k=3, m=8)
+    out["neg_rows"] = neg.count()
+    out["negsample_1m"] = round(time.perf_counter() - t0, 3)
+    edges.unpersist()
+    print(f"# negsample: {out}", file=sys.stderr)
+    return out
+
+
 def bench_distributed_spatial(spark) -> dict:
     """Time the q135 grid radius join at 1M and 4M synthetic points at
     CONSTANT density (area grows with n, so pair count and work grow
@@ -400,6 +430,7 @@ def main() -> None:
         payload["distributed_graph"] = bench_distributed_graph(spark)
         payload["distributed_text"] = bench_distributed_text(spark)
         payload["distributed_spatial"] = bench_distributed_spatial(spark)
+        payload["negative_sampling"] = bench_negative_sampling(spark)
     if os.environ.get("SPARK_GRAFT_BENCH_XL", "1") != "0":
         payload["distributed_graph_xl"] = bench_distributed_graph_xl(spark)
 

@@ -738,6 +738,51 @@ class Engine:
         )
         return bounded_negative_samples(e, k=k, m=m, buckets=buckets)
 
+    # ---- round-4 session additions: exact-join / rec / eval surfaces ----
+
+    def prefix_filter_pairs(
+        self, df: DataFrame, tau_num: int = 1, tau_den: int = 2, n: int = 2, **kw
+    ) -> DataFrame:
+        """EXACT Jaccard >= tau_num/tau_den self-join via lossless
+        prefix filtering (l110): (a, b, inter_n, union_n).  The
+        deterministic complement to the probabilistic LSH candidates
+        of :meth:`dedup_candidates`."""
+        from .operators.dedup import prefix_filter_jaccard_pairs
+
+        return prefix_filter_jaccard_pairs(df, tau_num, tau_den, n, **kw)
+
+    def item_item_recs(self) -> DataFrame:
+        """Top-3 item-item CF recommendations per customer (g117):
+        co-occurrence-weighted scores, owned items excluded."""
+        from .queries.gsuite import QUERIES
+
+        q = next(q for q in QUERIES if q.name == "g117_itemitem_recs")
+        return q.build(self.spark, self.catalog.sf_dir)
+
+    def dtw_profile(self) -> DataFrame:
+        """DTW distance profile between the 1995 URGENT/HIGH monthly
+        order series (t85): final DP row, exact integer costs."""
+        from .queries.qsuite import QUERIES
+
+        q = next(q for q in QUERIES if q.name == "t85_dtw")
+        return q.build(self.spark, self.catalog.sf_dir)
+
+    def bleu_components(self) -> DataFrame:
+        """BLEU-2 clipped-overlap integer components between same-lang
+        adjacent doc pairs (l109)."""
+        from .queries.lsuite import QUERIES
+
+        q = next(q for q in QUERIES if q.name == "l109_bleu_overlap")
+        return q.build(self.spark, self.catalog.sf_dir)
+
+    def skipgram_pairs(self) -> DataFrame:
+        """Top skip-gram (center, context, distance) training pairs at
+        window +1/+2 (l111)."""
+        from .queries.lsuite import QUERIES
+
+        q = next(q for q in QUERIES if q.name == "l111_skipgram_pairs")
+        return q.build(self.spark, self.catalog.sf_dir)
+
     def ahash(self, media: DataFrame, cells: int = 64) -> DataFrame:
         """Perceptual average-hash bands over opaque payloads (m11):
         (doc_id, n_bytes, b0..b3) — near-dup search is a band

@@ -127,6 +127,66 @@ def minhash_lsh_candidates(
     )
 
 
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    tau_num: int = 1,
+    tau_den: int = 2,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT Jaccard >= tau self-join via prefix filtering (PPJoin
+    family), tau = tau_num/tau_den as an exact rational so the
+    threshold compare stays integer (`tau_den*i >= tau_num*union`).
+
+    Shingles (word n-grams) are ranked rarest-first by global document
+    frequency; each doc indexes only its first
+    |d| - ceil(tau*|d|) + 1 shingles, and candidates come from the
+    prefix equi-join alone — LOSSLESS by the prefix-filter theorem
+    (two sets with J >= tau must overlap inside those prefixes under
+    any shared total order).  Returns (a, b, inter_n, union_n) for all
+    verified pairs.  The scale lever vs a full inverted index: index
+    volume drops ~tau*|shingles| and the rare-first order makes hot
+    buckets the SMALLEST ones."""
+    sh = word_shingles(df, n, text_col, id_col)
+    sz = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    dfq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    rk = sh.join(dfq, "shingle").withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy(id_col).orderBy("df", "shingle")),
+    )
+    # prefix length: n - ceil(tau*n) + 1, all-integer ceil
+    plen = F.expr(
+        f"n - ((CAST({tau_num} AS BIGINT) * n + {tau_den} - 1) DIV {tau_den}) + 1"
+    )
+    pre = rk.join(sz, id_col).filter(F.col("rn") <= plen).select(id_col, "shingle")
+    a = pre.select(F.col(id_col).alias("a"), "shingle")
+    b = pre.select(F.col(id_col).alias("b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    x = sh.select(F.col(id_col).alias("a"), "shingle")
+    y = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        cand.join(x, "a")
+        .join(y, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(sz.select(F.col(id_col).alias("a"), F.col("n").alias("na")), "a")
+        .join(sz.select(F.col(id_col).alias("b"), F.col("n").alias("nb")), "b")
+        .withColumn("union_n", (F.col("na") + F.col("nb") - F.col("i")).cast("long"))
+        .filter(tau_den * F.col("i") >= tau_num * F.col("union_n"))
+        .select("a", "b", F.col("i").cast("long").alias("inter_n"), "union_n")
+    )
+
+
 def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over distinct whitespace tokens, emitted as a
     16-hex-char lowercase string.

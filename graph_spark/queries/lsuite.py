@@ -6705,46 +6705,11 @@ def l109(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ones — the opposite of the skew a naive token join suffers",
 )
 def l110(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import word_shingles
+    from ..operators.dedup import prefix_filter_jaccard_pairs
 
     docs = Catalog(spark, sf_dir).table("documents")
-    sh = word_shingles(docs, n=2)
-    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    dfq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    rk = sh.join(dfq, "shingle").withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("doc_id").orderBy("df", "shingle")
-        ),
-    )
-    pre = (
-        rk.join(sz, "doc_id")
-        .filter(F.col("rn") <= F.expr("n - (n + 1) DIV 2 + 1"))
-        .select("doc_id", "shingle")
-    )
-    a = pre.select(F.col("doc_id").alias("a"), "shingle")
-    b = pre.select(F.col("doc_id").alias("b"), "shingle")
-    cand = (
-        a.join(b, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
-    x = sh.select(F.col("doc_id").alias("a"), "shingle")
-    y = sh.select(F.col("doc_id").alias("b"), "shingle")
-    inter = (
-        cand.join(x, "a")
-        .join(y, ["b", "shingle"])
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    return (
-        inter.join(sz.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")
-        .join(sz.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
-        .withColumn("union_n", (F.col("na") + F.col("nb") - F.col("i")).cast("long"))
-        .filter(2 * F.col("i") >= F.col("union_n"))
-        .select("a", "b", F.col("i").cast("long").alias("inter_n"), "union_n")
-        .orderBy("a", "b")
+    return prefix_filter_jaccard_pairs(docs, tau_num=1, tau_den=2, n=2).orderBy(
+        "a", "b"
     )
 
 

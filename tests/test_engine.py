@@ -288,3 +288,39 @@ def test_engine_spatial_and_sampling_surfaces(spark):
     for c in ("b0", "b1", "b2", "b3"):
         row = h.agg(F.min(c), F.max(c)).first()
         assert 0 <= row[0] and row[1] < 65536
+
+
+def test_engine_round4_surfaces(spark):
+    """Round-4 facade additions: prefix_filter_pairs / item_item_recs /
+    dtw_profile / bleu_components / skipgram_pairs delegate to the
+    declared operators and return the documented schemas."""
+    from pyspark.sql import functions as F
+
+    from graph_spark.engine import Engine
+
+    eng = Engine(spark, SF_SMOKE)
+
+    docs = eng.table("documents").limit(60)
+    pairs = eng.prefix_filter_pairs(docs, tau_num=1, tau_den=2)
+    assert pairs.columns == ["a", "b", "inter_n", "union_n"]
+    # every verified pair really meets the threshold
+    assert pairs.filter(2 * F.col("inter_n") < F.col("union_n")).count() == 0
+
+    recs = eng.item_item_recs()
+    assert recs.columns == ["customer", "rec", "score", "rnk"]
+    assert recs.groupBy("customer").count().agg(F.max("count")).first()[0] <= 3
+
+    dtw = eng.dtw_profile()
+    assert dtw.columns == ["j", "cost"] and dtw.count() == 12
+
+    bleu = eng.bleu_components()
+    assert bleu.columns == ["a", "b", "len_c", "len_r", "clip1", "clip2"]
+    # clipped counts can never exceed the candidate's gram totals
+    bad = bleu.filter(
+        (F.col("clip1") > F.col("len_c"))
+        | (F.col("clip2") > F.greatest(F.col("len_c") - 1, F.lit(0)))
+    )
+    assert bad.count() == 0
+
+    sg = eng.skipgram_pairs()
+    assert sg.columns == ["w1", "w2", "d", "cnt"] and sg.count() <= 25
