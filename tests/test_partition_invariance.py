@@ -75,6 +75,15 @@ SAMPLE = [
     "g108_simrank",
     "q142_theil_sen",
     "l104_naive_bayes",
+    # round-4 hazards: skip-gram top-25 cut on count ties (l111 —
+    # total (cnt DESC, w1, w2, d) order is the protocol under test),
+    # item-item top-3 per customer on summed-int score ties (g117),
+    # DTW chained single-partition windows (t85), bounded negative
+    # sampling's md5 rank windows (g107 after the r4 rewrite)
+    "l111_skipgram_pairs",
+    "g117_itemitem_recs",
+    "t85_dtw",
+    "g107_negative_sampling",
 ]
 
 

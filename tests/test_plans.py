@@ -771,3 +771,23 @@ def test_minhash_signatures_no_exchange(spark):
     docs = Catalog(spark, SF_SMOKE).table("documents")
     plan = _plan(minhash_signature_array(docs, k=16))
     assert "Exchange" not in plan, plan
+
+
+def test_round4_queries_no_cartesian(spark):
+    """r4 additions keep the no-cartesian discipline: item-item recs
+    (two equi-joins + window), BLEU components (lead pairing + count
+    equi-joins), prefix-filter join (prefix equi-join only).  t85's
+    12x12 lattice crossJoin is the documented tiny-dim exception and
+    is excluded here."""
+    from graph_spark.queries.gsuite import QUERIES as GQ
+    from graph_spark.queries.lsuite import QUERIES as LQ
+
+    for pool, name in (
+        (GQ, "g117_itemitem_recs"),
+        (LQ, "l109_bleu_overlap"),
+        (LQ, "l110_prefix_filter_join"),
+        (LQ, "l111_skipgram_pairs"),
+    ):
+        q = next(q for q in pool if q.name == name)
+        plan = _plan(q.build(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, f"{name}: {plan}"
