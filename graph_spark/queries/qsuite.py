@@ -10169,4 +10169,214 @@ def t85(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("j")
 
 
+@_q(
+    "t86_pettitt",
+    """WITH d AS (SELECT ts::DATE AS day,
+         sum(floor(value*100 + 0.5))::BIGINT AS x
+       FROM events GROUP BY 1),
+       r AS (SELECT day, x,
+         rank() OVER (ORDER BY x) AS ra,
+         rank() OVER (ORDER BY x DESC) AS rd,
+         row_number() OVER (ORDER BY day) AS t,
+         count(*) OVER () AS n
+       FROM d),
+       u AS (SELECT day, t, n, sum(rd - ra) OVER (ORDER BY t) AS ut FROM r)
+       SELECT strftime(day, '%Y-%m-%d') AS split_day, ut::BIGINT AS u_stat,
+              abs(ut)::BIGINT AS abs_u, n::BIGINT AS n_days
+       FROM u WHERE t < n
+       ORDER BY abs(ut) DESC, day LIMIT 1""",
+    note="Pettitt rank-based changepoint test on the daily value "
+    "series: the nonparametric sibling of t61's SSE binary "
+    "segmentation (robust to outliers that drag means).  The textbook "
+    "statistic U_t = sum_{i<=t<j} sgn(x_j - x_i) looks O(n^2)-pairwise, "
+    "but its increment telescopes to dU_t = #\\{x_k > x_t\\} - "
+    "#\\{x_k < x_t\\} = rank_desc(t) - rank_asc(t) (rank() = 1 + "
+    "strictly-better count handles ties exactly), so the full profile "
+    "is two rank windows + one prefix sum over the collapsed series — "
+    "exact integers end to end, argmax |U| tie-broken by day.  Scale: "
+    "collapse-then-compute (one map-side-combined day rollup; windows "
+    "touch |days| rows); independently verified against the pairwise "
+    "O(n^2) definition in tests",
+)
+def t86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("x")
+    )
+    r = d.select(
+        "day",
+        F.rank().over(Window.orderBy("x")).alias("ra"),
+        F.rank().over(Window.orderBy(F.col("x").desc())).alias("rd"),
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    u = r.withColumn(
+        "ut", F.sum(F.col("rd") - F.col("ra")).over(Window.orderBy("t"))
+    )
+    return (
+        u.filter(F.col("t") < F.col("n"))
+        .select(
+            F.col("day").cast("string").alias("split_day"),
+            F.col("ut").cast("long").alias("u_stat"),
+            F.abs("ut").cast("long").alias("abs_u"),
+            F.col("n").cast("long").alias("n_days"),
+        )
+        .orderBy(F.col("abs_u").desc(), "split_day")
+        .limit(1)
+    )
+
+
+@_q(
+    "q146_cuped",
+    """WITH bounds AS (SELECT min(ts) AS lo, max(ts) AS hi FROM events),
+       cut AS (SELECT lo + ((epoch_ms(hi) - epoch_ms(lo)) // 2)
+                        * INTERVAL 1 MILLISECOND AS c FROM bounds),
+       u AS (SELECT user_id,
+         CASE WHEN strpos('0123456789abcdef',
+           substring(md5(user_id::VARCHAR), 1, 1)) - 1 < 8
+           THEN 'A' ELSE 'B' END AS arm,
+         sum(CASE WHEN ts < c THEN 1 ELSE 0 END)::BIGINT AS x,
+         sum(CASE WHEN ts >= c THEN floor(value*100 + 0.5)::BIGINT
+             ELSE 0 END)::BIGINT AS y
+       FROM events CROSS JOIN cut GROUP BY 1, 2),
+       g AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                    sum(y)::BIGINT AS sy, sum(x*x)::BIGINT AS sxx,
+                    sum(x*y)::BIGINT AS sxy, sum(y*y)::BIGINT AS syy
+             FROM u),
+       th AS (SELECT n, sx, sy, sxx, sxy, syy,
+         CAST(n*sxy - sx*sy AS DOUBLE)
+           / nullif(CAST(n*sxx - sx*sx AS DOUBLE), 0) AS theta,
+         (CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE))
+           / nullif(CAST(n*sxx - sx*sx AS DOUBLE)
+                    * CAST(n*syy - sy*sy AS DOUBLE), 0) AS rho2
+         FROM g),
+       arms AS (SELECT arm, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                       sum(y)::BIGINT AS sy FROM u GROUP BY 1)
+       SELECT a.n AS na, b.n AS nb,
+         round((CAST(a.sy AS DOUBLE)/a.n - CAST(b.sy AS DOUBLE)/b.n)/100, 4)
+           AS raw_diff,
+         round(((CAST(a.sy AS DOUBLE)/a.n
+                 - th.theta*(CAST(a.sx AS DOUBLE)/a.n
+                             - CAST(th.sx AS DOUBLE)/th.n))
+               - (CAST(b.sy AS DOUBLE)/b.n
+                 - th.theta*(CAST(b.sx AS DOUBLE)/b.n
+                             - CAST(th.sx AS DOUBLE)/th.n)))/100, 4)
+           AS cuped_diff,
+         round(th.theta/100, 6) AS theta,
+         round(th.rho2, 4) AS rho2
+       FROM arms a JOIN arms b ON a.arm = 'A' AND b.arm = 'B'
+       CROSS JOIN th""",
+    note="CUPED variance-reduced experiment readout (the industry-"
+    "standard pre-period adjustment q103's raw z-test lacks): users "
+    "split into deterministic md5 arms, covariate x = pre-cutoff event "
+    "count, metric y = post-cutoff value cents (cutoff = exact "
+    "millisecond midpoint of the data span, integer-derived in both "
+    "engines), theta = cov(x,y)/var(x) from POOLED exact integer power "
+    "sums, adjusted effect = difference of (mean_y - theta*(mean_x - "
+    "pooled mean_x)) across arms, rho2 = the variance-reduction "
+    "fraction.  Every statistic is a fixed-order double formula over "
+    "exact BIGINT sums (the t84/q103 protocol), so cross-engine "
+    "bit-stable.  Scale: one groupBy on the user key feeds x, y, and "
+    "every moment; the bounds scalar broadcasts",
+)
+def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    cut = bounds.select(
+        F.expr(
+            "timestampadd(MILLISECOND,"
+            " (unix_millis(hi) - unix_millis(lo)) DIV 2, lo)"
+        ).alias("c")
+    )
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 1), 16, 10)
+        .cast("int")
+        < 8,
+        "A",
+    ).otherwise("B")
+    u = (
+        ev.crossJoin(F.broadcast(cut))
+        .groupBy("user_id", arm.alias("arm"))
+        .agg(
+            F.sum(F.when(F.col("ts") < F.col("c"), 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.sum(
+                F.when(
+                    F.col("ts") >= F.col("c"),
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    g = u.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    covn = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varxn = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    varyn = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    th = g.select(
+        "n",
+        "sx",
+        (covn / F.nullif(varxn, F.lit(0.0))).alias("theta"),
+        ((covn * covn) / F.nullif(varxn * varyn, F.lit(0.0))).alias("rho2"),
+    )
+    arms = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    a = arms.filter(F.col("arm") == "A").alias("a")
+    b = arms.filter(F.col("arm") == "B").alias("b")
+    mean = lambda s, nn: F.col(s).cast("double") / F.col(nn)  # noqa: E731
+    out = (
+        a.crossJoin(b)
+        .crossJoin(F.broadcast(th.alias("t")))
+        .select(
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+            F.round(
+                (
+                    F.col("a.sy").cast("double") / F.col("a.n")
+                    - F.col("b.sy").cast("double") / F.col("b.n")
+                )
+                / 100,
+                4,
+            ).alias("raw_diff"),
+            F.round(
+                (
+                    (
+                        F.col("a.sy").cast("double") / F.col("a.n")
+                        - F.col("theta")
+                        * (
+                            F.col("a.sx").cast("double") / F.col("a.n")
+                            - F.col("t.sx").cast("double") / F.col("t.n")
+                        )
+                    )
+                    - (
+                        F.col("b.sy").cast("double") / F.col("b.n")
+                        - F.col("theta")
+                        * (
+                            F.col("b.sx").cast("double") / F.col("b.n")
+                            - F.col("t.sx").cast("double") / F.col("t.n")
+                        )
+                    )
+                )
+                / 100,
+                4,
+            ).alias("cuped_diff"),
+            F.round(F.col("theta") / 100, 6).alias("theta"),
+            F.round("rho2", 4).alias("rho2"),
+        )
+    )
+    return out
+
+
 QUERIES = list(_Q)

@@ -553,3 +553,45 @@ def test_t85_dtw_matches_bruteforce_dp(spark):
             )
     want = {j: int(c[n, j]) for j in range(1, n + 1)}
     assert got == want
+
+
+def test_t86_pettitt_matches_pairwise_definition(spark):
+    """t86's rank-increment identity (dU_t = rank_desc - rank_asc) must
+    equal the textbook pairwise U_t = sum_{i<=t<j} sgn(x_j - x_i) — an
+    independent O(n^2) implementation over the same daily series."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from graph_spark.catalog import Catalog
+    from graph_spark.queries.qsuite import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    t86 = next(q for q in QUERIES if q.name == "t86_pettitt")
+    got = t86.build(spark, SF_SMOKE).collect()[0]
+
+    d = (
+        Catalog(spark, SF_SMOKE)
+        .table("events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("x")
+        )
+        .orderBy("day")
+        .collect()
+    )
+    days = [str(r.day) for r in d]
+    x = np.array([r.x for r in d], dtype=np.int64)
+    n = len(x)
+    best = None
+    for t in range(1, n):  # split after index t-1 (1-based t < n)
+        u = int(np.sign(x[t:][None, :] - x[:t][:, None]).sum())
+        key = (-abs(u), days[t - 1])
+        if best is None or key < best[0]:
+            best = (key, days[t - 1], u)
+    assert (got.split_day, got.u_stat, got.abs_u, got.n_days) == (
+        best[1],
+        best[2],
+        abs(best[2]),
+        n,
+    )
