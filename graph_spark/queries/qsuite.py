@@ -10379,4 +10379,157 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@_q(
+    "t87_savgol",
+    """WITH d AS (SELECT ts::DATE AS day,
+         sum(floor(value*100 + 0.5))::BIGINT AS x
+       FROM events GROUP BY 1),
+       w AS (SELECT day, x,
+         lag(x, 2)  OVER (ORDER BY day) AS m2,
+         lag(x, 1)  OVER (ORDER BY day) AS m1,
+         lead(x, 1) OVER (ORDER BY day) AS p1,
+         lead(x, 2) OVER (ORDER BY day) AS p2
+       FROM d)
+       SELECT strftime(day, '%Y-%m-%d') AS day,
+              x AS raw_cents,
+              (-3*m2 + 12*m1 + 17*x + 12*p1 - 3*p2)::BIGINT AS sg_num,
+              round((-3*m2 + 12*m1 + 17*x + 12*p1 - 3*p2) / 35.0 / 100, 4)
+                AS smooth
+       FROM w WHERE m2 IS NOT NULL AND p2 IS NOT NULL
+       ORDER BY day""",
+    note="Savitzky-Golay smoothing of the daily value series (window 5, "
+    "quadratic fit): the least-squares polynomial smoother that "
+    "preserves peak heights a moving average flattens.  The quadratic "
+    "window-5 kernel is the EXACT rational constant "
+    "(-3,12,17,12,-3)/35, so the convolution numerator is a pure "
+    "BIGINT lag/lead expression — one window pass over the collapsed "
+    "series, one division at the end; interior days only (the classic "
+    "edge policy), deterministic in any engine.  Scale: "
+    "collapse-then-compute — the day rollup is the only data-sized "
+    "shuffle, the five-tap stencil reads |days| rows",
+)
+def t87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("x")
+    )
+    wd = Window.orderBy("day")
+    w = d.select(
+        "day",
+        "x",
+        F.lag("x", 2).over(wd).alias("m2"),
+        F.lag("x", 1).over(wd).alias("m1"),
+        F.lead("x", 1).over(wd).alias("p1"),
+        F.lead("x", 2).over(wd).alias("p2"),
+    )
+    num = (
+        -3 * F.col("m2")
+        + 12 * F.col("m1")
+        + 17 * F.col("x")
+        + 12 * F.col("p1")
+        - 3 * F.col("p2")
+    )
+    return (
+        w.filter(F.col("m2").isNotNull() & F.col("p2").isNotNull())
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.col("x").alias("raw_cents"),
+            num.cast("long").alias("sg_num"),
+            F.round(num / F.lit(35.0) / 100, 4).alias("smooth"),
+        )
+        .orderBy("day")
+    )
+
+
+@_q(
+    "q147_mahalanobis",
+    """WITH d AS (SELECT ts::DATE AS day, count(*)::BIGINT AS c,
+         sum(floor(value*100 + 0.5))::BIGINT AS v
+       FROM events GROUP BY 1),
+       g AS (SELECT count(*)::BIGINT AS n, sum(c)::BIGINT AS sc,
+                    sum(v)::BIGINT AS sv, sum(c*c)::BIGINT AS scc,
+                    sum(c*v)::BIGINT AS scv, sum(v*v)::BIGINT AS svv
+             FROM d),
+       m AS (SELECT d.day, d.c, d.v, g.n,
+         CAST(g.n*d.c - g.sc AS DOUBLE) AS dx,
+         CAST(g.n*d.v - g.sv AS DOUBLE) AS dy,
+         CAST(g.n*g.scc - g.sc*g.sc AS DOUBLE) AS sxx,
+         CAST(g.n*g.scv - g.sc*g.sv AS DOUBLE) AS sxy,
+         CAST(g.n*g.svv - g.sv*g.sv AS DOUBLE) AS syy
+         FROM d CROSS JOIN g)
+       SELECT strftime(day, '%Y-%m-%d') AS day, c AS n_events,
+         round(CAST(v AS DOUBLE)/100, 2) AS day_value,
+         round((syy*dx*dx - 2*sxy*dx*dy + sxx*dy*dy)
+               / nullif(sxx*syy - sxy*sxy, 0) * (n - 1) / n / n, 4) AS d2
+       FROM m ORDER BY d2 DESC, day LIMIT 5""",
+    note="Mahalanobis outlier days over the joint (event count, value) "
+    "profile: the correlation-aware distance that flags a day whose "
+    "COMBINATION is anomalous even when each marginal is in range "
+    "(the boxplot/IQR queries are the marginal siblings).  The 2x2 "
+    "covariance inverts in closed form, so d^2 = (Syy*dx^2 - "
+    "2*Sxy*dx*dy + Sxx*dy^2)/det, every term an n-scaled integer "
+    "moment (dx = n*x - sum_x etc.) cast to double ONLY in the final "
+    "fixed-order expression — the t84/q103 cross-engine protocol; "
+    "(n-1)/n^2 rescales the n-scaled carriers back to the sample-"
+    "covariance d^2.  Top-5 days, ties by day.  Scale: one day rollup "
+    "+ one scalar moment row broadcast back — two map-side-combined "
+    "aggregates regardless of corpus size",
+)
+def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("v"),
+    )
+    g = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("scc"),
+        F.sum(F.col("c") * F.col("v")).cast("long").alias("scv"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("svv"),
+    )
+    m = d.crossJoin(F.broadcast(g)).select(
+        "day",
+        "c",
+        "v",
+        "n",
+        (F.col("n") * F.col("c") - F.col("sc")).cast("double").alias("dx"),
+        (F.col("n") * F.col("v") - F.col("sv")).cast("double").alias("dy"),
+        (F.col("n") * F.col("scc") - F.col("sc") * F.col("sc"))
+        .cast("double")
+        .alias("sxx"),
+        (F.col("n") * F.col("scv") - F.col("sc") * F.col("sv"))
+        .cast("double")
+        .alias("sxy"),
+        (F.col("n") * F.col("svv") - F.col("sv") * F.col("sv"))
+        .cast("double")
+        .alias("syy"),
+    )
+    d2 = F.round(
+        (
+            F.col("syy") * F.col("dx") * F.col("dx")
+            - 2 * F.col("sxy") * F.col("dx") * F.col("dy")
+            + F.col("sxx") * F.col("dy") * F.col("dy")
+        )
+        / F.nullif(
+            F.col("sxx") * F.col("syy") - F.col("sxy") * F.col("sxy"), F.lit(0.0)
+        )
+        * (F.col("n") - 1)
+        / F.col("n")
+        / F.col("n"),
+        4,
+    )
+    return (
+        m.select(
+            F.col("day").cast("string").alias("day"),
+            F.col("c").alias("n_events"),
+            F.round(F.col("v").cast("double") / 100, 2).alias("day_value"),
+            d2.alias("d2"),
+        )
+        .orderBy(F.col("d2").desc(), "day")
+        .limit(5)
+    )
+
+
 QUERIES = list(_Q)
