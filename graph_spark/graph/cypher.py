@@ -34,8 +34,12 @@ Supported:
     stage's aliases are the variable scope of the next WITH / RETURN,
     so multi-level rollups compile to stacked groupBys
     (`WITH c, count(*) AS deg WITH deg, count(*) AS n WHERE n >= 2
-    RETURN max(deg)`).  MATCH after WITH is not supported — join
-    further patterns in the MATCH head instead.
+    RETURN max(deg)`).
+  - MATCH / OPTIONAL MATCH AFTER a WITH stage (the Neo4j
+    aggregate-then-expand idiom): the new block joins on the pattern
+    variables shared with the carried WITH aliases
+    (`MATCH (c)-[e]->(s) WITH s, count(*) AS n WHERE n >= 3
+    MATCH (s)<-[f]-(b) RETURN ...`).
   - WHERE / RETURN expressions are Spark SQL syntax with Cypher-style
     `var.property` references (rewritten to the bound columns).  Bare
     node variables are their string node ids; labels filter on them.
@@ -54,7 +58,7 @@ Supported:
     count, binding `p.cost` (min total weight over <=max-hop paths).
     Needs an anchored source; `length(p)` is not bound.
 
-Not supported (raise ValueError): MATCH after WITH,
+Not supported (raise ValueError): more than one RETURN clause,
 CREATE/MERGE/DELETE (this is an analytical engine — writes go through
 the sink API), undirected edges (query the symmetric PropertyGraph /
 :TRADE_SYM instead).
@@ -102,15 +106,8 @@ _TOKEN = re.compile(
     re.VERBOSE,
 )
 
-_CLAUSE = re.compile(
-    r"^\s*MATCH\s+(?P<head>.+?)"
-    r"(?:\s+WITH\s+(?P<withall>.+?))?"
-    r"\s+RETURN\s+(?P<distinct>DISTINCT\s+)?(?P<ret>.+?)"
-    r"(?:\s+ORDER\s+BY\s+(?P<order>.+?))?"
-    r"(?:\s+SKIP\s+(?P<skip>\d+))?"
-    r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*$",
-    re.IGNORECASE | re.DOTALL,
-)
+# top-level clause keywords (quote-aware scan in _split_clauses)
+_KW = re.compile(r"\b(OPTIONAL\s+MATCH|MATCH|WITH|RETURN)\b", re.IGNORECASE)
 
 # one WITH stage body: [DISTINCT] items [WHERE having]
 _WITH_STAGE = re.compile(
@@ -119,12 +116,39 @@ _WITH_STAGE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 
+# the RETURN tail: [DISTINCT] items [ORDER BY ..] [SKIP n] [LIMIT n]
+_TAIL = re.compile(
+    r"^\s*(?P<distinct>DISTINCT\s+)?(?P<ret>.+?)"
+    r"(?:\s+ORDER\s+BY\s+(?P<order>.+?))?"
+    r"(?:\s+SKIP\s+(?P<skip>\d+))?"
+    r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _split_clauses(query: str) -> list[tuple[str, str]]:
+    """Split a query into ordered (KEYWORD, body) clause segments on the
+    top-level keywords MATCH / OPTIONAL MATCH / WITH / RETURN, skipping
+    occurrences inside quoted strings.  Bodies run to the next keyword."""
+    parts = re.split(r"('[^']*'|\"[^\"]*\")", query)
+    marks: list[tuple[int, str, int]] = []  # (start, KW, body_start)
+    off = 0
+    for idx, part in enumerate(parts):
+        if idx % 2 == 0:
+            for m in _KW.finditer(part):
+                kw = re.sub(r"\s+", " ", m.group(1).upper())
+                marks.append((off + m.start(), kw, off + m.end()))
+        off += len(part)
+    if not marks or marks[0][0] > len(query) - len(query.lstrip()):
+        raise ValueError("cypher: expected MATCH <patterns> ... RETURN ...")
+    clauses: list[tuple[str, str]] = []
+    for i, (_, kw, body_start) in enumerate(marks):
+        body_end = marks[i + 1][0] if i + 1 < len(marks) else len(query)
+        clauses.append((kw, query[body_start:body_end]))
+    return clauses
+
 # one MATCH/OPTIONAL MATCH block: patterns + its own optional WHERE
 _BLOCK = re.compile(r"^\s*(?P<pat>.+?)(?:\s+WHERE\s+(?P<where>.+))?\s*$", re.IGNORECASE | re.DOTALL)
-
-# splits the clause head into MATCH / OPTIONAL MATCH blocks (keeping
-# the keyword so each block knows its join type); applied BEFORE RETURN
-_BLOCK_SPLIT = re.compile(r"\s+(OPTIONAL\s+MATCH|MATCH)\s+", re.IGNORECASE)
 
 _UNSUPPORTED = re.compile(
     r"\b(CREATE|MERGE|DELETE|SET|REMOVE|UNWIND|CALL)\b",
@@ -618,14 +642,13 @@ def cypher(
             f"cypher: {bad.group(0)} is not supported in this subset "
             "(single MATCH .. WHERE .. RETURN .. ORDER BY .. LIMIT)"
         )
-    m = _CLAUSE.match(query)
-    if not m:
-        raise ValueError("cypher: expected MATCH <patterns> [WHERE ..] RETURN ..")
-    parts = _BLOCK_SPLIT.split(m.group("head"))
-    # parts = [block0, kw1, block1, kw2, block2, ...]
-    blocks: list[tuple[bool, str]] = [(False, parts[0])]  # (is_optional, text)
-    for j in range(1, len(parts), 2):
-        blocks.append(("OPTIONAL" in parts[j].upper(), parts[j + 1]))
+    clauses = _split_clauses(query)
+    if clauses[0][0] != "MATCH":
+        raise ValueError("cypher: expected MATCH <patterns> [WHERE ..] ... RETURN ..")
+    if clauses[-1][0] != "RETURN":
+        raise ValueError("cypher: query must end with a RETURN clause")
+    if sum(1 for kw, _ in clauses if kw == "RETURN") != 1:
+        raise ValueError("cypher: exactly one RETURN clause is supported")
 
     anon = [0]
     node_vars: set[str] = set()
@@ -723,46 +746,6 @@ def cypher(
             return frame, bn2, {pv}
         return build_block(_parse_patterns(pat_text, anon))
 
-    # first (required) MATCH block
-    bm = _BLOCK.match(blocks[0][1])
-    out, bn, be = build_any(bm.group("pat"))
-    node_vars |= bn
-    edge_vars |= be
-    if bm.group("where"):
-        out = out.filter(F.expr(_rewrite(bm.group("where"), node_vars, edge_vars)))
-
-    # further MATCH (inner) / OPTIONAL MATCH (left outer) blocks join
-    # on the anchor variables shared with the preceding scope; each
-    # block's WHERE joins the condition (for OPTIONAL that is the
-    # openCypher null-extension semantic; for inner MATCH it is
-    # equivalent to a post-join filter but keeps the predicate at the
-    # join, where Catalyst can use it)
-    for is_optional, btext in blocks[1:]:
-        bm = _BLOCK.match(btext)
-        opt, bn, be = build_any(bm.group("pat"))
-        anchors = sorted(bn & node_vars)
-        if not anchors:
-            raise ValueError(
-                "cypher: MATCH block shares no variable with the "
-                "preceding scope (cartesian products are refused)"
-            )
-        ren = opt
-        for v in anchors:
-            ren = ren.withColumnRenamed(v, f"__j_{v}")
-        cond = None
-        for v in anchors:
-            c = F.col(v) == F.col(f"__j_{v}")
-            cond = c if cond is None else (cond & c)
-        if bm.group("where"):
-            cond = cond & F.expr(
-                _rewrite(bm.group("where"), node_vars | bn, edge_vars | be)
-            )
-        out = out.join(ren, cond, "left" if is_optional else "inner")
-        for v in anchors:
-            out = out.drop(f"__j_{v}")
-        node_vars |= bn
-        edge_vars |= be
-
     def project(frame: DataFrame, text: str, nvars: set, evars: set):
         """One projection stage (shared by WITH and RETURN): item split,
         reference rewriting, implicit Cypher GROUP BY when any item
@@ -791,16 +774,55 @@ def cypher(
             frame = frame.select(*[F.expr(sql).alias(alias) for sql, alias, _ in sel])
         return frame, [alias for _, alias, _ in sel]
 
-    # WITH stages (any number, chained): each projects/aggregates, then
-    # its WHERE filters the PROJECTED rows — the Cypher HAVING.  Each
-    # stage's aliases become the variable scope of the next stage
-    # (every alias is addressable as a plain name or as alias.node for
-    # carried node variables); edge variables don't survive a WITH.
-    if m.group("withall"):
-        for stage in _split_top_keyword(m.group("withall"), "WITH"):
-            sm = _WITH_STAGE.match(stage)
+    # Walk the clause sequence.  MATCH / OPTIONAL MATCH blocks join on
+    # the variables shared with the preceding scope (a WITH alias is a
+    # node variable downstream, so MATCH-after-WITH anchors on the
+    # carried aliases — the Neo4j aggregate-then-expand idiom); each
+    # block's WHERE rides the join condition (for OPTIONAL that is the
+    # openCypher null-extension semantic; for inner MATCH it keeps the
+    # predicate at the join, where Catalyst can use it).  WITH stages
+    # project/aggregate and rebind the scope to their aliases; a WITH's
+    # WHERE filters the PROJECTED rows (the Cypher HAVING).
+    out: DataFrame | None = None
+    for kw, body in clauses[:-1]:
+        if kw in ("MATCH", "OPTIONAL MATCH"):
+            bm = _BLOCK.match(body)
+            frame, bn, be = build_any(bm.group("pat"))
+            if out is None:
+                out = frame
+                node_vars |= bn
+                edge_vars |= be
+                if bm.group("where"):
+                    out = out.filter(
+                        F.expr(_rewrite(bm.group("where"), node_vars, edge_vars))
+                    )
+                continue
+            anchors = sorted(bn & node_vars)
+            if not anchors:
+                raise ValueError(
+                    "cypher: MATCH block shares no variable with the "
+                    "preceding scope (cartesian products are refused)"
+                )
+            ren = frame
+            for v in anchors:
+                ren = ren.withColumnRenamed(v, f"__j_{v}")
+            cond = None
+            for v in anchors:
+                c = F.col(v) == F.col(f"__j_{v}")
+                cond = c if cond is None else (cond & c)
+            if bm.group("where"):
+                cond = cond & F.expr(
+                    _rewrite(bm.group("where"), node_vars | bn, edge_vars | be)
+                )
+            out = out.join(ren, cond, "left" if kw == "OPTIONAL MATCH" else "inner")
+            for v in anchors:
+                out = out.drop(f"__j_{v}")
+            node_vars |= bn
+            edge_vars |= be
+        else:  # WITH stage
+            sm = _WITH_STAGE.match(body)
             if not sm:
-                raise ValueError(f"cypher: cannot parse WITH stage {stage!r}")
+                raise ValueError(f"cypher: cannot parse WITH stage {body!r}")
             out, waliases = project(out, sm.group("items"), node_vars, edge_vars)
             if sm.group("distinct"):
                 out = out.distinct()
@@ -811,6 +833,9 @@ def cypher(
                     F.expr(_rewrite(sm.group("having"), node_vars, edge_vars))
                 )
 
+    m = _TAIL.match(clauses[-1][1])
+    if not m:
+        raise ValueError("cypher: cannot parse RETURN clause")
     out, ret_aliases = project(out, m.group("ret"), node_vars, edge_vars)
 
     if m.group("distinct"):

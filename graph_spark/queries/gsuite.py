@@ -6383,4 +6383,41 @@ def g117(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g118_cypher_match_after_with",
+    f"""WITH {GRAPH_CTES},
+       hub AS (SELECT dst AS s, count(*) AS n_cust FROM graph_edges
+               GROUP BY 1 HAVING count(*) >= 3),
+       j AS (SELECT h.s, h.n_cust, e.n_items FROM hub h
+             JOIN graph_edges e ON e.dst = h.s AND e.n_items >= 4)
+       SELECT s AS supplier, n_cust,
+              count(*)::BIGINT AS heavy_buyers,
+              sum(n_items)::BIGINT AS items
+       FROM j GROUP BY 1, 2
+       ORDER BY heavy_buyers DESC, supplier LIMIT 20""",
+    note="MATCH after WITH (the Neo4j aggregate-then-expand idiom, the "
+    "natural follow-on to g113/g114's WITH chains): stage 1 aggregates "
+    "suppliers to fan-in hubs (HAVING >= 3 customers), then a SECOND "
+    "MATCH re-expands each hub's >=4-item edges, anchored on the "
+    "carried `s` alias — compiled as groupBy -> filter -> equi-join "
+    "with the new block's WHERE riding the join condition, exactly "
+    "the plan a hand-written hub-and-spoke query produces.  The WITH "
+    "alias is a node id string, so the anchor join is a plain key "
+    "equi-join Catalyst can broadcast when the hub set is small — at "
+    "100 TB the aggregate side SHRINKS the join input (hubs << "
+    "edges), which is the whole point of the idiom",
+)
+def g118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cy(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[e:BUYS]->(s:Supplier)
+           WITH s, count(*) AS n_cust WHERE n_cust >= 3
+           MATCH (s)<-[f:BUYS]-(b:Customer) WHERE f.n_items >= 4
+           RETURN s AS supplier, n_cust, count(*) AS heavy_buyers,
+                  sum(f.n_items) AS items
+           ORDER BY heavy_buyers DESC, supplier LIMIT 20""",
+    )
+
+
 QUERIES = list(_G)

@@ -587,3 +587,48 @@ def test_weighted_shortest_path_kernel_parity(spark):
             (r.node, int(r.dist)) for r in dist.collect() if r.node != "n11"
         }
         assert got == want, f"local={local}"
+
+
+# --------------------------------------------------- MATCH after WITH
+
+
+def test_match_after_with(tiny):
+    """The aggregate-then-expand idiom: WITH aliases anchor the next
+    MATCH block."""
+    rows = cypher(
+        tiny,
+        """MATCH (u)-[e]->(v)
+           WITH v.node AS hub, count(*) AS indeg WHERE indeg >= 2
+           MATCH (hub)-[f]->(w)
+           RETURN hub, indeg, w.node AS w""",
+    ).collect()
+    assert [(r.hub, r.indeg, r.w) for r in rows] == [("d", 2, "e")]
+
+
+def test_optional_match_after_with(tiny):
+    """OPTIONAL MATCH after WITH null-extends hubs with no expansion."""
+    rows = cypher(
+        tiny,
+        """MATCH (u)-[e]->(v)
+           WITH v.node AS hub, count(*) AS indeg
+           OPTIONAL MATCH (hub)-[f]->(w)
+           RETURN hub, w.node AS w ORDER BY hub, w""",
+    ).collect()
+    got = [(r.hub, r.w) for r in rows]
+    assert ("e", None) in got and ("d", "e") in got
+
+
+def test_match_after_with_disconnected_refused(tiny):
+    with pytest.raises(ValueError, match="shares no variable"):
+        cypher(
+            tiny,
+            """MATCH (u)-[e]->(v)
+               WITH v.node AS hub, count(*) AS indeg
+               MATCH (x)-[f]->(y)
+               RETURN hub, x""",
+        )
+
+
+def test_multiple_return_refused(tiny):
+    with pytest.raises(ValueError, match="RETURN"):
+        cypher(tiny, "MATCH (a)-[]->(b) RETURN a RETURN b")
