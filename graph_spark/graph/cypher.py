@@ -52,6 +52,10 @@ Supported:
     a multi-source semi-naive BFS seeded from the (filter-pushed)
     source set; `length(p)` / `p.len` is the hop count.  Combine with
     further MATCH/OPTIONAL MATCH blocks through shared endpoints.
+  - UNWIND <list expr> AS var [WHERE post]: explodes a list expression
+    (typically a collect_list WITH alias) into one row per element —
+    the collect-then-re-expand idiom (`WITH s, collect_list(c.node) AS
+    buyers UNWIND buyers AS b ...`).
   - WEIGHTED `p = shortestPath((a {node: 'x'})-[:TYPE* {cost: 'w'}]->(b))`:
     the property map names the edge-property to minimize; lowered onto
     the Bellman-Ford SSSP kernel with the hop bound as the round
@@ -107,7 +111,9 @@ _TOKEN = re.compile(
 )
 
 # top-level clause keywords (quote-aware scan in _split_clauses)
-_KW = re.compile(r"\b(OPTIONAL\s+MATCH|MATCH|WITH|RETURN)\b", re.IGNORECASE)
+_KW = re.compile(
+    r"\b(OPTIONAL\s+MATCH|UNWIND|MATCH|WITH|RETURN)\b", re.IGNORECASE
+)
 
 # one WITH stage body: [DISTINCT] items [WHERE having]
 _WITH_STAGE = re.compile(
@@ -151,7 +157,7 @@ def _split_clauses(query: str) -> list[tuple[str, str]]:
 _BLOCK = re.compile(r"^\s*(?P<pat>.+?)(?:\s+WHERE\s+(?P<where>.+))?\s*$", re.IGNORECASE | re.DOTALL)
 
 _UNSUPPORTED = re.compile(
-    r"\b(CREATE|MERGE|DELETE|SET|REMOVE|UNWIND|CALL)\b",
+    r"\b(CREATE|MERGE|DELETE|SET|REMOVE|CALL)\b",
     re.IGNORECASE,
 )
 
@@ -819,6 +825,30 @@ def cypher(
                 out = out.drop(f"__j_{v}")
             node_vars |= bn
             edge_vars |= be
+        elif kw == "UNWIND":
+            # UNWIND <list expr> AS var [WHERE post]: explode the
+            # (rewritten) list expression into one row per element —
+            # the collect-then-re-expand idiom's second half
+            um = re.match(
+                r"^\s*(?P<expr>.+?)\s+AS\s+(?P<var>\w+)"
+                r"(?:\s+WHERE\s+(?P<post>.+))?\s*$",
+                body,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not um:
+                raise ValueError("cypher: expected UNWIND <expr> AS <var>")
+            var = um.group("var")
+            out = out.withColumn(
+                var,
+                F.explode(
+                    F.expr(_rewrite(um.group("expr"), node_vars, edge_vars))
+                ),
+            )
+            node_vars = node_vars | {var}
+            if um.group("post"):
+                out = out.filter(
+                    F.expr(_rewrite(um.group("post"), node_vars, edge_vars))
+                )
         else:  # WITH stage
             sm = _WITH_STAGE.match(body)
             if not sm:

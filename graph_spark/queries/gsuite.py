@@ -6420,4 +6420,40 @@ def g118(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g119_cypher_unwind",
+    f"""WITH {GRAPH_CTES},
+       hub AS (SELECT dst AS s, count(*) AS n_cust FROM graph_edges
+               WHERE n_items >= 3 GROUP BY 1 HAVING count(*) >= 3),
+       m AS (SELECT e.src AS b, e.dst AS s FROM graph_edges e
+             JOIN hub h ON h.s = e.dst WHERE e.n_items >= 3)
+       SELECT count(DISTINCT b)::BIGINT AS distinct_buyers,
+              count(*)::BIGINT AS memberships,
+              count(DISTINCT s)::BIGINT AS n_hubs
+       FROM m""",
+    note="UNWIND (collect-then-re-expand, the last refused read "
+    "clause): suppliers with >=3 heavy buyers collect their buyer "
+    "lists in a WITH, UNWIND explodes the lists back to one row per "
+    "membership, RETURN re-aggregates to hub-audience reach (distinct "
+    "buyers vs memberships vs hubs).  collect_list keeps duplicates, "
+    "so the UNWIND round-trip reproduces the join rows exactly — the "
+    "oracle proves it against the plain join.  Compiles to "
+    "groupBy(collect_list) -> explode -> aggregate; at scale the "
+    "collect_list per supplier is bounded by the hub's degree (the "
+    "same per-key bound every collect-based query in this suite "
+    "documents), and explode is a narrow generator, not a shuffle",
+)
+def g119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cy(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[e:BUYS]->(s:Supplier) WHERE e.n_items >= 3
+           WITH s, collect_list(c.node) AS buyers, count(*) AS n_cust
+             WHERE n_cust >= 3
+           UNWIND buyers AS b
+           RETURN count(DISTINCT b) AS distinct_buyers,
+                  count(*) AS memberships, count(DISTINCT s) AS n_hubs""",
+    )
+
+
 QUERIES = list(_G)

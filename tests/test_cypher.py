@@ -99,10 +99,13 @@ def test_unsupported_clauses_refused(tiny):
     for q in (
         "MATCH (a)-[]->(b) CREATE (c) RETURN a",
         "MATCH (a)-[]->(b) SET a.x = 1 RETURN a",
-        "MATCH (a)-[]->(b) RETURN a UNWIND x AS y",
+        "MATCH (a)-[]->(b) MERGE (c) RETURN a",
     ):
         with pytest.raises(ValueError, match="not supported"):
             cypher(tiny, q)
+    # clauses after RETURN are refused (RETURN must be last)
+    with pytest.raises(ValueError, match="RETURN"):
+        cypher(tiny, "MATCH (a)-[]->(b) RETURN a UNWIND x AS y")
     # a query CANNOT start with OPTIONAL MATCH (needs a required scope)
     with pytest.raises(ValueError, match="expected MATCH"):
         cypher(tiny, "OPTIONAL MATCH (a)-[]->(b) RETURN a")
@@ -632,3 +635,45 @@ def test_match_after_with_disconnected_refused(tiny):
 def test_multiple_return_refused(tiny):
     with pytest.raises(ValueError, match="RETURN"):
         cypher(tiny, "MATCH (a)-[]->(b) RETURN a RETURN b")
+
+
+# --------------------------------------------------------------- UNWIND
+
+
+def test_unwind_collected_list(tiny):
+    """collect-then-re-expand: collect_list in WITH, UNWIND back to
+    rows, re-aggregate."""
+    rows = cypher(
+        tiny,
+        """MATCH (u)-[e]->(v)
+           WITH u.node AS src, collect_list(v.node) AS outs
+           UNWIND outs AS o
+           RETURN src, count(*) AS n, min(o) AS first_out
+           ORDER BY src""",
+    ).collect()
+    assert [(r.src, r.n, r.first_out) for r in rows] == [
+        ("a", 2, "b"),
+        ("b", 1, "d"),
+        ("c", 1, "d"),
+        ("d", 1, "e"),
+    ]
+
+
+def test_unwind_literal_array_with_where(tiny):
+    rows = cypher(
+        tiny,
+        """MATCH (u)-[e]->(v) WHERE u.node = 'a'
+           UNWIND array(1, 2, 3) AS k WHERE k >= 2
+           RETURN v.node AS v, k ORDER BY v, k""",
+    ).collect()
+    assert [(r.v, r.k) for r in rows] == [
+        ("b", 2),
+        ("b", 3),
+        ("c", 2),
+        ("c", 3),
+    ]
+
+
+def test_unwind_bad_syntax_refused(tiny):
+    with pytest.raises(ValueError, match="UNWIND"):
+        cypher(tiny, "MATCH (a)-[]->(b) UNWIND 1, 2 RETURN a")
