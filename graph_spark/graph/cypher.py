@@ -52,6 +52,11 @@ Supported:
     a multi-source semi-naive BFS seeded from the (filter-pushed)
     source set; `length(p)` / `p.len` is the hop count.  Combine with
     further MATCH/OPTIONAL MATCH blocks through shared endpoints.
+  - `p = allShortestPaths((a)-[:TYPE*min..max]->(b))`: the counting
+    form — BFS carrying per-(seed, node) path counts (Brandes' sigma
+    forward pass); binds `length(p)` / `p.len` and `p.cnt` (number of
+    distinct shortest paths).  Self-loop edges and a==b rows are
+    excluded (never on a minimal simple path).
   - UNWIND <list expr> AS var [WHERE post]: explodes a list expression
     (typically a collect_list WITH alias) into one row per element —
     the collect-then-re-expand idiom (`WITH s, collect_list(c.node) AS
@@ -161,9 +166,10 @@ _UNSUPPORTED = re.compile(
     re.IGNORECASE,
 )
 
-# a MATCH block of the form  p = shortestPath((a ..)-[:TYPE*1..4]->(b ..))
+# a MATCH block of the form  p = [all]shortestPath[s]((a)-[:T*1..4]->(b))
 _SHORTEST = re.compile(
-    r"^\s*(?P<pvar>\w+)\s*=\s*shortestPath\s*\(\s*(?P<inner>.+)\s*\)\s*$",
+    r"^\s*(?P<pvar>\w+)\s*=\s*(?P<all>allShortestPaths|shortestPath)"
+    r"\s*\(\s*(?P<inner>.+)\s*\)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 
@@ -535,6 +541,69 @@ def _shortest_frame(cg: CypherGraph, pvar: str, triples) -> tuple[DataFrame, set
     return out, {a, b}, pvar
 
 
+def _all_shortest_frame(cg: CypherGraph, pvar: str, triples) -> tuple[DataFrame, set, str]:
+    """allShortestPaths((a)-[:TYPE*min..max]->(b)): multi-source BFS
+    that ALSO COUNTS the shortest paths per (a, b) — Brandes' sigma
+    forward pass: the frontier carries per-(seed, node) path counts,
+    each level sums predecessor counts per landing node (one map-side-
+    combined groupBy), and nodes already reached anti-join away, so
+    counts accrue only at a node's FIRST level — which is exactly "all
+    shortest paths" (a minimal-length walk can never revisit a node,
+    so every counted walk is simple and a loopless-enumeration oracle
+    agrees).  Self-loop edges are dropped and a==b rows excluded (a
+    walk through the start or a self-loop is never minimal; openCypher
+    likewise never matches a zero/loop path here).  Binds a, b,
+    pvar__len and pvar__cnt (reach them as length(p) / p.len /
+    p.cnt)."""
+    if len(triples) != 1:
+        raise ValueError(
+            "cypher: allShortestPaths takes exactly one (a)-[..]->(b) pattern"
+        )
+    left, edge, right = triples[0]
+    if edge.props:
+        raise ValueError(
+            "cypher: allShortestPaths does not take a {cost: ..} map "
+            "(weighted counting is not supported; use shortestPath)"
+        )
+    a, b = left.var, right.var
+    if a == b:
+        raise ValueError("cypher: allShortestPaths endpoints must be distinct")
+    edf = cg.edges_for(edge.etype).select("src", "dst")
+    s, d = ("dst", "src") if edge.reverse else ("src", "dst")
+    base = (
+        edf.select(F.col(s).alias("__u"), F.col(d).alias("__v"))
+        .filter(F.col("__u") != F.col("__v"))
+        .localCheckpoint(eager=True)
+    )
+    seeds = base.select(F.col("__u").alias(a)).distinct()
+    seeds = _node_filter(cg, left, seeds, a)
+    plen, pcnt = f"{pvar}__len", f"{pvar}__cnt"
+    frontier = (
+        seeds.join(base, F.col(a) == F.col("__u"))
+        .groupBy(a, F.col("__v").alias(b))
+        .agg(F.count(F.lit(1)).cast("long").alias(pcnt))
+        .localCheckpoint(eager=True)
+    )
+    acc = frontier.withColumn(plen, F.lit(1))
+    for level in range(2, edge.max_len + 1):
+        frontier = (
+            frontier.join(base, F.col(b) == F.col("__u"))
+            .groupBy(a, F.col("__v").alias("__w"))
+            .agg(F.sum(pcnt).cast("long").alias(pcnt))
+            .withColumnRenamed("__w", b)
+            .join(acc.select(a, b), [a, b], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if not frontier.take(1):
+            break
+        acc = acc.unionByName(frontier.withColumn(plen, F.lit(level)))
+    out = acc.filter(F.col(a) != F.col(b))
+    out = _node_filter(cg, right, out, b)
+    if edge.min_len > 1:
+        out = out.filter(F.col(plen) >= edge.min_len)
+    return out, {a, b}, pvar
+
+
 def _weighted_shortest_frame(
     cg: CypherGraph, pvar: str, left: _Node, edge: _Edge, right: _Node
 ) -> tuple[DataFrame, set, str]:
@@ -746,7 +815,12 @@ def cypher(
         pattern chain."""
         sp = _SHORTEST.match(pat_text)
         if sp:
-            frame, bn2, pv = _shortest_frame(
+            builder = (
+                _all_shortest_frame
+                if sp.group("all").lower() == "allshortestpaths"
+                else _shortest_frame
+            )
+            frame, bn2, pv = builder(
                 cg, sp.group("pvar"), _parse_patterns(sp.group("inner"), anon)
             )
             return frame, bn2, {pv}

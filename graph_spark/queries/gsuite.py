@@ -6456,4 +6456,52 @@ def g119(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g120_cypher_all_shortest",
+    """WITH RECURSIVE
+       ne AS MATERIALIZED (
+         SELECT 'n'||c.c_nationkey AS src, 'n'||s.s_nationkey AS dst
+         FROM lineitem l JOIN orders o ON l.l_orderkey=o.o_orderkey
+         JOIN customer c ON o.o_custkey=c.c_custkey
+         JOIN supplier s ON l.l_suppkey=s.s_suppkey
+         GROUP BY 1,2 HAVING count(*) >= 150),
+       e AS (SELECT src, dst FROM ne WHERE src <> dst),
+       p(a, endn, path, hops) AS (
+         SELECT e.src, e.dst, [e.src, e.dst], 1 FROM e WHERE e.src = 'n11'
+         UNION ALL
+         SELECT p.a, e.dst, list_append(p.path, e.dst), p.hops + 1
+         FROM p JOIN e ON e.src = p.endn
+         WHERE p.hops < 4 AND NOT list_contains(p.path, e.dst)),
+       mh AS (SELECT a, endn AS b, min(hops) AS len FROM p GROUP BY 1, 2),
+       cnt AS (SELECT p.a, p.endn AS b, m.len, count(*) AS n_paths
+               FROM p JOIN mh m ON m.a = p.a AND m.b = p.endn
+                              AND p.hops = m.len
+               GROUP BY 1, 2, 3)
+       SELECT a, b, len::INT AS len, n_paths::BIGINT AS n_paths
+       FROM cnt ORDER BY len, b""",
+    note="allShortestPaths in Cypher (the counting sibling of g105's "
+    "shortestPath): Brandes' sigma forward pass — the BFS frontier "
+    "carries per-(seed, node) path counts, each level SUMS predecessor "
+    "counts per landing node in one map-side-combined groupBy, and "
+    "first-reach anti-joins pin counts to the shortest level.  A "
+    "minimal-length walk can never revisit a node (a revisit implies "
+    "a shorter walk), so every counted walk is simple and the "
+    "loopless-enumeration oracle (hop cap 4, declared in BOTH engines "
+    "per the g78/g111 lesson; self-loop lanes dropped) agrees "
+    "count-exactly, not just reachability-exactly.  From n11 on the "
+    ">=150 nation lanes; binds p.len and p.cnt.  At 10^9-edge scale "
+    "the frontier rows are (seed, node, count) triples — the exact "
+    "state Brandes betweenness already shuffles, nothing path-shaped "
+    "is ever materialized",
+)
+def g120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cy(
+        spark,
+        sf_dir,
+        """MATCH p = allShortestPaths((a:Nation {node: 'n11'})-[:TRADE*1..4]->(b:Nation))
+           RETURN a, b, length(p) AS len, p.cnt AS n_paths
+           ORDER BY len, b""",
+    ).select("a", "b", F.col("len").cast("int").alias("len"), "n_paths")
+
+
 QUERIES = list(_G)

@@ -677,3 +677,26 @@ def test_unwind_literal_array_with_where(tiny):
 def test_unwind_bad_syntax_refused(tiny):
     with pytest.raises(ValueError, match="UNWIND"):
         cypher(tiny, "MATCH (a)-[]->(b) UNWIND 1, 2 RETURN a")
+
+
+def test_all_shortest_paths_counts(tiny):
+    """Diamond: two distinct shortest routes a->d and a->e."""
+    df = cypher(
+        tiny,
+        "MATCH p = allShortestPaths((a {node: 'a'})-[*]->(b)) "
+        "RETURN b, length(p) AS hops, p.cnt AS n_paths ORDER BY hops, b",
+    )
+    assert [tuple(r) for r in df.collect()] == [
+        ("b", 1, 1),
+        ("c", 1, 1),
+        ("d", 2, 2),
+        ("e", 3, 2),
+    ]
+
+
+def test_all_shortest_paths_weighted_refused(tiny):
+    with pytest.raises(ValueError, match="cost"):
+        cypher(
+            tiny,
+            "MATCH p = allShortestPaths((a {node: 'a'})-[:E* {cost: 'weight'}]->(b)) RETURN b",
+        )
