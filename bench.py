@@ -176,6 +176,19 @@ def bench_distributed_graph(spark) -> dict:
             out["pagerank_duckdb"] = round(time.perf_counter() - t0, 3)
             print(f"# dist-graph pagerank_duckdb: {out['pagerank_duckdb']}s", file=sys.stderr)
             con.close()
+            # in-block contention control: the r3 lesson is that THIS
+            # block's DuckDB comparison degrades 10-15x under load
+            # while Spark moves ~1.1x — flag it where it happens.
+            # NOTE (r4, measured): pagerank_duckdb itself swings 24-94 s
+            # across uncontended runs (control steady at ~1.1x) — the
+            # 10-level recursive CTE's multi-GB working set competes
+            # with the live Spark JVM for page cache, so this number is
+            # a sanity anchor, NOT a round-over-round trend metric; the
+            # CPU-bound control below is the trendable signal.
+            sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+            ctrl = duckdb_control(sf_dir)
+            out["duckdb_control_sec"] = round(ctrl, 3)
+            out["contention_ratio"] = round(ctrl / DUCKDB_CONTROL_REF, 2)
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
     except Exception as exc:  # pragma: no cover - baseline is best-effort
