@@ -14,7 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from graph_spark.queries.registry import all_queries
+from graph_spark.queries.registry import driver_ordered_queries
 from graph_spark.session import configure
 
 
@@ -29,7 +29,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for q in all_queries():
+    for q in driver_ordered_queries():
 
         def make(qq):
             def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -43,4 +43,4 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {q.name: q.oracle for q in all_queries() if q.oracle is not None}
+    return {q.name: q.oracle for q in driver_ordered_queries() if q.oracle is not None}

@@ -8,16 +8,60 @@ from pathlib import Path
 from . import gsuite, lsuite, qsuite, ssuite
 from .common import Query
 
+# Float/tie-hazard queries (the partition-invariance sample list):
+# names whose canonicalization protocol is the thing most worth
+# external verification, so the driver-facing order front-loads any of
+# them not yet verified.  tests/test_partition_invariance.py imports
+# this list as its sample, keeping one source of truth.
+HAZARD_PRIORITY = [
+    "q01_scan_agg",
+    "q14_topk_per_group",
+    "q15_window_running",
+    "q27_percentile",
+    "q73_weighted_median",
+    "g04_connected_components",
+    "g06_pagerank",
+    "g70_temporal_pagerank",
+    "l02_minhash",
+    "l35_kmeans",
+    "l63_lsh_recall_curve",
+    "t28_rolling_median",
+    "s01_tumbling_window",
+    "g76_louvain_rounds",
+    "g80_simrank",
+    "g81_eigenvector",
+    "l71_unigram_kl",
+    "t76_ewma",
+    "g84_edge_burstiness",
+    "l72_ann_pq_rerank",
+    "g89_cypher_copurchase",
+    "g94_cypher_optional_match",
+    "l76_dsir",
+    "l77_dsir_resample",
+    "l78_ccnet_buckets",
+    "l81_textrank",
+    "l83_bpe_merges",
+    "l85_hyperloglog",
+    "l92_pca_power_iteration",
+    "l95_js_source_drift",
+    "l103_triplet_mining",
+    "g108_simrank",
+    "q142_theil_sen",
+    "l104_naive_bayes",
+    "l111_skipgram_pairs",
+    "g117_itemitem_recs",
+    "t85_dtw",
+    "g107_negative_sampling",
+]
+
 
 def _driver_verified_names() -> set[str]:
     """Names already externally verified by the driver in any prior
     round's ``CORRECTNESS_r*.json`` (written at the repo root).
 
-    Used to ROTATE the registry prefix: a driver that samples only the
-    first N entries per round would otherwise re-verify the same stable
-    prefix forever.  Pushing already-verified names to the back makes
-    each round's sample window cover fresh queries, at zero cost when
-    no correctness files exist (fresh checkout / unit tests)."""
+    Used only by :func:`driver_ordered_queries` (the driver-facing
+    coverage rotation); :func:`all_queries` never reads these files, so
+    library ordering is deterministic across checkouts."""
     root = Path(__file__).resolve().parents[2]
     seen: set[str] = set()
     try:
@@ -34,29 +78,56 @@ def _driver_verified_names() -> set[str]:
 
 
 def all_queries() -> list[Query]:
-    """All declared queries, INTERLEAVED round-robin across the four
-    suites (q, g, s, l) so that any prefix of the registry — e.g. a
-    driver that correctness-checks only the first N entries per round —
+    """All declared queries in DETERMINISTIC order: interleaved
+    round-robin across the four suites (q, g, s, l) so that any prefix
     samples relational, graph, streaming and LLM-pipeline operators
     alike instead of exhausting the q-suite first.
 
-    Entries already driver-verified in a prior round (per the repo's
-    ``CORRECTNESS_r*.json`` artifacts) are rotated to the BACK, in
-    stable interleaved order, so each round's prefix sample verifies
-    never-before-sampled queries.  The set of queries and their names
-    are unchanged — only the order rotates."""
+    This order depends only on the suite definitions — never on
+    environment state or repo-root artifacts — so two checkouts always
+    agree (pytest parametrization, docs, user iteration all see one
+    stable order).  The driver entry point applies its own coverage
+    rotation on top via :func:`driver_ordered_queries`."""
     from itertools import chain, zip_longest
 
     suites = [qsuite.QUERIES, gsuite.QUERIES, ssuite.QUERIES, lsuite.QUERIES]
-    interleaved = [
-        q for q in chain.from_iterable(zip_longest(*suites)) if q is not None
-    ]
+    return [q for q in chain.from_iterable(zip_longest(*suites)) if q is not None]
+
+
+def driver_ordered_queries() -> list[Query]:
+    """Driver-facing order used by ``__spark_entry__.py`` ONLY.
+
+    The external driver correctness-checks a fixed-size prefix (first
+    ~50 entries) per round, so this order exists purely to maximize
+    external verification coverage across rounds:
+
+    1. never-driver-verified queries WITH an oracle, float/tie-hazard
+       names (``HAZARD_PRIORITY``) first, then interleaved suite order;
+    2. never-verified rows-only entries (no oracle — the driver can
+       only count rows for these, so they must not burn a
+       hash-verifiable prefix slot);
+    3. previously verified names (stable interleaved order) — these are
+       still regression-tested every run by the local pytest suite
+       (tests/test_declared.py parametrizes over ``all_queries()``).
+
+    The set of queries and their names are identical to
+    ``all_queries()`` — only the order differs."""
+    interleaved = all_queries()
     verified = _driver_verified_names()
-    if not verified:
-        return interleaved
-    fresh = [q for q in interleaved if q.name not in verified]
+    hazard_rank = {n: i for i, n in enumerate(HAZARD_PRIORITY)}
+
+    fresh_oracle = [
+        q for q in interleaved if q.name not in verified and q.oracle is not None
+    ]
+    fresh_rows_only = [
+        q for q in interleaved if q.name not in verified and q.oracle is None
+    ]
     stale = [q for q in interleaved if q.name in verified]
-    return fresh + stale
+
+    fresh_oracle.sort(
+        key=lambda q: (hazard_rank.get(q.name, len(hazard_rank)),)
+    )  # stable: non-hazard entries keep interleaved order
+    return fresh_oracle + fresh_rows_only + stale
 
 
 def by_name() -> dict[str, Query]:

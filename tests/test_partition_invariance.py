@@ -18,11 +18,18 @@ from __future__ import annotations
 
 import pytest
 
-from graph_spark.queries.registry import by_name
+from graph_spark.queries.registry import HAZARD_PRIORITY, by_name
 
 from .conftest import SF_SMOKE
 
-SAMPLE = [
+# Single source of truth: the registry front-loads exactly this list in
+# the driver-facing order (never-verified hazard queries get external
+# verification first).  Kept as a registry constant so the two lists
+# cannot drift; the commented history below documents why each name is
+# a hazard.
+SAMPLE = HAZARD_PRIORITY
+
+_SAMPLE_HISTORY = [
     "q01_scan_agg",
     "q14_topk_per_group",
     "q15_window_running",
