@@ -57,6 +57,14 @@ Supported:
     forward pass); binds `length(p)` / `p.len` and `p.cnt` (number of
     distinct shortest paths).  Self-loop edges and a==b rows are
     excluded (never on a minimal simple path).
+  - WHERE pattern predicates, as top-level AND conjuncts:
+    `EXISTS { (a)-[:T]->(b) }` (brace or paren delimited),
+    `NOT EXISTS { .. }`, and the bare sugar `NOT (a)-[:T]->(b)` /
+    `(a)-[:T]->(b)` — compiled to LEFT-SEMI / LEFT-ANTI joins on the
+    variables shared with the outer scope (the engine's q06/q07 join
+    shapes; never a cartesian).  Variables bound only inside the
+    pattern are existential and never enter the scope.  Refused under
+    a top-level OR and inside an OPTIONAL MATCH's WHERE.
   - UNWIND <list expr> AS var [WHERE post]: explodes a list expression
     (typically a collect_list WITH alias) into one row per element —
     the collect-then-re-expand idiom (`WITH s, collect_list(c.node) AS
@@ -350,21 +358,65 @@ _PROP_REF = re.compile(r"\b(\w+)\.(\w+)\b")
 _AGG_RE = re.compile(r"\b(count|sum|avg|min|max|collect_list|collect_set)\s*\(", re.IGNORECASE)
 
 
-def _split_top_keyword(text: str, kw: str) -> list[str]:
-    """Split `text` on the standalone keyword `kw` (whitespace-delimited,
-    case-insensitive), skipping occurrences inside quoted strings."""
-    parts = re.split(r"('[^']*'|\"[^\"]*\")", text)
-    pat = re.compile(rf"\s+{kw}\s+", re.IGNORECASE)
-    pieces: list[list[str]] = [[]]
-    for idx, part in enumerate(parts):
-        if idx % 2 == 1:  # quoted span — never split
-            pieces[-1].append(part)
+def _split_conjuncts(text: str) -> list[str] | None:
+    """Split a WHERE body on top-level AND (outside parens / braces /
+    brackets / quotes).  Returns ``None`` when a top-level OR is present
+    — AND binds tighter than OR, so the text is then a disjunction and
+    cannot be treated as a conjunct list (pattern predicates under OR
+    are refused by the caller)."""
+    out: list[str] = []
+    cur: list[str] = []
+    depth = 0
+    q: str | None = None
+    has_or = False
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if q:
+            cur.append(ch)
+            if ch == q:
+                q = None
+            i += 1
             continue
-        segs = pat.split(part)
-        pieces[-1].append(segs[0])
-        for s in segs[1:]:
-            pieces.append([s])
-    return ["".join(p).strip() for p in pieces]
+        if ch in "'\"":
+            q = ch
+            cur.append(ch)
+        elif ch in "({[":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")}]":
+            depth -= 1
+            cur.append(ch)
+        elif depth == 0 and ch.isalpha():
+            m = re.match(r"(AND|OR)\b", text[i:], re.IGNORECASE)
+            prev = text[i - 1] if i else " "
+            if m and not (prev.isalnum() or prev == "_"):
+                if m.group(1).upper() == "OR":
+                    has_or = True
+                    cur.append(text[i : i + m.end()])
+                else:
+                    out.append("".join(cur).strip())
+                    cur = []
+                i += m.end()
+                continue
+            cur.append(ch)
+        else:
+            cur.append(ch)
+        i += 1
+    if cur:
+        out.append("".join(cur).strip())
+    if has_or:
+        return None
+    return [c for c in out if c]
+
+
+# one pattern-predicate conjunct: [NOT] EXISTS { pattern } / ( pattern )
+_EXISTS_PRED = re.compile(
+    r"^(?P<neg>NOT\s+)?EXISTS\s*(?P<open>[\{\(])(?P<inner>.*)(?P<close>[\}\)])\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+# bare pattern-predicate sugar: NOT (a)-[:T]->(b)  /  (a)-[:T]->(b)
+_BARE_PAT = re.compile(r"^(?P<neg>NOT\s+)?(?P<pat>\(.*)$", re.IGNORECASE | re.DOTALL)
 
 
 def _split_top_level(text: str, sep: str = ",") -> list[str]:
@@ -826,6 +878,79 @@ def cypher(
             return frame, bn2, {pv}
         return build_block(_parse_patterns(pat_text, anon))
 
+    def classify_where(wtext: str):
+        """Partition a WHERE body into pattern predicates
+        ``[(negated, triples)]`` and plain boolean conjuncts.
+        Recognized forms (each as a TOP-LEVEL AND conjunct):
+        ``EXISTS { (a)-[:T]->(b) }`` (brace or paren delimited),
+        ``NOT EXISTS { .. }``, and the bare sugar
+        ``NOT (a)-[:T]->(b)`` / ``(a)-[:T]->(b)``.  Under a top-level
+        OR they are refused — a disjunctive existence test has no
+        semi/anti-join lowering without a correlated-subquery planner."""
+        conjs = _split_conjuncts(wtext)
+        if conjs is None:
+            if re.search(r"\bEXISTS\b", wtext, re.IGNORECASE):
+                raise ValueError(
+                    "cypher: EXISTS / pattern predicates must be top-level "
+                    "AND conjuncts of WHERE (found one under OR)"
+                )
+            return [], [wtext]
+        preds: list[tuple[bool, list]] = []
+        plain: list[str] = []
+        for conj in conjs:
+            em = _EXISTS_PRED.match(conj)
+            if em:
+                if (em.group("open"), em.group("close")) not in (
+                    ("{", "}"),
+                    ("(", ")"),
+                ):
+                    raise ValueError(
+                        f"cypher: mismatched EXISTS delimiters in {conj!r}"
+                    )
+                preds.append(
+                    (bool(em.group("neg")), _parse_patterns(em.group("inner"), anon))
+                )
+                continue
+            bp = _BARE_PAT.match(conj)
+            if bp and ("-[" in conj or "]-" in conj):
+                try:
+                    triples = _parse_patterns(bp.group("pat"), anon)
+                except ValueError:
+                    plain.append(conj)
+                    continue
+                preds.append((bool(bp.group("neg")), triples))
+                continue
+            plain.append(conj)
+        return preds, plain
+
+    def apply_pattern_preds(frame: DataFrame, preds, nvars: set) -> DataFrame:
+        """Lower each pattern predicate to a LEFT-SEMI (EXISTS) or
+        LEFT-ANTI (NOT) join on the variables shared with the current
+        scope — the engine's q06/q07 join shapes, so Catalyst plans a
+        hash semi/anti join, never a cartesian.  Variables bound only
+        inside the pattern stay existential (never enter the scope)."""
+        for neg, triples in preds:
+            sub, bn, _ = build_block(triples)
+            shared = sorted(bn & nvars)
+            if not shared:
+                raise ValueError(
+                    "cypher: EXISTS/NOT pattern shares no variable with the "
+                    "outer scope (a free-floating existence test is a "
+                    "cartesian product; bind at least one outer variable)"
+                )
+            frame = frame.join(
+                sub.select(*shared), shared, "left_anti" if neg else "left_semi"
+            )
+        return frame
+
+    def apply_where(frame: DataFrame, wtext: str, nvars: set, evars: set) -> DataFrame:
+        preds, plain = classify_where(wtext)
+        frame = apply_pattern_preds(frame, preds, nvars)
+        if plain:
+            sql = " AND ".join(f"({p})" for p in plain)
+            frame = frame.filter(F.expr(_rewrite(sql, nvars, evars)))
+        return frame
+
     def project(frame: DataFrame, text: str, nvars: set, evars: set):
         """One projection stage (shared by WITH and RETURN): item split,
         reference rewriting, implicit Cypher GROUP BY when any item
@@ -873,9 +998,7 @@ def cypher(
                 node_vars |= bn
                 edge_vars |= be
                 if bm.group("where"):
-                    out = out.filter(
-                        F.expr(_rewrite(bm.group("where"), node_vars, edge_vars))
-                    )
+                    out = apply_where(out, bm.group("where"), node_vars, edge_vars)
                 continue
             anchors = sorted(bn & node_vars)
             if not anchors:
@@ -890,15 +1013,33 @@ def cypher(
             for v in anchors:
                 c = F.col(v) == F.col(f"__j_{v}")
                 cond = c if cond is None else (cond & c)
+            where_preds: list = []
             if bm.group("where"):
-                cond = cond & F.expr(
-                    _rewrite(bm.group("where"), node_vars | bn, edge_vars | be)
-                )
+                where_preds, plain = classify_where(bm.group("where"))
+                if where_preds and kw == "OPTIONAL MATCH":
+                    raise ValueError(
+                        "cypher: EXISTS/NOT pattern predicates are not "
+                        "supported in an OPTIONAL MATCH WHERE (they cannot "
+                        "ride the null-extending join condition; filter in "
+                        "a prior MATCH or a later WITH instead)"
+                    )
+                if plain:
+                    cond = cond & F.expr(
+                        _rewrite(
+                            " AND ".join(f"({p})" for p in plain),
+                            node_vars | bn,
+                            edge_vars | be,
+                        )
+                    )
             out = out.join(ren, cond, "left" if kw == "OPTIONAL MATCH" else "inner")
             for v in anchors:
                 out = out.drop(f"__j_{v}")
             node_vars |= bn
             edge_vars |= be
+            # pattern predicates filter AFTER the inner join — for an
+            # inner MATCH that is equivalent to evaluating them in the
+            # block's WHERE, and the semi/anti join sees the full scope
+            out = apply_pattern_preds(out, where_preds, node_vars)
         elif kw == "UNWIND":
             # UNWIND <list expr> AS var [WHERE post]: explode the
             # (rewritten) list expression into one row per element —
@@ -920,9 +1061,7 @@ def cypher(
             )
             node_vars = node_vars | {var}
             if um.group("post"):
-                out = out.filter(
-                    F.expr(_rewrite(um.group("post"), node_vars, edge_vars))
-                )
+                out = apply_where(out, um.group("post"), node_vars, edge_vars)
         else:  # WITH stage
             sm = _WITH_STAGE.match(body)
             if not sm:
@@ -933,9 +1072,7 @@ def cypher(
             node_vars = set(waliases)
             edge_vars = set()
             if sm.group("having"):
-                out = out.filter(
-                    F.expr(_rewrite(sm.group("having"), node_vars, edge_vars))
-                )
+                out = apply_where(out, sm.group("having"), node_vars, edge_vars)
 
     m = _TAIL.match(clauses[-1][1])
     if not m:

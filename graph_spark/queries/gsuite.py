@@ -6504,4 +6504,102 @@ def g120(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("a", "b", F.col("len").cast("int").alias("len"), "n_paths")
 
 
+@_g(
+    "g121_cypher_exists",
+    f"""WITH {GRAPH_CTES},
+       sel AS (SELECT e.dst AS supplier, e.n_items FROM graph_edges e
+               WHERE e.n_items >= 2
+                 AND EXISTS (SELECT 1 FROM graph_edges f
+                             WHERE f.dst = e.dst AND f.n_items = 4))
+       SELECT supplier, count(*)::BIGINT AS n_cust,
+              sum(n_items)::BIGINT AS items
+       FROM sel GROUP BY 1 ORDER BY n_cust DESC, supplier LIMIT 15""",
+    note="Cypher EXISTS pattern predicate (r4 verdict's top missing "
+    "user surface): WHERE EXISTS { (s)<-[:BUYS {n_items: 4}]-(x) } "
+    "keeps suppliers having at least one exactly-4-item basket, "
+    "compiled to a LEFT-SEMI join on the shared variable (the q06 "
+    "shape — Catalyst plans a hash semi join, the existential x never "
+    "enters the scope, and the inline property map is pushed to the "
+    "edge scan BELOW the semi join).  At 100 TB the semi join's build "
+    "side is the FILTERED edge set (n_items=4 rows only), so the "
+    "predicate shrinks the shuffle rather than riding after it; the "
+    "plan guard in test_cypher pins LeftSemi + no-cartesian",
+)
+def g121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cy(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[e:BUYS]->(s:Supplier)
+           WHERE e.n_items >= 2 AND EXISTS { (s)<-[:BUYS {n_items: 4}]-(x:Customer) }
+           RETURN s AS supplier, count(*) AS n_cust, sum(e.n_items) AS items
+           ORDER BY n_cust DESC, supplier LIMIT 15""",
+    )
+
+
+@_g(
+    "g122_cypher_not_pattern",
+    """WITH ne AS (
+         SELECT 'n'||c.c_nationkey AS src, 'n'||s.s_nationkey AS dst
+         FROM lineitem l JOIN orders o ON l.l_orderkey=o.o_orderkey
+         JOIN customer c ON o.o_custkey=c.c_custkey
+         JOIN supplier s ON l.l_suppkey=s.s_suppkey
+         GROUP BY 1,2 HAVING count(*) >= 150)
+       SELECT a.src AS src, count(*)::BIGINT AS n_oneway
+       FROM ne a WHERE a.src <> a.dst
+         AND NOT EXISTS (SELECT 1 FROM ne b
+                         WHERE b.src = a.dst AND b.dst = a.src)
+       GROUP BY 1 ORDER BY n_oneway DESC, src""",
+    note="Cypher NOT pattern predicate (the anti-join idiom, the other "
+    "half of the r4 verdict ask): WHERE NOT (b)-[:TRADE]->(a) counts "
+    "each nation's one-way export lanes (>=150-shipment lanes with no "
+    "reverse lane), compiled to a LEFT-ANTI join on BOTH bound "
+    "variables — the q07 shape, never a cartesian (plan-guarded).  "
+    "75 of the 91 sf0.01 lanes are one-way, so the result exercises "
+    "real asymmetry, not an empty edge case.  Scale: the anti join "
+    "probes the 25x25-bounded nation rollup; on a raw 10^9-edge graph "
+    "the same lowering is one shuffled hash anti join on (src, dst) — "
+    "exactly what a hand-written reciprocity query does",
+)
+def g122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cy(
+        spark,
+        sf_dir,
+        """MATCH (a:Nation)-[:TRADE]->(b:Nation)
+           WHERE a.node <> b.node AND NOT (b)-[:TRADE]->(a)
+           RETURN a AS src, count(*) AS n_oneway
+           ORDER BY n_oneway DESC, src""",
+    )
+
+
+@_g(
+    "g123_cypher_case",
+    f"""WITH {GRAPH_CTES}
+       SELECT CASE WHEN n_items >= 3 THEN 'heavy'
+                   WHEN n_items = 2 THEN 'mid'
+                   ELSE 'light' END AS band,
+              count(*)::BIGINT AS n_edges, sum(n_items)::BIGINT AS items
+       FROM graph_edges GROUP BY 1 ORDER BY band""",
+    note="Cypher CASE expression passthrough (r4 verdict item 4, now "
+    "declared, not just unit-tested): a CASE WHEN over an edge "
+    "property works as RETURN item AND as the implicit Cypher group "
+    "key — the compiler rewrites e.n_items inside the expression and "
+    "hands the rest to Spark SQL verbatim, so the full expression "
+    "surface (CASE, coalesce, arithmetic, array functions) is the "
+    "SQL engine's, not a reimplementation.  One map-side-combined "
+    "hash aggregate over the rolled-up edge view; the banding "
+    "expression is codegen'd into the scan stage",
+)
+def g123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cy(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[e:BUYS]->(s:Supplier)
+           RETURN CASE WHEN e.n_items >= 3 THEN 'heavy'
+                       WHEN e.n_items = 2 THEN 'mid'
+                       ELSE 'light' END AS band,
+                  count(*) AS n_edges, sum(e.n_items) AS items
+           ORDER BY band""",
+    )
+
+
 QUERIES = list(_G)

@@ -700,3 +700,202 @@ def test_all_shortest_paths_weighted_refused(tiny):
             tiny,
             "MATCH p = allShortestPaths((a {node: 'a'})-[:E* {cost: 'weight'}]->(b)) RETURN b",
         )
+
+
+# -------------------------------------------- pattern predicates (r5)
+
+
+def test_exists_pattern_semi_join(tiny):
+    """EXISTS { (y)-[:E]->(z) } keeps only pairs whose far endpoint has
+    an outgoing edge; z is existential and never enters the scope."""
+    df = cypher(
+        tiny,
+        "MATCH (x)-[:E]->(y) WHERE EXISTS { (y)-[:E]->(z) } "
+        "RETURN x, y ORDER BY x, y",
+    )
+    assert [tuple(r) for r in df.collect()] == [
+        ("a", "b"),
+        ("a", "c"),
+        ("b", "d"),
+        ("c", "d"),
+    ]
+    assert df.columns == ["x", "y"]
+
+
+def test_not_pattern_anti_join(tiny):
+    """NOT (y)-[:E]->(z): the bare negated-pattern sugar is an anti
+    join — only d->e survives (e has no outgoing edge)."""
+    df = cypher(
+        tiny,
+        "MATCH (x)-[:E]->(y) WHERE NOT (y)-[:E]->(z) RETURN x, y",
+    )
+    assert [tuple(r) for r in df.collect()] == [("d", "e")]
+
+
+def test_not_exists_matches_bare_not(tiny):
+    a = cypher(
+        tiny,
+        "MATCH (x)-[:E]->(y) WHERE NOT EXISTS { (y)-[:E]->(z) } RETURN x, y",
+    ).collect()
+    b = cypher(
+        tiny, "MATCH (x)-[:E]->(y) WHERE NOT (y)-[:E]->(z) RETURN x, y"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_bare_positive_pattern_predicate(tiny):
+    """A bare (y)-[:E]->(z) conjunct is EXISTS sugar."""
+    a = cypher(
+        tiny, "MATCH (x)-[:E]->(y) WHERE (y)-[:E]->(z) RETURN x, y"
+    ).collect()
+    b = cypher(
+        tiny, "MATCH (x)-[:E]->(y) WHERE EXISTS { (y)-[:E]->(z) } RETURN x, y"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_exists_with_property_map_and_mixed_conjuncts(tiny):
+    """Pattern predicates compose with plain boolean conjuncts, and the
+    inline property map filters the existential edge (only d has an
+    outgoing n_items=5 edge)."""
+    df = cypher(
+        tiny,
+        "MATCH (x)-[e:E]->(y) WHERE e.n_items >= 2 "
+        "AND EXISTS { (y)-[:E {n_items: 5}]->(w) } AND x.node <> 'zzz' "
+        "RETURN x, y ORDER BY x",
+    )
+    assert [tuple(r) for r in df.collect()] == [("b", "d"), ("c", "d")]
+
+
+def test_exists_paren_delimited(tiny):
+    df = cypher(
+        tiny,
+        "MATCH (x)-[:E]->(y) WHERE EXISTS ((y)-[:E]->(z)) RETURN x, y",
+    )
+    assert len(df.collect()) == 4
+
+
+def test_exists_both_endpoints_bound(tiny):
+    """NOT (x)-[:E]->(y) with BOTH variables bound anti-joins the
+    matched pair itself — empty by construction."""
+    df = cypher(
+        tiny, "MATCH (x)-[:E]->(y) WHERE NOT (x)-[:E]->(y) RETURN x, y"
+    )
+    assert df.collect() == []
+
+
+def test_exists_plan_is_semi_anti_no_cartesian(tiny):
+    semi = cypher(
+        tiny, "MATCH (x)-[:E]->(y) WHERE EXISTS { (y)-[:E]->(z) } RETURN x, y"
+    )
+    anti = cypher(
+        tiny, "MATCH (x)-[:E]->(y) WHERE NOT (y)-[:E]->(z) RETURN x, y"
+    )
+    ps = semi._jdf.queryExecution().executedPlan().toString()
+    pa = anti._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in ps and "LeftAnti" in pa
+    for p in (ps, pa):
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_exists_no_shared_variable_refused(tiny):
+    with pytest.raises(ValueError, match="shares no variable"):
+        cypher(
+            tiny,
+            "MATCH (x)-[:E]->(y) WHERE EXISTS { (p)-[:E]->(q) } RETURN x",
+        )
+
+
+def test_exists_under_or_refused(tiny):
+    with pytest.raises(ValueError, match="top-level AND"):
+        cypher(
+            tiny,
+            "MATCH (x)-[:E]->(y) WHERE x.node = 'a' OR "
+            "EXISTS { (y)-[:E]->(z) } RETURN x",
+        )
+
+
+def test_exists_in_optional_match_where_refused(tiny):
+    with pytest.raises(ValueError, match="OPTIONAL MATCH"):
+        cypher(
+            tiny,
+            "MATCH (x)-[:E]->(y) OPTIONAL MATCH (y)-[:E]->(z) "
+            "WHERE EXISTS { (z)-[:E]->(w) } RETURN x, y, z",
+        )
+
+
+def test_exists_in_with_where(tiny):
+    """Pattern predicates work in a WITH stage's WHERE: aggregate then
+    keep only far endpoints that still have an outgoing edge."""
+    df = cypher(
+        tiny,
+        "MATCH (x)-[:E]->(y) WITH y, count(*) AS fanin "
+        "WHERE EXISTS { (y)-[:E]->(z) } RETURN y, fanin ORDER BY y",
+    )
+    assert [tuple(r) for r in df.collect()] == [("b", 1), ("c", 1), ("d", 2)]
+
+
+def test_boolean_not_still_works(tiny):
+    """A boolean NOT (..) conjunct must NOT be mistaken for a pattern."""
+    df = cypher(
+        tiny,
+        "MATCH (x)-[e:E]->(y) WHERE NOT (e.n_items > 2) RETURN x, y ORDER BY x, y",
+    )
+    assert [tuple(r) for r in df.collect()] == [("a", "b"), ("a", "c")]
+
+
+# ------------------------------------ expression passthrough sweep (r5)
+
+
+def test_case_expression_in_return(tiny):
+    """CASE WHEN passes through to Spark SQL, including as an implicit
+    group key."""
+    df = cypher(
+        tiny,
+        "MATCH (x)-[e:E]->(y) "
+        "RETURN CASE WHEN e.n_items >= 3 THEN 'big' ELSE 'small' END AS band, "
+        "count(*) AS n ORDER BY band",
+    )
+    assert [tuple(r) for r in df.collect()] == [("big", 3), ("small", 2)]
+
+
+def test_case_expression_in_where(tiny):
+    df = cypher(
+        tiny,
+        "MATCH (x)-[e:E]->(y) "
+        "WHERE CASE WHEN x.node = 'a' THEN e.n_items = 1 ELSE false END "
+        "RETURN x, y",
+    )
+    assert [tuple(r) for r in df.collect()] == [("a", "b")]
+
+
+def test_coalesce_over_optional_match(tiny):
+    df = cypher(
+        tiny,
+        "MATCH (x)-[:E]->(y) OPTIONAL MATCH (y)-[f:E]->(z) "
+        "RETURN x, y, coalesce(f.n_items, -1) AS nxt ORDER BY x, y, nxt",
+    )
+    rows = [tuple(r) for r in df.collect()]
+    assert ("d", "e", -1) in rows  # null-extended row coalesces
+    assert ("a", "b", 3) in rows
+
+
+def test_arithmetic_on_bound_columns(tiny):
+    df = cypher(
+        tiny,
+        "MATCH (x)-[e:E]->(y) RETURN x, e.n_items * 10 + 1 AS v ORDER BY v LIMIT 2",
+    )
+    assert [tuple(r) for r in df.collect()] == [("a", 11), ("a", 21)]
+
+
+def test_array_literal_and_functions_pass_through(tiny):
+    """Spark SQL list syntax (array(..), array_contains) passes through;
+    Cypher bracket literals are not rewritten — write array() instead."""
+    df = cypher(
+        tiny,
+        "MATCH (x)-[e:E]->(y) WHERE array_contains(array(1, 5), e.n_items) "
+        "RETURN x, y, array('t', x) AS tags ORDER BY x",
+    )
+    rows = [(r.x, r.y, list(r.tags)) for r in df.collect()]
+    assert rows == [("a", "b", ["t", "a"]), ("d", "e", ["t", "d"])]
