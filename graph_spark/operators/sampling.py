@@ -44,9 +44,21 @@ def bounded_negative_samples(
     dsts = edges.select("dst").distinct()
     n_dst = dsts.count()  # scalar aggregate — the only driver-side action
     if n_dst == 0:
-        return edges.sparkSession.createDataFrame(
-            [], "src long, neg long, neg_rank int, hv long"
+        # empty-input schema derived from the edge schema so src/neg
+        # types agree with the non-empty path (r4 ADVICE: a hardcoded
+        # long-typed DDL disagreed with string node ids at the g107
+        # call sites — a latent union/schema-check mismatch)
+        from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("src", edges.schema["src"].dataType, True),
+                StructField("neg", edges.schema["dst"].dataType, True),
+                StructField("neg_rank", IntegerType(), False),
+                StructField("hv", LongType(), True),
+            ]
         )
+        return edges.sparkSession.createDataFrame([], schema)
 
     # Global md5 rank of each dst WITHOUT a global sort: rank within
     # hash bucket + broadcast cumulative offsets over `buckets` rows.

@@ -10460,7 +10460,7 @@ def t87(spark: SparkSession, sf_dir: str) -> DataFrame:
        SELECT strftime(day, '%Y-%m-%d') AS day, c AS n_events,
          round(CAST(v AS DOUBLE)/100, 2) AS day_value,
          round((syy*dx*dx - 2*sxy*dx*dy + sxx*dy*dy)
-               / nullif(sxx*syy - sxy*sxy, 0) * (n - 1) / n / n, 4) AS d2
+               / nullif(sxx*syy - sxy*sxy, 0) * (n - 1) / n, 4) AS d2
        FROM m ORDER BY d2 DESC, day LIMIT 5""",
     note="Mahalanobis outlier days over the joint (event count, value) "
     "profile: the correlation-aware distance that flags a day whose "
@@ -10469,9 +10469,12 @@ def t87(spark: SparkSession, sf_dir: str) -> DataFrame:
     "covariance inverts in closed form, so d^2 = (Syy*dx^2 - "
     "2*Sxy*dx*dy + Sxx*dy^2)/det, every term an n-scaled integer "
     "moment (dx = n*x - sum_x etc.) cast to double ONLY in the final "
-    "fixed-order expression — the t84/q103 cross-engine protocol; "
-    "(n-1)/n^2 rescales the n-scaled carriers back to the sample-"
-    "covariance d^2.  Top-5 days, ties by day.  Scale: one day rollup "
+    "fixed-order expression — the t84/q103 cross-engine protocol.  The "
+    "carrier ratio is the POPULATION-covariance d^2 (the n-scalings "
+    "cancel: numerator n^4*Q_pop over denominator n^4*det), so one "
+    "(n-1)/n factor converts to the sample-covariance d^2 (r4 ADVICE "
+    "fix: the extra /n made it a scaled score).  Top-5 days, ties by "
+    "day.  Scale: one day rollup "
     "+ one scalar moment row broadcast back — two map-side-combined "
     "aggregates regardless of corpus size",
 )
@@ -10516,7 +10519,6 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sxx") * F.col("syy") - F.col("sxy") * F.col("sxy"), F.lit(0.0)
         )
         * (F.col("n") - 1)
-        / F.col("n")
         / F.col("n"),
         4,
     )

@@ -107,3 +107,21 @@ def test_pq_ops_on_empty_probes(spark):
     em = Catalog(spark, SF_SMOKE).table("embeddings")
     no_probes = em.filter(F.col("vec_id") < 0)
     assert pq_topk_rerank(em, no_probes, k=3, shortlist=10).count() == 0
+
+
+def test_negative_sampling_on_empty_matches_nonempty_schema(spark):
+    """The n_dst==0 early-return must carry the SAME src/neg types as
+    the non-empty path (derived from the edge schema, not a hardcoded
+    DDL — r4 ADVICE): a union of an empty day's output with a full
+    day's must not throw on string node ids."""
+    from graph_spark.operators.sampling import bounded_negative_samples
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    full = spark.createDataFrame(
+        [("c1", "s1"), ("c1", "s2"), ("c2", "s1")], ["src", "dst"]
+    )
+    out_e = bounded_negative_samples(empty, k=2, m=4)
+    out_f = bounded_negative_samples(full, k=2, m=4)
+    assert out_e.schema == out_f.schema
+    assert out_e.count() == 0
+    assert out_e.unionByName(out_f).count() == out_f.count()
