@@ -307,6 +307,150 @@ def bench_distributed_text(spark) -> dict:
     return out
 
 
+def bench_distributed_ann(spark) -> dict:
+    """ANN scale evidence (r4 verdict item 5): nothing previously
+    benched ANN beyond recall tests at 2k vectors.  Synthetic corpus of
+    1M and 4M 16-dim vectors (columnar xxhash generation, zero driver
+    memory) with 200 PLANTED probes — each probe is corpus vector i
+    plus ±0.005 component noise (cosine to its source ≈ 0.99997, while
+    the max cosine among millions of independent uniform 16-dim vectors
+    stays far below it), so the planted id IS the brute-force top-1 by
+    construction and recall needs no 10^9-pair exact pass.
+
+    Measured per (method, corpus size): candidate-pair count, probe
+    batch wall time (index build + candidate equi-join + exact scoring
+    + top-k), planted recall@1.  The scale claim under test: candidate
+    count grows ~linearly in corpus size at fixed probe count (bucket /
+    cell occupancy is proportional to n), while recall holds >= 0.9."""
+    from pyspark.sql import functions as F
+
+    from graph_spark.operators.similarity import cosine_topk_ivf, cosine_topk_lsh
+
+    dim, n_probes = 16, 200
+
+    def synth(n):
+        comps = [
+            ((F.pmod(F.xxhash64("id", F.lit(d + 1)), F.lit(2001)) - 1000) / 1000.0)
+            for d in range(dim)
+        ]
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"), F.array(*comps).alias("embedding")
+        )
+
+    def probes_of(corpus):
+        return corpus.filter(F.col("vec_id") < n_probes).select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, i) -> "
+                "x + (pmod(xxhash64(vec_id, i), 21) - 10) / 2000.0)"
+            ).alias("embedding"),
+            F.col("vec_id").alias("planted"),
+        )
+
+    out: dict = {"dim": dim, "n_probes": n_probes}
+    for tag, n in (("_1m", 1_000_000), ("_4m", 4_000_000)):
+        corpus = synth(n).persist()
+        corpus.count()
+        pr = probes_of(corpus).persist()
+        truth = pr.select("vec_id", "planted")
+        probes = pr.select("vec_id", "embedding")
+
+        def run(key, fn):
+            t0 = time.perf_counter()
+            top = fn().persist()
+            n_cand = top.count()  # scored rows (<= k per probe)
+            # k=1: at most one row per probe, so a hit is nb == planted
+            hits = (
+                top.join(truth, "vec_id")
+                .filter(F.col("nb") == F.col("planted"))
+                .count()
+            )
+            out[f"{key}{tag}"] = round(time.perf_counter() - t0, 3)
+            out[f"{key}_recall{tag}"] = round(hits / n_probes, 4)
+            out[f"{key}_rows{tag}"] = n_cand
+            top.unpersist()
+            print(
+                f"# ann {key}{tag}: {out[f'{key}{tag}']}s recall "
+                f"{out[f'{key}_recall{tag}']}",
+                file=sys.stderr,
+            )
+
+        # top-1 so the count of surviving rows ~= candidate-bearing
+        # probes; candidate volume is measured separately below
+        run("lsh", lambda: cosine_topk_lsh(corpus, probes, k=1, dim=dim, n_planes=12, n_tables=8))
+        if n <= 2_000_000:
+            # IVF index build is 2 broadcast-assign passes (n x
+            # n_clusters window) — measured at 1M; the 4M point is the
+            # LSH path's (IVF's candidate math scales identically:
+            # members-per-cell = n / n_clusters)
+            run(
+                "ivf",
+                lambda: cosine_topk_ivf(
+                    corpus, probes, k=1, dim=dim, n_clusters=64, nprobe=2
+                ),
+            )
+
+        # candidate volume (pre-scoring pairs) for the linearity claim
+        from graph_spark.operators.similarity import lsh_buckets
+
+        cb = lsh_buckets(corpus, dim, 12, 8).select(
+            F.col("vec_id").alias("nb"), "t", "bucket"
+        )
+        pb = lsh_buckets(probes, dim, 12, 8).select("vec_id", "t", "bucket")
+        out[f"lsh_cand_pairs{tag}"] = (
+            cb.join(F.broadcast(pb), ["t", "bucket"])
+            .filter(F.col("nb") != F.col("vec_id"))
+            .select("vec_id", "nb")
+            .distinct()
+            .count()
+        )
+        pr.unpersist()
+        corpus.unpersist()
+    out["lsh_cand_scale_ratio"] = round(
+        (out["lsh_cand_pairs_4m"] / max(out["lsh_cand_pairs_1m"], 1)) / 4.0, 3
+    )
+    print(f"# dist-ann: {out}", file=sys.stderr)
+    return out
+
+
+def bench_skewed_baskets(spark) -> dict:
+    """The g38/g117 viral-basket guard, exercised for real (r4 verdict
+    item 6): 200k synthetic baskets — 199,980 of 5 items plus 20 viral
+    baskets of 2,000 items (a Zipf-style head).  Uncapped, the 20 viral
+    baskets alone emit 20 * C(2000,2) ≈ 40M of the ~42M total pairs —
+    the single-task straggler shape; capped at 64 items/basket every
+    basket contributes <= C(64,2) = 2016 pairs.  Measures both wall
+    times and pair counts; the capped output is property-tested to be
+    a subset of the uncapped one (tests/test_operators.py)."""
+    from pyspark.sql import functions as F
+
+    from graph_spark.operators.recsys import item_item_cooccurrence
+
+    normal = spark.range(199_980 * 5).select(
+        (F.col("id") / 5).cast("long").alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(50_000)).alias("dst"),
+    )
+    viral = spark.range(20 * 2_000).select(
+        (F.lit(199_980) + (F.col("id") / 2_000).cast("long")).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(2)), F.lit(50_000)).alias("dst"),
+    )
+    baskets = normal.unionByName(viral).persist()
+    out: dict = {"baskets": baskets.select("src").distinct().count()}
+
+    t0 = time.perf_counter()
+    out["uncapped_pairs"] = item_item_cooccurrence(baskets, min_cooc=1).count()
+    out["uncapped_sec"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    out["capped_pairs"] = item_item_cooccurrence(
+        baskets, min_cooc=1, basket_cap=64
+    ).count()
+    out["capped_sec"] = round(time.perf_counter() - t0, 3)
+    out["speedup"] = round(out["uncapped_sec"] / max(out["capped_sec"], 1e-9), 2)
+    baskets.unpersist()
+    print(f"# skewed-baskets: {out}", file=sys.stderr)
+    return out
+
+
 def bench_negative_sampling(spark) -> dict:
     """Scale evidence for the r4 bounded negative-sampling shape
     (operators/sampling.py): 1M src x 100k dst synthetic bipartite
@@ -485,6 +629,8 @@ def main() -> None:
         payload["distributed_text"] = bench_distributed_text(spark)
         payload["distributed_spatial"] = bench_distributed_spatial(spark)
         payload["negative_sampling"] = bench_negative_sampling(spark)
+        payload["distributed_ann"] = bench_distributed_ann(spark)
+        payload["skewed_baskets"] = bench_skewed_baskets(spark)
     if os.environ.get("SPARK_GRAFT_BENCH_XL", "1") != "0":
         payload["distributed_graph_xl"] = bench_distributed_graph_xl(spark)
 

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ..catalog import Catalog
 from ..graph.algorithms import bfs_distances, connected_components, pagerank, triangle_count
 from ..graph.property_graph import PropertyGraph
+from ..operators.recsys import item_item_cooccurrence
 from .common import GRAPH_CTES, Query
 
 _G: list[Query] = []
@@ -1319,16 +1320,16 @@ def g37(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def g38(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = Catalog(spark, sf_dir).table("lineitem")
-    op = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")).distinct()
-    a = op.alias("a")
-    b = op.alias("b")
-    pairs = a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk"))).select(
-        F.col("a.pk").alias("p1"), F.col("b.pk").alias("p2")
-    )
+    op = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    # uncapped: TPC-H baskets are <= 7 items; basket_cap is the 100 TB
+    # viral-basket lever (operators/recsys, bench_skewed_baskets)
     return (
-        pairs.groupBy("p1", "p2")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
+        item_item_cooccurrence(op, basket_col="ok", item_col="pk", min_cooc=2)
+        .select(
+            F.col("s1").alias("p1"),
+            F.col("s2").alias("p2"),
+            F.col("cooc").alias("n_orders"),
+        )
         .orderBy(F.desc("n_orders"), "p1", "p2")
         .limit(100)
     )
@@ -6346,16 +6347,9 @@ def g117(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .distinct()
     )
-    a, b = e.alias("a"), e.alias("b")
-    cp = (
-        a.join(
-            b,
-            (F.col("a.src") == F.col("b.src")) & (F.col("a.dst") < F.col("b.dst")),
-        )
-        .groupBy(F.col("a.dst").alias("s1"), F.col("b.dst").alias("s2"))
-        .agg(F.count(F.lit(1)).alias("cooc"))
-        .filter(F.col("cooc") >= 2)
-    )
+    # uncapped here (rolled-up baskets are small); basket_cap is the
+    # viral-basket guard the scale note documents — see operators/recsys
+    cp = item_item_cooccurrence(e, min_cooc=2, basket_cap=None)
     sym = cp.unionAll(
         cp.select(F.col("s2").alias("s1"), F.col("s1").alias("s2"), "cooc")
     )

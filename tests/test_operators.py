@@ -595,3 +595,73 @@ def test_t86_pettitt_matches_pairwise_definition(spark):
         abs(best[2]),
         n,
     )
+
+
+# ----------------------------------------------- basket cap (recsys, r5)
+
+
+def _skewed_baskets(spark):
+    """One viral basket (20 items), one normal (4), one singleton."""
+    rows = (
+        [("b0", f"i{k:03d}") for k in range(20)]
+        + [("b1", f"i{k:03d}") for k in (0, 1, 2, 3)]
+        + [("b2", "i000")]
+    )
+    return spark.createDataFrame(rows, ["src", "dst"])
+
+
+def test_basket_cap_bounds_pair_contribution(spark):
+    """With cap k every basket contributes at most C(k,2) pairs: the
+    viral 20-item basket's 190 uncapped pairs collapse to 10."""
+    from graph_spark.operators.recsys import item_item_cooccurrence
+
+    e = _skewed_baskets(spark).filter(F.col("src") == "b0")
+    un = item_item_cooccurrence(e, min_cooc=1)
+    cap = item_item_cooccurrence(e, min_cooc=1, basket_cap=5)
+    assert un.count() == 190  # C(20,2)
+    assert cap.count() == 10  # C(5,2)
+
+
+def test_basket_cap_output_subset_of_uncapped(spark):
+    """Capped pairs ⊆ uncapped pairs with pointwise-smaller counts —
+    the containment downstream ranking reasons about."""
+    from graph_spark.operators.recsys import item_item_cooccurrence
+
+    e = _skewed_baskets(spark)
+    un = {(r.s1, r.s2): r.cooc for r in item_item_cooccurrence(e, min_cooc=1).collect()}
+    cap = {
+        (r.s1, r.s2): r.cooc
+        for r in item_item_cooccurrence(e, min_cooc=1, basket_cap=3).collect()
+    }
+    assert set(cap) <= set(un)
+    assert all(cap[k] <= un[k] for k in cap)
+
+
+def test_basket_cap_is_partition_invariant(spark):
+    """The md5-ordered cap selection must not depend on the shuffle
+    layout (the 1000-executor knob)."""
+    from graph_spark.operators.recsys import item_item_cooccurrence
+
+    e = _skewed_baskets(spark)
+
+    def rows():
+        return sorted(
+            tuple(r)
+            for r in item_item_cooccurrence(e, min_cooc=1, basket_cap=4).collect()
+        )
+
+    base = rows()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        alt = rows()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base == alt
+
+
+def test_basket_cap_validates(spark):
+    from graph_spark.operators.recsys import basket_cap_items
+
+    with pytest.raises(ValueError, match=">= 1"):
+        basket_cap_items(_skewed_baskets(spark), "src", "dst", 0)
