@@ -6596,4 +6596,66 @@ def g123(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g124_als_rank1",
+    f"""WITH {GRAPH_CTES},
+       u AS (SELECT src,
+                    (2000000 * sum(n_items) + count(*)) // (2 * count(*))
+                      AS u6
+             FROM graph_edges GROUP BY 1),
+       v AS (SELECT e.dst AS supplier,
+                    sum(e.n_items * u.u6)::BIGINT AS num,
+                    sum(u.u6 * u.u6)::BIGINT AS den,
+                    count(*)::BIGINT AS n_raters
+             FROM graph_edges e JOIN u ON u.src = e.src GROUP BY 1)
+       SELECT supplier,
+              floor((1e6 * num / den) * 10000 + 0.5) / 10000
+                AS v_factor,
+              n_raters
+       FROM v ORDER BY v_factor DESC, supplier LIMIT 25""",
+    note="rank-1 ALS (alternating least squares, the matrix-"
+    "factorization gap in the CF family: g117 recommends from "
+    "co-occurrence, THIS learns latent factors): with uniform v=1 "
+    "init, the closed-form u-step is u_c = sum_s(r_cs*v_s)/sum_s(v_s^2) "
+    "= sum(r)/deg per customer, and the v-step is v_s = "
+    "sum_c(r_cs*u_c)/sum_c(u_c^2).  Cross-engine float protocol: the "
+    "u-step is materialized as the EXACT micro-scaled integer "
+    "u6 = round(1e6*sum(r)/deg) via pure bigint arithmetic "
+    "((2e6*sr+deg) DIV (2*deg)), so the v-step's numerator and "
+    "denominator are exact integer sums with no float ordering "
+    "hazard, and v = 1e6*num/den is ONE fixed double expression "
+    "floor-rounded at 4dp (the pre-rounded-iteration-inputs idiom "
+    "every iterative float query here uses).  Scale: two map-side-"
+    "combined aggregates and one equi-join per half-step — the exact "
+    "shuffle shape of distributed ALS at any rank, where each step is "
+    "a groupBy over ratings joined with the broadcast other-side "
+    "factors; rank-k adds a k-vector payload, not a new topology",
+)
+def g124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = Catalog(spark, sf_dir).graph_edges()
+    u = e.groupBy("src").agg(
+        F.expr("(2000000 * sum(n_items) + count(*)) DIV (2 * count(*))").alias("u6")
+    )
+    v = (
+        e.join(u, "src")
+        .groupBy(F.col("dst").alias("supplier"))
+        .agg(
+            F.sum(F.col("n_items") * F.col("u6")).cast("long").alias("num"),
+            F.sum(F.col("u6") * F.col("u6")).cast("long").alias("den"),
+            F.count(F.lit(1)).cast("long").alias("n_raters"),
+        )
+    )
+    return (
+        v.select(
+            "supplier",
+            F.expr(
+                "floor((1e6 * num / den) * 10000 + 0.5) / 10000"
+            ).alias("v_factor"),
+            "n_raters",
+        )
+        .orderBy(F.col("v_factor").desc(), "supplier")
+        .limit(25)
+    )
+
+
 QUERIES = list(_G)

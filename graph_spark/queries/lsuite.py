@@ -6773,4 +6773,90 @@ def l111(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l112_ngram_span_dedup",
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                FROM documents),
+       p AS (SELECT doc_id, unnest(toks) AS tok,
+                    generate_subscripts(toks, 1) AS pos,
+                    len(toks) AS nt FROM t),
+       g AS (SELECT a.doc_id, a.pos,
+                    string_agg(b.tok, ' ' ORDER BY b.pos) AS gram
+             FROM p a JOIN p b ON a.doc_id = b.doc_id
+                             AND b.pos BETWEEN a.pos AND a.pos + 4
+             WHERE a.pos <= a.nt - 4
+             GROUP BY 1, 2),
+       m AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                    a.pos AS pa, b.pos AS pb
+             FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+       runs AS (SELECT da, db, pa - pb AS diag,
+                       pa - row_number() OVER (PARTITION BY da, db, pa - pb
+                                               ORDER BY pa) AS grp
+                FROM m),
+       isl AS (SELECT da, db, diag, grp, count(*) AS run_grams
+               FROM runs GROUP BY 1, 2, 3, 4)
+       SELECT da AS doc_a, db AS doc_b,
+              sum(run_grams)::BIGINT AS shared_grams,
+              (max(run_grams) + 4)::BIGINT AS max_run_tokens
+       FROM isl GROUP BY 1, 2
+       ORDER BY shared_grams DESC, doc_a, doc_b LIMIT 25""",
+    note="exact repeated-span detection across documents (the "
+    "suffix-array substring-dedup idea from the published training-"
+    "data dedup literature, approximated at fixed 5-token-gram "
+    "granularity — a run of r consecutive matching grams IS a "
+    "repeated span of r+4 tokens, so max_run_tokens reports the "
+    "longest verbatim overlap per doc pair and shared_grams its "
+    "total bulk; MinHash (l02) answers 'similar', THIS answers "
+    "'copied verbatim, how long'): positional 5-grams self-joined on "
+    "the gram, matches grouped per (pair, diagonal pa-pb), and "
+    "consecutive-position islands found with the pa - row_number() "
+    "gaps-and-islands trick — every carrier an exact integer, no "
+    "floats anywhere.  Scale: the gram equi-join is the l07 inverted-"
+    "index shape (shuffle keyed on the gram hash, stop-gram skew "
+    "capped the same way); islands are one window over the match "
+    "pairs, and match volume — not corpus volume — bounds the cost, "
+    "exactly like the suffix-array method's LCP pass",
+)
+def l112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    t = docs.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+    g = t.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 4), "
+                "p -> concat_ws(' ', slice(toks, p, 5)))"
+            )
+        ).alias("p0", "gram"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "gram")
+    a = g.select(
+        F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "gram"
+    )
+    b = g.select(
+        F.col("doc_id").alias("db"), F.col("pos").alias("pb"), "gram"
+    )
+    m = a.join(b, "gram").filter(F.col("da") < F.col("db")).select(
+        "da", "db", "pa", "pb"
+    )
+    wdiag = Window.partitionBy("da", "db", F.col("pa") - F.col("pb")).orderBy("pa")
+    runs = m.withColumn("grp", F.col("pa") - F.row_number().over(wdiag))
+    isl = runs.groupBy("da", "db", F.col("pa") - F.col("pb"), "grp").agg(
+        F.count(F.lit(1)).alias("run_grams")
+    )
+    per_pair = isl.groupBy("da", "db").agg(
+        F.sum("run_grams").cast("long").alias("shared_grams"),
+        (F.max("run_grams") + 4).cast("long").alias("max_run_tokens"),
+    )
+    return (
+        per_pair.select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            "shared_grams",
+            "max_run_tokens",
+        )
+        .orderBy(F.col("shared_grams").desc(), "doc_a", "doc_b")
+        .limit(25)
+    )
+
+
 QUERIES = list(_L)

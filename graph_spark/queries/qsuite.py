@@ -10534,4 +10534,92 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RBO_CASE = (
+    "CASE md WHEN 1 THEN 5932493265528 WHEN 2 THEN 3412493265528 "
+    "WHEN 3 THEN 2278493265528 WHEN 4 THEN 1598093265528 "
+    "WHEN 5 THEN 1138823265528 WHEN 6 THEN 808148865528 "
+    "WHEN 7 THEN 560143065528 WHEN 8 THEN 368824305528 "
+    "WHEN 9 THEN 218160782028 WHEN 10 THEN 97629963228 END"
+)
+
+
+@_q(
+    "q148_rbo",
+    f"""WITH r94 AS (
+         SELECT o.o_custkey AS c,
+                sum(floor(l.l_extendedprice*(1-l.l_discount)*100 + 0.5))::BIGINT
+                  AS cents
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE year(o.o_orderdate) = 1994 GROUP BY 1),
+       r95 AS (
+         SELECT o.o_custkey AS c,
+                sum(floor(l.l_extendedprice*(1-l.l_discount)*100 + 0.5))::BIGINT
+                  AS cents
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         WHERE year(o.o_orderdate) = 1995 GROUP BY 1),
+       a AS (SELECT c, row_number() OVER (ORDER BY cents DESC, c) AS ra
+             FROM r94 QUALIFY ra <= 10),
+       b AS (SELECT c, row_number() OVER (ORDER BY cents DESC, c) AS rb
+             FROM r95 QUALIFY rb <= 10),
+       j AS (SELECT greatest(a.ra, b.rb) AS md FROM a JOIN b USING (c)),
+       n AS (SELECT count(*)::BIGINT AS n_common,
+                    coalesce(sum({_RBO_CASE}), 0)::BIGINT AS rbo_carrier
+             FROM j)
+       SELECT n_common, rbo_carrier,
+              floor((rbo_carrier / 2.52e13) * 1000000 + 0.5)
+                / 1000000 AS rbo
+       FROM n""",
+    note="rank-biased overlap (RBO@10, p=0.9, truncated/prefix form — "
+    "the top-weighted rank-similarity measure search/recsys teams use "
+    "where Spearman/Kendall over-weight the tail): 1994-vs-1995 "
+    "customer revenue top-10 leaderboards; a customer in both lists "
+    "enters every prefix depth d >= max(ra, rb), so RBO's double sum "
+    "collapses to one per-customer suffix weight.  Cross-engine float "
+    "protocol: p^(d-1)/d terms over the common denominator 10^9*2520 "
+    "make every suffix weight an EXACT integer literal (the 10-arm "
+    "CASE), so the carrier sum is pure bigint — rbo itself is one "
+    "fixed double expression at the end, floor-rounded at 6dp; "
+    "identical lists give carrier/D*0.1 = 1-0.9^10 = 0.651322 "
+    "(verified closed-form).  Scale: two map-side-combined rollups + "
+    "two 10-row global ranks over the per-customer aggregate (the "
+    "TakeOrdered shape) + a 10x10-bounded join — corpus size only "
+    "touches the first rollup",
+)
+def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    li, o = c.table("lineitem"), c.table("orders")
+    base = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    cents = F.sum(
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
+    ).cast("long")
+
+    def topk(year: int, rcol: str):
+        rev = (
+            base.filter(F.year("o_orderdate") == year)
+            .groupBy(F.col("o_custkey").alias("c"))
+            .agg(cents.alias("cents"))
+        )
+        w = Window.orderBy(F.col("cents").desc(), "c")
+        return (
+            rev.withColumn(rcol, F.row_number().over(w))
+            .filter(F.col(rcol) <= 10)
+            .select("c", rcol)
+        )
+
+    j = topk(1994, "ra").join(topk(1995, "rb"), "c").select(
+        F.greatest("ra", "rb").alias("md")
+    )
+    n = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.coalesce(F.sum(F.expr(_RBO_CASE)), F.lit(0)).cast("long").alias("rbo_carrier"),
+    )
+    return n.select(
+        "n_common",
+        "rbo_carrier",
+        F.expr(
+            "floor((rbo_carrier / 2.52e13) * 1000000 + 0.5) / 1000000"
+        ).alias("rbo"),
+    )
+
+
 QUERIES = list(_Q)
