@@ -10622,4 +10622,125 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q149_sprt",
+    """WITH d AS (SELECT ts::DATE AS day, count(*)::BIGINT AS n,
+                       sum(CASE WHEN value > 50 THEN 1 ELSE 0 END)::BIGINT AS k
+               FROM events GROUP BY 1),
+       s AS (SELECT day, n, k,
+                    sum(k * 251314 + (n - k) * (-167054))
+                      OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)::BIGINT
+                      AS llr_micro
+             FROM d)
+       SELECT strftime(day, '%Y-%m-%d') AS day, n, k, llr_micro,
+              CASE WHEN llr_micro >= 2944439 THEN 'accept_h1'
+                   WHEN llr_micro <= -2944439 THEN 'accept_h0'
+                   ELSE 'continue' END AS state
+       FROM s ORDER BY day""",
+    note="Wald's SPRT (sequential probability ratio test) over the "
+    "daily event stream — the always-valid sequential A/B decision "
+    "rule the fixed-horizon tests (KS/chi-square/Mann-Whitney in this "
+    "suite) cannot give: success = value > 50, H0 p=0.35 vs H1 "
+    "p=0.45, alpha = beta = 0.05.  Cross-engine float protocol: the "
+    "per-day log-likelihood increment k*ln(p1/p0) + (n-k)*ln(q1/q0) "
+    "uses PRE-COMPUTED micro-nat integer literals (251314 / -167054; "
+    "decision boundary +-ln(19) = 2944439 micro-nats), so the "
+    "cumulative LLR is an exact bigint running sum — no transcendental "
+    "evaluated in-engine, no float accumulation at all.  Scale: one "
+    "map-side-combined day rollup, then a running sum over the "
+    "30-row day frame — corpus size only touches the rollup",
+)
+def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    d = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).cast("long").alias("k"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    s = d.withColumn(
+        "llr_micro",
+        F.sum(F.col("k") * 251314 + (F.col("n") - F.col("k")) * (-167054))
+        .over(w)
+        .cast("long"),
+    )
+    return s.select(
+        F.col("day").cast("string").alias("day"),
+        "n",
+        "k",
+        "llr_micro",
+        F.when(F.col("llr_micro") >= 2944439, "accept_h1")
+        .when(F.col("llr_micro") <= -2944439, "accept_h0")
+        .otherwise("continue")
+        .alias("state"),
+    ).orderBy("day")
+
+
+@_q(
+    "q150_consistent_hashing",
+    """WITH vn AS (SELECT 's'||s_suppkey AS node,
+                        ('0x'||substr(md5('s'||s_suppkey), 1, 15))::BIGINT AS h
+               FROM supplier),
+       ky AS (SELECT 'c'||c_custkey AS key,
+                     ('0x'||substr(md5('c'||c_custkey), 1, 15))::BIGINT AS h
+              FROM customer),
+       ring AS (SELECT h, node, NULL AS key FROM vn
+                UNION ALL SELECT h, NULL, key FROM ky),
+       nxt AS (SELECT h, node, key,
+                      min(CASE WHEN node IS NOT NULL THEN h END)
+                        OVER (ORDER BY h
+                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                        AS owner_h
+               FROM ring),
+       asg AS (SELECT key,
+                      coalesce(owner_h, (SELECT min(h) FROM vn)) AS owner_h
+               FROM nxt WHERE key IS NOT NULL)
+       SELECT vn.node AS node, count(*)::BIGINT AS n_keys
+       FROM asg JOIN vn ON vn.h = asg.owner_h
+       GROUP BY 1 ORDER BY n_keys DESC, node LIMIT 20""",
+    note="consistent-hashing ring assignment (the shard/cache routing "
+    "primitive — how a 1000-node serving tier maps keys to owners "
+    "with minimal movement on membership change): suppliers are ring "
+    "vnodes at md5 positions, each customer key is owned by the first "
+    "vnode clockwise (min vnode hash >= key hash, wrapping to the "
+    "global min).  Compiled as ONE ordered pass over the unioned "
+    "(hash, type) stream with a conditional min over the following "
+    "frame — the as-of-join shape, not a per-key probe join; all "
+    "carriers are the repo's md5 15-hex-digit bigints, so both "
+    "engines agree bit-for-bit.  Scale: a range-partitioned "
+    "sort-merge over |keys|+|vnodes| rows; the top-20 load counts "
+    "expose the ring-imbalance that real systems fix with more "
+    "vnodes per node (stddev ~ 1/sqrt(vnodes))",
+)
+def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    h15 = lambda col: F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    vn = c.table("supplier").select(
+        F.concat(F.lit("s"), F.col("s_suppkey")).alias("node")
+    ).select("node", h15(F.col("node")).alias("h"))
+    ky = c.table("customer").select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("key")
+    ).select("key", h15(F.col("key")).alias("h"))
+    ring = vn.select("h", "node", F.lit(None).cast("string").alias("key")).unionByName(
+        ky.select("h", F.lit(None).cast("string").alias("node"), "key")
+    )
+    w = Window.orderBy("h").rowsBetween(0, Window.unboundedFollowing)
+    nxt = ring.withColumn(
+        "owner_h",
+        F.min(F.when(F.col("node").isNotNull(), F.col("h"))).over(w),
+    )
+    min_h = vn.agg(F.min("h").alias("__wrap"))
+    asg = (
+        nxt.filter(F.col("key").isNotNull())
+        .crossJoin(F.broadcast(min_h))
+        .select("key", F.coalesce("owner_h", "__wrap").alias("owner_h"))
+    )
+    return (
+        asg.join(vn.select("node", F.col("h").alias("owner_h")), "owner_h")
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+        .orderBy(F.col("n_keys").desc(), "node")
+        .limit(20)
+    )
+
+
 QUERIES = list(_Q)
