@@ -10743,4 +10743,145 @@ def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dtw_band_oracle(n: int = 30, w: int = 3, big: int = 10**15) -> str:
+    """Oracle for t88: the Sakoe-Chiba-banded DTW lattice unrolled
+    row-wise (t85's closed form, restricted to |i-j| <= w; out-of-band
+    cells are the BIG sentinel, which the running min discards wherever
+    a finite in-band path exists)."""
+
+    def series(name: str, etype: str) -> str:
+        return f"""{name} AS (
+         SELECT s.m, coalesce(t.c, 0)::BIGINT AS v
+         FROM (SELECT unnest(range(1, {n + 1})) AS m) s
+         LEFT JOIN (SELECT day(ts) AS m, count(*) AS c
+                    FROM events WHERE event_type = '{etype}' GROUP BY 1) t
+         ON t.m = s.m)"""
+
+    ctes = [
+        series("sa", "click"),
+        series("sb", "view"),
+        f"""lat AS MATERIALIZED (SELECT a.m AS i, b.m AS j,
+           abs(a.v - b.v)::BIGINT AS d
+         FROM sa a CROSS JOIN sb b WHERE abs(a.m - b.m) <= {w})""",
+        """r1 AS MATERIALIZED (SELECT j, (sum(d) OVER (ORDER BY j))::BIGINT AS c
+         FROM lat WHERE i = 1)""",
+    ]
+    for i in range(2, n + 1):
+        # m(t) = min(c_prev(t), c_prev(t-1)) with out-of-band cells as
+        # the BIG sentinel: TWO explicit left joins, because at the
+        # band's trailing edge only t-1 exists in the previous row and
+        # a lag() over the previous row's own frame would lose that
+        # legal diagonal move entirely.  MATERIALIZED is load-bearing:
+        # each level references the previous one twice, and DuckDB 1.0
+        # would otherwise inline the chain exponentially (the g29
+        # lesson).
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+         SELECT j, (dsum + mn)::BIGINT AS c FROM (
+           SELECT j, sum(d) OVER (ORDER BY j) AS dsum,
+                  min(m2 - dp) OVER (ORDER BY j) AS mn
+           FROM (
+             SELECT l.j, l.d,
+                    least(coalesce(p0.c, {big}), coalesce(p1.c, {big})) AS m2,
+                    coalesce(sum(l.d) OVER (ORDER BY l.j
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS dp
+             FROM (SELECT j, d FROM lat WHERE i = {i}) l
+             LEFT JOIN r{i - 1} p0 ON p0.j = l.j
+             LEFT JOIN r{i - 1} p1 ON p1.j = l.j - 1) q) q2)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT j::INT AS j, c::BIGINT AS cost FROM r{n} ORDER BY j"
+    )
+
+
+@_q(
+    "t88_dtw_band",
+    _dtw_band_oracle(),
+    note="Sakoe-Chiba-banded DTW (|i-j| <= 3) between the 30-day "
+    "click-vs-view daily count series — t85's elastic alignment at "
+    "2.5x the series length, with the band constraint every practical "
+    "DTW deployment uses (it forbids pathological alignments AND cuts "
+    "the lattice from n^2 to ~2wn cells, the knob that makes DTW "
+    "feasible on long series).  Same row-collapse closed form as t85 "
+    "(c(i,j) = D(j) + min_t<=j(m(t) - D(t-1)), one prefix-sum + one "
+    "running-min window per row), with out-of-band predecessor cells "
+    "entering as a 10^15 BIG sentinel the running min discards "
+    "wherever a finite in-band path exists — exact BIGINT carriers "
+    "throughout, no floats; the previous row left-joins so band edges "
+    "null-extend to the sentinel identically in both engines.  "
+    "30 chained window stages over <= 7-row band frames, lineage "
+    "truncated mid-chain; like all of the collapse-then-compute "
+    "family the corpus only touches the initial day rollup",
+)
+def t88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n, w_band, big = 30, 3, 10**15
+    ev = Catalog(spark, sf_dir).table("events")
+    spine = spark.range(1, n + 1).select(F.col("id").cast("int").alias("m"))
+
+    def series(etype: str, out: str) -> DataFrame:
+        cnt = (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy(F.dayofmonth("ts").alias("m"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        return spine.join(cnt, "m", "left").select(
+            F.col("m").alias(out), F.coalesce("c", F.lit(0)).cast("long").alias("v")
+        )
+
+    lat = (
+        series("click", "i")
+        .withColumnRenamed("v", "va")
+        .crossJoin(series("view", "j").withColumnRenamed("v", "vb"))
+        .filter(F.abs(F.col("i") - F.col("j")) <= w_band)
+        .select("i", "j", F.abs(F.col("va") - F.col("vb")).cast("long").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    wj = Window.orderBy("j")
+    prev = lat.filter(F.col("i") == 1).select(
+        "j", F.sum("d").over(wj).cast("long").alias("c")
+    )
+    for i in range(2, n + 1):
+        # m(t) = min(c_prev(t), c_prev(t-1)) via TWO left joins: at the
+        # band's trailing edge only t-1 exists in the previous row, and
+        # a lag() over the previous row's own frame would drop that
+        # legal diagonal move (out-of-band cells -> BIG sentinel)
+        p0 = prev.select("j", F.col("c").alias("c0"))
+        p1 = prev.select((F.col("j") + 1).alias("j"), F.col("c").alias("c1"))
+        q = (
+            lat.filter(F.col("i") == i)
+            .select("j", "d")
+            .join(p0, "j", "left")
+            .join(p1, "j", "left")
+            .select(
+                "j",
+                "d",
+                F.least(
+                    F.coalesce("c0", F.lit(big)), F.coalesce("c1", F.lit(big))
+                ).alias("m2"),
+                F.coalesce(
+                    F.sum("d").over(
+                        wj.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ).alias("dp"),
+            )
+        )
+        q2 = q.select(
+            "j",
+            F.sum("d").over(wj).alias("dsum"),
+            F.min(F.col("m2") - F.col("dp")).over(wj).alias("mn"),
+        )
+        prev = q2.select("j", (F.col("dsum") + F.col("mn")).cast("long").alias("c"))
+        if i < n:
+            # checkpoint EVERY level: p0/p1 reference prev twice, so an
+            # un-truncated logical plan doubles per level (2^30 tree
+            # copies by the last row); 29 eager jobs over <=7-row
+            # frames cost ~seconds, the exponential analysis does not
+            prev = prev.localCheckpoint(eager=True)
+    return prev.select(
+        F.col("j").cast("int").alias("j"), F.col("c").alias("cost")
+    ).orderBy("j")
+
+
 QUERIES = list(_Q)

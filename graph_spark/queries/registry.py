@@ -52,6 +52,15 @@ HAZARD_PRIORITY = [
     "g117_itemitem_recs",
     "t85_dtw",
     "g107_negative_sampling",
+    # round-5 hazards: ALS micro-carrier division + rounded-float
+    # top-25 cut (g124), RBO top-10 rank cut on exact cents (q148),
+    # diagonal-island windows (l112), global ring-ordered window
+    # (q150), 30-stage banded-DTW window chain (t88)
+    "g124_als_rank1",
+    "q148_rbo",
+    "l112_ngram_span_dedup",
+    "q150_consistent_hashing",
+    "t88_dtw_band",
 ]
 
 

@@ -665,3 +665,48 @@ def test_basket_cap_validates(spark):
 
     with pytest.raises(ValueError, match=">= 1"):
         basket_cap_items(_skewed_baskets(spark), "src", "dst", 0)
+
+
+def test_t88_dtw_band_matches_bruteforce_dp(spark):
+    """t88's banded row-unrolled form must equal the textbook DTW
+    recurrence restricted to the |i-j| <= 3 band (out-of-band cells
+    infinite) — an independent cell-by-cell implementation, so a band-
+    edge mistake shared between engine and oracle can't hide (the lag
+    pitfall: at the band's trailing edge only the diagonal predecessor
+    exists)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from graph_spark.catalog import Catalog
+    from graph_spark.queries.qsuite import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    t88 = next(q for q in QUERIES if q.name == "t88_dtw_band")
+    got = {r.j: r.cost for r in t88.build(spark, SF_SMOKE).collect()}
+
+    ev = Catalog(spark, SF_SMOKE).table("events")
+
+    def series(et):
+        rows = dict(
+            ev.filter(F.col("event_type") == et)
+            .groupBy(F.dayofmonth("ts").alias("m"))
+            .count()
+            .collect()
+        )
+        return np.array([rows.get(m, 0) for m in range(1, 31)], dtype=np.int64)
+
+    a, b = series("click"), series("view")
+    n, w = 30, 3
+    inf = np.iinfo(np.int64).max // 4
+    c = np.full((n + 1, n + 1), inf, dtype=np.int64)
+    c[0, 0] = 0
+    for i in range(1, n + 1):
+        for j in range(1, n + 1):
+            if abs(i - j) > w:
+                continue
+            c[i, j] = abs(a[i - 1] - b[j - 1]) + min(
+                c[i - 1, j], c[i, j - 1], c[i - 1, j - 1]
+            )
+    want = {j: int(c[n, j]) for j in range(1, n + 1) if abs(n - j) <= w}
+    assert got == want

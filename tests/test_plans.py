@@ -791,3 +791,20 @@ def test_round4_queries_no_cartesian(spark):
         q = next(q for q in pool if q.name == name)
         plan = _plan(q.build(spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, f"{name}: {plan}"
+
+
+def test_g121_g122_pattern_predicates_semi_anti(spark):
+    """The declared Cypher pattern-predicate queries must lower to hash
+    SEMI/ANTI joins on the real fixture graph — not just on the unit-
+    test tiny graph — with no cartesian/nested-loop anywhere (the r4
+    verdict's done-criterion for EXISTS / NOT)."""
+    from graph_spark.queries.registry import by_name
+
+    reg = by_name()
+    semi = _plan(reg["g121_cypher_exists"].build(spark, SF_SMOKE))
+    anti = _plan(reg["g122_cypher_not_pattern"].build(spark, SF_SMOKE))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+    for p in (semi, anti):
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
