@@ -6859,4 +6859,122 @@ def l112(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l113_span_coverage",
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                FROM documents),
+       p AS (SELECT doc_id, unnest(toks) AS tok,
+                    generate_subscripts(toks, 1) AS pos,
+                    len(toks) AS nt FROM t),
+       g AS (SELECT a.doc_id, a.pos,
+                    string_agg(b.tok, ' ' ORDER BY b.pos) AS gram
+             FROM p a JOIN p b ON a.doc_id = b.doc_id
+                             AND b.pos BETWEEN a.pos AND a.pos + 4
+             WHERE a.pos <= a.nt - 4
+             GROUP BY 1, 2),
+       m AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                    a.pos AS pa, b.pos AS pb
+             FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id <> b.doc_id),
+       iv AS (SELECT DISTINCT da AS doc_id, pa AS s FROM m),
+       fl AS (SELECT doc_id, s, s + 4 AS e,
+                     CASE WHEN s > coalesce(max(s + 4) OVER (
+                            PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          -1) + 1 THEN 1 ELSE 0 END AS flag
+              FROM iv),
+       isl AS (SELECT doc_id, s, e,
+                      sum(flag) OVER (PARTITION BY doc_id ORDER BY s
+                        ROWS UNBOUNDED PRECEDING) AS island
+               FROM fl),
+       cov AS (SELECT doc_id, island,
+                      max(e) - min(s) + 1 AS covered
+               FROM isl GROUP BY 1, 2),
+       per_doc AS (SELECT doc_id, sum(covered)::BIGINT AS covered_tokens
+                   FROM cov GROUP BY 1),
+       nt AS (SELECT doc_id, len(string_split(lower(text), ' '))::BIGINT
+                       AS n_tokens
+              FROM documents)
+       SELECT d.doc_id, d.covered_tokens, nt.n_tokens,
+              floor(1e4 * d.covered_tokens / nt.n_tokens + 0.5) / 100
+                AS coverage_pct
+       FROM per_doc d JOIN nt ON nt.doc_id = d.doc_id
+       ORDER BY d.covered_tokens DESC, d.doc_id LIMIT 15""",
+    note="per-document repeated-span coverage (the DEDUP POLICY signal "
+    "l112's pair report feeds: a doc whose tokens are mostly covered "
+    "by spans appearing verbatim in OTHER docs is a removal candidate "
+    "— the doc-level summary the published substring-dedup pipelines "
+    "threshold on): every cross-doc matching 5-gram contributes the "
+    "interval [pos, pos+4]; per doc, overlapping/adjacent intervals "
+    "merge via the running-max gaps-and-islands flag (new island when "
+    "s > cum-max(e) + 1), and coverage = union length over token "
+    "count.  All integer carriers; the one ratio is a closing "
+    "fixed double expression.  Scale: the gram join is l112's; the "
+    "interval union is one window partitioned by doc (bounded by "
+    "per-doc match count), and the DISTINCT start-set keeps multi-"
+    "partner repeats from double-counting",
+)
+def l113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    t = docs.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+    g = t.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 4), "
+                "p -> concat_ws(' ', slice(toks, p, 5)))"
+            )
+        ).alias("p0", "gram"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "gram")
+    a = g.select(F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "gram")
+    b = g.select(F.col("doc_id").alias("db"), F.col("pos").alias("pb"), "gram")
+    iv = (
+        a.join(b, "gram")
+        .filter(F.col("da") != F.col("db"))
+        .select(F.col("da").alias("doc_id"), F.col("pa").alias("s"))
+        .distinct()
+    )
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fl = iv.select(
+        "doc_id",
+        "s",
+        (F.col("s") + 4).alias("e"),
+        F.when(
+            F.col("s") > F.coalesce(F.max(F.col("s") + 4).over(wprev), F.lit(-1)) + 1,
+            1,
+        )
+        .otherwise(0)
+        .alias("flag"),
+    )
+    wcum = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = fl.withColumn("island", F.sum("flag").over(wcum))
+    cov = isl.groupBy("doc_id", "island").agg(
+        (F.max("e") - F.min("s") + 1).alias("covered")
+    )
+    per_doc = cov.groupBy("doc_id").agg(
+        F.sum("covered").cast("long").alias("covered_tokens")
+    )
+    nt = t.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+    return (
+        per_doc.join(nt, "doc_id")
+        .select(
+            "doc_id",
+            "covered_tokens",
+            "n_tokens",
+            F.expr(
+                "floor(1e4 * covered_tokens / n_tokens + 0.5) / 100"
+            ).alias("coverage_pct"),
+        )
+        .orderBy(F.col("covered_tokens").desc(), "doc_id")
+        .limit(15)
+    )
+
+
 QUERIES = list(_L)

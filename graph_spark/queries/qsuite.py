@@ -10835,6 +10835,7 @@ def t88(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(series("view", "j").withColumnRenamed("v", "vb"))
         .filter(F.abs(F.col("i") - F.col("j")) <= w_band)
         .select("i", "j", F.abs(F.col("va") - F.col("vb")).cast("long").alias("d"))
+        .coalesce(1)  # ~2wn = 208 cells — one partition, 30 cheap scans
         .localCheckpoint(eager=True)
     )
     wj = Window.orderBy("j")
@@ -10846,13 +10847,41 @@ def t88(spark: SparkSession, sf_dir: str) -> DataFrame:
         # band's trailing edge only t-1 exists in the previous row, and
         # a lag() over the previous row's own frame would drop that
         # legal diagonal move (out-of-band cells -> BIG sentinel)
-        p0 = prev.select("j", F.col("c").alias("c0"))
-        p1 = prev.select((F.col("j") + 1).alias("j"), F.col("c").alias("c1"))
+        # m(t) needs prev at BOTH t and t-1, but prev must be referenced
+        # exactly ONCE: localCheckpoint copies the origin plan's
+        # sizeInBytes into the LogicalRDD, so two references per level
+        # SQUARE the stats BigInt — its digit count doubles per level
+        # and stats estimation alone goes exponential (measured: level
+        # 18 0.85s, 20 3.2s, 22 15.4s...).  One explode into both roles
+        # (j carrying c0, j+1 carrying c1) + a 7-row groupBy keeps the
+        # stats product linear; the join side is broadcast (each side
+        # <= 7 rows — without the hint every level pays a full
+        # shuffle-partitions-wide exchange, measured 1024 tasks/level)
+        pp = (
+            prev.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("j").alias("j"),
+                            F.col("c").alias("c0"),
+                            F.lit(None).cast("long").alias("c1"),
+                        ),
+                        F.struct(
+                            (F.col("j") + 1).alias("j"),
+                            F.lit(None).cast("long").alias("c0"),
+                            F.col("c").alias("c1"),
+                        ),
+                    )
+                ).alias("r")
+            )
+            .select("r.j", "r.c0", "r.c1")
+            .groupBy("j")
+            .agg(F.min("c0").alias("c0"), F.min("c1").alias("c1"))
+        )
         q = (
             lat.filter(F.col("i") == i)
             .select("j", "d")
-            .join(p0, "j", "left")
-            .join(p1, "j", "left")
+            .join(F.broadcast(pp), "j", "left")
             .select(
                 "j",
                 "d",
