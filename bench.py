@@ -576,6 +576,7 @@ def main() -> None:
     # uniformly-loaded case.  If the run looks contended, the gated
     # block auto-reruns ONCE and the faster pass is reported (both
     # totals land in the JSON so nothing is hidden).
+    time.sleep(2)  # let prior JVM/bench activity settle before the control
     ctrl_pre = duckdb_control(sf_dir)
     print(f"# duckdb_control pre: {ctrl_pre:.3f}s", file=sys.stderr)
     timings, total = run_suite()
@@ -597,6 +598,7 @@ def main() -> None:
             file=sys.stderr,
         )
         first_pass_total = total
+        time.sleep(2)  # settle: the first pass's tail inflates an immediate pre-control
         ctrl_pre2 = duckdb_control(sf_dir)
         timings2, total2 = run_suite()
         ctrl_post2 = duckdb_control(sf_dir)
