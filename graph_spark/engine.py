@@ -759,6 +759,28 @@ class Engine:
         q = next(q for q in QUERIES if q.name == "g117_itemitem_recs")
         return q.build(self.spark, self.catalog.sf_dir)
 
+    def cooccurrence_pairs(
+        self,
+        edges: DataFrame | None = None,
+        basket_col: str = "src",
+        item_col: str = "dst",
+        min_cooc: int = 2,
+        basket_cap: int | None = None,
+    ) -> DataFrame:
+        """Item-item co-occurrence projection (s1 < s2, cooc) with the
+        viral-basket degree cap (operators/recsys.py): basket_cap=k
+        bounds every basket's contribution to C(k,2) pairs — the 100 TB
+        skew guard; None reproduces g38/g117's exact uncapped counts.
+        Defaults to the sales property graph's (customer, supplier)
+        edges when no frame is given."""
+        from .operators.recsys import item_item_cooccurrence
+
+        e = edges if edges is not None else self.catalog.graph_edges()
+        return item_item_cooccurrence(
+            e, basket_col=basket_col, item_col=item_col,
+            min_cooc=min_cooc, basket_cap=basket_cap,
+        )
+
     def dtw_profile(self) -> DataFrame:
         """DTW distance profile between the 1995 URGENT/HIGH monthly
         order series (t85): final DP row, exact integer costs."""

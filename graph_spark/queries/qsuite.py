@@ -10743,6 +10743,56 @@ def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q151_rendezvous_hashing",
+    """WITH vn AS (SELECT 's'||s_suppkey AS node FROM supplier),
+       ky AS (SELECT 'c'||c_custkey AS key FROM customer),
+       sc AS (SELECT ky.key, vn.node,
+                     ('0x'||substr(md5(ky.key||'|'||vn.node), 1, 15))::BIGINT
+                       AS hv
+              FROM ky CROSS JOIN vn),
+       own AS (SELECT key, max_by(node, hv) AS node FROM sc GROUP BY 1)
+       SELECT node, count(*)::BIGINT AS n_keys
+       FROM own GROUP BY 1 ORDER BY n_keys DESC, node LIMIT 20""",
+    note="rendezvous (highest-random-weight) hashing — q150's ring's "
+    "sibling and the scheme that replaced it in most modern routers "
+    "(no vnode imbalance: every key independently ranks ALL nodes, so "
+    "loads are multinomial-tight without virtual-node tricks, and "
+    "losing a node moves ONLY its own keys): owner = argmax over "
+    "nodes of md5(key‖node), via one broadcast crossJoin against the "
+    "node list + a max_by per key (exact — md5 carriers are distinct, "
+    "so the argmax is unique and engine-stable).  Scale: HRW is "
+    "inherently O(|nodes|) per key; the node list broadcasts (it is "
+    "the cluster membership, thousands at most) and the per-key "
+    "argmax is one map-side-combined aggregate — no shuffle of the "
+    "key-node product, only of (key, owner) pairs",
+)
+def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    vn = c.table("supplier").select(
+        F.concat(F.lit("s"), F.col("s_suppkey")).alias("node")
+    )
+    ky = c.table("customer").select(
+        F.concat(F.lit("c"), F.col("c_custkey")).alias("key")
+    )
+    sc = ky.crossJoin(F.broadcast(vn)).select(
+        "key",
+        "node",
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", "key", "node")), 1, 15), 16, 10
+        )
+        .cast("long")
+        .alias("hv"),
+    )
+    own = sc.groupBy("key").agg(F.expr("max_by(node, hv)").alias("node"))
+    return (
+        own.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_keys"))
+        .orderBy(F.col("n_keys").desc(), "node")
+        .limit(20)
+    )
+
+
 def _dtw_band_oracle(n: int = 30, w: int = 3, big: int = 10**15) -> str:
     """Oracle for t88: the Sakoe-Chiba-banded DTW lattice unrolled
     row-wise (t85's closed form, restricted to |i-j| <= w; out-of-band

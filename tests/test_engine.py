@@ -324,3 +324,21 @@ def test_engine_round4_surfaces(spark):
 
     sg = eng.skipgram_pairs()
     assert sg.columns == ["w1", "w2", "d", "cnt"] and sg.count() <= 25
+
+
+def test_engine_cooccurrence_pairs_cap(spark):
+    """Facade exposure of the capped projection: capped ⊆ uncapped on
+    the fixture graph, and the cap parameter reaches the operator."""
+    from pyspark.sql import functions as F
+
+    from graph_spark.engine import Engine
+
+    from .conftest import SF_SMOKE
+
+    e = Engine(spark, SF_SMOKE)
+    un = e.cooccurrence_pairs(min_cooc=1)
+    cap = e.cooccurrence_pairs(min_cooc=1, basket_cap=2)
+    un_keys = {(r.s1, r.s2) for r in un.collect()}
+    cap_rows = cap.collect()
+    assert {(r.s1, r.s2) for r in cap_rows} <= un_keys
+    assert cap.columns == ["s1", "s2", "cooc"]
