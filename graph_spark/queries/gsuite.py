@@ -6658,4 +6658,43 @@ def g124(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g125_cypher_not_varlen",
+    """WITH ne AS (
+         SELECT 'n'||c.c_nationkey AS src, 'n'||s.s_nationkey AS dst
+         FROM lineitem l JOIN orders o ON l.l_orderkey=o.o_orderkey
+         JOIN customer c ON o.o_custkey=c.c_custkey
+         JOIN supplier s ON l.l_suppkey=s.s_suppkey
+         GROUP BY 1,2 HAVING count(*) >= 150),
+       r2 AS (SELECT src, dst FROM ne UNION
+              SELECT a.src, b.dst FROM ne a JOIN ne b ON a.dst = b.src)
+       SELECT e.src AS src, count(*)::BIGINT AS n_unreturned
+       FROM ne e WHERE e.src <> e.dst
+         AND NOT EXISTS (SELECT 1 FROM r2
+                         WHERE r2.src = e.dst AND r2.dst = e.src)
+       GROUP BY 1 ORDER BY n_unreturned DESC, src""",
+    note="NOT pattern predicate over a VAR-LENGTH pattern — "
+    "NOT (b)-[:TRADE*1..2]->(a) counts each nation's export lanes "
+    "with no return route within two hops (g122's one-hop reciprocity "
+    "hardened to reachability): the anti-join's build side is the "
+    "semi-naive <=2-hop DISTINCT reach-pair set (_varlen_leg — per-"
+    "hop dedup keeps it |V|^2-bounded, never path-multiset), then the "
+    "same left-anti lowering as g122 on both bound variables.  68 of "
+    "the 91 sf0.01 lanes are unreturned at 2 hops vs 75 at 1 hop — "
+    "the query actually distinguishes the radii.  At scale the reach "
+    "set is one extra self-join of the rolled-up edge list before "
+    "the anti join; hop cap declared in BOTH engines (the g78 "
+    "lesson)",
+)
+def g125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cy(
+        spark,
+        sf_dir,
+        """MATCH (a:Nation)-[:TRADE]->(b:Nation)
+           WHERE a.node <> b.node AND NOT (b)-[:TRADE*1..2]->(a)
+           RETURN a AS src, count(*) AS n_unreturned
+           ORDER BY n_unreturned DESC, src""",
+    )
+
+
 QUERIES = list(_G)
