@@ -6977,4 +6977,46 @@ def l113(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "m12_magic_byte_sniffer",
+    """WITH media AS (SELECT doc_id, encode(text) AS payload,
+                           octet_length(encode(text))::BIGINT AS n_bytes
+                    FROM documents)
+       SELECT substr(hex(payload), 1, 4) AS magic_hex,
+              count(*)::BIGINT AS n_blobs,
+              sum(n_bytes)::BIGINT AS total_bytes
+       FROM media GROUP BY 1
+       ORDER BY n_blobs DESC, magic_hex LIMIT 15""",
+    note="magic-byte format sniffing over the opaque BINARY payload "
+    "column — the first thing a data-lake ingest does to a blob "
+    "(dispatch by leading bytes: FFD8 jpeg, 8950 png, 'PK' zip...): "
+    "group payloads by the hex of their first two bytes, count and "
+    "size per magic.  On this fixture payloads are utf-8 text bytes "
+    "(codec libs are absent, per the multimodal stub contract), so "
+    "the magics are leading characters — but the OPERATIONS under "
+    "test are the real ones: binary substring and hex round-trip "
+    "identically in both engines, proving the byte-slicing path the "
+    "format dispatcher needs.  One map-side-combined aggregate over "
+    "the pruned (payload, n_bytes) projection; at 100 TB the scan "
+    "reads 2 bytes per blob after parquet column pruning, and the "
+    "group key has format-count cardinality",
+)
+def m12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    media = to_media_table(docs)
+    return (
+        # hex-then-slice (not blob-substring-then-hex): DuckDB 1.0 has
+        # no BLOB substring, and 4 hex chars == the leading 2 bytes
+        media.groupBy(
+            F.substring(F.hex("payload"), 1, 4).alias("magic_hex")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blobs"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+        )
+        .orderBy(F.col("n_blobs").desc(), "magic_hex")
+        .limit(15)
+    )
+
+
 QUERIES = list(_L)
