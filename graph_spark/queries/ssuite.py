@@ -999,4 +999,68 @@ def s24(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_s(
+    "s25_watermark_late_audit",
+    """WITH a AS (SELECT ts, event_id,
+                       max(epoch_us(ts)) OVER (ORDER BY event_id
+                         ROWS UNBOUNDED PRECEDING) AS wm_us
+              FROM events),
+       l AS (SELECT ts::DATE AS day,
+                    CASE WHEN wm_us - epoch_us(ts) > 1800000000
+                         THEN 1 ELSE 0 END AS is_late,
+                    (wm_us - epoch_us(ts)) // 1000000 AS late_sec
+             FROM a)
+       SELECT strftime(day, '%Y-%m-%d') AS day,
+              count(*)::BIGINT AS n_events,
+              sum(is_late)::BIGINT AS n_late,
+              max(CASE WHEN is_late = 1 THEN late_sec ELSE 0 END)::BIGINT
+                AS max_late_sec
+       FROM l GROUP BY 1 ORDER BY day""",
+    note="watermark late-data audit — the sizing question every "
+    "streaming deploy answers BEFORE picking withWatermark(delay): "
+    "with event_id as the arrival order, the running max event-time "
+    "IS the watermark source, and an event is late when it arrives "
+    "more than the candidate delay (30 min) behind it — per day: "
+    "volume, would-be-dropped count, and worst lateness.  Exact "
+    "integer protocol: epoch MICROSECOND carriers (unix_micros / "
+    "epoch_us) and integer division to seconds — no timestamp "
+    "arithmetic in doubles.  Scale: the running max is one window "
+    "over the arrival order, which a real log already has within "
+    "each partition (per-partition watermarks are exactly how "
+    "Structured Streaming computes this); the day rollup is "
+    "map-side-combined.  The streaming twin is the s01-family "
+    "watermark config this audit parameterizes",
+)
+def s25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    a = ev.select(
+        "ts",
+        F.unix_micros("ts").alias("ts_us"),
+        F.max(F.unix_micros("ts")).over(w).alias("wm_us"),
+    )
+    l = a.select(
+        F.to_date("ts").alias("day"),
+        F.when(F.col("wm_us") - F.col("ts_us") > 1_800_000_000, 1)
+        .otherwise(0)
+        .alias("is_late"),
+        F.expr("(wm_us - ts_us) DIV 1000000").alias("late_sec"),
+    )
+    return (
+        l.groupBy(F.col("day").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("is_late").cast("long").alias("n_late"),
+            F.max(
+                F.when(F.col("is_late") == 1, F.col("late_sec")).otherwise(0)
+            )
+            .cast("long")
+            .alias("max_late_sec"),
+        )
+        .orderBy("day")
+    )
+
+
 QUERIES = list(_S)
