@@ -200,7 +200,7 @@ def bench_distributed_graph(spark) -> dict:
     return out
 
 
-def bench_distributed_graph_xl(spark) -> dict:
+def bench_distributed_graph_xl(spark, sf_dir: str | None = None) -> dict:
     """20M-edge block (4x the 5M block): the scale regime where the
     distributed paths must CROSS OVER the single-task numpy kernels,
     and where the shuffle-state Pregel layout (broadcast_state=False —
@@ -227,11 +227,27 @@ def bench_distributed_graph_xl(spark) -> dict:
     sym.count()
     g_sym = PropertyGraph(v, sym)
 
+    # Bracket EACH kernel with the gate's DuckDB control (r5 verdict:
+    # cc_shuffle swung 72.5 -> 112.3 s round-over-round with the kernel
+    # untouched — without a contention control around the XL block, the
+    # swing can't be attributed to box vs code).  Each control is ~1 s
+    # against a 20-100 s kernel; `controls` holds the readings in step
+    # order and `xl_bracket_ratio` is max/min over all of them.
+    controls: list[float] = []
+
+    def ctrl():
+        if sf_dir is not None:
+            c = duckdb_control(sf_dir)
+            controls.append(round(c, 3))
+
+    ctrl()
+
     def timed(key, fn):
         t0 = time.perf_counter()
         n = fn().count()
         out[key] = round(time.perf_counter() - t0, 3)
         print(f"# dist-graph-xl {key}: {out[key]}s ({n} rows)", file=sys.stderr)
+        ctrl()
 
     timed(
         "pagerank_shuffle",
@@ -247,6 +263,9 @@ def bench_distributed_graph_xl(spark) -> dict:
     timed("scc_local", lambda: alg.strongly_connected_components(g, local=True))
     e.unpersist()
     sym.unpersist()
+    if controls:
+        out["duckdb_controls_sec"] = controls
+        out["xl_bracket_ratio"] = round(max(controls) / max(min(controls), 1e-9), 2)
     return out
 
 
@@ -302,6 +321,50 @@ def bench_distributed_text(spark) -> dict:
         docs.unpersist()
     out["lsh_scale_ratio"] = round(
         (out["lsh_candidates_2m"] / out["lsh_candidates"]) / (2_000_000 / 200_000), 3
+    )
+
+    # Span-dedup scale evidence (r5 verdict item 7): the positional-
+    # 5-gram self-join behind l112/l113 is the quadratic-RISK shape of
+    # the family — prove match volume (not corpus volume) bounds it.
+    # Corpus: 40-token docs; each pair (2k, 2k+1) shares a verbatim
+    # 12-token span (positions 15-26, pair-keyed tokens so grams match
+    # ONLY within the pair); all other tokens are doc-unique.  Every
+    # planted pair therefore yields one 8-gram diagonal run =>
+    # max_run_tokens == 12, so recall is exact.  Run at 200k and 800k
+    # docs: match rows grow 4x (linear), wall time ~linear.
+    from graph_spark.operators.dedup import ngram_span_pairs
+
+    for tag, n_docs in (("", 200_000), ("_800k", 800_000)):
+        docs = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.expr("transform(sequence(0, 13), p -> concat('u', id, 'x', p))"),
+                F.expr(
+                    "transform(sequence(0, 11), p -> concat('s', id - id % 2, 'x', p))"
+                ),
+                F.expr("transform(sequence(14, 27), p -> concat('u', id, 'x', p))"),
+            ).alias("text"),
+        ).persist()
+        docs.count()
+        t0 = time.perf_counter()
+        pairs = ngram_span_pairs(docs, n=5, max_gram_freq=64).persist()
+        n_pairs = pairs.count()
+        out[f"span_dedup{tag}"] = round(time.perf_counter() - t0, 3)
+        out[f"span_pairs{tag}"] = n_pairs
+        hits = pairs.filter(
+            (F.col("doc_a") % 2 == 0)
+            & (F.col("doc_b") == F.col("doc_a") + 1)
+            & (F.col("max_run_tokens") >= 12)
+        ).count()
+        out[f"span_recall{tag}"] = round(hits / (n_docs // 2), 4)
+        pairs.unpersist()
+        docs.unpersist()
+    out["span_scale_ratio"] = round(
+        (out["span_dedup_800k"] / out["span_dedup"]) / 4.0, 3
+    )
+    out["span_pair_scale_ratio"] = round(
+        out["span_pairs_800k"] / max(out["span_pairs"], 1) / 4.0, 3
     )
     print(f"# dist-text: {out}", file=sys.stderr)
     return out
@@ -590,7 +653,12 @@ def main() -> None:
 
     bracket_ratio, anchor_ratio = _ratios(ctrl_pre, ctrl_post)
     first_pass_total = None
-    rerun = bracket_ratio > 1.2 or anchor_ratio > 1.2
+    # Rerun ONLY on the measured bracket: load arriving/leaving mid-run.
+    # The quiet anchor is box-relative (a uniformly slower container
+    # class trips it on EVERY run, doubling wall time for nothing), so
+    # it only sets the informational `contended` flag, and only at a
+    # much looser threshold.
+    rerun = bracket_ratio > 1.2
     if rerun:
         print(
             f"# contended run detected (bracket {bracket_ratio}, anchor "
@@ -618,7 +686,7 @@ def main() -> None:
         "duckdb_quiet_anchor_sec": DUCKDB_QUIET_ANCHOR,
         "contention_ratio": bracket_ratio,
         "control_vs_quiet_anchor": anchor_ratio,
-        "contended": bracket_ratio > 1.2 or anchor_ratio > 1.2,
+        "contended": bracket_ratio > 1.2 or anchor_ratio > 3.0,
     }
     if first_pass_total is not None:
         payload["suite_total_first_pass"] = first_pass_total
@@ -634,9 +702,29 @@ def main() -> None:
         payload["distributed_ann"] = bench_distributed_ann(spark)
         payload["skewed_baskets"] = bench_skewed_baskets(spark)
     if os.environ.get("SPARK_GRAFT_BENCH_XL", "1") != "0":
-        payload["distributed_graph_xl"] = bench_distributed_graph_xl(spark)
+        payload["distributed_graph_xl"] = bench_distributed_graph_xl(spark, sf_dir)
 
     print(json.dumps(payload))
+
+    # The driver records only the TAIL of bench output, and the evidence
+    # blocks above can push the full payload's head (suite_total,
+    # per-query gate times) out of the capture window (BENCH_r05.json
+    # came back `parsed: null`).  Emit a compact gate-only line LAST so
+    # the artifact tail always contains a complete, parseable record.
+    gate_only = {
+        "metric": "suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "duckdb_control_pre_sec": round(ctrl_pre, 3),
+        "duckdb_control_post_sec": round(ctrl_post, 3),
+        "contention_ratio": bracket_ratio,
+        "control_vs_quiet_anchor": anchor_ratio,
+        "contended": payload["contended"],
+        "gate_only": True,
+    }
+    print(json.dumps(gate_only))
 
 
 if __name__ == "__main__":

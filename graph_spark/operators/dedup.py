@@ -354,3 +354,87 @@ def fuzzy_match_pairs(
         .select(F.col("v").alias("a"), F.col("w").alias("b"), F.col("dist").cast("int").alias("dist"))
         .distinct()
     )
+
+
+def positional_ngrams(
+    df: DataFrame, n: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Positional word n-grams: (doc_id, pos, gram) with 1-based pos.
+
+    A doc shorter than n tokens emits no grams (guarded: without the
+    CASE, sequence(1, size-n+1) descends and slice(toks, 0, n) throws).
+    One per-row codegen pass — no shuffle, no UDF.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.lower(F.col(text_col)), " ").alias("toks"),
+    )
+    gram_expr = (
+        f"CASE WHEN size(toks) >= {n} THEN "
+        f"transform(sequence(1, size(toks) - {n - 1}), "
+        f"p -> concat_ws(' ', slice(toks, p, {n}))) "
+        "ELSE array() END"
+    )
+    return toks.select(
+        "doc_id", F.posexplode(F.expr(gram_expr)).alias("p0", "gram")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "gram")
+
+
+def ngram_span_pairs(
+    df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_gram_freq: int | None = None,
+) -> DataFrame:
+    """Verbatim repeated-span detection (the substring-dedup primitive
+    behind declared query l112): positional n-grams self-joined on the
+    gram, matches grouped per (pair, diagonal pa-pb), and consecutive
+    runs found with the pos - row_number() gaps-and-islands trick.  A
+    run of r consecutive matching grams IS a shared verbatim span of
+    r + n - 1 tokens.
+
+    Returns (doc_a, doc_b, shared_grams, max_run_tokens) with
+    doc_a < doc_b, every carrier an exact integer.
+
+    Scale: the gram equi-join is the inverted-index shape — shuffle
+    keyed on the gram, match volume (not corpus volume) bounds the
+    cost.  ``max_gram_freq`` drops stop-grams appearing in more than
+    that many documents BEFORE the join (each contributes O(freq^2)
+    pairs while carrying no dedup signal — the l07 skew cap); the
+    declared oracle-paired query runs uncapped.
+    """
+    g = positional_ngrams(df, n=n, text_col=text_col, id_col=id_col)
+    if max_gram_freq is not None:
+        from pyspark.sql import Window
+
+        keep = (
+            g.groupBy("gram")
+            .agg(F.countDistinct("doc_id").alias("df_"))
+            .filter(F.col("df_") <= max_gram_freq)
+            .select("gram")
+        )
+        g = g.join(keep, "gram")
+    a = g.select(F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "gram")
+    b = g.select(F.col("doc_id").alias("db"), F.col("pos").alias("pb"), "gram")
+    m = (
+        a.join(b, "gram")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db", "pa", "pb")
+    )
+    from pyspark.sql import Window
+
+    wdiag = Window.partitionBy("da", "db", F.col("pa") - F.col("pb")).orderBy("pa")
+    runs = m.withColumn("grp", F.col("pa") - F.row_number().over(wdiag))
+    isl = runs.groupBy("da", "db", F.col("pa") - F.col("pb"), "grp").agg(
+        F.count(F.lit(1)).alias("run_grams")
+    )
+    return isl.groupBy("da", "db").agg(
+        F.sum("run_grams").cast("long").alias("shared_grams"),
+        (F.max("run_grams") + n - 1).cast("long").alias("max_run_tokens"),
+    ).select(
+        F.col("da").alias("doc_a"),
+        F.col("db").alias("doc_b"),
+        "shared_grams",
+        "max_run_tokens",
+    )

@@ -6818,42 +6818,11 @@ def l111(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exactly like the suffix-array method's LCP pass",
 )
 def l112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_spark.operators.dedup import ngram_span_pairs
+
     docs = Catalog(spark, sf_dir).table("documents")
-    t = docs.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
-    g = t.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(1, size(toks) - 4), "
-                "p -> concat_ws(' ', slice(toks, p, 5)))"
-            )
-        ).alias("p0", "gram"),
-    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "gram")
-    a = g.select(
-        F.col("doc_id").alias("da"), F.col("pos").alias("pa"), "gram"
-    )
-    b = g.select(
-        F.col("doc_id").alias("db"), F.col("pos").alias("pb"), "gram"
-    )
-    m = a.join(b, "gram").filter(F.col("da") < F.col("db")).select(
-        "da", "db", "pa", "pb"
-    )
-    wdiag = Window.partitionBy("da", "db", F.col("pa") - F.col("pb")).orderBy("pa")
-    runs = m.withColumn("grp", F.col("pa") - F.row_number().over(wdiag))
-    isl = runs.groupBy("da", "db", F.col("pa") - F.col("pb"), "grp").agg(
-        F.count(F.lit(1)).alias("run_grams")
-    )
-    per_pair = isl.groupBy("da", "db").agg(
-        F.sum("run_grams").cast("long").alias("shared_grams"),
-        (F.max("run_grams") + 4).cast("long").alias("max_run_tokens"),
-    )
     return (
-        per_pair.select(
-            F.col("da").alias("doc_a"),
-            F.col("db").alias("doc_b"),
-            "shared_grams",
-            "max_run_tokens",
-        )
+        ngram_span_pairs(docs, n=5)
         .orderBy(F.col("shared_grams").desc(), "doc_a", "doc_b")
         .limit(25)
     )
@@ -6919,9 +6888,12 @@ def l113(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = t.select(
         "doc_id",
         F.posexplode(
+            # Same short-doc guard as l112 (no 5-gram under 5 tokens).
             F.expr(
+                "CASE WHEN size(toks) >= 5 THEN "
                 "transform(sequence(1, size(toks) - 4), "
-                "p -> concat_ws(' ', slice(toks, p, 5)))"
+                "p -> concat_ws(' ', slice(toks, p, 5))) "
+                "ELSE array() END"
             )
         ).alias("p0", "gram"),
     ).select("doc_id", (F.col("p0") + 1).alias("pos"), "gram")
