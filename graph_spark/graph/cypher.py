@@ -419,6 +419,134 @@ _EXISTS_PRED = re.compile(
 _BARE_PAT = re.compile(r"^(?P<neg>NOT\s+)?(?P<pat>\(.*)$", re.IGNORECASE | re.DOTALL)
 
 
+def _split_disjuncts(text: str) -> list[str]:
+    """Split a boolean body on top-level OR (outside parens / braces /
+    brackets / quotes).  Top-level ANDs stay inside their disjunct
+    (AND binds tighter: ``a AND b OR c`` == ``(a AND b) OR c``).
+    Returns a one-element list when no top-level OR is present."""
+    out: list[str] = []
+    cur: list[str] = []
+    depth = 0
+    q: str | None = None
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if q:
+            cur.append(ch)
+            if ch == q:
+                q = None
+            i += 1
+            continue
+        if ch in "'\"":
+            q = ch
+            cur.append(ch)
+        elif ch in "({[":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")}]":
+            depth -= 1
+            cur.append(ch)
+        elif depth == 0 and ch.isalpha():
+            m = re.match(r"OR\b", text[i:], re.IGNORECASE)
+            prev = text[i - 1] if i else " "
+            if m and not (prev.isalnum() or prev == "_"):
+                out.append("".join(cur).strip())
+                cur = []
+                i += m.end()
+                continue
+            cur.append(ch)
+        else:
+            cur.append(ch)
+        i += 1
+    if cur:
+        out.append("".join(cur).strip())
+    return [c for c in out if c]
+
+
+def _strip_outer_parens(text: str) -> str:
+    """Strip outer parens that wrap the WHOLE text (balanced pair)."""
+    t = text.strip()
+    while t.startswith("(") and t.endswith(")"):
+        depth = 0
+        for i, ch in enumerate(t):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i != len(t) - 1:
+                    return t  # first paren closes early: not a wrapper
+        t = t[1:-1].strip()
+    return t
+
+
+# a '-[' / ']-' relationship-arrow shape anywhere in an expression —
+# used only to turn "would be an opaque Spark SQL parse error" into a
+# clean cypher-level refusal
+_PATTERN_SHAPE = re.compile(r"-\s*\[|\]\s*-")
+
+
+def _bracket_lists_to_array(text: str) -> str:
+    """Rewrite Cypher bracket list literals ``[1, 2, 3]`` to Spark SQL
+    ``array(1, 2, 3)`` in an EXPRESSION context (WHERE / WITH / RETURN
+    bodies — never MATCH patterns, which don't pass through here).
+
+    A ``[`` is a list literal unless the previous non-space character
+    is an identifier char, ``)`` or ``]`` (those are subscripts, e.g.
+    ``arr[0]`` or ``[1,2][0]``, which Spark SQL also understands) —
+    EXCEPT when that identifier is a keyword (``x IN [..]``,
+    ``a AND [..]``), which can only precede a literal.  Quoted spans
+    are untouched; nesting is handled with a stack so each converted
+    ``[`` closes with ``)``."""
+    kw = {"IN", "AND", "OR", "NOT", "XOR", "WHEN", "THEN", "ELSE",
+          "RETURN", "DISTINCT", "CONTAINS", "LIKE", "RLIKE", "BETWEEN"}
+    out: list[str] = []
+    # each open '[' pushes how it must close: ']' kept subscript,
+    # ')' after array(, or ')' after a plain '(' (the IN value list —
+    # Spark SQL's IN takes `(v, ...)`, not an array)
+    stack: list[str] = []
+    q: str | None = None
+    prev_code = ""  # last non-space char emitted outside quotes
+    for ch in text:
+        if q:
+            out.append(ch)
+            if ch == q:
+                q = None
+            continue
+        if ch in "'\"":
+            q = ch
+            out.append(ch)
+            prev_code = ch
+            continue
+        if ch == "[":
+            prev_word = None
+            if prev_code.isalnum() or prev_code == "_":
+                word = re.search(r"(\w+)$", "".join(out).rstrip())
+                prev_word = word.group(1).upper() if word else None
+            is_subscript = bool(prev_code) and (
+                prev_code.isalnum() or prev_code in ")]_"
+            ) and prev_word not in kw
+            if is_subscript:
+                out.append("[")
+                stack.append("]")
+            elif prev_word == "IN":
+                out.append("(")
+                stack.append(")")
+            else:
+                out.append("array(")
+                stack.append(")")
+            prev_code = "("
+            continue
+        if ch == "]":
+            close = stack.pop() if stack else "]"
+            out.append(close)
+            prev_code = close
+            continue
+        out.append(ch)
+        if not ch.isspace():
+            prev_code = ch
+    return "".join(out)
+
+
 def _split_top_level(text: str, sep: str = ",") -> list[str]:
     """Split on `sep` outside parens/quotes."""
     out, depth, cur, q = [], 0, [], None
@@ -740,6 +868,8 @@ def _rewrite(expr: str, node_vars: set[str], edge_vars: set[str]) -> str:
             )
         return m.group(0)  # e.g. a qualified SQL function or table ref
 
+    # Cypher list literals -> Spark SQL array(...) first (quote-aware)
+    expr = _bracket_lists_to_array(expr)
     # split out quoted spans (odd indices after re.split with a capture
     # group) and rewrite only the code between them
     parts = re.split(r"('[^']*'|\"[^\"]*\")", expr)
@@ -878,58 +1008,115 @@ def cypher(
             return frame, bn2, {pv}
         return build_block(_parse_patterns(pat_text, anon))
 
-    def classify_where(wtext: str):
-        """Partition a WHERE body into pattern predicates
-        ``[(negated, triples)]`` and plain boolean conjuncts.
-        Recognized forms (each as a TOP-LEVEL AND conjunct):
-        ``EXISTS { (a)-[:T]->(b) }`` (brace or paren delimited),
-        ``NOT EXISTS { .. }``, and the bare sugar
-        ``NOT (a)-[:T]->(b)`` / ``(a)-[:T]->(b)``.  Under a top-level
-        OR they are refused — a disjunctive existence test has no
-        semi/anti-join lowering without a correlated-subquery planner."""
-        conjs = _split_conjuncts(wtext)
-        if conjs is None:
-            if re.search(r"\bEXISTS\b", wtext, re.IGNORECASE):
+    def pattern_branch(text: str):
+        """``(neg, triples)`` if `text` is one pattern predicate —
+        ``[NOT] EXISTS { .. } / ( .. )`` or the bare sugar
+        ``[NOT] (a)-[:T]->(b)`` — else ``None``."""
+        em = _EXISTS_PRED.match(text)
+        if em:
+            if (em.group("open"), em.group("close")) not in (
+                ("{", "}"),
+                ("(", ")"),
+            ):
                 raise ValueError(
-                    "cypher: EXISTS / pattern predicates must be top-level "
-                    "AND conjuncts of WHERE (found one under OR)"
+                    f"cypher: mismatched EXISTS delimiters in {text!r}"
                 )
+            return bool(em.group("neg")), _parse_patterns(em.group("inner"), anon)
+        bp = _BARE_PAT.match(text)
+        if bp and _PATTERN_SHAPE.search(text):
+            try:
+                triples = _parse_patterns(bp.group("pat"), anon)
+            except ValueError:
+                return None
+            return bool(bp.group("neg")), triples
+        return None
+
+    def classify_or_group(text: str):
+        """`text` has a top-level OR.  Return a branch list mixing
+        ``("pat", neg, triples)`` and ``("expr", sql)`` entries when at
+        least one disjunct is a pattern predicate (lowered later to
+        existence flags ORed in one filter), or ``None`` when every
+        disjunct is scalar (the plain-filter path handles it whole).
+        A disjunct that LOOKS like a pattern (contains a ``-[`` arrow)
+        but cannot lower cleanly is refused here — otherwise it would
+        surface as an opaque Spark SQL parse error downstream."""
+        branches: list[tuple] = []
+        saw_pat = False
+        for d in _split_disjuncts(text):
+            pb = pattern_branch(_strip_outer_parens(d))
+            if pb is not None:
+                saw_pat = True
+                branches.append(("pat", pb[0], pb[1]))
+                continue
+            if _PATTERN_SHAPE.search(d) or re.search(
+                r"\bEXISTS\b", d, re.IGNORECASE
+            ):
+                raise ValueError(
+                    "cypher: cannot lower this OR disjunct as a pattern "
+                    f"predicate: {d!r} (each disjunct must be a single "
+                    "[NOT] EXISTS {{..}} / bare pattern, or a scalar "
+                    "expression)"
+                )
+            branches.append(("expr", d))
+        return branches if saw_pat else None
+
+    def classify_where(wtext: str):
+        """Partition a WHERE body into pattern predicates and plain
+        boolean conjuncts.  Recognized per TOP-LEVEL AND conjunct:
+        ``EXISTS { (a)-[:T]->(b) }`` (brace or paren delimited),
+        ``NOT EXISTS { .. }``, the bare sugar ``[NOT] (a)-[:T]->(b)``
+        — each lowered to a semi/anti join — and disjunctions of those
+        (optionally mixed with scalar expressions), lowered to
+        existence-flag left joins ORed in one filter.  Returns
+        ``(preds, plain)`` where preds entries are
+        ``("single", neg, triples)`` or ``("or", branches)``."""
+        conjs = _split_conjuncts(wtext)
+        if conjs is None:  # top-level OR across the whole body
+            group = classify_or_group(wtext)
+            if group is not None:
+                return [("or", group)], []
             return [], [wtext]
-        preds: list[tuple[bool, list]] = []
+        preds: list[tuple] = []
         plain: list[str] = []
         for conj in conjs:
-            em = _EXISTS_PRED.match(conj)
-            if em:
-                if (em.group("open"), em.group("close")) not in (
-                    ("{", "}"),
-                    ("(", ")"),
-                ):
-                    raise ValueError(
-                        f"cypher: mismatched EXISTS delimiters in {conj!r}"
-                    )
-                preds.append(
-                    (bool(em.group("neg")), _parse_patterns(em.group("inner"), anon))
-                )
+            pb = pattern_branch(conj)
+            if pb is not None:
+                preds.append(("single", pb[0], pb[1]))
                 continue
-            bp = _BARE_PAT.match(conj)
-            if bp and ("-[" in conj or "]-" in conj):
-                try:
-                    triples = _parse_patterns(bp.group("pat"), anon)
-                except ValueError:
-                    plain.append(conj)
+            inner = _strip_outer_parens(conj)
+            if len(_split_disjuncts(inner)) > 1:
+                group = classify_or_group(inner)
+                if group is not None:
+                    preds.append(("or", group))
                     continue
-                preds.append((bool(bp.group("neg")), triples))
-                continue
+            if _PATTERN_SHAPE.search(conj):
+                raise ValueError(
+                    "cypher: WHERE conjunct looks like a pattern predicate "
+                    f"but cannot be lowered: {conj!r} (supported: [NOT] "
+                    "EXISTS {{pattern}}, bare [NOT] (a)-[:T]->(b), and "
+                    "top-level OR of those)"
+                )
             plain.append(conj)
         return preds, plain
 
-    def apply_pattern_preds(frame: DataFrame, preds, nvars: set) -> DataFrame:
-        """Lower each pattern predicate to a LEFT-SEMI (EXISTS) or
-        LEFT-ANTI (NOT) join on the variables shared with the current
-        scope — the engine's q06/q07 join shapes, so Catalyst plans a
-        hash semi/anti join, never a cartesian.  Variables bound only
-        inside the pattern stay existential (never enter the scope)."""
-        for neg, triples in preds:
+    def apply_pattern_preds(
+        frame: DataFrame, preds, nvars: set, evars: set
+    ) -> DataFrame:
+        """Lower pattern predicates.  A ``single`` entry becomes a
+        LEFT-SEMI (EXISTS) or LEFT-ANTI (NOT) join on the variables
+        shared with the current scope — the engine's q06/q07 join
+        shapes, so Catalyst plans a hash semi/anti join, never a
+        cartesian.  An ``or`` group cannot be a semi-join chain (that
+        would intersect the branches), so each pattern branch becomes
+        a LEFT join against the DISTINCT shared-key set of its
+        subpattern, contributing a null/not-null existence flag; the
+        branches' flags (and any scalar disjuncts) are ORed in ONE
+        filter and the flag columns dropped.  Distinct keys keep the
+        left join from duplicating scope rows; variables bound only
+        inside a pattern stay existential (never enter the scope)."""
+        flag_n = [0]
+
+        def shared_keys(triples):
             sub, bn, _ = build_block(triples)
             shared = sorted(bn & nvars)
             if not shared:
@@ -938,14 +1125,43 @@ def cypher(
                     "outer scope (a free-floating existence test is a "
                     "cartesian product; bind at least one outer variable)"
                 )
-            frame = frame.join(
-                sub.select(*shared), shared, "left_anti" if neg else "left_semi"
-            )
+            return sub, shared
+
+        for entry in preds:
+            if entry[0] == "single":
+                _, neg, triples = entry
+                sub, shared = shared_keys(triples)
+                frame = frame.join(
+                    sub.select(*shared), shared, "left_anti" if neg else "left_semi"
+                )
+                continue
+            branches = entry[1]
+            conds = []
+            flags = []
+            for br in branches:
+                if br[0] == "expr":
+                    conds.append(F.expr(_rewrite(br[1], nvars, evars)))
+                    continue
+                _, neg, triples = br
+                sub, shared = shared_keys(triples)
+                flag = f"__pp{flag_n[0]}"
+                flag_n[0] += 1
+                keys = sub.select(*shared).distinct().withColumn(flag, F.lit(1))
+                frame = frame.join(keys, shared, "left")
+                flags.append(flag)
+                present = F.col(flag).isNotNull()
+                conds.append(~present if neg else present)
+            cond = conds[0]
+            for c in conds[1:]:
+                cond = cond | c
+            frame = frame.filter(cond)
+            if flags:
+                frame = frame.drop(*flags)
         return frame
 
     def apply_where(frame: DataFrame, wtext: str, nvars: set, evars: set) -> DataFrame:
         preds, plain = classify_where(wtext)
-        frame = apply_pattern_preds(frame, preds, nvars)
+        frame = apply_pattern_preds(frame, preds, nvars, evars)
         if plain:
             sql = " AND ".join(f"({p})" for p in plain)
             frame = frame.filter(F.expr(_rewrite(sql, nvars, evars)))
@@ -1039,7 +1255,7 @@ def cypher(
             # pattern predicates filter AFTER the inner join — for an
             # inner MATCH that is equivalent to evaluating them in the
             # block's WHERE, and the semi/anti join sees the full scope
-            out = apply_pattern_preds(out, where_preds, node_vars)
+            out = apply_pattern_preds(out, where_preds, node_vars, edge_vars)
         elif kw == "UNWIND":
             # UNWIND <list expr> AS var [WHERE post]: explode the
             # (rewritten) list expression into one row per element —

@@ -6697,4 +6697,68 @@ def g125(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g126_cypher_list_literal",
+    f"""WITH {GRAPH_CTES}
+       SELECT dst AS supplier, count(*)::BIGINT AS n_edges,
+              sum(n_items)::BIGINT AS items
+       FROM graph_edges WHERE n_items IN (3, 5, 7)
+       GROUP BY 1 ORDER BY n_edges DESC, supplier LIMIT 15""",
+    note="Cypher bracket list literal (the one expression gap the r5 "
+    "g123 sweep documented): WHERE e.n_items IN [3, 5, 7] — the "
+    "compiler rewrites [..] to a SQL value list after IN (and to "
+    "array(..) in other expression positions, subscripts untouched) "
+    "with a quote-aware nesting-safe scanner, so Catalyst sees a "
+    "plain In predicate it pushes below the aggregate.  Scale: the "
+    "IN filter rides the edge rollup's map side; nothing new "
+    "materializes",
+)
+def g126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cy(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[e:BUYS]->(s:Supplier)
+           WHERE e.n_items IN [3, 5, 7]
+           RETURN s AS supplier, count(*) AS n_edges, sum(e.n_items) AS items
+           ORDER BY n_edges DESC, supplier LIMIT 15""",
+    )
+
+
+@_g(
+    "g127_cypher_exists_or",
+    f"""WITH {GRAPH_CTES},
+       sel AS (SELECT e.dst AS supplier, e.n_items FROM graph_edges e
+               WHERE e.n_items >= 2
+                 AND (EXISTS (SELECT 1 FROM graph_edges f
+                              WHERE f.dst = e.dst AND f.n_items = 5)
+                      OR EXISTS (SELECT 1 FROM graph_edges g2
+                                 WHERE g2.src = e.src AND g2.n_items = 6)))
+       SELECT supplier, count(*)::BIGINT AS n_cust,
+              sum(n_items)::BIGINT AS items
+       FROM sel GROUP BY 1 ORDER BY n_cust DESC, supplier LIMIT 15""",
+    note="disjunction of Cypher pattern predicates (refused until this "
+    "round): EXISTS { (s)<-[:BUYS {n_items: 5}]-(x) } OR "
+    "EXISTS { (c)-[:BUYS {n_items: 6}]->(y) }.  A semi-join chain "
+    "would INTERSECT the branches, so each branch lowers to a LEFT "
+    "join against the DISTINCT shared-key set of its subpattern "
+    "(property map pushed to the edge scan below it), contributing a "
+    "null/not-null existence flag; the flags are ORed in ONE filter "
+    "and dropped.  Distinct build keys keep the left joins from "
+    "duplicating scope rows — the duplicate-preservation property "
+    "test pins that.  At 100 TB each flag join's build side is the "
+    "FILTERED n_items=k edge set, far smaller than the scope",
+)
+def g127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cy(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[e:BUYS]->(s:Supplier)
+           WHERE e.n_items >= 2 AND
+                 (EXISTS { (s)<-[:BUYS {n_items: 5}]-(x:Customer) } OR
+                  EXISTS { (c)-[:BUYS {n_items: 6}]->(y:Supplier) })
+           RETURN s AS supplier, count(*) AS n_cust, sum(e.n_items) AS items
+           ORDER BY n_cust DESC, supplier LIMIT 15""",
+    )
+
+
 QUERIES = list(_G)

@@ -88,6 +88,33 @@ def test_rewrite_props():
     )
 
 
+def test_bracket_list_literals():
+    from graph_spark.graph.cypher import _bracket_lists_to_array
+
+    assert _bracket_lists_to_array("[1, 2, 3]") == "array(1, 2, 3)"
+    # after IN the bracket list becomes a plain SQL value list
+    assert _bracket_lists_to_array("x IN ['a','b']") == "x IN ('a','b')"
+    # subscripts stay subscripts; a literal can itself be subscripted
+    assert _bracket_lists_to_array("arr[0]") == "arr[0]"
+    assert _bracket_lists_to_array("[1,2][0]") == "array(1,2)[0]"
+    # nesting and quoted brackets
+    assert _bracket_lists_to_array("[[1],[2]]") == "array(array(1),array(2))"
+    assert _bracket_lists_to_array("'[1]' = s") == "'[1]' = s"
+    # via _rewrite (the expression entry point)
+    assert _rewrite("a.node IN ['a', 'b']", {"a"}, set()) == "a IN ('a', 'b')"
+
+
+def test_bracket_list_in_where_and_return(tiny):
+    got = cypher(
+        tiny,
+        "MATCH (x)-[e:E]->(y) WHERE x.node IN ['a', 'b'] "
+        "RETURN x, y, size([1,2,3]) AS n ORDER BY x, y",
+    ).collect()
+    assert [(r.x, r.y, r.n) for r in got] == [
+        ("a", "b", 3), ("a", "c", 3), ("b", "d", 3),
+    ]
+
+
 def test_split_top_level_respects_parens_and_quotes():
     assert _split_top_level("a, f(x, y), 'p,q'") == ["a", "f(x, y)", "'p,q'"]
 
@@ -807,12 +834,76 @@ def test_exists_no_shared_variable_refused(tiny):
         )
 
 
-def test_exists_under_or_refused(tiny):
-    with pytest.raises(ValueError, match="top-level AND"):
+def test_exists_or_scalar(tiny):
+    """Scalar OR pattern predicate: rows where x='a' (a->b, a->c) union
+    rows whose far endpoint has an outgoing edge (a->b, a->c, b->d,
+    c->d)."""
+    got = cypher(
+        tiny,
+        "MATCH (x)-[:E]->(y) WHERE x.node = 'a' OR "
+        "EXISTS { (y)-[:E]->(z) } RETURN x ORDER BY x",
+    ).collect()
+    assert [r.x for r in got] == ["a", "a", "b", "c"]
+
+
+def test_exists_or_not_pattern(tiny):
+    """OR of a positive EXISTS and a negated bare pattern: y has an
+    outgoing edge OR x has no incoming edge."""
+    got = cypher(
+        tiny,
+        "MATCH (x)-[:E]->(y) WHERE EXISTS { (y)-[:E]->(z) } OR "
+        "NOT (x)<-[:E]-(w) RETURN x, y ORDER BY x, y",
+    ).collect()
+    assert [(r.x, r.y) for r in got] == [
+        ("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+    ]
+
+
+def test_exists_or_group_as_conjunct(tiny):
+    """A parenthesized OR of pattern predicates works as one AND
+    conjunct next to scalar conjuncts."""
+    got = cypher(
+        tiny,
+        "MATCH (x)-[:E]->(y) WHERE x.node <> 'c' AND "
+        "(EXISTS { (y)-[:E]->(z) } OR y.node = 'e') "
+        "RETURN x, y ORDER BY x, y",
+    ).collect()
+    assert [(r.x, r.y) for r in got] == [
+        ("a", "b"), ("a", "c"), ("b", "d"), ("d", "e"),
+    ]
+
+
+def test_exists_or_preserves_duplicate_rows(tiny):
+    """The existence-flag lowering must not collapse legitimately
+    duplicated scope rows (a union/distinct lowering would)."""
+    got = cypher(
+        tiny,
+        "MATCH (x)-[:E]->(y) WHERE EXISTS { (x)-[:E]->(w) } OR "
+        "x.node = 'zz' RETURN x ORDER BY x",
+    ).collect()
+    # every edge's source has an outgoing edge; a emits TWO rows
+    assert [r.x for r in got] == ["a", "a", "b", "c", "d"]
+
+
+def test_exists_or_mixed_and_refused(tiny):
+    """A disjunct that ANDs a pattern with a scalar has no flag
+    lowering — refused with a cypher-level message."""
+    with pytest.raises(ValueError, match="OR disjunct"):
+        cypher(
+            tiny,
+            "MATCH (x)-[:E]->(y) WHERE EXISTS { (y)-[:E]->(z) } OR "
+            "(x.node = 'a' AND EXISTS { (x)-[:E]->(w) }) RETURN x",
+        )
+
+
+def test_bare_pattern_under_or_unparsable_refused(tiny):
+    """An undirected bare pattern under OR cannot lower; it must raise
+    the clean cypher refusal, not an opaque Spark SQL parse error."""
+    with pytest.raises(ValueError, match="cypher"):
         cypher(
             tiny,
             "MATCH (x)-[:E]->(y) WHERE x.node = 'a' OR "
-            "EXISTS { (y)-[:E]->(z) } RETURN x",
+            "NOT (y)-[:E]-(z) RETURN x",
         )
 
 
