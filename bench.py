@@ -441,17 +441,25 @@ def bench_distributed_ann(spark) -> dict:
         # top-1 so the count of surviving rows ~= candidate-bearing
         # probes; candidate volume is measured separately below
         run("lsh", lambda: cosine_topk_lsh(corpus, probes, k=1, dim=dim, n_planes=12, n_tables=8))
-        if n <= 2_000_000:
-            # IVF index build is 2 broadcast-assign passes (n x
-            # n_clusters window) — measured at 1M; the 4M point is the
-            # LSH path's (IVF's candidate math scales identically:
-            # members-per-cell = n / n_clusters)
-            run(
-                "ivf",
-                lambda: cosine_topk_ivf(
-                    corpus, probes, k=1, dim=dim, n_clusters=64, nprobe=2
-                ),
-            )
+        # IVF measured at BOTH sizes (r5 verdict item 8: the 1M-only
+        # reading left the LSH/IVF auto-route threshold unjustified)
+        run(
+            "ivf",
+            lambda: cosine_topk_ivf(
+                corpus, probes, k=1, dim=dim, n_clusters=64, nprobe=2
+            ),
+        )
+        if n <= 1_000_000:
+            # nprobe/cells sweep at 1M: scored-candidate volume per
+            # probe is ~ n * nprobe / n_clusters, so these four corners
+            # bracket the cost/recall trade the routing note cites
+            for nc, np_ in ((64, 1), (128, 2), (128, 4)):
+                run(
+                    f"ivf_c{nc}_p{np_}",
+                    lambda nc=nc, np_=np_: cosine_topk_ivf(
+                        corpus, probes, k=1, dim=dim, n_clusters=nc, nprobe=np_
+                    ),
+                )
 
         # candidate volume (pre-scoring pairs) for the linearity claim
         from graph_spark.operators.similarity import lsh_buckets

@@ -6761,4 +6761,87 @@ def g127(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g128_slope_one",
+    f"""WITH {GRAPH_CTES},
+       r AS (SELECT src AS u, dst AS i, n_items AS rt FROM graph_edges),
+       dev AS (SELECT a.i AS j, b.i AS i,
+                      sum(a.rt - b.rt)::BIGINT AS dnum,
+                      count(*)::BIGINT AS c
+               FROM r a JOIN r b ON a.u = b.u AND a.i <> b.i
+               GROUP BY 1, 2 HAVING count(*) >= 3),
+       pred AS (SELECT r.u, d.j,
+                       sum(d.dnum + r.rt * d.c)::BIGINT AS pnum,
+                       sum(d.c)::BIGINT AS pden
+                FROM r JOIN dev d ON d.i = r.i
+                WHERE NOT EXISTS (SELECT 1 FROM r r2
+                                  WHERE r2.u = r.u AND r2.i = d.j)
+                GROUP BY 1, 2)
+       SELECT u AS customer, j AS supplier,
+              (pnum * 10000 // pden)::BIGINT AS pred_x1e4,
+              ((pnum * 10000 // pden)::DOUBLE / 1e4) AS pred
+       FROM pred WHERE pnum > 0
+       ORDER BY pred_x1e4 DESC, customer, supplier LIMIT 20""",
+    note="weighted Slope One rating prediction (the CF family's "
+    "PREDICTION step — g38/g117 generate neighbors, THIS scores "
+    "unrated items): implicit rating = per-edge n_items; item-item "
+    "deviation dev(j,i) = sum(r_uj - r_ui)/|co-raters| over users "
+    "rating both (>= 3 co-raters), and the weighted prediction for "
+    "an unrated (u, j) is sum_i(dnum_ji + r_ui * c_ji) / sum_i c_ji "
+    "— the deviation-times-count algebra keeps EVERY carrier an "
+    "exact BIGINT; the only division is the final one, done as "
+    "exact integer x1e4 truncation (pnum > 0 filtered first so "
+    "DuckDB // and Spark DIV agree), which also makes the top-20 "
+    "ORDER BY tie-exact.  Shape: the deviation matrix is the g38 "
+    "user-keyed self-join (C(deg,2) per user — basket_cap applies "
+    "under skew, operators/recsys.py); prediction is one "
+    "item-keyed join + anti-join on rated pairs.  At 100 TB dev "
+    "rows are bounded by item-pair co-rating support (>= 3), far "
+    "below users x items",
+)
+def g128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    r = c.graph_edges().select(
+        F.col("src").alias("u"), F.col("dst").alias("i"), F.col("n_items").alias("rt")
+    )
+    b = r.select(F.col("u"), F.col("i").alias("i2"), F.col("rt").alias("rt2"))
+    dev = (
+        r.join(b, "u")
+        .filter(F.col("i") != F.col("i2"))
+        .groupBy(F.col("i").alias("j"), F.col("i2").alias("i"))
+        .agg(
+            F.sum(F.col("rt") - F.col("rt2")).cast("long").alias("dnum"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        )
+        .filter(F.col("c") >= 3)
+    )
+    # NOTE the self-join above reads (rt of the FIRST leg) - (rt of the
+    # second): dev(j=i_first, i=i_second) must subtract rating-of-j
+    # minus rating-of-i, i.e. a.rt - b.rt with j = a.i — the first
+    # leg's rt is the j-side rating.
+    rated = r.select("u", F.col("i").alias("j"))
+    pred = (
+        r.join(dev, "i")
+        .join(rated, ["u", "j"], "left_anti")
+        .groupBy("u", "j")
+        .agg(
+            F.sum(F.col("dnum") + F.col("rt") * F.col("c")).cast("long").alias("pnum"),
+            F.sum("c").cast("long").alias("pden"),
+        )
+        .filter(F.col("pnum") > 0)
+    )
+    return (
+        pred.select(
+            F.col("u").alias("customer"),
+            F.col("j").alias("supplier"),
+            F.expr("pnum * 10000 DIV pden").cast("long").alias("pred_x1e4"),
+            (F.expr("pnum * 10000 DIV pden").cast("double") / F.lit(1e4)).alias(
+                "pred"
+            ),
+        )
+        .orderBy(F.col("pred_x1e4").desc(), "customer", "supplier")
+        .limit(20)
+    )
+
+
 QUERIES = list(_G)

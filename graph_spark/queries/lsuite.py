@@ -6991,4 +6991,196 @@ def m12(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l114_span_dedup_capped",
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+                FROM documents),
+       p AS (SELECT doc_id, unnest(toks) AS tok,
+                    generate_subscripts(toks, 1) AS pos,
+                    len(toks) AS nt FROM t),
+       g AS (SELECT a.doc_id, a.pos,
+                    string_agg(b.tok, ' ' ORDER BY b.pos) AS gram
+             FROM p a JOIN p b ON a.doc_id = b.doc_id
+                             AND b.pos BETWEEN a.pos AND a.pos + 4
+             WHERE a.pos <= a.nt - 4
+             GROUP BY 1, 2),
+       keep AS (SELECT gram FROM g GROUP BY gram
+                HAVING count(DISTINCT doc_id) <= 2),
+       m AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                    a.pos AS pa, b.pos AS pb
+             FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+             JOIN keep k ON k.gram = a.gram),
+       runs AS (SELECT da, db, pa - pb AS diag,
+                       pa - row_number() OVER (PARTITION BY da, db, pa - pb
+                                               ORDER BY pa) AS grp
+                FROM m),
+       isl AS (SELECT da, db, diag, grp, count(*) AS run_grams
+               FROM runs GROUP BY 1, 2, 3, 4)
+       SELECT da AS doc_a, db AS doc_b,
+              sum(run_grams)::BIGINT AS shared_grams,
+              (max(run_grams) + 4)::BIGINT AS max_run_tokens
+       FROM isl GROUP BY 1, 2
+       ORDER BY shared_grams DESC, doc_a, doc_b LIMIT 25""",
+    note="l112's span dedup with the STOP-GRAM cap engaged "
+    "(max_gram_freq=2): grams appearing in more than 2 documents are "
+    "dropped BEFORE the self-join.  This is the guard that makes the "
+    "positional-gram join survive skew at 100 TB — a boilerplate gram "
+    "in f documents contributes O(f^2) match rows while carrying no "
+    "dedup signal (it cannot distinguish WHICH doc copied which), the "
+    "exact analogue of l07's stop-shingle cap and the l02 band-hash "
+    "occupancy rule.  The cap is a document-frequency groupBy + "
+    "semi-join shaped filter upstream of the only shuffle-heavy "
+    "stage; the declared pair proves capped semantics match exactly "
+    "(not just approximately) between engines.  Sibling: l112 "
+    "(uncapped oracle semantics)",
+)
+def l114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_spark.operators.dedup import ngram_span_pairs
+
+    docs = Catalog(spark, sf_dir).table("documents")
+    return (
+        ngram_span_pairs(docs, n=5, max_gram_freq=2)
+        .orderBy(F.col("shared_grams").desc(), "doc_a", "doc_b")
+        .limit(25)
+    )
+
+
+@_l(
+    "l115_ranking_metrics",
+    """WITH fh AS (SELECT user_id, event_type, count(*) AS cnt FROM events
+                 WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1, 2),
+       sh AS (SELECT user_id, event_type, count(*) AS cnt FROM events
+              WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1, 2),
+       pred AS (SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY cnt DESC, event_type)
+                         AS prnk
+                FROM fh),
+       rel AS (SELECT user_id, event_type FROM (
+                 SELECT user_id, event_type,
+                        row_number() OVER (PARTITION BY user_id
+                                           ORDER BY cnt DESC, event_type)
+                          AS trnk
+                 FROM sh) WHERE trnk <= 2),
+       hits AS (SELECT p.user_id, p.prnk
+                FROM pred p JOIN rel r
+                  ON p.user_id = r.user_id AND p.event_type = r.event_type),
+       users AS (SELECT DISTINCT user_id FROM sh),
+       pu AS (SELECT u.user_id,
+                CAST(floor(1e6 * coalesce(sum(CASE WHEN h.prnk <= 2
+                                               THEN 1 ELSE 0 END), 0)
+                           / 2.0 + 0.5) AS BIGINT) AS p2_x1m,
+                CAST(floor(1e6 * coalesce(1.0 / min(h.prnk), 0.0) + 0.5)
+                     AS BIGINT) AS mrr_x1m,
+                CAST(floor(1e6 * coalesce(sum(CASE WHEN h.prnk = 1 THEN 1.0
+                                               WHEN h.prnk = 2 THEN 0.63093
+                                               ELSE 0.0 END), 0.0)
+                           / 1.63093 + 0.5) AS BIGINT) AS ndcg_x1m
+              FROM users u LEFT JOIN hits h ON h.user_id = u.user_id
+              GROUP BY 1)
+       SELECT count(*)::BIGINT AS n_users,
+              floor(1e4 * (sum(p2_x1m)::DOUBLE / count(*) / 1e6) + 0.5)
+                / 1e4 AS p_at_2,
+              floor(1e4 * (sum(mrr_x1m)::DOUBLE / count(*) / 1e6) + 0.5)
+                / 1e4 AS mrr,
+              floor(1e4 * (sum(ndcg_x1m)::DOUBLE / count(*) / 1e6) + 0.5)
+                / 1e4 AS ndcg_at_2
+       FROM pu""",
+    note="offline ranking-quality metrics with a TEMPORAL HOLDOUT (the "
+    "recsys/retrieval eval loop a training pipeline runs after every "
+    "model refresh): each user's event types ranked by first-half "
+    "count (the 'model'), relevance = top-2 types by second-half "
+    "count (the future), scored with Precision@2, MRR (1/rank of the "
+    "first relevant type), and NDCG@2.  Float protocol: the DCG "
+    "discounts are PRE-ROUNDED LITERALS (1, 0.63093 = 1/log2(3) at "
+    "6 dp) so no engine evaluates a transcendental; per-user metrics "
+    "are exact rationals floored to x1e6 BIGINT carriers and SUMMED "
+    "AS INTEGERS (the q132 protocol), so accumulation order cannot "
+    "drift.  Shape: two count groupBys + two row_number windows + "
+    "one broadcastable hits join; per-user state is <= |event types| "
+    "rows, so the whole eval is map-side at any corpus size",
+)
+def l115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    fh = (
+        ev.filter(F.col("ts") < split)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sh = (
+        ev.filter(F.col("ts") >= split)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("cnt").desc(), "event_type")
+    pred = fh.select("user_id", "event_type", F.row_number().over(w).alias("prnk"))
+    rel = (
+        sh.select("user_id", "event_type", F.row_number().over(w).alias("trnk"))
+        .filter(F.col("trnk") <= 2)
+        .select("user_id", "event_type")
+    )
+    hits = pred.join(rel, ["user_id", "event_type"]).select("user_id", "prnk")
+    users = sh.select("user_id").distinct()
+    pu = (
+        users.join(hits, "user_id", "left")
+        .groupBy("user_id")
+        .agg(
+            F.floor(
+                F.lit(1e6)
+                * F.coalesce(
+                    F.sum(F.when(F.col("prnk") <= 2, 1).otherwise(0)), F.lit(0)
+                )
+                / F.lit(2.0)
+                + F.lit(0.5)
+            ).alias("p2_x1m"),
+            F.floor(
+                F.lit(1e6)
+                * F.coalesce(F.lit(1.0) / F.min("prnk"), F.lit(0.0))
+                + F.lit(0.5)
+            ).alias("mrr_x1m"),
+            F.floor(
+                F.lit(1e6)
+                * F.coalesce(
+                    F.sum(
+                        F.when(F.col("prnk") == 1, F.lit(1.0))
+                        .when(F.col("prnk") == 2, F.lit(0.63093))
+                        .otherwise(F.lit(0.0))
+                    ),
+                    F.lit(0.0),
+                )
+                / F.lit(1.63093)
+                + F.lit(0.5)
+            ).alias("ndcg_x1m"),
+        )
+    )
+    return pu.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        (
+            F.floor(
+                F.lit(1e4)
+                * (F.sum("p2_x1m").cast("double") / F.count(F.lit(1)) / F.lit(1e6))
+                + F.lit(0.5)
+            )
+            / F.lit(1e4)
+        ).alias("p_at_2"),
+        (
+            F.floor(
+                F.lit(1e4)
+                * (F.sum("mrr_x1m").cast("double") / F.count(F.lit(1)) / F.lit(1e6))
+                + F.lit(0.5)
+            )
+            / F.lit(1e4)
+        ).alias("mrr"),
+        (
+            F.floor(
+                F.lit(1e4)
+                * (F.sum("ndcg_x1m").cast("double") / F.count(F.lit(1)) / F.lit(1e6))
+                + F.lit(0.5)
+            )
+            / F.lit(1e4)
+        ).alias("ndcg_at_2"),
+    )
+
+
 QUERIES = list(_L)

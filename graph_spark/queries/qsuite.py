@@ -10963,4 +10963,184 @@ def t88(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("j")
 
 
+@_q(
+    "q152_stratified_ips",
+    """WITH s AS (
+         SELECT l_returnflag AS stratum,
+                count(*) AS n,
+                sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS nt,
+                sum(CASE WHEN l_discount >= 0.05
+                         THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS sty,
+                sum(CASE WHEN l_discount < 0.05
+                         THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS scy
+         FROM lineitem GROUP BY 1)
+       SELECT stratum, n::BIGINT AS n, nt::BIGINT AS n_treated,
+              floor(1e4 * (nt::DOUBLE / n) + 0.5) / 1e4 AS propensity,
+              floor(1e4 * (sty::DOUBLE / nt - scy::DOUBLE / (n - nt)) + 0.5)
+                / 1e4 AS ate
+       FROM s ORDER BY stratum""",
+    note="stratified inverse-propensity estimate of a treatment "
+    "effect (the observational-causal screen behind 'did the "
+    "discount move quantity?'): treatment = discount >= 5%, outcome "
+    "= quantity, strata = return flag.  Within a stratum the "
+    "propensity e_s = n_t/n is constant, so the IPS estimator "
+    "sum(TY)/e_s - sum((1-T)Y)/(1-e_s) over n_s collapses EXACTLY to "
+    "the within-stratum mean difference — every carrier (counts, "
+    "treated/control outcome sums) is an exact BIGINT and the only "
+    "doubles are two final divisions floored half-up at 4 dp (the "
+    "g10 protocol).  Shape: ONE map-side-combined groupBy over the "
+    "fact table, 3 output rows; at 100 TB this is a single scan — "
+    "the estimator's cost is the scan, not the statistics",
+)
+def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    treated = F.col("l_discount") >= 0.05
+    qty = F.col("l_quantity").cast("long")
+    s = li.groupBy(F.col("l_returnflag").alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(treated, 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(treated, qty).otherwise(0)).alias("sty"),
+        F.sum(F.when(~treated, qty).otherwise(0)).alias("scy"),
+    )
+    return s.select(
+        "stratum",
+        F.col("n").cast("long").alias("n"),
+        F.col("nt").cast("long").alias("n_treated"),
+        (
+            F.floor(F.lit(1e4) * (F.col("nt").cast("double") / F.col("n")) + F.lit(0.5))
+            / F.lit(1e4)
+        ).alias("propensity"),
+        (
+            F.floor(
+                F.lit(1e4)
+                * (
+                    F.col("sty").cast("double") / F.col("nt")
+                    - F.col("scy").cast("double") / (F.col("n") - F.col("nt"))
+                )
+                + F.lit(0.5)
+            )
+            / F.lit(1e4)
+        ).alias("ate"),
+    ).orderBy("stratum")
+
+
+@_q(
+    "q153_anova",
+    """WITH c AS (SELECT o_orderpriority AS grp,
+                    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+              FROM orders),
+       g AS (SELECT grp, count(*) AS n_g, sum(cents)::BIGINT AS s_g
+             FROM c GROUP BY 1),
+       tot AS (SELECT sum(n_g)::BIGINT AS n, sum(s_g)::BIGINT AS s,
+                      count(*)::BIGINT AS k
+               FROM g),
+       gm AS (SELECT g.grp, g.n_g, g.s_g,
+                     g.s_g::DOUBLE / g.n_g / 100.0 AS md_g,
+                     t.s::DOUBLE / t.n / 100.0 AS md,
+                     t.n, t.k
+              FROM g CROSS JOIN tot t),
+       ssb AS (SELECT sum(CAST(floor(100 * n_g * (md_g - md) * (md_g - md)
+                                     + 0.5) AS BIGINT))::BIGINT AS ssb_x100,
+                      max(n) AS n, max(k) AS k
+               FROM gm),
+       ssw AS (SELECT sum(CAST(floor(100 * (c.cents / 100.0 - gm.md_g)
+                                         * (c.cents / 100.0 - gm.md_g)
+                                     + 0.5) AS BIGINT))::BIGINT AS ssw_x100
+               FROM c JOIN gm ON c.grp = gm.grp)
+       SELECT ssb.k AS k, ssb.n AS n,
+              (ssb.k - 1)::BIGINT AS dof_between,
+              (ssb.n - ssb.k)::BIGINT AS dof_within,
+              ssb.ssb_x100, ssw.ssw_x100,
+              floor(1e4 * ((ssb.ssb_x100::DOUBLE / (ssb.k - 1))
+                           / (ssw.ssw_x100::DOUBLE / (ssb.n - ssb.k)))
+                    + 0.5) / 1e4 AS f_stat
+       FROM ssb CROSS JOIN ssw""",
+    note="one-way ANOVA F-test of order value across the five order "
+    "priorities (the 'does this categorical feature matter for this "
+    "continuous outcome' screen, completing the q132 chi-sq / q131 "
+    "KS / q133 Mann-Whitney test family).  Float protocol (q132's): "
+    "money enters as exact cents BIGINTs; group and grand means are "
+    "single textually-identical double divisions of exact carriers; "
+    "each between-group term n_g*(m_g-m)^2 and each PER-ROW within "
+    "term (x-m_g)^2 is floored half-up to a x100 BIGINT and SUMMED "
+    "AS INTEGERS, so no float accumulation order exists anywhere — "
+    "ssb/ssw are hash-exact integers, F their one rounded ratio.  "
+    "Shape: one groupBy for moments, one broadcast join of 5 group "
+    "rows back onto the fact scan for the within terms — two scans, "
+    "zero shuffles beyond the 5-row agg; at 100 TB the per-row term "
+    "stays in whole-stage codegen",
+)
+def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    c = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    g = c.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_g"), F.sum("cents").alias("s_g")
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    gm = g.crossJoin(F.broadcast(tot)).select(
+        "grp",
+        "n_g",
+        (F.col("s_g").cast("double") / F.col("n_g") / F.lit(100.0)).alias("md_g"),
+        (F.col("s").cast("double") / F.col("n") / F.lit(100.0)).alias("md"),
+        "n",
+        "k",
+    )
+    ssb = gm.agg(
+        F.sum(
+            F.floor(
+                F.lit(100)
+                * F.col("n_g")
+                * (F.col("md_g") - F.col("md"))
+                * (F.col("md_g") - F.col("md"))
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("ssb_x100"),
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+    )
+    ssw = (
+        c.join(F.broadcast(gm.select("grp", "md_g")), "grp")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.lit(100)
+                    * (F.col("cents") / F.lit(100.0) - F.col("md_g"))
+                    * (F.col("cents") / F.lit(100.0) - F.col("md_g"))
+                    + F.lit(0.5)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("ssw_x100")
+        )
+    )
+    return ssb.crossJoin(F.broadcast(ssw)).select(
+        F.col("k"),
+        F.col("n"),
+        (F.col("k") - 1).cast("long").alias("dof_between"),
+        (F.col("n") - F.col("k")).cast("long").alias("dof_within"),
+        "ssb_x100",
+        "ssw_x100",
+        (
+            F.floor(
+                F.lit(1e4)
+                * (
+                    (F.col("ssb_x100").cast("double") / (F.col("k") - 1))
+                    / (F.col("ssw_x100").cast("double") / (F.col("n") - F.col("k")))
+                )
+                + F.lit(0.5)
+            )
+            / F.lit(1e4)
+        ).alias("f_stat"),
+    )
+
+
 QUERIES = list(_Q)
