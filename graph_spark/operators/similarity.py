@@ -636,3 +636,64 @@ def pq_topk_rerank(
         .drop("__rn")
         .select(F.col("probe").alias(id_col), "nb", "d2")
     )
+
+
+def jl_sign_matrix(dim: int, out_dim: int, seed: int = 7) -> list[list[int]]:
+    """Deterministic ±1 Johnson-Lindenstrauss sign matrix, seeded by
+    md5 of ``"jl|{seed}|{d}|{j}"`` (first hex digit parity) so ANY SQL
+    engine with md5 can reproduce every entry bit-for-bit — the same
+    cross-engine contract as the minhash/LSH md5 carriers.  Returned
+    as ``signs[j][d]``."""
+    import hashlib
+
+    out: list[list[int]] = []
+    for j in range(out_dim):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"jl|{seed}|{d}|{j}".encode()).hexdigest()
+            row.append(1 if int(h[0], 16) % 2 == 0 else -1)
+        out.append(row)
+    return out
+
+
+def random_projection(
+    df: DataFrame,
+    dim: int,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+    seed: int = 7,
+    quantize: int | None = None,
+) -> DataFrame:
+    """Signed random projection (Johnson-Lindenstrauss): appends
+    ``out_col`` = array of ``out_dim`` components y_j = sum_d s_dj x_d
+    with ±1 signs from :func:`jl_sign_matrix`.  For ±1 entries
+    E[||ya - yb||^2] = out_dim * ||xa - xb||^2, so pairwise distances
+    survive the dim -> out_dim reduction up to the JL concentration
+    bound — the cheap front-end that cuts ANN scoring cost ~dim/out_dim
+    while keeping neighbor order approximately intact.
+
+    With ``quantize=q`` the input is first quantized to integer
+    milli-units (floor(x*q + 0.5) as BIGINT) and every projection
+    carrier stays an EXACT integer — the cross-engine-hash-safe mode
+    the declared pair uses.
+
+    Scale shape: one per-row higher-order-function pass (out_dim
+    zip_with/aggregate folds inside whole-stage codegen), zero
+    shuffles, no UDF; the sign matrix is dim x out_dim literals
+    compiled into the plan."""
+    if quantize:
+        base = F.expr(
+            f"transform({vec_col}, x -> CAST(floor(x * {quantize} + 0.5) AS BIGINT))"
+        )
+        init = F.lit(0).cast("long")
+    else:
+        base = F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
+        init = F.lit(0.0)
+    signs = jl_sign_matrix(dim, out_dim, seed)
+    comps = []
+    for j in range(out_dim):
+        arr = F.array(*[F.lit(s) for s in signs[j]])
+        zipped = F.zip_with(base, arr, lambda x, s: x * s)
+        comps.append(F.aggregate(zipped, init, lambda acc, v: acc + v))
+    return df.withColumn(out_col, F.array(*comps))

@@ -7183,4 +7183,109 @@ def l115(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l116_random_projection",
+    """WITH q AS (SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS xq
+           FROM embeddings),
+       u AS (SELECT vec_id, unnest(xq) AS x,
+                    generate_subscripts(xq, 1) AS d FROM q),
+       pr AS (SELECT u.vec_id, t.j,
+                sum(u.x * (1 - 2 * ((strpos('0123456789abcdef',
+                       substring(md5('jl|7|' || (u.d - 1)::VARCHAR || '|'
+                                     || t.j::VARCHAR), 1, 1)) - 1) % 2)))
+                  ::BIGINT AS y
+              FROM u CROSS JOIN range(16) t(j)
+              GROUP BY 1, 2),
+       dy AS (SELECT a.vec_id AS va,
+                     sum((a.y - b.y) * (a.y - b.y))::BIGINT AS dy2
+              FROM pr a JOIN pr b ON b.vec_id = a.vec_id + 1 AND a.j = b.j
+              WHERE a.vec_id % 2 = 0 GROUP BY 1),
+       dx AS (SELECT a.vec_id AS va,
+                     sum((a.x - b.x) * (a.x - b.x))::BIGINT AS dx2
+              FROM u a JOIN u b ON b.vec_id = a.vec_id + 1 AND a.d = b.d
+              WHERE a.vec_id % 2 = 0 GROUP BY 1),
+       rx AS (SELECT dy.va,
+                CAST(floor(1e6 * (dy.dy2::DOUBLE / (16 * dx.dx2)) + 0.5)
+                     AS BIGINT) AS ratio_x1m
+              FROM dy JOIN dx ON dx.va = dy.va WHERE dx.dx2 > 0)
+       SELECT count(*)::BIGINT AS n_pairs,
+              min(ratio_x1m)::BIGINT AS min_ratio_x1m,
+              max(ratio_x1m)::BIGINT AS max_ratio_x1m,
+              floor(1e4 * (sum(ratio_x1m)::DOUBLE / count(*) / 1e6) + 0.5)
+                / 1e4 AS avg_ratio,
+              sum(CASE WHEN ratio_x1m BETWEEN 500000 AND 2000000
+                       THEN 1 ELSE 0 END)::BIGINT AS n_within_2x
+       FROM rx""",
+    note="Johnson-Lindenstrauss signed random projection 64 -> 16 dims "
+    "with a measured distortion audit (the cheap ANN front-end: score "
+    "in 16 dims, re-rank survivors in 64 — the same shrink-then-rerank "
+    "shape as l72's IVF-PQ): ±1 signs come from md5 hex-digit parity "
+    "(jl_sign_matrix, operators/similarity.py) so both engines build "
+    "the IDENTICAL matrix; inputs are quantized to integer milli-units "
+    "first, so projections, pairwise squared distances (consecutive-id "
+    "pairs) and their x1e6 distortion ratios dy2/(16*dx2) are EXACT "
+    "BIGINT carriers with one final division each — hash-exact, no "
+    "float accumulation anywhere.  E[ratio] = 1 for ±1 entries; "
+    "n_within_2x reports the JL concentration the reduction actually "
+    "achieves.  Shape: the projection is out_dim zip_with/aggregate "
+    "folds per row inside whole-stage codegen (zero shuffle, no UDF); "
+    "the audit joins are id-equi-joins on consecutive ids",
+)
+def l116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_spark.operators.similarity import random_projection
+
+    em = Catalog(spark, sf_dir).table("embeddings")
+    pr = random_projection(em, dim=64, out_dim=16, quantize=1000).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(x * 1000 + 0.5) AS BIGINT))"
+        ).alias("xq"),
+        "proj",
+    )
+    a = pr.filter(F.col("vec_id") % 2 == 0)
+    b = pr.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("xq").alias("xqb"),
+        F.col("proj").alias("projb"),
+    )
+    sq = lambda u, v: F.aggregate(  # noqa: E731
+        F.zip_with(F.col(u), F.col(v), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    pairs = a.join(b, "vec_id").select(
+        "vec_id",
+        sq("proj", "projb").alias("dy2"),
+        sq("xq", "xqb").alias("dx2"),
+    )
+    rx = pairs.filter(F.col("dx2") > 0).select(
+        F.floor(
+            F.lit(1e6) * (F.col("dy2").cast("double") / (16 * F.col("dx2")))
+            + F.lit(0.5)
+        ).alias("ratio_x1m")
+    )
+    return rx.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("ratio_x1m").cast("long").alias("min_ratio_x1m"),
+        F.max("ratio_x1m").cast("long").alias("max_ratio_x1m"),
+        (
+            F.floor(
+                F.lit(1e4)
+                * (F.sum("ratio_x1m").cast("double") / F.count(F.lit(1)) / F.lit(1e6))
+                + F.lit(0.5)
+            )
+            / F.lit(1e4)
+        ).alias("avg_ratio"),
+        F.sum(
+            F.when(
+                (F.col("ratio_x1m") >= 500000) & (F.col("ratio_x1m") <= 2000000), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_within_2x"),
+    )
+
+
 QUERIES = list(_L)
