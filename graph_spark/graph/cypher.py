@@ -1233,12 +1233,19 @@ def cypher(
             if bm.group("where"):
                 where_preds, plain = classify_where(bm.group("where"))
                 if where_preds and kw == "OPTIONAL MATCH":
-                    raise ValueError(
-                        "cypher: EXISTS/NOT pattern predicates are not "
-                        "supported in an OPTIONAL MATCH WHERE (they cannot "
-                        "ride the null-extending join condition; filter in "
-                        "a prior MATCH or a later WITH instead)"
-                    )
+                    # openCypher: an OPTIONAL MATCH's WHERE decides
+                    # whether the pattern MATCHED (failing rows null-
+                    # extend, they don't disappear) — so pattern
+                    # predicates are applied to the optional-side frame
+                    # BEFORE the null-extending left join.  They may
+                    # reference this block's variables (anchors
+                    # included); outer-only variables have no column
+                    # here and are refused by the shared-var check.
+                    frame = apply_pattern_preds(frame, where_preds, bn, be)
+                    ren = frame
+                    for v in anchors:
+                        ren = ren.withColumnRenamed(v, f"__j_{v}")
+                    where_preds = []
                 if plain:
                     cond = cond & F.expr(
                         _rewrite(

@@ -6844,4 +6844,43 @@ def g128(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g129_cypher_optional_exists",
+    f"""WITH {GRAPH_CTES},
+       base AS (SELECT src AS c, dst AS s FROM graph_edges
+                WHERE n_items >= 4),
+       opt AS (SELECT e.dst AS s, e.src AS d FROM graph_edges e
+               WHERE e.n_items >= 4
+                 AND EXISTS (SELECT 1 FROM graph_edges g2
+                             WHERE g2.src = e.src AND g2.n_items = 5))
+       SELECT b.s AS supplier, count(*)::BIGINT AS n_pairs,
+              count(o.d)::BIGINT AS n_matched
+       FROM base b LEFT JOIN opt o ON o.s = b.s
+       GROUP BY 1 ORDER BY n_pairs DESC, supplier LIMIT 15""",
+    note="pattern predicate inside an OPTIONAL MATCH WHERE (refused "
+    "until this round — the r5 verdict's carry-forward Cypher gap): "
+    "openCypher says the WHERE decides whether the optional pattern "
+    "MATCHED, so failing rows null-extend instead of disappearing — "
+    "the compiler applies the EXISTS semi-join to the OPTIONAL-SIDE "
+    "frame BEFORE the null-extending left join, while the scalar "
+    "conjunct (f.n_items >= 4) still rides the join condition.  "
+    "count(d) vs count(*) exposes exactly which rows null-extended, "
+    "so the oracle pair pins the null-extension semantics, not just "
+    "row counts.  Scale: the semi join's build side is the filtered "
+    "n_items=5 edge set; everything keys on supplier — no new "
+    "shuffle shape beyond g121's",
+)
+def g129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cy(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[e:BUYS]->(s:Supplier) WHERE e.n_items >= 4
+           OPTIONAL MATCH (s)<-[f:BUYS]-(d:Customer)
+           WHERE f.n_items >= 4 AND
+                 EXISTS { (d)-[:BUYS {n_items: 5}]->(s2:Supplier) }
+           RETURN s AS supplier, count(*) AS n_pairs, count(d) AS n_matched
+           ORDER BY n_pairs DESC, supplier LIMIT 15""",
+    )
+
+
 QUERIES = list(_G)

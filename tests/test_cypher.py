@@ -907,12 +907,50 @@ def test_bare_pattern_under_or_unparsable_refused(tiny):
         )
 
 
-def test_exists_in_optional_match_where_refused(tiny):
-    with pytest.raises(ValueError, match="OPTIONAL MATCH"):
+def test_exists_in_optional_match_where(tiny):
+    """A pattern predicate in an OPTIONAL MATCH WHERE decides whether
+    the optional pattern MATCHED (openCypher): failing rows null-extend
+    instead of disappearing — the semi-join applies to the optional
+    side BEFORE the left join."""
+    got = cypher(
+        tiny,
+        "MATCH (x)-[:E]->(y) OPTIONAL MATCH (y)-[:E]->(z) "
+        "WHERE EXISTS { (z)-[:E]->(w) } RETURN x, y, z ORDER BY x, y",
+    ).collect()
+    assert [(r.x, r.y, r.z) for r in got] == [
+        ("a", "b", "d"),
+        ("a", "c", "d"),
+        ("b", "d", None),  # (d)->(e) exists but e has no outgoing edge
+        ("c", "d", None),
+        ("d", "e", None),
+    ]
+
+
+def test_not_pattern_in_optional_match_where(tiny):
+    """NOT pattern predicate on the optional side: keep only optional
+    rows whose far endpoint has NO outgoing edge."""
+    got = cypher(
+        tiny,
+        "MATCH (x)-[:E]->(y) OPTIONAL MATCH (y)-[:E]->(z) "
+        "WHERE NOT (z)-[:E]->(w) RETURN x, y, z ORDER BY x, y",
+    ).collect()
+    assert [(r.x, r.y, r.z) for r in got] == [
+        ("a", "b", None),
+        ("a", "c", None),
+        ("b", "d", "e"),
+        ("c", "d", "e"),
+        ("d", "e", None),
+    ]
+
+
+def test_outer_only_var_in_optional_exists_refused(tiny):
+    """A pattern predicate referencing only OUTER variables has no
+    column on the optional side — clean refusal, not a Spark error."""
+    with pytest.raises(ValueError, match="cypher"):
         cypher(
             tiny,
             "MATCH (x)-[:E]->(y) OPTIONAL MATCH (y)-[:E]->(z) "
-            "WHERE EXISTS { (z)-[:E]->(w) } RETURN x, y, z",
+            "WHERE EXISTS { (q)-[:E]->(x2) } RETURN x, y, z",
         )
 
 
