@@ -7288,4 +7288,149 @@ def l116(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l117_text_triplets",
+    """WITH t AS (SELECT doc_id, lang,
+                       string_split(lower(text), ' ') AS toks
+              FROM documents),
+       sh AS (SELECT DISTINCT a.doc_id, a.lang,
+                     a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+              FROM (SELECT doc_id, lang, unnest(toks) AS tok,
+                           generate_subscripts(toks, 1) AS p,
+                           len(toks) AS nt FROM t) a
+              JOIN (SELECT doc_id, unnest(toks) AS tok,
+                           generate_subscripts(toks, 1) AS p FROM t) b
+                ON b.doc_id = a.doc_id AND b.p = a.p + 1
+              JOIN (SELECT doc_id, unnest(toks) AS tok,
+                           generate_subscripts(toks, 1) AS p FROM t) c
+                ON c.doc_id = a.doc_id AND c.p = a.p + 2),
+       sz AS (SELECT doc_id, lang, count(*)::BIGINT AS n_sh
+              FROM sh GROUP BY 1, 2),
+       inter AS (SELECT a.doc_id AS va, b.doc_id AS vb,
+                        count(*)::BIGINT AS i
+                 FROM sh a JOIN sh b
+                   ON b.shingle = a.shingle AND b.doc_id <> a.doc_id
+                 WHERE a.doc_id < 15 GROUP BY 1, 2),
+       pos AS (SELECT va, vb AS pos_id, jx AS pos_jx_x1m FROM (
+                 SELECT n.va, n.vb,
+                        (n.i * 1000000) // (sa.n_sh + sb.n_sh - n.i) AS jx,
+                        row_number() OVER (PARTITION BY n.va
+                          ORDER BY (n.i * 1000000)
+                                   // (sa.n_sh + sb.n_sh - n.i) DESC, n.vb)
+                          AS rn
+                 FROM inter n
+                 JOIN sz sa ON sa.doc_id = n.va
+                 JOIN sz sb ON sb.doc_id = n.vb) p WHERE rn = 1),
+       neg AS (SELECT va, vb AS neg_id FROM (
+                 SELECT a.doc_id AS va, s.doc_id AS vb,
+                        row_number() OVER (PARTITION BY a.doc_id
+                          ORDER BY md5(a.doc_id::VARCHAR || '|'
+                                       || s.doc_id::VARCHAR), s.doc_id)
+                          AS rn
+                 FROM sz a JOIN sz s
+                   ON s.lang = a.lang AND s.doc_id <> a.doc_id
+                 WHERE a.doc_id < 15
+                   AND NOT EXISTS (SELECT 1 FROM inter n
+                                   WHERE n.va = a.doc_id
+                                     AND n.vb = s.doc_id)) q
+               WHERE rn = 1)
+       SELECT p.va AS anchor, p.pos_id, p.pos_jx_x1m::BIGINT AS pos_jx_x1m,
+              n2.neg_id
+       FROM pos p JOIN neg n2 ON n2.va = p.va
+       ORDER BY anchor""",
+    note="contrastive triplet mining ON TEXT (l103's embedding sibling "
+    "— same (anchor, pos, neg) trainer file, different carrier "
+    "algebra): positive = the highest word-3-gram-Jaccard document "
+    "per anchor, found through the l07 shingle inverted index — "
+    "candidates come ONLY from the shingle equi-join, never an "
+    "all-pairs text comparison; negative = an md5-selected same-LANG "
+    "document sharing ZERO shingles (in-batch hard-ish negative: "
+    "same language keeps it non-trivial, the anti-join keeps it "
+    "actually negative, the anchor-salted md5 keeps the choice "
+    "deterministic and spread).  Jaccard ordering is EXACT: "
+    "(i * 1e6) // (na + nb - i) integer division, so the per-anchor "
+    "argmax has no float tie hazard.  Scale: inverted-index join + "
+    "one anti-join keyed on (lang, no-overlap) per anchor — the "
+    "anchor set bounds the probe side, stop-shingle caps (l07) bound "
+    "the index side",
+)
+def l117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    t = docs.select(
+        "doc_id", "lang", F.split(F.lower("text"), " ").alias("toks")
+    )
+    sh = t.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) >= 3 THEN array_distinct("
+                "transform(sequence(1, size(toks) - 2), "
+                "p -> concat_ws(' ', slice(toks, p, 3)))) "
+                "ELSE array() END"
+            )
+        ).alias("shingle"),
+    )
+    sz = sh.groupBy("doc_id", "lang").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    a = sh.filter(F.col("doc_id") < 15).select(
+        F.col("doc_id").alias("va"), "shingle"
+    )
+    b = sh.select(F.col("doc_id").alias("vb"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("vb") != F.col("va"))
+        .groupBy("va", "vb")
+        .agg(F.count(F.lit(1)).cast("long").alias("i"))
+    )
+    sza = sz.select(F.col("doc_id").alias("va"), F.col("n_sh").alias("na"))
+    szb = sz.select(F.col("doc_id").alias("vb"), F.col("n_sh").alias("nb"))
+    scored = (
+        inter.join(F.broadcast(sza), "va")
+        .join(F.broadcast(szb), "vb")
+        .select(
+            "va",
+            "vb",
+            F.expr("(i * 1000000) DIV (na + nb - i)").alias("jx"),
+        )
+    )
+    wpos = Window.partitionBy("va").orderBy(F.col("jx").desc(), "vb")
+    pos = (
+        scored.withColumn("rn", F.row_number().over(wpos))
+        .filter(F.col("rn") == 1)
+        .select("va", F.col("vb").alias("pos_id"), F.col("jx").alias("pos_jx_x1m"))
+    )
+    anchors = sz.filter(F.col("doc_id") < 15).select(
+        F.col("doc_id").alias("va"), F.col("lang").alias("la")
+    )
+    cands = sz.select(F.col("doc_id").alias("vb"), F.col("lang").alias("lb"))
+    negpool = (
+        anchors.join(cands, F.col("la") == F.col("lb"))
+        .filter(F.col("vb") != F.col("va"))
+        .join(inter, ["va", "vb"], "left_anti")
+    )
+    wneg = Window.partitionBy("va").orderBy(
+        F.md5(
+            F.concat(
+                F.col("va").cast("string"), F.lit("|"), F.col("vb").cast("string")
+            )
+        ),
+        "vb",
+    )
+    neg = (
+        negpool.withColumn("rn", F.row_number().over(wneg))
+        .filter(F.col("rn") == 1)
+        .select("va", F.col("vb").alias("neg_id"))
+    )
+    return (
+        pos.join(neg, "va")
+        .select(
+            F.col("va").alias("anchor"),
+            "pos_id",
+            F.col("pos_jx_x1m").cast("long").alias("pos_jx_x1m"),
+            "neg_id",
+        )
+        .orderBy("anchor")
+    )
+
+
 QUERIES = list(_L)

@@ -11143,4 +11143,145 @@ def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q154_split_conformal",
+    """WITH base AS (
+         SELECT o_orderkey AS ok, o_orderpriority AS grp,
+                CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                strpos('0123456789abcdef',
+                       substring(md5(o_orderkey::VARCHAR), 1, 1)) - 1 AS h
+         FROM orders),
+       tr AS (SELECT grp, count(*)::BIGINT AS nt, sum(cents)::BIGINT AS st
+              FROM base WHERE h < 8 GROUP BY 1),
+       cal AS (SELECT b.grp, b.ok,
+                      abs(b.cents * t.nt - t.st)::BIGINT AS score
+               FROM base b JOIN tr t ON t.grp = b.grp
+               WHERE b.h BETWEEN 8 AND 11),
+       kq AS (SELECT grp, count(*)::BIGINT AS n_cal,
+                     ((count(*) + 1) * 9 + 9) // 10 AS k
+              FROM cal GROUP BY 1),
+       qh AS (SELECT c.grp, c.score AS qhat_scaled FROM (
+                SELECT grp, score,
+                       row_number() OVER (PARTITION BY grp
+                                          ORDER BY score, ok) AS rn
+                FROM cal) c JOIN kq ON kq.grp = c.grp AND c.rn = kq.k),
+       test AS (SELECT b.grp, count(*)::BIGINT AS n_test,
+                       sum(CASE WHEN abs(b.cents * t.nt - t.st)
+                                     <= q.qhat_scaled
+                                THEN 1 ELSE 0 END)::BIGINT AS covered
+                FROM base b JOIN tr t ON t.grp = b.grp
+                JOIN qh q ON q.grp = b.grp
+                WHERE b.h >= 12 GROUP BY 1)
+       SELECT t2.grp, tr.nt AS n_train, kq.n_cal, t2.n_test, t2.covered,
+              floor(1e2 * (q.qhat_scaled::DOUBLE / tr.nt / 100.0) + 0.5)
+                / 1e2 AS qhat_dollars,
+              floor(1e4 * (t2.covered::DOUBLE / t2.n_test) + 0.5) / 1e4
+                AS coverage
+       FROM test t2 JOIN tr ON tr.grp = t2.grp
+       JOIN kq ON kq.grp = t2.grp JOIN qh q ON q.grp = t2.grp
+       ORDER BY t2.grp""",
+    note="split conformal prediction intervals, group-conditional (the "
+    "distribution-free uncertainty wrapper modern pipelines put around "
+    "ANY point predictor): md5-parity three-way split (8/4/4 train/"
+    "cal/test), predictor = train mean per priority, nonconformity = "
+    "|y - mean|, q_hat = ceil((n_cal+1)*0.9)-th smallest calibration "
+    "score, coverage = share of test rows inside ±q_hat (expected "
+    ">= 90%).  EXACT INTEGER protocol throughout: |y - S/n| is carried "
+    "as |y*n - S| (scaled by the constant per-group train count), so "
+    "scores, the order-statistic selection, the ceil(k) index "
+    "(integer // math) and the coverage comparison are ALL bigint "
+    "ops — the only doubles are the two display divisions at the "
+    "end.  Shape: one groupBy for train moments, one window for the "
+    "order statistic (per-group calibration rows), one broadcast "
+    "join back for coverage — two scans at any corpus size",
+)
+def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    base = o.select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1), 16, 10)
+        .cast("int")
+        .alias("h"),
+    )
+    tr = (
+        base.filter(F.col("h") < 8)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("nt"),
+            F.sum("cents").cast("long").alias("st"),
+        )
+    )
+    cal = (
+        base.filter((F.col("h") >= 8) & (F.col("h") <= 11))
+        .join(F.broadcast(tr), "grp")
+        .select(
+            "grp",
+            "ok",
+            F.abs(F.col("cents") * F.col("nt") - F.col("st"))
+            .cast("long")
+            .alias("score"),
+        )
+    )
+    kq = cal.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cal"),
+        F.expr("((count(1) + 1) * 9 + 9) DIV 10").alias("k"),
+    )
+    w = Window.partitionBy("grp").orderBy("score", "ok")
+    qh = (
+        cal.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(kq), "grp")
+        .filter(F.col("rn") == F.col("k"))
+        .select("grp", F.col("score").alias("qhat_scaled"))
+    )
+    test = (
+        base.filter(F.col("h") >= 12)
+        .join(F.broadcast(tr), "grp")
+        .join(F.broadcast(qh), "grp")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents") * F.col("nt") - F.col("st"))
+                    <= F.col("qhat_scaled"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("covered"),
+        )
+    )
+    return (
+        test.join(tr.select("grp", F.col("nt").alias("n_train")), "grp")
+        .join(kq.select("grp", "n_cal"), "grp")
+        .join(qh, "grp")
+        .join(tr.select("grp", "nt"), "grp")
+        .select(
+            "grp",
+            "n_train",
+            "n_cal",
+            "n_test",
+            "covered",
+            (
+                F.floor(
+                    F.lit(1e2)
+                    * (F.col("qhat_scaled").cast("double") / F.col("nt") / F.lit(100.0))
+                    + F.lit(0.5)
+                )
+                / F.lit(1e2)
+            ).alias("qhat_dollars"),
+            (
+                F.floor(
+                    F.lit(1e4) * (F.col("covered").cast("double") / F.col("n_test"))
+                    + F.lit(0.5)
+                )
+                / F.lit(1e4)
+            ).alias("coverage"),
+        )
+        .orderBy("grp")
+    )
+
+
 QUERIES = list(_Q)
