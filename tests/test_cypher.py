@@ -1028,3 +1028,12 @@ def test_array_literal_and_functions_pass_through(tiny):
     )
     rows = [(r.x, r.y, list(r.tags)) for r in df.collect()]
     assert rows == [("a", "b", ["t", "a"]), ("d", "e", ["t", "d"])]
+
+
+def test_unwind_bracket_literal(tiny):
+    got = cypher(
+        tiny,
+        "MATCH (x)-[:E]->(y) WHERE x.node = 'a' "
+        "UNWIND [10, 20] AS k RETURN y, k ORDER BY y, k",
+    ).collect()
+    assert [(r.y, r.k) for r in got] == [("b", 10), ("b", 20), ("c", 10), ("c", 20)]

@@ -710,3 +710,114 @@ def test_t88_dtw_band_matches_bruteforce_dp(spark):
             )
     want = {j: int(c[n, j]) for j in range(1, n + 1) if abs(n - j) <= w}
     assert got == want
+
+
+# ------------------------------------------------- n-gram span dedup
+
+
+def test_ngram_span_pairs_planted_span(spark):
+    """A 7-token verbatim span shared by two docs = a 3-gram run of
+    5-grams => max_run_tokens 7; short docs (<5 tokens) emit no grams
+    and must not throw (the descending-sequence slice hazard)."""
+    from graph_spark.operators.dedup import ngram_span_pairs
+
+    span = "the quick brown fox jumps over fences"
+    docs = spark.createDataFrame(
+        [
+            (1, "u1a u1b u1c " + span + " u1d u1e"),
+            (2, "u2a " + span + " u2b u2c u2d u2e"),
+            (3, "tiny doc"),          # 2 tokens: no 5-gram, no error
+            (4, "one two three four"),  # 4 tokens: same
+        ],
+        "doc_id long, text string",
+    )
+    rows = ngram_span_pairs(docs, n=5).collect()
+    assert [(r.doc_a, r.doc_b, r.shared_grams, r.max_run_tokens) for r in rows] == [
+        (1, 2, 3, 7)
+    ]
+
+
+def test_ngram_span_pairs_stop_gram_cap(spark):
+    """A gram in more docs than max_gram_freq is dropped BEFORE the
+    join; pair-specific grams survive."""
+    from graph_spark.operators.dedup import ngram_span_pairs
+
+    boiler = "w1 w2 w3 w4 w5"
+    docs = spark.createDataFrame(
+        [(i, boiler + f" u{i}a u{i}b") for i in range(6)]
+        + [(10, "p q r s t uu"), (11, "p q r s t vv")],
+        "doc_id long, text string",
+    )
+    uncapped = ngram_span_pairs(docs, n=5).collect()
+    capped = ngram_span_pairs(docs, n=5, max_gram_freq=2).collect()
+    # uncapped: C(6,2)=15 boilerplate pairs + the planted (10, 11)
+    assert len(uncapped) == 16
+    assert [(r.doc_a, r.doc_b) for r in capped] == [(10, 11)]
+    # capped output is a subset of uncapped
+    ukeys = {(r.doc_a, r.doc_b, r.shared_grams, r.max_run_tokens) for r in uncapped}
+    assert all(
+        (r.doc_a, r.doc_b, r.shared_grams, r.max_run_tokens) in ukeys for r in capped
+    )
+
+
+# ------------------------------------------------- JL random projection
+
+
+def test_random_projection_matches_sign_matrix(spark):
+    """Each projected component equals the hand-computed signed sum,
+    and the quantized mode yields exact integers."""
+    from graph_spark.operators.similarity import jl_sign_matrix, random_projection
+
+    vec = [0.5, -1.25, 2.0, 0.125]
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<double>")
+    signs = jl_sign_matrix(dim=4, out_dim=3)
+    got = random_projection(df, dim=4, out_dim=3).collect()[0].proj
+    exp = [sum(s * x for s, x in zip(row, vec)) for row in signs]
+    assert got == pytest.approx(exp)
+    gotq = random_projection(df, dim=4, out_dim=3, quantize=1000).collect()[0].proj
+    import math
+
+    xq = [math.floor(x * 1000 + 0.5) for x in vec]
+    expq = [sum(s * x for s, x in zip(row, xq)) for row in signs]
+    assert list(gotq) == expq
+
+
+def test_random_projection_preserves_distance_in_expectation(spark):
+    """For ±1 signs E||ya-yb||^2 = out_dim * ||xa-xb||^2; with
+    out_dim=32 the measured ratio concentrates near 1."""
+    from graph_spark.operators.similarity import random_projection
+
+    n, dim, k = 40, 24, 32
+    df = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {dim - 1}), "
+            "d -> (pmod(xxhash64(id, d), 2001) - 1000) / 1000.0)"
+        ).alias("embedding"),
+    )
+    pr = random_projection(df, dim=dim, out_dim=k)
+    a = pr.filter(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") + 1).alias("vec_id"),
+        F.col("embedding").alias("ea"),
+        F.col("proj").alias("pa"),
+    )
+    b = pr.filter(F.col("vec_id") % 2 == 1)
+    sq = (
+        lambda u, v: F.aggregate(  # noqa: E731
+            F.zip_with(F.col(u), F.col(v), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+    )
+    rows = (
+        a.join(b, "vec_id")
+        .select(
+            (sq("pa", "proj") / (F.lit(k) * sq("ea", "embedding"))).alias("ratio")
+        )
+        .collect()
+    )
+    ratios = [r.ratio for r in rows]
+    assert len(ratios) == 20
+    avg = sum(ratios) / len(ratios)
+    assert 0.6 < avg < 1.4
+    assert all(0.1 < r < 3.5 for r in ratios)
