@@ -11284,4 +11284,103 @@ def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dft_trig(n: int = 32, kmax: int = 6) -> list[tuple[int, int, int, int]]:
+    """x1e3-scaled cos/sin literals for an n-point DFT at frequencies
+    k=1..kmax, floored half-up — computed ONCE in Python and embedded
+    in BOTH engines as literal tables, so no engine evaluates a
+    transcendental (the q148 suffix-weight / q149 ln-literal
+    protocol).  Rows: (k, t, c, s)."""
+    import math
+
+    rows = []
+    for k in range(1, kmax + 1):
+        for t in range(n):
+            ang = 2.0 * math.pi * k * t / n
+            rows.append(
+                (
+                    k,
+                    t,
+                    math.floor(1000 * math.cos(ang) + 0.5),
+                    math.floor(1000 * math.sin(ang) + 0.5),
+                )
+            )
+    return rows
+
+
+_DFT_N, _DFT_KMAX = 32, 6
+_DFT_VALUES = ", ".join(
+    f"({k}, {t}, {c}, {s})" for k, t, c, s in _dft_trig(_DFT_N, _DFT_KMAX)
+)
+
+
+@_q(
+    "t89_periodogram",
+    f"""WITH d AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             count(*)::BIGINT AS x
+           FROM events GROUP BY 1),
+       s AS (SELECT row_number() OVER (ORDER BY d) - 1 AS t, x FROM d),
+       trig(k, t, c, sn) AS (SELECT * FROM (VALUES {_DFT_VALUES})
+                             v(k, t, c, sn)),
+       f AS (SELECT trig.k,
+                    sum(s.x * trig.c)::BIGINT AS a,
+                    sum(s.x * trig.sn)::BIGINT AS b
+             FROM trig JOIN s ON s.t = trig.t
+             GROUP BY 1),
+       nd AS (SELECT count(*)::BIGINT AS n_days FROM s)
+       SELECT f.k::INT AS k, nd.n_days,
+              CAST(floor(100.0 * {_DFT_N} / f.k + 0.5) AS BIGINT)
+                AS period_days_x100,
+              (f.a * f.a + f.b * f.b)::BIGINT AS power_x1m
+       FROM f CROSS JOIN nd ORDER BY k""",
+    note="periodogram (32-point DFT power at frequencies k=1..6) of "
+    "the daily event-count series — the spectral seasonality detector "
+    "that complements t43's ACF (a peak at k means a period of 32/k "
+    "days).  Float protocol: cos/sin enter BOTH engines as x1e3 "
+    "integer literals computed once in Python (no engine evaluates a "
+    "transcendental — the q149 ln-literal idiom), so the Fourier "
+    "sums A_k, B_k and the power A²+B² (x1e6 scale) are EXACT "
+    "BIGINTs end-to-end; days beyond the 32-point window drop "
+    "(truncation, declared) and missing days zero-pad by absence.  "
+    "Shape: the fact scan collapses to <= 32 daily rows, then a "
+    "192-row broadcast literal join + one groupBy — the spectral "
+    "pass costs exactly one aggregation of the pre-rolled series at "
+    "any corpus size",
+)
+def t89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    s = daily.select(
+        (F.row_number().over(Window.orderBy("d")) - 1).alias("t"), "x"
+    )
+    trig = spark.createDataFrame(
+        _dft_trig(_DFT_N, _DFT_KMAX), "k int, t int, c long, sn long"
+    )
+    f = (
+        F.broadcast(trig)
+        .join(s, "t")
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("x") * F.col("c")).cast("long").alias("a"),
+            F.sum(F.col("x") * F.col("sn")).cast("long").alias("b"),
+        )
+    )
+    nd = s.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (
+        f.crossJoin(F.broadcast(nd))
+        .select(
+            F.col("k").cast("int").alias("k"),
+            "n_days",
+            F.floor(F.lit(100.0) * F.lit(_DFT_N) / F.col("k") + F.lit(0.5))
+            .cast("long")
+            .alias("period_days_x100"),
+            (F.col("a") * F.col("a") + F.col("b") * F.col("b"))
+            .cast("long")
+            .alias("power_x1m"),
+        )
+        .orderBy("k")
+    )
+
+
 QUERIES = list(_Q)
