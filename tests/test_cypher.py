@@ -1037,3 +1037,18 @@ def test_unwind_bracket_literal(tiny):
         "UNWIND [10, 20] AS k RETURN y, k ORDER BY y, k",
     ).collect()
     assert [(r.y, r.k) for r in got] == [("b", 10), ("b", 20), ("c", 10), ("c", 20)]
+
+
+def test_exists_or_plan_is_flag_left_joins_no_cartesian(tiny):
+    """The OR lowering must plan as existence-flag LEFT joins (one per
+    pattern branch) — never a cartesian or nested-loop shape."""
+    df = cypher(
+        tiny,
+        "MATCH (x)-[:E]->(y) WHERE EXISTS { (y)-[:E]->(z) } OR "
+        "EXISTS { (x)<-[:E]-(w) } RETURN x, y",
+    )
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    ex = df._jdf.queryExecution().executedPlan().toString()
+    assert opt.count("Join LeftOuter") == 2
+    assert "CartesianProduct" not in ex
+    assert "BroadcastNestedLoopJoin" not in ex
