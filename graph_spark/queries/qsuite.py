@@ -11383,4 +11383,110 @@ def t89(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q155_diff_in_diff",
+    """WITH cell AS (
+         SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+                  AS treated,
+                CASE WHEN o.o_orderdate >= TIMESTAMP '1996-01-01'
+                     THEN 1 ELSE 0 END AS post,
+                count(*) AS n,
+                sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS s
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY 1, 2),
+       m AS (SELECT treated, post, n,
+                    s::DOUBLE / n / 100.0 AS mean FROM cell)
+       SELECT
+         sum(CASE WHEN treated = 1 AND post = 0 THEN n END)::BIGINT
+           AS n_t_pre,
+         sum(CASE WHEN treated = 1 AND post = 1 THEN n END)::BIGINT
+           AS n_t_post,
+         sum(CASE WHEN treated = 0 AND post = 0 THEN n END)::BIGINT
+           AS n_c_pre,
+         sum(CASE WHEN treated = 0 AND post = 1 THEN n END)::BIGINT
+           AS n_c_post,
+         floor(1e2 * max(CASE WHEN treated = 1 AND post = 0 THEN mean END)
+               + 0.5) / 1e2 AS m_t_pre,
+         floor(1e2 * max(CASE WHEN treated = 1 AND post = 1 THEN mean END)
+               + 0.5) / 1e2 AS m_t_post,
+         floor(1e2 * max(CASE WHEN treated = 0 AND post = 0 THEN mean END)
+               + 0.5) / 1e2 AS m_c_pre,
+         floor(1e2 * max(CASE WHEN treated = 0 AND post = 1 THEN mean END)
+               + 0.5) / 1e2 AS m_c_post,
+         floor(1e2 * (max(CASE WHEN treated = 1 AND post = 1 THEN mean END)
+                      - max(CASE WHEN treated = 1 AND post = 0 THEN mean END)
+                      - max(CASE WHEN treated = 0 AND post = 1 THEN mean END)
+                      + max(CASE WHEN treated = 0 AND post = 0 THEN mean END))
+               + 0.5) / 1e2 AS did
+       FROM m""",
+    note="difference-in-differences estimate (the panel-data causal "
+    "design, completing the q146 CUPED / q152 IPS family): treated = "
+    "BUILDING-segment customers, event = the 1996-01-01 boundary, "
+    "outcome = order value; DiD = (treated post-pre change) minus "
+    "(control post-pre change), which nets out both the group level "
+    "difference and the common time trend.  Exact protocol: the four "
+    "cell sums/counts are BIGINTs from one groupBy; each cell mean is "
+    "ONE textually-identical double division; the estimate is a fixed "
+    "4-term expression of those means floored half-up at 2 dp — no "
+    "aggregation of floats anywhere (the max(CASE) pivots touch "
+    "exactly one non-null value each).  Shape: one broadcast dim "
+    "join + a 4-cell groupBy — a single scan at any corpus size",
+)
+def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)
+    o = c.table("orders")
+    cust = c.table("customer")
+    cell = (
+        o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias(
+                "treated"
+            ),
+            F.when(
+                F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"), 1
+            )
+            .otherwise(0)
+            .alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("s"),
+        )
+    )
+    m = cell.select(
+        "treated",
+        "post",
+        "n",
+        (F.col("s").cast("double") / F.col("n") / F.lit(100.0)).alias("mean"),
+    )
+
+    def cn(t, p):
+        return F.sum(
+            F.when((F.col("treated") == t) & (F.col("post") == p), F.col("n"))
+        ).cast("long")
+
+    def cm(t, p):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), F.col("mean"))
+        )
+
+    def r2(col):
+        return F.floor(F.lit(1e2) * col + F.lit(0.5)) / F.lit(1e2)
+
+    return m.agg(
+        cn(1, 0).alias("n_t_pre"),
+        cn(1, 1).alias("n_t_post"),
+        cn(0, 0).alias("n_c_pre"),
+        cn(0, 1).alias("n_c_post"),
+        r2(cm(1, 0)).alias("m_t_pre"),
+        r2(cm(1, 1)).alias("m_t_post"),
+        r2(cm(0, 0)).alias("m_c_pre"),
+        r2(cm(0, 1)).alias("m_c_post"),
+        r2(cm(1, 1) - cm(1, 0) - cm(0, 1) + cm(0, 0)).alias("did"),
+    )
+
+
 QUERIES = list(_Q)
