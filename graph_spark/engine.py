@@ -812,3 +812,38 @@ class Engine:
         from .operators.multimodal import perceptual_ahash
 
         return perceptual_ahash(media, cells)
+
+    def span_dedup(
+        self,
+        docs: DataFrame,
+        n: int = 5,
+        max_gram_freq: int | None = None,
+    ) -> DataFrame:
+        """Verbatim repeated-span pairs (l112/l114): positional n-gram
+        self-join + per-diagonal run merge; returns (doc_a, doc_b,
+        shared_grams, max_run_tokens).  `max_gram_freq` drops
+        stop-grams before the join (the 100 TB skew cap)."""
+        from .operators.dedup import ngram_span_pairs
+
+        return ngram_span_pairs(docs, n=n, max_gram_freq=max_gram_freq)
+
+    def project_embeddings(
+        self,
+        emb: DataFrame,
+        dim: int,
+        out_dim: int = 16,
+        quantize: int | None = None,
+    ) -> DataFrame:
+        """Johnson-Lindenstrauss signed random projection (l116):
+        appends a `proj` array column; md5-seeded ±1 signs, one
+        codegen pass, zero shuffle."""
+        from .operators.similarity import random_projection
+
+        return random_projection(emb, dim=dim, out_dim=out_dim, quantize=quantize)
+
+    def profile(self, df: DataFrame, columns: list | None = None) -> DataFrame:
+        """Column data-quality profile (q156): one aggregation pass ->
+        (col_name, n_rows, n_null, n_distinct, min_str, max_str)."""
+        from .operators.relational import profile_columns
+
+        return profile_columns(df, columns)

@@ -273,3 +273,43 @@ def sweep_concurrency(
         .alias("conc"),
         F.lead("t").over(w).alias("nxt"),
     )
+
+
+def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column data-quality profile — the deequ/dbt-style audit a
+    pipeline runs before trusting a new drop: for each column,
+    (col_name, n_rows, n_null, n_distinct, min_str, max_str).
+
+    ONE aggregation pass over the input computes every column's stats
+    (Catalyst plans the multi-distinct with one Expand — still a
+    single scan), then a literal struct-array explode unpivots the
+    1-row result; nothing rescans per column.  min/max are cast to
+    string AFTER the typed aggregation, so numeric order is preserved
+    (cast-then-min would sort '10' < '9').  Pre-render timestamp
+    columns (e.g. with queries.common.ts_str) if string formats must
+    match another engine's.
+    """
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"__nn_{c}"),
+            F.countDistinct(F.col(c)).cast("long").alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    row = df.agg(F.count(F.lit(1)).cast("long").alias("__n"), *aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__nn_{c}").alias("n_null"),
+            F.col(f"__nd_{c}").alias("n_distinct"),
+            F.col(f"__mn_{c}").alias("min_str"),
+            F.col(f"__mx_{c}").alias("max_str"),
+        )
+        for c in cols
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

@@ -11384,6 +11384,64 @@ def t89(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "q156_column_profile",
+    """WITH p AS (
+         SELECT count(*) AS n,
+                sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nn1,
+                count(DISTINCT o_orderkey) AS nd1,
+                min(o_orderkey)::VARCHAR AS mn1,
+                max(o_orderkey)::VARCHAR AS mx1,
+                sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nn2,
+                count(DISTINCT o_custkey) AS nd2,
+                min(o_custkey)::VARCHAR AS mn2,
+                max(o_custkey)::VARCHAR AS mx2,
+                sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                  AS nn3,
+                count(DISTINCT o_orderpriority) AS nd3,
+                min(o_orderpriority) AS mn3,
+                max(o_orderpriority) AS mx3,
+                sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nn4,
+                count(DISTINCT o_orderdate) AS nd4,
+                strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S.%f') AS mn4,
+                strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S.%f') AS mx4
+         FROM orders)
+       SELECT col_name, n::BIGINT AS n_rows, n_null::BIGINT AS n_null,
+              n_distinct::BIGINT AS n_distinct, min_str, max_str
+       FROM (
+         SELECT 'o_orderkey' AS col_name, n, nn1 AS n_null, nd1 AS n_distinct,
+                mn1 AS min_str, mx1 AS max_str FROM p
+         UNION ALL
+         SELECT 'o_custkey', n, nn2, nd2, mn2, mx2 FROM p
+         UNION ALL
+         SELECT 'o_orderpriority', n, nn3, nd3, mn3, mx3 FROM p
+         UNION ALL
+         SELECT 'o_orderdate', n, nn4, nd4, mn4, mx4 FROM p)
+       ORDER BY col_name""",
+    note="column data-quality profile (the deequ/dbt-style audit a "
+    "pipeline runs before trusting a new drop): per column, row/null/"
+    "exact-distinct counts and typed min/max rendered to strings "
+    "AFTER aggregation (cast-then-min would sort '10' < '9'); the "
+    "timestamp column renders through the shared µs format so both "
+    "engines agree byte-for-byte.  ONE aggregation pass computes all "
+    "four columns' stats (Catalyst plans the multi-distinct with a "
+    "single Expand — still one scan), then a literal struct-array "
+    "explode unpivots the 1-row result.  At 100 TB swap "
+    "countDistinct for approx_count_distinct per column — same "
+    "plan shape minus the Expand",
+)
+def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_spark.operators.relational import profile_columns
+
+    o = Catalog(spark, sf_dir).table("orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        ts_str(F.col("o_orderdate")).alias("o_orderdate"),
+    )
+    return profile_columns(o).orderBy("col_name")
+
+
+@_q(
     "q155_diff_in_diff",
     """WITH cell AS (
          SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END

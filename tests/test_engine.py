@@ -342,3 +342,27 @@ def test_engine_cooccurrence_pairs_cap(spark):
     cap_rows = cap.collect()
     assert {(r.s1, r.s2) for r in cap_rows} <= un_keys
     assert cap.columns == ["s1", "s2", "cooc"]
+
+
+def test_engine_round6_facades(spark):
+    """span_dedup / project_embeddings / profile facades route to the
+    round-6 operators and return the documented shapes."""
+    from graph_spark.engine import Engine
+
+    eng = Engine(spark, SF_SMOKE)
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f x"), (2, "z a b c d e f")],
+        "doc_id long, text string",
+    )
+    sd = eng.span_dedup(docs, n=5).collect()
+    assert [(r.doc_a, r.doc_b, r.max_run_tokens) for r in sd] == [(1, 2, 6)]
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0])], "vec_id long, embedding array<double>"
+    )
+    pr = eng.project_embeddings(emb, dim=4, out_dim=5).collect()[0]
+    assert len(pr.proj) == 5
+
+    prof = eng.profile(docs).collect()
+    assert sorted(r.col_name for r in prof) == ["doc_id", "text"]
+    assert all(r.n_rows == 2 and r.n_null == 0 for r in prof)
