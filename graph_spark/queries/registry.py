@@ -61,6 +61,15 @@ HAZARD_PRIORITY = [
     "l112_ngram_span_dedup",
     "q150_consistent_hashing",
     "t88_dtw_band",
+    # round-6 hazards: rounded-double top-25 cut over the capped gram
+    # join (l114), x1e4 integer-truncated top-20 cut (g128), per-group
+    # order-statistic selection (q154), per-row scaled-int SSW terms
+    # summed as integers (q153), per-user x1e6 metric carriers (l115)
+    "l114_span_dedup_capped",
+    "g128_slope_one",
+    "q154_split_conformal",
+    "q153_anova",
+    "l115_ranking_metrics",
 ]
 
 

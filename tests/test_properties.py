@@ -1051,3 +1051,135 @@ def test_cypher_shortest_path_matches_python_bfs(spark, seed):
                     nxt.append(v)
         frontier = nxt
     assert got == want, f"seed={seed}"
+
+
+# ------------------------------------------ round-6 estimator laws
+
+
+def _did_on(spark, rows):
+    """Run the q155 DiD algebra on a synthetic (treated, post, y) frame
+    and return the estimate (unrounded)."""
+    df = spark.createDataFrame(rows, "treated int, post int, y double")
+    cell = df.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("y") * 100 + F.lit(0.5)).cast("long")).alias("s"),
+    )
+    m = cell.select(
+        "treated",
+        "post",
+        (F.col("s").cast("double") / F.col("n") / F.lit(100.0)).alias("mean"),
+    )
+
+    def cm(t, p):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), F.col("mean"))
+        )
+
+    return m.agg((cm(1, 1) - cm(1, 0) - cm(0, 1) + cm(0, 0)).alias("did")).collect()[
+        0
+    ].did
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_did_nets_out_level_and_common_trend(spark, seed):
+    """DiD law: a constant group-level difference and a common time
+    trend both cancel; only the treatment-period interaction survives."""
+    rng = random.Random(seed)
+    level, trend, effect = rng.randint(1, 50), rng.randint(1, 30), rng.randint(1, 20)
+    rows = []
+    for _ in range(200):
+        for treated in (0, 1):
+            for post in (0, 1):
+                base = 100.0 + treated * level + post * trend
+                y = base + (effect if treated and post else 0)
+                rows.append((treated, post, float(y)))
+    got = _did_on(spark, rows)
+    assert got == pytest.approx(effect, abs=0.02)
+
+
+def test_split_conformal_coverage_law(spark):
+    """Conformal guarantee: with exchangeable cal/test scores, coverage
+    of the ceil((n+1)(1-a))-quantile interval is >= 1-a in expectation;
+    on a 2000-row md5-split sample it must not undershoot materially."""
+    from graph_spark.queries.registry import by_name
+
+    from .conftest import SF_SMOKE
+
+    # run the declared builder on the fixture data and check the law
+    rows = by_name()["q154_split_conformal"].build(spark, SF_SMOKE).collect()
+    assert rows, "conformal query returned no groups"
+    for r in rows:
+        # 90% nominal; allow finite-sample slack of 4 sigma of a
+        # Bernoulli(0.9) mean over n_test draws
+        slack = 4 * (0.09 / r.n_test) ** 0.5
+        assert r.coverage >= 0.9 - slack, (r.grp, r.coverage, r.n_test)
+
+
+def test_slope_one_recovers_additive_ratings(spark):
+    """Slope One law: on a complete additive rating matrix
+    r(u, i) = a_u + b_i, held-out predictions are EXACT (the
+    deviation algebra reproduces b_j - b_i perfectly)."""
+    users = {f"u{k}": 10 + 3 * k for k in range(6)}
+    items = {f"i{k}": 2 * k for k in range(5)}
+    rows = [
+        (u, i, au + bi)
+        for u, au in users.items()
+        for i, bi in items.items()
+        if not (u == "u0" and i == "i4")  # hold out one cell
+    ]
+    r = spark.createDataFrame(rows, "u string, i string, rt long")
+    b = r.select("u", F.col("i").alias("i2"), F.col("rt").alias("rt2"))
+    dev = (
+        r.join(b, "u")
+        .filter(F.col("i") != F.col("i2"))
+        .groupBy(F.col("i").alias("j"), F.col("i2").alias("i"))
+        .agg(
+            F.sum(F.col("rt") - F.col("rt2")).cast("long").alias("dnum"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        )
+    )
+    rated = r.select("u", F.col("i").alias("j"))
+    pred = (
+        r.join(dev.filter(F.col("j") == "i4"), "i")
+        .join(rated, ["u", "j"], "left_anti")
+        .groupBy("u", "j")
+        .agg(
+            F.sum(F.col("dnum") + F.col("rt") * F.col("c")).cast("long").alias("pnum"),
+            F.sum("c").cast("long").alias("pden"),
+        )
+        .collect()
+    )
+    assert len(pred) == 1
+    p = pred[0]
+    assert p.u == "u0" and p.pnum % p.pden == 0
+    assert p.pnum // p.pden == users["u0"] + items["i4"]
+
+
+def test_periodogram_detects_planted_period(spark):
+    """A planted 8-day cycle (k = 4 of 32) must dominate the spectrum
+    the t89 algebra computes."""
+    import math
+
+    from graph_spark.queries.qsuite import _DFT_KMAX, _DFT_N, _dft_trig
+
+    xs = [1000 + round(300 * math.cos(2 * math.pi * t / 8)) for t in range(32)]
+    s = spark.createDataFrame(
+        [(t, x) for t, x in enumerate(xs)], "t int, x long"
+    )
+    trig = spark.createDataFrame(
+        _dft_trig(_DFT_N, _DFT_KMAX), "k int, t int, c long, sn long"
+    )
+    f = (
+        F.broadcast(trig)
+        .join(s, "t")
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("x") * F.col("c")).cast("long").alias("a"),
+            F.sum(F.col("x") * F.col("sn")).cast("long").alias("b"),
+        )
+        .select("k", (F.col("a") * F.col("a") + F.col("b") * F.col("b")).alias("p"))
+        .collect()
+    )
+    powers = {r.k: r.p for r in f}
+    assert max(powers, key=powers.get) == 4
+    assert powers[4] > 10 * max(v for k, v in powers.items() if k != 4)
