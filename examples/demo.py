@@ -177,6 +177,27 @@ def main() -> None:
     eng.substring_spans(docs).orderBy(F.desc("max_span")).show(4)
     eng.pq_search(em, em.filter(F.col("vec_id") < 2), k=3, shortlist=50).show()
 
+    print("== Cypher subset: pattern predicates, list literals, OPTIONAL ==")
+    eng.cypher(
+        """MATCH (c:Customer)-[e:BUYS]->(s:Supplier)
+           WHERE e.n_items IN [3, 4, 5] AND
+                 (EXISTS { (s)<-[:BUYS {n_items: 5}]-(x:Customer) } OR
+                  NOT (c)-[:BUYS {n_items: 1}]->(y:Supplier))
+           RETURN s AS supplier, count(*) AS n ORDER BY n DESC, supplier
+           LIMIT 5"""
+    ).show()
+
+    print("== LLM ops: verbatim span dedup (capped) + JL projection ==")
+    eng.span_dedup(docs, n=5, max_gram_freq=8).orderBy(
+        F.desc("max_run_tokens"), "doc_a", "doc_b"
+    ).show(4)
+    eng.project_embeddings(em, dim=64, out_dim=8).select(
+        "vec_id", F.round(F.col("proj")[0], 3).alias("p0")
+    ).show(3)
+
+    print("== data quality: one-scan column profile ==")
+    eng.profile(eng.table("orders")).orderBy("col_name").show(truncate=False)
+
     print("== temporal: per-key EWMA (the window-algebra boundary) ==")
     eng.ewma(eng.table("events")).orderBy("user_id").show(5)
 

@@ -11065,10 +11065,13 @@ def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
     "term (x-m_g)^2 is floored half-up to a x100 BIGINT and SUMMED "
     "AS INTEGERS, so no float accumulation order exists anywhere — "
     "ssb/ssw are hash-exact integers, F their one rounded ratio.  "
-    "Shape: one groupBy for moments, one broadcast join of 5 group "
-    "rows back onto the fact scan for the within terms — two scans, "
-    "zero shuffles beyond the 5-row agg; at 100 TB the per-row term "
-    "stays in whole-stage codegen",
+    "Magnitude bound (the q132 discipline): per-row x100 terms are "
+    "~1.4e12, so ssw_x100 stays under 2^63 through sf1 (~2e18); "
+    "beyond that, drop the x100 scale (dollars^2 floor) — same "
+    "protocol, one fewer digit.  Shape: one groupBy for moments, one "
+    "broadcast join of 5 group rows back onto the fact scan for the "
+    "within terms — two scans, zero shuffles beyond the 5-row agg; "
+    "at 100 TB the per-row term stays in whole-stage codegen",
 )
 def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = Catalog(spark, sf_dir).table("orders")
