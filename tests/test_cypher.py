@@ -1052,3 +1052,17 @@ def test_exists_or_plan_is_flag_left_joins_no_cartesian(tiny):
     assert opt.count("Join LeftOuter") == 2
     assert "CartesianProduct" not in ex
     assert "BroadcastNestedLoopJoin" not in ex
+
+
+def test_exists_or_with_varlen_branch(tiny):
+    """OR lowering composes with var-length patterns in a branch:
+    x reaches e within 2 hops OR x has no incoming edge."""
+    got = cypher(
+        tiny,
+        "MATCH (x)-[:E]->(y) WHERE EXISTS { (y)-[:E*1..2]->(z:Any) } OR "
+        "NOT (x)<-[:E]-(w) RETURN x, y ORDER BY x, y",
+    ).collect()
+    # y with 1-2 hop out-reach: b, c (->d->e), d (->e); plus x=a rows
+    assert [(r.x, r.y) for r in got] == [
+        ("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+    ]
