@@ -153,3 +153,50 @@ def rate_stream(spark: SparkSession, rows_per_second: int = 10):
         .option("rowsPerSecond", rows_per_second)
         .load()
     )
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: str | None = None,
+) -> DataFrame:
+    """Native XML source (built into Spark since 4.0 — no external
+    package): one DataFrame row per `row_tag` element.  Pin `schema`
+    in production exactly like the csv/json readers — XML schema
+    inference is a full extra pass over the data, and inferred types
+    can drift between drops."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", root_tag: str = "rows"
+) -> None:
+    df.write.format("xml").option("rowTag", row_tag).option(
+        "rootTag", root_tag
+    ).mode("overwrite").save(path)
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """Avro ships as the external spark-avro module; gate on the
+    classpath probe instead of failing at import (the Delta idiom)."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.avro.AvroFileFormat"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    if not avro_available(spark):
+        raise NotImplementedError(
+            "spark-avro jars are not on the classpath in this environment; "
+            "deploy org.apache.spark:spark-avro and use "
+            "spark.read.format('avro')"
+        )
+    return spark.read.format("avro").load(path)

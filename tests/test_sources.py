@@ -427,3 +427,33 @@ def test_rate_stream_produces_rows(spark, tmp_path):
         assert spark.table("rate_smoke").count() > 0
     finally:
         q.stop()
+
+
+def test_xml_roundtrip_and_avro_gate(spark, tmpdir):
+    """Native XML (Spark 4 built-in) round-trips with a pinned rowTag;
+    Avro is an external module absent here, so the reader must gate
+    with NotImplementedError instead of a raw classpath failure."""
+    import pytest as _pytest
+
+    from graph_spark.sources.readers import (
+        avro_available,
+        read_avro,
+        read_xml,
+        write_xml,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "id long, v string"
+    )
+    path = str(tmpdir.join("x"))
+    write_xml(df, path, row_tag="rec", root_tag="recs")
+    back = read_xml(spark, path, row_tag="rec")
+    assert back.count() == 3
+    assert {r.id for r in back.collect()} == {1, 2, 3}
+    # pinned schema path
+    pinned = read_xml(spark, path, row_tag="rec", schema="id long, v string")
+    assert pinned.schema.simpleString() == "struct<id:bigint,v:string>"
+
+    if not avro_available(spark):
+        with _pytest.raises(NotImplementedError, match="spark-avro"):
+            read_avro(spark, path)
