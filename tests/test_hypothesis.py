@@ -335,3 +335,36 @@ def test_ktruss_peel_matches_python(spark, edges, rounds, k):
         last = {ed: c for ed, c in sp.items() if c >= k - 2}
         cur = set(last)
     assert got == last
+
+
+# ---------------------------------------------- bracket-literal scanner
+
+_expr_tokens = st.lists(
+    st.sampled_from(
+        ["x", "arr", "42", "+", ",", " ", "(", ")", "[", "]",
+         "IN", "AND", "'a[b]'", "size"]
+    ),
+    min_size=0,
+    max_size=16,
+)
+
+
+@given(toks=_expr_tokens)
+@SET
+def test_bracket_scanner_laws(toks):
+    """Structural laws of _bracket_lists_to_array on arbitrary token
+    soup: (1) text without '[' passes through verbatim; (2) quoted
+    spans are never rewritten; (3) the transform is idempotent (its
+    output contains no convertible bracket literals); (4) output
+    length never shrinks below input (only '[' -> 'array(' grows)."""
+    from graph_spark.graph.cypher import _bracket_lists_to_array as f
+
+    text = "".join(toks)
+    out = f(text)
+    if "[" not in text:
+        assert out == text
+    assert f(out) == out  # idempotent
+    assert len(out) >= len(text)
+    # quoted literal survives byte-for-byte wherever it appears
+    if "'a[b]'" in text:
+        assert "'a[b]'" in out
