@@ -57,14 +57,25 @@ Supported:
     forward pass); binds `length(p)` / `p.len` and `p.cnt` (number of
     distinct shortest paths).  Self-loop edges and a==b rows are
     excluded (never on a minimal simple path).
-  - WHERE pattern predicates, as top-level AND conjuncts:
-    `EXISTS { (a)-[:T]->(b) }` (brace or paren delimited),
-    `NOT EXISTS { .. }`, and the bare sugar `NOT (a)-[:T]->(b)` /
-    `(a)-[:T]->(b)` — compiled to LEFT-SEMI / LEFT-ANTI joins on the
+  - WHERE pattern predicates: `EXISTS { (a)-[:T]->(b) }` (brace or
+    paren delimited), `NOT EXISTS { .. }`, and the bare sugar
+    `NOT (a)-[:T]->(b)` / `(a)-[:T]->(b)`.  As top-level AND
+    conjuncts they compile to LEFT-SEMI / LEFT-ANTI joins on the
     variables shared with the outer scope (the engine's q06/q07 join
-    shapes; never a cartesian).  Variables bound only inside the
-    pattern are existential and never enter the scope.  Refused under
-    a top-level OR and inside an OPTIONAL MATCH's WHERE.
+    shapes; never a cartesian).  Under a top-level OR (optionally
+    mixed with scalar disjuncts) each pattern branch becomes a LEFT
+    join against the DISTINCT shared-key set of its subpattern,
+    contributing a null/not-null existence flag; the flags are ORed
+    in ONE filter (a semi-join chain would intersect the branches).
+    Inside an OPTIONAL MATCH's WHERE they apply to the optional-side
+    frame BEFORE the null-extending left join (openCypher: the WHERE
+    decides whether the pattern matched; failing rows null-extend).
+    Variables bound only inside a pattern are existential and never
+    enter the scope; a disjunct that ANDs a pattern with a scalar is
+    refused with a cypher-level error.
+  - bracket list literals in expressions: `[1, 2, 3]` becomes
+    `array(1, 2, 3)` (`x IN [..]` becomes a plain SQL value list);
+    subscripts (`arr[0]`, `[1,2][0]`) pass through untouched.
   - UNWIND <list expr> AS var [WHERE post]: explodes a list expression
     (typically a collect_list WITH alias) into one row per element —
     the collect-then-re-expand idiom (`WITH s, collect_list(c.node) AS
