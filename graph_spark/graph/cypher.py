@@ -86,10 +86,25 @@ Supported:
     count, binding `p.cost` (min total weight over <=max-hop paths).
     Needs an anchored source; `length(p)` is not bound.
 
+  - relationship-type disjunction `-[e:A|B]->` (also the `:A|:B`
+    spelling): the leg is the UNION ALL of the type frames restricted
+    to their common property columns — distinct relationships, so no
+    dedup; a property present on only one type cannot be referenced
+    across the union.
+  - undirected patterns `-[e:T]-`: each relationship matches in BOTH
+    orientations (openCypher semantics) — the leg is the union of the
+    two orientation projections with self-loops contributed once; in
+    var-length form the walk uses the symmetric closure.  shortestPath
+    stays directed (walk :TRADE_SYM for undirected distances).
+  - Cypher string operators `STARTS WITH` / `ENDS WITH` / `CONTAINS`,
+    rewritten quote-aware to the Spark `startswith`/`endswith`/
+    `contains` functions; operands may be property refs, literals, or
+    single-level function calls, and `NOT` composes for free.
+
 Not supported (raise ValueError): more than one RETURN clause,
 CREATE/MERGE/DELETE (this is an analytical engine — writes go through
-the sink API), undirected edges (query the symmetric PropertyGraph /
-:TRADE_SYM instead).
+the sink API), undirected shortestPath (query the symmetric
+PropertyGraph / :TRADE_SYM instead).
 
 Scale shape: each edge pattern is one equi-join of the (distinct-pair
 rollup) edge table; labels and property predicates are pushed to the
@@ -125,6 +140,7 @@ _TOKEN = re.compile(
   | (?P<colon>:)
   | (?P<comma>,)
   | (?P<star>\*)
+  | (?P<pipe>\|)
   | (?P<dots>\.\.)
   | (?P<str>'[^']*'|"[^"]*")
   | (?P<float>\d+\.\d+)
@@ -167,6 +183,12 @@ def _split_clauses(query: str) -> list[tuple[str, str]]:
         if idx % 2 == 0:
             for m in _KW.finditer(part):
                 kw = re.sub(r"\s+", " ", m.group(1).upper())
+                if kw == "WITH":
+                    # the WITH of a string operator (x STARTS WITH y /
+                    # x ENDS WITH y) is not a clause boundary
+                    wm = re.search(r"(\w+)\s*$", part[: m.start()])
+                    if wm and wm.group(1).upper() in ("STARTS", "ENDS"):
+                        continue
                 marks.append((off + m.start(), kw, off + m.end()))
         off += len(part)
     if not marks or marks[0][0] > len(query) - len(query.lstrip()):
@@ -201,12 +223,20 @@ class _Node:
 
 
 class _Edge:
-    __slots__ = ("var", "etype", "reverse", "min_len", "max_len", "props")
+    __slots__ = (
+        "var", "etype", "reverse", "min_len", "max_len", "props", "undirected",
+    )
 
-    def __init__(self, var, etype, reverse, min_len, max_len, props=None):
+    def __init__(
+        self, var, etype, reverse, min_len, max_len, props=None, undirected=False
+    ):
+        # etype: None (default edges) | str | tuple[str, ...] (the
+        # Cypher type disjunction -[e:A|B]->, lowered to a union of the
+        # type frames on their common property columns)
         self.var, self.etype, self.reverse = var, etype, reverse
         self.min_len, self.max_len = min_len, max_len
         self.props = props or {}
+        self.undirected = undirected
 
 
 def _lex(pattern: str):
@@ -311,7 +341,15 @@ def _parse_patterns(text: str, anon: list | None = None):
                 var = expect("name")
             if i < len(toks) and toks[i][0] == "colon":
                 i += 1
-                etype = expect("name")
+                types = [expect("name")]
+                # type disjunction -[e:A|B|C]-> (openCypher: matches a
+                # relationship of ANY listed type)
+                while i < len(toks) and toks[i][0] == "pipe":
+                    i += 1
+                    if i < len(toks) and toks[i][0] == "colon":
+                        i += 1  # tolerate the :A|:B spelling too
+                    types.append(expect("name"))
+                etype = types[0] if len(types) == 1 else tuple(types)
             if i < len(toks) and toks[i][0] == "star":
                 i += 1
                 if var is not None:
@@ -340,11 +378,19 @@ def _parse_patterns(text: str, anon: list | None = None):
                 # interprets it
                 props = parse_props()
             expect("rbr")
+        undirected = False
         if reverse:
             expect("dash")
+        elif i < len(toks) and toks[i][0] == "dash":
+            # -[e]- (no closing arrow): the undirected pattern — each
+            # relationship matches in BOTH orientations (openCypher)
+            i += 1
+            undirected = True
         else:
             expect("arrow_out")
-        return _Edge(var or fresh(), etype, reverse, min_len, max_len, props)
+        return _Edge(
+            var or fresh(), etype, reverse, min_len, max_len, props, undirected
+        )
 
     while i < len(toks):
         left = parse_node()
@@ -558,6 +604,43 @@ def _bracket_lists_to_array(text: str) -> str:
     return "".join(out)
 
 
+# a Cypher string-operator comparison: <primary> STARTS WITH <primary>
+# (likewise ENDS WITH / CONTAINS).  A primary is a quoted string, a
+# bare/dotted identifier, or a single-level function call — enough for
+# the practical shapes (prop refs, literals, lower()/trim() wrappers);
+# nested calls stay refusable Spark-side rather than mis-parsed here.
+_STR_PRIMARY = r"(?:[A-Za-z_]\w*(?:\.\w+)?\((?:[^()']|'[^']*')*\)|[A-Za-z_]\w*(?:\.\w+)?|'[^']*'|\"[^\"]*\")"
+_STR_OP = re.compile(
+    rf"(?P<left>{_STR_PRIMARY})\s+"
+    r"(?P<op>STARTS\s+WITH|ENDS\s+WITH|CONTAINS)\s+"
+    rf"(?P<right>{_STR_PRIMARY})",
+    re.IGNORECASE,
+)
+
+
+def _string_ops_rewrite(text: str) -> str:
+    """Rewrite Cypher string comparison operators to the equivalent
+    Spark SQL functions: ``x STARTS WITH y`` -> ``startswith(x, y)``,
+    ``x ENDS WITH y`` -> ``endswith(x, y)``, ``x CONTAINS y`` ->
+    ``contains(x, y)``.  ``NOT`` composes for free (``NOT contains(..)``
+    is plain SQL).  Matches inside quoted string literals are left
+    untouched."""
+    spans = [m.span() for m in re.finditer(r"'[^']*'|\"[^\"]*\"", text)]
+
+    def sub(m: re.Match) -> str:
+        op_at = m.start("op")
+        if any(a < op_at < b for a, b in spans):
+            return m.group(0)
+        fn = {
+            "STARTSWITH": "startswith",
+            "ENDSWITH": "endswith",
+            "CONTAINS": "contains",
+        }[re.sub(r"\s+", "", m.group("op").upper())]
+        return f"{fn}({m.group('left')}, {m.group('right')})"
+
+    return _STR_OP.sub(sub, text)
+
+
 def _split_top_level(text: str, sep: str = ",") -> list[str]:
     """Split on `sep` outside parens/quotes."""
     out, depth, cur, q = [], 0, [], None
@@ -606,9 +689,24 @@ class CypherGraph:
         self.labels = labels or {}
         self.rel_types = rel_types or {}
 
-    def edges_for(self, etype: str | None) -> DataFrame:
+    def edges_for(self, etype) -> DataFrame:
         if etype is None:
             return self.graph.edges
+        if isinstance(etype, tuple):
+            # type disjunction: UNION ALL of the type frames (distinct
+            # relationships, so no dedup) restricted to their COMMON
+            # property columns — a property present on only one type
+            # can't be referenced across the union
+            frames = [self.edges_for(t) for t in etype]
+            common = [
+                c
+                for c in frames[0].columns
+                if all(c in f.columns for f in frames[1:])
+            ]
+            out = frames[0].select(*common)
+            for f in frames[1:]:
+                out = out.unionByName(f.select(*common))
+            return out
         if etype not in self.rel_types:
             raise ValueError(
                 f"cypher: unknown relationship type :{etype} "
@@ -630,12 +728,24 @@ def _edge_props(edf: DataFrame) -> list[str]:
 
 def _leg(cg: CypherGraph, edge: _Edge, a: str, b: str) -> DataFrame:
     """One edge pattern as a DataFrame with columns a, b, and
-    edgevar__prop for each edge property."""
+    edgevar__prop for each edge property.  An undirected pattern
+    -[e]- matches each relationship in BOTH orientations (openCypher):
+    the leg is the union of the two orientation projections, with
+    self-loops contributed once (their orientations coincide)."""
     edf = cg.edges_for(edge.etype)
+    props = _edge_props(edf)
+
+    def orient(s: str, d: str, frame: DataFrame) -> DataFrame:
+        cols = [F.col(s).alias(a), F.col(d).alias(b)]
+        cols += [F.col(p).alias(f"{edge.var}__{p}") for p in props]
+        return frame.select(*cols)
+
+    if edge.undirected:
+        fwd = orient("src", "dst", edf)
+        rev = orient("dst", "src", edf.filter(F.col("src") != F.col("dst")))
+        return fwd.unionByName(rev)
     s, d = ("dst", "src") if edge.reverse else ("src", "dst")
-    cols = [F.col(s).alias(a), F.col(d).alias(b)]
-    cols += [F.col(p).alias(f"{edge.var}__{p}") for p in _edge_props(edf)]
-    return edf.select(*cols)
+    return orient(s, d, edf)
 
 
 def _varlen_leg(cg: CypherGraph, edge: _Edge, a: str, b: str) -> DataFrame:
@@ -649,6 +759,12 @@ def _varlen_leg(cg: CypherGraph, edge: _Edge, a: str, b: str) -> DataFrame:
     edf = cg.edges_for(edge.etype).select("src", "dst")
     s, d = ("dst", "src") if edge.reverse else ("src", "dst")
     base = edf.select(F.col(s).alias("__u"), F.col(d).alias("__v"))
+    if edge.undirected:
+        # undirected reach: walk the symmetric closure (the per-hop
+        # distinct below makes double-listed mutual lanes harmless)
+        base = base.unionByName(
+            edf.select(F.col(d).alias("__u"), F.col(s).alias("__v"))
+        ).distinct()
     out = None
     cur = base
     for length in range(1, edge.max_len + 1):
@@ -697,6 +813,11 @@ def _shortest_frame(cg: CypherGraph, pvar: str, triples) -> tuple[DataFrame, set
     if edge.props:
         return _weighted_shortest_frame(cg, pvar, left, edge, right)
     a, b = left.var, right.var
+    if edge.undirected:
+        raise ValueError(
+            "cypher: undirected shortestPath is not supported — walk a "
+            "symmetric relationship (e.g. :TRADE_SYM) instead"
+        )
     if a == b:
         raise ValueError("cypher: shortestPath endpoints must be distinct variables")
     edf = cg.edges_for(edge.etype).select("src", "dst")
@@ -757,6 +878,11 @@ def _all_shortest_frame(cg: CypherGraph, pvar: str, triples) -> tuple[DataFrame,
             "(weighted counting is not supported; use shortestPath)"
         )
     a, b = left.var, right.var
+    if edge.undirected:
+        raise ValueError(
+            "cypher: undirected allShortestPaths is not supported — walk "
+            "a symmetric relationship (e.g. :TRADE_SYM) instead"
+        )
     if a == b:
         raise ValueError("cypher: allShortestPaths endpoints must be distinct")
     edf = cg.edges_for(edge.etype).select("src", "dst")
@@ -811,6 +937,11 @@ def _weighted_shortest_frame(
     The source row itself (cost 0) is dropped: a shortestPath match is
     a ≥1-hop path.  Requires a single anchored source — multi-source
     weighted SSSP would need one kernel run per seed."""
+    if edge.undirected:
+        raise ValueError(
+            "cypher: undirected weighted shortestPath is not supported — "
+            "walk a symmetric relationship (e.g. :TRADE_SYM) instead"
+        )
     if set(edge.props) != {"cost"} or not isinstance(edge.props["cost"], str):
         raise ValueError(
             "cypher: shortestPath property map must be {cost: '<edge property>'}"
@@ -879,7 +1010,9 @@ def _rewrite(expr: str, node_vars: set[str], edge_vars: set[str]) -> str:
             )
         return m.group(0)  # e.g. a qualified SQL function or table ref
 
-    # Cypher list literals -> Spark SQL array(...) first (quote-aware)
+    # Cypher string operators -> Spark SQL functions (quote-aware),
+    # then list literals -> array(...) (quote-aware)
+    expr = _string_ops_rewrite(expr)
     expr = _bracket_lists_to_array(expr)
     # split out quoted spans (odd indices after re.split with a capture
     # group) and rewrite only the code between them

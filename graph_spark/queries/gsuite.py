@@ -4753,7 +4753,20 @@ def cypher_graph(c: Catalog):
             "Supplier": lambda col: col.startswith("s"),
             "Nation": lambda col: col.startswith("n"),
         },
-        rel_types={"BUYS": edges, "TRADE": ne, "TRADE_SYM": es, "TRADE_W": ne_w},
+        rel_types={
+            "BUYS": edges,
+            # the BUYS relation partitioned by basket size into two
+            # relationship TYPES (the usual graph-modeling move when a
+            # property would otherwise be filtered everywhere): BULK =
+            # the g04 threshold n_items >= 3, SMALL = the rest.  Same
+            # property columns on both, so -[:BUYS_SMALL|BUYS_BULK]->
+            # unions back to BUYS with every property intact.
+            "BUYS_BULK": edges.filter(F.col("n_items") >= 3),
+            "BUYS_SMALL": edges.filter(F.col("n_items") < 3),
+            "TRADE": ne,
+            "TRADE_SYM": es,
+            "TRADE_W": ne_w,
+        },
     )
 
 
@@ -6880,6 +6893,100 @@ def g129(spark: SparkSession, sf_dir: str) -> DataFrame:
                  EXISTS { (d)-[:BUYS {n_items: 5}]->(s2:Supplier) }
            RETURN s AS supplier, count(*) AS n_pairs, count(d) AS n_matched
            ORDER BY n_pairs DESC, supplier LIMIT 15""",
+    )
+
+
+@_g(
+    "g130_cypher_rel_type_union",
+    f"""WITH {GRAPH_CTES}
+       SELECT dst AS supplier, count(*)::BIGINT AS n_edges,
+              sum(n_items)::BIGINT AS items
+       FROM graph_edges WHERE n_items >= 2
+       GROUP BY 1 ORDER BY n_edges DESC, supplier LIMIT 15""",
+    note="relationship-type disjunction -[e:BUYS_SMALL|BUYS_BULK]-> "
+    "(new compiler production this round): the leg is the UNION ALL "
+    "of the two type frames on their common property columns — "
+    "distinct relationships, so no dedup — and e.n_items / the "
+    "aggregate read across the union.  The types partition BUYS at "
+    "the g04 bulk threshold and the predicate n_items >= 2 spans the "
+    "boundary, so the result reconstructs the full relation ONLY if "
+    "both branches are actually scanned (a one-type plan loses the "
+    "n_items = 2 rows).  Scale: two filtered scans of the same edge "
+    "rollup unioned before the aggregate — Catalyst pushes the "
+    "predicate into each branch; no new shuffle shape",
+)
+def g130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cy(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[e:BUYS_SMALL|BUYS_BULK]->(s:Supplier)
+           WHERE e.n_items >= 2
+           RETURN s AS supplier, count(*) AS n_edges, sum(e.n_items) AS items
+           ORDER BY n_edges DESC, supplier LIMIT 15""",
+    )
+
+
+@_g(
+    "g131_cypher_string_ops",
+    f"""WITH {GRAPH_CTES}
+       SELECT src AS customer, dst AS supplier, n_items::BIGINT AS n_items
+       FROM graph_edges
+       WHERE src LIKE 'c1%' AND dst LIKE '%7' AND src NOT LIKE '%9%'
+         AND n_items >= 2
+       ORDER BY 1, 2 LIMIT 40""",
+    note="Cypher string comparison operators (new compiler production "
+    "this round): c.node STARTS WITH 'c1' / s.node ENDS WITH '7' / "
+    "NOT c.node CONTAINS '9' rewrite quote-aware to the Spark "
+    "startswith/endswith/contains functions before expression "
+    "lowering, so Catalyst sees StartsWith/EndsWith/Contains "
+    "predicates it pushes to the edge-rollup scan like any LIKE.  "
+    "The oracle is the same three predicates as SQL LIKE patterns.  "
+    "Scale: pure per-row predicates — they ride the rollup's map "
+    "side, nothing materializes",
+)
+def g131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cy(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[e:BUYS]->(s:Supplier)
+           WHERE c.node STARTS WITH 'c1' AND s.node ENDS WITH '7'
+             AND NOT c.node CONTAINS '9' AND e.n_items >= 2
+           RETURN c.node AS customer, s.node AS supplier,
+                  e.n_items AS n_items
+           ORDER BY customer, supplier LIMIT 40""",
+    )
+
+
+@_g(
+    "g132_cypher_undirected",
+    """WITH ne AS (
+         SELECT 'n'||c.c_nationkey AS src, 'n'||s.s_nationkey AS dst
+         FROM lineitem l JOIN orders o ON l.l_orderkey=o.o_orderkey
+         JOIN customer c ON o.o_custkey=c.c_custkey
+         JOIN supplier s ON l.l_suppkey=s.s_suppkey
+         GROUP BY 1,2 HAVING count(*) >= 150)
+       SELECT least(src, dst) AS na, greatest(src, dst) AS nb,
+              count(*)::BIGINT AS n_lanes
+       FROM ne WHERE src <> dst
+       GROUP BY 1, 2 ORDER BY n_lanes DESC, na, nb LIMIT 20""",
+    note="undirected pattern -[e:TRADE]- (new compiler production this "
+    "round; openCypher semantics — each relationship matches in BOTH "
+    "orientations, so the leg is the union of the two orientation "
+    "projections with self-loops contributed once): with a.node < "
+    "b.node each directed lane lands on exactly one unordered pair, "
+    "so n_lanes = 2 flags mutual trade and the self-lanes drop.  The "
+    "oracle is the least/greatest rollup of the directed view.  "
+    "Scale: the orientation union doubles the edge scan, not the "
+    "shuffle — the groupBy keys on the unordered pair either way",
+)
+def g132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cy(
+        spark,
+        sf_dir,
+        """MATCH (a:Nation)-[e:TRADE]-(b:Nation)
+           WHERE a.node < b.node
+           RETURN a.node AS na, b.node AS nb, count(*) AS n_lanes
+           ORDER BY n_lanes DESC, na, nb LIMIT 20""",
     )
 
 

@@ -896,14 +896,28 @@ def test_exists_or_mixed_and_refused(tiny):
         )
 
 
-def test_bare_pattern_under_or_unparsable_refused(tiny):
-    """An undirected bare pattern under OR cannot lower; it must raise
+def test_undirected_bare_pattern_under_or_lowers(tiny):
+    """An undirected bare pattern under OR lowers through the same
+    existence-flag machinery as the directed forms (this was a refusal
+    before undirected patterns were supported).  Every node in the
+    diamond has SOME undirected neighbor, so only the x='a' disjunct
+    keeps rows."""
+    got = cypher(
+        tiny,
+        "MATCH (x)-[:E]->(y) WHERE x.node = 'a' OR "
+        "NOT (y)-[:E]-(z) RETURN x ORDER BY x",
+    ).collect()
+    assert [r.x for r in got] == ["a", "a"]
+
+
+def test_truncated_bare_pattern_under_or_refused(tiny):
+    """A disjunct that LOOKS like a pattern but cannot parse must raise
     the clean cypher refusal, not an opaque Spark SQL parse error."""
     with pytest.raises(ValueError, match="cypher"):
         cypher(
             tiny,
             "MATCH (x)-[:E]->(y) WHERE x.node = 'a' OR "
-            "NOT (y)-[:E]-(z) RETURN x",
+            "NOT -[:E]->(z) RETURN x",
         )
 
 
@@ -1066,3 +1080,137 @@ def test_exists_or_with_varlen_branch(tiny):
     assert [(r.x, r.y) for r in got] == [
         ("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
     ]
+
+
+# ------------------------------------- round-6b: types / direction / strings
+
+
+def test_rel_type_union_matches_both_types(spark):
+    """-[e:EA|EB]-> is the UNION ALL of the type frames on common
+    columns: a predicate spanning the partition boundary sees rows
+    from BOTH types, with properties intact across the union."""
+    edges = spark.createDataFrame(
+        [("a", "b", 1, 10.0), ("a", "c", 2, 20.0), ("b", "d", 3, 30.0)],
+        ["src", "dst", "n_items", "weight"],
+    )
+    verts = spark.createDataFrame([(x,) for x in "abcd"], ["id"])
+    cg = CypherGraph(
+        PropertyGraph(verts, edges),
+        rel_types={
+            "EA": edges.filter("n_items < 3"),
+            "EB": edges.filter("n_items >= 3"),
+        },
+    )
+    got = cypher(
+        cg,
+        "MATCH (x)-[e:EA|EB]->(y) WHERE e.n_items >= 2 "
+        "RETURN x, y, e.n_items AS n ORDER BY x, y",
+    ).collect()
+    assert [(r.x, r.y, r.n) for r in got] == [("a", "c", 2), ("b", "d", 3)]
+
+
+def test_rel_type_union_common_columns_only(spark):
+    """A property present on only one type of the disjunction cannot be
+    referenced — the union restricts to common columns."""
+    e1 = spark.createDataFrame([("a", "b", 1)], ["src", "dst", "n_items"])
+    e2 = spark.createDataFrame(
+        [("b", "c", 2, "x")], ["src", "dst", "n_items", "extra"]
+    )
+    verts = spark.createDataFrame([(x,) for x in "abc"], ["id"])
+    cg = CypherGraph(
+        PropertyGraph(verts, e1), rel_types={"E1": e1, "E2": e2}
+    )
+    # common property works across the union
+    got = cypher(
+        cg, "MATCH (x)-[e:E1|E2]->(y) RETURN x, e.n_items AS n ORDER BY x"
+    ).collect()
+    assert [(r.x, r.n) for r in got] == [("a", 1), ("b", 2)]
+    # one-type-only property is refused at the edge-property check
+    with pytest.raises(Exception, match="extra"):
+        cypher(
+            cg,
+            "MATCH (x)-[e:E1|E2 {extra: 'x'}]->(y) RETURN x",
+        )
+
+
+def test_undirected_one_hop_matches_both_orientations(tiny):
+    """-[e:E]- matches each relationship in both orientations: d's
+    undirected neighborhood is b, c (in) and e (out)."""
+    got = cypher(
+        tiny,
+        "MATCH (x {node: 'd'})-[e:E]-(y) RETURN y ORDER BY y",
+    ).collect()
+    assert [r.y for r in got] == ["b", "c", "e"]
+
+
+def test_undirected_varlen_walks_symmetric_closure(tiny):
+    """-[:E*1..2]- reaches over the symmetric closure with distinct
+    endpoint-pair semantics: from e, 1 hop reaches d, 2 hops add b, c
+    and e itself (e-d-e)."""
+    got = cypher(
+        tiny,
+        "MATCH (x {node: 'e'})-[:E*1..2]-(y) RETURN y ORDER BY y",
+    ).collect()
+    assert [r.y for r in got] == ["b", "c", "d", "e"]
+
+
+def test_undirected_self_loop_matches_once(spark):
+    """A self-loop relationship contributes ONE undirected match (its
+    two orientations coincide)."""
+    edges = spark.createDataFrame(
+        [("a", "a", 1), ("a", "b", 2)], ["src", "dst", "n_items"]
+    )
+    verts = spark.createDataFrame([("a",), ("b",)], ["id"])
+    cg = CypherGraph(PropertyGraph(verts, edges), rel_types={"E": edges})
+    got = cypher(
+        cg, "MATCH (x {node: 'a'})-[e:E]-(y) RETURN y ORDER BY y"
+    ).collect()
+    assert [r.y for r in got] == ["a", "b"]
+
+
+def test_undirected_shortest_path_refused(tiny):
+    with pytest.raises(ValueError, match="symmetric"):
+        cypher(
+            tiny,
+            "MATCH p = shortestPath((a {node: 'a'})-[:E*]-(b)) "
+            "RETURN b, length(p) AS l",
+        )
+
+
+def test_string_operators_rewrite_and_filter(tiny):
+    got = cypher(
+        tiny,
+        "MATCH (x)-[e:E]->(y) WHERE y.node STARTS WITH 'd' "
+        "OR x.node ENDS WITH 'd' RETURN x, y ORDER BY x, y",
+    ).collect()
+    assert [(r.x, r.y) for r in got] == [("b", "d"), ("c", "d"), ("d", "e")]
+
+
+def test_string_operator_contains_not(tiny):
+    got = cypher(
+        tiny,
+        "MATCH (x)-[e:E]->(y) WHERE NOT x.node CONTAINS 'a' "
+        "AND y.node CONTAINS 'd' RETURN x ORDER BY x",
+    ).collect()
+    assert [r.x for r in got] == ["b", "c"]
+
+
+def test_starts_with_inside_with_stage_where(tiny):
+    """The WITH of STARTS WITH must not be taken for a clause keyword
+    even inside a WITH stage's WHERE (the clause-splitter skip)."""
+    got = cypher(
+        tiny,
+        "MATCH (x)-[e:E]->(y) WITH x, count(*) AS deg "
+        "WHERE x.node STARTS WITH 'a' RETURN x, deg",
+    ).collect()
+    assert [(r.x, r.deg) for r in got] == [("a", 2)]
+
+
+def test_string_literal_containing_operator_untouched(tiny):
+    """A literal containing ' STARTS WITH ' must survive rewriting."""
+    got = cypher(
+        tiny,
+        "MATCH (x)-[e:E]->(y) WHERE x.node = 'a' "
+        "RETURN x, 'p STARTS WITH q' AS tag ORDER BY y LIMIT 1",
+    ).collect()
+    assert [(r.x, r.tag) for r in got] == [("a", "p STARTS WITH q")]
