@@ -11550,4 +11550,455 @@ def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q157_k_anonymity",
+    """WITH g AS (SELECT c_mktsegment AS seg, c_nationkey AS nat,
+                  CAST(floor(c_acctbal/1000) AS BIGINT) AS band,
+                  count(*)::BIGINT AS k,
+                  count(DISTINCT CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)::BIGINT
+                    AS l_div
+           FROM customer GROUP BY 1, 2, 3),
+       b AS (SELECT CASE WHEN k = 1 THEN 'k=1' WHEN k < 5 THEN 'k=2-4'
+                         WHEN k < 10 THEN 'k=5-9' ELSE 'k>=10' END AS k_bucket,
+                    count(*)::BIGINT AS n_groups, sum(k)::BIGINT AS n_rows,
+                    sum(CASE WHEN l_div = 1 THEN 1 ELSE 0 END)::BIGINT
+                      AS n_groups_uniform
+             FROM g GROUP BY 1)
+       SELECT k_bucket, n_groups, n_rows,
+              floor(10000.0 * n_rows / sum(n_rows) OVER () + 0.5) / 100
+                AS pct_rows,
+              n_groups_uniform
+       FROM b ORDER BY k_bucket""",
+    note="k-anonymity / l-diversity audit (the privacy gate a "
+    "training-data release pipeline runs before publishing): quasi-"
+    "identifiers = (segment, nation, account-balance band); each QI "
+    "group's size k buckets into the re-identification risk bands, "
+    "and n_groups_uniform counts groups with NO diversity in the "
+    "sensitive bit (negative balance) — the homogeneity-attack "
+    "surface l-diversity guards.  All counts are exact integers; the "
+    "only doubles are the floor-half-up percentage.  Shape: one "
+    "groupBy on the QI tuple then a 4-row rollup — one shuffle at "
+    "any corpus size, same as exact dedup",
+)
+def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = Catalog(spark, sf_dir).table("customer")
+    g = cust.groupBy(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("band"),
+    ).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.countDistinct(
+            F.when(F.col("c_acctbal") < 0, 1).otherwise(0)
+        ).alias("l_div"),
+    )
+    b = g.groupBy(
+        F.when(F.col("k") == 1, "k=1")
+        .when(F.col("k") < 5, "k=2-4")
+        .when(F.col("k") < 10, "k=5-9")
+        .otherwise("k>=10")
+        .alias("k_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("k").alias("n_rows"),
+        F.sum(F.when(F.col("l_div") == 1, 1).otherwise(0)).alias(
+            "n_groups_uniform"
+        ),
+    )
+    return b.select(
+        "k_bucket",
+        "n_groups",
+        "n_rows",
+        (
+            F.floor(
+                F.lit(10000.0)
+                * F.col("n_rows")
+                / F.sum("n_rows").over(Window.partitionBy())
+                + F.lit(0.5)
+            )
+            / 100
+        ).alias("pct_rows"),
+        "n_groups_uniform",
+    ).orderBy("k_bucket")
+
+
+@_q(
+    "q158_kruskal_wallis",
+    """WITH v AS (SELECT o_orderpriority AS grp,
+                  CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+       r AS (SELECT grp,
+                    rank() OVER (ORDER BY cents) AS rmin,
+                    count(*) OVER (PARTITION BY cents) AS t,
+                    count(*) OVER () AS n
+             FROM v),
+       g AS (SELECT grp, count(*)::BIGINT AS n_j,
+                    sum(2*rmin + t - 1)::BIGINT AS carrier, max(n) AS n
+             FROM r GROUP BY 1),
+       terms AS (SELECT grp, n_j, carrier, n,
+                        CAST(floor((carrier/2.0)*(carrier/2.0)/n_j*100.0 + 0.5)
+                             AS BIGINT) AS t100
+                 FROM g),
+       ties AS (SELECT sum(t*t*t - t)::BIGINT AS tsum
+                FROM (SELECT count(*)::BIGINT AS t FROM v GROUP BY cents)),
+       agg AS (SELECT max(n)::BIGINT AS n, sum(t100)::BIGINT AS st,
+                      count(*)::BIGINT AS k FROM terms)
+       SELECT a.n, a.k,
+              round(12.0 * (a.st / 100.0) / (a.n * (a.n + 1.0))
+                    - 3.0 * (a.n + 1.0), 4) AS h,
+              round(1.0 - ties.tsum / (a.n * 1.0 * a.n * a.n - a.n), 8)
+                AS tie_c,
+              round((12.0 * (a.st / 100.0) / (a.n * (a.n + 1.0))
+                     - 3.0 * (a.n + 1.0))
+                    / (1.0 - ties.tsum / (a.n * 1.0 * a.n * a.n - a.n)), 4)
+                AS h_adj
+       FROM agg a, ties""",
+    note="Kruskal-Wallis rank H test (the nonparametric ANOVA beside "
+    "q153's parametric one and q133's two-sample Mann-Whitney): "
+    "groups = order priority, values = price ranked on exact cents.  "
+    "Exact protocol: the average rank of a tie group is "
+    "(rmin + rmax)/2, so TWICE it is the integer 2*rmin + t - 1 — "
+    "each group's rank-sum carrier sum(2r) is an exact BIGINT; the "
+    "per-group R_j^2/n_j term is ONE textually-fixed double "
+    "expression floored half-up at 2dp into a BIGINT so the "
+    "cross-group sum is order-free; the tie correction "
+    "1 - sum(t^3-t)/(n^3-n) is integer-carried the same way.  H uses "
+    "a global rank — one ordered pass (the q150 shape); at 100 TB "
+    "rank via range-partitioned sort, everything downstream is "
+    "per-group",
+)
+def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    v = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    r = v.select(
+        "grp",
+        F.rank().over(Window.orderBy("cents")).alias("rmin"),
+        F.count(F.lit(1)).over(Window.partitionBy("cents")).alias("t"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    g = r.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_j"),
+        F.sum(2 * F.col("rmin") + F.col("t") - 1).cast("long").alias("carrier"),
+        F.max("n").alias("n"),
+    )
+    terms = g.select(
+        "n_j",
+        "n",
+        F.floor(
+            (F.col("carrier") / F.lit(2.0))
+            * (F.col("carrier") / F.lit(2.0))
+            / F.col("n_j")
+            * F.lit(100.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("t100"),
+    )
+    ties = (
+        v.groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+            .cast("long")
+            .alias("tsum")
+        )
+    )
+    agg = terms.agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum("t100").cast("long").alias("st"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    j = agg.crossJoin(F.broadcast(ties))
+    h = (
+        F.lit(12.0) * (F.col("st") / F.lit(100.0)) / (F.col("n") * (F.col("n") + F.lit(1.0)))
+        - F.lit(3.0) * (F.col("n") + F.lit(1.0))
+    )
+    tie_c = F.lit(1.0) - F.col("tsum") / (
+        F.col("n") * F.lit(1.0) * F.col("n") * F.col("n") - F.col("n")
+    )
+    return j.select(
+        "n",
+        "k",
+        F.round(h, 4).alias("h"),
+        F.round(tie_c, 8).alias("tie_c"),
+        F.round(h / tie_c, 4).alias("h_adj"),
+    )
+
+
+def _daily_order_counts(
+    spark: SparkSession, sf_dir: str, lo: str, hi_excl: str, last_day: str
+) -> DataFrame:
+    """Dense daily order-count series on a date spine (rn, x) — the
+    shared input of the t90/t91 sequence estimators.  The spine makes
+    zero-order days explicit so both engines fold the SAME sequence."""
+    o = Catalog(spark, sf_dir).table("orders")
+    cnt = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(hi_excl).cast("timestamp"))
+        )
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(lo).cast("date"), F.lit(last_day).cast("date")
+            )
+        ).alias("day")
+    )
+    return spine.join(cnt, "day", "left").select(
+        F.row_number().over(Window.orderBy("day")).alias("rn"),
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("x"),
+    )
+
+
+@_q(
+    "t90_holt_winters",
+    """WITH RECURSIVE spine AS (
+         SELECT day::DATE AS day, row_number() OVER (ORDER BY day) AS rn
+         FROM generate_series(DATE '1996-01-01', DATE '1996-06-30',
+                              INTERVAL 1 DAY) t(day)),
+       x AS (
+         SELECT s.rn, COALESCE(c.cnt, 0)::BIGINT AS x
+         FROM spine s LEFT JOIN (
+           SELECT o_orderdate::DATE AS day, count(*) AS cnt FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1996-07-01'
+           GROUP BY 1) c ON c.day = s.day),
+       seed AS (SELECT sum(x)::BIGINT AS s7 FROM x WHERE rn <= 7),
+       init AS (
+         SELECT 7 AS rn,
+                (SELECT s7 FROM seed)::DOUBLE / 7.0 AS l,
+                0.0::DOUBLE AS b,
+                (SELECT list(x::DOUBLE - (SELECT s7 FROM seed)::DOUBLE / 7.0
+                             ORDER BY rn)
+                 FROM x WHERE rn <= 7) AS sl),
+       w AS (
+         SELECT * FROM init
+         UNION ALL
+         SELECT r.rn,
+                0.3 * (r.x - w.sl[1]) + 0.7 * (w.l + w.b),
+                0.1 * ((0.3 * (r.x - w.sl[1]) + 0.7 * (w.l + w.b)) - w.l)
+                  + 0.9 * w.b,
+                list_concat(w.sl[2:7],
+                  [0.2 * (r.x - (0.3 * (r.x - w.sl[1]) + 0.7 * (w.l + w.b)))
+                   + 0.8 * w.sl[1]])
+         FROM w JOIN x r ON r.rn = w.rn + 1)
+       SELECT rn::BIGINT AS n_days, round(l, 6) AS level,
+              round(b, 6) AS trend, round(sl[1], 6) AS s_next,
+              round(l + b + sl[1], 6) AS forecast_1
+       FROM w WHERE rn = (SELECT max(rn) FROM x)""",
+    note="Holt-Winters ADDITIVE SEASONAL smoothing (alpha=0.3, "
+    "beta=0.1, gamma=0.2, season m=7) over the dense daily order "
+    "series — the seasonal member of the t76 EWMA / t82 Holt family: "
+    "l' = a(x - s_old) + (1-a)(l+b); b' = beta(l'-l) + (1-beta)b; "
+    "s' = gamma(x - l') + (1-gamma)s_old, seeded with l = mean of "
+    "the first week (exact integer sum / 7.0), b = 0, s_i = x_i - l.  "
+    "Same determinism contract as t82: BOTH engines replay the "
+    "literal IEEE recurrence in identical op order — applyInPandas "
+    "ordered fold carrying the 7-slot seasonal ring vs a recursive "
+    "CTE carrying a LIST column sliced left each step — so the "
+    "trajectories are bit-identical; 6dp rounding only at the edge.  "
+    "The date spine makes zero-order days explicit, otherwise the "
+    "two engines would fold different sequences.  Scale: state is "
+    "m+2 doubles per series; embarrassingly parallel across series "
+    "keys (here one global series, the fold is 182 steps)",
+)
+def t90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    xdf = _daily_order_counts(
+        spark, sf_dir, "1996-01-01", "1996-07-01", "1996-06-30"
+    )
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rn")
+        xs = [float(v) for v in pdf["x"]]
+        s7 = int(sum(int(v) for v in pdf["x"][:7]))
+        l = s7 / 7.0
+        sl = [xi - s7 / 7.0 for xi in xs[:7]]
+        b = 0.0
+        for xv in xs[7:]:
+            s_old = sl[0]
+            new_l = 0.3 * (xv - s_old) + 0.7 * (l + b)
+            new_b = 0.1 * (new_l - l) + 0.9 * b
+            new_s = 0.2 * (xv - new_l) + 0.8 * s_old
+            sl = sl[1:] + [new_s]
+            l, b = new_l, new_b
+        return pd.DataFrame(
+            {
+                "n_days": [len(xs)],
+                "level": [l],
+                "trend": [b],
+                "s_next": [sl[0]],
+            }
+        )
+
+    return (
+        xdf.groupBy(F.lit(1).alias("__g"))
+        .applyInPandas(
+            lambda pdf: hw(pdf),
+            "n_days long, level double, trend double, s_next double",
+        )
+        .select(
+            "n_days",
+            F.round("level", 6).alias("level"),
+            F.round("trend", 6).alias("trend"),
+            F.round("s_next", 6).alias("s_next"),
+            F.round(
+                F.col("level") + F.col("trend") + F.col("s_next"), 6
+            ).alias("forecast_1"),
+        )
+    )
+
+
+@_q(
+    "t91_hurst_rs",
+    """WITH spine AS (
+         SELECT day::DATE AS day, row_number() OVER (ORDER BY day) AS rn
+         FROM generate_series(DATE '1996-01-01', DATE '1996-12-31',
+                              INTERVAL 1 DAY) t(day)),
+       x AS (
+         SELECT s.rn, COALESCE(c.cnt, 0)::BIGINT AS x
+         FROM spine s LEFT JOIN (
+           SELECT o_orderdate::DATE AS day, count(*) AS cnt FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1997-01-01'
+           GROUP BY 1) c ON c.day = s.day),
+       sizes AS (SELECT unnest([8, 16, 32, 64]) AS sz),
+       rows_b AS (
+         SELECT sz, (rn - 1) // sz AS blk, ((rn - 1) % sz) + 1 AS k, x,
+                sum(x) OVER (PARTITION BY sz, (rn - 1) // sz
+                             ORDER BY rn) AS cx,
+                sum(x) OVER (PARTITION BY sz, (rn - 1) // sz) AS sx,
+                sum(x*x) OVER (PARTITION BY sz, (rn - 1) // sz) AS sxx
+         FROM sizes, x
+         WHERE rn <= sz * (366 // sz)),
+       bstat AS (
+         SELECT sz, blk,
+                (max(sz*cx - k*sx) - min(sz*cx - k*sx))::BIGINT AS r_int,
+                max(sz*sxx - sx*sx)::BIGINT AS ssq_scaled
+         FROM rows_b GROUP BY 1, 2),
+       rs AS (
+         SELECT sz, CAST(floor(r_int / sqrt(ssq_scaled) * 1000000.0 + 0.5)
+                         AS BIGINT) AS rs_x1e6
+         FROM bstat WHERE ssq_scaled > 0),
+       m AS (
+         SELECT sz, count(*)::BIGINT AS n_blocks,
+                (sum(rs_x1e6)::DOUBLE / count(*)) / 1000000.0 AS m_rs
+         FROM rs GROUP BY 1),
+       piv AS (
+         SELECT max(CASE WHEN sz = 8 THEN m_rs END) AS m8,
+                max(CASE WHEN sz = 16 THEN m_rs END) AS m16,
+                max(CASE WHEN sz = 32 THEN m_rs END) AS m32,
+                max(CASE WHEN sz = 64 THEN m_rs END) AS m64,
+                sum(n_blocks)::BIGINT AS n_blocks
+         FROM m)
+       SELECT n_blocks, round(m8, 6) AS m8, round(m16, 6) AS m16,
+              round(m32, 6) AS m32, round(m64, 6) AS m64,
+              round((-1.5*log2(m8) - 0.5*log2(m16) + 0.5*log2(m32)
+                     + 1.5*log2(m64)) / 5.0, 4) AS hurst
+       FROM piv""",
+    note="Hurst exponent by rescaled-range (R/S) analysis over the "
+    "dense 1996 daily order series — the long-memory diagnostic "
+    "(H=0.5 random walk, H>0.5 persistent) beside t43's ACF and "
+    "t71's Taylor law.  Exact protocol: per block of size n, the "
+    "mean-adjusted cumulative deviation max-min R and the variance "
+    "are carried as the EXACT integers n*cum_k - k*sum and "
+    "n*sumsq - sum^2, so R/S = R_int/sqrt(ssq_scaled) is the "
+    "block's ONE double op; per-size means are floor-half-up x1e6 "
+    "BIGINT sums (order-free); the log2-log2 slope over the fixed "
+    "sizes 8..64 is a 4-point closed form on max(CASE)-pivoted "
+    "columns, never a float aggregation.  Zero-variance blocks are "
+    "excluded in both engines.  Scale: block stats are windowed "
+    "partials over (size, block) keys — fully parallel; sizes are "
+    "a 4-row broadcast",
+)
+def t91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    xdf = _daily_order_counts(
+        spark, sf_dir, "1996-01-01", "1997-01-01", "1996-12-31"
+    )
+    sizes = spark.range(1).select(
+        F.explode(F.array(F.lit(8), F.lit(16), F.lit(32), F.lit(64))).alias("sz")
+    )
+    rows_b = (
+        xdf.crossJoin(F.broadcast(sizes))
+        .filter(
+            F.col("rn")
+            <= F.col("sz") * F.floor(F.lit(366) / F.col("sz")).cast("long")
+        )
+        .select(
+            "sz",
+            ((F.col("rn") - 1) / F.col("sz")).cast("long").alias("blk"),
+            (((F.col("rn") - 1) % F.col("sz")) + 1).alias("k"),
+            "x",
+            "rn",
+        )
+    )
+    wb = Window.partitionBy("sz", "blk")
+    rows_b = rows_b.select(
+        "sz",
+        "blk",
+        "k",
+        "x",
+        F.sum("x").over(wb.orderBy("rn")).alias("cx"),
+        F.sum("x").over(wb).alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(wb).alias("sxx"),
+    )
+    bstat = rows_b.groupBy("sz", "blk").agg(
+        (
+            F.max(F.col("sz") * F.col("cx") - F.col("k") * F.col("sx"))
+            - F.min(F.col("sz") * F.col("cx") - F.col("k") * F.col("sx"))
+        )
+        .cast("long")
+        .alias("r_int"),
+        F.max(F.col("sz") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("long")
+        .alias("ssq_scaled"),
+    )
+    rs = bstat.filter(F.col("ssq_scaled") > 0).select(
+        "sz",
+        F.floor(
+            F.col("r_int") / F.sqrt(F.col("ssq_scaled")) * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("rs_x1e6"),
+    )
+    m = rs.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        (
+            (F.sum("rs_x1e6").cast("double") / F.count(F.lit(1)))
+            / F.lit(1000000.0)
+        ).alias("m_rs"),
+    )
+    piv = m.agg(
+        F.max(F.when(F.col("sz") == 8, F.col("m_rs"))).alias("m8"),
+        F.max(F.when(F.col("sz") == 16, F.col("m_rs"))).alias("m16"),
+        F.max(F.when(F.col("sz") == 32, F.col("m_rs"))).alias("m32"),
+        F.max(F.when(F.col("sz") == 64, F.col("m_rs"))).alias("m64"),
+        F.sum("n_blocks").cast("long").alias("n_blocks"),
+    )
+    hurst = (
+        F.lit(-1.5) * F.log2("m8")
+        - F.lit(0.5) * F.log2("m16")
+        + F.lit(0.5) * F.log2("m32")
+        + F.lit(1.5) * F.log2("m64")
+    ) / F.lit(5.0)
+    return piv.select(
+        "n_blocks",
+        F.round("m8", 6).alias("m8"),
+        F.round("m16", 6).alias("m16"),
+        F.round("m32", 6).alias("m32"),
+        F.round("m64", 6).alias("m64"),
+        F.round(hurst, 4).alias("hurst"),
+    )
+
+
 QUERIES = list(_Q)
