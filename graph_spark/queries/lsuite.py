@@ -7433,4 +7433,444 @@ def l117(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l118_cohens_kappa",
+    """WITH r AS (SELECT doc_id,
+                CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS ra,
+                CASE WHEN len(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) >= 55
+                     THEN 1 ELSE 0 END AS rb
+           FROM documents),
+       c AS (SELECT count(*)::BIGINT AS n,
+                    sum(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END)::BIGINT AS a,
+                    sum(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END)::BIGINT AS b,
+                    sum(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END)::BIGINT AS cc,
+                    sum(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END)::BIGINT AS d
+             FROM r)
+       SELECT n, a, b, cc, d,
+              round((a + d) / (n * 1.0), 6) AS po,
+              round(((a + b) * 1.0 * (a + cc) + (cc + d) * 1.0 * (b + d))
+                    / (n * 1.0 * n), 6) AS pe,
+              round(((a + d) / (n * 1.0)
+                     - ((a + b) * 1.0 * (a + cc) + (cc + d) * 1.0 * (b + d))
+                       / (n * 1.0 * n))
+                    / (1.0 - ((a + b) * 1.0 * (a + cc)
+                              + (cc + d) * 1.0 * (b + d)) / (n * 1.0 * n)),
+                    6) AS kappa
+       FROM c""",
+    note="Cohen's kappa inter-rater agreement — the labeling-QC "
+    "statistic a training-data annotation pipeline gates on before "
+    "trusting weak labels: rater A = char-length band (>= 300), "
+    "rater B = token-count band (>= 55), two deterministic cheap "
+    "classifiers whose chance-corrected agreement kappa = "
+    "(po - pe) / (1 - pe) measures how much signal survives beyond "
+    "marginal coincidence.  The 2x2 confusion cells are exact "
+    "BIGINTs from one aggregate; po/pe/kappa are fixed closing "
+    "expressions over those five integers (DuckDB re-inlines "
+    "textually; the doubles are equal because the inputs are).  "
+    "Shape: one scan, one 1-row aggregate at any corpus size",
+)
+def l118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    r = docs.select(
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("ra"),
+        F.when(
+            F.size(
+                F.filter(
+                    F.split(F.col("text"), " "), lambda x: x != F.lit("")
+                )
+            )
+            >= 55,
+            1,
+        )
+        .otherwise(0)
+        .alias("rb"),
+    )
+    c = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when((F.col("ra") == 1) & (F.col("rb") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when((F.col("ra") == 1) & (F.col("rb") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+        F.sum(F.when((F.col("ra") == 0) & (F.col("rb") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("cc"),
+        F.sum(F.when((F.col("ra") == 0) & (F.col("rb") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("d"),
+    )
+    po = (F.col("a") + F.col("d")) / (F.col("n") * F.lit(1.0))
+    pe = (
+        (F.col("a") + F.col("b")) * F.lit(1.0) * (F.col("a") + F.col("cc"))
+        + (F.col("cc") + F.col("d")) * F.lit(1.0) * (F.col("b") + F.col("d"))
+    ) / (F.col("n") * F.lit(1.0) * F.col("n"))
+    return c.select(
+        "n",
+        "a",
+        "b",
+        "cc",
+        "d",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )
+
+
+@_l(
+    "l119_matryoshka_audit",
+    """WITH norms AS (
+         SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM
+         (SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM embeddings) u
+         GROUP BY 1),
+       pnorms AS (
+         SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM
+         (SELECT vec_id, unnest(embedding[1:32])::DOUBLE AS x
+          FROM embeddings) u GROUP BY 1),
+       upf AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                      unnest(a.embedding)::DOUBLE AS xa,
+                      unnest(b.embedding)::DOUBLE AS xb
+               FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+               WHERE a.vec_id < 20),
+       upp AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                      unnest(a.embedding[1:32])::DOUBLE AS xa,
+                      unnest(b.embedding[1:32])::DOUBLE AS xb
+               FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+               WHERE a.vec_id < 20),
+       sf AS (SELECT va, vb, sum(xa*xb) AS dot FROM upf GROUP BY 1,2),
+       sp AS (SELECT va, vb, sum(xa*xb) AS dot FROM upp GROUP BY 1,2),
+       topf AS (SELECT va AS vec_id, vb AS nb_full,
+                       round(dot/(na.nrm*nb2.nrm), 6) AS sim_full
+                FROM sf JOIN norms na ON na.vec_id = va
+                        JOIN norms nb2 ON nb2.vec_id = vb
+                QUALIFY row_number() OVER (PARTITION BY va
+                  ORDER BY dot/(na.nrm*nb2.nrm) DESC, vb) = 1),
+       topp AS (SELECT va AS vec_id, vb AS nb_pre,
+                       round(dot/(na.nrm*nb2.nrm), 6) AS sim_pre
+                FROM sp JOIN pnorms na ON na.vec_id = va
+                        JOIN pnorms nb2 ON nb2.vec_id = vb
+                QUALIFY row_number() OVER (PARTITION BY va
+                  ORDER BY dot/(na.nrm*nb2.nrm) DESC, vb) = 1)
+       SELECT f.vec_id, f.nb_full, f.sim_full, p.nb_pre, p.sim_pre,
+              CASE WHEN f.nb_full = p.nb_pre THEN 1 ELSE 0 END AS agree
+       FROM topf f JOIN topp p ON p.vec_id = f.vec_id
+       ORDER BY f.vec_id""",
+    note="matryoshka truncation audit — the retrieval-quality check "
+    "run before shipping prefix-truncated embeddings (half the "
+    "storage/FLOPs if the top-1 neighbor survives): per probe, the "
+    "exact top-1 cosine neighbor under the FULL 64 dims vs the "
+    "first-32-dim PREFIX, with the agreement flag.  Both sides reuse "
+    "the l03 brute-force protocol (zip_with dot, norm join, "
+    "row_number tie-broken on raw sim then id); the prefix side is "
+    "the same operator over slice(embedding, 1, 32).  Scale: probes "
+    "broadcast against the stationary corpus, identical to l03 — "
+    "and the audit itself is the cheap gate you run on a sample "
+    "BEFORE re-indexing a trillion-vector store",
+)
+def l119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = Catalog(spark, sf_dir).table("embeddings")
+    probes = em.filter(F.col("vec_id") < 20)
+    pre = em.select("vec_id", F.slice("embedding", 1, 32).alias("embedding"))
+    pre_probes = pre.filter(F.col("vec_id") < 20)
+    topf = cosine_topk_bruteforce(em, probes, k=1).select(
+        "vec_id",
+        F.col("nb").alias("nb_full"),
+        F.round("sim", 6).alias("sim_full"),
+    )
+    topp = cosine_topk_bruteforce(pre, pre_probes, k=1).select(
+        "vec_id",
+        F.col("nb").alias("nb_pre"),
+        F.round("sim", 6).alias("sim_pre"),
+    )
+    return (
+        topf.join(topp, "vec_id")
+        .select(
+            "vec_id",
+            "nb_full",
+            "sim_full",
+            "nb_pre",
+            "sim_pre",
+            F.when(F.col("nb_full") == F.col("nb_pre"), 1)
+            .otherwise(0)
+            .alias("agree"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@_l(
+    "l120_yule_k",
+    """WITH tok AS (
+         SELECT doc_id, lang, t.term FROM documents,
+         unnest(string_split(lower(text), ' ')) AS t(term)
+         WHERE t.term <> ''),
+       tf AS (SELECT doc_id, lang, term, count(*)::BIGINT AS c
+              FROM tok GROUP BY 1, 2, 3),
+       per_doc AS (
+         SELECT doc_id, lang,
+                sum(c)::BIGINT AS m1,
+                sum(c*c)::BIGINT AS m2,
+                count(*)::BIGINT AS types
+         FROM tf GROUP BY 1, 2),
+       scaled AS (
+         SELECT lang,
+                CAST(floor(10000.0 * (m2 - m1) / (m1 * 1.0 * m1) * 100.0
+                           + 0.5) AS BIGINT) AS k100,
+                CAST(floor(types / (m1 * 1.0) * 1000000.0 + 0.5) AS BIGINT)
+                  AS ttr1e6
+         FROM per_doc WHERE m1 > 0)
+       SELECT lang, count(*)::BIGINT AS n_docs,
+              round((sum(k100)::DOUBLE / count(*)) / 100.0, 4) AS mean_yule_k,
+              round((sum(ttr1e6)::DOUBLE / count(*)) / 1000000.0, 6)
+                AS mean_ttr
+       FROM scaled GROUP BY 1 ORDER BY 1""",
+    note="lexical diversity per language: Yule's K = 1e4*(m2 - m1)/m1^2 "
+    "(m1 = tokens, m2 = sum of squared type frequencies — repetition-"
+    "heavy text scores high) and type-token ratio, the vocabulary-"
+    "richness quality signals beside l23's repetition ratio and l33's "
+    "entropy.  Exact protocol: m1/m2/types are exact integers per "
+    "doc; each doc's K and TTR are ONE fixed double expression "
+    "floored half-up into scaled BIGINTs, so the per-language means "
+    "are order-free integer sums with a single closing division.  "
+    "Shape: explode -> two stacked groupBys (term, then doc), both "
+    "map-side combinable; per-language rollup is tiny",
+)
+def l120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "lang", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    per_doc = tf.groupBy("doc_id", "lang").agg(
+        F.sum("c").cast("long").alias("m1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("m2"),
+        F.count(F.lit(1)).cast("long").alias("types"),
+    )
+    scaled = per_doc.filter(F.col("m1") > 0).select(
+        "lang",
+        F.floor(
+            F.lit(10000.0)
+            * (F.col("m2") - F.col("m1"))
+            / (F.col("m1") * F.lit(1.0) * F.col("m1"))
+            * F.lit(100.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("k100"),
+        F.floor(
+            F.col("types") / (F.col("m1") * F.lit(1.0)) * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("ttr1e6"),
+    )
+    return (
+        scaled.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                (F.sum("k100").cast("double") / F.count(F.lit(1)))
+                / F.lit(100.0),
+                4,
+            ).alias("mean_yule_k"),
+            F.round(
+                (F.sum("ttr1e6").cast("double") / F.count(F.lit(1)))
+                / F.lit(1000000.0),
+                6,
+            ).alias("mean_ttr"),
+        )
+        .orderBy("lang")
+    )
+
+
+@_l(
+    "l121_stupid_backoff",
+    """WITH tok AS (
+         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
+                generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+         FROM documents),
+       tk AS (SELECT * FROM tok WHERE w <> ''),
+       uni AS (SELECT w, count(*)::BIGINT AS cu FROM tk GROUP BY 1),
+       tot AS (SELECT sum(cu)::BIGINT AS t FROM uni),
+       bi AS (SELECT a.w AS w1, b.w AS w2, count(*)::BIGINT AS cb
+              FROM tk a JOIN tk b
+                ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+              GROUP BY 1, 2),
+       ctx AS (SELECT w AS w1, cu AS c1 FROM uni
+               ORDER BY cu DESC, w LIMIT 5),
+       cand AS (SELECT DISTINCT w2, cu FROM (
+                  (SELECT w AS w2, cu FROM uni ORDER BY cu DESC, w LIMIT 10)
+                  UNION ALL
+                  (SELECT w AS w2, cu FROM uni ORDER BY cu ASC, w LIMIT 10))),
+       scored AS (
+         SELECT c.w1, d.w2,
+                CASE WHEN b.cb IS NOT NULL
+                     THEN b.cb / (c.c1 * 1.0)
+                     ELSE 0.4 * (d.cu / (tot.t * 1.0)) END AS score,
+                CASE WHEN b.cb IS NOT NULL THEN 0 ELSE 1 END AS backoff
+         FROM ctx c CROSS JOIN cand d CROSS JOIN tot
+         LEFT JOIN bi b ON b.w1 = c.w1 AND b.w2 = d.w2
+         WHERE c.w1 <> d.w2)
+       SELECT w1, w2, round(score, 8) AS score, backoff
+       FROM scored
+       QUALIFY row_number() OVER (PARTITION BY w1, backoff
+                                  ORDER BY score DESC, w2) <= 3
+       ORDER BY w1, backoff, score DESC, w2""",
+    note="stupid backoff next-word scoring (the web-scale LM smoothing "
+    "that needs NO discount mass — completing the n-gram LM family "
+    "beside l36 bigram perplexity, l70 Kneser-Ney, l88 Good-Turing): "
+    "score(w2|w1) = c(w1 w2)/c(w1) when the bigram exists, else "
+    "0.4 * c(w2)/T.  Contexts = top-5 unigrams; candidates = top-10 "
+    "UNION bottom-10 (count-then-alpha cuts) so rare words force the "
+    "backoff branch, and the top-3 is ranked PER BRANCH (w1, "
+    "backoff) so both paths surface in the output.  Each score is "
+    "ONE division of exact integer counts "
+    "(the backoff branch one multiply more) — identical doubles, "
+    "ranking tie-broken on candidate.  Shape: the bigram table is a "
+    "positional self-join keyed on (doc, pos) — linear in corpus "
+    "size; contexts x candidates is a 100-row broadcast against the "
+    "bigram table, the same probe-bounded shape as l42",
+)
+def l121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    tk = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos0", "w"),
+    ).filter(F.col("w") != "")
+    tk = tk.select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    uni = tk.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cu"))
+    tot = uni.agg(F.sum("cu").cast("long").alias("t"))
+    b = tk.select("doc_id", "pos", F.col("w").alias("w2b"))
+    bi = (
+        tk.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("b.doc_id") == F.col("a.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .groupBy(F.col("a.w").alias("w1"), F.col("b.w2b").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    )
+    ctx = (
+        uni.orderBy(F.col("cu").desc(), "w")
+        .limit(5)
+        .select(F.col("w").alias("w1"), F.col("cu").alias("c1"))
+    )
+    top10 = (
+        uni.orderBy(F.col("cu").desc(), "w")
+        .limit(10)
+        .select(F.col("w").alias("w2"), "cu")
+    )
+    bot10 = (
+        uni.orderBy(F.col("cu").asc(), "w")
+        .limit(10)
+        .select(F.col("w").alias("w2"), "cu")
+    )
+    cand = top10.unionByName(bot10).distinct()
+    scored = (
+        ctx.crossJoin(F.broadcast(cand))
+        .crossJoin(F.broadcast(tot))
+        .join(bi, ["w1", "w2"], "left")
+        .filter(F.col("w1") != F.col("w2"))
+        .select(
+            "w1",
+            "w2",
+            F.when(
+                F.col("cb").isNotNull(),
+                F.col("cb") / (F.col("c1") * F.lit(1.0)),
+            )
+            .otherwise(
+                F.lit(0.4) * (F.col("cu") / (F.col("t") * F.lit(1.0)))
+            )
+            .alias("score"),
+            F.when(F.col("cb").isNotNull(), 0).otherwise(1).alias("backoff"),
+        )
+    )
+    w = Window.partitionBy("w1", "backoff").orderBy(
+        F.col("score").desc(), "w2"
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .drop("__rn")
+        .select("w1", "w2", F.round("score", 8).alias("score"), "backoff")
+        .orderBy("w1", "backoff", F.col("score").desc(), "w2")
+    )
+
+
+@_l(
+    "m13_byte_entropy",
+    """WITH media AS (SELECT doc_id, source, encode(text) AS payload,
+                           octet_length(encode(text))::BIGINT AS n_bytes
+                    FROM documents),
+       bytes AS (
+         SELECT m.source,
+                substr(hex(m.payload), (2*i.i + 1)::INT, 2) AS byte_hex
+         FROM media m CROSS JOIN range(4096) i(i)
+         WHERE i.i < m.n_bytes),
+       hist AS (SELECT source, byte_hex, count(*)::BIGINT AS c
+                FROM bytes GROUP BY 1, 2),
+       tot AS (SELECT source, sum(c)::BIGINT AS t,
+                      count(*)::BIGINT AS n_distinct
+               FROM hist GROUP BY 1)
+       SELECT h.source, max(t.t) AS n_bytes, max(t.n_distinct) AS n_distinct,
+              round(-sum((h.c / (t.t * 1.0)) * log2(h.c / (t.t * 1.0))), 4)
+                AS entropy_bits,
+              round(-sum((h.c / (t.t * 1.0)) * log2(h.c / (t.t * 1.0)))
+                    / 8.0, 4) AS density
+       FROM hist h JOIN tot t ON t.source = h.source
+       GROUP BY 1 ORDER BY 1""",
+    note="byte-level Shannon entropy of the opaque BINARY payload per "
+    "source — the cheap is-it-already-compressed/encrypted detector "
+    "an ingest pipeline runs before wasting codec CPU (entropy near "
+    "8 bits/byte = incompressible; text sits near 4.2): bytes via "
+    "hex-pair slicing (the m12 protocol — DuckDB 1.0 has no BLOB "
+    "substring), histogram per source, entropy over <= 256 buckets "
+    "with the l33 sum-of-p-log2-p protocol (4dp edge rounding).  "
+    "The range(4096) explode bound is a fixture-size cap, stated "
+    "honestly: payloads here are < 4 KB; at 100 TB you histogram "
+    "bytes inside mapInPandas (one pass, no explode) and feed the "
+    "same 256-bucket rollup.  Sibling: m10 measures ACTUAL zlib "
+    "ratio (rows-only); this is its exact, oracle-checkable proxy",
+)
+def m13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    media = to_media_table(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    bytes_ = media.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, int(n_bytes)),"
+                " i -> substring(hex(payload), 2*i - 1, 2))"
+            )
+        ).alias("byte_hex"),
+    )
+    hist = bytes_.groupBy("source", "byte_hex").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = hist.groupBy("source").agg(
+        F.sum("c").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+    p = F.col("c") / (F.col("t") * F.lit(1.0))
+    return (
+        hist.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.max("t").alias("n_bytes"),
+            F.max("n_distinct").alias("n_distinct"),
+            F.round(-F.sum(p * F.log2(p)), 4).alias("entropy_bits"),
+            F.round(-F.sum(p * F.log2(p)) / F.lit(8.0), 4).alias("density"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = list(_L)
