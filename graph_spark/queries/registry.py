@@ -70,6 +70,15 @@ HAZARD_PRIORITY = [
     "q154_split_conformal",
     "q153_anova",
     "l115_ranking_metrics",
+    # round-6b hazards: recursive double fold carrying a seasonal ring
+    # (t90), integer-carried R/S + 4-point log2 slope (t91), global
+    # rank with x100 per-group carriers (q158), float top-1 cut on two
+    # cosine frames (l119), division-ranked backoff scores (l121)
+    "t90_holt_winters",
+    "t91_hurst_rs",
+    "q158_kruskal_wallis",
+    "l119_matryoshka_audit",
+    "l121_stupid_backoff",
 ]
 
 
