@@ -7804,6 +7804,113 @@ def l121(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_l(
+    "l122_embedding_decontam",
+    """WITH split AS (
+         SELECT vec_id, embedding,
+                CASE WHEN strpos('0123456789abcdef',
+                       substring(md5(vec_id::VARCHAR), 1, 1)) - 1 < 13
+                     THEN 'train' ELSE 'eval' END AS split
+         FROM embeddings),
+       tr AS (SELECT vec_id, embedding FROM split WHERE split = 'train'),
+       ev AS (SELECT vec_id, embedding FROM split
+              WHERE split = 'eval' AND vec_id < 100),
+       probes AS (
+         SELECT e.vec_id,
+                CASE WHEN e.vec_id % 5 = 0 AND t.embedding IS NOT NULL
+                     THEN t.embedding ELSE e.embedding END AS embedding,
+                CASE WHEN e.vec_id % 5 = 0 AND t.embedding IS NOT NULL
+                     THEN 1 ELSE 0 END AS planted
+         FROM ev e LEFT JOIN tr t ON t.vec_id = e.vec_id - 1),
+       tnorm AS (
+         SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM
+         (SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM tr) u
+         GROUP BY 1),
+       pnorm AS (
+         SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM
+         (SELECT vec_id, unnest(embedding)::DOUBLE AS x FROM probes) u
+         GROUP BY 1),
+       up AS (SELECT p.vec_id AS ev_id, t.vec_id AS tr_id,
+                     unnest(p.embedding)::DOUBLE AS xa,
+                     unnest(t.embedding)::DOUBLE AS xb
+              FROM probes p JOIN tr t ON t.vec_id <> p.vec_id),
+       dots AS (SELECT ev_id, tr_id, sum(xa*xb) AS dot FROM up GROUP BY 1,2),
+       top1 AS (SELECT ev_id, tr_id AS nb_train,
+                       dot/(pn.nrm*tn.nrm) AS sim_raw
+                FROM dots JOIN pnorm pn ON pn.vec_id = ev_id
+                          JOIN tnorm tn ON tn.vec_id = tr_id
+                QUALIFY row_number() OVER (PARTITION BY ev_id
+                  ORDER BY dot/(pn.nrm*tn.nrm) DESC, tr_id) = 1)
+       SELECT t.ev_id AS eval_id, t.nb_train,
+              round(t.sim_raw, 6) AS sim, p.planted,
+              CASE WHEN t.sim_raw >= 0.999 THEN 1 ELSE 0 END
+                AS contaminated
+       FROM top1 t JOIN probes p ON p.vec_id = t.ev_id
+       ORDER BY eval_id""",
+    note="embedding-space decontamination audit — the semantic "
+    "companion to l26/l80's n-gram text decontamination (paraphrased "
+    "leakage has no shared n-grams but cosine ~1): md5-split "
+    "train/eval (the l18 convention), per-eval-probe exact top-1 "
+    "train neighbor (the l03 brute-force protocol), contaminated = "
+    "sim >= 0.999.  Duplicates are PLANTED (eval ids divisible by 5 "
+    "take their train predecessor's embedding, flagged as ground "
+    "truth) so the oracle pair proves the detector flags EXACTLY the "
+    "planted rows and no others — same harness discipline as "
+    "q159/g112.  Scale: probes broadcast against the stationary "
+    "train corpus for the declared exact form; the l12/l17 LSH/IVF "
+    "routes are the 100 TB candidate generators with this as their "
+    "verification sample",
+)
+def l122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = Catalog(spark, sf_dir).table("embeddings")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    split = em.select(
+        "vec_id",
+        "embedding",
+        F.when(bucket < 13, "train").otherwise("eval").alias("split"),
+    )
+    tr = split.filter(F.col("split") == "train").select("vec_id", "embedding")
+    ev = split.filter(
+        (F.col("split") == "eval") & (F.col("vec_id") < 100)
+    ).select("vec_id", "embedding")
+    donor = tr.select(
+        (F.col("vec_id") + 1).alias("vec_id"),
+        F.col("embedding").alias("__demb"),
+    )
+    probes = ev.join(donor, "vec_id", "left").select(
+        "vec_id",
+        F.when(
+            (F.col("vec_id") % 5 == 0) & F.col("__demb").isNotNull(),
+            F.col("__demb"),
+        )
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+        F.when(
+            (F.col("vec_id") % 5 == 0) & F.col("__demb").isNotNull(), 1
+        )
+        .otherwise(0)
+        .alias("planted"),
+    )
+    top1 = cosine_topk_bruteforce(
+        tr, probes.select("vec_id", "embedding"), k=1
+    )
+    return (
+        top1.join(probes.select("vec_id", "planted"), "vec_id")
+        .select(
+            F.col("vec_id").alias("eval_id"),
+            F.col("nb").alias("nb_train"),
+            F.round("sim", 6).alias("sim"),
+            "planted",
+            F.when(F.col("sim") >= 0.999, 1).otherwise(0).alias(
+                "contaminated"
+            ),
+        )
+        .orderBy("eval_id")
+    )
+
+
+@_l(
     "m13_byte_entropy",
     """WITH media AS (SELECT doc_id, source, encode(text) AS payload,
                            octet_length(encode(text))::BIGINT AS n_bytes

@@ -11730,6 +11730,137 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q159_bh_fdr",
+    """WITH v AS (SELECT o_orderpriority AS grp,
+                  CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)
+                  + CASE WHEN o_orderpriority = '1-URGENT'
+                         THEN CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)
+                              // 10
+                         ELSE 0 END AS cents
+           FROM orders),
+       cum AS (
+         SELECT grp, cents,
+                count(*) OVER (PARTITION BY grp ORDER BY cents
+                               RANGE UNBOUNDED PRECEDING) AS cg,
+                count(*) OVER (ORDER BY cents
+                               RANGE UNBOUNDED PRECEDING) AS cp,
+                count(*) OVER (PARTITION BY grp) AS ng,
+                count(*) OVER () AS n
+         FROM v),
+       d AS (SELECT grp, max(abs(cg * n - cp * ng))::BIGINT AS d_int,
+                    max(ng)::BIGINT AS ng, max(n)::BIGINT AS n
+             FROM cum GROUP BY 1),
+       p AS (SELECT grp, ng, round(d_int / (ng * 1.0 * n), 6) AS d_stat,
+                    CASE WHEN 2.0 * exp(-2.0 * (d_int * 1.0 * d_int)
+                                        / (ng * 1.0 * n * n)) > 1.0
+                         THEN 1.0
+                         ELSE 2.0 * exp(-2.0 * (d_int * 1.0 * d_int)
+                                        / (ng * 1.0 * n * n)) END AS pval
+             FROM d),
+       ranked AS (SELECT grp, ng, d_stat, pval,
+                         row_number() OVER (ORDER BY pval, grp) AS i,
+                         count(*) OVER () AS m
+                  FROM p),
+       bh AS (SELECT grp, ng, d_stat, pval, i,
+                     0.10 * i / m AS thresh,
+                     max(CASE WHEN pval <= 0.10 * i / m THEN i ELSE 0 END)
+                       OVER () AS i_max
+              FROM ranked)
+       SELECT grp, ng, d_stat, round(pval, 8) AS pval, i::BIGINT AS i,
+              round(thresh, 4) AS bh_thresh,
+              CASE WHEN i <= i_max THEN 1 ELSE 0 END AS rejected
+       FROM bh ORDER BY i""",
+    note="Benjamini-Hochberg FDR step-up — the multiple-testing "
+    "control every metrics platform needs once it tests many "
+    "segments at once (q103/q155 test ONE hypothesis; this decides "
+    "which of m simultaneous ones survive at FDR q=0.10): per-group "
+    "KS distance to the pooled distribution carried as the exact "
+    "integer max|cg*n - cp*ng|, p-value from the distribution-free "
+    "DKW bound min(1, 2*exp(-2*ng*d^2)) (conservative, closed-form — "
+    "no inverse-CDF tables), then the step-up: reject all i <= "
+    "max{i: p_(i) <= q*i/m} via a windowed running max, which is "
+    "exactly how BH differs from a naive per-test cut.  A 10% price "
+    "shift is PLANTED on the urgent class (the g112 planted-null "
+    "harness) so rejection provably fires: the shifted group AND the "
+    "two neighbors its pooled-ECDF drag exposes reject at sf0.01 — "
+    "i=3 rejects at p=0.023 <= 0.06 where a Bonferroni 0.02 would "
+    "keep it.  Scale: ECDFs are two ordered window passes; "
+    "everything after is per-group (m rows)",
+)
+def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    base_cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    v = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        (
+            base_cents
+            + F.when(
+                F.col("o_orderpriority") == "1-URGENT",
+                (base_cents / 10).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("cents"),
+    )
+    cum = v.select(
+        "grp",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("grp").orderBy("cents"))
+        .alias("cg"),
+        F.count(F.lit(1)).over(Window.orderBy("cents")).alias("cp"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("ng"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    d = cum.groupBy("grp").agg(
+        F.max(F.abs(F.col("cg") * F.col("n") - F.col("cp") * F.col("ng")))
+        .cast("long")
+        .alias("d_int"),
+        F.max("ng").cast("long").alias("ng"),
+        F.max("n").cast("long").alias("n"),
+    )
+    raw_p = F.lit(2.0) * F.exp(
+        F.lit(-2.0)
+        * (F.col("d_int") * F.lit(1.0) * F.col("d_int"))
+        / (F.col("ng") * F.lit(1.0) * F.col("n") * F.col("n"))
+    )
+    p = d.select(
+        "grp",
+        "ng",
+        F.round(
+            F.col("d_int") / (F.col("ng") * F.lit(1.0) * F.col("n")), 6
+        ).alias("d_stat"),
+        F.when(raw_p > 1.0, F.lit(1.0)).otherwise(raw_p).alias("pval"),
+    )
+    ranked = p.select(
+        "grp",
+        "ng",
+        "d_stat",
+        "pval",
+        F.row_number().over(Window.orderBy("pval", "grp")).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    thresh = F.lit(0.10) * F.col("i") / F.col("m")
+    bh = ranked.select(
+        "grp",
+        "ng",
+        "d_stat",
+        "pval",
+        "i",
+        thresh.alias("thresh"),
+        F.max(F.when(F.col("pval") <= thresh, F.col("i")).otherwise(0))
+        .over(Window.partitionBy())
+        .alias("i_max"),
+    )
+    return bh.select(
+        "grp",
+        "ng",
+        "d_stat",
+        F.round("pval", 8).alias("pval"),
+        F.col("i").cast("long").alias("i"),
+        F.round("thresh", 4).alias("bh_thresh"),
+        F.when(F.col("i") <= F.col("i_max"), 1).otherwise(0).alias("rejected"),
+    ).orderBy("i")
+
+
 def _daily_order_counts(
     spark: SparkSession, sf_dir: str, lo: str, hi_excl: str, last_day: str
 ) -> DataFrame:
