@@ -100,6 +100,12 @@ Supported:
     rewritten quote-aware to the Spark `startswith`/`endswith`/
     `contains` functions; operands may be property refs, literals, or
     single-level function calls, and `NOT` composes for free.
+  - `collect(x)` / `collect(DISTINCT x)`, rewritten to the
+    DETERMINISTIC `sort_array(collect_list(x))` /
+    `sort_array(collect_set(x))` (openCypher's collect is unordered;
+    pinning ascending order makes subscripts and UNWIND reproducible
+    across partitionings).  Explicit `collect_list`/`collect_set`
+    pass through unordered if that is what you want.
 
 Not supported (raise ValueError): more than one RETURN clause,
 CREATE/MERGE/DELETE (this is an analytical engine — writes go through
@@ -412,7 +418,63 @@ def _parse_patterns(text: str, anon: list | None = None):
 
 
 _PROP_REF = re.compile(r"\b(\w+)\.(\w+)\b")
-_AGG_RE = re.compile(r"\b(count|sum|avg|min|max|collect_list|collect_set)\s*\(", re.IGNORECASE)
+_AGG_RE = re.compile(
+    r"\b(count|sum|avg|min|max|collect_list|collect_set|collect)\s*\(",
+    re.IGNORECASE,
+)
+
+_COLLECT_RE = re.compile(r"\bcollect\s*\(", re.IGNORECASE)
+
+
+def _collect_rewrite(text: str) -> str:
+    """Rewrite Cypher ``collect(x)`` to the DETERMINISTIC Spark form
+    ``sort_array(collect_list(x))`` (and ``collect(DISTINCT x)`` to
+    ``sort_array(collect_set(x))``).  openCypher's collect() is
+    unordered; pinning ascending order is what makes downstream
+    subscripts / UNWIND results reproducible across partitionings —
+    the same determinism contract as every declared query.  Quote-
+    aware; ``collect_list``/``collect_set`` written explicitly pass
+    through untouched (the \\bcollect\\( match can't start inside
+    them)."""
+    out: list[str] = []
+    i = 0
+    while True:
+        m = _COLLECT_RE.search(text, i)
+        if not m:
+            out.append(text[i:])
+            return "".join(out)
+        # skip matches inside quoted strings
+        seg = text[:m.start()]
+        if seg.count("'") % 2 == 1 or seg.count('"') % 2 == 1:
+            out.append(text[i:m.end()])
+            i = m.end()
+            continue
+        out.append(text[i:m.start()])
+        # find the matching close paren (quote-aware)
+        depth, j, q = 0, m.end() - 1, None
+        while j < len(text):
+            ch = text[j]
+            if q:
+                if ch == q:
+                    q = None
+            elif ch in "'\"":
+                q = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if depth != 0:
+            raise ValueError("cypher: unbalanced parens in collect(..)")
+        inner = text[m.end():j]
+        dm = re.match(r"\s*DISTINCT\s+(.*)$", inner, re.IGNORECASE | re.DOTALL)
+        if dm:
+            out.append(f"sort_array(collect_set({dm.group(1)}))")
+        else:
+            out.append(f"sort_array(collect_list({inner}))")
+        i = j + 1
 
 
 def _split_conjuncts(text: str) -> list[str] | None:
@@ -1011,8 +1073,10 @@ def _rewrite(expr: str, node_vars: set[str], edge_vars: set[str]) -> str:
         return m.group(0)  # e.g. a qualified SQL function or table ref
 
     # Cypher string operators -> Spark SQL functions (quote-aware),
+    # collect() -> sort_array(collect_list/...set()) (deterministic),
     # then list literals -> array(...) (quote-aware)
     expr = _string_ops_rewrite(expr)
+    expr = _collect_rewrite(expr)
     expr = _bracket_lists_to_array(expr)
     # split out quoted spans (odd indices after re.split with a capture
     # group) and rewrite only the code between them

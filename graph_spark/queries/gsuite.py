@@ -6990,4 +6990,37 @@ def g132(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g133_cypher_collect",
+    f"""WITH {GRAPH_CTES},
+       b AS (SELECT dst AS supplier, src FROM graph_edges
+             WHERE n_items >= 4)
+       SELECT supplier, count(*)::BIGINT AS n_buyers,
+              min(src) AS first_buyer, count(*)::BIGINT AS n_in_list
+       FROM b GROUP BY 1 HAVING count(*) >= 3
+       ORDER BY n_buyers DESC, supplier LIMIT 10""",
+    note="Cypher collect() (new compiler production this round): "
+    "rewritten to the DETERMINISTIC sort_array(collect_list(..)), so "
+    "buyers[0] is provably min(src) and size(buyers) the count — "
+    "which is exactly what the oracle checks, pinning the sort "
+    "determinism rather than trusting it.  The WITH stage carries "
+    "the list through a HAVING filter before RETURN subscripts it.  "
+    "Scale: collect_list bounds per-key state by group fan-in — the "
+    "usual caveat (cap with slice() for unbounded keys) noted; the "
+    "n_items >= 4 leg keeps groups small here",
+)
+def g133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cy(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[e:BUYS]->(s:Supplier)
+           WHERE e.n_items >= 4
+           WITH s, collect(c.node) AS buyers, count(*) AS n_buyers
+           WHERE n_buyers >= 3
+           RETURN s AS supplier, n_buyers, buyers[0] AS first_buyer,
+                  size(buyers) AS n_in_list
+           ORDER BY n_buyers DESC, supplier LIMIT 10""",
+    )
+
+
 QUERIES = list(_G)

@@ -1214,3 +1214,41 @@ def test_string_literal_containing_operator_untouched(tiny):
         "RETURN x, 'p STARTS WITH q' AS tag ORDER BY y LIMIT 1",
     ).collect()
     assert [(r.x, r.tag) for r in got] == [("a", "p STARTS WITH q")]
+
+
+def test_collect_rewrite_unit():
+    from graph_spark.graph.cypher import _collect_rewrite
+
+    assert _collect_rewrite("collect(c.node)") == "sort_array(collect_list(c.node))"
+    assert (
+        _collect_rewrite("collect(DISTINCT x)") == "sort_array(collect_set(x))"
+    )
+    # explicit collect_list passes through; quoted text untouched
+    assert _collect_rewrite("collect_list(x)") == "collect_list(x)"
+    assert _collect_rewrite("'collect(x)' = s") == "'collect(x)' = s"
+    # nested parens inside the argument
+    assert (
+        _collect_rewrite("size(collect(coalesce(a, b)))")
+        == "size(sort_array(collect_list(coalesce(a, b))))"
+    )
+
+
+def test_collect_is_deterministic_sorted(tiny):
+    got = cypher(
+        tiny,
+        "MATCH (x)-[e:E]->(y) WITH y, collect(x.node) AS srcs "
+        "RETURN y, srcs[0] AS first_src, size(srcs) AS n "
+        "ORDER BY y",
+    ).collect()
+    assert [(r.y, r.first_src, r.n) for r in got] == [
+        ("b", "a", 1), ("c", "a", 1), ("d", "b", 2), ("e", "d", 1),
+    ]
+
+
+def test_collect_distinct_then_unwind(tiny):
+    got = cypher(
+        tiny,
+        "MATCH (x)-[e:E]->(y) WITH collect(DISTINCT y.node) AS ts "
+        "UNWIND ts AS t RETURN t ORDER BY t",
+    ).collect()
+    assert [r.t for r in got] == ["b", "c", "d", "e"]
