@@ -664,6 +664,21 @@ class Engine:
             fold, f"{key} long, n_events long, final_ewma double, max_ewma double"
         )
 
+    def holt_winters(self, df: DataFrame, value_col: str = "x",
+                     order_cols: tuple = ("rn",), key_cols: tuple = (),
+                     alpha: float = 0.3, beta: float = 0.1,
+                     gamma: float = 0.2, season: int = 7) -> DataFrame:
+        """Per-key additive Holt-Winters triple smoothing (the t90
+        recurrence as a reusable operator); returns one row per key
+        with (n_obs, level, trend, s_next, forecast_1)."""
+        from .temporal.smoothing import holt_winters
+
+        return holt_winters(
+            df, value_col=value_col, order_cols=order_cols,
+            key_cols=key_cols, alpha=alpha, beta=beta, gamma=gamma,
+            season=season,
+        )
+
     def pq_search(self, corpus: DataFrame, probes: DataFrame, k: int = 5,
                   shortlist: int = 150, **kw) -> DataFrame:
         """IVF-PQ read path (l72): ADC shortlist over byte codes, exact

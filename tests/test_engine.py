@@ -366,3 +366,81 @@ def test_engine_round6_facades(spark):
     prof = eng.profile(docs).collect()
     assert sorted(r.col_name for r in prof) == ["doc_id", "text"]
     assert all(r.n_rows == 2 and r.n_null == 0 for r in prof)
+
+
+def test_holt_winters_operator_matches_reference(spark):
+    """The generic per-key Holt-Winters operator folds the exact
+    recurrence the docstring states (checked against an inline python
+    reference), drops keys shorter than season+1, and works keyless."""
+    from graph_spark.temporal.smoothing import holt_winters
+
+    series = {
+        "a": [3, 1, 4, 1, 5, 9, 2, 6],
+        "b": [2, 7, 1, 8, 2, 8],
+        "short": [1, 2, 3],  # < season+1 -> dropped
+    }
+    rows = [
+        (k, i + 1, v)
+        for k, xs in series.items()
+        for i, v in enumerate(xs)
+    ]
+    df = spark.createDataFrame(rows, ["k", "rn", "x"])
+    got = {
+        r.k: r
+        for r in holt_winters(
+            df, value_col="x", order_cols=("rn",), key_cols=("k",),
+            alpha=0.3, beta=0.1, gamma=0.2, season=3,
+        ).collect()
+    }
+    assert set(got) == {"a", "b"}
+
+    def ref(xs, a=0.3, be=0.1, g=0.2, m=3):
+        s = 0.0
+        for v in xs[:m]:
+            s += float(v)
+        lvl = s / float(m)
+        sl = [float(v) - s / float(m) for v in xs[:m]]
+        b = 0.0
+        for xv in xs[m:]:
+            so = sl[0]
+            nl = a * (xv - so) + (1.0 - a) * (lvl + b)
+            nb = be * (nl - lvl) + (1.0 - be) * b
+            ns = g * (xv - nl) + (1.0 - g) * so
+            sl = sl[1:] + [ns]
+            lvl, b = nl, nb
+        return lvl, b, sl[0]
+
+    for k in ("a", "b"):
+        lvl, b, s_next = ref(series[k])
+        assert got[k].n_obs == len(series[k])
+        assert got[k].level == lvl
+        assert got[k].trend == b
+        assert got[k].s_next == s_next
+        assert got[k].forecast_1 == lvl + b + s_next
+
+    # keyless (global series) mode: one row, no __g column
+    g1 = holt_winters(
+        df.filter(df.k == "a").select("rn", "x"),
+        value_col="x", order_cols=("rn",), season=3,
+    )
+    assert g1.columns == [
+        "n_obs", "level", "trend", "s_next", "forecast_1"
+    ]
+    assert g1.count() == 1
+
+
+def test_engine_holt_winters_facade(spark):
+    from graph_spark.engine import Engine
+
+    from .conftest import SF_SMOKE
+
+    eng = Engine(spark, SF_SMOKE)
+    ev = eng.catalog.table("events").filter("user_id < 5").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = eng.holt_winters(
+        ev, value_col="value", order_cols=("ts", "event_id"),
+        key_cols=("user_id",), season=4,
+    )
+    rows = out.collect()
+    assert rows and all(r.forecast_1 is not None for r in rows)

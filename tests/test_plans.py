@@ -808,3 +808,54 @@ def test_g121_g122_pattern_predicates_semi_anti(spark):
     for p in (semi, anti):
         assert "CartesianProduct" not in p
         assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_round6b_queries_no_cartesian(spark):
+    """Round-6b additions keep the no-cartesian discipline: the Cypher
+    type-union (g130), undirected rollup (g132), collect (g133), the
+    BH windows (q159), and the matryoshka/decontam top-1 joins whose
+    only nested-loop is the documented bounded-probe broadcast."""
+    from graph_spark.queries.registry import by_name
+
+    reg = by_name()
+    for name in (
+        "g130_cypher_rel_type_union",
+        "g132_cypher_undirected",
+        "g133_cypher_collect",
+        "q159_bh_fdr",
+        "q157_k_anonymity",
+    ):
+        plan = _plan(reg[name].build(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, f"{name}: {plan}"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: {plan}"
+    # q158's one BNLJ is the documented 1-row x 1-row scalar crossJoin
+    # (agg x ties), the q155/t85 tiny-dim exception; no cartesian ever
+    plan = _plan(reg["q158_kruskal_wallis"].build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_g130_union_branches_push_predicate(spark):
+    """The type-disjunction leg is a UNION of the two type frames and
+    the edge predicate reaches BOTH branches (Catalyst pushes the
+    n_items filter below the Union)."""
+    from graph_spark.queries.registry import by_name
+
+    df = by_name()["g130_cypher_rel_type_union"].build(spark, SF_SMOKE)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" in opt
+    # both branches carry the partition filter AND the query predicate
+    assert opt.count("n_items") >= 4
+
+
+def test_l119_l122_probe_side_broadcast(spark):
+    """The brute-force top-1 joins broadcast the bounded probe set
+    against the stationary corpus — the only acceptable nested-loop
+    (non-equi self-exclusion condition, probe side capped by id)."""
+    from graph_spark.queries.registry import by_name
+
+    reg = by_name()
+    for name in ("l119_matryoshka_audit", "l122_embedding_decontam"):
+        plan = _plan(reg[name].build(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, f"{name}: {plan}"
+        assert "BroadcastNestedLoopJoin" in plan, f"{name}: {plan}"
