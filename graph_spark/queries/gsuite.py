@@ -7023,4 +7023,39 @@ def g133(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g134_cypher_undirected_varlen",
+    """WITH ne AS (
+         SELECT 'n'||c.c_nationkey AS src, 'n'||s.s_nationkey AS dst
+         FROM lineitem l JOIN orders o ON l.l_orderkey=o.o_orderkey
+         JOIN customer c ON o.o_custkey=c.c_custkey
+         JOIN supplier s ON l.l_suppkey=s.s_suppkey
+         GROUP BY 1,2 HAVING count(*) >= 150),
+       sym AS (SELECT src, dst FROM ne UNION SELECT dst, src FROM ne),
+       r1 AS (SELECT dst AS b FROM sym WHERE src = 'n5'),
+       r2 AS (SELECT s2.dst AS b FROM sym s1
+              JOIN sym s2 ON s2.src = s1.dst WHERE s1.src = 'n5')
+       SELECT DISTINCT b AS nation
+       FROM (SELECT b FROM r1 UNION ALL SELECT b FROM r2)
+       ORDER BY 1""",
+    note="undirected VAR-LENGTH pattern -[:TRADE*1..2]- (composing the "
+    "two round-6b compiler productions): the walk runs over the "
+    "symmetric closure with the existing per-hop distinct-pair "
+    "semantics, anchored at n5 (one export lane at sf0.01, so the "
+    "undirected reach is visibly larger than the directed one — "
+    "imports count).  The oracle builds the closure with a plain "
+    "UNION (safe: no WITH RECURSIVE in this query, so UNION still "
+    "dedups — the g64 landmine documented in CLAUDE.md is about "
+    "recursive queries).  Scale: one extra orientation union before "
+    "the same two bounded join hops",
+)
+def g134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cy(
+        spark,
+        sf_dir,
+        """MATCH (a:Nation {node: 'n5'})-[:TRADE*1..2]-(b:Nation)
+           RETURN b AS nation ORDER BY nation""",
+    )
+
+
 QUERIES = list(_G)

@@ -368,3 +368,60 @@ def test_bracket_scanner_laws(toks):
     # quoted literal survives byte-for-byte wherever it appears
     if "'a[b]'" in text:
         assert "'a[b]'" in out
+
+
+# ------------------------------- string-operator / collect scanners
+
+_strop_tokens = st.lists(
+    st.sampled_from(
+        ["x", "c.node", "'c1'", " ", "AND", "OR", "NOT", "STARTS WITH",
+         "ENDS WITH", "CONTAINS", "=", "(", ")", "'a STARTS WITH b'",
+         "lower(x)", "collect", "collect(x)", "collect_list(x)", ","]
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(toks=_strop_tokens)
+@SET
+def test_string_op_scanner_laws(toks):
+    """Structural laws of _string_ops_rewrite: (1) text without an
+    operator keyword passes through verbatim; (2) the transform is
+    idempotent (rewritten calls contain no infix operator); (3) a
+    quoted literal containing an operator survives byte-for-byte;
+    (4) every rewrite preserves the operand texts."""
+    import re
+
+    from graph_spark.graph.cypher import _string_ops_rewrite as f
+
+    text = " ".join(toks)
+    out = f(text)
+    if not re.search(r"STARTS\s+WITH|ENDS\s+WITH|CONTAINS", text, re.I):
+        assert out == text
+    assert f(out) == out
+    if "'a STARTS WITH b'" in text:
+        assert "'a STARTS WITH b'" in out
+
+
+@given(toks=_strop_tokens)
+@SET
+def test_collect_scanner_laws(toks):
+    """Structural laws of _collect_rewrite: (1) no bare 'collect('
+    call -> verbatim; (2) idempotent; (3) explicit collect_list is
+    never double-wrapped; unbalanced parens raise the clean cypher
+    error instead of corrupting text."""
+    import re
+
+    from graph_spark.graph.cypher import _collect_rewrite as f
+
+    text = " ".join(toks)
+    try:
+        out = f(text)
+    except ValueError as e:
+        assert "unbalanced" in str(e)
+        return
+    if not re.search(r"\bcollect\s*\(", text, re.I):
+        assert out == text
+    assert f(out) == out
+    assert "sort_array(sort_array" not in out
