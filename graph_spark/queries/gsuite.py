@@ -7058,4 +7058,31 @@ def g134(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g135_cypher_pagination",
+    f"""WITH {GRAPH_CTES}
+       SELECT dst AS supplier, count(*)::BIGINT AS n_cust,
+              sum(n_items)::BIGINT AS items
+       FROM graph_edges GROUP BY 1
+       ORDER BY n_cust DESC, supplier LIMIT 10 OFFSET 10""",
+    note="Cypher SKIP pagination (the supported-but-never-declared "
+    "corner of the RETURN tail): page 2 of the supplier fan-in "
+    "leaderboard via ORDER BY .. SKIP 10 LIMIT 10 against the SQL "
+    "OFFSET form.  Deterministic only because the ORDER BY is total "
+    "(count then id) — the same protocol every top-k query here "
+    "pins.  Scale: Spark lowers SKIP+LIMIT to limit(skip+n) then a "
+    "driver-side tail cut of 10 rows — constant memory; never "
+    "paginate without a total order",
+)
+def g135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cy(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[e:BUYS]->(s:Supplier)
+           RETURN s AS supplier, count(*) AS n_cust,
+                  sum(e.n_items) AS items
+           ORDER BY n_cust DESC, supplier SKIP 10 LIMIT 10""",
+    )
+
+
 QUERIES = list(_G)

@@ -11861,6 +11861,135 @@ def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("i")
 
 
+@_q(
+    "q160_association_strength",
+    """WITH cells AS (SELECT c_mktsegment AS x, c_nationkey AS y,
+                           count(*)::BIGINT AS o
+                    FROM customer GROUP BY 1, 2),
+       tot AS (SELECT sum(o)::BIGINT AS n FROM cells),
+       rt AS (SELECT x, sum(o)::BIGINT AS rx FROM cells GROUP BY 1),
+       ct AS (SELECT y, sum(o)::BIGINT AS cy FROM cells GROUP BY 1),
+       terms AS (
+         SELECT c.x, c.y,
+                CAST(floor(((c.o*t.n - r.rx*t2.cy)*1.0
+                            *(c.o*t.n - r.rx*t2.cy))
+                           / (t.n*1.0*r.rx*t2.cy) * 1000000.0 + 0.5)
+                     AS BIGINT) AS chi1e6,
+                CAST(floor(-(c.o/(t.n*1.0)) * ln(c.o/(t2.cy*1.0))
+                           * 1000000000.0 + 0.5) AS BIGINT) AS hxy1e9,
+                t.n
+         FROM cells c JOIN rt r USING (x) JOIN ct t2 USING (y)
+         CROSS JOIN tot t),
+       hx AS (SELECT sum(CAST(floor(-(rx/(t.n*1.0)) * ln(rx/(t.n*1.0))
+                                    * 1000000000.0 + 0.5) AS BIGINT)
+                        )::BIGINT AS hx1e9
+              FROM rt, tot t),
+       agg AS (SELECT max(n)::BIGINT AS n,
+                      count(DISTINCT x)::BIGINT AS r,
+                      count(DISTINCT y)::BIGINT AS c,
+                      sum(chi1e6)::BIGINT AS s_chi,
+                      sum(hxy1e9)::BIGINT AS s_hxy
+               FROM terms)
+       SELECT n, r, c,
+              round(s_chi/1e6, 4) AS chi2,
+              round(sqrt((s_chi/1e6) / (n*1.0*(least(r, c) - 1))), 6)
+                AS cramers_v,
+              round(hx.hx1e9/1e9, 6) AS h_x,
+              round(s_hxy/1e9, 6) AS h_x_given_y,
+              round((hx.hx1e9/1e9 - s_hxy/1e9) / (hx.hx1e9/1e9), 6)
+                AS theils_u
+       FROM agg, hx""",
+    note="categorical ASSOCIATION STRENGTH — effect sizes where "
+    "q71/q132 stop at the test statistic: Cramer's V = "
+    "sqrt(chi2/(n*(min(r,c)-1))) (symmetric, 0..1) and Theil's "
+    "uncertainty coefficient U(X|Y) = (H(X) - H(X|Y))/H(X) "
+    "(ASYMMETRIC — how much knowing the nation shrinks segment "
+    "entropy), over segment x nation.  Exact protocol: each cell's "
+    "chi-square term is (o*n - rt*ct)^2/(n*rt*ct) — numerator an "
+    "exact BIGINT — floored x1e6; entropy terms -(o/n)*ln(o/ct) "
+    "floored x1e9; both integer-summed so the <=125-cell "
+    "accumulation is order-free, with single closing divisions.  "
+    "Shape: one contingency groupBy + two marginal rollups, "
+    "broadcast-joined back — a 125-row problem after the first "
+    "shuffle at any corpus size",
+)
+def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = Catalog(spark, sf_dir).table("customer")
+    cells = cust.groupBy(
+        F.col("c_mktsegment").alias("x"), F.col("c_nationkey").alias("y")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    rt = cells.groupBy("x").agg(F.sum("o").cast("long").alias("rx"))
+    ct = cells.groupBy("y").agg(F.sum("o").cast("long").alias("cy"))
+    num = F.col("o") * F.col("n") - F.col("rx") * F.col("cy")
+    terms = (
+        cells.join(F.broadcast(rt), "x")
+        .join(F.broadcast(ct), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "x",
+            "y",
+            F.floor(
+                (num * F.lit(1.0) * num)
+                / (F.col("n") * F.lit(1.0) * F.col("rx") * F.col("cy"))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("chi1e6"),
+            F.floor(
+                -(F.col("o") / (F.col("n") * F.lit(1.0)))
+                * F.log(F.col("o") / (F.col("cy") * F.lit(1.0)))
+                * F.lit(1000000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("hxy1e9"),
+            "n",
+        )
+    )
+    hx = (
+        rt.crossJoin(F.broadcast(tot))
+        .select(
+            F.floor(
+                -(F.col("rx") / (F.col("n") * F.lit(1.0)))
+                * F.log(F.col("rx") / (F.col("n") * F.lit(1.0)))
+                * F.lit(1000000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("long").alias("hx1e9"))
+    )
+    agg = terms.agg(
+        F.max("n").cast("long").alias("n"),
+        F.countDistinct("x").cast("long").alias("r"),
+        F.countDistinct("y").cast("long").alias("c"),
+        F.sum("chi1e6").cast("long").alias("s_chi"),
+        F.sum("hxy1e9").cast("long").alias("s_hxy"),
+    )
+    j = agg.crossJoin(F.broadcast(hx))
+    chi2 = F.col("s_chi") / F.lit(1e6)
+    hx_d = F.col("hx1e9") / F.lit(1e9)
+    hxy_d = F.col("s_hxy") / F.lit(1e9)
+    return j.select(
+        "n",
+        "r",
+        "c",
+        F.round(chi2, 4).alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2 / (F.col("n") * F.lit(1.0) * (F.least("r", "c") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+        F.round(hx_d, 6).alias("h_x"),
+        F.round(hxy_d, 6).alias("h_x_given_y"),
+        F.round((hx_d - hxy_d) / hx_d, 6).alias("theils_u"),
+    )
+
+
 def _daily_order_counts(
     spark: SparkSession, sf_dir: str, lo: str, hi_excl: str, last_day: str
 ) -> DataFrame:
