@@ -201,6 +201,27 @@ def main() -> None:
     print("== temporal: per-key EWMA (the window-algebra boundary) ==")
     eng.ewma(eng.table("events")).orderBy("user_id").show(5)
 
+    print("== Cypher: type unions, undirected, string ops, collect ==")
+    eng.cypher(
+        """MATCH (c:Customer)-[e:BUYS_SMALL|BUYS_BULK]->(s:Supplier)
+           WHERE c.node STARTS WITH 'c1' AND e.n_items >= 2
+           WITH s, collect(c.node) AS buyers, count(*) AS n
+           RETURN s AS supplier, n, buyers[0] AS first_buyer
+           ORDER BY n DESC, supplier SKIP 1 LIMIT 4"""
+    ).show()
+    eng.cypher(
+        """MATCH (a:Customer {node: 'c1'})-[:BUYS*1..2]-(b)
+           WHERE NOT b.node ENDS WITH '1'
+           RETURN b AS reached ORDER BY reached LIMIT 6"""
+    ).show()
+
+    print("== temporal: per-key Holt-Winters seasonal forecast ==")
+    eng.holt_winters(
+        eng.table("events").select("user_id", "ts", "event_id", "value"),
+        value_col="value", order_cols=("ts", "event_id"),
+        key_cols=("user_id",), season=4,
+    ).orderBy("user_id").show(5)
+
     print("demo complete")
 
 
