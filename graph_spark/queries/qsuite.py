@@ -11990,6 +11990,58 @@ def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q161_reservoir_ares",
+    """WITH it AS (
+         SELECT 'o'||o_orderkey AS okey, o_totalprice AS w,
+                (('0x'||substr(md5('o'||o_orderkey), 1, 15))::BIGINT
+                 % 1000000000000 + 1) / 1000000000000.0 AS u
+         FROM orders),
+       pri AS (SELECT okey, w, -ln(u) / w AS pri FROM it)
+       SELECT okey, w, round(pri * 1e6, 8) AS pri_x1e6
+       FROM pri
+       QUALIFY row_number() OVER (ORDER BY pri, okey) <= 20
+       ORDER BY pri, okey""",
+    note="weighted reservoir sampling, A-Res (Efraimidis-Spirakis) — "
+    "the one-pass distributed sampler behind every "
+    "weight-proportional corpus subsample (DSIR/temperature mixing "
+    "pick WHAT to favor; this is HOW you draw it at scale without "
+    "a global normalizing pass): each item gets priority "
+    "-ln(u)/w (the exponential-race form of u^(1/w), "
+    "monotone-identical ordering and numerically tamer), u from the "
+    "repo's md5 15-hex-digit bigint carrier so both engines draw "
+    "THE SAME deterministic uniforms; the sample is the k smallest "
+    "priorities.  Selection uses the raw double (identical in both "
+    "engines — one ln, one division); the x1e6 rounding is display "
+    "only.  Shape: one map pass + a global top-k (TakeOrdered — "
+    "no full sort); merging per-partition top-k heaps is exactly "
+    "how A-Res distributes, which is the point of declaring it",
+)
+def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    okey = F.concat(F.lit("o"), F.col("o_orderkey").cast("string"))
+    h = F.conv(F.substring(F.md5(okey), 1, 15), 16, 10).cast("long")
+    it = o.select(
+        okey.alias("okey"),
+        F.col("o_totalprice").alias("w"),
+        ((h % F.lit(1000000000000) + 1) / F.lit(1000000000000.0)).alias("u"),
+    )
+    pri = it.select(
+        "okey", "w", (-F.log(F.col("u")) / F.col("w")).alias("pri")
+    )
+    win = Window.orderBy("pri", "okey")
+    return (
+        pri.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= 20)
+        .orderBy("pri", "okey")
+        .select(
+            "okey",
+            "w",
+            F.round(F.col("pri") * F.lit(1e6), 8).alias("pri_x1e6"),
+        )
+    )
+
+
 def _daily_order_counts(
     spark: SparkSession, sf_dir: str, lo: str, hi_excl: str, last_day: str
 ) -> DataFrame:

@@ -79,6 +79,8 @@ HAZARD_PRIORITY = [
     "q158_kruskal_wallis",
     "l119_matryoshka_audit",
     "l121_stupid_backoff",
+    # global float-ranked top-20 cut on -ln(u)/w priorities (q161)
+    "q161_reservoir_ares",
 ]
 
 
