@@ -100,6 +100,12 @@ Supported:
     rewritten quote-aware to the Spark `startswith`/`endswith`/
     `contains` functions; operands may be property refs, literals, or
     single-level function calls, and `NOT` composes for free.
+  - `UNION` / `UNION ALL` between complete subqueries (each with its
+    own MATCH..RETURN): compiled per segment and combined with
+    unionByName, plain UNION deduplicating — subqueries must return
+    the same column names in the same order; mixing the two forms is
+    refused (as in openCypher).  No post-union ORDER BY (order within
+    a union is undefined in Cypher too).
   - `collect(x)` / `collect(DISTINCT x)`, rewritten to the
     DETERMINISTIC `sort_array(collect_list(x))` /
     `sort_array(collect_set(x))` (openCypher's collect is unordered;
@@ -703,6 +709,54 @@ def _string_ops_rewrite(text: str) -> str:
     return _STR_OP.sub(sub, text)
 
 
+_UNION_RE = re.compile(r"\bUNION(?:\s+ALL)?\b", re.IGNORECASE)
+
+
+def _split_union(query: str) -> tuple[list[str], bool]:
+    """Split a query on top-level ``UNION`` / ``UNION ALL`` (outside
+    quotes, parens, braces and brackets).  Returns (segments,
+    all_mode); a single segment means no union.  Mixing UNION and
+    UNION ALL is refused (openCypher does the same)."""
+    parts = re.split(r"('[^']*'|\"[^\"]*\")", query)
+    cuts: list[tuple[int, int, bool]] = []
+    depth = 0
+    offset = 0
+    for idx, part in enumerate(parts):
+        if idx % 2 == 0:
+            for m in re.finditer(
+                r"[(){}\[\]]|\bUNION(?:\s+ALL)?\b", part, re.IGNORECASE
+            ):
+                tok = m.group(0)
+                if tok in "({[":
+                    depth += 1
+                elif tok in ")}]":
+                    depth -= 1
+                elif depth == 0:
+                    cuts.append(
+                        (
+                            offset + m.start(),
+                            offset + m.end(),
+                            "ALL" in tok.upper(),
+                        )
+                    )
+        offset += len(part)
+    if not cuts:
+        return [query], False
+    modes = {c[2] for c in cuts}
+    if len(modes) > 1:
+        raise ValueError(
+            "cypher: mixing UNION and UNION ALL in one query is not "
+            "supported (openCypher refuses it too)"
+        )
+    segs: list[str] = []
+    prev = 0
+    for start, end, _ in cuts:
+        segs.append(query[prev:start])
+        prev = end
+    segs.append(query[prev:])
+    return segs, modes.pop()
+
+
 def _split_top_level(text: str, sep: str = ",") -> list[str]:
     """Split on `sep` outside parens/quotes."""
     out, depth, cur, q = [], 0, [], None
@@ -1101,6 +1155,21 @@ def cypher(
     """
     if isinstance(cg, PropertyGraph):
         cg = CypherGraph(cg)
+    segments, union_all = _split_union(query)
+    if len(segments) > 1:
+        frames = [cypher(cg, seg) for seg in segments]
+        cols = frames[0].columns
+        for k, f in enumerate(frames[1:], 2):
+            if f.columns != cols:
+                raise ValueError(
+                    f"cypher: UNION subquery {k} returns columns "
+                    f"{f.columns}, expected {cols} (all subqueries must "
+                    "return the same column names in the same order)"
+                )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out if union_all else out.distinct()
     bad = _UNSUPPORTED.search(query)
     if bad:
         raise ValueError(

@@ -7085,4 +7085,36 @@ def g135(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g136_cypher_union",
+    f"""WITH {GRAPH_CTES}
+       SELECT src AS customer FROM graph_edges WHERE n_items >= 5
+       UNION
+       SELECT src AS customer FROM (
+         SELECT src, count(*) AS deg FROM graph_edges GROUP BY 1) d
+       WHERE deg >= 4""",
+    note="Cypher UNION between complete subqueries (new compiler "
+    "production): big-basket buyers OR high-degree buyers, two "
+    "MATCH..RETURN segments compiled independently and combined with "
+    "a deduplicating union — the overlap between the branches is "
+    "what UNION (vs UNION ALL) removes, which the oracle's SQL UNION "
+    "checks exactly.  No post-union ORDER BY (undefined in Cypher; "
+    "the driver compare canonicalizes row order).  Scale: two "
+    "independent subplans + one distinct on the narrow output — no "
+    "cross-branch join ever",
+)
+def g136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cy(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[e:BUYS]->(s:Supplier)
+           WHERE e.n_items >= 5
+           RETURN c.node AS customer
+           UNION
+           MATCH (c2:Customer)-[f:BUYS]->(s2:Supplier)
+           WITH c2, count(*) AS deg WHERE deg >= 4
+           RETURN c2.node AS customer""",
+    )
+
+
 QUERIES = list(_G)

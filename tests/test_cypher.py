@@ -1252,3 +1252,44 @@ def test_collect_distinct_then_unwind(tiny):
         "UNWIND ts AS t RETURN t ORDER BY t",
     ).collect()
     assert [r.t for r in got] == ["b", "c", "d", "e"]
+
+
+def test_union_dedups_and_union_all_keeps(tiny):
+    q1 = "MATCH (x)-[e:E]->(y) WHERE e.n_items >= 4 RETURN x AS node"
+    q2 = "MATCH (x)-[e:E]->(y) WHERE e.n_items >= 3 RETURN x AS node"
+    got = sorted(
+        r.node for r in cypher(tiny, f"{q1} UNION {q2}").collect()
+    )
+    assert got == ["b", "c", "d"]  # c,d overlap deduped
+    got_all = sorted(
+        r.node for r in cypher(tiny, f"{q1} UNION ALL {q2}").collect()
+    )
+    assert got_all == ["b", "c", "c", "d", "d"]
+
+
+def test_union_mismatched_columns_refused(tiny):
+    with pytest.raises(ValueError, match="same column names"):
+        cypher(
+            tiny,
+            "MATCH (x)-[e:E]->(y) RETURN x AS a UNION "
+            "MATCH (x)-[e:E]->(y) RETURN x AS b",
+        )
+
+
+def test_union_mixed_forms_refused(tiny):
+    with pytest.raises(ValueError, match="mixing UNION"):
+        cypher(
+            tiny,
+            "MATCH (x)-[]->(y) RETURN x UNION "
+            "MATCH (x)-[]->(y) RETURN x UNION ALL "
+            "MATCH (x)-[]->(y) RETURN x",
+        )
+
+
+def test_union_keyword_in_string_literal_not_split(tiny):
+    got = cypher(
+        tiny,
+        "MATCH (x)-[e:E]->(y) WHERE x.node = 'a' "
+        "RETURN x, 'UNION ALL' AS tag ORDER BY y LIMIT 1",
+    ).collect()
+    assert [(r.x, r.tag) for r in got] == [("a", "UNION ALL")]
