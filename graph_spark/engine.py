@@ -664,6 +664,14 @@ class Engine:
             fold, f"{key} long, n_events long, final_ewma double, max_ewma double"
         )
 
+    def weighted_sample(self, df: DataFrame, key_col: str,
+                        weight_col: str, k: int, by: tuple = ()) -> DataFrame:
+        """A-Res weighted reservoir sample (deterministic md5 uniforms;
+        q161's operator form); `by` gives a per-group reservoir."""
+        from .operators.sampling import weighted_reservoir_sample
+
+        return weighted_reservoir_sample(df, key_col, weight_col, k, by=by)
+
     def holt_winters(self, df: DataFrame, value_col: str = "x",
                      order_cols: tuple = ("rn",), key_cols: tuple = (),
                      alpha: float = 0.3, beta: float = 0.1,

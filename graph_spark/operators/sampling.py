@@ -107,3 +107,38 @@ def bounded_negative_samples(
             "hv",
         )
     )
+
+
+def weighted_reservoir_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    by: tuple = (),
+) -> DataFrame:
+    """A-Res weighted reservoir sampling (Efraimidis-Spirakis): each
+    row gets priority ``-ln(u)/w`` with a deterministic uniform ``u``
+    from the repo's md5 15-hex-digit carrier of ``key_col``; the
+    sample is the ``k`` SMALLEST priorities (the exponential-race
+    form of ``u^(1/w)`` — monotone-identical ordering, numerically
+    tamer).  Pass ``by`` for a per-group reservoir (stratified draw).
+
+    Weight-proportional without a normalizing pass, one-pass and
+    mergeable: per-partition top-k heaps combine associatively, which
+    is exactly Spark's TakeOrdered/window execution — the operator IS
+    its own distributed form.  Weights must be positive.  The q161
+    declared query pins the selection against the DuckDB oracle.
+
+    Returns the input columns plus ``pri`` (the raw selection
+    priority) and ``sample_rank`` (1..k within the reservoir).
+    """
+    u = (
+        _md5_long(F.col(key_col).cast("string")) % F.lit(1000000000000) + 1
+    ) / F.lit(1000000000000.0)
+    pri = -F.log(u) / F.col(weight_col)
+    w = Window.partitionBy(*by).orderBy("pri", key_col)
+    return (
+        df.withColumn("pri", pri)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )

@@ -12018,21 +12018,17 @@ def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
     "how A-Res distributes, which is the point of declaring it",
 )
 def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graph_spark.operators.sampling import weighted_reservoir_sample
+
     o = Catalog(spark, sf_dir).table("orders")
-    okey = F.concat(F.lit("o"), F.col("o_orderkey").cast("string"))
-    h = F.conv(F.substring(F.md5(okey), 1, 15), 16, 10).cast("long")
     it = o.select(
-        okey.alias("okey"),
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias(
+            "okey"
+        ),
         F.col("o_totalprice").alias("w"),
-        ((h % F.lit(1000000000000) + 1) / F.lit(1000000000000.0)).alias("u"),
     )
-    pri = it.select(
-        "okey", "w", (-F.log(F.col("u")) / F.col("w")).alias("pri")
-    )
-    win = Window.orderBy("pri", "okey")
     return (
-        pri.withColumn("__rn", F.row_number().over(win))
-        .filter(F.col("__rn") <= 20)
+        weighted_reservoir_sample(it, "okey", "w", k=20)
         .orderBy("pri", "okey")
         .select(
             "okey",

@@ -425,3 +425,28 @@ def test_collect_scanner_laws(toks):
         assert out == text
     assert f(out) == out
     assert "sort_array(sort_array" not in out
+
+
+@given(
+    weights=st.lists(
+        st.integers(min_value=1, max_value=10**6), min_size=5, max_size=24
+    ),
+    scale=st.sampled_from([2, 4, 1024]),
+    k=st.integers(min_value=1, max_value=5),
+)
+@SET
+def test_ares_weight_scale_invariance(spark, weights, scale, k):
+    """A-Res law: multiplying EVERY weight by a constant scales every
+    priority -ln(u)/w by the same 1/c, so the selected key set is
+    unchanged (weight-proportional sampling depends only on relative
+    weights).  Power-of-two scales keep the division exact in IEEE,
+    making the invariance exact, not approximate."""
+    from graph_spark.operators.sampling import weighted_reservoir_sample
+
+    rows = [(f"k{i}", float(w)) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, ["key", "w"])
+    df2 = df.selectExpr("key", f"w * {scale} AS w")
+    pick = lambda d: sorted(
+        r.key for r in weighted_reservoir_sample(d, "key", "w", k).collect()
+    )
+    assert pick(df) == pick(df2)
