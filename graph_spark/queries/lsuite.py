@@ -7910,6 +7910,208 @@ def l122(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROUGE_LA, _ROUGE_LB = 12, 24
+
+
+def _rouge_oracle(la: int = _ROUGE_LA, lb: int = _ROUGE_LB) -> str:
+    """Unrolled LCS row-recurrence as chained CTEs (the t85/t88 DP
+    idiom): row i of the lattice collapses to ONE lag + running-max
+    window because LCS rows are nondecreasing in j —
+    N[j] = max(P[j], max_{t<=j}(P[t-1] + eq(i,t)))."""
+    head = f"""WITH pairs AS (SELECT i AS da, i + 1 AS db
+               FROM range(0, 20, 2) t(i)),
+       tokraw AS (
+         SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+                generate_subscripts(string_split(lower(text), ' '), 1)
+                  AS pos
+         FROM documents WHERE doc_id < 20),
+       tok AS (
+         SELECT doc_id, term,
+                row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+         FROM tokraw WHERE term <> ''),
+       la AS (SELECT p.da AS pair, least(count(*), {la})::BIGINT AS n
+              FROM pairs p JOIN tok t ON t.doc_id = p.da GROUP BY 1),
+       lb AS (SELECT p.da AS pair, least(count(*), {lb})::BIGINT AS n
+              FROM pairs p JOIN tok t ON t.doc_id = p.db GROUP BY 1),
+       ta AS (SELECT p.da AS pair, i.i AS i,
+                     coalesce(t.term, chr(1) || 'a' || i.i) AS term
+              FROM pairs p CROSS JOIN range(1, {la} + 1) i(i)
+              LEFT JOIN tok t ON t.doc_id = p.da AND t.p = i.i),
+       tb AS (SELECT p.da AS pair, j.j AS j,
+                     coalesce(t.term, chr(1) || 'b' || j.j) AS term
+              FROM pairs p CROSS JOIN range(1, {lb} + 1) j(j)
+              LEFT JOIN tok t ON t.doc_id = p.db AND t.p = j.j),
+       eqt AS (SELECT a.pair, a.i, b.j,
+                      CASE WHEN a.term = b.term THEN 1 ELSE 0 END AS eq
+               FROM ta a JOIN tb b ON b.pair = a.pair),
+       c1 AS (SELECT pair, j,
+                     max(eq) OVER (PARTITION BY pair ORDER BY j) AS c
+              FROM eqt WHERE i = 1)"""
+    ctes = [head]
+    for i in range(2, la + 1):
+        ctes.append(f"""
+       c{i} AS (
+         SELECT pair, j,
+                greatest(c, max(term) OVER (PARTITION BY pair
+                                            ORDER BY j)) AS c
+         FROM (
+           SELECT e.pair, e.j, p.c,
+                  coalesce(lag(p.c) OVER (PARTITION BY e.pair
+                                          ORDER BY e.j), 0) + e.eq AS term
+           FROM eqt e JOIN c{i-1} p ON p.pair = e.pair AND p.j = e.j
+           WHERE e.i = {i}) s)""")
+    tail = f"""
+       SELECT p.da, p.db, la.n AS la, lb.n AS lb, c.c::BIGINT AS lcs,
+              round(2.0 * c.c / (la.n + lb.n), 6) AS rouge_f
+       FROM pairs p
+       JOIN la ON la.pair = p.da JOIN lb ON lb.pair = p.da
+       JOIN c{la} c ON c.pair = p.da AND c.j = {lb}
+       ORDER BY p.da"""
+    return ",".join(ctes) + tail
+
+
+@_l(
+    "l123_rouge_l",
+    _rouge_oracle(),
+    note="ROUGE-L between candidate/reference document pairs — the "
+    "summarization-eval metric beside l109's BLEU (n-gram precision) "
+    "and l115's ranking metrics: F = 2*LCS/(la+lb) over the longest "
+    "common token SUBSEQUENCE.  The LCS lattice is sequential by "
+    "nature, but each ROW collapses to closed form "
+    "N[j] = max(P[j], runmax(P[t-1] + eq(i,t))) because LCS rows are "
+    "nondecreasing — so 12 candidate tokens unroll to 12 chained "
+    "lag+running-max windows over all pairs AT ONCE (the t85 DTW "
+    "row-collapse idiom; no recursion, no per-cell driver loop), "
+    "exact integer carriers throughout.  Docs pad to the fixed "
+    "12x24 lattice with per-side sentinel tokens that never match, "
+    "leaving LCS unchanged while keeping every pair on one spine.  "
+    "Brute-force python-DP parity is pinned in tests.  Scale: the "
+    "window chain partitions by pair — a million pairs run the same "
+    "12 stages; lattice width is the token CAP, not doc length",
+)
+def l123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents").filter(
+        F.col("doc_id") < 20
+    )
+    tokraw = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias(
+            "pos", "term"
+        ),
+    ).filter(F.col("term") != "")
+    tok = tokraw.select(
+        "doc_id",
+        "term",
+        F.row_number()
+        .over(Window.partitionBy("doc_id").orderBy("pos"))
+        .alias("p"),
+    )
+    pairs = spark.range(0, 20, 2).select(
+        F.col("id").alias("da"), (F.col("id") + 1).alias("db")
+    )
+    la = (
+        pairs.join(tok, pairs.da == tok.doc_id)
+        .groupBy(F.col("da").alias("pair"))
+        .agg(F.least(F.count(F.lit(1)), F.lit(_ROUGE_LA)).cast("long").alias("n"))
+    )
+    lb = (
+        pairs.join(tok, pairs.db == tok.doc_id)
+        .groupBy(F.col("da").alias("pair"))
+        .agg(F.least(F.count(F.lit(1)), F.lit(_ROUGE_LB)).cast("long").alias("n"))
+    )
+    ii = spark.range(1, _ROUGE_LA + 1).select(F.col("id").alias("i"))
+    jj = spark.range(1, _ROUGE_LB + 1).select(F.col("id").alias("j"))
+    ta = (
+        pairs.crossJoin(F.broadcast(ii))
+        .join(
+            tok,
+            (pairs.da == tok.doc_id) & (F.col("i") == F.col("p")),
+            "left",
+        )
+        .select(
+            F.col("da").alias("pair"),
+            "i",
+            F.coalesce(
+                F.col("term"),
+                F.concat(F.lit("\x01a"), F.col("i").cast("string")),
+            ).alias("term"),
+        )
+    )
+    tb = (
+        pairs.crossJoin(F.broadcast(jj))
+        .join(
+            tok,
+            (pairs.db == tok.doc_id) & (F.col("j") == F.col("p")),
+            "left",
+        )
+        .select(
+            F.col("da").alias("pair"),
+            "j",
+            F.coalesce(
+                F.col("term"),
+                F.concat(F.lit("\x01b"), F.col("j").cast("string")),
+            ).alias("term"),
+        )
+    )
+    eqt = (
+        ta.withColumnRenamed("term", "ta")
+        .join(tb.withColumnRenamed("term", "tb"), "pair")
+        .select(
+            "pair",
+            "i",
+            "j",
+            F.when(F.col("ta") == F.col("tb"), 1).otherwise(0).alias("eq"),
+        )
+    )
+    wpj = Window.partitionBy("pair").orderBy("j")
+    c = (
+        eqt.filter(F.col("i") == 1)
+        .select("pair", "j", F.max("eq").over(wpj).alias("c"))
+    )
+    for i in range(2, _ROUGE_LA + 1):
+        step = (
+            eqt.filter(F.col("i") == i)
+            .select("pair", "j", "eq")
+            .join(c, ["pair", "j"])
+            .select(
+                "pair",
+                "j",
+                "c",
+                (
+                    F.coalesce(F.lag("c").over(wpj), F.lit(0)) + F.col("eq")
+                ).alias("term"),
+            )
+        )
+        c = step.select(
+            "pair",
+            "j",
+            F.greatest(F.col("c"), F.max("term").over(wpj)).alias("c"),
+        )
+    out = (
+        pairs.join(la.withColumnRenamed("n", "la"), pairs.da == la.pair)
+        .drop("pair")
+        .join(lb.withColumnRenamed("n", "lb"), pairs.da == lb.pair)
+        .drop("pair")
+        .join(
+            c.filter(F.col("j") == _ROUGE_LB).select(
+                F.col("pair"), F.col("c").cast("long").alias("lcs")
+            ),
+            pairs.da == F.col("pair"),
+        )
+        .drop("pair")
+    )
+    return out.select(
+        "da",
+        "db",
+        "la",
+        "lb",
+        "lcs",
+        F.round(
+            F.lit(2.0) * F.col("lcs") / (F.col("la") + F.col("lb")), 6
+        ).alias("rouge_f"),
+    ).orderBy("da")
+
+
 @_l(
     "m13_byte_entropy",
     """WITH media AS (SELECT doc_id, source, encode(text) AS payload,

@@ -821,3 +821,38 @@ def test_random_projection_preserves_distance_in_expectation(spark):
     avg = sum(ratios) / len(ratios)
     assert 0.6 < avg < 1.4
     assert all(0.1 < r < 3.5 for r in ratios)
+
+
+def test_l123_rouge_lcs_matches_bruteforce_dp(spark):
+    """The 12-stage window-chain LCS (row-collapse idiom) must equal
+    the textbook O(n*m) python DP on the same truncated token lists."""
+    from graph_spark.queries.registry import by_name
+
+    from .conftest import SF_SMOKE
+
+    got = {
+        r.da: r.lcs
+        for r in by_name()["l123_rouge_l"].build(spark, SF_SMOKE).collect()
+    }
+    docs = {
+        r.doc_id: [w for w in r.text.lower().split(" ") if w]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .filter("doc_id < 20")
+        .select("doc_id", "text")
+        .collect()
+    }
+
+    def lcs(a, b):
+        prev = [0] * (len(b) + 1)
+        for i in range(1, len(a) + 1):
+            cur = [0] * (len(b) + 1)
+            for j in range(1, len(b) + 1):
+                cur[j] = max(
+                    prev[j], cur[j - 1], prev[j - 1] + (a[i - 1] == b[j - 1])
+                )
+            prev = cur
+        return prev[len(b)]
+
+    for da in range(0, 20, 2):
+        want = lcs(docs[da][:12], docs[da + 1][:24])
+        assert got[da] == want, (da, got[da], want)
