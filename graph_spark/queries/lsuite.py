@@ -7910,6 +7910,74 @@ def l122(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "l124_krippendorff_alpha",
+    """WITH r AS (SELECT doc_id,
+                (CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END
+                 + CASE WHEN len(list_filter(string_split(text, ' '),
+                                             x -> x <> '')) >= 55
+                        THEN 1 ELSE 0 END
+                 + CASE WHEN lower(text) LIKE '%the%' THEN 1 ELSE 0 END)
+                  AS k
+           FROM documents),
+       c AS (SELECT count(*)::BIGINT AS n,
+                    sum(k)::BIGINT AS t_ones,
+                    sum(2 * k * (3 - k))::BIGINT AS o_dis
+             FROM r)
+       SELECT n, t_ones, o_dis,
+              round(o_dis / (n * 6.0), 6) AS d_o,
+              round(2.0 * t_ones * (3 * n - t_ones)
+                    / (3.0 * n * (3 * n - 1)), 6) AS d_e,
+              round(1.0 - (o_dis / (n * 6.0))
+                    / (2.0 * t_ones * (3 * n - t_ones)
+                       / (3.0 * n * (3 * n - 1))), 6) AS alpha
+       FROM c""",
+    note="Krippendorff's alpha (nominal, 3 raters, complete data) — "
+    "the agreement coefficient that generalizes l118's two-rater "
+    "kappa to rater ensembles, the LLM-as-judge ensemble QC "
+    "statistic: raters = char-band / token-band / contains-'the', "
+    "each unit's disagreeing ordered pairs = 2k(3-k) for k positive "
+    "votes, D_o = sum/(n*m*(m-1)); D_e from the pooled value "
+    "coincidences 2*T*(N-T)/(N*(N-1)) with N = 3n; alpha = "
+    "1 - D_o/D_e.  Every carrier is an exact BIGINT from ONE "
+    "aggregate; the three ratios are closing doubles.  Shape: one "
+    "scan, one row — any corpus size",
+)
+def l124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    k = (
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0)
+        + F.when(
+            F.size(
+                F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+            )
+            >= 55,
+            1,
+        ).otherwise(0)
+        + F.when(F.lower(F.col("text")).like("%the%"), 1).otherwise(0)
+    )
+    c = docs.select(k.alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("k").cast("long").alias("t_ones"),
+        F.sum(2 * F.col("k") * (3 - F.col("k"))).cast("long").alias("o_dis"),
+    )
+    d_o = F.col("o_dis") / (F.col("n") * F.lit(6.0))
+    d_e = (
+        F.lit(2.0)
+        * F.col("t_ones")
+        * (3 * F.col("n") - F.col("t_ones"))
+        / (F.lit(3.0) * F.col("n") * (3 * F.col("n") - 1))
+    )
+    return c.select(
+        "n",
+        "t_ones",
+        "o_dis",
+        F.round(d_o, 6).alias("d_o"),
+        F.round(d_e, 6).alias("d_e"),
+        F.round(F.lit(1.0) - d_o / d_e, 6).alias("alpha"),
+    )
+
+
 _ROUGE_LA, _ROUGE_LB = 12, 24
 
 

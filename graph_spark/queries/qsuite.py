@@ -12038,6 +12038,124 @@ def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q162_huber_location",
+    """WITH v AS (SELECT CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS x
+               FROM orders),
+       st AS (SELECT median(x) AS med, count(*)::BIGINT AS n,
+                     sum(x)::BIGINT AS s FROM v),
+       md AS (SELECT median(abs(x - st.med)) AS mad FROM v, st),
+       kk AS (SELECT 1.345 * (1.4826 * md.mad) AS k FROM md),
+       m0 AS (SELECT st.s * 1.0 / st.n AS mu FROM st),
+       i1 AS (SELECT sum(w * x)::BIGINT AS swx, sum(w)::BIGINT AS sw FROM
+              (SELECT x, CAST(floor((CASE WHEN abs(x - m0.mu) <= kk.k
+                                          THEN 1.0
+                                          ELSE kk.k / abs(x - m0.mu) END)
+                                    * 100000.0 + 0.5) AS BIGINT) AS w
+               FROM v, m0, kk) s1),
+       m1 AS (SELECT swx * 1.0 / sw AS mu FROM i1),
+       i2 AS (SELECT sum(w * x)::BIGINT AS swx, sum(w)::BIGINT AS sw FROM
+              (SELECT x, CAST(floor((CASE WHEN abs(x - m1.mu) <= kk.k
+                                          THEN 1.0
+                                          ELSE kk.k / abs(x - m1.mu) END)
+                                    * 100000.0 + 0.5) AS BIGINT) AS w
+               FROM v, m1, kk) s2),
+       m2 AS (SELECT swx * 1.0 / sw AS mu FROM i2),
+       i3 AS (SELECT sum(w * x)::BIGINT AS swx, sum(w)::BIGINT AS sw FROM
+              (SELECT x, CAST(floor((CASE WHEN abs(x - m2.mu) <= kk.k
+                                          THEN 1.0
+                                          ELSE kk.k / abs(x - m2.mu) END)
+                                    * 100000.0 + 0.5) AS BIGINT) AS w
+               FROM v, m2, kk) s3),
+       m3 AS (SELECT swx * 1.0 / sw AS mu FROM i3)
+       SELECT st.n, round(st.med / 100.0, 4) AS med,
+              round(md.mad / 100.0, 4) AS mad,
+              round(kk.k / 100.0, 4) AS k_huber,
+              round(m0.mu / 100.0, 4) AS mean,
+              round(m1.mu / 100.0, 4) AS mu1,
+              round(m2.mu / 100.0, 4) AS mu2,
+              round(m3.mu / 100.0, 4) AS mu3
+       FROM st, md, kk, m0, m1, m2, m3""",
+    note="Huber M-estimator of location via 3 unrolled IRLS rounds — "
+    "the between-mean-and-median robust estimator completing the "
+    "q119 winsorize / q142 Theil-Sen / t25 MAD family: tuning "
+    "k = 1.345 * 1.4826 * MAD (the 95%-efficiency constant on the "
+    "MAD-consistent sigma), weights w = min(1, k/|x - mu|), "
+    "mu' = sum(w*x)/sum(w).  Exact protocol: cents are BIGINTs; each "
+    "round's weights are ONE per-row double expression floored "
+    "half-up x1e5 into BIGINTs, so the weighted sums are order-free "
+    "integer sums and each round's mu is a single closing division "
+    "(textually identical in both engines).  Shape: one aggregate "
+    "pass per round over the value column + a broadcast 1-row state "
+    "join — 3 fixed rounds, no convergence loop, no driver state",
+)
+def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    v = o.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("x")
+    )
+    st = v.agg(
+        F.median("x").alias("med"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    md = (
+        v.crossJoin(F.broadcast(st.select("med")))
+        .agg(F.median(F.abs(F.col("x") - F.col("med"))).alias("mad"))
+    )
+    kk = md.select((F.lit(1.345) * (F.lit(1.4826) * F.col("mad"))).alias("k"))
+    m0 = st.select((F.col("s") * F.lit(1.0) / F.col("n")).alias("mu"))
+
+    def irls(mu_df: DataFrame) -> DataFrame:
+        w = F.floor(
+            F.when(
+                F.abs(F.col("x") - F.col("mu")) <= F.col("k"), F.lit(1.0)
+            ).otherwise(F.col("k") / F.abs(F.col("x") - F.col("mu")))
+            * F.lit(100000.0)
+            + F.lit(0.5)
+        ).cast("long")
+        agg = (
+            v.crossJoin(F.broadcast(mu_df))
+            .crossJoin(F.broadcast(kk))
+            .select("x", w.alias("w"))
+            .agg(
+                F.sum(F.col("w") * F.col("x")).cast("long").alias("swx"),
+                F.sum("w").cast("long").alias("sw"),
+            )
+        )
+        return agg.select(
+            (F.col("swx") * F.lit(1.0) / F.col("sw")).alias("mu")
+        )
+
+    m1 = irls(m0)
+    m2 = irls(m1)
+    m3 = irls(m2)
+
+    def r4(col, name):
+        return F.round(col / F.lit(100.0), 4).alias(name)
+
+    return (
+        st.crossJoin(F.broadcast(md))
+        .crossJoin(F.broadcast(kk))
+        .crossJoin(F.broadcast(m0.select(F.col("mu").alias("mu0"))))
+        .crossJoin(F.broadcast(m1.select(F.col("mu").alias("mu1_"))))
+        .crossJoin(F.broadcast(m2.select(F.col("mu").alias("mu2_"))))
+        .crossJoin(F.broadcast(m3.select(F.col("mu").alias("mu3_"))))
+        .select(
+            "n",
+            r4(F.col("med"), "med"),
+            r4(F.col("mad"), "mad"),
+            r4(F.col("k"), "k_huber"),
+            r4(F.col("mu0"), "mean"),
+            r4(F.col("mu1_"), "mu1"),
+            r4(F.col("mu2_"), "mu2"),
+            r4(F.col("mu3_"), "mu3"),
+        )
+    )
+
+
 def _daily_order_counts(
     spark: SparkSession, sf_dir: str, lo: str, hi_excl: str, last_day: str
 ) -> DataFrame:
