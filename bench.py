@@ -366,6 +366,56 @@ def bench_distributed_text(spark) -> dict:
     out["span_pair_scale_ratio"] = round(
         out["span_pairs_800k"] / max(out["span_pairs"], 1) / 4.0, 3
     )
+
+    # ROUGE-L window-chain scale evidence (round-6b): the l123 LCS
+    # lattice runs ALL pairs through the same 12 chained windows, so
+    # wall time should be ~linear in pair count at fixed caps.  Planted
+    # ground truth doubles as correctness: even pairs embed the full
+    # 12-token candidate as a subsequence of the 24-token reference
+    # (LCS = 12 exactly); odd pairs share nothing (LCS = 0).
+    from graph_spark.operators.text import lcs_window_chain
+
+    la_cap, lb_cap = 12, 24
+    for tag, n_pairs in (("", 100_000), ("_400k", 400_000)):
+        base = spark.range(n_pairs).select(F.col("id").alias("pair"))
+        ii = spark.range(1, la_cap + 1).select(F.col("id").alias("i"))
+        jj = spark.range(1, lb_cap + 1).select(F.col("id").alias("j"))
+        ta = base.crossJoin(F.broadcast(ii)).select(
+            "pair", "i", F.expr("concat('a', pair, 'x', i)").alias("ta")
+        )
+        tb = base.crossJoin(F.broadcast(jj)).select(
+            "pair",
+            "j",
+            F.expr(
+                "CASE WHEN pair % 2 = 0 AND j % 2 = 0 "
+                "THEN concat('a', pair, 'x', j DIV 2) "
+                "ELSE concat('b', pair, 'x', j) END"
+            ).alias("tb"),
+        )
+        eqt = ta.join(tb, "pair").select(
+            "pair",
+            "i",
+            "j",
+            F.when(F.col("ta") == F.col("tb"), 1).otherwise(0).alias("eq"),
+        )
+        t0 = time.perf_counter()
+        fin = (
+            lcs_window_chain(eqt, la_cap)
+            .filter(F.col("j") == lb_cap)
+            .persist()
+        )
+        n_out = fin.count()
+        out[f"rouge_chain{tag}"] = round(time.perf_counter() - t0, 3)
+        out[f"rouge_pairs{tag}"] = n_out
+        good = fin.filter(
+            ((F.col("pair") % 2 == 0) & (F.col("c") == la_cap))
+            | ((F.col("pair") % 2 == 1) & (F.col("c") == 0))
+        ).count()
+        out[f"rouge_planted_exact{tag}"] = round(good / n_out, 4)
+        fin.unpersist()
+    out["rouge_scale_ratio"] = round(
+        (out["rouge_chain_400k"] / out["rouge_chain"]) / 4.0, 3
+    )
     print(f"# dist-text: {out}", file=sys.stderr)
     return out
 

@@ -281,3 +281,46 @@ def dsir_resample(
         .select("rank", "doc_id", "logw")
         .orderBy("rank")
     )
+
+
+def lcs_window_chain(eqt: DataFrame, la: int) -> DataFrame:
+    """Longest-common-subsequence lengths for MANY (candidate,
+    reference) pairs at once, as ``la`` chained window stages over an
+    equality lattice ``eqt(pair, i, j, eq)`` (i = candidate position
+    1..la, j = reference position, eq = tokens match).
+
+    Row-collapse identity (LCS rows are nondecreasing in j):
+    ``N[j] = max(P[j], max_{t<=j}(P[t-1] + eq(i, t)))`` — so each DP
+    row is ONE lag + running-max window partitioned by pair, never a
+    per-cell loop.  Returns (pair, j, c) for the final row; ``c`` at
+    the last reference position is LCS(pair).  The l123 declared query
+    pins this against a DuckDB oracle and a brute-force python DP.
+
+    Scale: every stage is a window over (pair, j) — a million pairs
+    run the same ``la`` stages; the lattice is bounded by the token
+    CAPS, not document length (pad with non-matching sentinels).
+    """
+    wpj = Window.partitionBy("pair").orderBy("j")
+    c = eqt.filter(F.col("i") == 1).select(
+        "pair", "j", F.max("eq").over(wpj).alias("c")
+    )
+    for i in range(2, la + 1):
+        step = (
+            eqt.filter(F.col("i") == i)
+            .select("pair", "j", "eq")
+            .join(c, ["pair", "j"])
+            .select(
+                "pair",
+                "j",
+                "c",
+                (
+                    F.coalesce(F.lag("c").over(wpj), F.lit(0)) + F.col("eq")
+                ).alias("term"),
+            )
+        )
+        c = step.select(
+            "pair",
+            "j",
+            F.greatest(F.col("c"), F.max("term").over(wpj)).alias("c"),
+        )
+    return c

@@ -8131,30 +8131,9 @@ def l123(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("ta") == F.col("tb"), 1).otherwise(0).alias("eq"),
         )
     )
-    wpj = Window.partitionBy("pair").orderBy("j")
-    c = (
-        eqt.filter(F.col("i") == 1)
-        .select("pair", "j", F.max("eq").over(wpj).alias("c"))
-    )
-    for i in range(2, _ROUGE_LA + 1):
-        step = (
-            eqt.filter(F.col("i") == i)
-            .select("pair", "j", "eq")
-            .join(c, ["pair", "j"])
-            .select(
-                "pair",
-                "j",
-                "c",
-                (
-                    F.coalesce(F.lag("c").over(wpj), F.lit(0)) + F.col("eq")
-                ).alias("term"),
-            )
-        )
-        c = step.select(
-            "pair",
-            "j",
-            F.greatest(F.col("c"), F.max("term").over(wpj)).alias("c"),
-        )
+    from graph_spark.operators.text import lcs_window_chain
+
+    c = lcs_window_chain(eqt, _ROUGE_LA)
     out = (
         pairs.join(la.withColumnRenamed("n", "la"), pairs.da == la.pair)
         .drop("pair")
