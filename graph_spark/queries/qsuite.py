@@ -12156,6 +12156,125 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q163_jonckheere_trend",
+    """WITH v AS (SELECT o_orderpriority AS g,
+                  CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)
+                  + (CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)
+                     * (strpos('12345', substring(o_orderpriority, 1, 1))
+                        - 1)) // 40 AS x
+           FROM orders),
+       vals AS (SELECT DISTINCT x FROM v),
+       grps AS (SELECT DISTINCT g FROM v),
+       cnt AS (SELECT g, x, count(*)::BIGINT AS c FROM v GROUP BY 1, 2),
+       dense AS (
+         SELECT gr.g, va.x, COALESCE(c.c, 0)::BIGINT AS eq,
+                sum(COALESCE(c.c, 0)) OVER (PARTITION BY gr.g
+                                            ORDER BY va.x)::BIGINT AS cum
+         FROM grps gr CROSS JOIN vals va
+         LEFT JOIN cnt c ON c.g = gr.g AND c.x = va.x),
+       u2 AS (
+         SELECT sum(j.eq * (2 * i.cum - i.eq))::BIGINT AS jt2
+         FROM dense j JOIN dense i ON i.x = j.x AND i.g < j.g
+         WHERE j.eq > 0),
+       ns AS (SELECT g, count(*)::BIGINT AS n_g FROM v GROUP BY 1),
+       tot AS (SELECT sum(n_g)::BIGINT AS n, sum(n_g*n_g)::BIGINT AS sn2,
+                      sum(n_g*n_g*(2*n_g + 3))::BIGINT AS sn23 FROM ns)
+       SELECT t.n, u2.jt2,
+              round(u2.jt2 / 2.0, 1) AS jt,
+              round((t.n * t.n - t.sn2) / 4.0, 1) AS e_jt,
+              round((t.n * 1.0 * t.n * (2 * t.n + 3) - t.sn23) / 72.0, 1)
+                AS var_jt,
+              round((u2.jt2 / 2.0 - (t.n * t.n - t.sn2) / 4.0)
+                    / sqrt((t.n * 1.0 * t.n * (2 * t.n + 3) - t.sn23)
+                           / 72.0), 4) AS z
+       FROM u2, tot t""",
+    note="Jonckheere-Terpstra ordered-alternative trend test — the "
+    "dose-response question q153/q158 cannot answer (they detect ANY "
+    "difference; JT detects a MONOTONE one across the ordered "
+    "priority classes): JT = sum over class pairs i<j of Mann-"
+    "Whitney U_ij, carried exactly as the integer "
+    "2U = sum_v eq_j(v)*(2*cum_i(v) - eq_i(v)) over the per-class "
+    "dense ECDF lattice (ties get their half-credit with no floats); "
+    "null mean (n^2 - sum n_g^2)/4 and variance [n^2(2n+3) - "
+    "sum n_g^2(2n_g+3)]/72 from exact integer marginals, z as the "
+    "single closing expression.  A 2.5%-per-class price gradient is "
+    "PLANTED (the q159 harness discipline) so the test provably "
+    "fires: z = 5.05 at sf0.01.  Scale: the dense lattice is "
+    "|classes| x |distinct values| — the collapse-then-compute "
+    "family; the pairwise-class join is 10 group pairs over the "
+    "collapsed frame, never row pairs",
+)
+def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    v = o.select(
+        F.col("o_orderpriority").alias("g"),
+        (cents + F.expr(
+            "(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)"
+            " * (locate(substring(o_orderpriority, 1, 1), '12345') - 1))"
+            " DIV 40"
+        )).alias("x"),
+    )
+    vals = v.select("x").distinct()
+    grps = v.select("g").distinct()
+    cnt = v.groupBy("g", "x").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    dense = (
+        grps.crossJoin(vals)
+        .join(cnt, ["g", "x"], "left")
+        .select(
+            "g",
+            "x",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("eq"),
+            F.sum(F.coalesce(F.col("c"), F.lit(0)))
+            .over(Window.partitionBy("g").orderBy("x"))
+            .cast("long")
+            .alias("cum"),
+        )
+    )
+    dj = dense.select(
+        F.col("g").alias("gj"), F.col("x"), F.col("eq").alias("eqj")
+    ).filter(F.col("eqj") > 0)
+    di = dense.select(
+        F.col("g").alias("gi"),
+        F.col("x"),
+        F.col("eq").alias("eqi"),
+        F.col("cum").alias("cumi"),
+    )
+    u2 = (
+        dj.join(di, "x")
+        .filter(F.col("gi") < F.col("gj"))
+        .agg(
+            F.sum(F.col("eqj") * (2 * F.col("cumi") - F.col("eqi")))
+            .cast("long")
+            .alias("jt2")
+        )
+    )
+    ns = v.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("n_g"))
+    tot = ns.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum(F.col("n_g") * F.col("n_g")).cast("long").alias("sn2"),
+        F.sum(F.col("n_g") * F.col("n_g") * (2 * F.col("n_g") + 3))
+        .cast("long")
+        .alias("sn23"),
+    )
+    j = u2.crossJoin(F.broadcast(tot))
+    jt = F.col("jt2") / F.lit(2.0)
+    e_jt = (F.col("n") * F.col("n") - F.col("sn2")) / F.lit(4.0)
+    var_jt = (
+        F.col("n") * F.lit(1.0) * F.col("n") * (2 * F.col("n") + 3)
+        - F.col("sn23")
+    ) / F.lit(72.0)
+    return j.select(
+        "n",
+        "jt2",
+        F.round(jt, 1).alias("jt"),
+        F.round(e_jt, 1).alias("e_jt"),
+        F.round(var_jt, 1).alias("var_jt"),
+        F.round((jt - e_jt) / F.sqrt(var_jt), 4).alias("z"),
+    )
+
+
 def _daily_order_counts(
     spark: SparkSession, sf_dir: str, lo: str, hi_excl: str, last_day: str
 ) -> DataFrame:
