@@ -12275,6 +12275,121 @@ def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q164_eb_shrinkage",
+    """WITH s AS (SELECT l_suppkey AS sk, count(*)::BIGINT AS n,
+                       sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0
+                           END)::BIGINT AS k
+               FROM lineitem GROUP BY 1),
+       sc AS (SELECT sk, n, k,
+                     CAST(floor(k / (n * 1.0) * 1000000000.0 + 0.5)
+                          AS BIGINT) AS p9,
+                     CAST(floor((k / (n * 1.0)) * (k / (n * 1.0))
+                                * 1000000000.0 + 0.5) AS BIGINT) AS q9
+              FROM s),
+       mom AS (SELECT count(*)::BIGINT AS ns, sum(p9)::BIGINT AS sp,
+                      sum(q9)::BIGINT AS sq FROM sc),
+       prior AS (
+         SELECT ns, sp / (ns * 1.0) / 1e9 AS m,
+                sq / (ns * 1.0) / 1e9
+                  - (sp / (ns * 1.0) / 1e9) * (sp / (ns * 1.0) / 1e9)
+                  AS v
+         FROM mom),
+       ab AS (
+         SELECT m,
+                CASE WHEN v > 0.0
+                      AND m * (1.0 - m) / v - 1.0 > 0.0
+                     THEN m * (1.0 - m) / v - 1.0 ELSE 1.0 END AS c
+         FROM prior),
+       out AS (
+         SELECT sc.sk, sc.n, sc.k,
+                round(sc.k / (sc.n * 1.0), 6) AS raw_rate,
+                round((sc.k + ab.m * ab.c) / (sc.n + ab.c), 6)
+                  AS shrunk_rate,
+                (sc.k + ab.m * ab.c) / (sc.n + ab.c)
+                  - sc.k / (sc.n * 1.0) AS delta_raw
+         FROM sc, ab)
+       SELECT sk, n, k, raw_rate, shrunk_rate,
+              round(delta_raw, 6) AS delta
+       FROM out
+       QUALIFY row_number() OVER (ORDER BY abs(delta_raw) DESC, sk) <= 15
+       ORDER BY abs(delta_raw) DESC, sk""",
+    note="empirical-Bayes beta-binomial shrinkage of per-supplier "
+    "return rates — the small-sample leaderboard stabilizer (a "
+    "3-line supplier with one return is NOT a 33% returner): "
+    "method-of-moments prior from the across-supplier mean/variance "
+    "of raw rates, each rate and its square floored x1e9 into "
+    "BIGINTs so the cross-supplier moment sums are order-free; "
+    "prior strength c = m(1-m)/v - 1 (guarded to 1 when the "
+    "between-variance underflows), shrunk rate = (k + m*c)/(n + c).  "
+    "Output = the 15 biggest raw-vs-shrunk movers, i.e. exactly the "
+    "suppliers a naive leaderboard misranks.  Shape: one groupBy to "
+    "supplier stats, one 1-row broadcast prior, one ordered top-k",
+)
+def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    s = li.groupBy(F.col("l_suppkey").alias("sk")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("k"),
+    )
+    p = F.col("k") / (F.col("n") * F.lit(1.0))
+    sc = s.select(
+        "sk",
+        "n",
+        "k",
+        F.floor(p * F.lit(1000000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("p9"),
+        F.floor(p * p * F.lit(1000000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("q9"),
+    )
+    mom = sc.agg(
+        F.count(F.lit(1)).cast("long").alias("ns"),
+        F.sum("p9").cast("long").alias("sp"),
+        F.sum("q9").cast("long").alias("sq"),
+    )
+    m = F.col("sp") / (F.col("ns") * F.lit(1.0)) / F.lit(1e9)
+    v = F.col("sq") / (F.col("ns") * F.lit(1.0)) / F.lit(1e9) - m * m
+    c_raw = m * (F.lit(1.0) - m) / v - F.lit(1.0)
+    ab = mom.select(
+        m.alias("m"),
+        F.when((v > 0.0) & (c_raw > 0.0), c_raw).otherwise(F.lit(1.0)).alias(
+            "c"
+        ),
+    )
+    out = sc.crossJoin(F.broadcast(ab)).select(
+        "sk",
+        "n",
+        "k",
+        F.round(F.col("k") / (F.col("n") * F.lit(1.0)), 6).alias("raw_rate"),
+        F.round(
+            (F.col("k") + F.col("m") * F.col("c")) / (F.col("n") + F.col("c")),
+            6,
+        ).alias("shrunk_rate"),
+        (
+            (F.col("k") + F.col("m") * F.col("c")) / (F.col("n") + F.col("c"))
+            - F.col("k") / (F.col("n") * F.lit(1.0))
+        ).alias("delta_raw"),
+    )
+    w = Window.orderBy(F.abs(F.col("delta_raw")).desc(), "sk")
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 15)
+        .orderBy(F.abs(F.col("delta_raw")).desc(), "sk")
+        .select(
+            "sk",
+            "n",
+            "k",
+            "raw_rate",
+            "shrunk_rate",
+            F.round("delta_raw", 6).alias("delta"),
+        )
+    )
+
+
 def _daily_order_counts(
     spark: SparkSession, sf_dir: str, lo: str, hi_excl: str, last_day: str
 ) -> DataFrame:
