@@ -8199,12 +8199,17 @@ def m13(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = to_media_table(docs).join(
         docs.select("doc_id", "source"), "doc_id"
     )
+    # the 4096 cap mirrors the oracle's range(4096) bound — payloads
+    # here are < 4 KB, but a regenerated fixture with longer docs must
+    # not silently diverge (the l112 short-doc lesson, other direction)
     bytes_ = media.select(
         "source",
         F.explode(
             F.expr(
-                "transform(sequence(1, int(n_bytes)),"
-                " i -> substring(hex(payload), 2*i - 1, 2))"
+                "CASE WHEN n_bytes >= 1 THEN "
+                "transform(sequence(1, least(int(n_bytes), 4096)),"
+                " i -> substring(hex(payload), 2*i - 1, 2)) "
+                "ELSE array() END"
             )
         ).alias("byte_hex"),
     )

@@ -125,3 +125,25 @@ def test_negative_sampling_on_empty_matches_nonempty_schema(spark):
     assert out_e.schema == out_f.schema
     assert out_e.count() == 0
     assert out_e.unionByName(out_f).count() == out_f.count()
+
+
+def test_round6b_operators_on_empty(spark):
+    from graph_spark.operators.sampling import weighted_reservoir_sample
+    from graph_spark.operators.text import lcs_window_chain
+    from graph_spark.temporal.smoothing import holt_winters
+
+    empty_items = spark.createDataFrame([], "key string, w double")
+    assert weighted_reservoir_sample(empty_items, "key", "w", k=5).count() == 0
+
+    empty_eqt = spark.createDataFrame([], "pair bigint, i int, j int, eq int")
+    assert lcs_window_chain(empty_eqt, la=3).count() == 0
+
+    empty_series = spark.createDataFrame([], "k string, rn int, x double")
+    hw = holt_winters(
+        empty_series, value_col="x", order_cols=("rn",), key_cols=("k",),
+        season=3,
+    )
+    assert hw.count() == 0
+    assert hw.columns == [
+        "k", "n_obs", "level", "trend", "s_next", "forecast_1"
+    ]
