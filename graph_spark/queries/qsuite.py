@@ -12661,4 +12661,171 @@ def t91(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "t92_seasonal_strength",
+    """WITH spine AS (
+         SELECT m::DATE AS m, row_number() OVER (ORDER BY m) AS t
+         FROM generate_series(DATE '1995-01-01', DATE '1997-12-01',
+                              INTERVAL 1 MONTH) g(m)),
+       x AS (
+         SELECT s.t, ((s.t - 1) % 12) + 1 AS moy,
+                COALESCE(c.cnt, 0)::BIGINT AS x
+         FROM spine s LEFT JOIN (
+           SELECT date_trunc('month', o_orderdate)::DATE AS m,
+                  count(*) AS cnt
+           FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+             AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1) c
+         ON c.m = s.m),
+       tr AS (
+         SELECT t, moy, x,
+                (0.5 * lag(x, 6) OVER w
+                 + lag(x, 1) OVER w + lag(x, 2) OVER w + lag(x, 3) OVER w
+                 + lag(x, 4) OVER w + lag(x, 5) OVER w
+                 + lead(x, 1) OVER w + lead(x, 2) OVER w
+                 + lead(x, 3) OVER w + lead(x, 4) OVER w
+                 + lead(x, 5) OVER w + x
+                 + 0.5 * lead(x, 6) OVER w) / 12.0 AS tc
+         FROM x WINDOW w AS (ORDER BY t)),
+       core AS (SELECT t, moy, x, tc, x - tc AS d FROM tr
+                WHERE t BETWEEN 7 AND 30),
+       sidx AS (SELECT moy, sum(d) / 2.0 AS s FROM core GROUP BY 1),
+       rr AS (SELECT c.d, c.d - si.s AS r, c.x - si.s AS txr
+              FROM core c JOIN sidx si ON si.moy = c.moy),
+       sc AS (SELECT CAST(floor(d * 1000000.0 + 0.5) AS BIGINT) AS d6,
+                     CAST(floor(r * 1000000.0 + 0.5) AS BIGINT) AS r6,
+                     CAST(floor(txr * 1000000.0 + 0.5) AS BIGINT) AS t6
+              FROM rr),
+       v AS (SELECT count(*)::BIGINT AS n,
+                    sum(d6)::BIGINT AS sd, sum(d6*d6)::BIGINT AS sdd,
+                    sum(r6)::BIGINT AS sr, sum(r6*r6)::BIGINT AS srr,
+                    sum(t6)::BIGINT AS st, sum(t6*t6)::BIGINT AS stt
+             FROM sc)
+       SELECT n,
+              round((sdd - sd * 1.0 * sd / n) / n / 1e12, 4)
+                AS var_detrended,
+              round((srr - sr * 1.0 * sr / n) / n / 1e12, 4) AS var_resid,
+              round((stt - st * 1.0 * st / n) / n / 1e12, 4)
+                AS var_deseason,
+              round(greatest(0.0, 1.0
+                    - ((srr - sr * 1.0 * sr / n) / n / 1e12)
+                      / ((sdd - sd * 1.0 * sd / n) / n / 1e12)), 4)
+                AS f_seasonal,
+              round(greatest(0.0, 1.0
+                    - ((srr - sr * 1.0 * sr / n) / n / 1e12)
+                      / ((stt - st * 1.0 * st / n) / n / 1e12)), 4)
+                AS f_trend
+       FROM v""",
+    note="seasonal / trend STRENGTH diagnostics (Hyndman's F "
+    "statistics over a classical decomposition — the one-number "
+    "answers to 'is this series worth a seasonal model?', where "
+    "t47/t83 output the components themselves): centered 12-month MA "
+    "trend (half-weight end terms, 13 lag/lead references in ONE "
+    "fixed textual order so both engines fold identical doubles), "
+    "detrended D = x - T on the 24 fully-covered core months (each "
+    "month-of-year appears EXACTLY twice there, so the seasonal "
+    "index sum(D)/2 is a single commutative addition — no float-"
+    "order hazard), residual R = D - S, deseasonalized x - S.  "
+    "F_seasonal = 1 - Var(R)/Var(D) (D = S + R), F_trend = "
+    "1 - Var(R)/Var(x - S); variances run on floor-half-up x1e6 "
+    "BIGINT carriers (order-free sums, closing divisions).  Scale: "
+    "collapse-then-compute — everything after the monthly rollup is "
+    "a 36-row problem",
+)
+def t92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir).table("orders")
+    cnt = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("date")
+            .alias("m")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(to_date('1995-01-01'), to_date('1997-12-01'),"
+                " interval 1 month)"
+            )
+        ).alias("m")
+    )
+    spine = spine.select(
+        "m", F.row_number().over(Window.orderBy("m")).alias("t")
+    )
+    x = spine.join(cnt, "m", "left").select(
+        "t",
+        (((F.col("t") - 1) % 12) + 1).alias("moy"),
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("x"),
+    )
+    w = Window.orderBy("t")
+    tc = (
+        F.lit(0.5) * F.lag("x", 6).over(w)
+        + F.lag("x", 1).over(w)
+        + F.lag("x", 2).over(w)
+        + F.lag("x", 3).over(w)
+        + F.lag("x", 4).over(w)
+        + F.lag("x", 5).over(w)
+        + F.lead("x", 1).over(w)
+        + F.lead("x", 2).over(w)
+        + F.lead("x", 3).over(w)
+        + F.lead("x", 4).over(w)
+        + F.lead("x", 5).over(w)
+        + F.col("x")
+        + F.lit(0.5) * F.lead("x", 6).over(w)
+    ) / F.lit(12.0)
+    tr = x.select("t", "moy", "x", tc.alias("tc"))
+    core = tr.filter((F.col("t") >= 7) & (F.col("t") <= 30)).select(
+        "t", "moy", "x", "tc", (F.col("x") - F.col("tc")).alias("d")
+    )
+    sidx = core.groupBy("moy").agg((F.sum("d") / F.lit(2.0)).alias("s"))
+    rr = core.join(F.broadcast(sidx), "moy").select(
+        "d",
+        (F.col("d") - F.col("s")).alias("r"),
+        (F.col("x") - F.col("s")).alias("txr"),
+    )
+
+    def c6(col, name):
+        return (
+            F.floor(col * F.lit(1000000.0) + F.lit(0.5))
+            .cast("long")
+            .alias(name)
+        )
+
+    sc = rr.select(c6(F.col("d"), "d6"), c6(F.col("r"), "r6"), c6(F.col("txr"), "t6"))
+    v = sc.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d6").cast("long").alias("sd"),
+        F.sum(F.col("d6") * F.col("d6")).cast("long").alias("sdd"),
+        F.sum("r6").cast("long").alias("sr"),
+        F.sum(F.col("r6") * F.col("r6")).cast("long").alias("srr"),
+        F.sum("t6").cast("long").alias("st"),
+        F.sum(F.col("t6") * F.col("t6")).cast("long").alias("stt"),
+    )
+
+    def var_of(sq, s):
+        return (
+            (F.col(sq) - F.col(s) * F.lit(1.0) * F.col(s) / F.col("n"))
+            / F.col("n")
+            / F.lit(1e12)
+        )
+
+    vd, vr, vt = var_of("sdd", "sd"), var_of("srr", "sr"), var_of("stt", "st")
+    return v.select(
+        "n",
+        F.round(vd, 4).alias("var_detrended"),
+        F.round(vr, 4).alias("var_resid"),
+        F.round(vt, 4).alias("var_deseason"),
+        F.round(F.greatest(F.lit(0.0), F.lit(1.0) - vr / vd), 4).alias(
+            "f_seasonal"
+        ),
+        F.round(F.greatest(F.lit(0.0), F.lit(1.0) - vr / vt), 4).alias(
+            "f_trend"
+        ),
+    )
+
+
 QUERIES = list(_Q)
