@@ -1063,4 +1063,123 @@ def s25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_s(
+    "s26_state_size_audit",
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+       seg AS (
+         SELECT user_id, tus,
+                CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id
+                                               ORDER BY tus)
+                          > 1800000000 OR
+                          lag(tus) OVER (PARTITION BY user_id
+                                         ORDER BY tus) IS NULL
+                     THEN 1 ELSE 0 END AS brk
+         FROM e),
+       runs AS (
+         SELECT user_id, tus,
+                sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+         FROM seg),
+       iv AS (SELECT user_id, run_id, min(tus) AS st,
+                     max(tus) + 1800000000 AS en
+              FROM runs GROUP BY 1, 2),
+       pts AS (SELECT st AS t, 1 AS d FROM iv
+               UNION ALL SELECT en AS t, -1 AS d FROM iv),
+       sweep AS (
+         SELECT t, d,
+                sum(d) OVER (ORDER BY t, d
+                             ROWS UNBOUNDED PRECEDING) AS live
+         FROM pts),
+       by_day AS (
+         SELECT strftime(make_timestamp(t)::DATE, '%Y-%m-%d') AS day,
+                max(live) AS peak_state
+         FROM sweep GROUP BY 1),
+       niv AS (SELECT strftime(make_timestamp(st)::DATE, '%Y-%m-%d')
+                        AS day,
+                      count(*)::BIGINT AS n_intervals
+               FROM iv GROUP BY 1)
+       SELECT d.day, d.peak_state::BIGINT AS peak_state,
+              COALESCE(n.n_intervals, 0)::BIGINT AS n_intervals
+       FROM by_day d LEFT JOIN niv n ON n.day = d.day
+       ORDER BY d.day""",
+    note="state-store sizing audit — the capacity question a stateful "
+    "streaming deploy answers after s25's lateness audit: with a "
+    "30-minute state TTL (the dropDuplicates/session-gap horizon), a "
+    "key holds a state entry from its first event until 30 min after "
+    "its last event of that activity run, so peak concurrent state = "
+    "the max of a +1/-1 interval sweep over per-key TTL-coalesced "
+    "activity runs (the t03 sessionize split + t45 concurrency sweep "
+    "composed into the streaming question neither answers alone).  "
+    "Exact protocol: epoch-microsecond integer carriers everywhere; "
+    "the sweep orders by (t, delta) so an expiry and an arrival at "
+    "the same instant resolve identically in both engines.  Scale: "
+    "per-key windows then ONE ordered sweep over 2x|runs| points "
+    "(range-partitioned at 100 TB, the q150 regime); the streaming "
+    "twin is the state-store metrics Structured Streaming emits, "
+    "which this audit predicts offline",
+)
+def s26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = Catalog(spark, sf_dir).table("events")
+    e = ev.select("user_id", F.unix_micros("ts").alias("tus"))
+    wu = Window.partitionBy("user_id").orderBy("tus")
+    seg = e.select(
+        "user_id",
+        "tus",
+        F.when(
+            (F.col("tus") - F.lag("tus").over(wu) > 1_800_000_000)
+            | F.lag("tus").over(wu).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    runs = seg.select(
+        "user_id",
+        "tus",
+        F.sum("brk")
+        .over(wu.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("run_id"),
+    )
+    iv = runs.groupBy("user_id", "run_id").agg(
+        F.min("tus").alias("st"),
+        (F.max("tus") + F.lit(1_800_000_000)).alias("en"),
+    )
+    pts = iv.select(F.col("st").alias("t"), F.lit(1).alias("d")).unionByName(
+        iv.select(F.col("en").alias("t"), F.lit(-1).alias("d"))
+    )
+    sweep = pts.select(
+        "t",
+        "d",
+        F.sum("d")
+        .over(
+            Window.orderBy("t", "d").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .alias("live"),
+    )
+    day_of = lambda tcol: F.date_format(
+        F.timestamp_micros(tcol).cast("date"), "yyyy-MM-dd"
+    )
+    by_day = sweep.groupBy(day_of(F.col("t")).alias("day")).agg(
+        F.max("live").cast("long").alias("peak_state")
+    )
+    niv = iv.groupBy(day_of(F.col("st")).alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals")
+    )
+    return (
+        by_day.join(niv, "day", "left")
+        .select(
+            "day",
+            "peak_state",
+            F.coalesce(F.col("n_intervals"), F.lit(0))
+            .cast("long")
+            .alias("n_intervals"),
+        )
+        .orderBy("day")
+    )
+
+
 QUERIES = list(_S)
