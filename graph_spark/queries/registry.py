@@ -81,6 +81,18 @@ HAZARD_PRIORITY = [
     "l121_stupid_backoff",
     # global float-ranked top-20 cut on -ln(u)/w priorities (q161)
     "q161_reservoir_ares",
+    # round-6b continuation hazards: 12-stage window-chain LCS (l123),
+    # exp() p-values ordered under the BH step-up (q159), 3-round IRLS
+    # scaled-weight folds (q162), dense-lattice JT carriers (q163),
+    # double-ranked shrinkage movers cut (q164), float MA window chain
+    # into scaled-int variances (t92), global (t, delta) sweep (s26)
+    "l123_rouge_l",
+    "q159_bh_fdr",
+    "q162_huber_location",
+    "q163_jonckheere_trend",
+    "q164_eb_shrinkage",
+    "t92_seasonal_strength",
+    "s26_state_size_audit",
 ]
 
 
