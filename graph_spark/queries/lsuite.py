@@ -8160,6 +8160,74 @@ def l123(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_l(
+    "l125_chao1_vocab",
+    """WITH tok AS (
+         SELECT lang, unnest(string_split(lower(text), ' ')) AS term
+         FROM documents),
+       tf AS (SELECT lang, term, count(*)::BIGINT AS c FROM tok
+              WHERE term <> '' GROUP BY 1, 2),
+       s AS (SELECT lang, count(*)::BIGINT AS d,
+                    sum(c)::BIGINT AS n,
+                    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+                    sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS f2
+             FROM tf GROUP BY 1)
+       SELECT lang, d, n, f1, f2,
+              round(d + CASE WHEN f2 > 0
+                             THEN f1 * 1.0 * f1 / (2.0 * f2)
+                             ELSE f1 * 1.0 * (f1 - 1) / 2.0 END, 2)
+                AS chao1,
+              round(1.0 - f1 * 1.0 / n, 6) AS coverage
+       FROM s ORDER BY lang""",
+    note="Chao1 vocabulary-richness estimator per language — how many "
+    "types the corpus has NOT yet seen (the collector's-curve "
+    "question beside l75 Heaps' law, which fits growth, and l88 "
+    "Good-Turing, which reallocates probability): chao1 = D + "
+    "f1^2/(2 f2) from the singleton/doubleton counts, with the "
+    "bias-corrected f1(f1-1)/2 fallback when no doubletons exist, "
+    "plus Turing sample coverage 1 - f1/N.  All carriers are exact "
+    "BIGINTs from two stacked map-side-combinable groupBys; the "
+    "estimator is one closing expression.  The ops question it "
+    "answers at 100 TB: is more crawling still buying vocabulary, "
+    "or has the corpus saturated?",
+)
+def l125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    tok = docs.select(
+        "lang", F.explode(F.split(F.lower(F.col("text")), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    s = tf.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("d"),
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("f2"),
+    )
+    chao1 = F.col("d") + F.when(
+        F.col("f2") > 0,
+        F.col("f1") * F.lit(1.0) * F.col("f1") / (F.lit(2.0) * F.col("f2")),
+    ).otherwise(
+        F.col("f1") * F.lit(1.0) * (F.col("f1") - 1) / F.lit(2.0)
+    )
+    return s.select(
+        "lang",
+        "d",
+        "n",
+        "f1",
+        "f2",
+        F.round(chao1, 2).alias("chao1"),
+        F.round(F.lit(1.0) - F.col("f1") * F.lit(1.0) / F.col("n"), 6).alias(
+            "coverage"
+        ),
+    ).orderBy("lang")
+
+
+@_l(
     "m13_byte_entropy",
     """WITH media AS (SELECT doc_id, source, encode(text) AS payload,
                            octet_length(encode(text))::BIGINT AS n_bytes
