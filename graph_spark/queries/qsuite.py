@@ -12390,6 +12390,114 @@ def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q165_kendall_tau_b",
+    """WITH r AS (SELECT l_suppkey AS sk,
+                  sum(CASE WHEN l_shipdate >= TIMESTAMP '1995-01-01'
+                            AND l_shipdate < TIMESTAMP '1996-01-01'
+                           THEN CAST(floor(l_extendedprice*100 + 0.5)
+                                     AS BIGINT) ELSE 0 END)::BIGINT AS x,
+                  sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                            AND l_shipdate < TIMESTAMP '1997-01-01'
+                           THEN CAST(floor(l_extendedprice*100 + 0.5)
+                                     AS BIGINT) ELSE 0 END)::BIGINT AS y
+           FROM lineitem GROUP BY 1 HAVING x > 0 AND y > 0),
+       p AS (SELECT
+               sum(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                        THEN 1 ELSE 0 END)::BIGINT AS c,
+               sum(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                        THEN 1 ELSE 0 END)::BIGINT AS d,
+               sum(CASE WHEN a.x = b.x AND a.y <> b.y
+                        THEN 1 ELSE 0 END)::BIGINT AS tx,
+               sum(CASE WHEN a.y = b.y AND a.x <> b.x
+                        THEN 1 ELSE 0 END)::BIGINT AS ty,
+               sum(CASE WHEN a.x = b.x AND a.y = b.y
+                        THEN 1 ELSE 0 END)::BIGINT AS txy,
+               count(*)::BIGINT AS n0
+             FROM r a JOIN r b ON a.sk < b.sk)
+       SELECT (SELECT count(*) FROM r)::BIGINT AS n,
+              c, d, tx, ty, txy, n0,
+              round((c - d) / sqrt((n0 - (tx + txy)) * 1.0
+                                   * (n0 - (ty + txy))), 6) AS tau_b
+       FROM p""",
+    note="Kendall's tau-b between two yearly supplier revenue rankings "
+    "— the concordance view of rank stability beside Spearman (q136, "
+    "moment-based on ranks) and RBO (q148, top-weighted): concordant/"
+    "discordant/tied pair counts over exact cent revenues, tau_b = "
+    "(C - D)/sqrt((n0 - Tx)(n0 - Ty)) with the tie corrections as "
+    "exact integers and ONE closing sqrt.  Shape: the pair census is "
+    "a self-join of the COLLAPSED per-supplier frame (|S|^2/2 pairs "
+    "— 500k at sf0.1, never row pairs); at larger |S| switch to the "
+    "O(S log S) merge-sort inversion count (t49's shape), same "
+    "statistic",
+)
+def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).table("lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+
+    def year_rev(y):
+        return (
+            F.sum(
+                F.when(
+                    (F.col("l_shipdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                    & (
+                        F.col("l_shipdate")
+                        < F.lit(f"{y + 1}-01-01").cast("timestamp")
+                    ),
+                    cents,
+                ).otherwise(0)
+            )
+            .cast("long")
+        )
+
+    r = (
+        li.groupBy(F.col("l_suppkey").alias("sk"))
+        .agg(year_rev(1995).alias("x"), year_rev(1996).alias("y"))
+        .filter((F.col("x") > 0) & (F.col("y") > 0))
+    )
+    a = r.select(F.col("sk").alias("ska"), F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = r.select(F.col("sk").alias("skb"), F.col("x").alias("xb"), F.col("y").alias("yb"))
+    sgn = (F.col("xa") - F.col("xb")) * (F.col("ya") - F.col("yb"))
+    p = (
+        a.join(b, F.col("ska") < F.col("skb"))
+        .agg(
+            F.sum(F.when(sgn > 0, 1).otherwise(0)).cast("long").alias("c"),
+            F.sum(F.when(sgn < 0, 1).otherwise(0)).cast("long").alias("d"),
+            F.sum(
+                F.when(
+                    (F.col("xa") == F.col("xb")) & (F.col("ya") != F.col("yb")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("tx"),
+            F.sum(
+                F.when(
+                    (F.col("ya") == F.col("yb")) & (F.col("xa") != F.col("xb")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("ty"),
+            F.sum(
+                F.when(
+                    (F.col("xa") == F.col("xb")) & (F.col("ya") == F.col("yb")), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("txy"),
+            F.count(F.lit(1)).cast("long").alias("n0"),
+        )
+    )
+    n = r.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tau = (F.col("c") - F.col("d")) / F.sqrt(
+        (F.col("n0") - (F.col("tx") + F.col("txy")))
+        * F.lit(1.0)
+        * (F.col("n0") - (F.col("ty") + F.col("txy")))
+    )
+    return p.crossJoin(F.broadcast(n)).select(
+        "n", "c", "d", "tx", "ty", "txy", "n0", F.round(tau, 6).alias("tau_b")
+    )
+
+
 def _daily_order_counts(
     spark: SparkSession, sf_dir: str, lo: str, hi_excl: str, last_day: str
 ) -> DataFrame:
