@@ -8302,4 +8302,87 @@ def m13(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_l(
+    "m14_byte_run_lengths",
+    """WITH media AS (SELECT doc_id, source, encode(text) AS payload,
+                           octet_length(encode(text))::BIGINT AS n_bytes
+                    FROM documents),
+       b AS (SELECT doc_id, source,
+                    substr(hex(payload), (2*i.i + 1)::INT, 2) AS byte_hex,
+                    i.i AS pos
+             FROM media CROSS JOIN range(4096) i(i)
+             WHERE i.i < n_bytes),
+       runs AS (SELECT doc_id, source, byte_hex,
+                       pos - row_number() OVER (PARTITION BY doc_id,
+                                                byte_hex ORDER BY pos)
+                         AS grp
+                FROM b),
+       rl AS (SELECT doc_id, source, byte_hex, count(*)::BIGINT AS len
+              FROM runs GROUP BY doc_id, source, byte_hex, grp)
+       SELECT source,
+              max(len)::BIGINT AS max_run,
+              sum(CASE WHEN len >= 4 THEN 1 ELSE 0 END)::BIGINT
+                AS n_runs_ge4,
+              count(DISTINCT CASE WHEN len >= 4 THEN doc_id END)::BIGINT
+                AS n_docs_ge4
+       FROM rl GROUP BY 1 ORDER BY 1""",
+    note="longest repeated-byte run per source over the opaque BINARY "
+    "payload — the padding/corruption/stuck-sensor detector an "
+    "ingest runs beside m12's magic sniffing and m13's entropy "
+    "(a blob that is 90% 0x00 runs is padding, not data): hex-pair "
+    "bytes (the m12 protocol) -> per-(doc, byte) gaps-and-islands "
+    "run groups (pos - row_number, the t14 idiom on byte streams) "
+    "-> run-length rollup.  All integers end to end.  The 4096 cap "
+    "mirrors m13's fixture bound.  Scale: runs partition by "
+    "(doc, byte) — embarrassingly parallel; at 100 TB the same "
+    "rollup rides mapInPandas over raw bytes, one pass",
+)
+def m14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    media = to_media_table(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    b = media.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.expr(
+                "CASE WHEN n_bytes >= 1 THEN "
+                "transform(sequence(1, least(int(n_bytes), 4096)),"
+                " i -> substring(hex(payload), 2*i - 1, 2)) "
+                "ELSE array() END"
+            )
+        ).alias("pos0", "byte_hex"),
+    ).select("doc_id", "source", "byte_hex", F.col("pos0").alias("pos"))
+    runs = b.select(
+        "doc_id",
+        "source",
+        "byte_hex",
+        (
+            F.col("pos")
+            - F.row_number().over(
+                Window.partitionBy("doc_id", "byte_hex").orderBy("pos")
+            )
+        ).alias("grp"),
+    )
+    rl = runs.groupBy("doc_id", "source", "byte_hex", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    return (
+        rl.groupBy("source")
+        .agg(
+            F.max("len").cast("long").alias("max_run"),
+            F.sum(F.when(F.col("len") >= 4, 1).otherwise(0))
+            .cast("long")
+            .alias("n_runs_ge4"),
+            F.countDistinct(
+                F.when(F.col("len") >= 4, F.col("doc_id"))
+            )
+            .cast("long")
+            .alias("n_docs_ge4"),
+        )
+        .orderBy("source")
+    )
+
+
 QUERIES = list(_L)
