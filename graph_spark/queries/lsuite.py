@@ -8228,6 +8228,125 @@ def l125(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_l(
+    "l126_unimax_allocation",
+    """WITH sup AS (SELECT lang || '/' || source AS corpus,
+                    sum(len(list_filter(string_split(text,' '),
+                                        x -> x <> '')))::BIGINT AS s
+             FROM documents GROUP BY 1),
+       tot AS (SELECT sum(s)::BIGINT AS t, count(*)::BIGINT AS nc
+               FROM sup),
+       caps AS (SELECT corpus, s, 3 * s AS cap,
+                       row_number() OVER (ORDER BY 3 * s, corpus) AS k
+                FROM sup),
+       pre AS (SELECT c.*, t.t, t.nc,
+                      COALESCE(sum(c.cap) OVER (ORDER BY c.k
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0)::BIGINT AS p_before
+               FROM caps c CROSS JOIN tot t),
+       flag AS (SELECT *,
+                       CASE WHEN cap * (nc - k + 1) <= (2 * t - p_before)
+                            THEN k ELSE 0 END AS kflag
+                FROM pre),
+       kstar AS (SELECT max(kflag)::BIGINT AS ks FROM flag),
+       pk AS (SELECT COALESCE(sum(cap), 0)::BIGINT AS pks
+              FROM flag, kstar WHERE k <= ks)
+       SELECT f.corpus, f.s, f.cap, f.k,
+              CASE WHEN f.k <= kstar.ks THEN f.cap
+                   ELSE CAST(floor((2.0 * f.t - pk.pks)
+                                   / (f.nc - kstar.ks)) AS BIGINT)
+              END AS alloc,
+              round(CASE WHEN f.k <= kstar.ks THEN f.cap
+                         ELSE CAST(floor((2.0 * f.t - pk.pks)
+                                         / (f.nc - kstar.ks)) AS BIGINT)
+                    END / (f.s * 1.0), 4) AS epochs
+       FROM flag f, kstar, pk
+       ORDER BY f.k""",
+    note="UniMax-style training-budget allocation (the published "
+    "water-filling that replaced temperature mixing for mT5-class "
+    "multilingual training — l79's temperature is the heuristic, "
+    "THIS is the constrained-optimal form): budget = 2x total "
+    "tokens, per-corpus cap = 3 epochs; corpora ascending by cap "
+    "take their cap while cap <= remaining/(remaining corpora), the "
+    "rest split the leftover equally — on this fixture 49 small "
+    "corpora cap at 3.0 epochs and the large English shards fall to "
+    "0.79, which is exactly the oversampling-protection the method "
+    "exists for.  Exact protocol: supplies/caps/prefix sums are "
+    "BIGINTs, the capped-prefix boundary k* is an integer window "
+    "argmax, the equal share ONE floored division.  Shape: one "
+    "token-count groupBy, then windows over the |corpora|-row frame "
+    "— the allocation itself is collapse-then-compute",
+)
+def l126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).table("documents")
+    sup = (
+        docs.select(
+            F.concat_ws("/", "lang", "source").alias("corpus"),
+            F.size(
+                F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+            ).alias("nt"),
+        )
+        .groupBy("corpus")
+        .agg(F.sum("nt").cast("long").alias("s"))
+    )
+    tot = sup.agg(
+        F.sum("s").cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("nc"),
+    )
+    caps = sup.select(
+        "corpus",
+        "s",
+        (3 * F.col("s")).alias("cap"),
+        F.row_number()
+        .over(Window.orderBy(3 * F.col("s"), "corpus"))
+        .alias("k"),
+    )
+    wk = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    pre = caps.crossJoin(F.broadcast(tot)).select(
+        "corpus",
+        "s",
+        "cap",
+        "k",
+        "t",
+        "nc",
+        F.coalesce(F.sum("cap").over(wk), F.lit(0))
+        .cast("long")
+        .alias("p_before"),
+    )
+    flag = pre.select(
+        "*",
+        F.when(
+            F.col("cap") * (F.col("nc") - F.col("k") + 1)
+            <= (2 * F.col("t") - F.col("p_before")),
+            F.col("k"),
+        )
+        .otherwise(0)
+        .alias("kflag"),
+    )
+    kstar = flag.agg(F.max("kflag").cast("long").alias("ks"))
+    pk = (
+        flag.crossJoin(F.broadcast(kstar))
+        .filter(F.col("k") <= F.col("ks"))
+        .agg(F.coalesce(F.sum("cap"), F.lit(0)).cast("long").alias("pks"))
+    )
+    j = flag.crossJoin(F.broadcast(kstar)).crossJoin(F.broadcast(pk))
+    share = F.floor(
+        (F.lit(2.0) * F.col("t") - F.col("pks")) / (F.col("nc") - F.col("ks"))
+    ).cast("long")
+    alloc = F.when(F.col("k") <= F.col("ks"), F.col("cap")).otherwise(share)
+    return (
+        j.select(
+            "corpus",
+            "s",
+            "cap",
+            "k",
+            alloc.alias("alloc"),
+            F.round(alloc / (F.col("s") * F.lit(1.0)), 4).alias("epochs"),
+        )
+        .orderBy("k")
+    )
+
+
+@_l(
     "m13_byte_entropy",
     """WITH media AS (SELECT doc_id, source, encode(text) AS payload,
                            octet_length(encode(text))::BIGINT AS n_bytes

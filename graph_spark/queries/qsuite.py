@@ -12498,6 +12498,89 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q166_inequality_panel",
+    """WITH v AS (SELECT c_mktsegment AS seg,
+                  CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) + 100000 AS x
+           FROM customer),
+       st AS (SELECT seg, count(*)::BIGINT AS n, sum(x)::BIGINT AS s
+              FROM v GROUP BY 1),
+       terms AS (
+         SELECT v.seg,
+                CAST(floor((v.x / (st.s * 1.0 / st.n))
+                           * ln(v.x / (st.s * 1.0 / st.n))
+                           * 1000000.0 + 0.5) AS BIGINT) AS t6,
+                CAST(floor(ln(v.x * 1.0) * 1000000.0 + 0.5) AS BIGINT)
+                  AS l6
+         FROM v JOIN st ON st.seg = v.seg),
+       agg AS (SELECT seg, sum(t6)::BIGINT AS stt, sum(l6)::BIGINT AS sl,
+                      count(*)::BIGINT AS n
+               FROM terms GROUP BY 1)
+       SELECT a.seg, a.n,
+              round((a.stt / 1e6) / a.n, 6) AS theil_t,
+              round(1.0 - exp(a.sl / 1e6 / a.n) / (st.s * 1.0 / st.n), 6)
+                AS atkinson_1
+       FROM agg a JOIN st ON st.seg = a.seg
+       ORDER BY a.seg""",
+    note="inequality panel per segment: Theil T index (the additively "
+    "DECOMPOSABLE inequality measure — the one you can split into "
+    "within/between-group parts, which Gini cannot) and the Atkinson "
+    "index at aversion 1 (1 - geometric/arithmetic mean ratio), over "
+    "balances shifted positive by the fixture's 1000.00 floor — "
+    "completing the concentration family beside q102 Lorenz/Gini "
+    "and q110 HHI.  Exact protocol: per-row (x/mu)ln(x/mu) and ln(x) "
+    "terms floored x1e6 into BIGINTs (the mean mu = s/n is one "
+    "division of exact integers, textually identical inside each "
+    "term), so both cross-row sums are order-free; Theil is a "
+    "closing division and Atkinson one exp.  Shape: two stacked "
+    "aggregates with a broadcast stats join between — one data-sized "
+    "shuffle at any corpus size",
+)
+def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = Catalog(spark, sf_dir).table("customer")
+    v = cust.select(
+        F.col("c_mktsegment").alias("seg"),
+        (
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+            + F.lit(100000)
+        ).alias("x"),
+    )
+    st = v.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+    )
+    mu = F.col("s") * F.lit(1.0) / F.col("n")
+    terms = v.join(F.broadcast(st), "seg").select(
+        "seg",
+        F.floor(
+            (F.col("x") / mu) * F.log(F.col("x") / mu) * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("t6"),
+        F.floor(F.log(F.col("x") * F.lit(1.0)) * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("l6"),
+    )
+    agg = terms.groupBy("seg").agg(
+        F.sum("t6").cast("long").alias("stt"),
+        F.sum("l6").cast("long").alias("sl"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    out = agg.join(F.broadcast(st.select("seg", "s", F.col("n").alias("n2"))), "seg")
+    return out.select(
+        "seg",
+        "n",
+        F.round((F.col("stt") / F.lit(1e6)) / F.col("n"), 6).alias("theil_t"),
+        F.round(
+            F.lit(1.0)
+            - F.exp(F.col("sl") / F.lit(1e6) / F.col("n"))
+            / (F.col("s") * F.lit(1.0) / F.col("n2")),
+            6,
+        ).alias("atkinson_1"),
+    ).orderBy("seg")
+
+
 def _daily_order_counts(
     spark: SparkSession, sf_dir: str, lo: str, hi_excl: str, last_day: str
 ) -> DataFrame:
