@@ -12581,6 +12581,131 @@ def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("seg")
 
 
+@_q(
+    "q167_blocking_audit",
+    """WITH base AS (SELECT c_custkey AS k, c_nationkey AS nat,
+                          c_acctbal AS bal FROM customer),
+       dups AS (SELECT k + 10000000 AS k, nat,
+                       bal + ((('0x'||substr(md5('d'||k), 1, 15))::BIGINT
+                               % 601) - 300) / 100.0 AS bal
+                FROM base),
+       uni AS (SELECT k, nat, CAST(floor(bal / 5.0) AS BIGINT) AS band
+               FROM base
+               UNION ALL
+               SELECT k, nat, CAST(floor(bal / 5.0) AS BIGINT) AS band
+               FROM dups),
+       blocks AS (SELECT nat, band, count(*)::BIGINT AS m FROM uni
+                  GROUP BY 1, 2),
+       cand AS (SELECT sum(m * (m - 1) / 2)::BIGINT AS c,
+                       count(*)::BIGINT AS n_blocks FROM blocks),
+       n AS (SELECT count(*)::BIGINT AS nr FROM uni),
+       pc AS (SELECT sum(CASE WHEN b.nat = d.nat AND
+                                   CAST(floor(b.bal / 5.0) AS BIGINT)
+                                   = CAST(floor(d.bal / 5.0) AS BIGINT)
+                              THEN 1 ELSE 0 END)::BIGINT AS hit,
+                     count(*)::BIGINT AS planted
+              FROM base b JOIN dups d ON d.k = b.k + 10000000)
+       SELECT n.nr AS n_records, cand.n_blocks, cand.c AS candidates,
+              (n.nr * (n.nr - 1) / 2)::BIGINT AS all_pairs,
+              round(1.0 - cand.c / (n.nr * (n.nr - 1) / 2.0), 6)
+                AS reduction_ratio,
+              pc.planted, pc.hit,
+              round(pc.hit / (pc.planted * 1.0), 6) AS pair_completeness
+       FROM n, cand, pc""",
+    note="record-linkage BLOCKING-KEY audit — the eval step q118's "
+    "matcher depends on (a bad blocking key either floods the "
+    "matcher or loses true pairs before it runs): planted duplicates "
+    "= every customer re-keyed with an md5-jittered +/-3.00 balance, "
+    "blocking key = (nation, 5.00-balance band); reduction ratio "
+    "1 - |candidates|/|all pairs| comes from per-block C(m,2) "
+    "ARITHMETIC (candidate pairs are counted, never materialized), "
+    "pair completeness from a direct planted-pair key join.  On "
+    "this fixture RR 0.9997 at PC 0.70 — the jitter pushes ~30% of "
+    "dups across a band boundary, which is exactly the trade-off "
+    "the audit exists to expose (fix: adjacent-band OR multi-pass "
+    "blocking).  All integers + closing divisions.  Shape: two "
+    "groupBys and a key equi-join; nothing quadratic anywhere",
+)
+def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = Catalog(spark, sf_dir).table("customer")
+    base = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    jit = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("d"), F.col("k").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 601
+            - 300
+        )
+        / F.lit(100.0)
+    )
+    dups = base.select(
+        (F.col("k") + 10000000).alias("k"),
+        "nat",
+        (F.col("bal") + jit).alias("bal"),
+    )
+    band = F.floor(F.col("bal") / F.lit(5.0)).cast("long")
+    uni = base.select("k", "nat", band.alias("band")).unionByName(
+        dups.select("k", "nat", band.alias("band"))
+    )
+    blocks = uni.groupBy("nat", "band").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    cand = blocks.agg(
+        F.sum(F.col("m") * (F.col("m") - 1) / 2).cast("long").alias("c"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+    )
+    n = uni.agg(F.count(F.lit(1)).cast("long").alias("nr"))
+    b = base.select(
+        F.col("k"), F.col("nat").alias("natb"), band.alias("bandb")
+    )
+    d = dups.select(
+        (F.col("k") - 10000000).alias("k"),
+        F.col("nat").alias("natd"),
+        band.alias("bandd"),
+    )
+    pc = b.join(d, "k").agg(
+        F.sum(
+            F.when(
+                (F.col("natb") == F.col("natd"))
+                & (F.col("bandb") == F.col("bandd")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("hit"),
+        F.count(F.lit(1)).cast("long").alias("planted"),
+    )
+    j = n.crossJoin(F.broadcast(cand)).crossJoin(F.broadcast(pc))
+    all_pairs = (F.col("nr") * (F.col("nr") - 1) / 2).cast("long")
+    return j.select(
+        F.col("nr").alias("n_records"),
+        "n_blocks",
+        F.col("c").alias("candidates"),
+        all_pairs.alias("all_pairs"),
+        F.round(
+            F.lit(1.0)
+            - F.col("c") / (F.col("nr") * (F.col("nr") - 1) / F.lit(2.0)),
+            6,
+        ).alias("reduction_ratio"),
+        "planted",
+        "hit",
+        F.round(F.col("hit") / (F.col("planted") * F.lit(1.0)), 6).alias(
+            "pair_completeness"
+        ),
+    )
+
+
 def _daily_order_counts(
     spark: SparkSession, sf_dir: str, lo: str, hi_excl: str, last_day: str
 ) -> DataFrame:
