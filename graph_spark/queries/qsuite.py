@@ -12706,6 +12706,116 @@ def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "q168_shapley_attribution",
+    """WITH u AS (SELECT user_id, date_trunc('week', ts) AS wk,
+                  max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)*4
+                + max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)*2
+                + max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                    AS sid,
+                  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS conv
+           FROM events GROUP BY 1, 2),
+       sub AS (SELECT sid, count(*)::BIGINT AS n, sum(conv)::BIGINT AS k
+               FROM u GROUP BY 1),
+       piv AS (SELECT
+         coalesce(max(CASE WHEN sid = 0 THEN k / (n * 1.0) END), 0.0) AS r0,
+         coalesce(max(CASE WHEN sid = 1 THEN k / (n * 1.0) END), 0.0) AS r1,
+         coalesce(max(CASE WHEN sid = 2 THEN k / (n * 1.0) END), 0.0) AS r2,
+         coalesce(max(CASE WHEN sid = 3 THEN k / (n * 1.0) END), 0.0) AS r3,
+         coalesce(max(CASE WHEN sid = 4 THEN k / (n * 1.0) END), 0.0) AS r4,
+         coalesce(max(CASE WHEN sid = 5 THEN k / (n * 1.0) END), 0.0) AS r5,
+         coalesce(max(CASE WHEN sid = 6 THEN k / (n * 1.0) END), 0.0) AS r6,
+         coalesce(max(CASE WHEN sid = 7 THEN k / (n * 1.0) END), 0.0) AS r7,
+         sum(n)::BIGINT AS n_journeys
+         FROM sub)
+       SELECT n_journeys,
+         round((r4-r0)/3.0 + (r6-r2)/6.0 + (r5-r1)/6.0 + (r7-r3)/3.0, 6)
+           AS phi_view,
+         round((r2-r0)/3.0 + (r6-r4)/6.0 + (r3-r1)/6.0 + (r7-r5)/3.0, 6)
+           AS phi_click,
+         round((r1-r0)/3.0 + (r5-r4)/6.0 + (r3-r2)/6.0 + (r7-r6)/3.0, 6)
+           AS phi_signup,
+         round(r7 - r0, 6) AS efficiency_check,
+         round(r7, 6) AS full_rate, round(r0, 6) AS none_rate
+       FROM piv""",
+    note="Shapley-value channel attribution (the game-theoretic "
+    "data-driven model behind GA4-style attribution — q85/q121 are "
+    "the positional heuristics, THIS divides credit axiomatically): "
+    "journeys = (user, week), channels = view/click/signup touches, "
+    "conversion = purchase; coalition value v(S) = observed "
+    "conversion rate of journeys with EXACT touch-set S (the "
+    "simplified-Shapley convention, absent subsets valued 0 — "
+    "stated, not hidden), and each channel's phi is the closed-form "
+    "3-player Shapley sum with weights 1/3, 1/6, 1/3 over its six "
+    "marginal contributions.  All v's are single divisions of exact "
+    "BIGINTs pivoted by max(CASE); the phis are fixed expressions of "
+    "those eight doubles, and the efficiency identity "
+    "sum(phi) = v(111) - v(empty) ships as an output column so the "
+    "oracle CHECKS the axioms rather than trusting them.  Shape: "
+    "one journey groupBy, one 8-row rollup — any corpus size",
+)
+def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+
+    def touch(t):
+        return F.max(F.when(F.col("event_type") == t, 1).otherwise(0))
+
+    u = ev.groupBy(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).agg(
+        (touch("view") * 4 + touch("click") * 2 + touch("signup")).alias(
+            "sid"
+        ),
+        touch("purchase").alias("conv"),
+    )
+    sub = u.groupBy("sid").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("k"),
+    )
+
+    def r(i):
+        return F.coalesce(
+            F.max(
+                F.when(F.col("sid") == i, F.col("k") / (F.col("n") * F.lit(1.0)))
+            ),
+            F.lit(0.0),
+        )
+
+    piv = sub.agg(
+        *[r(i).alias(f"r{i}") for i in range(8)],
+        F.sum("n").cast("long").alias("n_journeys"),
+    )
+    c = {i: F.col(f"r{i}") for i in range(8)}
+    phi_view = (
+        (c[4] - c[0]) / F.lit(3.0)
+        + (c[6] - c[2]) / F.lit(6.0)
+        + (c[5] - c[1]) / F.lit(6.0)
+        + (c[7] - c[3]) / F.lit(3.0)
+    )
+    phi_click = (
+        (c[2] - c[0]) / F.lit(3.0)
+        + (c[6] - c[4]) / F.lit(6.0)
+        + (c[3] - c[1]) / F.lit(6.0)
+        + (c[7] - c[5]) / F.lit(3.0)
+    )
+    phi_signup = (
+        (c[1] - c[0]) / F.lit(3.0)
+        + (c[5] - c[4]) / F.lit(6.0)
+        + (c[3] - c[2]) / F.lit(6.0)
+        + (c[7] - c[6]) / F.lit(3.0)
+    )
+    return piv.select(
+        "n_journeys",
+        F.round(phi_view, 6).alias("phi_view"),
+        F.round(phi_click, 6).alias("phi_click"),
+        F.round(phi_signup, 6).alias("phi_signup"),
+        F.round(c[7] - c[0], 6).alias("efficiency_check"),
+        F.round(c[7], 6).alias("full_rate"),
+        F.round(c[0], 6).alias("none_rate"),
+    )
+
+
 def _daily_order_counts(
     spark: SparkSession, sf_dir: str, lo: str, hi_excl: str, last_day: str
 ) -> DataFrame:
