@@ -93,6 +93,17 @@ HAZARD_PRIORITY = [
     "q164_eb_shrinkage",
     "t92_seasonal_strength",
     "s26_state_size_audit",
+    # late round-6b hazards: pairwise tau over the collapsed frame
+    # (q165), x1e6 log-term sums (q166), planted-jitter band edges
+    # (q167), 8-way rate pivot (q168), UniMax prefix boundary (l126),
+    # Chao1 singleton counts (l125), per-(doc,byte) islands (m14)
+    "q165_kendall_tau_b",
+    "q166_inequality_panel",
+    "q167_blocking_audit",
+    "q168_shapley_attribution",
+    "l125_chao1_vocab",
+    "l126_unimax_allocation",
+    "m14_byte_run_lengths",
 ]
 
 
