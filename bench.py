@@ -18,6 +18,7 @@ import json
 import os
 import sys
 import time
+from pathlib import Path
 
 # The starred subset measured in BASELINE.md.
 BENCH_QUERIES = [
@@ -763,6 +764,17 @@ def main() -> None:
         payload["distributed_graph_xl"] = bench_distributed_graph_xl(spark, sf_dir)
 
     print(json.dumps(payload))
+
+    # The driver's tail capture head-truncates the full payload once the
+    # evidence blocks grow (r6: distributed_text/span_dedup fell out of
+    # BENCH_r06.json).  Persist the COMPLETE payload to a committed file
+    # so every evidence block stays machine-checkable per round.
+    try:
+        Path(__file__).resolve().parent.joinpath("BENCH_FULL.json").write_text(
+            json.dumps(payload, indent=1) + "\n"
+        )
+    except OSError as e:  # bench output must never die on a readonly fs
+        print(f"# BENCH_FULL.json not written: {e}", file=sys.stderr)
 
     # The driver records only the TAIL of bench output, and the evidence
     # blocks above can push the full payload's head (suite_total,

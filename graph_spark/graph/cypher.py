@@ -732,6 +732,15 @@ def _split_union(query: str) -> tuple[list[str], bool]:
                 elif tok in ")}]":
                     depth -= 1
                 elif depth == 0:
+                    # `e.union` (property access) and `... AS union`
+                    # (alias) are identifiers, not set operators: skip
+                    # any match immediately preceded by a dot or by the
+                    # keyword AS.
+                    before = query[: offset + m.start()].rstrip()
+                    if before.endswith("."):
+                        continue
+                    if re.search(r"\bAS$", before, re.IGNORECASE):
+                        continue
                     cuts.append(
                         (
                             offset + m.start(),

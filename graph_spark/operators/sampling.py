@@ -115,6 +115,7 @@ def weighted_reservoir_sample(
     weight_col: str,
     k: int,
     by: tuple = (),
+    validate_unique: bool = False,
 ) -> DataFrame:
     """A-Res weighted reservoir sampling (Efraimidis-Spirakis): each
     row gets priority ``-ln(u)/w`` with a deterministic uniform ``u``
@@ -129,9 +130,28 @@ def weighted_reservoir_sample(
     its own distributed form.  Weights must be positive.  The q161
     declared query pins the selection against the DuckDB oracle.
 
+    ``key_col`` MUST be unique within each ``by`` group: both the
+    uniform draw and the ordering tie-break derive from it, so
+    duplicate keys share an identical ``(pri, key)`` tuple and the
+    boundary pick at rank ``k`` would be partition-layout-dependent.
+    Pass ``validate_unique=True`` to spend one extra map-side-combined
+    aggregation job raising on duplicates instead of sampling
+    nondeterministically (kept opt-in: the check doubles the scan in
+    the hot path, and callers sampling a keyed table already know).
+
     Returns the input columns plus ``pri`` (the raw selection
     priority) and ``sample_rank`` (1..k within the reservoir).
     """
+    dup = validate_unique and (
+        df.groupBy(*by, key_col).count().filter(F.col("count") > 1).limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            f"weighted_reservoir_sample: key_col {key_col!r} has duplicate "
+            "values within a group; the md5-derived (pri, key) ordering "
+            "tuple collides and the rank-k boundary pick would be "
+            "nondeterministic. Deduplicate or pass a unique key."
+        )
     u = (
         _md5_long(F.col(key_col).cast("string")) % F.lit(1000000000000) + 1
     ) / F.lit(1000000000000.0)

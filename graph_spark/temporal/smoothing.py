@@ -33,6 +33,12 @@ def holt_winters(
     integer series), ``b = 0``, ``s_i = x_i - l``.  Keys with fewer
     than ``season + 1`` observations are dropped (nothing to fold).
 
+    ``order_cols`` MUST be a total order within each key: the fold is
+    a pandas ``sort_values`` per Arrow batch group, so tied rows would
+    fold in batch-arrival order and the result would be silently
+    layout-sensitive (t90's spine uses a dense per-key ``rn``; do the
+    same, or append a unique tie-break column).
+
     Returns one row per key: ``*key_cols, n_obs, level, trend,
     s_next, forecast_1`` where ``forecast_1 = level + trend + s_next``
     (the one-step-ahead seasonal forecast).

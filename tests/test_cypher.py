@@ -1286,6 +1286,31 @@ def test_union_mixed_forms_refused(tiny):
         )
 
 
+def test_union_as_identifier_not_split(tiny):
+    """`AS union` (alias) and `x.union` (property access) are
+    identifiers, not set operators — the splitter must leave them."""
+    from graph_spark.graph.cypher import _split_union
+
+    segs, _ = _split_union(
+        "MATCH (x)-[e:E]->(y) RETURN x AS union ORDER BY y"
+    )
+    assert len(segs) == 1
+    segs, _ = _split_union("MATCH (x)-[e:E]->(y) RETURN e.union AS u")
+    assert len(segs) == 1
+    # a real set operator still splits
+    segs, all_mode = _split_union(
+        "MATCH (x) RETURN x UNION ALL MATCH (y) RETURN y AS x"
+    )
+    assert len(segs) == 2 and all_mode
+    # end-to-end: the alias form runs
+    got = cypher(
+        tiny,
+        "MATCH (x)-[e:E]->(y) WHERE x.node = 'a' "
+        "RETURN x AS union ORDER BY y LIMIT 1",
+    ).collect()
+    assert [r.union for r in got] == ["a"]
+
+
 def test_union_keyword_in_string_literal_not_split(tiny):
     got = cypher(
         tiny,

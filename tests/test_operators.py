@@ -834,9 +834,12 @@ def test_l123_rouge_lcs_matches_bruteforce_dp(spark):
         r.da: r.lcs
         for r in by_name()["l123_rouge_l"].build(spark, SF_SMOKE).collect()
     }
+    from graph_spark.catalog import Catalog
+
     docs = {
         r.doc_id: [w for w in r.text.lower().split(" ") if w]
-        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        for r in Catalog(spark, SF_SMOKE)
+        .table("documents")
         .filter("doc_id < 20")
         .select("doc_id", "text")
         .collect()
