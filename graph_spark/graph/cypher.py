@@ -52,6 +52,22 @@ Supported:
     a multi-source semi-naive BFS seeded from the (filter-pushed)
     source set; `length(p)` / `p.len` is the hop count.  Combine with
     further MATCH/OPTIONAL MATCH blocks through shared endpoints.
+    Undirected form `-[:TYPE*]-` walks the symmetric closure (distinct
+    union of both orientations).  `nodes(p)` binds the node array of
+    ONE representative path, pinned deterministically to the
+    lexicographically smallest shortest path (the BFS then carries a
+    per-pair min-path array); `relationships(p)` derives the
+    consecutive-pair list from it, rendered 'src->dst' in traversal
+    order (a relationship here is a distinct-pair rollup, so the pair
+    is its identity).  Not available on allShortestPaths (it counts
+    instead of enumerating) or the weighted form (min-cost only).
+  - `p = (a)-[:TYPE*min..max]->(b)` — the GENERAL named-path binding:
+    one row PER PATH with openCypher trail semantics (no relationship
+    repeated within a path); binds `nodes(p)` / `relationships(p)` /
+    `length(p)`.  Path enumeration is inherently output-sized (deg^k);
+    anchor or label-restrict the source at scale.  To carry a path
+    through WITH, project the parts (`WITH nodes(p) AS ns, ...`) —
+    the bare path variable itself is not projectable.
   - `p = allShortestPaths((a)-[:TYPE*min..max]->(b))`: the counting
     form — BFS carrying per-(seed, node) path counts (Brandes' sigma
     forward pass); binds `length(p)` / `p.len` and `p.cnt` (number of
@@ -94,8 +110,9 @@ Supported:
   - undirected patterns `-[e:T]-`: each relationship matches in BOTH
     orientations (openCypher semantics) — the leg is the union of the
     two orientation projections with self-loops contributed once; in
-    var-length form the walk uses the symmetric closure.  shortestPath
-    stays directed (walk :TRADE_SYM for undirected distances).
+    var-length form the walk uses the symmetric closure, and the
+    shortestPath / allShortestPaths / weighted-shortestPath lowerings
+    compose the same closure (no pre-built symmetric view needed).
   - Cypher string operators `STARTS WITH` / `ENDS WITH` / `CONTAINS`,
     rewritten quote-aware to the Spark `startswith`/`endswith`/
     `contains` functions; operands may be property refs, literals, or
@@ -115,8 +132,9 @@ Supported:
 
 Not supported (raise ValueError): more than one RETURN clause,
 CREATE/MERGE/DELETE (this is an analytical engine — writes go through
-the sink API), undirected shortestPath (query the symmetric
-PropertyGraph / :TRADE_SYM instead).
+the sink API), nodes()/relationships() on allShortestPaths or the
+weighted shortestPath form (counting/min-cost lowerings carry no
+paths — use the unweighted shortestPath or a general named path).
 
 Scale shape: each edge pattern is one equi-join of the (distinct-pair
 rollup) edge table; labels and property predicates are pushed to the
@@ -920,7 +938,9 @@ def _node_filter(cg: CypherGraph, nd: _Node, frame: DataFrame, col: str) -> Data
     return frame
 
 
-def _shortest_frame(cg: CypherGraph, pvar: str, triples) -> tuple[DataFrame, set, str]:
+def _shortest_frame(
+    cg: CypherGraph, pvar: str, triples, want_nodes: bool = False
+) -> tuple[DataFrame, set, str]:
     """shortestPath((a)-[:TYPE*min..max]->(b)) as a multi-source BFS:
     seeds = vertices passing a's label/{node} filters (pushed BEFORE
     the walk, so an anchored source explores one frontier, not the
@@ -929,56 +949,106 @@ def _shortest_frame(cg: CypherGraph, pvar: str, triples) -> tuple[DataFrame, set
     shortest-path property; binds columns a, b and pvar__len (reach
     `length(p)` / `p.len` in expressions).  Per level: one equi-join +
     distinct + anti-join, the g03 BFS kernel shape; lineage truncated
-    per level so 6 levels stay 6 joins."""
+    per level so 6 levels stay 6 joins.
+
+    An undirected pattern walks the symmetric closure (distinct union
+    of both orientations — the g132 leg convention, self-loops
+    contributed once), so `-[:T*]-` distances need no pre-built
+    symmetric view.
+
+    With ``want_nodes`` (the query references ``nodes(p)`` /
+    ``relationships(p)``) each frontier row also carries ONE
+    representative path as a node array, pinned deterministically to
+    the LEXICOGRAPHICALLY SMALLEST shortest path: per level the
+    expansion takes ``min(path || [next])`` per (a, b) pair — and
+    because the global lex-min path's every prefix is itself the
+    lex-min shortest path to its endpoint (a smaller prefix would
+    splice into a smaller path), the greedy per-level min IS the
+    global minimum, independent of partitioning.  The frontier stays
+    one row per pair; the only extra cost is a bounded array column
+    and a map-side-combinable min in place of the distinct."""
     if len(triples) != 1:
         raise ValueError(
             "cypher: shortestPath takes exactly one (a)-[..]->(b) pattern"
         )
     left, edge, right = triples[0]
     if edge.props:
-        return _weighted_shortest_frame(cg, pvar, left, edge, right)
-    a, b = left.var, right.var
-    if edge.undirected:
-        raise ValueError(
-            "cypher: undirected shortestPath is not supported — walk a "
-            "symmetric relationship (e.g. :TRADE_SYM) instead"
+        return _weighted_shortest_frame(
+            cg, pvar, left, edge, right, want_nodes=want_nodes
         )
+    a, b = left.var, right.var
     if a == b:
         raise ValueError("cypher: shortestPath endpoints must be distinct variables")
     edf = cg.edges_for(edge.etype).select("src", "dst")
     s, d = ("dst", "src") if edge.reverse else ("src", "dst")
     base = edf.select(F.col(s).alias("__u"), F.col(d).alias("__v"))
+    if edge.undirected:
+        # symmetric closure, self-loops dropped (the es-view convention).
+        # BFS trail semantics then need one more exclusion below: the
+        # level-2 seed backtrack a-x-a reuses the SAME undirected
+        # relationship, so a==b rows are filtered out — every other BFS
+        # path is node-distinct, hence relationship-distinct.
+        base = (
+            base.unionByName(
+                edf.select(F.col(d).alias("__u"), F.col(s).alias("__v"))
+            )
+            .filter(F.col("__u") != F.col("__v"))
+            .distinct()
+        )
     # seed from the edge table's own sources (covers rel_types whose
     # nodes aren't in graph.vertices, e.g. the nation trade graphs;
     # a zero-out-degree source has no >=1-hop path anyway)
     seeds = base.select(F.col("__u").alias(a)).distinct()
     seeds = _node_filter(cg, left, seeds, a)
     plen = f"{pvar}__len"
+    pnodes = f"{pvar}__nodes"
     frontier = (
         seeds.join(base, F.col(a) == F.col("__u"))
         .select(a, F.col("__v").alias(b))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    if want_nodes:
+        frontier = frontier.withColumn(pnodes, F.array(F.col(a), F.col(b)))
+    frontier = frontier.localCheckpoint(eager=True)
     acc = frontier.withColumn(plen, F.lit(1))
     for level in range(2, edge.max_len + 1):
-        frontier = (
-            frontier.join(base, F.col(b) == F.col("__u"))
-            .select(a, F.col("__v").alias(b))
-            .distinct()
-            .join(acc.select(a, b), [a, b], "left_anti")
-            .localCheckpoint(eager=True)
-        )
+        if want_nodes:
+            frontier = (
+                frontier.join(base, F.col(b) == F.col("__u"))
+                .select(
+                    F.col(a),
+                    F.col("__v").alias("__b2"),
+                    F.concat(F.col(pnodes), F.array(F.col("__v"))).alias(pnodes),
+                )
+                .groupBy(a, "__b2")
+                .agg(F.min(pnodes).alias(pnodes))
+                .withColumnRenamed("__b2", b)
+                .select(a, b, pnodes)
+                .join(acc.select(a, b), [a, b], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+        else:
+            frontier = (
+                frontier.join(base, F.col(b) == F.col("__u"))
+                .select(a, F.col("__v").alias(b))
+                .distinct()
+                .join(acc.select(a, b), [a, b], "left_anti")
+                .localCheckpoint(eager=True)
+            )
         if not frontier.take(1):
             break
         acc = acc.unionByName(frontier.withColumn(plen, F.lit(level)))
+    if edge.undirected:
+        acc = acc.filter(F.col(a) != F.col(b))
     out = _node_filter(cg, right, acc, b)
     if edge.min_len > 1:
         out = out.filter(F.col(plen) >= edge.min_len)
     return out, {a, b}, pvar
 
 
-def _all_shortest_frame(cg: CypherGraph, pvar: str, triples) -> tuple[DataFrame, set, str]:
+def _all_shortest_frame(
+    cg: CypherGraph, pvar: str, triples, want_nodes: bool = False
+) -> tuple[DataFrame, set, str]:
     """allShortestPaths((a)-[:TYPE*min..max]->(b)): multi-source BFS
     that ALSO COUNTS the shortest paths per (a, b) — Brandes' sigma
     forward pass: the frontier carries per-(seed, node) path counts,
@@ -1002,21 +1072,27 @@ def _all_shortest_frame(cg: CypherGraph, pvar: str, triples) -> tuple[DataFrame,
             "cypher: allShortestPaths does not take a {cost: ..} map "
             "(weighted counting is not supported; use shortestPath)"
         )
-    a, b = left.var, right.var
-    if edge.undirected:
+    if want_nodes:
         raise ValueError(
-            "cypher: undirected allShortestPaths is not supported — walk "
-            "a symmetric relationship (e.g. :TRADE_SYM) instead"
+            "cypher: nodes()/relationships() on an allShortestPaths "
+            "binding is not supported — the lowering COUNTS shortest "
+            "paths per pair (p.cnt) instead of enumerating them; use "
+            "shortestPath for one representative path's nodes"
         )
+    a, b = left.var, right.var
     if a == b:
         raise ValueError("cypher: allShortestPaths endpoints must be distinct")
     edf = cg.edges_for(edge.etype).select("src", "dst")
     s, d = ("dst", "src") if edge.reverse else ("src", "dst")
-    base = (
-        edf.select(F.col(s).alias("__u"), F.col(d).alias("__v"))
-        .filter(F.col("__u") != F.col("__v"))
-        .localCheckpoint(eager=True)
-    )
+    base = edf.select(F.col(s).alias("__u"), F.col(d).alias("__v"))
+    if edge.undirected:
+        # undirected counting walks the DISTINCT symmetric closure
+        # (relationships are distinct-pair rollups, so an unordered
+        # pair is one relationship regardless of listed orientations)
+        base = base.unionByName(
+            edf.select(F.col(d).alias("__u"), F.col(s).alias("__v"))
+        ).distinct()
+    base = base.filter(F.col("__u") != F.col("__v")).localCheckpoint(eager=True)
     seeds = base.select(F.col("__u").alias(a)).distinct()
     seeds = _node_filter(cg, left, seeds, a)
     plen, pcnt = f"{pvar}__len", f"{pvar}__cnt"
@@ -1047,7 +1123,12 @@ def _all_shortest_frame(cg: CypherGraph, pvar: str, triples) -> tuple[DataFrame,
 
 
 def _weighted_shortest_frame(
-    cg: CypherGraph, pvar: str, left: _Node, edge: _Edge, right: _Node
+    cg: CypherGraph,
+    pvar: str,
+    left: _Node,
+    edge: _Edge,
+    right: _Node,
+    want_nodes: bool = False,
 ) -> tuple[DataFrame, set, str]:
     """shortestPath((a {node: lit})-[:TYPE* {cost: 'w'}]->(b)) — the
     WEIGHTED form: min total `w` over paths of at most max_len hops
@@ -1061,11 +1142,16 @@ def _weighted_shortest_frame(
     hop counts are not tracked — `length(p)` is the UNWEIGHTED form.
     The source row itself (cost 0) is dropped: a shortestPath match is
     a ≥1-hop path.  Requires a single anchored source — multi-source
-    weighted SSSP would need one kernel run per seed."""
-    if edge.undirected:
+    weighted SSSP would need one kernel run per seed.  An undirected
+    pattern relaxes over the distinct union of both orientations (each
+    lane traversable either way at its own cost; min relaxation keeps
+    the cheaper direction of a mutual lane)."""
+    if want_nodes:
         raise ValueError(
-            "cypher: undirected weighted shortestPath is not supported — "
-            "walk a symmetric relationship (e.g. :TRADE_SYM) instead"
+            "cypher: nodes()/relationships() on a WEIGHTED shortestPath "
+            "binding is not supported — the Bellman-Ford lowering tracks "
+            "min cost (p.cost), not predecessors; use the unweighted "
+            "form for a representative path's nodes"
         )
     if set(edge.props) != {"cost"} or not isinstance(edge.props["cost"], str):
         raise ValueError(
@@ -1091,6 +1177,10 @@ def _weighted_shortest_frame(
         )
     s, d = ("dst", "src") if edge.reverse else ("src", "dst")
     base = edf.select(F.col(s).alias("src"), F.col(d).alias("dst"), F.col(wcol))
+    if edge.undirected:
+        base = base.unionByName(
+            edf.select(F.col(d).alias("src"), F.col(s).alias("dst"), F.col(wcol))
+        ).distinct()
 
     from .algorithms import shortest_paths_weighted
     from .property_graph import PropertyGraph as _PG
@@ -1114,12 +1204,103 @@ def _weighted_shortest_frame(
     return out, {a, b}, pvar
 
 
-def _rewrite(expr: str, node_vars: set[str], edge_vars: set[str]) -> str:
+_PATH_BIND = re.compile(r"^\s*(?P<pvar>\w+)\s*=\s*(?P<inner>\(.+)$", re.DOTALL)
+
+
+def _path_enum_frame(cg: CypherGraph, pvar: str, triples) -> tuple[DataFrame, set, str]:
+    """General named-path binding `p = (a)-[:T*min..max]->(b)` OUTSIDE
+    shortestPath: one row PER PATH (openCypher), binding a, b,
+    pvar__len and pvar__nodes (the node array in traversal order;
+    `nodes(p)` / `relationships(p)` / `length(p)` resolve onto these).
+    Trail semantics enforced as in openCypher — a relationship is
+    traversed at most once per path — via an array-distinct filter on
+    the consecutive-pair list (unordered pairs when undirected, since
+    one undirected relationship covers both directions).
+
+    Scale shape: unlike the pair-distinct `_varlen_leg` (bounded by
+    |V|²), path ENUMERATION is inherently output-sized — deg^k rows
+    for k hops on a dense graph.  That is what the user asked for by
+    binding the path; the hop bound caps the join-chain depth, label/
+    anchor filters on `a` are pushed below the first join, and each
+    length-k frame is one k-join chain Catalyst plans with no driver
+    loop.  Bind paths on anchored or label-restricted sources at
+    scale."""
+    if len(triples) != 1:
+        raise ValueError(
+            "cypher: a named path binds exactly one (a)-[:T*min..max]->(b) "
+            "pattern (chain further hops in separate MATCH blocks)"
+        )
+    left, edge, right = triples[0]
+    if edge.props:
+        raise ValueError(
+            "cypher: property maps on a named-path pattern are not "
+            "supported (filter e.prop via single-hop MATCH legs instead)"
+        )
+    a, b = left.var, right.var
+    if a == b:
+        raise ValueError("cypher: named-path endpoints must be distinct variables")
+    edf = cg.edges_for(edge.etype).select("src", "dst")
+    s, d = ("dst", "src") if edge.reverse else ("src", "dst")
+    base = edf.select(F.col(s).alias("__u"), F.col(d).alias("__v"))
+    if edge.undirected:
+        base = base.unionByName(
+            edf.select(F.col(d).alias("__u"), F.col(s).alias("__v"))
+        ).distinct()
+    plen, pnodes = f"{pvar}__len", f"{pvar}__nodes"
+    cur = base.select(F.col("__u").alias("__n0"), F.col("__v").alias("__n1"))
+    cur = _node_filter(cg, left, cur, "__n0")
+    out = None
+    for k in range(1, edge.max_len + 1):
+        if k > 1:
+            step = base.select(F.col("__u").alias("__m"), F.col("__v").alias(f"__n{k}"))
+            cur = cur.join(step, F.col(f"__n{k - 1}") == F.col("__m")).drop("__m")
+        if k >= edge.min_len:
+            lvl = cur.select(
+                F.col("__n0").alias(a),
+                F.col(f"__n{k}").alias(b),
+                F.lit(k).cast("int").alias(plen),
+                F.array(*[F.col(f"__n{i}") for i in range(k + 1)]).alias(pnodes),
+            )
+            out = lvl if out is None else out.unionByName(lvl)
+    assert out is not None
+    if edge.undirected:
+        rels = F.expr(
+            f"transform(slice({pnodes}, 1, size({pnodes}) - 1), "
+            f"(x, i) -> concat(least(x, element_at({pnodes}, i + 2)), '--', "
+            f"greatest(x, element_at({pnodes}, i + 2))))"
+        )
+    else:
+        rels = F.expr(_path_rels_sql(pvar))
+    out = out.filter(F.size(F.array_distinct(rels)) == F.col(plen))
+    out = _node_filter(cg, right, out, b)
+    return out, {a, b}, pvar
+
+
+def _path_rels_sql(pv: str) -> str:
+    """`relationships(p)` as a pure expression over the bound node
+    array: consecutive node pairs rendered 'src->dst' in traversal
+    order (relationships here are distinct-pair rollups, so the pair
+    IS the relationship's identity) — array<string>, one element per
+    hop, zero extra joins."""
+    n = f"{pv}__nodes"
+    return (
+        f"transform(slice({n}, 1, size({n}) - 1), "
+        f"(x, i) -> concat(x, '->', element_at({n}, i + 2)))"
+    )
+
+
+def _rewrite(
+    expr: str,
+    node_vars: set[str],
+    edge_vars: set[str],
+    path_vars: set[str] = frozenset(),
+) -> str:
     """Rewrite Cypher references to bound column names: `e.prop` ->
     e__prop for edge vars, `v.node` -> v (a node's only scalar is its
-    id) — everything else (Spark SQL functions, literals) passes
-    through.  Quoted string literals are never rewritten (a literal
-    'a.node' must stay a literal)."""
+    id), `nodes(p)` -> p__nodes and `relationships(p)` -> a transform
+    over p__nodes for path vars — everything else (Spark SQL
+    functions, literals) passes through.  Quoted string literals are
+    never rewritten (a literal 'a.node' must stay a literal)."""
 
     def sub(m):
         var, prop = m.group(1), m.group(2)
@@ -1149,6 +1330,22 @@ def _rewrite(expr: str, node_vars: set[str], edge_vars: set[str]) -> str:
         parts[i] = re.sub(
             r"\blength\s*\(\s*(\w+)\s*\)",
             lambda mm: f"{mm.group(1)}__len" if mm.group(1) in edge_vars else mm.group(0),
+            parts[i],
+        )
+        # nodes(p) -> the bound node-array column; relationships(p) ->
+        # consecutive-pair strings derived from it (no extra state)
+        parts[i] = re.sub(
+            r"\bnodes\s*\(\s*(\w+)\s*\)",
+            lambda mm: f"{mm.group(1)}__nodes"
+            if mm.group(1) in path_vars
+            else mm.group(0),
+            parts[i],
+        )
+        parts[i] = re.sub(
+            r"\brelationships\s*\(\s*(\w+)\s*\)",
+            lambda mm: _path_rels_sql(mm.group(1))
+            if mm.group(1) in path_vars
+            else mm.group(0),
             parts[i],
         )
         parts[i] = _PROP_REF.sub(sub, parts[i])
@@ -1196,7 +1393,18 @@ def cypher(
     anon = [0]
     node_vars: set[str] = set()
     edge_vars: set[str] = set()
+    path_vars: set[str] = set()  # vars binding a <pvar>__nodes array
     labels: dict[str, str] = {}
+
+    def wants_nodes(pv: str) -> bool:
+        """Does the query text reference nodes(pv)/relationships(pv)?
+        Decides whether a shortestPath BFS carries the representative
+        node array (free otherwise)."""
+        return bool(
+            re.search(
+                rf"\b(?:nodes|relationships)\s*\(\s*{re.escape(pv)}\s*\)", query
+            )
+        )
 
     def build_block(triples) -> tuple[DataFrame, set, set]:
         """Chain-join one MATCH block's triples (labels + property maps
@@ -1288,9 +1496,22 @@ def cypher(
                 if sp.group("all").lower() == "allshortestpaths"
                 else _shortest_frame
             )
+            wn = wants_nodes(sp.group("pvar"))
             frame, bn2, pv = builder(
-                cg, sp.group("pvar"), _parse_patterns(sp.group("inner"), anon)
+                cg,
+                sp.group("pvar"),
+                _parse_patterns(sp.group("inner"), anon),
+                want_nodes=wn,
             )
+            if wn:
+                path_vars.add(pv)
+            return frame, bn2, {pv}
+        pm = _PATH_BIND.match(pat_text)
+        if pm:
+            frame, bn2, pv = _path_enum_frame(
+                cg, pm.group("pvar"), _parse_patterns(pm.group("inner"), anon)
+            )
+            path_vars.add(pv)
             return frame, bn2, {pv}
         return build_block(_parse_patterns(pat_text, anon))
 
@@ -1426,7 +1647,7 @@ def cypher(
             flags = []
             for br in branches:
                 if br[0] == "expr":
-                    conds.append(F.expr(_rewrite(br[1], nvars, evars)))
+                    conds.append(F.expr(_rewrite(br[1], nvars, evars, path_vars)))
                     continue
                 _, neg, triples = br
                 sub, shared = shared_keys(triples)
@@ -1450,7 +1671,7 @@ def cypher(
         frame = apply_pattern_preds(frame, preds, nvars, evars)
         if plain:
             sql = " AND ".join(f"({p})" for p in plain)
-            frame = frame.filter(F.expr(_rewrite(sql, nvars, evars)))
+            frame = frame.filter(F.expr(_rewrite(sql, nvars, evars, path_vars)))
         return frame
 
     def project(frame: DataFrame, text: str, nvars: set, evars: set):
@@ -1466,7 +1687,7 @@ def cypher(
             else:
                 raw = item
                 alias = item if re.fullmatch(r"\w+", item) else None
-            sql = _rewrite(raw, nvars, evars)
+            sql = _rewrite(raw, nvars, evars, path_vars)
             if alias is None:
                 alias = re.sub(r"\W+", "_", raw).strip("_").lower() or "expr"
             sel.append((sql, alias, bool(_AGG_RE.search(sql))))
@@ -1538,6 +1759,7 @@ def cypher(
                             " AND ".join(f"({p})" for p in plain),
                             node_vars | bn,
                             edge_vars | be,
+                            path_vars,
                         )
                     )
             out = out.join(ren, cond, "left" if kw == "OPTIONAL MATCH" else "inner")
@@ -1565,7 +1787,7 @@ def cypher(
             out = out.withColumn(
                 var,
                 F.explode(
-                    F.expr(_rewrite(um.group("expr"), node_vars, edge_vars))
+                    F.expr(_rewrite(um.group("expr"), node_vars, edge_vars, path_vars))
                 ),
             )
             node_vars = node_vars | {var}
@@ -1598,7 +1820,7 @@ def cypher(
             om = re.match(r"^(.*?)(\s+(?:ASC|DESC))?\s*$", oi, re.IGNORECASE | re.DOTALL)
             raw = om.group(1).strip()
             direction = (om.group(2) or "").strip().upper()
-            sql = raw if raw in aliases else _rewrite(raw, node_vars, edge_vars)
+            sql = raw if raw in aliases else _rewrite(raw, node_vars, edge_vars, path_vars)
             col = F.expr(sql)
             cols.append(col.desc() if direction == "DESC" else col.asc())
         out = out.orderBy(*cols)

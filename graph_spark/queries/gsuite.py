@@ -7117,4 +7117,126 @@ def g136(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRADE_CTE = """ne AS (
+         SELECT 'n'||c.c_nationkey AS src, 'n'||s.s_nationkey AS dst
+         FROM lineitem l JOIN orders o ON l.l_orderkey=o.o_orderkey
+         JOIN customer c ON o.o_custkey=c.c_custkey
+         JOIN supplier s ON l.l_suppkey=s.s_suppkey
+         GROUP BY 1,2 HAVING count(*) >= 150)"""
+
+
+@_g(
+    "g137_cypher_path_nodes",
+    f"""WITH {_TRADE_CTE},
+       w1 AS (SELECT src AS a, dst AS b, [src, dst] AS path, 1 AS len FROM ne),
+       w2 AS (SELECT w.a, e.dst AS b, list_append(w.path, e.dst) AS path, 2 AS len
+              FROM w1 w JOIN ne e ON e.src = w.b),
+       w3 AS (SELECT w.a, e.dst AS b, list_append(w.path, e.dst) AS path, 3 AS len
+              FROM w2 w JOIN ne e ON e.src = w.b),
+       allw AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2
+                UNION ALL SELECT * FROM w3),
+       sp AS (SELECT a, b, min(len) AS mlen FROM allw GROUP BY 1, 2),
+       best AS (SELECT w.a, w.b, s.mlen, min(w.path) AS via
+                FROM allw w JOIN sp s
+                  ON s.a = w.a AND s.b = w.b AND s.mlen = w.len
+                GROUP BY 1, 2, 3)
+       SELECT a AS src_nation, b AS dst_nation, mlen::INT AS hops, via
+       FROM best ORDER BY 1, 2""",
+    note="Cypher NAMED PATH surface (VERDICT r06 item 2): nodes(p) on "
+    "a shortestPath binding returns the node array of ONE "
+    "representative path, pinned to the LEXICOGRAPHICALLY SMALLEST "
+    "shortest path — the BFS frontier carries a per-(a,b) min-path "
+    "array, and the greedy per-level min IS the global minimum "
+    "because every prefix of the global lex-min path is itself the "
+    "lex-min shortest path to its endpoint (a smaller prefix would "
+    "splice into a smaller path).  Deterministic under any "
+    "partitioning: min() is associative/commutative, so this is a "
+    "tie-hazard protocol the oracle pins independently by FULL walk "
+    "enumeration (3 unrolled levels, min(len) then min(path)) — "
+    "feasible only because the oracle graph is 25 nodes; the Spark "
+    "side never enumerates, its frontier stays one row per pair with "
+    "a bounded array column (the map-side-combinable min replaces "
+    "the distinct).  Scale: same BFS shape as g03/g105 + O(hops) "
+    "array payload",
+)
+def g137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cy(
+        spark,
+        sf_dir,
+        """MATCH p = shortestPath((a:Nation)-[:TRADE*1..3]->(b:Nation))
+           RETURN a AS src_nation, b AS dst_nation, length(p) AS hops,
+                  nodes(p) AS via
+           ORDER BY src_nation, dst_nation""",
+    )
+
+
+@_g(
+    "g138_cypher_undirected_sp",
+    f"""WITH RECURSIVE {_TRADE_SYM_CTES},
+       r(a, b, len) AS (
+         SELECT src, dst, 1 FROM es
+         UNION
+         SELECT r.a, e.dst, r.len + 1 FROM r JOIN es e ON e.src = r.b
+         WHERE r.len < 6)
+       SELECT a AS src_nation, b AS dst_nation, min(len)::INT AS hops
+       FROM r WHERE a <> b GROUP BY 1, 2 ORDER BY 1, 2""",
+    note="undirected shortestPath (VERDICT r06 item 3, refusal "
+    "removed): `-[:TRADE*]-` composes the symmetric closure INSIDE "
+    "the lowering (distinct union of both orientations, self-loops "
+    "dropped — the es-view convention) instead of requiring the "
+    "pre-built :TRADE_SYM relationship, so the compiled plan on "
+    ":TRADE must equal g105's plan on :TRADE_SYM minus the a==b "
+    "rows: BFS trail semantics exclude the level-2 seed backtrack "
+    "a-x-a (one undirected relationship used twice); every other "
+    "BFS path is node-distinct hence relationship-distinct.  Oracle "
+    "= the g105 recursive closure with a <> b.  Scale: one extra "
+    "union+distinct of the edge frame before the same semi-naive "
+    "BFS; the closure is built once, not per level",
+)
+def g138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cy(
+        spark,
+        sf_dir,
+        """MATCH p = shortestPath((a:Nation)-[:TRADE*]-(b:Nation))
+           RETURN a AS src_nation, b AS dst_nation, length(p) AS hops
+           ORDER BY src_nation, dst_nation""",
+    )
+
+
+@_g(
+    "g139_cypher_path_enum",
+    f"""WITH {_TRADE_CTE},
+       w1 AS (SELECT src AS a, dst AS b, [src, dst] AS path FROM ne),
+       w2 AS (SELECT w.a, e.dst AS b, list_append(w.path, e.dst) AS path
+              FROM w1 w JOIN ne e ON e.src = w.b
+              WHERE NOT (w.a = w.b AND w.b = e.dst)),
+       allw AS (SELECT a, b, path FROM w1 UNION ALL SELECT a, b, path FROM w2)
+       SELECT a AS src_nation, b AS dst_nation,
+              count(*)::BIGINT AS n_paths,
+              min(array_to_string(path, '>')) AS lex_first
+       FROM allw GROUP BY 1, 2 ORDER BY 1, 2""",
+    note="GENERAL named-path binding outside shortestPath (VERDICT "
+    "r06 item 2's second half): `p = (a)-[:TRADE*1..2]->(b)` "
+    "enumerates one row PER PATH with openCypher trail semantics — "
+    "the only ≤2-hop relationship reuse is a self-loop taken twice, "
+    "filtered on both engines (Spark: array_distinct on the "
+    "consecutive-pair list; oracle: the w2 WHERE).  Aggregated to "
+    "per-pair path counts + the lex-first path string so the result "
+    "stays bounded while still pinning the full enumeration.  "
+    "Scale: path enumeration is inherently output-sized (deg^k) — "
+    "the hop bound caps the join-chain depth and the label/anchor "
+    "filter is pushed below the first join; the pair-distinct "
+    "_varlen_leg remains the default when no path variable is bound",
+)
+def g139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cy(
+        spark,
+        sf_dir,
+        """MATCH p = (a:Nation)-[:TRADE*1..2]->(b:Nation)
+           RETURN a AS src_nation, b AS dst_nation, count(*) AS n_paths,
+                  min(array_join(nodes(p), '>')) AS lex_first
+           ORDER BY src_nation, dst_nation""",
+    )
+
+
 QUERIES = list(_G)

@@ -104,6 +104,14 @@ HAZARD_PRIORITY = [
     "l125_chao1_vocab",
     "l126_unimax_allocation",
     "m14_byte_run_lengths",
+    # round-7 hazards: lexicographically-smallest-shortest-path
+    # representative (greedy per-level array min — the tie protocol
+    # nodes(p) pins) and per-pair lex-first over a full path
+    # enumeration; g138's hazard is the composed symmetric closure
+    # equaling the pre-built view minus seed backtracks
+    "g137_cypher_path_nodes",
+    "g139_cypher_path_enum",
+    "g138_cypher_undirected_sp",
 ]
 
 

@@ -1168,13 +1168,15 @@ def test_undirected_self_loop_matches_once(spark):
     assert [r.y for r in got] == ["a", "b"]
 
 
-def test_undirected_shortest_path_refused(tiny):
-    with pytest.raises(ValueError, match="symmetric"):
-        cypher(
-            tiny,
-            "MATCH p = shortestPath((a {node: 'a'})-[:E*]-(b)) "
-            "RETURN b, length(p) AS l",
-        )
+def test_undirected_shortest_path_from_source_a(tiny):
+    """Undirected shortestPath (previously refused): distances over
+    the symmetric closure from the other end of the diamond."""
+    got = cypher(
+        tiny,
+        "MATCH p = shortestPath((a {node: 'a'})-[:E*]-(b)) "
+        "RETURN b, length(p) AS l ORDER BY b",
+    ).collect()
+    assert [(r.b, r.l) for r in got] == [("b", 1), ("c", 1), ("d", 2), ("e", 3)]
 
 
 def test_string_operators_rewrite_and_filter(tiny):
@@ -1318,3 +1320,128 @@ def test_union_keyword_in_string_literal_not_split(tiny):
         "RETURN x, 'UNION ALL' AS tag ORDER BY y LIMIT 1",
     ).collect()
     assert [(r.x, r.tag) for r in got] == [("a", "UNION ALL")]
+
+
+# ------------------------------------------- named paths (round 7)
+
+
+def test_shortest_path_nodes_and_relationships(tiny):
+    """nodes(p) binds the LEXICOGRAPHICALLY SMALLEST shortest path
+    (a->d has two 2-hop paths; a,b,d < a,c,d); relationships(p)
+    derives 'src->dst' pair strings from it."""
+    got = cypher(
+        tiny,
+        "MATCH p = shortestPath((a {node: 'a'})-[:E*]->(b)) "
+        "RETURN b, nodes(p) AS ns, relationships(p) AS rs, "
+        "length(p) AS hops ORDER BY b",
+    ).collect()
+    assert [(r.b, r.ns, r.rs, r.hops) for r in got] == [
+        ("b", ["a", "b"], ["a->b"], 1),
+        ("c", ["a", "c"], ["a->c"], 1),
+        ("d", ["a", "b", "d"], ["a->b", "b->d"], 2),
+        ("e", ["a", "b", "d", "e"], ["a->b", "b->d", "d->e"], 3),
+    ]
+
+
+def test_shortest_path_undirected(tiny):
+    """Undirected shortestPath walks the symmetric closure; the
+    level-2 seed backtrack (e-d-e over ONE undirected relationship)
+    is excluded per openCypher trail semantics."""
+    got = cypher(
+        tiny,
+        "MATCH p = shortestPath((a {node: 'e'})-[:E*]-(b)) "
+        "RETURN b, length(p) AS hops, nodes(p) AS ns ORDER BY b",
+    ).collect()
+    assert [(r.b, r.hops, r.ns) for r in got] == [
+        ("a", 3, ["e", "d", "b", "a"]),
+        ("b", 2, ["e", "d", "b"]),
+        ("c", 2, ["e", "d", "c"]),
+        ("d", 1, ["e", "d"]),
+    ]
+
+
+def test_all_shortest_paths_undirected(tiny):
+    got = cypher(
+        tiny,
+        "MATCH p = allShortestPaths((a {node: 'a'})-[:E*]-(b)) "
+        "RETURN b, p.len AS hops, p.cnt AS cnt ORDER BY b",
+    ).collect()
+    assert [(r.b, r.hops, r.cnt) for r in got] == [
+        ("b", 1, 1),
+        ("c", 1, 1),
+        ("d", 2, 2),
+        ("e", 3, 2),
+    ]
+
+
+def test_weighted_shortest_path_undirected(tiny):
+    """Undirected weighted: relax over both orientations (e->a best
+    is e-d(5)+d-b(3)+b-a(1) = 9 on n_items)."""
+    got = cypher(
+        tiny,
+        "MATCH p = shortestPath((a {node: 'e'})-[:E* {cost: 'n_items'}]-(b)) "
+        "RETURN b, p.cost AS cost ORDER BY b",
+    ).collect()
+    assert [(r.b, r.cost) for r in got] == [
+        ("a", 9.0),
+        ("b", 8.0),
+        ("c", 9.0),
+        ("d", 5.0),
+    ]
+
+
+def test_named_path_enumeration(tiny):
+    """General path binding: one row per path, trail semantics."""
+    got = cypher(
+        tiny,
+        "MATCH p = (a {node: 'a'})-[:E*1..3]->(b) "
+        "RETURN nodes(p) AS ns, length(p) AS hops ORDER BY hops, ns",
+    ).collect()
+    assert [(r.ns, r.hops) for r in got] == [
+        (["a", "b"], 1),
+        (["a", "c"], 1),
+        (["a", "b", "d"], 2),
+        (["a", "c", "d"], 2),
+        (["a", "b", "d", "e"], 3),
+        (["a", "c", "d", "e"], 3),
+    ]
+
+
+def test_named_path_undirected_trail_semantics(tiny):
+    """Undirected 2-hop paths from a: a-b-a / a-c-a reuse their one
+    undirected relationship and must be filtered; a-b-d and a-c-d
+    stay."""
+    got = cypher(
+        tiny,
+        "MATCH p = (a {node: 'a'})-[:E*2..2]-(b) "
+        "RETURN nodes(p) AS ns ORDER BY ns",
+    ).collect()
+    assert [r.ns for r in got] == [["a", "b", "d"], ["a", "c", "d"]]
+
+
+def test_named_path_single_hop_and_where(tiny):
+    got = cypher(
+        tiny,
+        "MATCH p = (a)-[:E]->(b) WHERE size(nodes(p)) = 2 AND b.node = 'd' "
+        "RETURN a, relationships(p) AS rs ORDER BY a",
+    ).collect()
+    assert [(r.a, r.rs) for r in got] == [("b", ["b->d"]), ("c", ["c->d"])]
+
+
+def test_path_nodes_refusals(tiny):
+    with pytest.raises(ValueError, match="allShortestPaths"):
+        cypher(
+            tiny,
+            "MATCH p = allShortestPaths((a)-[:E*]->(b)) RETURN nodes(p)",
+        )
+    with pytest.raises(ValueError, match="WEIGHTED"):
+        cypher(
+            tiny,
+            "MATCH p = shortestPath((a {node: 'a'})-[:E* {cost: 'n_items'}]->(b)) "
+            "RETURN relationships(p)",
+        )
+    with pytest.raises(ValueError, match="named path"):
+        cypher(
+            tiny,
+            "MATCH p = (a)-[:E]->(b), (b)-[:E]->(c) RETURN nodes(p)",
+        )
