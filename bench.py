@@ -141,6 +141,98 @@ def bench_distributed_graph(spark) -> dict:
     timed("triangles_dist", lambda: alg.triangle_count(canon))
     canon.unpersist()
 
+    # Compiled-Cypher parity at scale (r6 verdict item 5): every kernel
+    # the compiler lowers to is scale-benched above, but until r7 no
+    # COMPILED plan was.  Three representative compiled queries on the
+    # same 5M-edge graph, each timed beside the hand-built DataFrame
+    # equivalent a user would write, with row-count equality asserted —
+    # compilation must add no plan regression (the compiled var-length
+    # filter must reach the scan via Catalyst pushdown exactly like the
+    # hand-filtered chain; EXISTS must plan the same semi join; compiled
+    # shortestPath must match a hand-rolled BFS loop level for level).
+    from graph_spark.graph.cypher import CypherGraph, cypher
+
+    cgx = CypherGraph(PropertyGraph(v, e), rel_types={"E": e})
+
+    def timed_pair(key, compiled_fn, hand_fn):
+        t0 = time.perf_counter()
+        nc = compiled_fn()
+        out[f"{key}_compiled"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        nh = hand_fn()
+        out[f"{key}_hand"] = round(time.perf_counter() - t0, 3)
+        out[f"{key}_rows_equal"] = bool(nc == nh)
+        print(
+            f"# dist-graph cypher {key}: compiled {out[f'{key}_compiled']}s "
+            f"hand {out[f'{key}_hand']}s rows {nc} vs {nh}",
+            file=sys.stderr,
+        )
+
+    def _cy_count(q):
+        return lambda: cypher(cgx, q).collect()[0].n
+
+    def _hand_varlen():
+        seeded = e.filter(F.col("src").startswith("n49"))
+        h1 = seeded.select(F.col("src").alias("a"), F.col("dst").alias("b")).distinct()
+        step = e.select(F.col("src").alias("b"), F.col("dst").alias("b2"))
+        h2 = (
+            h1.join(step, "b")
+            .select("a", F.col("b2").alias("b"))
+            .distinct()
+        )
+        return h1.unionByName(h2).distinct().count()
+
+    def _hand_bfs():
+        base = e.select(F.col("src").alias("u"), F.col("dst").alias("vv"))
+        frontier = (
+            base.filter(F.col("u") == "n0")
+            .select(F.col("vv").alias("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        acc = frontier
+        for _ in range(2, 5):
+            frontier = (
+                frontier.join(base, frontier["b"] == base["u"])
+                .select(F.col("vv").alias("b"))
+                .distinct()
+                .join(acc, ["b"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if not frontier.take(1):
+                break
+            acc = acc.unionByName(frontier)
+        return acc.count()
+
+    def _hand_exists():
+        heads = e.select(F.col("src").alias("dst"))
+        return e.join(heads, "dst", "left_semi").count()
+
+    timed_pair(
+        "varlen_1_2",
+        _cy_count(
+            "MATCH (a)-[:E*1..2]->(b) WHERE a.node STARTS WITH 'n49' "
+            "RETURN count(*) AS n"
+        ),
+        _hand_varlen,
+    )
+    timed_pair(
+        "shortest_path_4",
+        _cy_count(
+            "MATCH p = shortestPath((a {node: 'n0'})-[:E*1..4]->(b)) "
+            "RETURN count(*) AS n"
+        ),
+        _hand_bfs,
+    )
+    timed_pair(
+        "exists_filter",
+        _cy_count(
+            "MATCH (a)-[:E]->(b) WHERE EXISTS { (b)-[:E]->(c) } "
+            "RETURN count(*) AS n"
+        ),
+        _hand_exists,
+    )
+
     # DuckDB single-node baseline on the identical edge list: PageRank
     # as `iters` unrolled join+aggregate CTE levels (same math, exact
     # same damping/teleport), timed on the query only (parquet load and
