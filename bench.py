@@ -729,6 +729,167 @@ def bench_distributed_spatial(spark) -> dict:
     return out
 
 
+def bench_temporal_store(spark) -> dict:
+    """Temporal store at scale (r6 verdict item 6): SCALE §4.3 claims
+    time-bucket layout + parquet footer stats replace a temporal
+    index, but tprop point-reads/align had no large-N measurement.
+    50M synthetic change points (1M entities x 2 props x 25 changes,
+    ts uniform over 24 months), written month-bucketed AND flat:
+
+    - footer/bucket pruning bracket: the same 2-month range aggregate
+      on both layouts, plus the admitting-file count from parquet
+      footers (the Z-order test pattern) — the bucketed layout must
+      admit ~2/24 of its files while the flat layout admits all.
+    - values_at_many: 1M mixed-time probes as ONE as-of join pass over
+      the 50M-point store (the single-shuffle tag-and-union plan).
+    - align: two properties widened onto the union of their
+      change-points (one partial-agg shuffle + one window).
+    """
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from graph_spark.sources.writers import write_time_bucketed
+    from graph_spark.temporal.store import TemporalPropertyStore
+
+    n_changes, n_entities = 50_000_000, 1_000_000
+    epoch0, span = 1704067200, 63072000  # 2024-01-01 UTC, 730 days
+    out: dict = {"changes": n_changes, "entities": n_entities}
+    log = spark.range(n_changes).select(
+        (F.col("id") % n_entities).alias("entity_id"),
+        F.concat(F.lit("p"), (F.col("id") % 2).cast("string")).alias("prop"),
+        F.timestamp_seconds(
+            F.lit(epoch0) + F.pmod(F.xxhash64("id", F.lit(11)), F.lit(span))
+        ).alias("ts"),
+        (F.pmod(F.xxhash64("id", F.lit(12)), F.lit(10000)) / 100.0).alias("value"),
+        F.lit(0).cast("long").alias("seq"),
+    )
+    tmp = tempfile.mkdtemp(prefix="grafttprop_")
+    try:
+        t0 = time.perf_counter()
+        # 16 files per month bucket (not 1): a pruned 2-month read must
+        # still fan out across all 32 local cores — pruning that
+        # serializes the scan trades IO for parallelism and loses on a
+        # real cluster too
+        write_time_bucketed(
+            log.repartition(
+                384, F.date_trunc("month", "ts"), F.pmod("entity_id", F.lit(16))
+            ),
+            f"{tmp}/bucketed",
+            "ts",
+            bucket="month",
+        )
+        out["write_bucketed"] = round(time.perf_counter() - t0, 3)
+        # flat control written with the SAME int64-µs physical so the
+        # bracket isolates LAYOUT (random ts order -> every file spans
+        # the whole range and admits), not the stats-less INT96 default
+        key = "spark.sql.parquet.outputTimestampType"
+        prev = spark.conf.get(key, "INT96")
+        spark.conf.set(key, "TIMESTAMP_MICROS")
+        try:
+            log.repartition(48).write.mode("overwrite").parquet(f"{tmp}/flat")
+        finally:
+            spark.conf.set(key, prev)
+
+        lo, hi = "2025-03-01", "2025-05-01"
+        import datetime
+
+        wlo = datetime.datetime(2025, 3, 1)
+        whi = datetime.datetime(2025, 5, 1)
+
+        # footer evidence: files whose ts min/max admit the window
+        # (a stats-less column — e.g. the INT96 session default —
+        # cannot be pruned, so it counts as admitting)
+        def admitting(pattern):
+            total = hits = 0
+            bytes_total = bytes_hit = 0
+            for f in glob.glob(pattern, recursive=True):
+                sz = os.path.getsize(f)
+                md = pq.ParquetFile(f).metadata
+                idx = [
+                    md.schema.column(j).name for j in range(md.num_columns)
+                ].index("ts")
+                stats = [
+                    md.row_group(i).column(idx).statistics
+                    for i in range(md.num_row_groups)
+                ]
+                total += 1
+                bytes_total += sz
+                if any(s is None or not s.has_min_max for s in stats):
+                    hits += 1
+                    bytes_hit += sz
+                    continue
+                fmin = min(s.min for s in stats)
+                fmax = max(s.max for s in stats)
+                if fmin.replace(tzinfo=None) < whi and fmax.replace(tzinfo=None) >= wlo:
+                    hits += 1
+                    bytes_hit += sz
+            return hits, total, bytes_hit, bytes_total
+
+        (
+            out["files_admitting_bucketed"],
+            out["files_total_bucketed"],
+            bh,
+            bt,
+        ) = admitting(f"{tmp}/bucketed/**/part-*.parquet")
+        out["bytes_admitted_frac_bucketed"] = round(bh / max(bt, 1), 4)
+        (
+            out["files_admitting_flat"],
+            out["files_total_flat"],
+            fh,
+            ft,
+        ) = admitting(f"{tmp}/flat/part-*.parquet")
+        out["bytes_admitted_frac_flat"] = round(fh / max(ft, 1), 4)
+
+        from graph_spark.temporal import tprop
+
+        for tag, path in (("bucketed", f"{tmp}/bucketed"), ("flat", f"{tmp}/flat")):
+            df = spark.read.parquet(path)
+            samples = []
+            for _ in range(3):  # median-of-3: these are 1-3 s jobs where
+                t0 = time.perf_counter()  # compile/listing noise dominates
+                n = tprop.range_aggregate(
+                    df, lo, hi, ["entity_id"], "value", {"avg": F.avg}
+                ).count()
+                samples.append(time.perf_counter() - t0)
+            samples.sort()
+            out[f"range_2mo_{tag}"] = round(samples[1], 3)
+            print(
+                f"# tprop range_2mo_{tag}: {out[f'range_2mo_{tag}']}s ({n} rows)",
+                file=sys.stderr,
+            )
+
+        store = TemporalPropertyStore(
+            spark.read.parquet(f"{tmp}/bucketed").select(
+                "entity_id", "prop", "ts", "value", "seq"
+            )
+        )
+        probes = spark.range(1_000_000).select(
+            F.pmod(F.xxhash64("id", F.lit(21)), F.lit(n_entities)).alias("entity_id"),
+            F.timestamp_seconds(
+                F.lit(epoch0) + F.pmod(F.xxhash64("id", F.lit(22)), F.lit(span))
+            ).alias("ts"),
+        )
+        t0 = time.perf_counter()
+        n = store.values_at_many(probes, prop="p0").count()
+        out["values_at_many_1m"] = round(time.perf_counter() - t0, 3)
+        print(
+            f"# tprop values_at_many_1m: {out['values_at_many_1m']}s ({n} rows)",
+            file=sys.stderr,
+        )
+        t0 = time.perf_counter()
+        n = store.align(["p0", "p1"]).count()
+        out["align_2props"] = round(time.perf_counter() - t0, 3)
+        print(f"# tprop align_2props: {out['align_2props']}s ({n} rows)", file=sys.stderr)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    print(f"# tprop: {out}", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -852,6 +1013,8 @@ def main() -> None:
         payload["negative_sampling"] = bench_negative_sampling(spark)
         payload["distributed_ann"] = bench_distributed_ann(spark)
         payload["skewed_baskets"] = bench_skewed_baskets(spark)
+    if os.environ.get("SPARK_GRAFT_BENCH_TPROP", "1") != "0":
+        payload["temporal_store"] = bench_temporal_store(spark)
     if os.environ.get("SPARK_GRAFT_BENCH_XL", "1") != "0":
         payload["distributed_graph_xl"] = bench_distributed_graph_xl(spark, sf_dir)
 

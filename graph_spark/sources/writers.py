@@ -34,9 +34,26 @@ def write_time_bucketed(
 ) -> None:
     """Temporal long-table layout: one partition dir per time bucket.
     `value_at(t)` / `range_aggregate(a, b)` predicates on ts then prune
-    to the touched buckets at the file-listing level."""
-    out = df.withColumn("__bucket", F.date_format(F.date_trunc(bucket, F.col(ts_col)), "yyyy-MM"))
-    out.write.mode(mode).partitionBy("__bucket").parquet(path)
+    to the touched buckets at the file-listing level.
+
+    Timestamps are written as TIMESTAMP_MICROS (int64) for THIS write
+    regardless of the session default: Spark's Hive-compat INT96
+    default carries NO parquet min/max statistics, which would silently
+    disable the row-group/footer pruning this layout exists for — the
+    int64 physical is what turns a ts predicate into skipped IO (the
+    engine's replacement for a temporal index; measured in bench.py
+    bench_temporal_store)."""
+    spark = df.sparkSession
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(key, "INT96")
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try:
+        out = df.withColumn(
+            "__bucket", F.date_format(F.date_trunc(bucket, F.col(ts_col)), "yyyy-MM")
+        )
+        out.write.mode(mode).partitionBy("__bucket").parquet(path)
+    finally:
+        spark.conf.set(key, prev)
 
 
 def write_bucketed_table(

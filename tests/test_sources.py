@@ -111,6 +111,31 @@ def test_time_bucketed_write(spark, tmpdir):
     assert back.count() == tp.count()
 
 
+def test_time_bucketed_write_carries_ts_footer_stats(spark, tmpdir):
+    """The temporal layout must write ts as int64 µs WITH parquet
+    min/max statistics — Spark's Hive-compat INT96 session default
+    carries none, which would silently disable the row-group pruning
+    the layout exists for (the temporal-index replacement).  The
+    session default must also be restored after the write."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    key = "spark.sql.parquet.outputTimestampType"
+    before = spark.conf.get(key)
+    tp = Catalog(spark, SF_SMOKE).tprop_spend()
+    path = os.path.join(tmpdir, "tprop_stats")
+    writers.write_time_bucketed(tp, path, "ts", bucket="month")
+    assert spark.conf.get(key) == before
+    files = glob.glob(f"{path}/__bucket=*/part-*.parquet")
+    assert files
+    md = pq.ParquetFile(files[0]).metadata
+    idx = [md.schema.column(j).name for j in range(md.num_columns)].index("ts")
+    col = md.row_group(0).column(idx)
+    assert col.physical_type == "INT64"
+    assert col.statistics is not None and col.statistics.has_min_max
+
+
 def test_delta_stub_gated(spark):
     assert readers.delta_available(spark) is False
     with pytest.raises(NotImplementedError):
