@@ -859,3 +859,35 @@ def test_l119_l122_probe_side_broadcast(spark):
         plan = _plan(reg[name].build(spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, f"{name}: {plan}"
         assert "BroadcastNestedLoopJoin" in plan, f"{name}: {plan}"
+
+
+def test_round7_cypher_path_queries_no_cartesian(spark):
+    """Round-7 named-path lowerings keep the no-cartesian discipline:
+    the path-carrying BFS (g137), the composed-closure undirected BFS
+    (g138), and the path enumeration (g139) plan as equi-join chains
+    only."""
+    from graph_spark.queries.registry import by_name
+
+    reg = by_name()
+    for name in (
+        "g137_cypher_path_nodes",
+        "g138_cypher_undirected_sp",
+        "g139_cypher_path_enum",
+    ):
+        plan = _plan(reg[name].build(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, f"{name}: {plan}"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: {plan}"
+
+
+def test_path_enum_label_filter_pushed_below_first_join(spark):
+    """g139's :Nation source label must filter the enumeration's base
+    frame BEFORE the hop join (the anchor pushdown that keeps path
+    enumeration viable), not sit above the union of chains."""
+    from graph_spark.queries.registry import by_name
+
+    opt = _optimized(
+        by_name()["g139_cypher_path_enum"].build(spark, SF_SMOKE)
+    )
+    # the startswith('n') label predicate appears in more than one
+    # place (both chain legs), i.e. it was pushed into the branches
+    assert opt.lower().count("startswith") >= 2, opt
