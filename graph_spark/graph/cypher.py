@@ -59,8 +59,11 @@ Supported:
     per-pair min-path array); `relationships(p)` derives the
     consecutive-pair list from it, rendered 'src->dst' in traversal
     order (a relationship here is a distinct-pair rollup, so the pair
-    is its identity).  Not available on allShortestPaths (it counts
-    instead of enumerating) or the weighted form (min-cost only).
+    is its identity).  `head(nodes(p))` / `last(nodes(p))` /
+    `last(relationships(p))` rewrite to element_at in that composite
+    form only (Spark's last() AGGREGATE stays a plain passthrough).
+    Not available on allShortestPaths (it counts instead of
+    enumerating) or the weighted form (min-cost only).
   - `p = (a)-[:TYPE*min..max]->(b)` — the GENERAL named-path binding:
     one row PER PATH with openCypher trail semantics (no relationship
     repeated within a path); binds `nodes(p)` / `relationships(p)` /
@@ -1331,6 +1334,26 @@ def _rewrite(
             r"\blength\s*\(\s*(\w+)\s*\)",
             lambda mm: f"{mm.group(1)}__len" if mm.group(1) in edge_vars else mm.group(0),
             parts[i],
+        )
+        # head/last over a path accessor — the openCypher endpoint
+        # idiom — rewritten ONLY in this composite form so Spark's
+        # last() AGGREGATE stays reachable as a plain passthrough
+        def _hl(mm):
+            fn, inner_fn, pv = (
+                mm.group(1).lower(),
+                mm.group(2).lower(),
+                mm.group(3),
+            )
+            if pv not in path_vars:
+                return mm.group(0)
+            inner = f"{pv}__nodes" if inner_fn == "nodes" else _path_rels_sql(pv)
+            return f"element_at({inner}, {'1' if fn == 'head' else '-1'})"
+
+        parts[i] = re.sub(
+            r"\b(head|last)\s*\(\s*(nodes|relationships)\s*\(\s*(\w+)\s*\)\s*\)",
+            _hl,
+            parts[i],
+            flags=re.IGNORECASE,
         )
         # nodes(p) -> the bound node-array column; relationships(p) ->
         # consecutive-pair strings derived from it (no extra state)

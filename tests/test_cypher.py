@@ -1445,3 +1445,23 @@ def test_path_nodes_refusals(tiny):
             tiny,
             "MATCH p = (a)-[:E]->(b), (b)-[:E]->(c) RETURN nodes(p)",
         )
+
+
+def test_head_last_over_path_accessors(tiny):
+    """openCypher endpoint idiom: head(nodes(p)) / last(nodes(p)) /
+    last(relationships(p)) rewrite to element_at — but ONLY in the
+    composite form, so Spark's last() aggregate stays reachable."""
+    got = cypher(
+        tiny,
+        "MATCH p = shortestPath((a {node: 'a'})-[:E*]->(b)) "
+        "WHERE last(nodes(p)) = 'e' "
+        "RETURN head(nodes(p)) AS first_n, last(nodes(p)) AS last_n, "
+        "last(relationships(p)) AS last_r",
+    ).collect()
+    assert [(r.first_n, r.last_n, r.last_r) for r in got] == [("a", "e", "d->e")]
+    # the plain aggregate form still passes through to Spark
+    agg = cypher(
+        tiny,
+        "MATCH (x)-[e:E]->(y) RETURN max(e.n_items) AS mx",
+    ).collect()
+    assert agg[0].mx == 5
