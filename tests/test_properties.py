@@ -1183,3 +1183,123 @@ def test_periodogram_detects_planted_period(spark):
     powers = {r.k: r.p for r in f}
     assert max(powers, key=powers.get) == 4
     assert powers[4] > 10 * max(v for k, v in powers.items() if k != 4)
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_shortest_path_nodes_lexmin_matches_bruteforce(spark, seed):
+    """The nodes(p) binding's greedy per-level array min must equal
+    the GLOBAL lexicographically smallest shortest path (the proof in
+    _shortest_frame: every prefix of the global lex-min path is the
+    lex-min shortest path to its endpoint) — pinned here against a
+    brute-force enumeration of ALL shortest paths on random directed
+    graphs."""
+    from graph_spark.graph.cypher import CypherGraph, cypher
+
+    rng = random.Random(seed)
+    edges = set()
+    while len(edges) < 60:
+        a, b = rng.randrange(25), rng.randrange(25)
+        if a != b:
+            edges.add((f"n{a:02d}", f"n{b:02d}"))
+    edges = sorted(edges)
+    max_hops = 4
+
+    # brute force: BFS level sets, then enumerate all shortest paths
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+
+    def all_shortest(src):
+        dist = {src: 0}
+        frontier = [src]
+        d = 0
+        while frontier and d < max_hops:
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = d + 1
+                        nxt.append(v)
+            frontier, d = nxt, d + 1
+        # (n0,n0)-style returns: the compiled BFS can re-reach the seed
+        # (trail-valid in a directed graph); python mirror for pairs
+        paths = {}
+        def walk(u, path):
+            if len(path) - 1 > max_hops:
+                return
+            for v in adj.get(u, ()):
+                np_ = path + [v]
+                tgt = paths.setdefault(v, [])
+                tgt.append(np_)
+                if len(np_) - 1 < max_hops:
+                    walk(v, np_)
+        walk(src, [src])
+        best = {}
+        for v, ps in paths.items():
+            mlen = min(len(p) for p in ps)
+            best[v] = min(p for p in ps if len(p) == mlen)
+        return best
+
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    verts = edf.select(F.col("src").alias("id")).distinct()
+    cg = CypherGraph(PropertyGraph(verts, edf), rel_types={"E": edf})
+    got = {
+        (r.a, r.b): (r.hops, list(r.ns))
+        for r in cypher(
+            cg,
+            f"MATCH p = shortestPath((a)-[:E*1..{max_hops}]->(b)) "
+            "RETURN a, b, length(p) AS hops, nodes(p) AS ns",
+        ).collect()
+    }
+    want = {}
+    for src in sorted({a for a, _ in edges}):
+        for v, path in all_shortest(src).items():
+            want[(src, v)] = (len(path) - 1, path)
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_path_enumeration_matches_python_trails(spark, seed):
+    """General named-path binding must enumerate exactly the openCypher
+    TRAILS (no relationship repeated) of each bounded length — pinned
+    against python DFS enumeration on random directed graphs with
+    self-loops kept (a self-loop is one relationship: usable once)."""
+    from graph_spark.graph.cypher import CypherGraph, cypher
+
+    rng = random.Random(seed + 99)
+    edges = set()
+    while len(edges) < 40:
+        a, b = rng.randrange(12), rng.randrange(12)
+        edges.add((f"n{a:02d}", f"n{b:02d}"))  # self-loops allowed
+    edges = sorted(edges)
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+
+    want = set()
+
+    def walk(u, path, used):
+        if 1 <= len(path) - 1 <= 3:
+            want.add(tuple(path))
+        if len(path) - 1 >= 3:
+            return
+        for v in adj.get(u, ()):
+            rel = (u, v)
+            if rel in used:
+                continue
+            walk(v, path + [v], used | {rel})
+
+    for src in sorted({a for a, _ in edges} | {b for _, b in edges}):
+        walk(src, [src], frozenset())
+
+    edf = spark.createDataFrame(edges, ["src", "dst"])
+    verts = edf.select(F.col("src").alias("id")).distinct()
+    cg = CypherGraph(PropertyGraph(verts, edf), rel_types={"E": edf})
+    got = {
+        tuple(r.ns)
+        for r in cypher(
+            cg,
+            "MATCH p = (a)-[:E*1..3]->(b) RETURN nodes(p) AS ns",
+        ).collect()
+    }
+    assert got == want
