@@ -1256,6 +1256,24 @@ def test_shortest_path_nodes_lexmin_matches_bruteforce(spark, seed):
         for v, path in all_shortest(src).items():
             want[(src, v)] = (len(path) - 1, path)
     assert got == want
+    # the declared partition-invariance sample runs these names on the
+    # sf0.001 fixture whose trade graph is EMPTY, so pin the layout
+    # independence of the min-path protocol here, where paths exist
+    if seed == SEEDS[0]:
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "7")
+            got7 = {
+                (r.a, r.b): (r.hops, list(r.ns))
+                for r in cypher(
+                    cg,
+                    f"MATCH p = shortestPath((a)-[:E*1..{max_hops}]->(b)) "
+                    "RETURN a, b, length(p) AS hops, nodes(p) AS ns",
+                ).collect()
+            }
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        assert got7 == want
 
 
 @pytest.mark.parametrize("seed", SEEDS)
