@@ -1023,13 +1023,26 @@ def main() -> None:
     # The driver's tail capture head-truncates the full payload once the
     # evidence blocks grow (r6: distributed_text/span_dedup fell out of
     # BENCH_r06.json).  Persist the COMPLETE payload to a committed file
-    # so every evidence block stays machine-checkable per round.
-    try:
-        Path(__file__).resolve().parent.joinpath("BENCH_FULL.json").write_text(
-            json.dumps(payload, indent=1) + "\n"
+    # so every evidence block stays machine-checkable per round — but
+    # only from a FULL run: a gate-only iteration (blocks skipped via
+    # SPARK_GRAFT_BENCH_* env) must not clobber the committed evidence.
+    all_blocks = all(
+        os.environ.get(k, "1") != "0"
+        for k in (
+            "SPARK_GRAFT_BENCH_GRAPH",
+            "SPARK_GRAFT_BENCH_XL",
+            "SPARK_GRAFT_BENCH_TPROP",
         )
-    except OSError as e:  # bench output must never die on a readonly fs
-        print(f"# BENCH_FULL.json not written: {e}", file=sys.stderr)
+    )
+    if all_blocks:
+        try:
+            Path(__file__).resolve().parent.joinpath("BENCH_FULL.json").write_text(
+                json.dumps(payload, indent=1) + "\n"
+            )
+        except OSError as e:  # bench output must never die on a readonly fs
+            print(f"# BENCH_FULL.json not written: {e}", file=sys.stderr)
+    else:
+        print("# BENCH_FULL.json skipped (gate-only run)", file=sys.stderr)
 
     # The driver records only the TAIL of bench output, and the evidence
     # blocks above can push the full payload's head (suite_total,
