@@ -753,14 +753,20 @@ def _split_union(query: str) -> tuple[list[str], bool]:
                 elif tok in ")}]":
                     depth -= 1
                 elif depth == 0:
-                    # `e.union` (property access) and `... AS union`
-                    # (alias) are identifiers, not set operators: skip
-                    # any match immediately preceded by a dot or by the
-                    # keyword AS.
+                    # `e.union` (property access), `... AS union`
+                    # (alias) and later references to that alias
+                    # (`ORDER BY union`, `WHERE union = ..`) are
+                    # identifiers, not set operators: skip any match
+                    # immediately preceded by a dot or AS, and require
+                    # what follows to start a new subquery — in this
+                    # subset every UNION segment begins with MATCH.
                     before = query[: offset + m.start()].rstrip()
                     if before.endswith("."):
                         continue
                     if re.search(r"\bAS$", before, re.IGNORECASE):
+                        continue
+                    after = query[offset + m.end():]
+                    if not re.match(r"\s*(?:OPTIONAL\s+)?MATCH\b", after, re.IGNORECASE):
                         continue
                     cuts.append(
                         (
@@ -997,6 +1003,10 @@ def _shortest_frame(
             )
             .filter(F.col("__u") != F.col("__v"))
             .distinct()
+            # materialize once: every BFS level joins base, and without
+            # the checkpoint each level's job would re-run the closure's
+            # union+distinct shuffle (the _all_shortest_frame pattern)
+            .localCheckpoint(eager=True)
         )
     # seed from the edge table's own sources (covers rel_types whose
     # nodes aren't in graph.vertices, e.g. the nation trade graphs;
@@ -1266,14 +1276,21 @@ def _path_enum_frame(cg: CypherGraph, pvar: str, triples) -> tuple[DataFrame, se
             )
             out = lvl if out is None else out.unionByName(lvl)
     assert out is not None
+    # relationship identity as a STRUCT of endpoint ids (unordered pair
+    # when undirected) — id-agnostic, unlike the user-facing
+    # relationships(p) string rendering whose '->' separator is only a
+    # display convention
     if edge.undirected:
         rels = F.expr(
             f"transform(slice({pnodes}, 1, size({pnodes}) - 1), "
-            f"(x, i) -> concat(least(x, element_at({pnodes}, i + 2)), '--', "
-            f"greatest(x, element_at({pnodes}, i + 2))))"
+            f"(x, i) -> struct(least(x, element_at({pnodes}, i + 2)) AS s, "
+            f"greatest(x, element_at({pnodes}, i + 2)) AS d))"
         )
     else:
-        rels = F.expr(_path_rels_sql(pvar))
+        rels = F.expr(
+            f"transform(slice({pnodes}, 1, size({pnodes}) - 1), "
+            f"(x, i) -> struct(x AS s, element_at({pnodes}, i + 2) AS d))"
+        )
     out = out.filter(F.size(F.array_distinct(rels)) == F.col(plen))
     out = _node_filter(cg, right, out, b)
     return out, {a, b}, pvar
@@ -1284,7 +1301,10 @@ def _path_rels_sql(pv: str) -> str:
     array: consecutive node pairs rendered 'src->dst' in traversal
     order (relationships here are distinct-pair rollups, so the pair
     IS the relationship's identity) — array<string>, one element per
-    hop, zero extra joins."""
+    hop, zero extra joins.  The '->' separator is a DISPLAY
+    convention: node ids containing '->' render ambiguously here, but
+    never affect semantics — the trail filter in _path_enum_frame
+    compares endpoint STRUCTS, not these strings."""
     n = f"{pv}__nodes"
     return (
         f"transform(slice({n}, 1, size({n}) - 1), "
@@ -1422,10 +1442,13 @@ def cypher(
     def wants_nodes(pv: str) -> bool:
         """Does the query text reference nodes(pv)/relationships(pv)?
         Decides whether a shortestPath BFS carries the representative
-        node array (free otherwise)."""
+        node array (free otherwise).  Quoted string literals are
+        blanked first — a literal mentioning 'nodes(p)' must not flip
+        the flag (or trip the allShortestPaths/weighted refusals)."""
+        code = re.sub(r"'[^']*'|\"[^\"]*\"", "''", query)
         return bool(
             re.search(
-                rf"\b(?:nodes|relationships)\s*\(\s*{re.escape(pv)}\s*\)", query
+                rf"\b(?:nodes|relationships)\s*\(\s*{re.escape(pv)}\s*\)", code
             )
         )
 

@@ -1465,3 +1465,30 @@ def test_head_last_over_path_accessors(tiny):
         "MATCH (x)-[e:E]->(y) RETURN max(e.n_items) AS mx",
     ).collect()
     assert agg[0].mx == 5
+
+
+def test_union_alias_referenced_later_not_split(tiny):
+    """A column aliased `union` stays usable downstream (ORDER BY) —
+    a real set-operator UNION must be followed by a new MATCH."""
+    got = cypher(
+        tiny,
+        "MATCH (x)-[e:E]->(y) WHERE x.node = 'a' "
+        "RETURN x AS union, y ORDER BY union, y LIMIT 1",
+    ).collect()
+    assert [(r.union, r.y) for r in got] == [("a", "b")]
+
+
+def test_nodes_in_string_literal_does_not_flip_want_nodes(tiny):
+    """A literal mentioning 'nodes(p)' must not trip the
+    allShortestPaths refusal (or make a BFS carry unused arrays)."""
+    got = cypher(
+        tiny,
+        "MATCH p = allShortestPaths((a {node: 'a'})-[:E*]->(b)) "
+        "RETURN b, p.cnt AS cnt, 'no nodes(p) here' AS note ORDER BY b",
+    ).collect()
+    assert [(r.b, r.cnt, r.note) for r in got] == [
+        ("b", 1, "no nodes(p) here"),
+        ("c", 1, "no nodes(p) here"),
+        ("d", 2, "no nodes(p) here"),
+        ("e", 2, "no nodes(p) here"),
+    ]
