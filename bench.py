@@ -244,6 +244,22 @@ def bench_distributed_graph(spark) -> dict:
         ),
         _hand_exists,
     )
+    # nodes(p) overhead: the same BFS carrying the lex-min path array
+    # (per-level group-min instead of distinct) vs the plain pair BFS
+    # just timed — quantifies what the named-path binding costs at 5M
+    # edges (expected: bounded-array shuffle payload + agg vs distinct)
+    t0 = time.perf_counter()
+    cypher(
+        cgx,
+        "MATCH p = shortestPath((a {node: 'n0'})-[:E*1..4]->(b)) "
+        "RETURN count(*) AS n, min(size(nodes(p))) AS mn",
+    ).collect()
+    out["shortest_path_4_with_nodes"] = round(time.perf_counter() - t0, 3)
+    print(
+        f"# dist-graph cypher shortest_path_4_with_nodes: "
+        f"{out['shortest_path_4_with_nodes']}s",
+        file=sys.stderr,
+    )
 
     # DuckDB single-node baseline on the identical edge list: PageRank
     # as `iters` unrolled join+aggregate CTE levels (same math, exact
