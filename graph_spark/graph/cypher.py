@@ -21,7 +21,13 @@ Supported:
     bounded variable length `-[*1..3]->` (expanded to a UNION of
     fixed-length chains, binding `hops` when aliased via `WITH-less`
     RETURN of `hops(v)` is NOT supported — var-length matches project
-    endpoints only).
+    endpoints only).  NOTE the deliberate protocol divergence: a
+    var-length leg WITHOUT a path variable uses WALK-REACHABILITY
+    semantics (per-hop distinct endpoint pairs; relationship reuse
+    allowed, so `-[*2..2]-` on a single undirected edge a-b reaches
+    (a,a)) — the scalable |V|²-bounded form, pinned by the g134-family
+    oracles.  Bind a named path (`p = (a)-[*..]->(b)`) for exact
+    openCypher TRAIL semantics.
   - further MATCH (inner join) and OPTIONAL MATCH (left outer join)
     blocks after the first, each with its own WHERE, joined on the
     variables shared with the preceding scope; an OPTIONAL block's
@@ -205,6 +211,25 @@ _TAIL = re.compile(
 )
 
 
+def _blank_quotes(text: str) -> str:
+    """Same-length copy of `text` with quoted-literal CONTENTS replaced
+    by spaces (the quote characters stay).  Structural regexes match
+    against the blanked copy so keywords inside string literals are
+    invisible; because lengths are identical, group spans from the
+    blanked match slice the ORIGINAL text correctly."""
+    return re.sub(
+        r"'[^']*'|\"[^\"]*\"",
+        lambda mm: mm.group(0)[0] + " " * (len(mm.group(0)) - 2) + mm.group(0)[-1],
+        text,
+    )
+
+
+def _gslice(m: re.Match, text: str, name: str) -> str | None:
+    """Group `name` of a blanked-text match, sliced from the original."""
+    s, e = m.span(name)
+    return None if s == -1 else text[s:e]
+
+
 def _split_clauses(query: str) -> list[tuple[str, str]]:
     """Split a query into ordered (KEYWORD, body) clause segments on the
     top-level keywords MATCH / OPTIONAL MATCH / WITH / RETURN, skipping
@@ -216,6 +241,13 @@ def _split_clauses(query: str) -> list[tuple[str, str]]:
         if idx % 2 == 0:
             for m in _KW.finditer(part):
                 kw = re.sub(r"\s+", " ", m.group(1).upper())
+                before = part[: m.start()].rstrip()
+                # `e.match` (property access) and `.. AS match` (alias)
+                # are identifiers, not clause boundaries
+                if before.endswith("."):
+                    continue
+                if re.search(r"\bAS$", before, re.IGNORECASE):
+                    continue
                 if kw == "WITH":
                     # the WITH of a string operator (x STARTS WITH y /
                     # x ENDS WITH y) is not a clause boundary
@@ -625,10 +657,13 @@ def _strip_outer_parens(text: str) -> str:
     return t
 
 
-# a '-[' / ']-' relationship-arrow shape anywhere in an expression —
-# used only to turn "would be an opaque Spark SQL parse error" into a
-# clean cypher-level refusal
-_PATTERN_SHAPE = re.compile(r"-\s*\[|\]\s*-")
+# a relationship-arrow shape anywhere in an expression — used only to
+# turn "would be an opaque Spark SQL parse error" into a clean
+# cypher-level refusal.  The edge bracket must ADJOIN a node paren
+# (`)-[`, `)<-[`, `]->(`, `]-(`), so subscript arithmetic like
+# `xs[0]-xs[1]` is NOT taken for a pattern (it is a plain scalar
+# expression and must go to the plain-filter path)
+_PATTERN_SHAPE = re.compile(r"\)\s*<?-\s*\[|\]\s*-+>?\s*\(")
 
 
 def _bracket_lists_to_array(text: str) -> str:
@@ -794,7 +829,9 @@ def _split_union(query: str) -> tuple[list[str], bool]:
 
 
 def _split_top_level(text: str, sep: str = ",") -> list[str]:
-    """Split on `sep` outside parens/quotes."""
+    """Split on `sep` outside parens/brackets/braces/quotes (brackets
+    matter: a list literal `[1, 2, 3]` in a RETURN item must not be
+    split apart)."""
     out, depth, cur, q = [], 0, [], None
     for ch in text:
         if q:
@@ -805,10 +842,10 @@ def _split_top_level(text: str, sep: str = ",") -> list[str]:
         if ch in "'\"":
             q = ch
             cur.append(ch)
-        elif ch == "(":
+        elif ch in "([{":
             depth += 1
             cur.append(ch)
-        elif ch == ")":
+        elif ch in ")]}":
             depth -= 1
             cur.append(ch)
         elif ch == sep and depth == 0:
@@ -907,7 +944,15 @@ def _varlen_leg(cg: CypherGraph, edge: _Edge, a: str, b: str) -> DataFrame:
     dense graph the number of k-hop PATHS grows like deg^k while the
     pair set is bounded by |V|², so the per-hop distinct is what keeps
     the expansion viable at scale (semi-naive evaluation, same shape
-    as the BFS kernels in graph/algorithms.py)."""
+    as the BFS kernels in graph/algorithms.py).
+
+    WALK semantics by design (module docstring): relationship reuse is
+    allowed, so an undirected `*2..2` leg reaches (a,a) back over one
+    edge — openCypher trail semantics live in `_path_enum_frame`
+    (named paths), where per-path state exists to enforce them.  The
+    pair-distinct form cannot carry per-path used-edge state without
+    giving up its |V|² bound; the divergence is pinned by the declared
+    oracles (g134 family) which compute the same walk closure."""
     edf = cg.edges_for(edge.etype).select("src", "dst")
     s, d = ("dst", "src") if edge.reverse else ("src", "dst")
     base = edf.select(F.col(s).alias("__u"), F.col(d).alias("__v"))
@@ -1354,6 +1399,7 @@ def _rewrite(
             r"\blength\s*\(\s*(\w+)\s*\)",
             lambda mm: f"{mm.group(1)}__len" if mm.group(1) in edge_vars else mm.group(0),
             parts[i],
+            flags=re.IGNORECASE,
         )
         # head/last over a path accessor — the openCypher endpoint
         # idiom — rewritten ONLY in this composite form so Spark's
@@ -1383,6 +1429,7 @@ def _rewrite(
             if mm.group(1) in path_vars
             else mm.group(0),
             parts[i],
+            flags=re.IGNORECASE,
         )
         parts[i] = re.sub(
             r"\brelationships\s*\(\s*(\w+)\s*\)",
@@ -1390,6 +1437,7 @@ def _rewrite(
             if mm.group(1) in path_vars
             else mm.group(0),
             parts[i],
+            flags=re.IGNORECASE,
         )
         parts[i] = _PROP_REF.sub(sub, parts[i])
     return "".join(parts)
@@ -1406,6 +1454,13 @@ def cypher(
         cg = CypherGraph(cg)
     segments, union_all = _split_union(query)
     if len(segments) > 1:
+        for k, seg in enumerate(segments, 1):
+            if re.search(r"\bORDER\s+BY\b", _blank_quotes(seg), re.IGNORECASE):
+                raise ValueError(
+                    f"cypher: ORDER BY inside UNION segment {k} is not "
+                    "supported (the order of a union is undefined in "
+                    "Cypher; order in the consuming query instead)"
+                )
         frames = [cypher(cg, seg) for seg in segments]
         cols = frames[0].columns
         for k, f in enumerate(frames[1:], 2):
@@ -1419,7 +1474,7 @@ def cypher(
         for f in frames[1:]:
             out = out.unionByName(f)
         return out if union_all else out.distinct()
-    bad = _UNSUPPORTED.search(query)
+    bad = _UNSUPPORTED.search(_blank_quotes(query))
     if bad:
         raise ValueError(
             f"cypher: {bad.group(0)} is not supported in this subset "
@@ -1448,7 +1503,9 @@ def cypher(
         code = re.sub(r"'[^']*'|\"[^\"]*\"", "''", query)
         return bool(
             re.search(
-                rf"\b(?:nodes|relationships)\s*\(\s*{re.escape(pv)}\s*\)", code
+                rf"\b(?:nodes|relationships)\s*\(\s*{re.escape(pv)}\s*\)",
+                code,
+                re.IGNORECASE,
             )
         )
 
@@ -1760,14 +1817,18 @@ def cypher(
     out: DataFrame | None = None
     for kw, body in clauses[:-1]:
         if kw in ("MATCH", "OPTIONAL MATCH"):
-            bm = _BLOCK.match(body)
-            frame, bn, be = build_any(bm.group("pat"))
+            # structural regexes run on a quote-blanked copy (same
+            # length) so a WHERE/ORDER BY/LIMIT inside a string literal
+            # never splits the clause; group spans slice the original
+            bm = _BLOCK.match(_blank_quotes(body))
+            bm_pat, bm_where = _gslice(bm, body, "pat"), _gslice(bm, body, "where")
+            frame, bn, be = build_any(bm_pat)
             if out is None:
                 out = frame
                 node_vars |= bn
                 edge_vars |= be
-                if bm.group("where"):
-                    out = apply_where(out, bm.group("where"), node_vars, edge_vars)
+                if bm_where:
+                    out = apply_where(out, bm_where, node_vars, edge_vars)
                 continue
             anchors = sorted(bn & node_vars)
             if not anchors:
@@ -1783,8 +1844,8 @@ def cypher(
                 c = F.col(v) == F.col(f"__j_{v}")
                 cond = c if cond is None else (cond & c)
             where_preds: list = []
-            if bm.group("where"):
-                where_preds, plain = classify_where(bm.group("where"))
+            if bm_where:
+                where_preds, plain = classify_where(bm_where)
                 if where_preds and kw == "OPTIONAL MATCH":
                     # openCypher: an OPTIONAL MATCH's WHERE decides
                     # whether the pattern MATCHED (failing rows null-
@@ -1824,42 +1885,65 @@ def cypher(
             um = re.match(
                 r"^\s*(?P<expr>.+?)\s+AS\s+(?P<var>\w+)"
                 r"(?:\s+WHERE\s+(?P<post>.+))?\s*$",
-                body,
+                _blank_quotes(body),
                 re.IGNORECASE | re.DOTALL,
             )
             if not um:
                 raise ValueError("cypher: expected UNWIND <expr> AS <var>")
             var = um.group("var")
+            if var in node_vars or var in edge_vars or var in path_vars:
+                # withColumn would silently OVERWRITE the bound column
+                # and downstream references would read exploded values
+                raise ValueError(
+                    f"cypher: UNWIND variable {var!r} is already declared "
+                    "(openCypher refuses redeclaration too); pick a fresh "
+                    "name"
+                )
             out = out.withColumn(
                 var,
                 F.explode(
-                    F.expr(_rewrite(um.group("expr"), node_vars, edge_vars, path_vars))
+                    F.expr(
+                        _rewrite(
+                            _gslice(um, body, "expr"),
+                            node_vars,
+                            edge_vars,
+                            path_vars,
+                        )
+                    )
                 ),
             )
             node_vars = node_vars | {var}
-            if um.group("post"):
-                out = apply_where(out, um.group("post"), node_vars, edge_vars)
+            post = _gslice(um, body, "post")
+            if post:
+                out = apply_where(out, post, node_vars, edge_vars)
         else:  # WITH stage
-            sm = _WITH_STAGE.match(body)
+            sm = _WITH_STAGE.match(_blank_quotes(body))
             if not sm:
                 raise ValueError(f"cypher: cannot parse WITH stage {body!r}")
-            out, waliases = project(out, sm.group("items"), node_vars, edge_vars)
+            out, waliases = project(
+                out, _gslice(sm, body, "items"), node_vars, edge_vars
+            )
             if sm.group("distinct"):
                 out = out.distinct()
             node_vars = set(waliases)
             edge_vars = set()
-            if sm.group("having"):
-                out = apply_where(out, sm.group("having"), node_vars, edge_vars)
+            having = _gslice(sm, body, "having")
+            if having:
+                out = apply_where(out, having, node_vars, edge_vars)
 
-    m = _TAIL.match(clauses[-1][1])
+    ret_body = clauses[-1][1]
+    m = _TAIL.match(_blank_quotes(ret_body))
     if not m:
         raise ValueError("cypher: cannot parse RETURN clause")
-    out, ret_aliases = project(out, m.group("ret"), node_vars, edge_vars)
+    out, ret_aliases = project(
+        out, _gslice(m, ret_body, "ret"), node_vars, edge_vars
+    )
 
     if m.group("distinct"):
         out = out.distinct()
-    if m.group("order"):
-        order_items = _split_top_level(m.group("order"))
+    order_body = _gslice(m, ret_body, "order")
+    if order_body:
+        order_items = _split_top_level(order_body)
         cols = []
         aliases = set(ret_aliases)
         for oi in order_items:

@@ -1492,3 +1492,78 @@ def test_nodes_in_string_literal_does_not_flip_want_nodes(tiny):
         ("d", 2, "no nodes(p) here"),
         ("e", 2, "no nodes(p) here"),
     ]
+
+
+# ----------------------------------------- r7 self-review regressions
+
+
+def test_bracket_list_with_commas_in_return_item(tiny):
+    """A top-level list literal in a RETURN item must not be split at
+    its commas (the item splitter tracks bracket depth)."""
+    got = cypher(
+        tiny,
+        "MATCH (x)-[e:E]->(y) WHERE x.node = 'a' "
+        "RETURN x, [1, 2, 3] AS xs ORDER BY y LIMIT 1",
+    ).collect()
+    assert [(r.x, list(r.xs)) for r in got] == [("a", [1, 2, 3])]
+
+
+def test_unsupported_keywords_in_literals_allowed(tiny):
+    """SET/CALL/DELETE as words inside string literals are data, not
+    clauses — and the same for clause keywords as property names."""
+    got = cypher(
+        tiny,
+        "MATCH (a)-[e:E]->(b) WHERE a.node <> 'SET-5' "
+        "RETURN b, 'CALL me' AS note ORDER BY b LIMIT 1",
+    ).collect()
+    assert [(r.b, r.note) for r in got] == [("b", "CALL me")]
+
+
+def test_clause_keyword_as_alias_and_literal_order_by(tiny):
+    """`AS match` is an alias, not a clause boundary; an ' ORDER BY '
+    inside a string literal must not be taken for the RETURN tail."""
+    got = cypher(
+        tiny,
+        "MATCH (a)-[e:E]->(b) WHERE a.node = 'a' "
+        "RETURN a AS match, 'x ORDER BY y' AS s ORDER BY b LIMIT 1",
+    ).collect()
+    assert [(r.match, r.s) for r in got] == [("a", "x ORDER BY y")]
+
+
+def test_subscript_arithmetic_not_taken_for_pattern(tiny):
+    """xs[0]-xs[1] is scalar arithmetic, not a relationship pattern —
+    it must reach the plain-filter path, not the pattern refusal."""
+    got = cypher(
+        tiny,
+        "MATCH (u)-[e:E]->(v) WITH u, collect(e.n_items) AS xs "
+        "WHERE size(xs) >= 2 AND xs[1]-xs[0] > 0 "
+        "RETURN u, xs[1]-xs[0] AS spread ORDER BY u",
+    ).collect()
+    assert [(r.u, r.spread) for r in got] == [("a", 1)]
+
+
+def test_union_segment_order_by_refused(tiny):
+    with pytest.raises(ValueError, match="ORDER BY inside UNION"):
+        cypher(
+            tiny,
+            "MATCH (x)-[]->(y) RETURN x UNION "
+            "MATCH (x)-[]->(y) RETURN x ORDER BY x",
+        )
+
+
+def test_unwind_redeclaration_refused(tiny):
+    with pytest.raises(ValueError, match="already declared"):
+        cypher(
+            tiny,
+            "MATCH (a)-[e]->(b) WITH b, collect(a.node) AS xs "
+            "UNWIND xs AS b RETURN b",
+        )
+
+
+def test_path_functions_case_insensitive(tiny):
+    got = cypher(
+        tiny,
+        "MATCH p = shortestPath((a {node: 'a'})-[:E*]->(b)) "
+        "RETURN b, NODES(p) AS ns, LENGTH(p) AS hops ORDER BY b LIMIT 1",
+    ).collect()
+    assert [(r.b, r.ns, r.hops) for r in got] == [("b", ["a", "b"], 1)]
