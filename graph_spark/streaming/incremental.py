@@ -6,12 +6,21 @@ such views incrementally: each micro-batch's partial aggregates merge
 into the stored state through re-aggregation of mergeable functions
 (count/sum -> sum, min -> min, max -> max).
 
-Storage is a version-flipped parquet directory (v0/v1 + META pointer):
-readers always see a complete version; the writer never overwrites the
-directory being read.  At scale the same merge runs against a Delta /
-Iceberg table with MERGE INTO, or a bucketed table rewritten only in
-the affected key buckets; the version flip is the dependency-free
-stand-in with identical semantics.
+Storage is a MONOTONIC sequence of parquet version dirs (v0, v1, ...)
+plus a META pointer "version last_applied_batch_id": the writer always
+writes a FRESH directory (never overwrites one in place), flips the
+pointer atomically, then garbage-collects versions older than the
+previous one — so a reader holding the prior version survives one
+flip, and the retention window (2 versions) is the documented bound,
+not an accident of timing.  At scale the same merge runs against a
+Delta / Iceberg table with MERGE INTO (whose snapshot retention plays
+exactly this role), or a bucketed table rewritten only in the affected
+key buckets.
+
+Exactly-once under foreachBatch's at-least-once replay: merge_batch
+records the batch_id it applied in META and SKIPS a batch whose id is
+<= the recorded one, so a replayed micro-batch (failure after write,
+before the streaming checkpoint commit) cannot double-count.
 
 Wire it to a stream with `writeStream.foreachBatch(view.merge_batch)`.
 """
@@ -19,6 +28,7 @@ Wire it to a stream with `writeStream.foreachBatch(view.merge_batch)`.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,7 +45,8 @@ _MERGEABLE = {
 class IncrementalAggView:
     """Maintains `SELECT keys..., agg(value)... GROUP BY keys` under
     appends.  agg_spec: {out_col: (fn_name, value_col)} with fn_name in
-    count/sum/min/max."""
+    count/sum/min/max; every function except count requires a value
+    column (validated here, not mid-stream)."""
 
     def __init__(
         self,
@@ -44,9 +55,13 @@ class IncrementalAggView:
         key_cols: list[str],
         agg_spec: dict[str, tuple[str, str | None]],
     ):
-        for out, (fn, _) in agg_spec.items():
+        for out, (fn, col) in agg_spec.items():
             if fn not in _MERGEABLE:
                 raise ValueError(f"{out}: {fn} is not a mergeable aggregate")
+            if fn != "count" and not col:
+                raise ValueError(
+                    f"{out}: {fn} needs a value column (only count takes None)"
+                )
         self.spark = spark
         self.path = path
         self.key_cols = list(key_cols)
@@ -57,12 +72,21 @@ class IncrementalAggView:
     def _meta_path(self) -> str:
         return os.path.join(self.path, "META")
 
-    def _current_version(self) -> int | None:
+    def _read_meta(self) -> tuple[int | None, int | None]:
+        """(current version, last applied batch_id) from ONE read —
+        merge_batch derives everything from a single snapshot so two
+        META reads can never disagree mid-merge."""
         try:
             with open(self._meta_path()) as f:
-                return int(f.read().strip())
+                toks = f.read().split()
         except FileNotFoundError:
-            return None
+            return None, None
+        version = int(toks[0])
+        last_bid = int(toks[1]) if len(toks) > 1 else None
+        return version, last_bid
+
+    def _current_version(self) -> int | None:
+        return self._read_meta()[0]
 
     def current(self) -> DataFrame | None:
         v = self._current_version()
@@ -73,7 +97,7 @@ class IncrementalAggView:
     # -- aggregation ----------------------------------------------------
     def _partials(self, df: DataFrame) -> DataFrame:
         aggs = [
-            _MERGEABLE[fn][0](col).alias(out) if col else _MERGEABLE[fn][0](None).alias(out)
+            _MERGEABLE[fn][0](col).alias(out)
             for out, (fn, col) in self.agg_spec.items()
         ]
         return df.groupBy(*self.key_cols).agg(*aggs)
@@ -86,18 +110,35 @@ class IncrementalAggView:
         return merged.groupBy(*self.key_cols).agg(*aggs)
 
     def merge_batch(self, batch_df: DataFrame, batch_id: int | None = None) -> None:
-        """foreachBatch hook: fold one micro-batch into the view."""
+        """foreachBatch hook: fold one micro-batch into the view.
+
+        Idempotent on batch_id: foreachBatch is at-least-once (a batch
+        is re-delivered if the driver dies after this hook but before
+        the streaming checkpoint commits), so a batch whose id was
+        already recorded in META is skipped instead of double-counted.
+        Pass batch_id=None only for non-streaming (manual) folds, which
+        forgo that protection."""
+        v, last_bid = self._read_meta()
+        if batch_id is not None and last_bid is not None and batch_id <= last_bid:
+            return  # replayed micro-batch: already folded into v
         partials = self._partials(batch_df)
-        cur = self.current()
+        cur = (
+            None
+            if v is None
+            else self.spark.read.parquet(os.path.join(self.path, f"v{v}"))
+        )
         new_state = partials if cur is None else self._merge(cur, partials)
-        v = self._current_version()
-        nxt = 0 if v is None else 1 - v
-        out_dir = os.path.join(self.path, f"v{nxt}")
-        new_state.write.mode("overwrite").parquet(out_dir)
+        nxt = 0 if v is None else v + 1
+        new_state.write.mode("overwrite").parquet(os.path.join(self.path, f"v{nxt}"))
         tmp = self._meta_path() + ".tmp"
         with open(tmp, "w") as f:
-            f.write(str(nxt))
+            f.write(f"{nxt} {batch_id if batch_id is not None else -1}")
         os.replace(tmp, self._meta_path())  # atomic pointer flip
+        # retain v{nxt} and v{nxt-1}; GC anything older (a reader that
+        # grabbed the previous version before the flip still completes)
+        for d in os.listdir(self.path):
+            if d.startswith("v") and d[1:].isdigit() and int(d[1:]) < nxt - 1:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
 
 
 def sales_graph_view(spark: SparkSession, path: str) -> IncrementalAggView:

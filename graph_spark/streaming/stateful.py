@@ -2,9 +2,17 @@
 stateful op"): applyInPandasWithState kernels whose semantics are
 parity-tested against their batch window-function forms.
 
-State-store scale model: one state row per active group key; the state
-store is RocksDB-backed on executors at scale and bounded by the
-watermark horizon, not total history.
+State-store scale model: one state row per group key, RocksDB-backed
+on executors at scale.  These kernels run with GroupStateTimeout
+.NoTimeout, so state is bounded by ALL-TIME DISTINCT KEYS, not the
+watermark horizon — correct for these recurrences (a session/EWMA must
+survive arbitrarily long user gaps; expiring state would silently
+restart sessions and reseed averages) but a deliberate trade-off: a
+deployment with unbounded key churn should wrap the update functions
+with EventTimeTimeout eviction and accept the semantic change, or
+bound keys upstream.  The s26 declared query sizes the TTL'd
+alternative (peak concurrent state under a 30-min horizon) for
+capacity planning.
 """
 
 from __future__ import annotations

@@ -93,3 +93,41 @@ def test_incremental_via_real_stream(spark, tmp_path):
 def test_unmergeable_aggregate_rejected(spark, tmp_path):
     with pytest.raises(ValueError, match="not a mergeable"):
         IncrementalAggView(spark, str(tmp_path / "x"), ["k"], {"d": ("avg", "v")})
+
+
+def test_replayed_batch_id_not_double_counted(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering an already-applied
+    batch_id must be a no-op (exactly-once fold), and new ids keep
+    applying."""
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0), ("b", 5.0)], ["k", "v"])
+    view = IncrementalAggView(
+        spark, str(tmp_path / "v"), ["k"], {"n": ("count", None), "s": ("sum", "v")}
+    )
+    view.merge_batch(df, 0)
+    view.merge_batch(df, 0)  # replay: must be skipped
+    got = {r["k"]: (r["n"], r["s"]) for r in view.current().collect()}
+    assert got == {"a": (2, 3.0), "b": (1, 5.0)}
+    view.merge_batch(df, 1)  # genuinely new batch applies
+    got = {r["k"]: (r["n"], r["s"]) for r in view.current().collect()}
+    assert got == {"a": (4, 6.0), "b": (2, 10.0)}
+
+
+def test_version_dirs_monotonic_and_gced(spark, tmp_path):
+    """The writer never overwrites a live dir: versions are monotonic
+    fresh dirs, current + previous retained, older GC'd."""
+    import os
+
+    df = spark.createDataFrame([("a", 1.0)], ["k", "v"])
+    view = IncrementalAggView(spark, str(tmp_path / "v"), ["k"], {"s": ("sum", "v")})
+    for i in range(4):
+        view.merge_batch(df, i)
+    dirs = sorted(
+        d for d in os.listdir(str(tmp_path / "v")) if d.startswith("v") and d[1:].isdigit()
+    )
+    assert dirs == ["v2", "v3"]
+    assert view.current().collect()[0]["s"] == 4.0
+
+
+def test_value_column_required_at_construction(spark, tmp_path):
+    with pytest.raises(ValueError, match="needs a value column"):
+        IncrementalAggView(spark, str(tmp_path / "x"), ["k"], {"s": ("sum", None)})
