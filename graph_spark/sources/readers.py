@@ -39,6 +39,13 @@ def read_jdbc(
     without them the whole table funnels through one task."""
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            # str(None) would reach the JDBC relation as the literal
+            # "None" and die in a NumberFormatException far from here
+            raise ValueError(
+                "read_jdbc: partition_column requires lower_bound and "
+                "upper_bound (the stride bounds of the partition column)"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("numPartitions", str(num_partitions))

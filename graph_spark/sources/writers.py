@@ -15,6 +15,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+__all__ = [
+    "write_parquet_partitioned",
+    "write_time_bucketed",
+    "write_bucketed_table",
+    "upsert_scd1",
+    "upsert_scd2",
+    "zorder_value",
+    "write_zordered",
+    "write_xml",
+]
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", root_tag: str = "rows"
+) -> None:
+    """XML sink (re-exported: the implementation lives beside its reader
+    in readers.py so the rowTag contract stays in one file; sinks are
+    FOUND here)."""
+    from .readers import write_xml as _impl
+
+    _impl(df, path, row_tag=row_tag, root_tag=root_tag)
+
 
 def write_parquet_partitioned(
     df: DataFrame,
@@ -47,9 +69,17 @@ def write_time_bucketed(
     key = "spark.sql.parquet.outputTimestampType"
     prev = spark.conf.get(key, "INT96")
     spark.conf.set(key, "TIMESTAMP_MICROS")
+    fmts = {"year": "yyyy", "month": "yyyy-MM", "day": "yyyy-MM-dd",
+            "hour": "yyyy-MM-dd-HH"}
+    if bucket not in fmts:
+        raise ValueError(
+            f"write_time_bucketed: bucket must be one of {sorted(fmts)}, "
+            f"got {bucket!r}"
+        )
     try:
         out = df.withColumn(
-            "__bucket", F.date_format(F.date_trunc(bucket, F.col(ts_col)), "yyyy-MM")
+            "__bucket",
+            F.date_format(F.date_trunc(bucket, F.col(ts_col)), fmts[bucket]),
         )
         out.write.mode(mode).partitionBy("__bucket").parquet(path)
     finally:
@@ -97,12 +127,20 @@ def upsert_scd2(
     """SCD-2 history-preserving upsert: close out the open row for each
     updated key (set valid_to = new row's ts) and append the new open
     rows.  Implemented as a window over (keys, ts) on the unioned set —
-    the idiomatic valid-until-changed pattern on immutable storage."""
+    the idiomatic valid-until-changed pattern on immutable storage.
+
+    Rows already carrying a non-null `end_col` (closed history, e.g. a
+    tombstoned record with no successor) pass through UNTOUCHED: only
+    open rows get their valid_to from the lead() — recomputing it for
+    everything would retroactively reopen or extend closed spans."""
     from pyspark.sql import Window
 
     unioned = current.unionByName(updates, allowMissingColumns=True)
     w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
-    return unioned.withColumn(end_col, F.lead(ts_col).over(w))
+    nxt = F.lead(ts_col).over(w)
+    if end_col in unioned.columns:
+        return unioned.withColumn(end_col, F.coalesce(F.col(end_col), nxt))
+    return unioned.withColumn(end_col, nxt)
 
 
 def zorder_value(col_a, col_b, bits: int = 16):

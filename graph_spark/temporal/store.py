@@ -87,12 +87,18 @@ class TemporalPropertyStore:
         """Interval writes: value valid on [start, end) — lowered to a
         (start, v) change-point plus an (end, NULL) unset marker, so the
         read path stays the plain piecewise-constant scan."""
+        # two sequence slots: ends take `seq`, starts take `seq + 1`,
+        # so ABUTTING intervals written in one call ([a,b) then [b,c))
+        # resolve deterministically at the shared instant b — the new
+        # start beats the old end instead of tying on row_number's
+        # arbitrary partition order
         seq = self._next_seq
         ent = F.col(entity_col).cast("long").alias("entity_id")
         pr = (F.lit(prop) if prop is not None else F.col("prop")).alias("prop")
         starts = df.select(
             ent, pr, F.col(start_col).alias("ts"),
-            F.col(value_col).alias("value"), F.lit(seq).cast("long").alias("seq"),
+            F.col(value_col).alias("value"),
+            F.lit(seq + 1).cast("long").alias("seq"),
         )
         ends = df.select(
             ent, pr, F.col(end_col).alias("ts"),
@@ -100,13 +106,15 @@ class TemporalPropertyStore:
             F.lit(seq).cast("long").alias("seq"),
         )
         return TemporalPropertyStore(
-            self.log.unionByName(starts).unionByName(ends), seq + 1
+            self.log.unionByName(starts).unionByName(ends), seq + 2
         )
 
     # ---- reads --------------------------------------------------------
 
     def _prop(self, prop: str | None) -> DataFrame:
-        return self.log.filter(F.col("prop") == prop) if prop else self.log
+        # `is not None`, not truthiness: an empty-string prop name is a
+        # legal key and must filter, not silently read the whole log
+        return self.log.filter(F.col("prop") == prop) if prop is not None else self.log
 
     def value_at(self, at_ts, prop: str | None = None) -> DataFrame:
         """getTemporalProperty(key, t): latest change-point <= t per
@@ -117,16 +125,20 @@ class TemporalPropertyStore:
 
     def range_aggregate(self, start_ts, end_ts, prop: str | None = None,
                         aggs: dict | None = None) -> DataFrame:
+        # resolve same-ts overwrites (last write wins) BEFORE
+        # aggregating — the raw log would double-count a superseded
+        # write; unset markers carry no value and drop out after
         return tprop.range_aggregate(
-            self._prop(prop).filter(F.col("value").isNotNull()),
+            self._latest_per_ts(prop).filter(F.col("value").isNotNull()),
             start_ts, end_ts, ["entity_id"], "value", aggs,
         )
 
     def time_weighted_avg(self, start_ts, end_ts, prop: str | None = None) -> DataFrame:
-        pc = self._latest_per_ts(prop)
-        return tprop.time_weighted_avg(
-            pc.filter(F.col("value").isNotNull()), start_ts, end_ts
-        )
+        # NULL unset markers must survive INTO the segment expansion:
+        # they terminate the preceding value's segment (dropping them
+        # first would bleed the value over the unset span); the operator
+        # zero-weights the null segments themselves after the lead()
+        return tprop.time_weighted_avg(self._latest_per_ts(prop), start_ts, end_ts)
 
     def segments(self, prop: str | None = None) -> DataFrame:
         """Validity intervals (entity, value, valid_from, valid_to)."""
@@ -142,7 +154,7 @@ class TemporalPropertyStore:
         the merge step an LSM store does on read/compaction."""
         from pyspark.sql import Window
 
-        w = Window.partitionBy("entity_id", "ts").orderBy(F.col("seq").desc())
+        w = Window.partitionBy("entity_id", "prop", "ts").orderBy(F.col("seq").desc())
         return (
             self._prop(prop)
             .withColumn("__rn", F.row_number().over(w))

@@ -103,7 +103,15 @@ def time_weighted_avg(
     s = F.greatest(F.col("vf"), start_ts)
     e = F.least(F.coalesce(F.col("vt"), end_ts), end_ts)
     days = F.datediff(e.cast("date"), s.cast("date"))
-    clipped = seg.withColumn("days", days).filter(F.col("days") > 0)
+    # null-valued rows (unset markers) participate in the lead() above —
+    # they TERMINATE the previous value's segment — but carry no weight
+    # themselves; filtering them before the expansion would bleed the
+    # prior value across the unset span
+    clipped = (
+        seg.withColumn("days", days)
+        .filter(F.col("days") > 0)
+        .filter(F.col("v").isNotNull())
+    )
     return (
         clipped.groupBy(entity_col)
         .agg(
@@ -169,9 +177,19 @@ def align(
     (carry each prop's last value across the bucket boundary).
     """
     sel = tprop.filter(F.col(prop_col).isin(list(props)))
+    # STRUCT-wrap each prop's value before the pivot: the forward fill
+    # below must distinguish "no change for p at this ts" (null struct,
+    # skipped by ignorenulls) from "p UNSET at this ts" (non-null struct
+    # carrying a null value, which correctly overwrites the fill) — the
+    # same trick values_at_many uses for its as-of fill
     merged = sel.groupBy(entity_col, ts_col).agg(
         *[
-            F.max(F.when(F.col(prop_col) == p, F.col(value_col))).alias(f"__d_{p}")
+            F.max(
+                F.when(
+                    F.col(prop_col) == p,
+                    F.struct(F.col(value_col).alias("v")),
+                )
+            ).alias(f"__d_{p}")
             for p in props
         ]
     )
@@ -183,7 +201,10 @@ def align(
     return merged.select(
         entity_col,
         ts_col,
-        *[F.last(f"__d_{p}", ignorenulls=True).over(w).alias(p) for p in props],
+        *[
+            F.last(f"__d_{p}", ignorenulls=True).over(w).getField("v").alias(p)
+            for p in props
+        ],
     )
 
 

@@ -186,3 +186,134 @@ def test_store_timeline_values_at_many_and_unsets(spark):
     al = {(r["entity_id"], r["ts"]): (r["p"], r["q"]) for r in st2.align(["p", "q"]).collect()}
     assert al[(1, T("2024-01-03"))] == (10.0, 7.0)
     assert al[(1, T("2024-01-10"))] == (20.0, 7.0)
+
+
+def test_store_read_paths_respect_unsets_and_lww(spark):
+    """r7 self-review regressions: (a) time_weighted_avg must stop
+    weighting a value at its NULL unset marker, (b) range_aggregate
+    must resolve same-ts overwrites (last write wins) before
+    aggregating, (c) align must NOT resurrect a value past its unset,
+    (d) same-ts writes to DIFFERENT props must both survive the
+    per-(entity, prop, ts) collapse, (e) abutting intervals written in
+    one call resolve deterministically at the shared instant."""
+    import datetime as dt
+
+    from graph_spark.temporal.store import TemporalPropertyStore
+
+    T = lambda s: dt.datetime.fromisoformat(s)
+
+    # (a) value 10 on [01-01, 01-05) then unset; probe window [01-01, 01-11)
+    st = TemporalPropertyStore.empty(spark).write_intervals(
+        spark.createDataFrame(
+            [(1, T("2024-01-01"), T("2024-01-05"), 10.0)],
+            ["entity_id", "start_ts", "end_ts", "value"],
+        ),
+        prop="p",
+    )
+    twa = st.time_weighted_avg(
+        F.lit("2024-01-01").cast("timestamp"), F.lit("2024-01-11").cast("timestamp"), "p"
+    ).collect()
+    # 4 weighted days of 10.0, 6 unset days carry NO weight -> mean 10.0
+    assert twa[0]["twa"] == 10.0
+
+    # (b) same-ts overwrite: range agg sees only the winning write
+    mk = lambda v: spark.createDataFrame(
+        [(1, T("2024-01-02"), v)], ["entity_id", "ts", "value"]
+    )
+    st2 = (
+        TemporalPropertyStore.empty(spark)
+        .write_points(mk(1.0), prop="p")
+        .write_points(mk(2.0), prop="p")
+    )
+    ra = st2.range_aggregate(
+        F.lit("2024-01-01").cast("timestamp"), F.lit("2024-02-01").cast("timestamp"), "p"
+    ).collect()[0]
+    assert (ra["mn"], ra["mx"], ra["avg"]) == (2.0, 2.0, 2.0)
+
+    # (c) align past an unset: p unset at 01-20, q changes at 01-25
+    st3 = (
+        TemporalPropertyStore.empty(spark)
+        .write_points(
+            spark.createDataFrame([(1, T("2024-01-01"), 10.0)], ["entity_id", "ts", "value"]),
+            prop="p",
+        )
+        .write_unsets(
+            spark.createDataFrame([(1, T("2024-01-20"))], ["entity_id", "ts"]), prop="p"
+        )
+        .write_points(
+            spark.createDataFrame([(1, T("2024-01-25"), 7.0)], ["entity_id", "ts", "value"]),
+            prop="q",
+        )
+    )
+    al = {r["ts"]: (r["p"], r["q"]) for r in st3.align(["p", "q"]).collect()}
+    assert al[T("2024-01-20")] == (None, None)
+    assert al[T("2024-01-25")] == (None, 7.0)  # p must NOT resurrect 10.0
+
+    # (d) same-ts writes to two different props both survive
+    st4 = (
+        TemporalPropertyStore.empty(spark)
+        .write_points(
+            spark.createDataFrame([(1, T("2024-01-05"), 1.0)], ["entity_id", "ts", "value"]),
+            prop="p",
+        )
+        .write_points(
+            spark.createDataFrame([(1, T("2024-01-05"), 2.0)], ["entity_id", "ts", "value"]),
+            prop="q",
+        )
+    )
+    al4 = {r["ts"]: (r["p"], r["q"]) for r in st4.align(["p", "q"]).collect()}
+    assert al4[T("2024-01-05")] == (1.0, 2.0)
+
+    # (e) abutting intervals in ONE call: at the boundary the new
+    # interval's value wins over the old one's end marker, under any
+    # shuffle layout
+    st5 = TemporalPropertyStore.empty(spark).write_intervals(
+        spark.createDataFrame(
+            [(1, T("2024-01-01"), T("2024-01-05"), 5.0),
+             (1, T("2024-01-05"), T("2024-01-09"), 7.0)],
+            ["entity_id", "start_ts", "end_ts", "value"],
+        ),
+        prop="p",
+    )
+    v = st5.value_at(F.lit("2024-01-05").cast("timestamp"), "p").collect()
+    assert v[0]["value"] == 7.0
+
+
+def test_scd2_closed_rows_untouched(spark):
+    """upsert_scd2 must not reopen or extend already-closed history."""
+    import datetime as dt
+
+    from graph_spark.sources.writers import upsert_scd2
+
+    t = dt.datetime
+    cur = spark.createDataFrame(
+        [(1, 10.0, t(2024, 1, 1), t(2024, 2, 1))], ["k", "v", "ts", "valid_to"]
+    )
+    upd = spark.createDataFrame([(1, 20.0, t(2024, 6, 1))], ["k", "v", "ts"])
+    rows = {
+        (r["k"], r["ts"]): r["valid_to"]
+        for r in upsert_scd2(cur, upd, ["k"], "ts").collect()
+    }
+    assert rows[(1, t(2024, 1, 1))] == t(2024, 2, 1)  # closed row untouched
+    assert rows[(1, t(2024, 6, 1))] is None  # new row open
+
+
+def test_time_bucketed_day_granularity(spark, tmp_path):
+    """bucket='day' must produce per-DAY partition dirs, not months."""
+    import datetime as dt
+    import os
+
+    from graph_spark.sources.writers import write_time_bucketed
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 5), 1.0), (2, dt.datetime(2024, 1, 2, 6), 2.0)],
+        ["entity_id", "ts", "value"],
+    )
+    path = str(tmp_path / "by_day")
+    write_time_bucketed(df, path, "ts", bucket="day")
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("__bucket="))
+    assert dirs == ["__bucket=2024-01-01", "__bucket=2024-01-02"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bucket must be one of"):
+        write_time_bucketed(df, path, "ts", bucket="fortnight")
