@@ -748,21 +748,34 @@ def _string_ops_rewrite(text: str) -> str:
     ``x ENDS WITH y`` -> ``endswith(x, y)``, ``x CONTAINS y`` ->
     ``contains(x, y)``.  ``NOT`` composes for free (``NOT contains(..)``
     is plain SQL).  Matches inside quoted string literals are left
-    untouched."""
-    spans = [m.span() for m in re.finditer(r"'[^']*'|\"[^\"]*\"", text)]
+    untouched.
 
-    def sub(m: re.Match) -> str:
-        op_at = m.start("op")
-        if any(a < op_at < b for a, b in spans):
-            return m.group(0)
-        fn = {
-            "STARTSWITH": "startswith",
-            "ENDSWITH": "endswith",
-            "CONTAINS": "contains",
-        }[re.sub(r"\s+", "", m.group("op").upper())]
-        return f"{fn}({m.group('left')}, {m.group('right')})"
+    Iterates to a FIXPOINT: a single pass rewrites non-overlapping
+    matches left to right, so a (nonsensical but parseable) chained
+    ``a STARTS WITH b STARTS WITH c`` would otherwise leave a residual
+    infix operator whose left operand is the freshly-built call — the
+    fixpoint keeps the transform idempotent (property-tested); a
+    genuinely ill-typed chain surfaces as a Spark analysis error, not a
+    mis-parse."""
+    for _ in range(10):  # bound: each pass strictly removes operators
+        spans = [m.span() for m in re.finditer(r"'[^']*'|\"[^\"]*\"", text)]
 
-    return _STR_OP.sub(sub, text)
+        def sub(m: re.Match) -> str:
+            op_at = m.start("op")
+            if any(a < op_at < b for a, b in spans):
+                return m.group(0)
+            fn = {
+                "STARTSWITH": "startswith",
+                "ENDSWITH": "endswith",
+                "CONTAINS": "contains",
+            }[re.sub(r"\s+", "", m.group("op").upper())]
+            return f"{fn}({m.group('left')}, {m.group('right')})"
+
+        new = _STR_OP.sub(sub, text)
+        if new == text:
+            return text
+        text = new
+    return text
 
 
 _UNION_RE = re.compile(r"\bUNION(?:\s+ALL)?\b", re.IGNORECASE)
