@@ -83,6 +83,10 @@ def minhash_lsh_candidates(
     near-duplicate pairs (a < b).  This is the scale path: candidate
     generation is a shuffle on band hashes, never a crossJoin.
 
+    `bands` must divide `k`: a remainder would silently drop the
+    trailing signature positions from every band key (changing the
+    effective k), and bands > k would build empty bands.
+
     Band hashes are derived per-row from the signature array (the same
     `md5(concat_ws('|', sorted ["ii:sig", ...]))` value the old
     groupBy(id, band)+collect_list form produced, byte-identical) — the
@@ -90,6 +94,11 @@ def minhash_lsh_candidates(
     itself.  Bucket occupancy was measured at 2M docs: max 67, p99 = 2,
     0.08% of candidate pairs from buckets >64 — no cap needed; the
     join is the cheap stage."""
+    if bands < 1 or k % bands != 0:
+        raise ValueError(
+            f"minhash_lsh_candidates: bands ({bands}) must divide k ({k}) "
+            "— a remainder silently drops trailing signature positions"
+        )
     rows_per_band = k // bands
     arr = minhash_signature_array(df, k, text_col, id_col)
     band_strs = F.transform(
@@ -261,8 +270,13 @@ def ngram_jaccard_pairs(df: DataFrame, n: int = 2, text_col: str = "text", id_co
     )
     sa = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb"))
+    # NO broadcast hint on the size tables: they are one row PER DOC
+    # (linear in corpus size), so forcing a broadcast would ship the
+    # whole doc list to every executor at the 2M-doc scale this module
+    # benches — AQE elects a broadcast by itself when the corpus is
+    # genuinely small
     return (
-        inter.join(F.broadcast(sa), "a").join(F.broadcast(sb), "b")
+        inter.join(sa, "a").join(sb, "b")
         .withColumn("jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
         .select("a", "b", "jaccard")
     )
@@ -285,7 +299,23 @@ def simhash_hamming_pairs(
     recall 1.0 for distance <= 3 by pigeonhole).  Exact hamming is then
     computed digit-wise (bit_count of 4-bit xor, summed over the 16 hex
     digits) on candidates only.  Returns (i, j, hd), i < j.
+
+    Recall 1.0 REQUIRES max_distance <= n_bands - 1 (pigeonhole: at
+    distance d, some band is untouched only when d < n_bands) and
+    n_bands dividing the 16 hex digits — both validated, because a
+    violation is a silent recall hole, not an error.
     """
+    if 16 % n_bands != 0:
+        raise ValueError(
+            f"simhash_hamming_pairs: n_bands ({n_bands}) must divide the "
+            "16-hex-digit signature (1/2/4/8/16)"
+        )
+    if max_distance > n_bands - 1:
+        raise ValueError(
+            f"simhash_hamming_pairs: max_distance ({max_distance}) > "
+            f"n_bands - 1 ({n_bands - 1}) loses pairs silently — a pair "
+            "can differ in every band; raise n_bands to keep recall 1.0"
+        )
     band_w = 16 // n_bands
     sig = simhash_signatures(df, text_col, id_col)
     bands = (
@@ -323,7 +353,7 @@ def simhash_hamming_pairs(
 
 
 def fuzzy_match_pairs(
-    df: DataFrame, col: str, max_distance: int = 2, id_col: str | None = None
+    df: DataFrame, col: str, max_distance: int = 2
 ) -> DataFrame:
     """Edit-distance near-match pairs with length-band blocking: each
     value emits candidate length buckets len-d..len+d, equi-joined
@@ -352,8 +382,7 @@ def fuzzy_match_pairs(
         .withColumn("dist", F.levenshtein("v", "w"))
         .filter(F.col("dist") <= max_distance)
         .select(F.col("v").alias("a"), F.col("w").alias("b"), F.col("dist").cast("int").alias("dist"))
-        .distinct()
-    )
+    )  # vals is distinct and each (v, w) pair joins on one length band
 
 
 def positional_ngrams(
@@ -367,7 +396,11 @@ def positional_ngrams(
     """
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.split(F.lower(F.col(text_col)), " ").alias("toks"),
+        # filter '' like tokens()/word_shingles: runs of spaces must not
+        # mint phantom tokens that shift positions and pad spans
+        F.expr(f"filter(split(lower({text_col}), ' '), x -> x != '')").alias(
+            "toks"
+        ),
     )
     gram_expr = (
         f"CASE WHEN size(toks) >= {n} THEN "

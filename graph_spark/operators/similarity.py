@@ -236,7 +236,14 @@ def cosine_topk_ivf(
     brute force)."""
     from pyspark.sql import Window
 
-    cents = ivf_centroids(corpus, n_clusters, dim, vec_col=vec_col, id_col=id_col)
+    # materialize the tiny centroid table ONCE: it is referenced by two
+    # broadcast subtrees (corpus assignment + probe-cell scoring), and
+    # left lazy each reference would re-embed the full kmeans lineage
+    # (crossJoin + window per iteration, global-sort seed scan) in the
+    # final plan
+    cents = ivf_centroids(
+        corpus, n_clusters, dim, vec_col=vec_col, id_col=id_col
+    ).localCheckpoint(eager=True)
     corpus_cells = _assign_clusters(corpus, cents, vec_col, id_col).select(
         F.col(id_col).alias("nb"), F.col("cluster").alias("cell")
     )

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import tokens, word_shingles
+from .dedup import word_shingles
 
 # Tiny English stopword list used by the language-ID heuristic.  Kept
 # deliberately small + frozen: it is part of declared query semantics.
@@ -123,7 +123,10 @@ def pack_sequences(
     by (part, time bucket) so no single cumsum partition is unbounded —
     pack ids then only need to be unique within a bucket.
     """
-    toks = df.withColumn("n_tok", F.size(F.split(F.col(text_col), " ")))
+    toks = df.withColumn(
+        "n_tok",
+        F.size(F.expr(f"filter(split({text_col}, ' '), x -> x != '')")),
+    )
     w = Window.partitionBy(part_col).orderBy(order_col)
     return toks.withColumn(
         "pack_id", F.floor((F.sum("n_tok").over(w) - 1) / budget).cast("long")
@@ -274,10 +277,18 @@ def dsir_resample(
     )
     u = (v + F.lit(0.5)) / F.lit(4294967296.0)
     key = F.col("logw") + (-F.log(-F.log(u)))
-    w = Window.orderBy(key.desc(), F.col("doc_id").asc())
+    # top-m via orderBy+limit (TakeOrdered: per-partition heaps merged
+    # on the driver) — an unpartitioned row_number window would drag
+    # the ENTIRE scored corpus through one task; rank is assigned on
+    # the m survivors only (bounded single-partition window)
+    survivors = (
+        scored.withColumn("__key", key)
+        .orderBy(F.col("__key").desc(), F.col("doc_id").asc())
+        .limit(m)
+    )
+    w = Window.orderBy(F.col("__key").desc(), F.col("doc_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= m)
+        survivors.withColumn("rank", F.row_number().over(w))
         .select("rank", "doc_id", "logw")
         .orderBy("rank")
     )

@@ -311,8 +311,16 @@ def test_simhash_hamming_pairs_identical_and_disjoint(spark):
     out = {(r["i"], r["j"]): r["hd"] for r in simhash_hamming_pairs(df, max_distance=0).collect()}
     assert out == {(1, 2): 0}
     # distance-3 recall guarantee: with 4 bands one band must be clean
-    near = simhash_hamming_pairs(df, max_distance=64).collect()
+    near = simhash_hamming_pairs(df, max_distance=3).collect()
     assert all(r["i"] < r["j"] for r in near)
+    # beyond the pigeonhole bound the banding LOSES pairs silently —
+    # refused (r7 self-review), as is a band width not dividing 16 hex
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_bands - 1"):
+        simhash_hamming_pairs(df, max_distance=64)
+    with _pytest.raises(ValueError, match="must divide"):
+        simhash_hamming_pairs(df, max_distance=2, n_bands=3)
 
 
 def test_time_weighted_avg_prefix_segment(spark):
