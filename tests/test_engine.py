@@ -80,7 +80,12 @@ def test_engine_round1_additions(spark):
     assert eng.temporal_compact(series).count() <= series.count()
 
     docs = eng.table("documents")
-    assert eng.dedup_simhash(docs, max_distance=64).count() >= 0
+    assert eng.dedup_simhash(docs, max_distance=3).count() >= 0
+    # beyond the pigeonhole recall bound the banding is refused (r7)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_bands - 1"):
+        eng.dedup_simhash(docs, max_distance=64)
 
 
 def test_engine_new_surfaces(spark):
