@@ -320,6 +320,12 @@ def _local_multi_bfs_pdf(pdf, sources, max_hops: int):
     out_lm, out_node, out_d = [], [], []
     for lm in sources:
         if lm not in idx:
+            # absent-landmark convention: report the landmark itself at
+            # distance 0 (matches the distributed seed and
+            # bfs_distances' documented behavior on both paths)
+            out_lm.append(lm)
+            out_node.append(lm)
+            out_d.append(0)
             continue
         dist = np.full(n, -1, dtype="int64")
         dist[idx[lm]] = 0
@@ -641,10 +647,12 @@ def pagerank_weighted(
         edges3.select(F.col("src").alias("node"))
         .union(edges3.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
     nv = nodes.count()
     spark = edges3.sparkSession
     if nv == 0:
+        nodes.unpersist()
         return spark.createDataFrame([], "node string, rank double")
     n_part = spark.sparkContext.defaultParallelism
     bcast = _use_broadcast_state(nv, broadcast_state)
@@ -991,7 +999,12 @@ def personalized_pagerank(
     spark = graph.edges.sparkSession
     if ns == 0:
         # no seed present in the graph: zero teleport mass everywhere
-        return nodes.select("node", F.lit(0.0).alias("rank"))
+        # (materialize before unpersisting the frame the plan reads)
+        out = nodes.select("node", F.lit(0.0).alias("rank")).localCheckpoint(
+            eager=True
+        )
+        nodes.unpersist()
+        return out
     tele = F.when(F.col("node").isin(src_set), F.lit(1.0 / ns)).otherwise(F.lit(0.0))
     n_part = spark.sparkContext.defaultParallelism
     bcast = _use_broadcast_state(nodes.count(), broadcast_state)
@@ -1118,9 +1131,12 @@ def shortest_paths_weighted(
             .filter(F.col("o.dist").isNull() | (F.col("n.dist") < F.col("o.dist")))
             .take(1)
         )
-        prev_count = dist.count()
         dist = new_dist
-        if not same and new_dist.count() == prev_count:
+        # `same` is empty only when NO node improved and none is new (a
+        # new node has o.dist NULL and lands in the probe), so the old
+        # prev/new count() comparison was two redundant full-scan jobs
+        # per relaxation round
+        if not same:
             break
     return dist
 
@@ -1291,7 +1307,14 @@ def _scc_reach(ein: DataFrame, pivots: DataFrame, max_inner: int, reverse: bool)
     to that partition's (same-part) edges.  One frontier loop covers ALL
     partitions simultaneously — state is keyed (part, node), so the
     superstep count is the max BFS depth over partitions, not the sum.
-    `reverse=True` walks edges backward.  Returns (part, node)."""
+    `reverse=True` walks edges backward.  Returns (part, node).
+
+    `max_inner` is a superstep HORIZON, not a convergence proof: a
+    partition whose diameter exceeds it yields an incomplete reach set
+    (and thus over-split SCCs).  The default (60) covers the measured
+    synthetic/fixture graphs; graphs suspected of >60-hop directed
+    diameters should raise max_iter on strongly_connected_components
+    or use the local Kosaraju route."""
     a, b = ("dst", "src") if reverse else ("src", "dst")
     visited = pivots.select("part", "node").localCheckpoint(eager=True)
     frontier = visited
@@ -1915,7 +1938,18 @@ def betweenness_centrality(
     b_edges = spark.sparkContext.broadcast(edges_pdf)
     if sources is None:
         sources = [r[0] for r in graph.vertices.select("id").collect()]
-    n_total = graph.vertices.count()
+    # normalization basis = EDGE-ENDPOINT node count, the same basis the
+    # local kernel's _factorize_edges sees — graph.vertices.count()
+    # would diverge 6x on a 10-vertex/5-endpoint graph purely by which
+    # auto-route fired; skipped entirely when not normalizing
+    n_total = (
+        graph.edges.select(F.col("src").alias("id"))
+        .unionByName(graph.edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .count()
+        if normalized
+        else 0
+    )
     src_df = spark.createDataFrame(
         [(s,) for s in sources], ["source"]
     ).repartition(min(source_batches, max(1, len(sources))))
@@ -1941,6 +1975,10 @@ def betweenness_centrality(
         out = out.select(
             "node", (F.col("bc") / ((n_total - 1) * (n_total - 2) / 2.0)).alias("bc")
         )
+    # materialize before dropping the broadcast the plan depends on,
+    # then release the (up to 50M-row) pandas edge list from executors
+    out = out.localCheckpoint(eager=True)
+    b_edges.unpersist()
     return out
 
 
@@ -1956,6 +1994,13 @@ def maximal_weight_matching(
     src ASC) — accepted pairs leave the graph.  Deterministic given the
     tie-breaks; a maximal (not maximum) matching, the standard
     distributed relaxation.
+
+    CONTRACT: edges must be BIPARTITE-ORIENTED — no node may appear on
+    both the src and dst side (the fixture's c->s graphs satisfy this
+    by id-prefix construction).  Acceptance is per-dst only, so a node
+    proposing as src while accepting as dst in the same round would
+    otherwise enter two matched pairs; a general-graph matching needs
+    handshake (mutual-best) acceptance — not implemented here.
 
     Per round: two window shuffles (argmax per src, argmax per dst) and
     two broadcast anti-joins against the (small, <=|V|/2 per round)
@@ -1997,7 +2042,7 @@ def maximal_weight_matching(
 def minimum_spanning_forest(
     edges: DataFrame,
     weight_col: str = "weight",
-    max_rounds: int = 8,
+    max_rounds: int = 30,
 ) -> DataFrame:
     """Borůvka minimum spanning forest over an undirected graph given
     as SYMMETRIC weighted pairs (src, dst, w).  Per round every
@@ -2012,6 +2057,13 @@ def minimum_spanning_forest(
     relabel via connected_components over the (tiny) forest — edges
     stay stationary throughout.  Returns the forest as canonical
     (src < dst) edges: DataFrame(src, dst, <weight_col>).
+
+    Merging is only GUARANTEED to halve the component count per round
+    (pathological pairings), so max_rounds defaults to 30 (≥ log2 of
+    any feasible node count; completed forests exit early on the
+    crossing-edge probe, so unused headroom costs nothing) and the
+    function RAISES if crossing edges survive the horizon — silently
+    returning a non-spanning forest was the r7-review failure mode.
     """
     e = edges.select("src", "dst", F.col(weight_col).alias("w"))
     spark = e.sparkSession
@@ -2020,6 +2072,7 @@ def minimum_spanning_forest(
     forest = None
     lo = F.least("src", "dst")
     hi = F.greatest("src", "dst")
+    spanned = False
     for _ in range(max_rounds):
         ca = F.broadcast(comp.select(F.col("node").alias("an"), F.col("comp").alias("ac")))
         cb = F.broadcast(comp.select(F.col("node").alias("bn"), F.col("comp").alias("bc")))
@@ -2029,6 +2082,7 @@ def minimum_spanning_forest(
             .filter(F.col("ac") != F.col("bc"))
         )
         if not crossing.take(1):
+            spanned = True
             break
         pick = (
             crossing.groupBy("ac")
@@ -2054,6 +2108,22 @@ def minimum_spanning_forest(
             .select("node", F.coalesce("component", "node").alias("comp"))
             .localCheckpoint(eager=True)
         )
+    if not spanned:
+        # recompute with the FINAL labels (the in-loop frame is one
+        # merge behind): crossing edges here mean a non-spanning forest
+        ca = F.broadcast(comp.select(F.col("node").alias("an"), F.col("comp").alias("ac")))
+        cb = F.broadcast(comp.select(F.col("node").alias("bn"), F.col("comp").alias("bc")))
+        left_over = (
+            e.join(ca, e.src == F.col("an"))
+            .join(cb, e.dst == F.col("bn"))
+            .filter(F.col("ac") != F.col("bc"))
+        )
+        if left_over.take(1):
+            raise RuntimeError(
+                f"minimum_spanning_forest: crossing edges remain after "
+                f"{max_rounds} rounds — the forest does not span yet; raise "
+                "max_rounds (components only provably halve per round)"
+            )
     if forest is None:
         return spark.createDataFrame([], "src string, dst string, w double").withColumnRenamed(
             "w", weight_col
@@ -2134,13 +2204,15 @@ def hits_counts(edges: DataFrame, rounds: int = 2) -> DataFrame:
 
 
 def threshold_cascade(
-    nodes: DataFrame, edges_sym: DataFrame, seeds: DataFrame, rounds: int = 4
+    edges_sym: DataFrame, seeds: DataFrame, rounds: int = 4
 ) -> DataFrame:
     """Linear-threshold cascade (Granovetter/Kempe), theta = 1/2 as the
     exact integer test 2*|N(v) ∩ active| >= deg(v); `rounds`
     synchronous rounds (a declared horizon, not a fixpoint race).
     `seeds` is a (node) DataFrame.  Returns (node, r) = activation
-    round for every node active after the horizon.
+    round for every node active after the horizon.  Takes no node
+    frame: only nodes with symmetric edges can activate (activation
+    needs a degree), so a vertex list would be dead input.
 
     Per round: one shuffle (active-neighbor counts) + broadcast
     anti-join against the active set; active-set size is bounded by

@@ -5307,7 +5307,7 @@ def g101(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = Catalog(spark, sf_dir)
     seeds = c.graph_nodes().filter(F.substring(F.md5("node"), 1, 1) == "0")
-    act = threshold_cascade(c.graph_nodes(), c.graph_edges_sym(), seeds, rounds=4)
+    act = threshold_cascade(c.graph_edges_sym(), seeds, rounds=4)
     return (
         act.groupBy("r", F.substring("node", 1, 1).alias("side"))
         .agg(F.count(F.lit(1)).alias("n"))

@@ -243,7 +243,7 @@ def test_threshold_cascade_matches_python(spark, edges, seedmod, rounds):
     seeds = v.filter(F.substring("node", 2, 2).cast("int") % seedmod == 0)
     got = {
         (r["node"], r["r"])
-        for r in threshold_cascade(v, e, seeds, rounds=rounds).collect()
+        for r in threshold_cascade(e, seeds, rounds=rounds).collect()
     }
 
     nodes = {u for u, _ in es}
