@@ -7140,7 +7140,8 @@ _TRADE_CTE = """ne AS (
                 FROM allw w JOIN sp s
                   ON s.a = w.a AND s.b = w.b AND s.mlen = w.len
                 GROUP BY 1, 2, 3)
-       SELECT a AS src_nation, b AS dst_nation, mlen::INT AS hops, via
+       SELECT a AS src_nation, b AS dst_nation, mlen::INT AS hops,
+              array_to_string(via, '>') AS via
        FROM best ORDER BY 1, 2""",
     note="Cypher NAMED PATH surface (VERDICT r06 item 2): nodes(p) on "
     "a shortestPath binding returns the node array of ONE "
@@ -7157,7 +7158,12 @@ _TRADE_CTE = """ne AS (
     "side never enumerates, its frontier stays one row per pair with "
     "a bounded array column (the map-side-combinable min replaces "
     "the distinct).  Scale: same BFS shape as g03/g105 + O(hops) "
-    "array payload",
+    "array payload.  DECLARED-OUTPUT PROTOCOL (VERDICT r07 item 1): "
+    "the path renders as a '>'-joined STRING in both engines — the "
+    "driver canonicalizer hashes scalar cells only, so an array "
+    "column in a declared schema is a protocol violation (the r7 "
+    "driver-red); tests/test_declared.py guards every registry "
+    "entry's schema atomic-only",
 )
 def g137(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cy(
@@ -7165,7 +7171,7 @@ def g137(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         """MATCH p = shortestPath((a:Nation)-[:TRADE*1..3]->(b:Nation))
            RETURN a AS src_nation, b AS dst_nation, length(p) AS hops,
-                  nodes(p) AS via
+                  array_join(nodes(p), '>') AS via
            ORDER BY src_nation, dst_nation""",
     )
 

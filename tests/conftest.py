@@ -63,6 +63,20 @@ def normalize(columns, rows):
 def compare_query(spark, duck_connect, query, sf_dir: str):
     """Run the Spark builder and the DuckDB oracle, return (ok, detail)."""
     sdf = query.build(spark, sf_dir)
+    # Driver canonicalization protocol (VERDICT r07): declared outputs
+    # must be atomic-only — the driver's pandas canonicalizer hashes
+    # ','-joined scalar cells, so an Array/Map/Struct column breaks it
+    # (the g137 r7 driver-red).  Enforced on EVERY declared query here,
+    # where every registry entry flows.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    for f in sdf.schema.fields:
+        if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+            return False, (
+                f"declared-output protocol violation: column {f.name!r} "
+                f"is {f.dataType.simpleString()} — render as a joined "
+                "string (array_join/concat_ws) in both engines"
+            )
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns
     if query.oracle is None:
