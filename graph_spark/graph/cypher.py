@@ -236,6 +236,7 @@ def _split_clauses(query: str) -> list[tuple[str, str]]:
     occurrences inside quoted strings.  Bodies run to the next keyword."""
     parts = re.split(r"('[^']*'|\"[^\"]*\")", query)
     marks: list[tuple[int, str, int]] = []  # (start, KW, body_start)
+    shadowed: set[str] = set()  # aliases that shadow a clause keyword
     off = 0
     for idx, part in enumerate(parts):
         if idx % 2 == 0:
@@ -247,7 +248,19 @@ def _split_clauses(query: str) -> list[tuple[str, str]]:
                 if before.endswith("."):
                     continue
                 if re.search(r"\bAS$", before, re.IGNORECASE):
+                    # the alias itself is fine — but a LATER bare
+                    # reference to it is indistinguishable from a
+                    # genuine clause keyword, so remember it and
+                    # refuse at that point (ADVICE r7)
+                    shadowed.add(kw)
                     continue
+                if kw in shadowed:
+                    raise ValueError(
+                        f"cypher: an alias named {kw.lower()!r} shadows "
+                        "the clause keyword and is referenced later — "
+                        "a bare occurrence is ambiguous (alias vs "
+                        "clause boundary); rename the alias"
+                    )
                 if kw == "WITH":
                     # the WITH of a string operator (x STARTS WITH y /
                     # x ENDS WITH y) is not a clause boundary

@@ -12,8 +12,18 @@ The layout rules these helpers encode:
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Serializes in-process writers that toggle session-wide SQL confs
+# (write_time_bucketed): the per-write parquet option
+# `outputTimestampType` is ignored by Spark 4.1 (verified: INT96 still
+# written), so the session conf is the only lever, and two threads of
+# one session must not interleave toggle/restore.  Cross-session
+# writers are unaffected (SQL confs are per-session).
+_SESSION_CONF_LOCK = threading.Lock()
 
 __all__ = [
     "write_parquet_partitioned",
@@ -64,11 +74,16 @@ def write_time_bucketed(
     disable the row-group/footer pruning this layout exists for — the
     int64 physical is what turns a ts predicate into skipped IO (the
     engine's replacement for a temporal index; measured in bench.py
-    bench_temporal_store)."""
-    spark = df.sparkSession
-    key = "spark.sql.parquet.outputTimestampType"
-    prev = spark.conf.get(key, "INT96")
-    spark.conf.set(key, "TIMESTAMP_MICROS")
+    bench_temporal_store).
+
+    CONCURRENCY (ADVICE r7): the int64 physical is pinned by toggling
+    the session-wide conf around this write (the per-write parquet
+    option is ignored — verified on Spark 4.1), so a concurrent parquet
+    write from ANOTHER thread of the same SparkSession would inherit
+    TIMESTAMP_MICROS or race the restore.  In-process callers are
+    serialized by _SESSION_CONF_LOCK; writers that must run truly
+    concurrently should use a cloned session (``spark.newSession()``
+    shares the SparkContext but isolates the SQL conf)."""
     fmts = {"year": "yyyy", "month": "yyyy-MM", "day": "yyyy-MM-dd",
             "hour": "yyyy-MM-dd-HH"}
     if bucket not in fmts:
@@ -76,14 +91,19 @@ def write_time_bucketed(
             f"write_time_bucketed: bucket must be one of {sorted(fmts)}, "
             f"got {bucket!r}"
         )
-    try:
-        out = df.withColumn(
-            "__bucket",
-            F.date_format(F.date_trunc(bucket, F.col(ts_col)), fmts[bucket]),
-        )
-        out.write.mode(mode).partitionBy("__bucket").parquet(path)
-    finally:
-        spark.conf.set(key, prev)
+    spark = df.sparkSession
+    key = "spark.sql.parquet.outputTimestampType"
+    with _SESSION_CONF_LOCK:
+        prev = spark.conf.get(key, "INT96")
+        spark.conf.set(key, "TIMESTAMP_MICROS")
+        try:
+            out = df.withColumn(
+                "__bucket",
+                F.date_format(F.date_trunc(bucket, F.col(ts_col)), fmts[bucket]),
+            )
+            out.write.mode(mode).partitionBy("__bucket").parquet(path)
+        finally:
+            spark.conf.set(key, prev)
 
 
 def write_bucketed_table(

@@ -117,7 +117,10 @@ class IncrementalAggView:
         the streaming checkpoint commits), so a batch whose id was
         already recorded in META is skipped instead of double-counted.
         Pass batch_id=None only for non-streaming (manual) folds, which
-        forgo that protection."""
+        forgo that protection for THEMSELVES but must not erase it for
+        the stream: a manual fold interleaved between micro-batches
+        preserves the last recorded streaming batch id, so a redelivery
+        of the previous micro-batch is still skipped (ADVICE r7)."""
         v, last_bid = self._read_meta()
         if batch_id is not None and last_bid is not None and batch_id <= last_bid:
             return  # replayed micro-batch: already folded into v
@@ -132,7 +135,12 @@ class IncrementalAggView:
         new_state.write.mode("overwrite").parquet(os.path.join(self.path, f"v{nxt}"))
         tmp = self._meta_path() + ".tmp"
         with open(tmp, "w") as f:
-            f.write(f"{nxt} {batch_id if batch_id is not None else -1}")
+            keep_bid = (
+                batch_id
+                if batch_id is not None
+                else (last_bid if last_bid is not None else -1)
+            )
+            f.write(f"{nxt} {keep_bid}")
         os.replace(tmp, self._meta_path())  # atomic pointer flip
         # retain v{nxt} and v{nxt-1}; GC anything older (a reader that
         # grabbed the previous version before the flip still completes)

@@ -1530,6 +1530,21 @@ def test_clause_keyword_as_alias_and_literal_order_by(tiny):
     assert [(r.match, r.s) for r in got] == [("a", "x ORDER BY y")]
 
 
+def test_shadowing_alias_referenced_later_refused(tiny):
+    """ADVICE r7: an alias that shadows a clause keyword (`AS match`)
+    is legal in terminal position, but a LATER bare occurrence of that
+    name is ambiguous (alias reference vs clause boundary) — refuse
+    with a clear error instead of mis-parsing."""
+    with pytest.raises(ValueError, match="shadows"):
+        cypher(
+            tiny,
+            "MATCH (a)-[e:E]->(b) WITH a AS match WHERE match = 'a' "
+            "RETURN match",
+        )
+    # terminal alias position stays legal (pinned by
+    # test_clause_keyword_as_alias_and_literal_order_by)
+
+
 def test_subscript_arithmetic_not_taken_for_pattern(tiny):
     """xs[0]-xs[1] is scalar arithmetic, not a relationship pattern —
     it must reach the plain-filter path, not the pattern refusal."""

@@ -112,6 +112,21 @@ def test_replayed_batch_id_not_double_counted(spark, tmp_path):
     assert got == {"a": (4, 6.0), "b": (2, 10.0)}
 
 
+def test_manual_fold_preserves_streaming_batch_id(spark, tmp_path):
+    """ADVICE r7: a manual fold (batch_id=None) interleaved between
+    micro-batches must NOT erase the last recorded streaming batch id —
+    a redelivery of the previous micro-batch is still skipped."""
+    df = spark.createDataFrame([("a", 1.0)], ["k", "v"])
+    view = IncrementalAggView(
+        spark, str(tmp_path / "v"), ["k"], {"n": ("count", None), "s": ("sum", "v")}
+    )
+    view.merge_batch(df, 0)  # streaming batch
+    view.merge_batch(df)  # manual fold, no batch id
+    view.merge_batch(df, 0)  # redelivery of batch 0: must STILL skip
+    got = {r["k"]: (r["n"], r["s"]) for r in view.current().collect()}
+    assert got == {"a": (2, 2.0)}, "replay guard erased by manual fold"
+
+
 def test_version_dirs_monotonic_and_gced(spark, tmp_path):
     """The writer never overwrites a live dir: versions are monotonic
     fresh dirs, current + previous retained, older GC'd."""
