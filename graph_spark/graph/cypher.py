@@ -98,6 +98,23 @@ Supported:
     Variables bound only inside a pattern are existential and never
     enter the scope; a disjunct that ANDs a pattern with a scalar is
     refused with a cypher-level error.
+  - `count { (c)-[:T]->(s) [WHERE ..] }` COUNT subqueries as
+    expressions (RETURN / WITH items, WHERE comparisons): the
+    subpattern is pre-aggregated on the variables shared with the
+    outer scope and LEFT-joined in (coalesce to 0 for no-match rows)
+    — one hash join per subquery, never re-expanding the scope.
+    Must share >=1 variable with the scope (an uncorrelated count is
+    a constant — use CALL).  Refused inside an OPTIONAL MATCH WHERE.
+  - `CALL { MATCH .. RETURN .. }` UNCORRELATED subqueries: the body
+    compiles as an independent query (any feature, nested CALLs
+    included); its result cross-joins into the scope at the CALL's
+    clause position (position honored — hoisting past an aggregating
+    WITH would change counts), and its RETURN aliases enter the scope
+    as variables: a following MATCH either anchors on them (shared
+    variable) or, when the whole scope is CALL-produced scalars,
+    cross-joins against the broadcast scalar row (the global-
+    threshold idiom).  CALL procedures (`CALL db.x()`) and
+    `IN TRANSACTIONS` are refused.
   - bracket list literals in expressions: `[1, 2, 3]` becomes
     `array(1, 2, 3)` (`x IN [..]` becomes a plain SQL value list);
     subscripts (`arr[0]`, `[1,2][0]`) pass through untouched.
@@ -191,7 +208,7 @@ _TOKEN = re.compile(
 
 # top-level clause keywords (quote-aware scan in _split_clauses)
 _KW = re.compile(
-    r"\b(OPTIONAL\s+MATCH|UNWIND|MATCH|WITH|RETURN)\b", re.IGNORECASE
+    r"\b(OPTIONAL\s+MATCH|UNWIND|MATCH|WITH|RETURN|CALL)\b", re.IGNORECASE
 )
 
 # one WITH stage body: [DISTINCT] items [WHERE having]
@@ -281,9 +298,13 @@ def _split_clauses(query: str) -> list[tuple[str, str]]:
 _BLOCK = re.compile(r"^\s*(?P<pat>.+?)(?:\s+WHERE\s+(?P<where>.+))?\s*$", re.IGNORECASE | re.DOTALL)
 
 _UNSUPPORTED = re.compile(
-    r"\b(CREATE|MERGE|DELETE|SET|REMOVE|CALL)\b",
+    r"\b(CREATE|MERGE|DELETE|SET|REMOVE)\b",
     re.IGNORECASE,
 )
+
+# after CALL { .. } extraction, any surviving CALL token is a procedure
+# invocation (CALL db.labels() ..), which this subset refuses
+_CALL_PROC = re.compile(r"\bCALL\b(?!\s+__c\d+\b)", re.IGNORECASE)
 
 # a MATCH block of the form  p = [all]shortestPath[s]((a)-[:T*1..4]->(b))
 _SHORTEST = re.compile(
@@ -608,6 +629,58 @@ _EXISTS_PRED = re.compile(
 )
 # bare pattern-predicate sugar: NOT (a)-[:T]->(b)  /  (a)-[:T]->(b)
 _BARE_PAT = re.compile(r"^(?P<neg>NOT\s+)?(?P<pat>\(.*)$", re.IGNORECASE | re.DOTALL)
+
+# a COUNT subquery expression: count { (c)-[:T]->(s) [WHERE ..] }
+_COUNT_SUBQ = re.compile(r"\bCOUNT\s*\{", re.IGNORECASE)
+
+# a CALL subquery clause opener: CALL { MATCH .. RETURN .. }
+_CALL_OPEN = re.compile(r"\bCALL\s*\{", re.IGNORECASE)
+
+
+def _match_brace(blank: str, open_idx: int) -> int:
+    """Index of the ``}`` matching the ``{`` at `open_idx`, scanning the
+    QUOTE-BLANKED copy (braces inside string literals are spaces there,
+    so only structural braces count).  Raises on imbalance."""
+    depth = 0
+    for j in range(open_idx, len(blank)):
+        ch = blank[j]
+        if ch == "{":
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+            if depth == 0:
+                return j
+    raise ValueError("cypher: unbalanced braces in { .. } subquery")
+
+
+def _extract_calls(query: str) -> tuple[str, list[str]]:
+    """Replace every top-level ``CALL { <subquery> }`` block with a
+    placeholder clause ``CALL __c<i>`` and return the rewritten query +
+    the extracted subquery bodies.  Extraction happens BEFORE clause
+    splitting because the body contains its own MATCH/RETURN keywords;
+    brace matching is quote-aware and spans nested braces (property
+    maps, EXISTS/count subqueries, nested CALLs — the latter recurse
+    when the body is compiled as its own query)."""
+    blank = _blank_quotes(query)
+    calls: list[str] = []
+    out: list[str] = []
+    i = 0
+    while True:
+        m = _CALL_OPEN.search(blank, i)
+        if not m:
+            out.append(query[i:])
+            return "".join(out), calls
+        close = _match_brace(blank, m.end() - 1)
+        if re.match(r"\s*IN\s+TRANSACTIONS\b", blank[close + 1:], re.IGNORECASE):
+            raise ValueError(
+                "cypher: CALL { .. } IN TRANSACTIONS is not supported "
+                "(this is an analytical engine; there are no write "
+                "transactions to batch)"
+            )
+        out.append(query[i:m.start()])
+        out.append(f" CALL __c{len(calls)} ")
+        calls.append(query[m.end():close])
+        i = close + 1
 
 
 def _split_disjuncts(text: str) -> list[str]:
@@ -1500,14 +1573,21 @@ def cypher(
         for f in frames[1:]:
             out = out.unionByName(f)
         return out if union_all else out.distinct()
+    query, call_bodies = _extract_calls(query)
     bad = _UNSUPPORTED.search(_blank_quotes(query))
     if bad:
         raise ValueError(
             f"cypher: {bad.group(0)} is not supported in this subset "
             "(single MATCH .. WHERE .. RETURN .. ORDER BY .. LIMIT)"
         )
+    proc = _CALL_PROC.search(_blank_quotes(query))
+    if proc:
+        raise ValueError(
+            "cypher: CALL procedures are not supported; only "
+            "CALL { MATCH .. RETURN .. } subqueries"
+        )
     clauses = _split_clauses(query)
-    if clauses[0][0] != "MATCH":
+    if clauses[0][0] not in ("MATCH", "CALL"):
         raise ValueError("cypher: expected MATCH <patterns> [WHERE ..] ... RETURN ..")
     if clauses[-1][0] != "RETURN":
         raise ValueError("cypher: query must end with a RETURN clause")
@@ -1518,6 +1598,7 @@ def cypher(
     node_vars: set[str] = set()
     edge_vars: set[str] = set()
     path_vars: set[str] = set()  # vars binding a <pvar>__nodes array
+    call_vars: set[str] = set()  # scalars produced by CALL subqueries
     labels: dict[str, str] = {}
 
     def wants_nodes(pv: str) -> bool:
@@ -1566,6 +1647,12 @@ def cypher(
                     raise ValueError(
                         f"cypher: edge variable {edge.var!r} is bound twice "
                         "(edge variables must be unique per query)"
+                    )
+                if edge.var in node_vars or edge.var in path_vars:
+                    raise ValueError(
+                        f"cypher: edge variable {edge.var!r} collides with "
+                        "a variable already bound in the scope (a WITH/"
+                        "CALL alias or path); pick a fresh name"
                     )
                 leg = _leg(cg, edge, a, b_out)
                 be.add(edge.var)
@@ -1643,6 +1730,49 @@ def cypher(
             path_vars.add(pv)
             return frame, bn2, {pv}
         return build_block(_parse_patterns(pat_text, anon))
+
+    count_n = [0]
+
+    def lower_count_subqs(
+        frame: DataFrame, text: str, nvars: set, evars: set
+    ) -> tuple[DataFrame, str]:
+        """Lower every ``count { (c)-[:T]->(s) [WHERE ..] }`` expression
+        in `text` to a column reference: the subpattern is chain-joined
+        (build_block — labels/props pushed to the legs), optionally
+        filtered by its inner WHERE, grouped by the variables SHARED
+        with the outer scope, counted, and LEFT-joined onto the scope
+        frame; the span is replaced by ``coalesce(cnt, 0)`` so
+        non-matching rows count 0 (openCypher).  One pre-aggregate +
+        one hash join per subquery — the g94/g129 left-join shape,
+        never a cartesian; variables bound only inside the subpattern
+        stay existential."""
+        while True:
+            blank = _blank_quotes(text)
+            m = _COUNT_SUBQ.search(blank)
+            if not m:
+                return frame, text
+            close = _match_brace(blank, m.end() - 1)
+            inner = text[m.end():close]
+            bm = _BLOCK.match(_blank_quotes(inner))
+            pat = _gslice(bm, inner, "pat")
+            iw = _gslice(bm, inner, "where")
+            sub, bn, be2 = build_block(_parse_patterns(pat, anon))
+            if iw:
+                sub = sub.filter(F.expr(_rewrite(iw, bn, be2, path_vars)))
+            shared = sorted(bn & nvars)
+            if not shared:
+                raise ValueError(
+                    "cypher: count { .. } shares no variable with the "
+                    "outer scope (an uncorrelated count is a constant "
+                    "cartesian — bind at least one outer variable, or "
+                    "compute it in a CALL { MATCH .. RETURN count(*) } "
+                    "subquery)"
+                )
+            cname = f"__cs{count_n[0]}"
+            count_n[0] += 1
+            counts = sub.groupBy(*shared).agg(F.count(F.lit(1)).alias(cname))
+            frame = frame.join(counts, shared, "left")
+            text = f"{text[:m.start()]}coalesce({cname}, 0){text[close + 1:]}"
 
     def pattern_branch(text: str):
         """``(neg, triples)`` if `text` is one pattern predicate —
@@ -1796,11 +1926,18 @@ def cypher(
         return frame
 
     def apply_where(frame: DataFrame, wtext: str, nvars: set, evars: set) -> DataFrame:
+        # count { .. } spans must lower BEFORE conjunct classification
+        # (their pattern shape would otherwise be taken for a pattern
+        # predicate); the helper columns are dropped after the filter
+        frame, wtext = lower_count_subqs(frame, wtext, nvars, evars)
         preds, plain = classify_where(wtext)
         frame = apply_pattern_preds(frame, preds, nvars, evars)
         if plain:
             sql = " AND ".join(f"({p})" for p in plain)
             frame = frame.filter(F.expr(_rewrite(sql, nvars, evars, path_vars)))
+        helpers = [c for c in frame.columns if c.startswith("__cs")]
+        if helpers:
+            frame = frame.drop(*helpers)
         return frame
 
     def project(frame: DataFrame, text: str, nvars: set, evars: set):
@@ -1808,6 +1945,7 @@ def cypher(
         reference rewriting, implicit Cypher GROUP BY when any item
         aggregates, original item order restored.  Returns the new
         frame + its alias list (the variable scope downstream)."""
+        frame, text = lower_count_subqs(frame, text, nvars, evars)
         sel: list[tuple[str, str, bool]] = []  # (sql, alias, is_agg)
         for item in _split_top_level(text):
             mm = re.match(r"^(.*?)\s+AS\s+(\w+)\s*$", item, re.IGNORECASE | re.DOTALL)
@@ -1858,6 +1996,18 @@ def cypher(
                 continue
             anchors = sorted(bn & node_vars)
             if not anchors:
+                if node_vars and node_vars <= call_vars and kw == "MATCH":
+                    # MATCH after CALL: the whole scope is CALL-produced
+                    # scalars (the broadcast-threshold idiom) — the
+                    # cross product IS the semantics, and the scalar
+                    # side is tiny (typically one aggregate row), so
+                    # Spark broadcasts it
+                    out = out.crossJoin(frame)
+                    node_vars |= bn
+                    edge_vars |= be
+                    if bm_where:
+                        out = apply_where(out, bm_where, node_vars, edge_vars)
+                    continue
                 raise ValueError(
                     "cypher: MATCH block shares no variable with the "
                     "preceding scope (cartesian products are refused)"
@@ -1870,6 +2020,18 @@ def cypher(
                 c = F.col(v) == F.col(f"__j_{v}")
                 cond = c if cond is None else (cond & c)
             where_preds: list = []
+            post_count_where: str | None = None
+            if bm_where and _COUNT_SUBQ.search(_blank_quotes(bm_where)):
+                if kw == "OPTIONAL MATCH":
+                    raise ValueError(
+                        "cypher: count { .. } in an OPTIONAL MATCH WHERE "
+                        "is not supported (it would decide match success; "
+                        "compute the count in a WITH stage first)"
+                    )
+                # for an inner MATCH, filtering after the join is
+                # equivalent to evaluating in the block's WHERE — and
+                # the count's left join needs the joined scope
+                post_count_where, bm_where = bm_where, None
             if bm_where:
                 where_preds, plain = classify_where(bm_where)
                 if where_preds and kw == "OPTIONAL MATCH":
@@ -1904,6 +2066,37 @@ def cypher(
             # inner MATCH that is equivalent to evaluating them in the
             # block's WHERE, and the semi/anti join sees the full scope
             out = apply_pattern_preds(out, where_preds, node_vars, edge_vars)
+            if post_count_where:
+                out = apply_where(out, post_count_where, node_vars, edge_vars)
+        elif kw == "CALL":
+            # CALL { MATCH .. RETURN .. }: an UNCORRELATED subquery,
+            # compiled independently (full recursion — it may use any
+            # feature, including nested CALLs) and cross-joined into
+            # the scope at ITS clause position (openCypher: each scope
+            # row combines with each subquery row — hoisting past an
+            # aggregating WITH would change counts, so position is
+            # honored).  The idiomatic use returns ONE aggregate row
+            # (a global threshold/denominator); Spark broadcasts the
+            # tiny side, so the cross join is a broadcast append, not
+            # a blowup.  Result aliases enter the scope as variables
+            # (MATCH-after-CALL anchors on them, like WITH aliases).
+            cm = re.match(r"^\s*__c(\d+)\s*$", body)
+            if not cm:
+                raise ValueError(
+                    "cypher: CALL must be followed by a braced subquery: "
+                    "CALL { MATCH .. RETURN .. }"
+                )
+            sub = cypher(cg, call_bodies[int(cm.group(1))])
+            clash = set(sub.columns) & (node_vars | edge_vars | path_vars)
+            if clash:
+                raise ValueError(
+                    f"cypher: CALL subquery returns {sorted(clash)} which "
+                    "already exist in the outer scope (alias the "
+                    "subquery's RETURN items to fresh names)"
+                )
+            out = sub if out is None else out.crossJoin(sub)
+            node_vars |= set(sub.columns)
+            call_vars |= set(sub.columns)
         elif kw == "UNWIND":
             # UNWIND <list expr> AS var [WHERE post]: explode the
             # (rewritten) list expression into one row per element —

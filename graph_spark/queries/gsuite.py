@@ -7245,4 +7245,66 @@ def g139(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g140_cypher_count_subquery",
+    f"""WITH {GRAPH_CTES},
+       fan AS (SELECT dst, count(*) AS s_fanin FROM graph_edges GROUP BY 1)
+       SELECT e.src AS customer, e.dst AS supplier,
+              f.s_fanin::BIGINT AS s_fanin
+       FROM graph_edges e JOIN fan f ON f.dst = e.dst
+       WHERE e.n_items >= 3
+       ORDER BY s_fanin DESC, customer, supplier LIMIT 20""",
+    note="Cypher COUNT subquery (VERDICT r07 item 5): "
+    "`count { (s)<-[:BUYS]-(x) }` as a RETURN expression — lowered to "
+    "ONE pre-aggregate over the subpattern grouped on the shared "
+    "variable s + ONE left join onto the scope (coalesce 0), never "
+    "re-expanding scope rows; the existential x stays inside the "
+    "subquery.  Scale: the pre-aggregate is a map-side-combinable "
+    "count on the (small) edge rollup, the join a hash join on the "
+    "supplier key — same shape as the hand-written g94 degree join.  "
+    "Full-tiebreak ORDER (edge keys unique) keeps LIMIT deterministic",
+)
+def g140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cy(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[e:BUYS]->(s:Supplier)
+           WHERE e.n_items >= 3
+           RETURN c.node AS customer, s.node AS supplier,
+                  count { (s)<-[:BUYS]-(x:Customer) } AS s_fanin
+           ORDER BY s_fanin DESC, customer, supplier LIMIT 20""",
+    )
+
+
+@_g(
+    "g141_cypher_call_subquery",
+    f"""WITH {GRAPH_CTES},
+       m AS (SELECT max(n_items) AS mx FROM graph_edges)
+       SELECT e.src AS customer, e.dst AS supplier,
+              e.n_items::BIGINT AS n_items
+       FROM graph_edges e, m WHERE e.n_items = m.mx
+       ORDER BY 1, 2""",
+    note="Cypher CALL subquery (VERDICT r07 item 5): an UNCORRELATED "
+    "`CALL { MATCH .. RETURN max(..) AS mx }` computes a global "
+    "threshold once; the following MATCH shares no variable with the "
+    "one-row scalar scope, so the compiler cross-joins against it "
+    "(the broadcast-threshold idiom — Spark broadcasts the single "
+    "aggregate row, the 'cross' join is an appended literal, not a "
+    "blowup) and the WHERE filters on it.  Position is honored (a "
+    "CALL after an aggregating WITH is NOT hoisted); oracle is the "
+    "classic scalar-subquery max filter",
+)
+def g141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cy(
+        spark,
+        sf_dir,
+        """CALL { MATCH (x:Customer)-[g:BUYS]->(y:Supplier)
+                 RETURN max(g.n_items) AS mx }
+           MATCH (c:Customer)-[e:BUYS]->(s:Supplier) WHERE e.n_items = mx
+           RETURN c.node AS customer, s.node AS supplier,
+                  e.n_items AS n_items
+           ORDER BY customer, supplier""",
+    )
+
+
 QUERIES = list(_G)

@@ -1582,3 +1582,140 @@ def test_path_functions_case_insensitive(tiny):
         "RETURN b, NODES(p) AS ns, LENGTH(p) AS hops ORDER BY b LIMIT 1",
     ).collect()
     assert [(r.b, r.ns, r.hops) for r in got] == [("b", ["a", "b"], 1)]
+
+
+# -------------------------------------------- count{} / CALL{} subqueries
+
+
+def test_count_subquery_in_return(tiny):
+    """count { (a)-[:E]->() } is a per-row expression, lowered to a
+    pre-aggregate + left join (never re-expanding the scope)."""
+    got = cypher(
+        tiny,
+        "MATCH (a)-[e:E]->(b) WITH DISTINCT a "
+        "RETURN a, count { (a)-[:E]->() } AS deg ORDER BY a",
+    ).collect()
+    assert [(r.a, r.deg) for r in got] == [("a", 2), ("b", 1), ("c", 1), ("d", 1)]
+
+
+def test_count_subquery_zero_for_no_match(tiny):
+    """Rows whose subpattern has no match count 0, not null, and are
+    kept (the left-join + coalesce contract)."""
+    got = cypher(
+        tiny,
+        "MATCH (x)-[e:E]->(y) WITH DISTINCT y "
+        "RETURN y, count { (y)-[:E]->() } AS outdeg ORDER BY y",
+    ).collect()
+    assert [(r.y, r.outdeg) for r in got] == [
+        ("b", 1), ("c", 1), ("d", 1), ("e", 0)]
+
+
+def test_count_subquery_in_where(tiny):
+    got = cypher(
+        tiny,
+        "MATCH (a)-[e:E]->(b) WHERE count { (a)-[:E]->() } >= 2 "
+        "RETURN DISTINCT a",
+    ).collect()
+    assert sorted(r.a for r in got) == ["a"]
+
+
+def test_count_subquery_inner_where(tiny):
+    got = cypher(
+        tiny,
+        "MATCH (x)-[e:E]->(y) WITH DISTINCT x RETURN x, "
+        "count { (x)-[f:E]->(z) WHERE f.weight > 15.0 } AS big ORDER BY x",
+    ).collect()
+    assert [(r.x, r.big) for r in got] == [("a", 1), ("b", 1), ("c", 1), ("d", 1)]
+
+
+def test_count_subquery_in_later_match_where(tiny):
+    """count{} in a non-first MATCH block's WHERE applies after the
+    anchored join (equivalent for inner MATCH)."""
+    got = cypher(
+        tiny,
+        "MATCH (a)-[e:E]->(b) MATCH (b)-[f:E]->(c) "
+        "WHERE count { (b)-[:E]->() } >= 1 "
+        "RETURN DISTINCT a, b, c ORDER BY a, b, c",
+    ).collect()
+    assert [(r.a, r.b, r.c) for r in got] == [
+        ("a", "b", "d"), ("a", "c", "d"), ("b", "d", "e"), ("c", "d", "e")]
+
+
+def test_count_subquery_uncorrelated_refused(tiny):
+    with pytest.raises(ValueError, match="shares no variable"):
+        cypher(tiny, "MATCH (a)-[e:E]->(b) RETURN count { (q)-[:E]->(w) } AS c")
+
+
+def test_count_subquery_in_optional_match_where_refused(tiny):
+    with pytest.raises(ValueError, match="OPTIONAL MATCH WHERE"):
+        cypher(
+            tiny,
+            "MATCH (a)-[e:E]->(b) OPTIONAL MATCH (b)-[f:E]->(c) "
+            "WHERE count { (c)-[:E]->() } > 0 RETURN a, b, c",
+        )
+
+
+def test_call_subquery_first_threshold_idiom(tiny):
+    """CALL-first: compute a global aggregate, broadcast it into the
+    following MATCH's WHERE (the cross join is one scalar row)."""
+    got = cypher(
+        tiny,
+        "CALL { MATCH (u)-[g:E]->(v) RETURN max(g.weight) AS mx } "
+        "MATCH (s)-[h:E]->(t) WHERE h.weight = mx RETURN s, t",
+    ).collect()
+    assert [(r.s, r.t) for r in got] == [("d", "e")]
+
+
+def test_call_subquery_mid_query_position_honored(tiny):
+    """CALL after an aggregating WITH must NOT be hoisted above it —
+    the count reflects pre-CALL cardinality."""
+    got = cypher(
+        tiny,
+        "MATCH (s)-[h:E]->(t) WITH count(*) AS n "
+        "CALL { MATCH (u)-[g:E]->(v) RETURN max(g.weight) AS mx } "
+        "RETURN n, mx",
+    ).collect()
+    assert [(r.n, r.mx) for r in got] == [(5, 50.0)]
+
+
+def test_call_subquery_alias_anchors_next_match(tiny):
+    """A CALL alias that is a node id anchors a following MATCH (the
+    MATCH-after-WITH machinery): nested CALLs compile recursively."""
+    got = cypher(
+        tiny,
+        "CALL { CALL { MATCH (u)-[g:E]->(v) RETURN max(g.weight) AS mx } "
+        "MATCH (s)-[h:E]->(t) WHERE h.weight = mx RETURN s AS hub } "
+        "MATCH (hub)-[k:E]->(w) RETURN hub, w",
+    ).collect()
+    assert [(r.hub, r.w) for r in got] == [("d", "e")]
+
+
+def test_call_procedure_refused(tiny):
+    with pytest.raises(ValueError, match="CALL procedures"):
+        cypher(tiny, "MATCH (a)-[e:E]->(b) CALL db.labels() RETURN a")
+
+
+def test_call_in_transactions_refused(tiny):
+    with pytest.raises(ValueError, match="IN TRANSACTIONS"):
+        cypher(
+            tiny,
+            "CALL { MATCH (u)-[g:E]->(v) RETURN u } IN TRANSACTIONS RETURN u",
+        )
+
+
+def test_call_alias_collision_refused(tiny):
+    with pytest.raises(ValueError, match="collides"):
+        cypher(
+            tiny,
+            "CALL { MATCH (u)-[g:E]->(v) RETURN max(g.weight) AS e } "
+            "MATCH (a)-[e:E]->(b) RETURN a",
+        )
+
+
+def test_call_keyword_in_string_literal_untouched(tiny):
+    got = cypher(
+        tiny,
+        "MATCH (a)-[e:E]->(b) WHERE a.node = 'a' "
+        "RETURN b, 'CALL { x }' AS s ORDER BY b LIMIT 1",
+    ).collect()
+    assert [(r.b, r.s) for r in got] == [("b", "CALL { x }")]
