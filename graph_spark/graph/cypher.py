@@ -81,7 +81,12 @@ Supported:
     form — BFS carrying per-(seed, node) path counts (Brandes' sigma
     forward pass); binds `length(p)` / `p.len` and `p.cnt` (number of
     distinct shortest paths).  Self-loop edges and a==b rows are
-    excluded (never on a minimal simple path).
+    excluded (never on a minimal simple path).  When the query
+    references `nodes(p)` / `relationships(p)` the lowering switches
+    to ENUMERATION — one row per distinct shortest path with its node
+    array (p.cnt is then unbound; the row count IS the path count) —
+    guarded by ALLSP_ENUM_FRONTIER_LIMIT per level, above which it
+    refuses with a pointer back to the counting form.
   - WHERE pattern predicates: `EXISTS { (a)-[:T]->(b) }` (brace or
     paren delimited), `NOT EXISTS { .. }`, and the bare sugar
     `NOT (a)-[:T]->(b)` / `(a)-[:T]->(b)`.  As top-level AND
@@ -158,9 +163,10 @@ Supported:
 
 Not supported (raise ValueError): more than one RETURN clause,
 CREATE/MERGE/DELETE (this is an analytical engine — writes go through
-the sink API), nodes()/relationships() on allShortestPaths or the
-weighted shortestPath form (counting/min-cost lowerings carry no
-paths — use the unweighted shortestPath or a general named path).
+the sink API), CALL procedures, nodes()/relationships() on the
+weighted shortestPath form (the min-cost lowering carries no
+predecessors — use the unweighted shortestPath or a general named
+path).
 
 Scale shape: each edge pattern is one equi-join of the (distinct-pair
 rollup) edge table; labels and property predicates are pushed to the
@@ -305,6 +311,13 @@ _UNSUPPORTED = re.compile(
 # after CALL { .. } extraction, any surviving CALL token is a procedure
 # invocation (CALL db.labels() ..), which this subset refuses
 _CALL_PROC = re.compile(r"\bCALL\b(?!\s+__c\d+\b)", re.IGNORECASE)
+
+# per-level row cap for allShortestPaths ENUMERATION (nodes(p) bound):
+# path counts can grow multiplicatively with depth on dense graphs, and
+# enumeration is inherently output-sized — above this the lowering
+# raises with a pointer to the counting form (p.cnt), which stays one
+# row per pair at any scale
+ALLSP_ENUM_FRONTIER_LIMIT = 2_000_000
 
 # a MATCH block of the form  p = [all]shortestPath[s]((a)-[:T*1..4]->(b))
 _SHORTEST = re.compile(
@@ -1218,7 +1231,14 @@ def _all_shortest_frame(
     walk through the start or a self-loop is never minimal; openCypher
     likewise never matches a zero/loop path here).  Binds a, b,
     pvar__len and pvar__cnt (reach them as length(p) / p.len /
-    p.cnt)."""
+    p.cnt).
+
+    With ``want_nodes`` (nodes(p)/relationships(p) referenced) the
+    lowering ENUMERATES instead: one row per distinct shortest path
+    carrying its node array (pvar__nodes; pvar__cnt is then unbound —
+    the row multiplicity IS the count, and a parity test pins
+    enumerated-row counts == the counting form's p.cnt).  Guarded by
+    ALLSP_ENUM_FRONTIER_LIMIT per level."""
     if len(triples) != 1:
         raise ValueError(
             "cypher: allShortestPaths takes exactly one (a)-[..]->(b) pattern"
@@ -1228,13 +1248,6 @@ def _all_shortest_frame(
         raise ValueError(
             "cypher: allShortestPaths does not take a {cost: ..} map "
             "(weighted counting is not supported; use shortestPath)"
-        )
-    if want_nodes:
-        raise ValueError(
-            "cypher: nodes()/relationships() on an allShortestPaths "
-            "binding is not supported — the lowering COUNTS shortest "
-            "paths per pair (p.cnt) instead of enumerating them; use "
-            "shortestPath for one representative path's nodes"
         )
     a, b = left.var, right.var
     if a == b:
@@ -1253,6 +1266,63 @@ def _all_shortest_frame(
     seeds = base.select(F.col("__u").alias(a)).distinct()
     seeds = _node_filter(cg, left, seeds, a)
     plen, pcnt = f"{pvar}__len", f"{pvar}__cnt"
+    pnodes = f"{pvar}__nodes"
+    if want_nodes:
+        # ENUMERATION branch (VERDICT r07 item 6 — refusal lifted):
+        # nodes(p) binds, so each frontier row is ONE distinct shortest
+        # path carried as a node array.  Same first-reach anti-join as
+        # the counting form, so every kept row is a simple path at its
+        # pair's minimal level (a minimal walk never revisits a node —
+        # cutting the loop would give a shorter walk, contradicting
+        # first reach), and by the prefix property every shortest path
+        # is generated (a shortest path's prefix is itself a shortest
+        # path, so it sits in the frontier at its level).  No per-level
+        # dedup is needed: edge frames are distinct pairs, so distinct
+        # predecessor paths extend to distinct arrays.  Enumeration is
+        # inherently output-sized — the per-level row count is checked
+        # against ALLSP_ENUM_FRONTIER_LIMIT and refused above it (the
+        # counting form stays one row per pair at any scale).
+        frontier = (
+            seeds.join(base, F.col(a) == F.col("__u"))
+            .select(a, F.col("__v").alias(b))
+            .withColumn(pnodes, F.array(F.col(a), F.col(b)))
+            .localCheckpoint(eager=True)
+        )
+        reached = frontier.select(a, b)
+        acc = frontier.withColumn(plen, F.lit(1))
+        for level in range(2, edge.max_len + 1):
+            frontier = (
+                frontier.join(base, F.col(b) == F.col("__u"))
+                .select(
+                    F.col(a),
+                    F.col("__v").alias("__b2"),
+                    F.concat(F.col(pnodes), F.array(F.col("__v"))).alias(pnodes),
+                )
+                .withColumnRenamed("__b2", b)
+                .join(reached, [a, b], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            n_rows = frontier.count()
+            if n_rows == 0:
+                break
+            if n_rows > ALLSP_ENUM_FRONTIER_LIMIT:
+                raise ValueError(
+                    f"cypher: allShortestPaths enumeration produced "
+                    f"{n_rows} paths at level {level} (limit "
+                    f"{ALLSP_ENUM_FRONTIER_LIMIT}); drop nodes(p)/"
+                    "relationships(p) and use p.cnt (the counting form "
+                    "stays one row per endpoint pair at any scale)"
+                )
+            acc = acc.unionByName(frontier.withColumn(plen, F.lit(level)))
+            reached = (
+                reached.unionByName(frontier.select(a, b).distinct())
+                .localCheckpoint(eager=True)
+            )
+        out = acc.filter(F.col(a) != F.col(b))
+        out = _node_filter(cg, right, out, b)
+        if edge.min_len > 1:
+            out = out.filter(F.col(plen) >= edge.min_len)
+        return out, {a, b}, pvar
     frontier = (
         seeds.join(base, F.col(a) == F.col("__u"))
         .groupBy(a, F.col("__v").alias(b))

@@ -7246,6 +7246,48 @@ def g139(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_g(
+    "g142_cypher_allsp_enum",
+    f"""WITH {_TRADE_CTE},
+       w1 AS (SELECT src AS a, dst AS b, [src, dst] AS path, 1 AS len FROM ne),
+       w2 AS (SELECT w.a, e.dst AS b, list_append(w.path, e.dst) AS path, 2 AS len
+              FROM w1 w JOIN ne e ON e.src = w.b),
+       w3 AS (SELECT w.a, e.dst AS b, list_append(w.path, e.dst) AS path, 3 AS len
+              FROM w2 w JOIN ne e ON e.src = w.b),
+       allw AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2
+                UNION ALL SELECT * FROM w3),
+       sp AS (SELECT a, b, min(len) AS mlen FROM allw
+              WHERE a <> b GROUP BY 1, 2)
+       SELECT w.a AS src_nation, w.b AS dst_nation, s.mlen::INT AS hops,
+              array_to_string(w.path, '>') AS path
+       FROM allw w JOIN sp s
+         ON s.a = w.a AND s.b = w.b AND s.mlen = w.len
+       ORDER BY 1, 2, 4""",
+    note="allShortestPaths ENUMERATION (VERDICT r07 item 6 — the "
+    "documented refusal lifted): nodes(p) on an allShortestPaths "
+    "binding returns one row PER distinct shortest path, '>'-joined "
+    "per the driver protocol.  The BFS frontier carries one row per "
+    "path (first-reach anti-join guarantees every kept row is a "
+    "simple path at its pair's minimal level; the prefix property "
+    "guarantees completeness), guarded by ALLSP_ENUM_FRONTIER_LIMIT "
+    "per level — above it the lowering refuses with a pointer to the "
+    "one-row-per-pair counting form (g120).  Oracle = FULL walk "
+    "enumeration (3 unrolled levels) keeping every min-length walk — "
+    "min-length walks are exactly the simple shortest paths (a "
+    "revisit would cut to a shorter walk).  Scale: output-sized by "
+    "nature; the guard is the honest contract",
+)
+def g142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cy(
+        spark,
+        sf_dir,
+        """MATCH p = allShortestPaths((a:Nation)-[:TRADE*1..3]->(b:Nation))
+           RETURN a AS src_nation, b AS dst_nation, length(p) AS hops,
+                  array_join(nodes(p), '>') AS path
+           ORDER BY src_nation, dst_nation, path""",
+    )
+
+
+@_g(
     "g140_cypher_count_subquery",
     f"""WITH {GRAPH_CTES},
        fan AS (SELECT dst, count(*) AS s_fanin FROM graph_edges GROUP BY 1)

@@ -1719,3 +1719,57 @@ def test_call_keyword_in_string_literal_untouched(tiny):
         "RETURN b, 'CALL { x }' AS s ORDER BY b LIMIT 1",
     ).collect()
     assert [(r.b, r.s) for r in got] == [("b", "CALL { x }")]
+
+
+# ------------------------------------- allShortestPaths enumeration
+
+
+def test_allshortest_nodes_enumeration(tiny):
+    """nodes(p) on allShortestPaths enumerates one row per distinct
+    shortest path (the r7 refusal, lifted)."""
+    got = cypher(
+        tiny,
+        "MATCH p = allShortestPaths((a {node: 'a'})-[:E*1..3]->(d {node: 'd'})) "
+        "RETURN a, d, length(p) AS hops, array_join(nodes(p), '>') AS path "
+        "ORDER BY path",
+    ).collect()
+    assert [(r.hops, r.path) for r in got] == [(2, "a>b>d"), (2, "a>c>d")]
+
+
+def test_allshortest_enum_count_parity(tiny):
+    """Enumerated row multiplicity per pair == the counting form's
+    p.cnt (Brandes sigma) — the two lowerings must agree exactly."""
+    cnt = cypher(
+        tiny,
+        "MATCH p = allShortestPaths((a)-[:E*1..4]->(b)) "
+        "RETURN a, b, p.cnt AS cnt ORDER BY a, b",
+    ).collect()
+    enum = cypher(
+        tiny,
+        "MATCH p = allShortestPaths((a)-[:E*1..4]->(b)) "
+        "RETURN a, b, count(nodes(p)) AS cnt ORDER BY a, b",
+    ).collect()
+    assert [(r.a, r.b, r.cnt) for r in cnt] == [(r.a, r.b, r.cnt) for r in enum]
+
+
+def test_allshortest_enum_relationships(tiny):
+    got = cypher(
+        tiny,
+        "MATCH p = allShortestPaths((a {node: 'a'})-[:E*1..3]->(d {node: 'd'})) "
+        "RETURN array_join(relationships(p), '|') AS rels ORDER BY rels",
+    ).collect()
+    assert [r.rels for r in got] == ["a->b|b->d", "a->c|c->d"]
+
+
+def test_allshortest_enum_limit_guard(tiny, monkeypatch):
+    """Above ALLSP_ENUM_FRONTIER_LIMIT the enumeration refuses with a
+    pointer to the counting form (enumeration is output-sized)."""
+    import graph_spark.graph.cypher as cy
+
+    monkeypatch.setattr(cy, "ALLSP_ENUM_FRONTIER_LIMIT", 1)
+    with pytest.raises(ValueError, match="counting form"):
+        cypher(
+            tiny,
+            "MATCH p = allShortestPaths((a)-[:E*1..4]->(b)) "
+            "RETURN a, b, array_join(nodes(p), '>') AS path",
+        )
