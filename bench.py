@@ -912,6 +912,58 @@ def bench_temporal_store(spark) -> dict:
         n = store.align(["p0", "p1"]).count()
         out["align_2props"] = round(time.perf_counter() - t0, 3)
         print(f"# tprop align_2props: {out['align_2props']}s ({n} rows)", file=sys.stderr)
+
+        # --- aggregate-index incremental maintenance (r7 verdict item
+        # 7): fold a 500k-row append (one recent month) into a
+        # materialized rollup vs rebuilding the rollup from all 50.5M
+        # grain rows.  merge_rollup only shuffles the append partials +
+        # the touched bucket's rollup rows (broadcast semi/anti split),
+        # so maintenance must be a small fraction of rebuild — the
+        # at-scale contract for keeping the index fresh under ingest.
+        from graph_spark.temporal.aggregate_index import (
+            build_rollup,
+            merge_rollup,
+        )
+
+        grain = spark.read.parquet(f"{tmp}/bucketed").select(
+            (F.col("entity_id") % 10_000).alias("grp"), "prop", "ts", "value"
+        )
+        build_rollup(grain, ["grp", "prop"], "ts", "value", "month").write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/rollup")
+        rollup = spark.read.parquet(f"{tmp}/rollup")
+        nov = 1761955200  # 2025-11-01 UTC, inside the 24-month span
+        append = (
+            spark.range(500_000)
+            .select(
+                (F.col("id") % 10_000).alias("grp"),
+                F.concat(F.lit("p"), (F.col("id") % 2).cast("string")).alias("prop"),
+                F.timestamp_seconds(
+                    F.lit(nov) + F.pmod(F.xxhash64("id", F.lit(31)), F.lit(2_592_000))
+                ).alias("ts"),
+                (F.pmod(F.xxhash64("id", F.lit(32)), F.lit(10_000)) / 100.0).alias(
+                    "value"
+                ),
+            )
+            .localCheckpoint(eager=True)  # time maintenance, not synthesis
+        )
+        t0 = time.perf_counter()
+        n = build_rollup(
+            grain.unionByName(append), ["grp", "prop"], "ts", "value", "month"
+        ).count()
+        out["rollup_rebuild"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        n2 = merge_rollup(rollup, append, ["grp", "prop"], "ts", "value", "month").count()
+        out["rollup_merge"] = round(time.perf_counter() - t0, 3)
+        assert n2 == n, f"merge_rollup row drift: {n2} vs {n}"
+        out["rollup_maint_ratio"] = round(
+            out["rollup_merge"] / max(out["rollup_rebuild"], 1e-9), 4
+        )
+        print(
+            f"# tprop rollup maint: merge {out['rollup_merge']}s vs rebuild "
+            f"{out['rollup_rebuild']}s (ratio {out['rollup_maint_ratio']}, {n} rows)",
+            file=sys.stderr,
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     print(f"# tprop: {out}", file=sys.stderr)

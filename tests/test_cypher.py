@@ -1773,3 +1773,22 @@ def test_allshortest_enum_limit_guard(tiny, monkeypatch):
             "MATCH p = allShortestPaths((a)-[:E*1..4]->(b)) "
             "RETURN a, b, array_join(nodes(p), '>') AS path",
         )
+
+
+def test_optional_match_shortest_path_null_extends(tiny):
+    """shortestPath inside OPTIONAL MATCH (VERDICT r07 margin item):
+    sources with no path to the anchored target null-extend instead of
+    disappearing, and nodes(p) is null on those rows."""
+    got = cypher(
+        tiny,
+        "MATCH (a)-[x:E]->(m) WITH DISTINCT a "
+        "OPTIONAL MATCH p = shortestPath((a)-[:E*1..4]->(b {node: 'b'})) "
+        "RETURN a, b, length(p) AS hops, array_join(nodes(p), '>') AS path "
+        "ORDER BY a",
+    ).collect()
+    assert [(r.a, r.b, r.hops, r.path) for r in got] == [
+        ("a", "b", 1, "a>b"),
+        ("b", None, None, None),
+        ("c", None, None, None),
+        ("d", None, None, None),
+    ]

@@ -62,6 +62,42 @@ def test_indexed_range_agg_equals_direct(spark, start, end):
         assert g[k][2] == w[k][2] and g[k][3] == w[k][3], f"minmax {k}"
 
 
+def test_merge_rollup_equals_rebuild(spark):
+    """Incremental maintenance contract: merge_rollup(rollup(old),
+    append) must equal build_rollup(old ∪ append) EXACTLY — every
+    aggregate is decomposable, and untouched buckets pass through
+    unchanged (VERDICT r7 item 7)."""
+    from graph_spark.temporal.aggregate_index import merge_rollup
+
+    o = Catalog(spark, SF_SMOKE).table("orders")
+    grain = o.select(
+        F.col("o_custkey").alias("entity_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_totalprice").alias("value"),
+    )
+    old = grain.filter(F.col("ts") < F.lit("1997-06-15").cast("timestamp"))
+    # the append straddles a touched bucket (1997-06 has old rows too)
+    # and brand-new buckets after it
+    append = grain.filter(F.col("ts") >= F.lit("1997-06-15").cast("timestamp"))
+    merged = merge_rollup(
+        build_rollup(old, ["entity_id"], "ts", "value", bucket="month"),
+        append,
+        ["entity_id"],
+        "ts",
+        "value",
+        bucket="month",
+    )
+    want = build_rollup(grain, ["entity_id"], "ts", "value", bucket="month")
+    key = lambda r: (r["entity_id"], r["__bucket"])
+    g = {key(r): (r["s"], r["c"], r["mn"], r["mx"]) for r in merged.collect()}
+    w = {key(r): (r["s"], r["c"], r["mn"], r["mx"]) for r in want.collect()}
+    assert set(g) == set(w)
+    for k in w:
+        assert g[k][1] == w[k][1], f"count {k}"
+        assert abs(g[k][0] - w[k][0]) < 1e-6, f"sum {k}"
+        assert g[k][2] == w[k][2] and g[k][3] == w[k][3], f"minmax {k}"
+
+
 def test_interval_writes_to_changepoints(spark):
     t = dt.datetime
     writes = spark.createDataFrame(
