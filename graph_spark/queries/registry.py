@@ -112,6 +112,13 @@ HAZARD_PRIORITY = [
     "g137_cypher_path_nodes",
     "g139_cypher_path_enum",
     "g138_cypher_undirected_sp",
+    # round-8 hazards: the '>'-joined path protocol on the allSP full
+    # enumeration (g142 — per-path rows, the first-reach/prefix-property
+    # contract), count-subquery left-join coalesce-0 semantics (g140),
+    # CALL broadcast-threshold cross position (g141)
+    "g142_cypher_allsp_enum",
+    "g140_cypher_count_subquery",
+    "g141_cypher_call_subquery",
 ]
 
 
@@ -130,8 +137,21 @@ def _driver_verified_names() -> set[str]:
                 data = json.loads(f.read_text())
             except (OSError, json.JSONDecodeError):
                 continue
-            if isinstance(data, dict):
-                seen.update(k for k in data.keys() if isinstance(k, str))
+            if not isinstance(data, dict):
+                continue
+            for k, v in data.items():
+                if not (isinstance(k, str) and isinstance(v, dict)):
+                    continue
+                # a name only counts as verified on a GREEN row: a full
+                # hash match, or a rows-only entry that executed
+                # (err == "no_oracle" with a row count).  A row the
+                # driver ERRORED on (e.g. g137's r7 canonicalizer
+                # TypeError) must rotate back into the sampled prefix
+                # so the fix gets re-checked (VERDICT r7 item 1).
+                if v.get("hash_match") is True or (
+                    v.get("err") == "no_oracle" and v.get("spark_rows") is not None
+                ):
+                    seen.add(k)
     except OSError:
         pass
     return seen
