@@ -891,3 +891,28 @@ def test_path_enum_label_filter_pushed_below_first_join(spark):
     # the startswith('n') label predicate appears in more than one
     # place (both chain legs), i.e. it was pushed into the branches
     assert opt.lower().count("startswith") >= 2, opt
+
+
+def test_round8_count_subquery_plan_shapes(spark):
+    """g140's count{} lowers to a pre-aggregate + LEFT hash join on the
+    shared variable — never a cartesian, never re-expanding the scope;
+    g142's enumeration stays an equi-join BFS."""
+    from graph_spark.queries.registry import by_name
+
+    reg = by_name()
+    for name in ("g140_cypher_count_subquery", "g142_cypher_allsp_enum"):
+        plan = _plan(reg[name].build(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, f"{name}: {plan}"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: {plan}"
+
+
+def test_round8_call_subquery_broadcast_threshold(spark):
+    """g141's CALL cross join must be the broadcast-append shape: the
+    single-aggregate-row side broadcasts (BroadcastNestedLoopJoin over
+    a 1-row aggregate or a broadcast exchange), never a shuffled
+    CartesianProduct."""
+    from graph_spark.queries.registry import by_name
+
+    plan = _plan(by_name()["g141_cypher_call_subquery"].build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
