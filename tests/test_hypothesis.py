@@ -7,11 +7,16 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from graph_spark.operators.relational import asof_join, sessionize
+
+# randomized redundant coverage — nightly tier (pytest.ini; the
+# deterministic parity/oracle tests cover the same operators by default)
+pytestmark = pytest.mark.nightly
 
 SET = settings(
     max_examples=8,

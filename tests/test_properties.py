@@ -12,7 +12,14 @@ from pyspark.sql import functions as F
 from graph_spark.graph.algorithms import bfs_distances, connected_components
 from graph_spark.graph.property_graph import PropertyGraph
 
-SEEDS = [7, 42, 1337]
+# Default tier runs ONE seed; the extra seeds are redundant coverage
+# and re-run in the nightly tier (pytest.ini addopts; VERDICT r7 item
+# 2 — suite tiering).  Every parity property still executes by default.
+SEEDS = [
+    42,
+    pytest.param(7, marks=pytest.mark.nightly),
+    pytest.param(1337, marks=pytest.mark.nightly),
+]
 
 # (local, broadcast_state) triples exercising every Pregel execution
 # path: single-task numpy kernel, distributed broadcast-state
@@ -305,7 +312,14 @@ def test_compaction_preserves_point_reads(spark):
 
 
 @pytest.mark.parametrize("seed", SEEDS)
-@pytest.mark.parametrize("bucket_seconds", [600, 3600, 7200])
+@pytest.mark.parametrize(
+    "bucket_seconds",
+    [
+        3600,
+        pytest.param(600, marks=pytest.mark.nightly),
+        pytest.param(7200, marks=pytest.mark.nightly),
+    ],
+)
 def test_bucketed_range_join_equals_theta_join(spark, seed, bucket_seconds):
     """Bucketed unkeyed range join == naive theta join, for bucket sizes
     smaller than, equal to, and larger than the interval length."""
