@@ -2239,6 +2239,12 @@ def cypher(
             om = re.match(r"^(.*?)(\s+(?:ASC|DESC))?\s*$", oi, re.IGNORECASE | re.DOTALL)
             raw = om.group(1).strip()
             direction = (om.group(2) or "").strip().upper()
+            if _COUNT_SUBQ.search(_blank_quotes(raw)):
+                raise ValueError(
+                    "cypher: count { .. } in ORDER BY is not supported — "
+                    "alias it in RETURN (count { .. } AS n) and ORDER BY "
+                    "the alias"
+                )
             sql = raw if raw in aliases else _rewrite(raw, node_vars, edge_vars, path_vars)
             col = F.expr(sql)
             cols.append(col.desc() if direction == "DESC" else col.asc())

@@ -1792,3 +1792,12 @@ def test_optional_match_shortest_path_null_extends(tiny):
         ("c", None, None, None),
         ("d", None, None, None),
     ]
+
+
+def test_count_subquery_in_order_by_refused(tiny):
+    with pytest.raises(ValueError, match="ORDER BY"):
+        cypher(
+            tiny,
+            "MATCH (a)-[e:E]->(b) RETURN DISTINCT a "
+            "ORDER BY count { (a)-[:E]->() }",
+        )
