@@ -1429,11 +1429,8 @@ def test_named_path_single_hop_and_where(tiny):
 
 
 def test_path_nodes_refusals(tiny):
-    with pytest.raises(ValueError, match="allShortestPaths"):
-        cypher(
-            tiny,
-            "MATCH p = allShortestPaths((a)-[:E*]->(b)) RETURN nodes(p)",
-        )
+    # nodes(p) on allShortestPaths is no longer refused (r8: it
+    # switches to enumeration — see test_allshortest_nodes_enumeration)
     with pytest.raises(ValueError, match="WEIGHTED"):
         cypher(
             tiny,
