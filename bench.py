@@ -959,6 +959,18 @@ def bench_temporal_store(spark) -> dict:
         out["rollup_maint_ratio"] = round(
             out["rollup_merge"] / max(out["rollup_rebuild"], 1e-9), 4
         )
+        # the RUN-INVARIANT signal (wall-clock understates it on a
+        # page-cached local disk where a 50M scan is ~2s): rebuild
+        # reads the FULL grain history, merge reads only rollup +
+        # append — the input ratio is what survives a 100× history
+        # growth, exactly like bytes_admitted_frac above.
+        rollup_rows = rollup.count()
+        append_rows = append.count()
+        out["rollup_merge_input_rows"] = rollup_rows + append_rows
+        out["rollup_rebuild_input_rows"] = n_changes + append_rows
+        out["rollup_input_ratio"] = round(
+            (rollup_rows + append_rows) / (n_changes + append_rows), 5
+        )
         print(
             f"# tprop rollup maint: merge {out['rollup_merge']}s vs rebuild "
             f"{out['rollup_rebuild']}s (ratio {out['rollup_maint_ratio']}, {n} rows)",
