@@ -87,8 +87,10 @@ Supported:
     array (p.cnt is then unbound; the row count IS the path count) —
     guarded by ALLSP_ENUM_FRONTIER_LIMIT per level, above which it
     refuses with a pointer back to the counting form.
-  - WHERE pattern predicates: `EXISTS { (a)-[:T]->(b) }` (brace or
-    paren delimited), `NOT EXISTS { .. }`, and the bare sugar
+  - WHERE pattern predicates: `EXISTS { (a)-[:T]->(b) [WHERE ..] }`
+    (brace or paren delimited; the optional inner WHERE filters the
+    subpattern before the semi/anti join), `NOT EXISTS { .. }`, and
+    the bare sugar
     `NOT (a)-[:T]->(b)` / `(a)-[:T]->(b)`.  As top-level AND
     conjuncts they compile to LEFT-SEMI / LEFT-ANTI joins on the
     variables shared with the outer scope (the engine's q06/q07 join
@@ -1845,9 +1847,12 @@ def cypher(
             text = f"{text[:m.start()]}coalesce({cname}, 0){text[close + 1:]}"
 
     def pattern_branch(text: str):
-        """``(neg, triples)`` if `text` is one pattern predicate —
-        ``[NOT] EXISTS { .. } / ( .. )`` or the bare sugar
-        ``[NOT] (a)-[:T]->(b)`` — else ``None``."""
+        """``(neg, triples, inner_where)`` if `text` is one pattern
+        predicate — ``[NOT] EXISTS { pattern [WHERE ..] } / ( .. )`` or
+        the bare sugar ``[NOT] (a)-[:T]->(b)`` — else ``None``.  The
+        optional inner WHERE (r8, matching count{}) filters the
+        subpattern frame BEFORE the semi/anti join, so the predicate
+        shrinks the build side."""
         em = _EXISTS_PRED.match(text)
         if em:
             if (em.group("open"), em.group("close")) not in (
@@ -1857,19 +1862,24 @@ def cypher(
                 raise ValueError(
                     f"cypher: mismatched EXISTS delimiters in {text!r}"
                 )
-            return bool(em.group("neg")), _parse_patterns(em.group("inner"), anon)
+            inner = em.group("inner")
+            bm = _BLOCK.match(_blank_quotes(inner))
+            pat = _gslice(bm, inner, "pat")
+            iw = _gslice(bm, inner, "where")
+            return bool(em.group("neg")), _parse_patterns(pat, anon), iw
         bp = _BARE_PAT.match(text)
         if bp and _PATTERN_SHAPE.search(text):
             try:
                 triples = _parse_patterns(bp.group("pat"), anon)
             except ValueError:
                 return None
-            return bool(bp.group("neg")), triples
+            return bool(bp.group("neg")), triples, None
         return None
 
     def classify_or_group(text: str):
         """`text` has a top-level OR.  Return a branch list mixing
-        ``("pat", neg, triples)`` and ``("expr", sql)`` entries when at
+        ``("pat", neg, triples, inner_where)`` and ``("expr", sql)``
+        entries when at
         least one disjunct is a pattern predicate (lowered later to
         existence flags ORed in one filter), or ``None`` when every
         disjunct is scalar (the plain-filter path handles it whole).
@@ -1882,7 +1892,7 @@ def cypher(
             pb = pattern_branch(_strip_outer_parens(d))
             if pb is not None:
                 saw_pat = True
-                branches.append(("pat", pb[0], pb[1]))
+                branches.append(("pat", pb[0], pb[1], pb[2]))
                 continue
             if _PATTERN_SHAPE.search(d) or re.search(
                 r"\bEXISTS\b", d, re.IGNORECASE
@@ -1917,7 +1927,7 @@ def cypher(
         for conj in conjs:
             pb = pattern_branch(conj)
             if pb is not None:
-                preds.append(("single", pb[0], pb[1]))
+                preds.append(("single", pb[0], pb[1], pb[2]))
                 continue
             inner = _strip_outer_parens(conj)
             if len(_split_disjuncts(inner)) > 1:
@@ -1952,8 +1962,16 @@ def cypher(
         inside a pattern stay existential (never enter the scope)."""
         flag_n = [0]
 
-        def shared_keys(triples):
-            sub, bn, _ = build_block(triples)
+        def shared_keys(triples, inner_where=None):
+            sub, bn, be2 = build_block(triples)
+            if inner_where:
+                # the EXISTS subquery's own WHERE (r8): filters the
+                # subpattern frame BEFORE the semi/anti join, shrinking
+                # the build side (same placement as the label/property
+                # pushdown)
+                sub = sub.filter(
+                    F.expr(_rewrite(inner_where, bn, be2, path_vars))
+                )
             shared = sorted(bn & nvars)
             if not shared:
                 raise ValueError(
@@ -1965,8 +1983,8 @@ def cypher(
 
         for entry in preds:
             if entry[0] == "single":
-                _, neg, triples = entry
-                sub, shared = shared_keys(triples)
+                _, neg, triples, iw = entry
+                sub, shared = shared_keys(triples, iw)
                 frame = frame.join(
                     sub.select(*shared), shared, "left_anti" if neg else "left_semi"
                 )
@@ -1978,8 +1996,8 @@ def cypher(
                 if br[0] == "expr":
                     conds.append(F.expr(_rewrite(br[1], nvars, evars, path_vars)))
                     continue
-                _, neg, triples = br
-                sub, shared = shared_keys(triples)
+                _, neg, triples, iw = br
+                sub, shared = shared_keys(triples, iw)
                 flag = f"__pp{flag_n[0]}"
                 flag_n[0] += 1
                 keys = sub.select(*shared).distinct().withColumn(flag, F.lit(1))

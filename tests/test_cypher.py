@@ -1798,3 +1798,32 @@ def test_count_subquery_in_order_by_refused(tiny):
             "MATCH (a)-[e:E]->(b) RETURN DISTINCT a "
             "ORDER BY count { (a)-[:E]->() }",
         )
+
+
+def test_exists_inner_where(tiny):
+    """EXISTS { pattern WHERE .. } (r8): the inner WHERE filters the
+    subpattern BEFORE the semi/anti join — symmetric with count{}."""
+    got = cypher(
+        tiny,
+        "MATCH (a)-[e:E]->(b) "
+        "WHERE EXISTS { (a)-[f:E]->(x) WHERE f.weight > 15.0 } "
+        "RETURN DISTINCT a ORDER BY a",
+    ).collect()
+    assert [r.a for r in got] == ["a", "b", "c", "d"]
+    got = cypher(
+        tiny,
+        "MATCH (a)-[e:E]->(b) "
+        "WHERE NOT EXISTS { (a)-[f:E]->(x) WHERE f.weight > 35.0 } "
+        "RETURN DISTINCT a ORDER BY a",
+    ).collect()
+    assert [r.a for r in got] == ["a", "b"]
+
+
+def test_exists_inner_where_under_or(tiny):
+    got = cypher(
+        tiny,
+        "MATCH (a)-[e:E]->(b) "
+        "WHERE EXISTS { (a)-[f:E]->(x) WHERE f.weight > 35.0 } "
+        "OR e.weight < 15.0 RETURN DISTINCT a ORDER BY a",
+    ).collect()
+    assert [r.a for r in got] == ["a", "c", "d"]
