@@ -262,10 +262,21 @@ def _split_clauses(query: str) -> list[tuple[str, str]]:
     parts = re.split(r"('[^']*'|\"[^\"]*\")", query)
     marks: list[tuple[int, str, int]] = []  # (start, KW, body_start)
     shadowed: set[str] = set()  # aliases that shadow a clause keyword
+    # brace depth BEFORE each character (quote-blanked): a clause
+    # keyword inside { .. } — an EXISTS/count subquery body in its
+    # Neo4j MATCH-spelled form — is not a top-level clause boundary
+    blank = _blank_quotes(query)
+    depths = []
+    d = 0
+    for ch in blank:
+        depths.append(d)
+        d += (ch == "{") - (ch == "}")
     off = 0
     for idx, part in enumerate(parts):
         if idx % 2 == 0:
             for m in _KW.finditer(part):
+                if depths[off + m.start()] > 0:
+                    continue  # inside a braced subquery body
                 kw = re.sub(r"\s+", " ", m.group(1).upper())
                 before = part[: m.start()].rstrip()
                 # `e.match` (property access) and `.. AS match` (alias)
@@ -650,6 +661,23 @@ _COUNT_SUBQ = re.compile(r"\bCOUNT\s*\{", re.IGNORECASE)
 
 # a CALL subquery clause opener: CALL { MATCH .. RETURN .. }
 _CALL_OPEN = re.compile(r"\bCALL\s*\{", re.IGNORECASE)
+
+
+def _strip_subq_match(inner: str, kind: str) -> str:
+    """Normalize an EXISTS/count subquery body: the Neo4j full-subquery
+    spelling ``EXISTS { MATCH (a)-[:T]->(b) [WHERE ..] }`` strips its
+    leading MATCH (the braced body IS a pattern in this subset); a
+    RETURN inside is refused with a clear error (projection inside an
+    existence/count test has no effect in this subset — drop it)."""
+    blank = _blank_quotes(inner)
+    if re.search(r"\bRETURN\b", blank, re.IGNORECASE):
+        raise ValueError(
+            f"cypher: RETURN inside a {kind} {{ .. }} subquery is not "
+            "supported (the braced body is a pattern [WHERE ..]; a "
+            "projection has no effect on an existence/count test — "
+            "drop the RETURN, or use CALL { .. } to carry values)"
+        )
+    return re.sub(r"^\s*MATCH\b", "", inner, count=1, flags=re.IGNORECASE)
 
 
 def _match_brace(blank: str, open_idx: int) -> int:
@@ -1824,7 +1852,7 @@ def cypher(
             if not m:
                 return frame, text
             close = _match_brace(blank, m.end() - 1)
-            inner = text[m.end():close]
+            inner = _strip_subq_match(text[m.end():close], "count")
             bm = _BLOCK.match(_blank_quotes(inner))
             pat = _gslice(bm, inner, "pat")
             iw = _gslice(bm, inner, "where")
@@ -1862,7 +1890,7 @@ def cypher(
                 raise ValueError(
                     f"cypher: mismatched EXISTS delimiters in {text!r}"
                 )
-            inner = em.group("inner")
+            inner = _strip_subq_match(em.group("inner"), "EXISTS")
             bm = _BLOCK.match(_blank_quotes(inner))
             pat = _gslice(bm, inner, "pat")
             iw = _gslice(bm, inner, "where")

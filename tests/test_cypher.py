@@ -1827,3 +1827,29 @@ def test_exists_inner_where_under_or(tiny):
         "OR e.weight < 15.0 RETURN DISTINCT a ORDER BY a",
     ).collect()
     assert [r.a for r in got] == ["a", "c", "d"]
+
+
+def test_exists_and_count_match_spelling(tiny):
+    """The Neo4j full-subquery spelling — EXISTS { MATCH .. WHERE .. }
+    and count { MATCH .. } — normalizes to the pattern form; the inner
+    MATCH is not taken for a clause boundary (brace-depth-aware
+    splitter), and a RETURN inside is refused with a clear error."""
+    got = cypher(
+        tiny,
+        "MATCH (a)-[e:E]->(b) "
+        "WHERE EXISTS { MATCH (a)-[f:E]->(x) WHERE f.weight > 15.0 } "
+        "RETURN DISTINCT a ORDER BY a",
+    ).collect()
+    assert [r.a for r in got] == ["a", "b", "c", "d"]
+    got = cypher(
+        tiny,
+        "MATCH (a)-[e:E]->(b) WITH DISTINCT a "
+        "RETURN a, count { MATCH (a)-[:E]->() } AS deg ORDER BY a",
+    ).collect()
+    assert [(r.a, r.deg) for r in got] == [("a", 2), ("b", 1), ("c", 1), ("d", 1)]
+    with pytest.raises(ValueError, match="RETURN inside"):
+        cypher(
+            tiny,
+            "MATCH (a)-[e:E]->(b) "
+            "WHERE EXISTS { MATCH (a)-[f:E]->(x) RETURN x } RETURN a",
+        )
