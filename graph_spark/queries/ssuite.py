@@ -1182,4 +1182,64 @@ def s26(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_s(
+    "s27_stream_stream_full_join",
+    """WITH c AS (SELECT user_id, date_trunc('hour', ts) AS h, event_id
+                  FROM events WHERE event_type='click'),
+       v AS (SELECT user_id, date_trunc('hour', ts) AS h, event_id
+             FROM events WHERE event_type='view')
+       SELECT coalesce(c.user_id, v.user_id) AS user_id,
+              strftime(coalesce(c.h, v.h), '%Y-%m-%d %H:%M:%S.%f') AS h,
+              sum(CASE WHEN c.event_id IS NOT NULL AND v.event_id IS NOT NULL
+                       THEN 1 ELSE 0 END)::BIGINT AS n_pairs,
+              sum(CASE WHEN v.event_id IS NULL THEN 1 ELSE 0 END)::BIGINT
+                AS clicks_only,
+              sum(CASE WHEN c.event_id IS NULL THEN 1 ELSE 0 END)::BIGINT
+                AS views_only
+       FROM c FULL JOIN v ON c.user_id = v.user_id AND c.h = v.h
+       GROUP BY 1, 2 ORDER BY 1, 2""",
+    note="stream-stream FULL OUTER join, batch-declared (completes the "
+    "join-type family: s07 inner, s22 left outer): clicks x views "
+    "matched on (user, hour-window EQUALITY) - exactly the condition "
+    "shape Structured Streaming supports for full-outer stream-stream "
+    "joins (window-equality + watermarks, Spark >=3.1), so the batch "
+    "plan IS the streaming plan; both orphan directions survive "
+    "(clicks_only / views_only), which is the reconciliation query "
+    "where EITHER side's absence is signal (instrumentation drift, "
+    "lost-event audits).  Streaming emission: an orphan row closes "
+    "only when BOTH watermarks pass its window end; "
+    "tests/test_streaming.py::test_s27 sandwiches replay emission "
+    "against the batch join.  Scale: one shuffle per side on "
+    "(user, window); per-row state bounded by the watermark horizon",
+)
+def s27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).table("events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.window("ts", "1 hour").alias("cw"),
+        F.col("event_id").alias("c_id"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"),
+        F.window("ts", "1 hour").alias("vw"),
+        F.col("event_id").alias("v_id"),
+    )
+    j = c.join(
+        v, (F.col("cu") == F.col("vu")) & (F.col("cw") == F.col("vw")), "full_outer"
+    )
+    both = F.col("c_id").isNotNull() & F.col("v_id").isNotNull()
+    return (
+        j.groupBy(
+            F.coalesce("cu", "vu").alias("user_id"),
+            ts_str(F.coalesce(F.col("cw.start"), F.col("vw.start"))).alias("h"),
+        )
+        .agg(
+            F.sum(F.when(both, 1).otherwise(0)).alias("n_pairs"),
+            F.sum(F.when(F.col("v_id").isNull(), 1).otherwise(0)).alias("clicks_only"),
+            F.sum(F.when(F.col("c_id").isNull(), 1).otherwise(0)).alias("views_only"),
+        )
+        .orderBy("user_id", "h")
+    )
+
+
 QUERIES = list(_S)

@@ -876,3 +876,118 @@ def test_s23_chained_window_stream_sandwich(spark, replay_dir):
     }
     assert bsafe <= srows, sorted(bsafe - srows)[:5]
     assert len(bsafe) > 0
+
+
+def test_s27_full_outer_stream_join_sandwich(spark, replay_dir):
+    """FULL OUTER stream-stream join parity (window-equality, the shape
+    Spark supports for full outer): matched pairs == batch inner join
+    exactly; BOTH orphan directions emit only once both watermarks
+    close the window, so the sandwich is: every emitted orphan is a
+    true batch orphan, and every orphan whose window end is older than
+    the final joint watermark WAS emitted."""
+    import os
+    import tempfile
+    import uuid
+
+    from graph_spark.streaming.replay import EVENTS_SCHEMA
+
+    def stream(filt):
+        return (
+            spark.readStream.format("parquet")
+            .schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 5)
+            .load(replay_dir)
+            .filter(filt)
+        )
+
+    c = (
+        stream(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("cu"),
+            F.window("ts", "1 hour").alias("cw"),
+            F.col("event_id").alias("c_id"),
+        )
+    )
+    v = (
+        stream(F.col("event_type") == "view")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("vu"),
+            F.window("ts", "1 hour").alias("vw"),
+            F.col("event_id").alias("v_id"),
+        )
+    )
+    joined = c.join(
+        v, (F.col("cu") == F.col("vu")) & (F.col("cw") == F.col("vw")), "fullOuter"
+    ).select(
+        "c_id",
+        "v_id",
+        F.coalesce(F.col("cw.end"), F.col("vw.end")).alias("wend"),
+    )
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option(
+            "checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = spark.table(name).collect()
+    got_matched = sorted(
+        (r["c_id"], r["v_id"])
+        for r in emitted
+        if r["c_id"] is not None and r["v_id"] is not None
+    )
+    got_c_orphans = set(r["c_id"] for r in emitted if r["v_id"] is None)
+    got_v_orphans = set(r["v_id"] for r in emitted if r["c_id"] is None)
+
+    ev = Catalog(spark, SF_SMOKE).table("events")
+    bc = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.window("ts", "1 hour").alias("cw"),
+        F.col("event_id").alias("c_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    bv = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"),
+        F.window("ts", "1 hour").alias("vw"),
+        F.col("event_id").alias("v_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    cond = (F.col("cu") == F.col("vu")) & (F.col("cw") == F.col("vw"))
+    want_matched = sorted(
+        (r["c_id"], r["v_id"])
+        for r in bc.join(bv, cond).select("c_id", "v_id").collect()
+    )
+    assert got_matched == want_matched and len(want_matched) > 0
+
+    c_orphans = bc.join(bv, cond, "left_anti")
+    v_orphans = bv.join(bc, cond, "left_anti")
+    assert got_c_orphans <= {r["c_id"] for r in c_orphans.collect()}
+    assert got_v_orphans <= {r["v_id"] for r in v_orphans.collect()}
+    # joint final watermark: both sides delay 2h behind their max ts
+    max_c = bc.agg(F.max("c_ts")).collect()[0][0]
+    max_v = bv.agg(F.max("v_ts")).collect()[0][0]
+    wm = min(max_c, max_v)
+    must_c = {
+        r["c_id"]
+        for r in c_orphans.filter(
+            F.col("cw.end") < F.lit(wm) - F.expr("INTERVAL 2 HOURS")
+        ).collect()
+    }
+    must_v = {
+        r["v_id"]
+        for r in v_orphans.filter(
+            F.col("vw.end") < F.lit(wm) - F.expr("INTERVAL 2 HOURS")
+        ).collect()
+    }
+    assert must_c <= got_c_orphans
+    assert must_v <= got_v_orphans
+    assert len(must_c) > 0 and len(must_v) > 0
