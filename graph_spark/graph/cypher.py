@@ -1856,7 +1856,17 @@ def cypher(
             bm = _BLOCK.match(_blank_quotes(inner))
             pat = _gslice(bm, inner, "pat")
             iw = _gslice(bm, inner, "where")
-            sub, bn, be2 = build_block(_parse_patterns(pat, anon))
+            triples = _parse_patterns(pat, anon)
+            for _, edge, _ in triples:
+                if edge.max_len > 1 or edge.min_len > 1:
+                    raise ValueError(
+                        "cypher: a variable-length edge inside count { .. } "
+                        "is not supported — the var-length leg is PAIR-"
+                        "distinct, but openCypher counts PATHS; bind a "
+                        "named path (p = (a)-[:T*..]->(b)) and aggregate, "
+                        "or use allShortestPaths p.cnt"
+                    )
+            sub, bn, be2 = build_block(triples)
             if iw:
                 sub = sub.filter(F.expr(_rewrite(iw, bn, be2, path_vars)))
             shared = sorted(bn & nvars)

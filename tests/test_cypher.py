@@ -1853,3 +1853,15 @@ def test_exists_and_count_match_spelling(tiny):
             "MATCH (a)-[e:E]->(b) "
             "WHERE EXISTS { MATCH (a)-[f:E]->(x) RETURN x } RETURN a",
         )
+
+
+def test_count_subquery_varlen_refused(tiny):
+    """count{} over a var-length edge would count PAIRS (the
+    pair-distinct leg) where openCypher counts PATHS — refused with a
+    pointer instead of a silently-different number."""
+    with pytest.raises(ValueError, match="PATHS"):
+        cypher(
+            tiny,
+            "MATCH (a)-[e:E]->(b) "
+            "RETURN a, count { (a)-[:E*1..2]->(x) } AS n",
+        )
