@@ -345,6 +345,18 @@ class Engine:
         )
         return build_rollup(grain, ["entity_id"], "ts", "value", bucket)
 
+    def temporal_rollup_merge(
+        self, rollup: DataFrame, appended_grain: DataFrame, bucket: str = "month"
+    ) -> DataFrame:
+        """Fold appended grain rows (entity_id, ts, value) into an
+        existing aggregate-index rollup — incremental maintenance
+        (merge ≡ rebuild; only touched buckets shuffle)."""
+        from .temporal.aggregate_index import merge_rollup
+
+        return merge_rollup(
+            rollup, appended_grain, ["entity_id"], "ts", "value", bucket
+        )
+
     def temporal_align(self, tp: DataFrame, props: list, **kw) -> DataFrame:
         """Widen several piecewise-constant properties onto the union of
         their change-points with per-column forward fill (the temporal

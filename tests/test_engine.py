@@ -449,3 +449,35 @@ def test_engine_holt_winters_facade(spark):
     )
     rows = out.collect()
     assert rows and all(r.forecast_1 is not None for r in rows)
+
+
+def test_engine_round8_facades(spark):
+    """temporal_rollup_merge routes to merge_rollup; Engine.cypher runs
+    the r8 count{}/CALL subquery surface end-to-end."""
+    from pyspark.sql import functions as F
+
+    from graph_spark.engine import Engine
+
+    eng = Engine(spark, SF_SMOKE)
+    grain = eng.catalog.tprop_spend().select(
+        "entity_id", "ts", F.col("delta").alias("value")
+    )
+    cut = F.lit("1997-01-01").cast("timestamp")
+    merged = eng.temporal_rollup_merge(
+        _rollup_of(eng, grain.filter(F.col("ts") < cut)),
+        grain.filter(F.col("ts") >= cut),
+    )
+    assert merged.count() == eng.temporal_range_rollup().count()
+
+    got = eng.cypher(
+        "MATCH (c:Customer)-[e:BUYS]->(s:Supplier) WITH DISTINCT s "
+        "RETURN s, count { (s)<-[:BUYS]-(x:Customer) } AS fanin "
+        "ORDER BY fanin DESC, s LIMIT 3"
+    ).collect()
+    assert len(got) == 3 and all(r.fanin >= 1 for r in got)
+
+
+def _rollup_of(eng, grain):
+    from graph_spark.temporal.aggregate_index import build_rollup
+
+    return build_rollup(grain, ["entity_id"], "ts", "value", "month")
