@@ -35,12 +35,16 @@ Supported:
     rows failing it null-extend instead of dropping), so it may
     reference outer variables.
   - CHAINED WITH stages between the pattern and RETURN: each
-    `WITH [DISTINCT] items [WHERE post]` projects/aggregates mid-query
-    and its WHERE filters the projected rows (the Cypher HAVING); the
-    stage's aliases are the variable scope of the next WITH / RETURN,
-    so multi-level rollups compile to stacked groupBys
-    (`WITH c, count(*) AS deg WITH deg, count(*) AS n WHERE n >= 2
-    RETURN max(deg)`).
+    `WITH [DISTINCT] items [WHERE] [ORDER BY] [SKIP n] [LIMIT n]`
+    (trailing clauses in any textual order, applied left to right)
+    projects/aggregates mid-query; WHERE filters the projected rows
+    (the Cypher HAVING), ORDER BY + SKIP/LIMIT is the aggregate →
+    top-k → expand idiom (planned as TakeOrdered — no global sort
+    survives; ORDER BY without a SKIP/LIMIT cut is refused as pure
+    plan tax).  The stage's aliases are the variable scope of the
+    next WITH / RETURN, so multi-level rollups compile to stacked
+    groupBys (`WITH c, count(*) AS deg WITH deg, count(*) AS n
+    WHERE n >= 2 RETURN max(deg)`).
   - MATCH / OPTIONAL MATCH AFTER a WITH stage (the Neo4j
     aggregate-then-expand idiom): the new block joins on the pattern
     variables shared with the carried WITH aliases
@@ -219,12 +223,46 @@ _KW = re.compile(
     r"\b(OPTIONAL\s+MATCH|UNWIND|MATCH|WITH|RETURN|CALL)\b", re.IGNORECASE
 )
 
-# one WITH stage body: [DISTINCT] items [WHERE having]
-_WITH_STAGE = re.compile(
-    r"^\s*(?P<distinct>DISTINCT\s+)?(?P<items>.+?)"
-    r"(?:\s+WHERE\s+(?P<having>.+))?\s*$",
-    re.IGNORECASE | re.DOTALL,
-)
+_STAGE_OP = re.compile(r"(WHERE|ORDER\s+BY|SKIP|LIMIT)\b", re.IGNORECASE)
+
+
+def _split_stage_ops(body: str) -> tuple[str, list[tuple[str, str]]]:
+    """Split a WITH-stage body into the projection head and its
+    trailing TOP-LEVEL operator clauses — WHERE / ORDER BY / SKIP /
+    LIMIT, in whatever order they appear (Neo4j grammar puts WHERE
+    last, the engine's older form put it first; both parse).  Scanning
+    is quote- and bracket/brace/paren-aware, so a WHERE inside a
+    count{}/EXISTS{} subquery or a parenthesized expression never
+    splits the stage.  Returns (head, [(KW, text), ...])."""
+    blank = _blank_quotes(body)
+    depth = 0
+    marks: list[tuple[int, int, str]] = []
+    i, n = 0, len(blank)
+    while i < n:
+        ch = blank[i]
+        if ch in "({[":
+            depth += 1
+        elif ch in ")}]":
+            depth -= 1
+        elif depth == 0 and ch.isalpha():
+            m = _STAGE_OP.match(blank, i)
+            prev = blank[i - 1] if i else " "
+            if m and not (prev.isalnum() or prev == "_"):
+                marks.append(
+                    (i, m.end(), re.sub(r"\s+", " ", m.group(1).upper()))
+                )
+                i = m.end()
+                continue
+        i += 1
+    if not marks:
+        return body, []
+    head = body[: marks[0][0]]
+    ops: list[tuple[str, str]] = []
+    for j, (s, e, kw) in enumerate(marks):
+        end = marks[j + 1][0] if j + 1 < len(marks) else len(body)
+        ops.append((kw, body[e:end].strip()))
+    return head, ops
+
 
 # the RETURN tail: [DISTINCT] items [ORDER BY ..] [SKIP n] [LIMIT n]
 _TAIL = re.compile(
@@ -2262,19 +2300,68 @@ def cypher(
             if post:
                 out = apply_where(out, post, node_vars, edge_vars)
         else:  # WITH stage
-            sm = _WITH_STAGE.match(_blank_quotes(body))
-            if not sm:
+            head, stage_ops = _split_stage_ops(body)
+            dm = re.match(r"^\s*DISTINCT\s+", head, re.IGNORECASE)
+            if dm:
+                head = head[dm.end():]
+            if not head.strip():
                 raise ValueError(f"cypher: cannot parse WITH stage {body!r}")
-            out, waliases = project(
-                out, _gslice(sm, body, "items"), node_vars, edge_vars
-            )
-            if sm.group("distinct"):
+            kinds = [k for k, _ in stage_ops]
+            if len(kinds) != len(set(kinds)):
+                raise ValueError(
+                    f"cypher: duplicate clause in WITH stage {body!r}"
+                )
+            if "ORDER BY" in kinds and not ({"SKIP", "LIMIT"} & set(kinds)):
+                raise ValueError(
+                    "cypher: ORDER BY in a WITH stage needs a SKIP or "
+                    "LIMIT — row order is not observable through later "
+                    "clauses, so an un-cut sort is pure plan tax (order "
+                    "in RETURN instead, or add LIMIT for the top-k-then-"
+                    "expand idiom)"
+                )
+            out, waliases = project(out, head, node_vars, edge_vars)
+            if dm:
                 out = out.distinct()
             node_vars = set(waliases)
             edge_vars = set()
-            having = _gslice(sm, body, "having")
-            if having:
-                out = apply_where(out, having, node_vars, edge_vars)
+            # apply the trailing clauses in their textual order (WHERE
+            # filters the projected rows; ORDER BY + SKIP/LIMIT is the
+            # aggregate-then-top-k-then-expand idiom — Spark plans
+            # orderBy+limit as TakeOrdered, no global sort survives)
+            for op_kw, op_text in stage_ops:
+                if op_kw == "WHERE":
+                    out = apply_where(out, op_text, node_vars, edge_vars)
+                elif op_kw == "ORDER BY":
+                    ocols = []
+                    for oi in _split_top_level(op_text):
+                        om = re.match(
+                            r"^(.*?)(\s+(?:ASC|DESC))?\s*$",
+                            oi,
+                            re.IGNORECASE | re.DOTALL,
+                        )
+                        raw = om.group(1).strip()
+                        direction = (om.group(2) or "").strip().upper()
+                        sql = (
+                            raw
+                            if raw in node_vars
+                            else _rewrite(raw, node_vars, edge_vars, path_vars)
+                        )
+                        col = F.expr(sql)
+                        ocols.append(
+                            col.desc() if direction == "DESC" else col.asc()
+                        )
+                    out = out.orderBy(*ocols)
+                elif op_kw in ("SKIP", "LIMIT"):
+                    if not re.fullmatch(r"\d+", op_text):
+                        raise ValueError(
+                            f"cypher: {op_kw} in a WITH stage takes an "
+                            f"integer literal, got {op_text!r}"
+                        )
+                    out = (
+                        out.offset(int(op_text))
+                        if op_kw == "SKIP"
+                        else out.limit(int(op_text))
+                    )
 
     ret_body = clauses[-1][1]
     m = _TAIL.match(_blank_quotes(ret_body))

@@ -7349,4 +7349,39 @@ def g141(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g143_cypher_with_topk_expand",
+    f"""WITH {GRAPH_CTES},
+       fan AS (SELECT dst AS supplier, count(*) AS fanin
+               FROM graph_edges GROUP BY 1
+               ORDER BY fanin DESC, supplier LIMIT 10)
+       SELECT f.supplier, f.fanin::BIGINT AS fanin,
+              count(*)::BIGINT AS n_cust,
+              sum(e.n_items)::BIGINT AS items
+       FROM fan f JOIN graph_edges e ON e.dst = f.supplier
+       GROUP BY 1, 2 ORDER BY 1""",
+    note="WITH ORDER BY/LIMIT mid-query (r8): the aggregate -> top-k "
+    "-> EXPAND idiom — rank suppliers by fan-in, keep the top 10 "
+    "(full tiebreak on the supplier key, so the cut is "
+    "deterministic), then a SECOND MATCH anchors on the survivors "
+    "and re-aggregates their baskets.  Spark plans the stage cut as "
+    "TakeOrdered (no global sort survives into the expand join) and "
+    "the expand join's build side is 10 rows — the idiom gets "
+    "CHEAPER at scale because the cut happens before the re-join.  "
+    "ORDER BY without SKIP/LIMIT in a WITH stage is refused as plan "
+    "tax (unobservable order)",
+)
+def g143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cy(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[e:BUYS]->(s:Supplier)
+           WITH s, count(*) AS fanin ORDER BY fanin DESC, s LIMIT 10
+           MATCH (c2:Customer)-[f:BUYS]->(s)
+           RETURN s AS supplier, fanin, count(*) AS n_cust,
+                  sum(f.n_items) AS items
+           ORDER BY supplier""",
+    )
+
+
 QUERIES = list(_G)

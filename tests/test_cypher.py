@@ -1865,3 +1865,59 @@ def test_count_subquery_varlen_refused(tiny):
             "MATCH (a)-[e:E]->(b) "
             "RETURN a, count { (a)-[:E*1..2]->(x) } AS n",
         )
+
+
+# ------------------------------------------ WITH ORDER BY / SKIP / LIMIT
+
+
+def test_with_order_by_limit_then_expand(tiny):
+    """The aggregate → top-k → expand idiom: WITH .. ORDER BY .. LIMIT
+    cuts the frame before the next MATCH anchors on the survivors."""
+    got = cypher(
+        tiny,
+        "MATCH (a)-[e:E]->(b) WITH b, count(*) AS fanin "
+        "ORDER BY fanin DESC, b LIMIT 2 "
+        "MATCH (b)-[f:E]->(c) RETURN b, fanin, c ORDER BY b",
+    ).collect()
+    assert [(r.b, r.fanin, r.c) for r in got] == [("b", 1, "d"), ("d", 2, "e")]
+
+
+def test_with_skip_limit_pagination(tiny):
+    got = cypher(
+        tiny,
+        "MATCH (a)-[e:E]->(b) WITH b, count(*) AS fanin "
+        "ORDER BY fanin DESC, b SKIP 1 LIMIT 2 RETURN b, fanin ORDER BY b",
+    ).collect()
+    assert [(r.b, r.fanin) for r in got] == [("b", 1), ("c", 1)]
+
+
+def test_with_where_after_limit_neo4j_order(tiny):
+    """Neo4j's grammar puts WHERE after LIMIT in a WITH stage; clauses
+    apply in textual order."""
+    got = cypher(
+        tiny,
+        "MATCH (a)-[e:E]->(b) WITH b, count(*) AS fanin "
+        "ORDER BY fanin DESC, b LIMIT 3 WHERE fanin >= 2 RETURN b, fanin",
+    ).collect()
+    assert [(r.b, r.fanin) for r in got] == [("d", 2)]
+
+
+def test_with_order_by_without_cut_refused(tiny):
+    with pytest.raises(ValueError, match="SKIP or"):
+        cypher(
+            tiny,
+            "MATCH (a)-[e:E]->(b) WITH b, count(*) AS n ORDER BY n RETURN b",
+        )
+
+
+def test_with_stage_where_inside_count_brace_not_split(tiny):
+    """A WHERE inside a count{} body must not be taken for the stage's
+    own WHERE (bracket-aware stage-op scanner)."""
+    got = cypher(
+        tiny,
+        "MATCH (a)-[e:E]->(b) WITH DISTINCT a "
+        "WITH a, count { (a)-[f:E]->(x) WHERE f.weight > 15.0 } AS big "
+        "WHERE big >= 1 RETURN a, big ORDER BY a",
+    ).collect()
+    assert [(r.a, r.big) for r in got] == [
+        ("a", 1), ("b", 1), ("c", 1), ("d", 1)]
