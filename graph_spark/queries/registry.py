@@ -119,6 +119,11 @@ HAZARD_PRIORITY = [
     "g142_cypher_allsp_enum",
     "g140_cypher_count_subquery",
     "g141_cypher_call_subquery",
+    # the WITH-stage top-10 cut (deterministic full tiebreak — the
+    # protocol worth external pinning) and the full-outer ts-window
+    # rendering
+    "g143_cypher_with_topk_expand",
+    "s27_stream_stream_full_join",
 ]
 
 
