@@ -248,6 +248,14 @@ def _split_stage_ops(body: str) -> tuple[str, list[tuple[str, str]]]:
             m = _STAGE_OP.match(blank, i)
             prev = blank[i - 1] if i else " "
             if m and not (prev.isalnum() or prev == "_"):
+                # `.. AS limit` (alias) / `e.where` (property access)
+                # are identifiers, not stage operators
+                before = blank[:i].rstrip()
+                if before.endswith(".") or re.search(
+                    r"\bAS$", before, re.IGNORECASE
+                ):
+                    i = m.end()
+                    continue
                 marks.append(
                     (i, m.end(), re.sub(r"\s+", " ", m.group(1).upper()))
                 )

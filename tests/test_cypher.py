@@ -1921,3 +1921,15 @@ def test_with_stage_where_inside_count_brace_not_split(tiny):
     ).collect()
     assert [(r.a, r.big) for r in got] == [
         ("a", 1), ("b", 1), ("c", 1), ("d", 1)]
+
+
+def test_with_stage_alias_named_limit_not_split(tiny):
+    """`AS limit` is an alias, not a stage operator (AS-precede guard
+    in the stage-op scanner)."""
+    got = cypher(
+        tiny,
+        "MATCH (a)-[e:E]->(b) WITH b, count(*) AS limit "
+        "RETURN b, limit ORDER BY b",
+    ).collect()
+    assert [(r.b, r.limit) for r in got] == [
+        ("b", 1), ("c", 1), ("d", 2), ("e", 1)]
