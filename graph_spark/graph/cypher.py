@@ -2120,6 +2120,21 @@ def cypher(
         frame, text = lower_count_subqs(frame, text, nvars, evars)
         sel: list[tuple[str, str, bool]] = []  # (sql, alias, is_agg)
         for item in _split_top_level(text):
+            if item.strip() == "*":
+                # RETURN * / WITH * (openCypher): expand to the bound
+                # variables — node vars and WITH aliases as themselves;
+                # edge/path vars expand to their property columns
+                # (e__weight, p__len, ...), which stay addressable as
+                # e.weight downstream because a star-stage keeps the
+                # edge scope alive (see the WITH branch)
+                for v in sorted(nvars):
+                    if v in frame.columns:
+                        sel.append((v, v, False))
+                for vv in sorted(evars | path_vars):
+                    for c in frame.columns:
+                        if c.startswith(f"{vv}__"):
+                            sel.append((c, c, False))
+                continue
             mm = re.match(r"^(.*?)\s+AS\s+(\w+)\s*$", item, re.IGNORECASE | re.DOTALL)
             if mm:
                 raw, alias = mm.group(1).strip(), mm.group(2)
@@ -2130,6 +2145,14 @@ def cypher(
             if alias is None:
                 alias = re.sub(r"\W+", "_", raw).strip("_").lower() or "expr"
             sel.append((sql, alias, bool(_AGG_RE.search(sql))))
+        seen_aliases = [a for _, a, _ in sel]
+        if len(seen_aliases) != len(set(seen_aliases)):
+            dup = next(a for a in seen_aliases if seen_aliases.count(a) > 1)
+            raise ValueError(
+                f"cypher: duplicate output name {dup!r} in one projection "
+                "(a `*` already carries every bound variable — alias the "
+                "extra item to a fresh name)"
+            )
         if any(is_agg for _, _, is_agg in sel):
             keys = [(sql, alias) for sql, alias, is_agg in sel if not is_agg]
             aggs = [(sql, alias) for sql, alias, is_agg in sel if is_agg]
@@ -2327,11 +2350,18 @@ def cypher(
                     "in RETURN instead, or add LIMIT for the top-k-then-"
                     "expand idiom)"
                 )
+            star = any(
+                it.strip() == "*" for it in _split_top_level(head)
+            )
             out, waliases = project(out, head, node_vars, edge_vars)
             if dm:
                 out = out.distinct()
+            # a star stage carries the whole scope: edge vars stay
+            # addressable (their property columns were passed through);
+            # node_vars = the stage aliases either way
             node_vars = set(waliases)
-            edge_vars = set()
+            if not star:
+                edge_vars = set()
             # apply the trailing clauses in their textual order (WHERE
             # filters the projected rows; ORDER BY + SKIP/LIMIT is the
             # aggregate-then-top-k-then-expand idiom — Spark plans

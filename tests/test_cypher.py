@@ -1933,3 +1933,35 @@ def test_with_stage_alias_named_limit_not_split(tiny):
     ).collect()
     assert [(r.b, r.limit) for r in got] == [
         ("b", 1), ("c", 1), ("d", 2), ("e", 1)]
+
+
+# --------------------------------------------------- star projection
+
+
+def test_return_star_expands_scope(tiny):
+    """RETURN *: node vars as themselves, edge vars as their property
+    columns."""
+    got = cypher(tiny, "MATCH (a)-[e:E]->(b) RETURN * ORDER BY a, b").collect()
+    assert len(got) == 5
+    assert sorted(got[0].asDict().keys()) == ["a", "b", "e__n_items", "e__weight"]
+
+
+def test_with_star_keeps_edge_scope(tiny):
+    """WITH *, expr AS x: the star carries the whole scope, so e.weight
+    stays addressable after the stage."""
+    got = cypher(
+        tiny,
+        "MATCH (a)-[e:E]->(b) WITH *, e.weight * 2 AS w2 WHERE w2 > 30.0 "
+        "RETURN a, b, e.weight AS w, w2 ORDER BY a, b",
+    ).collect()
+    assert [(r.a, r.b, r.w, r.w2) for r in got] == [
+        ("a", "c", 20.0, 40.0),
+        ("b", "d", 30.0, 60.0),
+        ("c", "d", 40.0, 80.0),
+        ("d", "e", 50.0, 100.0),
+    ]
+
+
+def test_star_duplicate_alias_refused(tiny):
+    with pytest.raises(ValueError, match="duplicate output name"):
+        cypher(tiny, "MATCH (a)-[e:E]->(b) WITH *, a RETURN a")
