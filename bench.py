@@ -220,6 +220,14 @@ def bench_distributed_graph(spark) -> dict:
         heads = e.select(F.col("src").alias("dst"))
         return e.join(heads, "dst", "left_semi").count()
 
+    def _hand_count_subq():
+        return (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= 12)
+            .count()
+        )
+
     timed_pair(
         "varlen_1_2",
         _cy_count(
@@ -243,6 +251,16 @@ def bench_distributed_graph(spark) -> dict:
             "RETURN count(*) AS n"
         ),
         _hand_exists,
+    )
+    # r8 count-subquery lowering: the compiled pre-aggregate + left
+    # join must price like the hand-written degree filter
+    timed_pair(
+        "count_subquery",
+        _cy_count(
+            "MATCH (a)-[:E]->(b) WITH DISTINCT a "
+            "WHERE count { (a)-[:E]->(x) } >= 12 RETURN count(*) AS n"
+        ),
+        _hand_count_subq,
     )
     # nodes(p) overhead: the same BFS carrying the lex-min path array
     # (per-level group-min instead of distinct) vs the plain pair BFS

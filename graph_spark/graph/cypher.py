@@ -53,6 +53,10 @@ Supported:
   - WHERE / RETURN expressions are Spark SQL syntax with Cypher-style
     `var.property` references (rewritten to the bound columns).  Bare
     node variables are their string node ids; labels filter on them.
+  - `RETURN *` / `WITH *` expand to the bound variables (node vars and
+    WITH aliases as themselves; edge/path vars as their property
+    columns, which stay addressable — `e.weight` — after a star WITH
+    stage); duplicate output names are refused.
   - RETURN items with AS aliases; aggregates (count/sum/avg/min/max/
     count(DISTINCT ..)) trigger an implicit GROUP BY of the
     non-aggregate items, exactly like Cypher.
