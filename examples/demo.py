@@ -215,6 +215,23 @@ def main() -> None:
            RETURN b AS reached ORDER BY reached LIMIT 6"""
     ).show()
 
+    print("== Cypher r8: COUNT/CALL subqueries, top-k-then-expand ==")
+    eng.cypher(
+        """CALL { MATCH (x:Customer)-[g:BUYS]->(y:Supplier)
+                 RETURN max(g.n_items) AS mx }
+           MATCH (c:Customer)-[e:BUYS]->(s:Supplier)
+           WHERE e.n_items = mx
+           RETURN c.node AS customer, s.node AS supplier, e.n_items AS n
+           ORDER BY customer LIMIT 5"""
+    ).show()
+    eng.cypher(
+        """MATCH (c:Customer)-[e:BUYS]->(s:Supplier)
+           WITH s, count(*) AS fanin ORDER BY fanin DESC, s LIMIT 3
+           RETURN s AS supplier, fanin,
+                  count { (s)<-[:BUYS]-(z:Customer) } AS check_fanin
+           ORDER BY supplier"""
+    ).show()
+
     print("== temporal: per-key Holt-Winters seasonal forecast ==")
     eng.holt_winters(
         eng.table("events").select("user_id", "ts", "event_id", "value"),
