@@ -78,7 +78,8 @@ def main() -> None:
     ).show(5)
 
     print("== LLM ops: SimHash near-dup pairs (band LSH + hamming) ==")
-    eng.dedup_simhash(docs, max_distance=8).show(5)
+    # guarded pigeonhole contract (r7): max_distance must be < n_bands
+    eng.dedup_simhash(docs, max_distance=3).show(5)
 
     print("== graph: edge-weighted PageRank (mass follows trade volume) ==")
     eng.pagerank_weighted(iterations=5).orderBy(F.desc("rank")).show(5)
