@@ -241,6 +241,7 @@ def _split_stage_ops(body: str) -> tuple[str, list[tuple[str, str]]]:
     blank = _blank_quotes(body)
     depth = 0
     marks: list[tuple[int, int, str]] = []
+    shadowed: set[str] = set()  # aliases that shadow a stage operator
     i, n = 0, len(blank)
     while i < n:
         ch = blank[i]
@@ -255,14 +256,27 @@ def _split_stage_ops(body: str) -> tuple[str, list[tuple[str, str]]]:
                 # `.. AS limit` (alias) / `e.where` (property access)
                 # are identifiers, not stage operators
                 before = blank[:i].rstrip()
-                if before.endswith(".") or re.search(
-                    r"\bAS$", before, re.IGNORECASE
-                ):
+                kw = re.sub(r"\s+", " ", m.group(1).upper())
+                if before.endswith("."):
                     i = m.end()
                     continue
-                marks.append(
-                    (i, m.end(), re.sub(r"\s+", " ", m.group(1).upper()))
-                )
+                if re.search(r"\bAS$", before, re.IGNORECASE):
+                    # the alias definition is fine — but a LATER bare
+                    # reference is indistinguishable from the stage
+                    # operator itself; remember and refuse at that
+                    # point with the explicit shadow diagnostic
+                    # (mirrors _split_clauses, ADVICE r8)
+                    shadowed.add(kw)
+                    i = m.end()
+                    continue
+                if kw in shadowed:
+                    raise ValueError(
+                        f"cypher: an alias named {kw.lower()!r} shadows "
+                        "the stage operator and is referenced later — "
+                        "a bare occurrence is ambiguous (alias vs "
+                        "WHERE/ORDER BY/SKIP/LIMIT); rename the alias"
+                    )
+                marks.append((i, m.end(), kw))
                 i = m.end()
                 continue
         i += 1
@@ -1371,6 +1385,13 @@ def _all_shortest_frame(
         reached = frontier.select(a, b)
         acc = frontier.withColumn(plen, F.lit(1))
         for level in range(2, edge.max_len + 1):
+            # drop a==b (back-to-start cycle) rows BEFORE the limit
+            # check and extension: they never reach the output (final
+            # a != b filter) and every extension a->..->a->v lands on a
+            # pair (a, v) already reached at level 1 (v is a's
+            # neighbor), so the anti-join kills it — keeping them only
+            # inflates the frontier against ALLSP_ENUM_FRONTIER_LIMIT
+            # on dense mutual graphs (ADVICE r8)
             frontier = (
                 frontier.join(base, F.col(b) == F.col("__u"))
                 .select(
@@ -1380,6 +1401,7 @@ def _all_shortest_frame(
                 )
                 .withColumnRenamed("__b2", b)
                 .join(reached, [a, b], "left_anti")
+                .filter(F.col(a) != F.col(b))
                 .localCheckpoint(eager=True)
             )
             n_rows = frontier.count()
@@ -2280,7 +2302,10 @@ def cypher(
             # a blowup.  Result aliases enter the scope as variables
             # (MATCH-after-CALL anchors on them, like WITH aliases).
             cm = re.match(r"^\s*__c(\d+)\s*$", body)
-            if not cm:
+            # a literal `CALL __cN` typed by the user (no braced body was
+            # extracted, or N beyond the extracted count) must get the
+            # clear refusal, not an IndexError (ADVICE r8)
+            if not cm or int(cm.group(1)) >= len(call_bodies):
                 raise ValueError(
                     "cypher: CALL must be followed by a braced subquery: "
                     "CALL { MATCH .. RETURN .. }"

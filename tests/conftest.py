@@ -23,6 +23,34 @@ def spark():
     yield s
 
 
+# Repo-root hygiene (VERDICT r8 item 2): a shadowed-`tmpdir` str.join once
+# made write_xml land partitioned output at the repo root (`x/`).  Snapshot
+# the root's entries before the suite and fail loudly if a run leaves new
+# debris behind, so any future mis-resolved path is caught at the suite
+# level instead of silently versioned.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_ROOT_ALLOWED_NEW = {
+    "__pycache__",
+    ".pytest_cache",
+    ".hypothesis",
+    "spark-warehouse",
+    "metastore_db",
+    "derby.log",
+}
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _repo_root_hygiene():
+    before = set(os.listdir(_REPO_ROOT))
+    yield
+    new = set(os.listdir(_REPO_ROOT)) - before - _ROOT_ALLOWED_NEW
+    new = {n for n in new if not n.endswith(("_stderr.log", ".pyc"))}
+    assert not new, (
+        f"test run left new entries at the repo root: {sorted(new)} — "
+        "a test is writing outside its tmp dir"
+    )
+
+
 @pytest.fixture(scope="session")
 def duck():
     def connect(sf_dir: str) -> duckdb.DuckDBPyConnection:

@@ -1965,3 +1965,78 @@ def test_with_star_keeps_edge_scope(tiny):
 def test_star_duplicate_alias_refused(tiny):
     with pytest.raises(ValueError, match="duplicate output name"):
         cypher(tiny, "MATCH (a)-[e:E]->(b) WITH *, a RETURN a")
+
+
+# -------------------------------------------------- r8 advice fixes
+
+
+def test_stage_op_shadowing_alias_clear_error(tiny):
+    """ADVICE r8: an alias named after a STAGE operator (`AS limit`)
+    is legal at definition, but a later bare reference inside the same
+    WITH stage must raise the explicit shadow refusal, not a misleading
+    'LIMIT takes an integer literal' / empty-WHERE error."""
+    with pytest.raises(ValueError, match="shadows the stage operator"):
+        cypher(
+            tiny,
+            "MATCH (a)-[e:E]->(b) WITH b, count(*) AS limit "
+            "WHERE limit > 2 RETURN b",
+        )
+    # definition-only use stays legal (pinned by
+    # test_with_stage_alias_named_limit_not_split)
+
+
+def test_literal_call_placeholder_refused(tiny):
+    """ADVICE r8: a literal `CALL __c0` token with no braced subquery
+    must get the clear ValueError, not an IndexError."""
+    with pytest.raises(ValueError, match="braced subquery"):
+        cypher(tiny, "MATCH (a)-[e:E]->(b) CALL __c0 RETURN a")
+    with pytest.raises(ValueError, match="braced subquery"):
+        # index beyond the extracted count
+        cypher(
+            tiny,
+            "MATCH (a)-[e:E]->(b) "
+            "CALL { MATCH (x)-[:E]->(y) RETURN count(*) AS n } "
+            "CALL __c7 RETURN a, n",
+        )
+
+
+@pytest.fixture(scope="module")
+def mutual(spark):
+    """Path with mutual edges: a<->b, b<->c (4 directed rows)."""
+    edges = spark.createDataFrame(
+        [("a", "b", 1, 1.0), ("b", "a", 1, 1.0),
+         ("b", "c", 1, 1.0), ("c", "b", 1, 1.0)],
+        ["src", "dst", "n_items", "weight"],
+    )
+    verts = spark.createDataFrame([(x,) for x in "abc"], ["id"])
+    return CypherGraph(
+        PropertyGraph(verts, edges), labels={}, rel_types={"E": edges}
+    )
+
+
+def test_allsp_enum_mutual_edges_frontier_guard_honest(mutual, monkeypatch):
+    """ADVICE r8: back-to-start (a==b) walks on mutual edges must be
+    dropped from the enumeration frontier BEFORE the limit check —
+    they never reach the output and every extension is anti-joined
+    away, so keeping them only inflates the guard.  With the limit
+    monkeypatched to 2, the old code's level-2 frontier (2 genuine
+    paths + 4 back-to-start rows like [a,b,a]) would spuriously refuse;
+    the fixed frontier holds exactly the 2 genuine paths and the query
+    completes with the exact path set."""
+    from graph_spark.graph import cypher as cy_mod
+
+    monkeypatch.setattr(cy_mod, "ALLSP_ENUM_FRONTIER_LIMIT", 2)
+    got = cypher(
+        mutual,
+        "MATCH p = allShortestPaths((x)-[:E*1..4]->(y)) "
+        "RETURN x, y, nodes(p) AS ns ORDER BY x, y",
+    ).collect()
+    paths = sorted((r.x, r.y, tuple(r.ns)) for r in got)
+    assert paths == [
+        ("a", "b", ("a", "b")),
+        ("a", "c", ("a", "b", "c")),
+        ("b", "a", ("b", "a")),
+        ("b", "c", ("b", "c")),
+        ("c", "a", ("c", "b", "a")),
+        ("c", "b", ("c", "b")),
+    ]

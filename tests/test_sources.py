@@ -470,7 +470,7 @@ def test_xml_roundtrip_and_avro_gate(spark, tmpdir):
     df = spark.createDataFrame(
         [(1, "a"), (2, "b"), (3, None)], "id long, v string"
     )
-    path = str(tmpdir.join("x"))
+    path = os.path.join(tmpdir, "x")
     write_xml(df, path, row_tag="rec", root_tag="recs")
     back = read_xml(spark, path, row_tag="rec")
     assert back.count() == 3
