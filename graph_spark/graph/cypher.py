@@ -120,6 +120,10 @@ Supported:
     — one hash join per subquery, never re-expanding the scope.
     Must share >=1 variable with the scope (an uncorrelated count is
     a constant — use CALL).  Refused inside an OPTIONAL MATCH WHERE.
+    Also allowed as a RETURN-tail ORDER BY sort key (r9): the
+    pre-aggregate joins onto the PROJECTED frame (the subpattern must
+    share a returned alias) and the helper column is dropped after
+    the sort — with LIMIT the tail plans as TakeOrderedAndProject.
   - `CALL { MATCH .. RETURN .. }` UNCORRELATED subqueries: the body
     compiles as an independent query (any feature, nested CALLs
     included); its result cross-joins into the scope at the CALL's
@@ -130,6 +134,20 @@ Supported:
     cross-joins against the broadcast scalar row (the global-
     threshold idiom).  CALL procedures (`CALL db.x()`) and
     `IN TRANSACTIONS` are refused.
+  - `CALL { WITH c MATCH .. RETURN agg(..) AS x }` CORRELATED
+    subqueries (r9 — the Neo4j-5 scope-importing form): per-row
+    execution is lowered set-at-a-time, the count{} shape — the body
+    after the importing WITH compiles once with the imported
+    variables injected as implicit grouping keys, and the
+    pre-aggregate LEFT-joins onto the scope (one aggregate + one hash
+    join at any scope size; exact because an all-aggregates body is a
+    pure function of the imported values).  Zero-match rows keep
+    Neo4j identities: count/sum 0, collect [], avg/min/max null.
+    Imports must be bare node/scalar variable names bound by the
+    body's own patterns; non-aggregating bodies (row-multiplying)
+    are refused with a pointer to OPTIONAL MATCH, and ORDER BY/SKIP/
+    LIMIT inside the body (per-group top-k) point to the WITH
+    top-k-then-expand idiom.
   - bracket list literals in expressions: `[1, 2, 3]` becomes
     `array(1, 2, 3)` (`x IN [..]` becomes a plain SQL value list);
     subscripts (`arr[0]`, `[1,2][0]`) pass through untouched.
@@ -788,6 +806,143 @@ def _extract_calls(query: str) -> tuple[str, list[str]]:
         out.append(f" CALL __c{len(calls)} ")
         calls.append(query[m.end():close])
         i = close + 1
+
+
+_IMPORT_WITH = re.compile(
+    r"^\s*WITH\s+(?P<imp>.*?)\s*"
+    r"(?=\b(?:OPTIONAL\s+MATCH|MATCH|UNWIND|CALL|WITH|RETURN|WHERE)\b)",
+    re.IGNORECASE | re.DOTALL,
+)
+
+# top-level aggregate-kind sniff for the zero-row fill (count/sum have
+# identity 0 in Neo4j, collect has []; avg/min/max are null)
+_FILL_KIND = re.compile(
+    r"^\s*(?P<fn>count|sum|collect_list|collect_set|collect)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _correlated_call_frame(cg, cbody, scalar_vars, edge_vars, path_vars):
+    """Lower the Neo4j-5 scope-importing subquery body
+    ``WITH c[, d ..] MATCH .. RETURN agg(..) AS x[, ..]`` to a
+    pre-aggregate frame keyed by the imported variables.
+
+    Per-row subquery execution is re-expressed set-at-a-time, exactly
+    the count{}-subquery shape: the body after the importing WITH
+    compiles as an independent query with the imports injected into
+    its RETURN as implicit Cypher grouping keys, so the caller can
+    LEFT-join the one-aggregate-row-per-key result onto the scope —
+    one aggregation + one hash join at any scope size.  This is exact
+    because an all-aggregates body is a pure function of the imported
+    values; a body whose RETURN keeps non-aggregate items would
+    multiply scope rows (0..n per row) and is refused with a pointer
+    to OPTIONAL MATCH.  Returns (frame, imports, fill) where `fill`
+    maps output aliases to their zero-row identity kind."""
+    m = _IMPORT_WITH.match(_blank_quotes(cbody))
+    if not m:
+        raise ValueError(
+            "cypher: a CALL subquery starting with WITH is the "
+            "scope-importing form — expected CALL { WITH <vars> "
+            "MATCH .. RETURN <aggregates> }"
+        )
+    imports = [x.strip() for x in m.group("imp").split(",")]
+    if not all(re.fullmatch(r"\w+", x) for x in imports):
+        raise ValueError(
+            "cypher: an importing WITH lists bare variable names only "
+            f"(got {m.group('imp')!r}); compute derived values in an "
+            "outer WITH first (Neo4j imposes the same rule)"
+        )
+    if len(set(imports)) != len(imports):
+        raise ValueError("cypher: duplicate variable in importing WITH")
+    for v in imports:
+        if v in edge_vars or v in path_vars:
+            raise ValueError(
+                f"cypher: cannot import {v!r} — edge/path variables "
+                "are property bundles; project the needed property to "
+                "a scalar alias in a WITH stage and import that"
+            )
+        if v not in scalar_vars:
+            raise ValueError(
+                f"cypher: importing WITH references {v!r} which is not "
+                "bound in the outer scope"
+            )
+    rest = cbody[m.end():]
+    if re.match(r"\s*WHERE\b", rest, re.IGNORECASE):
+        raise ValueError(
+            "cypher: an importing WITH takes no WHERE (Neo4j rule) — "
+            "filter in the outer query or in the body's MATCH"
+        )
+    # locate the body's top-level RETURN (depth-0 on the quote-blanked
+    # copy; nested CALL/count{} braces shield their own RETURNs)
+    blank = _blank_quotes(rest)
+    depth = 0
+    ret_at = None
+    for i, ch in enumerate(blank):
+        if ch in "{([":
+            depth += 1
+        elif ch in "})]":
+            depth -= 1
+        elif depth == 0 and blank[i : i + 6].upper() == "RETURN":
+            prev = blank[i - 1] if i else " "
+            nxt = blank[i + 6] if i + 6 < len(blank) else " "
+            if not (prev.isalnum() or prev in "._") and not (
+                nxt.isalnum() or nxt == "_"
+            ):
+                ret_at = i
+    if ret_at is None:
+        raise ValueError("cypher: CALL subquery body has no RETURN")
+    items_text = rest[ret_at + 6 :]
+    tm = _TAIL.match(_blank_quotes(items_text))
+    if tm and (
+        tm.group("order") or tm.group("skip") or tm.group("limit")
+    ):
+        raise ValueError(
+            "cypher: ORDER BY/SKIP/LIMIT inside a correlated CALL "
+            "would be a per-import-group top-k — use the WITH .. "
+            "ORDER BY .. LIMIT .. top-k-then-expand idiom instead"
+        )
+    if re.match(r"\s*DISTINCT\b", items_text, re.IGNORECASE):
+        raise ValueError(
+            "cypher: RETURN DISTINCT inside a correlated CALL is a "
+            "no-op for the aggregating form — put DISTINCT inside the "
+            "aggregate (count(DISTINCT x)) or drop it"
+        )
+    fill: dict[str, str] = {}
+    for item in _split_top_level(items_text):
+        if not _AGG_RE.search(_blank_quotes(item)):
+            raise ValueError(
+                "cypher: a correlated CALL body must RETURN only "
+                f"aggregates (item {item.strip()!r} is not) — a "
+                "non-aggregating correlated subquery multiplies scope "
+                "rows; use OPTIONAL MATCH, or aggregate with collect()"
+            )
+        am = re.match(
+            r"^(.*?)\s+AS\s+(\w+)\s*$", item, re.IGNORECASE | re.DOTALL
+        )
+        raw = (am.group(1) if am else item).strip()
+        alias = (
+            am.group(2)
+            if am
+            else re.sub(r"\W+", "_", raw).strip("_").lower() or "expr"
+        )
+        km = _FILL_KIND.match(raw)
+        if km:
+            fn = km.group("fn").lower()
+            fill[alias] = "collect" if fn.startswith("collect") else fn
+    sub_q = f"{rest[:ret_at]} RETURN {', '.join(imports)}, {items_text}"
+    try:
+        sub = cypher(cg, sub_q)
+    except ValueError:
+        raise
+    except Exception as e:  # Spark analysis error: import not bound
+        raise ValueError(
+            "cypher: correlated CALL body failed to compile — every "
+            f"imported variable ({', '.join(imports)}) must be bound "
+            "by the body's own MATCH patterns (value-only correlation "
+            "like `WHERE x.w > lim` is not supported); underlying "
+            f"error: {e}"
+        ) from e
+    return sub, imports, fill
 
 
 def _split_disjuncts(text: str) -> list[str]:
@@ -2301,6 +2456,21 @@ def cypher(
             # tiny side, so the cross join is a broadcast append, not
             # a blowup.  Result aliases enter the scope as variables
             # (MATCH-after-CALL anchors on them, like WITH aliases).
+            #
+            # CALL { WITH c MATCH .. RETURN agg(..) AS x }: the Neo4j-5
+            # CORRELATED (scope-importing) form.  Per-row execution is
+            # lowered set-at-a-time, the count{}-subquery shape: the
+            # body (minus the importing WITH) compiles independently
+            # with the imported variables injected into its RETURN as
+            # implicit grouping keys, and the resulting pre-aggregate
+            # LEFT-joins onto the scope on those keys — one aggregate
+            # + one hash join regardless of scope size, never a
+            # re-execution per row.  Exact because an all-aggregate
+            # body is a pure function of the imported values.  Bodies
+            # whose RETURN is NOT all-aggregates would multiply scope
+            # rows and are refused (use OPTIONAL MATCH, or collect()).
+            # Zero-match rows follow Neo4j: count/sum -> 0,
+            # collect -> [], avg/min/max -> null.
             cm = re.match(r"^\s*__c(\d+)\s*$", body)
             # a literal `CALL __cN` typed by the user (no braced body was
             # extracted, or N beyond the extracted count) must get the
@@ -2310,7 +2480,42 @@ def cypher(
                     "cypher: CALL must be followed by a braced subquery: "
                     "CALL { MATCH .. RETURN .. }"
                 )
-            sub = cypher(cg, call_bodies[int(cm.group(1))])
+            cbody = call_bodies[int(cm.group(1))]
+            if re.match(r"\s*WITH\b", cbody, re.IGNORECASE):
+                if out is None:
+                    raise ValueError(
+                        "cypher: a correlated CALL { WITH .. } needs a "
+                        "preceding MATCH/WITH scope to import from"
+                    )
+                sub, imports, fill = _correlated_call_frame(
+                    cg, cbody, node_vars | call_vars, edge_vars, path_vars
+                )
+                new_cols = set(sub.columns) - set(imports)
+                clash = new_cols & (node_vars | edge_vars | path_vars)
+                if clash:
+                    raise ValueError(
+                        f"cypher: CALL subquery returns {sorted(clash)} "
+                        "which already exist in the outer scope (alias "
+                        "the subquery's RETURN items to fresh names)"
+                    )
+                out = out.join(sub, imports, "left")
+                # Neo4j zero-row aggregate identities for unmatched
+                # scope rows: count/sum -> 0, collect -> [] (avg/min/
+                # max stay null, also Neo4j's answer)
+                for alias, kind in fill.items():
+                    dt = out.schema[alias].dataType
+                    zero = (
+                        F.array().cast(dt)
+                        if kind == "collect"
+                        else F.lit(0).cast(dt)
+                    )
+                    out = out.withColumn(
+                        alias, F.coalesce(F.col(alias), zero)
+                    )
+                node_vars |= new_cols
+                call_vars |= new_cols
+                continue
+            sub = cypher(cg, cbody)
             clash = set(sub.columns) & (node_vars | edge_vars | path_vars)
             if clash:
                 raise ValueError(
@@ -2442,6 +2647,19 @@ def cypher(
         out = out.distinct()
     order_body = _gslice(m, ret_body, "order")
     if order_body:
+        helper_drop = False
+        if _COUNT_SUBQ.search(_blank_quotes(order_body)):
+            # count { .. } as a sort key (r9 — refusal lifted): the
+            # pre-aggregate machinery runs against the PROJECTED frame
+            # (the subpattern must share a variable with a returned
+            # alias), joins the per-key count on, and the helper
+            # column is projected away after the sort — Spark keeps
+            # sort order through a project, and with LIMIT the pair
+            # still plans as TakeOrdered.
+            out, order_body = lower_count_subqs(
+                out, order_body, set(ret_aliases), set()
+            )
+            helper_drop = True
         order_items = _split_top_level(order_body)
         cols = []
         aliases = set(ret_aliases)
@@ -2449,16 +2667,12 @@ def cypher(
             om = re.match(r"^(.*?)(\s+(?:ASC|DESC))?\s*$", oi, re.IGNORECASE | re.DOTALL)
             raw = om.group(1).strip()
             direction = (om.group(2) or "").strip().upper()
-            if _COUNT_SUBQ.search(_blank_quotes(raw)):
-                raise ValueError(
-                    "cypher: count { .. } in ORDER BY is not supported — "
-                    "alias it in RETURN (count { .. } AS n) and ORDER BY "
-                    "the alias"
-                )
             sql = raw if raw in aliases else _rewrite(raw, node_vars, edge_vars, path_vars)
             col = F.expr(sql)
             cols.append(col.desc() if direction == "DESC" else col.asc())
         out = out.orderBy(*cols)
+        if helper_drop:
+            out = out.select(*ret_aliases)
     if m.group("skip"):
         out = out.offset(int(m.group("skip")))
     if m.group("limit"):

@@ -7384,4 +7384,67 @@ def g143(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_g(
+    "g144_cypher_correlated_call",
+    f"""WITH {GRAPH_CTES},
+       cust AS (SELECT DISTINCT src FROM graph_edges),
+       agg AS (SELECT src, count(*) AS bulk_deg, sum(n_items) AS bulk_items
+               FROM graph_edges WHERE n_items >= 3 GROUP BY 1)
+       SELECT c.src AS customer,
+              coalesce(a.bulk_deg, 0)::BIGINT AS bulk_deg,
+              coalesce(a.bulk_items, 0)::BIGINT AS bulk_items
+       FROM cust c LEFT JOIN agg a ON a.src = c.src
+       ORDER BY bulk_deg, customer LIMIT 25""",
+    note="CORRELATED CALL subquery (VERDICT r08 item 3 — the Neo4j-5 "
+    "scope-importing form): `CALL { WITH c MATCH .. RETURN agg }` is "
+    "lowered set-at-a-time, never per-row — the body compiles once "
+    "with the imported variable as an implicit grouping key and the "
+    "pre-aggregate LEFT-joins onto the scope (the count{} shape: one "
+    "map-side-combinable aggregate + one hash join at any scope "
+    "size).  Zero-match customers keep Neo4j identities (count 0, "
+    "sum 0) — the ASC order surfaces exactly those fill rows, so the "
+    "oracle pins the left-join semantics, not just the happy path.  "
+    "Non-aggregating correlated bodies are refused (row-multiplying; "
+    "pointer to OPTIONAL MATCH)",
+)
+def g144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cy(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[e:BUYS]->(s:Supplier)
+           WITH DISTINCT c
+           CALL { WITH c
+                  MATCH (c)-[f:BUYS]->(x:Supplier) WHERE f.n_items >= 3
+                  RETURN count(*) AS bulk_deg, sum(f.n_items) AS bulk_items }
+           RETURN c AS customer, bulk_deg, bulk_items
+           ORDER BY bulk_deg, customer LIMIT 25""",
+    )
+
+
+@_g(
+    "g145_cypher_count_subquery_order_by",
+    f"""WITH {GRAPH_CTES},
+       bulk AS (SELECT DISTINCT dst FROM graph_edges WHERE n_items >= 3),
+       fan AS (SELECT dst, count(*) AS fanin FROM graph_edges GROUP BY 1)
+       SELECT b.dst AS s FROM bulk b JOIN fan f ON f.dst = b.dst
+       ORDER BY f.fanin DESC, s LIMIT 15""",
+    note="count { .. } as an ORDER BY sort key (VERDICT r08 item 6 — "
+    "refusal lifted): the pre-aggregate joins onto the PROJECTED "
+    "frame on the returned alias, the sort runs on the coalesced "
+    "count, and the helper column is projected away — with LIMIT the "
+    "whole tail plans as TakeOrderedAndProject, so the un-returned "
+    "sort key costs one hash join and no global sort.  Subpatterns "
+    "sharing no variable with the RETURN items stay refused",
+)
+def g145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cy(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[e:BUYS]->(s:Supplier)
+           WHERE e.n_items >= 3
+           RETURN DISTINCT s
+           ORDER BY count { (s)<-[:BUYS]-(x:Customer) } DESC, s LIMIT 15""",
+    )
+
+
 QUERIES = list(_G)

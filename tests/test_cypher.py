@@ -1791,11 +1791,24 @@ def test_optional_match_shortest_path_null_extends(tiny):
     ]
 
 
-def test_count_subquery_in_order_by_refused(tiny):
-    with pytest.raises(ValueError, match="ORDER BY"):
+def test_count_subquery_in_order_by(tiny):
+    """r9 (VERDICT r8 item 6 — refusal lifted): count { .. } as a sort
+    key joins the pre-aggregate onto the PROJECTED frame, sorts, and
+    drops the helper column; with LIMIT the pair still plans as
+    TakeOrdered."""
+    got = cypher(
+        tiny,
+        "MATCH (a)-[e:E]->(b) RETURN DISTINCT a "
+        "ORDER BY count { (a)-[:E]->() } DESC, a LIMIT 2",
+    ).collect()
+    assert [r.a for r in got] == ["a", "b"]
+    assert got[0].asDict().keys() == {"a"}  # helper column dropped
+    # unreturned-variable subpattern still refused (shares no variable
+    # with the projected frame)
+    with pytest.raises(ValueError, match="shares no variable"):
         cypher(
             tiny,
-            "MATCH (a)-[e:E]->(b) RETURN DISTINCT a "
+            "MATCH (a)-[e:E]->(b) RETURN DISTINCT b "
             "ORDER BY count { (a)-[:E]->() }",
         )
 
@@ -2040,3 +2053,88 @@ def test_allsp_enum_mutual_edges_frontier_guard_honest(mutual, monkeypatch):
         ("c", "a", ("c", "b", "a")),
         ("c", "b", ("c", "b")),
     ]
+
+
+# ------------------------------------------- r9 correlated CALL { WITH .. }
+
+
+def test_correlated_call_aggregates(tiny):
+    """CALL { WITH b MATCH .. RETURN agg .. }: the pre-aggregate joins
+    per imported key; zero-match rows get Neo4j identities (count 0,
+    sum 0)."""
+    got = cypher(
+        tiny,
+        "MATCH (a)-[e:E]->(b) WITH DISTINCT b "
+        "CALL { WITH b MATCH (b)-[f:E]->(x) "
+        "RETURN count(*) AS outdeg, sum(f.weight) AS w } "
+        "RETURN b, outdeg, w ORDER BY b",
+    ).collect()
+    assert [(r.b, r.outdeg, r.w) for r in got] == [
+        ("b", 1, 30.0), ("c", 1, 40.0), ("d", 1, 50.0), ("e", 0, 0.0)]
+
+
+def test_correlated_call_collect_fill(tiny):
+    got = cypher(
+        tiny,
+        "MATCH (a)-[e:E]->(b) WITH DISTINCT b "
+        "CALL { WITH b MATCH (b)-[f:E]->(x) RETURN collect(x) AS outs } "
+        "RETURN b, size(outs) AS n_outs ORDER BY b",
+    ).collect()
+    assert [(r.b, r.n_outs) for r in got] == [
+        ("b", 1), ("c", 1), ("d", 1), ("e", 0)]
+
+
+def test_correlated_call_multi_import(tiny):
+    """Two imported variables group the pre-aggregate on both keys."""
+    got = cypher(
+        tiny,
+        "MATCH (a)-[e:E]->(b) "
+        "CALL { WITH a, b MATCH (a)-[f:E]->(b) "
+        "RETURN sum(f.n_items) AS tot } "
+        "RETURN a, b, tot ORDER BY a, b",
+    ).collect()
+    assert [(r.a, r.b, r.tot) for r in got] == [
+        ("a", "b", 1), ("a", "c", 2), ("b", "d", 3),
+        ("c", "d", 4), ("d", "e", 5)]
+
+
+def test_correlated_call_scope_continues(tiny):
+    """The CALL result aliases join the scope mid-query: a later WHERE
+    and RETURN can reference them."""
+    got = cypher(
+        tiny,
+        "MATCH (a)-[e:E]->(b) WITH DISTINCT a "
+        "CALL { WITH a MATCH (a)-[f:E]->(x) RETURN count(*) AS deg } "
+        "RETURN a, deg ORDER BY deg DESC, a LIMIT 1",
+    ).collect()
+    assert [(r.a, r.deg) for r in got] == [("a", 2)]
+
+
+def test_correlated_call_refusals(tiny):
+    base = "MATCH (a)-[e:E]->(b) "
+    with pytest.raises(ValueError, match="only\\s+aggregates"):
+        cypher(tiny, base + "CALL { WITH a MATCH (a)-[:E]->(x) "
+               "RETURN x AS xx } RETURN a, xx")
+    with pytest.raises(ValueError, match="not\\s+bound in the outer"):
+        cypher(tiny, base + "CALL { WITH zz MATCH (zz)-[:E]->(x) "
+               "RETURN count(*) AS n } RETURN a, n")
+    with pytest.raises(ValueError, match="edge/path"):
+        cypher(tiny, base + "CALL { WITH e MATCH (x)-[e2:E]->(y) "
+               "RETURN count(*) AS n } RETURN a, n")
+    with pytest.raises(ValueError, match="bare variable names"):
+        cypher(tiny, base + "CALL { WITH a.node AS k MATCH (x)-[:E]->(y) "
+               "RETURN count(*) AS n } RETURN a, n")
+    with pytest.raises(ValueError, match="takes no WHERE"):
+        cypher(tiny, base + "CALL { WITH a WHERE a = 'a' "
+               "MATCH (a)-[:E]->(x) RETURN count(*) AS n } RETURN a, n")
+    with pytest.raises(ValueError, match="top-k-then-expand"):
+        cypher(tiny, base + "CALL { WITH a MATCH (a)-[f:E]->(x) "
+               "RETURN count(*) AS n ORDER BY n LIMIT 1 } RETURN a, n")
+    with pytest.raises(ValueError, match="preceding MATCH"):
+        cypher(tiny, "CALL { WITH a MATCH (a)-[:E]->(x) "
+               "RETURN count(*) AS n } RETURN n")
+    with pytest.raises(ValueError, match="must be bound"):
+        # value-only correlation: import never appears in a pattern
+        cypher(tiny, base + "WITH a, e.weight AS lim "
+               "CALL { WITH lim MATCH (x)-[f:E]->(y) "
+               "RETURN count(*) AS n } RETURN a, n")

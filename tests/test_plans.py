@@ -916,3 +916,22 @@ def test_round8_call_subquery_broadcast_threshold(spark):
     plan = _plan(by_name()["g141_cypher_call_subquery"].build(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_round9_correlated_call_and_orderby_count_plan_shapes(spark):
+    """g144's correlated CALL lowers to one pre-aggregate + one LEFT
+    hash join on the imported key (never per-row re-execution, never a
+    cartesian); g145's count{} sort key joins the pre-aggregate onto
+    the projected frame and the LIMIT tail stays a TakeOrdered shape."""
+    from graph_spark.queries.registry import by_name
+
+    reg = by_name()
+    for name in (
+        "g144_cypher_correlated_call",
+        "g145_cypher_count_subquery_order_by",
+    ):
+        plan = _plan(reg[name].build(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, f"{name}: {plan}"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: {plan}"
+    plan = _plan(by_name()["g145_cypher_count_subquery_order_by"].build(spark, SF_SMOKE))
+    assert "TakeOrdered" in plan, plan

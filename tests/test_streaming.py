@@ -991,3 +991,104 @@ def test_s27_full_outer_stream_join_sandwich(spark, replay_dir):
     assert must_c <= got_c_orphans
     assert must_v <= got_v_orphans
     assert len(must_c) > 0 and len(must_v) > 0
+
+def test_s27_join_state_bounded_by_watermark_horizon(spark, replay_dir):
+    """VERDICT r8 item 7: the prose claim in ssuite s27 — full-outer
+    join state stays bounded by the watermark horizon — asserted from
+    StreamingQueryProgress state metrics over a long replay.  Two
+    angles: (1) the PEAK state never approaches total input (the
+    watermark evicts DURING the replay, not only at the end); (2) the
+    final state is a subset of the horizon — every retained row has
+    ts >= W_prev - 1h, where W_prev is the watermark the last eviction
+    ran with (one progress behind the final report, so the bound has
+    no off-by-one-batch flake) and 1h is the window width."""
+    import os
+    import tempfile
+    import uuid
+    from datetime import datetime, timezone
+
+    from graph_spark.streaming.replay import EVENTS_SCHEMA
+
+    def stream(filt):
+        return (
+            spark.readStream.format("parquet")
+            .schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 3)
+            .load(replay_dir)
+            .filter(filt)
+        )
+
+    c = (
+        stream(F.col("event_type") == "click")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("cu"),
+            F.window("ts", "1 hour").alias("cw"),
+            F.col("event_id").alias("c_id"),
+        )
+    )
+    v = (
+        stream(F.col("event_type") == "view")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("vu"),
+            F.window("ts", "1 hour").alias("vw"),
+            F.col("event_id").alias("v_id"),
+        )
+    )
+    joined = c.join(
+        v, (F.col("cu") == F.col("vu")) & (F.col("cw") == F.col("vw")), "fullOuter"
+    ).select("c_id", "v_id")
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option(
+            "checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt_{name}")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progresses = [p for p in q.recentProgress if p.get("stateOperators")]
+    finally:
+        q.stop()
+
+    assert len(progresses) >= 3, "replay too short to observe eviction"
+    state_rows = [p["stateOperators"][0]["numRowsTotal"] for p in progresses]
+    ev = Catalog(spark, SF_SMOKE).table("events")
+    total_input = ev.filter(F.col("event_type").isin("click", "view")).count()
+
+    # (1) peak state well under total input: eviction ran mid-replay
+    assert max(state_rows) < 0.5 * total_input, (
+        f"peak join state {max(state_rows)} vs input {total_input} — "
+        "watermark eviction did not run during the replay"
+    )
+
+    # (2) final state within the horizon of the last-applied watermark:
+    # a retained row has window_end >= W_prev, hence ts >= W_prev - 1h
+    def wm(p):
+        w = p.get("eventTime", {}).get("watermark")
+        if not w:
+            return None
+        return datetime.strptime(w, "%Y-%m-%dT%H:%M:%S.%fZ").replace(
+            tzinfo=timezone.utc
+        )
+    wms = [wm(p) for p in progresses]
+    w_prev = None
+    for x in wms[:-1]:
+        if x is not None:
+            w_prev = x  # last watermark BEFORE the final progress
+    assert w_prev is not None
+    horizon_rows = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .filter(F.col("ts") >= F.lit(w_prev) - F.expr("INTERVAL 1 HOUR"))
+        .count()
+    )
+    assert state_rows[-1] <= horizon_rows, (
+        f"final state {state_rows[-1]} exceeds the watermark horizon "
+        f"bound {horizon_rows} (W_prev={w_prev})"
+    )
+    # the bound itself is non-trivial (horizon << total input)
+    assert horizon_rows < total_input
