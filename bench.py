@@ -262,6 +262,20 @@ def bench_distributed_graph(spark) -> dict:
         ),
         _hand_count_subq,
     )
+    # r9 correlated CALL lowering: same semantics as the count_subquery
+    # pair via the scope-importing CALL surface — the set-at-a-time
+    # lowering (body compiled once, keyed pre-aggregate + left join)
+    # must price like both the count{} route and the hand-written
+    # degree filter; any delta is pure lowering tax
+    timed_pair(
+        "correlated_call",
+        _cy_count(
+            "MATCH (a)-[:E]->(b) WITH DISTINCT a "
+            "CALL { WITH a MATCH (a)-[:E]->(x) RETURN count(*) AS d } "
+            "WITH a, d WHERE d >= 12 RETURN count(*) AS n"
+        ),
+        _hand_count_subq,
+    )
     # nodes(p) overhead: the same BFS carrying the lex-min path array
     # (per-level group-min instead of distinct) vs the plain pair BFS
     # just timed — quantifies what the named-path binding costs at 5M

@@ -120,7 +120,8 @@ Supported:
     — one hash join per subquery, never re-expanding the scope.
     Must share >=1 variable with the scope (an uncorrelated count is
     a constant — use CALL).  Refused inside an OPTIONAL MATCH WHERE.
-    Also allowed as a RETURN-tail ORDER BY sort key (r9): the
+    Also allowed as an ORDER BY sort key (RETURN tail and WITH
+    stages, r9): the
     pre-aggregate joins onto the PROJECTED frame (the subpattern must
     share a returned alias) and the helper column is dropped after
     the sort — with LIMIT the tail plans as TakeOrderedAndProject.
@@ -2604,6 +2605,18 @@ def cypher(
                 if op_kw == "WHERE":
                     out = apply_where(out, op_text, node_vars, edge_vars)
                 elif op_kw == "ORDER BY":
+                    keep = None
+                    if _COUNT_SUBQ.search(_blank_quotes(op_text)):
+                        # count { .. } sort key in a WITH stage (r9,
+                        # same lowering as the RETURN tail): join the
+                        # pre-aggregate onto the projected stage frame,
+                        # sort, then drop the helper column — the
+                        # stage's mandatory SKIP/LIMIT keeps the pair a
+                        # TakeOrdered shape
+                        keep = list(out.columns)
+                        out, op_text = lower_count_subqs(
+                            out, op_text, node_vars, edge_vars
+                        )
                     ocols = []
                     for oi in _split_top_level(op_text):
                         om = re.match(
@@ -2623,6 +2636,8 @@ def cypher(
                             col.desc() if direction == "DESC" else col.asc()
                         )
                     out = out.orderBy(*ocols)
+                    if keep is not None:
+                        out = out.select(*keep)
                 elif op_kw in ("SKIP", "LIMIT"):
                     if not re.fullmatch(r"\d+", op_text):
                         raise ValueError(

@@ -2138,3 +2138,31 @@ def test_correlated_call_refusals(tiny):
         cypher(tiny, base + "WITH a, e.weight AS lim "
                "CALL { WITH lim MATCH (x)-[f:E]->(y) "
                "RETURN count(*) AS n } RETURN a, n")
+
+
+def test_count_subquery_in_with_stage_order_by(tiny):
+    """count { .. } as a WITH-stage sort key (r9, symmetric with the
+    RETURN tail): the pre-aggregate joins onto the projected stage
+    frame, the helper drops after the sort, and the stage's LIMIT cut
+    feeds the downstream scope."""
+    got = cypher(
+        tiny,
+        "MATCH (x)-[e:E]->(y) WITH DISTINCT x "
+        "ORDER BY count { (x)-[:E]->() } DESC, x LIMIT 1 "
+        "MATCH (x)-[f:E]->(z) RETURN x, z ORDER BY z",
+    ).collect()
+    assert [(r.x, r.z) for r in got] == [("a", "b"), ("a", "c")]
+
+
+def test_correlated_call_body_with_intermediate_stage(tiny):
+    """A correlated CALL body may use its own WITH stages as long as
+    the imported variable is carried to the RETURN scope."""
+    got = cypher(
+        tiny,
+        "MATCH (a)-[e:E]->(b) WITH DISTINCT a "
+        "CALL { WITH a MATCH (a)-[f:E]->(x) WITH a, f.weight * 2 AS w2 "
+        "RETURN sum(w2) AS dbl } "
+        "RETURN a, dbl ORDER BY a",
+    ).collect()
+    assert [(r.a, r.dbl) for r in got] == [
+        ("a", 60.0), ("b", 60.0), ("c", 80.0), ("d", 100.0)]
