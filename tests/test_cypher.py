@@ -2166,3 +2166,19 @@ def test_correlated_call_body_with_intermediate_stage(tiny):
     ).collect()
     assert [(r.a, r.dbl) for r in got] == [
         ("a", 60.0), ("b", 60.0), ("c", 80.0), ("d", 100.0)]
+
+
+def test_nested_uncorrelated_call_inside_correlated_body(tiny):
+    """An uncorrelated CALL (global threshold) nests inside a
+    correlated body: the inner broadcast scalar joins the body scope,
+    the outer pre-aggregate still keys on the import."""
+    got = cypher(
+        tiny,
+        "MATCH (a)-[e:E]->(b) WITH DISTINCT a "
+        "CALL { WITH a MATCH (a)-[f:E]->(x) "
+        "CALL { MATCH (y)-[g:E]->(z) RETURN max(g.weight) AS mx } "
+        "RETURN sum(f.weight) / max(mx) AS frac } "
+        "RETURN a, frac ORDER BY a",
+    ).collect()
+    assert [(r.a, r.frac) for r in got] == [
+        ("a", 0.6), ("b", 0.6), ("c", 0.8), ("d", 1.0)]

@@ -1335,3 +1335,44 @@ def test_path_enumeration_matches_python_trails(spark, seed):
         ).collect()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_correlated_call_matches_python_reference(spark, seed):
+    """r9 correlated CALL { WITH a .. }: the set-at-a-time lowering
+    (keyed pre-aggregate + left join + Neo4j zero-row identities) must
+    equal a per-row Python evaluation of the subquery on random
+    weighted digraphs — including sources whose every out-edge fails
+    the body's WHERE (the count 0 / sum 0 fill rows)."""
+    from graph_spark.graph.cypher import CypherGraph, cypher
+
+    rng = random.Random(seed)
+    rows = []
+    seen = set()
+    while len(rows) < 90:
+        a, b = rng.randrange(30), rng.randrange(30)
+        if a != b and (a, b) not in seen:
+            seen.add((a, b))
+            rows.append((f"n{a}", f"n{b}", float(rng.randrange(1, 100))))
+    edf = spark.createDataFrame(rows, ["src", "dst", "w"])
+    cg = CypherGraph(
+        PropertyGraph(edf.select(F.col("src").alias("id")).distinct(), edf),
+        rel_types={"E": edf},
+    )
+    thr = 50.0
+    got = {
+        (r.a, r.n_big, r.tot)
+        for r in cypher(
+            cg,
+            "MATCH (a)-[e:E]->(b) WITH DISTINCT a "
+            f"CALL {{ WITH a MATCH (a)-[f:E]->(x) WHERE f.w >= {thr} "
+            "RETURN count(*) AS n_big, sum(f.w) AS tot } "
+            "RETURN a, n_big, tot",
+        ).collect()
+    }
+    # per-row reference: for each distinct source, evaluate the body
+    want = set()
+    for a in {s for s, _, _ in rows}:
+        big = [w for s, _, w in rows if s == a and w >= thr]
+        want.add((a, len(big), float(sum(big)) if big else 0.0))
+    assert got == want, f"seed={seed}"
