@@ -233,6 +233,24 @@ def main() -> None:
            ORDER BY supplier"""
     ).show()
 
+    print("== Cypher r9: correlated CALL, count{} as sort key ==")
+    eng.cypher(
+        """MATCH (c:Customer)-[e:BUYS]->(s:Supplier)
+           WITH DISTINCT c
+           CALL { WITH c
+                  MATCH (c)-[f:BUYS]->(x:Supplier) WHERE f.n_items >= 3
+                  RETURN count(*) AS bulk_deg, sum(f.n_items) AS bulk_items }
+           RETURN c AS customer, bulk_deg, bulk_items
+           ORDER BY bulk_deg DESC, customer LIMIT 5"""
+    ).show()
+    eng.cypher(
+        """MATCH (c:Customer)-[e:BUYS]->(s:Supplier)
+           WHERE e.n_items >= 3
+           RETURN DISTINCT s AS supplier
+           ORDER BY count { (supplier)<-[:BUYS]-(x:Customer) } DESC,
+                    supplier LIMIT 5"""
+    ).show()
+
     print("== temporal: per-key Holt-Winters seasonal forecast ==")
     eng.holt_winters(
         eng.table("events").select("user_id", "ts", "event_id", "value"),

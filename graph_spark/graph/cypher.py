@@ -838,7 +838,15 @@ def _correlated_call_frame(cg, cbody, scalar_vars, edge_vars, path_vars):
     values; a body whose RETURN keeps non-aggregate items would
     multiply scope rows (0..n per row) and is refused with a pointer
     to OPTIONAL MATCH.  Returns (frame, imports, fill) where `fill`
-    maps output aliases to their zero-row identity kind."""
+    maps output aliases to their zero-row identity kind.
+
+    Zero-match contract: an item whose TOP-LEVEL expression is
+    count/sum/collect gets the Neo4j identity (0 / 0 / []); avg/min/
+    max and COMPOSITE items (e.g. ``sum(x)/max(y)``) are null — for
+    composites of null-identity aggregates that matches Neo4j too,
+    but a constant-plus-aggregate like ``1 + count(*)`` diverges
+    (Neo4j: 1, here: null); wrap such items in coalesce() outside the
+    CALL if the distinction matters."""
     m = _IMPORT_WITH.match(_blank_quotes(cbody))
     if not m:
         raise ValueError(

@@ -124,6 +124,12 @@ HAZARD_PRIORITY = [
     # rendering
     "g143_cypher_with_topk_expand",
     "s27_stream_stream_full_join",
+    # round-9 hazards: correlated-CALL zero-fill left-join semantics
+    # (g144 — the ASC cut surfaces the count-0/sum-0 rows, exactly the
+    # protocol worth external pinning) and the count{}-as-sort-key
+    # helper-drop + TakeOrdered cut (g145)
+    "g144_cypher_correlated_call",
+    "g145_cypher_count_subquery_order_by",
 ]
 
 
