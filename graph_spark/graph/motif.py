@@ -41,18 +41,25 @@ def find(
         if not m:
             raise ValueError(f"bad pattern {p!r}; expected 'a->b'")
         a, b = m.groups()
-        e = graph.edges.select(F.col("src").alias(a + "__n"), F.col("dst").alias(b + "__n"))
+        if a == b:
+            # self-loop pattern "a->a": one column, src==dst rows only
+            # (two same-named aliases would be ambiguous downstream)
+            e = graph.edges.filter(F.col("src") == F.col("dst")).select(
+                F.col("src").alias(a + "__n")
+            )
+        else:
+            e = graph.edges.select(
+                F.col("src").alias(a + "__n"), F.col("dst").alias(b + "__n")
+            )
         if out is None:
             out = e
             bound |= {a, b}
             continue
         conds = []
-        if a in bound:
-            e = e.withColumnRenamed(a + "__n", f"__j{i}_a")
-            conds.append(F.col(a + "__n") == F.col(f"__j{i}_a"))
-        if b in bound:
-            e = e.withColumnRenamed(b + "__n", f"__j{i}_b")
-            conds.append(F.col(b + "__n") == F.col(f"__j{i}_b"))
+        for var, tag in ([(a, "a")] if a == b else [(a, "a"), (b, "b")]):
+            if var in bound:
+                e = e.withColumnRenamed(var + "__n", f"__j{i}_{tag}")
+                conds.append(F.col(var + "__n") == F.col(f"__j{i}_{tag}"))
         if not conds:
             raise ValueError(f"pattern {p!r} is disconnected from earlier patterns")
         cond = conds[0]

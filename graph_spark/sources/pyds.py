@@ -100,7 +100,15 @@ class _JsonlDirWriter(DataSourceWriter):
     commit messages (rename into place + manifest) and abort() discards
     staging.  This is the two-phase commit protocol every exactly-once
     Spark sink uses: task retries stage duplicate files, but only the
-    attempt whose message reaches commit() is published."""
+    attempt whose message reaches commit() is published.
+
+    Deployment contract: staging + publish use filesystem rename, so
+    `path` must be on a filesystem ALL executors and the driver share
+    (local mode, NFS, fuse-mounted object store).  Porting the pattern
+    to a real remote store means replacing write()'s open/write with
+    the store's upload-to-temp primitive and commit()'s move with its
+    atomic publish (multipart complete, rename, visibility flip) — the
+    message/commit/abort protocol stays identical."""
 
     def __init__(self, options, overwrite: bool):
         self.path = options.get("path")

@@ -97,6 +97,27 @@ def test_motif_triangle_and_chain(spark):
     assert ("b", "c", "d") in {tuple(r) for r in chains}
 
 
+def test_motif_self_loop_patterns(spark):
+    """r9 self-review fix: 'a->a' used to alias src AND dst to the same
+    column name (ambiguity error downstream); now it matches self-loop
+    rows with a single column, composing with other patterns in both
+    first and later join positions."""
+    e = [("a", "a"), ("a", "b"), ("b", "c"), ("c", "a"), ("c", "c")]
+    edf = spark.createDataFrame(e, ["src", "dst"])
+    g = PropertyGraph(edf.select(F.col("src").alias("id")).distinct(), edf)
+    assert sorted(r.a for r in find(g, ["a->a"]).collect()) == ["a", "c"]
+    # self-loop first, then expand
+    assert sorted(tuple(r) for r in find(g, ["a->a", "a->b"]).collect()) == [
+        ("a", "a"), ("a", "b"), ("c", "a"), ("c", "c")]
+    # expand first, self-loop joined second
+    assert sorted(tuple(r) for r in find(g, ["a->b", "b->b"]).collect()) == [
+        ("a", "a"), ("b", "c"), ("c", "a"), ("c", "c")]
+    # distinct_vertices drops the loop-degenerate triangles
+    tri = find(g, ["x->y", "y->z", "z->x"], distinct_vertices=True).collect()
+    assert {tuple(r) for r in tri} == {
+        ("a", "b", "c"), ("b", "c", "a"), ("c", "a", "b")}
+
+
 def test_kcore_two_cliques_with_tail(spark):
     """4-clique has a 3-core; pendant tail nodes peel away."""
     from graph_spark.graph.algorithms import k_core
