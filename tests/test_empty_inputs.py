@@ -147,3 +147,31 @@ def test_round6b_operators_on_empty(spark):
     assert hw.columns == [
         "k", "n_obs", "level", "trend", "s_next", "forecast_1"
     ]
+
+
+def test_r9_cypher_forms_on_empty(spark):
+    """Correlated CALL and count{}-sort-key on a 0-edge graph: empty
+    scope in, empty frame out, declared schema intact."""
+    from graph_spark.graph.cypher import CypherGraph, cypher
+
+    e = spark.createDataFrame(
+        [], "src string, dst string, n_items long, weight double"
+    )
+    g = CypherGraph(
+        PropertyGraph(e.select(F.col("src").alias("id")).distinct(), e),
+        rel_types={"E": e},
+    )
+    out = cypher(
+        g,
+        "MATCH (a)-[x:E]->(b) WITH DISTINCT a "
+        "CALL { WITH a MATCH (a)-[f:E]->(c) "
+        "RETURN count(*) AS n, sum(f.weight) AS w } "
+        "RETURN a, n, w",
+    )
+    assert out.columns == ["a", "n", "w"] and out.count() == 0
+    out2 = cypher(
+        g,
+        "MATCH (a)-[x:E]->(b) RETURN DISTINCT a "
+        "ORDER BY count { (a)-[:E]->() } DESC, a LIMIT 5",
+    )
+    assert out2.columns == ["a"] and out2.count() == 0
