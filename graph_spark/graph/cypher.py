@@ -156,6 +156,12 @@ Supported:
     (typically a collect_list WITH alias) into one row per element —
     the collect-then-re-expand idiom (`WITH s, collect_list(c.node) AS
     buyers UNWIND buyers AS b ...`).
+  - leading WITH / leading UNWIND (r9): `WITH 'c1' AS target MATCH ..`
+    and `UNWIND ['c1','c2'] AS t MATCH ..` — the Neo4j parameterization
+    idioms.  Literal aliases project from a one-row seed frame and
+    enter the scope as CALL-style scalars, so the following MATCH
+    cross-joins the broadcast parameter frame (one row, or the small
+    exploded list) and its WHERE anchors on the parameters.
   - WEIGHTED `p = shortestPath((a {node: 'x'})-[:TYPE* {cost: 'w'}]->(b))`:
     the property map names the edge-property to minimize; lowered onto
     the Bellman-Ford SSSP kernel with the hop bound as the round
@@ -1923,7 +1929,7 @@ def cypher(
             "CALL { MATCH .. RETURN .. } subqueries"
         )
     clauses = _split_clauses(query)
-    if clauses[0][0] not in ("MATCH", "CALL"):
+    if clauses[0][0] not in ("MATCH", "CALL", "WITH", "UNWIND"):
         raise ValueError("cypher: expected MATCH <patterns> [WHERE ..] ... RETURN ..")
     if clauses[-1][0] != "RETURN":
         raise ValueError("cypher: query must end with a RETURN clause")
@@ -2547,6 +2553,14 @@ def cypher(
             )
             if not um:
                 raise ValueError("cypher: expected UNWIND <expr> AS <var>")
+            if out is None:
+                # leading UNWIND (r9 — `UNWIND ['c1','c2'] AS t
+                # MATCH ..`): explode a literal list from a one-row
+                # seed; the variable enters as a CALL-style scalar so
+                # a following MATCH cross-joins the small exploded
+                # frame (the parameter-list lookup idiom)
+                out = cg.graph.vertices.sparkSession.range(1).select()
+                call_vars = call_vars | {um.group("var")}
             var = um.group("var")
             if var in node_vars or var in edge_vars or var in path_vars:
                 # withColumn would silently OVERWRITE the bound column
@@ -2596,6 +2610,16 @@ def cypher(
             star = any(
                 it.strip() == "*" for it in _split_top_level(head)
             )
+            leading = out is None
+            if leading:
+                # leading WITH (r9 — the Neo4j parameterization idiom:
+                # `WITH 'c1' AS target MATCH (c {node: target}) ..`):
+                # project the literal items from a one-row seed frame;
+                # the aliases enter the scope as CALL-style scalars, so
+                # a following MATCH cross-joins against the broadcast
+                # one-row frame instead of hitting the cartesian
+                # refusal — same shape as the CALL threshold idiom.
+                out = cg.graph.vertices.sparkSession.range(1).select()
             out, waliases = project(out, head, node_vars, edge_vars)
             if dm:
                 out = out.distinct()
@@ -2603,6 +2627,8 @@ def cypher(
             # addressable (their property columns were passed through);
             # node_vars = the stage aliases either way
             node_vars = set(waliases)
+            if leading:
+                call_vars |= set(waliases)
             if not star:
                 edge_vars = set()
             # apply the trailing clauses in their textual order (WHERE

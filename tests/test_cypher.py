@@ -2182,3 +2182,37 @@ def test_nested_uncorrelated_call_inside_correlated_body(tiny):
     ).collect()
     assert [(r.a, r.frac) for r in got] == [
         ("a", 0.6), ("b", 0.6), ("c", 0.8), ("d", 1.0)]
+
+
+# ------------------------------------------ r9 leading WITH / UNWIND
+
+
+def test_leading_with_parameterization(tiny):
+    """`WITH 'a' AS target MATCH ..` (the Neo4j parameterization
+    idiom): literal aliases project from a one-row seed and enter the
+    scope as CALL-style scalars — the following MATCH cross-joins the
+    broadcast one-row frame, and WHERE anchors on the parameter."""
+    got = cypher(
+        tiny,
+        "WITH 'a' AS target MATCH (x)-[e:E]->(y) "
+        "WHERE x = target RETURN y ORDER BY y",
+    ).collect()
+    assert [r.y for r in got] == ["b", "c"]
+    got = cypher(
+        tiny,
+        "WITH 15.0 AS lo, 45.0 AS hi MATCH (x)-[e:E]->(y) "
+        "WHERE e.weight >= lo AND e.weight <= hi "
+        "RETURN count(*) AS n",
+    ).collect()
+    assert got[0].n == 3
+
+
+def test_leading_unwind_parameter_list(tiny):
+    """`UNWIND [..] AS t MATCH ..`: the exploded literal list drives
+    per-value lookups (each value cross-joins then filters)."""
+    got = cypher(
+        tiny,
+        "UNWIND ['a', 'd'] AS t MATCH (x)-[e:E]->(y) "
+        "WHERE x = t RETURN t, y ORDER BY t, y",
+    ).collect()
+    assert [(r.t, r.y) for r in got] == [("a", "b"), ("a", "c"), ("d", "e")]
