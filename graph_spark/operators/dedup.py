@@ -89,11 +89,19 @@ def minhash_lsh_candidates(
 
     Band hashes are derived per-row from the signature array (the same
     `md5(concat_ws('|', sorted ["ii:sig", ...]))` value the old
-    groupBy(id, band)+collect_list form produced, byte-identical) — the
-    ONLY shuffle in the whole candidate pipeline is the band equi-join
-    itself.  Bucket occupancy was measured at 2M docs: max 67, p99 = 2,
-    0.08% of candidate pairs from buckets >64 — no cap needed; the
-    join is the cheap stage."""
+    groupBy(id, band)+collect_list form produced, byte-identical).
+
+    Candidate pairs come from ONE groupBy on (band, band_hash) that
+    collects each bucket's (sorted) doc ids and enumerates its ordered
+    pairs in place — NOT a self-join: Spark plans a self-join's two
+    sides as two separate subtrees (no ReusedExchange fires for the
+    alias pair, verified in the r9 plans), so the 16-md5s-per-token
+    signature scan ran TWICE and paid two exchanges.  The bucket form
+    computes signatures once and shuffles once; measured at 2M docs
+    interleaved with contention controls: 60.0 -> 30.0 s, pair set
+    equal.  Per-bucket pair expansion is bounded by occupancy
+    (measured at 2M docs: max 67 -> <= C(67,2) = 2,211 pairs from one
+    row; p99 occupancy = 2), so no one task sees a quadratic blob."""
     if bands < 1 or k % bands != 0:
         raise ValueError(
             f"minhash_lsh_candidates: bands ({bands}) must divide k ({k}) "
@@ -126,12 +134,24 @@ def minhash_lsh_candidates(
     band_hash = arr.select(
         id_col, F.posexplode(band_strs).alias("band", "bh")
     )
-    a = band_hash.select(F.col(id_col).alias("a"), "band", "bh")
-    b = band_hash.select(F.col(id_col).alias("b"), "band", "bh")
+    buckets = band_hash.groupBy("band", "bh").agg(
+        F.array_sort(F.collect_list(id_col)).alias("ids")
+    )
+    # ordered pairs within the sorted bucket == the a < b join output
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "bh"], "inner")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        buckets.filter(F.size("ids") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .filter(F.col("p.a") != F.col("p.b"))  # duplicate input ids guard (join used strict <)
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .distinct()
     )
 
@@ -205,6 +225,16 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     positive sum -> bit 1 (ties -> 0).  The signature is assembled as two
     32-bit halves to stay clear of signed-long edge cases.  Exactly
     reproducible in SQL.  Returns (id, simhash).
+
+    Implementation note (r9 optimization round): a per-row
+    higher-order-function rewrite (64 aggregate folds over the token
+    array — the minhash_signature_array move) was tried, produced
+    byte-identical signatures (tests/test_operators.py
+    test_simhash_matches_python_reference pins that), and measured 2x
+    SLOWER at 200k docs (3.4-5.3 s vs 1.6-2.9 s): Spark's higher-order
+    functions evaluate interpreted, and 64 folds x |tokens| loses to
+    four codegen'd hash aggregations even counting their shuffles.
+    The exploded form stays.
     """
     tok = tokens(df, text_col, id_col).distinct().withColumn("h", F.md5(F.col("term")))
     digits = (
@@ -326,12 +356,38 @@ def simhash_hamming_pairs(
         )
         .withColumn("bk", F.expr(f"substring(simhash, band*{band_w} + 1, {band_w})"))
     )
-    a = bands.select(F.col(id_col).alias("i"), "band", "bk", F.col("simhash").alias("sa"))
-    b = bands.select(F.col(id_col).alias("j"), "band", "bk", F.col("simhash").alias("sb"))
+    # same bucket-collect pair enumeration as minhash_lsh_candidates
+    # (a self-join would recompute the 4-shuffle signature pipeline for
+    # both sides — no ReusedExchange fires for an alias self-join)
+    buckets = bands.groupBy("band", "bk").agg(
+        F.array_sort(F.collect_list(F.struct(F.col(id_col).alias("i"), "simhash"))).alias(
+            "ms"
+        )
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, ix: F.transform(
+                F.slice(F.col("ms"), ix + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    x.getField("i").alias("i"),
+                    y.getField("i").alias("j"),
+                    x.getField("simhash").alias("sa"),
+                    y.getField("simhash").alias("sb"),
+                ),
+            ),
+        )
+    )
     cand = (
-        a.join(b, ["band", "bk"])
-        .filter(F.col("i") < F.col("j"))
-        .select("i", "j", "sa", "sb")
+        buckets.filter(F.size("ms") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .filter(F.col("p.i") != F.col("p.j"))
+        .select(
+            F.col("p.i").alias("i"),
+            F.col("p.j").alias("j"),
+            F.col("p.sa").alias("sa"),
+            F.col("p.sb").alias("sb"),
+        )
         .distinct()
     )
     dig = cand.select(

@@ -160,61 +160,92 @@ def ivf_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Lloyd's kmeans, DataFrame-native, for IVF index build.
+    """Lloyd's kmeans, for IVF index build.
 
     Init: deterministic — the `n_clusters` vectors with the smallest
-    ids (reproducible without RNG).  Each iteration: broadcast the
-    centroid table, assign every vector to its nearest centroid (exact
-    cosine), recompute means via posexplode + (cluster, dim) combine —
-    the same one-shuffle aggregation shape as the declared l14 query.
+    ids (reproducible without RNG), fetched via orderBy+limit
+    (TakeOrdered: a parallel per-partition top-k merge, NOT a global
+    window sort — the old row_number() over Window.orderBy(id) funneled
+    the ENTIRE corpus through one task).  Each iteration: assignment is
+    the compiled argmin projection of :func:`_assign_clusters` (zero
+    shuffles), then means are recomputed via posexplode + (cluster, dim)
+    map-side combine — the same one-shuffle aggregation shape as the
+    declared l14 query — and collected (n_clusters x dim doubles, the
+    CENTROID_STATE_LIMIT-guarded MLlib pattern kmeans_lloyd already
+    uses: only the k-row table ever moves).
     Returns DataFrame(cluster, centroid array<double>).
     """
-    from pyspark.sql import Window
-
     _guard_centroid_state(n_clusters, dim, "ivf_centroids")
-    w = Window.orderBy(F.col(id_col).asc())
-    seeds = (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= n_clusters)
-        .select(
-            (F.col("__rn") - 1).alias("cluster"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"),
+    seed_rows = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("c"),
         )
+        .orderBy("__id")
+        .limit(n_clusters)
+        .collect()
     )
-    cents = seeds
+    # cluster i = vector with the i-th smallest id (== the old
+    # row_number(Window.orderBy(id)) - 1 numbering)
+    cents = [(i, list(r["c"])) for i, r in enumerate(seed_rows)]
+    spark = df.sparkSession
     for _ in range(iterations):
-        assigned = _assign_clusters(df, cents, vec_col, id_col)
+        assigned = _assign_clusters_lit(df, cents, vec_col)
         ex = assigned.select("cluster", F.posexplode(vec_col).alias("i", "x")).withColumn(
             "x", F.col("x").cast("double")
         )
-        means = ex.groupBy("cluster", "i").agg(F.avg("x").alias("mx"))
-        cents = (
-            means.groupBy("cluster")
+        means = (
+            ex.groupBy("cluster", "i")
+            .agg(F.avg("x").alias("mx"))
+            .groupBy("cluster")
             .agg(F.array_sort(F.collect_list(F.struct("i", "mx"))).alias("pairs"))
             .select(
                 "cluster",
                 F.transform(F.col("pairs"), lambda s: s.getField("mx")).alias("centroid"),
             )
         )
-    return cents
+        cents = [(int(r["cluster"]), list(r["centroid"])) for r in means.collect()]
+    return spark.createDataFrame(cents, "cluster INT, centroid ARRAY<DOUBLE>")
+
+
+def _assign_clusters_lit(df: DataFrame, cents: list, vec_col: str) -> DataFrame:
+    """Nearest-centroid assignment by cosine with the centroid table
+    compiled into ONE argmin projection: array_min over k
+    (priority, cluster) structs, priority = -sim (NULL mapped to +inf —
+    defensive for non-ANSI sessions where divide-by-zero yields NULL;
+    under the default ANSI divide a zero-norm vector raises, exactly as
+    the old form did).  Pick order is EXACTLY the old crossJoin +
+    row_number(desc(__sim) nulls-last, asc(cluster)) form — highest sim wins, ties and the
+    all-null case fall to the lowest cluster id — but with zero
+    shuffles and zero row expansion, where the old shape materialized
+    k copies of every vector and ranked them through a full window
+    exchange+sort (the dominant cost of the 4M-vector IVF bench)."""
+    if not cents:
+        # empty centroid table (empty corpus): the old crossJoin form
+        # produced zero rows — keep that, with the cluster column typed
+        return df.filter(F.lit(False)).withColumn("cluster", F.lit(0))
+    inf = float("inf")
+    cands = []
+    for cl, cvec in sorted(cents):
+        cn = math.sqrt(sum(x * x for x in cvec)) or 0.0
+        arr = F.array(*[F.lit(float(x)) for x in cvec])
+        sim = _dot(F.col(vec_col), arr) / (F.col("__norm") * F.lit(cn))
+        cands.append(
+            F.struct(F.coalesce(-sim, F.lit(inf)).alias("p"), F.lit(int(cl)).alias("cluster"))
+        )
+    return (
+        with_norm(df, vec_col)
+        .withColumn("cluster", F.array_min(F.array(*cands)).getField("cluster"))
+        .drop("__norm")
+    )
 
 
 def _assign_clusters(df: DataFrame, centroids: DataFrame, vec_col: str, id_col: str) -> DataFrame:
-    """Nearest-centroid assignment by cosine; centroids broadcast."""
-    from pyspark.sql import Window
-
-    c = F.broadcast(centroids)
-    v = with_norm(df, vec_col)
-    joined = v.crossJoin(c)
-    cn = F.sqrt(F.aggregate(F.col("centroid"), F.lit(0.0), lambda a, x: a + x * x))
-    sim = _dot(F.col(vec_col), F.col("centroid")) / (F.col("__norm") * cn)
-    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("cluster"))
-    return (
-        joined.withColumn("__sim", sim)
-        .withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .drop("__sim", "__r", "centroid", "__norm")
-    )
+    """Nearest-centroid assignment by cosine; the (small, guarded)
+    centroid table is collected and compiled into the argmin projection
+    of :func:`_assign_clusters_lit`."""
+    cents = [(int(r["cluster"]), list(r["centroid"])) for r in centroids.collect()]
+    return _assign_clusters_lit(df, cents, vec_col)
 
 
 def cosine_topk_ivf(
@@ -236,14 +267,12 @@ def cosine_topk_ivf(
     brute force)."""
     from pyspark.sql import Window
 
-    # materialize the tiny centroid table ONCE: it is referenced by two
-    # broadcast subtrees (corpus assignment + probe-cell scoring), and
-    # left lazy each reference would re-embed the full kmeans lineage
-    # (crossJoin + window per iteration, global-sort seed scan) in the
-    # final plan
+    # ivf_centroids returns a k-row LocalRelation (centroids are
+    # driver-side state between iterations — the guarded MLlib
+    # pattern), so referencing it from two subtrees re-embeds nothing
     cents = ivf_centroids(
         corpus, n_clusters, dim, vec_col=vec_col, id_col=id_col
-    ).localCheckpoint(eager=True)
+    )
     corpus_cells = _assign_clusters(corpus, cents, vec_col, id_col).select(
         F.col(id_col).alias("nb"), F.col("cluster").alias("cell")
     )
@@ -260,11 +289,15 @@ def cosine_topk_ivf(
         .filter(F.col("__r") <= nprobe)
         .select(F.col(id_col).alias("vec_id"), F.col("cluster").alias("cell"))
     )
+    # no pair-distinct needed (unlike LSH's multi-table join): each
+    # corpus vector lives in exactly ONE cell and probe_cells is
+    # distinct on (vec_id, cell), so the cell equi-join emits every
+    # (vec_id, nb) pair at most once — the old .distinct() was a full
+    # extra shuffle of the candidate set for nothing
     cand = (
         corpus_cells.join(F.broadcast(probe_cells), "cell")
         .filter(F.col("nb") != F.col("vec_id"))
         .select("vec_id", "nb")
-        .distinct()
     )
     cv = with_norm(corpus, vec_col).select(
         F.col(id_col).alias("nb"), F.col(vec_col).alias("__cv"), F.col("__norm").alias("__cn")

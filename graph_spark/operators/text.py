@@ -83,9 +83,16 @@ def tf_idf_top_terms(
         F.col("term") != ""
     )
     tf = tok.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = tok.select(id_col).distinct().count()
-    idf = tok.groupBy("term").agg(
-        F.log(F.lit(float(n_docs)) / F.countDistinct(id_col)).alias("idf")
+    # corpus doc count as a broadcast 1-row scalar (the CALL-idiom
+    # append), NOT a driver-side count() action: the old form ran an
+    # extra eager job per call and evaluated the tokenize pipeline a
+    # third time
+    nd = tok.agg(F.countDistinct(id_col).cast("double").alias("__nd"))
+    idf = (
+        tok.groupBy("term")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .crossJoin(F.broadcast(nd))
+        .select("term", F.log(F.col("__nd") / F.col("__df")).alias("idf"))
     )
     w = Window.partitionBy(group_col).orderBy(F.col("w").desc(), F.col("term").asc())
     return (
@@ -309,29 +316,45 @@ def lcs_window_chain(eqt: DataFrame, la: int) -> DataFrame:
 
     Scale: every stage is a window over (pair, j) — a million pairs
     run the same ``la`` stages; the lattice is bounded by the token
-    CAPS, not document length (pad with non-matching sentinels).
+    CAPS, not document length (pad with non-matching sentinels; the
+    lattice must be COMPLETE — every (i, j) in 1..la x 1..lb present
+    once per pair — which both callers guarantee by construction).
+
+    r9 shape: the lattice is first pivoted to ONE row per (pair, j)
+    carrying eq(1..la) as an array, so every DP stage is a pair of
+    window expressions over the SAME (pair, j) sort — after the single
+    window exchange, Spark stacks all ``2*la`` Window operators on one
+    sorted layout with no further exchange and no joins.  The old form
+    re-joined (and therefore RE-COMPUTED) the caller's eqt pipeline
+    once per stage: 12 joins, 274 Exchange nodes in l123's physical
+    plan, 12 evaluations of the upstream lattice build (plan diff in
+    plans/r09/l123_rouge_l_{before,after}.txt; bench numbers in
+    OPTIMIZATION_r09.md).
     """
     wpj = Window.partitionBy("pair").orderBy("j")
-    c = eqt.filter(F.col("i") == 1).select(
-        "pair", "j", F.max("eq").over(wpj).alias("c")
+    lat = eqt.groupBy("pair", "j").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "eq"))),
+            lambda s: s.getField("eq"),
+        ).alias("__eqs")
     )
+
+    def eq_at(i: int):
+        return F.element_at(F.col("__eqs"), i)
+
+    c = lat.select("pair", "j", "__eqs", F.max(eq_at(1)).over(wpj).alias("c"))
     for i in range(2, la + 1):
-        step = (
-            eqt.filter(F.col("i") == i)
-            .select("pair", "j", "eq")
-            .join(c, ["pair", "j"])
-            .select(
-                "pair",
-                "j",
-                "c",
-                (
-                    F.coalesce(F.lag("c").over(wpj), F.lit(0)) + F.col("eq")
-                ).alias("term"),
-            )
+        step = c.select(
+            "pair",
+            "j",
+            "__eqs",
+            "c",
+            (F.coalesce(F.lag("c").over(wpj), F.lit(0)) + eq_at(i)).alias("term"),
         )
         c = step.select(
             "pair",
             "j",
+            "__eqs",
             F.greatest(F.col("c"), F.max("term").over(wpj)).alias("c"),
         )
-    return c
+    return c.select("pair", "j", "c")

@@ -151,15 +151,27 @@ class TemporalPropertyStore:
 
     def _latest_per_ts(self, prop: str | None) -> DataFrame:
         """Collapse same-(entity, ts) writes to the latest sequence —
-        the merge step an LSM store does on read/compaction."""
-        from pyspark.sql import Window
+        the merge step an LSM store does on read/compaction.
 
-        w = Window.partitionBy("entity_id", "prop", "ts").orderBy(F.col("seq").desc())
+        max(struct(seq, value)) instead of a row_number window: the
+        aggregate is map-side combinable and needs no per-partition
+        SORT of the whole log (the window form exchanged AND sorted all
+        rows by (entity, prop, ts, seq) first).  Seq ties — undefined
+        commit order, previously partition-layout-arbitrary — now
+        resolve deterministically to the larger value (nulls-first
+        struct ordering), which no oracle-matched query can have
+        depended on."""
         return (
             self._prop(prop)
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            .groupBy("entity_id", "prop", "ts")
+            .agg(F.max(F.struct("seq", "value")).alias("__m"))
+            .select(
+                "entity_id",
+                "prop",
+                "ts",
+                F.col("__m.value").alias("value"),
+                F.col("__m.seq").alias("seq"),
+            )
         )
 
     def write_unsets(
@@ -225,5 +237,9 @@ class TemporalPropertyStore:
 
     def align(self, props: list) -> DataFrame:
         """Widen several properties onto the union of their
-        change-points with per-column forward fill (temporal join)."""
-        return tprop.align(self._latest_per_ts(None), props)
+        change-points with per-column forward fill (temporal join).
+
+        Same-ts overwrite resolution rides INSIDE align's own pivot
+        aggregation (seq_col): one shuffle on (entity, ts) + the fill
+        window, instead of a separate full-log dedup pass first."""
+        return tprop.align(self.log, props, seq_col="seq")

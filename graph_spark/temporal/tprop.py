@@ -158,6 +158,7 @@ def align(
     prop_col: str = "prop",
     ts_col: str = "ts",
     value_col: str = "value",
+    seq_col: str | None = None,
 ) -> DataFrame:
     """Temporal align-join (the temporal-DB "temporal join"): widen
     several piecewise-constant properties of one entity onto the UNION
@@ -171,27 +172,32 @@ def align(
 
     Same-ts writes to different props merge into one output row (the
     pre-pivot groupBy); same-ts writes to the SAME prop must be
-    disambiguated upstream.  Cost: one partial-aggregated shuffle on
+    disambiguated upstream — OR pass ``seq_col`` and the merge itself
+    resolves them last-write-wins inside the SAME aggregation
+    (max(struct(seq, wrapped value)) per prop), which is how the
+    store's align path avoids a whole separate dedup pass+exchange
+    over the log.  Cost: one partial-aggregated shuffle on
     (entity, ts) + one window shuffle on entity — at 100 TB both run
     within time-bucket partitions with the standard bucket-edge stitch
     (carry each prop's last value across the bucket boundary).
     """
     sel = tprop.filter(F.col(prop_col).isin(list(props)))
+
     # STRUCT-wrap each prop's value before the pivot: the forward fill
     # below must distinguish "no change for p at this ts" (null struct,
     # skipped by ignorenulls) from "p UNSET at this ts" (non-null struct
     # carrying a null value, which correctly overwrites the fill) — the
     # same trick values_at_many uses for its as-of fill
+    def picked(p):
+        wrapped = F.struct(F.col(value_col).alias("v"))
+        if seq_col is None:
+            return F.max(F.when(F.col(prop_col) == p, wrapped))
+        return F.max(
+            F.when(F.col(prop_col) == p, F.struct(F.col(seq_col).alias("s"), wrapped.alias("w")))
+        ).getField("w")
+
     merged = sel.groupBy(entity_col, ts_col).agg(
-        *[
-            F.max(
-                F.when(
-                    F.col(prop_col) == p,
-                    F.struct(F.col(value_col).alias("v")),
-                )
-            ).alias(f"__d_{p}")
-            for p in props
-        ]
+        *[picked(p).alias(f"__d_{p}") for p in props]
     )
     w = (
         Window.partitionBy(entity_col)

@@ -152,6 +152,43 @@ def test_simhash_similar_docs_closer(spark):
     assert len(f"{sigs[0]:016x}") == 16
 
 
+def test_simhash_matches_python_reference(spark):
+    """Byte-exact pin of the r9 per-row simhash rewrite against an
+    independent pure-Python implementation of the documented formula
+    (md5 hex digits -> 4 bits each, per-bit +/-1 majority over DISTINCT
+    tokens, ties -> 0, hi||lo hex assembly)."""
+    import hashlib
+
+    texts = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "x"),
+        (2, "dup dup dup unique"),  # distinct-token dedup must apply
+        (3, "  spaced   out   tokens "),
+        (4, "a b a b c"),
+    ]
+
+    def ref(text):
+        toks = sorted({t for t in text.split(" ") if t})
+        n = len(toks)
+        bits = []
+        for pos in range(64):
+            di, bi = pos // 4, pos % 4
+            c = sum(
+                (int(hashlib.md5(t.encode()).hexdigest()[di], 16) >> bi) & 1
+                for t in toks
+            )
+            bits.append(1 if 2 * c > n else 0)
+        val = 0
+        for di in range(16):
+            dv = sum(bits[di * 4 + bi] << bi for bi in range(4))
+            val |= dv << (4 * (15 - di))
+        return f"{val:016x}"
+
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {r["doc_id"]: r["simhash"] for r in simhash_signatures(df).collect()}
+    assert got == {i: ref(t) for i, t in texts}
+
+
 def test_word_shingles_short_docs(spark):
     df = spark.createDataFrame(
         [(0, "only"), (1, ""), (2, "two words"), (3, "a b c")], ["doc_id", "text"]
@@ -180,6 +217,29 @@ def test_lsh_recall_vs_bruteforce(spark):
     hits = sum(len(exact[v] & approx.get(v, set())) for v in exact)
     total = sum(len(exact[v]) for v in exact)
     assert hits / total >= 0.9, f"recall {hits}/{total}"
+
+
+def test_ivf_assignment_argmin_semantics(spark):
+    """The r9 argmin-projection cluster assignment must keep the old
+    crossJoin+row_number pick order: highest cosine wins, exact ties
+    fall to the LOWEST cluster id.  (Zero-norm vectors raise under the
+    session's ANSI divide — exactly as the old form did.)"""
+    from graph_spark.operators.similarity import _assign_clusters_lit
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),   # clear winner c0
+            (1, [0.0, 1.0]),   # clear winner c1
+            (3, [1.0, 1.0]),   # exactly equidistant from c0 and c1 -> tie -> cluster 0
+        ],
+        ["vec_id", "embedding"],
+    )
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in _assign_clusters_lit(df, cents, "embedding").collect()
+    }
+    assert got == {0: 0, 1: 1, 3: 0}
 
 
 def test_ivf_recall_vs_bruteforce(spark):
