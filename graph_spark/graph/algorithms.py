@@ -246,24 +246,27 @@ def _local_sssp_pdf(pdf, source: str, weight_col: str, max_iter: int):
 def _run_local(
     graph: PropertyGraph, kernel, schema: str, cols: tuple = ("src", "dst")
 ) -> DataFrame:
-    """Ship the (small) edge list to one task and run a numpy kernel.
+    """Fetch the (small) edge list with an Arrow toPandas and run the
+    numpy kernel in the driver's python process.
 
-    coalesce(1) + mapInPandas (accumulate the partition's Arrow batches,
-    run once): a narrow read of the cached edge view with NO shuffle,
-    unlike groupBy(lit).applyInPandas which writes the whole edge list
-    through a single-key shuffle first.
+    In local mode the "one executor task" of the old coalesce(1) +
+    mapInPandas form lived in the same JVM anyway, but paid a SERIAL
+    read of the cached partitions plus a JVM->python-worker->JVM double
+    boundary per call — measured 0.81 s per gate G-query at sf0.1 where
+    the parallel Arrow collect + driver kernel + createDataFrame costs
+    ~0.3 s (plans/r09, OPTIMIZATION_r09.md §3).  The size regime is the
+    same one the local route already implies: auto-routing caps at
+    LOCAL_EDGE_THRESHOLD edges, and the kernel's pandas frame existed
+    in a single python process either way — it now sits in the driver,
+    the documented TRADE of the local path (the distributed kernels
+    remain the 100 TB story).  Eager by construction, exactly like the
+    kernels themselves.
     """
-    import pandas as pd
-
-    def run(batches):
-        parts = list(batches)
-        if not parts:
-            return
-        pdf = pd.concat(parts, ignore_index=True)
-        if len(pdf):
-            yield kernel(pdf)
-
-    return graph.edges.select(*cols).coalesce(1).mapInPandas(run, schema=schema)
+    pdf = graph.edges.select(*cols).toPandas()
+    spark = graph.edges.sparkSession
+    if not len(pdf):
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(kernel(pdf), schema=schema)
 
 
 def bfs_distances(
