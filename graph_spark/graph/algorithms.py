@@ -243,30 +243,45 @@ def _local_sssp_pdf(pdf, source: str, weight_col: str, max_iter: int):
     return pd.DataFrame({"node": nodes[mask], "dist": dist[mask]})
 
 
+# Below this edge count the local kernel runs in the DRIVER python
+# process (Arrow toPandas in, createDataFrame out): r9 measured the old
+# coalesce(1)+mapInPandas form paying 0.81 s of boundary per gate
+# G-query (serial single-task read of the cached partitions + the
+# JVM->python-worker->JVM double hop) where the driver path costs
+# ~0.3 s.  ABOVE it, the executor-side mapInPandas form stays: there
+# the result itself is millions of rows, and keeping it distributed
+# (no createDataFrame re-serialization, no driver collect of 10M+ edge
+# rows) measured faster at the 5M/20M bench sizes (cc_local 12 s
+# driver-executor vs 18 s driver-side).  Every auto-routed declared
+# query sits far below this line (the graph views are ~15k edges).
+DRIVER_LOCAL_EDGE_LIMIT = 1_000_000
+
+
 def _run_local(
     graph: PropertyGraph, kernel, schema: str, cols: tuple = ("src", "dst")
 ) -> DataFrame:
-    """Fetch the (small) edge list with an Arrow toPandas and run the
-    numpy kernel in the driver's python process.
+    """Run a numpy kernel over the (small) edge list in one python
+    process: the driver below DRIVER_LOCAL_EDGE_LIMIT edges, else one
+    executor task via coalesce(1)+mapInPandas (narrow read of the
+    cached edge view, no shuffle)."""
+    if _edge_count(graph) <= DRIVER_LOCAL_EDGE_LIMIT:
+        pdf = graph.edges.select(*cols).toPandas()
+        spark = graph.edges.sparkSession
+        if not len(pdf):
+            return spark.createDataFrame([], schema)
+        return spark.createDataFrame(kernel(pdf), schema=schema)
 
-    In local mode the "one executor task" of the old coalesce(1) +
-    mapInPandas form lived in the same JVM anyway, but paid a SERIAL
-    read of the cached partitions plus a JVM->python-worker->JVM double
-    boundary per call — measured 0.81 s per gate G-query at sf0.1 where
-    the parallel Arrow collect + driver kernel + createDataFrame costs
-    ~0.3 s (plans/r09, OPTIMIZATION_r09.md §3).  The size regime is the
-    same one the local route already implies: auto-routing caps at
-    LOCAL_EDGE_THRESHOLD edges, and the kernel's pandas frame existed
-    in a single python process either way — it now sits in the driver,
-    the documented TRADE of the local path (the distributed kernels
-    remain the 100 TB story).  Eager by construction, exactly like the
-    kernels themselves.
-    """
-    pdf = graph.edges.select(*cols).toPandas()
-    spark = graph.edges.sparkSession
-    if not len(pdf):
-        return spark.createDataFrame([], schema)
-    return spark.createDataFrame(kernel(pdf), schema=schema)
+    import pandas as pd
+
+    def run(batches):
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        if len(pdf):
+            yield kernel(pdf)
+
+    return graph.edges.select(*cols).coalesce(1).mapInPandas(run, schema=schema)
 
 
 def bfs_distances(
