@@ -12,7 +12,7 @@ corpus; candidate pairs always come from a bucket/band/shingle join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -75,36 +75,16 @@ def minhash_signatures(df: DataFrame, k: int = 16, text_col: str = "text", id_co
     )
 
 
-def minhash_lsh_candidates(
-    df: DataFrame, k: int = 16, bands: int = 4, text_col: str = "text", id_col: str = "doc_id"
+def _minhash_band_hashes(
+    df: DataFrame, k: int, bands: int, text_col: str, id_col: str
 ) -> DataFrame:
-    """LSH banding: group the k signature values into `bands` bands,
-    hash each band, equi-join on (band, band_hash) to emit candidate
-    near-duplicate pairs (a < b).  This is the scale path: candidate
-    generation is a shuffle on band hashes, never a crossJoin.
-
-    `bands` must divide `k`: a remainder would silently drop the
-    trailing signature positions from every band key (changing the
-    effective k), and bands > k would build empty bands.
-
-    Band hashes are derived per-row from the signature array (the same
-    `md5(concat_ws('|', sorted ["ii:sig", ...]))` value the old
-    groupBy(id, band)+collect_list form produced, byte-identical).
-
-    Candidate pairs come from ONE groupBy on (band, band_hash) that
-    collects each bucket's (sorted) doc ids and enumerates its ordered
-    pairs in place — NOT a self-join: Spark plans a self-join's two
-    sides as two separate subtrees (no ReusedExchange fires for the
-    alias pair, verified in the r9 plans), so the 16-md5s-per-token
-    signature scan ran TWICE and paid two exchanges.  The bucket form
-    computes signatures once and shuffles once; measured at 2M docs
-    interleaved with contention controls: 60.0 -> 30.0 s, pair set
-    equal.  Per-bucket pair expansion is bounded by occupancy
-    (measured at 2M docs: max 67 -> <= C(67,2) = 2,211 pairs from one
-    row; p99 occupancy = 2), so no one task sees a quadratic blob."""
+    """(id, band, bh) band-hash rows: the k signatures grouped into
+    `bands` bands, each hashed as md5(concat_ws('|', sorted
+    ["ii:sig", ...])) — byte-identical to the value the original
+    groupBy(id, band)+collect_list form produced, derived per-row."""
     if bands < 1 or k % bands != 0:
         raise ValueError(
-            f"minhash_lsh_candidates: bands ({bands}) must divide k ({k}) "
+            f"minhash band hashing: bands ({bands}) must divide k ({k}) "
             "— a remainder silently drops trailing signature positions"
         )
     rows_per_band = k // bands
@@ -131,28 +111,118 @@ def minhash_lsh_candidates(
             )
         ),
     )
-    band_hash = arr.select(
-        id_col, F.posexplode(band_strs).alias("band", "bh")
+    return arr.select(id_col, F.posexplode(band_strs).alias("band", "bh"))
+
+
+def _cap_bucket_occupancy(
+    band_hash: DataFrame, cap: int, keys: tuple = ("band", "bh")
+) -> DataFrame:
+    """Drop every bucket (grouped by `keys`) with more than `cap`
+    members BEFORE any of it is collected, using a count window over
+    the SAME exchange the bucket aggregation needs — one extra sort,
+    zero extra shuffles, and (critically) zero re-computation of the
+    upstream signature pipeline.  A join- or aggregate-based count
+    would reference the signature subtree a second time, and Spark
+    plans each reference as its own subtree (no ReusedExchange fires,
+    even under AQE — re-verified r10: the split form measured 2.3x
+    slower because signatures ran 3x).  The window buffers one bucket
+    at a time in a spillable row array, so a degenerate bucket costs
+    disk, not an executor OOM."""
+    w = Window.partitionBy(*keys)
+    return (
+        band_hash.withColumn("__n", F.count(F.lit(1)).over(w))
+        .filter(F.col("__n") <= cap)
+        .drop("__n")
     )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """LSH banding: group the k signature values into `bands` bands,
+    hash each band, equi-join on (band, band_hash) to emit candidate
+    near-duplicate pairs (a < b).  This is the scale path: candidate
+    generation is a shuffle on band hashes, never a crossJoin.
+
+    `bands` must divide `k`: a remainder would silently drop the
+    trailing signature positions from every band key (changing the
+    effective k), and bands > k would build empty bands.
+
+    Band hashes are derived per-row from the signature array (the same
+    `md5(concat_ws('|', sorted ["ii:sig", ...]))` value the old
+    groupBy(id, band)+collect_list form produced, byte-identical).
+
+    Candidate pairs come from ONE groupBy on (band, band_hash) that
+    collects each bucket's (sorted) doc ids and enumerates its ordered
+    pairs — NOT a self-join: Spark plans a self-join's two sides as two
+    separate subtrees (no ReusedExchange fires for the alias pair,
+    verified in the r9 plans), so the 16-md5s-per-token signature scan
+    ran TWICE and paid two exchanges.  The bucket form computes
+    signatures once and shuffles once; measured at 2M docs interleaved
+    with contention controls: 60.0 -> 30.0 s, pair set equal.
+
+    Pair enumeration STREAMS (r10): each bucket row is posexploded to
+    one row per member, which emits only that member's later partners
+    — so no row ever materializes the C(n,2) pair array the r9 form
+    built in place (a 100k-member duplicate cluster would have been
+    ~5e9 structs in ONE row).  Peak per-row footprint is now O(bucket)
+    — the id list itself — and the streamed form also measures ~15-20%
+    FASTER at 400k docs (7.2 -> 5.9 s interleaved A/B): two pipelined
+    generates beat building and flattening the nested pair array.
+
+    ``max_bucket_size`` is the structural skew guard for degenerate
+    corpora (boilerplate-heavy crawls where one band hash owns millions
+    of ids): buckets with more members are DROPPED before collection
+    (the ``max_gram_freq`` pattern of :func:`ngram_span_pairs`) via a
+    count window on the same exchange — see :func:`_cap_bucket_occupancy`.
+    A dropped bucket loses its candidate pairs, so the declared
+    oracle-paired queries run uncapped (default None); audit what a cap
+    would drop with :func:`lsh_bucket_occupancy`.  Near-dup clusters
+    far above any sane cap are better served by exact_dedup_groups
+    first (verbatim duplicates share ALL bands by construction)."""
+    band_hash = _minhash_band_hashes(df, k, bands, text_col, id_col)
+    if max_bucket_size is not None:
+        band_hash = _cap_bucket_occupancy(band_hash, max_bucket_size)
     buckets = band_hash.groupBy("band", "bh").agg(
         F.array_sort(F.collect_list(id_col)).alias("ids")
     )
-    # ordered pairs within the sorted bucket == the a < b join output
-    pairs = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
+    # ordered pairs within the sorted bucket == the a < b join output;
+    # streamed: one generated row per member, pairing only with LATER
+    # members, so no row holds the whole C(n,2) pair set
     return (
         buckets.filter(F.size("ids") >= 2)
-        .select(F.explode(pairs).alias("p"))
-        .filter(F.col("p.a") != F.col("p.b"))  # duplicate input ids guard (join used strict <)
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .select("ids", F.posexplode("ids").alias("__i", "a"))
+        .select(
+            "a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("__i") + 2, F.size("ids"))
+            ).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))  # duplicate input ids guard (join used strict <)
         .distinct()
+    )
+
+
+def lsh_bucket_occupancy(
+    df: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Audit companion to :func:`minhash_lsh_candidates`: per-bucket
+    occupancy (band, bh, n_ids) so a caller can size — and count the
+    casualties of — ``max_bucket_size`` before capping a production
+    corpus (``occ.filter(n_ids > cap)`` is exactly the dropped set)."""
+    return (
+        _minhash_band_hashes(df, k, bands, text_col, id_col)
+        .groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("n_ids"))
     )
 
 
@@ -318,6 +388,7 @@ def simhash_hamming_pairs(
     n_bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup candidate pairs within `max_distance` hamming bits.
 
@@ -334,6 +405,13 @@ def simhash_hamming_pairs(
     distance d, some band is untouched only when d < n_bands) and
     n_bands dividing the 16 hex digits — both validated, because a
     violation is a silent recall hole, not an error.
+
+    ``max_bucket_size`` is the same structural skew guard as
+    :func:`minhash_lsh_candidates` (buckets above the cap DROPPED
+    before collection via a count window on the same exchange —
+    declared oracle-paired queries run uncapped), and pair enumeration
+    streams the same way: no row ever materializes a bucket's full
+    C(n,2) pair set.
     """
     if 16 % n_bands != 0:
         raise ValueError(
@@ -358,36 +436,31 @@ def simhash_hamming_pairs(
     )
     # same bucket-collect pair enumeration as minhash_lsh_candidates
     # (a self-join would recompute the 4-shuffle signature pipeline for
-    # both sides — no ReusedExchange fires for an alias self-join)
+    # both sides — no ReusedExchange fires for an alias self-join);
+    # streamed per-member like minhash (no in-row C(n,2) pair array)
+    if max_bucket_size is not None:
+        bands = _cap_bucket_occupancy(bands, max_bucket_size, keys=("band", "bk"))
     buckets = bands.groupBy("band", "bk").agg(
         F.array_sort(F.collect_list(F.struct(F.col(id_col).alias("i"), "simhash"))).alias(
             "ms"
         )
     )
-    pairs = F.flatten(
-        F.transform(
-            F.col("ms"),
-            lambda x, ix: F.transform(
-                F.slice(F.col("ms"), ix + 2, F.size(F.col("ms"))),
-                lambda y: F.struct(
-                    x.getField("i").alias("i"),
-                    y.getField("i").alias("j"),
-                    x.getField("simhash").alias("sa"),
-                    y.getField("simhash").alias("sb"),
-                ),
-            ),
-        )
-    )
     cand = (
         buckets.filter(F.size("ms") >= 2)
-        .select(F.explode(pairs).alias("p"))
-        .filter(F.col("p.i") != F.col("p.j"))
+        .select("ms", F.posexplode("ms").alias("__i", "x"))
         .select(
-            F.col("p.i").alias("i"),
-            F.col("p.j").alias("j"),
-            F.col("p.sa").alias("sa"),
-            F.col("p.sb").alias("sb"),
+            "x",
+            F.explode(
+                F.slice(F.col("ms"), F.col("__i") + 2, F.size("ms"))
+            ).alias("y"),
         )
+        .select(
+            F.col("x.i").alias("i"),
+            F.col("y.i").alias("j"),
+            F.col("x.simhash").alias("sa"),
+            F.col("y.simhash").alias("sb"),
+        )
+        .filter(F.col("i") != F.col("j"))
         .distinct()
     )
     dig = cand.select(

@@ -136,6 +136,50 @@ def test_minhash_lsh_candidates_catch_duplicates(spark):
     assert (0, 2) not in cands and (1, 2) not in cands
 
 
+def test_lsh_bucket_cap_degenerate_corpus(spark):
+    """Structural skew guard (r9 verdict item 2): a degenerate corpus
+    with one hot bucket (60 verbatim-duplicate docs share EVERY band)
+    must (a) return the exact uncapped pair set when the cap clears the
+    occupancy, (b) drop only the hot bucket's pairs when capped below
+    it — the normal near-dup pair survives — and (c) be auditable via
+    lsh_bucket_occupancy.  Enumeration itself streams (one generated
+    row per bucket member), so no row ever holds a bucket's C(n,2)
+    pair array regardless of the cap."""
+    from graph_spark.operators.dedup import lsh_bucket_occupancy
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(60)]
+    rows += [
+        (100, "totally different text about columnar parquet files and engines"),
+        (101, "totally different text about columnar parquet files and engines"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {(r["a"], r["b"]) for r in minhash_lsh_candidates(df, k=16, bands=8).collect()}
+    assert len(uncapped) == 60 * 59 // 2 + 1  # hot-cluster pairs + the planted pair
+    # cap above occupancy: pair set byte-identical
+    same = {
+        (r["a"], r["b"])
+        for r in minhash_lsh_candidates(df, k=16, bands=8, max_bucket_size=64).collect()
+    }
+    assert same == uncapped
+    # cap below the hot bucket: exactly its pairs drop, nothing else
+    capped = {
+        (r["a"], r["b"])
+        for r in minhash_lsh_candidates(df, k=16, bands=8, max_bucket_size=10).collect()
+    }
+    assert capped == {(100, 101)}
+    # the audit frame names what a cap of 10 would drop
+    hot = lsh_bucket_occupancy(df, k=16, bands=8).filter(F.col("n_ids") > 10).collect()
+    assert hot and all(r["n_ids"] == 60 for r in hot)
+    # simhash shares the guard: identical docs collapse to one signature
+    from graph_spark.operators.dedup import simhash_hamming_pairs
+
+    sim_capped = {
+        (r["i"], r["j"])
+        for r in simhash_hamming_pairs(df, max_distance=0, max_bucket_size=10).collect()
+    }
+    assert sim_capped == {(100, 101)}
+
+
 def test_simhash_similar_docs_closer(spark):
     texts = [
         (0, "alpha beta gamma delta epsilon zeta eta theta"),
