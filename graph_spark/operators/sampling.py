@@ -3,11 +3,12 @@
 Replaces the V² shape (distinct-src × distinct-dst crossJoin, then a
 hash prefilter) with an O(|src|·m) candidate pool: every dst gets a
 GLOBAL md5 rank (computed scalably — row_number within a hash bucket
-plus broadcast cumulative bucket offsets, so no single-partition global
-sort over |dst|), every src emits m deterministic probes
-md5(src‖i) % n_dst, and probes equi-join dst ranks.  Candidates that
-turn out to be real edges are anti-joined away; the survivors are
-ranked per src by md5(src‖dst) and the top k kept.
+plus cumulative bucket offsets compiled from one scalar aggregate, so
+no single-partition global sort over |dst|), every src emits m
+deterministic probes md5(src‖i) % n_dst deduped in-row, and probes
+equi-join dst ranks.  Candidates that turn out to be real edges are
+anti-joined away; the survivors are ranked per src by md5(src‖dst)
+and the top k kept.
 
 Everything is md5-driven (the l18/l77 reproducibility idiom): no RNG,
 no layout sensitivity, integer carriers only.  Candidate volume is
@@ -37,12 +38,25 @@ def bounded_negative_samples(
     (src, neg, neg_rank, hv).  ``m`` probes per src bounds the pool
     (choose m comfortably above k: probes that collide or hit real
     edges are dropped, so some srcs may yield fewer than k rows —
-    identically in any engine).  One driver-side scalar (count of
-    distinct dst) parameterizes the probe modulus.
+    identically in any engine).  One driver-side scalar action (the
+    per-bucket distinct-dst counts, `buckets` longs) parameterizes
+    both the probe modulus and the global-rank offsets.
     """
     srcs = edges.select("src").distinct()
     dsts = edges.select("dst").distinct()
-    n_dst = dsts.count()  # scalar aggregate — the only driver-side action
+    db = dsts.select(
+        "dst", _md5_long(F.col("dst").cast("string")).alias("hd")
+    ).withColumn("b", F.col("hd") % buckets)
+    # ONE scalar action yields both the probe modulus (n_dst) and the
+    # per-bucket cumulative offsets (`buckets` longs of driver state —
+    # the same scalar-parameter pattern as n_dst itself).  The r9 form
+    # derived the offsets from a second lazy aggregate over `db`, which
+    # Spark plans as its own subtree: the |dst| distinct ran twice.
+    bucket_counts = {
+        r["b"]: r["c"]
+        for r in db.groupBy("b").agg(F.count("*").alias("c")).collect()
+    }
+    n_dst = sum(bucket_counts.values())
     if n_dst == 0:
         # empty-input schema derived from the edge schema so src/neg
         # types agree with the non-empty path (r4 ADVICE: a hardcoded
@@ -61,37 +75,42 @@ def bounded_negative_samples(
         return edges.sparkSession.createDataFrame([], schema)
 
     # Global md5 rank of each dst WITHOUT a global sort: rank within
-    # hash bucket + broadcast cumulative offsets over `buckets` rows.
-    db = dsts.select(
-        "dst", _md5_long(F.col("dst").cast("string")).alias("hd")
-    ).withColumn("b", F.col("hd") % buckets)
+    # hash bucket + cumulative bucket offsets (compiled as an array
+    # literal from the scalar action above — no offset join needed).
     ranked = db.withColumn(
         "rb", F.row_number().over(Window.partitionBy("b").orderBy("hd", "dst"))
     )
-    off = (
-        db.groupBy("b")
-        .agg(F.count("*").alias("c"))
-        .withColumn(
-            "off",
-            F.coalesce(
-                F.sum("c").over(
-                    Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("b", "off")
+    offs, acc = [], 0
+    for bkt in range(buckets):
+        offs.append(acc)
+        acc += bucket_counts.get(bkt, 0)
+    off_expr = F.element_at(
+        F.array(*[F.lit(o) for o in offs]), F.col("b").cast("int") + 1
     )
-    grank = ranked.join(F.broadcast(off), "b").select(
-        "dst", (F.col("off") + F.col("rb")).cast("long").alias("grank")
+    grank = ranked.select(
+        "dst", (off_expr + F.col("rb")).cast("long").alias("grank")
     )
 
     # m probes per src: md5(src‖'#'‖i) % n_dst → dst-rank equi-join.
-    hp = _md5_long(F.concat_ws("#", F.col("src"), F.col("i")))
+    # Colliding probes of one src are deduped IN-ROW (array_distinct on
+    # the per-src probe array) — grank is a bijection onto dst, so
+    # distinct (src, grank) == distinct (src, dst), and the old
+    # post-join .distinct() exchanged the full |src|·m candidate set a
+    # second time just to drop those few in-row collisions (the
+    # dominant cost at the 1M-src bench: r9 verdict item 3).
+    hp = lambda i: _md5_long(F.concat_ws("#", F.col("src"), i))  # noqa: E731
     probes = srcs.select(
-        "src", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("i")
-    ).select("src", ((hp % F.lit(n_dst)) + 1).alias("grank"))
-    cand = probes.join(grank, "grank").select("src", "dst").distinct()
+        "src",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda i: (hp(i) % F.lit(n_dst)) + 1,
+                )
+            )
+        ).alias("grank"),
+    )
+    cand = probes.join(grank, "grank").select("src", "dst")
 
     neg = cand.join(edges, ["src", "dst"], "left_anti")
     hv = _md5_long(F.concat_ws("|", "src", "dst"))
