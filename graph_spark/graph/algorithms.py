@@ -256,15 +256,39 @@ def _local_sssp_pdf(pdf, source: str, weight_col: str, max_iter: int):
 # query sits far below this line (the graph views are ~15k edges).
 DRIVER_LOCAL_EDGE_LIMIT = 1_000_000
 
+# Byte budget for the driver-side toPandas route, kept comfortably
+# under spark.driver.maxResultSize's 1g DEFAULT (the repo session no
+# longer overrides it): the edge count alone is a weak proxy when node
+# ids are strings, so the route is taken only when
+# rows x estimated-row-width also fits this budget.
+DRIVER_LOCAL_BYTES_LIMIT = 256 * 1024 * 1024
+
+# conservative per-column byte estimates for the route decision
+_COL_WIDTH_DEFAULT = 16
+_COL_WIDTHS = {"bigint": 8, "int": 4, "double": 8, "float": 4, "string": 64}
+
 
 def _run_local(
     graph: PropertyGraph, kernel, schema: str, cols: tuple = ("src", "dst")
 ) -> DataFrame:
     """Run a numpy kernel over the (small) edge list in one python
-    process: the driver below DRIVER_LOCAL_EDGE_LIMIT edges, else one
-    executor task via coalesce(1)+mapInPandas (narrow read of the
-    cached edge view, no shuffle)."""
-    if _edge_count(graph) <= DRIVER_LOCAL_EDGE_LIMIT:
+    process: the driver below DRIVER_LOCAL_EDGE_LIMIT edges AND
+    DRIVER_LOCAL_BYTES_LIMIT estimated bytes, else one executor task
+    via coalesce(1)+mapInPandas (narrow read of the cached edge view,
+    no shuffle).
+
+    NOTE the driver route is EAGER AT BUILD TIME: constructing the
+    returned DataFrame executes the kernel via toPandas and yields a
+    LocalRelation snapshot (plans collapse accordingly; errors and
+    cost surface at build, and the result does not reflect later
+    changes to a mutable edge frame).  Harmless for the immutable
+    parquet-backed views every declared query uses."""
+    n_edges = _edge_count(graph)
+    dtypes = dict(graph.edges.dtypes)
+    est_bytes = n_edges * sum(
+        _COL_WIDTHS.get(dtypes.get(c, ""), _COL_WIDTH_DEFAULT) for c in cols
+    )
+    if n_edges <= DRIVER_LOCAL_EDGE_LIMIT and est_bytes <= DRIVER_LOCAL_BYTES_LIMIT:
         pdf = graph.edges.select(*cols).toPandas()
         spark = graph.edges.sparkSession
         if not len(pdf):

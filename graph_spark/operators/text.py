@@ -148,19 +148,23 @@ def unigram_surprisal(
     boilerplate, high = rare-token noise.
 
     One explode + one term-frequency aggregate + one equi-join back.
-    The corpus grand total is collected as a scalar (an aggregate, not
-    data).  At scale the tf table is the reusable artifact: compute it
-    once over the corpus, broadcast-join it per shard.
+    The corpus grand total rides as a broadcast 1-row scalar (the same
+    CALL-idiom append the r9 tf-idf fix used), NOT a driver-side
+    count() action: the old form ran an extra eager job re-evaluating
+    the tokenize pipeline on every call (r9 verdict item 4).  At scale
+    the tf table is the reusable artifact: compute it once over the
+    corpus, broadcast-join it per shard.
     """
     tok = df.select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("term")
     ).filter(F.col("term") != "")
     tf = tok.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    total = tok.count()
+    tot = tok.agg(F.count(F.lit(1)).cast("double").alias("__tot"))
     return (
         tok.join(tf, "term")
+        .crossJoin(F.broadcast(tot))
         .groupBy(id_col)
-        .agg(F.avg(-F.log(F.col("c") * 1.0 / F.lit(total))).alias("surprisal"))
+        .agg(F.avg(-F.log(F.col("c") * 1.0 / F.col("__tot"))).alias("surprisal"))
     )
 
 

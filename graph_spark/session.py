@@ -105,13 +105,12 @@ def get_spark(app_name: str = "graph-spark") -> SparkSession:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        # local graph kernels fetch the edge list via Arrow toPandas
-        # (graph/algorithms._run_local); the XL bench exercises them at
-        # 20M edges explicitly (local=True), past the 1g default.
-        # Driver-supplied sessions keep their own setting — safe there
-        # because auto-routing caps local kernels at
-        # LOCAL_EDGE_THRESHOLD (5M edges, ~200 MB arrow), under 1g.
-        .config("spark.driver.maxResultSize", "8g")
+        # spark.driver.maxResultSize stays at its 1g default: the only
+        # bulk driver fetch is graph/algorithms._run_local's toPandas,
+        # which routes through the driver ONLY under a bytes-estimate
+        # guard (DRIVER_LOCAL_BYTES_LIMIT, 256 MB) — everything larger
+        # runs executor-side via mapInPandas, including the XL bench's
+        # explicit local=True kernels at 20M edges.
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
     )
