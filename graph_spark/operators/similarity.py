@@ -208,6 +208,46 @@ def ivf_centroids(
     return spark.createDataFrame(cents, "cluster INT, centroid ARRAY<DOUBLE>")
 
 
+# Literal budget for the compiled argmin assignment: k x dim F.lit()
+# doubles per projection.  Past a few thousand terms the py4j
+# per-operator construction cost and janino's 64KB method limit make
+# the compiled form pathological (r9 measured 15.4 s of plan BUILD plus
+# a codegen failure at ~1,536 literal terms in the flat-expansion
+# experiment), while CENTROID_STATE_LIMIT alone would admit ~2M terms.
+# Above this budget assignment falls back to the broadcast crossJoin
+# form (identical pick semantics, pinned by
+# test_ivf_assignment_join_fallback_parity).
+LIT_ASSIGN_TERM_LIMIT = 10_000
+
+
+def _assign_clusters_join(df: DataFrame, cents: list, vec_col: str) -> DataFrame:
+    """Broadcast crossJoin nearest-centroid assignment — the fallback
+    when the centroid table is too large to compile into literals.
+    Pick order identical to :func:`_assign_clusters_lit`: minimal
+    (coalesce(-sim, +inf), cluster), i.e. highest sim wins, ties and
+    the all-null case fall to the lowest cluster id.  Each row keeps
+    its identity via a synthetic row id (the id's VALUE never affects
+    the picked cluster, so layout-dependence of
+    monotonically_increasing_id cannot leak into results)."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    cdf = F.broadcast(
+        spark.createDataFrame(sorted(cents), "cluster INT, centroid ARRAY<DOUBLE>")
+    )
+    v = with_norm(df, vec_col).withColumn("__rid", F.monotonically_increasing_id())
+    cn = F.sqrt(F.aggregate(F.col("centroid"), F.lit(0.0), lambda a, x: a + x * x))
+    sim = _dot(F.col(vec_col), F.col("centroid")) / (F.col("__norm") * cn)
+    w = Window.partitionBy("__rid").orderBy("__p", "cluster")
+    return (
+        v.crossJoin(cdf)
+        .withColumn("__p", F.coalesce(-sim, F.lit(float("inf"))))
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .drop("__p", "__r", "__rid", "__norm", "centroid")
+    )
+
+
 def _assign_clusters_lit(df: DataFrame, cents: list, vec_col: str) -> DataFrame:
     """Nearest-centroid assignment by cosine with the centroid table
     compiled into ONE argmin projection: array_min over k
@@ -224,6 +264,8 @@ def _assign_clusters_lit(df: DataFrame, cents: list, vec_col: str) -> DataFrame:
         # empty centroid table (empty corpus): the old crossJoin form
         # produced zero rows — keep that, with the cluster column typed
         return df.filter(F.lit(False)).withColumn("cluster", F.lit(0))
+    if len(cents) * len(cents[0][1]) > LIT_ASSIGN_TERM_LIMIT:
+        return _assign_clusters_join(df, cents, vec_col)
     inf = float("inf")
     cands = []
     for cl, cvec in sorted(cents):

@@ -160,7 +160,13 @@ class TemporalPropertyStore:
         commit order, previously partition-layout-arbitrary — now
         resolve deterministically to the larger value (nulls-first
         struct ordering), which no oracle-matched query can have
-        depended on."""
+        depended on.
+
+        Requires `value` to be an ORDERABLE Spark type (the struct
+        comparator inspects it on seq ties); a map-typed value column
+        would fail at analysis where the old row_number form did not —
+        acceptable because the store's write path only ever mints
+        atomic value columns."""
         return (
             self._prop(prop)
             .groupBy("entity_id", "prop", "ts")

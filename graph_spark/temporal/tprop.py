@@ -176,7 +176,10 @@ def align(
     resolves them last-write-wins inside the SAME aggregation
     (max(struct(seq, wrapped value)) per prop), which is how the
     store's align path avoids a whole separate dedup pass+exchange
-    over the log.  Cost: one partial-aggregated shuffle on
+    over the log.  The ``seq_col`` path requires ``value_col`` to be an
+    ORDERABLE Spark type (the struct comparator inspects the value on
+    seq ties) — map-typed values fail at analysis; disambiguate those
+    upstream instead.  Cost: one partial-aggregated shuffle on
     (entity, ts) + one window shuffle on entity — at 100 TB both run
     within time-bucket partitions with the standard bucket-edge stitch
     (carry each prop's last value across the bucket boundary).

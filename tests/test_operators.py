@@ -286,6 +286,44 @@ def test_ivf_assignment_argmin_semantics(spark):
     assert got == {0: 0, 1: 1, 3: 0}
 
 
+def test_ivf_assignment_join_fallback_parity(spark):
+    """Above LIT_ASSIGN_TERM_LIMIT (k x dim literal doubles) assignment
+    falls back to the broadcast crossJoin form — r10 guard against the
+    measured py4j/janino pathology of huge literal trees.  The fallback
+    must pick identically to the compiled argmin (highest sim, ties and
+    all-null to the lowest cluster id), including on duplicate rows."""
+    import graph_spark.operators.similarity as sim
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (3, [1.0, 1.0]),   # exact tie -> cluster 0
+            (3, [1.0, 1.0]),   # duplicate row must survive both forms
+        ],
+        ["vec_id", "embedding"],
+    )
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    lit_rows = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in sim._assign_clusters_lit(df, cents, "embedding").collect()
+    )
+    join_rows = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in sim._assign_clusters_join(df, cents, "embedding").collect()
+    )
+    assert join_rows == lit_rows == [(0, 0), (1, 1), (3, 0), (3, 0)]
+    # the routing threshold actually engages the fallback
+    big_dim = sim.LIT_ASSIGN_TERM_LIMIT + 1
+    assert len(cents) * 2 <= sim.LIT_ASSIGN_TERM_LIMIT  # small case stays lit
+    routed = sim._assign_clusters_lit(
+        spark.createDataFrame([(0, [1.0] * big_dim)], ["vec_id", "embedding"]),
+        [(0, [1.0] * big_dim)],
+        "embedding",
+    )
+    assert [r["cluster"] for r in routed.collect()] == [0]
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     """IVF ANN recall at nprobe=10/16 cells must beat 90% of exact
     top-5 (sweep measured 0.96 on this fixture)."""
