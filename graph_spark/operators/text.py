@@ -324,41 +324,49 @@ def lcs_window_chain(eqt: DataFrame, la: int) -> DataFrame:
     lattice must be COMPLETE — every (i, j) in 1..la x 1..lb present
     once per pair — which both callers guarantee by construction).
 
-    r9 shape: the lattice is first pivoted to ONE row per (pair, j)
-    carrying eq(1..la) as an array, so every DP stage is a pair of
-    window expressions over the SAME (pair, j) sort — after the single
-    window exchange, Spark stacks all ``2*la`` Window operators on one
-    sorted layout with no further exchange and no joins.  The old form
-    re-joined (and therefore RE-COMPUTED) the caller's eqt pipeline
-    once per stage: 12 joins, 274 Exchange nodes in l123's physical
-    plan, 12 evaluations of the upstream lattice build (plan diff in
-    plans/r09/l123_rouge_l_{before,after}.txt; bench numbers in
-    OPTIMIZATION_r09.md).
+    r9 shape: the lattice is first pivoted to ONE row per (pair, j),
+    so every DP stage is a pair of window expressions over the SAME
+    (pair, j) sort — after the single window exchange, Spark stacks all
+    ``2*la`` Window operators on one sorted layout with no further
+    exchange and no joins.  The old form re-joined (and therefore
+    RE-COMPUTED) the caller's eqt pipeline once per stage: 12 joins,
+    274 Exchange nodes in l123's physical plan, 12 evaluations of the
+    upstream lattice build (plan diff in
+    plans/r09/l123_rouge_l_{before,after}.txt).
+
+    r10 shape: the pivot collects only the MATCHED candidate positions
+    per (pair, j) — ``collect_list(when(eq = 1, i))`` drops the nulls —
+    instead of an la-element (i, eq) struct array, and each DP stage
+    reads ``eq(i, j)`` back as an array_contains membership test.  The
+    eq lattice is overwhelmingly sparse (a position matches at most a
+    few reference tokens), so the pivot's shuffle ships the match list,
+    not the lattice: at the 400k-pair bench shape that is ~2.4M ints in
+    place of 115M structs (~50x fewer aggregate bytes), the dominant
+    cost of the r9 form (pivot noop 19.5 s of the 31 s total —
+    decomposition in OPTIMIZATION_r10.md).  `eq` must be 0/1 (both
+    callers construct it as a match literal; the docstring contract).
     """
     wpj = Window.partitionBy("pair").orderBy("j")
     lat = eqt.groupBy("pair", "j").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("i", "eq"))),
-            lambda s: s.getField("eq"),
-        ).alias("__eqs")
+        F.collect_list(F.when(F.col("eq") == 1, F.col("i"))).alias("__mi")
     )
 
     def eq_at(i: int):
-        return F.element_at(F.col("__eqs"), i)
+        return F.when(F.array_contains("__mi", F.lit(i)), 1).otherwise(0)
 
-    c = lat.select("pair", "j", "__eqs", F.max(eq_at(1)).over(wpj).alias("c"))
+    c = lat.select("pair", "j", "__mi", F.max(eq_at(1)).over(wpj).alias("c"))
     for i in range(2, la + 1):
         step = c.select(
             "pair",
             "j",
-            "__eqs",
+            "__mi",
             "c",
             (F.coalesce(F.lag("c").over(wpj), F.lit(0)) + eq_at(i)).alias("term"),
         )
         c = step.select(
             "pair",
             "j",
-            "__eqs",
+            "__mi",
             F.greatest(F.col("c"), F.max("term").over(wpj)).alias("c"),
         )
     return c.select("pair", "j", "c")
