@@ -8,6 +8,8 @@ driver pre-registers only base tables.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -18,6 +20,24 @@ from ..operators.recsys import item_item_cooccurrence
 from .common import GRAPH_CTES, Query
 
 _G: list[Query] = []
+
+_CTE_HEAD = re.compile(r"(\b[A-Za-z_][A-Za-z0-9_]*\s+AS)\s*\(")
+
+
+def _mat(sql: str) -> str:
+    """Mark every CTE of a (non-recursive) oracle AS MATERIALIZED.
+
+    DuckDB 1.0 INLINES plain CTEs: in the round-chained simulation
+    oracles (Luby MIS, matching/vertex cover, Louvain, power
+    iteration, cascades) each round's CTE references the previous
+    round's several times, so inlining re-evaluates the chain
+    EXPONENTIALLY — g102's 3-round MIS oracle measured 68 s at sf0.01
+    vs 0.1 s materialized, g50 71 s vs 0.2 s, results byte-identical
+    (verified per query before adoption, r10).  Results are unaffected
+    by materialization; only evaluation count changes.  NEVER apply to
+    WITH RECURSIVE queries (the keyword is rejected there)."""
+    assert "RECURSIVE" not in sql.upper()
+    return _CTE_HEAD.sub(r"\1 MATERIALIZED (", sql)
 
 
 def _g(name: str, oracle: str | None, note: str = ""):
@@ -1415,7 +1435,7 @@ SELECT (SELECT count(*) FROM (SELECT * FROM m1 UNION ALL
 
 @_g(
     "g40_maximal_matching",
-    _matching_oracle(),
+    _mat(_matching_oracle()),
     note="greedy maximal weighted matching by synchronous propose-"
     "accept rounds (the Pregel matching pattern; deterministic via "
     "weight DESC + node-id tie-breaks) on the customer-supplier sales "
@@ -1822,7 +1842,7 @@ ORDER BY abs(round(round(b.r, 8) - round(a.r, 8), 8)) DESC, a.node LIMIT 20"""
 
 @_g(
     "g47_pagerank_delta",
-    _rank_delta_oracle(),
+    _mat(_rank_delta_oracle()),
     note="temporal rank migration: PageRank on the graph as it stood "
     "at t (edges born by first_ts) vs PageRank now, top movers by "
     "|delta| — the influence-shift read a temporal graph store "
@@ -1940,7 +1960,7 @@ def g49(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_g(
     "g50_vertex_cover",
-    _vertex_cover_oracle(),
+    _mat(_vertex_cover_oracle()),
     note="2-approximation vertex cover from g40's propose-accept "
     "matching: both endpoints of every matched edge enter the cover — "
     "the classical distributed approximation, plus an honest residual "
@@ -2678,7 +2698,7 @@ pk{i} AS (SELECT node FROM pk{i - 1} UNION ALL SELECT node FROM p{i})"""
 
 @_g(
     "g61_degree_discount",
-    _degree_discount_oracle(5),
+    _mat(_degree_discount_oracle(5)),
     note="influence-maximization seed selection by greedy degree "
     "discount: pick the highest-degree node, discount every "
     "neighbor's degree by its picked-neighbor count, repeat (5 "
@@ -3813,7 +3833,7 @@ GROUP BY 1 ORDER BY 1"""
 
 @_g(
     "g76_louvain_rounds",
-    _louvain_oracle(),
+    _mat(_louvain_oracle()),
     note="community detection beyond label propagation: 3 synchronous "
     "Louvain local-moving rounds where every node simultaneously "
     "moves to the neighbor community with the best modularity gain.  "
@@ -4195,7 +4215,7 @@ x{i} AS (SELECT node, raw / m.m AS x FROM r{i} CROSS JOIN m{i} m)"""
 
 @_g(
     "g81_eigenvector",
-    _eigenvector_oracle(),
+    _mat(_eigenvector_oracle()),
     note="eigenvector centrality by power iteration (6 rounds, "
     "max-normalized): x <- A^T x / max(A^T x) — a node matters when "
     "its neighbors matter, WITHOUT PageRank's out-degree split or "
@@ -4235,7 +4255,8 @@ def g81(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_g(
     "g82_conductance",
-    _louvain_oracle(rounds=3).replace(
+    _mat(
+        _louvain_oracle(rounds=3).replace(
         """ein AS (SELECT a.comm, count(*) AS ih
        FROM graph_edges_sym e
        JOIN c3 a ON a.node = e.src
@@ -4261,7 +4282,7 @@ SELECT v.comm AS community, CAST(v.vol AS BIGINT) AS volume,
 FROM vol v LEFT JOIN cut ON cut.comm = v.comm CROSS JOIN m2
 WHERE least(v.vol, m2.m2 - v.vol) > 0
 ORDER BY 1""",
-    ),
+    )),
     note="per-community conductance of the g76 Louvain partition: "
     "phi(C) = cut(C) / min(vol(C), 2m - vol(C)) — the community-"
     "quality certificate (low conductance = few escape edges "
@@ -5290,7 +5311,7 @@ act{i} AS (SELECT * FROM act{i - 1} UNION ALL SELECT * FROM new{i})"""
 
 @_g(
     "g101_threshold_cascade",
-    _cascade_oracle(),
+    _mat(_cascade_oracle()),
     note="linear-threshold influence cascade (Granovetter/Kempe) on the "
     "sym graph, 4 synchronous rounds: seeds are the deterministic "
     "md5-first-hex-digit='0' 1/16 slice of nodes; an inactive node "
@@ -5349,7 +5370,7 @@ FROM graph_nodes n ORDER BY 1"""
 
 @_g(
     "g102_luby_mis",
-    _mis_oracle(),
+    _mat(_mis_oracle()),
     note="Luby-style maximal-independent-set rounds on the sym graph "
     "with a FIXED deterministic priority p(v) = md5(v): per round, an "
     "undecided node joins the MIS when its priority beats every "
@@ -6112,6 +6133,12 @@ def g111(spark: SparkSession, sf_dir: str) -> DataFrame:
 def g112(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = Catalog(spark, sf_dir)
     e = c.graph_edges().select("src", "dst").localCheckpoint(eager=True)
+    # checkpointed: r is referenced three times (a, cpart, keep) and
+    # Spark re-plans each reference as its own subtree, re-running the
+    # global ranking window per reference (r10: ~1 s off this builder
+    # together with the `valid` checkpoint; the remaining wall is the
+    # butterfly wedge joins themselves, run once per side.  Rows
+    # identical — materialization only)
     r = e.select(
         "src",
         "dst",
@@ -6122,7 +6149,7 @@ def g112(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .alias("rn"),
-    )
+    ).localCheckpoint(eager=True)
     a = r.filter(F.col("rn") % 2 == 1).select(
         F.col("src").alias("a_s"), F.col("dst").alias("a_d"), "rn"
     )
@@ -6146,7 +6173,7 @@ def g112(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["c_s", "a_d"],
             "left_anti",
         )
-    )
+    ).localCheckpoint(eager=True)  # prop unions it twice, then dupc/comm/fin re-reference prop
     prop = valid.select("pid", F.col("a_s").alias("src"), F.col("c_d").alias("dst")).unionAll(
         valid.select("pid", F.col("c_s").alias("src"), F.col("a_d").alias("dst"))
     )

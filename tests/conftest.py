@@ -89,33 +89,51 @@ def normalize(columns, rows):
 
 
 def compare_query(spark, duck_connect, query, sf_dir: str):
-    """Run the Spark builder and the DuckDB oracle, return (ok, detail)."""
-    sdf = query.build(spark, sf_dir)
+    """Run the Spark builder and the DuckDB oracle, return (ok, detail).
+
+    The oracle runs in a worker thread WHILE Spark collects (guide
+    §2.6 overlap: both engines release the GIL during execution and
+    share nothing), so each pair costs max(spark, duckdb) wall instead
+    of their sum — ~0.3-0.5 s saved per pair across the 550+ declared
+    tests, and the whole DuckDB side of the slow recursive oracles
+    (g102: 62 s) hides behind nothing but itself."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run_oracle():
+        con = duck_connect(sf_dir)
+        try:
+            cur = con.execute(query.oracle)
+            return [d[0] for d in cur.description], [tuple(r) for r in cur.fetchall()]
+        finally:
+            con.close()
+
+    oracle_fut = None
+    pool = ThreadPoolExecutor(max_workers=1)
+    if query.oracle is not None:
+        oracle_fut = pool.submit(run_oracle)
+    try:
+        sdf = query.build(spark, sf_dir)
     # Driver canonicalization protocol (VERDICT r07): declared outputs
     # must be atomic-only — the driver's pandas canonicalizer hashes
     # ','-joined scalar cells, so an Array/Map/Struct column breaks it
     # (the g137 r7 driver-red).  Enforced on EVERY declared query here,
     # where every registry entry flows.
-    from pyspark.sql.types import ArrayType, MapType, StructType
+        from pyspark.sql.types import ArrayType, MapType, StructType
 
-    for f in sdf.schema.fields:
-        if isinstance(f.dataType, (ArrayType, MapType, StructType)):
-            return False, (
-                f"declared-output protocol violation: column {f.name!r} "
-                f"is {f.dataType.simpleString()} — render as a joined "
-                "string (array_join/concat_ws) in both engines"
-            )
-    srows = [tuple(r) for r in sdf.collect()]
-    scols = sdf.columns
-    if query.oracle is None:
-        return True, f"rows-only: {len(srows)} rows"
-    con = duck_connect(sf_dir)
-    try:
-        cur = con.execute(query.oracle)
-        ocols = [d[0] for d in cur.description]
-        orows = [tuple(r) for r in cur.fetchall()]
+        for f in sdf.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                return False, (
+                    f"declared-output protocol violation: column {f.name!r} "
+                    f"is {f.dataType.simpleString()} — render as a joined "
+                    "string (array_join/concat_ws) in both engines"
+                )
+        srows = [tuple(r) for r in sdf.collect()]
+        scols = sdf.columns
+        if oracle_fut is None:
+            return True, f"rows-only: {len(srows)} rows"
+        ocols, orows = oracle_fut.result()
     finally:
-        con.close()
+        pool.shutdown(wait=True)
     sc, sn = normalize(scols, srows)
     oc, on = normalize(ocols, orows)
     if sc != oc:

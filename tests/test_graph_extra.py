@@ -54,7 +54,14 @@ def test_weighted_shortest_paths_vs_dijkstra(spark, seed):
         assert abs(got[k] - want[k]) < 1e-9, k
 
 
-@pytest.mark.parametrize("seed,delta", [(13, 3.0), (51, 1.0), (51, 25.0)])
+@pytest.mark.parametrize(
+    "seed,delta",
+    [
+        (13, 3.0),
+        pytest.param(51, 1.0, marks=pytest.mark.nightly),
+        pytest.param(51, 25.0, marks=pytest.mark.nightly),
+    ],
+)
 def test_delta_stepping_matches_dijkstra(spark, seed, delta):
     """Delta-stepping must equal the Dijkstra reference exactly for any
     bucket width: delta=1 degenerates toward Dijkstra (every edge
@@ -210,7 +217,10 @@ def test_scc_matches_tarjan(spark, seed):
     assert got == want
 
 
-@pytest.mark.parametrize("seed", [5, 42, 99])
+@pytest.mark.parametrize(
+    "seed",
+    [42, pytest.param(5, marks=pytest.mark.nightly), pytest.param(99, marks=pytest.mark.nightly)],
+)
 def test_scc_distributed_fwbw_matches_tarjan(spark, seed):
     """The distributed FW-BW-Trim path (local=False) must produce the
     byte-identical (node, component) map as the Tarjan reference — same
@@ -282,7 +292,7 @@ def _bz_coreness(edges_sym):
     return core
 
 
-@pytest.mark.parametrize("seed", [3, 21])
+@pytest.mark.parametrize("seed", [3, pytest.param(21, marks=pytest.mark.nightly)])
 @pytest.mark.parametrize("local", [True, False])
 def test_core_decomposition_matches_bz(spark, seed, local):
     from graph_spark.graph.algorithms import core_decomposition
